@@ -1,13 +1,304 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.Relational
+import graft.tables.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in `queries` exercises one operator family from SURVEY.md §2
+  * (reference file:line cited per query); `oracleSql` carries the DuckDB
+  * equivalent for the driver's hash-compare at sf0.01.
+  *
+  * Determinism rules applied everywhere (so Spark output ≡ DuckDB output
+  * bit-for-bit):
+  *  - every query ends in a total ORDER BY over non-null keys;
+  *  - money/double aggregations go through DECIMAL(18,2) (exact, order-
+  *    independent) and emit DOUBLE at the edge;
+  *  - DuckDB `regexp_replace` takes the 'g' flag to match Spark's
+  *    replace-all semantics.
+  */
 object SparkEntry {
+
+  /** Queries deliberately shipped without a DuckDB oracle (driver records a
+    * rows-only check): ops whose semantics aren't ANSI-SQL-expressible. */
+  def rowsOnly: Set[String] = Set()
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q4_star_join")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── A1/2.6: partial+final hash aggregation (TPC-H Q1 shape).
+    //    Reference: MAX-watermark agg incremental_ingustion.json:213 is the
+    //    only agg; we expose the full grouped-agg surface it implies.
+    "q1_pricing_summary" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          Relational.sumMoney($"l_quantity").as("sum_qty"),
+          Relational.sumMoney($"l_extendedprice").as("sum_base_price"),
+          sum(Relational.money($"l_extendedprice") *
+            (lit(1).cast("decimal(18,2)") - Relational.money($"l_discount")))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // ── F1/2.4: CDC watermark predicate pushed into the parquet scan.
+    //    Reference: incremental_loop.json:45 (`WHERE cdc_col > '<wm>'`).
+    "q2_cdc_filter" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .filter($"ts" > lit("2024-01-15 00:00:00").cast("timestamp"))
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .orderBy($"event_id")
+    }),
+
+    // ── P1–P4/2.3: projection/transform surface — upper+trim
+    //    (silver_Dimensions.py:41, readme.md:91), regexp_replace (:154),
+    //    when/otherwise bucketing (:151-153), drop (utils/transformations.py).
+    "q3_transforms" -> ((s, dir) => {
+      import s.implicits._
+      val c = Tables.customer(s, dir)
+      Relational.dropColumns(
+        c.withColumn("name_clean", upper(trim(regexp_replace($"c_name", "#", "-"))))
+          .withColumn("acctbal_flag",
+            Relational.bucketize($"c_acctbal", Seq(0.0 -> "low", 5000.0 -> "medium"), "high")),
+        Seq("c_nationkey", "c_name"))
+        .select($"c_custkey", $"name_clean", $"c_mktsegment", $"acctbal_flag", $"c_acctbal")
+        .orderBy($"c_custkey")
+    }),
+
+    // ── J2/2.5: star-schema analytical join chain (fact→dims), the join
+    //    capability the dimensional model implies (initial_load.sql:26-53).
+    //    Dims are broadcast (small side); lineitem⋈orders is the one
+    //    genuine shuffle — exactly what a 1000-executor plan wants.
+    "q4_star_join" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val o  = Tables.orders(s, dir)
+      val cu = Tables.customer(s, dir)
+      val n  = Tables.nation(s, dir)
+      val r  = Tables.region(s, dir)
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cu), $"o_custkey" === $"c_custkey")
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .filter($"r_name" === "ASIA")
+        .groupBy($"n_name")
+        .agg(
+          sum(Relational.money($"l_extendedprice") *
+            (lit(1).cast("decimal(18,2)") - Relational.money($"l_discount")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"n_name")
+    }),
+
+    // ── 2.5: left-semi join (EXISTS) — needed by the SCD2 rewrite.
+    "q5_semi_join" -> ((s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    }),
+
+    // ── 2.5: left-anti join (NOT EXISTS) — "keys not in batch" leg of SCD2.
+    //    Right side filtered so the anti set is non-empty (customers with
+    //    no pending 'P' order).
+    "q6_anti_join" -> ((s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter($"o_orderstatus" === "P"),
+          $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    }),
+
+    // ── A1/2.6: global MAX watermark advance.
+    //    Reference: incremental_ingustion.json:208-219, Queries.md:4-5.
+    "q7_max_watermark" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir).agg(max($"ts").as("cdc"))
+    }),
+
+    // ── A2/2.6: per-key latest-by-sequence (auto-CDC batch dedup).
+    //    Reference: DimUser.py:24 (sequence_by="updated_at").
+    "q8_latest_by_key" -> ((s, dir) => {
+      import s.implicits._
+      Relational.latestByKey(Tables.events(s, dir),
+          Seq("user_id"), col("ts"), Seq(col("event_id")))
+        .select($"user_id", $"event_id", $"ts", $"event_type", $"value")
+        .orderBy($"user_id")
+    }),
+
+    // ── D1/2.7: exact dedup by content fingerprint (canonical id per group).
+    //    Reference: silver_Dimensions.py:50 (dropDuplicates on key); here
+    //    keyed on md5(text) — the 100 TB-scale exact-dedup shape (hash,
+    //    shuffle on fingerprint, min-id representative; no driver collect).
+    "q9_dedup_exact" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .groupBy(md5($"text".cast("binary")).as("fp"))
+        .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("dup_count"))
+        .orderBy($"canonical_id")
+    }),
+
+    // ── D4/2.7: unionByName — the (closed ∪ opened ∪ untouched) leg of SCD2.
+    "q10_union_agg" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir)
+      e.filter($"event_type" === "purchase")
+        .unionByName(e.filter($"event_type" === "error"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), Relational.sumMoney($"value").as("total"))
+        .orderBy($"event_type")
+    }),
+
+    // ── D2+D3/2.7: global sort + top-k (TakeOrderedAndProject — no full
+    //    sort materializes at scale).
+    "q11_topk" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_totalprice")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(10)
+    }),
+
+    // ── F3+F6/2.4: IN-list + IS NOT NULL + range predicate stack.
+    //    Reference: silver_Dimensions.py:213-215, DimUser.py:4.
+    "q12_predicates" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .filter($"o_orderstatus".isin("F", "O") &&
+          $"o_custkey".isNotNull && $"o_totalprice" > 50000.0)
+        .select($"o_orderkey", $"o_orderstatus", $"o_orderpriority", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    }),
+
+    // ── C4+F5/2.10: SCD2 version chain — __START_AT/__END_AT semantics
+    //    (DimUser.py:20-29) expressed as a window; F5 history probe
+    //    (silver_Dimensions.py:206-208 `WHERE __END_AT IS NOT NULL`).
+    "q13_scd2_history" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, dir)
+        .withColumn("__START_AT", $"ts")
+        .withColumn("__END_AT", lead($"ts", 1).over(w))
+        .filter($"__END_AT".isNotNull)
+        .select($"user_id", $"event_id", $"event_type", $"__START_AT", $"__END_AT")
+        .orderBy($"user_id", $"__START_AT", $"event_id")
+    }),
+
+    // ── C5/2.10: SCD1 last-write-wins state by composite business key.
+    //    Reference: FactStream.py:12-21 (stored_as_scd_type=1).
+    "q14_scd1_state" -> ((s, dir) => {
+      import s.implicits._
+      Relational.latestByKey(Tables.events(s, dir),
+          Seq("user_id", "event_type"), col("ts"), Seq(col("event_id")))
+        .select($"user_id", $"event_type", $"event_id", $"ts", $"value")
+        .orderBy($"user_id", $"event_type")
+    }),
+
+    // ── 2.6: count-distinct aggregation surface.
+    "q15_count_distinct" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"), countDistinct($"o_custkey").as("n_cust"))
+        .orderBy($"o_orderpriority")
+    }),
+  )
+
+  /** DuckDB-runnable oracle per query (same tables, same column names). */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_cdc_filter" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+        |WHERE ts > TIMESTAMP '2024-01-15 00:00:00' ORDER BY event_id""".stripMargin,
+
+    "q3_transforms" ->
+      """SELECT c_custkey,
+        |UPPER(TRIM(REGEXP_REPLACE(c_name, '#', '-', 'g'))) AS name_clean,
+        |c_mktsegment,
+        |CASE WHEN c_acctbal < 0 THEN 'low' WHEN c_acctbal < 5000 THEN 'medium' ELSE 'high' END AS acctbal_flag,
+        |c_acctbal FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q4_star_join" ->
+      """SELECT n_name,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q5_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q6_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q7_max_watermark" -> "SELECT MAX(ts) AS cdc FROM events",
+
+    "q8_latest_by_key" ->
+      """SELECT user_id, event_id, ts, event_type, value FROM (
+        |SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q9_dedup_exact" ->
+      """SELECT MD5(text) AS fp, MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
+
+    "q10_union_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total FROM (
+        |SELECT * FROM events WHERE event_type = 'purchase'
+        |UNION ALL SELECT * FROM events WHERE event_type = 'error')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q11_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q12_predicates" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice FROM orders
+        |WHERE o_orderstatus IN ('F','O') AND o_custkey IS NOT NULL AND o_totalprice > 50000.0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q13_scd2_history" ->
+      """SELECT user_id, event_id, event_type, ts AS __START_AT,
+        |LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS __END_AT
+        |FROM events QUALIFY __END_AT IS NOT NULL
+        |ORDER BY user_id, __START_AT, event_id""".stripMargin,
+
+    "q14_scd1_state" ->
+      """SELECT user_id, event_type, event_id, ts, value FROM (
+        |SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        |FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q15_count_distinct" ->
+      """SELECT o_orderpriority, COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_cust
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+  )
 }

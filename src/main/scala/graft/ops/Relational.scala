@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Reusable relational operators re-expressing the reference's transform
+  * surface (SURVEY.md §2.3–§2.7) as idiomatic, codegen-friendly Spark.
+  *
+  * Reference provenance (all PySpark in the reference):
+  *  - dropColumns: utils/transformations.py:1-5 (`reuseable.dropcolumn`)
+  *  - bucketize:   silver_Dimensions.py:151-153 (`duration_flag` when/otherwise)
+  *  - latestByKey: DimUser.py:24 / FactStream.py:16 (`sequence_by` dedup —
+  *    keep highest sequence per business key within a batch)
+  *
+  * Scale notes: every operator below stays inside whole-stage codegen
+  * (pure `Column` expressions / window functions); `latestByKey` is a
+  * single hash-partition shuffle on the business keys — the minimum any
+  * per-key reduction needs — and the window variant avoids a join back.
+  */
+object Relational {
+
+  /** P1 — the reference's whole "reusable utilities" module. */
+  def dropColumns(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.drop(cols: _*)
+
+  /** P3 — threshold bucketing (`when/otherwise` chain). Thresholds are
+    * (upperBound, label) pairs checked in order; `last` is the fallback. */
+  def bucketize(c: Column, thresholds: Seq[(Double, String)], last: String): Column =
+    thresholds.foldRight(lit(last)) { case ((ub, label), acc) =>
+      when(c < lit(ub), lit(label)).otherwise(acc)
+    }
+
+  /** A2 — per-key "latest by sequence": exactly the dedup auto-CDC applies
+    * before merging (multiple updates to one key in a batch → keep the row
+    * with the highest sequence). `tieBreak` makes the result deterministic
+    * when sequences collide (the reference leaves this undefined).
+    * One shuffle on `keys`; no join. */
+  def latestByKey(df: DataFrame, keys: Seq[String], seq: Column, tieBreak: Seq[Column]): DataFrame = {
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy((seq.desc +: tieBreak.map(_.desc)): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact money arithmetic: cast through DECIMAL(18,2) so sums are
+    * order-independent (double sums are not associative → nondeterministic
+    * under different partitionings; decimal sums are exact). Emit DOUBLE at
+    * the edge for a stable output schema. */
+  def money(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  def sumMoney(c: Column): Column = sum(money(c)).cast("double")
+}
