@@ -215,6 +215,79 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), countDistinct($"o_custkey").as("n_cust"))
         .orderBy($"o_orderpriority")
     }),
+
+    // ── C5/2.10: the real ScdMerge.scd1Upsert engine — initial batch then
+    //    incremental batch (split at the time median), asserting the merge
+    //    algebra converges to the same last-write-wins state a direct
+    //    window query computes (the oracle).
+    "q16_scd1_merge" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir)
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+      val initial = graft.cdc.ScdMerge.scd1Upsert(
+        None, e.filter($"ts" < cut), Seq("user_id"), "ts", Seq($"event_id"))
+      graft.cdc.ScdMerge.scd1Upsert(
+        Some(initial), e.filter($"ts" >= cut), Seq("user_id"), "ts", Seq($"event_id"))
+        .select($"user_id", $"event_id", $"ts", $"event_type", $"value")
+        .orderBy($"user_id")
+    }),
+
+    // ── C4/2.10: the real ScdMerge.scd2Merge engine across two batches —
+    //    full version chain (__START_AT/__END_AT) must equal the direct
+    //    window construction over all events (late-data/chain-splice
+    //    correctness at query-gate scale).
+    "q17_scd2_merge" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir).select($"user_id", $"event_id", $"event_type", $"ts")
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+      val initial = graft.cdc.ScdMerge.scd2Merge(
+        None, e.filter($"ts" < cut), Seq("user_id"), "ts", Seq($"event_id"))
+      graft.cdc.ScdMerge.scd2Merge(
+        Some(initial), e.filter($"ts" >= cut), Seq("user_id"), "ts", Seq($"event_id"))
+        .select($"user_id", $"event_id", $"event_type", $"__START_AT", $"__END_AT")
+        .orderBy($"user_id", $"__START_AT", $"event_id")
+    }),
+
+    // ── E1→E2→E3/§3: full medallion run (bronze watermark ingest → silver
+    //    streaming transform → gold SCD1 snapshot) in a scratch workdir;
+    //    the gold table must equal the oracle's direct computation.
+    "q18_medallion_e2e" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("medallion").toString
+      val med = new graft.pipeline.Medallion(work)
+      med.run(s,
+        Seq(graft.pipeline.MedallionTable(
+          spec = graft.ingest.TableSpec("main", "events", "ts"),
+          silverTransform = df => df.withColumn("event_type", upper($"event_type")),
+          keys = Seq("user_id", "event_type"),
+          scdType = 1,
+          expectations = Seq(graft.ops.Expectation("uid", "user_id IS NOT NULL")),
+          tieBreak = Seq($"event_id"))),
+        _ => { Tables.events(s, dir).write.mode("overwrite").parquet(s"$work/source"); s"$work/source" },
+        runTs = "r1")
+      med.goldTable(s, "events")
+        .select($"user_id", $"event_type", $"event_id", $"ts", $"value")
+        .orderBy($"user_id", $"event_type")
+    }),
+
+    // ── S3+C1+C2/2.10: genuine Structured Streaming file ingest with
+    //    AvailableNow + checkpoint (Autoloader parity), aggregated after
+    //    the drain completes.
+    "q19_streaming_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("autoingest").toString
+      // stage the source as a normal-timestamp parquet dir (the raw file is
+      // TIMESTAMP(NANOS), which the streaming schema probe can't read)
+      Tables.events(s, dir).write.mode("overwrite").parquet(s"$work/src")
+      val cfg = graft.streaming.AutoIngest.Config(
+        sourceDir = s"$work/src", schemaDir = s"$work/schema", checkpointDir = s"$work/ck")
+      val stream = graft.streaming.AutoIngest.readStream(s, cfg).drop("_rescued_data")
+      graft.streaming.AutoIngest.appendOnce(stream, s"$work/silver", cfg.checkpointDir)
+      s.read.parquet(s"$work/silver")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), graft.ops.Relational.sumMoney($"value").as("total"))
+        .orderBy($"event_type")
+    }),
   )
 
   /** DuckDB-runnable oracle per query (same tables, same column names). */
@@ -300,5 +373,26 @@ object SparkEntry {
     "q15_count_distinct" ->
       """SELECT o_orderpriority, COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_cust
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q16_scd1_merge" ->
+      """SELECT user_id, event_id, ts, event_type, value FROM (
+        |SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q17_scd2_merge" ->
+      """SELECT user_id, event_id, event_type, ts AS __START_AT,
+        |LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS __END_AT
+        |FROM events ORDER BY user_id, __START_AT, event_id""".stripMargin,
+
+    "q18_medallion_e2e" ->
+      """SELECT user_id, UPPER(event_type) AS event_type, event_id, ts, value FROM (
+        |SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, UPPER(event_type) ORDER BY ts DESC, event_id DESC) AS rn
+        |FROM events WHERE user_id IS NOT NULL) WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q19_streaming_ingest" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

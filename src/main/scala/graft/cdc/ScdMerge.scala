@@ -1,0 +1,120 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.Relational
+
+/** The auto-CDC merge algebra — what DLT's `create_auto_cdc_flow` does
+  * (reference: DimUser.py:20-29 SCD2, FactStream.py:12-21 SCD1;
+  * readme.md:112-118), re-expressed as pure DataFrame → DataFrame
+  * transforms so it is unit-testable and sink-agnostic.
+  *
+  * Semantics reproduced (SURVEY.md §2.10 C4/C5/C7):
+  *  - multiple updates to one key in a batch: every distinct sequence value
+  *    becomes a version (SCD2) / only the highest survives (SCD1);
+  *  - out-of-order events are ordered by `sequence_by`, not arrival — a
+  *    late row becomes a historical version (SCD2) or is ignored when the
+  *    stored sequence is newer (SCD1);
+  *  - re-sent (key, seq) rows are idempotent: last arrival wins, counts
+  *    never grow on replay.
+  *
+  * Scale design: both merges touch only *affected keys* — the target is
+  * split with a semi/anti join against the batch's (small) key set, so the
+  * window recompute runs over `|affected|` rows, not the whole table. AQE
+  * turns the key-set join into a broadcast when the batch is small (the
+  * steady-state case); the anti side streams through untouched. Each merge
+  * is O(one shuffle on the business keys) beyond the scans.
+  */
+object ScdMerge {
+
+  val StartCol = "__START_AT"
+  val EndCol   = "__END_AT"
+
+  /** C5 — SCD Type 1 upsert: per business key, last write (highest
+    * `sequence_by`) wins; ties prefer the incoming batch. No history.
+    */
+  def scd1Upsert(
+      target: Option[DataFrame],
+      updates: DataFrame,
+      keys: Seq[String],
+      seqCol: String,
+      tieBreak: Seq[Column] = Nil): DataFrame = {
+
+    val upd = Relational.latestByKey(updates, keys, col(seqCol), tieBreak)
+    target match {
+      case None => upd
+      case Some(t) =>
+        val keySet = upd.select(keys.map(col): _*).distinct()
+        val untouched = t.join(keySet, keys, "left_anti")
+        val affected  = t.join(keySet, keys, "left_semi")
+        // union + one keyed reduction: higher seq wins, batch wins ties.
+        val merged = Relational.latestByKey(
+          affected.withColumn("__src", lit(0))
+            .unionByName(upd.withColumn("__src", lit(1))),
+          keys, col(seqCol), col("__src") +: tieBreak
+        ).drop("__src")
+        untouched.unionByName(merged)
+    }
+  }
+
+  /** C4 — SCD Type 2 merge: maintain the full version chain per key with
+    * `__START_AT`/`__END_AT`; current row has `__END_AT IS NULL`
+    * (probed by the reference at silver_Dimensions.py:206-208).
+    *
+    * `targetVersions` must already carry __START_AT/__END_AT (or be None
+    * for the initial load). Updates contribute one version per distinct
+    * (key, seq); the chain — including end timestamps of *existing*
+    * versions around a late arrival — is recomputed per affected key by a
+    * single `lead()` window.
+    */
+  def scd2Merge(
+      targetVersions: Option[DataFrame],
+      updates: DataFrame,
+      keys: Seq[String],
+      seqCol: String,
+      tieBreak: Seq[Column] = Nil): DataFrame = {
+
+    val seqType = updates.schema(seqCol).dataType
+    val newVersions = updates
+      .withColumn(StartCol, col(seqCol))
+      .withColumn(EndCol, lit(null).cast(seqType))
+
+    targetVersions match {
+      case None => rechain(dedupVersions(newVersions, keys, tieBreak), keys, tieBreak)
+      case Some(t) =>
+        val keySet = newVersions.select(keys.map(col): _*).distinct()
+        val untouched = t.join(keySet, keys, "left_anti")
+        val affected  = t.join(keySet, keys, "left_semi")
+        val combined = dedupVersions(
+          affected.withColumn("__src", lit(0))
+            .unionByName(newVersions.withColumn("__src", lit(1))),
+          keys, tieBreak)
+        untouched.unionByName(rechain(combined, keys, tieBreak))
+    }
+  }
+
+  /** Replay-idempotency: for duplicate (key, __START_AT) rows keep the
+    * latest arrival (batch beats target, `__src` desc). */
+  private def dedupVersions(df: DataFrame, keys: Seq[String], tieBreak: Seq[Column]): DataFrame = {
+    val withSrc = if (df.columns.contains("__src")) df else df.withColumn("__src", lit(1))
+    Relational.latestByKey(withSrc, keys :+ StartCol, col("__src"), tieBreak).drop("__src")
+  }
+
+  /** Recompute the per-key version chain: `__END_AT = lead(__START_AT)`.
+    * Runs only over affected keys — one window shuffle sized by the batch's
+    * key footprint, never the full table. */
+  private def rechain(versions: DataFrame, keys: Seq[String], tieBreak: Seq[Column]): DataFrame = {
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(StartCol).asc +: tieBreak.map(_.asc): _*)
+    versions.withColumn(EndCol, lead(col(StartCol), 1).over(w))
+  }
+
+  /** The reference's SCD2 history probe (F5): closed versions only. */
+  def history(versions: DataFrame): DataFrame = versions.filter(col(EndCol).isNotNull)
+
+  /** Current snapshot of an SCD2 table. */
+  def current(versions: DataFrame): DataFrame = versions.filter(col(EndCol).isNull)
+}

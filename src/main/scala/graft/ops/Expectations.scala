@@ -1,0 +1,33 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-quality expectations — DLT's `expect_all_or_drop` surface
+  * (reference: DimUser.py:3-8 `{"rule 1": "user_id IS NOT NULL"}`;
+  * readme.md:119-120), as filter + `observe()` metrics so violation
+  * counts surface without a second pass over the data (C6).
+  */
+case class Expectation(name: String, predicate: String)
+
+object Expectations {
+
+  /** Drop rows violating ANY expectation (SQL three-valued logic: a NULL
+    * predicate is a violation, matching DLT). Violation counts per rule are
+    * attached as an `observe` metric named `observationName`, readable from
+    * `df.collectResult`/`StreamingQueryListener` with zero extra scans. */
+  def expectAllOrDrop(
+      df: DataFrame,
+      expectations: Seq[Expectation],
+      observationName: String = "quality"): DataFrame = {
+    if (expectations.isEmpty) df
+    else {
+      val preds = expectations.map(e => expr(e.predicate))
+      val metrics = expectations.zip(preds).map { case (e, p) =>
+        sum(when(p, 0).otherwise(1)).as(s"violations_${e.name.replaceAll("\\W", "_")}")
+      }
+      df.observe(observationName, metrics.head, metrics.tail: _*)
+        .filter(preds.reduce(_ && _))
+    }
+  }
+}

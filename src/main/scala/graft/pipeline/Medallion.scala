@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.gold.{GoldPipeline, GoldTable}
+import graft.ingest.{IncrementalIngest, TableSpec}
+import graft.ops.Expectation
+import graft.streaming.AutoIngest
+
+/** The end-to-end medallion run — the reference's daily job chain
+  * (spotify_dab.job.yml:7-34: ADF ingestion → silver notebook → DLT
+  * refresh) as one orchestrated Scala entry point (SURVEY.md §3 E1→E2→E3).
+  *
+  * Per configured table and per run:
+  *  - bronze: watermark-filtered incremental copy of the source parquet
+  *  - silver: streaming file ingest of the new bronze files + declarative
+  *    column transforms + streaming parquet append
+  *  - gold:   foreachBatch SCD merge into a versioned snapshot table
+  *
+  * Everything is idempotent across reruns: the bronze watermark, the
+  * silver/gold stream checkpoints, and the SCD merge algebra each absorb
+  * replays.
+  */
+case class MedallionTable(
+    spec: TableSpec,
+    silverTransform: DataFrame => DataFrame = identity,
+    keys: Seq[String],
+    scdType: Int,
+    expectations: Seq[Expectation] = Nil,
+    tieBreak: Seq[Column] = Nil)
+
+final class Medallion(workDir: String) {
+
+  val bronzeDir = s"$workDir/bronze"
+  val silverDir = s"$workDir/silver"
+  val goldDir   = s"$workDir/gold"
+  private val ckRoot = s"$workDir/_checkpoints"
+
+  /** One full run (the reference's daily trigger). `runTs` is injected for
+    * determinism (§2.11: ADF's `utcNow()` SetVariable). */
+  def run(spark: SparkSession, tables: Seq[MedallionTable],
+          sourcePathFor: String => String, runTs: String): Unit = {
+
+    // E1 — bronze: incremental, watermark-driven.
+    IncrementalIngest.runAll(spark, tables.map(_.spec), sourcePathFor, bronzeDir, runTs)
+
+    // E2 — silver: stream new bronze files through the transforms.
+    tables.foreach { t =>
+      val name = t.spec.table
+      val bronzeTablePath = s"$bronzeDir/$name"
+      val fs = new org.apache.hadoop.fs.Path(bronzeTablePath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(fs.makeQualified(new org.apache.hadoop.fs.Path(bronzeTablePath)))) {
+        val cfg = AutoIngest.Config(
+          sourceDir = s"$bronzeTablePath/*",
+          schemaDir = s"$ckRoot/silver/$name/_schema",
+          checkpointDir = s"$ckRoot/silver/$name/_checkpoint")
+        val stream = t.silverTransform(AutoIngest.readStream(spark, cfg).drop("_rescued_data"))
+        AutoIngest.appendOnce(stream, s"$silverDir/$name", cfg.checkpointDir)
+      }
+    }
+
+    // E3 — gold: declarative SCD targets in DAG order.
+    val gold = new GoldPipeline(goldDir, s"$ckRoot/gold")
+    tables.foreach { t =>
+      gold.declare(GoldTable(
+        name = t.spec.table,
+        silverPath = s"$silverDir/${t.spec.table}",
+        keys = t.keys,
+        sequenceBy = t.spec.cdcCol,
+        scdType = t.scdType,
+        expectations = t.expectations,
+        tieBreak = t.tieBreak))
+    }
+    gold.runOnce(spark)
+  }
+
+  def goldTable(spark: SparkSession, name: String): DataFrame =
+    new GoldPipeline(goldDir, s"$ckRoot/gold").snapshot(name).read(spark)
+}

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
+
+/** Streaming file ingestion with schema persistence + rescue — the
+  * Autoloader surface the reference's silver layer uses
+  * (silver_Dimensions.py:25-29: `cloudFiles` + `schemaLocation` +
+  * `schemaEvolutionMode=rescue`), built on Spark's own file stream source,
+  * which is exactly the mechanism Autoloader wraps (SURVEY.md §2.1 S3).
+  *
+  *  - C1: `Trigger.AvailableNow` — drain all new files, then stop (the
+  *    modern form of the reference's `trigger(once=True)`).
+  *  - C2: the file-source checkpoint gives exactly-once file tracking;
+  *    re-running never reprocesses consumed bronze files.
+  *  - C3: first run infers the schema from the files present and persists
+  *    it to `schemaDir/schema.json`; later runs read with the persisted
+  *    schema and pack any *new* columns into a `_rescued_data` JSON string
+  *    column instead of failing (rescue mode). We deliberately normalize
+  *    the reference's quirks: no misspelled option fallback, and schema
+  *    dir ≠ checkpoint dir (SURVEY §7.4).
+  *
+  * Scale: file listing + schema live on the driver once per trigger; data
+  * flows through executors with the vectorized parquet reader. For very
+  * large directories, `maxFilesPerTrigger` bounds per-batch work.
+  */
+object AutoIngest {
+
+  case class Config(
+      sourceDir: String,
+      schemaDir: String,
+      checkpointDir: String,
+      rescue: Boolean = true,
+      maxFilesPerTrigger: Option[Int] = None)
+
+  /** Load the persisted schema, inferring + persisting on first contact. */
+  def loadOrInferSchema(spark: SparkSession, cfg: Config): StructType = {
+    val fs = new Path(cfg.schemaDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val file = new Path(cfg.schemaDir, "schema.json")
+    if (fs.exists(file)) {
+      val in = fs.open(file)
+      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      DataType.fromJson(json).asInstanceOf[StructType]
+    } else {
+      val inferred = spark.read.parquet(cfg.sourceDir).schema
+      fs.mkdirs(file.getParent)
+      val out = fs.create(file, true)
+      try out.write(inferred.json.getBytes("UTF-8")) finally out.close()
+      inferred
+    }
+  }
+
+  /** S3 — open the incremental file stream over `sourceDir`, with rescue
+    * handling for columns that appeared after the schema was persisted. */
+  def readStream(spark: SparkSession, cfg: Config): DataFrame = {
+    val persisted = loadOrInferSchema(spark, cfg)
+    // Rescue probe: what do the files actually carry right now?
+    val actual = spark.read.parquet(cfg.sourceDir).schema
+    val extras = actual.fields.filterNot(f => persisted.fieldNames.contains(f.name))
+
+    val readSchema = StructType(persisted.fields ++ extras)
+    val reader = spark.readStream.schema(readSchema)
+    val withOpts = cfg.maxFilesPerTrigger
+      .map(n => reader.option("maxFilesPerTrigger", n)).getOrElse(reader)
+    val raw = withOpts.parquet(cfg.sourceDir)
+
+    if (!cfg.rescue) raw
+    else if (extras.isEmpty) raw.withColumn("_rescued_data", lit(null).cast(StringType))
+    else raw
+      .withColumn("_rescued_data", to_json(struct(extras.map(f => col(f.name)): _*)))
+      .drop(extras.map(_.name): _*)
+  }
+
+  /** K3/C1 — run one drain-and-stop append into a parquet sink. Blocks
+    * until the trigger completes; idempotent across reruns via the
+    * checkpoint. Returns the sink path. */
+  def appendOnce(df: DataFrame, sinkPath: String, checkpointDir: String): String = {
+    val q = df.writeStream
+      .format("parquet")
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .option("path", sinkPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    sinkPath
+  }
+
+  /** C4/C5 plumbing — run one drain-and-stop pass delivering each
+    * micro-batch to `fn` (used by the gold SCD sinks). */
+  def foreachBatchOnce(df: DataFrame, checkpointDir: String)(
+      fn: (DataFrame, Long) => Unit): Unit = {
+    val q = df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(fn)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,88 @@
+package graft.tables
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Versioned parquet table with an atomic current-version pointer — the
+  * Delta-less transactional table the SCD sinks need (SURVEY.md §7.2 step 1;
+  * no Delta/Iceberg/Hudi jars ship with this build).
+  *
+  * Layout:
+  * {{{
+  *   root/_v1/part-*.parquet      // immutable full snapshots
+  *   root/_v2/part-*.parquet
+  *   root/_current                // one line: the live version number
+  * }}}
+  *
+  * Commit protocol: write `_v(N+1)` fully, then flip `_current` via
+  * write-temp + rename. Readers resolve the pointer first, so they only
+  * ever see complete snapshots. Single-writer by design — the reference is
+  * one daily job (spotify_dab.job.yml:7-11); multi-writer would need a
+  * lock service, which Delta itself also requires on object stores.
+  *
+  * Scale note: snapshots are plain parquet dirs, so a 1000-executor read
+  * is an ordinary `FileSourceScanExec` with pushdown/pruning; `write` can
+  * be partitioned (`partitionByCols`) so downstream key-equi joins prune.
+  */
+final class SnapshotTable(val root: String) {
+
+  private def fs(spark: SparkSession) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val pointer = new Path(root, "_current")
+
+  def currentVersion(spark: SparkSession): Option[Int] = {
+    val f = fs(spark)
+    if (!f.exists(pointer)) None
+    else {
+      val in = f.open(pointer)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
+      finally in.close()
+    }
+  }
+
+  def exists(spark: SparkSession): Boolean = currentVersion(spark).isDefined
+
+  def read(spark: SparkSession): DataFrame = {
+    val v = currentVersion(spark).getOrElse(
+      throw new IllegalStateException(s"SnapshotTable $root has no committed version"))
+    spark.read.parquet(s"$root/_v$v")
+  }
+
+  def readOption(spark: SparkSession): Option[DataFrame] =
+    currentVersion(spark).map(v => spark.read.parquet(s"$root/_v$v"))
+
+  /** Commit `df` as the next full snapshot and atomically advance the
+    * pointer. Returns the committed version. */
+  def write(spark: SparkSession, df: DataFrame, partitionByCols: Seq[String] = Nil): Int = {
+    val next = currentVersion(spark).getOrElse(0) + 1
+    val target = s"$root/_v$next"
+    val writer = df.write.mode(SaveMode.Overwrite)
+    (if (partitionByCols.nonEmpty) writer.partitionBy(partitionByCols: _*) else writer)
+      .parquet(target)
+    commitPointer(spark, next)
+    next
+  }
+
+  private def commitPointer(spark: SparkSession, v: Int): Unit = {
+    val f = fs(spark)
+    val tmp = new Path(root, s"_current.tmp.$v")
+    val out = f.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    if (f.exists(pointer)) f.delete(pointer, false)
+    if (!f.rename(tmp, pointer))
+      throw new IllegalStateException(s"SnapshotTable $root: pointer flip failed")
+  }
+
+  /** Drop snapshot dirs older than the `keep` most recent (time travel
+    * window). Never touches the live version. */
+  def vacuum(spark: SparkSession, keep: Int = 2): Unit = {
+    val f = fs(spark)
+    currentVersion(spark).foreach { cur =>
+      (1 to cur - keep).foreach { v =>
+        val p = new Path(s"$root/_v$v")
+        if (f.exists(p)) f.delete(p, true)
+      }
+    }
+  }
+}

@@ -1,0 +1,183 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.ScdMerge
+import graft.ingest.{IncrementalIngest, TableSpec, WatermarkStore}
+import graft.ops.{Expectation, Expectations}
+import graft.tables.SnapshotTable
+
+/** Core-engine semantics: snapshot commits, watermarks, incremental
+  * ingestion, and the SCD merge algebra (replay idempotency, out-of-order,
+  * batch-split equivalence). */
+class EngineCoreSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toString
+
+  // ── SnapshotTable ─────────────────────────────────────────────────────
+
+  test("SnapshotTable: versioned commits, atomic pointer, vacuum") {
+    val t = new SnapshotTable(tmp("snap"))
+    assert(t.currentVersion(spark).isEmpty && t.readOption(spark).isEmpty)
+    assert(t.write(spark, Seq(1, 2, 3).toDF("x")) == 1)
+    assert(t.read(spark).count() == 3)
+    assert(t.write(spark, Seq(4).toDF("x")) == 2)
+    assert(t.read(spark).as[Int].collect().toSet == Set(4))
+    t.vacuum(spark, keep = 1)
+    assert(t.read(spark).count() == 1) // live version untouched
+  }
+
+  // ── WatermarkStore ────────────────────────────────────────────────────
+
+  test("WatermarkStore: round-trip + overwrite") {
+    val wm = new WatermarkStore(tmp("wm"))
+    assert(wm.read(spark, "t").isEmpty)
+    wm.write(spark, "t", "2024-01-01 00:00:00.000001")
+    assert(wm.read(spark, "t").contains("2024-01-01 00:00:00.000001"))
+    wm.write(spark, "t", "2025-01-01 00:00:00.000000")
+    assert(wm.read(spark, "t").contains("2025-01-01 00:00:00.000000"))
+  }
+
+  // ── IncrementalIngest ─────────────────────────────────────────────────
+
+  test("IncrementalIngest: first run takes all, second run takes none, new data flows") {
+    val src = tmp("src"); val bronze = tmp("bronze")
+    val wmStore = new WatermarkStore(bronze)
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "a"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), "b")
+    ).toDF("id", "updated_at", "v").write.mode("overwrite").parquet(s"$src/t.parquet")
+
+    val spec = TableSpec("dbo", "t", "updated_at")
+    val r1 = IncrementalIngest.ingestTable(spark, spec, s"$src/t.parquet", bronze, wmStore, "run1")
+    assert(r1.rowsRead == 2 && r1.newWatermark.contains("2024-01-02 10:00:00.000000"))
+
+    // replay with no new rows: F4/K5 — nothing written, watermark unchanged
+    val r2 = IncrementalIngest.ingestTable(spark, spec, s"$src/t.parquet", bronze, wmStore, "run2")
+    assert(r2.rowsRead == 0 && r2.newWatermark.isEmpty)
+
+    Seq((3L, java.sql.Timestamp.valueOf("2024-02-01 00:00:00"), "c"))
+      .toDF("id", "updated_at", "v").write.mode("append").parquet(s"$src/t.parquet")
+    val r3 = IncrementalIngest.ingestTable(spark, spec, s"$src/t.parquet", bronze, wmStore, "run3")
+    assert(r3.rowsRead == 1)
+    // bronze holds exactly the 3 rows across run folders (no dup, no loss)
+    assert(spark.read.parquet(s"$bronze/t/*").count() == 3)
+  }
+
+  test("IncrementalIngest: from_date backfill override re-reads history") {
+    val src = tmp("src"); val bronze = tmp("bronze")
+    val wmStore = new WatermarkStore(bronze)
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("id", "updated_at").write.parquet(s"$src/t.parquet")
+    IncrementalIngest.ingestTable(spark, TableSpec("dbo", "t", "updated_at"),
+      s"$src/t.parquet", bronze, wmStore, "run1")
+    val r = IncrementalIngest.ingestTable(
+      spark, TableSpec("dbo", "t", "updated_at", fromDate = Some("2023-01-01 00:00:00")),
+      s"$src/t.parquet", bronze, wmStore, "run2")
+    assert(r.rowsRead == 1) // backfill beats stored watermark (F2)
+  }
+
+  // ── ScdMerge: SCD1 ────────────────────────────────────────────────────
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("scd1Upsert: last-write-wins, late rows ignored, replay idempotent") {
+    val initial = Seq((1, ts("2024-01-01 00:00:00"), "v1"), (2, ts("2024-01-01 00:00:00"), "w1"))
+      .toDF("id", "seq", "v")
+    val s0 = ScdMerge.scd1Upsert(None, initial, Seq("id"), "seq")
+    assert(s0.count() == 2)
+
+    // newer update wins; stale (late) update for id=2 is ignored
+    val batch = Seq((1, ts("2024-02-01 00:00:00"), "v2"), (2, ts("2023-12-01 00:00:00"), "stale"))
+      .toDF("id", "seq", "v")
+    val s1 = ScdMerge.scd1Upsert(Some(s0), batch, Seq("id"), "seq")
+    val m = s1.select("id", "v").as[(Int, String)].collect().toMap
+    assert(m == Map(1 -> "v2", 2 -> "w1"))
+
+    // replaying the same batch changes nothing (C5 idempotency)
+    val s2 = ScdMerge.scd1Upsert(Some(s1), batch, Seq("id"), "seq")
+    assert(s2.count() == 2 &&
+      s2.select("id", "v").as[(Int, String)].collect().toMap == m)
+  }
+
+  test("scd1Upsert: multiple updates to one key in one batch keep highest seq") {
+    val batch = Seq((1, ts("2024-01-01 00:00:00"), "a"),
+      (1, ts("2024-01-03 00:00:00"), "c"), (1, ts("2024-01-02 00:00:00"), "b"))
+      .toDF("id", "seq", "v")
+    val s = ScdMerge.scd1Upsert(None, batch, Seq("id"), "seq")
+    assert(s.select("v").as[String].collect().toSeq == Seq("c"))
+  }
+
+  // ── ScdMerge: SCD2 ────────────────────────────────────────────────────
+
+  test("scd2Merge: versions chain with __START_AT/__END_AT; current is open") {
+    val initial = Seq((1, ts("2024-01-01 00:00:00"), "v1")).toDF("id", "seq", "v")
+    val v0 = ScdMerge.scd2Merge(None, initial, Seq("id"), "seq")
+    assert(v0.count() == 1 && ScdMerge.current(v0).count() == 1)
+
+    val upd = Seq((1, ts("2024-02-01 00:00:00"), "v2")).toDF("id", "seq", "v")
+    val v1 = ScdMerge.scd2Merge(Some(v0), upd, Seq("id"), "seq")
+    assert(v1.count() == 2)
+    val closed = ScdMerge.history(v1).select("v", "__END_AT")
+      .as[(String, java.sql.Timestamp)].collect()
+    assert(closed.toSeq == Seq(("v1", ts("2024-02-01 00:00:00"))))
+    assert(ScdMerge.current(v1).select("v").as[String].head() == "v2")
+  }
+
+  test("scd2Merge: out-of-order arrival becomes a correctly-placed historical version") {
+    val v0 = ScdMerge.scd2Merge(None,
+      Seq((1, ts("2024-01-01 00:00:00"), "v1"), (1, ts("2024-03-01 00:00:00"), "v3"))
+        .toDF("id", "seq", "v"), Seq("id"), "seq")
+    // late event lands between the two existing versions (C7)
+    val late = Seq((1, ts("2024-02-01 00:00:00"), "v2")).toDF("id", "seq", "v")
+    val v1 = ScdMerge.scd2Merge(Some(v0), late, Seq("id"), "seq")
+    val chain = v1.orderBy("__START_AT")
+      .select("v", "__END_AT").as[(String, Option[java.sql.Timestamp])].collect().toSeq
+    assert(chain == Seq(
+      ("v1", Some(ts("2024-02-01 00:00:00"))),
+      ("v2", Some(ts("2024-03-01 00:00:00"))),
+      ("v3", None)))
+  }
+
+  test("scd2Merge: replay idempotent + untouched keys preserved byte-for-byte") {
+    val v0 = ScdMerge.scd2Merge(None,
+      Seq((1, ts("2024-01-01 00:00:00"), "a1"), (2, ts("2024-01-01 00:00:00"), "b1"))
+        .toDF("id", "seq", "v"), Seq("id"), "seq")
+    val batch = Seq((1, ts("2024-02-01 00:00:00"), "a2")).toDF("id", "seq", "v")
+    val v1 = ScdMerge.scd2Merge(Some(v0), batch, Seq("id"), "seq")
+    val v2 = ScdMerge.scd2Merge(Some(v1), batch, Seq("id"), "seq")
+    assert(v1.count() == 3 && v2.count() == 3)
+    assert(v2.filter($"id" === 2).count() == 1) // untouched key intact
+  }
+
+  test("scd2Merge: one big batch ≡ two split batches (merge associativity)") {
+    val all = Seq(
+      (1, ts("2024-01-01 00:00:00"), "a1"), (1, ts("2024-02-01 00:00:00"), "a2"),
+      (2, ts("2024-01-15 00:00:00"), "b1"), (1, ts("2024-03-01 00:00:00"), "a3"))
+      .toDF("id", "seq", "v")
+    val oneShot = ScdMerge.scd2Merge(None, all, Seq("id"), "seq")
+    val split = ScdMerge.scd2Merge(
+      Some(ScdMerge.scd2Merge(None, all.filter($"seq" < ts("2024-02-15 00:00:00")), Seq("id"), "seq")),
+      all.filter($"seq" >= ts("2024-02-15 00:00:00")), Seq("id"), "seq")
+    val canon = (df: org.apache.spark.sql.DataFrame) =>
+      df.orderBy("id", "__START_AT").select("id", "v", "__START_AT", "__END_AT")
+        .collect().toSeq
+    assert(canon(oneShot) == canon(split))
+  }
+
+  // ── Expectations ──────────────────────────────────────────────────────
+
+  test("expectAllOrDrop: drops violations incl. NULLs, keeps the rest") {
+    val df = Seq((Some(1), "a"), (None, "b"), (Some(3), null))
+      .toDF("id", "v")
+    val out = Expectations.expectAllOrDrop(df,
+      Seq(Expectation("id not null", "id IS NOT NULL"), Expectation("v not null", "v IS NOT NULL")))
+    assert(out.select("id").as[Int].collect().toSeq == Seq(1))
+  }
+}
