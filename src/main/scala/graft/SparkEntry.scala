@@ -24,8 +24,11 @@ import graft.tables.Tables
 object SparkEntry {
 
   /** Queries deliberately shipped without a DuckDB oracle (driver records a
-    * rows-only check): ops whose semantics aren't ANSI-SQL-expressible. */
-  def rowsOnly: Set[String] = Set()
+    * rows-only check): ops whose semantics aren't ANSI-SQL-expressible —
+    * SimHash bit votes, LSH bucketing (recall < 1), and the hash-derived
+    * decode stub. */
+  def rowsOnly: Set[String] =
+    Set("q29_simhash_groups", "q30_ann_lsh", "q31_multimodal_decode")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -288,6 +291,129 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), graft.ops.Relational.sumMoney($"value").as("total"))
         .orderBy($"event_type")
     }),
+
+    // ── LLM-pipeline: token counting (whitespace + BPE-ish regex runs),
+    //    pure codegen'd expressions, zero shuffles.
+    "q20_token_count" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          graft.llm.TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"),
+          graft.llm.TextAnalysis.bpeishTokenCount($"text").cast("long").as("n_tokens_bpe"))
+        .orderBy($"doc_id")
+    }),
+
+    // ── LLM-pipeline: quality scoring (length/punct/stopword/word-shape).
+    "q21_text_quality" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          graft.llm.TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"),
+          graft.llm.TextAnalysis.punctRatio($"text").as("punct_ratio"),
+          graft.llm.TextAnalysis.stopwordRatio($"text").as("stopword_ratio"),
+          graft.llm.TextAnalysis.qualityScore($"text").as("quality"))
+        .orderBy($"doc_id")
+    }),
+
+    // ── LLM-pipeline: n-gram-heuristic language ID (stopword argmax).
+    "q22_lang_id" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", graft.llm.TextAnalysis.langId($"text").as("lang_pred"))
+        .orderBy($"doc_id")
+    }),
+
+    // ── LLM-pipeline: normalized-content fingerprint (exact-dedup key).
+    "q23_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", graft.llm.TextAnalysis.fingerprint($"text").as("fp"))
+        .orderBy($"doc_id")
+    }),
+
+    // ── LLM-pipeline: exact all-pairs n-gram Jaccard near-dup (inverted
+    //    shingle index; reduces on (d1,d2), never a cross join).
+    "q24_ngram_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      graft.llm.Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 0.5)
+        .orderBy($"d1", $"d2")
+    }),
+
+    // ── LLM-pipeline: MinHash+LSH near-dup with exact verify — must equal
+    //    the all-pairs answer (recall 1−6e-15 at the 0.8 pair margin).
+    "q25_minhash_lsh" -> ((s, dir) => {
+      import s.implicits._
+      graft.llm.Dedup.minhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text", 0.5)
+        .orderBy($"d1", $"d2")
+    }),
+
+    // ── LLM-pipeline: exact cosine top-1 neighbor (brute-force baseline)
+    //    for the first 100 vectors against the full corpus.
+    "q26_embedding_knn" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      graft.llm.Similarity.bruteForceTopK(
+          emb.filter($"vec_id" < 100), emb, "vec_id", "embedding", 1)
+        .select($"query_id", $"neighbor_id", round($"cos", 6).as("cos"))
+        .orderBy($"query_id")
+    }),
+
+    // ── LLM-pipeline: embedding-cosine near-dup pairs (semantic dedup).
+    "q27_embedding_dedup" -> ((s, dir) => {
+      import s.implicits._
+      graft.llm.Similarity.cosineNearDupPairs(
+          Tables.embeddings(s, dir), "vec_id", "embedding", 0.45)
+        .select($"d1", $"d2", round($"cos", 6).as("cos"))
+        .orderBy($"d1", $"d2")
+    }),
+
+    // ── LLM-pipeline: multimodal binary-column plumbing — content bytes +
+    //    digest + frame sampling over an opaque binary payload.
+    "q28_multimodal_features" -> ((s, dir) => {
+      import s.implicits._
+      val media = graft.llm.Multimodal.withMediaMeta(
+        Tables.documents(s, dir).withColumn("content", $"text".cast("binary")),
+        "content", "text")
+      graft.llm.Multimodal.frameSample(
+          graft.llm.Multimodal.contentFeatures(media, "content"),
+          "content", 100, 2)
+        .select($"doc_id", $"n_bytes", $"digest",
+          $"media_meta.kind".as("kind"),
+          $"n_frames_sampled".cast("long").as("n_frames_sampled"))
+        .orderBy($"doc_id")
+    }),
+
+    // ── LLM-pipeline (rows-only): SimHash near-dup buckets — 64-bit
+    //    bit-vote hash has no ANSI-SQL equivalent.
+    "q29_simhash_groups" -> ((s, dir) => {
+      import s.implicits._
+      graft.llm.Dedup.simhashGroups(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy($"canonical_id")
+    }),
+
+    // ── LLM-pipeline (rows-only): hyperplane-LSH approximate top-k — the
+    //    100 TB ANN path (bucketed search; recall < 1 by construction).
+    "q30_ann_lsh" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      graft.llm.Similarity.lshTopK(
+          emb.filter($"vec_id" < 100), emb, "vec_id", "embedding", 1, numPlanes = 4)
+        .select($"query_id", $"neighbor_id", round($"cos", 6).as("cos"))
+        .orderBy($"query_id")
+    }),
+
+    // ── LLM-pipeline (rows-only): partition-batched decode-kernel stub —
+    //    the mapPartitions plumbing real codecs would plug into.
+    "q31_multimodal_decode" -> ((s, dir) => {
+      import s.implicits._
+      graft.llm.Multimodal.decodeStub(
+          Tables.documents(s, dir).withColumn("content", $"text".cast("binary")),
+          "content")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n"),
+          sum($"decoded_width").cast("long").as("total_width"))
+        .orderBy($"source")
+    }),
   )
 
   /** DuckDB-runnable oracle per query (same tables, same column names). */
@@ -394,5 +520,104 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n,
         |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q20_token_count" ->
+      """SELECT doc_id,
+        |CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t != '')) AS BIGINT) AS n_tokens,
+        |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_tokens_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q21_text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS ntok,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','by'], x))) AS stophits,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS npunct
+        |  FROM documents)
+        |SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+        |  CAST(npunct AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+        |  CAST(stophits AS DOUBLE) / CAST(greatest(ntok, 1) AS DOUBLE) AS stopword_ratio,
+        |  (CASE WHEN ntok >= 10 THEN 0.25 ELSE 0.0 END)
+        |  + (CASE WHEN CAST(npunct AS DOUBLE) / CAST(length(text) AS DOUBLE) < 0.1 THEN 0.25 ELSE 0.0 END)
+        |  + (CASE WHEN CAST(stophits AS DOUBLE) / CAST(greatest(ntok, 1) AS DOUBLE) > 0.02 THEN 0.25 ELSE 0.0 END)
+        |  + (CASE WHEN length(regexp_replace(text, '\s+', '', 'g')) / CAST(greatest(ntok, 1) AS DOUBLE) BETWEEN 3.0 AND 10.0 THEN 0.25 ELSE 0.0 END)
+        |  AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q22_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x != '') AS ts
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(ts, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','by'], x))) AS en,
+        |    len(list_filter(ts, x -> list_contains(['el','la','de','que','y','en','un','una','los','las','por','con','para','es','del'], x))) AS es,
+        |    len(list_filter(ts, x -> list_contains(['der','die','das','und','in','den','von','zu','mit','sich','des','auf','ist','ein','eine'], x))) AS de
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN en >= es AND en >= de THEN 'en' WHEN es >= de THEN 'es' ELSE 'de' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q23_fingerprint" ->
+      """SELECT doc_id,
+        |md5(array_to_string(list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), '\s+'), x -> x != ''), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q24_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS ts FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+        |  FROM toks, UNNEST(generate_series(1, len(ts)-2)) AS g(i)),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT d1, d2, CAST(i AS DOUBLE) / CAST(c1.n + c2.n - i AS DOUBLE) AS jaccard
+        |FROM inter JOIN cnt c1 ON c1.doc_id = d1 JOIN cnt c2 ON c2.doc_id = d2
+        |WHERE CAST(i AS DOUBLE) / CAST(c1.n + c2.n - i AS DOUBLE) >= 0.5
+        |ORDER BY d1, d2""".stripMargin,
+
+    "q25_minhash_lsh" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS ts FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+        |  FROM toks, UNNEST(generate_series(1, len(ts)-2)) AS g(i)),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT d1, d2, CAST(i AS DOUBLE) / CAST(c1.n + c2.n - i AS DOUBLE) AS jaccard
+        |FROM inter JOIN cnt c1 ON c1.doc_id = d1 JOIN cnt c2 ON c2.doc_id = d2
+        |WHERE CAST(i AS DOUBLE) / CAST(c1.n + c2.n - i AS DOUBLE) >= 0.5
+        |ORDER BY d1, d2""".stripMargin,
+
+    "q26_embedding_knn" ->
+      """SELECT query_id, neighbor_id, cos FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos,
+        |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rn
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+        |  WHERE a.vec_id < 100)
+        |WHERE rn = 1 ORDER BY query_id""".stripMargin,
+
+    "q27_embedding_dedup" ->
+      """SELECT a.vec_id AS d1, b.vec_id AS d2,
+        |ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45
+        |ORDER BY d1, d2""".stripMargin,
+
+    "q28_multimodal_features" ->
+      """SELECT doc_id,
+        |CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |md5(text) AS digest,
+        |'text' AS kind,
+        |CAST((CAST(ceil(octet_length(CAST(text AS BLOB)) / 100.0) AS BIGINT) + 1) // 2 AS BIGINT) AS n_frames_sampled
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,116 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Two paths, per the north-star design:
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *    A broadcast-join cross product; right for |queries| ≪ |corpus|.
+  *  - [[lshTopK]]: random-hyperplane LSH-bucketed approximate search —
+  *    the 100 TB path: the corpus shuffles once on a small bucket key and
+  *    each query only scans its own bucket(s).
+  *
+  * All arithmetic is double-precision, computed by codegen'd higher-order
+  * functions (`zip_with` + `aggregate`) with strict left-to-right
+  * summation — deterministic and engine-portable (matches DuckDB's
+  * sequential list fold, so results can be oracle-checked exactly).
+  */
+object Similarity {
+
+  /** Sequential-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact top-k nearest neighbors by cosine for each query vector.
+    * `queries` and `corpus` both need (`idCol`, `vecCol`). Self-matches are
+    * excluded; ties broken by neighbor id (deterministic). The corpus side
+    * pre-normalizes once (norms are computed per row, not per pair). */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+
+    val q = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), _.cast("double")).as("qv"))
+      .withColumn("qnorm", l2Norm(col("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      transform(col(vecCol), _.cast("double")).as("cv"))
+      .withColumn("cnorm", l2Norm(col("cv")))
+
+    val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component: hash-derived value
+    * in [-0.5, 0.5). No RNG state — reproducible across runs/executors. */
+  private def planeComponent(plane: Column, dim: Column): Column =
+    (pmod(xxhash64(plane, dim), lit(1000000L)).cast("double") / 1000000.0) - 0.5
+
+  /** Sign-bucket of a vector under `numPlanes` fixed hyperplanes — the
+    * LSH key. Vectors in the same bucket are likely cosine-similar. */
+  def hyperplaneBucket(vec: Column, numPlanes: Int): Column =
+    aggregate(
+      sequence(lit(0), lit(numPlanes - 1)),
+      lit(0L),
+      (acc, p) => {
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (v, i) => v.cast("double") * planeComponent(p, i)),
+          lit(0.0), (a, v) => a + v)
+        acc * 2 + when(proj >= 0, 1L).otherwise(0L)
+      })
+
+  /** Approximate top-k: bucket corpus and queries by hyperplane signs,
+    * search only within matching buckets. Recall < 1 by construction;
+    * raise recall with fewer planes (bigger buckets) or multi-probe. */
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, numPlanes: Int = 8): DataFrame = {
+
+    val q = queries.select(col(idCol).as("query_id"),
+        transform(col(vecCol), _.cast("double")).as("qv"))
+      .withColumn("bucket", hyperplaneBucket(col("qv"), numPlanes))
+      .withColumn("qnorm", l2Norm(col("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        transform(col(vecCol), _.cast("double")).as("cv"))
+      .withColumn("bucket", hyperplaneBucket(col("cv"), numPlanes))
+      .withColumn("cnorm", l2Norm(col("cv")))
+
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above `threshold` — the
+    * semantic-dedup operator. Exact all-pairs here; at 100 TB swap the
+    * join for the LSH bucket join above. */
+  def cosineNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"),
+        transform(col(vecCol), _.cast("double")).as("v"))
+      .withColumn("norm", l2Norm(col("v")))
+    v.alias("a").join(v.alias("b"), col("a.id") < col("b.id"))
+      .withColumn("cos", dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("d1"), col("b.id").as("d2"), col("cos"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (BASELINE.json north-star: lang-ID, quality scoring, token counting,
+  * fingerprinting). Everything is pure `Column` expressions — no UDFs —
+  * so the whole surface stays inside whole-stage codegen and scales as
+  * ordinary narrow transformations (zero shuffles).
+  */
+object TextAnalysis {
+
+  /** Lowercase, strip non-alphanumerics to spaces — the canonical text
+    * normalization shared by fingerprinting and shingling. */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(text), "[^a-z0-9 ]", " ")
+
+  /** Whitespace tokens, empty-safe. */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
+
+  /** Plain whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: letter runs, digit runs, and punctuation runs
+    * each count as one token (the pre-tokenizer split GPT-style BPE vocabs
+    * assume). */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0)))
+
+  /** Characters that are neither alphanumeric nor whitespace, as a ratio
+    * of total characters. */
+  def punctRatio(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double") /
+      length(text).cast("double")
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for", "on", "with", "as", "by")
+  val SpanishStopwords: Seq[String] =
+    Seq("el", "la", "de", "que", "y", "en", "un", "una", "los", "las", "por", "con", "para", "es", "del")
+  val GermanStopwords: Seq[String] =
+    Seq("der", "die", "das", "und", "in", "den", "von", "zu", "mit", "sich", "des", "auf", "ist", "ein", "eine")
+
+  private def stopwordHits(toks: Column, stopwords: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(stopwords.map(lit): _*), t)))
+
+  /** Fraction of tokens that are (English) stopwords — a standard quality
+    * signal (too low ⇒ word soup / non-language). */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    stopwordHits(toks, EnglishStopwords).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** n-gram-heuristic language ID: count stopword hits per candidate
+    * language, take the argmax (ties broken en > es > de — deterministic). */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val en = stopwordHits(toks, EnglishStopwords)
+    val es = stopwordHits(toks, SpanishStopwords)
+    val de = stopwordHits(toks, GermanStopwords)
+    when(en >= es && en >= de, "en").when(es >= de, "es").otherwise("de")
+  }
+
+  /** Composite quality score in [0,1]: length, punctuation, stopword and
+    * word-shape signals, equally weighted. Deterministic double math. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val meanLen = length(regexp_replace(text, "\\s+", "")).cast("double") / greatest(nTok, lit(1.0))
+    val s1 = when(nTok >= 10, 0.25).otherwise(0.0)
+    val s2 = when(punctRatio(text) < 0.1, 0.25).otherwise(0.0)
+    val s3 = when(stopwordRatio(text) > 0.02, 0.25).otherwise(0.0)
+    val s4 = when(meanLen >= 3.0 && meanLen <= 10.0, 0.25).otherwise(0.0)
+    s1 + s2 + s3 + s4
+  }
+
+  /** Content fingerprint: md5 over whitespace-normalized text — the
+    * exact-dedup key (hash-groupBy dedup shuffles on this). */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", tokens(normalize(text))).cast("binary"))
+}

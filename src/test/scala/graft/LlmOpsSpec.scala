@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Invariants of the LLM-pipeline operators (dedup, similarity, text
+  * analysis, multimodal plumbing) beyond the driver's oracle checks. */
+class LlmOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = graft.tables.Tables.documents(spark, dir)
+  private def embs = graft.tables.Tables.embeddings(spark, dir)
+
+  test("shingles: short docs yield empty set, not inverted sequence") {
+    val df = Seq((1L, "one two"), (2L, "one two three four")).toDF("doc_id", "text")
+    val sh = df.select(size(Dedup.shingles($"text", 3)).as("n")).as[Int].collect()
+    assert(sh.toSeq == Seq(0, 2))
+  }
+
+  test("minhash LSH pairs == exact all-pairs n-gram jaccard (full recall on testdata)") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.5)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical normalized texts collide, different texts don't all collide") {
+    val df = Seq((1L, "Spark query engine"), (2L, "spark  QUERY engine!"), (3L, "totally different words here"))
+      .toDF("doc_id", "text")
+    val hashes = df.select($"doc_id", Dedup.simhash64($"text").as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(hashes(1L) == hashes(2L)) // normalization-invariant
+    assert(hashes(1L) != hashes(3L))
+  }
+
+  test("exactGroups: duplicated text collapses to one canonical group") {
+    val df = Seq((1L, "a b c"), (2L, "a  B c!"), (3L, "x y z")).toDF("doc_id", "text")
+    val g = Dedup.exactGroups(df, "doc_id", "text")
+    assert(g.count() == 2)
+    assert(g.filter($"dup_count" === 2).select("canonical_id").as[Long].head() == 1L)
+  }
+
+  test("cosine: self-similarity is 1.0; orthogonal is 0.0") {
+    val df = Seq((Array(1f, 0f), Array(1f, 0f), Array(0f, 2f))).toDF("a", "b", "c")
+    val r = df.select(
+      Similarity.cosine($"a", $"b").as("same"),
+      Similarity.cosine($"a", $"c").as("orth")).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12 && math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("lshTopK: approximate cos never exceeds brute-force cos per query") {
+    val q = embs.filter($"vec_id" < 20)
+    val bf = Similarity.bruteForceTopK(q, embs, "vec_id", "embedding", 1)
+      .select("query_id", "cos").as[(Long, Double)].collect().toMap
+    val lsh = Similarity.lshTopK(q, embs, "vec_id", "embedding", 1, numPlanes = 4)
+      .select("query_id", "cos").as[(Long, Double)].collect().toMap
+    lsh.foreach { case (id, c) => assert(c <= bf(id) + 1e-12, s"query $id") }
+  }
+
+  test("langId: plants classify correctly") {
+    val df = Seq(
+      ("the cat sat on the mat and it is a hat", "en"),
+      ("el perro y la casa de los gatos es una", "es"),
+      ("der hund und die katze ist ein tier von", "de")).toDF("text", "expected")
+    val got = df.select(TextAnalysis.langId($"text").as("got"), $"expected")
+      .as[(String, String)].collect()
+    got.foreach { case (g, e) => assert(g == e) }
+  }
+
+  test("quality score is in [0,1]; token counts non-negative") {
+    val r = docs.select(
+      min(TextAnalysis.qualityScore($"text")).as("mn"),
+      max(TextAnalysis.qualityScore($"text")).as("mx"),
+      min(TextAnalysis.tokenCount($"text")).as("tmin")).head()
+    assert(r.getDouble(0) >= 0.0 && r.getDouble(1) <= 1.0 && r.getInt(2) >= 0)
+  }
+
+  test("decodeStub: schema extended, deterministic, content preserved") {
+    val media = docs.limit(10).withColumn("content", $"text".cast("binary"))
+    val d1 = Multimodal.decodeStub(media, "content")
+    assert(d1.columns.takeRight(3).toSeq ==
+      Seq("decoded_width", "decoded_height", "decoded_mean_luma"))
+    val a = d1.select("doc_id", "decoded_width").as[(Long, Int)].collect().toMap
+    val b = Multimodal.decodeStub(media, "content")
+      .select("doc_id", "decoded_width").as[(Long, Int)].collect().toMap
+    assert(a == b && a.values.forall(w => w >= 64 && w < 1024))
+  }
+
+  test("frameSample: sampled frame count matches arithmetic") {
+    val df = Seq(("x" * 250)).toDF("t").withColumn("content", $"t".cast("binary"))
+    val r = Multimodal.frameSample(df, "content", 100, 2)
+      .select("n_frames_sampled").as[Int].head()
+    // 250 bytes → 3 frames → keep indices 0, 2 → 2 sampled
+    assert(r == 2)
+  }
+}
