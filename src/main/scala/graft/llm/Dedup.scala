@@ -25,10 +25,33 @@ object Dedup {
 
   // ── Shingling ──────────────────────────────────────────────────────────
 
+  /** Distinct (id, shingle) rows — the exploded shingle relation every
+    * set-similarity operator joins on. Built from `posexplode` + window
+    * `lead` so tokenization and shingle assembly stay in whole-stage
+    * codegen (the array-lambda variant [[shingles]] is interpreted and
+    * measured ~4 s for just 5k docs). One window shuffle on id. */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("id"),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("pos")
+    val leads = (0 until n).map(k => lead(col("tok"), k).over(w))
+    // concat_ws skips nulls (would silently emit short tail shingles) —
+    // guard on the furthest lead instead.
+    toks
+      .withColumn("shingle", concat_ws(" ", leads: _*))
+      .withColumn("__last", leads.last)
+      .filter(col("__last").isNotNull)
+      .select(col("id"), col("shingle"))
+      .distinct()
+  }
+
   /** Distinct word n-gram shingles per document, as an array column.
-    * `transform(sequence(...))` keeps shingling inside codegen. Documents
-    * shorter than `n` tokens yield an empty shingle set (guarded — Spark's
-    * `sequence(0, -1)` would count *down*). */
+    * Convenience/API form; prefer [[shingleRows]] in pipelines (this one
+    * evaluates interpreted). Documents shorter than `n` tokens yield an
+    * empty shingle set (guarded — Spark's `sequence(0, -1)` would count
+    * *down*). */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = TextAnalysis.tokens(text)
     when(size(toks) >= n,
@@ -70,9 +93,12 @@ object Dedup {
     *  3. exact Jaccard on candidate pairs from the carried shingle sets;
     *     keep pairs ≥ `threshold`
     *
-    * With rowsPerBand=2, bands=32 the recall at s=0.8 is 1−(1−s²)³² ≈
-    * 1−6e-15 — the verify step makes precision exact, so the output equals
-    * the all-pairs answer on any corpus whose near-dup pairs sit above the
+    * Band geometry trades recall against candidate volume: r=2 bands flood
+    * the verify step with weakly-similar candidates (measured ~1M pairs /
+    * 14 s on the sf0.1 word-soup corpus), while the default r=4, b=24
+    * keeps recall at s=0.8 at 1−(1−s⁴)²⁴ ≈ 1−3e-6 with ~2k candidates.
+    * The verify step makes precision exact, so the output equals the
+    * all-pairs answer on any corpus whose near-dup pairs sit above the
     * threshold margin.
     */
   def minhashNearDupPairs(
@@ -81,29 +107,51 @@ object Dedup {
       textCol: String,
       threshold: Double = 0.5,
       shingleN: Int = 3,
-      numHashes: Int = 64,
-      bands: Int = 32): DataFrame = {
+      numHashes: Int = 96,
+      bands: Int = 24): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val withSig = df
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    // The shingle relation feeds three consumers (signature + both verify
+    // legs); Catalyst's ReuseExchange dedups the shared distinct()
+    // exchange, so we deliberately do NOT persist() here — measured slower
+    // (columnar-cache serialization) at bench scale. For very large
+    // corpora, callers can persist the relation themselves.
+    val shEx = shingleRows(df, idCol, textCol, shingleN)
 
-    val banded = withSig
-      .select(col("id"), col("sh"),
-        explode(lshBands(col("sig"), bands, rowsPerBand)).as("bb"))
-      .select(col("id"), col("sh"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // Signature via numHashes codegen'd min-aggregates over the exploded
+    // shingle relation — one hash-shuffle on id; ~30× faster than the
+    // interpreted array_min(transform(...)) fold, identical values.
+    val minAggs = (0 until numHashes)
+      .map(seed => min(xxhash64(col("shingle"), lit(seed))).as(s"m$seed"))
+    val sig = shEx.groupBy("id")
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
 
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    val candidates = a.join(b,
+    // Band → bucket join: candidates are id pairs only — the bucket
+    // shuffle carries 8-byte keys, never shingle payloads.
+    val banded = sig
+      .select(col("id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val candidates = banded.alias("a").join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("d1"), col("b.id").as("d2"),
-        col("a.sh").as("sh1"), col("b.sh").as("sh2"))
+      .select(col("a.id").as("d1"), col("b.id").as("d2"))
       .dropDuplicates("d1", "d2")
 
-    verifyJaccard(candidates, threshold)
+    // Exact verify, set-join form: intersection size per candidate pair
+    // from the exploded relation (no array lambdas in the hot path).
+    val counts = shEx.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = candidates
+      .join(shEx.select(col("id").as("d1"), col("shingle")), "d1")
+      .join(shEx.select(col("id").as("d2"), col("shingle")), Seq("d2", "shingle"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
+    inter
+      .join(counts.select(col("id").as("d1"), col("n").as("n1")), "d1")
+      .join(counts.select(col("id").as("d2"), col("n").as("n2")), "d2")
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("n1") + col("n2") - col("i")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
   }
 
   /** Exact Jaccard over candidate (sh1, sh2) shingle-set pairs. */
@@ -126,8 +174,7 @@ object Dedup {
       textCol: String,
       threshold: Double = 0.5,
       shingleN: Int = 3): DataFrame = {
-    val sh = df
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), shingleN)).as("shingle"))
+    val sh = shingleRows(df, idCol, textCol, shingleN)
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = sh.alias("a").join(sh.alias("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -164,9 +211,29 @@ object Dedup {
       (acc, bit) => acc.bitwiseOR(bit))
   }
 
+  /** SimHash per doc via explode + 64 codegen'd sum-aggregates (the
+    * nested-HOF [[simhash64]] is interpreted; this path computes identical
+    * values with one hash-shuffle on id). */
+  def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(TextAnalysis.tokens(TextAnalysis.normalize(col(textCol)))).as("tok"))
+    val h = xxhash64(col("tok"))
+    val voteAggs = (0 until 64).map { i =>
+      sum(when(h.bitwiseAND(lit(1L << i)) =!= 0, 1L).otherwise(-1L)).as(s"v$i")
+    }
+    df.select(col(idCol).as("id"))
+      .join(
+        toks.groupBy("id").agg(voteAggs.head, voteAggs.tail: _*)
+          .select(col("id"),
+            (0 until 64).map(i => when(col(s"v$i") >= 0, lit(1L << i)).otherwise(0L))
+              .reduce((a, b) => a.bitwiseOR(b)).as("simhash")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("simhash"), lit(0L)).as("simhash"))
+  }
+
   /** SimHash near-dup buckets: docs sharing an identical 64-bit simhash. */
   def simhashGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"), simhash64(col(textCol)).as("simhash"))
+    simhashTable(df, idCol, textCol)
       .groupBy("simhash")
       .agg(min(col("id")).as("canonical_id"), count(lit(1)).as("dup_count"))
 }

@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into the `private[sql]` Column ↔ Expression converters (Spark
+  * 4 moved `Column.expr` behind `classic.ExpressionUtils`). Lives in the
+  * `org.apache.spark.sql` package solely to satisfy the access modifier —
+  * the standard pattern for Catalyst-level extension libraries.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
