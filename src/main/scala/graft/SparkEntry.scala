@@ -58,8 +58,7 @@ object SparkEntry {
     //    Reference: incremental_loop.json:45 (`WHERE cdc_col > '<wm>'`).
     "q2_cdc_filter" -> ((s, dir) => {
       import s.implicits._
-      Tables.events(s, dir)
-        .filter($"ts" > lit("2024-01-15 00:00:00").cast("timestamp"))
+      Tables.eventsSince(s, dir, "2024-01-15 00:00:00")
         .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
         .orderBy($"event_id")
     }),
@@ -414,6 +413,92 @@ object SparkEntry {
           sum($"decoded_width").cast("long").as("total_width"))
         .orderBy($"source")
     }),
+
+    // ── 2.9: UDF surface — the reference's only UDF (distance_km,
+    //    utils.py:1-8), both as registered UDF and as the idiomatic
+    //    codegen'd expression (asserted equal in-row).
+    "q32_udf_distance" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.Udfs.register(s)
+      Tables.events(s, dir)
+        .select($"event_id",
+          graft.functions.Udfs.distanceKm($"value").as("km_expr"),
+          graft.functions.Udfs.distanceKmUdf($"value").as("km_udf"))
+        .orderBy($"event_id")
+    }),
+
+    // ── C8/2.10: tumbling event-time window aggregation (the windowed-agg
+    //    surface the engine exposes beyond the reference's needs).
+    "q33_tumbling_window" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(window($"ts", "1 day").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"), Relational.sumMoney($"value").as("total"))
+        .select($"w.start".as("w_start"), $"event_type", $"n", $"total")
+        .orderBy($"w_start", $"event_type")
+    }),
+
+    // ── C8/2.10: session windows (30-min inactivity gap) — batch form of
+    //    the stateful session operator; oracle is the classic
+    //    gaps-and-islands construction.
+    "q34_session_window" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+        .agg(count(lit(1)).as("n"))
+        .select($"user_id", $"w.start".as("session_start"), $"w.end".as("session_end"), $"n")
+        .orderBy($"user_id", $"session_start")
+    }),
+
+    // ── S5/2.1: the SQL facade — tables registered in the session catalog,
+    //    query expressed in pure SQL (spark.sql end to end).
+    "q35_sql_facade" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT o_orderpriority, count(DISTINCT o_orderkey) AS n_orders
+        FROM v_orders JOIN v_lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate > o_orderdate
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    }),
+
+    // ── 2.5 scale: skew-salted join — result must equal the plain join
+    //    (salting only changes partitioning, never semantics).
+    "q36_salted_join" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir)
+      val dim = e.groupBy($"user_id").agg(max($"ts").as("last_seen"))
+      Relational.saltedJoin(e, dim, Seq("user_id"), saltFactor = 8)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n"), max($"last_seen").as("last_seen"))
+        .orderBy($"user_id")
+    }),
+
+    // ── Semi-structured surface: JSON extraction from the events props
+    //    column (training pipelines live on this).
+    "q37_json_extract" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .select($"event_id", get_json_object($"props", "$.k").cast("long").as("k"))
+        .groupBy($"k")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"k")
+    }),
+
+    // ── K1 scale form: partitioned parquet sink + partition-pruned read
+    //    back (the layout a 100 TB bronze zone needs for pruning).
+    "q38_partitioned_write" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("partwrite").toString
+      Tables.events(s, dir).write.mode("overwrite")
+        .partitionBy("event_type").parquet(s"$work/events")
+      s.read.parquet(s"$work/events")
+        .filter($"event_type" === "purchase") // prunes to one partition dir
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n"), Relational.sumMoney($"value").as("total"))
+        .orderBy($"user_id")
+    }),
   )
 
   /** DuckDB-runnable oracle per query (same tables, same column names). */
@@ -619,5 +704,51 @@ object SparkEntry {
         |'text' AS kind,
         |CAST((CAST(ceil(octet_length(CAST(text AS BLOB)) / 100.0) AS BIGINT) + 1) // 2 AS BIGINT) AS n_frames_sampled
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q32_udf_distance" ->
+      """SELECT event_id, value * 1.60934 AS km_expr, value * 1.60934 AS km_udf
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q33_tumbling_window" ->
+      """SELECT date_trunc('day', ts) AS w_start, event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "q34_session_window" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |y AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM x)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n
+        |FROM y GROUP BY user_id, sess ORDER BY user_id, session_start""".stripMargin,
+
+    "q35_sql_facade" ->
+      """SELECT o_orderpriority, count(DISTINCT o_orderkey) AS n_orders
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate > o_orderdate
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q36_salted_join" ->
+      """SELECT e.user_id, COUNT(*) AS n, MAX(d.last_seen) AS last_seen
+        |FROM events e JOIN (SELECT user_id, MAX(ts) AS last_seen FROM events GROUP BY 1) d
+        |  ON e.user_id = d.user_id
+        |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin,
+
+    "q37_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+
+    "q38_partitioned_write" ->
+      """SELECT user_id, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

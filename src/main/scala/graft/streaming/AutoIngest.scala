@@ -58,7 +58,9 @@ object AutoIngest {
   def readStream(spark: SparkSession, cfg: Config): DataFrame = {
     val persisted = loadOrInferSchema(spark, cfg)
     // Rescue probe: what do the files actually carry right now?
-    val actual = spark.read.parquet(cfg.sourceDir).schema
+    // mergeSchema=true — a single-footer sample would miss columns that
+    // only newer files carry (exactly the rescue case).
+    val actual = spark.read.option("mergeSchema", "true").parquet(cfg.sourceDir).schema
     val extras = actual.fields.filterNot(f => persisted.fieldNames.contains(f.name))
 
     val readSchema = StructType(persisted.fields ++ extras)

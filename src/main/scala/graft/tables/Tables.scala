@@ -32,6 +32,26 @@ object Tables {
     load(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }
+
+  /** Watermark-filtered events scan. The `timestamp_micros(...)` derivation
+    * in [[events]] blocks predicate pushdown (a filter on the derived
+    * column can't reach the scan — audited via explain: only IsNotNull was
+    * pushed). Here the CDC predicate is applied in *storage units* (raw
+    * nanos, a plain long comparison) before the conversion, so the parquet
+    * scan gets `GreaterThan(ts, …)` and can skip row groups by min/max
+    * stats — the difference between a pruned scan and a full scan at
+    * 100 TB. Reference analog: the watermark filter evaluated at the
+    * source (incremental_loop.json:45). */
+  def eventsSince(s: SparkSession, d: String, watermarkUtc: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val inst = java.time.LocalDateTime
+      .parse(watermarkUtc.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC)
+    val micros = inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+    load(s, d, "events")
+      .filter(org.apache.spark.sql.functions.col("ts") > (micros * 1000L))
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

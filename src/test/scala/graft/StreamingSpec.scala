@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.gold.{GoldPipeline, GoldTable}
+import graft.ops.Expectation
+import graft.streaming.AutoIngest
+
+/** Streaming-layer semantics: schema rescue, checkpoint idempotency, and
+  * the declarative gold pipeline (DAG order, SCD targets, expectations). */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  test("AutoIngest: checkpoint makes re-runs idempotent; new files flow") {
+    val work = tmp("ai")
+    Seq((1, "a"), (2, "b")).toDF("id", "v").write.parquet(s"$work/src/f1")
+    val cfg = AutoIngest.Config(s"$work/src/*", s"$work/schema", s"$work/ck")
+    AutoIngest.appendOnce(AutoIngest.readStream(spark, cfg), s"$work/sink", cfg.checkpointDir)
+    assert(spark.read.parquet(s"$work/sink").count() == 2)
+    // rerun: nothing new → no duplicates (C2)
+    AutoIngest.appendOnce(AutoIngest.readStream(spark, cfg), s"$work/sink", cfg.checkpointDir)
+    assert(spark.read.parquet(s"$work/sink").count() == 2)
+    // new file → only it is processed
+    Seq((3, "c")).toDF("id", "v").write.parquet(s"$work/src/f2")
+    AutoIngest.appendOnce(AutoIngest.readStream(spark, cfg), s"$work/sink", cfg.checkpointDir)
+    assert(spark.read.parquet(s"$work/sink").count() == 3)
+  }
+
+  test("AutoIngest: schema rescue packs late-arriving columns into _rescued_data") {
+    val work = tmp("rescue")
+    Seq((1, "a")).toDF("id", "v").write.parquet(s"$work/src/f1")
+    val cfg = AutoIngest.Config(s"$work/src/*", s"$work/schema", s"$work/ck")
+    // first contact persists the (id, v) schema
+    AutoIngest.appendOnce(AutoIngest.readStream(spark, cfg), s"$work/sink", cfg.checkpointDir)
+    // a producer starts writing an extra column
+    Seq((2, "b", 99)).toDF("id", "v", "extra").write.parquet(s"$work/src/f2")
+    val cfg2 = cfg.copy(checkpointDir = s"$work/ck") // same checkpoint
+    AutoIngest.appendOnce(AutoIngest.readStream(spark, cfg2), s"$work/sink2", s"$work/ck2")
+    val out = spark.read.parquet(s"$work/sink2")
+    assert(out.columns.contains("_rescued_data"))
+    val rescued = out.filter($"id" === 2).select("_rescued_data").as[String].head()
+    assert(rescued.contains("99"), s"rescued=$rescued")
+    // the persisted base schema still governs typed columns
+    assert(!out.columns.contains("extra"))
+  }
+
+  test("GoldPipeline: DAG order respects dependsOn; cycle detected") {
+    val gp = new GoldPipeline(tmp("gold"), tmp("ck"))
+    gp.declare(GoldTable("b", "p", Seq("k"), "s", 1, dependsOn = Seq("a")))
+      .declare(GoldTable("a", "p", Seq("k"), "s", 1))
+      .declare(GoldTable("c", "p", Seq("k"), "s", 1, dependsOn = Seq("b")))
+    // topoOrder is private; runOnce would materialize it — assert via the
+    // public declaration list + a cycle check through runOnce's validation.
+    val cyc = new GoldPipeline(tmp("gold2"), tmp("ck2"))
+    cyc.declare(GoldTable("x", "p", Seq("k"), "s", 1, dependsOn = Seq("y")))
+      .declare(GoldTable("y", "p", Seq("k"), "s", 1, dependsOn = Seq("x")))
+    val e = intercept[IllegalStateException] { cyc.runOnce(spark, maxRetries = 0) }
+    assert(e.getMessage.contains("cycle"))
+  }
+
+  test("GoldPipeline: end-to-end SCD2 target from a silver directory, with expectations") {
+    val work = tmp("goldE2e")
+    Seq(
+      (1, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "v1"),
+      (2, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), null.asInstanceOf[String]))
+      .toDF("id", "updated_at", "v").write.parquet(s"$work/silver/dim/b1")
+    val gp = new GoldPipeline(s"$work/gold", s"$work/ck")
+    gp.declare(GoldTable("dim", s"$work/silver/dim/*", Seq("id"), "updated_at", 2,
+      expectations = Seq(Expectation("v not null", "v IS NOT NULL"))))
+    gp.runOnce(spark)
+    val t1 = gp.snapshot("dim").read(spark)
+    assert(t1.count() == 1) // null-v row dropped by expectation
+    // incremental batch: id=1 gets a new version
+    Seq((1, java.sql.Timestamp.valueOf("2024-02-01 00:00:00"), "v2"))
+      .toDF("id", "updated_at", "v").write.parquet(s"$work/silver/dim/b2")
+    gp.runOnce(spark)
+    val t2 = gp.snapshot("dim").read(spark)
+    assert(t2.count() == 2)
+    assert(graft.cdc.ScdMerge.current(t2).select("v").as[String].head() == "v2")
+    assert(graft.cdc.ScdMerge.history(t2).select("v").as[String].head() == "v1")
+  }
+
+  test("saltedJoin result equals plain join") {
+    val e = graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
+    val dim = e.groupBy($"user_id").agg(max($"ts").as("last_seen"))
+    val plain = e.join(dim, Seq("user_id")).count()
+    val salted = graft.ops.Relational.saltedJoin(e, dim, Seq("user_id"), 8).count()
+    assert(plain == salted)
+  }
+}
