@@ -27,7 +27,10 @@ case class MedallionTable(
     keys: Seq[String],
     scdType: Int,
     expectations: Seq[Expectation] = Nil,
-    tieBreak: Seq[Column] = Nil)
+    tieBreak: Seq[Column] = Nil,
+    // DimArtist asymmetry: the reference lands it in silver but declares no
+    // gold DLT module for it (SURVEY.md §1.1) — config-driven, not special-cased.
+    goldEnabled: Boolean = true)
 
 final class Medallion(workDir: String) {
 
@@ -62,7 +65,7 @@ final class Medallion(workDir: String) {
 
     // E3 — gold: declarative SCD targets in DAG order.
     val gold = new GoldPipeline(goldDir, s"$ckRoot/gold")
-    tables.foreach { t =>
+    tables.filter(_.goldEnabled).foreach { t =>
       gold.declare(GoldTable(
         name = t.spec.table,
         silverPath = s"$silverDir/${t.spec.table}",
