@@ -499,6 +499,45 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), Relational.sumMoney($"value").as("total"))
         .orderBy($"user_id")
     }),
+
+    // ── 2.6 extension: ROLLUP hierarchy totals (engine surface beyond the
+    //    reference's plain GROUP BY). NULL group markers are coalesced to
+    //    'ALL' so ordering is engine-portable.
+    "q39_rollup" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), Relational.sumMoney($"l_quantity").as("qty"))
+        .select(
+          coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+          coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+          $"n", $"qty")
+        .orderBy($"returnflag", $"linestatus")
+    }),
+
+    // ── 2.9: typed Aggregator (UDAF) — quantity-weighted average price
+    //    with an exact integer buffer (associative merge, partitioning-
+    //    independent result).
+    "q40_typed_udaf" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(graft.functions.Udfs.weightedPriceAvg($"l_extendedprice", $"l_quantity")
+          .as("wavg_price"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // ── S5/1.4: 3-level catalog registration + SQL over registered tables
+    //    (spark_catalog.<db>.<table>, the reference's UC namespace analog).
+    "q41_catalog_sql" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.sql.TableCatalog.registerParquet(s, "graft_silver", "events_t",
+        s"$dir/events.parquet")
+      graft.sql.TableCatalog.sql(s, """
+        SELECT event_type, count(*) AS n
+        FROM spark_catalog.graft_silver.events_t
+        GROUP BY event_type ORDER BY event_type""")
+    }),
   )
 
   /** DuckDB-runnable oracle per query (same tables, same column names). */
@@ -750,5 +789,22 @@ object SparkEntry {
         |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q39_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q40_typed_udaf" ->
+      """SELECT l_returnflag,
+        |CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+        |  / (100.0 * CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)) AS wavg_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q41_catalog_sql" ->
+      """SELECT event_type, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

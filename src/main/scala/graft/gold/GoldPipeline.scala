@@ -77,10 +77,14 @@ final class GoldPipeline(goldDir: String, checkpointRoot: String) {
       schemaDir = s"$checkpointRoot/${t.name}/_schema",
       checkpointDir = s"$checkpointRoot/${t.name}/_checkpoint",
       rescue = false)
-    val stream = AutoIngest.readStream(spark, cfg)
+    // Expectations are attached to the *streaming* DataFrame (not inside
+    // foreachBatch) so their observe() metrics surface through
+    // StreamingQueryListener.observedMetrics per micro-batch — the DLT
+    // expectations-UI analog (C6).
+    val stream = Expectations.expectAllOrDrop(
+      AutoIngest.readStream(spark, cfg), t.expectations, s"quality_${t.name}")
     val target = snapshot(t.name)
-    AutoIngest.foreachBatchOnce(stream, cfg.checkpointDir) { (batch, _) =>
-      val clean = Expectations.expectAllOrDrop(batch, t.expectations, s"quality_${t.name}")
+    AutoIngest.foreachBatchOnce(stream, cfg.checkpointDir) { (clean, _) =>
       val merged =
         if (t.scdType == 2)
           ScdMerge.scd2Merge(target.readOption(spark), clean, t.keys, t.sequenceBy, t.tieBreak)

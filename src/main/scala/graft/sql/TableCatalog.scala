@@ -1,0 +1,36 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Catalog facade — the reference's 3-level `catalog.schema.table`
+  * namespace (`spotify_cata.silver.DimUser`, SURVEY.md §1.3/§1.4) mapped
+  * onto Spark's session catalog: `spark_catalog.<db>.<table>` with
+  * external parquet locations. No Hive metastore required (in-memory
+  * catalog); registrations are session-scoped, exactly like the
+  * reference's per-job catalog bindings resolved at run start.
+  */
+object TableCatalog {
+
+  def createSchema(spark: SparkSession, db: String): Unit =
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+
+  /** Register an external parquet directory (e.g. a silver table dir or a
+    * SnapshotTable version dir) as `db.table`. */
+  def registerParquet(spark: SparkSession, db: String, table: String, path: String): Unit = {
+    createSchema(spark, db)
+    spark.sql(s"DROP TABLE IF EXISTS `$db`.`$table`")
+    spark.sql(s"CREATE TABLE `$db`.`$table` USING PARQUET LOCATION '$path'")
+  }
+
+  /** Register the live snapshot of a versioned table. Re-register after
+    * each commit (the pointer moves between version dirs). */
+  def registerSnapshot(spark: SparkSession, db: String, table: String,
+      snap: graft.tables.SnapshotTable): Unit = {
+    val v = snap.currentVersion(spark).getOrElse(
+      throw new IllegalStateException(s"no committed version for ${snap.root}"))
+    registerParquet(spark, db, table, s"${snap.root}/_v$v")
+  }
+
+  /** S5 — the exploration entry point (`SELECT * FROM spotify.gold.x`). */
+  def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)
+}

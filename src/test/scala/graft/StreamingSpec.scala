@@ -86,6 +86,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.cdc.ScdMerge.history(t2).select("v").as[String].head() == "v1")
   }
 
+  test("streaming dropDuplicates: stateful dedup persists across AvailableNow runs") {
+    val work = tmp("dedup")
+    Seq((1, "a"), (2, "b")).toDF("id", "v").write.parquet(s"$work/src/f1")
+    val cfg = AutoIngest.Config(s"$work/src/*", s"$work/schema", s"$work/ck")
+    AutoIngest.appendOnce(
+      AutoIngest.readStream(spark, cfg).drop("_rescued_data").dropDuplicates("id"),
+      s"$work/sink", cfg.checkpointDir)
+    assert(spark.read.parquet(s"$work/sink").count() == 2)
+    // second run re-sends id=1 (new file) — the dedup state in the
+    // checkpoint must drop it across runs (reference D1 semantics:
+    // silver_Dimensions.py:50 with trigger-once reruns)
+    Seq((1, "a2"), (3, "c")).toDF("id", "v").write.parquet(s"$work/src/f2")
+    AutoIngest.appendOnce(
+      AutoIngest.readStream(spark, cfg).drop("_rescued_data").dropDuplicates("id"),
+      s"$work/sink", cfg.checkpointDir)
+    val out = spark.read.parquet(s"$work/sink")
+    assert(out.count() == 3)
+    assert(out.filter($"id" === 1).select("v").as[String].head() == "a")
+  }
+
+  test("QualityListener: streaming expectation metrics surface violation counts") {
+    val work = tmp("quality")
+    val listener = new graft.streaming.QualityListener
+    spark.streams.addListener(listener)
+    try {
+      Seq((Some(1), "a"), (None, "b"), (None, "c")).toDF("id", "v")
+        .write.parquet(s"$work/silver/t/b1")
+      val gp = new GoldPipeline(s"$work/gold", s"$work/ck")
+      gp.declare(GoldTable("t", s"$work/silver/t/*", Seq("id"), "v", 1,
+        expectations = Seq(Expectation("id not null", "id IS NOT NULL"))))
+      gp.runOnce(spark)
+      assert(gp.snapshot("t").read(spark).count() == 1)
+      // listener events are delivered async — poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      var viol: Option[Long] = None
+      while (viol.isEmpty && System.currentTimeMillis() < deadline) {
+        viol = listener.snapshot.get("quality_t").flatMap(_.get("violations_id_not_null"))
+        if (viol.isEmpty) Thread.sleep(200)
+      }
+      assert(viol.contains(2L), s"metrics=${listener.snapshot}")
+    } finally spark.streams.removeListener(listener)
+  }
+
+  test("TableCatalog: 3-level registration + SQL over snapshot") {
+    val work = tmp("cat")
+    val snap = new graft.tables.SnapshotTable(s"$work/t")
+    snap.write(spark, Seq((1, "x"), (2, "y")).toDF("id", "v"))
+    graft.sql.TableCatalog.registerSnapshot(spark, "graft_test_gold", "t1", snap)
+    val n = spark.sql("SELECT count(*) AS n FROM spark_catalog.graft_test_gold.t1")
+      .as[Long].head()
+    assert(n == 2)
+    // new snapshot commit + re-register picks up the new version
+    snap.write(spark, Seq((1, "x")).toDF("id", "v"))
+    graft.sql.TableCatalog.registerSnapshot(spark, "graft_test_gold", "t1", snap)
+    assert(spark.sql("SELECT count(*) AS n FROM graft_test_gold.t1").as[Long].head() == 1)
+  }
+
   test("saltedJoin result equals plain join") {
     val e = graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
     val dim = e.groupBy($"user_id").agg(max($"ts").as("last_seen"))
