@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom keyed-state operators via `flatMapGroupsWithState` — the
+  * Structured Streaming extension point for semantics the built-in
+  * stateful operators can't express (SURVEY.md §2.10; the engine-surface
+  * analog of Autoloader/DLT's managed state).
+  *
+  * Scale notes: state lives in the state store keyed by the group key
+  * (hash-partitioned, checkpointed, incrementally committed per batch);
+  * `ProcessingTimeTimeout` bounds state lifetime so long-running streams
+  * don't grow without limit — the knob the reference's unbounded
+  * `dropDuplicates` lacks (SURVEY §2.7 D1 late-data note).
+  */
+object StatefulOps {
+
+  /** Keyed first-arrival-wins dedup with explicit state (NoTimeout):
+    * emits the first row per key ever seen, drops all re-sends. State is
+    * unbounded — the reference's own `dropDuplicates` semantics — but
+    * here it is *explicit*, checkpointed, and AvailableNow-friendly
+    * (NoTimeout never schedules timer-only batches, so drain-and-stop
+    * triggers terminate). */
+  def dedupWithState[K: Encoder, V: Encoder](ds: Dataset[V], key: V => K): Dataset[V] = {
+    implicit val boolEnc: Encoder[Boolean] = Encoders.scalaBoolean
+    ds.groupByKey(key)
+      .flatMapGroupsWithState[Boolean, V](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: K, rows: Iterator[V], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); rows.take(1) }
+      }
+  }
+
+  /** Keyed dedup with a processing-time TTL: drops re-sends while the
+    * key's state is alive and expires state after `ttlMs` of inactivity —
+    * the bounded-memory knob the built-in unbounded `dropDuplicates`
+    * lacks. ONLY for continuously-triggered streams: with
+    * `Trigger.AvailableNow` the pending timeout timers keep scheduling
+    * micro-batches until the TTL elapses (observed as a busy drain loop) —
+    * use [[dedupWithState]] for drain-and-stop jobs. */
+  def dedupWithTtl[K: Encoder, V: Encoder](
+      ds: Dataset[V], key: V => K, ttlMs: Long): Dataset[V] = {
+    implicit val boolEnc: Encoder[Boolean] = Encoders.scalaBoolean
+    ds.groupByKey(key)
+      .flatMapGroupsWithState[Boolean, V](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (_: K, rows: Iterator[V], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            state.setTimeoutDuration(ttlMs)
+            Iterator.empty // duplicate within TTL window
+          } else {
+            state.update(true)
+            state.setTimeoutDuration(ttlMs)
+            rows.take(1) // first arrival wins
+          }
+      }
+  }
+
+  /** Keyed running aggregate with custom state: per-key event count and
+    * value sum, emitted per batch (update semantics). Demonstrates
+    * arbitrary accumulator state beyond built-in aggs. */
+  case class RunningStat(key: Long, n: Long, total: Double)
+
+  def runningStats(ds: Dataset[(Long, Double)]): Dataset[RunningStat] = {
+    implicit val statEnc: Encoder[RunningStat] = Encoders.product[RunningStat]
+    implicit val bufEnc: Encoder[(Long, Double)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), RunningStat](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var s = s0
+          rows.foreach { case (_, v) => n += 1; s += v }
+          state.update((n, s))
+          Iterator.single(RunningStat(key, n, s))
+      }
+  }
+}

@@ -143,6 +143,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) AS n FROM graft_test_gold.t1").as[Long].head() == 1)
   }
 
+  test("StatefulOps.dedupWithState: first arrival wins, state persists across runs") {
+    val work = tmp("fmgws")
+    Seq((1L, "a"), (2L, "b"), (1L, "a-dup")).toDF("id", "v").write.parquet(s"$work/src/f1")
+    val cfg = AutoIngest.Config(s"$work/src/*", s"$work/schema", s"$work/ck")
+    val stream = AutoIngest.readStream(spark, cfg).drop("_rescued_data")
+      .as[(Long, String)]
+    val deduped = graft.streaming.StatefulOps.dedupWithState[Long, (Long, String)](
+      stream, _._1).toDF("id", "v")
+    AutoIngest.appendOnce(deduped, s"$work/sink", cfg.checkpointDir)
+    val out = spark.read.parquet(s"$work/sink")
+    assert(out.count() == 2)
+    // re-send in a later run → still dropped (checkpointed state)
+    Seq((2L, "b-dup"), (3L, "c")).toDF("id", "v").write.parquet(s"$work/src/f2")
+    val stream2 = AutoIngest.readStream(spark, cfg).drop("_rescued_data").as[(Long, String)]
+    val deduped2 = graft.streaming.StatefulOps.dedupWithState[Long, (Long, String)](
+      stream2, _._1).toDF("id", "v")
+    AutoIngest.appendOnce(deduped2, s"$work/sink", cfg.checkpointDir)
+    val out2 = spark.read.parquet(s"$work/sink")
+    assert(out2.count() == 3)
+    assert(out2.filter($"id" === 2).select("v").as[String].head() == "b")
+  }
+
+  test("streaming watermark + tumbling window: late rows beyond watermark are dropped") {
+    val work = tmp("wm")
+    def writeBatch(rows: Seq[(java.sql.Timestamp, Int)], f: String): Unit =
+      rows.toDF("ts", "v").write.parquet(s"$work/src/$f")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: two full hours of data
+    writeBatch(Seq((ts("2024-01-01 00:10:00"), 1), (ts("2024-01-01 01:10:00"), 1),
+      (ts("2024-01-01 02:10:00"), 1)), "f1")
+    val cfg = AutoIngest.Config(s"$work/src/*", s"$work/schema", s"$work/ck",
+      maxFilesPerTrigger = Some(1))
+    def run(): Unit = {
+      val agg = AutoIngest.readStream(spark, cfg).drop("_rescued_data")
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window($"ts", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select($"w.start".as("w_start"), $"n")
+      val q = agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("checkpointLocation", cfg.checkpointDir)
+        .option("path", s"$work/sink")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    // batch 2: one on-time row + one very late row for hour 00 (watermark
+    // has advanced past it → it must NOT reopen the emitted window)
+    writeBatch(Seq((ts("2024-01-01 02:20:00"), 1), (ts("2024-01-01 00:20:00"), 1)), "f2")
+    run()
+    // batch 3: advance the watermark past hour-02 so the remaining
+    // windows close and flush
+    writeBatch(Seq((ts("2024-01-01 04:00:00"), 1)), "f3")
+    run()
+    val out = spark.read.parquet(s"$work/sink")
+      .select($"w_start".cast("string"), $"n").as[(String, Long)].collect().toMap
+    // hour-00 emitted once with the on-time count only (late 00:20 dropped);
+    // hour-02 counts both its rows (02:10 on-time in run1, 02:20 in run2)
+    assert(out.get("2024-01-01 00:00:00").contains(1L), s"out=$out")
+    assert(out.get("2024-01-01 01:00:00").contains(1L), s"out=$out")
+    assert(out.get("2024-01-01 02:00:00").contains(2L), s"out=$out")
+  }
+
   test("saltedJoin result equals plain join") {
     val e = graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
     val dim = e.groupBy($"user_id").agg(max($"ts").as("last_seen"))
