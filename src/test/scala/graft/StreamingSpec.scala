@@ -167,14 +167,15 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming watermark + tumbling window: late rows beyond watermark are dropped") {
     val work = tmp("wm")
+    // one part-file per logical batch + one AvailableNow run per file, so
+    // batch order (and thus watermark advancement) is deterministic
     def writeBatch(rows: Seq[(java.sql.Timestamp, Int)], f: String): Unit =
-      rows.toDF("ts", "v").write.parquet(s"$work/src/$f")
+      rows.toDF("ts", "v").coalesce(1).write.parquet(s"$work/src/$f")
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
-    // batch 1: two full hours of data
+    // batch 1: three hours of data
     writeBatch(Seq((ts("2024-01-01 00:10:00"), 1), (ts("2024-01-01 01:10:00"), 1),
       (ts("2024-01-01 02:10:00"), 1)), "f1")
-    val cfg = AutoIngest.Config(s"$work/src/*", s"$work/schema", s"$work/ck",
-      maxFilesPerTrigger = Some(1))
+    val cfg = AutoIngest.Config(s"$work/src/*", s"$work/schema", s"$work/ck")
     def run(): Unit = {
       val agg = AutoIngest.readStream(spark, cfg).drop("_rescued_data")
         .withWatermark("ts", "30 minutes")
@@ -189,22 +190,44 @@ class StreamingSpec extends AnyFunSuite {
         .start()
       q.awaitTermination()
     }
-    run()
-    // batch 2: one on-time row + one very late row for hour 00 (watermark
-    // has advanced past it → it must NOT reopen the emitted window)
+    run() // watermark after run 1: 02:10 − 30min = 01:40
+    // batch 2: one on-time row + one very late row for hour 00 — the
+    // watermark (01:40) is past it, so it must be dropped, not re-open
+    // the hour-00 window; hour-00 (end 01:00 ≤ 01:40) flushes this run
     writeBatch(Seq((ts("2024-01-01 02:20:00"), 1), (ts("2024-01-01 00:20:00"), 1)), "f2")
     run()
-    // batch 3: advance the watermark past hour-02 so the remaining
-    // windows close and flush
+    // batches 3+4: push the watermark past hour-02 and give the engine a
+    // follow-up batch in which to evict the closed windows
     writeBatch(Seq((ts("2024-01-01 04:00:00"), 1)), "f3")
+    run()
+    writeBatch(Seq((ts("2024-01-01 05:00:00"), 1)), "f4")
     run()
     val out = spark.read.parquet(s"$work/sink")
       .select($"w_start".cast("string"), $"n").as[(String, Long)].collect().toMap
     // hour-00 emitted once with the on-time count only (late 00:20 dropped);
-    // hour-02 counts both its rows (02:10 on-time in run1, 02:20 in run2)
+    // hour-02 counts both its rows (02:10 from run1, 02:20 from run2)
     assert(out.get("2024-01-01 00:00:00").contains(1L), s"out=$out")
     assert(out.get("2024-01-01 01:00:00").contains(1L), s"out=$out")
     assert(out.get("2024-01-01 02:00:00").contains(2L), s"out=$out")
+  }
+
+  test("Bucketing: co-located join runs with zero shuffle exchanges") {
+    val dir = "/root/testdata/sf0.001"
+    val orders = graft.tables.Tables.orders(spark, dir)
+    val lineitem = graft.tables.Tables.lineitem(spark, dir)
+    graft.tables.Bucketing.writeBucketed(orders, "graft_bkt", "orders_b", "o_orderkey", 8)
+    graft.tables.Bucketing.writeBucketed(lineitem, "graft_bkt", "lineitem_b", "l_orderkey", 8)
+    val ob = graft.tables.Bucketing.read(spark, "graft_bkt", "orders_b")
+    val lb = graft.tables.Bucketing.read(spark, "graft_bkt", "lineitem_b")
+    // disable broadcast so the join would otherwise be a shuffled SMJ
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = lb.join(ob, lb("l_orderkey") === ob("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange"), s"unexpected shuffle in:\n$plan")
+      assert(joined.count() == lineitem.count()) // FK dense: every line matches
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("saltedJoin result equals plain join") {
