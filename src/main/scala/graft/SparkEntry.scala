@@ -527,6 +527,21 @@ object SparkEntry {
         .orderBy($"l_returnflag")
     }),
 
+    // ── §4/custom operator (c): point-in-time as-of join — full
+    //    LogicalPlan→Strategy→SparkPlan stack with a partition-local
+    //    sorted merge (each event picks the user's latest strictly-prior
+    //    purchase; left-outer). Oracle: DuckDB's native ASOF JOIN.
+    "q42_asof_join" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir).select($"event_id", $"user_id", $"ts")
+      val p = Tables.events(s, dir).filter($"event_type" === "purchase")
+        .select($"user_id".as("p_user"), $"ts".as("p_ts"),
+          $"event_id".as("p_event_id"), $"value".as("p_value"))
+      graft.plans.AsOfJoin.asofJoin(e, p, "user_id", "p_user", "ts", "p_ts")
+        .select($"event_id", $"user_id", $"p_event_id", $"p_value")
+        .orderBy($"event_id")
+    }),
+
     // ── S5/1.4: 3-level catalog registration + SQL over registered tables
     //    (spark_catalog.<db>.<table>, the reference's UC namespace analog).
     "q41_catalog_sql" -> ((s, dir) => {
@@ -806,5 +821,13 @@ object SparkEntry {
     "q41_catalog_sql" ->
       """SELECT event_type, count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q42_asof_join" ->
+      """SELECT e.event_id, e.user_id, p.p_event_id, p.p_value
+        |FROM events e ASOF LEFT JOIN (
+        |  SELECT user_id AS p_user, ts AS p_ts, event_id AS p_event_id, value AS p_value
+        |  FROM events WHERE event_type = 'purchase') p
+        |ON e.user_id = p.p_user AND e.ts > p.p_ts
+        |ORDER BY e.event_id""".stripMargin,
   )
 }
