@@ -28,7 +28,7 @@ object SparkEntry {
     * SimHash bit votes, LSH bucketing (recall < 1), and the hash-derived
     * decode stub. */
   def rowsOnly: Set[String] =
-    Set("q29_simhash_groups", "q30_ann_lsh", "q31_multimodal_decode")
+    Set("q29_simhash_groups", "q30_ann_lsh", "q31_multimodal_decode", "q43_ann_ivf")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -527,6 +527,44 @@ object SparkEntry {
         .orderBy($"l_returnflag")
     }),
 
+    // ── LLM-pipeline (rows-only): IVF-bucketed approximate top-k — the
+    //    centroid-cell ANN path (probe nProbe cells per query).
+    "q43_ann_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      graft.llm.Similarity.ivfTopK(
+          emb.filter($"vec_id" < 100), emb, "vec_id", "embedding", 1,
+          nCentroids = 16, nProbe = 4)
+        .select($"query_id", $"neighbor_id", round($"cos", 6).as("cos"))
+        .orderBy($"query_id")
+    }),
+
+    // ── 2.8 breadth: datetime function surface (year/month/day/hour,
+    //    date_trunc, datediff) over orders×lineitem ship lag.
+    "q44_datetime_functions" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+        .select($"o_orderkey", $"l_linenumber",
+          year($"o_orderdate").as("o_year"),
+          month($"o_orderdate").as("o_month"),
+          dayofmonth($"o_orderdate").as("o_day"),
+          datediff($"l_shipdate", $"o_orderdate").cast("long").as("ship_lag_days"),
+          date_trunc("month", $"o_orderdate").as("o_month_start"))
+        .orderBy($"o_orderkey", $"l_linenumber")
+    }),
+
+    // ── SQL facade depth: scalar subquery (orders above the overall
+    //    average price) — Catalyst subquery decorrelation surface.
+    "q45_scalar_subquery" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders2")
+      s.sql("""
+        SELECT o_orderkey, o_totalprice FROM v_orders2
+        WHERE o_totalprice > (
+          SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM v_orders2)
+        ORDER BY o_orderkey""")
+    }),
+
     // ── §4/custom operator (c): point-in-time as-of join — full
     //    LogicalPlan→Strategy→SparkPlan stack with a partition-local
     //    sorted merge (each event picks the user's latest strictly-prior
@@ -829,5 +867,21 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'purchase') p
         |ON e.user_id = p.p_user AND e.ts > p.p_ts
         |ORDER BY e.event_id""".stripMargin,
+
+    "q44_datetime_functions" ->
+      """SELECT o_orderkey, l_linenumber,
+        |CAST(year(o_orderdate) AS INT) AS o_year,
+        |CAST(month(o_orderdate) AS INT) AS o_month,
+        |CAST(day(o_orderdate) AS INT) AS o_day,
+        |CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT) AS ship_lag_days,
+        |date_trunc('month', o_orderdate) AS o_month_start
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey, l_linenumber""".stripMargin,
+
+    "q45_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

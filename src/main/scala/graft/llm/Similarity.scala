@@ -101,6 +101,59 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** IVF (inverted-file) approximate top-k: a deterministic centroid
+    * sample partitions the corpus into `nCentroids` cells (assignment =
+    * nearest centroid by cosine, one broadcast pass); each query probes
+    * only its `nProbe` nearest cells. The classic trade: recall grows with
+    * `nProbe`, cost grows with `nProbe / nCentroids` of the corpus.
+    *
+    * Centroids are the `nCentroids` corpus vectors with the smallest
+    * id-hash — deterministic without RNG state or a k-means fit; at scale
+    * you'd swap in trained centroids, the plan shape is identical. All
+    * stages are joins/windows (no driver-side data paths; the centroid
+    * side is broadcast by AQE because it is tiny). */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+
+    val cents = corpus
+      .select(col(idCol).as("cent_id"), transform(col(vecCol), _.cast("double")).as("cv0"))
+      .withColumn("__h", xxhash64(col("cent_id")))
+      .orderBy(col("__h")).limit(nCentroids)
+      .select(col("cent_id"), col("cv0"), l2Norm(col("cv0")).as("cnorm0"))
+
+    def assign(df: DataFrame, id: String, keep: Int): DataFrame = {
+      val v = df.select(col(id).as("vid"),
+          transform(col(vecCol), _.cast("double")).as("vv"))
+        .withColumn("vnorm", l2Norm(col("vv")))
+      val w = Window.partitionBy(col("vid"))
+        .orderBy(col("ccos").desc, col("cent_id").asc)
+      v.join(broadcast(cents))
+        .withColumn("ccos", dot(col("vv"), col("cv0")) / (col("vnorm") * col("cnorm0")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .select(col("vid"), col("cent_id").as("cell"), col("vv"), col("vnorm"))
+    }
+
+    val corpusCells = assign(corpus, idCol, 1)
+      .withColumnRenamed("vid", "neighbor_id")
+      .withColumnRenamed("vv", "cv").withColumnRenamed("vnorm", "cnorm")
+    val queryCells = assign(queries, idCol, nProbe)
+      .withColumnRenamed("vid", "query_id")
+      .withColumnRenamed("vv", "qv").withColumnRenamed("vnorm", "qnorm")
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    queryCells.join(corpusCells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .dropDuplicates("query_id", "neighbor_id")
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold` — the
     * semantic-dedup operator. Exact all-pairs here; at 100 TB swap the
     * join for the LSH bucket join above. */

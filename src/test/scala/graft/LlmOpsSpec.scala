@@ -62,6 +62,16 @@ class LlmOpsSpec extends AnyFunSuite {
     lsh.foreach { case (id, c) => assert(c <= bf(id) + 1e-12, s"query $id") }
   }
 
+  test("ivfTopK: answers every query; approximate cos never exceeds brute force") {
+    val q = embs.filter($"vec_id" < 20)
+    val bf = Similarity.bruteForceTopK(q, embs, "vec_id", "embedding", 1)
+      .select("query_id", "cos").as[(Long, Double)].collect().toMap
+    val ivf = Similarity.ivfTopK(q, embs, "vec_id", "embedding", 1, nCentroids = 8, nProbe = 3)
+      .select("query_id", "cos").as[(Long, Double)].collect().toMap
+    assert(ivf.size == 20)
+    ivf.foreach { case (id, c) => assert(c <= bf(id) + 1e-12, s"query $id") }
+  }
+
   test("langId: plants classify correctly") {
     val df = Seq(
       ("the cat sat on the mat and it is a hat", "en"),
