@@ -565,6 +565,52 @@ object SparkEntry {
         ORDER BY o_orderkey""")
     }),
 
+    // ── 2.7/D2 depth: window frames — per-customer running order total
+    //    (rowsBetween unboundedPreceding..current) + rank.
+    "q46_window_frames" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      Tables.orders(s, dir)
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+          sum(Relational.money($"o_totalprice"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_total"),
+          rank().over(w).as("order_rank"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
+    // ── 2.6 depth: CUBE with grouping-set totals (marker-coalesced).
+    "q47_cube" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce($"o_orderstatus", lit("ALL")).as("status"),
+          coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+          $"n")
+        .orderBy($"status", $"priority")
+    }),
+
+    // ── J2 depth: TPC-H Q3-shaped shipping-priority query (selective
+    //    filters both sides of the big join, top-k on aggregated revenue).
+    "q48_shipping_priority" -> ((s, dir) => {
+      import s.implicits._
+      val cu = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+      val o = Tables.orders(s, dir)
+        .filter($"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+      val li = Tables.lineitem(s, dir)
+        .filter($"l_shipdate" > lit("1996-01-01").cast("timestamp"))
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cu), $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+        .agg(sum(Relational.money($"l_extendedprice") *
+          (lit(1).cast("decimal(18,2)") - Relational.money($"l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(20)
+    }),
+
     // ── §4/custom operator (c): point-in-time as-of join — full
     //    LogicalPlan→Strategy→SparkPlan stack with a partition-local
     //    sorted merge (each event picks the user's latest strictly-prior
@@ -883,5 +929,30 @@ object SparkEntry {
         |WHERE o_totalprice > (
         |  SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q46_window_frames" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+        |CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS order_rank
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q47_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |COALESCE(o_orderpriority, 'ALL') AS priority, COUNT(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q48_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin,
   )
 }

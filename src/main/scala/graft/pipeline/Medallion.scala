@@ -76,6 +76,14 @@ final class Medallion(workDir: String) {
         tieBreak = t.tieBreak))
     }
     gold.runOnce(spark)
+
+    // S5 — exploration surface: register the live gold snapshots in the
+    // session catalog (`graft_gold.<table>`) so `spark.sql` probes work,
+    // the reference's `spotify_cata.gold.*` analog.
+    tables.filter(_.goldEnabled).foreach { t =>
+      graft.sql.TableCatalog.registerSnapshot(
+        spark, "graft_gold", t.spec.table.toLowerCase, gold.snapshot(t.spec.table))
+    }
   }
 
   def goldTable(spark: SparkSession, name: String): DataFrame =

@@ -88,5 +88,12 @@ class MedallionReplaySpec extends AnyFunSuite {
     med.run(spark, tables, t => s"$src/$t.parquet", "run3")
     assert(med.goldTable(spark, "DimUser").count() == 570)
     assert(med.goldTable(spark, "FactStream").count() == 1200)
+
+    // S5 exploration surface: gold tables are queryable by 3-level name,
+    // incl. the reference's SCD2 history probe (silver_Dimensions.py:206-208)
+    val hist = spark.sql(
+      "SELECT count(*) AS n FROM spark_catalog.graft_gold.dimuser WHERE __END_AT IS NOT NULL")
+      .as[Long].head()
+    assert(hist == 20)
   }
 }

@@ -230,6 +230,19 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("stream-static join: streaming silver enriched by a broadcast dimension") {
+    val work = tmp("ssj")
+    Seq((1, "a"), (2, "b"), (3, "a")).toDF("id", "dim_key").write.parquet(s"$work/src/f1")
+    val dim = Seq(("a", "Alpha"), ("b", "Beta")).toDF("dim_key", "dim_name")
+    val cfg = AutoIngest.Config(s"$work/src/*", s"$work/schema", s"$work/ck")
+    val enriched = AutoIngest.readStream(spark, cfg).drop("_rescued_data")
+      .join(broadcast(dim), Seq("dim_key"), "left")
+    AutoIngest.appendOnce(enriched, s"$work/sink", cfg.checkpointDir)
+    val out = spark.read.parquet(s"$work/sink")
+    assert(out.count() == 3)
+    assert(out.filter($"dim_name" === "Alpha").count() == 2)
+  }
+
   test("saltedJoin result equals plain join") {
     val e = graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
     val dim = e.groupBy($"user_id").agg(max($"ts").as("last_seen"))
