@@ -611,6 +611,16 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // ── LLM-pipeline: document chunking (64-token windows, 16 overlap) —
+    //    provenance-preserving flatMap, zero shuffles.
+    "q49_text_chunking" -> ((s, dir) => {
+      import s.implicits._
+      graft.llm.TextChunker.chunk(Tables.documents(s, dir), "doc_id", "text", 64, 16)
+        .select($"doc_id", $"chunk_idx", $"token_start", $"token_end",
+          md5($"chunk_text".cast("binary")).as("chunk_digest"))
+        .orderBy($"doc_id", $"chunk_idx")
+    }),
+
     // ── §4/custom operator (c): point-in-time as-of join — full
     //    LogicalPlan→Strategy→SparkPlan stack with a partition-local
     //    sorted merge (each event picks the user's latest strictly-prior
@@ -954,5 +964,20 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin,
+
+    "q49_text_chunking" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS ts
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, ts, len(ts) AS n,
+        |    greatest(1, CAST(ceil((len(ts) - 16) / 48.0) AS BIGINT)) AS nc
+        |  FROM toks)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(i * 48 AS BIGINT) AS token_start,
+        |  CAST(least(i * 48 + 64, n) AS BIGINT) AS token_end,
+        |  md5(array_to_string(ts[i * 48 + 1 : i * 48 + 64], ' ')) AS chunk_digest
+        |FROM c, UNNEST(generate_series(0, nc - 1)) AS g(i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
   )
 }

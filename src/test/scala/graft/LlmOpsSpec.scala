@@ -72,6 +72,24 @@ class LlmOpsSpec extends AnyFunSuite {
     ivf.foreach { case (id, c) => assert(c <= bf(id) + 1e-12, s"query $id") }
   }
 
+  test("TextChunker: coverage, overlap, and short-doc invariants") {
+    import graft.llm.TextChunker
+    val df = Seq((1L, (1 to 100).map(i => s"w$i").mkString(" ")), (2L, "tiny doc"))
+      .toDF("doc_id", "text")
+    val chunks = TextChunker.chunk(df, "doc_id", "text", chunkSize = 64, overlap = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val doc1 = chunks.filter(_._1 == 1L).sortBy(_._2)
+    // 100 tokens, stride 48 → ceil(84/48)=2 chunks: [0,64), [48,100)
+    assert(doc1.map(c => (c._3, c._4)).toSeq == Seq((0L, 64L), (48L, 100L)))
+    // overlap region identical in both chunks
+    val t1 = doc1(0)._5.split(" "); val t2 = doc1(1)._5.split(" ")
+    assert(t1.slice(48, 64).toSeq == t2.slice(0, 16).toSeq)
+    // short doc → exactly one whole-doc chunk
+    val doc2 = chunks.filter(_._1 == 2L)
+    assert(doc2.length == 1 && doc2(0)._5 == "tiny doc" && doc2(0)._4 == 2L)
+  }
+
   test("langId: plants classify correctly") {
     val df = Seq(
       ("the cat sat on the mat and it is a hat", "en"),
