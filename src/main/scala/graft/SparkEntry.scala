@@ -621,6 +621,18 @@ object SparkEntry {
         .orderBy($"doc_id", $"chunk_idx")
     }),
 
+    // ── 2.6 breadth: pivot (wide conditional aggregation) — per-user
+    //    event-type counts as columns.
+    "q50_pivot" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy($"user_id")
+    }),
+
     // ── §4/custom operator (c): point-in-time as-of join — full
     //    LogicalPlan→Strategy→SparkPlan stack with a partition-local
     //    sorted merge (each event picks the user's latest strictly-prior
@@ -964,6 +976,15 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin,
+
+    "q50_pivot" ->
+      """SELECT user_id,
+        |COUNT(*) FILTER (event_type = 'click') AS click,
+        |COUNT(*) FILTER (event_type = 'error') AS error,
+        |COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |COUNT(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q49_text_chunking" ->
       """WITH toks AS (

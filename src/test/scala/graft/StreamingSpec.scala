@@ -243,6 +243,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.filter($"dim_name" === "Alpha").count() == 2)
   }
 
+  test("stream-stream join: two watermarked file streams join within the time bound") {
+    val work = tmp("s2s")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 11:00:00")))
+      .toDF("imp_id", "imp_ts").coalesce(1).write.parquet(s"$work/imps/f1")
+    Seq((1L, ts("2024-01-01 10:05:00")), (3L, ts("2024-01-01 11:00:00")))
+      .toDF("clk_id", "clk_ts").coalesce(1).write.parquet(s"$work/clks/f1")
+    val imps = AutoIngest.readStream(spark,
+        AutoIngest.Config(s"$work/imps/*", s"$work/si", s"$work/ci"))
+      .drop("_rescued_data").withWatermark("imp_ts", "1 hour")
+    val clks = AutoIngest.readStream(spark,
+        AutoIngest.Config(s"$work/clks/*", s"$work/sc", s"$work/cc"))
+      .drop("_rescued_data").withWatermark("clk_ts", "1 hour")
+    val joined = imps.join(clks,
+      expr("imp_id = clk_id AND clk_ts BETWEEN imp_ts AND imp_ts + INTERVAL 1 HOUR"))
+    val q = joined.writeStream.format("parquet")
+      .option("checkpointLocation", s"$work/ckj")
+      .option("path", s"$work/sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.read.parquet(s"$work/sink")
+    // only impression 1 has a click within its window
+    assert(out.count() == 1)
+    assert(out.select("imp_id").as[Long].head() == 1L)
+  }
+
   test("saltedJoin result equals plain join") {
     val e = graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
     val dim = e.groupBy($"user_id").agg(max($"ts").as("last_seen"))
