@@ -633,6 +633,26 @@ object SparkEntry {
         .orderBy($"user_id")
     }),
 
+    // ── S-format breadth: CSV + JSON sources/sinks round-trip (the other
+    //    built-in file formats a lakehouse ingests) joined back together.
+    "q51_multiformat" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("fmt").toString
+      val e = Tables.events(s, dir)
+      e.select($"event_id", $"user_id", $"event_type")
+        .write.mode("overwrite").option("header", "true").csv(s"$work/csv")
+      e.select($"event_id", $"value")
+        .write.mode("overwrite").json(s"$work/json")
+      val fromCsv = s.read.option("header", "true")
+        .schema("event_id LONG, user_id LONG, event_type STRING")
+        .csv(s"$work/csv")
+      val fromJson = s.read.schema("event_id LONG, value DOUBLE").json(s"$work/json")
+      fromCsv.join(fromJson, "event_id")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), Relational.sumMoney($"value").as("total"))
+        .orderBy($"event_type")
+    }),
+
     // ── §4/custom operator (c): point-in-time as-of join — full
     //    LogicalPlan→Strategy→SparkPlan stack with a partition-local
     //    sorted merge (each event picks the user's latest strictly-prior
@@ -976,6 +996,11 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin,
+
+    "q51_multiformat" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q50_pivot" ->
       """SELECT user_id,

@@ -74,6 +74,13 @@ final class SnapshotTable(val root: String) {
       throw new IllegalStateException(s"SnapshotTable $root: pointer flip failed")
   }
 
+  /** Compact the live snapshot into `targetFiles` output files (small-file
+    * remediation after many incremental commits) — a new version is
+    * committed, so readers are never disturbed and time travel still sees
+    * the pre-compaction layout. */
+  def compact(spark: SparkSession, targetFiles: Int = 1): Int =
+    write(spark, read(spark).repartition(targetFiles))
+
   /** Drop snapshot dirs older than the `keep` most recent (time travel
     * window). Never touches the live version. */
   def vacuum(spark: SparkSession, keep: Int = 2): Unit = {
