@@ -653,6 +653,15 @@ object SparkEntry {
         .orderBy($"event_type")
     }),
 
+    // ── LLM-pipeline capstone: the composed curation pass (quality gate →
+    //    language tag → exact-dedup canonicalization) — what the
+    //    individual operators exist for.
+    "q52_curation" -> ((s, dir) => {
+      import s.implicits._
+      graft.llm.Curation.curate(Tables.documents(s, dir), "doc_id", "text", 1.0)
+        .orderBy($"doc_id")
+    }),
+
     // ── §4/custom operator (c): point-in-time as-of join — full
     //    LogicalPlan→Strategy→SparkPlan stack with a partition-local
     //    sorted merge (each event picks the user's latest strictly-prior
@@ -996,6 +1005,34 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin,
+
+    "q52_curation" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS ntok,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','by'], x))) AS en,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> list_contains(['el','la','de','que','y','en','un','una','los','las','por','con','para','es','del'], x))) AS es,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> list_contains(['der','die','das','und','in','den','von','zu','mit','sich','des','auf','ist','ein','eine'], x))) AS de,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS npunct,
+        |    md5(array_to_string(list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), '\s+'), x -> x != ''), ' ')) AS fp
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, fp,
+        |    CASE WHEN en >= es AND en >= de THEN 'en' WHEN es >= de THEN 'es' ELSE 'de' END AS lang_pred,
+        |    (CASE WHEN ntok >= 10 THEN 0.25 ELSE 0.0 END)
+        |    + (CASE WHEN CAST(npunct AS DOUBLE) / CAST(length(text) AS DOUBLE) < 0.1 THEN 0.25 ELSE 0.0 END)
+        |    + (CASE WHEN CAST(en AS DOUBLE) / CAST(greatest(ntok, 1) AS DOUBLE) > 0.02 THEN 0.25 ELSE 0.0 END)
+        |    + (CASE WHEN length(regexp_replace(text, '\s+', '', 'g')) / CAST(greatest(ntok, 1) AS DOUBLE) BETWEEN 3.0 AND 10.0 THEN 0.25 ELSE 0.0 END)
+        |    AS quality,
+        |    CAST(ntok AS BIGINT) AS n_tokens
+        |  FROM t)
+        |SELECT doc_id, lang_pred, quality, n_tokens FROM scored
+        |WHERE quality >= 1.0
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
 
     "q51_multiformat" ->
       """SELECT event_type, COUNT(*) AS n,
