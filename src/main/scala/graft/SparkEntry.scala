@@ -662,6 +662,20 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // ── D4 completion: INTERSECT / EXCEPT set operators (distinct
+    //    semantics), tagged and unioned into one result.
+    "q53_set_ops" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      val early = o.filter($"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+        .select($"o_custkey")
+      val late = o.filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp"))
+        .select($"o_custkey")
+      early.intersect(late).withColumn("op", lit("both_eras"))
+        .unionByName(early.except(late).withColumn("op", lit("early_only")))
+        .orderBy($"op", $"o_custkey")
+    }),
+
     // ── §4/custom operator (c): point-in-time as-of join — full
     //    LogicalPlan→Strategy→SparkPlan stack with a partition-local
     //    sorted merge (each event picks the user's latest strictly-prior
@@ -1005,6 +1019,14 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin,
+
+    "q53_set_ops" ->
+      """WITH early AS (SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+        |late AS (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |SELECT o_custkey, 'both_eras' AS op FROM (SELECT o_custkey FROM early INTERSECT SELECT o_custkey FROM late)
+        |UNION ALL
+        |SELECT o_custkey, 'early_only' AS op FROM (SELECT o_custkey FROM early EXCEPT SELECT o_custkey FROM late)
+        |ORDER BY op, o_custkey""".stripMargin,
 
     "q52_curation" ->
       """WITH t AS (

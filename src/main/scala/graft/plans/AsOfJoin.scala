@@ -177,7 +177,7 @@ object AsOfJoin {
       df.withColumn(s"__asof_$p", last(when(col("__isL") === 0, col(p)), ignoreNulls = true).over(w))
     }
     filled.filter(col("__isL") === 1)
-      .select(lCols.filterNot(c => c == "__t" || c == "__isL").map(col) ++
+      .select(lCols.toSeq.filterNot(c => c == "__t" || c == "__isL").map(col) ++
         rightPayload.map(p => col(s"__asof_$p").as(s"asof_$p")): _*)
   }
 }

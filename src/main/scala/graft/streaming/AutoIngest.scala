@@ -72,8 +72,8 @@ object AutoIngest {
     if (!cfg.rescue) raw
     else if (extras.isEmpty) raw.withColumn("_rescued_data", lit(null).cast(StringType))
     else raw
-      .withColumn("_rescued_data", to_json(struct(extras.map(f => col(f.name)): _*)))
-      .drop(extras.map(_.name): _*)
+      .withColumn("_rescued_data", to_json(struct(extras.toSeq.map(f => col(f.name)): _*)))
+      .drop(extras.toSeq.map(_.name): _*)
   }
 
   /** K3/C1 — run one drain-and-stop append into a parquet sink. Blocks
