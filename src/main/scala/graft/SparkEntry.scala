@@ -28,7 +28,8 @@ object SparkEntry {
     * SimHash bit votes, LSH bucketing (recall < 1), and the hash-derived
     * decode stub. */
   def rowsOnly: Set[String] =
-    Set("q29_simhash_groups", "q30_ann_lsh", "q31_multimodal_decode", "q43_ann_ivf")
+    Set("q29_simhash_groups", "q30_ann_lsh", "q31_multimodal_decode", "q43_ann_ivf",
+      "q55_sketches")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -676,6 +677,32 @@ object SparkEntry {
         .orderBy($"op", $"o_custkey")
     }),
 
+    // ── 2.6 depth: ordered-set aggregates — exact interpolated
+    //    percentiles per group.
+    "q54_percentiles" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"event_type")
+        .agg(
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.95)").as("p95"),
+          min($"value").as("vmin"), max($"value").as("vmax"))
+        .orderBy($"event_type")
+    }),
+
+    // ── 2.6 scale (rows-only): sketch aggregates — HyperLogLog++ distinct
+    //    counts and approximate percentiles, the fixed-memory forms a
+    //    100 TB aggregation actually uses.
+    "q55_sketches" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"event_type")
+        .agg(
+          approx_count_distinct($"user_id", rsd = 0.01).as("approx_users"),
+          percentile_approx($"value", lit(0.5), lit(1000)).as("approx_p50"))
+        .orderBy($"event_type")
+    }),
+
     // ── §4/custom operator (c): point-in-time as-of join — full
     //    LogicalPlan→Strategy→SparkPlan stack with a partition-local
     //    sorted merge (each event picks the user's latest strictly-prior
@@ -1019,6 +1046,13 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin,
+
+    "q54_percentiles" ->
+      """SELECT event_type,
+        |quantile_cont(value, 0.5) AS p50,
+        |quantile_cont(value, 0.95) AS p95,
+        |MIN(value) AS vmin, MAX(value) AS vmax
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q53_set_ops" ->
       """WITH early AS (SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
