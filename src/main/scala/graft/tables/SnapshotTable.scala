@@ -53,11 +53,26 @@ final class SnapshotTable(val root: String) {
     currentVersion(spark).map(v => spark.read.parquet(s"$root/_v$v"))
 
   /** Commit `df` as the next full snapshot and atomically advance the
-    * pointer. Returns the committed version. */
-  def write(spark: SparkSession, df: DataFrame, partitionByCols: Seq[String] = Nil): Int = {
+    * pointer. Returns the committed version.
+    *
+    * `partitionByCols` → hive-style directory partitioning (partition
+    * pruning on equality/IN). `clusterBy` → range-repartition + sort
+    * within files, so parquet row-group min/max stats become selective on
+    * those columns (range-predicate skipping — the poor man's Z-order,
+    * right for one dominant filter column at 100 TB). */
+  def write(spark: SparkSession, df: DataFrame,
+      partitionByCols: Seq[String] = Nil,
+      clusterBy: Seq[String] = Nil,
+      clusterPartitions: Int = 0): Int = {
     val next = currentVersion(spark).getOrElse(0) + 1
     val target = s"$root/_v$next"
-    val writer = df.write.mode(SaveMode.Overwrite)
+    val cols = clusterBy.map(org.apache.spark.sql.functions.col)
+    val prepared =
+      if (clusterBy.isEmpty) df
+      else (if (clusterPartitions > 0) df.repartitionByRange(clusterPartitions, cols: _*)
+            else df.repartitionByRange(cols: _*))
+        .sortWithinPartitions(cols: _*)
+    val writer = prepared.write.mode(SaveMode.Overwrite)
     (if (partitionByCols.nonEmpty) writer.partitionBy(partitionByCols: _*) else writer)
       .parquet(target)
     commitPointer(spark, next)

@@ -44,6 +44,28 @@ class EngineCoreSpec extends AnyFunSuite {
     assert(before >= 1) // previous layout still reachable for time travel
   }
 
+  test("SnapshotTable: clusterBy writes range-clustered files (stat-skippable)") {
+    val t = new SnapshotTable(tmp("cluster"))
+    import org.apache.spark.sql.functions.col
+    t.write(spark, spark.range(10000).toDF("x")
+      .withColumn("x", col("x") * 7 % 10000), clusterBy = Seq("x"), clusterPartitions = 4)
+    val df = t.read(spark)
+    assert(df.count() == 10000)
+    // each file covers a disjoint range → per-file min/max are narrow
+    val files = df.inputFiles
+    assert(files.length > 1)
+    val ranges = files.map { f =>
+      val part = spark.read.parquet(f)
+      val r = part.agg(org.apache.spark.sql.functions.min("x"),
+        org.apache.spark.sql.functions.max("x")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, s"overlap: $hi1 vs $lo2")
+      case _ => ()
+    }
+  }
+
   test("corrupt JSON records surface via PERMISSIVE mode instead of failing the job") {
     val dir = tmp("corrupt")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.json"),
