@@ -703,6 +703,17 @@ object SparkEntry {
         .orderBy($"event_type")
     }),
 
+    // ── LLM-pipeline: deterministic hash-bucket stratified sampling —
+    //    reproducible corpus mixing (es 50%, de 20%, rest 10%).
+    "q56_hash_sample" -> ((s, dir) => {
+      import s.implicits._
+      graft.llm.Sampling.stratifiedSample(
+          Tables.documents(s, dir), "doc_id", "lang",
+          Map("es" -> 50, "de" -> 20), defaultRate = 10)
+        .select($"doc_id", $"lang", $"bucket")
+        .orderBy($"doc_id")
+    }),
+
     // ── §4/custom operator (c): point-in-time as-of join — full
     //    LogicalPlan→Strategy→SparkPlan stack with a partition-local
     //    sorted merge (each event picks the user's latest strictly-prior
@@ -1053,6 +1064,14 @@ object SparkEntry {
         |quantile_cont(value, 0.95) AS p95,
         |MIN(value) AS vmin, MAX(value) AS vmax
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q56_hash_sample" ->
+      """SELECT doc_id, lang,
+        |CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+        |FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+        |  < CASE WHEN lang = 'es' THEN 50 WHEN lang = 'de' THEN 20 ELSE 10 END
+        |ORDER BY doc_id""".stripMargin,
 
     "q53_set_ops" ->
       """WITH early AS (SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),

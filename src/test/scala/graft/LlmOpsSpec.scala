@@ -90,6 +90,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(doc2.length == 1 && doc2(0)._5 == "tiny doc" && doc2(0)._4 == 2L)
   }
 
+  test("Sampling: deterministic, consistent under corpus growth, rate-accurate") {
+    import graft.llm.Sampling
+    val d1 = docs.limit(200)
+    val s1 = Sampling.stratifiedSample(d1, "doc_id", "lang", Map.empty, defaultRate = 20)
+      .select("doc_id").as[Long].collect().toSet
+    val s1b = Sampling.stratifiedSample(d1, "doc_id", "lang", Map.empty, defaultRate = 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s1b) // reproducible
+    // consistency: growing the corpus never changes membership of old rows
+    val s2 = Sampling.stratifiedSample(docs, "doc_id", "lang", Map.empty, defaultRate = 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1.subsetOf(s2))
+    // rate roughly holds (20% of 500 ± generous tolerance)
+    assert(s2.size > 50 && s2.size < 150)
+  }
+
   test("langId: plants classify correctly") {
     val df = Seq(
       ("the cat sat on the mat and it is a hat", "en"),
