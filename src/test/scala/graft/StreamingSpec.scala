@@ -243,6 +243,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.filter($"dim_name" === "Alpha").count() == 2)
   }
 
+  test("StatefulOps.runningStats: per-key accumulators persist across batches") {
+    val work = tmp("rstats")
+    Seq((1L, 10.0), (1L, 20.0), (2L, 5.0)).toDF("k", "v").write.parquet(s"$work/src/f1")
+    val cfg = AutoIngest.Config(s"$work/src/*", s"$work/schema", s"$work/ck")
+    def run(): Unit = {
+      val stream = AutoIngest.readStream(spark, cfg).drop("_rescued_data")
+        .as[(Long, Double)]
+      val stats = graft.streaming.StatefulOps.runningStats(stream)
+      AutoIngest.appendOnce(stats.toDF(), s"$work/sink", cfg.checkpointDir)
+    }
+    run()
+    Seq((1L, 30.0)).toDF("k", "v").write.parquet(s"$work/src/f2")
+    run()
+    val latest = spark.read.parquet(s"$work/sink")
+      .groupBy($"key").agg(max($"n").as("n"), max($"total").as("total"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (k, n, t) => k -> ((n, t)) }.toMap
+    // key 1 accumulated across batches: 3 events totaling 60.0
+    assert(latest(1L) == ((3L, 60.0)))
+    assert(latest(2L) == ((1L, 5.0)))
+  }
+
   test("stream-stream join: two watermarked file streams join within the time bound") {
     val work = tmp("s2s")
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
