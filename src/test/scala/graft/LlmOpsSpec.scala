@@ -45,6 +45,17 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(g.filter($"dup_count" === 2).select("canonical_id").as[Long].head() == 1L)
   }
 
+  test("vec_dot registered for SQL; codegen expression computes the dot product") {
+    graft.functions.VectorFunctions.register(spark)
+    val r = spark.sql("SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .as[Double].head()
+    assert(r == 11.0)
+    // float arrays are cast exactly
+    val f = Seq((Array(1.5f, 2.5f), Array(2.0f, 4.0f))).toDF("a", "b")
+      .select(graft.functions.VectorFunctions.vec_dot($"a", $"b")).as[Double].head()
+    assert(f == 13.0)
+  }
+
   test("cosine: self-similarity is 1.0; orthogonal is 0.0") {
     val df = Seq((Array(1f, 0f), Array(1f, 0f), Array(0f, 2f))).toDF("a", "b", "c")
     val r = df.select(
