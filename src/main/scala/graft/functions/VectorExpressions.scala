@@ -34,13 +34,19 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName: several DotProducts can land in one codegen function
+      // (e.g. vec_cosine = dot(a,b)/sqrt(dot(a,a)*dot(b,b))); fixed local
+      // names collide there and janino rejects the whole stage.
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += $a.getDouble(i) * $b.getDouble(i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 
