@@ -29,7 +29,7 @@ object SparkEntry {
     * decode stub. */
   def rowsOnly: Set[String] =
     Set("q29_simhash_groups", "q30_ann_lsh", "q31_multimodal_decode", "q43_ann_ivf",
-      "q55_sketches")
+      "q55_sketches", "q61_ann_ivf_kmeans")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -729,6 +729,130 @@ object SparkEntry {
         .orderBy($"event_id")
     }),
 
+    // ── §7 scale: hash-bucketed SCD1 snapshot merge — only the buckets a
+    //    batch touches are rewritten; everything else is carried over by
+    //    reference in the manifest (the 100 TB form of the snapshot table).
+    //    Result must equal the plain whole-table merge (q16's oracle).
+    "q57_bucketed_scd1" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("bucketed").toString
+      val t = new graft.tables.BucketedSnapshotTable(s"$work/t", 32, Seq("user_id"))
+      val e = Tables.events(s, dir)
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+      t.scd1Merge(s, e.filter($"ts" < cut), "ts", Seq($"event_id"))
+      t.scd1Merge(s, e.filter($"ts" >= cut), "ts", Seq($"event_id"))
+      t.read(s)
+        .select($"user_id", $"event_id", $"ts", $"event_type", $"value")
+        .orderBy($"user_id")
+    }),
+
+    // ── C8 depth: genuine stream-stream interval join (two Structured
+    //    Streaming sources, watermarked, time-bounded condition) — each
+    //    purchase matched to the same user's error events in the prior
+    //    30 minutes; aggregated after the drain. Oracle: plain interval
+    //    self-join in DuckDB.
+    "q58_stream_stream_join" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("ssjoin").toString
+      Tables.events(s, dir).write.mode("overwrite").parquet(s"$work/src")
+      val schema = s.read.parquet(s"$work/src").schema
+      def stream = s.readStream.schema(schema).parquet(s"$work/src")
+      val purchases = stream.filter($"event_type" === "purchase")
+        .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"event_id".as("p_id"))
+        .withWatermark("p_ts", "3650 days")
+      val errors = stream.filter($"event_type" === "error")
+        .select($"user_id".as("e_user"), $"ts".as("e_ts"), $"value".as("e_value"))
+        .withWatermark("e_ts", "3650 days")
+      val joined = purchases.join(errors,
+        $"p_user" === $"e_user" &&
+        $"e_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES") && $"e_ts" <= $"p_ts")
+      val q = joined.writeStream.format("parquet")
+        .option("checkpointLocation", s"$work/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(s"$work/out")
+      q.awaitTermination()
+      s.read.parquet(s"$work/out")
+        .groupBy($"p_user".as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          Relational.sumMoney($"e_value").as("err_value"))
+        .orderBy($"user_id")
+    }),
+
+    // ── J-surface completion: LEFT OUTER + FULL OUTER joins with null
+    //    propagation (keys stay non-null for deterministic ordering).
+    "q59_outer_joins" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      val p = o.filter($"o_orderstatus" === "P")
+        .groupBy($"o_custkey").agg(count(lit(1)).as("n_p"))
+      val f = o.filter($"o_orderstatus" === "F")
+        .groupBy($"o_custkey").agg(count(lit(1)).as("n_f"))
+      val both = p.join(f, Seq("o_custkey"), "full_outer")
+      Tables.customer(s, dir)
+        .join(both, $"c_custkey" === $"o_custkey", "left_outer")
+        .select($"c_custkey", $"n_p", $"n_f")
+        .orderBy($"c_custkey")
+    }),
+
+    // ── J-surface: broadcast range join (non-equi band predicate) — the
+    //    binning-join shape; the tiny band table broadcasts so the big
+    //    side never shuffles.
+    "q60_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq(
+        ("tiny", -1e9, 50.0), ("small", 50.0, 200.0),
+        ("mid", 200.0, 500.0), ("big", 500.0, 1e9)).toDF("band", "lo", "hi")
+      Tables.events(s, dir)
+        .join(broadcast(bands), $"value" >= $"lo" && $"value" < $"hi")
+        .groupBy($"band")
+        .agg(count(lit(1)).as("n"), Relational.sumMoney($"value").as("total"))
+        .orderBy($"band")
+    }),
+
+    // ── LLM-pipeline (rows-only): IVF ANN with spherical-k-means-TRAINED
+    //    centroids (2 Lloyd's iterations) — tighter cells than the hash
+    //    seed of q43, same probe geometry.
+    "q61_ann_ivf_kmeans" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      graft.llm.Similarity.ivfTopK(
+          emb.filter($"vec_id" < 100), emb, "vec_id", "embedding", 1,
+          nCentroids = 16, nProbe = 4, trainIters = 2)
+        .select($"query_id", $"neighbor_id", round($"cos", 6).as("cos"))
+        .orderBy($"query_id")
+    }),
+
+    // ── D1 scale: the same stateful streaming dedup as q19's pipeline but
+    //    under the RocksDB state-store provider — the fixed-memory state
+    //    backend a 100 TB stateful job needs (heap state OOMs first).
+    "q62_rocksdb_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("rocksdbq").toString
+      Tables.events(s, dir).write.mode("overwrite").parquet(s"$work/src")
+      val schema = s.read.parquet(s"$work/src").schema
+      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val q = s.readStream.schema(schema).parquet(s"$work/src")
+          .dropDuplicates("event_id")
+          .writeStream.format("parquet")
+          .option("checkpointLocation", s"$work/ck")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(s"$work/out")
+        q.awaitTermination()
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+      s.read.parquet(s"$work/out")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), Relational.sumMoney($"value").as("total"))
+        .orderBy($"event_type")
+    }),
+
     // ── S5/1.4: 3-level catalog registration + SQL over registered tables
     //    (spark_catalog.<db>.<table>, the reference's UC namespace analog).
     "q41_catalog_sql" -> ((s, dir) => {
@@ -1122,6 +1246,43 @@ object SparkEntry {
         |COUNT(*) FILTER (event_type = 'signup') AS signup,
         |COUNT(*) FILTER (event_type = 'view') AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q57_bucketed_scd1" ->
+      """SELECT user_id, event_id, ts, event_type, value FROM (
+        |SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q58_stream_stream_join" ->
+      """SELECT p.user_id, COUNT(*) AS n_pairs,
+        |CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS err_value
+        |FROM events p JOIN events e
+        |  ON p.user_id = e.user_id
+        | AND e.ts >= p.ts - INTERVAL 30 MINUTE AND e.ts <= p.ts
+        |WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+        |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin,
+
+    "q59_outer_joins" ->
+      """SELECT c_custkey, n_p, n_f FROM customer
+        |LEFT JOIN (
+        |  SELECT COALESCE(p.o_custkey, f.o_custkey) AS o_custkey, p.n_p, f.n_f
+        |  FROM (SELECT o_custkey, COUNT(*) AS n_p FROM orders WHERE o_orderstatus = 'P' GROUP BY 1) p
+        |  FULL JOIN (SELECT o_custkey, COUNT(*) AS n_f FROM orders WHERE o_orderstatus = 'F' GROUP BY 1) f
+        |  ON p.o_custkey = f.o_custkey) x
+        |ON c_custkey = x.o_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q60_range_join" ->
+      """SELECT band, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events JOIN (VALUES
+        |  ('tiny', -1e9, 50.0), ('small', 50.0, 200.0),
+        |  ('mid', 200.0, 500.0), ('big', 500.0, 1e9)) b(band, lo, hi)
+        |ON value >= lo AND value < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+
+    "q62_rocksdb_dedup" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q49_text_chunking" ->
       """WITH toks AS (

@@ -101,27 +101,84 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
-  /** IVF (inverted-file) approximate top-k: a deterministic centroid
-    * sample partitions the corpus into `nCentroids` cells (assignment =
-    * nearest centroid by cosine, one broadcast pass); each query probes
-    * only its `nProbe` nearest cells. The classic trade: recall grows with
-    * `nProbe`, cost grows with `nProbe / nCentroids` of the corpus.
+  /** Spherical k-means fit (Lloyd's iterations, cosine geometry) for IVF
+    * cell centroids. Seeds are the `k` corpus vectors with the smallest
+    * id-hash (deterministic, no RNG state); each iteration assigns every
+    * unit vector to its nearest centroid (one broadcast join — the corpus
+    * never shuffles) and recomputes centroids as the normalized
+    * element-wise mean (posexplode → per-(cell,dim) partial sums).
     *
-    * Centroids are the `nCentroids` corpus vectors with the smallest
-    * id-hash — deterministic without RNG state or a k-means fit; at scale
-    * you'd swap in trained centroids, the plan shape is identical. All
-    * stages are joins/windows (no driver-side data paths; the centroid
-    * side is broadcast by AQE because it is tiny). */
+    * Only the k×dim centroid matrix ever reaches the driver — model
+    * parameters, not data (same contract as MLlib's KMeans). A cell that
+    * loses all members keeps its previous centroid.
+    *
+    * Returns `(cent_id, cv0, cnorm0)` — the shape [[ivfTopK]] consumes. */
+  def kmeansCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val unit = corpus.select(col(idCol).as("vid"),
+        transform(col(vecCol), _.cast("double")).as("vv"))
+      .withColumn("vnorm", l2Norm(col("vv")))
+      .select(col("vid"), transform(col("vv"), x => x / col("vnorm")).as("nv"))
+
+    var cents: Array[Seq[Double]] = unit
+      .withColumn("__h", xxhash64(col("vid")))
+      .orderBy(col("__h")).limit(k)
+      .select("nv").as[Seq[Double]].collect()
+
+    for (_ <- 1 to iters) {
+      val cdf = broadcast(
+        cents.zipWithIndex.toSeq.map { case (c, i) => (i, c) }.toDF("cell", "cv"))
+      val w = Window.partitionBy(col("vid"))
+        .orderBy(col("sim").desc, col("cell").asc)
+      val means = unit.join(cdf)
+        .withColumn("sim", dot(col("nv"), col("cv")))
+        .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+        .select(col("cell"), posexplode(col("nv")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(sum(col("x")).as("sx"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("sx")))),
+          s => s.getField("sx")).as("mv"))
+        .as[(Int, Seq[Double])].collect().toMap
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        means.get(i).map { m =>
+          val norm = math.sqrt(m.map(x => x * x).sum)
+          if (norm > 0) m.map(_ / norm) else old
+        }.getOrElse(old)
+      }
+    }
+    cents.zipWithIndex.toSeq
+      .map { case (c, i) => (i.toLong, c, 1.0) }
+      .toDF("cent_id", "cv0", "cnorm0")
+  }
+
+  /** IVF (inverted-file) approximate top-k: a centroid set partitions the
+    * corpus into `nCentroids` cells (assignment = nearest centroid by
+    * cosine, one broadcast pass); each query probes only its `nProbe`
+    * nearest cells. The classic trade: recall grows with `nProbe`, cost
+    * grows with `nProbe / nCentroids` of the corpus.
+    *
+    * Default centroids are the `nCentroids` corpus vectors with the
+    * smallest id-hash — deterministic without RNG state; pass
+    * `trainIters > 0` for spherical-k-means-trained centroids
+    * ([[kmeansCentroids]] — tighter cells, higher recall at the same
+    * nProbe). All search stages are joins/windows (no driver-side data
+    * paths; the centroid side is broadcast because it is tiny). */
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+      nCentroids: Int = 16, nProbe: Int = 4, trainIters: Int = 0): DataFrame = {
 
-    val cents = corpus
-      .select(col(idCol).as("cent_id"), transform(col(vecCol), _.cast("double")).as("cv0"))
-      .withColumn("__h", xxhash64(col("cent_id")))
-      .orderBy(col("__h")).limit(nCentroids)
-      .select(col("cent_id"), col("cv0"), l2Norm(col("cv0")).as("cnorm0"))
+    val cents =
+      if (trainIters > 0) kmeansCentroids(corpus, idCol, vecCol, nCentroids, trainIters)
+      else corpus
+        .select(col(idCol).as("cent_id"), transform(col(vecCol), _.cast("double")).as("cv0"))
+        .withColumn("__h", xxhash64(col("cent_id")))
+        .orderBy(col("__h")).limit(nCentroids)
+        .select(col("cent_id"), col("cv0"), l2Norm(col("cv0")).as("cnorm0"))
 
     def assign(df: DataFrame, id: String, keep: Int): DataFrame = {
       val v = df.select(col(id).as("vid"),

@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.ScdMerge
+import graft.tables.BucketedSnapshotTable
+
+/** BucketedSnapshotTable: merge-by-bucket must be observationally equal to
+  * the plain whole-table ScdMerge, while rewriting ONLY affected buckets
+  * (untouched buckets carried over by reference in the manifest). */
+class BucketedTableSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  private def rows(df: DataFrame, cols: String*): Set[String] =
+    df.select(cols.map(col): _*).collect().map(_.mkString("|")).toSet
+
+  private def mkBatch(xs: Seq[(Int, Int, String)]): DataFrame =
+    xs.toDF("k", "seq", "v")
+
+  test("scd1Merge equals whole-table scd1Upsert across batches") {
+    val t = new BucketedSnapshotTable(tmp("bscd1"), numBuckets = 8, keys = Seq("k"))
+    val b1 = mkBatch(Seq((1, 10, "a"), (2, 10, "b"), (3, 10, "c"), (17, 10, "q")))
+    val b2 = mkBatch(Seq((1, 20, "a2"), (2, 5, "stale"), (42, 10, "new")))
+
+    t.scd1Merge(spark, b1, "seq")
+    t.scd1Merge(spark, b2, "seq")
+
+    val expected = ScdMerge.scd1Upsert(
+      Some(ScdMerge.scd1Upsert(None, b1, Seq("k"), "seq")), b2, Seq("k"), "seq")
+    assert(rows(t.read(spark), "k", "seq", "v") == rows(expected, "k", "seq", "v"))
+    // stale update (key 2, seq 5) must not have replaced seq 10
+    assert(t.read(spark).filter($"k" === 2).select("seq").as[Int].head() == 10)
+  }
+
+  test("scd2Merge equals whole-table scd2Merge (version chain intact)") {
+    val t = new BucketedSnapshotTable(tmp("bscd2"), numBuckets = 8, keys = Seq("k"))
+    val b1 = mkBatch(Seq((1, 10, "a"), (2, 10, "b")))
+    val b2 = mkBatch(Seq((1, 20, "a2"), (1, 15, "late"), (3, 10, "c")))
+
+    t.scd2Merge(spark, b1, "seq")
+    t.scd2Merge(spark, b2, "seq")
+
+    val expected = ScdMerge.scd2Merge(
+      Some(ScdMerge.scd2Merge(None, b1, Seq("k"), "seq")), b2, Seq("k"), "seq")
+    val cols = Seq("k", "seq", "v", ScdMerge.StartCol, ScdMerge.EndCol)
+    assert(rows(t.read(spark), cols: _*) == rows(expected, cols: _*))
+    // key 1 has 3 versions: 10→15, 15→20, 20→null (late row spliced)
+    val k1 = t.read(spark).filter($"k" === 1)
+    assert(k1.count() == 3)
+    assert(k1.filter(col(ScdMerge.EndCol).isNull).select("seq").as[Int].head() == 20)
+  }
+
+  test("merge rewrites only affected buckets; untouched carried by reference") {
+    val t = new BucketedSnapshotTable(tmp("bref"), numBuckets = 16, keys = Seq("k"))
+    val b1 = mkBatch((1 to 64).map(i => (i, 10, s"v$i")))
+    t.scd1Merge(spark, b1, "seq")
+    val m1 = t.manifest(spark)
+    assert(m1.values.toSet == Set("_batch_v1"))
+
+    // second batch touches a handful of keys → few buckets
+    val touched = t.scd1Merge(spark, mkBatch(Seq((1, 20, "x"), (2, 20, "y"))), "seq")
+    assert(touched.nonEmpty && touched.size <= 2)
+    val m2 = t.manifest(spark)
+    // untouched buckets still point at the v1 batch dir — zero rewrite
+    val untouchedBuckets = m1.keySet -- touched
+    assert(untouchedBuckets.forall(b => m2(b) == "_batch_v1"))
+    assert(touched.forall(b => m2(b) == "_batch_v2"))
+    assert(t.read(spark).count() == 64)
+  }
+
+  test("compact unifies layout; vacuum drops unreachable batch dirs") {
+    val dir = tmp("bvac")
+    val t = new BucketedSnapshotTable(dir, numBuckets = 4, keys = Seq("k"))
+    t.scd1Merge(spark, mkBatch(Seq((1, 1, "a"), (2, 1, "b"), (3, 1, "c"), (4, 1, "d"))), "seq")
+    t.scd1Merge(spark, mkBatch(Seq((1, 2, "a2"))), "seq")
+    t.compact(spark)
+    t.vacuum(spark)
+    val left = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("_batch_v")).toSet
+    assert(left == Set("_batch_v3")) // only the compacted batch survives
+    assert(t.read(spark).count() == 4)
+    assert(t.read(spark).filter($"k" === 1).select("v").as[String].head() == "a2")
+  }
+
+  test("read prunes to affected buckets only (directory-level pruning)") {
+    val t = new BucketedSnapshotTable(tmp("bprune"), numBuckets = 32, keys = Seq("k"))
+    t.scd1Merge(spark, mkBatch((1 to 200).map(i => (i, 1, s"v$i"))), "seq")
+    // a 1-key incremental merge must not scan all 32 buckets: the files it
+    // reads during the merge live only under the key's bucket dir
+    val before = t.manifest(spark)
+    val touched = t.scd1Merge(spark, mkBatch(Seq((7, 2, "u"))), "seq")
+    assert(touched.size == 1)
+    assert((before.keySet -- touched).forall(b => t.manifest(spark)(b) == before(b)))
+  }
+}

@@ -83,6 +83,23 @@ class LlmOpsSpec extends AnyFunSuite {
     ivf.foreach { case (id, c) => assert(c <= bf(id) + 1e-12, s"query $id") }
   }
 
+  test("kmeansCentroids: unit-norm centroids; trained IVF still ≤ brute force") {
+    val cents = Similarity.kmeansCentroids(embs, "vec_id", "embedding", k = 8, iters = 2)
+      .select($"cent_id", $"cv0").as[(Long, Seq[Double])].collect()
+    assert(cents.length == 8)
+    cents.foreach { case (_, v) =>
+      assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9)
+    }
+    val q = embs.filter($"vec_id" < 20)
+    val bf = Similarity.bruteForceTopK(q, embs, "vec_id", "embedding", 1)
+      .select("query_id", "cos").as[(Long, Double)].collect().toMap
+    val ivf = Similarity.ivfTopK(q, embs, "vec_id", "embedding", 1,
+        nCentroids = 8, nProbe = 3, trainIters = 2)
+      .select("query_id", "cos").as[(Long, Double)].collect().toMap
+    assert(ivf.size == 20)
+    ivf.foreach { case (id, c) => assert(c <= bf(id) + 1e-12, s"query $id") }
+  }
+
   test("TextChunker: coverage, overlap, and short-doc invariants") {
     import graft.llm.TextChunker
     val df = Seq((1L, (1 to 100).map(i => s"w$i").mkString(" ")), (2L, "tiny doc"))

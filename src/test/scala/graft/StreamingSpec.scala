@@ -165,6 +165,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(out2.filter($"id" === 2).select("v").as[String].head() == "b")
   }
 
+  test("RocksDB state store: stateful dedup state survives across runs off-heap") {
+    val work = tmp("rocksdb")
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      Seq((1L, "a"), (2L, "b"), (1L, "dup")).toDF("id", "v")
+        .write.parquet(s"$work/src/f1")
+      val cfg = AutoIngest.Config(s"$work/src/*", s"$work/schema", s"$work/ck")
+      def run(): Unit = {
+        val st = AutoIngest.readStream(spark, cfg).drop("_rescued_data")
+          .dropDuplicates("id")
+        AutoIngest.appendOnce(st, s"$work/sink", cfg.checkpointDir)
+      }
+      run()
+      assert(spark.read.parquet(s"$work/sink").count() == 2)
+      // second run: RocksDB state (from the checkpoint) still knows ids 1,2
+      Seq((2L, "dup2"), (3L, "c")).toDF("id", "v").write.parquet(s"$work/src/f2")
+      run()
+      val out = spark.read.parquet(s"$work/sink")
+      assert(out.count() == 3)
+      assert(out.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming watermark + tumbling window: late rows beyond watermark are dropped") {
     val work = tmp("wm")
     // one part-file per logical batch + one AvailableNow run per file, so
