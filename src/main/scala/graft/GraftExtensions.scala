@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Session-extensions entry point — the idiomatic way to ship the engine's
+  * Catalyst surface into any SparkSession without code changes:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *   // or programmatically:
+  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * }}}
+  *
+  * Injects:
+  *  - [[graft.plans.AsOfJoinStrategy]] — plans [[graft.plans.AsOfJoinPlan]]
+  *    nodes (point-in-time join) into the sorted-merge physical operator;
+  *  - `vec_dot(a, b)` — the codegen'd double inner product
+  *    ([[graft.functions.DotProduct]]) as a SQL function.
+  *
+  * [[graft.plans.AsOfJoin.asofJoin]] and
+  * [[graft.functions.VectorFunctions.register]] remain the per-session
+  * programmatic equivalents (they use `spark.experimental.extraStrategies`
+  * / the session function registry — same hooks, applied late).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "vec_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.DotProduct(exprs(0), exprs(1))))
+  }
+}

@@ -754,14 +754,22 @@ object SparkEntry {
     "q58_stream_stream_join" -> ((s, dir) => {
       import s.implicits._
       val work = java.nio.file.Files.createTempDirectory("ssjoin").toString
-      Tables.events(s, dir).write.mode("overwrite").parquet(s"$work/src")
-      val schema = s.read.parquet(s"$work/src").schema
-      def stream = s.readStream.schema(schema).parquet(s"$work/src")
-      val purchases = stream.filter($"event_type" === "purchase")
+      // stage each side pre-filtered + projected: the join state then holds
+      // only the columns/rows the interval join needs
+      val e = Tables.events(s, dir)
+      e.filter($"event_type" === "purchase")
         .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"event_id".as("p_id"))
-        .withWatermark("p_ts", "3650 days")
-      val errors = stream.filter($"event_type" === "error")
+        .write.mode("overwrite").parquet(s"$work/purchases")
+      e.filter($"event_type" === "error")
         .select($"user_id".as("e_user"), $"ts".as("e_ts"), $"value".as("e_value"))
+        .write.mode("overwrite").parquet(s"$work/errors")
+      val purchases = s.readStream
+        .schema(s.read.parquet(s"$work/purchases").schema)
+        .parquet(s"$work/purchases")
+        .withWatermark("p_ts", "3650 days")
+      val errors = s.readStream
+        .schema(s.read.parquet(s"$work/errors").schema)
+        .parquet(s"$work/errors")
         .withWatermark("e_ts", "3650 days")
       val joined = purchases.join(errors,
         $"p_user" === $"e_user" &&
@@ -828,7 +836,10 @@ object SparkEntry {
     "q62_rocksdb_dedup" -> ((s, dir) => {
       import s.implicits._
       val work = java.nio.file.Files.createTempDirectory("rocksdbq").toString
-      Tables.events(s, dir).write.mode("overwrite").parquet(s"$work/src")
+      // project to the dedup key + aggregation columns: streaming dedup
+      // state stores whole rows, so narrower rows = smaller state
+      Tables.events(s, dir).select($"event_id", $"event_type", $"value")
+        .write.mode("overwrite").parquet(s"$work/src")
       val schema = s.read.parquet(s"$work/src").schema
       val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
       s.conf.set("spark.sql.streaming.stateStore.providerClass",

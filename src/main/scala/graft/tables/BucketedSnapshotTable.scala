@@ -154,7 +154,11 @@ final class BucketedSnapshotTable(
 
     val next = currentVersion(spark).getOrElse(0) + 1
     val batchDir = s"_batch_v$next"
-    merged.write.mode(SaveMode.Overwrite)
+    // repartition on the bucket id so each bucket dir gets ONE writer task
+    // (one file), not shufflePartitions × buckets stragglers — at scale a
+    // bucket is exactly one task's output, and the shuffle is the same
+    // key-hash the merge already clustered on
+    merged.repartition(col(BucketCol)).write.mode(SaveMode.Overwrite)
       .partitionBy(BucketCol)
       .parquet(s"$root/$batchDir")
 

@@ -21,4 +21,16 @@ object GraftColumnBridge {
 
   def analyzed(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
+
+  /** `SparkSessionExtensions.buildPlannerStrategies` / `registerFunctions`
+    * are `private[sql]` (normally called once during session bootstrap) —
+    * exposed so specs can assert what `graft.GraftExtensions` injects, and
+    * so an already-running session can adopt the extensions late. */
+  def applyExtensions(ext: SparkSessionExtensions, spark: SparkSession): Unit = {
+    val strategies = ext.buildPlannerStrategies(spark)
+    val existing = spark.experimental.extraStrategies
+    spark.experimental.extraStrategies =
+      existing ++ strategies.filterNot(existing.contains)
+    ext.registerFunctions(spark.sessionState.functionRegistry)
+  }
 }
