@@ -35,6 +35,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q4_star_join")(spark, "/root/testdata/sf0.001")
 
+  /** Streaming stages pin their own (smaller) shuffle parallelism: AQE
+    * cannot coalesce shuffles inside a streaming query, and every stateful
+    * shuffle partition is one state-store instance committing per batch —
+    * at bench scale 8 stores beat 32 idle ones. Batch queries keep the
+    * session default (AQE handles them). */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ── A1/2.6: partial+final hash aggregation (TPC-H Q1 shape).
@@ -258,7 +269,7 @@ object SparkEntry {
       import s.implicits._
       val work = java.nio.file.Files.createTempDirectory("medallion").toString
       val med = new graft.pipeline.Medallion(work)
-      med.run(s,
+      withShufflePartitions(s, 8) { med.run(s,
         Seq(graft.pipeline.MedallionTable(
           spec = graft.ingest.TableSpec("main", "events", "ts"),
           silverTransform = df => df.withColumn("event_type", upper($"event_type")),
@@ -267,7 +278,7 @@ object SparkEntry {
           expectations = Seq(graft.ops.Expectation("uid", "user_id IS NOT NULL")),
           tieBreak = Seq($"event_id"))),
         _ => { Tables.events(s, dir).write.mode("overwrite").parquet(s"$work/source"); s"$work/source" },
-        runTs = "r1")
+        runTs = "r1") }
       med.goldTable(s, "events")
         .select($"user_id", $"event_type", $"event_id", $"ts", $"value")
         .orderBy($"user_id", $"event_type")
@@ -774,11 +785,13 @@ object SparkEntry {
       val joined = purchases.join(errors,
         $"p_user" === $"e_user" &&
         $"e_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES") && $"e_ts" <= $"p_ts")
-      val q = joined.writeStream.format("parquet")
-        .option("checkpointLocation", s"$work/ck")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start(s"$work/out")
-      q.awaitTermination()
+      withShufflePartitions(s, 8) {
+        val q = joined.writeStream.format("parquet")
+          .option("checkpointLocation", s"$work/ck")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(s"$work/out")
+        q.awaitTermination()
+      }
       s.read.parquet(s"$work/out")
         .groupBy($"p_user".as("user_id"))
         .agg(count(lit(1)).as("n_pairs"),
@@ -845,13 +858,15 @@ object SparkEntry {
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try {
-        val q = s.readStream.schema(schema).parquet(s"$work/src")
-          .dropDuplicates("event_id")
-          .writeStream.format("parquet")
-          .option("checkpointLocation", s"$work/ck")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start(s"$work/out")
-        q.awaitTermination()
+        withShufflePartitions(s, 8) {
+          val q = s.readStream.schema(schema).parquet(s"$work/src")
+            .dropDuplicates("event_id")
+            .writeStream.format("parquet")
+            .option("checkpointLocation", s"$work/ck")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start(s"$work/out")
+          q.awaitTermination()
+        }
       } finally {
         prev match {
           case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)

@@ -23,7 +23,11 @@ case class GoldTable(
     scdType: Int, // 1 (fact, DimUser FactStream.py:17) or 2 (dims, DimUser.py:27)
     expectations: Seq[Expectation] = Nil,
     tieBreak: Seq[Column] = Nil,
-    dependsOn: Seq[String] = Nil)
+    dependsOn: Seq[String] = Nil,
+    // > 0 ⇒ the target is a hash-bucketed snapshot (merge rewrites only
+    // affected buckets — the 100 TB path; see BucketedSnapshotTable).
+    // 0 ⇒ plain whole-snapshot commits (reference-scale parity).
+    numBuckets: Int = 0)
 
 final class GoldPipeline(goldDir: String, checkpointRoot: String) {
 
@@ -34,6 +38,17 @@ final class GoldPipeline(goldDir: String, checkpointRoot: String) {
   def tables: Seq[GoldTable] = registry
 
   def snapshot(name: String) = new SnapshotTable(s"$goldDir/$name")
+
+  def bucketedSnapshot(t: GoldTable) =
+    new graft.tables.BucketedSnapshotTable(s"$goldDir/${t.name}", t.numBuckets, t.keys)
+
+  /** Read the live gold table regardless of its storage form. */
+  def readTable(spark: SparkSession, name: String): DataFrame = {
+    val t = registry.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"gold table $name not declared"))
+    if (t.numBuckets > 0) bucketedSnapshot(t).read(spark)
+    else snapshot(name).read(spark)
+  }
 
   /** Kahn topo order over `dependsOn` (C9 — DLT resolves the DAG for us;
     * here it is explicit and deterministic). */
@@ -83,14 +98,24 @@ final class GoldPipeline(goldDir: String, checkpointRoot: String) {
     // expectations-UI analog (C6).
     val stream = Expectations.expectAllOrDrop(
       AutoIngest.readStream(spark, cfg), t.expectations, s"quality_${t.name}")
-    val target = snapshot(t.name)
-    AutoIngest.foreachBatchOnce(stream, cfg.checkpointDir) { (clean, _) =>
-      val merged =
-        if (t.scdType == 2)
-          ScdMerge.scd2Merge(target.readOption(spark), clean, t.keys, t.sequenceBy, t.tieBreak)
-        else
-          ScdMerge.scd1Upsert(target.readOption(spark), clean, t.keys, t.sequenceBy, t.tieBreak)
-      target.write(spark, merged)
+    if (t.numBuckets > 0) {
+      // bucketed target: the merge itself prunes to affected buckets
+      val target = bucketedSnapshot(t)
+      AutoIngest.foreachBatchOnce(stream, cfg.checkpointDir) { (clean, _) =>
+        if (t.scdType == 2) target.scd2Merge(spark, clean, t.sequenceBy, t.tieBreak)
+        else target.scd1Merge(spark, clean, t.sequenceBy, t.tieBreak)
+        ()
+      }
+    } else {
+      val target = snapshot(t.name)
+      AutoIngest.foreachBatchOnce(stream, cfg.checkpointDir) { (clean, _) =>
+        val merged =
+          if (t.scdType == 2)
+            ScdMerge.scd2Merge(target.readOption(spark), clean, t.keys, t.sequenceBy, t.tieBreak)
+          else
+            ScdMerge.scd1Upsert(target.readOption(spark), clean, t.keys, t.sequenceBy, t.tieBreak)
+        target.write(spark, merged)
+      }
     }
   }
 }

@@ -30,7 +30,10 @@ case class MedallionTable(
     tieBreak: Seq[Column] = Nil,
     // DimArtist asymmetry: the reference lands it in silver but declares no
     // gold DLT module for it (SURVEY.md §1.1) — config-driven, not special-cased.
-    goldEnabled: Boolean = true)
+    goldEnabled: Boolean = true,
+    // > 0 ⇒ gold target is hash-bucketed (merge rewrites affected buckets
+    // only; see BucketedSnapshotTable) — the 100 TB fact-table setting.
+    numBuckets: Int = 0)
 
 final class Medallion(workDir: String) {
 
@@ -73,16 +76,23 @@ final class Medallion(workDir: String) {
         sequenceBy = t.spec.cdcCol,
         scdType = t.scdType,
         expectations = t.expectations,
-        tieBreak = t.tieBreak))
+        tieBreak = t.tieBreak,
+        numBuckets = t.numBuckets))
     }
     gold.runOnce(spark)
 
-    // S5 — exploration surface: register the live gold snapshots in the
-    // session catalog (`graft_gold.<table>`) so `spark.sql` probes work,
-    // the reference's `spotify_cata.gold.*` analog.
+    // S5 — exploration surface: register the live gold tables so
+    // `spark.sql` probes work, the reference's `spotify_cata.gold.*`
+    // analog. Plain snapshots get a 3-level catalog table; bucketed
+    // snapshots (multi-dir) get a temp view.
     tables.filter(_.goldEnabled).foreach { t =>
-      graft.sql.TableCatalog.registerSnapshot(
-        spark, "graft_gold", t.spec.table.toLowerCase, gold.snapshot(t.spec.table))
+      if (t.numBuckets > 0)
+        graft.sql.TableCatalog.registerView(spark,
+          s"graft_gold_${t.spec.table.toLowerCase}",
+          gold.readTable(spark, t.spec.table))
+      else
+        graft.sql.TableCatalog.registerSnapshot(
+          spark, "graft_gold", t.spec.table.toLowerCase, gold.snapshot(t.spec.table))
     }
   }
 

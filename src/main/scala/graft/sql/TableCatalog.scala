@@ -31,6 +31,13 @@ object TableCatalog {
     registerParquet(spark, db, table, s"${snap.root}/_v$v")
   }
 
+  /** Register a DataFrame-backed relation (e.g. a bucketed snapshot whose
+    * live data spans several batch dirs) as a session temp view. Temp
+    * views are single-level names — callers embed the schema in the name
+    * (`graft_gold_dimuser`). */
+  def registerView(spark: SparkSession, name: String, df: DataFrame): Unit =
+    df.createOrReplaceTempView(name)
+
   /** S5 — the exploration entry point (`SELECT * FROM spotify.gold.x`). */
   def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)
 }

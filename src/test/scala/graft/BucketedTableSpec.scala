@@ -88,6 +88,37 @@ class BucketedTableSpec extends AnyFunSuite {
     assert(t.read(spark).filter($"k" === 1).select("v").as[String].head() == "a2")
   }
 
+  test("GoldPipeline with numBuckets: declarative SCD2 into a bucketed target") {
+    val work = tmp("bgold")
+    Seq((1, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "v1"),
+        (2, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "w1"))
+      .toDF("id", "updated_at", "v").write.parquet(s"$work/silver/dim/b1")
+    val gp = new graft.gold.GoldPipeline(s"$work/gold", s"$work/ck")
+    gp.declare(graft.gold.GoldTable("dim", s"$work/silver/dim/*",
+      Seq("id"), "updated_at", 2, numBuckets = 8))
+    gp.runOnce(spark)
+    assert(gp.readTable(spark, "dim").count() == 2)
+    // incremental: id=1 gets a new version; only id=1's bucket rewrites
+    Seq((1, java.sql.Timestamp.valueOf("2024-02-01 00:00:00"), "v2"))
+      .toDF("id", "updated_at", "v").write.parquet(s"$work/silver/dim/b2")
+    gp.runOnce(spark)
+    val t = gp.readTable(spark, "dim")
+    assert(t.count() == 3)
+    assert(graft.cdc.ScdMerge.current(t).filter($"id" === 1)
+      .select("v").as[String].head() == "v2")
+    assert(graft.cdc.ScdMerge.history(t).select("v").as[String].head() == "v1")
+    // the untouched key's bucket still points at the first batch dir
+    val m = gp.bucketedSnapshot(gp.tables.head).manifest(spark)
+    val b2 = new graft.tables.BucketedSnapshotTable(s"$work/gold/dim", 8, Seq("id"))
+      .bucketExpr
+    val touched = Seq((1, 0)).toDF("id", "x").select(b2).head().getInt(0)
+    val untouched = Seq((2, 0)).toDF("id", "x").select(b2).head().getInt(0)
+    if (touched != untouched) {
+      assert(m(untouched) == "_batch_v1")
+      assert(m(touched) == "_batch_v2")
+    }
+  }
+
   test("read prunes to affected buckets only (directory-level pruning)") {
     val t = new BucketedSnapshotTable(tmp("bprune"), numBuckets = 32, keys = Seq("k"))
     t.scd1Merge(spark, mkBatch((1 to 200).map(i => (i, 1, s"v$i"))), "seq")
