@@ -269,7 +269,9 @@ object SparkEntry {
       import s.implicits._
       val work = java.nio.file.Files.createTempDirectory("medallion").toString
       val med = new graft.pipeline.Medallion(work)
-      withShufflePartitions(s, 8) { med.run(s,
+      // (not shuffle-pinned: the medallion's heavy leg is the batch SCD
+      // merge inside foreachBatch, which wants full parallelism)
+      med.run(s,
         Seq(graft.pipeline.MedallionTable(
           spec = graft.ingest.TableSpec("main", "events", "ts"),
           silverTransform = df => df.withColumn("event_type", upper($"event_type")),
@@ -278,7 +280,7 @@ object SparkEntry {
           expectations = Seq(graft.ops.Expectation("uid", "user_id IS NOT NULL")),
           tieBreak = Seq($"event_id"))),
         _ => { Tables.events(s, dir).write.mode("overwrite").parquet(s"$work/source"); s"$work/source" },
-        runTs = "r1") }
+        runTs = "r1")
       med.goldTable(s, "events")
         .select($"user_id", $"event_type", $"event_id", $"ts", $"value")
         .orderBy($"user_id", $"event_type")
@@ -879,6 +881,77 @@ object SparkEntry {
         .orderBy($"event_type")
     }),
 
+    // ── D2 depth: window-function breadth — lag, dense_rank, ntile,
+    //    percent_rank over the per-customer order sequence.
+    "q63_window_breadth" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      Tables.orders(s, dir)
+        .select($"o_custkey", $"o_orderkey",
+          lag($"o_orderkey", 1).over(w).as("prev_orderkey"),
+          dense_rank().over(w).cast("long").as("drank"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("prank"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
+    // ── 2.8 breadth: string-function surface — substring, lpad, instr,
+    //    translate, levenshtein (all codegen'd; no UDFs).
+    "q64_string_functions" -> ((s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir)
+        .select($"c_custkey",
+          substring($"c_name", 1, 8).as("name_prefix"),
+          lpad($"c_custkey".cast("string"), 10, "0").as("key_padded"),
+          instr($"c_name", "#").cast("long").as("hash_pos"),
+          translate($"c_mktsegment", "AEIOU", "aeiou").as("seg_lower_vowels"),
+          levenshtein($"c_mktsegment", lit("BUILDING")).cast("long").as("seg_dist"))
+        .orderBy($"c_custkey")
+    }),
+
+    // ── 2.6/2.8 breadth: array aggregation — per-user sorted distinct
+    //    event-type list (order pinned by sort_array so the result is
+    //    partitioning-independent), plus element probes.
+    "q65_array_agg" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"user_id")
+        .agg(sort_array(collect_set($"event_type")).as("types"))
+        .select($"user_id",
+          array_join($"types", ",").as("types_csv"),
+          size($"types").cast("long").as("n_types"),
+          element_at($"types", 1).as("first_type"),
+          array_contains($"types", "purchase").as("has_purchase"))
+        .orderBy($"user_id")
+    }),
+
+    // ── 2.8 breadth: null semantics — nullif/coalesce/null-safe equality
+    //    (<=>), counts under nulls.
+    "q66_null_semantics" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .withColumn("v_null", nullif($"event_type", lit("error")))
+        .groupBy($"user_id")
+        .agg(
+          count($"v_null").as("n_non_error"),          // count skips nulls
+          count(lit(1)).as("n_all"),
+          sum(when($"v_null" <=> lit(null), 1L).otherwise(0L)).as("n_error_nullsafe"),
+          coalesce(max($"v_null"), lit("none")).as("max_type"))
+        .orderBy($"user_id")
+    }),
+
+    // ── S5 depth: correlated scalar subquery (orders above the customer's
+    //    own average) — Catalyst decorrelation surface.
+    "q67_correlated_subquery" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders3")
+      s.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice FROM v_orders3 o
+        WHERE o_totalprice > 2 * (
+          SELECT CAST(AVG(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          FROM v_orders3 i WHERE i.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey""")
+    }),
+
     // ── S5/1.4: 3-level catalog registration + SQL over registered tables
     //    (spark_catalog.<db>.<table>, the reference's UC namespace analog).
     "q41_catalog_sql" -> ((s, dir) => {
@@ -1309,6 +1382,48 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n,
         |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q63_window_breadth" ->
+      """SELECT o_custkey, o_orderkey,
+        |lag(o_orderkey, 1) OVER w AS prev_orderkey,
+        |CAST(dense_rank() OVER w AS BIGINT) AS drank,
+        |CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |ROUND(percent_rank() OVER w, 6) AS prank
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q64_string_functions" ->
+      """SELECT c_custkey,
+        |substring(c_name, 1, 8) AS name_prefix,
+        |lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+        |CAST(instr(c_name, '#') AS BIGINT) AS hash_pos,
+        |translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_lower_vowels,
+        |CAST(levenshtein(c_mktsegment, 'BUILDING') AS BIGINT) AS seg_dist
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q65_array_agg" ->
+      """SELECT user_id,
+        |array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_csv,
+        |CAST(len(list_sort(list(DISTINCT event_type))) AS BIGINT) AS n_types,
+        |list_sort(list(DISTINCT event_type))[1] AS first_type,
+        |list_contains(list(DISTINCT event_type), 'purchase') AS has_purchase
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q66_null_semantics" ->
+      """SELECT user_id,
+        |COUNT(nullif(event_type, 'error')) AS n_non_error,
+        |COUNT(*) AS n_all,
+        |CAST(SUM(CASE WHEN nullif(event_type, 'error') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_error_nullsafe,
+        |COALESCE(MAX(nullif(event_type, 'error')), 'none') AS max_type
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q67_correlated_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE o_totalprice > 2 * (
+        |  SELECT CAST(AVG(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q49_text_chunking" ->
       """WITH toks AS (
