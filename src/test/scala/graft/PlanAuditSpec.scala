@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: the properties that make queries scale
+  * (pushdown reaching the scan, dimensions broadcast, top-k never sorting
+  * globally, column pruning) are asserted against the optimizer output so
+  * a refactor can't silently trade them away. Runs on sf0.001 — plan
+  * shape, not data volume, is under test. */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q2: CDC watermark predicate is pushed into the parquet scan") {
+    // Tables.eventsSince filters in raw storage units (nanos) so the scan
+    // carries a GreaterThan pushed filter instead of a post-scan cast
+    val plan = planOf("q2_cdc_filter")
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts,"),
+      s"watermark filter not pushed:\n${plan.take(2000)}")
+  }
+
+  test("q4: star-join dimensions broadcast; fact side never broadcasts") {
+    val plan = planOf("q4_star_join")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins (cu/n/r), got $broadcasts")
+    // the lineitem⋈orders leg must be a real distributed join, not BNLJ
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q11: top-k plans as TakeOrderedAndProject (no global sort)") {
+    val plan = planOf("q11_topk")
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("q48: selective filters stay below the join; top-k bounded") {
+    val plan = planOf("q48_shipping_priority")
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate")
+      || plan.contains("GreaterThan(l_shipdate"),
+      s"lineitem date filter not at the scan:\n${plan.take(3000)}")
+  }
+
+  test("q20: column pruning — scan reads only doc_id and text") {
+    val df = SparkEntry.queries("q20_token_count")(spark, dir)
+    // sparkPlan: the pre-AQE physical plan (AdaptiveSparkPlanExec hides
+    // its children from collect() until execution)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val readCols = scans.head.requiredSchema.fieldNames.toSet
+    assert(readCols == Set("doc_id", "text"), s"scan reads $readCols")
+  }
+
+  test("q5/q6: semi and anti joins plan as semi/anti, not inner+dedup") {
+    assert(planOf("q5_semi_join").contains("LeftSemi"))
+    assert(planOf("q6_anti_join").contains("LeftAnti"))
+  }
+
+  test("q42: as-of join plans the custom sorted-merge operator, no cross product") {
+    val plan = planOf("q42_asof_join")
+    assert(plan.contains("AsOfJoin"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("whole-stage codegen covers the hot scalar pipelines") {
+    // q3's transform stack (upper/trim/regexp_replace/when) must fuse into
+    // codegen stages. (q20's higher-order lambdas are CodegenFallback by
+    // Spark design — that hot path uses explode+aggregate instead, see
+    // Dedup.shingleRows / simhashTable.)
+    // AQE reports 0 codegen subtrees before execution — disable it for the
+    // explain (plan shape under test, not runtime adaptivity)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q3_transforms")(spark, dir)
+      val codegen = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+      assert(codegen.contains("WholeStageCodegen subtrees"))
+      assert(!codegen.startsWith("Found 0 WholeStageCodegen"), codegen.linesIterator.next())
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("vec_dot inner product compiles into whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    // source must be non-local (a literal relation constant-folds away)
+    val df = spark.range(4)
+      .select(array(col("id").cast("float"), lit(2f)).as("a"),
+        array(lit(3f), lit(4f)).as("b"))
+      .select(graft.functions.VectorFunctions.vec_dot(col("a"), col("b")).as("d"))
+    val codegen = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(!codegen.startsWith("Found 0 WholeStageCodegen"), codegen.linesIterator.next())
+    import spark.implicits._
+    assert(df.as[Double].collect().toSet == Set(8.0, 11.0, 14.0, 17.0))
+  }
+}
