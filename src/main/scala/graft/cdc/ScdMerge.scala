@@ -32,6 +32,15 @@ object ScdMerge {
   val StartCol = "__START_AT"
   val EndCol   = "__END_AT"
 
+  /** Schema evolution across batches (C3 meets C4/C5): a batch may add
+    * columns the target lacks (and vice versa) — the union takes the name
+    * union, null-filling the missing side, like DLT auto-CDC over an
+    * evolved source. A column absent from the *winning* row is null in the
+    * merged state (no cross-version carry-forward — version semantics stay
+    * pure last-write). */
+  private def unionEvolving(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b, allowMissingColumns = true)
+
   /** C5 — SCD Type 1 upsert: per business key, last write (highest
     * `sequence_by`) wins; ties prefer the incoming batch. No history.
     */
@@ -51,11 +60,12 @@ object ScdMerge {
         val affected  = t.join(keySet, keys, "left_semi")
         // union + one keyed reduction: higher seq wins, batch wins ties.
         val merged = Relational.latestByKey(
-          affected.withColumn("__src", lit(0))
-            .unionByName(upd.withColumn("__src", lit(1))),
+          unionEvolving(
+            affected.withColumn("__src", lit(0)),
+            upd.withColumn("__src", lit(1))),
           keys, col(seqCol), col("__src") +: tieBreak
         ).drop("__src")
-        untouched.unionByName(merged)
+        unionEvolving(untouched, merged)
     }
   }
 
@@ -88,10 +98,11 @@ object ScdMerge {
         val untouched = t.join(keySet, keys, "left_anti")
         val affected  = t.join(keySet, keys, "left_semi")
         val combined = dedupVersions(
-          affected.withColumn("__src", lit(0))
-            .unionByName(newVersions.withColumn("__src", lit(1))),
+          unionEvolving(
+            affected.withColumn("__src", lit(0)),
+            newVersions.withColumn("__src", lit(1))),
           keys, tieBreak)
-        untouched.unionByName(rechain(combined, keys, tieBreak))
+        unionEvolving(untouched, rechain(combined, keys, tieBreak))
     }
   }
 

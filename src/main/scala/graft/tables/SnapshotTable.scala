@@ -52,6 +52,16 @@ final class SnapshotTable(val root: String) {
   def readOption(spark: SparkSession): Option[DataFrame] =
     currentVersion(spark).map(v => spark.read.parquet(s"$root/_v$v"))
 
+  /** Time travel: read a specific committed version (any snapshot dir not
+    * yet vacuumed). The live pointer is untouched. */
+  def readVersion(spark: SparkSession, version: Int): DataFrame = {
+    val f = fs(spark)
+    val p = new Path(s"$root/_v$version")
+    if (!f.exists(p)) throw new IllegalArgumentException(
+      s"SnapshotTable $root: version $version does not exist (vacuumed or never committed)")
+    spark.read.parquet(p.toString)
+  }
+
   /** Commit `df` as the next full snapshot and atomically advance the
     * pointer. Returns the committed version.
     *

@@ -33,6 +33,38 @@ class EngineCoreSpec extends AnyFunSuite {
     assert(t.read(spark).count() == 1) // live version untouched
   }
 
+  test("ScdMerge: schema evolution — a batch adding a column null-fills history") {
+    val t0 = ScdMerge.scd1Upsert(None,
+      Seq((1, 10, "a"), (2, 10, "b")).toDF("k", "seq", "v"), Seq("k"), "seq")
+    // next batch carries a NEW column `extra`
+    val t1 = ScdMerge.scd1Upsert(Some(t0),
+      Seq((1, 20, "a2", "x")).toDF("k", "seq", "v", "extra"), Seq("k"), "seq")
+    assert(t1.columns.toSet == Set("k", "seq", "v", "extra"))
+    val rows = t1.select("k", "v", "extra").collect()
+      .map(r => (r.getInt(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(rows == Set((1, "a2", Some("x")), (2, "b", None)))
+
+    // SCD2: evolved batch opens a new version; older versions carry null
+    val v0 = ScdMerge.scd2Merge(None,
+      Seq((1, 10, "a")).toDF("k", "seq", "v"), Seq("k"), "seq")
+    val v1 = ScdMerge.scd2Merge(Some(v0),
+      Seq((1, 20, "a2", "x")).toDF("k", "seq", "v", "extra"), Seq("k"), "seq")
+    assert(v1.count() == 2)
+    val cur = ScdMerge.current(v1).select("v", "extra").head()
+    assert(cur.getString(0) == "a2" && cur.getString(1) == "x")
+    assert(ScdMerge.history(v1).select("extra").head().isNullAt(0))
+  }
+
+  test("SnapshotTable: readVersion time travel sees pre-update states") {
+    val t = new SnapshotTable(tmp("travel"))
+    t.write(spark, Seq(1, 2).toDF("x"))
+    t.write(spark, Seq(3).toDF("x"))
+    assert(t.readVersion(spark, 1).as[Int].collect().toSet == Set(1, 2))
+    assert(t.readVersion(spark, 2).as[Int].collect().toSet == Set(3))
+    assert(t.read(spark).as[Int].collect().toSet == Set(3)) // pointer untouched
+    intercept[IllegalArgumentException](t.readVersion(spark, 9))
+  }
+
   test("SnapshotTable: compact rewrites the live snapshot into fewer files") {
     val t = new SnapshotTable(tmp("compact"))
     (1 to 4).foreach(i => t.write(spark,
