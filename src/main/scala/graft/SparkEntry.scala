@@ -952,6 +952,15 @@ object SparkEntry {
         ORDER BY o_orderkey""")
     }),
 
+    // ── LLM-pipeline: deterministic per-group reservoir — exactly k docs
+    //    per language by hash rank (reproducible eval-slice selection).
+    "q68_reservoir_per_key" -> ((s, dir) => {
+      import s.implicits._
+      graft.llm.Sampling.reservoirPerKey(Tables.documents(s, dir), "lang", "doc_id", 10)
+        .select($"doc_id", $"lang")
+        .orderBy($"doc_id")
+    }),
+
     // ── S5/1.4: 3-level catalog registration + SQL over registered tables
     //    (spark_catalog.<db>.<table>, the reference's UC namespace analog).
     "q41_catalog_sql" -> ((s, dir) => {
@@ -1424,6 +1433,12 @@ object SparkEntry {
         |  SELECT CAST(AVG(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |  FROM orders i WHERE i.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q68_reservoir_per_key" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, ROW_NUMBER() OVER (
+        |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
 
     "q49_text_chunking" ->
       """WITH toks AS (

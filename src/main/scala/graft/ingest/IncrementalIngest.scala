@@ -22,14 +22,17 @@ case class IngestResult(table: String, rowsRead: Long, newWatermark: Option[Stri
   *  2. S1  incremental scan: `source WHERE cdc_col > wm` — the predicate is a
   *         typed Catalyst filter, pushed into the parquet scan (the
   *         reference splices it into remote SQL; same effect, cleaner IR)
-  *  3. F4/K5 row-count gate: empty batch ⇒ no bronze write at all (the
-  *         reference writes then deletes the empty file; skipping is the
-  *         semantics it wants)
-  *  4. K1  bronze parquet append `bronze/<table>/<table>-<runTs>`
+  *  3. K1  bronze parquet append `bronze/<table>/<table>-<runTs>`, with
+  *         count+max piggybacked on the write job via `observe()` — ONE
+  *         scan per run, not a stats pass plus a copy pass
+  *  4. F4/K5 row-count gate: an empty batch deletes the just-written empty
+  *         output — exactly the reference's Copy → IfCondition →
+  *         DeleteEmptyFile chain (incremental_ingustion.json:140-190)
   *  5. A1  `MAX(cdc_col)` watermark advance + K2 overwrite
   *
-  * Scale notes: count+max are one aggregate pass over the *filtered* scan
-  * (pushdown applies); nothing is collected but the 2-value stats row.
+  * Scale notes: count+max ride the write job as observed metrics
+  * (pushdown applies); nothing reaches the driver but the 2-value stats
+  * row.
   * Timestamps are compared as `TimestampType`, not strings (SURVEY §7.4
   * hazard), and the watermark is stored at microsecond precision so the
   * reference's strict-`>` row-skipping hazard shrinks to exact-µs ties.
@@ -56,23 +59,33 @@ object IncrementalIngest {
     val cdcType = src.schema(spec.cdcCol).dataType
     val incr = src.filter(col(spec.cdcCol) > lit(wm).cast(cdcType))
 
-    // One aggregate pass for the F4 gate + A1 watermark advance.
-    val stats = incr.agg(count(lit(1)).as("n"), max(col(spec.cdcCol)).as("mx")).head()
-    val n = stats.getLong(0)
+    // K1 with the F4/A1 stats observed on the same job — single scan.
+    val target = s"$bronzeDir/${spec.table}/${spec.table}-$runTs"
+    val obs = org.apache.spark.sql.Observation(s"ingest_${spec.table}_$runTs")
+    incr.observe(obs, count(lit(1)).as("n"), max(col(spec.cdcCol)).as("mx"))
+      .write.mode(SaveMode.Overwrite).parquet(target)
+    val stats = obs.get
+    val n = stats("n").asInstanceOf[Long]
 
-    if (n == 0L) IngestResult(spec.table, 0L, None)
-    else {
-      incr.write.mode(SaveMode.Overwrite)
-        .parquet(s"$bronzeDir/${spec.table}/${spec.table}-$runTs")
-      val maxCdc = cdcType match {
-        case TimestampType =>
+    if (n == 0L) {
+      // K5 — the reference's DeleteEmptyFile activity: remove the empty copy
+      val p = new org.apache.hadoop.fs.Path(target)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      IngestResult(spec.table, 0L, None)
+    } else {
+      val maxCdc = (cdcType, stats("mx")) match {
+        case (TimestampType, ts: java.sql.Timestamp) =>
           // Format the instant at UTC (matching the UTC session TZ used to
           // cast the watermark string back on the next run).
-          stats.getTimestamp(1).toInstant
+          ts.toInstant
             .atOffset(java.time.ZoneOffset.UTC).toLocalDateTime
             .format(java.time.format.DateTimeFormatter.ofPattern(WmFormat))
-        case DateType => stats.getDate(1).toString
-        case _        => stats.get(1).toString
+        case (TimestampType, i: java.time.Instant) =>
+          i.atOffset(java.time.ZoneOffset.UTC).toLocalDateTime
+            .format(java.time.format.DateTimeFormatter.ofPattern(WmFormat))
+        case (DateType, d) => d.toString
+        case (_, v)        => v.toString
       }
       wmStore.write(spark, spec.table, maxCdc)
       IngestResult(spec.table, n, Some(maxCdc))

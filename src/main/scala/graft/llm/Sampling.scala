@@ -32,4 +32,20 @@ object Sampling {
     df.withColumn("bucket", hashBucket(col(keyCol), buckets))
       .filter(col("bucket") < rate)
   }
+
+  /** Deterministic "reservoir": exactly `k` rows per group (fewer if the
+    * group is smaller), chosen by hash rank of the row key — the fixed-size
+    * analog of [[stratifiedSample]] (e.g. k documents per language for an
+    * eval slice). Same reproducibility properties; cost is one window
+    * shuffle on the group column. Ties in the hash (md5 collisions) break
+    * by the raw key, so selection stays total-ordered and replayable. */
+  def reservoirPerKey(
+      df: DataFrame, groupCol: String, keyCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(keyCol).cast("string")).asc, col(keyCol).asc)
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .drop("__rank")
+  }
 }

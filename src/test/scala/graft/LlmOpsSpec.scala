@@ -134,6 +134,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(s2.size > 50 && s2.size < 150)
   }
 
+  test("reservoirPerKey: exactly k per group, reproducible, growth-stable prefix") {
+    import graft.llm.Sampling
+    val docs = (1L to 200L).map(i => (i, if (i % 3 == 0) "de" else "en"))
+      .toDF("doc_id", "lang")
+    val s1 = Sampling.reservoirPerKey(docs, "lang", "doc_id", 5)
+    val counts = s1.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("en" -> 5L, "de" -> 5L))
+    // reproducible across runs
+    val s2 = Sampling.reservoirPerKey(docs, "lang", "doc_id", 5)
+    assert(s1.select("doc_id").as[Long].collect().sorted.sameElements(
+      s2.select("doc_id").as[Long].collect().sorted))
+    // a tiny group yields the whole group
+    val small = Sampling.reservoirPerKey(
+      docs.filter($"doc_id" <= 4), "lang", "doc_id", 5)
+    assert(small.count() == 4)
+  }
+
   test("langId: plants classify correctly") {
     val df = Seq(
       ("the cat sat on the mat and it is a hat", "en"),

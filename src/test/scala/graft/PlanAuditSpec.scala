@@ -68,6 +68,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("join strategy hints are honored (shuffle_hash overrides sort-merge)") {
+    val o = graft.tables.Tables.orders(spark, dir)
+    val li = graft.tables.Tables.lineitem(spark, dir)
+    import org.apache.spark.sql.functions.col
+    val hinted = li.hint("shuffle_hash")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+    assert(hinted.queryExecution.sparkPlan.toString.contains("ShuffledHashJoin"))
+  }
+
   test("whole-stage codegen covers the hot scalar pipelines") {
     // q3's transform stack (upper/trim/regexp_replace/when) must fuse into
     // codegen stages. (q20's higher-order lambdas are CodegenFallback by
