@@ -77,6 +77,37 @@ object Multimodal {
     }(enc)
   }
 
+  /** STUB "resize": a real pipeline would decode → scale → re-encode here
+    * (the classic image-normalization pass before feature extraction).
+    * The fake keeps every `ratio`-th byte — deterministic, shape-correct
+    * (output length = ceil(n/ratio)) — and fills the media_meta
+    * width/height the way a real resize kernel would, so downstream
+    * consumers can rely on the metadata contract. Same partition-batched
+    * `mapPartitions` shape as [[decodeStub]] (codec init amortizes per
+    * partition, no shuffle). */
+  def resizeStub(df: DataFrame, contentCol: String,
+      targetWidth: Int, targetHeight: Int): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("resized", BinaryType),
+      StructField("resized_width", IntegerType),
+      StructField("resized_height", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(contentCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        // ??? real decode→scale→encode goes here; deterministic fake below:
+        // byte-stride downsample to the target "pixel budget".
+        val budget = math.max(1, targetWidth * targetHeight)
+        val ratio = math.max(1, bytes.length / budget)
+        val out = Array.tabulate(math.max(1, (bytes.length + ratio - 1) / ratio)) {
+          i => bytes(math.min(i * ratio, bytes.length - 1))
+        }
+        Row.fromSeq(r.toSeq ++ Seq[Any](out, targetWidth, targetHeight))
+      }
+    }(enc)
+  }
+
   /** Chunk a binary payload into fixed-size "frames" (array<binary>) and
     * keep every `everyNth` — the frame-sampling shape for video. Pure
     * expressions: `sequence` + `substring` on binary. */

@@ -74,6 +74,35 @@ object Similarity {
         acc * 2 + when(proj >= 0, 1L).otherwise(0L)
       })
 
+  /** Deterministic pseudo-random unit-free hyperplane vectors, generated
+    * driver-side with splitmix64 (no RNG state object — the same (plane,
+    * dim) always yields the same component). Only numPlanes×dim doubles;
+    * shipped to executors as literals so the projection is one codegen'd
+    * [[graft.functions.DotProduct]] per plane instead of dim interpreted
+    * lambda evaluations. */
+  private[llm] def planeVectors(numPlanes: Int, dim: Int): Seq[Array[Double]] = {
+    def splitmix64(seed: Long): Long = {
+      var z = seed + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    (0 until numPlanes).map { p =>
+      Array.tabulate(dim) { i =>
+        val h = splitmix64(p.toLong * 1000003L + i)
+        (math.abs(h % 1000000L).toDouble / 1000000.0) - 0.5
+      }
+    }
+  }
+
+  /** Sign-bucket against literal plane vectors — the codegen'd form of
+    * [[hyperplaneBucket]] (hot path: one vec_dot per plane). */
+  private def bucketOf(vec: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, typedLit(p.toSeq)) >= 0, lit(1L << (planes.size - 1 - i)))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** Approximate top-k: bucket corpus and queries by hyperplane signs,
     * search only within matching buckets. Recall < 1 by construction;
     * raise recall with fewer planes (bigger buckets) or multi-probe. */
@@ -81,13 +110,17 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int, numPlanes: Int = 8): DataFrame = {
 
+    // vector width probe: one tiny driver-side job (metadata, not data)
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val planes = planeVectors(numPlanes, dim)
+
     val q = queries.select(col(idCol).as("query_id"),
         transform(col(vecCol), _.cast("double")).as("qv"))
-      .withColumn("bucket", hyperplaneBucket(col("qv"), numPlanes))
+      .withColumn("bucket", bucketOf(col("qv"), planes))
       .withColumn("qnorm", l2Norm(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"),
         transform(col(vecCol), _.cast("double")).as("cv"))
-      .withColumn("bucket", hyperplaneBucket(col("cv"), numPlanes))
+      .withColumn("bucket", bucketOf(col("cv"), planes))
       .withColumn("cnorm", l2Norm(col("cv")))
 
     val scored = q.join(c, Seq("bucket"))

@@ -180,6 +180,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(a == b && a.values.forall(w => w >= 64 && w < 1024))
   }
 
+  test("resizeStub: shape-correct output, metadata filled, deterministic") {
+    import graft.llm.Multimodal
+    val df = Seq((1L, ("x" * 1000).getBytes), (2L, "ab".getBytes))
+      .toDF("id", "content")
+    val out = Multimodal.resizeStub(df, "content", 8, 8)
+    val r = out.orderBy($"id").collect()
+    assert(out.columns.contains("resized") && out.columns.contains("resized_width"))
+    val big = r(0).getAs[Array[Byte]]("resized")
+    assert(big.length == 67) // ceil(1000/15): budget 64 → ratio 15
+    assert(r(0).getInt(r(0).fieldIndex("resized_width")) == 8)
+    val small = r(1).getAs[Array[Byte]]("resized")
+    assert(small.length == 2) // ratio 1: shorter than budget, kept as-is
+    // deterministic across runs
+    val again = Multimodal.resizeStub(df, "content", 8, 8)
+      .orderBy($"id").collect()(0).getAs[Array[Byte]]("resized")
+    assert(java.util.Arrays.equals(big, again))
+  }
+
   test("frameSample: sampled frame count matches arithmetic") {
     val df = Seq(("x" * 250)).toDF("t").withColumn("content", $"t".cast("binary"))
     val r = Multimodal.frameSample(df, "content", 100, 2)
