@@ -13,7 +13,10 @@ Test / fork := true
 run / fork := true
 // Forked run output must reach stdout verbatim (no sbt "[info] " prefix):
 // the bench/verify harness parses the one-line JSON that Bench prints.
-run / outputStrategy := Some(StdoutOutput)
+// Project-level (not `run /`-scoped) so it also applies to `runMain`,
+// which is what the harness actually invokes (`run /`-scoped keys are
+// dead there — sbt lint flags them unused).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

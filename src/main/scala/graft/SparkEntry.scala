@@ -29,7 +29,7 @@ object SparkEntry {
     * decode stub. */
   def rowsOnly: Set[String] =
     Set("q29_simhash_groups", "q30_ann_lsh", "q31_multimodal_decode", "q43_ann_ivf",
-      "q55_sketches", "q61_ann_ivf_kmeans")
+      "q55_sketches", "q61_ann_ivf_kmeans", "q69_simhash_pairs")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -959,6 +959,17 @@ object SparkEntry {
       graft.llm.Sampling.reservoirPerKey(Tables.documents(s, dir), "lang", "doc_id", 10)
         .select($"doc_id", $"lang")
         .orderBy($"doc_id")
+    }),
+
+    // ── LLM-pipeline (rows-only): SimHash near-dup PAIRS within Hamming
+    //    radius 3 — banded HammingLSH candidates (equality joins on 16-bit
+    //    slices; complete recall for radius < bands) + exact bit_count
+    //    verify. The pair-form complement of q29's identical-hash buckets.
+    "q69_simhash_pairs" -> ((s, dir) => {
+      import s.implicits._
+      graft.llm.Dedup.simhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+          maxHamming = 3, bands = 4)
+        .orderBy($"d1", $"d2")
     }),
 
     // ── S5/1.4: 3-level catalog registration + SQL over registered tables

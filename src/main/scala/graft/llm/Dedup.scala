@@ -236,4 +236,34 @@ object Dedup {
     simhashTable(df, idCol, textCol)
       .groupBy("simhash")
       .agg(min(col("id")).as("canonical_id"), count(lit(1)).as("dup_count"))
+
+  /** SimHash near-dup PAIRS within a Hamming radius — the banded form:
+    * split the 64-bit hash into `bands` fixed bit-slices; by pigeonhole,
+    * two hashes within Hamming distance `bands - 1` share at least one
+    * slice, so candidates are generated by equality joins on (band, slice)
+    * — 8-byte shuffle keys, no cross join — then verified exactly with
+    * `bit_count(xor) <= maxHamming`. Guaranteed-complete recall whenever
+    * `maxHamming < bands` (the classic HammingLSH construction). */
+  def simhashNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(maxHamming < bands,
+      s"maxHamming=$maxHamming needs bands>$maxHamming for complete recall")
+    val bits = 64 / bands
+    val sh = simhashTable(df, idCol, textCol).localCheckpoint()
+    val banded = sh.select(col("id"), col("simhash"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            col("simhash").cast("long")
+              .bitwiseAND(lit(((1L << bits) - 1) << (b * bits))).as("slice"))
+        }: _*)).as("bb"))
+      .select(col("id"), col("simhash"), col("bb.band"), col("bb.slice"))
+    banded.alias("a").join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.slice") === col("b.slice") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("d1"), col("b.id").as("d2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .dropDuplicates("d1", "d2")
+      .filter(col("hamming") <= maxHamming)
+  }
 }

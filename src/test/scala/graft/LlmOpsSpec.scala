@@ -38,6 +38,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(hashes(1L) != hashes(3L))
   }
 
+  test("simhashNearDupPairs == brute-force Hamming pairs (complete recall when radius < bands)") {
+    val sh = Dedup.simhashTable(docs, "doc_id", "text")
+    val brute = sh.alias("a").join(sh.alias("b"), col("a.id") < col("b.id"))
+      .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= 3)
+      .select(col("a.id"), col("b.id")).as[(Long, Long)].collect().toSet
+    val banded = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3, bands = 4)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(banded == brute)
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 4, bands = 4)
+    }
+  }
+
   test("exactGroups: duplicated text collapses to one canonical group") {
     val df = Seq((1L, "a b c"), (2L, "a  B c!"), (3L, "x y z")).toDF("doc_id", "text")
     val g = Dedup.exactGroups(df, "doc_id", "text")
