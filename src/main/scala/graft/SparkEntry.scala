@@ -279,7 +279,9 @@ object SparkEntry {
           scdType = 1,
           expectations = Seq(graft.ops.Expectation("uid", "user_id IS NOT NULL")),
           tieBreak = Seq($"event_id"))),
-        _ => { Tables.events(s, dir).write.mode("overwrite").parquet(s"$work/source"); s"$work/source" },
+        // staging: 8 files, not 32 — the source fan-in sets the batch's task
+        // count and the file-sink commit count all the way down the medallion
+        _ => { Tables.events(s, dir).coalesce(8).write.mode("overwrite").parquet(s"$work/source"); s"$work/source" },
         runTs = "r1")
       med.goldTable(s, "events")
         .select($"user_id", $"event_type", $"event_id", $"ts", $"value")
@@ -293,8 +295,9 @@ object SparkEntry {
       import s.implicits._
       val work = java.nio.file.Files.createTempDirectory("autoingest").toString
       // stage the source as a normal-timestamp parquet dir (the raw file is
-      // TIMESTAMP(NANOS), which the streaming schema probe can't read)
-      Tables.events(s, dir).write.mode("overwrite").parquet(s"$work/src")
+      // TIMESTAMP(NANOS), which the streaming schema probe can't read);
+      // 8 staged files ⇒ 8-task batch + 8 sink files, plumbing not operator
+      Tables.events(s, dir).coalesce(8).write.mode("overwrite").parquet(s"$work/src")
       val cfg = graft.streaming.AutoIngest.Config(
         sourceDir = s"$work/src", schemaDir = s"$work/schema", checkpointDir = s"$work/ck")
       val stream = graft.streaming.AutoIngest.readStream(s, cfg).drop("_rescued_data")
@@ -469,11 +472,16 @@ object SparkEntry {
     "q35_sql_facade" -> ((s, dir) => {
       Tables.orders(s, dir).createOrReplaceTempView("v_orders")
       Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      // EXISTS (left-semi) form of the TPC-H Q4 shape: equivalent to
+      // count(DISTINCT o_orderkey) over the join, but each order is
+      // emitted at most once — no join blow-up, no distinct aggregate
+      // (two shuffles instead of three at any scale).
       s.sql("""
-        SELECT o_orderpriority, count(DISTINCT o_orderkey) AS n_orders
-        FROM v_orders JOIN v_lineitem ON l_orderkey = o_orderkey
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM v_orders
         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-          AND l_shipdate > o_orderdate
+          AND EXISTS (SELECT 1 FROM v_lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
     }),
 
@@ -505,7 +513,10 @@ object SparkEntry {
     "q38_partitioned_write" -> ((s, dir) => {
       import s.implicits._
       val work = java.nio.file.Files.createTempDirectory("partwrite").toString
-      Tables.events(s, dir).write.mode("overwrite")
+      // repartition on the partition column before partitionBy: one file per
+      // partition dir instead of (tasks × values) small files — the standard
+      // cure for the partitioned-write small-files problem at scale
+      Tables.events(s, dir).repartition($"event_type").write.mode("overwrite")
         .partitionBy("event_type").parquet(s"$work/events")
       s.read.parquet(s"$work/events")
         .filter($"event_type" === "purchase") // prunes to one partition dir
@@ -654,9 +665,9 @@ object SparkEntry {
       val work = java.nio.file.Files.createTempDirectory("fmt").toString
       val e = Tables.events(s, dir)
       e.select($"event_id", $"user_id", $"event_type")
-        .write.mode("overwrite").option("header", "true").csv(s"$work/csv")
+        .coalesce(8).write.mode("overwrite").option("header", "true").csv(s"$work/csv")
       e.select($"event_id", $"value")
-        .write.mode("overwrite").json(s"$work/json")
+        .coalesce(8).write.mode("overwrite").json(s"$work/json")
       val fromCsv = s.read.option("header", "true")
         .schema("event_id LONG, user_id LONG, event_type STRING")
         .csv(s"$work/csv")
@@ -772,10 +783,10 @@ object SparkEntry {
       val e = Tables.events(s, dir)
       e.filter($"event_type" === "purchase")
         .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"event_id".as("p_id"))
-        .write.mode("overwrite").parquet(s"$work/purchases")
+        .coalesce(4).write.mode("overwrite").parquet(s"$work/purchases")
       e.filter($"event_type" === "error")
         .select($"user_id".as("e_user"), $"ts".as("e_ts"), $"value".as("e_value"))
-        .write.mode("overwrite").parquet(s"$work/errors")
+        .coalesce(4).write.mode("overwrite").parquet(s"$work/errors")
       val purchases = s.readStream
         .schema(s.read.parquet(s"$work/purchases").schema)
         .parquet(s"$work/purchases")
@@ -854,7 +865,7 @@ object SparkEntry {
       // project to the dedup key + aggregation columns: streaming dedup
       // state stores whole rows, so narrower rows = smaller state
       Tables.events(s, dir).select($"event_id", $"event_type", $"value")
-        .write.mode("overwrite").parquet(s"$work/src")
+        .coalesce(8).write.mode("overwrite").parquet(s"$work/src")
       val schema = s.read.parquet(s"$work/src").schema
       val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -970,6 +981,117 @@ object SparkEntry {
       graft.llm.Dedup.simhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
           maxHamming = 3, bands = 4)
         .orderBy($"d1", $"d2")
+    }),
+
+    // ── P-surface depth: explode/lateral-view — token vocabulary with
+    //    per-token totals (flatMap relation shape; UNNEST in the oracle).
+    //    The generator runs pre-shuffle; only (token, partial counts)
+    //    reach the exchange.
+    "q70_explode_lateral" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", explode(graft.llm.TextAnalysis.tokens(lower($"text"))).as("tok"))
+        .groupBy($"tok")
+        .agg(count(lit(1)).as("n"), countDistinct($"doc_id").as("n_docs"))
+        .filter($"n" >= 100)
+        .orderBy($"tok")
+    }),
+
+    // ── 2.6 depth: GROUPING SETS with grouping_id — the generalized form
+    //    that ROLLUP/CUBE desugar into.
+    "q71_grouping_sets" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders_gs")
+      s.sql("""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               count(*) AS n
+        FROM v_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY gid, status, priority""")
+    }),
+
+    // ── D2 depth: value window functions — first/last/nth over explicit
+    //    full-partition frames (the frame-sensitive trio).
+    "q72_value_windows" -> ((s, dir) => {
+      import s.implicits._
+      val full = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .select($"o_custkey", $"o_orderkey",
+          first($"o_orderkey").over(full).as("first_key"),
+          last($"o_orderkey").over(full).as("last_key"),
+          nth_value($"o_orderkey", 2).over(full).as("second_key"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
+    // ── 2.6 breadth: ordered-argument + boolean aggregates — max_by/min_by
+    //    (argmax over the unique order key), bool_and/bool_or, count_if.
+    "q73_agg_breadth" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy($"o_orderpriority")
+        .agg(
+          max_by($"o_totalprice", $"o_orderkey").as("latest_price"),
+          min_by($"o_totalprice", $"o_orderkey").as("earliest_price"),
+          bool_and($"o_totalprice" > 1000.0).as("all_over_1k"),
+          bool_or($"o_orderstatus" === "P").as("any_pending"),
+          count_if($"o_orderstatus" === "F").as("n_finished"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // ── ETL surface: date-spine generation (sequence → explode) + left
+    //    join + zero-fill — the DimDate calendar build
+    //    (initial_load.sql:1560-1925) as a derived, not hand-written, table.
+    "q74_date_spine" -> ((s, dir) => {
+      import s.implicits._
+      val spine = s.range(1)
+        .select(explode(sequence(
+          lit("2024-01-01").cast("date"), lit("2024-03-31").cast("date"),
+          expr("INTERVAL 1 DAY"))).as("d"))
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date($"ts").as("d"))
+        .agg(count(lit(1)).as("n_raw"), Relational.sumMoney($"value").as("total_raw"))
+      spine.join(daily, Seq("d"), "left_outer")
+        .select($"d",
+          coalesce($"n_raw", lit(0L)).as("n"),
+          coalesce($"total_raw", lit(0.0)).as("total"))
+        .orderBy($"d")
+    }),
+
+    // ── 2.8 breadth: regexp surface — capture-group extract, regexp
+    //    predicate, split-count (Spark and DuckDB share RE2-class
+    //    semantics for these patterns).
+    "q75_regexp" -> ((s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir)
+        .select($"c_custkey",
+          regexp_extract($"c_name", "([0-9]+)", 1).as("name_digits"),
+          $"c_name".rlike("0{2}").as("has_double_zero"),
+          size(split($"c_name", "#")).cast("long").as("name_parts"))
+        .orderBy($"c_custkey")
+    }),
+
+    // ── §7 scale: file-level min/max data skipping (Delta-style) — commit
+    //    a ts-clustered snapshot with a stats manifest, then answer a range
+    //    query reading only the files whose [min,max] intersects. The
+    //    row-level filter stays on top (stats pruning is a superset
+    //    guarantee, like partition pruning); the pruning itself is
+    //    asserted in EngineCoreSpec.
+    "q76_stats_skipping" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("statskip").toString
+      val t = new graft.tables.SnapshotTable(s"$work/t")
+      t.writeWithStats(s, Tables.events(s, dir), statsCols = Seq("ts"),
+        clusterBy = Seq("ts"), clusterPartitions = 16)
+      val lo = java.sql.Timestamp.valueOf("2024-02-01 00:00:00").getTime * 1000.0
+      val hi = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime * 1000.0
+      t.readPruned(s, "ts", lo, hi - 1)
+        .filter($"ts" >= lit("2024-02-01 00:00:00").cast("timestamp") &&
+          $"ts" < lit("2024-03-01 00:00:00").cast("timestamp"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), Relational.sumMoney($"value").as("total"))
+        .orderBy($"event_type")
     }),
 
     // ── S5/1.4: 3-level catalog registration + SQL over registered tables
@@ -1450,6 +1572,65 @@ object SparkEntry {
         |  SELECT doc_id, lang, ROW_NUMBER() OVER (
         |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents) WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+
+    "q70_explode_lateral" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x != '')) AS tok
+        |  FROM documents)
+        |SELECT tok, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+        |FROM t GROUP BY tok HAVING COUNT(*) >= 100 ORDER BY tok""".stripMargin,
+
+    "q71_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |COALESCE(o_orderpriority, 'ALL') AS priority,
+        |CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, status, priority""".stripMargin,
+
+    "q72_value_windows" ->
+      """SELECT o_custkey, o_orderkey,
+        |first_value(o_orderkey) OVER w AS first_key,
+        |last_value(o_orderkey) OVER w AS last_key,
+        |nth_value(o_orderkey, 2) OVER w AS second_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q73_agg_breadth" ->
+      """SELECT o_orderpriority,
+        |arg_max(o_totalprice, o_orderkey) AS latest_price,
+        |arg_min(o_totalprice, o_orderkey) AS earliest_price,
+        |bool_and(o_totalprice > 1000.0) AS all_over_1k,
+        |bool_or(o_orderstatus = 'P') AS any_pending,
+        |COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q74_date_spine" ->
+      """WITH spine AS (
+        |  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-03-31', INTERVAL 1 DAY)) AS DATE) AS d),
+        |daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_raw,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_raw
+        |  FROM events GROUP BY 1)
+        |SELECT spine.d, COALESCE(n_raw, 0) AS n, COALESCE(total_raw, 0.0) AS total
+        |FROM spine LEFT JOIN daily ON spine.d = daily.d ORDER BY spine.d""".stripMargin,
+
+    "q76_stats_skipping" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-02-01 00:00:00' AND ts < TIMESTAMP '2024-03-01 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q75_regexp" ->
+      """SELECT c_custkey,
+        |regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+        |regexp_matches(c_name, '0{2}') AS has_double_zero,
+        |CAST(len(string_split(c_name, '#')) AS BIGINT) AS name_parts
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q49_text_chunking" ->
       """WITH toks AS (

@@ -117,19 +117,30 @@ object Dedup {
     val shEx = shingleRows(df, idCol, textCol, shingleN).localCheckpoint()
 
     // Signature via numHashes codegen'd min-aggregates over the exploded
-    // shingle relation — one hash-shuffle on id; ~30× faster than the
-    // interpreted array_min(transform(...)) fold, identical values.
-    val minAggs = (0 until numHashes)
-      .map(seed => min(xxhash64(col("shingle"), lit(seed))).as(s"m$seed"))
-    val sig = shEx.groupBy("id")
-      .agg(minAggs.head, minAggs.tail: _*)
-      .select(col("id"),
-        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    // shingle relation — one hash-shuffle on id. Each variable-length
+    // shingle string is hashed ONCE; the numHashes "permutations" re-hash
+    // that fixed 8-byte long with a distinct seed word (xxhash64 over two
+    // longs ≪ xxhash64 over a string), so per-row cost is one string hash
+    // plus numHashes constant-size long hashes. (An affine h*A+B mix would
+    // be cheaper still, but Spark 4's default ANSI mode throws on the
+    // intentional mod-2^64 overflow.)
+    val hashed = shEx.select(col("id"), xxhash64(col("shingle")).as("h"))
+    val minAggs = (0 until numHashes).map { i =>
+      min(xxhash64(lit(i.toLong), col("h"))).as(s"m$i")
+    }
+    val sig = hashed.groupBy("id").agg(minAggs.head, minAggs.tail: _*)
 
     // Band → bucket join: candidates are id pairs only — the bucket
-    // shuffle carries 8-byte keys, never shingle payloads.
+    // shuffle carries 8-byte keys, never shingle payloads. Band buckets
+    // hash the rowsPerBand signature columns directly (multi-arg xxhash64
+    // over longs, codegen) — no array assembly, no interpreted slice/
+    // transform, no string concat.
+    val bandStructs = (0 until bands).map { b =>
+      val slots = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i"))
+      struct(lit(b).as("band"), xxhash64(slots :+ lit(b): _*).as("bucket"))
+    }
     val banded = sig
-      .select(col("id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("bb"))
+      .select(col("id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val candidates = banded.alias("a").join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

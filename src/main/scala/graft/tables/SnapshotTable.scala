@@ -106,6 +106,77 @@ final class SnapshotTable(val root: String) {
   def compact(spark: SparkSession, targetFiles: Int = 1): Int =
     write(spark, read(spark).repartition(targetFiles))
 
+  // ── File-level min/max stats + data skipping (Delta-style) ─────────────
+  //
+  // Parquet row-group stats already skip *within* a file, but a 100 TB
+  // table's planner cost is dominated by *which files to list/schedule* —
+  // Delta/Iceberg solve that with per-file column stats in the commit
+  // metadata. Same here: `writeWithStats` records per-file min/max for the
+  // requested columns in `_stats_v<N>` (one extra scan of the immutable
+  // just-written snapshot, once per commit); `readPruned` turns a range
+  // predicate into a file list BEFORE Spark ever lists the directory, so
+  // the scan's task count is proportional to matching files, not table
+  // size. Values are stored as doubles (timestamps as epoch micros) —
+  // numeric/timestamp stats columns only, which is what range predicates
+  // at scale filter on. Pair with `clusterBy` on the same column so file
+  // ranges are disjoint and pruning is maximally selective.
+
+  private def statsPath(v: Int) = new Path(root, s"_stats_v$v")
+
+  /** [[write]] + per-file min/max stats manifest over `statsCols`. */
+  def writeWithStats(spark: SparkSession, df: DataFrame, statsCols: Seq[String],
+      clusterBy: Seq[String] = Nil, clusterPartitions: Int = 0): Int = {
+    import org.apache.spark.sql.functions._
+    val v = write(spark, df, Nil, clusterBy, clusterPartitions)
+    val snap = spark.read.parquet(s"$root/_v$v")
+    def toD(c: String) = snap.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType =>
+        unix_micros(col(c)).cast("double")
+      case _ => col(c).cast("double")
+    }
+    val aggs = statsCols.flatMap(c => Seq(min(toD(c)).as(s"min__$c"), max(toD(c)).as(s"max__$c")))
+    val rows = snap.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val body = rows.map { r =>
+      val file = r.getString(0)
+      val stats = statsCols.zipWithIndex.map { case (c, i) =>
+        s"$c:${r.getDouble(1 + 2 * i)}:${r.getDouble(2 + 2 * i)}"
+      }.mkString("\t")
+      s"$file\t$stats"
+    }.mkString("\n")
+    val out = fs(spark).create(statsPath(v), true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    v
+  }
+
+  /** Range-pruned read: only files whose recorded [min,max] for `column`
+    * intersects [lo,hi] are handed to the scan (timestamp columns: pass
+    * epoch-micros bounds). Falls back to a full read when the live version
+    * has no stats manifest. The caller still applies the row-level filter —
+    * stats pruning is a superset guarantee, exactly like partition pruning. */
+  def readPruned(spark: SparkSession, column: String, lo: Double, hi: Double): DataFrame = {
+    val v = currentVersion(spark).getOrElse(
+      throw new IllegalStateException(s"SnapshotTable $root has no committed version"))
+    val f = fs(spark)
+    if (!f.exists(statsPath(v))) return read(spark)
+    val in = f.open(statsPath(v))
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      finally in.close()
+    val keep = lines.flatMap { l =>
+      val parts = l.split("\t")
+      val overlaps = parts.drop(1).exists { s =>
+        val Array(c, mn, mx) = s.split(":", 3)
+        c == column && !(mx.toDouble < lo || mn.toDouble > hi)
+      }
+      if (overlaps) Some(parts(0)) else None
+    }
+    if (keep.isEmpty)
+      read(spark).limit(0) // schema-preserving empty relation
+    else
+      spark.read.option("basePath", s"$root/_v$v").parquet(keep: _*)
+  }
+
   /** Drop snapshot dirs older than the `keep` most recent (time travel
     * window). Never touches the live version. */
   def vacuum(spark: SparkSession, keep: Int = 2): Unit = {

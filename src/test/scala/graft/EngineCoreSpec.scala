@@ -55,6 +55,24 @@ class EngineCoreSpec extends AnyFunSuite {
     assert(ScdMerge.history(v1).select("extra").head().isNullAt(0))
   }
 
+  test("SnapshotTable: stats manifest prunes files for range reads; results exact") {
+    val t = new SnapshotTable(tmp("skip"))
+    // clusterBy x ⇒ disjoint per-file x-ranges ⇒ selective min/max pruning
+    t.writeWithStats(spark, spark.range(1000).toDF("x").withColumn("y", col("x") * 2),
+      statsCols = Seq("x"), clusterBy = Seq("x"), clusterPartitions = 10)
+    val full = t.read(spark)
+    val pruned = t.readPruned(spark, "x", 100.0, 199.0)
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      s"expected pruning: ${pruned.inputFiles.length} vs ${full.inputFiles.length}")
+    // superset guarantee + exactness after row filter
+    val exact = full.filter(col("x").between(100, 199)).as[(Long, Long)].collect().toSet
+    val got = pruned.filter(col("x").between(100, 199)).as[(Long, Long)].collect().toSet
+    assert(got == exact)
+    // disjoint range ⇒ empty relation, schema preserved
+    assert(t.readPruned(spark, "x", 5000.0, 6000.0).count() == 0)
+    assert(t.readPruned(spark, "x", 5000.0, 6000.0).columns.toSeq == Seq("x", "y"))
+  }
+
   test("SnapshotTable: readVersion time travel sees pre-update states") {
     val t = new SnapshotTable(tmp("travel"))
     t.write(spark, Seq(1, 2).toDF("x"))

@@ -95,6 +95,36 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("runtime bloom filter: selective dim filter injects might_contain on the fact scan") {
+    // Spark's InjectRuntimeFilter turns a selective filter on the build side
+    // of a shuffle join into a bloom-filter probe on the big side — at
+    // 100 TB this skips most fact partitions before the join. Thresholds
+    // are sized for production data; lower them so the sf0.001 plan shows
+    // the same shape.
+    import org.apache.spark.sql.functions.col
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // the rule only fires for probably-shuffle joins; at sf0.001 the dim
+      // side is broadcastable-by-size, which at 100 TB it would not be
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val o = graft.tables.Tables.orders(spark, dir)
+        .filter(col("o_orderstatus") === "P").hint("shuffle_hash")
+      val li = graft.tables.Tables.lineitem(spark, dir)
+      val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"runtime bloom filter not injected:\n${plan.take(3000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("vec_dot inner product compiles into whole-stage codegen") {
     import org.apache.spark.sql.functions._
     // source must be non-local (a literal relation constant-folds away)
