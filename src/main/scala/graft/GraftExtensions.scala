@@ -17,7 +17,9 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *  - [[graft.plans.AsOfJoinStrategy]] — plans [[graft.plans.AsOfJoinPlan]]
   *    nodes (point-in-time join) into the sorted-merge physical operator;
   *  - `vec_dot(a, b)` — the codegen'd double inner product
-  *    ([[graft.functions.DotProduct]]) as a SQL function.
+  *    ([[graft.functions.DotProduct]]) as a SQL function;
+  *  - [[graft.plans.ApproxDistinctRewrite]] — opt-in COUNT(DISTINCT) →
+  *    HyperLogLog++ rewrite (`spark.graft.approxDistinct.enabled`).
   *
   * [[graft.plans.AsOfJoin.asofJoin]] and
   * [[graft.functions.VectorFunctions.register]] remain the per-session
@@ -27,6 +29,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "vec_dot"),

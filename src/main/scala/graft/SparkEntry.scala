@@ -1094,6 +1094,57 @@ object SparkEntry {
         .orderBy($"event_type")
     }),
 
+    // ── D1 depth: dropDuplicatesWithinWatermark — the bounded-state
+    //    streaming dedup (state evictable once the watermark passes,
+    //    unlike plain streaming dropDuplicates whose state grows forever).
+    //    Source is staged with every event duplicated; the stream must
+    //    collapse the pairs, so the result equals the plain event set.
+    "q77_dedup_within_watermark" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("wmdedup").toString
+      val e = Tables.events(s, dir).select($"event_id", $"ts", $"event_type", $"value")
+      e.unionByName(e).coalesce(8).write.mode("overwrite").parquet(s"$work/src")
+      val schema = s.read.parquet(s"$work/src").schema
+      withShufflePartitions(s, 8) {
+        val q = s.readStream.schema(schema).parquet(s"$work/src")
+          .withWatermark("ts", "3650 days")
+          .dropDuplicatesWithinWatermark("event_id")
+          .writeStream.format("parquet")
+          .option("checkpointLocation", s"$work/ck")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(s"$work/out")
+        q.awaitTermination()
+      }
+      s.read.parquet(s"$work/out")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), Relational.sumMoney($"value").as("total"))
+        .orderBy($"event_type")
+    }),
+
+    // ── LLM-pipeline: PII redaction (emails → [EMAIL], digit runs →
+    //    [NUM]) + audit count — over customer names, the table with
+    //    digit-run "account numbers".
+    "q78_pii_scrub" -> ((s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir)
+        .select($"c_custkey",
+          graft.llm.TextAnalysis.redactPii($"c_name").as("name_redacted"),
+          graft.llm.TextAnalysis.piiMatchCount($"c_name").cast("long").as("n_pii"))
+        .orderBy($"c_custkey")
+    }),
+
+    // ── LLM-pipeline: benchmark-contamination report — corpus docs sharing
+    //    any 3-gram with the "benchmark" slice (doc_id < 10), with distinct
+    //    overlap counts. Inverted-index semi-join; benchmark side broadcast.
+    "q79_contamination" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      graft.llm.Dedup.contaminationReport(
+          docs.filter($"doc_id" >= 10), docs.filter($"doc_id" < 10), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy($"doc_id")
+    }),
+
     // ── S5/1.4: 3-level catalog registration + SQL over registered tables
     //    (spark_catalog.<db>.<table>, the reference's UC namespace analog).
     "q41_catalog_sql" -> ((s, dir) => {
@@ -1617,6 +1668,34 @@ object SparkEntry {
         |  FROM events GROUP BY 1)
         |SELECT spine.d, COALESCE(n_raw, 0) AS n, COALESCE(total_raw, 0.0) AS total
         |FROM spine LEFT JOIN daily ON spine.d = daily.d ORDER BY spine.d""".stripMargin,
+
+    "q77_dedup_within_watermark" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q78_pii_scrub" ->
+      """SELECT c_custkey,
+        |regexp_replace(regexp_replace(c_name,
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |  '[0-9][0-9 ()+.-]{5,}[0-9]', '[NUM]', 'g') AS name_redacted,
+        |CAST(len(regexp_extract_all(c_name, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |  + len(regexp_extract_all(regexp_replace(c_name,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '[0-9][0-9 ()+.-]{5,}[0-9]')) AS BIGINT) AS n_pii
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q79_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS ts FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+        |  FROM toks, UNNEST(generate_series(1, len(ts)-2)) AS g(i)),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10)
+        |SELECT a.doc_id, COUNT(*) AS n_overlap
+        |FROM sh a JOIN bench b ON a.shingle = b.shingle
+        |WHERE a.doc_id >= 10
+        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
 
     "q76_stats_skipping" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -199,6 +199,26 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
+  // ── Benchmark contamination ────────────────────────────────────────────
+
+  /** Training-set contamination check: which corpus docs share at least one
+    * word n-gram with any benchmark doc, and how many distinct shingles
+    * overlap. The benchmark's (much smaller) shingle set is the join's
+    * build side; the corpus side reduces per doc — an inverted-index
+    * semi-join shape that shuffles hashes, never text, and never
+    * materializes a doc×doc product. At 100 TB the benchmark shingle set
+    * broadcasts and the corpus never shuffles at all. */
+  def contaminationReport(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val benchShingles = shingleRows(benchmark, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+    shingleRows(corpus, idCol, textCol, n)
+      .join(broadcast(benchShingles), Seq("shingle"), "left_semi")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
   // ── SimHash ────────────────────────────────────────────────────────────
 
   /** 64-bit SimHash over the token multiset: per bit, sum ±1 votes from

@@ -77,6 +77,25 @@ object TextAnalysis {
 
   /** Content fingerprint: md5 over whitespace-normalized text — the
     * exact-dedup key (hash-groupBy dedup shuffles on this). */
+  /** PII redaction for training corpora: emails, then long digit runs
+    * (phone/account/SSN-ish), each replaced by a typed placeholder. Order
+    * matters — emails first so their digits aren't half-eaten by the
+    * number pass. Pure codegen'd regexp_replace chain; patterns are
+    * conservative (precision over recall) since dropped PII is worse than
+    * an over-redacted token in a training document. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+      "[0-9][0-9 ()+.-]{5,}[0-9]", "[NUM]")
+
+  /** Count of PII matches the same passes would redact (audit metric). */
+  def piiMatchCount(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0))) +
+      size(regexp_extract_all(
+        regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+        lit("[0-9][0-9 ()+.-]{5,}[0-9]"), lit(0)))
+
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(normalize(text))).cast("binary"))
 }

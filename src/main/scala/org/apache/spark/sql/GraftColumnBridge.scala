@@ -32,5 +32,9 @@ object GraftColumnBridge {
     spark.experimental.extraStrategies =
       existing ++ strategies.filterNot(existing.contains)
     ext.registerFunctions(spark.sessionState.functionRegistry)
+    val rules = ext.buildOptimizerRules(spark)
+    val existingRules = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      existingRules ++ rules.filterNot(existingRules.contains)
   }
 }

@@ -28,4 +28,32 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .select($"trade", $"px").collect().map(r => (r.getString(0), r.getDouble(1))).toSet
     assert(out == Set(("t1", 99.0), ("t2", 101.0)))
   }
+
+  test("ApproxDistinctRewrite: COUNT(DISTINCT) becomes HLL++ only when opted in") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    GraftColumnBridge.applyExtensions(ext, spark)
+    import org.apache.spark.sql.functions._
+
+    val df = graft.tables.Tables.orders(spark, "/root/testdata/sf0.001")
+      .groupBy($"o_orderpriority").agg(countDistinct($"o_custkey").as("n"))
+    val exact = df.orderBy($"o_orderpriority").as[(String, Long)].collect()
+
+    // default off: plan keeps the exact distinct aggregate
+    assert(!df.queryExecution.optimizedPlan.toString.contains("approx_count_distinct"))
+
+    spark.conf.set(graft.plans.ApproxDistinctRewrite.ConfKey, "true")
+    try {
+      // fresh DataFrame ⇒ fresh QueryExecution picks the conf change up
+      val rewritten = graft.tables.Tables.orders(spark, "/root/testdata/sf0.001")
+        .groupBy($"o_orderpriority").agg(countDistinct($"o_custkey").as("n"))
+      assert(rewritten.queryExecution.optimizedPlan.toString.contains("approx_count_distinct"),
+        rewritten.queryExecution.optimizedPlan.toString.take(1000))
+      val est = rewritten.orderBy($"o_orderpriority").as[(String, Long)].collect()
+      exact.zip(est).foreach { case ((p1, n1), (p2, n2)) =>
+        assert(p1 == p2)
+        assert(math.abs(n1 - n2) <= math.max(2, (0.15 * n1).toLong), s"$p1: exact $n1 vs est $n2")
+      }
+    } finally spark.conf.unset(graft.plans.ApproxDistinctRewrite.ConfKey)
+  }
 }

@@ -51,6 +51,31 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("redactPii: emails then digit runs, audit count matches redactions") {
+    val df = Seq(
+      (1L, "contact john.doe+x@mail.example.org or call 555-123-4567 now"),
+      (2L, "no pii here"),
+      (3L, "two mails a@b.io c@d.net and account 12 34 56 789")).toDF("id", "t")
+    val out = df.select($"id",
+        TextAnalysis.redactPii($"t").as("r"),
+        TextAnalysis.piiMatchCount($"t").as("n"))
+      .as[(Long, String, Int)].collect().sortBy(_._1)
+    assert(out(0)._2 == "contact [EMAIL] or call [NUM] now" && out(0)._3 == 2)
+    assert(out(1)._2 == "no pii here" && out(1)._3 == 0)
+    assert(out(2)._2 == "two mails [EMAIL] [EMAIL] and account [NUM]" && out(2)._3 == 3)
+  }
+
+  test("contaminationReport: only docs sharing a benchmark n-gram, distinct counts") {
+    val bench = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "x alpha beta gamma y"),        // shares "alpha beta gamma"
+      (11L, "beta gamma delta q beta gamma delta"), // shares "beta gamma delta" (distinct → 1)
+      (12L, "nothing in common here")).toDF("doc_id", "text")
+    val got = Dedup.contaminationReport(corpus, bench, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 1L, 11L -> 1L))
+  }
+
   test("exactGroups: duplicated text collapses to one canonical group") {
     val df = Seq((1L, "a b c"), (2L, "a  B c!"), (3L, "x y z")).toDF("doc_id", "text")
     val g = Dedup.exactGroups(df, "doc_id", "text")
