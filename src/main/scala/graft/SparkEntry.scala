@@ -1145,6 +1145,20 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // ── LLM-pipeline: dedup CLUSTERS — near-dup pairs closed into
+    //    connected components (min-label propagation, all joins on 8-byte
+    //    ids), each doc labeled by its cluster's canonical (minimum) id.
+    //    Oracle: DuckDB recursive-CTE transitive closure over the same
+    //    exact-Jaccard pair relation.
+    "q80_dedup_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = graft.llm.Dedup.ngramJaccardPairs(
+        Tables.documents(s, dir), "doc_id", "text", 0.5)
+      graft.llm.Dedup.connectedComponents(pairs, "d1", "d2")
+        .select($"id".as("doc_id"), $"comp".as("cluster_id"))
+        .orderBy($"doc_id")
+    }),
+
     // ── S5/1.4: 3-level catalog registration + SQL over registered tables
     //    (spark_catalog.<db>.<table>, the reference's UC namespace analog).
     "q41_catalog_sql" -> ((s, dir) => {
@@ -1668,6 +1682,27 @@ object SparkEntry {
         |  FROM events GROUP BY 1)
         |SELECT spine.d, COALESCE(n_raw, 0) AS n, COALESCE(total_raw, 0.0) AS total
         |FROM spine LEFT JOIN daily ON spine.d = daily.d ORDER BY spine.d""".stripMargin,
+
+    "q80_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS ts FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+        |  FROM toks, UNNEST(generate_series(1, len(ts)-2)) AS g(i)),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT d1, d2 FROM inter JOIN cnt c1 ON c1.doc_id = d1 JOIN cnt c2 ON c2.doc_id = d2
+        |  WHERE CAST(i AS DOUBLE) / CAST(c1.n + c2.n - i AS DOUBLE) >= 0.5),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |reach AS (
+        |  SELECT a AS id, b AS r FROM edges
+        |  UNION
+        |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a)
+        |SELECT id AS doc_id, LEAST(id, MIN(r)) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "q77_dedup_within_watermark" ->
       """SELECT event_type, COUNT(*) AS n,

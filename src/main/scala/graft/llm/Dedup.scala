@@ -199,6 +199,55 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
+  // ── Dedup clustering (connected components) ────────────────────────────
+
+  /** Connected components over an undirected pair relation — near-dup
+    * PAIRS become dedup CLUSTERS (keep one doc per component). Iterative
+    * min-label propagation: each round every node takes the minimum label
+    * among itself and its neighbors, until a fixpoint — all joins/groupBys
+    * on 8-byte ids, no driver-side graph, each round one shuffle on the
+    * edge key. Rounds needed = cluster diameter, which for near-dup
+    * clusters is tiny (they are near-cliques); `maxIters` bounds
+    * pathological chains. Labels are `localCheckpoint`ed per round so the
+    * plan does not grow with iterations (lineage cut — the standard
+    * iterative-algorithm pattern, same as GraphX/Pregel).
+    *
+    * Returns (id, comp): every node that appears in `pairs`, labeled by
+    * its component's minimum id (the canonical representative). */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String, maxIters: Int = 50): DataFrame = {
+    val e0 = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val edges = e0
+      .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(edges("src").as("nid")).agg(min(col("comp")).as("nbr_comp"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      val changed = next.alias("n")
+        .join(labels.select(col("id"), col("comp").as("old")).alias("o"), "id")
+        .filter(col("comp") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0L
+      i += 1
+    }
+    labels
+  }
+
+  /** Near-dup dedup clusters end to end: exact-verified Jaccard pairs →
+    * connected components → (doc, cluster canonical). */
+  def nearDupClusters(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5): DataFrame =
+    connectedComponents(
+      minhashNearDupPairs(df, idCol, textCol, threshold), "d1", "d2")
+
   // ── Benchmark contamination ────────────────────────────────────────────
 
   /** Training-set contamination check: which corpus docs share at least one

@@ -76,6 +76,16 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got == Map(10L -> 1L, 11L -> 1L))
   }
 
+  test("connectedComponents: chain, triangle, pair resolve to min-id components") {
+    // chain 1-2-3-4 (diameter 3), triangle 10-11-12 + 11-12, pair 20-21
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("d1", "d2")
+    val got = Dedup.connectedComponents(pairs, "d1", "d2")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("exactGroups: duplicated text collapses to one canonical group") {
     val df = Seq((1L, "a b c"), (2L, "a  B c!"), (3L, "x y z")).toDF("doc_id", "text")
     val g = Dedup.exactGroups(df, "doc_id", "text")

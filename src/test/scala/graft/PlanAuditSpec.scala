@@ -125,6 +125,40 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (no manual salting)") {
+    // Relational.saltedJoin is the static answer to skew; AQE's skew-join
+    // split is the runtime one. Thresholds shrunk so a ~MB-scale skewed
+    // partition triggers the same re-plan a multi-GB one would in
+    // production.
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 90% of the left lands on key 0 — one hot shuffle partition
+      val left = spark.range(200000)
+        .select(when(col("id") % 10 === 0, col("id") % 1000).otherwise(0L).as("k"),
+          col("id").as("v"))
+      val right = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = left.join(right, "k")
+      // execute THIS QueryExecution (count() would build its own): AQE
+      // re-plans from runtime shuffle stats and finalizes the plan
+      val qe = joined.queryExecution
+      qe.executedPlan.execute().count()
+      val plan = qe.executedPlan.toString
+      assert(plan.contains("skew=true"), s"skew join not split:\n${plan.take(3000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("vec_dot inner product compiles into whole-stage codegen") {
     import org.apache.spark.sql.functions._
     // source must be non-local (a literal relation constant-folds away)
