@@ -29,7 +29,7 @@ object SparkEntry {
     * decode stub. */
   def rowsOnly: Set[String] =
     Set("q29_simhash_groups", "q30_ann_lsh", "q31_multimodal_decode", "q43_ann_ivf",
-      "q55_sketches", "q61_ann_ivf_kmeans", "q69_simhash_pairs")
+      "q55_sketches", "q61_ann_ivf_kmeans", "q69_simhash_pairs", "q82_sequence_packing")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -1159,6 +1159,32 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // ── LLM-pipeline: repetition/boilerplate signal — per-doc top-bigram
+    //    share and distinct ratio (the Gopher-style repeated-n-gram gate).
+    "q81_repetition" -> ((s, dir) => {
+      import s.implicits._
+      graft.llm.TextAnalysis.repetitionReport(Tables.documents(s, dir), "doc_id", "text", 2)
+        .withColumnRenamed("id", "doc_id")
+        .select($"doc_id", $"n_ngrams",
+          round($"top_ngram_frac", 6).as("top_ngram_frac"),
+          round($"distinct_frac", 6).as("distinct_frac"))
+        .orderBy($"doc_id")
+    }),
+
+    // ── LLM-pipeline (rows-only): greedy sequence packing into 512-token
+    //    training examples, shard-local for parallelism (packing order is
+    //    sequential only within a bounded hash shard). Invariants spec'd
+    //    in LlmOpsSpec; no SQL equivalent of the greedy fold.
+    "q82_sequence_packing" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select($"doc_id", $"lang",
+          graft.llm.TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"))
+      graft.llm.Packing.packSequences(docs, "doc_id", "n_tokens",
+          Seq("lang"), budget = 512, shards = 8)
+        .orderBy($"doc_id")
+    }),
+
     // ── S5/1.4: 3-level catalog registration + SQL over registered tables
     //    (spark_catalog.<db>.<table>, the reference's UC namespace analog).
     "q41_catalog_sql" -> ((s, dir) => {
@@ -1682,6 +1708,18 @@ object SparkEntry {
         |  FROM events GROUP BY 1)
         |SELECT spine.d, COALESCE(n_raw, 0) AS n, COALESCE(total_raw, 0.0) AS total
         |FROM spine LEFT JOIN daily ON spine.d = daily.d ORDER BY spine.d""".stripMargin,
+
+    "q81_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS ts FROM documents),
+        |occ AS (
+        |  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS shingle
+        |  FROM toks, UNNEST(generate_series(1, len(ts)-1)) AS g(i)),
+        |freq AS (SELECT doc_id, shingle, COUNT(*) AS c FROM occ GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_ngrams,
+        |  ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS top_ngram_frac,
+        |  ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS distinct_frac
+        |FROM freq GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q80_dedup_clusters" ->
       """WITH RECURSIVE toks AS (

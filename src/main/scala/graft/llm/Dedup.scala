@@ -30,7 +30,14 @@ object Dedup {
     * `lead` so tokenization and shingle assembly stay in whole-stage
     * codegen (the array-lambda variant [[shingles]] is interpreted and
     * measured ~4 s for just 5k docs). One window shuffle on id. */
-  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    shingleOccurrences(df, idCol, textCol, n).distinct()
+
+  /** Every (id, shingle) occurrence — NOT deduplicated (multiplicity
+    * preserved, for frequency-based signals like [[TextAnalysis
+    * repetition reports]]). Set-similarity operators use the distinct
+    * form [[shingleRows]]. */
+  def shingleOccurrences(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val toks = df
       .select(col(idCol).as("id"),
         posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
@@ -44,7 +51,6 @@ object Dedup {
       .withColumn("__last", leads.last)
       .filter(col("__last").isNotNull)
       .select(col("id"), col("shingle"))
-      .distinct()
   }
 
   /** Distinct word n-gram shingles per document, as an array column.

@@ -1,0 +1,70 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+
+/** Sequence packing: assign documents to fixed-token-budget training
+  * examples (greedy first-fit in id order), the step between chunking and
+  * batch assembly in an LLM data pipeline — packing short documents
+  * together is what keeps padding waste low at training time.
+  *
+  * Scale design: packing is inherently sequential *within* a packing unit,
+  * so the unit is a (groupCols, shard) slice — `shards` hash-shards bound
+  * each unit's size, and units pack independently in parallel (the same
+  * shard-local compromise production packers make; a global greedy order
+  * would serialize the whole corpus through one worker). Determinism:
+  * shard = hash(id) % shards and docs pack in ascending id order, so the
+  * layout is a pure function of the input set — reruns and retries agree.
+  *
+  * A document longer than the budget becomes its own (overflowing) pack —
+  * chunk oversized docs first (see [[TextChunker]]).
+  */
+object Packing {
+
+  /** Pack each (groupCols, shard) slice greedily in ascending-id order.
+    * Output columns: groupCols ++ (shard, pack_id, idCol, n_tokens);
+    * pack_id is unique within its (group, shard) slice. */
+  def packSequences(
+      df: DataFrame, idCol: String, tokenCountCol: String,
+      groupCols: Seq[String], budget: Int, shards: Int = 64): DataFrame = {
+    require(budget > 0 && shards > 0, "budget and shards must be positive")
+    val groupSchema = StructType(groupCols.map(c => df.schema(c)))
+    val outSchema = StructType(groupSchema.fields ++ Seq(
+      StructField("shard", IntegerType, nullable = false),
+      StructField("pack_id", LongType, nullable = false),
+      StructField(idCol, LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false)))
+
+    val prepared = df.select(
+      struct(groupCols.map(col): _*).as("__g"),
+      pmod(xxhash64(col(idCol)), lit(shards.toLong)).cast("int").as("__shard"),
+      col(idCol).cast("long").as("__id"),
+      col(tokenCountCol).cast("long").as("__t"))
+
+    prepared
+      .groupByKey { r =>
+        // group key: shard + the group struct rendered to a stable string
+        // (the typed group values travel in the rows themselves)
+        r.getInt(1) + "\u0001" + r.getStruct(0).mkString("\u0001")
+      }(Encoders.STRING)
+      .flatMapGroups { (_, rows) =>
+        // a slice is bounded by the shard fan-out — sort in memory for the
+        // deterministic greedy order
+        val buf = rows.toArray
+        val g = buf.head.getStruct(0)
+        val shard = buf.head.getInt(1)
+        val docs = buf.map(r => (r.getLong(2), r.getLong(3))).sortBy(_._1)
+        var packId = -1L
+        var acc = Long.MaxValue // forces a new pack on the first doc
+        docs.iterator.map { case (id, t) =>
+          if (acc > budget - t) { packId += 1; acc = 0L }
+          acc += t
+          // Seq[Any]: a plain Seq(Int, Long, …) unifies to Seq[Long] and
+          // silently widens shard, breaking the Row↔schema type contract
+          Row.fromSeq(g.toSeq ++ Seq[Any](shard, packId, id, t))
+        }
+      }(Encoders.row(outSchema))
+      .toDF()
+  }
+}

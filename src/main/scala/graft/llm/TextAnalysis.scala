@@ -77,6 +77,24 @@ object TextAnalysis {
 
   /** Content fingerprint: md5 over whitespace-normalized text — the
     * exact-dedup key (hash-groupBy dedup shuffles on this). */
+  /** Gopher-style repetition signal per document: how much of the text is
+    * the same n-gram said again and again. Emits per doc the total n-gram
+    * occurrence count, the share held by the single most frequent n-gram
+    * (`top_ngram_frac`), and the distinct/total ratio (`distinct_frac` —
+    * low means boilerplate). Two hash aggregations over the exploded
+    * n-gram relation; the quality-filter companion to the dedup family.
+    * (Repeated-n-gram thresholds are standard corpus-quality gates — cf.
+    * the Gopher/MassiveText filtering rules.) */
+  def repetitionReport(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      n: Int = 2): org.apache.spark.sql.DataFrame =
+    Dedup.shingleOccurrences(df, idCol, textCol, n)
+      .groupBy(col("id"), col("shingle")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_ngrams"),
+        (max(col("c")).cast("double") / sum(col("c")).cast("double")).as("top_ngram_frac"),
+        (count(lit(1)).cast("double") / sum(col("c")).cast("double")).as("distinct_frac"))
+
   /** PII redaction for training corpora: emails, then long digit runs
     * (phone/account/SSN-ish), each replaced by a typed placeholder. Order
     * matters — emails first so their digits aren't half-eaten by the

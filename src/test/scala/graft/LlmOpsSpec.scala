@@ -86,6 +86,39 @@ class LlmOpsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("packSequences: budget respected, all docs packed, deterministic, greedy on a known slice") {
+    val d = docs.select($"doc_id", $"lang",
+      TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"))
+    val packed = graft.llm.Packing.packSequences(d, "doc_id", "n_tokens",
+      Seq("lang"), budget = 512, shards = 8)
+
+    // every doc appears exactly once
+    assert(packed.count() == d.count())
+    assert(packed.select("doc_id").distinct().count() == d.count())
+
+    // no pack exceeds the budget unless it is a single oversized doc
+    val over = packed.groupBy($"lang", $"shard", $"pack_id")
+      .agg(sum($"n_tokens").as("tot"), count(lit(1)).as("nd"))
+      .filter($"tot" > 512 && $"nd" > 1)
+    assert(over.count() == 0)
+
+    // deterministic across reruns
+    val again = graft.llm.Packing.packSequences(d, "doc_id", "n_tokens",
+      Seq("lang"), budget = 512, shards = 8)
+    assert(packed.orderBy("doc_id").collect().toSeq ==
+      again.orderBy("doc_id").collect().toSeq)
+
+    // greedy semantics on one known slice: replay the fold in Scala
+    val slice = packed.filter($"lang" === "en" && $"shard" === 0)
+      .orderBy("doc_id").as[(String, Int, Long, Long, Long)].collect()
+    var acc = Long.MaxValue; var pid = -1L
+    slice.foreach { case (_, _, packId, _, t) =>
+      if (acc > 512 - t) { pid += 1; acc = 0 }
+      acc += t
+      assert(packId == pid)
+    }
+  }
+
   test("exactGroups: duplicated text collapses to one canonical group") {
     val df = Seq((1L, "a b c"), (2L, "a  B c!"), (3L, "x y z")).toDF("doc_id", "text")
     val g = Dedup.exactGroups(df, "doc_id", "text")
