@@ -1084,11 +1084,13 @@ object SparkEntry {
       val t = new graft.tables.SnapshotTable(s"$work/t")
       t.writeWithStats(s, Tables.events(s, dir), statsCols = Seq("ts"),
         clusterBy = Seq("ts"), clusterPartitions = 16)
-      val lo = java.sql.Timestamp.valueOf("2024-02-01 00:00:00").getTime * 1000.0
-      val hi = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime * 1000.0
+      def utcMicros(t: String) = java.time.LocalDateTime.parse(t)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000.0
+      val lo = utcMicros("2024-01-10T00:00:00")
+      val hi = utcMicros("2024-01-20T00:00:00")
       t.readPruned(s, "ts", lo, hi - 1)
-        .filter($"ts" >= lit("2024-02-01 00:00:00").cast("timestamp") &&
-          $"ts" < lit("2024-03-01 00:00:00").cast("timestamp"))
+        .filter($"ts" >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          $"ts" < lit("2024-01-20 00:00:00").cast("timestamp"))
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"), Relational.sumMoney($"value").as("total"))
         .orderBy($"event_type")
@@ -1774,7 +1776,7 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n,
         |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events
-        |WHERE ts >= TIMESTAMP '2024-02-01 00:00:00' AND ts < TIMESTAMP '2024-03-01 00:00:00'
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q75_regexp" ->
