@@ -33,6 +33,30 @@ object Dedup {
   def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     shingleOccurrences(df, idCol, textCol, n).distinct()
 
+  /** Distinct (id, shingle-HASH) rows — the shuffle-lean form the pair
+    * operators join on. Tokens are hashed to 64-bit longs BEFORE the
+    * shingle window, so the per-doc sort and every downstream
+    * shuffle/join carries fixed 8-byte keys instead of n-word strings;
+    * shingle identity is the hash of the n token hashes (two distinct
+    * shingles colliding inside one doc pair ≈ 2^-64 — below any
+    * observable effect; the oracle comparisons stay exact in practice).
+    * Same one-window shape as [[shingleRows]]. */
+  def shingleHashRows(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("id"),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+      .select(col("id"), col("pos"), xxhash64(col("tok")).as("th"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("pos")
+    val leads = (0 until n).map(k => lead(col("th"), k).over(w))
+    toks
+      .withColumn("h", xxhash64(leads: _*))
+      .withColumn("__last", leads.last)
+      .filter(col("__last").isNotNull)
+      .select(col("id"), col("h"))
+      .distinct()
+  }
+
   /** Every (id, shingle) occurrence — NOT deduplicated (multiplicity
     * preserved, for frequency-based signals like [[TextAnalysis
     * repetition reports]]). Set-similarity operators use the distinct
@@ -116,25 +140,23 @@ object Dedup {
       numHashes: Int = 96,
       bands: Int = 24): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // The shingle relation feeds three consumers (signature + both verify
-    // legs); materialize it once as an RDD checkpoint (localCheckpoint:
-    // executor-local blocks, lineage cut) — measured faster than both
-    // 3x recompute and persist()'s columnar-cache serialization.
-    val shEx = shingleRows(df, idCol, textCol, shingleN).localCheckpoint()
+    // The shingle-hash relation feeds three consumers (signature + both
+    // verify legs); materialize it once as an RDD checkpoint
+    // (localCheckpoint: executor-local blocks, lineage cut) — measured
+    // faster than both 3x recompute and persist()'s columnar-cache
+    // serialization.
+    val shEx = shingleHashRows(df, idCol, textCol, shingleN).localCheckpoint()
 
     // Signature via numHashes codegen'd min-aggregates over the exploded
-    // shingle relation — one hash-shuffle on id. Each variable-length
-    // shingle string is hashed ONCE; the numHashes "permutations" re-hash
-    // that fixed 8-byte long with a distinct seed word (xxhash64 over two
-    // longs ≪ xxhash64 over a string), so per-row cost is one string hash
-    // plus numHashes constant-size long hashes. (An affine h*A+B mix would
-    // be cheaper still, but Spark 4's default ANSI mode throws on the
-    // intentional mod-2^64 overflow.)
-    val hashed = shEx.select(col("id"), xxhash64(col("shingle")).as("h"))
+    // shingle-hash relation — one hash-shuffle on id. The numHashes
+    // "permutations" re-hash the fixed 8-byte shingle hash with a distinct
+    // seed word (xxhash64 over two longs — constant cost). (An affine
+    // h*A+B mix would be cheaper still, but Spark 4's default ANSI mode
+    // throws on the intentional mod-2^64 overflow.)
     val minAggs = (0 until numHashes).map { i =>
       min(xxhash64(lit(i.toLong), col("h"))).as(s"m$i")
     }
-    val sig = hashed.groupBy("id").agg(minAggs.head, minAggs.tail: _*)
+    val sig = shEx.groupBy("id").agg(minAggs.head, minAggs.tail: _*)
 
     // Band → bucket join: candidates are id pairs only — the bucket
     // shuffle carries 8-byte keys, never shingle payloads. Band buckets
@@ -155,11 +177,11 @@ object Dedup {
       .dropDuplicates("d1", "d2")
 
     // Exact verify, set-join form: intersection size per candidate pair
-    // from the exploded relation (no array lambdas in the hot path).
+    // from the exploded hash relation (8-byte join keys, no array lambdas).
     val counts = shEx.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = candidates
-      .join(shEx.select(col("id").as("d1"), col("shingle")), "d1")
-      .join(shEx.select(col("id").as("d2"), col("shingle")), Seq("d2", "shingle"))
+      .join(shEx.select(col("id").as("d1"), col("h")), "d1")
+      .join(shEx.select(col("id").as("d2"), col("h")), Seq("d2", "h"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
     inter
       .join(counts.select(col("id").as("d1"), col("n").as("n1")), "d1")
@@ -190,11 +212,12 @@ object Dedup {
       textCol: String,
       threshold: Double = 0.5,
       shingleN: Int = 3): DataFrame = {
-    // three consumers (counts + both join legs) — materialize once
-    val sh = shingleRows(df, idCol, textCol, shingleN).localCheckpoint()
+    // three consumers (counts + both join legs) — materialize once; the
+    // inverted index joins on the 8-byte shingle hash, never the string
+    val sh = shingleHashRows(df, idCol, textCol, shingleN).localCheckpoint()
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = sh.alias("a").join(sh.alias("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("d1"), col("b.id").as("d2"))
       .agg(count(lit(1)).as("i"))
     inter
@@ -266,10 +289,10 @@ object Dedup {
   def contaminationReport(
       corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val benchShingles = shingleRows(benchmark, idCol, textCol, n)
-      .select(col("shingle")).distinct()
-    shingleRows(corpus, idCol, textCol, n)
-      .join(broadcast(benchShingles), Seq("shingle"), "left_semi")
+    val benchShingles = shingleHashRows(benchmark, idCol, textCol, n)
+      .select(col("h")).distinct()
+    shingleHashRows(corpus, idCol, textCol, n)
+      .join(broadcast(benchShingles), Seq("h"), "left_semi")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_overlap"))
   }

@@ -20,22 +20,24 @@ object ProfileMinhash {
       println(f"STAGE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
     }
     docs.count() // warm
-    val exploded = Dedup.shingleRows(docs, "doc_id", "text", 3)
-    if (false) time("shingleRows")(exploded.count())
-    val minAggs = (0 until 96).map(s => min(xxhash64(col("shingle"), lit(s))).as(s"m$s"))
-    val sig = exploded.groupBy("id").agg(minAggs.head, minAggs.tail: _*)
-      .select(col("id"), array((0 until 96).map(i => col(s"m$i")): _*).as("sig"))
-    if (false) time("signature")(sig.count())
-    val banded = sig.select(col("id"), explode(Dedup.lshBands(col("sig"), 24, 4)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    if (false) time("banded")(banded.count())
-    val cand = banded.alias("a").join(banded.alias("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("d1"), col("b.id").as("d2")).dropDuplicates("d1", "d2")
-    if (false) time("candidates")(cand.count())
+
+    time("shingleRows(distinct)")(
+      Dedup.shingleRows(docs, "doc_id", "text", 3).count())
+    time("shingleRows+checkpoint") {
+      Dedup.shingleRows(docs, "doc_id", "text", 3).localCheckpoint().count()
+    }
+    val shEx = Dedup.shingleRows(docs, "doc_id", "text", 3).localCheckpoint()
+    val hashed = shEx.select(col("id"), xxhash64(col("shingle")).as("h"))
+    val minAggs = (0 until 96).map { i =>
+      min(xxhash64(lit(i.toLong), col("h"))).as(s"m$i")
+    }
+    val sig = hashed.groupBy("id").agg(minAggs.head, minAggs.tail: _*)
+    time("signature96(from ckpt)")(sig.count())
+    val counts = shEx.groupBy("id").agg(count(lit(1)).as("n"))
+    time("counts(from ckpt)")(counts.count())
     time("full1")(Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.5).count())
     time("full2")(Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.5).count())
+    time("ngramJaccard(exact)")(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5).count())
     spark.stop()
   }
 }
