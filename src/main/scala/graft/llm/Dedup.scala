@@ -256,14 +256,14 @@ object Dedup {
     while (!converged && i < maxIters) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src").as("nid")).agg(min(col("comp")).as("nbr_comp"))
+      // carry the previous label through the round so convergence is read
+      // off the (already materialized) checkpoint — no extra join/job
       val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .select(col("id"), col("comp").as("__old"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
         .localCheckpoint()
-      val changed = next.alias("n")
-        .join(labels.select(col("id"), col("comp").as("old")).alias("o"), "id")
-        .filter(col("comp") =!= col("old")).limit(1).count()
-      labels = next
-      converged = changed == 0L
+      converged = next.filter(col("comp") =!= col("__old")).limit(1).count() == 0L
+      labels = next.select(col("id"), col("comp"))
       i += 1
     }
     labels

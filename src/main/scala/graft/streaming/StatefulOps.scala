@@ -81,4 +81,41 @@ object StatefulOps {
           Iterator.single(RunningStat(key, n, s))
       }
   }
+
+  // ── transformWithState (Spark 4 arbitrary-state API) ───────────────────
+
+  /** [[runningStats]] re-expressed on `transformWithState`, Spark 4's
+    * successor to `flatMapGroupsWithState`: typed per-key `ValueState`
+    * handles with store-managed TTL (TTL eviction happens in the state
+    * store, not in user code — no timer-driven busy drains), plus timers
+    * and multi-state composition the old API lacks. Requires the RocksDB
+    * state store provider. */
+  class RunningStatProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Double), RunningStat] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Double)]("acc",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[RunningStat] = {
+      val (n0, s0) = Option(state.get()).getOrElse((0L, 0.0))
+      var n = n0; var s = s0
+      rows.foreach { case (_, v) => n += 1; s += v }
+      state.update((n, s))
+      Iterator.single(RunningStat(key, n, s))
+    }
+  }
+
+  def runningStatsTws(ds: Dataset[(Long, Double)]): Dataset[RunningStat] = {
+    implicit val statEnc: Encoder[RunningStat] = Encoders.product[RunningStat]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    ds.groupByKey(_._1)
+      .transformWithState(new RunningStatProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
 }

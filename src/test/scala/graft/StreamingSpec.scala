@@ -293,6 +293,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(latest(2L) == ((1L, 5.0)))
   }
 
+  test("StatefulOps.runningStatsTws: transformWithState accumulators persist across batches") {
+    val work = tmp("rstatstws")
+    // transformWithState requires the RocksDB state store provider
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      Seq((1L, 10.0), (1L, 20.0), (2L, 5.0)).toDF("k", "v").write.parquet(s"$work/src/f1")
+      val cfg = AutoIngest.Config(s"$work/src/*", s"$work/schema", s"$work/ck")
+      def run(): Unit = {
+        val stream = AutoIngest.readStream(spark, cfg).drop("_rescued_data")
+          .as[(Long, Double)]
+        val stats = graft.streaming.StatefulOps.runningStatsTws(stream)
+        AutoIngest.appendOnce(stats.toDF(), s"$work/sink", cfg.checkpointDir)
+      }
+      run()
+      Seq((1L, 30.0)).toDF("k", "v").write.parquet(s"$work/src/f2")
+      run()
+      val latest = spark.read.parquet(s"$work/sink")
+        .groupBy($"key").agg(max($"n").as("n"), max($"total").as("total"))
+        .as[(Long, Long, Double)].collect()
+        .map { case (k, n, t) => k -> ((n, t)) }.toMap
+      assert(latest(1L) == ((3L, 60.0)))
+      assert(latest(2L) == ((1L, 5.0)))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream-stream join: two watermarked file streams join within the time bound") {
     val work = tmp("s2s")
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
