@@ -1187,6 +1187,66 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // ── LLM-pipeline composition: cluster-canonical selection — for each
+    //    near-dup cluster keep the highest-quality doc (ties → lowest id),
+    //    with cluster size and best score. Singleton docs are their own
+    //    cluster. The policy layer dedup actually ships with.
+    "q83_cluster_canonical" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val pairs = graft.llm.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5)
+      val cc = graft.llm.Dedup.connectedComponents(pairs, "d1", "d2")
+      val scored = docs.select($"doc_id",
+          graft.llm.TextAnalysis.qualityScore($"text").as("quality"))
+        .join(cc, docs("doc_id") === cc("id"), "left_outer")
+        .select($"doc_id", $"quality", coalesce($"comp", $"doc_id").as("cluster_id"))
+      val w = Window.partitionBy($"cluster_id")
+      val wr = w.orderBy($"quality".desc, $"doc_id".asc)
+      scored
+        .withColumn("rn", row_number().over(wr))
+        .withColumn("n_docs", count(lit(1)).over(w))
+        .filter($"rn" === 1)
+        .select($"cluster_id", $"doc_id".as("canonical_id"), $"n_docs",
+          $"quality".as("best_quality"))
+        .orderBy($"cluster_id")
+    }),
+
+    // ── LLM-pipeline: duplicate-span report — per doc, how much of it is
+    //    verbatim-shared (8-gram grain) with ANY other doc. The global
+    //    shingle-frequency join is the scalable core of substring-level
+    //    dedup (inverted index; the 8-byte hash is the shuffle key).
+    "q84_duplicate_spans" -> ((s, dir) => {
+      import s.implicits._
+      val sh = graft.llm.Dedup.shingleHashRows(
+        Tables.documents(s, dir), "doc_id", "text", 8).localCheckpoint()
+      val multi = sh.groupBy($"h").agg(count(lit(1)).as("ndocs"))
+        .filter($"ndocs" > 1).select($"h")
+      val shared = sh.join(multi, Seq("h"), "left_semi")
+        .groupBy($"id").agg(count(lit(1)).as("n_shared"))
+      sh.groupBy($"id").agg(count(lit(1)).as("n_ngrams"))
+        .join(shared, Seq("id"), "left_outer")
+        .select($"id".as("doc_id"), $"n_ngrams",
+          coalesce($"n_shared", lit(0L)).as("n_shared"),
+          round(coalesce($"n_shared", lit(0L)).cast("double") /
+            $"n_ngrams".cast("double"), 6).as("dup_frac"))
+        .orderBy($"doc_id")
+    }),
+
+    // ── S5 depth: SQL DDL/DML surface — CREATE TABLE AS SELECT into the
+    //    session catalog (warehouse-managed parquet), read back via
+    //    3-level name. Idempotent across reruns (DROP first).
+    "q85_ctas_sql" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders_ctas")
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp")
+      s.sql("DROP TABLE IF EXISTS graft_tmp.orders_sum")
+      s.sql("""
+        CREATE TABLE graft_tmp.orders_sum USING parquet AS
+        SELECT o_orderstatus, count(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM v_orders_ctas GROUP BY o_orderstatus""")
+      s.sql("SELECT * FROM spark_catalog.graft_tmp.orders_sum ORDER BY o_orderstatus")
+    }),
+
     // ── S5/1.4: 3-level catalog registration + SQL over registered tables
     //    (spark_catalog.<db>.<table>, the reference's UC namespace analog).
     "q41_catalog_sql" -> ((s, dir) => {
@@ -1710,6 +1770,68 @@ object SparkEntry {
         |  FROM events GROUP BY 1)
         |SELECT spine.d, COALESCE(n_raw, 0) AS n, COALESCE(total_raw, 0.0) AS total
         |FROM spine LEFT JOIN daily ON spine.d = daily.d ORDER BY spine.d""".stripMargin,
+
+    "q83_cluster_canonical" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, text, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS ts FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+        |  FROM toks, UNNEST(generate_series(1, len(ts)-2)) AS g(i)),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT d1, d2 FROM inter JOIN cnt c1 ON c1.doc_id = d1 JOIN cnt c2 ON c2.doc_id = d2
+        |  WHERE CAST(i AS DOUBLE) / CAST(c1.n + c2.n - i AS DOUBLE) >= 0.5),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |reach AS (
+        |  SELECT a AS id, b AS r FROM edges
+        |  UNION
+        |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+        |comp AS (SELECT id, LEAST(id, MIN(r)) AS comp FROM reach GROUP BY id),
+        |q AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) >= 10 THEN 0.25 ELSE 0.0 END)
+        |    + (CASE WHEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) < 0.1 THEN 0.25 ELSE 0.0 END)
+        |    + (CASE WHEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |        x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','by'], x))) AS DOUBLE)
+        |        / CAST(greatest(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')), 1) AS DOUBLE) > 0.02 THEN 0.25 ELSE 0.0 END)
+        |    + (CASE WHEN length(regexp_replace(text, '\s+', '', 'g')) / CAST(greatest(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')), 1) AS DOUBLE) BETWEEN 3.0 AND 10.0 THEN 0.25 ELSE 0.0 END)
+        |    AS quality
+        |  FROM toks),
+        |clustered AS (
+        |  SELECT q.doc_id, q.quality, COALESCE(comp.comp, q.doc_id) AS cluster_id
+        |  FROM q LEFT JOIN comp ON q.doc_id = comp.id)
+        |SELECT cluster_id, doc_id AS canonical_id,
+        |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_docs,
+        |  quality AS best_quality
+        |FROM clustered
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id ASC) = 1
+        |ORDER BY cluster_id""".stripMargin,
+
+    "q84_duplicate_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS ts FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' ||
+        |    ts[i+4] || ' ' || ts[i+5] || ' ' || ts[i+6] || ' ' || ts[i+7] AS shingle
+        |  FROM toks, UNNEST(generate_series(1, len(ts)-7)) AS g(i)),
+        |multi AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 1),
+        |shared AS (
+        |  SELECT doc_id, COUNT(*) AS n_shared FROM sh
+        |  WHERE shingle IN (SELECT shingle FROM multi) GROUP BY doc_id),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM sh GROUP BY doc_id)
+        |SELECT tot.doc_id, n_ngrams, COALESCE(n_shared, 0) AS n_shared,
+        |  ROUND(CAST(COALESCE(n_shared, 0) AS DOUBLE) / CAST(n_ngrams AS DOUBLE), 6) AS dup_frac
+        |FROM tot LEFT JOIN shared ON tot.doc_id = shared.doc_id
+        |ORDER BY tot.doc_id""".stripMargin,
+
+    "q85_ctas_sql" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q81_repetition" ->
       """WITH toks AS (

@@ -73,6 +73,18 @@ class EngineCoreSpec extends AnyFunSuite {
     assert(t.readPruned(spark, "x", 5000.0, 6000.0).columns.toSeq == Seq("x", "y"))
   }
 
+  test("SnapshotTable: a reader opened before a commit still reads its snapshot") {
+    // snapshot immutability: version dirs are never rewritten, so a plan
+    // bound to _vN keeps working while writers commit _v(N+1) — the
+    // reader-isolation property object-store tables need
+    val t = new SnapshotTable(tmp("iso"))
+    t.write(spark, Seq(1, 2).toDF("x"))
+    val reader = t.read(spark) // binds to _v1's files
+    t.write(spark, Seq(9).toDF("x"))
+    assert(reader.as[Int].collect().toSet == Set(1, 2)) // old snapshot intact
+    assert(t.read(spark).as[Int].collect().toSet == Set(9)) // new pointer live
+  }
+
   test("SnapshotTable: readVersion time travel sees pre-update states") {
     val t = new SnapshotTable(tmp("travel"))
     t.write(spark, Seq(1, 2).toDF("x"))
