@@ -1247,6 +1247,46 @@ object SparkEntry {
       s.sql("SELECT * FROM spark_catalog.graft_tmp.orders_sum ORDER BY o_orderstatus")
     }),
 
+    // ── J2 depth: promo-revenue share (TPC-H Q14 shape) — conditional
+    //    aggregate ratio over lineitem⋈part; part (2k rows) broadcasts so
+    //    the fact table never shuffles for the join.
+    "q86_promo_revenue" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+      val p = Tables.part(s, dir)
+      val rev = sum(Relational.money($"l_extendedprice") *
+        (lit(1).cast("decimal(18,2)") - Relational.money($"l_discount")))
+      li.join(broadcast(p), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_type")
+        .agg(rev.cast("double").as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy($"p_type")
+    }),
+
+    // ── J2 depth: local-supplier volume (TPC-H Q5 full shape) — the
+    //    six-table join with the extra c_nationkey = s_nationkey equality;
+    //    all dims broadcast, the two fact-sized relations shuffle once.
+    "q87_local_supplier_volume" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.supplier(s, dir)),
+          $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+        .filter($"r_name" === "EUROPE")
+        .groupBy($"n_name")
+        .agg(sum(Relational.money($"l_extendedprice") *
+          (lit(1).cast("decimal(18,2)") - Relational.money($"l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy($"revenue".desc, $"n_name")
+    }),
+
     // ── S5/1.4: 3-level catalog registration + SQL over registered tables
     //    (spark_catalog.<db>.<table>, the reference's UC namespace analog).
     "q41_catalog_sql" -> ((s, dir) => {
@@ -1827,6 +1867,29 @@ object SparkEntry {
         |  ROUND(CAST(COALESCE(n_shared, 0) AS DOUBLE) / CAST(n_ngrams AS DOUBLE), 6) AS dup_frac
         |FROM tot LEFT JOIN shared ON tot.doc_id = shared.doc_id
         |ORDER BY tot.doc_id""".stripMargin,
+
+    "q86_promo_revenue" ->
+      """SELECT p_type,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY p_type ORDER BY p_type""".stripMargin,
+
+    "q87_local_supplier_volume" ->
+      """SELECT n_name,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
 
     "q85_ctas_sql" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
