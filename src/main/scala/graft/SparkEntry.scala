@@ -1287,6 +1287,48 @@ object SparkEntry {
         .orderBy($"revenue".desc, $"n_name")
     }),
 
+    // ── C6 depth: quarantine split — every row tagged with the first
+    //    violated rule (null → clean) so bad rows route to a quarantine
+    //    sink with their reject reason instead of vanishing; here the
+    //    tagged breakdown per event type.
+    "q88_quarantine" -> ((s, dir) => {
+      import s.implicits._
+      val rules = Seq(
+        graft.ops.Expectation("value_bound", "value < 200"),
+        graft.ops.Expectation("not_error", "event_type <> 'error'"))
+      graft.ops.Expectations.tagViolations(Tables.events(s, dir), rules)
+        .groupBy($"event_type", coalesce($"__rejected_by", lit("ok")).as("status"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"event_type", $"status")
+    }),
+
+    // ── C8/2.10: genuine STREAMING windowed aggregation — watermarked
+    //    event-time tumbling windows in append mode: a window is emitted
+    //    only once the watermark passes its end (the last open window
+    //    stays in state, exactly as a live pipeline would hold it).
+    //    Oracle reproduces the watermark cutoff with a scalar subquery.
+    "q89_streaming_window" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("swindow").toString
+      Tables.events(s, dir).select($"ts", $"event_type", $"value")
+        .coalesce(8).write.mode("overwrite").parquet(s"$work/src")
+      val schema = s.read.parquet(s"$work/src").schema
+      withShufflePartitions(s, 8) {
+        val q = s.readStream.schema(schema).parquet(s"$work/src")
+          .withWatermark("ts", "1 hour")
+          .groupBy(window($"ts", "1 day").as("w"), $"event_type")
+          .agg(count(lit(1)).as("n"), Relational.sumMoney($"value").as("total"))
+          .select($"w.start".as("w_start"), $"event_type", $"n", $"total")
+          .writeStream.format("parquet")
+          .outputMode("append")
+          .option("checkpointLocation", s"$work/ck")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(s"$work/out")
+        q.awaitTermination()
+      }
+      s.read.parquet(s"$work/out").orderBy($"w_start", $"event_type")
+    }),
+
     // ── S5/1.4: 3-level catalog registration + SQL over registered tables
     //    (spark_catalog.<db>.<table>, the reference's UC namespace analog).
     "q41_catalog_sql" -> ((s, dir) => {
@@ -1867,6 +1909,23 @@ object SparkEntry {
         |  ROUND(CAST(COALESCE(n_shared, 0) AS DOUBLE) / CAST(n_ngrams AS DOUBLE), 6) AS dup_frac
         |FROM tot LEFT JOIN shared ON tot.doc_id = shared.doc_id
         |ORDER BY tot.doc_id""".stripMargin,
+
+    "q88_quarantine" ->
+      """SELECT event_type,
+        |COALESCE(CASE WHEN NOT COALESCE(value < 200, false) THEN 'value_bound'
+        |              WHEN NOT COALESCE(event_type <> 'error', false) THEN 'not_error' END,
+        |         'ok') AS status,
+        |COUNT(*) AS n
+        |FROM events GROUP BY event_type, status ORDER BY event_type, status""".stripMargin,
+
+    "q89_streaming_window" ->
+      """SELECT date_trunc('day', ts) AS w_start, event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events
+        |GROUP BY 1, 2
+        |HAVING date_trunc('day', ts) + INTERVAL 1 DAY <=
+        |       (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+        |ORDER BY w_start, event_type""".stripMargin,
 
     "q86_promo_revenue" ->
       """SELECT p_type,

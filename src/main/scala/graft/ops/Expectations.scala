@@ -30,4 +30,29 @@ object Expectations {
         .filter(preds.reduce(_ && _))
     }
   }
+
+  /** Quarantine split: every row tagged with the FIRST violated rule name
+    * (null = clean), so a pipeline can route good rows onward and bad rows
+    * to a quarantine sink with their reject reason — the recoverable form
+    * of expect-or-drop (dropped data at 100 TB is an incident; quarantined
+    * data is a backfill). One pass, no second scan: the tag is a single
+    * codegen'd CASE expression. */
+  def tagViolations(
+      df: DataFrame,
+      expectations: Seq[Expectation],
+      tagCol: String = "__rejected_by"): DataFrame = {
+    val tag = expectations.foldRight(lit(null).cast("string")) { (e, acc) =>
+      when(!coalesce(expr(e.predicate), lit(false)), lit(e.name)).otherwise(acc)
+    }
+    df.withColumn(tagCol, tag)
+  }
+
+  /** (good, quarantined) pair from one tagging pass. */
+  def quarantine(
+      df: DataFrame,
+      expectations: Seq[Expectation]): (DataFrame, DataFrame) = {
+    val tagged = tagViolations(df, expectations)
+    (tagged.filter(col("__rejected_by").isNull).drop("__rejected_by"),
+      tagged.filter(col("__rejected_by").isNotNull))
+  }
 }

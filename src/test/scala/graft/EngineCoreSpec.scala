@@ -292,4 +292,18 @@ class EngineCoreSpec extends AnyFunSuite {
       Seq(Expectation("id not null", "id IS NOT NULL"), Expectation("v not null", "v IS NOT NULL")))
     assert(out.select("id").as[Int].collect().toSeq == Seq(1))
   }
+
+  test("quarantine: first violated rule tags the row; good+bad partition the input") {
+    val df = Seq((Some(1), "a"), (None, "b"), (Some(3), null), (None, null))
+      .toDF("id", "v")
+    val rules = Seq(
+      Expectation("id_rule", "id IS NOT NULL"), Expectation("v_rule", "v IS NOT NULL"))
+    val (good, bad) = Expectations.quarantine(df, rules)
+    assert(good.count() == 1 && bad.count() == 3)
+    assert(good.columns.toSeq == df.columns.toSeq) // tag column stripped
+    val tags = bad.groupBy($"__rejected_by").count()
+      .as[(String, Long)].collect().toMap
+    // first-listed rule wins for the doubly-bad row
+    assert(tags == Map("id_rule" -> 2L, "v_rule" -> 1L))
+  }
 }
