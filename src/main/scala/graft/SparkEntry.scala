@@ -1329,6 +1329,21 @@ object SparkEntry {
       s.read.parquet(s"$work/out").orderBy($"w_start", $"event_type")
     }),
 
+    // ── §4 custom aggregate: bounded-heap grouped top-k
+    //    (TypedImperativeAggregate) — O(n log k) with k-sized map-side-
+    //    combined partial state, vs the window form's full per-group sort.
+    //    Top-3 orders by price per priority, exploded with ranks.
+    "q90_grouped_topk" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy($"o_orderpriority")
+        .agg(graft.functions.TopKAgg.topkPairs($"o_totalprice", $"o_orderkey", 3).as("top"))
+        .select($"o_orderpriority", posexplode($"top").as(Seq("rank0", "t")))
+        .select($"o_orderpriority", ($"rank0" + 1).cast("long").as("rnk"),
+          $"t.id".as("o_orderkey"), $"t.v".as("o_totalprice"))
+        .orderBy($"o_orderpriority", $"rnk")
+    }),
+
     // ── S5/1.4: 3-level catalog registration + SQL over registered tables
     //    (spark_catalog.<db>.<table>, the reference's UC namespace analog).
     "q41_catalog_sql" -> ((s, dir) => {
@@ -1909,6 +1924,14 @@ object SparkEntry {
         |  ROUND(CAST(COALESCE(n_shared, 0) AS DOUBLE) / CAST(n_ngrams AS DOUBLE), 6) AS dup_frac
         |FROM tot LEFT JOIN shared ON tot.doc_id = shared.doc_id
         |ORDER BY tot.doc_id""".stripMargin,
+
+    "q90_grouped_topk" ->
+      """SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS BIGINT) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin,
 
     "q88_quarantine" ->
       """SELECT event_type,

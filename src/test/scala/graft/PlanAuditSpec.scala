@@ -159,6 +159,27 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("TopKPairs aggregate == window row_number form under any partitioning") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val spark2 = spark; import spark2.implicits._
+    val o = graft.tables.Tables.orders(spark, dir)
+    def viaAgg(parts: Int) = o.repartition(parts)
+      .groupBy($"o_orderpriority")
+      .agg(graft.functions.TopKAgg.topkPairs($"o_totalprice", $"o_orderkey", 5).as("top"))
+      .select($"o_orderpriority", explode($"top").as("t"))
+      .select($"o_orderpriority", $"t.id", $"t.v")
+      .as[(String, Long, Double)].collect().toSet
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".desc)
+    val viaWindow = o.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice".cast("double"))
+      .as[(String, Long, Double)].collect().toSet
+    // associative merge: 1 partition and 17 partitions agree with the sort
+    assert(viaAgg(1) == viaWindow)
+    assert(viaAgg(17) == viaWindow)
+  }
+
   test("vec_dot inner product compiles into whole-stage codegen") {
     import org.apache.spark.sql.functions._
     // source must be non-local (a literal relation constant-folds away)
