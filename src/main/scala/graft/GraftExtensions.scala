@@ -35,5 +35,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "vec_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.DotProduct(exprs(0), exprs(1))))
+    // topk_pairs(value, payload, k) — k must be a literal integer
+    ext.injectFunction((
+      FunctionIdentifier("topk_pairs"),
+      new ExpressionInfo(classOf[graft.functions.TopKPairs].getName, "topk_pairs"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val k = exprs(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"topk_pairs: k must be an integer literal, got $other")
+        }
+        graft.functions.TopKPairs(exprs(0), exprs(1), k).toAggregateExpression()
+      }))
   }
 }

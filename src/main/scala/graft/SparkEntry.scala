@@ -1344,6 +1344,49 @@ object SparkEntry {
         .orderBy($"o_orderpriority", $"rnk")
     }),
 
+    // ── D2 depth: RANGE window frame — trailing 30-day spend per customer
+    //    (value-based frame over epoch days, vs q46's row-based frame).
+    "q91_range_frame" -> ((s, dir) => {
+      import s.implicits._
+      val days = datediff($"o_orderdate", lit("1995-01-01").cast("timestamp"))
+      val w = Window.partitionBy($"o_custkey").orderBy(days)
+        .rangeBetween(-30, Window.currentRow)
+      Tables.orders(s, dir)
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+          sum(Relational.money($"o_totalprice")).over(w)
+            .cast("double").as("trailing_30d"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
+    // ── K1 depth: dynamic partition overwrite — rewrite ONLY the
+    //    partitions present in the incoming batch (the lakehouse
+    //    backfill/restatement op); untouched partition dirs survive.
+    "q92_insert_overwrite" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("dynover").toString
+      val e = Tables.events(s, dir)
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      try {
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        // initial load: all partitions, values as-is
+        e.repartition($"event_type").write.mode("overwrite")
+          .partitionBy("event_type").parquet(s"$work/t")
+        // restatement batch: ONLY purchase rows, values doubled — dynamic
+        // overwrite must replace just that partition dir
+        e.filter($"event_type" === "purchase")
+          .withColumn("value", $"value" * 2)
+          .repartition($"event_type").write.mode("overwrite")
+          .partitionBy("event_type").parquet(s"$work/t")
+      } finally prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      s.read.parquet(s"$work/t")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), Relational.sumMoney($"value").as("total"))
+        .orderBy($"event_type")
+    }),
+
     // ── S5/1.4: 3-level catalog registration + SQL over registered tables
     //    (spark_catalog.<db>.<table>, the reference's UC namespace analog).
     "q41_catalog_sql" -> ((s, dir) => {
@@ -1924,6 +1967,19 @@ object SparkEntry {
         |  ROUND(CAST(COALESCE(n_shared, 0) AS DOUBLE) / CAST(n_ngrams AS DOUBLE), 6) AS dup_frac
         |FROM tot LEFT JOIN shared ON tot.doc_id = shared.doc_id
         |ORDER BY tot.doc_id""".stripMargin,
+
+    "q91_range_frame" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |  PARTITION BY o_custkey
+        |  ORDER BY datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q92_insert_overwrite" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value * 2 ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q90_grouped_topk" ->
       """SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (

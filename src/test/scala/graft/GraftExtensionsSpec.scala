@@ -27,6 +27,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val out = graft.plans.AsOfJoin.asofJoin(trades, quotes, "k", "qk", "t", "qt")
       .select($"trade", $"px").collect().map(r => (r.getString(0), r.getDouble(1))).toSet
     assert(out == Set(("t1", 99.0), ("t2", 101.0)))
+
+    // topk_pairs resolves through SQL too (k must be a literal)
+    Seq((1L, 10.0), (2L, 30.0), (3L, 20.0)).toDF("id", "v")
+      .createOrReplaceTempView("v_topk")
+    val top = spark.sql(
+      "SELECT topk_pairs(v, id, 2) AS t FROM v_topk")
+      .selectExpr("inline(t)").as[(Double, Long)].collect().toSeq
+    assert(top == Seq((30.0, 2L), (20.0, 3L)))
   }
 
   test("ApproxDistinctRewrite: COUNT(DISTINCT) becomes HLL++ only when opted in") {
