@@ -29,7 +29,8 @@ object SparkEntry {
     * decode stub. */
   def rowsOnly: Set[String] =
     Set("q29_simhash_groups", "q30_ann_lsh", "q31_multimodal_decode", "q43_ann_ivf",
-      "q55_sketches", "q61_ann_ivf_kmeans", "q69_simhash_pairs", "q82_sequence_packing")
+      "q55_sketches", "q61_ann_ivf_kmeans", "q69_simhash_pairs", "q82_sequence_packing",
+      "q93_vector_index")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -1385,6 +1386,21 @@ object SparkEntry {
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"), Relational.sumMoney($"value").as("total"))
         .orderBy($"event_type")
+    }),
+
+    // ── LLM-pipeline (rows-only): PERSISTENT vector index — IVF cells as
+    //    a hive-partitioned parquet layout; search scans only the probed
+    //    cell dirs (partition pruning = the on-disk ANN path). Recall < 1
+    //    by construction; bounds + pruning asserted in LlmOpsSpec.
+    "q93_vector_index" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("vecidx").toString
+      val emb = Tables.embeddings(s, dir)
+      val idx = new graft.llm.VectorIndex(s"$work/idx")
+      idx.build(s, emb, "vec_id", "embedding", nCentroids = 16, trainIters = 1)
+      idx.search(s, emb.filter($"vec_id" < 100), "vec_id", "embedding", 1, nProbe = 4)
+        .select($"query_id", $"neighbor_id", round($"cos", 6).as("cos"))
+        .orderBy($"query_id")
     }),
 
     // ── S5/1.4: 3-level catalog registration + SQL over registered tables

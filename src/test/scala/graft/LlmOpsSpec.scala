@@ -119,6 +119,29 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("VectorIndex: search ≤ brute force, probes prune the cell scan, self-neighbor sane") {
+    val work = java.nio.file.Files.createTempDirectory("vecidxspec").toString
+    val idx = new graft.llm.VectorIndex(s"$work/idx")
+    idx.build(spark, embs, "vec_id", "embedding", nCentroids = 8, trainIters = 1)
+
+    val queries = embs.filter($"vec_id" < 20)
+    val got = idx.search(spark, queries, "vec_id", "embedding", 1, nProbe = 2)
+      .select($"query_id", $"cos").as[(Long, Double)].collect().toMap
+    val brute = graft.llm.Similarity.bruteForceTopK(queries, embs, "vec_id", "embedding", 1)
+      .select($"query_id", $"cos").as[(Long, Double)].collect().toMap
+    assert(got.nonEmpty)
+    got.foreach { case (q, cos) => assert(cos <= brute(q) + 1e-9, s"query $q beat brute force") }
+
+    // partition pruning: the cell predicate must land in the scan's
+    // PartitionFilters (directory-level pruning, not a post-scan filter)
+    val scans = idx.cellScan(spark, Seq(0L, 1L)).queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val pf = scans.head.metadata.getOrElse("PartitionFilters", "")
+    assert(pf.contains("__cell"), s"cell filter not a partition filter: $pf")
+  }
+
   test("exactGroups: duplicated text collapses to one canonical group") {
     val df = Seq((1L, "a b c"), (2L, "a  B c!"), (3L, "x y z")).toDF("doc_id", "text")
     val g = Dedup.exactGroups(df, "doc_id", "text")
