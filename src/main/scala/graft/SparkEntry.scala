@@ -1403,6 +1403,59 @@ object SparkEntry {
         .orderBy($"query_id")
     }),
 
+    // ── 2.8 breadth: map type surface — per-user event-type→count map
+    //    (entries sorted for determinism), probed with size/element_at.
+    "q94_map_functions" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("cnt"))
+        .groupBy($"user_id")
+        .agg(map_from_entries(sort_array(collect_list(struct($"event_type", $"cnt"))))
+          .as("m"))
+        .select($"user_id",
+          size($"m").cast("long").as("n_types"),
+          coalesce(element_at($"m", "purchase"), lit(0L)).as("purchase_n"))
+        .orderBy($"user_id")
+    }),
+
+    // ── 2.3 breadth: unpivot (wide → long), the inverse of q50's pivot —
+    //    zero cells preserved, so the long form is the complete spine.
+    "q95_unpivot" -> ((s, dir) => {
+      import s.implicits._
+      val wide = Tables.events(s, dir)
+        .groupBy($"user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+      wide.unpivot(
+          Array($"user_id"),
+          Array($"click", $"error", $"purchase", $"signup", $"view"),
+          "event_type", "n")
+        .orderBy($"user_id", $"event_type")
+    }),
+
+    // ── §7 scale: Z-ORDER data skipping — cluster by the Morton
+    //    interleave of (user bucket, day) so per-file min/max stats prune
+    //    on EITHER dimension; answer a user-range query through the
+    //    pruned read (row filter on top — superset guarantee).
+    "q96_zorder_skipping" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("zorder").toString
+      val t = new graft.tables.SnapshotTable(s"$work/t")
+      val e = Tables.events(s, dir)
+        .withColumn("__day",
+          datediff($"ts", lit("2024-01-01").cast("timestamp")))
+        .withColumn("__z", Relational.mortonCode(
+          pmod($"user_id", lit(1024)), pmod($"__day", lit(1024)), 10))
+      t.writeWithStats(s, e, statsCols = Seq("user_id", "__day"),
+        clusterBy = Seq("__z"), clusterPartitions = 16)
+      t.readPruned(s, "user_id", 0.0, 99.0)
+        .filter($"user_id".between(0, 99))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), Relational.sumMoney($"value").as("total"))
+        .orderBy($"event_type")
+    }),
+
     // ── S5/1.4: 3-level catalog registration + SQL over registered tables
     //    (spark_catalog.<db>.<table>, the reference's UC namespace analog).
     "q41_catalog_sql" -> ((s, dir) => {
@@ -1983,6 +2036,27 @@ object SparkEntry {
         |  ROUND(CAST(COALESCE(n_shared, 0) AS DOUBLE) / CAST(n_ngrams AS DOUBLE), 6) AS dup_frac
         |FROM tot LEFT JOIN shared ON tot.doc_id = shared.doc_id
         |ORDER BY tot.doc_id""".stripMargin,
+
+    "q94_map_functions" ->
+      """SELECT user_id,
+        |COUNT(DISTINCT event_type) AS n_types,
+        |COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase_n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q95_unpivot" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |t AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type),
+        |c AS (SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2)
+        |SELECT u.user_id, t.event_type, COALESCE(c.n, 0) AS n
+        |FROM u CROSS JOIN t
+        |LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
+        |ORDER BY u.user_id, t.event_type""".stripMargin,
+
+    "q96_zorder_skipping" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events WHERE user_id BETWEEN 0 AND 99
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q91_range_frame" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,

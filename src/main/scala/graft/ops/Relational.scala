@@ -54,6 +54,22 @@ object Relational {
 
   def sumMoney(c: Column): Column = sum(money(c)).cast("double")
 
+  /** Morton (Z-order) code: interleave the low `bits` bits of two
+    * non-negative ints (a → even positions, b → odd). Range-clustering a
+    * table by this code keeps files localized in BOTH dimensions, so
+    * per-file min/max stats (SnapshotTable.writeWithStats) prune on
+    * either column — multi-dimensional data skipping, the Delta
+    * OPTIMIZE ZORDER trick. Callers bucket wide domains into
+    * [0, 2^bits) first. Pure bitwise expressions — codegen'd, no UDF. */
+  def mortonCode(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits > 0 && bits <= 31, "bits must be in [1, 31]")
+    val al = a.cast("long"); val bl = b.cast("long")
+    (0 until bits).flatMap { i =>
+      Seq(shiftleft(al.bitwiseAND(lit(1L << i)), i),
+        shiftleft(bl.bitwiseAND(lit(1L << i)), i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** Skew-salted equi-join: `large ⋈ small` on `keys`, with the large side
     * scattered across `saltFactor` sub-keys and the small side replicated
     * per salt. Breaks a hot key's single reducer into `saltFactor` tasks —

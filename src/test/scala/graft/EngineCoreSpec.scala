@@ -73,6 +73,30 @@ class EngineCoreSpec extends AnyFunSuite {
     assert(t.readPruned(spark, "x", 5000.0, 6000.0).columns.toSeq == Seq("x", "y"))
   }
 
+  test("mortonCode: known interleavings; Z-clustered stats prune on either dimension") {
+    import graft.ops.Relational
+    // morton(2,3): a bit1→pos2 (4), b bits0,1→pos1,3 (2+8) = 14
+    val codes = Seq((0, 0), (1, 0), (0, 1), (1, 1), (2, 3)).toDF("a", "b")
+      .select(Relational.mortonCode(col("a"), col("b"), 4).as("z"))
+      .as[Long].collect().toSeq
+    assert(codes == Seq(0L, 1L, 2L, 3L, 14L))
+
+    val t = new SnapshotTable(tmp("zordspec"))
+    val grid = spark.range(64 * 64)
+      .select((col("id") % 64).as("x"), (col("id") / 64).as("y"))
+      .withColumn("z", Relational.mortonCode(col("x"), col("y"), 6))
+    t.writeWithStats(spark, grid, statsCols = Seq("x", "y"),
+      clusterBy = Seq("z"), clusterPartitions = 16)
+    val full = t.read(spark).inputFiles.length
+    val px = t.readPruned(spark, "x", 0.0, 7.0).inputFiles.length
+    val py = t.readPruned(spark, "y", 0.0, 7.0).inputFiles.length
+    assert(px < full, s"x-range did not prune ($px of $full)")
+    assert(py < full, s"y-range did not prune ($py of $full)")
+    // superset guarantee + exactness after the row filter
+    assert(t.readPruned(spark, "x", 0.0, 7.0)
+      .filter(col("x") <= 7).count() == 8L * 64)
+  }
+
   test("SnapshotTable: a reader opened before a commit still reads its snapshot") {
     // snapshot immutability: version dirs are never rewritten, so a plan
     // bound to _vN keeps working while writers commit _v(N+1) — the
