@@ -1456,6 +1456,44 @@ object SparkEntry {
         .orderBy($"event_type")
     }),
 
+    // ── P-surface depth: nested struct columns — write nested parquet,
+    //    project a single leaf back out (Catalyst prunes the read schema
+    //    to just that leaf — asserted in PlanAuditSpec).
+    "q97_nested_struct" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("nested").toString
+      Tables.events(s, dir)
+        .select($"event_id",
+          struct($"user_id", $"event_type", struct($"value", $"ts").as("measure"))
+            .as("payload"))
+        .coalesce(8).write.mode("overwrite").parquet(s"$work/t")
+      s.read.parquet(s"$work/t")
+        .select($"event_id", $"payload.measure.value".as("value"),
+          $"payload.event_type".as("event_type"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), Relational.sumMoney($"value").as("total"))
+        .orderBy($"event_type")
+    }),
+
+    // ── 2.8: higher-order array functions — filter/transform/aggregate/
+    //    exists/forall over per-user value arrays. (HOF lambdas evaluate
+    //    interpreted in Spark — fine at this cardinality; the engine's hot
+    //    paths use codegen'd forms instead, see Dedup/Similarity.)
+    "q98_hof_arrays" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"user_id")
+        .agg(sort_array(collect_list(Relational.money($"value"))).as("vals"))
+        .select($"user_id",
+          size($"vals").cast("long").as("n_vals"),
+          size(filter($"vals", v => v > 100)).cast("long").as("n_over_100"),
+          aggregate($"vals", lit(0).cast("decimal(28,2)"),
+            (acc, v) => (acc + v).cast("decimal(28,2)")).cast("double").as("total"),
+          exists($"vals", v => v > 400).as("any_over_400"),
+          forall($"vals", v => v >= 0).as("all_non_negative"))
+        .orderBy($"user_id")
+    }),
+
     // ── S5/1.4: 3-level catalog registration + SQL over registered tables
     //    (spark_catalog.<db>.<table>, the reference's UC namespace analog).
     "q41_catalog_sql" -> ((s, dir) => {
@@ -2036,6 +2074,23 @@ object SparkEntry {
         |  ROUND(CAST(COALESCE(n_shared, 0) AS DOUBLE) / CAST(n_ngrams AS DOUBLE), 6) AS dup_frac
         |FROM tot LEFT JOIN shared ON tot.doc_id = shared.doc_id
         |ORDER BY tot.doc_id""".stripMargin,
+
+    "q97_nested_struct" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q98_hof_arrays" ->
+      """WITH a AS (
+        |  SELECT user_id, list_sort(list(CAST(value AS DECIMAL(18,2)))) AS vals
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |  CAST(len(vals) AS BIGINT) AS n_vals,
+        |  CAST(len(list_filter(vals, v -> v > 100)) AS BIGINT) AS n_over_100,
+        |  CAST(list_sum(vals) AS DOUBLE) AS total,
+        |  len(list_filter(vals, v -> v > 400)) > 0 AS any_over_400,
+        |  len(list_filter(vals, v -> v < 0)) = 0 AS all_non_negative
+        |FROM a ORDER BY user_id""".stripMargin,
 
     "q94_map_functions" ->
       """SELECT user_id,

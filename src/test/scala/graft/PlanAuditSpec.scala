@@ -159,6 +159,26 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("nested schema pruning: projecting one struct leaf narrows the read schema") {
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("nestedprune").toString
+    graft.tables.Tables.events(spark, dir)
+      .select(col("event_id"),
+        struct(col("user_id"), col("event_type"),
+          struct(col("value"), col("ts")).as("measure")).as("payload"))
+      .coalesce(2).write.mode("overwrite").parquet(s"$work/t")
+    val df = spark.read.parquet(s"$work/t").select(col("payload.measure.value"))
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val schema = scans.head.requiredSchema.catalogString
+    assert(schema.contains("value"), schema)
+    // the sibling leaves must NOT be read
+    assert(!schema.contains("event_type") && !schema.contains("user_id") &&
+      !schema.contains("ts"), s"nested pruning failed: $schema")
+  }
+
   test("TopKPairs aggregate == window row_number form under any partitioning") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
