@@ -109,6 +109,19 @@ class EngineCoreSpec extends AnyFunSuite {
     assert(t.read(spark).as[Int].collect().toSet == Set(9)) // new pointer live
   }
 
+  test("SnapshotTable: a torn write (snapshot dir, no pointer flip) is invisible and recoverable") {
+    val t = new SnapshotTable(tmp("torn"))
+    t.write(spark, Seq(1, 2).toDF("x"))
+    // simulate a writer that crashed after writing files but before the
+    // atomic pointer flip: orphan _v2 exists, pointer still says 1
+    Seq(99).toDF("x").write.parquet(s"${t.root}/_v2")
+    assert(t.currentVersion(spark).contains(1))
+    assert(t.read(spark).as[Int].collect().toSet == Set(1, 2))
+    // the next commit targets _v2 again, overwrites the orphan, and flips
+    assert(t.write(spark, Seq(7).toDF("x")) == 2)
+    assert(t.read(spark).as[Int].collect().toSet == Set(7))
+  }
+
   test("SnapshotTable: readVersion time travel sees pre-update states") {
     val t = new SnapshotTable(tmp("travel"))
     t.write(spark, Seq(1, 2).toDF("x"))

@@ -293,6 +293,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(latest(2L) == ((1L, 5.0)))
   }
 
+  test("maxFilesPerTrigger: rate-limited multi-batch drain equals single-batch result") {
+    // batch-boundary invariance: an AvailableNow drain chopped into
+    // one-file micro-batches must land the same rows as one big batch —
+    // the property that makes rate limiting safe to tune in production
+    val work = tmp("ratelim")
+    (1 to 4).foreach { i =>
+      Seq((i.toLong, i * 10.0)).toDF("k", "v").coalesce(1)
+        .write.parquet(s"$work/src/f$i")
+    }
+    def drain(limit: Option[Int], tag: String): Set[(Long, Double)] = {
+      val cfg = AutoIngest.Config(s"$work/src/*", s"$work/schema_$tag",
+        s"$work/ck_$tag", maxFilesPerTrigger = limit)
+      val stream = AutoIngest.readStream(spark, cfg).drop("_rescued_data")
+      AutoIngest.appendOnce(stream, s"$work/sink_$tag", cfg.checkpointDir)
+      spark.read.parquet(s"$work/sink_$tag").as[(Long, Double)].collect().toSet
+    }
+    val limited = drain(Some(1), "lim")
+    val oneShot = drain(None, "all")
+    assert(limited == oneShot)
+    assert(limited == (1 to 4).map(i => (i.toLong, i * 10.0)).toSet)
+    // rate limiting actually produced multiple commits
+    val commits = new java.io.File(s"$work/ck_lim/commits").list()
+      .count(!_.endsWith(".tmp"))
+    assert(commits >= 4, s"expected >=4 micro-batches, saw $commits commits")
+  }
+
   test("StatefulOps.runningStatsTws: transformWithState accumulators persist across batches") {
     val work = tmp("rstatstws")
     // transformWithState requires the RocksDB state store provider
