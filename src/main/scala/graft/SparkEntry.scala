@@ -1494,6 +1494,41 @@ object SparkEntry {
         .orderBy($"user_id")
     }),
 
+    // ── D3 depth: pagination — ORDER BY + OFFSET + LIMIT (page 3 of the
+    //    price-ranked orders; GlobalLimit with offset in the plan).
+    "q99_pagination" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_totalprice")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .offset(40).limit(20)
+    }),
+
+    // ── Quality/stats depth: per-group anomaly flags from EXACT moments —
+    //    mean/variance built from DECIMAL sums (order-independent, unlike
+    //    float stddev whose partial-merge order shifts last bits), z-score
+    //    threshold applied per event type. The pattern for deterministic
+    //    distributed statistics.
+    "q100_anomaly_zscore" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir)
+      val m = e.groupBy($"event_type").agg(
+        count(lit(1)).as("n"),
+        sum(Relational.money($"value")).as("s"),
+        sum((Relational.money($"value") * Relational.money($"value"))
+          .cast("decimal(28,4)")).as("ss"))
+        .select($"event_type", $"n",
+          ($"s".cast("double") / $"n").as("mean"),
+          (($"ss".cast("double") / $"n") -
+            ($"s".cast("double") / $"n") * ($"s".cast("double") / $"n")).as("variance"))
+      e.join(broadcast(m), Seq("event_type"))
+        .withColumn("z", ($"value" - $"mean") / sqrt($"variance"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(abs($"z") > 2.0, 1L).otherwise(0L)).as("n_anomalies"))
+        .orderBy($"event_type")
+    }),
+
     // ── S5/1.4: 3-level catalog registration + SQL over registered tables
     //    (spark_catalog.<db>.<table>, the reference's UC namespace analog).
     "q41_catalog_sql" -> ((s, dir) => {
@@ -2074,6 +2109,22 @@ object SparkEntry {
         |  ROUND(CAST(COALESCE(n_shared, 0) AS DOUBLE) / CAST(n_ngrams AS DOUBLE), 6) AS dup_frac
         |FROM tot LEFT JOIN shared ON tot.doc_id = shared.doc_id
         |ORDER BY tot.doc_id""".stripMargin,
+
+    "q99_pagination" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 40""".stripMargin,
+
+    "q100_anomaly_zscore" ->
+      """WITH m AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS ss
+        |  FROM events GROUP BY event_type),
+        |st AS (SELECT event_type, n, s / n AS mean, (ss / n) - (s / n) * (s / n) AS variance FROM m)
+        |SELECT e.event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN ABS((e.value - st.mean) / sqrt(st.variance)) > 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+        |FROM events e JOIN st ON e.event_type = st.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
     "q97_nested_struct" ->
       """SELECT event_type, COUNT(*) AS n,
