@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the round-2 algebraic operators: the custom top-k
+  * aggregate, the Morton interleave, connected components, and sequence
+  * packing — each checked against a plain-Scala reference implementation
+  * over random inputs and random partitionings. */
+class GraftOpsProps extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def forAllSeeded[A](gen: Gen[A], n: Int = 10)(body: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      body(gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    }
+
+  test("TopKPairs ≡ sort-and-take reference for random data, k, partitioning") {
+    val gen = for {
+      n <- Gen.choose(0, 60)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(-50, 50), Gen.choose(0L, 30L)))
+      k <- Gen.choose(1, 8)
+      parts <- Gen.choose(1, 7)
+    } yield (rows.map { case (v, p) => (v.toDouble, p) }.distinctBy(_._2), k, parts)
+    forAllSeeded(gen) { case (rows, k, parts) =>
+      val expect = rows.sortBy { case (v, p) => (-v, -p) }.take(k)
+      val got =
+        if (rows.isEmpty) Seq.empty
+        else rows.toDF("v", "p").repartition(parts)
+          .agg(graft.functions.TopKAgg.topkPairs($"v", $"p", k).as("t"))
+          .selectExpr("inline(t)").as[(Double, Long)].collect().toSeq
+      assert(got == expect, s"k=$k parts=$parts rows=$rows")
+    }
+  }
+
+  test("mortonCode: de-interleave round-trips for random coordinates") {
+    // reference de-interleave in plain Scala
+    def unpack(z: Long, bits: Int): (Long, Long) = {
+      var a = 0L; var b = 0L
+      (0 until bits).foreach { i =>
+        a |= ((z >> (2 * i)) & 1L) << i
+        b |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      (a, b)
+    }
+    val gen = Gen.listOfN(30, Gen.zip(Gen.choose(0L, 1023L), Gen.choose(0L, 1023L)))
+    forAllSeeded(gen, n = 5) { pts =>
+      if (pts.nonEmpty) {
+        val zs = pts.toDF("a", "b")
+          .select(col("a"), col("b"),
+            graft.ops.Relational.mortonCode(col("a"), col("b"), 10).as("z"))
+          .as[(Long, Long, Long)].collect()
+        zs.foreach { case (a, b, z) => assert(unpack(z, 10) == ((a, b))) }
+      }
+    }
+  }
+
+  test("connectedComponents ≡ union-find reference on random graphs") {
+    def ufComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(x => x -> find(x)).toMap
+    }
+    val gen = for {
+      n <- Gen.choose(1, 25)
+      edges <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L)))
+    } yield edges.filter { case (a, b) => a != b }
+    forAllSeeded(gen, n = 6) { edges =>
+      if (edges.nonEmpty) {
+        val got = graft.llm.Dedup.connectedComponents(
+            edges.toDF("d1", "d2"), "d1", "d2")
+          .as[(Long, Long)].collect().toMap
+        assert(got == ufComponents(edges))
+      }
+    }
+  }
+
+  test("packSequences: coverage + budget + order invariants on random corpora") {
+    val gen = for {
+      n <- Gen.choose(1, 50)
+      docs <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 500L), Gen.choose(1L, 40L)))
+      budget <- Gen.choose(20, 80)
+    } yield (docs.distinctBy(_._1), budget)
+    forAllSeeded(gen, n = 6) { case (docs, budget) =>
+      val df = docs.map { case (id, t) => (id, "g", t) }.toDF("id", "g", "t")
+      val packed = graft.llm.Packing.packSequences(df, "id", "t", Seq("g"), budget, shards = 4)
+        .select($"shard", $"pack_id", $"id", $"n_tokens")
+        .as[(Int, Long, Long, Long)].collect()
+      assert(packed.map(_._3).sorted.toSeq == docs.map(_._1).sorted)
+      packed.groupBy(p => (p._1, p._2)).foreach { case (_, ps) =>
+        assert(ps.map(_._4).sum <= budget || ps.length == 1)
+      }
+      // within a shard, ascending doc ids never go to an earlier pack
+      packed.groupBy(_._1).foreach { case (_, ps) =>
+        val byId = ps.sortBy(_._3)
+        assert(byId.map(_._2).toSeq == byId.map(_._2).sorted.toSeq)
+      }
+    }
+  }
+}
