@@ -1529,6 +1529,46 @@ object SparkEntry {
         .orderBy($"event_type")
     }),
 
+    // ── C8/J depth: stream-STATIC join — the streaming fact enriched
+    //    against a static dimension (broadcast per micro-batch, no state
+    //    store involvement; the streaming complement of q4's star join).
+    "q101_stream_static_join" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("sstatic").toString
+      Tables.events(s, dir).select($"event_id", $"user_id", $"value")
+        .coalesce(8).write.mode("overwrite").parquet(s"$work/src")
+      val schema = s.read.parquet(s"$work/src").schema
+      val dim = Tables.customer(s, dir)
+        .select($"c_custkey", $"c_mktsegment")
+      withShufflePartitions(s, 8) {
+        val q = s.readStream.schema(schema).parquet(s"$work/src")
+          .join(broadcast(dim), $"user_id" === $"c_custkey", "left_outer")
+          .writeStream.format("parquet")
+          .option("checkpointLocation", s"$work/ck")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(s"$work/out")
+        q.awaitTermination()
+      }
+      s.read.parquet(s"$work/out")
+        .groupBy(coalesce($"c_mktsegment", lit("UNKNOWN")).as("segment"))
+        .agg(count(lit(1)).as("n"), Relational.sumMoney($"value").as("total"))
+        .orderBy($"segment")
+    }),
+
+    // ── 2.8 breadth: calendar arithmetic — add_months, last_day,
+    //    months_between, date_add over order dates.
+    "q102_datetime_arith" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .select($"o_orderkey",
+          add_months($"o_orderdate", 3).cast("date").as("plus3m"),
+          last_day($"o_orderdate").cast("date").as("month_end"),
+          (lit(2000L * 12 + 1) - (year($"o_orderdate") * 12 + month($"o_orderdate")))
+            .cast("long").as("months_to_y2k"),
+          date_add($"o_orderdate", 45).cast("date").as("plus45d"))
+        .orderBy($"o_orderkey")
+    }),
+
     // ── S5/1.4: 3-level catalog registration + SQL over registered tables
     //    (spark_catalog.<db>.<table>, the reference's UC namespace analog).
     "q41_catalog_sql" -> ((s, dir) => {
@@ -2109,6 +2149,20 @@ object SparkEntry {
         |  ROUND(CAST(COALESCE(n_shared, 0) AS DOUBLE) / CAST(n_ngrams AS DOUBLE), 6) AS dup_frac
         |FROM tot LEFT JOIN shared ON tot.doc_id = shared.doc_id
         |ORDER BY tot.doc_id""".stripMargin,
+
+    "q101_stream_static_join" ->
+      """SELECT COALESCE(c_mktsegment, 'UNKNOWN') AS segment, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events LEFT JOIN customer ON user_id = c_custkey
+        |GROUP BY segment ORDER BY segment""".stripMargin,
+
+    "q102_datetime_arith" ->
+      """SELECT o_orderkey,
+        |CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        |CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+        |CAST((2000 * 12 + 1) - (year(o_orderdate) * 12 + month(o_orderdate)) AS BIGINT) AS months_to_y2k,
+        |CAST(o_orderdate + INTERVAL 45 DAY AS DATE) AS plus45d
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q99_pagination" ->
       """SELECT o_orderkey, o_totalprice FROM orders
