@@ -256,16 +256,29 @@ object Dedup {
     while (!converged && i < maxIters) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src").as("nid")).agg(min(col("comp")).as("nbr_comp"))
-      // carry the previous label through the round so convergence is read
-      // off the (already materialized) checkpoint — no extra join/job
-      val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+      val stepped = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select(col("id"), col("comp").as("__old"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+      // pointer jumping: compose with the PREVIOUS round's (already
+      // checkpointed — no recompute) label map. L_{t+1}(v) =
+      // min(M(v), L_t(M(v))) reaches everything M(v) reached in t rounds,
+      // so label paths double per round — O(log diameter) convergence
+      // instead of O(diameter). Labels are always node ids, so the
+      // lookup join resolves.
+      val lookup = labels.select(col("id").as("jid"), col("comp").as("jcomp"))
+      // carry the previous label through the round so convergence is read
+      // off the (already materialized) checkpoint — no extra join/job
+      val next = stepped.join(lookup, stepped("comp") === lookup("jid"), "left")
+        .select(col("id"), col("__old"),
+          least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp"))
         .localCheckpoint()
       converged = next.filter(col("comp") =!= col("__old")).limit(1).count() == 0L
       labels = next.select(col("id"), col("comp"))
       i += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents: no fixpoint after $maxIters rounds " +
+        "(graph diameter exceeds 2^maxIters — raise maxIters)")
     labels
   }
 

@@ -84,6 +84,14 @@ class LlmOpsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+
+    // pointer jumping: a 100-node chain (diameter 99) must converge in
+    // O(log d) rounds — 12 iterations suffice only because label paths
+    // double per round; plain propagation would need ~99
+    val chain = (1L until 100L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val comps = Dedup.connectedComponents(chain, "d1", "d2", maxIters = 12)
+      .as[(Long, Long)].collect()
+    assert(comps.length == 100 && comps.forall(_._2 == 1L))
   }
 
   test("packSequences: budget respected, all docs packed, deterministic, greedy on a known slice") {
