@@ -105,26 +105,42 @@ object Similarity {
 
   /** Approximate top-k: bucket corpus and queries by hyperplane signs,
     * search only within matching buckets. Recall < 1 by construction;
-    * raise recall with fewer planes (bigger buckets) or multi-probe. */
+    * raise recall with fewer planes (bigger buckets) or `multiProbe`
+    * (each query also searches every Hamming-1 bucket — the sign most
+    * likely to be wrong is A sign, so probing all single-bit flips
+    * recovers most boundary misses for (numPlanes+1)× the candidate
+    * volume; only the query side fans out, the corpus still shuffles
+    * once). */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int, numPlanes: Int = 8): DataFrame = {
+      idCol: String, vecCol: String, k: Int, numPlanes: Int = 8,
+      multiProbe: Boolean = false): DataFrame = {
 
     // vector width probe: one tiny driver-side job (metadata, not data)
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     val planes = planeVectors(numPlanes, dim)
 
-    val q = queries.select(col(idCol).as("query_id"),
+    val base = queries.select(col(idCol).as("query_id"),
         transform(col(vecCol), _.cast("double")).as("qv"))
-      .withColumn("bucket", bucketOf(col("qv"), planes))
+      .withColumn("__b0", bucketOf(col("qv"), planes))
+    val q = (if (!multiProbe) base.withColumn("bucket", col("__b0"))
+      else base.select(col("query_id"), col("qv"),
+        explode(array(col("__b0") +:
+          (0 until numPlanes).map(i => col("__b0").bitwiseXOR(lit(1L << i))): _*))
+          .as("bucket")))
+      .drop("__b0")
       .withColumn("qnorm", l2Norm(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"),
         transform(col(vecCol), _.cast("double")).as("cv"))
       .withColumn("bucket", bucketOf(col("cv"), planes))
       .withColumn("cnorm", l2Norm(col("cv")))
 
-    val scored = q.join(c, Seq("bucket"))
+    val joined = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+    // multi-probe can reach the same (query, neighbor) via several buckets
+    val candidates =
+      if (multiProbe) joined.dropDuplicates("query_id", "neighbor_id") else joined
+    val scored = candidates
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
 
     val w = Window.partitionBy(col("query_id"))

@@ -185,6 +185,25 @@ class LlmOpsSpec extends AnyFunSuite {
     lsh.foreach { case (id, c) => assert(c <= bf(id) + 1e-12, s"query $id") }
   }
 
+  test("lshTopK multi-probe: recall ≥ single-probe, still bounded by brute force") {
+    val queries = embs.filter($"vec_id" < 50)
+    def top1(multi: Boolean) = graft.llm.Similarity
+      .lshTopK(queries, embs, "vec_id", "embedding", 1, numPlanes = 6, multiProbe = multi)
+      .select($"query_id", $"cos").as[(Long, Double)].collect().toMap
+    val brute = graft.llm.Similarity.bruteForceTopK(queries, embs, "vec_id", "embedding", 1)
+      .select($"query_id", $"cos").as[(Long, Double)].collect().toMap
+    val single = top1(multi = false)
+    val multi = top1(multi = true)
+    // multi-probe answers at least as many queries, each at least as well
+    assert(multi.keySet.size >= single.keySet.size)
+    single.foreach { case (q, cos) => assert(multi(q) >= cos - 1e-12) }
+    multi.foreach { case (q, cos) => assert(cos <= brute(q) + 1e-9) }
+    // aggregate recall (exact top-1 found) must not decrease
+    val hitS = single.count { case (q, cos) => math.abs(cos - brute(q)) < 1e-9 }
+    val hitM = multi.count { case (q, cos) => math.abs(cos - brute(q)) < 1e-9 }
+    assert(hitM >= hitS)
+  }
+
   test("ivfTopK: answers every query; approximate cos never exceeds brute force") {
     val q = embs.filter($"vec_id" < 20)
     val bf = Similarity.bruteForceTopK(q, embs, "vec_id", "embedding", 1)
