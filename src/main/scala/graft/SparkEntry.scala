@@ -1569,6 +1569,48 @@ object SparkEntry {
         .orderBy($"o_orderkey")
     }),
 
+    // ── J2 depth: nation-pair trade volume (TPC-H Q7 shape) — the same
+    //    dimension joined twice under different roles (supplier nation vs
+    //    customer nation) with a symmetric OR pair predicate, grouped by
+    //    both roles and year.
+    "q103_volume_shipping" -> ((s, dir) => {
+      import s.implicits._
+      val n1 = Tables.nation(s, dir).select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation"))
+      val n2 = Tables.nation(s, dir).select($"n_nationkey".as("c_nk"), $"n_name".as("cust_nation"))
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(n1), $"s_nationkey" === $"s_nk")
+        .join(broadcast(n2), $"c_nationkey" === $"c_nk")
+        .filter(($"supp_nation" === "NATION_1" && $"cust_nation" === "NATION_2") ||
+          ($"supp_nation" === "NATION_2" && $"cust_nation" === "NATION_1"))
+        .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").as("l_year"))
+        .agg(sum(Relational.money($"l_extendedprice") *
+          (lit(1).cast("decimal(18,2)") - Relational.money($"l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy($"supp_nation", $"cust_nation", $"l_year")
+    }),
+
+    // ── F-surface depth: OR-of-conjunctions predicate (TPC-H Q19 shape) —
+    //    three disjoint (brand, size-range, quantity-range) branches; the
+    //    disjunction must still evaluate against the broadcast-joined
+    //    part row without exploding the plan.
+    "q104_discounted_parts" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), $"l_partkey" === $"p_partkey")
+        .filter(
+          ($"p_brand" === "Brand#1" && $"p_size".between(1, 10) && $"l_quantity".between(1, 15)) ||
+          ($"p_brand" === "Brand#2" && $"p_size".between(1, 20) && $"l_quantity".between(10, 25)) ||
+          ($"p_brand" === "Brand#3" && $"p_size".between(1, 30) && $"l_quantity".between(20, 35)))
+        .agg(
+          sum(Relational.money($"l_extendedprice") *
+            (lit(1).cast("decimal(18,2)") - Relational.money($"l_discount")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // ── S5/1.4: 3-level catalog registration + SQL over registered tables
     //    (spark_catalog.<db>.<table>, the reference's UC namespace analog).
     "q41_catalog_sql" -> ((s, dir) => {
@@ -2149,6 +2191,29 @@ object SparkEntry {
         |  ROUND(CAST(COALESCE(n_shared, 0) AS DOUBLE) / CAST(n_ngrams AS DOUBLE), 6) AS dup_frac
         |FROM tot LEFT JOIN shared ON tot.doc_id = shared.doc_id
         |ORDER BY tot.doc_id""".stripMargin,
+
+    "q103_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |CAST(year(l_shipdate) AS INT) AS l_year,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q104_discounted_parts" ->
+      """SELECT
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 25)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 35)""".stripMargin,
 
     "q101_stream_static_join" ->
       """SELECT COALESCE(c_mktsegment, 'UNKNOWN') AS segment, COUNT(*) AS n,
