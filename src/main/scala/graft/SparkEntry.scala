@@ -30,7 +30,7 @@ object SparkEntry {
   def rowsOnly: Set[String] =
     Set("q29_simhash_groups", "q30_ann_lsh", "q31_multimodal_decode", "q43_ann_ivf",
       "q55_sketches", "q61_ann_ivf_kmeans", "q69_simhash_pairs", "q82_sequence_packing",
-      "q93_vector_index")
+      "q93_vector_index", "q107_global_packing")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -1188,6 +1188,20 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // ── LLM-pipeline (rows-only): globally-sorted best-fit-decreasing
+    //    packing — the low-waste variant of q82 (global size order via
+    //    repartitionByRange, best-fit TreeMap per contiguous range).
+    //    Waste-vs-shard-local and budget invariants spec'd in LlmOpsSpec.
+    "q107_global_packing" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select($"doc_id",
+          graft.llm.TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"))
+      graft.llm.Packing.packSequencesGlobal(docs, "doc_id", "n_tokens",
+          budget = 512, numPartitions = 8)
+        .orderBy($"doc_id")
+    }),
+
     // ── LLM-pipeline composition: cluster-canonical selection — for each
     //    near-dup cluster keep the highest-quality doc (ties → lowest id),
     //    with cluster size and best score. Singleton docs are their own
@@ -1583,8 +1597,8 @@ object SparkEntry {
         .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
         .join(broadcast(n1), $"s_nationkey" === $"s_nk")
         .join(broadcast(n2), $"c_nationkey" === $"c_nk")
-        .filter(($"supp_nation" === "NATION_1" && $"cust_nation" === "NATION_2") ||
-          ($"supp_nation" === "NATION_2" && $"cust_nation" === "NATION_1"))
+        .filter(($"supp_nation" === "NATION_18" && $"cust_nation" === "NATION_19") ||
+          ($"supp_nation" === "NATION_19" && $"cust_nation" === "NATION_18"))
         .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").as("l_year"))
         .agg(sum(Relational.money($"l_extendedprice") *
           (lit(1).cast("decimal(18,2)") - Relational.money($"l_discount")))
@@ -1609,6 +1623,42 @@ object SparkEntry {
             (lit(1).cast("decimal(18,2)") - Relational.money($"l_discount")))
             .cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
+    }),
+
+    // ── Outer-join distribution (TPC-H Q13 shape): customers LEFT JOINed to
+    //    their non-urgent orders, per-customer order count, then the count
+    //    distribution. Two shuffles (custkey, then c_count) — the first is
+    //    the big one and AQE coalesces the second; count(o_orderkey) over
+    //    the null-extended side is what makes the outer join load-bearing.
+    "q105_order_count_dist" -> ((s, dir) => {
+      import s.implicits._
+      val ord = Tables.orders(s, dir).filter($"o_orderpriority" =!= "1-URGENT")
+      Tables.customer(s, dir)
+        .join(ord, $"c_custkey" === $"o_custkey", "left_outer")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("c_count"))
+        .groupBy($"c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy($"custdist".desc, $"c_count".desc)
+    }),
+
+    // ── HAVING-subquery join-back (TPC-H Q18 shape): orders whose total
+    //    quantity exceeds a threshold, joined back to customer + lineitem.
+    //    The aggregate over lineitem reuses the l_orderkey shuffle for the
+    //    subsequent join (same key), so the join-back is co-partitioned.
+    "q106_large_orders" -> ((s, dir) => {
+      import s.implicits._
+      val big = Tables.lineitem(s, dir)
+        .groupBy($"l_orderkey")
+        .agg(sum($"l_quantity").as("total_qty"))
+        .filter($"total_qty" > 250)
+      Tables.orders(s, dir)
+        .join(big, $"o_orderkey" === $"l_orderkey")
+        .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+        .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
+          Relational.money($"o_totalprice").cast("double").as("o_totalprice"),
+          $"total_qty")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
     }),
 
     // ── S5/1.4: 3-level catalog registration + SQL over registered tables
@@ -2202,8 +2252,8 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+        |   OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "q104_discounted_parts" ->
@@ -2214,6 +2264,25 @@ object SparkEntry {
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 25)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 35)""".stripMargin,
+
+    "q105_order_count_dist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey
+        |) GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q106_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+        |total_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+        |      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250) big
+        |  ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
 
     "q101_stream_static_join" ->
       """SELECT COALESCE(c_mktsegment, 'UNKNOWN') AS segment, COUNT(*) AS n,

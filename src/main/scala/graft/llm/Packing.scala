@@ -67,4 +67,72 @@ object Packing {
       }(Encoders.row(outSchema))
       .toDF()
   }
+
+  /** Globally-sorted packing: best-fit-decreasing over a range-partitioned
+    * descending token-count order — the low-waste variant of
+    * [[packSequences]].
+    *
+    * Hash-sharded greedy packing sees documents in random size order, so a
+    * pack closes whenever the next random doc doesn't fit (next-fit waste).
+    * Sorting the WHOLE corpus by descending size first (the classic
+    * first-fit-decreasing setup) lets small documents backfill the gaps big
+    * ones leave. Scale shape: `repartitionByRange` on (tokens DESC, id)
+    * gives contiguous global ranges — a genuinely global sort order without
+    * a single-worker pass — and each range packs independently with
+    * best-fit (a TreeMap of open-pack remainders, O(n log n) per
+    * partition). The only deviation from a true global FFD is at the
+    * `numPartitions - 1` range boundaries: each range starts fresh, so
+    * waste is bounded by one partial pack per partition — noise at 100 TB
+    * (a few thousand packs out of billions).
+    *
+    * Determinism: the sort key (tokens DESC, id ASC) is total, and Spark's
+    * RangePartitioner samples with a fixed seed, so the layout is a pure
+    * function of the input set. pack_id = partition << 32 | local id.
+    *
+    * A document longer than the budget becomes its own overflowing pack,
+    * same contract as [[packSequences]].
+    */
+  def packSequencesGlobal(
+      df: DataFrame, idCol: String, tokenCountCol: String,
+      budget: Int, numPartitions: Int = 32): DataFrame = {
+    require(budget > 0 && numPartitions > 0, "budget and numPartitions must be positive")
+    val outSchema = StructType(Seq(
+      StructField("pack_id", LongType, nullable = false),
+      StructField(idCol, LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false)))
+
+    df.select(col(idCol).cast("long").as("__id"), col(tokenCountCol).cast("long").as("__t"))
+      .repartitionByRange(numPartitions, col("__t").desc, col("__id"))
+      .sortWithinPartitions(col("__t").desc, col("__id"))
+      .mapPartitions { rows =>
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        // open packs keyed by remaining capacity; values = pack ids with
+        // that exact remainder (insertion order preserved for determinism)
+        val open = new java.util.TreeMap[Long, scala.collection.mutable.ArrayDeque[Long]]()
+        var nPacks = 0L
+        def park(pack: Long, remaining: Long): Unit = {
+          open.putIfAbsent(remaining, new scala.collection.mutable.ArrayDeque[Long]())
+          open.get(remaining).append(pack)
+        }
+        rows.map { r =>
+          val id = r.getLong(0); val t = r.getLong(1)
+          // best fit: the open pack with the SMALLEST remainder still >= t
+          val fit = open.ceilingEntry(t)
+          val packLocal =
+            if (fit == null) {
+              val p = nPacks; nPacks += 1
+              park(p, math.max(0L, budget - t)) // oversized doc: its own full pack
+              p
+            } else {
+              val rem = fit.getKey; val q = fit.getValue
+              val p = q.removeHead()
+              if (q.isEmpty) open.remove(rem)
+              park(p, rem - t)
+              p
+            }
+          Row((pid << 32) | packLocal, id, t)
+        }
+      }(Encoders.row(outSchema))
+      .toDF()
+  }
 }

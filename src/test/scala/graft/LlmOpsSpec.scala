@@ -127,6 +127,37 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("packSequencesGlobal: budget respected, exact coverage, deterministic, waste ≤ shard-local") {
+    val d = docs.select($"doc_id",
+      TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"))
+    val packed = graft.llm.Packing.packSequencesGlobal(d, "doc_id", "n_tokens",
+      budget = 512, numPartitions = 8)
+
+    // every doc appears exactly once
+    assert(packed.count() == d.count())
+    assert(packed.select("doc_id").distinct().count() == d.count())
+
+    // no pack exceeds the budget unless it is a single oversized doc
+    val over = packed.groupBy($"pack_id")
+      .agg(sum($"n_tokens").as("tot"), count(lit(1)).as("nd"))
+      .filter($"tot" > 512 && $"nd" > 1)
+    assert(over.count() == 0)
+
+    // deterministic across reruns
+    val again = graft.llm.Packing.packSequencesGlobal(d, "doc_id", "n_tokens",
+      budget = 512, numPartitions = 8)
+    assert(packed.orderBy("doc_id").collect().toSeq ==
+      again.orderBy("doc_id").collect().toSeq)
+
+    // best-fit-decreasing over the global size order packs at least as
+    // tightly as random-order shard-local next-fit: fewer (or equal) packs
+    val shardLocal = graft.llm.Packing.packSequences(
+      d.withColumn("g", lit(1)), "doc_id", "n_tokens", Seq("g"), budget = 512, shards = 8)
+    val nGlobal = packed.select("pack_id").distinct().count()
+    val nLocal = shardLocal.select($"shard", $"pack_id").distinct().count()
+    assert(nGlobal <= nLocal, s"global packing used $nGlobal packs vs shard-local $nLocal")
+  }
+
   test("VectorIndex: search ≤ brute force, probes prune the cell scan, self-neighbor sane") {
     val work = java.nio.file.Files.createTempDirectory("vecidxspec").toString
     val idx = new graft.llm.VectorIndex(s"$work/idx")
