@@ -1097,6 +1097,24 @@ object SparkEntry {
         .orderBy($"event_type")
     }),
 
+    // ── §7 depth: string-column stats skipping — same Delta-style manifest
+    //    as q76, but min/max are truncated UTF-8 prefixes (prefix-successor
+    //    upper bound for truncated maxes) and the point lookup prunes to
+    //    the files whose [min,max] prefix range covers 'en'. Clustering on
+    //    lang makes file ranges disjoint, so the scan reads ~1/5 of files.
+    "q108_string_skipping" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("strskip").toString
+      val t = new graft.tables.SnapshotTable(s"$work/t")
+      t.writeWithStats(s, Tables.documents(s, dir), statsCols = Seq("lang"),
+        clusterBy = Seq("lang"), clusterPartitions = 10)
+      t.readPrunedEq(s, "lang", "en")
+        .filter($"lang" === "en")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n"), sum($"n_chars").cast("long").as("total_chars"))
+        .orderBy($"source")
+    }),
+
     // ── D1 depth: dropDuplicatesWithinWatermark — the bounded-state
     //    streaming dedup (state evictable once the watermark passes,
     //    unlike plain streaming dropDuplicates whose state grows forever).
@@ -2485,6 +2503,11 @@ object SparkEntry {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q108_string_skipping" ->
+      """SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q75_regexp" ->
       """SELECT c_custkey,

@@ -73,6 +73,36 @@ class EngineCoreSpec extends AnyFunSuite {
     assert(t.readPruned(spark, "x", 5000.0, 6000.0).columns.toSeq == Seq("x", "y"))
   }
 
+  test("SnapshotTable: string stats prune point and range reads; truncation stays a superset") {
+    val t = new SnapshotTable(tmp("strskip"))
+    // keys k000..k999 cluster into disjoint lexicographic file ranges; the
+    // long column exceeds the 32-char stats prefix, exercising truncation
+    val df = spark.range(1000).toDF("id")
+      .withColumn("k", format_string("k%03d", col("id")))
+      .withColumn("longk", concat(format_string("p%03d", (col("id") / 100).cast("int")), lit("x" * 40)))
+    t.writeWithStats(spark, df, statsCols = Seq("k", "longk"),
+      clusterBy = Seq("k"), clusterPartitions = 10)
+    val full = t.read(spark)
+
+    val eq = t.readPrunedEq(spark, "k", "k500")
+    assert(eq.inputFiles.length < full.inputFiles.length,
+      s"expected pruning: ${eq.inputFiles.length} vs ${full.inputFiles.length}")
+    assert(eq.filter(col("k") === "k500").count() == 1)
+
+    val rng = t.readPrunedString(spark, "k", "k100", "k199")
+    assert(rng.inputFiles.length < full.inputFiles.length)
+    assert(rng.filter(col("k").between("k100", "k199")).count() == 100)
+
+    // truncated column: stored max prefix is p0..x*28 (< full value), so the
+    // prefix-successor bound must still admit every real match (superset)
+    val tr = t.readPrunedString(spark, "longk", "p005", "p005" + "x" * 40)
+    assert(tr.filter(col("longk") === "p005" + "x" * 40).count() == 100)
+
+    // out-of-range point ⇒ empty relation, schema preserved
+    assert(t.readPrunedEq(spark, "k", "zzz").count() == 0)
+    assert(t.readPrunedEq(spark, "k", "zzz").columns.toSeq == Seq("id", "k", "longk"))
+  }
+
   test("mortonCode: known interleavings; Z-clustered stats prune on either dimension") {
     import graft.ops.Relational
     // morton(2,3): a bit1→pos2 (4), b bits0,1→pos1,3 (2+8) = 14
