@@ -1115,6 +1115,34 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    // ── §7 depth: SCD-merge × data-skipping composition — a bucketed SCD1
+    //    table whose immutable batch dirs each carry a per-file stats
+    //    manifest. The merge rewrites only touched buckets; the range read
+    //    then prunes by o_orderdate stats WITHIN live buckets, so a
+    //    "current rows in this date range" query scans matching files only.
+    "q109_bucketed_stats" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("bstat").toString
+      val t = new graft.tables.BucketedSnapshotTable(s"$work/t", numBuckets = 16,
+        keys = Seq("o_orderkey"), statsCols = Seq("o_orderdate"))
+      // parquet stores o_orderdate as timestamp_ntz; stats skip on DATE
+      val base = Tables.orders(s, dir)
+        .withColumn("o_orderdate", $"o_orderdate".cast("date"))
+      t.scd1Merge(s, base.withColumn("op_seq", lit(1)), "op_seq")
+      val upd = base.filter($"o_orderkey" % 97 === 0)
+        .withColumn("o_totalprice", $"o_totalprice" + 10.0)
+        .withColumn("o_orderdate", date_add($"o_orderdate", 30))
+        .withColumn("op_seq", lit(2))
+      t.scd1Merge(s, upd, "op_seq")
+      val lo = java.time.LocalDate.parse("1996-01-01").toEpochDay.toDouble
+      val hi = java.time.LocalDate.parse("1996-12-31").toEpochDay.toDouble
+      t.readPruned(s, "o_orderdate", lo, hi)
+        .filter($"o_orderdate".between("1996-01-01", "1996-12-31"))
+        .groupBy(month($"o_orderdate").as("m"))
+        .agg(count(lit(1)).as("n"), Relational.sumMoney($"o_totalprice").as("total"))
+        .orderBy($"m")
+    }),
+
     // ── D1 depth: dropDuplicatesWithinWatermark — the bounded-state
     //    streaming dedup (state evictable once the watermark passes,
     //    unlike plain streaming dropDuplicates whose state grows forever).
@@ -2508,6 +2536,17 @@ object SparkEntry {
       """SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents WHERE lang = 'en'
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q109_bucketed_stats" ->
+      """WITH merged AS (
+        |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 10 ELSE o_totalprice END AS price,
+        |         CASE WHEN o_orderkey % 97 = 0 THEN CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE)
+        |              ELSE CAST(o_orderdate AS DATE) END AS d
+        |  FROM orders)
+        |SELECT CAST(month(d) AS INT) AS m, COUNT(*) AS n,
+        |CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM merged WHERE d BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+        |GROUP BY m ORDER BY m""".stripMargin,
 
     "q75_regexp" ->
       """SELECT c_custkey,

@@ -46,7 +46,8 @@ import graft.cdc.ScdMerge
 final class BucketedSnapshotTable(
     val root: String,
     val numBuckets: Int,
-    val keys: Seq[String]) {
+    val keys: Seq[String],
+    val statsCols: Seq[String] = Nil) {
 
   require(numBuckets > 0, "numBuckets must be positive")
 
@@ -161,11 +162,61 @@ final class BucketedSnapshotTable(
     merged.repartition(col(BucketCol)).write.mode(SaveMode.Overwrite)
       .partitionBy(BucketCol)
       .parquet(s"$root/$batchDir")
+    writeBatchStats(spark, batchDir)
 
     val newManifest =
       manifest(spark) ++ affected.map(_ -> batchDir).toMap
     writeManifest(spark, next, newManifest)
     affected
+  }
+
+  // ── Per-batch file stats (SCD-merge × data-skipping composition) ───────
+  //
+  // The bucket layout prunes by KEY (which buckets a merge touches / an
+  // equi-lookup reads); stats prune by VALUE range (which files a
+  // time/range predicate can match). They compose because each immutable
+  // batch dir carries its own `_stats` manifest, written once with the
+  // batch — buckets carried over by reference keep their old batch's
+  // stats. A 100 TB SCD table thus answers "current rows in this date
+  // range" scanning only matching files of live buckets, without ever
+  // rewriting untouched data or rescanning for stats.
+
+  private def batchStatsPath(batchDir: String) = new Path(s"$root/$batchDir", "_stats")
+
+  private def writeBatchStats(spark: SparkSession, batchDir: String): Unit =
+    if (statsCols.nonEmpty)
+      StatsManifest.write(spark.read.parquet(s"$root/$batchDir"), statsCols,
+        fs(spark), batchStatsPath(batchDir))
+
+  /** Range-pruned full-table read: live buckets only, and within them only
+    * files whose per-batch stats for `column` intersect [lo,hi] (timestamp
+    * bounds in epoch micros, dates in epoch days). Batches written without
+    * stats keep all their files — pruning is always a superset guarantee,
+    * and the caller still applies the row-level filter. */
+  def readPruned(spark: SparkSession, column: String, lo: Double, hi: Double): DataFrame = {
+    val m = manifest(spark)
+    if (m.isEmpty) throw new IllegalStateException(s"BucketedSnapshotTable $root is empty")
+    val f = fs(spark)
+    // scheme-insensitive path (input_file_name() records file: URIs while
+    // root may be a plain local path)
+    def norm(p: String) = new Path(p).toUri.getPath
+    val parts = m.groupBy(_._2).flatMap { case (dir, entries) =>
+      val liveBucketFiles = entries.keys.toSeq.sorted.map(b => s"$root/$dir/$BucketCol=$b")
+      val picked = StatsManifest.readLines(f, batchStatsPath(dir)) match {
+        case None => liveBucketFiles // no stats for this batch → keep all
+        case Some(lines) =>
+          val inRange = StatsManifest.filesInRange(lines, column, lo, hi)
+          // stats entries are absolute file paths; keep those under a live
+          // bucket dir of THIS batch (stale buckets are skipped; the
+          // trailing "/" keeps __bucket=1 from matching __bucket=11)
+          val liveDirs = liveBucketFiles.map(d => norm(d) + "/")
+          inRange.filter(p => liveDirs.exists(norm(p).startsWith)).sorted
+      }
+      if (picked.isEmpty) None
+      else Some(spark.read.option("basePath", s"$root/$dir").parquet(picked: _*))
+    }.toSeq
+    if (parts.isEmpty) read(spark).limit(0) // schema-preserving empty relation
+    else parts.reduce(_ unionByName _).drop(BucketCol)
   }
 
   /** Rewrite every bucket into the same batch dir (small-file compaction
@@ -179,6 +230,7 @@ final class BucketedSnapshotTable(
         .write.mode(SaveMode.Overwrite)
         .partitionBy(BucketCol)
         .parquet(s"$root/$batchDir")
+      writeBatchStats(spark, batchDir)
       writeManifest(spark, next, manifest(spark).map { case (b, _) => b -> batchDir })
     }
     next

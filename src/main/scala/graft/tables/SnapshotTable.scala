@@ -123,118 +123,42 @@ final class SnapshotTable(val root: String) {
 
   private def statsPath(v: Int) = new Path(root, s"_stats_v$v")
 
-  /** Stats prefix length for string columns (Delta uses 32 too): long
-    * strings are truncated, and a truncated max is marked so pruning uses
-    * its prefix-successor as the (conservative) upper bound. */
-  private val StrPrefixLen = 32
-
-  private def b64(s: String) =
-    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
-  private def unb64(s: String) =
-    new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
-
-  /** Smallest string greater than every string that starts with `p`:
-    * increment the last incrementable char, dropping any U+FFFF tail.
-    * None when no finite successor exists (all U+FFFF) — caller must keep
-    * the file. */
-  private def prefixSuccessor(p: String): Option[String] = {
-    val trimmed = p.reverse.dropWhile(_ == '\uFFFF').reverse
-    if (trimmed.isEmpty) None
-    else Some(trimmed.init + (trimmed.last + 1).toChar)
-  }
-
-  /** [[write]] + per-file min/max stats manifest over `statsCols`.
-    * Numeric/timestamp columns record doubles (timestamps as epoch
-    * micros); string columns record UTF-8 min/max prefixes (truncated at
-    * [[StrPrefixLen]], base64 in the manifest so separators stay safe). */
+  /** [[write]] + per-file min/max stats manifest over `statsCols` (format
+    * and string-truncation rules in [[StatsManifest]]). */
   def writeWithStats(spark: SparkSession, df: DataFrame, statsCols: Seq[String],
       clusterBy: Seq[String] = Nil, clusterPartitions: Int = 0): Int = {
-    import org.apache.spark.sql.functions._
     val v = write(spark, df, Nil, clusterBy, clusterPartitions)
-    val snap = spark.read.parquet(s"$root/_v$v")
-    val isStr = statsCols.map(c =>
-      c -> snap.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.StringType]).toMap
-    def toD(c: String) = snap.schema(c).dataType match {
-      case org.apache.spark.sql.types.TimestampType =>
-        unix_micros(col(c)).cast("double")
-      case _ => col(c).cast("double")
-    }
-    val aggs = statsCols.flatMap { c =>
-      val src = if (isStr(c)) col(c) else toD(c)
-      Seq(min(src).as(s"min__$c"), max(src).as(s"max__$c"))
-    }
-    val rows = snap.groupBy(input_file_name().as("file"))
-      .agg(aggs.head, aggs.tail: _*).collect()
-    val body = rows.map { r =>
-      val file = r.getString(0)
-      val stats = statsCols.zipWithIndex.map { case (c, i) =>
-        if (isStr(c)) {
-          val mn = r.getString(1 + 2 * i); val mx = r.getString(2 + 2 * i)
-          val mxTrunc = if (mx.length > StrPrefixLen) 1 else 0
-          s"$c:s:${b64(mn.take(StrPrefixLen))}:${b64(mx.take(StrPrefixLen))}:$mxTrunc"
-        } else s"$c:n:${r.getDouble(1 + 2 * i)}:${r.getDouble(2 + 2 * i)}"
-      }.mkString("\t")
-      s"$file\t$stats"
-    }.mkString("\n")
-    val out = fs(spark).create(statsPath(v), true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
+    StatsManifest.write(spark.read.parquet(s"$root/_v$v"), statsCols, fs(spark), statsPath(v))
     v
   }
 
-  /** Files of the live version whose stats pass `keepEntry` (an entry is
-    * one `col:tag:...` manifest token). None = no manifest → all files. */
-  private def prunedFiles(spark: SparkSession, keepEntry: String => Boolean): Option[(Int, Vector[String])] = {
+  private def readFiles(spark: SparkSession,
+      prune: Vector[String] => Vector[String]): DataFrame = {
     val v = currentVersion(spark).getOrElse(
       throw new IllegalStateException(s"SnapshotTable $root has no committed version"))
-    val f = fs(spark)
-    if (!f.exists(statsPath(v))) return None
-    val in = f.open(statsPath(v))
-    val lines =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
-      finally in.close()
-    Some(v -> lines.collect {
-      case l if l.split("\t").drop(1).exists(keepEntry) => l.split("\t")(0)
-    })
-  }
-
-  private def readFiles(spark: SparkSession, pruned: Option[(Int, Vector[String])]): DataFrame =
-    pruned match {
-      case None => read(spark)
-      case Some((_, files)) if files.isEmpty =>
+    StatsManifest.readLines(fs(spark), statsPath(v)).map(prune) match {
+      case None => read(spark) // no manifest -> full scan
+      case Some(files) if files.isEmpty =>
         read(spark).limit(0) // schema-preserving empty relation
-      case Some((v, files)) =>
+      case Some(files) =>
         spark.read.option("basePath", s"$root/_v$v").parquet(files: _*)
     }
+  }
 
   /** Range-pruned read: only files whose recorded [min,max] for `column`
     * intersects [lo,hi] are handed to the scan (timestamp columns: pass
-    * epoch-micros bounds). Falls back to a full read when the live version
-    * has no stats manifest. The caller still applies the row-level filter —
-    * stats pruning is a superset guarantee, exactly like partition pruning. */
+    * epoch-micros bounds; date columns epoch days). Falls back to a full
+    * read when the live version has no stats manifest. The caller still
+    * applies the row-level filter -- stats pruning is a superset
+    * guarantee, exactly like partition pruning. */
   def readPruned(spark: SparkSession, column: String, lo: Double, hi: Double): DataFrame =
-    readFiles(spark, prunedFiles(spark, { s =>
-      val Array(c, tag, mn, mx) = s.split(":", 4)
-      c == column && tag == "n" && !(mx.toDouble < lo || mn.toDouble > hi)
-    }))
+    readFiles(spark, StatsManifest.filesInRange(_, column, lo, hi))
 
   /** String-range-pruned read over a string stats column ([lo,hi]
-    * inclusive, Java/UTF-16 ordering — for ASCII data this is codepoint
-    * order, same as Spark's). A truncated max prunes against its
-    * prefix-successor, so pruning stays a superset guarantee. */
+    * inclusive). Truncated maxes prune against their prefix-successor, so
+    * pruning stays a superset guarantee. */
   def readPrunedString(spark: SparkSession, column: String, lo: String, hi: String): DataFrame =
-    readFiles(spark, prunedFiles(spark, { s =>
-      val parts = s.split(":", 5)
-      parts(0) == column && parts(1) == "s" && {
-        val mn = unb64(parts(2)); val mx = unb64(parts(3)); val mxTrunc = parts(4) == "1"
-        // skip iff file's max < lo or file's min > hi. A stored min prefix
-        // is <= the true min, so `mn > hi` is safe; a truncated max needs
-        // its successor as the bound (no successor → cannot skip on max).
-        val maxBelowLo =
-          if (!mxTrunc) mx < lo
-          else prefixSuccessor(mx).exists(_ <= lo)
-        !(maxBelowLo || mn > hi)
-      }
-    }))
+    readFiles(spark, StatsManifest.filesInStringRange(_, column, lo, hi))
 
   /** Point-lookup convenience: [[readPrunedString]] with lo = hi. */
   def readPrunedEq(spark: SparkSession, column: String, value: String): DataFrame =

@@ -1,0 +1,105 @@
+package graft.tables
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, StringType, TimestampType}
+
+/** Per-file min/max column stats manifest — the Delta-style data-skipping
+  * metadata shared by [[SnapshotTable]] (whole-snapshot manifests) and
+  * [[BucketedSnapshotTable]] (per-batch manifests).
+  *
+  * Format: one line per file, `path\tcol:tag:...` entries per stats column.
+  *   - numeric/timestamp/date: `col:n:<minDouble>:<maxDouble>`
+  *     (timestamps as epoch micros, dates as epoch days)
+  *   - string: `col:s:<b64 minPrefix>:<b64 maxPrefix>:<maxTruncated 0|1>`
+  *     (UTF-8 prefixes truncated at [[StrPrefixLen]]; a truncated max
+  *     prunes against its prefix-successor so skipping stays a superset)
+  */
+private[tables] object StatsManifest {
+
+  /** Stats prefix length for string columns (Delta uses 32 too). */
+  val StrPrefixLen = 32
+
+  private def b64(s: String) =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+  private def unb64(s: String) =
+    new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+
+  /** Smallest string greater than every string that starts with `p`:
+    * increment the last incrementable char, dropping any U+FFFF tail.
+    * None when no finite successor exists (all U+FFFF) — caller must keep
+    * the file. */
+  def prefixSuccessor(p: String): Option[String] = {
+    val trimmed = p.reverse.dropWhile(_ == '\uFFFF').reverse
+    if (trimmed.isEmpty) None
+    else Some(trimmed.init + (trimmed.last + 1).toChar)
+  }
+
+  /** Scan `snap` (one extra pass over the immutable just-written files) and
+    * write the per-file stats manifest for `statsCols` to `out`. */
+  def write(snap: DataFrame, statsCols: Seq[String], fs: FileSystem, out: Path): Unit = {
+    val isStr = statsCols.map(c =>
+      c -> snap.schema(c).dataType.isInstanceOf[StringType]).toMap
+    def toD(c: String) = snap.schema(c).dataType match {
+      case TimestampType => unix_micros(col(c)).cast("double")
+      case DateType     => unix_date(col(c)).cast("double")
+      case _            => col(c).cast("double")
+    }
+    val aggs = statsCols.flatMap { c =>
+      val src = if (isStr(c)) col(c) else toD(c)
+      Seq(min(src).as(s"min__$c"), max(src).as(s"max__$c"))
+    }
+    val rows = snap.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val body = rows.map { r =>
+      val file = r.getString(0)
+      val stats = statsCols.zipWithIndex.map { case (c, i) =>
+        if (isStr(c)) {
+          val mn = r.getString(1 + 2 * i); val mx = r.getString(2 + 2 * i)
+          val mxTrunc = if (mx.length > StrPrefixLen) 1 else 0
+          s"$c:s:${b64(mn.take(StrPrefixLen))}:${b64(mx.take(StrPrefixLen))}:$mxTrunc"
+        } else s"$c:n:${r.getDouble(1 + 2 * i)}:${r.getDouble(2 + 2 * i)}"
+      }.mkString("\t")
+      s"$file\t$stats"
+    }.mkString("\n")
+    val o = fs.create(out, true)
+    try o.write(body.getBytes("UTF-8")) finally o.close()
+  }
+
+  /** Manifest lines at `path`, or None when no manifest was written. */
+  def readLines(fs: FileSystem, path: Path): Option[Vector[String]] = {
+    if (!fs.exists(path)) return None
+    val in = fs.open(path)
+    try Some(scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector)
+    finally in.close()
+  }
+
+  private def keepFiles(lines: Vector[String], entry: String => Boolean): Vector[String] =
+    lines.collect { case l if l.split("\t").drop(1).exists(entry) => l.split("\t")(0) }
+
+  /** Files whose recorded numeric [min,max] for `column` intersects [lo,hi]. */
+  def filesInRange(lines: Vector[String], column: String, lo: Double, hi: Double): Vector[String] =
+    keepFiles(lines, { s =>
+      val Array(c, tag, mn, mx) = s.split(":", 4)
+      c == column && tag == "n" && !(mx.toDouble < lo || mn.toDouble > hi)
+    })
+
+  /** Files whose recorded string prefix [min,max] for `column` can
+    * intersect [lo,hi] (inclusive; Java/UTF-16 ordering — codepoint order
+    * for ASCII, same as Spark's). */
+  def filesInStringRange(lines: Vector[String], column: String, lo: String, hi: String): Vector[String] =
+    keepFiles(lines, { s =>
+      val parts = s.split(":", 5)
+      parts(0) == column && parts(1) == "s" && {
+        val mn = unb64(parts(2)); val mx = unb64(parts(3)); val mxTrunc = parts(4) == "1"
+        // skip iff file's max < lo or file's min > hi. A stored min prefix
+        // is <= the true min, so `mn > hi` is safe; a truncated max needs
+        // its successor as the bound (no successor → cannot skip on max).
+        val maxBelowLo =
+          if (!mxTrunc) mx < lo
+          else prefixSuccessor(mx).exists(_ <= lo)
+        !(maxBelowLo || mn > hi)
+      }
+    })
+}

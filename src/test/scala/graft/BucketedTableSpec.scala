@@ -119,6 +119,29 @@ class BucketedTableSpec extends AnyFunSuite {
     }
   }
 
+  test("per-batch stats: range read prunes files, exact across carried-over buckets") {
+    val t = new BucketedSnapshotTable(tmp("bstats"), numBuckets = 8,
+      keys = Seq("k"), statsCols = Seq("d"))
+    // batch 1 stamps every row d=1; batch 2's updates stamp d=2 — the
+    // "rows changed since" query becomes a stats-pruned scan
+    t.scd1Merge(spark, (1 to 64).map(i => (i, 1, 1)).toDF("k", "seq", "d"), "seq")
+    val touched = t.scd1Merge(spark, Seq((1, 2, 2), (2, 2, 2)).toDF("k", "seq", "d"), "seq")
+
+    val full = t.read(spark)
+    val pr = t.readPruned(spark, "d", 2.0, 2.0)
+    // only the batch-2 bucket files can contain d=2; batch-1 files
+    // (max d=1) are pruned even though their buckets are still live
+    assert(pr.inputFiles.length <= touched.size)
+    assert(pr.inputFiles.length < full.inputFiles.length)
+    assert(pr.filter($"d" === 2).count() == 2)
+    assert(pr.filter($"d" === 2).select("k").as[Int].collect().toSet == Set(1, 2))
+
+    // a covering range sees the whole merged table; a disjoint one is empty
+    assert(t.readPruned(spark, "d", 1.0, 2.0).count() == full.count())
+    assert(t.readPruned(spark, "d", 99.0, 100.0).count() == 0)
+    assert(t.readPruned(spark, "d", 99.0, 100.0).columns.toSeq == full.columns.toSeq)
+  }
+
   test("read prunes to affected buckets only (directory-level pruning)") {
     val t = new BucketedSnapshotTable(tmp("bprune"), numBuckets = 32, keys = Seq("k"))
     t.scd1Merge(spark, mkBatch((1 to 200).map(i => (i, 1, s"v$i"))), "seq")
