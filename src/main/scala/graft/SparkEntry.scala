@@ -1707,6 +1707,80 @@ object SparkEntry {
         .orderBy($"o_totalprice".desc, $"o_orderkey")
     }),
 
+    // ── Window-function breadth: the rank family (dense_rank, percent_rank,
+    //    cume_dist, ntile) over acctbal within nation — rank functions are
+    //    tie-stable, so the outputs are deterministic even under value ties.
+    "q110_rank_breadth" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"c_nationkey").orderBy($"c_acctbal".desc, $"c_custkey")
+      Tables.customer(s, dir)
+        .select($"c_custkey", $"c_nationkey",
+          dense_rank().over(w).as("dr"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy($"c_custkey")
+    }),
+
+    // ── Min-cost-supplier (TPC-H Q2 shape, offers derived from lineitem):
+    //    per (part, supplier) the cheapest observed price, then only the
+    //    rows matching the per-part minimum survive. Decimal min ⇒ the
+    //    equality join-back is exact; both aggregations share the
+    //    l_partkey shuffle key so the join-back is co-partitioned.
+    "q111_min_cost_supplier" -> ((s, dir) => {
+      import s.implicits._
+      val offers = Tables.lineitem(s, dir)
+        .groupBy($"l_partkey", $"l_suppkey")
+        .agg(min(Relational.money($"l_extendedprice")).as("cost"))
+      val best = offers.groupBy($"l_partkey".as("bp"))
+        .agg(min($"cost").as("min_cost"))
+      offers
+        .join(best, $"l_partkey" === $"bp" && $"cost" === $"min_cost")
+        .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+        .filter($"l_partkey" <= 200)
+        .select($"l_partkey", $"l_suppkey", $"s_name", $"cost".cast("double").as("cost"))
+        .orderBy($"l_partkey", $"l_suppkey")
+    }),
+
+    // ── Idle high-balance customers (TPC-H Q22 shape): above-average
+    //    acctbal (uncorrelated scalar subquery over a DECIMAL-derived mean)
+    //    and no orders after 1998 (anti join), grouped by nation.
+    "q112_idle_customers" -> ((s, dir) => {
+      import s.implicits._
+      val cust = Tables.customer(s, dir)
+      // deterministic mean: decimal sum / exact count, derived in double
+      val stats = cust.agg(
+        sum(Relational.money($"c_acctbal")).cast("double").as("s"),
+        count(lit(1)).cast("double").as("n"))
+        .select(($"s" / $"n").as("avg_bal"))
+      val recent = Tables.orders(s, dir)
+        .filter($"o_orderdate" >= "2000-01-01").select($"o_custkey")
+      cust.join(broadcast(stats))
+        .filter(Relational.money($"c_acctbal").cast("double") > $"avg_bal")
+        .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("numcust"), Relational.sumMoney($"c_acctbal").as("totacctbal"))
+        .orderBy($"c_nationkey")
+    }),
+
+    // ── Top-revenue supplier (TPC-H Q15 shape): per-supplier revenue over a
+    //    quarter, then the suppliers achieving the global max. Revenue is a
+    //    DECIMAL sum, so the max-equality self-comparison is exact.
+    "q113_top_supplier" -> ((s, dir) => {
+      import s.implicits._
+      val rev = Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= "1996-01-01" && $"l_shipdate" < "1996-04-01")
+        .groupBy($"l_suppkey")
+        .agg(sum(Relational.money($"l_extendedprice") *
+          (lit(1).cast("decimal(18,2)") - Relational.money($"l_discount"))).as("total_revenue"))
+      val top = rev.agg(max($"total_revenue").as("mx"))
+      rev.join(broadcast(top), $"total_revenue" === $"mx")
+        .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+        .select($"s_suppkey", $"s_name", $"total_revenue".cast("double").as("total_revenue"))
+        .orderBy($"s_suppkey")
+    }),
+
     // ── S5/1.4: 3-level catalog registration + SQL over registered tables
     //    (spark_catalog.<db>.<table>, the reference's UC namespace analog).
     "q41_catalog_sql" -> ((s, dir) => {
@@ -2536,6 +2610,50 @@ object SparkEntry {
       """SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents WHERE lang = 'en'
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q110_rank_breadth" ->
+      """SELECT c_custkey, c_nationkey,
+        |CAST(DENSE_RANK() OVER w AS INTEGER) AS dr,
+        |ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+        |ROUND(CUME_DIST() OVER w, 6) AS cd,
+        |CAST(NTILE(4) OVER w AS INTEGER) AS quartile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q111_min_cost_supplier" ->
+      """WITH offers AS (
+        |  SELECT l_partkey, l_suppkey, MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |best AS (SELECT l_partkey AS bp, MIN(cost) AS min_cost FROM offers GROUP BY 1)
+        |SELECT o.l_partkey, o.l_suppkey, s_name, CAST(o.cost AS DOUBLE) AS cost
+        |FROM offers o
+        |JOIN best b ON o.l_partkey = b.bp AND o.cost = b.min_cost
+        |JOIN supplier ON o.l_suppkey = s_suppkey
+        |WHERE o.l_partkey <= 200
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q112_idle_customers" ->
+      """SELECT c_nationkey, COUNT(*) AS numcust,
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) >
+        |  (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM customer)
+        |AND c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q113_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
 
     "q109_bucketed_stats" ->
       """WITH merged AS (
