@@ -1781,6 +1781,54 @@ object SparkEntry {
         .orderBy($"s_suppkey")
     }),
 
+    // ── Semi-structured VARIANT (Spark 4): parse once into the binary
+    //    variant encoding, extract a typed field, aggregate — the modern
+    //    form of q37's per-row JSON string parsing (variant decode is
+    //    columnar and the cast is type-checked at extract time).
+    "q114_variant_shred" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .select(variant_get(parse_json($"props"), "$.k", "long").as("k"))
+        .groupBy(($"k" % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"), min($"k").as("min_k"), max($"k").as("max_k"))
+        .orderBy($"bucket")
+    }),
+
+    // ── Correlated LATERAL subquery with per-group ORDER BY + LIMIT — the
+    //    SQL form of grouped top-n. Catalyst decorrelates it; the
+    //    tie-broken ORDER BY keeps the emitted set deterministic.
+    "q115_lateral_topn" -> ((s, dir) => {
+      Tables.nation(s, dir).createOrReplaceTempView("g115_nation")
+      Tables.customer(s, dir).createOrReplaceTempView("g115_customer")
+      s.sql("""
+        SELECT n_name, c.c_custkey,
+          CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
+        FROM g115_nation,
+        LATERAL (SELECT c_custkey, c_acctbal FROM g115_customer
+                 WHERE c_nationkey = n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+        ORDER BY n_name, c.c_custkey""")
+    }),
+
+    // ── §7 depth: change data feed between snapshot versions (Delta CDF
+    //    analog, derived on demand from two immutable snapshots by a keyed
+    //    full-outer diff — no write-time change logging needed).
+    "q116_change_feed" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("cdf").toString
+      val t = new graft.tables.SnapshotTable(s"$work/t")
+      val base = Tables.customer(s, dir)
+        .select($"c_custkey", Relational.money($"c_acctbal").cast("double").as("bal"))
+      t.write(s, base) // v1
+      val v2 = base.filter($"c_custkey" % 97 =!= 0)
+        .withColumn("bal", when($"c_custkey" % 50 === 0, $"bal" + 100.0).otherwise($"bal"))
+        .unionByName(base.filter($"c_custkey" % 113 === 0)
+          .select(($"c_custkey" + 1000000).as("c_custkey"), $"bal"))
+      t.write(s, v2)
+      t.changes(s, Seq("c_custkey"), 1, 2)
+        .orderBy($"_change_type", $"c_custkey")
+    }),
+
     // ── S5/1.4: 3-level catalog registration + SQL over registered tables
     //    (spark_catalog.<db>.<table>, the reference's UC namespace analog).
     "q41_catalog_sql" -> ((s, dir) => {
@@ -2610,6 +2658,31 @@ object SparkEntry {
       """SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents WHERE lang = 'en'
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q114_variant_shred" ->
+      """WITH x AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT k % 10 AS bucket, COUNT(*) AS n, MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q115_lateral_topn" ->
+      """SELECT n_name, c.c_custkey,
+        |CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
+        |FROM nation,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer
+        |         WHERE c_nationkey = n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+        |ORDER BY n_name, c.c_custkey""".stripMargin,
+
+    "q116_change_feed" ->
+      """WITH base AS (
+        |  SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal FROM customer)
+        |SELECT c_custkey, bal + 100 AS bal, 'update' AS _change_type
+        |  FROM base WHERE c_custkey % 50 = 0 AND c_custkey % 97 <> 0
+        |UNION ALL
+        |SELECT c_custkey, bal, 'delete' FROM base WHERE c_custkey % 97 = 0
+        |UNION ALL
+        |SELECT c_custkey + 1000000, bal, 'insert' FROM base WHERE c_custkey % 113 = 0
+        |ORDER BY _change_type, c_custkey""".stripMargin,
 
     "q110_rank_breadth" ->
       """SELECT c_custkey, c_nationkey,

@@ -164,6 +164,37 @@ final class SnapshotTable(val root: String) {
   def readPrunedEq(spark: SparkSession, column: String, value: String): DataFrame =
     readPrunedString(spark, column, value, value)
 
+  /** Change data feed between two committed versions (Delta CDF analog,
+    * computed on demand from the immutable snapshots rather than logged at
+    * write time): one row per changed key with `_change_type` ∈
+    * {insert, delete, update} — update rows carry the NEW values, delete
+    * rows the old ones. Keyed full-outer join, so the shuffle is on the
+    * business key both snapshots are already clustered by in the common
+    * case. `null_safe` key equality is not needed: keys are business keys
+    * and assumed non-null (same contract as the SCD merges). */
+  def changes(spark: SparkSession, keys: Seq[String], fromV: Int, toV: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val oldS = readVersion(spark, fromV)
+    val newS = readVersion(spark, toV)
+    val dataCols = newS.columns.filterNot(keys.contains)
+    val o = oldS.select(oldS.columns.map(c => col(c).as(s"__o_$c")): _*)
+    val n = newS.select(newS.columns.map(c => col(c).as(s"__n_$c")): _*)
+    val cond = keys.map(k => o(s"__o_$k") === n(s"__n_$k")).reduce(_ && _)
+    val changedData =
+      if (dataCols.isEmpty) lit(false)
+      else dataCols.map(c => !(col(s"__o_$c") <=> col(s"__n_$c"))).reduce(_ || _)
+    o.join(n, cond, "full_outer")
+      .withColumn("_change_type",
+        when(col(s"__o_${keys.head}").isNull, "insert")
+          .when(col(s"__n_${keys.head}").isNull, "delete")
+          .when(changedData, "update"))
+      .filter(col("_change_type").isNotNull)
+      .select(
+        (keys.map(k => coalesce(col(s"__n_$k"), col(s"__o_$k")).as(k)) ++
+          dataCols.map(c => when(col("_change_type") === "delete", col(s"__o_$c"))
+            .otherwise(col(s"__n_$c")).as(c)) :+ col("_change_type")): _*)
+  }
+
   /** Drop snapshot dirs older than the `keep` most recent (time travel
     * window). Never touches the live version. */
   def vacuum(spark: SparkSession, keep: Int = 2): Unit = {

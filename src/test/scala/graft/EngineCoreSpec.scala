@@ -127,6 +127,21 @@ class EngineCoreSpec extends AnyFunSuite {
       .filter(col("x") <= 7).count() == 8L * 64)
   }
 
+  test("SnapshotTable.changes: keyed diff classifies insert/update/delete, skips unchanged") {
+    val t = new SnapshotTable(tmp("cdf"))
+    t.write(spark, Seq((1, "a", 10), (2, "b", 20), (3, "c", 30)).toDF("k", "v", "x"))
+    t.write(spark, Seq((1, "a", 10), (2, "B", 20), (4, "d", 40)).toDF("k", "v", "x"))
+    val ch = t.changes(spark, Seq("k"), 1, 2)
+      .select("k", "v", "x", "_change_type").as[(Int, String, Int, String)]
+      .collect().toSet
+    assert(ch == Set(
+      (2, "B", 20, "update"), // carries NEW values
+      (3, "c", 30, "delete"), // carries OLD values
+      (4, "d", 40, "insert")))
+    // unchanged key 1 emits nothing; a self-diff is empty
+    assert(t.changes(spark, Seq("k"), 2, 2).count() == 0)
+  }
+
   test("SnapshotTable: a reader opened before a commit still reads its snapshot") {
     // snapshot immutability: version dirs are never rewritten, so a plan
     // bound to _vN keeps working while writers commit _v(N+1) — the
