@@ -813,6 +813,76 @@ object SparkEntry {
         .orderBy($"user_id")
     }),
 
+    // ── D-surface depth: stream-stream LEFT OUTER join — null-extended
+    //    rows are emitted by WATERMARK PASSAGE, not at stream end: an
+    //    unmatched purchase emits once the global watermark (min over both
+    //    inputs of max event time − 1 day) passes its join-window upper
+    //    bound p_ts + 30 min. Purchases newer than that stay unmatched AND
+    //    unemitted — the oracle reproduces exactly that emitted set.
+    "q117_stream_outer_join" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("ssouter").toString
+      val e = Tables.events(s, dir)
+      e.filter($"event_type" === "purchase")
+        .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"event_id".as("p_id"))
+        .coalesce(4).write.mode("overwrite").parquet(s"$work/purchases")
+      e.filter($"event_type" === "error")
+        .select($"user_id".as("e_user"), $"ts".as("e_ts"), $"value".as("e_value"))
+        .coalesce(4).write.mode("overwrite").parquet(s"$work/errors")
+      val purchases = s.readStream
+        .schema(s.read.parquet(s"$work/purchases").schema)
+        .parquet(s"$work/purchases")
+        .withWatermark("p_ts", "1 day")
+      val errors = s.readStream
+        .schema(s.read.parquet(s"$work/errors").schema)
+        .parquet(s"$work/errors")
+        .withWatermark("e_ts", "1 day")
+      val joined = purchases.join(errors,
+        $"p_user" === $"e_user" &&
+        $"e_ts" >= $"p_ts" && $"e_ts" <= $"p_ts" + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      withShufflePartitions(s, 8) {
+        val q = joined.writeStream.format("parquet")
+          .option("checkpointLocation", s"$work/ck")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(s"$work/out")
+        q.awaitTermination()
+      }
+      s.read.parquet(s"$work/out")
+        .groupBy($"p_user".as("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(when($"e_value".isNull, 1)).as("n_outer"),
+          Relational.sumMoney($"e_value").as("err_value"))
+        .orderBy($"user_id")
+    }),
+
+    // ── Generator breadth: posexplode (ordinal-position explode) — the
+    //    generator runs pre-shuffle, so only (pos, word) pairs reach the
+    //    aggregation, never the full text.
+    "q118_pos_explode" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", posexplode(split($"text", " ")))
+        .toDF("doc_id", "pos", "word")
+        .filter($"pos" < 5)
+        .groupBy($"pos")
+        .agg(count(lit(1)).as("n"), min($"word").as("first_w"), max($"word").as("last_w"))
+        .orderBy($"pos")
+    }),
+
+    // ── §7: time travel as a query — a committed version stays readable
+    //    (and identical) after later commits move the live pointer.
+    "q119_time_travel" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("travel").toString
+      val t = new graft.tables.SnapshotTable(s"$work/t")
+      t.write(s, Tables.nation(s, dir))                                  // v1
+      t.write(s, Tables.nation(s, dir).filter($"n_nationkey" < 20))     // v2 (live)
+      val v1 = t.readVersion(s, 1).agg(count(lit(1)).as("n")).withColumn("version", lit(1))
+      val v2 = t.read(s).agg(count(lit(1)).as("n")).withColumn("version", lit(2))
+      v1.unionByName(v2).select($"version", $"n").orderBy($"version")
+    }),
+
     // ── J-surface completion: LEFT OUTER + FULL OUTER joins with null
     //    propagation (keys stay non-null for deterministic ordering).
     "q59_outer_joins" -> ((s, dir) => {
@@ -2658,6 +2728,37 @@ object SparkEntry {
       """SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents WHERE lang = 'en'
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q117_stream_outer_join" ->
+      """WITH p AS (SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+        |e AS (SELECT user_id, ts AS e_ts, value FROM events WHERE event_type = 'error'),
+        |wm AS (SELECT LEAST((SELECT max(p_ts) FROM p), (SELECT max(e_ts) FROM e)) - INTERVAL 1 DAY AS w),
+        |pairs AS (
+        |  SELECT p.user_id, e.value FROM p JOIN e ON p.user_id = e.user_id
+        |    AND e.e_ts >= p.p_ts AND e.e_ts <= p.p_ts + INTERVAL 30 MINUTE),
+        |outers AS (
+        |  SELECT p.user_id, CAST(NULL AS DOUBLE) AS value FROM p
+        |  WHERE p.p_ts + INTERVAL 30 MINUTE < (SELECT w FROM wm)
+        |    AND NOT EXISTS (SELECT 1 FROM e WHERE e.user_id = p.user_id
+        |      AND e.e_ts >= p.p_ts AND e.e_ts <= p.p_ts + INTERVAL 30 MINUTE)),
+        |allr AS (SELECT * FROM pairs UNION ALL SELECT * FROM outers)
+        |SELECT user_id, COUNT(*) AS n_rows,
+        |COUNT(CASE WHEN value IS NULL THEN 1 END) AS n_outer,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS err_value
+        |FROM allr GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q118_pos_explode" ->
+      """SELECT pos, COUNT(*) AS n, MIN(word) AS first_w, MAX(word) AS last_w FROM (
+        |  SELECT CAST(g AS INTEGER) AS pos, string_split(text, ' ')[g + 1] AS word
+        |  FROM documents, generate_series(0, 4) AS s(g)
+        |  WHERE len(string_split(text, ' ')) > g)
+        |GROUP BY pos ORDER BY pos""".stripMargin,
+
+    "q119_time_travel" ->
+      """SELECT 1 AS version, COUNT(*) AS n FROM nation
+        |UNION ALL
+        |SELECT 2 AS version, COUNT(*) AS n FROM nation WHERE n_nationkey < 20
+        |ORDER BY version""".stripMargin,
 
     "q114_variant_shred" ->
       """WITH x AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
