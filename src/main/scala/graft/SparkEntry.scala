@@ -883,6 +883,36 @@ object SparkEntry {
       v1.unionByName(v2).select($"version", $"n").orderBy($"version")
     }),
 
+    // ── LLM-pipeline: corpus mixing toward target proportions — per-lang
+    //    keep rates derived from one count per stratum (driver-side
+    //    metadata only), realized by content-hash bucketing so the mixture
+    //    is reproducible at any scale and stable under corpus growth.
+    "q120_corpus_mixture" -> ((s, dir) => {
+      import s.implicits._
+      graft.llm.Sampling.targetMixture(Tables.documents(s, dir), "doc_id", "lang",
+          Map("en" -> 0.4, "fr" -> 0.3, "de" -> 0.1, "es" -> 0.1, "zh" -> 0.1))
+        .groupBy($"lang").agg(count(lit(1)).as("n"))
+        .orderBy($"lang")
+    }),
+
+    // ── Recursive CTE (Spark 4 UnionLoop): a recursion-generated month
+    //    spine LEFT JOINed to monthly revenue — zero-sales months survive,
+    //    which a plain GROUP BY over lineitem cannot produce.
+    "q121_recursive_cte" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("g121_lineitem")
+      s.sql("""
+        WITH RECURSIVE months(m) AS (
+          SELECT 1
+          UNION ALL
+          SELECT m + 1 FROM months WHERE m < 12
+        )
+        SELECT m, COUNT(l_orderkey) AS n,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM months LEFT JOIN g121_lineitem
+          ON month(l_shipdate) = m AND year(l_shipdate) = 1996
+        GROUP BY m ORDER BY m""")
+    }),
+
     // ── J-surface completion: LEFT OUTER + FULL OUTER joins with null
     //    propagation (keys stay non-null for deterministic ordering).
     "q59_outer_joins" -> ((s, dir) => {
@@ -2728,6 +2758,31 @@ object SparkEntry {
       """SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents WHERE lang = 'en'
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q121_recursive_cte" ->
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT 1
+        |  UNION ALL
+        |  SELECT m + 1 FROM months WHERE m < 12
+        |)
+        |SELECT m, COUNT(l_orderkey) AS n,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM months LEFT JOIN lineitem
+        |  ON month(l_shipdate) = m AND year(l_shipdate) = 1996
+        |GROUP BY m ORDER BY m""".stripMargin,
+
+    "q120_corpus_mixture" ->
+      """WITH w(lang, wt) AS (VALUES
+        |  ('en', CAST(0.4 AS DOUBLE)), ('fr', CAST(0.3 AS DOUBLE)),
+        |  ('de', CAST(0.1 AS DOUBLE)), ('es', CAST(0.1 AS DOUBLE)), ('zh', CAST(0.1 AS DOUBLE))),
+        |counts AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY 1),
+        |cap AS (SELECT MIN(c / wt) AS n_out FROM counts JOIN w USING (lang)),
+        |thresh AS (SELECT lang, CAST(FLOOR((SELECT n_out FROM cap) * wt / c * 10000) AS BIGINT) AS th
+        |           FROM counts JOIN w USING (lang))
+        |SELECT d.lang, COUNT(*) AS n
+        |FROM documents d JOIN thresh t ON d.lang = t.lang
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < t.th
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     "q117_stream_outer_join" ->
       """WITH p AS (SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),

@@ -33,6 +33,31 @@ object Sampling {
       .filter(col("bucket") < rate)
   }
 
+  /** Sample toward a target corpus mixture: given desired stratum
+    * proportions (e.g. en 0.4 / fr 0.3 / …), derive per-stratum keep rates
+    * that realize the LARGEST output with exactly those proportions — the
+    * binding stratum (smallest count/weight ratio) is kept ~whole and the
+    * rest are down-sampled to match. Strata absent from `targets` are
+    * dropped. Selection is the same content-hash bucketing as
+    * [[stratifiedSample]], so the mixture is reproducible and stable under
+    * corpus growth; the only driver-side data is one count per stratum. */
+  def targetMixture(
+      df: DataFrame, keyCol: String, stratumCol: String,
+      targets: Map[String, Double], buckets: Int = 10000): DataFrame = {
+    require(targets.values.forall(_ > 0), "target weights must be positive")
+    val counts = df.groupBy(col(stratumCol)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = targets.filter { case (s, _) => counts.contains(s) }
+    require(present.nonEmpty, "no target stratum present in the data")
+    val nOut = present.map { case (s, w) => counts(s) / w }.min
+    val thrCol = present.foldLeft(lit(-1L)) { case (acc, (s, w)) =>
+      // same double expression tree the SQL oracle uses: n_out * w / c * buckets
+      when(col(stratumCol) === s,
+        lit(math.floor(nOut * w / counts(s) * buckets).toLong)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol), buckets) < thrCol)
+  }
+
   /** Deterministic "reservoir": exactly `k` rows per group (fewer if the
     * group is smaller), chosen by hash rank of the row key — the fixed-size
     * analog of [[stratifiedSample]] (e.g. k documents per language for an

@@ -127,6 +127,30 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("targetMixture: output proportions track targets, binding stratum kept ~whole, reproducible") {
+    val targets = Map("en" -> 0.4, "fr" -> 0.3, "de" -> 0.1, "es" -> 0.1, "zh" -> 0.1)
+    val mixed = graft.llm.Sampling.targetMixture(docs, "doc_id", "lang", targets)
+    val got = mixed.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val total = got.values.sum.toDouble
+    assert(got.keySet == targets.keySet)
+    // proportions within hash-bucketing noise of the targets
+    targets.foreach { case (lang, w) =>
+      val p = got(lang) / total
+      assert(math.abs(p - w) < 0.08, s"$lang: got ${p}%, want $w")
+    }
+    // the binding stratum (max observed count/weight pressure) keeps ≥90%
+    val counts = docs.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val binding = targets.keys.minBy(l => counts(l) / targets(l))
+    assert(got(binding).toDouble / counts(binding) > 0.9)
+    // reproducible
+    val again = graft.llm.Sampling.targetMixture(docs, "doc_id", "lang", targets)
+    assert(again.select("doc_id").as[Long].collect().sorted.toSeq ==
+      mixed.select("doc_id").as[Long].collect().sorted.toSeq)
+    // strata outside the target map are dropped
+    val sub = graft.llm.Sampling.targetMixture(docs, "doc_id", "lang", Map("en" -> 1.0))
+    assert(sub.select("lang").distinct().as[String].collect().toSeq == Seq("en"))
+  }
+
   test("packSequencesGlobal: budget respected, exact coverage, deterministic, waste ≤ shard-local") {
     val d = docs.select($"doc_id",
       TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"))
