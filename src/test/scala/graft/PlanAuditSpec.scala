@@ -68,6 +68,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q115: LATERAL LIMIT decorrelates to WindowGroupLimit, no nested-loop join") {
+    val plan = planOf("q115_lateral_topn")
+    // the correlated ORDER BY+LIMIT must become a group-limit window (with
+    // a map-side partial before the shuffle), never a per-row re-execution
+    assert(plan.contains("WindowGroupLimit"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("join strategy hints are honored (shuffle_hash overrides sort-merge)") {
     val o = graft.tables.Tables.orders(spark, dir)
     val li = graft.tables.Tables.lineitem(spark, dir)
