@@ -913,6 +913,35 @@ object SparkEntry {
         GROUP BY m ORDER BY m""")
     }),
 
+    // ── Ordered list aggregation, both spellings: sort_array∘collect_list
+    //    (array form) and ANSI listagg WITHIN GROUP (string form). The
+    //    explicit ORDER BY inside the aggregate is what makes a
+    //    distributed collect deterministic.
+    "q122_list_agg" -> ((s, dir) => {
+      Tables.supplier(s, dir).createOrReplaceTempView("g122_supplier")
+      s.sql("""
+        SELECT s_nationkey,
+          array_join(sort_array(collect_list(s_name)), ',') AS names_arr,
+          listagg(s_name, ',') WITHIN GROUP (ORDER BY s_name) AS names_agg,
+          COUNT(*) AS n
+        FROM g122_supplier GROUP BY s_nationkey ORDER BY s_nationkey""")
+    }),
+
+    // ── Error-safe expression surface: try_divide / try_cast /
+    //    try_element_at return NULL where ANSI mode would raise — the
+    //    per-row quarantine alternative to failing a 100 TB job on one
+    //    malformed value.
+    "q123_try_functions" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .select($"o_orderkey",
+          expr("try_divide(o_totalprice, o_custkey % 7)").as("d"),
+          expr("try_cast(o_orderpriority AS INT)").as("pri_int"),
+          expr("try_element_at(split(o_orderpriority, '-'), 2)").as("tok2"),
+          expr("try_element_at(split(o_orderpriority, '-'), 5)").as("tok5"))
+        .orderBy($"o_orderkey")
+    }),
+
     // ── J-surface completion: LEFT OUTER + FULL OUTER joins with null
     //    propagation (keys stay non-null for deterministic ordering).
     "q59_outer_joins" -> ((s, dir) => {
@@ -1223,7 +1252,7 @@ object SparkEntry {
     "q109_bucketed_stats" -> ((s, dir) => {
       import s.implicits._
       val work = java.nio.file.Files.createTempDirectory("bstat").toString
-      val t = new graft.tables.BucketedSnapshotTable(s"$work/t", numBuckets = 16,
+      val t = new graft.tables.BucketedSnapshotTable(s"$work/t", numBuckets = 8,
         keys = Seq("o_orderkey"), statsCols = Seq("o_orderdate"))
       // parquet stores o_orderdate as timestamp_ntz; stats skip on DATE
       val base = Tables.orders(s, dir)
@@ -2758,6 +2787,21 @@ object SparkEntry {
       """SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents WHERE lang = 'en'
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q122_list_agg" ->
+      """SELECT s_nationkey,
+        |array_to_string(list_sort(list(s_name)), ',') AS names_arr,
+        |string_agg(s_name, ',' ORDER BY s_name) AS names_agg,
+        |COUNT(*) AS n
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "q123_try_functions" ->
+      """SELECT o_orderkey,
+        |CASE WHEN o_custkey % 7 = 0 THEN NULL ELSE o_totalprice / (o_custkey % 7) END AS d,
+        |TRY_CAST(o_orderpriority AS INTEGER) AS pri_int,
+        |string_split(o_orderpriority, '-')[2] AS tok2,
+        |string_split(o_orderpriority, '-')[5] AS tok5
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q121_recursive_cte" ->
       """WITH RECURSIVE months(m) AS (
