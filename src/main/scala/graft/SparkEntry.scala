@@ -761,7 +761,10 @@ object SparkEntry {
     "q57_bucketed_scd1" -> ((s, dir) => {
       import s.implicits._
       val work = java.nio.file.Files.createTempDirectory("bucketed").toString
-      val t = new graft.tables.BucketedSnapshotTable(s"$work/t", 32, Seq("user_id"))
+      // 8 buckets at bench scale: both halves touch every user, so each
+      // merge writes every bucket dir — dir count, not data volume, is the
+      // cost here (at 100 TB you'd size thousands of buckets instead)
+      val t = new graft.tables.BucketedSnapshotTable(s"$work/t", 8, Seq("user_id"))
       val e = Tables.events(s, dir)
       val cut = lit("2024-01-15 00:00:00").cast("timestamp")
       t.scd1Merge(s, e.filter($"ts" < cut), "ts", Seq($"event_id"))
@@ -940,6 +943,36 @@ object SparkEntry {
           expr("try_element_at(split(o_orderpriority, '-'), 2)").as("tok2"),
           expr("try_element_at(split(o_orderpriority, '-'), 5)").as("tok5"))
         .orderBy($"o_orderkey")
+    }),
+
+    // ── LLM-pipeline: INCREMENTAL dedup — index even-id docs once, probe
+    //    the odd-id batch against the persisted band index. Probe IO is
+    //    O(batch + candidate buckets), never O(corpus); candidates are
+    //    exactly verified, so the output equals the cross-set all-pairs
+    //    answer on this corpus (near-dup margin ≥ band-geometry recall).
+    "q124_incremental_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("mhidx").toString
+      val docs = Tables.documents(s, dir)
+      val idx = new graft.llm.MinHashIndex(s"$work/idx")
+      idx.build(s, docs.filter($"doc_id" % 2 === 0), "doc_id", "text")
+      idx.probe(s, docs.filter($"doc_id" % 2 === 1), "doc_id", "text", 0.5)
+        .orderBy($"d_new", $"d_old")
+    }),
+
+    // ── K-surface: ORC sink + source round-trip (the third columnar format
+    //    after parquet and CSV/JSON in q51 — vectorized reader, pushdown).
+    "q125_orc_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("orc").toString
+      Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderstatus")
+        .coalesce(8).write.mode("overwrite").orc(s"$work/orc")
+      s.read.orc(s"$work/orc")
+        .filter($"o_totalprice" > 1000.0)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"), Relational.sumMoney($"o_totalprice").as("total"))
+        .orderBy($"o_orderstatus")
     }),
 
     // ── J-surface completion: LEFT OUTER + FULL OUTER joins with null
@@ -2787,6 +2820,28 @@ object SparkEntry {
       """SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents WHERE lang = 'en'
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q125_orc_roundtrip" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_totalprice > 1000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q124_incremental_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS ts FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+        |  FROM toks, UNNEST(generate_series(1, len(ts)-2)) AS g(i)),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS d_new, b.doc_id AS d_old, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 GROUP BY 1, 2)
+        |SELECT d_new, d_old, CAST(i AS DOUBLE) / CAST(c1.n + c2.n - i AS DOUBLE) AS jaccard
+        |FROM inter JOIN cnt c1 ON c1.doc_id = d_new JOIN cnt c2 ON c2.doc_id = d_old
+        |WHERE CAST(i AS DOUBLE) / CAST(c1.n + c2.n - i AS DOUBLE) >= 0.5
+        |ORDER BY d_new, d_old""".stripMargin,
 
     "q122_list_agg" ->
       """SELECT s_nationkey,

@@ -114,6 +114,29 @@ object Dedup {
           transform(slice(signatureCol, b * rowsPerBand + 1, lit(rowsPerBand)), _.cast("string"))), b)
           .as("bucket")))
 
+  /** Signature + banding over an exploded shingle-hash relation (from
+    * [[shingleHashRows]]): one codegen'd pass of `numHashes` min-aggregates
+    * (one hash-shuffle on id — each "permutation" re-hashes the fixed
+    * 8-byte shingle hash with a distinct seed word; an affine h*A+B mix
+    * would be cheaper but Spark 4's ANSI mode throws on the intentional
+    * overflow), then each band hashes its signature slots directly
+    * (multi-arg xxhash64 over longs — no array assembly, no interpreted
+    * slice/transform). Returns (id, band, bucket) rows — docs sharing a
+    * (band, bucket) are LSH candidates. */
+  def bandRows(shEx: DataFrame, numHashes: Int = 96, bands: Int = 24): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val minAggs = (0 until numHashes).map { i =>
+      min(xxhash64(lit(i.toLong), col("h"))).as(s"m$i")
+    }
+    val sig = shEx.groupBy("id").agg(minAggs.head, minAggs.tail: _*)
+    val bandStructs = (0 until bands).map { b =>
+      val slots = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i"))
+      struct(lit(b).as("band"), xxhash64(slots :+ lit(b): _*).as("bucket"))
+    }
+    sig.select(col("id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
   /** MinHash+LSH near-duplicate pairs with *exact* verification:
     *
     *  1. shingle + minhash each doc (narrow, codegen)
@@ -147,29 +170,7 @@ object Dedup {
     // serialization.
     val shEx = shingleHashRows(df, idCol, textCol, shingleN).localCheckpoint()
 
-    // Signature via numHashes codegen'd min-aggregates over the exploded
-    // shingle-hash relation — one hash-shuffle on id. The numHashes
-    // "permutations" re-hash the fixed 8-byte shingle hash with a distinct
-    // seed word (xxhash64 over two longs — constant cost). (An affine
-    // h*A+B mix would be cheaper still, but Spark 4's default ANSI mode
-    // throws on the intentional mod-2^64 overflow.)
-    val minAggs = (0 until numHashes).map { i =>
-      min(xxhash64(lit(i.toLong), col("h"))).as(s"m$i")
-    }
-    val sig = shEx.groupBy("id").agg(minAggs.head, minAggs.tail: _*)
-
-    // Band → bucket join: candidates are id pairs only — the bucket
-    // shuffle carries 8-byte keys, never shingle payloads. Band buckets
-    // hash the rowsPerBand signature columns directly (multi-arg xxhash64
-    // over longs, codegen) — no array assembly, no interpreted slice/
-    // transform, no string concat.
-    val bandStructs = (0 until bands).map { b =>
-      val slots = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i"))
-      struct(lit(b).as("band"), xxhash64(slots :+ lit(b): _*).as("bucket"))
-    }
-    val banded = sig
-      .select(col("id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val banded = bandRows(shEx, numHashes, bands)
     val candidates = banded.alias("a").join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))

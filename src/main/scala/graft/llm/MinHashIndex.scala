@@ -1,0 +1,85 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent MinHash band index for INCREMENTAL near-duplicate detection —
+  * the production shape of corpus dedup: the existing corpus is fingerprinted
+  * ONCE, and each day's new batch probes the index, so probe cost scales with
+  * the batch, never the corpus.
+  *
+  * Layout (all plain parquet):
+  * {{{
+  *   root/bands/                 (id, band, bucket)   — LSH candidate join side
+  *   root/shingles/__b=<k>/      (id, h)              — 8-byte shingle hashes,
+  *                                                      hash-bucketed by id
+  *   root/counts/                (id, n)              — shingle-set sizes
+  * }}}
+  *
+  * Scale design: the probe's exact-verify step needs the INDEXED side's
+  * shingle hashes only for candidate ids — storing them hash-bucketed by id
+  * (64 dirs) lets the probe read just the candidate buckets (directory
+  * pruning, same trick as [[graft.tables.BucketedSnapshotTable]]), so verify
+  * IO is O(candidates), not O(corpus). The candidate join itself shuffles
+  * 8-byte (band, bucket) keys. Like [[Dedup.minhashNearDupPairs]], candidates
+  * are exactly verified, so output precision is exact; recall is the band
+  * geometry's (1−(1−s⁴)²⁴ at the defaults).
+  */
+final class MinHashIndex(
+    val root: String,
+    val shingleN: Int = 3,
+    val numHashes: Int = 96,
+    val bands: Int = 24,
+    val idBuckets: Int = 64) {
+
+  private def idBucket(c: org.apache.spark.sql.Column) = pmod(hash(c), lit(idBuckets))
+
+  /** Fingerprint `df` and write the index (full rebuild — append-style
+    * incremental indexing would union new fingerprints per bucket dir). */
+  def build(spark: SparkSession, df: DataFrame, idCol: String, textCol: String): Unit = {
+    val shEx = Dedup.shingleHashRows(df, idCol, textCol, shingleN).localCheckpoint()
+    Dedup.bandRows(shEx, numHashes, bands)
+      .coalesce(8).write.mode("overwrite").parquet(s"$root/bands")
+    shEx.withColumn("__b", idBucket(col("id")))
+      .repartition(col("__b"))
+      .write.mode("overwrite").partitionBy("__b").parquet(s"$root/shingles")
+    shEx.groupBy("id").agg(count(lit(1)).as("n"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/counts")
+  }
+
+  /** Near-dup pairs between `newDf` and the indexed corpus: (d_new, d_old,
+    * jaccard ≥ threshold). Only the candidates' shingle buckets are read. */
+  def probe(spark: SparkSession, newDf: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val shNew = Dedup.shingleHashRows(newDf, idCol, textCol, shingleN).localCheckpoint()
+    val newBands = Dedup.bandRows(shNew, numHashes, bands)
+    val oldBands = spark.read.parquet(s"$root/bands")
+    val candidates = newBands.alias("a").join(oldBands.alias("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("d_new"), col("b.id").as("d_old"))
+      .dropDuplicates("d_new", "d_old")
+      .localCheckpoint() // reused for bucket list + verify join
+
+    // candidate old-ids → bucket dirs (driver-side: ≤ idBuckets ints)
+    val buckets = candidates.select(idBucket(col("d_old")).as("b"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    if (buckets.isEmpty)
+      return candidates.withColumn("jaccard", lit(0.0d)).limit(0)
+    val oldSh = spark.read.option("basePath", s"$root/shingles")
+      .parquet(buckets.map(b => s"$root/shingles/__b=$b").toIndexedSeq: _*)
+
+    val nNew = shNew.groupBy("id").agg(count(lit(1)).as("n"))
+    val oldCnt = spark.read.parquet(s"$root/counts")
+    val inter = candidates
+      .join(shNew.select(col("id").as("d_new"), col("h")), "d_new")
+      .join(oldSh.select(col("id").as("d_old"), col("h")), Seq("d_old", "h"))
+      .groupBy("d_new", "d_old").agg(count(lit(1)).as("i"))
+    inter
+      .join(nNew.select(col("id").as("d_new"), col("n").as("n1")), "d_new")
+      .join(oldCnt.select(col("id").as("d_old"), col("n").as("n2")), "d_old")
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("n1") + col("n2") - col("i")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d_new"), col("d_old"), col("jaccard"))
+  }
+}

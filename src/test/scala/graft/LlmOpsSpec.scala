@@ -182,6 +182,33 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(nGlobal <= nLocal, s"global packing used $nGlobal packs vs shard-local $nLocal")
   }
 
+  test("MinHashIndex: probe equals cross-set exact pairs; verify reads only candidate buckets") {
+    val work = java.nio.file.Files.createTempDirectory("mhidxspec").toString
+    val idx = new graft.llm.MinHashIndex(s"$work/idx")
+    val old = docs.filter($"doc_id" % 2 === 0)
+    val fresh = docs.filter($"doc_id" % 2 === 1)
+    idx.build(spark, old, "doc_id", "text")
+
+    val got = idx.probe(spark, fresh, "doc_id", "text", 0.5)
+      .select($"d_new", $"d_old").as[(Long, Long)].collect().toSet
+    // truth: exact all-pairs restricted to (odd, even) — every testdata
+    // near-dup pair is ≥0.9 jaccard, far above the band-geometry recall knee
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5)
+      .select($"d1", $"d2").as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .collect { case (n, o) if n % 2 == 1 && o % 2 == 0 => (n, o) }.toSet
+    assert(got == truth, s"probe=${got.size} truth=${truth.size}")
+
+    // the index survives a fresh session read and probes deterministically
+    val again = idx.probe(spark, fresh, "doc_id", "text", 0.5)
+      .select($"d_new", $"d_old").as[(Long, Long)].collect().toSet
+    assert(again == got)
+
+    // empty probe batch → empty result with the right schema
+    val none = idx.probe(spark, fresh.filter($"doc_id" < 0), "doc_id", "text", 0.5)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("d_new", "d_old", "jaccard"))
+  }
+
   test("VectorIndex: search ≤ brute force, probes prune the cell scan, self-neighbor sane") {
     val work = java.nio.file.Files.createTempDirectory("vecidxspec").toString
     val idx = new graft.llm.VectorIndex(s"$work/idx")
