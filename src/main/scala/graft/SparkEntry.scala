@@ -975,6 +975,76 @@ object SparkEntry {
         .orderBy($"o_orderstatus")
     }),
 
+    // ── SQL-surface sugar: GROUP BY ALL / ORDER BY ALL (Spark 4) — groups
+    //    on every non-aggregate select item; the analyzer resolves the
+    //    grouping set, the plan is an ordinary hash aggregate.
+    "q126_group_by_all" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("g126_orders")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM g126_orders
+        GROUP BY ALL
+        ORDER BY o_orderstatus, o_orderpriority""")
+    }),
+
+    // ── Parameterized SQL (named markers) — the injection-safe templating
+    //    surface: parameters bind as literals AFTER parsing, so predicate
+    //    pushdown sees constants (same plan as inlined literals).
+    "q127_param_sql" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("g127_lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+          |FROM g127_lineitem
+          |WHERE l_shipdate <= :cutoff AND l_discount BETWEEN :lo AND :hi
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+        Map("cutoff" -> "1996-12-01", "lo" -> 0.02, "hi" -> 0.06))
+    }),
+
+    // ── Collated comparison (Spark 4 string collation): UTF8_LCASE groups
+    //    case variants without rewriting the data — collation rides the
+    //    type, so the hash shuffle keys on the collation-normalized form.
+    //    `variants` proves each group really folded >1 binary-distinct
+    //    spelling. (Oracle lowercases — equivalent for ASCII.)
+    "q128_collation" -> ((s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir)
+        .withColumn("seg",
+          when($"c_custkey" % 3 === 0, lower($"c_mktsegment"))
+            .when($"c_custkey" % 3 === 1, initcap(lower($"c_mktsegment")))
+            .otherwise($"c_mktsegment"))
+        .groupBy(collate($"seg", "UTF8_LCASE"))
+        .agg(min(lower($"seg")).as("seg_lc"), count(lit(1)).as("n"),
+          countDistinct($"seg").as("variants"))
+        .select($"seg_lc", $"n", $"variants")
+        .orderBy($"seg_lc")
+    }),
+
+    // ── XML surface (built into Spark 4 catalyst): render rows to XML
+    //    strings, recover them with from_xml (schema'd struct) + an xpath
+    //    probe, and aggregate the recovered values — a full round-trip, so
+    //    the oracle is the same aggregate over the raw columns.
+    "q129_xml_extract" -> ((s, dir) => {
+      import s.implicits._
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "name STRING, nk BIGINT, bal DECIMAL(18,2)")
+      Tables.supplier(s, dir)
+        .select(concat(
+          lit("<sup><name>"), $"s_name",
+          lit("</name><nk>"), $"s_nationkey".cast("string"),
+          lit("</nk><bal>"), $"s_acctbal".cast("decimal(18,2)").cast("string"),
+          lit("</bal></sup>")).as("xml"))
+        .select(from_xml($"xml", schema).as("p"),
+          expr("xpath_string(xml, '/sup/name/text()')").as("xname"))
+        .groupBy($"p.nk".as("nk"))
+        .agg(count(lit(1)).as("n"),
+          sum($"p.bal").cast("double").as("bal"),
+          countDistinct($"xname").as("names"))
+        .orderBy($"nk")
+    }),
+
     // ── J-surface completion: LEFT OUTER + FULL OUTER joins with null
     //    propagation (keys stay non-null for deterministic ordering).
     "q59_outer_joins" -> ((s, dir) => {
@@ -2842,6 +2912,36 @@ object SparkEntry {
         |FROM inter JOIN cnt c1 ON c1.doc_id = d_new JOIN cnt c2 ON c2.doc_id = d_old
         |WHERE CAST(i AS DOUBLE) / CAST(c1.n + c2.n - i AS DOUBLE) >= 0.5
         |ORDER BY d_new, d_old""".stripMargin,
+
+    "q126_group_by_all" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ALL
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q127_param_sql" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |WHERE l_shipdate <= DATE '1996-12-01' AND l_discount BETWEEN 0.02 AND 0.06
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q128_collation" ->
+      """WITH mixed AS (
+        |  SELECT CASE
+        |    WHEN c_custkey % 3 = 0 THEN lower(c_mktsegment)
+        |    WHEN c_custkey % 3 = 1 THEN upper(substr(lower(c_mktsegment),1,1)) || substr(lower(c_mktsegment),2)
+        |    ELSE c_mktsegment END AS seg
+        |  FROM customer)
+        |SELECT min(lower(seg)) AS seg_lc, COUNT(*) AS n, COUNT(DISTINCT seg) AS variants
+        |FROM mixed GROUP BY lower(seg) ORDER BY seg_lc""".stripMargin,
+
+    "q129_xml_extract" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS nk, COUNT(*) AS n,
+        |CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+        |COUNT(DISTINCT s_name) AS names
+        |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q122_list_agg" ->
       """SELECT s_nationkey,

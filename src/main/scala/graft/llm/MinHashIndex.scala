@@ -34,17 +34,28 @@ final class MinHashIndex(
 
   private def idBucket(c: org.apache.spark.sql.Column) = pmod(hash(c), lit(idBuckets))
 
-  /** Fingerprint `df` and write the index (full rebuild — append-style
-    * incremental indexing would union new fingerprints per bucket dir). */
-  def build(spark: SparkSession, df: DataFrame, idCol: String, textCol: String): Unit = {
+  /** Fingerprint `df` and write the index (full rebuild). */
+  def build(spark: SparkSession, df: DataFrame, idCol: String, textCol: String): Unit =
+    writeFingerprints(df, idCol, textCol, "overwrite")
+
+  /** Incrementally index a new batch: append its fingerprints alongside the
+    * existing ones (parquet append — new files land in the same band dir /
+    * shingle bucket dirs, no rewrite of existing data). After `add`, probes
+    * see old ∪ new; indexing cost is O(batch). Ids must be new — re-adding
+    * an id duplicates its fingerprints. */
+  def add(spark: SparkSession, df: DataFrame, idCol: String, textCol: String): Unit =
+    writeFingerprints(df, idCol, textCol, "append")
+
+  private def writeFingerprints(df: DataFrame, idCol: String, textCol: String,
+      mode: String): Unit = {
     val shEx = Dedup.shingleHashRows(df, idCol, textCol, shingleN).localCheckpoint()
     Dedup.bandRows(shEx, numHashes, bands)
-      .coalesce(8).write.mode("overwrite").parquet(s"$root/bands")
+      .coalesce(8).write.mode(mode).parquet(s"$root/bands")
     shEx.withColumn("__b", idBucket(col("id")))
       .repartition(col("__b"))
-      .write.mode("overwrite").partitionBy("__b").parquet(s"$root/shingles")
+      .write.mode(mode).partitionBy("__b").parquet(s"$root/shingles")
     shEx.groupBy("id").agg(count(lit(1)).as("n"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$root/counts")
+      .coalesce(1).write.mode(mode).parquet(s"$root/counts")
   }
 
   /** Near-dup pairs between `newDf` and the indexed corpus: (d_new, d_old,

@@ -207,6 +207,15 @@ class LlmOpsSpec extends AnyFunSuite {
     // empty probe batch → empty result with the right schema
     val none = idx.probe(spark, fresh.filter($"doc_id" < 0), "doc_id", "text", 0.5)
     assert(none.count() == 0 && none.columns.toSeq == Seq("d_new", "d_old", "jaccard"))
+
+    // incremental add: build(¼) + add(¼) probes identically to build(½) —
+    // appended fingerprints are indistinguishable from originally-built ones
+    val idx2 = new graft.llm.MinHashIndex(s"$work/idx2")
+    idx2.build(spark, docs.filter($"doc_id" % 4 === 0), "doc_id", "text")
+    idx2.add(spark, docs.filter($"doc_id" % 4 === 2), "doc_id", "text")
+    val incr = idx2.probe(spark, fresh, "doc_id", "text", 0.5)
+      .select($"d_new", $"d_old").as[(Long, Long)].collect().toSet
+    assert(incr == got, s"incremental=${incr.size} rebuilt=${got.size}")
   }
 
   test("VectorIndex: search ≤ brute force, probes prune the cell scan, self-neighbor sane") {
