@@ -30,7 +30,7 @@ object SparkEntry {
   def rowsOnly: Set[String] =
     Set("q29_simhash_groups", "q30_ann_lsh", "q31_multimodal_decode", "q43_ann_ivf",
       "q55_sketches", "q61_ann_ivf_kmeans", "q69_simhash_pairs", "q82_sequence_packing",
-      "q93_vector_index", "q107_global_packing")
+      "q93_vector_index", "q107_global_packing", "q138_sketch_merge")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -1043,6 +1043,197 @@ object SparkEntry {
           sum($"p.bal").cast("double").as("bal"),
           countDistinct($"xname").as("names"))
         .orderBy($"nk")
+    }),
+
+    // ── Mergeable-sketch pattern (Datasketches HLL): fingerprint each
+    //    (source, lang) slice into a binary sketch, PERSIST the sketches,
+    //    then answer distinct-count rollups from the stored sketches alone
+    //    (hll_union_agg) — at 100 TB, daily cardinality dashboards stay
+    //    O(#sketches), never rescanning the corpus.
+    "q138_sketch_merge" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("sketch").toString
+      Tables.documents(s, dir)
+        .groupBy($"source", $"lang")
+        .agg(expr("hll_sketch_agg(doc_id, 14)").as("sk"), count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$work/sketches")
+      val sk = s.read.parquet(s"$work/sketches")
+      sk.groupBy($"source")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("distinct_docs"),
+          sum($"n").as("n_docs"))
+        .orderBy($"source")
+    }),
+
+    // ── Decorrelation breadth (TPC-H Q4 shape): correlated EXISTS with a
+    //    date inequality against the outer row — Catalyst rewrites to a
+    //    left-semi join; the date window prunes orders before the probe.
+    "q130_priority_exists" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("g130_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("g130_lineitem")
+      s.sql("""
+        SELECT o_orderpriority, COUNT(*) AS n
+        FROM g130_orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM g130_lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    }),
+
+    // ── TPC-H Q8 shape: national market share — six-table join, the share
+    //    is a conditional-sum ratio; both sums stay exact DECIMAL until the
+    //    final double division.
+    "q131_market_share" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("g131_lineitem")
+      Tables.orders(s, dir).createOrReplaceTempView("g131_orders")
+      Tables.customer(s, dir).createOrReplaceTempView("g131_customer")
+      Tables.supplier(s, dir).createOrReplaceTempView("g131_supplier")
+      Tables.nation(s, dir).createOrReplaceTempView("g131_nation")
+      Tables.region(s, dir).createOrReplaceTempView("g131_region")
+      s.sql("""
+        WITH vols AS (
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+            CAST(l_extendedprice AS DECIMAL(18,2)) *
+              (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS vol,
+            sn.n_name AS supp_nation
+          FROM g131_lineitem
+          JOIN g131_orders    ON l_orderkey = o_orderkey
+          JOIN g131_customer  ON o_custkey = c_custkey
+          JOIN g131_nation cn ON c_nationkey = cn.n_nationkey
+          JOIN g131_region    ON cn.n_regionkey = r_regionkey
+          JOIN g131_supplier  ON l_suppkey = s_suppkey
+          JOIN g131_nation sn ON s_nationkey = sn.n_nationkey
+          WHERE r_name = 'EUROPE'
+            AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+        SELECT o_year,
+          CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol END) AS DOUBLE) /
+               CAST(SUM(vol) AS DOUBLE) AS DOUBLE) AS mkt_share
+        FROM vols GROUP BY o_year ORDER BY o_year""")
+    }),
+
+    // ── TPC-H Q9 shape: profit by supplier nation × ship year for parts
+    //    matching a name pattern (LIKE can't push down, but the part join
+    //    broadcasts and prunes the fact rows early).
+    "q132_profit" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("g132_lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("g132_part")
+      Tables.supplier(s, dir).createOrReplaceTempView("g132_supplier")
+      Tables.nation(s, dir).createOrReplaceTempView("g132_nation")
+      s.sql("""
+        SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+              (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) -
+            CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2)))
+            AS DOUBLE) AS profit
+        FROM g132_lineitem
+        JOIN g132_part     ON l_partkey = p_partkey
+        JOIN g132_supplier ON l_suppkey = s_suppkey
+        JOIN g132_nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY 1, 2 ORDER BY nation, o_year""")
+    }),
+
+    // ── TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+    //    quarter — group on the customer grain, double-DESC order with a
+    //    key tiebreak so the LIMIT cut is deterministic.
+    "q133_returned_items" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("g133_lineitem")
+      Tables.orders(s, dir).createOrReplaceTempView("g133_orders")
+      Tables.customer(s, dir).createOrReplaceTempView("g133_customer")
+      Tables.nation(s, dir).createOrReplaceTempView("g133_nation")
+      s.sql("""
+        SELECT c_custkey, c_name,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+          c_acctbal, n_name
+        FROM g133_lineitem
+        JOIN g133_orders   ON l_orderkey = o_orderkey
+        JOIN g133_customer ON o_custkey = c_custkey
+        JOIN g133_nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20""")
+    }),
+
+    // ── TPC-H Q12 shape: late-shipment priority split — conditional counts
+    //    via SUM(CASE), single join, map-side-combinable.
+    "q134_shipmode" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("g134_lineitem")
+      Tables.orders(s, dir).createOrReplaceTempView("g134_orders")
+      s.sql("""
+        SELECT l_linestatus,
+          CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+          CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+        FROM g134_lineitem JOIN g134_orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+        GROUP BY l_linestatus ORDER BY l_linestatus""")
+    }),
+
+    // ── TPC-H Q16 shape: supplier diversity per part attribute — NOT-IN
+    //    subquery (null-aware anti join) + COUNT(DISTINCT) over the
+    //    lineitem-derived part↔supplier relation.
+    "q135_supplier_cnt" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("g135_lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("g135_part")
+      Tables.supplier(s, dir).createOrReplaceTempView("g135_supplier")
+      s.sql("""
+        SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM g135_lineitem
+        JOIN g135_part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#13' AND p_type NOT LIKE 'PROMO%'
+          AND p_size IN (1, 5, 9, 15, 23, 30, 41, 45)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM g135_supplier WHERE s_acctbal < 1000)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+    }),
+
+    // ── TPC-H Q20 shape: nested IN subqueries with a HAVING aggregate gate
+    //    — supplier shortlist whose shipped quantity of pattern-matched
+    //    parts crossed a threshold.
+    "q136_potential_promo" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("g136_lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("g136_part")
+      Tables.supplier(s, dir).createOrReplaceTempView("g136_supplier")
+      s.sql("""
+        SELECT s_suppkey, s_name FROM g136_supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM g136_lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM g136_part WHERE p_name LIKE 'blue%')
+            AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY l_suppkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > CAST(200 AS DECIMAL(18,2)))
+        ORDER BY s_suppkey""")
+    }),
+
+    // ── TPC-H Q21 shape: EXISTS + NOT EXISTS against the same fact table
+    //    (multi-supplier order where only this supplier shipped late) —
+    //    two correlated rewrites, semi + anti, over one scan.
+    "q137_waiting_supplier" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("g137_lineitem")
+      Tables.orders(s, dir).createOrReplaceTempView("g137_orders")
+      Tables.supplier(s, dir).createOrReplaceTempView("g137_supplier")
+      s.sql("""
+        SELECT s_name, COUNT(*) AS numwait
+        FROM g137_supplier
+        JOIN g137_lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN g137_orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM g137_lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM g137_lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s_name ORDER BY numwait DESC, s_name""")
     }),
 
     // ── J-surface completion: LEFT OUTER + FULL OUTER joins with null
@@ -2912,6 +3103,112 @@ object SparkEntry {
         |FROM inter JOIN cnt c1 ON c1.doc_id = d_new JOIN cnt c2 ON c2.doc_id = d_old
         |WHERE CAST(i AS DOUBLE) / CAST(c1.n + c2.n - i AS DOUBLE) >= 0.5
         |ORDER BY d_new, d_old""".stripMargin,
+
+    "q130_priority_exists" ->
+      """SELECT o_orderpriority, COUNT(*) AS n
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q131_market_share" ->
+      """WITH vols AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS vol,
+        |    sn.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN orders    ON l_orderkey = o_orderkey
+        |  JOIN customer  ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region    ON cn.n_regionkey = r_regionkey
+        |  JOIN supplier  ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE r_name = 'EUROPE'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT o_year,
+        |  CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol END) AS DOUBLE) /
+        |       CAST(SUM(vol) AS DOUBLE) AS DOUBLE) AS mkt_share
+        |FROM vols GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q132_profit" ->
+      """SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) -
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part     ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year""".stripMargin,
+
+    "q133_returned_items" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  c_acctbal, n_name
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q134_shipmode" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q135_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#13' AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (1, 5, 9, 15, 23, 30, 41, 45)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q136_potential_promo" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%')
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY l_suppkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > CAST(200 AS DECIMAL(18,2)))
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q137_waiting_supplier" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin,
 
     "q126_group_by_all" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,

@@ -218,6 +218,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(incr == got, s"incremental=${incr.size} rebuilt=${got.size}")
   }
 
+  test("HLL sketches: union of per-source sketches ≡ whole-corpus sketch; ≤2% error") {
+    import org.apache.spark.sql.functions.expr
+    val bySource = docs.groupBy($"source").agg(expr("hll_sketch_agg(doc_id, 14)").as("sk"))
+    val unionEst = bySource.agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))"))
+      .as[Long].head()
+    val wholeEst = docs.agg(expr("hll_sketch_estimate(hll_sketch_agg(doc_id, 14))"))
+      .as[Long].head()
+    val exact = docs.select("doc_id").distinct().count()
+    // mergeability: register-max union of slice sketches equals the sketch
+    // built in one pass — the invariant that makes stored sketches composable
+    assert(unionEst == wholeEst, s"union=$unionEst whole=$wholeEst")
+    assert(math.abs(unionEst - exact).toDouble / exact < 0.02,
+      s"estimate=$unionEst exact=$exact")
+  }
+
   test("VectorIndex: search ≤ brute force, probes prune the cell scan, self-neighbor sane") {
     val work = java.nio.file.Files.createTempDirectory("vecidxspec").toString
     val idx = new graft.llm.VectorIndex(s"$work/idx")

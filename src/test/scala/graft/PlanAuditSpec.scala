@@ -76,6 +76,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q130/q137: correlated EXISTS/NOT EXISTS decorrelate to semi/anti joins") {
+    val p130 = planOf("q130_priority_exists")
+    assert(p130.contains("LeftSemi"))
+    assert(!p130.contains("CartesianProduct") && !p130.contains("BroadcastNestedLoopJoin"))
+    val p137 = planOf("q137_waiting_supplier")
+    assert(p137.contains("LeftSemi") && p137.contains("LeftAnti"))
+    assert(!p137.contains("CartesianProduct") && !p137.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("join strategy hints are honored (shuffle_hash overrides sort-merge)") {
     val o = graft.tables.Tables.orders(spark, dir)
     val li = graft.tables.Tables.lineitem(spark, dir)
