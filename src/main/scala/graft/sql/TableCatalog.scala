@@ -38,6 +38,19 @@ object TableCatalog {
   def registerView(spark: SparkSession, name: String, df: DataFrame): Unit =
     df.createOrReplaceTempView(name)
 
+  /** Compute table-level (and optionally column-level) statistics — the
+    * cost-based-optimizer inputs (row count, size, per-column NDV/min/max).
+    * At 100 TB, analyzed dimension tables are what let the planner pick
+    * broadcast joins and reorder multi-way joins without guessing from
+    * file sizes. */
+  def analyze(spark: SparkSession, db: String, table: String,
+      cols: Seq[String] = Nil): Unit = {
+    spark.sql(s"ANALYZE TABLE `$db`.`$table` COMPUTE STATISTICS")
+    if (cols.nonEmpty)
+      spark.sql(s"ANALYZE TABLE `$db`.`$table` COMPUTE STATISTICS FOR COLUMNS " +
+        cols.map(c => s"`$c`").mkString(", "))
+  }
+
   /** S5 — the exploration entry point (`SELECT * FROM spotify.gold.x`). */
   def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)
 }

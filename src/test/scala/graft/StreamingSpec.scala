@@ -143,6 +143,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) AS n FROM graft_test_gold.t1").as[Long].head() == 1)
   }
 
+  test("TableCatalog.analyze: table + column stats reach the optimizer") {
+    val work = tmp("stats")
+    graft.tables.Tables.customer(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").parquet(s"$work/c")
+    graft.sql.TableCatalog.registerParquet(spark, "graft_test_stats", "cust", s"$work/c")
+    graft.sql.TableCatalog.analyze(spark, "graft_test_stats", "cust",
+      Seq("c_custkey", "c_mktsegment"))
+
+    val exact = spark.table("graft_test_stats.cust").count()
+    // table-level rowCount lands in the relation's plan statistics once the
+    // cost-based optimizer consumes catalog stats (dynamic conf)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = spark.table("graft_test_stats.cust")
+        .queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(exact)), s"stats=$stats")
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+    // column-level NDV recorded for the analyzed columns
+    val desc = spark.sql(
+      "DESCRIBE EXTENDED graft_test_stats.cust c_custkey")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc.get("distinct_count").exists(_.toLong > 0), s"desc=$desc")
+  }
+
   test("StatefulOps.dedupWithState: first arrival wins, state persists across runs") {
     val work = tmp("fmgws")
     Seq((1L, "a"), (2L, "b"), (1L, "a-dup")).toDF("id", "v").write.parquet(s"$work/src/f1")
