@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   *   root/bands/                 (id, band, bucket)   — LSH candidate join side
   *   root/shingles/__b=<k>/      (id, h)              — 8-byte shingle hashes,
   *                                                      hash-bucketed by id
-  *   root/counts/                (id, n)              — shingle-set sizes
   * }}}
+  *
+  * No separate set-size sidecar: a shingle bucket holds ALL rows of every id
+  * hashed to it, so the probe derives exact old-side set sizes from the
+  * buckets it already reads for verification.
   *
   * Scale design: the probe's exact-verify step needs the INDEXED side's
   * shingle hashes only for candidate ids — storing them hash-bucketed by id
@@ -54,8 +57,6 @@ final class MinHashIndex(
     shEx.withColumn("__b", idBucket(col("id")))
       .repartition(col("__b"))
       .write.mode(mode).partitionBy("__b").parquet(s"$root/shingles")
-    shEx.groupBy("id").agg(count(lit(1)).as("n"))
-      .coalesce(1).write.mode(mode).parquet(s"$root/counts")
   }
 
   /** Near-dup pairs between `newDf` and the indexed corpus: (d_new, d_old,
@@ -80,7 +81,9 @@ final class MinHashIndex(
       .parquet(buckets.map(b => s"$root/shingles/__b=$b").toIndexedSeq: _*)
 
     val nNew = shNew.groupBy("id").agg(count(lit(1)).as("n"))
-    val oldCnt = spark.read.parquet(s"$root/counts")
+    // exact old-side set sizes from the (pruned) bucket read — a bucket
+    // contains every row of each id it holds
+    val oldCnt = oldSh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = candidates
       .join(shNew.select(col("id").as("d_new"), col("h")), "d_new")
       .join(oldSh.select(col("id").as("d_old"), col("h")), Seq("d_old", "h"))
