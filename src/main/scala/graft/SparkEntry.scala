@@ -1267,6 +1267,23 @@ object SparkEntry {
         .orderBy($"band")
     }),
 
+    // ── Scale path for q60's shape: BINNED range join — both sides large,
+    //    no broadcast: intervals explode to overlapped bins, the join is a
+    //    shuffle equi-join on the bin id + residual filter (Databricks
+    //    RANGE_JOIN hint rewrite, done by hand). 120 overlapping value
+    //    bands × events, exactly equal to the naive non-equi join.
+    "q139_binned_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val intervals = s.range(0, 120).select($"id".as("iv_id"),
+        ($"id" * 3.0).as("lo"), ($"id" * 3.0 + 9.0).as("hi"))
+      Relational.binnedRangeJoin(
+          Tables.events(s, dir).select($"event_id", $"value"), "value",
+          intervals, "lo", "hi", 3.0)
+        .groupBy($"iv_id")
+        .agg(count(lit(1)).as("n"), Relational.sumMoney($"value").as("total"))
+        .orderBy($"iv_id")
+    }),
+
     // ── LLM-pipeline (rows-only): IVF ANN with spherical-k-means-TRAINED
     //    centroids (2 Lloyd's iterations) — tighter cells than the hash
     //    seed of q43, same probe geometry.
@@ -3103,6 +3120,13 @@ object SparkEntry {
         |FROM inter JOIN cnt c1 ON c1.doc_id = d_new JOIN cnt c2 ON c2.doc_id = d_old
         |WHERE CAST(i AS DOUBLE) / CAST(c1.n + c2.n - i AS DOUBLE) >= 0.5
         |ORDER BY d_new, d_old""".stripMargin,
+
+    "q139_binned_range_join" ->
+      """SELECT i AS iv_id, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM range(0,120) t(i) JOIN events
+        |  ON value >= i*3.0 AND value < i*3.0+9.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q130_priority_exists" ->
       """SELECT o_orderpriority, COUNT(*) AS n

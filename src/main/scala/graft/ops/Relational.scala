@@ -79,6 +79,35 @@ object Relational {
     * automatically; this is for the pathological keys AQE can't split
     * (single-key hot spots in a hash-partitioned aggregation-free join).
     */
+  /** Point-in-interval range join WITHOUT a nested loop — the two-big-sides
+    * shape Spark has no physical operator for (its non-equi joins fall back
+    * to BroadcastNestedLoopJoin, which is undistributable when neither side
+    * broadcasts). Bin the value axis at `binWidth`: an interval [lo, hi)
+    * explodes to every bin it overlaps, a point lands in exactly one bin,
+    * and the join becomes an ordinary shuffle equi-join on the 8-byte bin
+    * id plus a residual range filter. Each qualifying (point, interval)
+    * pair meets in exactly the point's bin, so the result needs no dedup
+    * and equals the naive non-equi join.
+    *
+    * Pick `binWidth` near the typical interval length: replication per
+    * interval is (hi-lo)/binWidth + 1. Unbounded sentinel intervals
+    * (±1e9) must be clamped to the data domain by the caller first, or
+    * they explode into billions of bins. (Databricks' RANGE_JOIN hint
+    * implements exactly this rewrite.)
+    */
+  def binnedRangeJoin(points: DataFrame, pointCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def bin(c: Column): Column = floor(c / lit(binWidth)).cast("long")
+    val p = points.withColumn("__bin", bin(col(pointCol)))
+    val iv = intervals.withColumn("__bin",
+      explode(sequence(bin(col(loCol)), bin(col(hiCol)))))
+    p.join(iv, p("__bin") === iv("__bin") &&
+        col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__bin")
+  }
+
   def saltedJoin(
       large: DataFrame, small: DataFrame,
       keys: Seq[String], saltFactor: Int = 8): DataFrame = {

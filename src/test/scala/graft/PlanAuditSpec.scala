@@ -85,6 +85,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p137.contains("CartesianProduct") && !p137.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("binnedRangeJoin ≡ naive non-equi join, and plans as an equi-join (no BNLJ)") {
+    import org.apache.spark.sql.functions.col
+    val ev = graft.tables.Tables.events(spark, dir).select(col("event_id"), col("value"))
+    val iv = spark.range(0, 120).select(col("id").as("iv_id"),
+      (col("id") * 3.0).as("lo"), (col("id") * 3.0 + 9.0).as("hi"))
+    val binned = graft.ops.Relational.binnedRangeJoin(ev, "value", iv, "lo", "hi", 3.0)
+    val naive = ev.join(iv, col("value") >= col("lo") && col("value") < col("hi"))
+    assert(binned.select("event_id", "iv_id").collect().toSet ==
+      naive.select("event_id", "iv_id").collect().toSet)
+    val plan = binned.queryExecution.sparkPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"plan=$plan")
+  }
+
   test("join strategy hints are honored (shuffle_hash overrides sort-merge)") {
     val o = graft.tables.Tables.orders(spark, dir)
     val li = graft.tables.Tables.lineitem(spark, dir)
