@@ -1284,6 +1284,36 @@ object SparkEntry {
         .orderBy($"iv_id")
     }),
 
+    // ── Materialized-aggregate routing: build a rollup at the
+    //    (returnflag, linestatus) grain once, register it, and run an
+    //    ORDINARY aggregate over the base table — the injected
+    //    AggRollupRewrite rule reroutes the plan to the rollup partials
+    //    (sum-of-sums over DECIMAL, so the answer is bit-exact either way;
+    //    plan shape is pinned in GraftExtensionsSpec).
+    "q140_rollup_routing" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("rollup140").toString
+      val ext = new org.apache.spark.sql.SparkSessionExtensions
+      new graft.GraftExtensions().apply(ext)
+      org.apache.spark.sql.GraftColumnBridge.applyExtensions(ext, s)
+      Tables.lineitem(s, dir)
+        .select($"l_returnflag", $"l_linestatus",
+          $"l_extendedprice".cast("decimal(18,2)").as("price"),
+          $"l_quantity".cast("decimal(18,2)").as("qty"))
+        .write.mode("overwrite").parquet(s"$work/base")
+      val base = s.read.parquet(s"$work/base")
+      graft.plans.AggRollupRewrite.buildRollup(base, s"$work/rollup",
+        Seq("l_returnflag", "l_linestatus"), Seq("price", "qty"))
+      graft.plans.AggRollupRewrite.register(s, s"$work/base", s"$work/rollup",
+        Seq("l_returnflag", "l_linestatus"), Seq("price", "qty"))
+      s.read.parquet(s"$work/base")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(sum($"price").cast("double").as("total"),
+          max($"qty").cast("double").as("max_qty"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
     // ── LLM-pipeline (rows-only): IVF ANN with spherical-k-means-TRAINED
     //    centroids (2 Lloyd's iterations) — tighter cells than the hash
     //    seed of q43, same probe geometry.
@@ -3120,6 +3150,13 @@ object SparkEntry {
         |FROM inter JOIN cnt c1 ON c1.doc_id = d_new JOIN cnt c2 ON c2.doc_id = d_old
         |WHERE CAST(i AS DOUBLE) / CAST(c1.n + c2.n - i AS DOUBLE) >= 0.5
         |ORDER BY d_new, d_old""".stripMargin,
+
+    "q140_rollup_routing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty,
+        |COUNT(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q139_binned_range_join" ->
       """SELECT i AS iv_id, COUNT(*) AS n,

@@ -1,0 +1,156 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Divide, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.DoubleType
+
+/** Materialized-aggregate routing — the engine's materialized-view rewrite.
+  *
+  * A rollup table (built once by [[buildRollup]]) stores, per dimension
+  * tuple, the mergeable partial state of every measure: `__cnt`,
+  * `__sum_<m>`, `__min_<m>`, `__max_<m>`. This optimizer rule then rewrites
+  * any `Aggregate` whose
+  *
+  *  - scan is the registered base table (direct or under a pruning Project),
+  *  - grouping columns are a subset of the rollup's dimensions, and
+  *  - aggregates are SUM / MIN / MAX / COUNT(*) / AVG over rollup measures
+  *    (undistinct, unfiltered)
+  *
+  * to read the rollup instead: SUM→SUM(__sum), MIN→MIN(__min),
+  * MAX→MAX(__max), COUNT(*)→SUM(__cnt), AVG→SUM(__sum)/SUM(__cnt) — exact
+  * answers (not approximations) because these aggregates are decomposable.
+  * Output exprIds and dataTypes are preserved, so parent operators are
+  * untouched. Queries that don't match (extra filters, uncovered measures,
+  * DISTINCT) are left alone.
+  *
+  * Why this matters at 100 TB: dashboard-grain aggregates (the reference's
+  * gold views, SURVEY §2.10) re-scan the fact table on every refresh. A
+  * rollup at the (dims) grain is ~|distinct dims| rows — the rewrite turns
+  * a full-table scan into a kilobyte read, and staying a *rule* (rather
+  * than a view users must name) means existing queries speed up unchanged,
+  * exactly like Databricks' materialized-view incremental rewrite.
+  *
+  * Registration is driver-local (a rule object cannot hold per-session
+  * state; same pattern as the conf guard on [[ApproxDistinctRewrite]]).
+  */
+object AggRollupRewrite extends Rule[LogicalPlan] {
+
+  final case class Rollup(spark: SparkSession, rollupPath: String,
+      dims: Seq[String], measures: Seq[String])
+
+  private val registry = TrieMap.empty[String, Rollup]
+
+  private def canon(p: String): String = new Path(p).toUri.getPath
+
+  /** Point queries over `basePath` at the rollup stored at `rollupPath`. */
+  def register(spark: SparkSession, basePath: String, rollupPath: String,
+      dims: Seq[String], measures: Seq[String]): Unit =
+    registry.put(canon(basePath), Rollup(spark, rollupPath, dims, measures))
+
+  def clear(): Unit = registry.clear()
+
+  /** Build + write the rollup table for `base` (one full scan, once):
+    * per dims-tuple `__cnt` and per-measure sum/min/max partials. Measures
+    * keep their column types — pre-cast money columns to DECIMAL in `base`
+    * if exact re-aggregation is required. */
+  def buildRollup(base: DataFrame, rollupPath: String,
+      dims: Seq[String], measures: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val aggs = count(lit(1)).as("__cnt") +:
+      measures.flatMap(m => Seq(
+        sum(col(m)).as(s"__sum_$m"), min(col(m)).as(s"__min_$m"),
+        max(col(m)).as(s"__max_$m")))
+    base.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .coalesce(1).write.mode("overwrite").parquet(rollupPath)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (registry.isEmpty) plan
+    else plan.transform {
+      case agg @ Aggregate(groupings, aggExprs, child, _) =>
+        baseScanOf(child).flatMap(r => rewrite(agg, groupings, aggExprs, r))
+          .getOrElse(agg)
+    }
+
+  /** The registered rollup, if `child` is exactly a scan of a registered
+    * base table (optionally under a column-pruning Project). */
+  private def baseScanOf(child: LogicalPlan): Option[Rollup] = child match {
+    case Project(projectList, grandchild) if projectList.forall(_.isInstanceOf[Attribute]) =>
+      baseScanOf(grandchild)
+    case lr: LogicalRelation =>
+      lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.toList match {
+            case single :: Nil => registry.get(canon(single.toString))
+            case _ => None
+          }
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def rewrite(agg: Aggregate, groupings: Seq[Expression],
+      aggExprs: Seq[NamedExpression], r: Rollup): Option[LogicalPlan] = {
+    val groupNames = groupings.map {
+      case a: AttributeReference => a.name
+      case _ => return None
+    }
+    if (!groupNames.forall(r.dims.contains)) return None
+
+    // a fresh analyzed read of the rollup (new exprIds per use)
+    val rollupPlan = r.spark.read.parquet(r.rollupPath).queryExecution.analyzed
+    val out = rollupPlan.output.map(a => a.name -> a).toMap
+
+    def partial(kind: String, m: String): Option[Attribute] =
+      if (r.measures.contains(m)) out.get(s"__${kind}_$m") else None
+
+    // rebuild each result expression against the rollup partials, keeping
+    // the original name + exprId (+ dataType, via cast) so parents resolve
+    val rebuilt = aggExprs.map {
+      case a: AttributeReference if groupNames.contains(a.name) =>
+        Alias(out(a.name), a.name)(exprId = a.exprId)
+      case al @ Alias(childExpr, name) =>
+        def rebuildAgg(ae: AggregateExpression): Option[Expression] = ae match {
+          case AggregateExpression(f, _, false, None, _) => f match {
+            case Sum(s: AttributeReference, _) =>
+              partial("sum", s.name).map(p => ae.copy(aggregateFunction = Sum(p)))
+            case Min(s: AttributeReference) =>
+              partial("min", s.name).map(p => ae.copy(aggregateFunction = Min(p)))
+            case Max(s: AttributeReference) =>
+              partial("max", s.name).map(p => ae.copy(aggregateFunction = Max(p)))
+            case c: Count if c.children.forall(_.isInstanceOf[Literal]) =>
+              Some(ae.copy(aggregateFunction = Sum(out("__cnt"))))
+            case Average(s: AttributeReference, _) if s.dataType == DoubleType =>
+              partial("sum", s.name).map(p => Divide(
+                ae.copy(aggregateFunction = Sum(p)),
+                Cast(ae.copy(aggregateFunction = Sum(out("__cnt"))), DoubleType)))
+            case _ => None
+          }
+          case _ => None
+        }
+        val newChild: Expression = childExpr match {
+          case a: AttributeReference if groupNames.contains(a.name) => out(a.name)
+          case ae: AggregateExpression => rebuildAgg(ae).getOrElse(return None)
+          case c: Cast if c.child.isInstanceOf[AggregateExpression] =>
+            rebuildAgg(c.child.asInstanceOf[AggregateExpression]) match {
+              case Some(inner) => c.withNewChildren(Seq(inner))
+              case None => return None
+            }
+          case _ => return None
+        }
+        val typed = if (newChild.dataType == al.dataType) newChild
+          else Cast(newChild, al.dataType)
+        Alias(typed, name)(exprId = al.exprId)
+      case _ => return None
+    }
+    val newGroupings = groupNames.map(out(_))
+    Some(Aggregate(newGroupings, rebuilt, rollupPlan))
+  }
+}

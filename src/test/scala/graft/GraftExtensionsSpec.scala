@@ -37,6 +37,58 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(top == Seq((30.0, 2L), (20.0, 3L)))
   }
 
+  test("AggRollupRewrite: covered aggregates route to the rollup; uncovered stay on base") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    GraftColumnBridge.applyExtensions(ext, spark)
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("rollup").toString
+
+    // base fact table: money pre-cast to DECIMAL so sum-of-sums is exact
+    graft.tables.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select($"l_returnflag", $"l_linestatus",
+        $"l_extendedprice".cast("decimal(18,2)").as("price"), $"l_quantity")
+      .write.mode("overwrite").parquet(s"$work/base")
+    val base = spark.read.parquet(s"$work/base")
+    graft.plans.AggRollupRewrite.buildRollup(base, s"$work/rollup",
+      Seq("l_returnflag", "l_linestatus"), Seq("price", "l_quantity"))
+    graft.plans.AggRollupRewrite.register(spark, s"$work/base", s"$work/rollup",
+      Seq("l_returnflag", "l_linestatus"), Seq("price", "l_quantity"))
+    try {
+      def q = spark.read.parquet(s"$work/base")
+        .groupBy($"l_returnflag")
+        .agg(sum($"price").as("total"), max($"l_quantity").as("mx"),
+          count(lit(1)).as("n"), avg($"l_quantity").as("mean"))
+
+      // plan aggregates the rollup partials, not the base rows
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("__sum_price") && optimized.contains("__cnt"), optimized)
+
+      // answers are exact vs direct aggregation over the base
+      graft.plans.AggRollupRewrite.clear()
+      val want = q.orderBy($"l_returnflag")
+        .as[(String, java.math.BigDecimal, Double, Long, Double)].collect()
+      graft.plans.AggRollupRewrite.register(spark, s"$work/base", s"$work/rollup",
+        Seq("l_returnflag", "l_linestatus"), Seq("price", "l_quantity"))
+      val got = q.orderBy($"l_returnflag")
+        .as[(String, java.math.BigDecimal, Double, Long, Double)].collect()
+      assert(got.length == want.length)
+      got.zip(want).foreach { case ((f1, s1, m1, n1, a1), (f2, s2, m2, n2, a2)) =>
+        assert(f1 == f2 && s1.compareTo(s2) == 0 && m1 == m2 && n1 == n2)
+        assert(math.abs(a1 - a2) < 1e-9, s"$f1 avg $a1 vs $a2")
+      }
+
+      // uncovered measure (a column the rollup lacks) → untouched plan
+      val miss = spark.read.parquet(s"$work/base")
+        .groupBy($"l_returnflag").agg(countDistinct($"l_quantity").as("d"))
+      assert(!miss.queryExecution.optimizedPlan.toString.contains("__cnt"))
+
+      // grouping outside the rollup dims → untouched plan
+      val wide = base.groupBy($"l_quantity").agg(sum($"price").as("t"))
+      assert(!wide.queryExecution.optimizedPlan.toString.contains("__sum"))
+    } finally graft.plans.AggRollupRewrite.clear()
+  }
+
   test("ApproxDistinctRewrite: COUNT(DISTINCT) becomes HLL++ only when opted in") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)
