@@ -108,6 +108,27 @@ object Relational {
       .drop("__bin")
   }
 
+  /** Interval-overlap join ([aLo,aHi) ∩ [bLo,bHi) ≠ ∅), both sides large —
+    * same binning as [[binnedRangeJoin]], except an overlapping pair now
+    * shares EVERY bin both intervals cover. Rather than dedup the output
+    * (a shuffle over the result), each pair is emitted exactly once: only
+    * from the first bin the overlap region touches, `bin(max(aLo, bLo))`,
+    * checked with plain codegen'd arithmetic at join time. */
+  def binnedIntervalJoin(left: DataFrame, leftLo: String, leftHi: String,
+      right: DataFrame, rightLo: String, rightHi: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def bin(c: Column): Column = floor(c / lit(binWidth)).cast("long")
+    val l = left.withColumn("__bin",
+      explode(sequence(bin(col(leftLo)), bin(col(leftHi)))))
+    val r = right.withColumn("__bin",
+      explode(sequence(bin(col(rightLo)), bin(col(rightHi)))))
+    l.join(r, l("__bin") === r("__bin") &&
+        col(leftLo) < col(rightHi) && col(rightLo) < col(leftHi) &&
+        l("__bin") === bin(greatest(col(leftLo), col(rightLo))))
+      .drop("__bin")
+  }
+
   def saltedJoin(
       large: DataFrame, small: DataFrame,
       keys: Seq[String], saltFactor: Int = 8): DataFrame = {

@@ -71,6 +71,31 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
       .coalesce(1).write.mode("overwrite").parquet(rollupPath)
   }
 
+  /** Incremental maintenance: fold an append-only `delta` batch into the
+    * stored rollup by MERGING partials (cnt+cnt, sum+sum, min∧min, max∨max)
+    * — refresh cost is O(delta + |rollup|), the base table is never
+    * rescanned. Exactly the decomposability that lets [[apply]] answer
+    * from partials also keeps them maintainable. (Deletes/updates need a
+    * base recompute of affected dim groups — out of scope for append-only
+    * fact tables, the reference's ingest pattern.) */
+  def refreshRollup(spark: SparkSession, delta: DataFrame, rollupPath: String,
+      dims: Seq[String], measures: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val tmp = rollupPath + "__delta_tmp"
+    buildRollup(delta, tmp, dims, measures)
+    // materialize old partials off the files we are about to overwrite;
+    // re-summed partials cast back to the STORED partial types
+    val old = spark.read.parquet(rollupPath).localCheckpoint()
+    val merged = old.unionByName(spark.read.parquet(tmp))
+      .groupBy(dims.map(col): _*)
+      .agg(sum(col("__cnt")).cast("long").as("__cnt"),
+        measures.flatMap(m => Seq(
+          sum(col(s"__sum_$m")).cast(old.schema(s"__sum_$m").dataType).as(s"__sum_$m"),
+          min(col(s"__min_$m")).as(s"__min_$m"),
+          max(col(s"__max_$m")).as(s"__max_$m"))): _*)
+    merged.coalesce(1).write.mode("overwrite").parquet(rollupPath)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (registry.isEmpty) plan
     else plan.transform {

@@ -89,6 +89,26 @@ class GraftExtensionsSpec extends AnyFunSuite {
     } finally graft.plans.AggRollupRewrite.clear()
   }
 
+  test("AggRollupRewrite.refreshRollup: merging a delta ≡ rebuilding from scratch") {
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("rollupref").toString
+    val li = graft.tables.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select($"l_orderkey", $"l_returnflag",
+        $"l_extendedprice".cast("decimal(18,2)").as("price"), $"l_quantity")
+    val dims = Seq("l_returnflag"); val ms = Seq("price", "l_quantity")
+
+    graft.plans.AggRollupRewrite.buildRollup(
+      li.filter($"l_orderkey" % 2 === 0), s"$work/incr", dims, ms)
+    graft.plans.AggRollupRewrite.refreshRollup(
+      spark, li.filter($"l_orderkey" % 2 === 1), s"$work/incr", dims, ms)
+    graft.plans.AggRollupRewrite.buildRollup(li, s"$work/full", dims, ms)
+
+    val a = spark.read.parquet(s"$work/incr")
+    val b = spark.read.parquet(s"$work/full")
+    assert(a.schema == b.schema, s"${a.schema} vs ${b.schema}")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("ApproxDistinctRewrite: COUNT(DISTINCT) becomes HLL++ only when opted in") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)

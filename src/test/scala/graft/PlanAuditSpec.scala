@@ -99,6 +99,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"plan=$plan")
   }
 
+  test("binnedIntervalJoin ≡ naive overlap join, exactly-once per pair, no BNLJ") {
+    import org.apache.spark.sql.functions.col
+    // events-derived intervals on two grains: [value, value+7) vs [id*2, id*2+5)
+    val a = graft.tables.Tables.events(spark, dir)
+      .select(col("event_id"), col("value").as("a_lo"), (col("value") + 7.0).as("a_hi"))
+    val b = spark.range(0, 150).select(col("id").as("b_id"),
+      (col("id") * 2.0).as("b_lo"), (col("id") * 2.0 + 5.0).as("b_hi"))
+    val binned = graft.ops.Relational.binnedIntervalJoin(a, "a_lo", "a_hi", b, "b_lo", "b_hi", 4.0)
+    val naive = a.join(b, col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi"))
+    val got = binned.select("event_id", "b_id").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = naive.select("event_id", "b_id").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.size == got.toSet.size, "pair emitted more than once")
+    assert(got.toSet == want.toSet && got.size == want.size)
+    val plan = binned.queryExecution.sparkPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("join strategy hints are honored (shuffle_hash overrides sort-merge)") {
     val o = graft.tables.Tables.orders(spark, dir)
     val li = graft.tables.Tables.lineitem(spark, dir)
