@@ -1284,6 +1284,32 @@ object SparkEntry {
         .orderBy($"iv_id")
     }),
 
+    // ── Time-series linear interpolation: treat non-purchase events as
+    //    gaps in a per-user value series and fill them by interpolating
+    //    between the neighboring purchase values — IGNORE NULLS window
+    //    scans both directions, one shuffle on user_id. Edge rows clamp to
+    //    the nearest known value.
+    "q141_interpolate" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      Tables.events(s, dir)
+        .withColumn("v", when($"event_type" === "purchase", $"value"))
+        .withColumn("rn", row_number().over(w).cast("double"))
+        .withColumn("pv", last($"v", ignoreNulls = true).over(back))
+        .withColumn("prn", last(when($"v".isNotNull, $"rn"), ignoreNulls = true).over(back))
+        .withColumn("nv", first($"v", ignoreNulls = true).over(fwd))
+        .withColumn("nrn", first(when($"v".isNotNull, $"rn"), ignoreNulls = true).over(fwd))
+        .withColumn("interp",
+          when($"v".isNotNull, $"v")
+            .when($"pv".isNull, $"nv")
+            .when($"nv".isNull, $"pv")
+            .otherwise($"pv" + ($"nv" - $"pv") * ($"rn" - $"prn") / ($"nrn" - $"prn")))
+        .select($"event_id", $"user_id", $"interp")
+        .orderBy($"event_id")
+    }),
+
     // ── Materialized-aggregate routing: build a rollup at the
     //    (returnflag, linestatus) grain once, register it, and run an
     //    ORDINARY aggregate over the base table — the injected
@@ -3150,6 +3176,30 @@ object SparkEntry {
         |FROM inter JOIN cnt c1 ON c1.doc_id = d_new JOIN cnt c2 ON c2.doc_id = d_old
         |WHERE CAST(i AS DOUBLE) / CAST(c1.n + c2.n - i AS DOUBLE) >= 0.5
         |ORDER BY d_new, d_old""".stripMargin,
+
+    "q141_interpolate" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN event_type = 'purchase' THEN value END AS v,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS rn
+        |  FROM events),
+        |f AS (
+        |  SELECT event_id, user_id, v, rn,
+        |    LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY rn
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    LAST_VALUE(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY rn
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prn,
+        |    FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY rn
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY rn
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nrn
+        |  FROM t)
+        |SELECT event_id, user_id,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN pv IS NULL THEN nv
+        |       WHEN nv IS NULL THEN pv
+        |       ELSE pv + (nv - pv) * (rn - prn) / (nrn - prn) END AS interp
+        |FROM f ORDER BY event_id""".stripMargin,
 
     "q140_rollup_routing" ->
       """SELECT l_returnflag, l_linestatus,

@@ -20,6 +20,16 @@ class EngineCoreSpec extends AnyFunSuite {
   private def tmp(prefix: String) =
     Files.createTempDirectory(prefix).toString
 
+  test("ignoreCorruptFiles: a torn parquet file is skipped, good rows survive") {
+    val work = tmp("corrupt")
+    Seq(1, 2, 3).toDF("id").coalesce(1).write.parquet(s"$work/d")
+    Files.write(java.nio.file.Paths.get(s"$work/d/part-99-torn.parquet"),
+      "not a parquet file".getBytes("UTF-8"))
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try assert(spark.read.parquet(s"$work/d").count() == 3)
+    finally spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
+  }
+
   // ── SnapshotTable ─────────────────────────────────────────────────────
 
   test("SnapshotTable: versioned commits, atomic pointer, vacuum") {
