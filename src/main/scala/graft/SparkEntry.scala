@@ -1284,6 +1284,35 @@ object SparkEntry {
         .orderBy($"iv_id")
     }),
 
+    // ── SQL scripting (Spark 4 procedural SQL): DECLARE a session variable,
+    //    SET it from a scalar query, branch the final statement on it — the
+    //    multi-statement control-flow surface warehouse migrations expect.
+    "q142_sql_scripting" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("g142_orders")
+      s.conf.set("spark.sql.scripting.enabled", "true")
+      s.sql("""
+        BEGIN
+          DECLARE cutoff DOUBLE DEFAULT 0;
+          SET cutoff = (SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                        FROM g142_orders);
+          SELECT o_orderstatus, COUNT(*) AS n_above
+          FROM g142_orders WHERE o_totalprice > cutoff
+          GROUP BY o_orderstatus ORDER BY o_orderstatus;
+        END""")
+    }),
+
+    // ── Sliding (hopping) windows: 1-hour window every 15 minutes — each
+    //    event lands in 4 overlapping windows; the generator expands
+    //    BEFORE the shuffle so the aggregate is an ordinary hash agg.
+    "q143_sliding_window" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(window($"ts", "1 hour", "15 minutes").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"), Relational.sumMoney($"value").as("total"))
+        .select($"w.start".as("w_start"), $"event_type", $"n", $"total")
+        .orderBy($"w_start", $"event_type")
+    }),
+
     // ── Time-series linear interpolation: treat non-purchase events as
     //    gaps in a per-user value series and fill them by interpolating
     //    between the neighboring purchase values — IGNORE NULLS window
@@ -3176,6 +3205,20 @@ object SparkEntry {
         |FROM inter JOIN cnt c1 ON c1.doc_id = d_new JOIN cnt c2 ON c2.doc_id = d_old
         |WHERE CAST(i AS DOUBLE) / CAST(c1.n + c2.n - i AS DOUBLE) >= 0.5
         |ORDER BY d_new, d_old""".stripMargin,
+
+    "q142_sql_scripting" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_above
+        |FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q143_sliding_window" ->
+      """SELECT time_bucket(INTERVAL '15 minutes', ts) - o * INTERVAL '15 minutes' AS w_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events, UNNEST(generate_series(0, 3)) g(o)
+        |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
 
     "q141_interpolate" ->
       """WITH t AS (
