@@ -1284,6 +1284,38 @@ object SparkEntry {
         .orderBy($"iv_id")
     }),
 
+    // ── LLM-pipeline: BM25 lexical ranking — top-20 docs for a 3-term
+    //    query; decimal-summed contributions keep the score partial-order
+    //    independent, round(6) absorbs last-ulp libm drift vs the oracle.
+    "q145_bm25" -> ((s, dir) => {
+      import s.implicits._
+      graft.llm.Ranking.bm25(Tables.documents(s, dir), "doc_id", "text",
+          Seq("spark", "merge", "window"))
+        .orderBy($"score".desc, $"doc_id").limit(20)
+    }),
+
+    // ── The production corpus-ingestion loop end-to-end: file-streamed
+    //    batches, each near-dup-rejected within-batch and against the
+    //    incrementally-built MinHash index, survivors appended + indexed.
+    //    Two parity-split batches in pinned order — the oracle replays the
+    //    same greedy policy in SQL over the exact-jaccard pair relation.
+    "q144_streaming_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("sdedup144").toString
+      val docs = Tables.documents(s, dir)
+      docs.filter($"doc_id" % 2 === 0).coalesce(1).write.parquet(s"$work/src/f1")
+      docs.filter($"doc_id" % 2 === 1).coalesce(1).write.parquet(s"$work/src/f2")
+      val t0 = System.currentTimeMillis() - 120000
+      for ((d, t) <- Seq(("f1", t0), ("f2", t0 + 60000));
+           f <- new java.io.File(s"$work/src/$d").listFiles())
+        f.setLastModified(t)
+      val cfg = graft.streaming.AutoIngest.Config(s"$work/src/*", s"$work/schema",
+        s"$work/ck", maxFilesPerTrigger = Some(1))
+      graft.llm.StreamingCorpusDedup.run(s, cfg, s"$work/idx", s"$work/kept")
+      graft.llm.StreamingCorpusDedup.readKept(s, s"$work/kept")
+        .select($"doc_id").orderBy($"doc_id")
+    }),
+
     // ── SQL scripting (Spark 4 procedural SQL): DECLARE a session variable,
     //    SET it from a scalar query, branch the final statement on it — the
     //    multi-statement control-flow surface warehouse migrations expect.
@@ -3205,6 +3237,53 @@ object SparkEntry {
         |FROM inter JOIN cnt c1 ON c1.doc_id = d_new JOIN cnt c2 ON c2.doc_id = d_old
         |WHERE CAST(i AS DOUBLE) / CAST(c1.n + c2.n - i AS DOUBLE) >= 0.5
         |ORDER BY d_new, d_old""".stripMargin,
+
+    "q145_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS w
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs,
+        |  CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+        |  WHERE w IN ('spark', 'merge', 'window') GROUP BY 1, 2),
+        |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |contrib AS (
+        |  SELECT tf.doc_id,
+        |    CAST(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
+        |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS DECIMAL(18,9)) AS c
+        |  FROM tf JOIN dfreq USING (w) JOIN dl USING (doc_id) CROSS JOIN stats)
+        |SELECT doc_id, ROUND(CAST(SUM(c) AS DOUBLE), 6) AS score
+        |FROM contrib GROUP BY 1
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q144_streaming_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS ts FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+        |  FROM toks, UNNEST(generate_series(1, len(ts)-2)) AS g(i)),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  JOIN cnt c1 ON c1.doc_id = a.doc_id JOIN cnt c2 ON c2.doc_id = b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, c1.n, c2.n
+        |  HAVING CAST(count(*) AS DOUBLE) / CAST(c1.n + c2.n - count(*) AS DOUBLE) >= 0.5),
+        |keptb1 AS (
+        |  SELECT doc_id FROM documents d WHERE doc_id % 2 = 0
+        |  AND NOT EXISTS (SELECT 1 FROM pairs WHERE d2 = d.doc_id AND d1 % 2 = 0)),
+        |survb2 AS (
+        |  SELECT doc_id FROM documents d WHERE doc_id % 2 = 1
+        |  AND NOT EXISTS (SELECT 1 FROM pairs WHERE d2 = d.doc_id AND d1 % 2 = 1)),
+        |keptb2 AS (
+        |  SELECT s.doc_id FROM survb2 s
+        |  WHERE NOT EXISTS (SELECT 1 FROM pairs p JOIN keptb1 k
+        |    ON (p.d1 = s.doc_id AND p.d2 = k.doc_id)
+        |    OR (p.d2 = s.doc_id AND p.d1 = k.doc_id)))
+        |SELECT doc_id FROM keptb1
+        |UNION ALL SELECT doc_id FROM keptb2
+        |ORDER BY doc_id""".stripMargin,
 
     "q142_sql_scripting" ->
       """SELECT o_orderstatus, COUNT(*) AS n_above

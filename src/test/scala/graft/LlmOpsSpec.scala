@@ -218,6 +218,41 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(incr == got, s"incremental=${incr.size} rebuilt=${got.size}")
   }
 
+  test("StreamingCorpusDedup: per-batch rejection matches ground-truth greedy; drain is idempotent") {
+    val work = java.nio.file.Files.createTempDirectory("scdedup").toString
+    docs.filter($"doc_id" % 2 === 0).coalesce(1).write.parquet(s"$work/src/f1")
+    docs.filter($"doc_id" % 2 === 1).coalesce(1).write.parquet(s"$work/src/f2")
+    // pin batch order: the file stream drains oldest-mtime first
+    val t0 = System.currentTimeMillis() - 120000
+    for ((d, t) <- Seq(("f1", t0), ("f2", t0 + 60000)); f <- new java.io.File(s"$work/src/$d").listFiles())
+      f.setLastModified(t)
+    val cfg = graft.streaming.AutoIngest.Config(s"$work/src/*", s"$work/schema",
+      s"$work/ck", maxFilesPerTrigger = Some(1))
+    graft.llm.StreamingCorpusDedup.run(spark, cfg, s"$work/idx", s"$work/kept")
+    val kept = graft.llm.StreamingCorpusDedup.readKept(spark, s"$work/kept")
+      .select($"doc_id").as[Long].collect().toSet
+
+    // ground truth: exact all-pairs (≡ the verified LSH pairs on this corpus),
+    // replayed through the same two-batch greedy policy
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5)
+      .select($"d1", $"d2").as[(Long, Long)].collect()
+    val all = docs.select($"doc_id").as[Long].collect().toSet
+    val evens = all.filter(_ % 2 == 0)
+    val odds = all.filter(_ % 2 == 1)
+    val keptB1 = evens -- evens.filter(e => pairs.exists { case (a, b) => b == e && a % 2 == 0 })
+    val survB2 = odds -- odds.filter(o => pairs.exists { case (a, b) => b == o && a % 2 == 1 })
+    val expected = keptB1 ++ survB2.filterNot(o => pairs.exists { case (a, b) =>
+      (a == o && keptB1(b)) || (b == o && keptB1(a)) })
+    assert(kept == expected, s"kept=${kept.size} expected=${expected.size}")
+    assert(kept.size < all.size) // something was actually rejected
+
+    // replay with no new files: checkpoint makes the drain a no-op
+    graft.llm.StreamingCorpusDedup.run(spark, cfg, s"$work/idx", s"$work/kept")
+    val again = graft.llm.StreamingCorpusDedup.readKept(spark, s"$work/kept")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again == kept)
+  }
+
   test("HLL sketches: union of per-source sketches ≡ whole-corpus sketch; ≤2% error") {
     import org.apache.spark.sql.functions.expr
     val bySource = docs.groupBy($"source").agg(expr("hll_sketch_agg(doc_id, 14)").as("sk"))
