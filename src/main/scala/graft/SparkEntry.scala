@@ -1311,7 +1311,8 @@ object SparkEntry {
         f.setLastModified(t)
       val cfg = graft.streaming.AutoIngest.Config(s"$work/src/*", s"$work/schema",
         s"$work/ck", maxFilesPerTrigger = Some(1))
-      graft.llm.StreamingCorpusDedup.run(s, cfg, s"$work/idx", s"$work/kept")
+      graft.llm.StreamingCorpusDedup.run(s, cfg, s"$work/idx", s"$work/kept",
+        indexBuckets = 8)
       graft.llm.StreamingCorpusDedup.readKept(s, s"$work/kept")
         .select($"doc_id").orderBy($"doc_id")
     }),

@@ -33,8 +33,11 @@ object StreamingCorpusDedup {
 
   def run(spark: SparkSession, cfg: AutoIngest.Config, indexRoot: String,
       sinkDir: String, idCol: String = "doc_id", textCol: String = "text",
-      threshold: Double = 0.5): Unit = {
-    val idx = new MinHashIndex(indexRoot)
+      threshold: Double = 0.5, indexBuckets: Int = 64): Unit = {
+    // size indexBuckets to the corpus: dirs-per-add is the fixed cost per
+    // batch, verify-read granularity the benefit — 64 suits big corpora,
+    // small/test corpora want 8
+    val idx = new MinHashIndex(indexRoot, idBuckets = indexBuckets)
     val stream = AutoIngest.readStream(spark, cfg).drop("_rescued_data")
     AutoIngest.foreachBatchOnce(stream, cfg.checkpointDir) { (batch, batchId) =>
       val b = batch.localCheckpoint()
