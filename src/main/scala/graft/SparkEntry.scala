@@ -30,7 +30,7 @@ object SparkEntry {
   def rowsOnly: Set[String] =
     Set("q29_simhash_groups", "q30_ann_lsh", "q31_multimodal_decode", "q43_ann_ivf",
       "q55_sketches", "q61_ann_ivf_kmeans", "q69_simhash_pairs", "q82_sequence_packing",
-      "q93_vector_index", "q107_global_packing", "q138_sketch_merge")
+      "q93_vector_index", "q107_global_packing", "q138_sketch_merge", "q146_ann_pq")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -1282,6 +1282,21 @@ object SparkEntry {
         .groupBy($"iv_id")
         .agg(count(lit(1)).as("n"), Relational.sumMoney($"value").as("total"))
         .orderBy($"iv_id")
+    }),
+
+    // ── LLM-pipeline (rows-only): product-quantized ANN — train per-
+    //    subspace codebooks, encode the corpus to 16 4-bit codes, rank by
+    //    ADC table lookups over CODES (64× smaller than the vectors),
+    //    exact-rerank the shortlist.
+    "q146_ann_pq" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val cents = graft.llm.ProductQuantizer.train(emb, "vec_id", "embedding", m = 16)
+      val codes = graft.llm.ProductQuantizer.encode(emb, cents, "vec_id", "embedding", m = 16)
+      graft.llm.ProductQuantizer.adcTopK(
+          emb.filter($"vec_id" < 100), emb, cents, codes, "vec_id", "embedding",
+          k = 1, m = 16, rerank = 100)
+        .orderBy($"query_id")
     }),
 
     // ── LLM-pipeline: BM25 lexical ranking — top-20 docs for a 3-term

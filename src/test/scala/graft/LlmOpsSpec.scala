@@ -268,6 +268,36 @@ class LlmOpsSpec extends AnyFunSuite {
       s"estimate=$unionEst exact=$exact")
   }
 
+  test("ProductQuantizer: well-formed codes, ADC+rerank recall vs brute force, deterministic retrain") {
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val m = 16
+    val cents = graft.llm.ProductQuantizer.train(emb, "vec_id", "embedding", m = m)
+    assert(cents.count() == m * 16)
+    assert(cents.select(size($"cv")).distinct().as[Int].collect().toSeq == Seq(64 / m))
+
+    val codes = graft.llm.ProductQuantizer.encode(emb, cents, "vec_id", "embedding", m = m)
+    val n = emb.count()
+    assert(codes.count() == n * m) // m codes per vector
+    val range = codes.agg(min($"code"), max($"code")).as[(Int, Int)].head()
+    assert(range._1 >= 0 && range._2 < 16, s"code range $range")
+
+    // recall@1 of ADC + exact rerank against the exact baseline
+    val queries = emb.filter($"vec_id" < 50)
+    val got = graft.llm.ProductQuantizer
+      .adcTopK(queries, emb, cents, codes, "vec_id", "embedding", k = 1, m = m, rerank = 100)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    val want = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    val hits = want.count { case (q, nb) => got.get(q).contains(nb) }
+    assert(hits >= (want.size * 0.8).toInt, s"recall@1 $hits/${want.size}")
+
+    // decimal-exact means + hash seeding ⇒ retraining is bit-identical
+    val cents2 = graft.llm.ProductQuantizer.train(emb, "vec_id", "embedding", m = m)
+    val c1 = cents.select($"sub", $"code", $"cv").as[(Int, Int, Seq[Double])].collect().toSet
+    val c2 = cents2.select($"sub", $"code", $"cv").as[(Int, Int, Seq[Double])].collect().toSet
+    assert(c1 == c2)
+  }
+
   test("VectorIndex: search ≤ brute force, probes prune the cell scan, self-neighbor sane") {
     val work = java.nio.file.Files.createTempDirectory("vecidxspec").toString
     val idx = new graft.llm.VectorIndex(s"$work/idx")
