@@ -118,6 +118,40 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("dynamic partition pruning: selective dim filter prunes fact partitions at runtime") {
+    import org.apache.spark.sql.functions.{col, lit, count}
+    val work = java.nio.file.Files.createTempDirectory("dpp").toString
+    graft.tables.Tables.events(spark, dir)
+      .write.partitionBy("event_type").mode("overwrite").parquet(s"$work/fact")
+    val fact = spark.read.parquet(s"$work/fact")
+    val dim = graft.tables.Tables.events(spark, dir)
+      .select(col("event_type"), col("value")).distinct()
+      .filter(col("value") > 300) // selective: few event_types survive
+    val q = fact.join(dim, Seq("event_type")).agg(count(lit(1)))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan.take(2000))
+  }
+
+  test("AQE coalesces over-provisioned shuffle partitions") {
+    import org.apache.spark.sql.functions.{count, lit, col}
+    val df = graft.tables.Tables.nation(spark, dir)
+      .groupBy(col("n_regionkey")).agg(count(lit(1)).as("n"))
+    val qe = df.queryExecution
+    qe.executedPlan.execute().count() // finalize the adaptive plan
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("AQEShuffleRead") && plan.contains("coalesced"), plan.take(2000))
+  }
+
+  test("cached relation re-plans as InMemoryTableScan") {
+    val df = graft.tables.Tables.region(spark, dir)
+    df.cache()
+    try {
+      df.count() // materialize
+      val again = graft.tables.Tables.region(spark, dir).filter("r_regionkey >= 0")
+      assert(again.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+    } finally df.unpersist()
+  }
+
   test("join strategy hints are honored (shuffle_hash overrides sort-merge)") {
     val o = graft.tables.Tables.orders(spark, dir)
     val li = graft.tables.Tables.lineitem(spark, dir)
