@@ -42,17 +42,13 @@ object Dedup {
     * observable effect; the oracle comparisons stay exact in practice).
     * Same one-window shape as [[shingleRows]]. */
   def shingleHashRows(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val toks = df
-      .select(col(idCol).as("id"),
-        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
-      .filter(col("tok") =!= "")
-      .select(col("id"), col("pos"), xxhash64(col("tok")).as("th"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("pos")
-    val leads = (0 until n).map(k => lead(col("th"), k).over(w))
-    toks
-      .withColumn("h", xxhash64(leads: _*))
-      .withColumn("__last", leads.last)
-      .filter(col("__last").isNotNull)
+    // row-local generator — no shuffle (the posexplode + lead-window form
+    // this replaces hash-partitioned and sorted the whole corpus by id
+    // before any set algebra even started)
+    val gen = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.ShingleHashes(
+        org.apache.spark.sql.GraftColumnBridge.expression(col(textCol)), n))
+    df.select(col(idCol).as("id"), gen)
       .select(col("id"), col("h"))
       .distinct()
   }

@@ -118,6 +118,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("shingle hashing is map-side: a Generate node, no window sort, one exchange (the distinct)") {
+    val docs = graft.tables.Tables.documents(spark, dir)
+    val plan = graft.llm.Dedup.shingleHashRows(docs, "doc_id", "text")
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("Generate"), plan.take(1500))
+    assert(!plan.contains("Window"), plan.take(1500))
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"expected ≤1 exchange (distinct), got $exchanges:\n${plan.take(1500)}")
+  }
+
   test("dynamic partition pruning: selective dim filter prunes fact partitions at runtime") {
     import org.apache.spark.sql.functions.{col, lit, count}
     val work = java.nio.file.Files.createTempDirectory("dpp").toString
