@@ -1291,7 +1291,8 @@ object SparkEntry {
     "q146_ann_pq" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables.embeddings(s, dir)
-      val cents = graft.llm.ProductQuantizer.train(emb, "vec_id", "embedding", m = 16)
+      val cents = graft.llm.ProductQuantizer.train(emb, "vec_id", "embedding",
+        m = 16, iters = 2)
       val codes = graft.llm.ProductQuantizer.encode(emb, cents, "vec_id", "embedding", m = 16)
       graft.llm.ProductQuantizer.adcTopK(
           emb.filter($"vec_id" < 100), emb, cents, codes, "vec_id", "embedding",
