@@ -62,3 +62,36 @@ case class ShingleHashes(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
 }
+
+/** String form of [[ShingleHashes]]: emits every `n`-token shingle of the
+  * text as a space-joined string, WITH multiplicity (frequency signals
+  * like the repetition report need the counts). Same no-shuffle rationale. */
+case class ShingleStrings(child: Expression, n: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && n >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_strings needs a string column and n >= 1 (got ${child.dataType}, n=$n)")
+
+  override def elementSchema: StructType =
+    StructType(StructField("shingle", StringType, nullable = false) :: Nil)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val t = child.eval(input)
+    if (t == null) return Nil
+    val toks = t.asInstanceOf[UTF8String].toString.trim
+      .split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) return Nil
+    val out = new Array[InternalRow](toks.length - n + 1)
+    var i = 0
+    while (i <= toks.length - n) {
+      out(i) = InternalRow(UTF8String.fromString(toks.slice(i, i + n).mkString(" ")))
+      i += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleStrings =
+    copy(child = newChild)
+}

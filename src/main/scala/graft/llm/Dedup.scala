@@ -58,18 +58,11 @@ object Dedup {
     * repetition reports]]). Set-similarity operators use the distinct
     * form [[shingleRows]]. */
   def shingleOccurrences(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = df
-      .select(col(idCol).as("id"),
-        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
-      .filter(col("tok") =!= "")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("pos")
-    val leads = (0 until n).map(k => lead(col("tok"), k).over(w))
-    // concat_ws skips nulls (would silently emit short tail shingles) —
-    // guard on the furthest lead instead.
-    toks
-      .withColumn("shingle", concat_ws(" ", leads: _*))
-      .withColumn("__last", leads.last)
-      .filter(col("__last").isNotNull)
+    // row-local generator — no shuffle (see [[graft.functions.ShingleStrings]])
+    val gen = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.ShingleStrings(
+        org.apache.spark.sql.GraftColumnBridge.expression(col(textCol)), n))
+    df.select(col(idCol).as("id"), gen)
       .select(col("id"), col("shingle"))
   }
 
