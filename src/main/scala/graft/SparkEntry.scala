@@ -1284,6 +1284,31 @@ object SparkEntry {
         .orderBy($"iv_id")
     }),
 
+    // ── Injection-safe dynamic identifiers: IDENTIFIER(:param) resolves a
+    //    parameter to a table name at analysis time — templated pipelines
+    //    without string-spliced SQL.
+    "q147_identifier" -> ((s, dir) => {
+      Tables.nation(s, dir).createOrReplaceTempView("g147_nation")
+      s.sql(
+        """SELECT n_regionkey, COUNT(*) AS n FROM IDENTIFIER(:tbl)
+          |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+        Map("tbl" -> "g147_nation"))
+    }),
+
+    // ── Session variables (outside scripting blocks): DECLARE / SET VAR /
+    //    reference in a later statement — cross-statement state for
+    //    notebook-style workflows.
+    "q148_session_variable" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("g148_orders")
+      s.sql("DECLARE OR REPLACE VARIABLE g148_cut DOUBLE")
+      s.sql("""SET VAR g148_cut = (SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               FROM g148_orders)""")
+      s.sql("""
+        SELECT o_orderpriority, COUNT(*) AS n_above
+        FROM g148_orders WHERE o_totalprice > g148_cut
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    }),
+
     // ── LLM-pipeline (rows-only): product-quantized ANN — train per-
     //    subspace codebooks, encode the corpus to 16 4-bit codes, rank by
     //    ADC table lookups over CODES (64× smaller than the vectors),
@@ -3254,6 +3279,17 @@ object SparkEntry {
         |FROM inter JOIN cnt c1 ON c1.doc_id = d_new JOIN cnt c2 ON c2.doc_id = d_old
         |WHERE CAST(i AS DOUBLE) / CAST(c1.n + c2.n - i AS DOUBLE) >= 0.5
         |ORDER BY d_new, d_old""".stripMargin,
+
+    "q147_identifier" ->
+      """SELECT n_regionkey, COUNT(*) AS n FROM nation
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "q148_session_variable" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_above
+        |FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q145_bm25" ->
       """WITH toks AS (
