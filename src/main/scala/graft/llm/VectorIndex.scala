@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
   * `nProbe/nCentroids` of the corpus, scheduled as that fraction of
   * tasks), brute-force cosine within, per-query top-k.
   *
-  * The index is immutable once built (rebuild to refresh — same contract
-  * as FAISS/ScaNN snapshot indexes); building writes data exactly once.
+  * New batches append via [[add]] (assigned to the frozen codebook, same
+  * contract as FAISS `add()`); re-[[build]] periodically to retrain the
+  * centroids when the distribution drifts.
   */
 final class VectorIndex(val root: String) {
 
@@ -39,8 +40,21 @@ final class VectorIndex(val root: String) {
           col("cv0"), sqrt(Similarity.dot(col("cv0"), col("cv0"))).as("cnorm0"))
     cents.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$root/centroids")
 
+    writeAssigned(spark, corpus, idCol, vecCol, SaveMode.Overwrite)
+  }
+
+  /** Incrementally index a new batch against the EXISTING centroids: new
+    * files append into the matching cell dirs, the codebook is untouched.
+    * Same contract as FAISS `add()` — cells drift from optimal as the
+    * distribution shifts; re-`build` periodically to retrain. Ids must be
+    * new. */
+  def add(spark: SparkSession, batch: DataFrame, idCol: String, vecCol: String): Unit =
+    writeAssigned(spark, batch, idCol, vecCol, SaveMode.Append)
+
+  private def writeAssigned(spark: SparkSession, vectors: DataFrame,
+      idCol: String, vecCol: String, mode: SaveMode): Unit = {
     val centsDf = spark.read.parquet(s"$root/centroids")
-    val v = corpus.select(col(idCol).as("id"),
+    val v = vectors.select(col(idCol).as("id"),
         transform(col(vecCol), _.cast("double")).as("vec"))
       .withColumn("vnorm", sqrt(Similarity.dot(col("vec"), col("vec"))))
     val w = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cent_id").asc)
@@ -50,7 +64,7 @@ final class VectorIndex(val root: String) {
       .withColumn("crank", row_number().over(w)).filter(col("crank") === 1)
       .select(col("id"), col("vec"), col("vnorm"), col("cent_id").as(CellCol))
       .repartition(col(CellCol))
-      .write.mode(SaveMode.Overwrite).partitionBy(CellCol).parquet(s"$root/data")
+      .write.mode(mode).partitionBy(CellCol).parquet(s"$root/data")
   }
 
   /** The (pruned) relation a probe set touches — exposed for plan audits. */

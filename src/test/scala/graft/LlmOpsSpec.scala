@@ -298,6 +298,35 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(c1 == c2)
   }
 
+  test("VectorIndex.add: appended vectors searchable, no new cells, still ≤ brute force") {
+    val work = java.nio.file.Files.createTempDirectory("vecidxadd").toString
+    val idx = new graft.llm.VectorIndex(s"$work/idx")
+    idx.build(spark, embs.filter($"vec_id" % 2 === 0), "vec_id", "embedding",
+      nCentroids = 8, trainIters = 1)
+    idx.add(spark, embs.filter($"vec_id" % 2 === 1), "vec_id", "embedding")
+
+    // cells stay within the built codebook (appends join existing dirs)
+    val cells = spark.read.parquet(s"$work/idx/data")
+      .select($"__cell").distinct().as[Long].collect().toSet
+    val cents = spark.read.parquet(s"$work/idx/centroids")
+      .select($"cent_id").as[Long].collect().toSet
+    assert(cells.subsetOf(cents), s"cells $cells ⊄ centroids $cents")
+
+    val queries = embs.filter($"vec_id" < 20)
+    val got = idx.search(spark, queries, "vec_id", "embedding", 1, nProbe = 4)
+      .select($"query_id", $"neighbor_id", $"cos").as[(Long, Long, Double)].collect()
+    // added (odd) vectors are actually findable as neighbors
+    assert(got.exists(_._2 % 2 == 1), "no added vector ever surfaced in search")
+    val brute = graft.llm.Similarity.bruteForceTopK(queries, embs, "vec_id", "embedding", 1)
+      .select($"query_id", $"cos").as[(Long, Double)].collect().toMap
+    got.foreach { case (q, _, cos) => assert(cos <= brute(q) + 1e-9) }
+
+    // deterministic across repeated searches
+    val again = idx.search(spark, queries, "vec_id", "embedding", 1, nProbe = 4)
+      .select($"query_id", $"neighbor_id", $"cos").as[(Long, Long, Double)].collect()
+    assert(again.toSet == got.toSet)
+  }
+
   test("VectorIndex: search ≤ brute force, probes prune the cell scan, self-neighbor sane") {
     val work = java.nio.file.Files.createTempDirectory("vecidxspec").toString
     val idx = new graft.llm.VectorIndex(s"$work/idx")
