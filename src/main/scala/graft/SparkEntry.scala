@@ -1309,6 +1309,54 @@ object SparkEntry {
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
     }),
 
+    // ── §7: row-level delete via key tombstones (deletion-vector analog)
+    //    — each delete is an O(deleted-rows) tombstone append anti-joined
+    //    out at read (broadcast: the tombstone side is tiny), never a
+    //    snapshot rewrite; compact() materializes the stacked tombstones
+    //    into the next clean version.
+    "q149_row_delete" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("rowdel149").toString
+      val t = new graft.tables.SnapshotTable(s"$work/t")
+      val cust = Tables.customer(s, dir)
+      t.write(s, cust)
+      t.deleteKeys(s, cust.filter($"c_custkey" % 7 === 0).select($"c_custkey"))
+      t.deleteKeys(s, cust.filter($"c_custkey" % 11 === 3).select($"c_custkey"))
+      t.compact(s) // materializes the tombstones into _v2
+      t.read(s)
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"), Relational.sumMoney($"c_acctbal").as("total_bal"))
+        .orderBy($"c_mktsegment")
+    }),
+
+    // ── Bloom-prescreened semi join: the probe (lineitem) is screened
+    //    through a broadcast Bloom filter of the selective build keys
+    //    before the confirming semi join — only ~the matching fraction of
+    //    the big side reaches the shuffle; false positives die in the
+    //    exact confirm, so the result is deterministic.
+    "q150_bloom_prescreen" -> ((s, dir) => {
+      import s.implicits._
+      val build = Tables.orders(s, dir)
+        .filter($"o_orderpriority" === "1-URGENT" && $"o_totalprice" > 200000)
+      Relational.bloomSemiJoin(Tables.lineitem(s, dir), build,
+          "l_orderkey", "o_orderkey", expectedItems = 50000)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), Relational.sumMoney($"l_extendedprice").as("revenue"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // ── Exact heavy hitters via Misra–Gries prescreen + exact confirm:
+    //    the long tail of the token domain never reaches a shuffle (it
+    //    dies in the map-side InSet filter); the confirming count makes
+    //    the result exact, so stopword detection is oracle-checkable.
+    "q151_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val words = Tables.documents(s, dir)
+        .select(explode(split($"text", " ")).as("word"))
+      Relational.heavyHitters(words, "word", minCount = 500)
+        .orderBy($"word")
+    }),
+
     // ── LLM-pipeline (rows-only): product-quantized ANN — train per-
     //    subspace codebooks, encode the corpus to 16 4-bit codes, rank by
     //    ADC table lookups over CODES (64× smaller than the vectors),
@@ -3290,6 +3338,27 @@ object SparkEntry {
         |WHERE o_totalprice > (
         |  SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q150_bloom_prescreen" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q151_heavy_hitters" ->
+      """SELECT word, COUNT(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word HAVING COUNT(*) >= 500
+        |ORDER BY word""".stripMargin,
+
+    "q149_row_delete" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |WHERE NOT (c_custkey % 7 = 0) AND NOT (c_custkey % 11 = 3)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q145_bm25" ->
       """WITH toks AS (

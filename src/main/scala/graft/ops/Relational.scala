@@ -138,4 +138,44 @@ object Relational {
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, keys :+ "__salt").drop("__salt")
   }
+
+  /** Bloom-prescreened semi join — EXACT `probe ⋉ build` on the key, with
+    * the probe side first screened through a Bloom filter of the build
+    * keys. The screen is the scale lever: the filter is built in one
+    * aggregation pass, broadcast once, and discards ~all non-members
+    * map-side, so only the tiny surviving fraction of a 100 TB probe side
+    * reaches the shuffle of the confirming semi join. False positives are
+    * killed by that exact confirm, so the result is deterministic — the
+    * same pattern Spark's own runtime-filter rule (InjectRuntimeFilter)
+    * applies, exposed here as an operator with a tunable size/fpp budget.
+    */
+  def bloomSemiJoin(probe: DataFrame, build: DataFrame, probeKey: String,
+      buildKey: String, expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bf = build.stat.bloomFilter(buildKey, expectedItems, fpp)
+    val bc = probe.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+    probe.filter(mightContain(col(probeKey).cast("long")))
+      .join(build.select(col(buildKey)), col(probeKey) === col(buildKey), "left_semi")
+  }
+
+  /** EXACT heavy hitters (all values of `column` with count ≥ `minCount`)
+    * without a full-cardinality group-by: a Misra–Gries prescreen
+    * (`stat.freqItems` — guaranteed superset of everything above its
+    * support) shrinks the domain to ≤ 2n/minCount candidates, then one
+    * exact count over just those candidates confirms. At 100 TB the long
+    * tail (the overwhelming majority of distinct values) never reaches a
+    * shuffle — it dies in the map-side `InSet` filter. Requires
+    * minCount ≥ 2·1e-4·count (freqItems' support floor); below that run
+    * the plain group-by instead. Output: (`column`, cnt). */
+  def heavyHitters(df: DataFrame, column: String, minCount: Long): DataFrame = {
+    val n = df.count()
+    val support = math.max(minCount.toDouble / (2.0 * math.max(n, 1L)), 1e-4)
+    val cands = df.stat.freqItems(Seq(column), support).head.getSeq[Any](0)
+    val screened =
+      if (cands.isEmpty) df.filter(lit(false))
+      else df.filter(col(column).isin(cands: _*))
+    screened.groupBy(col(column))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
 }

@@ -11,6 +11,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * {{{
   *   root/_v1/part-*.parquet      // immutable full snapshots
   *   root/_v2/part-*.parquet
+  *   root/_tomb_v2/part-*.parquet // key tombstones pending against _v2
   *   root/_current                // one line: the live version number
   * }}}
   *
@@ -46,20 +47,54 @@ final class SnapshotTable(val root: String) {
   def read(spark: SparkSession): DataFrame = {
     val v = currentVersion(spark).getOrElse(
       throw new IllegalStateException(s"SnapshotTable $root has no committed version"))
-    spark.read.parquet(s"$root/_v$v")
+    applyTombstones(spark, v, spark.read.parquet(s"$root/_v$v"))
   }
 
   def readOption(spark: SparkSession): Option[DataFrame] =
-    currentVersion(spark).map(v => spark.read.parquet(s"$root/_v$v"))
+    currentVersion(spark).map(v =>
+      applyTombstones(spark, v, spark.read.parquet(s"$root/_v$v")))
 
   /** Time travel: read a specific committed version (any snapshot dir not
-    * yet vacuumed). The live pointer is untouched. */
+    * yet vacuumed), minus that version's own tombstones. The live pointer
+    * is untouched. */
   def readVersion(spark: SparkSession, version: Int): DataFrame = {
     val f = fs(spark)
     val p = new Path(s"$root/_v$version")
     if (!f.exists(p)) throw new IllegalArgumentException(
       s"SnapshotTable $root: version $version does not exist (vacuumed or never committed)")
-    spark.read.parquet(p.toString)
+    applyTombstones(spark, version, spark.read.parquet(p.toString))
+  }
+
+  // ── Row-level deletes via key tombstones (deletion-vector analog) ──────
+  //
+  // Deleting a handful of rows from a 100 TB snapshot must not rewrite the
+  // snapshot: Delta solves this with deletion vectors, we solve it with KEY
+  // TOMBSTONES — `deleteKeys` appends the doomed keys as a tiny parquet
+  // batch under `_tomb_v<live>` (an O(deleted-rows) write), and every read
+  // path anti-joins them out. The tombstone side is a small file relation,
+  // so Spark broadcasts the anti join (no shuffle of the big side); once
+  // tombstones accumulate, `compact` — whose input is the tombstone-applied
+  // `read` — materializes the deletes into a clean next version.
+
+  private def tombPath(v: Int) = new Path(root, s"_tomb_v$v")
+
+  /** Delete rows of the LIVE version matching `keys` (anti-join on all of
+    * `keys`' columns, matched by name). Appends a tombstone batch — the
+    * snapshot itself is untouched, so the cost is O(|keys|), not O(table).
+    * Idempotent: re-deleting the same keys changes nothing. */
+  def deleteKeys(spark: SparkSession, keys: DataFrame): Unit = {
+    val v = currentVersion(spark).getOrElse(
+      throw new IllegalStateException(s"SnapshotTable $root has no committed version"))
+    keys.dropDuplicates().write.mode(SaveMode.Append).parquet(tombPath(v).toString)
+  }
+
+  private def applyTombstones(spark: SparkSession, v: Int, df: DataFrame): DataFrame = {
+    val p = tombPath(v)
+    if (!fs(spark).exists(p)) df
+    else {
+      val tombs = spark.read.parquet(p.toString)
+      df.join(tombs, tombs.columns.toSeq, "left_anti")
+    }
   }
 
   /** Commit `df` as the next full snapshot and atomically advance the
@@ -141,7 +176,8 @@ final class SnapshotTable(val root: String) {
       case Some(files) if files.isEmpty =>
         read(spark).limit(0) // schema-preserving empty relation
       case Some(files) =>
-        spark.read.option("basePath", s"$root/_v$v").parquet(files: _*)
+        applyTombstones(spark, v,
+          spark.read.option("basePath", s"$root/_v$v").parquet(files: _*))
     }
   }
 
@@ -201,8 +237,9 @@ final class SnapshotTable(val root: String) {
     val f = fs(spark)
     currentVersion(spark).foreach { cur =>
       (1 to cur - keep).foreach { v =>
-        val p = new Path(s"$root/_v$v")
-        if (f.exists(p)) f.delete(p, true)
+        Seq(new Path(s"$root/_v$v"), tombPath(v)).foreach { p =>
+          if (f.exists(p)) f.delete(p, true)
+        }
       }
     }
   }

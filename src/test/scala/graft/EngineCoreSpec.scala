@@ -43,6 +43,65 @@ class EngineCoreSpec extends AnyFunSuite {
     assert(t.read(spark).count() == 1) // live version untouched
   }
 
+  test("SnapshotTable.deleteKeys: tombstones delete without rewrite; compact materializes") {
+    val t = new SnapshotTable(tmp("tomb"))
+    t.write(spark, Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("k", "v"))
+    val snapBytes = new java.io.File(s"${t.root}/_v1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+
+    t.deleteKeys(spark, Seq(2).toDF("k"))
+    t.deleteKeys(spark, Seq(4).toDF("k"))
+    t.deleteKeys(spark, Seq(4).toDF("k")) // idempotent re-delete
+    assert(t.read(spark).select("k").as[Int].collect().toSet == Set(1, 3))
+    // the snapshot files themselves were never rewritten (O(deleted) delete)
+    val after = new java.io.File(s"${t.root}/_v1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    assert(after == snapBytes)
+
+    // compact materializes: next version reads the same minus deletes, no tombstone dir
+    val v2 = t.compact(spark)
+    assert(t.read(spark).select("k").as[Int].collect().toSet == Set(1, 3))
+    assert(!new java.io.File(s"${t.root}/_tomb_v$v2").exists())
+    // time travel still sees v1 *with its own tombstones applied*
+    assert(t.readVersion(spark, 1).select("k").as[Int].collect().toSet == Set(1, 3))
+    // vacuum drops the old version's tombstone sidecar too
+    t.vacuum(spark, keep = 1)
+    assert(!new java.io.File(s"${t.root}/_tomb_v1").exists())
+  }
+
+  test("SnapshotTable.deleteKeys: composes with stats-pruned reads") {
+    val t = new SnapshotTable(tmp("tombstats"))
+    t.writeWithStats(spark, (1 to 100).map(i => (i, i * 10)).toDF("k", "v"),
+      statsCols = Seq("k"), clusterBy = Seq("k"), clusterPartitions = 4)
+    t.deleteKeys(spark, Seq(10, 15).toDF("k"))
+    val pruned = t.readPruned(spark, "k", 1, 25)
+    assert(pruned.filter($"k" between (1, 25)).select("k").as[Int].collect().toSet ==
+      ((1 to 25).toSet -- Set(10, 15)))
+  }
+
+  test("bloomSemiJoin: exact semi-join result; bloom screen rejects most non-members") {
+    import graft.ops.Relational
+    val probe = (1L to 10000L).toDF("pk")
+    val build = Seq(3L, 7L, 9999L, 123L).toDF("bk")
+    val got = Relational.bloomSemiJoin(probe, build, "pk", "bk", expectedItems = 10)
+      .as[Long].collect().toSet
+    assert(got == Set(3L, 7L, 9999L, 123L))
+    // the screen alone (before the exact confirm) already kills ~99% at fpp=0.01
+    val bf = build.stat.bloomFilter("bk", 10, 0.01)
+    val survivors = (1L to 10000L).count(bf.mightContainLong)
+    assert(survivors < 500, s"bloom screen left $survivors of 10000")
+  }
+
+  test("heavyHitters: exact ≡ group-by-having; empty when nothing qualifies") {
+    import graft.ops.Relational
+    val df = (Seq.fill(60)("a") ++ Seq.fill(45)("b") ++ (1 to 200).map(i => s"tail$i"))
+      .toDF("w")
+    val got = Relational.heavyHitters(df, "w", minCount = 45)
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("a", 60L), ("b", 45L)))
+    assert(Relational.heavyHitters(df, "w", minCount = 100).count() == 0)
+  }
+
   test("ScdMerge: schema evolution — a batch adding a column null-fills history") {
     val t0 = ScdMerge.scd1Upsert(None,
       Seq((1, 10, "a"), (2, 10, "b")).toDF("k", "seq", "v"), Seq("k"), "seq")
