@@ -1357,6 +1357,22 @@ object SparkEntry {
         .orderBy($"word")
     }),
 
+    // ── Iterative graph compute: PageRank over the customer→nation→region
+    //    membership graph (IDs offset into disjoint ranges). Each iteration
+    //    is one broadcast join + one agg shuffle; ranks localCheckpoint per
+    //    iteration (O(1) lineage). Bit-exact vs the oracle's unrolled CTEs:
+    //    IEEE division + decimal-summed contributions.
+    "q152_pagerank" -> ((s, dir) => {
+      import s.implicits._
+      val edges = Tables.customer(s, dir)
+        .select(($"c_custkey" + 10000000L).as("src"), $"c_nationkey".cast("long").as("dst"))
+        .unionByName(Tables.nation(s, dir)
+          .select($"n_nationkey".cast("long").as("src"), ($"n_regionkey" + 20000000L).as("dst")))
+      graft.ops.Graph.pageRank(edges, "src", "dst", iters = 3)
+        .select($"node", round($"rank", 9).as("rank"))
+        .orderBy($"node")
+    }),
+
     // ── LLM-pipeline (rows-only): product-quantized ANN — train per-
     //    subspace codebooks, encode the corpus to 16 4-bit codes, rank by
     //    ADC table lookups over CODES (64× smaller than the vectors),
@@ -3338,6 +3354,32 @@ object SparkEntry {
         |WHERE o_totalprice > (
         |  SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q152_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT CAST(c_custkey + 10000000 AS BIGINT) AS src,
+        |           CAST(c_nationkey AS BIGINT) AS dst FROM customer
+        |    UNION ALL
+        |    SELECT CAST(n_nationkey AS BIGINT),
+        |           CAST(n_regionkey + 20000000 AS BIGINT) FROM nation)),
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+        |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+        |c1 AS (SELECT dst AS node, SUM(CAST(ROUND(r.rank / od.outdeg, 12) AS DECIMAL(28,12))) AS s
+        |       FROM e JOIN r0 r ON r.node = e.src JOIN od ON od.src = e.src GROUP BY dst),
+        |r1 AS (SELECT n.node, 0.15 + 0.85 * CAST(COALESCE(s, CAST(0 AS DECIMAL(28,12))) AS DOUBLE) AS rank
+        |       FROM nodes n LEFT JOIN c1 ON c1.node = n.node),
+        |c2 AS (SELECT dst AS node, SUM(CAST(ROUND(r.rank / od.outdeg, 12) AS DECIMAL(28,12))) AS s
+        |       FROM e JOIN r1 r ON r.node = e.src JOIN od ON od.src = e.src GROUP BY dst),
+        |r2 AS (SELECT n.node, 0.15 + 0.85 * CAST(COALESCE(s, CAST(0 AS DECIMAL(28,12))) AS DOUBLE) AS rank
+        |       FROM nodes n LEFT JOIN c2 ON c2.node = n.node),
+        |c3 AS (SELECT dst AS node, SUM(CAST(ROUND(r.rank / od.outdeg, 12) AS DECIMAL(28,12))) AS s
+        |       FROM e JOIN r2 r ON r.node = e.src JOIN od ON od.src = e.src GROUP BY dst),
+        |r3 AS (SELECT n.node, 0.15 + 0.85 * CAST(COALESCE(s, CAST(0 AS DECIMAL(28,12))) AS DOUBLE) AS rank
+        |       FROM nodes n LEFT JOIN c3 ON c3.node = n.node)
+        |SELECT node, ROUND(rank, 9) AS rank FROM r3 ORDER BY node""".stripMargin,
 
     "q150_bloom_prescreen" ->
       """SELECT l_returnflag, COUNT(*) AS n,

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Iterative graph computation on DataFrames — the GraphX-less shape that
+  * survives 100 TB edge lists: each iteration is one join of the (big,
+  * hash-partitioned) edge list against the (small, broadcast) rank vector
+  * plus one aggregation shuffle on `dst`; the rank vector is
+  * `localCheckpoint`ed per iteration so the plan/lineage stays O(1) deep
+  * instead of O(iterations).
+  *
+  * Reference has no graph operator — this extends the §2 surface the same
+  * way connected components ([[graft.llm.Dedup.connectedComponents]]) does
+  * for dedup clustering.
+  */
+object Graph {
+
+  /** Classic (non-normalized) PageRank: `r(v) = (1-d) + d · Σ_{u→v}
+    * r(u)/outdeg(u)`, `iters` synchronous iterations from `r = 1`.
+    * Dangling mass is dropped (the classic simplification).
+    *
+    * Deterministic to the bit: the per-edge contribution is IEEE double
+    * division (exactly rounded, engine-independent), rounded to 12
+    * decimals and summed as DECIMAL(28,12) — so partial-aggregation order
+    * can't shift bits and the whole recurrence replays exactly in ANSI
+    * SQL (the oracle unrolls the iterations as CTEs).
+    *
+    * Output: (node: long, rank: double). */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, damping: Double = 0.85): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val withDeg = e.join(
+      e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+
+    // 1-d via decimal-string arithmetic: binary `1.0 - 0.85` is
+    // 0.15000000000000002, but the SQL oracle's literal `0.15` is the
+    // nearest double to decimal 0.15 — compute the same value here.
+    val teleport = (BigDecimal(1) - BigDecimal(damping.toString)).toDouble
+
+    var ranks = nodes.withColumn("rank", lit(1.0))
+    for (_ <- 1 to iters) {
+      val contribs = withDeg
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          round(col("rank") / col("outdeg"), 12).cast(DecimalType(28, 12)).as("contrib"))
+        .groupBy(col("node")).agg(sum(col("contrib")).as("s"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) + lit(damping) *
+            coalesce(col("s"), lit(0).cast(DecimalType(28, 12))).cast("double")).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+}

@@ -102,6 +102,36 @@ class EngineCoreSpec extends AnyFunSuite {
     assert(Relational.heavyHitters(df, "w", minCount = 100).count() == 0)
   }
 
+  test("Graph.pageRank: fixed point of a 2-cycle is 1.0; star center accumulates; deep iters run") {
+    import graft.ops.Graph
+    // symmetric 2-cycle: r=1 is the exact fixed point, every iteration
+    val cyc = Graph.pageRank(Seq((1L, 2L), (2L, 1L)).toDF("s", "d"), "s", "d", iters = 5)
+      .as[(Long, Double)].collect().toMap
+    assert(cyc == Map(1L -> 1.0, 2L -> 1.0))
+
+    // star 1..4 -> 9: after iter1 center = 0.15 + 0.85*4 = 3.55; leaves 0.15;
+    // iter2 center = 0.15 + 0.85*(4*0.15) = 0.66
+    val star = Graph.pageRank(
+      (1L to 4L).map(i => (i, 9L)).toDF("s", "d"), "s", "d", iters = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(star(9L) - 0.66) < 1e-9 && star(1L) == 0.15)
+
+    // 10 iterations: lineage stays bounded (localCheckpoint) and completes fast
+    val deep = Graph.pageRank(Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d"),
+      "s", "d", iters = 10).as[(Long, Double)].collect()
+    assert(deep.length == 3 && deep.forall(r => math.abs(r._2 - 1.0) < 0.05))
+  }
+
+  test("Observation: pipeline metrics ride the action — no second scan") {
+    val obs = org.apache.spark.sql.Observation("ecs_obs")
+    val out = Seq(1, 2, 3, 4).toDF("x")
+      .observe(obs, count(lit(1)).as("n"), sum(col("x")).as("s"))
+      .filter(col("x") > 1)
+    assert(out.count() == 3)
+    // metrics reflect the observed node (pre-filter), collected in-flight
+    assert(obs.get("n") == 4L && obs.get("s") == 10L)
+  }
+
   test("ScdMerge: schema evolution — a batch adding a column null-fills history") {
     val t0 = ScdMerge.scd1Upsert(None,
       Seq((1, 10, "a"), (2, 10, "b")).toDF("k", "seq", "v"), Seq("k"), "seq")
