@@ -1357,6 +1357,20 @@ object SparkEntry {
         .orderBy($"word")
     }),
 
+    // ── Global row numbering without the 1-task sort: range-partition on
+    //    the (total) order, pin the sampled boundaries, prefix-sum the
+    //    per-partition counts driver-side, number within partitions — a
+    //    bare row_number() OVER (ORDER BY …) plans Exchange SinglePartition
+    //    and dies at 100 TB; this stays parallel end to end.
+    "q153_global_rownum" -> ((s, dir) => {
+      import s.implicits._
+      Relational.globalRowNumbers(
+          Tables.lineitem(s, dir).select($"l_orderkey", $"l_linenumber"),
+          Seq("l_orderkey", "l_linenumber"))
+        .filter($"rn" % 997 === 0)
+        .orderBy($"rn")
+    }),
+
     // ── Iterative graph compute: PageRank over the customer→nation→region
     //    membership graph (IDs offset into disjoint ranges). Each iteration
     //    is one broadcast join + one agg shuffle; ranks localCheckpoint per
@@ -3354,6 +3368,13 @@ object SparkEntry {
         |WHERE o_totalprice > (
         |  SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q153_global_rownum" ->
+      """SELECT l_orderkey, l_linenumber, rn FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |         ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem)
+        |WHERE rn % 997 = 0 ORDER BY rn""".stripMargin,
 
     "q152_pagerank" ->
       """WITH e AS (

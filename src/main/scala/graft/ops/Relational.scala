@@ -158,6 +158,43 @@ object Relational {
       .join(build.select(col(buildKey)), col(probeKey) === col(buildKey), "left_semi")
   }
 
+  /** Global row numbers in `order` (a TOTAL order — include a tiebreak
+    * column) WITHOUT the single-partition sort a bare
+    * `row_number() OVER (ORDER BY …)` plans: range-partition on the
+    * order keys, pin the partitioning (`localCheckpoint` — range
+    * boundaries are SAMPLED per execution, so the count pass and the
+    * numbering pass must see the same shuffle output), prefix-sum the
+    * ≤numPartitions per-partition counts on the driver, and number
+    * within partitions only. Every stage is parallel; the only
+    * driver-side data is one count per partition. Output: df + `rn`
+    * (1-based BIGINT, dense). */
+  def globalRowNumbers(df: DataFrame, order: Seq[String],
+      numPartitions: Int = 0): DataFrame = {
+    val cols = order.map(col)
+    val parted =
+      (if (numPartitions > 0) df.repartitionByRange(numPartitions, cols: _*)
+       else df.repartitionByRange(cols: _*))
+        .sortWithinPartitions(cols: _*)
+        .withColumn("__pid", spark_partition_id())
+        .localCheckpoint(true)
+    val counts = parted.groupBy(col("__pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1).zip(
+      counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    // within-partition ordinal from monotonically_increasing_id's documented
+    // layout (partition id in the upper 31 bits, record number in the lower
+    // 33): rows are already sorted within the pinned partitions, so no
+    // window — and so no extra exchange — is needed to number them.
+    parted
+      .withColumn("__ord", monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+      .join(broadcast(offDf), "__pid")
+      .withColumn("rn", col("__off") + col("__ord") + lit(1L))
+      .drop("__pid", "__off", "__ord")
+  }
+
   /** EXACT heavy hitters (all values of `column` with count ≥ `minCount`)
     * without a full-cardinality group-by: a Misra–Gries prescreen
     * (`stat.freqItems` — guaranteed superset of everything above its

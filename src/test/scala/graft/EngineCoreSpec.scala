@@ -122,6 +122,20 @@ class EngineCoreSpec extends AnyFunSuite {
     assert(deep.length == 3 && deep.forall(r => math.abs(r._2 - 1.0) < 0.05))
   }
 
+  test("globalRowNumbers: ≡ single-partition window, but no SinglePartition exchange") {
+    import graft.ops.Relational
+    val df = spark.range(1000).select((col("id") * 37 % 1000).as("k"))
+      .repartition(13) // scrambled input
+    val got = Relational.globalRowNumbers(df, Seq("k"), numPartitions = 7)
+    val expected = df.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("k"))).cast("long"))
+    assert(got.orderBy("rn").collect().toSeq == expected.orderBy("rn").collect().toSeq)
+    assert(!got.queryExecution.executedPlan.toString.contains("SinglePartition"),
+      "global numbering must not plan a 1-task exchange")
+    assert(expected.queryExecution.executedPlan.toString.contains("SinglePartition"),
+      "sanity: the window form does plan one")
+  }
+
   test("Observation: pipeline metrics ride the action — no second scan") {
     val obs = org.apache.spark.sql.Observation("ecs_obs")
     val out = Seq(1, 2, 3, 4).toDF("x")
