@@ -1357,6 +1357,41 @@ object SparkEntry {
         .orderBy($"word")
     }),
 
+    // ── Table-level constraint checks (dbt-test surface): PK uniqueness
+    //    violations on a deliberately duplicated orders feed, FK orphans
+    //    of lineitem against a truncated parent — each check is one
+    //    natural shuffle (hash agg / anti join), nothing extra.
+    "q154_integrity_checks" -> ((s, dir) => {
+      import s.implicits._
+      val orders = Tables.orders(s, dir)
+      val withDups = orders.unionByName(orders.filter($"o_orderkey" % 500 === 0))
+      val pk = graft.ops.Expectations.primaryKeyViolations(withDups, Seq("o_orderkey"))
+        .select(lit("pk_dup").as("chk"), $"o_orderkey".as("key"), $"cnt")
+      val fk = graft.ops.Expectations.foreignKeyOrphans(
+          Tables.lineitem(s, dir), Seq("l_orderkey"),
+          orders.filter($"o_orderkey" % 10 =!= 0), Seq("o_orderkey"))
+        .groupBy($"l_orderkey").agg(count(lit(1)).as("cnt"))
+        .select(lit("fk_orphan").as("chk"), $"l_orderkey".as("key"), $"cnt")
+      pk.unionByName(fk).orderBy($"chk", $"key")
+    }),
+
+    // ── Point-in-time (as-of-event-time) SCD2 enrichment: each fact joined
+    //    to the dimension version valid at its timestamp — equi join on the
+    //    key with interval containment as residual; facts before the key's
+    //    first version survive with nulls.
+    "q155_pit_join" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir)
+      val dim = graft.cdc.ScdMerge.scd2Merge(None,
+        e.filter($"event_type" === "purchase").select($"user_id", $"ts", $"value"),
+        Seq("user_id"), "ts")
+      val facts = e.filter($"event_type" =!= "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      graft.cdc.ScdMerge.pointInTimeJoin(facts, dim, Seq("user_id"), "ts")
+        .select($"event_id", $"user_id", $"value".as("tier_value"))
+        .orderBy($"event_id")
+    }),
+
     // ── Global row numbering without the 1-task sort: range-partition on
     //    the (total) order, pin the sampled boundaries, prefix-sum the
     //    per-partition counts driver-side, number within partitions — a
@@ -3368,6 +3403,34 @@ object SparkEntry {
         |WHERE o_totalprice > (
         |  SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q154_integrity_checks" ->
+      """WITH u AS (
+        |  SELECT o_orderkey FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey % 500 = 0),
+        |pk AS (
+        |  SELECT 'pk_dup' AS chk, o_orderkey AS key, COUNT(*) AS cnt
+        |  FROM u GROUP BY o_orderkey HAVING COUNT(*) > 1),
+        |fk AS (
+        |  SELECT 'fk_orphan' AS chk, l_orderkey AS key, COUNT(*) AS cnt
+        |  FROM lineitem
+        |  WHERE l_orderkey NOT IN
+        |    (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 <> 0)
+        |  GROUP BY l_orderkey)
+        |SELECT * FROM (SELECT * FROM pk UNION ALL SELECT * FROM fk)
+        |ORDER BY chk, key""".stripMargin,
+
+    "q155_pit_join" ->
+      """WITH dim AS (
+        |  SELECT user_id, value, ts AS s_at,
+        |         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS e_at
+        |  FROM events WHERE event_type = 'purchase'),
+        |f AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase')
+        |SELECT f.event_id, f.user_id, d.value AS tier_value
+        |FROM f LEFT JOIN dim d ON d.user_id = f.user_id
+        |  AND f.ts >= d.s_at AND (d.e_at IS NULL OR f.ts < d.e_at)
+        |ORDER BY f.event_id""".stripMargin,
 
     "q153_global_rownum" ->
       """SELECT l_orderkey, l_linenumber, rn FROM (

@@ -128,4 +128,28 @@ object ScdMerge {
 
   /** Current snapshot of an SCD2 table. */
   def current(versions: DataFrame): DataFrame = versions.filter(col(EndCol).isNull)
+
+  /** Point-in-time (as-of-event-time) enrichment: each fact row joined to
+    * the dimension version that was valid at `factTs` — `__START_AT ≤ ts`
+    * and (`__END_AT IS NULL` or `ts < __END_AT`). LEFT join: facts
+    * predating the key's first version survive with nulls.
+    *
+    * Plan shape at scale: an ordinary hash equi-join on `keys` with the
+    * interval containment as a residual filter — per key the version
+    * chain is short (it's a dimension), so the residual is cheap and no
+    * range/BNLJ machinery is needed. Dimension columns are suffixed
+    * nothing; fact columns win name clashes (facts keep their schema). */
+  def pointInTimeJoin(facts: DataFrame, versions: DataFrame,
+      keys: Seq[String], factTs: String): DataFrame = {
+    val f = facts.alias("__f")
+    val d = versions.alias("__d")
+    val keyEq = keys.map(k => col(s"__f.$k") === col(s"__d.$k")).reduce(_ && _)
+    val pit = col(s"__f.$factTs") >= col(s"__d.$StartCol") &&
+      (col(s"__d.$EndCol").isNull || col(s"__f.$factTs") < col(s"__d.$EndCol"))
+    val dimCols = versions.columns
+      .filterNot(keys.contains).filterNot(facts.columns.contains)
+      .map(c => col(s"__d.$c"))
+    f.join(d, keyEq && pit, "left")
+      .select(facts.columns.map(c => col(s"__f.$c")) ++ dimCols: _*)
+  }
 }

@@ -55,4 +55,27 @@ object Expectations {
     (tagged.filter(col("__rejected_by").isNull).drop("__rejected_by"),
       tagged.filter(col("__rejected_by").isNotNull))
   }
+
+  // ── Table-level constraint checks (the dbt-test / DLT-expectation gap:
+  // expectations above are ROW-level; uniqueness and referential
+  // integrity need the whole table) ──────────────────────────────────────
+
+  /** Primary-key violations: one row per duplicated key with its
+    * multiplicity (empty ⇔ the key is unique). One hash aggregation on
+    * the key — the natural shuffle, nothing extra. */
+  def primaryKeyViolations(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+
+  /** Referential-integrity orphans: child rows whose key has no match in
+    * `parent` (empty ⇔ the FK holds). Null child keys are skipped — SQL
+    * FK semantics. Anti join on the key; Spark broadcasts the parent key
+    * set when small. */
+  def foreignKeyOrphans(child: DataFrame, childKeys: Seq[String],
+      parent: DataFrame, parentKeys: Seq[String]): DataFrame = {
+    val p = parent.select(parentKeys.map(col): _*).toDF(childKeys: _*)
+    child.filter(childKeys.map(k => col(k).isNotNull).reduce(_ && _))
+      .join(p, childKeys, "left_anti")
+  }
 }

@@ -136,6 +136,37 @@ class EngineCoreSpec extends AnyFunSuite {
       "sanity: the window form does plan one")
   }
 
+  test("integrity checks: PK multiplicity, FK orphans skip null child keys") {
+    import graft.ops.Expectations
+    val t = Seq((1, "a"), (1, "b"), (2, "c"), (3, "d"), (3, "e"), (3, "f")).toDF("k", "v")
+    val pk = Expectations.primaryKeyViolations(t, Seq("k"))
+      .as[(Int, Long)].collect().toSet
+    assert(pk == Set((1, 2L), (3, 3L)))
+
+    val parent = Seq(1, 2).toDF("pk")
+    val child = Seq(Some(1), Some(2), Some(9), None).toDF("fk")
+    val orphans = Expectations.foreignKeyOrphans(child, Seq("fk"), parent, Seq("pk"))
+      .as[Option[Int]].collect().toSet
+    assert(orphans == Set(Some(9))) // null FK is not an orphan
+  }
+
+  test("pointInTimeJoin: version valid at fact ts; pre-history facts null-extend") {
+    import graft.cdc.ScdMerge
+    val dim = ScdMerge.scd2Merge(None,
+      Seq((1, 10, "v1"), (1, 20, "v2"), (2, 15, "x1")).toDF("k", "seq", "attr"),
+      Seq("k"), "seq")
+    val facts = Seq((100, 1, 5), (101, 1, 10), (102, 1, 19), (103, 1, 20),
+      (104, 1, 99), (105, 2, 14), (106, 2, 16)).toDF("fid", "k", "seq")
+    val got = ScdMerge.pointInTimeJoin(facts, dim, Seq("k"), "seq")
+      .select(col("fid"), col("attr")).as[(Int, Option[String])].collect().toMap
+    assert(got == Map(
+      100 -> None,         // before first version
+      101 -> Some("v1"),   // inclusive start
+      102 -> Some("v1"), 103 -> Some("v2"), // exclusive end
+      104 -> Some("v2"),   // open current version
+      105 -> None, 106 -> Some("x1")))
+  }
+
   test("Observation: pipeline metrics ride the action — no second scan") {
     val obs = org.apache.spark.sql.Observation("ecs_obs")
     val out = Seq(1, 2, 3, 4).toDF("x")
