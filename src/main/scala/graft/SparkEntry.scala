@@ -2552,6 +2552,151 @@ object SparkEntry {
         FROM spark_catalog.graft_silver.events_t
         GROUP BY event_type ORDER BY event_type""")
     }),
+
+    // ── TPC-H Q6 shape: the pure scan-side query — every predicate and
+    //    both referenced columns must reach the parquet scan (PushedFilters
+    //    + 4-column ReadSchema); no join, one partial+final agg, the
+    //    minimal-IO benchmark of filter pushdown.
+    "q156_forecast_revenue" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= "1996-01-01" && $"l_shipdate" < "1997-01-01" &&
+          $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+        .agg(sum(Relational.money($"l_extendedprice") * Relational.money($"l_discount"))
+          .cast("double").as("revenue"))
+    }),
+
+    // ── TPC-H Q11 shape (partsupp derived from lineitem): per-part value
+    //    held by one nation's suppliers, kept if above a fixed fraction of
+    //    the global total. The global gate is a 1-row broadcast (scalar
+    //    subquery); the ×1000 integer comparison keeps the decimal math
+    //    exact in both engines.
+    "q157_important_stock" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.supplier(s, dir).filter($"s_nationkey" < 10)),
+          $"l_suppkey" === $"s_suppkey")
+      val value = li.groupBy($"l_partkey")
+        .agg(sum(Relational.money($"l_extendedprice") *
+          Relational.money($"l_quantity")).as("value"))
+      val total = value.agg(sum($"value").as("tot"))
+      value.join(broadcast(total), $"value" * 1000 > $"tot")
+        .select($"l_partkey", $"value".cast("double").as("value"))
+        .orderBy($"value".desc, $"l_partkey")
+    }),
+
+    // ── TPC-H Q17 shape: small-quantity-order revenue — correlated
+    //    per-part average-quantity gate. The per-part avg is exact (integral
+    //    doubles sum exactly), so the strict `<` filter is engine-portable;
+    //    the division by 7 happens on the decimal-exact sum's double.
+    "q158_avg_yearly" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val avgQ = li.groupBy($"l_partkey".as("ap_partkey"))
+        .agg((avg($"l_quantity") * 0.2).as("qlimit"))
+      li.join(broadcast(Tables.part(s, dir).filter($"p_brand" === "Brand#23")),
+          $"l_partkey" === $"p_partkey")
+        .join(avgQ, $"l_partkey" === $"ap_partkey")
+        .filter($"l_quantity" < $"qlimit")
+        .agg((sum(Relational.money($"l_extendedprice")).cast("double") / 7.0)
+          .as("avg_yearly"))
+    }),
+
+    // ── Ordered-event funnel (view → click → purchase): per stage one
+    //    groupBy(user) agg over the stage's events joined to the shrinking
+    //    frontier — no global sort, no per-user window over the full log.
+    "q159_funnel" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Funnel.funnel(Tables.events(s, dir),
+          "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+        .orderBy($"stage_idx")
+    }),
+
+    // ── Cohort retention: users bucketed by first-activity week, activity
+    //    weeks counted per (cohort, offset) cell — two user-keyed shuffles
+    //    (first-touch agg, distinct) and one small cell agg. Week math is
+    //    exact: both trunc'd stamps are Mondays, day diffs are multiples
+    //    of 7.
+    "q160_cohort" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir).select($"user_id", $"ts")
+      val cohorts = e.groupBy($"user_id")
+        .agg(date_trunc("week", min($"ts")).as("cohort_week"))
+      e.join(cohorts, "user_id")
+        .select($"cohort_week", $"user_id",
+          (datediff(date_trunc("week", $"ts"), $"cohort_week") / 7)
+            .cast("int").as("week_offset"))
+        .distinct()
+        .groupBy($"cohort_week", $"week_offset")
+        .agg(count(lit(1)).as("active_users"))
+        .orderBy($"cohort_week", $"week_offset")
+    }),
+
+    // ── Per-node triangle counts over the co-ordered-parts graph
+    //    (degree-oriented wedge closure — Graph.triangleCount; hubs never
+    //    fan out, so the plan survives skew that breaks the naive e³ join).
+    "q161_triangles" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
+      val edges = li.as("x").join(li.as("y"),
+          $"x.l_orderkey" === $"y.l_orderkey" && $"x.l_partkey" < $"y.l_partkey")
+        .select($"x.l_partkey".as("src"), $"y.l_partkey".as("dst"))
+      graft.ops.Graph.triangleCount(edges, "src", "dst").orderBy($"node")
+    }),
+
+    // ── Quality-weighted Bernoulli sampling: keep probability
+    //    min(1, weight·rate), decided by the content-hash coin — the
+    //    deterministic corpus down-sampler (weight here: length-capped).
+    //    Zero shuffles; the oracle replays the md5 coin bit-for-bit.
+    "q162_weighted_sample" -> ((s, dir) => {
+      import s.implicits._
+      graft.llm.Sampling.weightedBernoulli(
+          Tables.documents(s, dir), "doc_id",
+          least(lit(1.0), $"n_chars".cast("double") / 400.0), 0.5)
+        .select($"doc_id", $"lang", $"n_chars")
+        .orderBy($"doc_id")
+    }),
+
+    // ── Logistic quality-model scoring (TextAnalysis.modelScore): linear
+    //    head over codegen'd text features, sigmoid, round(6) — the
+    //    trained-classifier form of q21's heuristic gates.
+    "q163_model_score" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", graft.llm.TextAnalysis.modelScore($"text").as("score"))
+        .orderBy($"doc_id")
+    }),
+
+    // ── Fuzzy record linkage without the n² block: PassJoin-style
+    //    positional-segment blocking + Hamming verify
+    //    (Relational.hammingNearPairs); oracle is the brute-force pair
+    //    scan, so blocking completeness itself is what's checked.
+    "q164_fuzzy_match" -> ((s, dir) => {
+      import s.implicits._
+      val names = Tables.part(s, dir).select($"p_name").distinct()
+      Relational.hammingNearPairs(names, "p_name", "p_name", 2)
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // ── SQL-surface: EXECUTE IMMEDIATE of a statement held in a session
+    //    variable (dynamic SQL, the q147/q148 companion).
+    "q165_execute_immediate" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("g165_orders")
+      s.sql("DECLARE OR REPLACE VARIABLE g165_stmt STRING")
+      s.sql("""SET VAR g165_stmt =
+        'SELECT o_orderstatus, count(*) AS n FROM g165_orders GROUP BY 1 ORDER BY 1'""")
+      s.sql("EXECUTE IMMEDIATE g165_stmt")
+    }),
+
+    // ── Data profiling (Relational.profile): per-column row/null/exact-
+    //    distinct counts + stringified min/max — the table-health summary
+    //    every catalog surface (ANALYZE, dbt docs) exposes.
+    "q166_profile" -> ((s, dir) => {
+      import s.implicits._
+      Relational.profile(Tables.orders(s, dir),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus"))
+        .orderBy($"column")
+    }),
   )
 
   /** DuckDB-runnable oracle per query (same tables, same column names). */
@@ -3893,5 +4038,129 @@ object SparkEntry {
         |  md5(array_to_string(ts[i * 48 + 1 : i * 48 + 64], ' ')) AS chunk_digest
         |FROM c, UNNEST(generate_series(0, nc - 1)) AS g(i)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q156_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q157_important_stock" ->
+      """WITH value AS (
+        |  SELECT l_partkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS value
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE s_nationkey < 10
+        |  GROUP BY 1)
+        |SELECT l_partkey, CAST(value AS DOUBLE) AS value
+        |FROM value
+        |WHERE value * 1000 > (SELECT SUM(value) FROM value)
+        |ORDER BY CAST(value AS DOUBLE) DESC, l_partkey""".stripMargin,
+
+    "q158_avg_yearly" ->
+      """WITH avgq AS (
+        |  SELECT l_partkey AS ap_partkey, avg(l_quantity) * 0.2 AS qlimit
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN avgq ON l_partkey = ap_partkey
+        |WHERE p_brand = 'Brand#23' AND l_quantity < qlimit""".stripMargin,
+
+    "q159_funnel" ->
+      """WITH s0 AS (
+        |  SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (
+        |  SELECT e.user_id, min(e.ts) AS t1 FROM events e
+        |  JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.t0
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT 0 AS stage_idx, 'view' AS stage, count(*) AS users FROM s0
+        |UNION ALL SELECT 1, 'click', count(*) FROM s1
+        |UNION ALL SELECT 2, 'purchase', count(*) FROM s2
+        |ORDER BY stage_idx""".stripMargin,
+
+    "q160_cohort" ->
+      """WITH cohorts AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events GROUP BY 1),
+        |cells AS (
+        |  SELECT DISTINCT cohort_week, e.user_id,
+        |    CAST(date_diff('day', cohort_week, date_trunc('week', e.ts)) / 7 AS INT) AS week_offset
+        |  FROM events e JOIN cohorts ON e.user_id = cohorts.user_id)
+        |SELECT cohort_week, week_offset, count(*) AS active_users
+        |FROM cells GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "q161_triangles" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |t AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e0 e1
+        |  JOIN e0 e2 ON e2.a = e1.b
+        |  JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT node, count(*) AS triangles
+        |FROM (SELECT x AS node FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t)
+        |GROUP BY node ORDER BY node""".stripMargin,
+
+    "q162_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS DOUBLE)
+        |  < LEAST(1.0, LEAST(1.0, CAST(n_chars AS DOUBLE) / 400.0) * 0.5) * 1000000.0
+        |ORDER BY doc_id""".stripMargin,
+
+    "q163_model_score" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS ntok,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','by'], x))) AS stophits,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS npunct,
+        |    length(text) AS nch
+        |  FROM documents)
+        |SELECT doc_id,
+        |  round(1.0 / (1.0 + exp(-(-1.5
+        |    + 0.02 * CAST(ntok AS DOUBLE)
+        |    + 8.0 * (CAST(stophits AS DOUBLE) / CAST(greatest(ntok, 1) AS DOUBLE))
+        |    + (-6.0) * (CAST(npunct AS DOUBLE) / CAST(nch AS DOUBLE))))), 6) AS score
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q164_fuzzy_match" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS id_a, b.p_name AS id_b,
+        |  CAST(mismatches(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM n a JOIN n b
+        |  ON length(a.p_name) = length(b.p_name) AND a.p_name < b.p_name
+        |WHERE mismatches(a.p_name, b.p_name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q165_execute_immediate" ->
+      """SELECT o_orderstatus, count(*) AS n FROM orders
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q166_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+        |    count(*) - count(o_orderkey) AS n_nulls,
+        |    count(DISTINCT o_orderkey) AS n_distinct,
+        |    CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+        |    CAST(max(o_orderkey) AS VARCHAR) AS max_value
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+        |    count(DISTINCT o_custkey),
+        |    CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        |    count(DISTINCT o_orderstatus),
+        |    CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+        |  FROM orders)
+        |ORDER BY "column"""".stripMargin,
   )
 }

@@ -58,6 +58,24 @@ object Sampling {
     df.filter(hashBucket(col(keyCol), buckets) < thrCol)
   }
 
+  /** Weighted Bernoulli sample: keep a row with probability
+    * `min(1, weight × rate)` — quality-weighted corpus down-sampling
+    * (weight from a quality model or heuristic; high-quality documents
+    * survive at a higher rate). The coin flip is the same content-derived
+    * md5 unit hash as [[hashBucket]] (here at 10^6 resolution), so the
+    * decision is reproducible, engine-portable (the DuckDB oracle replays
+    * it exactly), stable under corpus growth, and zero-shuffle: one hash +
+    * one comparison per row, fully codegen'd. `weightCol` must be a
+    * deterministic expression over the row (exact arithmetic — keep
+    * transcendentals out of it or round them first, the keep decision is a
+    * strict `<`). */
+  def weightedBernoulli(
+      df: DataFrame, keyCol: String, weight: Column, rate: Double): DataFrame = {
+    val unit = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % 1000000L
+    df.filter(unit.cast("double") < least(lit(1.0), weight * lit(rate)) * 1000000.0)
+  }
+
   /** Deterministic "reservoir": exactly `k` rows per group (fewer if the
     * group is smaller), chosen by hash rank of the row key — the fixed-size
     * analog of [[stratifiedSample]] (e.g. k documents per language for an

@@ -114,6 +114,24 @@ object TextAnalysis {
         regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
         lit("[0-9][0-9 ()+.-]{5,}[0-9]"), lit(0)))
 
+  /** Quality-MODEL scoring: a logistic regression over the same cheap
+    * text features the heuristic [[qualityScore]] thresholds — the shape
+    * production pipelines use once weights come from a trained classifier
+    * (fasttext-style quality model distilled to a linear head). Weights
+    * are model parameters shipped as literals; the whole score is one
+    * codegen'd expression per row, zero shuffles, no UDF. Rounded to 6
+    * decimals so the last-ulp spread of libm `exp` across engines cannot
+    * surface (same rule as BM25). */
+  def modelScore(text: Column,
+      bias: Double = -1.5, wTokens: Double = 0.02,
+      wStop: Double = 8.0, wPunct: Double = -6.0): Column = {
+    val z = lit(bias) +
+      lit(wTokens) * tokenCount(text).cast("double") +
+      lit(wStop) * stopwordRatio(text) +
+      lit(wPunct) * punctRatio(text)
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+  }
+
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(normalize(text))).cast("binary"))
 }

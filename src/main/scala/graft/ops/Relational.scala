@@ -215,4 +215,63 @@ object Relational {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
   }
+
+  /** Fuzzy record linkage: all same-length pairs within Hamming distance
+    * `maxDist`, found WITHOUT the quadratic self-join. Pigeonhole blocking
+    * (the PassJoin idea): split every string into `maxDist + 1` positional
+    * segments — two strings within Hamming k must agree on at least one
+    * whole segment — so candidates come from an equi-join on
+    * (length, segment index, segment text) and only candidates pay the
+    * O(len) verify. At scale the shuffle carries short segment keys and
+    * block sizes are bounded by how many rows share a length + substring,
+    * not by n².
+    *
+    * Contract is Hamming (same length, positional mismatch count), not
+    * Levenshtein: the positional-segment pigeonhole is only complete for
+    * aligned comparison. Output: (id_a, id_b, dist), id_a < id_b. */
+  def hammingNearPairs(
+      df: DataFrame, idCol: String, textCol: String, maxDist: Int): DataFrame = {
+    val m = maxDist + 1
+    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("len", length(col("text")))
+    val segs = base.select(col("id"), col("text"), col("len"),
+        explode(sequence(lit(0), lit(m - 1))).as("seg_i"))
+      .withColumn("seg_start", floor(col("seg_i") * col("len") / lit(m)) + 1)
+      .withColumn("seg_len",
+        floor((col("seg_i") + 1) * col("len") / lit(m)) - floor(col("seg_i") * col("len") / lit(m)))
+      .withColumn("seg", col("text").substr(col("seg_start").cast("int"), col("seg_len").cast("int")))
+      .select(col("id"), col("text"), col("len"), col("seg_i"), col("seg"))
+
+    val cand = segs.as("a")
+      .join(segs.as("b"),
+        col("a.len") === col("b.len") && col("a.seg_i") === col("b.seg_i") &&
+          col("a.seg") === col("b.seg") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.text").as("text_a"), col("b.text").as("text_b"), col("a.len").as("len"))
+      .dropDuplicates("id_a", "id_b")
+
+    val dist = size(filter(sequence(lit(1), col("len")),
+      p => col("text_a").substr(p, lit(1)) =!= col("text_b").substr(p, lit(1))))
+    cand.withColumn("dist", dist.cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** One-stop data profiling (the `ANALYZE`/dbt-docs surface): per column
+    * — row count, null count, exact distinct count, min/max (stringified).
+    * Each column is one partial+final aggregation pass; exact
+    * COUNT(DISTINCT) forces that (the scale alternative —
+    * `approx_count_distinct` in a single shared pass — trades exactness;
+    * both are one shuffle per column either way because distinct-agg
+    * expansion can't share). */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.map { c =>
+      df.agg(
+        lit(c).as("column"),
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col(c))).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_value"),
+        max(col(c)).cast("string").as("max_value"))
+    }.reduce(_ unionByName _)
 }

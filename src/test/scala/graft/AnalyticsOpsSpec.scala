@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Funnel, Graph}
+import graft.llm.{Sampling, TextAnalysis}
+
+/** Event-analytics + graph + sampling operators added in round 2:
+  * hand-checkable semantics on tiny inputs, then invariants that must
+  * hold under any partitioning. */
+class AnalyticsOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ── triangle counting ────────────────────────────────────────────────
+
+  test("triangleCount: K4 plus a pendant, duplicate/reversed edges collapse") {
+    // K4 on {1,2,3,4} (4 triangles, every vertex in 3) + pendant 5-1.
+    // Edge list deliberately dirty: reversed duplicates and a self-loop.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (2L, 1L), (3L, 1L), // reversed dups
+      (5L, 1L),           // pendant — no triangle
+      (4L, 4L)            // self-loop — dropped
+    ).toDF("src", "dst")
+    val got = Graph.triangleCount(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCount: two triangles sharing an edge") {
+    // 1-2-3 and 2-3-4: shared edge (2,3); nodes 2,3 in two triangles.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("a", "b")
+    val got = Graph.triangleCount(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("triangleCount: triangle-free graph (star + path) emits nothing") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    assert(Graph.triangleCount(edges, "src", "dst").count() === 0L)
+  }
+
+  // ── funnel ───────────────────────────────────────────────────────────
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("funnel: strictly-ordered stage completion, first-conversion wins") {
+    val events = Seq(
+      // u1 completes the whole funnel
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:05:00")),
+      (1L, "purchase", ts("2024-01-01 10:10:00")),
+      // u2's only click is BEFORE the first view → stops at view
+      (2L, "click", ts("2024-01-01 09:00:00")),
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      // u3 skips click → purchase doesn't count
+      (3L, "view", ts("2024-01-01 10:00:00")),
+      (3L, "purchase", ts("2024-01-01 11:00:00")),
+      // u4 never views → in no stage
+      (4L, "click", ts("2024-01-01 10:00:00")),
+      (4L, "purchase", ts("2024-01-01 11:00:00")),
+      // u5: click ties the view timestamp → strict 'after' excludes it
+      (5L, "view", ts("2024-01-01 10:00:00")),
+      (5L, "click", ts("2024-01-01 10:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+
+    val got = Funnel.funnel(events, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .select($"stage", $"users").as[(String, Long)].collect().toMap
+    assert(got == Map("view" -> 4L, "click" -> 1L, "purchase" -> 1L))
+  }
+
+  test("funnel: later same-type events can still convert (min-after, not first-only)") {
+    // u1's first click is before the view, but a second click follows it.
+    val events = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 09:00:00")),
+      (1L, "click", ts("2024-01-01 11:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Funnel.funnel(events, "user_id", "event_type", "ts", Seq("view", "click"))
+      .select($"stage", $"users").as[(String, Long)].collect().toMap
+    assert(got == Map("view" -> 1L, "click" -> 1L))
+  }
+
+  // ── weighted Bernoulli sampling ──────────────────────────────────────
+
+  test("weightedBernoulli: weight 0 drops all, saturated weight keeps all") {
+    val docs = (1 to 200).map(i => (i.toLong, i * 3)).toDF("doc_id", "n_chars")
+    assert(Sampling.weightedBernoulli(docs, "doc_id", lit(0.0), 0.9).count() === 0L)
+    assert(Sampling.weightedBernoulli(docs, "doc_id", lit(2.0), 0.5).count() === 200L)
+  }
+
+  test("weightedBernoulli: kept set is monotone in rate and reproducible") {
+    val docs = (1 to 500).map(i => (i.toLong, (i % 40) / 40.0)).toDF("doc_id", "w")
+    def keep(rate: Double): Set[Long] =
+      Sampling.weightedBernoulli(docs, "doc_id", col("w"), rate)
+        .select("doc_id").as[Long].collect().toSet
+    val lo = keep(0.3); val hi = keep(0.9)
+    assert(lo.subsetOf(hi))
+    assert(lo == keep(0.3)) // same coin every run
+    // higher-weight rows survive more often within the same rate
+    val kept = Sampling.weightedBernoulli(docs, "doc_id", col("w"), 0.9)
+    val meanKept = kept.agg(avg($"w")).head().getDouble(0)
+    val meanAll = docs.agg(avg($"w")).head().getDouble(0)
+    assert(meanKept > meanAll)
+  }
+
+  // ── Hamming near-pair linkage ────────────────────────────────────────
+
+  test("hammingNearPairs ≡ brute-force pair scan on real part names") {
+    val names = graft.tables.Tables.part(spark, "/root/testdata/sf0.001")
+      .select($"p_name").distinct()
+    val got = ops.Relational.hammingNearPairs(names, "p_name", "p_name", 2)
+      .as[(String, String, Long)].collect().toSet
+
+    val n = names.select($"p_name".as("x"))
+    val brute = n.as("a").join(n.as("b"),
+        length($"a.x") === length($"b.x") && $"a.x" < $"b.x")
+      .withColumn("d", size(filter(sequence(lit(1), length($"a.x")),
+        p => $"a.x".substr(p, lit(1)) =!= $"b.x".substr(p, lit(1)))).cast("long"))
+      .filter($"d" <= 2)
+      .select($"a.x", $"b.x", $"d").as[(String, String, Long)].collect().toSet
+    assert(got == brute)
+    assert(got.nonEmpty) // the fixture really exercises it
+  }
+
+  test("hammingNearPairs: distance 0 = exact duplicates; lengths never mix") {
+    val df = Seq((1L, "abcd"), (2L, "abcd"), (3L, "abce"), (4L, "abcde"))
+      .toDF("id", "t")
+    val d0 = ops.Relational.hammingNearPairs(df, "id", "t", 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(d0 == Set((1L, 2L, 0L)))
+    val d1 = ops.Relational.hammingNearPairs(df, "id", "t", 1)
+      .as[(Long, Long, Long)].collect().toSet
+    // 4 ("abcde") pairs with nobody — different length
+    assert(d1 == Set((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
+
+  // ── profiling ────────────────────────────────────────────────────────
+
+  test("profile: nulls, exact distincts, stringified bounds") {
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, "b"), (null, "b"), (4L, null), (4L, "c")
+    ).toDF("k", "s")
+    val rows = ops.Relational.profile(df, Seq("k", "s"))
+      .as[(String, Long, Long, Long, Option[String], Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(rows("k") == ("k", 5L, 1L, 3L, Some("1"), Some("4")))
+    assert(rows("s") == ("s", 5L, 1L, 3L, Some("a"), Some("c")))
+  }
+
+  // ── model scoring ────────────────────────────────────────────────────
+
+  test("modelScore: bounded, 6-decimal, orders clean text above junk") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it is a fine day for all of us to be here"),
+      (2L, "#@! $$ %% ^^ && ** !! ?? ;; :: ~~ `` || \\ // [[ ]] {{ }}")
+    ).toDF("doc_id", "text")
+    val scores = docs.select($"doc_id", TextAnalysis.modelScore($"text").as("s"))
+      .as[(Long, Double)].collect().toMap
+    assert(scores.values.forall(s => s > 0.0 && s < 1.0))
+    assert(scores(1L) > scores(2L))
+    // round(_, 6): each score is the double nearest a 6-decimal value
+    assert(scores.values.forall(s => math.abs(s * 1e6 - math.round(s * 1e6)) < 1e-4))
+  }
+}
