@@ -2637,7 +2637,12 @@ object SparkEntry {
     //    fan out, so the plan survives skew that breaks the naive e³ join).
     "q161_triangles" -> ((s, dir) => {
       import s.implicits._
-      val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
+      // One ship-year of co-orders: keeps the graph sparse enough that the
+      // wedge volume (quadratic in degree) stays sane at bench scale while
+      // still exercising the full orientation pipeline.
+      val li = Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= "1996-01-01" && $"l_shipdate" < "1997-01-01")
+        .select($"l_orderkey", $"l_partkey")
       val edges = li.as("x").join(li.as("y"),
           $"x.l_orderkey" === $"y.l_orderkey" && $"x.l_partkey" < $"y.l_partkey")
         .select($"x.l_partkey".as("src"), $"y.l_partkey".as("dst"))
@@ -2696,6 +2701,63 @@ object SparkEntry {
       Relational.profile(Tables.orders(s, dir),
           Seq("o_orderkey", "o_custkey", "o_orderstatus"))
         .orderBy($"column")
+    }),
+
+    // ── Multi-source BFS hop distances (Graph.shortestPaths) over the
+    //    symmetrized one-year co-order graph: per hop one frontier⋈edges
+    //    join + min-reduce; oracle is a DuckDB recursive CTE (UNION dedup
+    //    bounds the recursion).
+    "q167_shortest_paths" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= "1996-01-01" && $"l_shipdate" < "1997-01-01")
+        .select($"l_orderkey", $"l_partkey")
+      val pairs = li.as("x").join(li.as("y"),
+          $"x.l_orderkey" === $"y.l_orderkey" && $"x.l_partkey" < $"y.l_partkey")
+        .select($"x.l_partkey".as("src"), $"y.l_partkey".as("dst"))
+      val undirected = pairs.unionByName(
+        pairs.select($"dst".as("src"), $"src".as("dst")))
+      graft.ops.Graph.shortestPaths(undirected, "src", "dst", Seq(1L, 2L), 3)
+        .orderBy($"node")
+    }),
+
+    // ── Funnel with a conversion window: stage events must land within 6h
+    //    of the previous completion — same frontier shape as q159, the
+    //    join picks up one interval bound.
+    "q168_windowed_funnel" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Funnel.funnel(Tables.events(s, dir),
+          "user_id", "event_type", "ts", Seq("view", "click", "purchase"),
+          maxGapSeconds = Some(21600L))
+        .orderBy($"stage_idx")
+    }),
+
+    // ── Equi-width histogram (Relational.histogram): O(nbins) shuffle keys
+    //    regardless of row count — the distributed profile of a value
+    //    distribution.
+    "q169_histogram" -> ((s, dir) => {
+      import s.implicits._
+      Relational.histogram(Tables.orders(s, dir), "o_totalprice",
+          20, 0.0, 600000.0)
+        .orderBy($"bin")
+    }),
+
+    // ── Event-transition matrix (Markov chain over the event stream): one
+    //    per-user ordered window for next-event pairing, then a tiny
+    //    (|types|²) aggregate; transition probability from exact integer
+    //    counts.
+    "q170_transitions" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val pairs = Tables.events(s, dir)
+        .withColumn("dst_type", lead($"event_type", 1).over(w))
+        .filter($"dst_type".isNotNull)
+        .groupBy($"event_type".as("src_type"), $"dst_type")
+        .agg(count(lit(1)).as("n"))
+      pairs
+        .withColumn("p", $"n".cast("double") /
+          sum($"n").over(Window.partitionBy($"src_type")).cast("double"))
+        .orderBy($"src_type", $"dst_type")
     }),
   )
 
@@ -4098,7 +4160,9 @@ object SparkEntry {
       """WITH e0 AS (
         |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
         |  FROM lineitem x JOIN lineitem y
-        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  WHERE x.l_shipdate >= TIMESTAMP '1996-01-01' AND x.l_shipdate < TIMESTAMP '1997-01-01'
+        |    AND y.l_shipdate >= TIMESTAMP '1996-01-01' AND y.l_shipdate < TIMESTAMP '1997-01-01'),
         |t AS (
         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
         |  FROM e0 e1
@@ -4162,5 +4226,58 @@ object SparkEntry {
         |    CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
         |  FROM orders)
         |ORDER BY "column"""".stripMargin,
+
+    "q167_shortest_paths" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT DISTINCT x.l_partkey AS src, y.l_partkey AS dst
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  WHERE x.l_shipdate >= TIMESTAMP '1996-01-01' AND x.l_shipdate < TIMESTAMP '1997-01-01'
+        |    AND y.l_shipdate >= TIMESTAMP '1996-01-01' AND y.l_shipdate < TIMESTAMP '1997-01-01'),
+        |e AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+        |d AS (
+        |  SELECT CAST(s AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist FROM (VALUES (1), (2)) v(s)
+        |  UNION
+        |  SELECT e.dst, d.dist + 1 FROM d JOIN e ON e.src = d.node WHERE d.dist < 3)
+        |SELECT node, min(dist) AS dist FROM d GROUP BY node ORDER BY node""".stripMargin,
+
+    "q168_windowed_funnel" ->
+      """WITH s0 AS (
+        |  SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (
+        |  SELECT e.user_id, min(e.ts) AS t1 FROM events e
+        |  JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.t0
+        |    AND e.ts <= s0.t0 + INTERVAL 21600 SECOND
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+        |    AND e.ts <= s1.t1 + INTERVAL 21600 SECOND
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT 0 AS stage_idx, 'view' AS stage, count(*) AS users FROM s0
+        |UNION ALL SELECT 1, 'click', count(*) FROM s1
+        |UNION ALL SELECT 2, 'purchase', count(*) FROM s2
+        |ORDER BY stage_idx""".stripMargin,
+
+    "q169_histogram" ->
+      """WITH b AS (
+        |  SELECT least(CAST(floor((o_totalprice - 0.0) / 600000.0 * 20) AS BIGINT), 19) AS bin
+        |  FROM orders
+        |  WHERE o_totalprice >= 0.0 AND o_totalprice <= 600000.0)
+        |SELECT bin, 0.0 + bin * 600000.0 / 20 AS bin_lo,
+        |  0.0 + (bin + 1) * 600000.0 / 20 AS bin_hi, count(*) AS cnt
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q170_transitions" ->
+      """WITH pairs AS (
+        |  SELECT event_type AS src_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst_type
+        |  FROM events),
+        |c AS (
+        |  SELECT src_type, dst_type, count(*) AS n
+        |  FROM pairs WHERE dst_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT src_type, dst_type, n,
+        |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY src_type) AS DOUBLE) AS p
+        |FROM c ORDER BY src_type, dst_type""".stripMargin,
   )
 }

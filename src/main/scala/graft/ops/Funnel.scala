@@ -23,9 +23,12 @@ object Funnel {
   /** Per-stage completion counts. A user completes stage i when they have
     * an event of `stages(i)` strictly after their stage-(i-1) completion
     * time (earliest such event wins — the canonical "first conversion"
-    * definition). Returns (stage_idx, stage, users), one row per stage. */
+    * definition). With `maxGapSeconds`, the stage event must also land
+    * within that window after the previous completion — the "convert
+    * within N hours" product-analytics variant. Returns
+    * (stage_idx, stage, users), one row per stage. */
   def funnel(events: DataFrame, userCol: String, typeCol: String, tsCol: String,
-      stages: Seq[String]): DataFrame = {
+      stages: Seq[String], maxGapSeconds: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     val u = col(userCol)
 
@@ -37,8 +40,13 @@ object Funnel {
 
     for (i <- 1 until stages.size) {
       val prev = frontier.select(u.as("__u"), col("__t").as("__prev_t"))
+      val within = maxGapSeconds match {
+        case Some(g) =>
+          col(tsCol) <= col("__prev_t") + expr(s"INTERVAL $g SECOND")
+        case None => lit(true)
+      }
       frontier = events.filter(col(typeCol) === stages(i))
-        .join(prev, u === col("__u") && col(tsCol) > col("__prev_t"))
+        .join(prev, u === col("__u") && col(tsCol) > col("__prev_t") && within)
         .groupBy(u).agg(min(col(tsCol)).as("__t"))
       out = out.unionByName(frontier.agg(
         lit(i).as("stage_idx"), lit(stages(i)).as("stage"),

@@ -59,6 +59,33 @@ object Graph {
     ranks
   }
 
+  /** Multi-source BFS: minimum hop distance from any source to every
+    * reachable node, bounded by `maxHops`. Classic frontier expansion —
+    * per hop, only the just-discovered frontier joins the edge list (one
+    * equi-join shuffle on `src`), then a min-reduce folds new labels into
+    * the distance table; `localCheckpoint` keeps lineage O(1) like
+    * [[pageRank]]. Directed over the given edges — symmetrize first for
+    * undirected reachability. Output: (node: long, dist: long). */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: Seq[Long], maxHops: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+    var dist = sources.distinct.map((_, 0L)).toDF("node", "dist")
+    for (h <- 1 to maxHops) {
+      val frontier = dist.filter(col("dist") === (h - 1))
+        .withColumnRenamed("node", "src")
+      val next = e.join(frontier, "src")
+        .select(col("dst").as("node"), lit(h.toLong).as("dist"))
+      dist = dist.unionByName(next)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
   /** Per-node triangle counts via degree orientation (the standard
     * O(m^1.5)-work algorithm): canonicalize the undirected edge list,
     * orient every edge from its lower-(degree, id) endpoint to the higher,

@@ -257,6 +257,27 @@ object Relational {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** Equi-width histogram of a numeric column over [lo, hi]: one
+    * partial+final aggregation on ≤ `nbins` keys (each task emits at most
+    * nbins partial counts — the shuffle is O(nbins), independent of row
+    * count). Values outside [lo, hi] are dropped; the top edge folds into
+    * the last bin; empty bins are absent (join a spine if a dense axis is
+    * needed). Output: (bin, bin_lo, bin_hi, cnt). */
+  def histogram(df: DataFrame, column: String,
+      nbins: Int, lo: Double, hi: Double): DataFrame = {
+    require(nbins > 0 && hi > lo, "need nbins > 0 and hi > lo")
+    val x = col(column).cast("double")
+    val bin = least(
+      floor((x - lit(lo)) / (lit(hi) - lit(lo)) * lit(nbins)).cast("long"),
+      lit(nbins - 1L))
+    df.filter(x >= lo && x <= hi)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("bin_lo", lit(lo) + col("bin") * (lit(hi) - lit(lo)) / lit(nbins))
+      .withColumn("bin_hi", lit(lo) + (col("bin") + 1) * (lit(hi) - lit(lo)) / lit(nbins))
+      .select(col("bin"), col("bin_lo"), col("bin_hi"), col("cnt"))
+  }
+
   /** One-stop data profiling (the `ANALYZE`/dbt-docs surface): per column
     * — row count, null count, exact distinct count, min/max (stringified).
     * Each column is one partial+final aggregation pass; exact

@@ -19,11 +19,13 @@ object PlanSmells {
     spark.sparkContext.setLogLevel("ERROR")
     val smells = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
     // BNLJ is correct when one side is a guaranteed-tiny broadcast: 1-row
-    // scalar subqueries (q112), broadcast query/centroid sets in the ANN
-    // brute-force and IVF-assignment steps (q26/q27/q43/q61/q93), and the
-    // 4-row band table in q60 (q139 is the both-sides-large path).
+    // scalar subqueries (q112, q157 global-total gate, q145's corpus-stats
+    // cross join), broadcast query/centroid sets in the ANN brute-force and
+    // IVF-assignment steps (q26/q27/q43/q61/q93), and the 4-row band table
+    // in q60 (q139 is the both-sides-large path).
     val justified = Set("q112_idle_customers", "q26_embedding_knn", "q27_embedding_dedup",
-      "q43_ann_ivf", "q60_range_join", "q61_ann_ivf_kmeans", "q93_vector_index")
+      "q43_ann_ivf", "q60_range_join", "q61_ann_ivf_kmeans", "q93_vector_index",
+      "q145_bm25", "q157_important_stock")
     var flagged = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

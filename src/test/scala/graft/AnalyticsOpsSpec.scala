@@ -86,6 +86,19 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(got == Map("view" -> 1L, "click" -> 1L))
   }
 
+  test("funnel: maxGap window excludes conversions that land too late") {
+    val events = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:30:00")), // within 1h → converts
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      (2L, "click", ts("2024-01-01 12:00:01"))  // past the 2h window
+    ).toDF("user_id", "event_type", "ts")
+    val got = Funnel.funnel(events, "user_id", "event_type", "ts",
+        Seq("view", "click"), maxGapSeconds = Some(7200L))
+      .select($"stage", $"users").as[(String, Long)].collect().toMap
+    assert(got == Map("view" -> 2L, "click" -> 1L))
+  }
+
   // ── weighted Bernoulli sampling ──────────────────────────────────────
 
   test("weightedBernoulli: weight 0 drops all, saturated weight keeps all") {
@@ -107,6 +120,42 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     val meanKept = kept.agg(avg($"w")).head().getDouble(0)
     val meanAll = docs.agg(avg($"w")).head().getDouble(0)
     assert(meanKept > meanAll)
+  }
+
+  // ── BFS shortest paths ───────────────────────────────────────────────
+
+  test("shortestPaths: multi-source min-hop on a path + branch, maxHops cap") {
+    // 1→2→3→4→5 and 2→6; sources {1}: dists 1:0 2:1 3:2 6:2, 4 at hop 3,
+    // 5 beyond maxHops=3.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 6L))
+      .toDF("src", "dst")
+    val got = ops.Graph.shortestPaths(edges, "src", "dst", Seq(1L), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 6L -> 2L, 4L -> 3L))
+  }
+
+  test("shortestPaths: second source shadows longer routes; cycles terminate") {
+    // cycle 1→2→3→1, sources {1,3}: 1:0, 3:0, 2:1 — revisits never lower.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val got = ops.Graph.shortestPaths(edges, "src", "dst", Seq(1L, 3L), 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 0L))
+  }
+
+  // ── histogram ────────────────────────────────────────────────────────
+
+  test("histogram: bin edges, top-edge fold, out-of-range drop, count conservation") {
+    val df = Seq(0.0, 5.0, 9.99, 10.0, 25.0, 99.9, 100.0, 100.1, -0.1)
+      .toDF("x")
+    val got = ops.Relational.histogram(df, "x", 10, 0.0, 100.0)
+      .as[(Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // -0.1 and 100.1 dropped; 100.0 folds into bin 9; 10.0 opens bin 1
+    assert(got(0L) == ((0.0, 10.0, 3L)))   // 0.0, 5.0, 9.99
+    assert(got(1L) == ((10.0, 20.0, 1L)))  // 10.0
+    assert(got(2L) == ((20.0, 30.0, 1L)))  // 25.0
+    assert(got(9L) == ((90.0, 100.0, 2L))) // 99.9 and the folded 100.0
+    assert(got.values.map(_._3).sum == 7L)
   }
 
   // ── Hamming near-pair linkage ────────────────────────────────────────
