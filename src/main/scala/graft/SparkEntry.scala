@@ -2759,6 +2759,41 @@ object SparkEntry {
           sum($"n").over(Window.partitionBy($"src_type")).cast("double"))
         .orderBy($"src_type", $"dst_type")
     }),
+
+    // ── Experiment analysis (Stats.abTestZ): hash-assigned A/B split,
+    //    per-user conversion, two-proportion pooled z — one conditional-
+    //    count agg; every post-agg op is exactly-rounded IEEE, so the z
+    //    statistic itself is oracle-exact with no tolerance band.
+    "q171_ab_test" -> ((s, dir) => {
+      import s.implicits._
+      val perUser = Tables.events(s, dir).groupBy($"user_id")
+        .agg(max(when($"event_type" === "purchase" && $"value" > 150.0, 1)
+          .otherwise(0)).as("converted"))
+        .withColumn("grp",
+          when(graft.llm.Sampling.hashBucket($"user_id", 2) === 0, "A").otherwise("B"))
+      graft.ops.Stats.abTestZ(perUser, "grp", $"converted" === 1, "A", "B")
+    }),
+
+    // ── Per-group closed-form least squares (Stats.groupedLinReg): value
+    //    regressed on hour-of-day per event type. Regression at scale is a
+    //    five-scalar sum pass; decimal-summed sufficient statistics keep
+    //    partial-agg order out of the bits.
+    "q172_linreg" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Stats.groupedLinReg(
+          Tables.events(s, dir), "event_type", hour($"ts"), $"value")
+        .orderBy($"event_type")
+    }),
+
+    // ── Source-mix entropy per language (Stats.groupedEntropy): −Σ p·ln p
+    //    with decimal-summed 12-decimal terms (order-proof) and round(6)
+    //    at the edge (libm ln ulp across engines) — the corpus-diversity
+    //    metric next to q120's mixture control.
+    "q173_entropy" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Stats.groupedEntropy(Tables.documents(s, dir), "lang", "source")
+        .orderBy($"lang")
+    }),
   )
 
   /** DuckDB-runnable oracle per query (same tables, same column names). */
@@ -4279,5 +4314,61 @@ object SparkEntry {
         |SELECT src_type, dst_type, n,
         |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY src_type) AS DOUBLE) AS p
         |FROM c ORDER BY src_type, dst_type""".stripMargin,
+
+    "q171_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS converted,
+        |    CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+        |      THEN 'A' ELSE 'B' END AS grp
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT
+        |    count(CASE WHEN grp = 'A' THEN 1 END) AS n_a,
+        |    count(CASE WHEN grp = 'A' AND converted = 1 THEN 1 END) AS conv_a,
+        |    count(CASE WHEN grp = 'B' THEN 1 END) AS n_b,
+        |    count(CASE WHEN grp = 'B' AND converted = 1 THEN 1 END) AS conv_b
+        |  FROM u)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+        |  CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+        |  (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |    / sqrt(CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+        |      * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS z
+        |FROM a""".stripMargin,
+
+    "q172_linreg" ->
+      """WITH t AS (
+        |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS x,
+        |    CAST(round(value, 6) AS DECIMAL(28,6)) AS y
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
+        |    sum(y) AS sy, sum(y * x) AS sxy
+        |  FROM t GROUP BY 1)
+        |SELECT event_type, n,
+        |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0
+        |    THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS slope,
+        |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0
+        |    THEN (CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+        |      / CAST(n AS DOUBLE) END AS intercept
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    "q173_entropy" ->
+      """WITH c AS (
+        |  SELECT lang, source, count(*) AS cnt FROM documents GROUP BY 1, 2),
+        |t AS (
+        |  SELECT lang, sum(cnt) AS tot, count(*) AS n_values FROM c GROUP BY 1),
+        |j AS (
+        |  SELECT c.lang, t.n_values,
+        |    round((CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+        |      * ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)), 12) AS term
+        |  FROM c JOIN t ON c.lang = t.lang)
+        |SELECT lang, max(n_values) AS n_values,
+        |  round(-CAST(sum(CAST(term AS DECIMAL(28,12))) AS DOUBLE), 6) + 0.0 AS entropy
+        |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

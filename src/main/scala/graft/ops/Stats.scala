@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distributed statistics primitives — the experiment-analysis surface a
+  * product-analytics engine needs next to funnels/cohorts. Everything is
+  * one aggregation pass producing a handful of scalars; the arithmetic
+  * after the aggregate is plain IEEE double math on exact (integer or
+  * decimal-summed) inputs, so results are bit-identical across engines
+  * and the DuckDB oracle can replay them without tolerance bands.
+  */
+object Stats {
+
+  /** Two-proportion z-test between groups `a` and `b`: per-group trials
+    * and successes (exact integer counts), conversion rates, and the
+    * pooled-variance z statistic
+    * `z = (pa - pb) / sqrt(p(1-p)(1/na + 1/nb))`.
+    *
+    * One row out; the only cluster work is one conditional-count agg.
+    * Division and sqrt are exactly-rounded IEEE ops — no rounding fudge
+    * needed for engine portability. */
+  def abTestZ(df: DataFrame, groupCol: String, successCol: Column,
+      a: String, b: String): DataFrame = {
+    val g = col(groupCol)
+    val agg = df.filter(g === a || g === b).agg(
+      count(when(g === a, 1)).as("n_a"),
+      count(when(g === a && successCol, 1)).as("conv_a"),
+      count(when(g === b, 1)).as("n_b"),
+      count(when(g === b && successCol, 1)).as("conv_b"))
+    val pa = col("conv_a").cast("double") / col("n_a").cast("double")
+    val pb = col("conv_b").cast("double") / col("n_b").cast("double")
+    val p = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val zDenom = sqrt(p * (lit(1.0) - p) *
+      (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double")))
+    // degenerate designs (an empty arm, or an all/none-converted pool with
+    // zero pooled variance) emit null instead of tripping ANSI ÷0
+    val ok = col("n_a") > 0 && col("n_b") > 0
+    agg.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      when(col("n_a") > 0, pa).as("rate_a"),
+      when(col("n_b") > 0, pb).as("rate_b"),
+      when(ok && zDenom =!= 0.0, (pa - pb) / zDenom).as("z"))
+  }
+
+  /** Per-group simple linear regression (closed-form least squares):
+    * slope = (n·Σxy − Σx·Σy) / (n·Σxx − (Σx)²), intercept = ȳ − slope·x̄.
+    *
+    * The five sufficient statistics are one grouped aggregation —
+    * regression at 100 TB is just a sum pass. To keep partial-aggregation
+    * order out of the result, x is required integral (cast to long) and y
+    * is summed as DECIMAL(28,6) after rounding to 6 decimals; the
+    * closed-form arithmetic then runs on exact doubles. Groups with zero
+    * x-variance emit null slope/intercept. */
+  def groupedLinReg(df: DataFrame, keyCol: String,
+      xCol: Column, yCol: Column): DataFrame = {
+    val x = xCol.cast("long")
+    val y = round(yCol.cast("double"), 6).cast(DecimalType(28, 6))
+    val agg = df.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n"),
+      sum(x).as("sx"),
+      sum(x * x).as("sxx"),
+      sum(y).as("sy"),
+      sum(y * x).as("sxy"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double"); val sxxD = col("sxx").cast("double")
+    val syD = col("sy").cast("double"); val sxyD = col("sxy").cast("double")
+    val denom = nD * sxxD - sxD * sxD
+    val slope = when(denom =!= 0.0, (nD * sxyD - sxD * syD) / denom)
+    agg.select(col(keyCol), col("n"),
+      slope.as("slope"),
+      when(denom =!= 0.0, (syD - slope * sxD) / nD).as("intercept"))
+  }
+
+  /** Shannon entropy (nats) of `valueCol`'s distribution within each
+    * group: −Σ p·ln p over the value frequencies. Two aggregations (value
+    * counts, then the entropy fold) plus one group-keyed join. Each
+    * p·ln p term is rounded to 12 decimals and summed as DECIMAL(28,12) —
+    * aggregation order can't move bits and the oracle replays the
+    * identical term series; the final round(6) absorbs libm `ln` last-ulp
+    * spread across engines. Output: (group, n_values, entropy). */
+  def groupedEntropy(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val cnts = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = cnts.groupBy(col(groupCol))
+      .agg(sum(col("cnt")).as("tot"), count(lit(1)).as("n_values"))
+    val p = col("cnt").cast("double") / col("tot").cast("double")
+    cnts.join(tot, groupCol)
+      .withColumn("term", round(p * log(p), 12).cast(DecimalType(28, 12)))
+      .groupBy(col(groupCol))
+      .agg(max(col("n_values")).as("n_values"),
+        // + 0.0 normalizes the degenerate group's -0.0 to +0.0 (a boxed
+        // -0.0 is not `equals` +0.0, and the oracle emits +0.0)
+        (round(-sum(col("term")).cast("double"), 6) + lit(0.0)).as("entropy"))
+  }
+}

@@ -202,6 +202,47 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(rows("s") == ("s", 5L, 1L, 3L, Some("a"), Some("c")))
   }
 
+  // ── statistics ───────────────────────────────────────────────────────
+
+  test("abTestZ: counts, rates, and z on a hand-checkable split") {
+    // A: 4 trials 3 conv (.75); B: 4 trials 1 conv (.25); pooled p = .5
+    // z = .5 / sqrt(.25 * .5) = 1.41421356...
+    val df = Seq(
+      ("A", true), ("A", true), ("A", true), ("A", false),
+      ("B", true), ("B", false), ("B", false), ("B", false),
+      ("C", true) // other groups ignored
+    ).toDF("grp", "ok")
+    val r = ops.Stats.abTestZ(df, "grp", $"ok", "A", "B").head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L &&
+      r.getLong(2) == 4L && r.getLong(3) == 1L)
+    assert(r.getDouble(4) == 0.75 && r.getDouble(5) == 0.25)
+    assert(math.abs(r.getDouble(6) - 0.5 / math.sqrt(0.25 * 0.5)) < 1e-12)
+  }
+
+  test("groupedLinReg: exact fit on a perfect line; null on zero x-variance") {
+    val df = Seq(
+      ("a", 1, 3.0), ("a", 2, 5.0), ("a", 3, 7.0),  // y = 2x + 1
+      ("b", 5, 9.0), ("b", 5, 11.0)                  // no x variance
+    ).toDF("g", "x", "y")
+    val rows = ops.Stats.groupedLinReg(df, "g", $"x", $"y")
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(rows("a") == ((Some(2.0), Some(1.0))))
+    assert(rows("b") == ((None, None)))
+  }
+
+  test("groupedEntropy: uniform → ln k, degenerate → 0") {
+    val df = Seq(
+      ("u", "a"), ("u", "b"), ("u", "c"), ("u", "d"),
+      ("one", "x"), ("one", "x"), ("one", "x")
+    ).toDF("g", "v")
+    val rows = ops.Stats.groupedEntropy(df, "g", "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows("u")._1 == 4L)
+    assert(math.abs(rows("u")._2 - math.log(4.0)) < 1e-6)
+    assert(rows("one") == ((1L, 0.0)))
+  }
+
   // ── model scoring ────────────────────────────────────────────────────
 
   test("modelScore: bounded, 6-decimal, orders clean text above junk") {
