@@ -2794,6 +2794,35 @@ object SparkEntry {
       graft.ops.Stats.groupedEntropy(Tables.documents(s, dir), "lang", "source")
         .orderBy($"lang")
     }),
+
+    // ── §7 depth: schema evolution across snapshot versions — v2 adds a
+    //    column; changes() aligns both snapshots to the union schema
+    //    (null-filled) so the derived CDF reports adds as updates and
+    //    carries null for deletes' missing column.
+    "q174_schema_evolution" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("sev").toString
+      val t = new graft.tables.SnapshotTable(s"$work/t")
+      val base = Tables.customer(s, dir)
+        .select($"c_custkey", Relational.money($"c_acctbal").cast("double").as("bal"))
+      t.write(s, base) // v1: (c_custkey, bal)
+      val v2 = base.filter($"c_custkey" % 113 =!= 0)
+        .withColumn("bal", when($"c_custkey" % 97 === 0, $"bal" + 50.0).otherwise($"bal"))
+        .withColumn("tier", when($"bal" > 5000.0, "gold").otherwise("std"))
+      t.write(s, v2) // v2: adds `tier`
+      t.changes(s, Seq("c_custkey"), 1, 2)
+        .orderBy($"_change_type", $"c_custkey")
+    }),
+
+    // ── Pairwise Pearson correlation (Stats.corrMatrix): one aggregation
+    //    pass over decimal-exact sufficient statistics, then closed-form
+    //    IEEE arithmetic — oracle-exact, no tolerance band.
+    "q175_correlation" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Stats.corrMatrix(Tables.lineitem(s, dir),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy($"col_a", $"col_b")
+    }),
   )
 
   /** DuckDB-runnable oracle per query (same tables, same column names). */
@@ -4370,5 +4399,61 @@ object SparkEntry {
         |SELECT lang, max(n_values) AS n_values,
         |  round(-CAST(sum(CAST(term AS DECIMAL(28,12))) AS DOUBLE), 6) + 0.0 AS entropy
         |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q174_schema_evolution" ->
+      """WITH base AS (
+        |  SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
+        |  FROM customer),
+        |v2 AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 97 = 0 THEN bal + 50.0 ELSE bal END AS bal,
+        |    CASE WHEN (CASE WHEN c_custkey % 97 = 0 THEN bal + 50.0 ELSE bal END) > 5000.0
+        |      THEN 'gold' ELSE 'std' END AS tier
+        |  FROM base WHERE c_custkey % 113 <> 0)
+        |SELECT * FROM (
+        |  SELECT c_custkey, bal, tier, 'update' AS _change_type FROM v2
+        |  UNION ALL
+        |  SELECT c_custkey, bal, CAST(NULL AS VARCHAR), 'delete'
+        |  FROM base WHERE c_custkey % 113 = 0)
+        |ORDER BY _change_type, c_custkey""".stripMargin,
+
+    "q175_correlation" ->
+      """WITH t AS (
+        |  SELECT CAST(round(l_quantity, 2) AS DECIMAL(12,2)) AS q,
+        |    CAST(round(l_extendedprice, 2) AS DECIMAL(12,2)) AS e,
+        |    CAST(round(l_discount, 2) AS DECIMAL(12,2)) AS d
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT count(*) AS n,
+        |    sum(q) AS s_q, sum(q * q) AS ss_q,
+        |    sum(e) AS s_e, sum(e * e) AS ss_e,
+        |    sum(d) AS s_d, sum(d * d) AS ss_d,
+        |    sum(q * e) AS p_qe, sum(q * d) AS p_qd, sum(e * d) AS p_ed
+        |  FROM t)
+        |SELECT * FROM (
+        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+        |    CASE WHEN CAST(n AS DOUBLE) * CAST(ss_q AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE) > 0.0
+        |      AND CAST(n AS DOUBLE) * CAST(ss_e AS DOUBLE) - CAST(s_e AS DOUBLE) * CAST(s_e AS DOUBLE) > 0.0
+        |    THEN (CAST(n AS DOUBLE) * CAST(p_qe AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_e AS DOUBLE))
+        |      / sqrt((CAST(n AS DOUBLE) * CAST(ss_q AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(ss_e AS DOUBLE) - CAST(s_e AS DOUBLE) * CAST(s_e AS DOUBLE))) END AS corr
+        |  FROM a
+        |  UNION ALL
+        |  SELECT 'l_quantity', 'l_discount',
+        |    CASE WHEN CAST(n AS DOUBLE) * CAST(ss_q AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE) > 0.0
+        |      AND CAST(n AS DOUBLE) * CAST(ss_d AS DOUBLE) - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE) > 0.0
+        |    THEN (CAST(n AS DOUBLE) * CAST(p_qd AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_d AS DOUBLE))
+        |      / sqrt((CAST(n AS DOUBLE) * CAST(ss_q AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(ss_d AS DOUBLE) - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE))) END
+        |  FROM a
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', 'l_discount',
+        |    CASE WHEN CAST(n AS DOUBLE) * CAST(ss_e AS DOUBLE) - CAST(s_e AS DOUBLE) * CAST(s_e AS DOUBLE) > 0.0
+        |      AND CAST(n AS DOUBLE) * CAST(ss_d AS DOUBLE) - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE) > 0.0
+        |    THEN (CAST(n AS DOUBLE) * CAST(p_ed AS DOUBLE) - CAST(s_e AS DOUBLE) * CAST(s_d AS DOUBLE))
+        |      / sqrt((CAST(n AS DOUBLE) * CAST(ss_e AS DOUBLE) - CAST(s_e AS DOUBLE) * CAST(s_e AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(ss_d AS DOUBLE) - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE))) END
+        |  FROM a)
+        |ORDER BY col_a, col_b""".stripMargin,
   )
 }

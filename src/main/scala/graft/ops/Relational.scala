@@ -250,8 +250,11 @@ object Relational {
         col("a.text").as("text_a"), col("b.text").as("text_b"), col("a.len").as("len"))
       .dropDuplicates("id_a", "id_b")
 
-    val dist = size(filter(sequence(lit(1), col("len")),
-      p => col("text_a").substr(p, lit(1)) =!= col("text_b").substr(p, lit(1))))
+    // codegen'd primitive loop (graft.functions.HammingDistance), not the
+    // interpreted size(filter(sequence…substr…)) form — the verify step is
+    // the per-candidate hot path
+    val dist = graft.functions.StringDistanceFunctions
+      .hamming(col("text_a"), col("text_b"))
     cand.withColumn("dist", dist.cast("long"))
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))

@@ -73,6 +73,42 @@ object Stats {
       when(denom =!= 0.0, (syD - slope * sxD) / nD).as("intercept"))
   }
 
+  /** Pairwise Pearson correlation matrix over numeric columns, computed
+    * from ONE aggregation pass (count + per-column Σx, Σx² + per-pair Σxy
+    * — 2c + c(c−1)/2 + 1 scalars total, then pure driver-free column
+    * arithmetic). Inputs are quantized to DECIMAL(12, `scale`) so every
+    * sufficient statistic is exact regardless of partial-agg order; the
+    * closed-form correlation then runs on exactly-rounded IEEE doubles —
+    * oracle-portable with no tolerance. Width 12 keeps cross-products
+    * inside 64-bit raw arithmetic in ANY engine (DuckDB multiplies
+    * DECIMAL(≤18) pairs in int64 — an (18,6)² price product overflows
+    * there); values need |x| < 10^(12−scale). Constant columns emit null.
+    * Output: (col_a, col_b, corr), one row per unordered pair. */
+  def corrMatrix(df: DataFrame, cols: Seq[String], scale: Int = 2): DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    def q(c: String): Column =
+      round(col(c).cast("double"), scale).cast(DecimalType(12, scale))
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggExprs =
+      (count(lit(1)).as("n") +:
+        cols.flatMap(c => Seq(sum(q(c)).as(s"s_$c"), sum(q(c) * q(c)).as(s"ss_$c")))) ++
+        pairs.map { case (a, b) => sum(q(a) * q(b)).as(s"p_${a}_$b") }
+    val one = df.agg(aggExprs.head, aggExprs.tail: _*)
+    val nD = col("n").cast("double")
+    pairs.map { case (a, b) =>
+      val sa = col(s"s_$a").cast("double"); val sb = col(s"s_$b").cast("double")
+      val ssa = col(s"ss_$a").cast("double"); val ssb = col(s"ss_$b").cast("double")
+      val sab = col(s"p_${a}_$b").cast("double")
+      val va = nD * ssa - sa * sa
+      val vb = nD * ssb - sb * sb
+      one.select(lit(a).as("col_a"), lit(b).as("col_b"),
+        when(va > 0.0 && vb > 0.0,
+          (nD * sab - sa * sb) / sqrt(va * vb)).as("corr"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Shannon entropy (nats) of `valueCol`'s distribution within each
     * group: −Σ p·ln p over the value frequencies. Two aggregations (value
     * counts, then the entropy fold) plus one group-keyed join. Each

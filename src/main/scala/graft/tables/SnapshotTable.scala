@@ -210,9 +210,23 @@ final class SnapshotTable(val root: String) {
     * and assumed non-null (same contract as the SCD merges). */
   def changes(spark: SparkSession, keys: Seq[String], fromV: Int, toV: Int): DataFrame = {
     import org.apache.spark.sql.functions._
-    val oldS = readVersion(spark, fromV)
-    val newS = readVersion(spark, toV)
-    val dataCols = newS.columns.filterNot(keys.contains)
+    // Schema evolution across versions: align both snapshots to the union
+    // schema (new version's order first, then old-only columns), null-
+    // filling what a version lacks. A column added in `toV` therefore
+    // reports prior rows as updates (absent → value) and deletes carry
+    // null for it — the accurate derived-CDF reading of an ADD COLUMN.
+    val oldS0 = readVersion(spark, fromV)
+    val newS0 = readVersion(spark, toV)
+    val allCols: Seq[(String, org.apache.spark.sql.types.DataType)] =
+      newS0.schema.map(f => f.name -> f.dataType) ++
+        oldS0.schema.filterNot(f => newS0.columns.contains(f.name))
+          .map(f => f.name -> f.dataType)
+    def align(df: DataFrame): DataFrame = df.select(allCols.map { case (n, dt) =>
+      if (df.columns.contains(n)) col(n) else lit(null).cast(dt).as(n)
+    }: _*)
+    val oldS = align(oldS0)
+    val newS = align(newS0)
+    val dataCols = allCols.map(_._1).filterNot(keys.contains)
     val o = oldS.select(oldS.columns.map(c => col(c).as(s"__o_$c")): _*)
     val n = newS.select(newS.columns.map(c => col(c).as(s"__n_$c")): _*)
     val cond = keys.map(k => o(s"__o_$k") === n(s"__n_$k")).reduce(_ && _)

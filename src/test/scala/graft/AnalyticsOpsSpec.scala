@@ -189,6 +189,17 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(d1 == Set((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L)))
   }
 
+  test("HammingDistance expression: codegen'd count, null on length mismatch, SQL form") {
+    val df = Seq(("karolin", "kathrin"), ("abc", "abc"), ("abc", "abcd"))
+      .toDF("a", "b")
+    val got = df.select(
+        graft.functions.StringDistanceFunctions.hamming($"a", $"b").as("d"))
+      .as[Option[Int]].collect().toSeq
+    assert(got == Seq(Some(3), Some(0), None))
+    graft.functions.StringDistanceFunctions.register(spark)
+    assert(spark.sql("SELECT hamming('1011101', '1001001')").head().getInt(0) == 2)
+  }
+
   // ── profiling ────────────────────────────────────────────────────────
 
   test("profile: nulls, exact distincts, stringified bounds") {
@@ -200,6 +211,27 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       .collect().map(r => r._1 -> r).toMap
     assert(rows("k") == ("k", 5L, 1L, 3L, Some("1"), Some("4")))
     assert(rows("s") == ("s", 5L, 1L, 3L, Some("a"), Some("c")))
+  }
+
+  // ── snapshot schema evolution ────────────────────────────────────────
+
+  test("SnapshotTable.changes aligns evolved schemas (added and dropped columns)") {
+    val work = java.nio.file.Files.createTempDirectory("sev-spec").toString
+    val t = new graft.tables.SnapshotTable(s"$work/t")
+    t.write(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))          // v1
+    t.write(spark, Seq((1L, "a", 10), (3L, "c", 30)).toDF("k", "v", "w")) // v2 adds w, drops k=2
+    val c12 = t.changes(spark, Seq("k"), 1, 2)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)), r.getString(3)))
+      .toSet
+    assert(c12 == Set(
+      (1L, Some("a"), Some(10), "update"),  // w: absent → 10
+      (2L, Some("b"), None, "delete"),      // dropped row, w null-filled
+      (3L, Some("c"), Some(30), "insert")))
+    // reverse direction: column disappears; unchanged values still differ on w
+    t.write(spark, Seq((1L, "a"), (3L, "c")).toDF("k", "v"))          // v3 drops w
+    val c23 = t.changes(spark, Seq("k"), 2, 3)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(c23 == Set((1L, "update"), (3L, "update"))) // w: value → absent
   }
 
   // ── statistics ───────────────────────────────────────────────────────
@@ -229,6 +261,19 @@ class AnalyticsOpsSpec extends AnyFunSuite {
         (Option(r.get(2)), Option(r.get(3)))).toMap
     assert(rows("a") == ((Some(2.0), Some(1.0))))
     assert(rows("b") == ((None, None)))
+  }
+
+  test("corrMatrix: perfect, inverse, and constant-column cases in one pass") {
+    val df = Seq(
+      (1.0, 2.0, 9.0, 5.0), (2.0, 4.0, 8.0, 5.0),
+      (3.0, 6.0, 7.0, 5.0), (4.0, 8.0, 6.0, 5.0)
+    ).toDF("x", "y2x", "neg", "const")
+    val rows = ops.Stats.corrMatrix(df, Seq("x", "y2x", "neg", "const"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> Option(r.get(2))).toMap
+    assert(rows(("x", "y2x")) == Some(1.0))
+    assert(rows(("x", "neg")) == Some(-1.0))
+    assert(rows(("x", "const")) == None)
+    assert(rows.size == 6)
   }
 
   test("groupedEntropy: uniform → ln k, degenerate → 0") {
