@@ -63,11 +63,14 @@ object Graph {
     * reachable node, bounded by `maxHops`. Classic frontier expansion —
     * per hop, only the just-discovered frontier joins the edge list (one
     * equi-join shuffle on `src`), then a min-reduce folds new labels into
-    * the distance table; `localCheckpoint` keeps lineage O(1) like
+    * the distance table. Lineage is pinned with `localCheckpoint` only
+    * every `checkpointEvery` hops — shallow searches run as ONE job with
+    * zero materialization barriers (each hop ends in a shuffle, so
+    * nothing recomputes), while deep searches keep the plan O(1) like
     * [[pageRank]]. Directed over the given edges — symmetrize first for
     * undirected reachability. Output: (node: long, dist: long). */
   def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
-      sources: Seq[Long], maxHops: Int): DataFrame = {
+      sources: Seq[Long], maxHops: Int, checkpointEvery: Int = 4): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges
@@ -81,7 +84,7 @@ object Graph {
         .select(col("dst").as("node"), lit(h.toLong).as("dist"))
       dist = dist.unionByName(next)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true)
+      if (h % checkpointEvery == 0 && h < maxHops) dist = dist.localCheckpoint(true)
     }
     dist
   }
