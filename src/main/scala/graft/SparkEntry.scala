@@ -30,7 +30,8 @@ object SparkEntry {
   def rowsOnly: Set[String] =
     Set("q29_simhash_groups", "q30_ann_lsh", "q31_multimodal_decode", "q43_ann_ivf",
       "q55_sketches", "q61_ann_ivf_kmeans", "q69_simhash_pairs", "q82_sequence_packing",
-      "q93_vector_index", "q107_global_packing", "q138_sketch_merge", "q146_ann_pq")
+      "q93_vector_index", "q107_global_packing", "q138_sketch_merge", "q146_ann_pq",
+      "q183_bpe_merges")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -2823,6 +2824,280 @@ object SparkEntry {
           Seq("l_quantity", "l_extendedprice", "l_discount"))
         .orderBy($"col_a", $"col_b")
     }),
+
+    // ── §7 depth: per-file Bloom filter index (Delta bloom-index analog).
+    //    The table is clustered by o_orderdate — the layout a 100 TB fact
+    //    table actually has — so min/max stats CANNOT skip on o_custkey
+    //    (every file's custkey range spans the domain). The bloom sidecar
+    //    turns the customer point-lookup into an O(1 + fpp·files) scan.
+    //    Pruning is a superset (no false negatives); the row filter after
+    //    it makes the result exact, so the oracle is a plain SELECT.
+    "q176_bloom_index" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("bloomidx").toString
+      val t = new graft.tables.SnapshotTable(s"$work/t")
+      t.writeIndexed(s, Tables.orders(s, dir),
+        bloomCols = Seq("o_custkey"), bloomFpp = 0.01,
+        clusterBy = Seq("o_orderdate"), clusterPartitions = 16)
+      t.readPrunedBloomLong(s, "o_custkey", 42L)
+        .filter($"o_custkey" === 42)
+        .select($"o_orderkey", $"o_orderdate", $"o_totalprice", $"o_orderpriority")
+        .orderBy($"o_orderkey")
+    }),
+
+    // ── Spatial near join (Relational.gridNearJoin): all customer pairs
+    //    within Euclidean radius 1.5 on a hash-derived plane. The naive
+    //    plan is an O(n²) non-equi cross join; the grid rewrite is an
+    //    equi-join on radius-sized cell ids (3×3 neighborhood explode on
+    //    one side) + codegen'd exact residual — the shape that survives
+    //    both sides growing 100×. Oracle is the brute-force cross join.
+    "q177_grid_near_join" -> ((s, dir) => {
+      import s.implicits._
+      val pts = Tables.customer(s, dir).select($"c_custkey".as("id"),
+        ($"c_acctbal".cast("double") / 100.0).as("x"),
+        ((($"c_custkey" * lit(48271L)) % 10000L).cast("double") / 100.0).as("y"))
+      Relational.gridNearJoin(pts, pts, "id", "x", "y", 1.5)
+        .filter($"id_a" < $"id_b")
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // ── Welch's unequal-variance t-test (Stats.welchT): purchase vs click
+    //    event values. One conditional-agg pass collects exact decimal
+    //    (n, Σy, Σy²) per arm; t and Welch–Satterthwaite df are IEEE
+    //    closed-form on those scalars — oracle-exact, no tolerance.
+    "q178_welch_t" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Stats.welchT(Tables.events(s, dir), "event_type", $"value",
+        "purchase", "click")
+    }),
+
+    // ── Chi-square independence test (Stats.chiSquare): event_type ×
+    //    hash-derived user segment. The contingency table is one grouped
+    //    count; (O−E)²/E terms are decimal-summed (order-proof) like
+    //    q173's entropy fold.
+    "q179_chi_square" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Stats.chiSquare(
+        Tables.events(s, dir).withColumn("segment", pmod($"user_id", lit(7L))),
+        "event_type", "segment")
+    }),
+
+    // ── Prefix-filtered set-similarity join (Dedup.prefixJaccardPairs,
+    //    PPJoin-style): the inverted index holds only each doc's
+    //    (1−t)-prefix of hash-ordered shingles, so postings — and the
+    //    candidate join — shrink with the threshold. Verification is
+    //    exact and candidate-restricted; results ≡ the full-index q24
+    //    form at the same threshold.
+    "q180_prefix_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      graft.llm.Dedup.prefixJaccardPairs(Tables.documents(s, dir),
+          "doc_id", "text", threshold = 0.7)
+        .orderBy($"d1", $"d2")
+    }),
+
+    // ── Incrementally-maintained join view (tables.MaterializedJoin):
+    //    insert-only deltas refresh via the delta-join identity — the base
+    //    join is computed once and never again; the refresh joins only
+    //    delta legs. The committed view must equal the from-scratch join
+    //    of the full tables, which is exactly what the oracle computes.
+    "q181_incremental_join_view" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("mvjoin").toString
+      val mv = new graft.tables.MaterializedJoin(
+        new graft.tables.SnapshotTable(s"$work/v"), Seq("c_custkey"))
+      val o = Tables.orders(s, dir).withColumnRenamed("o_custkey", "c_custkey")
+      val c = Tables.customer(s, dir)
+      val oOld = o.filter($"o_orderkey" % 7 =!= 0)
+      val oNew = o.filter($"o_orderkey" % 7 === 0)
+      val cOld = c.filter($"c_custkey" % 13 =!= 0)
+      val cNew = c.filter($"c_custkey" % 13 === 0)
+      mv.initialize(s, oOld, cOld)
+      mv.refresh(s, oOld, oNew, cOld, cNew)
+      mv.read(s)
+        .select($"o_orderkey", $"c_custkey", $"c_mktsegment", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    }),
+
+    // ── Session path analysis: 30-min-gap sessionization (lag + running
+    //    sum inside a per-user window — no corpus-wide ordering), then the
+    //    first five event types per session become the "path" and paths
+    //    are ranked by frequency. The product-analytics "top user journeys"
+    //    query, all codegen'd window + array functions.
+    "q182_session_paths" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val sess = Tables.events(s, dir)
+        .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+        .withColumn("new_s", when($"prev_us".isNull ||
+          unix_micros($"ts") - $"prev_us" > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("session", sum($"new_s").over(w))
+      sess.groupBy($"user_id", $"session")
+        .agg(slice(array_sort(collect_list(
+          struct($"ts", $"event_id", $"event_type"))), 1, 5).as("evs"))
+        .select(concat_ws(">", transform($"evs", e => e.getField("event_type"))).as("path"))
+        .groupBy($"path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy($"n_sessions".desc, $"path")
+    }),
+
+    // ── Distributed BPE merge training (llm.BpeTrainer): the tokenizer-
+    //    training step of an LLM pipeline as iterative Spark jobs over the
+    //    (word, count) table — pair counting is an explode+sum per round,
+    //    the argmax is a deterministic 1-row reduce (freq desc, pair asc),
+    //    merging is a codegen'd greedy fold. Rows-only: the iterative
+    //    greedy fold isn't ANSI-SQL-expressible; the merge algebra is
+    //    hand-proven in LlmOpsSpec instead.
+    "q183_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      graft.llm.BpeTrainer.train(Tables.documents(s, dir), "text", numMerges = 12)
+        .orderBy($"step")
+    }),
+
+    // ── First-touch attribution: each user's earliest event is the
+    //    acquisition channel; purchase value rolls up to it. Per-user
+    //    window (no global ordering) + broadcastable first-touch table.
+    "q184_attribution" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val ev = Tables.events(s, dir)
+      val firstTouch = ev.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_type".as("channel"))
+      ev.filter($"event_type" === "purchase")
+        .join(firstTouch, "user_id")
+        .groupBy($"channel")
+        .agg(count(lit(1)).as("n_purchases"),
+          Relational.sumMoney($"value").as("revenue"))
+        .orderBy($"channel")
+    }),
+
+    // ── RFM segmentation: recency/frequency/monetary quartiles per
+    //    purchasing user. The windows run AFTER the per-user aggregation —
+    //    cardinality is |users|, not |events| — and each is a total order
+    //    (deterministic tie-break on user_id). At billions of users the
+    //    same tiles come from `Relational.globalRowNumbers` instead of a
+    //    1-partition window; the semantics below are plain SQL NTILE.
+    "q185_rfm" -> ((s, dir) => {
+      import s.implicits._
+      val per = Tables.events(s, dir).filter($"event_type" === "purchase")
+        .groupBy($"user_id").agg(
+          max(unix_micros($"ts")).as("last_us"),
+          count(lit(1)).as("frequency"),
+          Relational.sumMoney($"value").as("monetary"))
+      per.select($"user_id",
+          ntile(4).over(Window.orderBy($"last_us".desc, $"user_id")).cast("long").as("r_tile"),
+          ntile(4).over(Window.orderBy($"frequency".desc, $"user_id")).cast("long").as("f_tile"),
+          ntile(4).over(Window.orderBy($"monetary".desc, $"user_id")).cast("long").as("m_tile"),
+          $"frequency", $"monetary")
+        .orderBy($"user_id")
+    }),
+
+    // ── k-core decomposition (Graph.kCore): iterative degree peeling on
+    //    the one-ship-year co-order part graph (same graph as q161). The
+    //    fixpoint is unique and order-independent, so the oracle replays
+    //    the peel as a 12-round unrolled CTE chain (observed convergence:
+    //    5–6 rounds at every SF; extra rounds are no-ops).
+    "q186_kcore" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= "1996-01-01" && $"l_shipdate" < "1997-01-01")
+        .select($"l_orderkey", $"l_partkey")
+      val edges = li.as("x").join(li.as("y"),
+          $"x.l_orderkey" === $"y.l_orderkey" && $"x.l_partkey" < $"y.l_partkey")
+        .select($"x.l_partkey".as("src"), $"y.l_partkey".as("dst"))
+      graft.ops.Graph.kCore(edges, "src", "dst", k = 4).orderBy($"node")
+    }),
+
+    // ── Time-weighted average (TWAP): each observation weighted by its
+    //    holding interval to the next one, per user. Weights stay integral
+    //    (µs), values go through DECIMAL(12,2) — the Σ(v·Δt) raw products
+    //    stay inside int64 in any engine, so the division at the edge is
+    //    IEEE-exact on identical operands.
+    "q187_twap" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val seg = Tables.events(s, dir)
+        .withColumn("us", unix_micros($"ts"))
+        .withColumn("next_us", lead($"us", 1).over(w))
+        .filter($"next_us".isNotNull)
+        .withColumn("dt", $"next_us" - $"us")
+        .withColumn("v", round($"value", 2).cast("decimal(12,2)"))
+      seg.groupBy($"user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum($"v" * $"dt").as("num"), sum($"dt").as("den"))
+        .select($"user_id", $"n_intervals",
+          // round(6): the Σ(v·Δt) decimal exceeds double's 53-bit exact
+          // range, and engines round the decimal→double cast differently
+          when($"den" > 0, round($"num".cast("double") / $"den".cast("double"), 6)).as("twap"))
+        .orderBy($"user_id")
+    }),
+
+    // ── Data-vault surrogate keys (the DW hashing surface the reference's
+    //    dimensional model implies): MD5 hub key on the business key,
+    //    SHA-256 hashdiff over normalized descriptive attributes — change
+    //    detection without column-by-column compares at merge time.
+    //    Doubles are stringified through DECIMAL(18,2) (engine-portable
+    //    rendering; raw double→string formatting is not).
+    "q188_hash_keys" -> ((s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir).select($"c_custkey",
+          md5(concat_ws("||", $"c_custkey".cast("string"))).as("hub_key"),
+          sha2(concat_ws("||", upper(trim($"c_name")), $"c_mktsegment",
+            Relational.money($"c_acctbal").cast("string")), 256).as("hash_diff"))
+        .orderBy($"c_custkey")
+    }),
+
+    // ── Month-over-month growth: monthly revenue (decimal-exact) + lag
+    //    window. The window runs over the POST-aggregation month spine
+    //    (dozens of rows however large the input), so the global ordering
+    //    is free; growth is one IEEE division on identical doubles.
+    "q189_mom_growth" -> ((s, dir) => {
+      import s.implicits._
+      val m = Tables.orders(s, dir)
+        .groupBy(date_trunc("month", $"o_orderdate").as("month"))
+        .agg(Relational.sumMoney($"o_totalprice").as("revenue"))
+      m.withColumn("prev", lag($"revenue", 1).over(Window.orderBy($"month")))
+        .withColumn("growth",
+          when($"prev".isNotNull && $"prev" =!= 0.0, ($"revenue" - $"prev") / $"prev"))
+        .select($"month", $"revenue", $"growth")
+        .orderBy($"month")
+    }),
+
+    // ── Exact grouped weighted median (Stats.weightedMedian): price
+    //    median weighted by quantity. Integer half-total test — no
+    //    division, no percentile interpolation — so the picked value is
+    //    engine-exact by construction.
+    "q190_weighted_median" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Stats.weightedMedian(Tables.lineitem(s, dir), "l_returnflag",
+          $"l_extendedprice", $"l_quantity")
+        .orderBy($"l_returnflag")
+    }),
+
+    // ── Grouped Gini coefficient (Stats.groupedGini): order-value
+    //    concentration per priority class. Rank-formula numerator in
+    //    exact decimal·integer space; tie order provably cancels.
+    "q191_gini" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Stats.groupedGini(Tables.orders(s, dir), "o_orderpriority",
+          $"o_totalprice")
+        .orderBy($"o_orderpriority")
+    }),
+
+    // ── Unicode canonicalization (functions.UnicodeNormalize): a codegen'd
+    //    Catalyst expression (ASCII fast path, JDK normalizer otherwise) —
+    //    the pre-dedup text canonicalization step. Docs get decomposed
+    //    NFD noise appended so NFC actually recomposes; the fingerprint
+    //    proves byte-identical normalization against DuckDB's utf8proc.
+    "q192_unicode_normalize" -> ((s, dir) => {
+      import s.implicits._
+      val noise = " café ﬁnal" // e + combining acute; ﬁ ligature
+      graft.tables.Tables.documents(s, dir)
+        .withColumn("s", concat($"text", lit(noise)))
+        .select($"doc_id",
+          length(graft.functions.UnicodeNormalize.nfc($"s")).cast("long").as("len_nfc"),
+          md5(graft.functions.UnicodeNormalize.nfc($"s")).as("fp_nfc"))
+        .orderBy($"doc_id")
+    }),
   )
 
   /** DuckDB-runnable oracle per query (same tables, same column names). */
@@ -4455,5 +4730,231 @@ object SparkEntry {
         |        * (CAST(n AS DOUBLE) * CAST(ss_d AS DOUBLE) - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE))) END
         |  FROM a)
         |ORDER BY col_a, col_b""".stripMargin,
+
+    "q176_bloom_index" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice, o_orderpriority
+        |FROM orders WHERE o_custkey = 42 ORDER BY o_orderkey""".stripMargin,
+
+    "q177_grid_near_join" ->
+      """WITH pts AS (
+        |  SELECT c_custkey AS id,
+        |    CAST(c_acctbal AS DOUBLE) / 100.0 AS x,
+        |    CAST((c_custkey * 48271) % 10000 AS DOUBLE) / 100.0 AS y
+        |  FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS dist
+        |FROM pts a JOIN pts b ON a.id < b.id
+        |WHERE sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) <= 1.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q178_welch_t" ->
+      """WITH q AS (
+        |  SELECT event_type,
+        |    CAST(round(value, 6) AS DECIMAL(12,6)) AS y
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |a AS (
+        |  SELECT
+        |    count(*) FILTER (event_type = 'purchase') AS n_a,
+        |    sum(y) FILTER (event_type = 'purchase') AS s_a,
+        |    sum(y * y) FILTER (event_type = 'purchase') AS ss_a,
+        |    count(*) FILTER (event_type = 'click') AS n_b,
+        |    sum(y) FILTER (event_type = 'click') AS s_b,
+        |    sum(y * y) FILTER (event_type = 'click') AS ss_b
+        |  FROM q)
+        |SELECT n_a, n_b,
+        |  CASE WHEN n_a > 0 THEN CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) END AS mean_a,
+        |  CASE WHEN n_b > 0 THEN CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) END AS mean_b,
+        |  round(CASE WHEN n_a >= 2 AND n_b >= 2 AND
+        |    ((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE)
+        |    + ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE) > 0.0
+        |  THEN (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |    / sqrt(((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE)
+        |      + ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE)) END, 6) AS t,
+        |  round(CASE WHEN n_a >= 2 AND n_b >= 2 AND
+        |    ((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE)
+        |    + ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE) > 0.0
+        |  THEN
+        |    (((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE)
+        |      + ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE))
+        |    * (((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE)
+        |      + ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE))
+        |    / ((((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE))
+        |        * (((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)
+        |      + (((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE))
+        |        * (((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)) END, 6) AS df
+        |FROM a""".stripMargin,
+
+    "q179_chi_square" ->
+      """WITH cells AS (
+        |  SELECT event_type AS x, user_id % 7 AS y, count(*) AS o
+        |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT x, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT y, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |  count(DISTINCT x) AS n_rows, count(DISTINCT y) AS n_cols FROM cells)
+        |SELECT n, n_rows, n_cols, (n_rows - 1) * (n_cols - 1) AS dof,
+        |  CAST(sum(CAST(round(
+        |    (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)), 12) AS DECIMAL(28,12))) AS DOUBLE) AS chi2
+        |FROM cells JOIN rt USING (x) JOIN ct USING (y) CROSS JOIN tot
+        |GROUP BY n, n_rows, n_cols""".stripMargin,
+
+    "q180_prefix_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS ts FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+        |  FROM toks, UNNEST(generate_series(1, len(ts)-2)) AS g(i)),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT d1, d2, CAST(i AS DOUBLE) / CAST(c1.n + c2.n - i AS DOUBLE) AS jaccard
+        |FROM inter JOIN cnt c1 ON c1.doc_id = d1 JOIN cnt c2 ON c2.doc_id = d2
+        |WHERE CAST(i AS DOUBLE) / CAST(c1.n + c2.n - i AS DOUBLE) >= 0.7
+        |ORDER BY d1, d2""".stripMargin,
+
+    "q181_incremental_join_view" ->
+      """SELECT o_orderkey, o_custkey AS c_custkey, c_mktsegment, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q182_session_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |s AS (
+        |  SELECT *, sum(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+        |    THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session
+        |  FROM e),
+        |p AS (
+        |  SELECT user_id, session,
+        |    array_to_string(list_transform(
+        |      (list(struct_pack(a := ts, b := event_id, c := event_type) ORDER BY ts, event_id))[1:5],
+        |      x -> x.c), '>') AS path
+        |  FROM s GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions FROM p
+        |GROUP BY 1 ORDER BY n_sessions DESC, path""".stripMargin,
+
+    "q184_attribution" ->
+      """WITH ft AS (
+        |  SELECT user_id, event_type AS channel FROM (
+        |    SELECT user_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |    FROM events) WHERE rn = 1)
+        |SELECT channel, count(*) AS n_purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM events e JOIN ft USING (user_id)
+        |WHERE e.event_type = 'purchase'
+        |GROUP BY channel ORDER BY channel""".stripMargin,
+
+    "q185_rfm" ->
+      """WITH per AS (
+        |  SELECT user_id, max(epoch_us(ts)) AS last_us, count(*) AS frequency,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT user_id,
+        |  ntile(4) OVER (ORDER BY last_us DESC, user_id) AS r_tile,
+        |  ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_tile,
+        |  ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m_tile,
+        |  frequency, monetary
+        |FROM per ORDER BY user_id""".stripMargin,
+
+    // k-core: the peel loop unrolled to 12 rounds (the fixpoint is unique;
+    // converged rounds are no-ops, observed convergence ≤ 6 at every SF)
+    "q186_kcore" -> {
+      val rounds = 12
+      // every CTE MATERIALIZED: each round references its predecessor three
+      // times — inlining would re-expand the chain exponentially
+      val head =
+        """WITH e0 AS MATERIALIZED (
+          |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+          |  FROM lineitem x JOIN lineitem y
+          |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+          |  WHERE x.l_shipdate >= TIMESTAMP '1996-01-01' AND x.l_shipdate < TIMESTAMP '1997-01-01'
+          |    AND y.l_shipdate >= TIMESTAMP '1996-01-01' AND y.l_shipdate < TIMESTAMP '1997-01-01')""".stripMargin
+      val steps = (0 until rounds).map { i =>
+        s"bad$i AS MATERIALIZED (SELECT node FROM (SELECT a AS node FROM e$i UNION ALL SELECT b AS node FROM e$i) " +
+          s"GROUP BY node HAVING count(*) < 4),\n" +
+          s"e${i + 1} AS MATERIALIZED (SELECT * FROM e$i WHERE a NOT IN (SELECT node FROM bad$i) " +
+          s"AND b NOT IN (SELECT node FROM bad$i))"
+      }.mkString(",\n")
+      head + ",\n" + steps +
+        s"\nSELECT node, count(*) AS deg FROM (SELECT a AS node FROM e$rounds " +
+        s"UNION ALL SELECT b AS node FROM e$rounds) GROUP BY node ORDER BY node"
+    },
+
+    "q187_twap" ->
+      """WITH seg AS (
+        |  SELECT user_id,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) - epoch_us(ts) AS dt,
+        |    CAST(round(value, 2) AS DECIMAL(12,2)) AS v
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_intervals,
+        |  round(CASE WHEN sum(dt) > 0
+        |    THEN CAST(sum(v * dt) AS DOUBLE) / CAST(sum(dt) AS DOUBLE) END, 6) AS twap
+        |FROM seg WHERE dt IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q188_hash_keys" ->
+      """SELECT c_custkey,
+        |md5(concat_ws('||', CAST(c_custkey AS VARCHAR))) AS hub_key,
+        |sha256(concat_ws('||', upper(trim(c_name)), c_mktsegment,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR))) AS hash_diff
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q189_mom_growth" ->
+      """WITH m AS (
+        |  SELECT date_trunc('month', o_orderdate) AS month,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT month, revenue,
+        |  CASE WHEN lag(revenue) OVER (ORDER BY month) IS NOT NULL
+        |    AND lag(revenue) OVER (ORDER BY month) <> 0.0
+        |  THEN (revenue - lag(revenue) OVER (ORDER BY month)) / lag(revenue) OVER (ORDER BY month) END AS growth
+        |FROM m ORDER BY month""".stripMargin,
+
+    "q190_weighted_median" ->
+      """WITH byv AS (
+        |  SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v,
+        |    sum(CAST(l_quantity AS BIGINT)) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, v,
+        |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+        |    sum(w) OVER (PARTITION BY l_returnflag) AS total
+        |  FROM byv)
+        |SELECT l_returnflag, min(v) AS weighted_median
+        |FROM c WHERE cum * 2 >= total
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q191_gini" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, CAST(round(CAST(o_totalprice AS DOUBLE), 2) AS DECIMAL(12,2)) AS x
+        |  FROM orders),
+        |ranked AS (
+        |  SELECT o_orderpriority, x,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY x) AS i
+        |  FROM r),
+        |a AS (
+        |  SELECT o_orderpriority, count(*) AS n, sum(x) AS sx, sum(x * (i * 2)) AS six
+        |  FROM ranked GROUP BY 1)
+        |SELECT o_orderpriority, n,
+        |  CASE WHEN sx <> 0 THEN
+        |    (CAST(six AS DOUBLE) - CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) END AS gini
+        |FROM a ORDER BY o_orderpriority""".stripMargin,
+
+    "q192_unicode_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || ' cafe' || chr(769) || ' ' || chr(64257) || 'nal' AS s
+        |  FROM documents)
+        |SELECT doc_id,
+        |  length(nfc_normalize(s)) AS len_nfc,
+        |  md5(nfc_normalize(s)) AS fp_nfc
+        |FROM d ORDER BY doc_id""".stripMargin,
   )
 }

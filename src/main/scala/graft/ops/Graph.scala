@@ -89,6 +89,45 @@ object Graph {
     dist
   }
 
+  /** k-core of an undirected graph: iteratively peel nodes of degree < k
+    * until a fixpoint — the classic cohesion/influence subgraph (and the
+    * degeneracy-ordering building block). Each round is one degree
+    * aggregation plus two anti-joins on the (shrinking, checkpointed)
+    * edge list — all equi-joins on node ids; the only driver traffic is
+    * the per-round convergence count. The fixpoint is unique and
+    * order-independent, so extra rounds are no-ops — which is what lets
+    * the DuckDB oracle replay it as a fixed unrolled peel chain.
+    * Rounds needed in practice ≈ a small constant (peeling cascades are
+    * shallow on real graphs); `maxIters` bounds adversarial chains.
+    * Output: (node, deg) of k-core members with their in-core degree. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, maxIters: Int = 100): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    var e = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct().localCheckpoint(true)
+    def degrees(edgs: DataFrame): DataFrame = edgs
+      .select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val bad = degrees(e).filter(col("deg") < k).select("node")
+        .localCheckpoint(true)
+      if (bad.isEmpty) converged = true
+      else {
+        e = e
+          .join(bad.withColumnRenamed("node", "a"), Seq("a"), "left_anti")
+          .join(bad.withColumnRenamed("node", "b"), Seq("b"), "left_anti")
+          .localCheckpoint(true)
+        it += 1
+      }
+    }
+    degrees(e)
+  }
+
   /** Per-node triangle counts via degree orientation (the standard
     * O(m^1.5)-work algorithm): canonicalize the undirected edge list,
     * orient every edge from its lower-(degree, id) endpoint to the higher,

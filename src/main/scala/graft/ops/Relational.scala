@@ -129,6 +129,45 @@ object Relational {
       .drop("__bin")
   }
 
+  /** Planar radius join (spatial near join), both sides large: all pairs
+    * with Euclidean distance ≤ `radius`. The naive form is a non-equi
+    * cross join — quadratic and unschedulable at scale. Here the plane is
+    * gridded into radius-sized cells: any qualifying pair lies in the same
+    * or an adjacent cell, so the LEFT side is exploded to its 3×3 cell
+    * neighborhood (a 9× map-side expansion of the side the caller should
+    * make the smaller one) and joined to the RIGHT side's single home cell
+    * by plain cell-id equality — a shuffle on 16-byte keys that AQE can
+    * re-plan for dense-cell skew — then the exact distance predicate runs
+    * codegen'd at join time. Each pair is emitted exactly once (the right
+    * row's home cell is unique). Distance math is exactly-rounded IEEE
+    * (products, sum, sqrt), so results are engine-portable with no
+    * tolerance. Self-join callers dedup with `id_a < id_b`.
+    * Output: (id_a, id_b, dist). */
+  def gridNearJoin(left: DataFrame, right: DataFrame, idCol: String,
+      xCol: String, yCol: String, radius: Double): DataFrame = {
+    require(radius > 0, "radius must be positive")
+    def cell(c: Column): Column = floor(c / lit(radius)).cast("long")
+    val offsets = for { dx <- -1 to 1; dy <- -1 to 1 } yield (dx, dy)
+    val l = left.select(col(idCol).as("id_a"),
+        col(xCol).cast("double").as("__xa"), col(yCol).cast("double").as("__ya"))
+      .withColumn("__cell", explode(array(offsets.map { case (dx, dy) =>
+        struct((cell(col("__xa")) + dx).as("cx"), (cell(col("__ya")) + dy).as("cy"))
+      }: _*)))
+      .select(col("id_a"), col("__xa"), col("__ya"),
+        col("__cell.cx").as("__cx"), col("__cell.cy").as("__cy"))
+    val r = right.select(col(idCol).as("id_b"),
+        col(xCol).cast("double").as("__xb"), col(yCol).cast("double").as("__yb"))
+      .withColumn("__cx", cell(col("__xb")))
+      .withColumn("__cy", cell(col("__yb")))
+    val dist = sqrt(
+      (col("__xa") - col("__xb")) * (col("__xa") - col("__xb")) +
+        (col("__ya") - col("__yb")) * (col("__ya") - col("__yb")))
+    l.join(r, Seq("__cx", "__cy"))
+      .withColumn("dist", dist)
+      .filter(col("dist") <= radius)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   def saltedJoin(
       large: DataFrame, small: DataFrame,
       keys: Seq[String], saltFactor: Int = 8): DataFrame = {

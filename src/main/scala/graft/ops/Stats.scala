@@ -130,4 +130,122 @@ object Stats {
         // -0.0 is not `equals` +0.0, and the oracle emits +0.0)
         (round(-sum(col("term")).cast("double"), 6) + lit(0.0)).as("entropy"))
   }
+
+  /** Welch's unequal-variance t-test between groups `a` and `b` on
+    * `valueCol`: one grouped-conditional aggregation collects exact
+    * decimal-summed (n, Σy, Σy²) per arm (y quantized to 6 decimals), then
+    * the t statistic and Welch–Satterthwaite degrees of freedom are
+    * closed-form IEEE arithmetic on those exact scalars — bit-identical in
+    * any engine, no tolerance band. Arms with n < 2, or a zero standard
+    * error, emit null t/df. Width (12,6) keeps the y² product's raw
+    * arithmetic inside int64 in ANY engine (same caveat as [[corrMatrix]]);
+    * values need |y| ≲ 3·10³. */
+  def welchT(df: DataFrame, groupCol: String, valueCol: Column,
+      a: String, b: String): DataFrame = {
+    val g = col(groupCol)
+    val y = round(valueCol.cast("double"), 6).cast(DecimalType(12, 6))
+    val agg = df.filter(g === a || g === b).agg(
+      count(when(g === a, 1)).as("n_a"),
+      sum(when(g === a, y)).as("s_a"),
+      sum(when(g === a, y * y)).as("ss_a"),
+      count(when(g === b, 1)).as("n_b"),
+      sum(when(g === b, y)).as("s_b"),
+      sum(when(g === b, y * y)).as("ss_b"))
+    def mean(s: String, n: String) = col(s).cast("double") / col(n).cast("double")
+    // sample variance from exact sums: (Σy² − (Σy)²/n) / (n−1)
+    def variance(ss: String, s: String, n: String) = {
+      val nD = col(n).cast("double")
+      (col(ss).cast("double") - col(s).cast("double") * col(s).cast("double") / nD) /
+        (nD - lit(1.0))
+    }
+    val va = variance("ss_a", "s_a", "n_a"); val vb = variance("ss_b", "s_b", "n_b")
+    val qa = va / col("n_a").cast("double"); val qb = vb / col("n_b").cast("double")
+    val se2 = qa + qb
+    val ok = col("n_a") >= 2 && col("n_b") >= 2
+    val t = (mean("s_a", "n_a") - mean("s_b", "n_b")) / sqrt(se2)
+    // Welch–Satterthwaite: (qa+qb)² / (qa²/(na−1) + qb²/(nb−1))
+    val dfW = se2 * se2 /
+      (qa * qa / (col("n_a").cast("double") - 1.0) +
+        qb * qb / (col("n_b").cast("double") - 1.0))
+    agg.select(col("n_a"), col("n_b"),
+      when(col("n_a") > 0, mean("s_a", "n_a")).as("mean_a"),
+      when(col("n_b") > 0, mean("s_b", "n_b")).as("mean_b"),
+      // round(6) absorbs the one-ulp spread engines show on the longer
+      // dependent-expression chains (decimal→double casts differ in their
+      // final rounding step across engines)
+      when(ok && se2 > 0.0, round(t, 6)).as("t"),
+      when(ok && se2 > 0.0, round(dfW, 6)).as("df"))
+  }
+
+  /** Exact grouped weighted median: the smallest value whose cumulative
+    * weight reaches half the group's total (the lower weighted median).
+    * One grouped (key, value) weight-sum, a per-key cumulative window, and
+    * the half-total test `2·cum ≥ total` in INTEGER arithmetic — no
+    * division anywhere, so the result is a data value picked by exact
+    * comparisons and any engine agrees bit-for-bit. The windows partition
+    * by key (value-distinct rows, not raw rows), never globally. */
+  def weightedMedian(df: DataFrame, keyCol: String,
+      valueCol: Column, weightCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = valueCol.cast("double")
+    val byV = df.groupBy(col(keyCol), v.as("v"))
+      .agg(sum(weightCol.cast("long")).as("w"))
+    val keyW = Window.partitionBy(col(keyCol))
+    val cumW = keyW.orderBy(col("v"))
+    byV
+      .withColumn("cum", sum(col("w")).over(cumW))
+      .withColumn("total", sum(col("w")).over(keyW))
+      .filter(col("cum") * 2 >= col("total"))
+      .groupBy(col(keyCol))
+      .agg(min(col("v")).as("weighted_median"))
+  }
+
+  /** Grouped Gini coefficient from the rank formula
+    * `G = Σᵢ (2i − n − 1)·xᵢ / (n·Σx)` over ascending-sorted values
+    * (i = 1-based rank). Tied values contribute the same total whatever
+    * their order, so any deterministic tie-break gives the same G; the
+    * products run in DECIMAL(12,2)·rank integer space (exact), and the
+    * single edge division is IEEE on identical operands. Requires
+    * non-negative values (callers filter). */
+  def groupedGini(df: DataFrame, keyCol: String, valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = round(valueCol.cast("double"), 2).cast(DecimalType(12, 2))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("x"))
+    val ranked = df.select(col(keyCol), x.as("x"))
+      .withColumn("i", row_number().over(w))
+    val agg = ranked.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("x") * (col("i") * 2)).as("six")) // Σ 2i·xᵢ (exact decimal)
+    agg.select(col(keyCol), col("n"),
+      when(col("sx") =!= 0,
+        (col("six").cast("double") - (col("n") + 1).cast("double") * col("sx").cast("double")) /
+          (col("n").cast("double") * col("sx").cast("double"))).as("gini"))
+  }
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns: the contingency table is one grouped count (|X|·|Y| cells —
+    * tiny however large the input), expected counts come from per-row/
+    * per-column totals over that cell table, and each (O−E)²/E term is
+    * rounded to 12 decimals and summed as DECIMAL(28,12) so aggregation
+    * order can't move bits (same trick as [[groupedEntropy]]). Output one
+    * row: (n, n_rows, n_cols, dof, chi2). */
+  def chiSquare(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol), col(yCol)).agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy(col(xCol)).agg(sum(col("o")).as("rt"))
+    val colTot = cells.groupBy(col(yCol)).agg(sum(col("o")).as("ct"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      count_distinct(col(xCol)).as("n_rows"),
+      count_distinct(col(yCol)).as("n_cols"))
+    val e = col("rt").cast("double") * col("ct").cast("double") / col("n").cast("double")
+    val oD = col("o").cast("double")
+    cells.join(rowTot, xCol).join(colTot, yCol).crossJoin(tot)
+      .withColumn("term",
+        round((oD - e) * (oD - e) / e, 12).cast(DecimalType(28, 12)))
+      .groupBy(col("n"), col("n_rows"), col("n_cols"))
+      .agg(sum(col("term")).cast("double").as("chi2"))
+      .select(col("n"), col("n_rows"), col("n_cols"),
+        ((col("n_rows") - 1) * (col("n_cols") - 1)).as("dof"), col("chi2"))
+  }
 }

@@ -200,6 +200,59 @@ final class SnapshotTable(val root: String) {
   def readPrunedEq(spark: SparkSession, column: String, value: String): DataFrame =
     readPrunedString(spark, column, value, value)
 
+  // ── Per-file Bloom filter index (point lookups off the clustering order) ─
+  //
+  // Min/max stats only skip when the layout is clustered on the probed
+  // column — and a table has ONE clustering order. For every OTHER
+  // high-cardinality column a point lookup still touches all files. The
+  // Delta answer is a bloom filter index; same here: `writeIndexed` builds
+  // a per-file Bloom filter sidecar (`_bloom_v<N>`, built distributed, only
+  // the serialized filters reach the driver), and the bloom-pruned reads
+  // schedule O(1 + fpp·files) scan tasks for an equality probe no matter
+  // how the table is laid out. Pruning is a superset guarantee (Bloom: no
+  // false negatives); the caller still applies the row filter.
+
+  private def bloomPath(v: Int) = new Path(root, s"_bloom_v$v")
+
+  /** [[write]] + min/max stats manifest over `statsCols` + per-file Bloom
+    * filter sidecar over `bloomCols`. Cluster by the range-probed column;
+    * bloom-index the point-probed ones. */
+  def writeIndexed(spark: SparkSession, df: DataFrame,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      bloomFpp: Double = 0.03,
+      clusterBy: Seq[String] = Nil, clusterPartitions: Int = 0): Int = {
+    val v = write(spark, df, Nil, clusterBy, clusterPartitions)
+    val snap = spark.read.parquet(s"$root/_v$v")
+    if (statsCols.nonEmpty)
+      StatsManifest.write(snap, statsCols, fs(spark), statsPath(v))
+    if (bloomCols.nonEmpty)
+      BloomIndex.write(snap, bloomCols, bloomFpp, fs(spark), bloomPath(v))
+    v
+  }
+
+  private def readBloomFiles(spark: SparkSession,
+      prune: Vector[String] => Vector[String]): DataFrame = {
+    val v = currentVersion(spark).getOrElse(
+      throw new IllegalStateException(s"SnapshotTable $root has no committed version"))
+    StatsManifest.readLines(fs(spark), bloomPath(v)).map(prune) match {
+      case None => read(spark)
+      case Some(files) if files.isEmpty => read(spark).limit(0)
+      case Some(files) =>
+        applyTombstones(spark, v,
+          spark.read.option("basePath", s"$root/_v$v").parquet(files: _*))
+    }
+  }
+
+  /** Bloom-pruned point lookup on an integral column: only files whose
+    * filter might contain `value` are scanned. Superset guarantee — apply
+    * the row filter after. */
+  def readPrunedBloomLong(spark: SparkSession, column: String, value: Long): DataFrame =
+    readBloomFiles(spark, BloomIndex.filesMightContainLong(_, column, value))
+
+  /** Bloom-pruned point lookup on a string column. */
+  def readPrunedBloomString(spark: SparkSession, column: String, value: String): DataFrame =
+    readBloomFiles(spark, BloomIndex.filesMightContainString(_, column, value))
+
   /** Change data feed between two committed versions (Delta CDF analog,
     * computed on demand from the immutable snapshots rather than logged at
     * write time): one row per changed key with `_change_type` ∈

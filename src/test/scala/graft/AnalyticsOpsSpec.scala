@@ -48,6 +48,23 @@ class AnalyticsOpsSpec extends AnyFunSuite {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("kCore: cascading peel on K4 + tail; k beyond degeneracy empties; dirty edges") {
+    // K4 on {1,2,3,4} + path 4-5-6; dirty: reversed dup + self-loop
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (2L, 1L), (6L, 6L)).toDF("s", "d")
+    // k=3: 6 peels (deg 1), then 5 (deg 1 after the cascade) → K4 remains
+    val core3 = Graph.kCore(edges, "s", "d", 3).as[(Long, Long)].collect().toMap
+    assert(core3 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k=2: the cascade still strips the tail — 6 first, then 5
+    val core2 = Graph.kCore(edges, "s", "d", 2).as[(Long, Long)].collect().toMap
+    assert(core2 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k above the degeneracy → empty core
+    assert(Graph.kCore(edges, "s", "d", 4).isEmpty)
+    // k=1 keeps every non-self-loop edge endpoint
+    assert(Graph.kCore(edges, "s", "d", 1).count() == 6)
+  }
+
   test("funnel: strictly-ordered stage completion, first-conversion wins") {
     val events = Seq(
       // u1 completes the whole funnel
@@ -289,6 +306,140 @@ class AnalyticsOpsSpec extends AnyFunSuite {
   }
 
   // ── model scoring ────────────────────────────────────────────────────
+
+  test("UnicodeNormalize: NFC recomposes, NFKC folds compatibility chars, SQL form, nulls") {
+    import graft.functions.UnicodeNormalize
+    val df = Seq(
+      (1L, "café"),        // decomposed é
+      (2L, "café"),         // precomposed é
+      (3L, "ﬁnal plan"),    // ﬁ ligature
+      (4L, "plain ascii"),
+      (5L, null.asInstanceOf[String])).toDF("id", "s")
+    val out = df.select($"id",
+        UnicodeNormalize.nfc($"s").as("nfc"),
+        UnicodeNormalize.nfkc($"s").as("nfkc"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out(1L)._1 == "café")            // NFC composes
+    assert(out(1L)._1 == out(2L)._1)             // both forms canonicalize equal
+    assert(out(3L)._1 == "ﬁnal plan")       // NFC preserves compatibility chars
+    assert(out(3L)._2 == "final plan")           // NFKC folds the ligature
+    assert(out(4L)._1 == "plain ascii")          // ASCII fast path: identity
+    assert(out(5L) == (null, null))              // null passthrough
+
+    UnicodeNormalize.register(spark)
+    val viaSql = spark.sql(
+      "SELECT unicode_normalize('café', 'NFC') AS v").as[String].head()
+    assert(viaSql == "café")
+    intercept[Exception] {
+      graft.functions.UnicodeNormalize(
+        org.apache.spark.sql.GraftColumnBridge.expression(lit("x")), "BOGUS")
+    }
+  }
+
+  test("weightedMedian: half-total rule on hand-checkable weights") {
+    // group g: values 1(w3), 2(w1), 3(w2) — total 6, cum(1)=3 → 2·3 ≥ 6 → median 1
+    // group h: values 10(w1), 20(w1) — total 2, cum(10)=1 → 2 ≥ 2 → median 10
+    val df = Seq(("g", 1.0, 3L), ("g", 2.0, 1L), ("g", 3.0, 2L),
+      ("h", 10.0, 1L), ("h", 20.0, 1L)).toDF("k", "v", "w")
+    val got = graft.ops.Stats.weightedMedian(df, "k", col("v"), col("w"))
+      .as[(String, Double)].collect().toMap
+    assert(got == Map("g" -> 1.0, "h" -> 10.0))
+    // uniform weights degrade to the plain lower median
+    val u = Seq(("g", 1.0, 1L), ("g", 2.0, 1L), ("g", 3.0, 1L)).toDF("k", "v", "w")
+    assert(graft.ops.Stats.weightedMedian(u, "k", col("v"), col("w"))
+      .as[(String, Double)].collect().toMap == Map("g" -> 2.0))
+  }
+
+  test("groupedGini: perfect equality → 0, extreme concentration → (n−1)/n, ties stable") {
+    val eq = Seq.fill(5)(("a", 10.0)).toDF("k", "x")
+    val g1 = graft.ops.Stats.groupedGini(eq, "k", col("x")).collect().head
+    assert(math.abs(g1.getDouble(2)) < 1e-12)
+    // one owner takes everything: G = (n-1)/n = 0.75 for n=4
+    val conc = Seq(("b", 0.0), ("b", 0.0), ("b", 0.0), ("b", 100.0)).toDF("k", "x")
+    val g2 = graft.ops.Stats.groupedGini(conc, "k", col("x")).collect().head
+    assert(math.abs(g2.getDouble(2) - 0.75) < 1e-12)
+    // all-zero group → null (sx = 0)
+    val z = Seq(("c", 0.0), ("c", 0.0)).toDF("k", "x")
+    assert(graft.ops.Stats.groupedGini(z, "k", col("x")).collect().head.isNullAt(2))
+  }
+
+  test("welchT: hand-checked t and Welch df; degenerate arms emit null") {
+    // a = {1,2,3,4}: mean 2.5, var 5/3; b = {2,4,6}: mean 4, var 4.
+    // qa = 5/12, qb = 4/3; t = -1.5/sqrt(7/4); df = (7/4)²/((5/12)²/3 + (4/3)²/2)
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 2.0), ("b", 4.0), ("b", 6.0)).toDF("g", "y")
+    val r = graft.ops.Stats.welchT(df, "g", col("y"), "a", "b").collect().head
+    assert(r.getLong(0) == 4 && r.getLong(1) == 3)
+    assert(math.abs(r.getDouble(2) - 2.5) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 4.0) < 1e-12)
+    // t/df are rounded to 6 decimals at the edge
+    val qa = (5.0 / 3.0) / 4.0; val qb = 4.0 / 3.0
+    assert(math.abs(r.getDouble(4) - (-1.5 / math.sqrt(qa + qb))) < 1e-5)
+    assert(math.abs(r.getDouble(5) -
+      (qa + qb) * (qa + qb) / (qa * qa / 3.0 + qb * qb / 2.0)) < 1e-5)
+
+    // single-element arm → null t/df, means still reported
+    val deg = Seq(("a", 1.0), ("b", 2.0), ("b", 3.0)).toDF("g", "y")
+    val d = graft.ops.Stats.welchT(deg, "g", col("y"), "a", "b").collect().head
+    assert(d.isNullAt(4) && d.isNullAt(5))
+    // zero-variance both arms → se = 0 → null
+    val z = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0)).toDF("g", "y")
+    val zr = graft.ops.Stats.welchT(z, "g", col("y"), "a", "b").collect().head
+    assert(zr.isNullAt(4) && zr.isNullAt(5))
+  }
+
+  test("chiSquare: hand-checked 2×2 statistic; independent columns give ~0") {
+    // contingency [[10, 20], [20, 10]]: n=60, all margins 30, E=7.5/15
+    // chi2 = 4 * (5)²/ ... = (2.5²/7.5)*0 — compute: rows {a: (10,20)},
+    // {b: (20,10)}; E(each cell) = 30*30/60 = 15; chi2 = 4*(5²/15) = 20/3.
+    val rows =
+      Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(20)(("b", "x")) ++ Seq.fill(10)(("b", "y"))
+    val r = graft.ops.Stats.chiSquare(rows.toDF("u", "v"), "u", "v").collect().head
+    assert(r.getLong(0) == 60 && r.getLong(1) == 2 && r.getLong(2) == 2)
+    assert(r.getLong(3) == 1)
+    assert(math.abs(r.getDouble(4) - 20.0 / 3.0) < 1e-9)
+
+    // perfectly proportional margins → chi2 = 0
+    val ind = Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(20)(("b", "y"))
+    val ir = graft.ops.Stats.chiSquare(ind.toDF("u", "v"), "u", "v").collect().head
+    assert(math.abs(ir.getDouble(4)) < 1e-9)
+  }
+
+  test("gridNearJoin ≡ brute-force radius scan; cell-boundary pairs included") {
+    // points straddling cell boundaries at radius 2.0: (0,0)-(1.9,0) cross
+    // a cell edge; (0,0)-(2.1,0) just outside; exact-radius pair included
+    val pts = Seq(
+      (1L, 0.0, 0.0), (2L, 1.9, 0.0), (3L, 2.1, 0.0), (4L, 0.0, 2.0),
+      (5L, 10.0, 10.0), (6L, 11.0, 11.0), (7L, -1.0, -1.0)
+    ).toDF("id", "x", "y")
+    val got = graft.ops.Relational.gridNearJoin(pts, pts, "id", "x", "y", 2.0)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val arr = pts.as[(Long, Double, Double)].collect()
+    val want = (for {
+      (ia, xa, ya) <- arr; (ib, xb, yb) <- arr
+      if ia < ib && math.sqrt((xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)) <= 2.0
+    } yield (ia, ib)).toSet
+    assert(got == want)
+    assert(got.contains((1L, 4L)) && got.contains((1L, 2L)) && !got.contains((1L, 3L)))
+  }
+
+  test("gridNearJoin ≡ brute force on a dense random cloud") {
+    val rng = new scala.util.Random(7)
+    val pts = (1L to 300L).map(i =>
+      (i, rng.nextDouble() * 20, rng.nextDouble() * 20)).toDF("id", "x", "y")
+    val got = graft.ops.Relational.gridNearJoin(pts, pts, "id", "x", "y", 1.5)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val arr = pts.as[(Long, Double, Double)].collect()
+    val want = (for {
+      (ia, xa, ya) <- arr; (ib, xb, yb) <- arr
+      if ia < ib && math.sqrt((xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)) <= 1.5
+    } yield (ia, ib)).toSet
+    assert(want.nonEmpty && got == want)
+  }
 
   test("modelScore: bounded, 6-decimal, orders clean text above junk") {
     val docs = Seq(

@@ -247,6 +247,65 @@ class EngineCoreSpec extends AnyFunSuite {
     assert(t.readPrunedEq(spark, "k", "zzz").columns.toSeq == Seq("id", "k", "longk"))
   }
 
+  test("MaterializedJoin: chained insert-only refreshes ≡ from-scratch rebuild") {
+    import graft.tables.MaterializedJoin
+    val mv = new MaterializedJoin(new SnapshotTable(tmp("mv")), Seq("k"))
+    def a(r: Range) = r.map(i => (i % 10, s"a$i")).toDF("k", "av")
+    def b(r: Range) = r.map(i => (i % 10, s"b$i")).toDF("k", "bv")
+    mv.initialize(spark, a(0 until 40), b(0 until 20))
+    // two consecutive delta batches
+    mv.refresh(spark, a(0 until 40), a(40 until 60), b(0 until 20), b(20 until 30))
+    mv.refresh(spark, a(0 until 60), a(60 until 70), b(0 until 30), b(30 until 45))
+    val got = mv.read(spark).as[(Int, String, String)].collect().sorted.toSeq
+    val want = a(0 until 70).join(b(0 until 45), Seq("k"))
+      .as[(Int, String, String)].collect().sorted.toSeq
+    assert(got == want)
+    // time travel still sees the pre-refresh view
+    assert(mv.view.readVersion(spark, 1).count() ==
+      a(0 until 40).join(b(0 until 20), Seq("k")).count())
+  }
+
+  test("SnapshotTable: per-file Bloom index prunes point lookups off the clustering order") {
+    val t = new SnapshotTable(tmp("bloom"))
+    // clustered by x — so min/max stats CANNOT skip on k (every file's
+    // k-range spans the domain); the bloom index must do the work
+    val df = spark.range(2000).toDF("x")
+      .withColumn("k", pmod(col("x") * 1103515245L % 2000000011L, lit(100000)))
+      .withColumn("s", format_string("u%05d", pmod(col("x") * 48271L, lit(100000))))
+    t.writeIndexed(spark, df, bloomCols = Seq("k", "s"), bloomFpp = 0.01,
+      clusterBy = Seq("x"), clusterPartitions = 16)
+    val full = t.read(spark)
+    val nFiles = full.inputFiles.length
+    assert(nFiles >= 8)
+
+    // present long key: exact rows, fewer files scheduled
+    val probe = full.orderBy(col("x")).select("k").as[Long].head()
+    val prunedL = t.readPrunedBloomLong(spark, "k", probe)
+    assert(prunedL.inputFiles.length < nFiles,
+      s"expected bloom pruning: ${prunedL.inputFiles.length} vs $nFiles")
+    assert(prunedL.filter(col("k") === probe).collect().toSet ==
+      full.filter(col("k") === probe).collect().toSet)
+
+    // present string key
+    val sProbe = full.orderBy(col("x")).select("s").as[String].head()
+    val prunedS = t.readPrunedBloomString(spark, "s", sProbe)
+    assert(prunedS.inputFiles.length < nFiles)
+    assert(prunedS.filter(col("s") === sProbe).collect().toSet ==
+      full.filter(col("s") === sProbe).collect().toSet)
+
+    // absent keys: across many probes, false positives stay near fpp
+    val absentHits = (1 to 25).map(i => t.readPrunedBloomLong(spark, "k", 7000000L + i)
+      .inputFiles.length).sum
+    assert(absentHits <= 0.2 * 25 * nFiles, s"fpp blowout: $absentHits files kept")
+
+    // superset guarantee over every key of one file's domain slice
+    val keys = full.filter(col("x") < 20).select("k").as[Long].collect()
+    keys.foreach { kk =>
+      assert(t.readPrunedBloomLong(spark, "k", kk).filter(col("k") === kk).count() ==
+        full.filter(col("k") === kk).count())
+    }
+  }
+
   test("mortonCode: known interleavings; Z-clustered stats prune on either dimension") {
     import graft.ops.Relational
     // morton(2,3): a bit1→pos2 (4), b bits0,1→pos1,3 (2+8) = 14

