@@ -31,7 +31,7 @@ object SparkEntry {
     Set("q29_simhash_groups", "q30_ann_lsh", "q31_multimodal_decode", "q43_ann_ivf",
       "q55_sketches", "q61_ann_ivf_kmeans", "q69_simhash_pairs", "q82_sequence_packing",
       "q93_vector_index", "q107_global_packing", "q138_sketch_merge", "q146_ann_pq",
-      "q183_bpe_merges")
+      "q183_bpe_merges", "q194_bpe_encode")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -2925,12 +2925,8 @@ object SparkEntry {
     //    query, all codegen'd window + array functions.
     "q182_session_paths" -> ((s, dir) => {
       import s.implicits._
-      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-      val sess = Tables.events(s, dir)
-        .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
-        .withColumn("new_s", when($"prev_us".isNull ||
-          unix_micros($"ts") - $"prev_us" > 1800L * 1000000L, 1L).otherwise(0L))
-        .withColumn("session", sum($"new_s").over(w))
+      val sess = graft.ops.Funnel.sessionize(
+        Tables.events(s, dir), "user_id", "ts", "event_id", gapSeconds = 1800L)
       sess.groupBy($"user_id", $"session")
         .agg(slice(array_sort(collect_list(
           struct($"ts", $"event_id", $"event_type"))), 1, 5).as("evs"))
@@ -3097,6 +3093,97 @@ object SparkEntry {
           length(graft.functions.UnicodeNormalize.nfc($"s")).cast("long").as("len_nfc"),
           md5(graft.functions.UnicodeNormalize.nfc($"s")).as("fp_nfc"))
         .orderBy($"doc_id")
+    }),
+
+    // ── Streaming sessionization with EVENT-TIME TIMERS (StatefulOps.
+    //    sessionizeTws): per-user session state + a store-managed timer at
+    //    last-event + gap; sessions emit from handleExpiredTimer when the
+    //    watermark passes. Deterministically oracle-able under AvailableNow:
+    //    within-batch gap splits emit unconditionally, and each user's
+    //    final session emits iff it closed before the terminal watermark
+    //    (= max event time at 0s delay) — exactly what the SQL computes.
+    "q193_streaming_sessions" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("stws").toString
+      Tables.events(s, dir).select($"user_id", $"ts")
+        .coalesce(1).write.parquet(s"$work/src")
+      val schema = s.read.parquet(s"$work/src").schema
+      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        withShufflePartitions(s, 8) {
+          val stream = s.readStream.schema(schema).parquet(s"$work/src")
+            .withWatermark("ts", "0 seconds")
+            .as[(Long, java.sql.Timestamp)]
+          val q = graft.streaming.StatefulOps.sessionizeTws(stream, gapMs = 1800000L)
+            .toDF()
+            .writeStream.format("parquet")
+            .option("checkpointLocation", s"$work/ck")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start(s"$work/out")
+          q.awaitTermination()
+        }
+      } finally prev match {
+        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      s.read.parquet(s"$work/out")
+        .select($"user".as("uid"), $"startMs", $"endMs", $"nEvents")
+        .orderBy($"uid", $"startMs")
+    }),
+
+    // ── BPE inference (BpeTrainer.encode): the learned merge table applied
+    //    over the distinct-word vocabulary, docs tokenized by hash probe.
+    //    Rows-only (the greedy fold isn't SQL); train/encode round-trip
+    //    algebra is proven in LlmOpsSpec.
+    "q194_bpe_encode" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val merges = graft.llm.BpeTrainer.train(docs, "text", numMerges = 12)
+        .orderBy($"step")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.llm.BpeTrainer.encode(docs, "doc_id", "text", merges)
+        .select($"id", $"n_tokens")
+        .orderBy($"id")
+    }),
+
+    // ── Exact percentile bands (Stats.percentileDisc): p25/50/75/90 per
+    //    line status — the division-free half-total rule generalized;
+    //    integer comparisons end to end.
+    "q195_percentile_bands" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Stats.percentileDisc(Tables.lineitem(s, dir), "l_linestatus",
+          $"l_extendedprice", Seq(25, 50, 75, 90))
+        .orderBy($"l_linestatus", $"p")
+    }),
+
+    // ── Systematic sampling without a 1-task sort: every 200th order in
+    //    o_orderkey order via globalRowNumbers (range partition + driver
+    //    prefix-sum — no Exchange SinglePartition), ≡ ROW_NUMBER in SQL.
+    "q196_systematic_sample" -> ((s, dir) => {
+      import s.implicits._
+      Relational.globalRowNumbers(
+          Tables.orders(s, dir).select($"o_orderkey", $"o_totalprice"),
+          order = Seq("o_orderkey"))
+        .filter(($"rn" - 1) % 200 === 0)
+        .select($"rn", $"o_orderkey", $"o_totalprice")
+        .orderBy($"rn")
+    }),
+
+    // ── Benford first-digit audit: leading-digit distribution of order
+    //    totals vs Benford expectation. Digit extraction goes through the
+    //    DECIMAL(18,2) string rendering (portable), never log10.
+    "q197_benford" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables.orders(s, dir)
+        .filter($"o_totalprice" > 0)
+        .withColumn("digit",
+          substring(Relational.money($"o_totalprice").cast("string"), 1, 1).cast("long"))
+      val tot = d.count()
+      d.groupBy($"digit").agg(count(lit(1)).as("n"))
+        .withColumn("freq", round($"n".cast("double") / lit(tot.toDouble), 6))
+        .orderBy($"digit")
     }),
   )
 
@@ -4956,5 +5043,54 @@ object SparkEntry {
         |  length(nfc_normalize(s)) AS len_nfc,
         |  md5(nfc_normalize(s)) AS fp_nfc
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q193_streaming_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, epoch_ms(ts) AS ms,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |s AS (
+        |  SELECT *, sum(CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts) AS sess
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id AS uid, sess, min(ms) AS startMs, max(ms) AS endMs,
+        |    count(*) AS nEvents
+        |  FROM s GROUP BY 1, 2),
+        |g2 AS (SELECT *, max(sess) OVER (PARTITION BY uid) AS last_sess FROM g),
+        |m AS (SELECT max(epoch_ms(ts)) AS wm FROM events)
+        |SELECT uid, startMs, endMs, nEvents
+        |FROM g2 CROSS JOIN m
+        |WHERE sess < last_sess OR endMs + 1800000 <= wm
+        |ORDER BY uid, startMs""".stripMargin,
+
+    "q195_percentile_bands" ->
+      """WITH byv AS (
+        |  SELECT l_linestatus, CAST(l_extendedprice AS DOUBLE) AS v, count(*) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_linestatus, v,
+        |    sum(w) OVER (PARTITION BY l_linestatus ORDER BY v) AS cum,
+        |    sum(w) OVER (PARTITION BY l_linestatus) AS total
+        |  FROM byv),
+        |x AS (SELECT * FROM c, UNNEST([25, 50, 75, 90]) AS t(p))
+        |SELECT l_linestatus, p, min(v) AS value
+        |FROM x WHERE cum * 100 >= p * total
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q196_systematic_sample" ->
+      """SELECT rn, o_orderkey, o_totalprice FROM (
+        |  SELECT row_number() OVER (ORDER BY o_orderkey) AS rn, o_orderkey, o_totalprice
+        |  FROM orders)
+        |WHERE (rn - 1) % 200 = 0 ORDER BY rn""".stripMargin,
+
+    "q197_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders WHERE o_totalprice > 0),
+        |t AS (SELECT count(*) AS tot FROM d)
+        |SELECT digit, count(*) AS n,
+        |  round(CAST(count(*) AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS freq
+        |FROM d CROSS JOIN t GROUP BY digit, tot ORDER BY digit""".stripMargin,
   )
 }

@@ -43,6 +43,30 @@ object BpeTrainer {
       acc => flush(acc))
   }
 
+  /** Tokenize `textCol` with an already-learned merge table, applied in
+    * merge order — the inference half of the trainer. Scale shape: merges
+    * run once over the DISTINCT-word vocabulary (a tiny table next to the
+    * corpus), and documents pick up their tokens through an equi-join on
+    * the word — the per-row work at 100 TB is a hash probe, not k merge
+    * folds. Output: (id, tokens, n_tokens), token order = word order. */
+  def encode(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val docWords = df.select(col(idCol).as("id"),
+        posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    var vocab = docWords.select("w").distinct()
+      .withColumn("toks", filter(split(col("w"), ""), t => t =!= ""))
+    merges.foreach { case (a, b) =>
+      vocab = vocab.withColumn("toks", mergePair(col("toks"), a, b))
+    }
+    docWords.join(vocab, "w")
+      .groupBy(col("id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("toks")))),
+        x => x.getField("toks"))).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")))
+  }
+
   /** Train `numMerges` BPE merges over the whitespace-tokenized, lowercased
     * words of `textCol`. Initial tokens are single characters. Stops early
     * when no adjacent pair occurs at least `minFreq` times. */

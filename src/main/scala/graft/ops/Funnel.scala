@@ -20,6 +20,27 @@ import org.apache.spark.sql.functions._
   */
 object Funnel {
 
+  /** Gap-based sessionization: assign every event a per-user session
+    * ordinal — a new session starts when the gap to the user's previous
+    * event exceeds `gapSeconds`. One per-user window (lag + running sum of
+    * session starts); nothing orders the corpus globally, and the window
+    * partitions by the same key every downstream per-session aggregation
+    * groups by, so the sort is reused. `tieCol` breaks equal-timestamp
+    * ties so the ordering (and therefore session assignment) is total and
+    * engine-portable. Appends `session` (long, 1-based per user). */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, gapSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    events
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__prev", lag(col("__us"), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        col("__us") - col("__prev") > gapSeconds * 1000000L, 1L).otherwise(0L))
+      .withColumn("session", sum(col("__new")).over(w))
+      .drop("__us", "__prev", "__new")
+  }
+
   /** Per-stage completion counts. A user completes stage i when they have
     * an event of `stages(i)` strictly after their stage-(i-1) completion
     * time (earliest such event wins — the canonical "first conversion"

@@ -200,6 +200,32 @@ object Stats {
       .agg(min(col("v")).as("weighted_median"))
   }
 
+  /** Exact grouped discrete percentiles, division-free: for each integer
+    * percent p, the smallest value whose cumulative count satisfies
+    * `100·cum ≥ p·total` — [[weightedMedian]]'s half-total rule
+    * generalized to any band set. One (key, value) count, one per-key
+    * cumulative window, then every requested band reads off the same
+    * cumulated table (the explode multiplies rows by |percents|, a
+    * constant). Integer comparisons only — engine-exact. Output:
+    * (key, p, value). */
+  def percentileDisc(df: DataFrame, keyCol: String,
+      valueCol: Column, percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      "percents must be integers in [1, 100]")
+    import org.apache.spark.sql.expressions.Window
+    val v = valueCol.cast("double")
+    val byV = df.groupBy(col(keyCol), v.as("v"))
+      .agg(count(lit(1)).as("w"))
+    val keyW = Window.partitionBy(col(keyCol))
+    byV
+      .withColumn("cum", sum(col("w")).over(keyW.orderBy(col("v"))))
+      .withColumn("total", sum(col("w")).over(keyW))
+      .withColumn("p", explode(array(percents.map(p => lit(p)): _*)))
+      .filter(col("cum") * 100 >= col("p") * col("total"))
+      .groupBy(col(keyCol), col("p"))
+      .agg(min(col("v")).as("value"))
+  }
+
   /** Grouped Gini coefficient from the rank formula
     * `G = Σᵢ (2i − n − 1)·xᵢ / (n·Σx)` over ascending-sorted values
     * (i = 1-based rank). Tied values contribute the same total whatever

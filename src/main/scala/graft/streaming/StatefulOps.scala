@@ -118,4 +118,79 @@ object StatefulOps {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
   }
+
+  // ── Event-time timer sessionization (transformWithState + timers) ──────
+
+  /** A closed session: emitted when the event-time watermark passes the
+    * last event plus the gap — the streaming-native answer to "the user
+    * stopped"; no poll loop, no processing-time coupling. Times in ms. */
+  case class SessionOut(user: Long, startMs: Long, endMs: Long, nEvents: Long)
+
+  /** Per-user gap sessionization with EVENT-TIME TIMERS: state holds the
+    * open session (start, last, count); every batch re-arms one timer at
+    * `last + gap`, and the session is emitted from `handleExpiredTimer`
+    * when the watermark crosses it — state is cleared, so memory is one
+    * tuple per ACTIVE user, not per user ever seen. Within-batch gap
+    * splits emit immediately (they can never reopen). This is the timer
+    * surface `flatMapGroupsWithState` never had cleanly: the old API
+    * couples timeouts to batch planning; timers here are store-managed
+    * and fire exactly when the watermark says so. */
+  class SessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp), SessionOut] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("sess",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionOut] = {
+      val times = rows.map(_._2.getTime).toArray.sorted
+      var closed = List.empty[SessionOut]
+      var cur = Option(st.get())
+      times.foreach { t =>
+        cur match {
+          case Some((s0, l0, n0)) if t - l0 <= gapMs =>
+            cur = Some((s0, math.max(l0, t), n0 + 1))
+          case Some((s0, l0, n0)) =>
+            closed ::= SessionOut(key, s0, l0, n0)
+            cur = Some((t, t, 1L))
+          case None =>
+            cur = Some((t, t, 1L))
+        }
+      }
+      cur.foreach { case (s0, l0, n0) =>
+        st.update((s0, l0, n0))
+        getHandle.listTimers().foreach(getHandle.deleteTimer) // re-arm
+        getHandle.registerTimer(l0 + gapMs)
+      }
+      closed.reverseIterator
+    }
+
+    override def handleExpiredTimer(key: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] =
+      Option(st.get()) match {
+        case Some((s0, l0, n0)) if info.getExpiryTimeInMs >= l0 + gapMs =>
+          st.clear()
+          Iterator.single(SessionOut(key, s0, l0, n0))
+        case _ => Iterator.empty // superseded timer of an extended session
+      }
+  }
+
+  /** Sessionize a watermarked (user, event-time) stream; emits each
+    * session once, when the watermark passes its close. */
+  def sessionizeTws(ds: Dataset[(Long, java.sql.Timestamp)],
+      gapMs: Long): Dataset[SessionOut] = {
+    implicit val outEnc: Encoder[SessionOut] = Encoders.product[SessionOut]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    ds.groupByKey(_._1)
+      .transformWithState(new SessionProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
 }

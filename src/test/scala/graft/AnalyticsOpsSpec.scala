@@ -65,6 +65,25 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(Graph.kCore(edges, "s", "d", 1).count() == 6)
   }
 
+  test("sessionize: gap starts a new session; ties share one; numbering is per user") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-01 10:20:00"), 2L), // 20 min — same session
+      (1L, ts("2024-01-01 11:00:00"), 3L), // 40 min — new session
+      (1L, ts("2024-01-01 11:00:00"), 4L), // tie — same session
+      (2L, ts("2024-01-01 09:00:00"), 5L)  // other user restarts numbering
+    ).toDF("user_id", "ts", "event_id")
+    val got = Funnel.sessionize(ev, "user_id", "ts", "event_id", gapSeconds = 1800L)
+      .select($"event_id", $"session").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+    // exact 30-minute gap does NOT split (strictly-greater rule)
+    val edge = Seq((1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-01 10:30:00"), 2L)).toDF("user_id", "ts", "event_id")
+    assert(Funnel.sessionize(edge, "user_id", "ts", "event_id", 1800L)
+      .select($"session").as[Long].collect().toSet == Set(1L))
+  }
+
   test("funnel: strictly-ordered stage completion, first-conversion wins") {
     val events = Seq(
       // u1 completes the whole funnel
@@ -348,6 +367,22 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     val u = Seq(("g", 1.0, 1L), ("g", 2.0, 1L), ("g", 3.0, 1L)).toDF("k", "v", "w")
     assert(graft.ops.Stats.weightedMedian(u, "k", col("v"), col("w"))
       .as[(String, Double)].collect().toMap == Map("g" -> 2.0))
+  }
+
+  test("percentileDisc: band picks on hand-checkable cumulative counts") {
+    // 1..10 in one group: p25 → cum ≥ 2.5 → 3; p50 → 5; p75 → 8; p100 → 10
+    val df = (1 to 10).map(i => ("g", i.toDouble)).toDF("k", "v")
+    val got = graft.ops.Stats.percentileDisc(df, "k", col("v"), Seq(25, 50, 75, 100))
+      .as[(String, Int, Double)].collect().map { case (_, p, v) => p -> v }.toMap
+    assert(got == Map(25 -> 3.0, 50 -> 5.0, 75 -> 8.0, 100 -> 10.0))
+    // duplicated mass shifts bands: {1,1,1,9} → p50 lands on 1, p90 on 9
+    val dup = Seq(("h", 1.0), ("h", 1.0), ("h", 1.0), ("h", 9.0)).toDF("k", "v")
+    val got2 = graft.ops.Stats.percentileDisc(dup, "k", col("v"), Seq(50, 90))
+      .as[(String, Int, Double)].collect().map { case (_, p, v) => p -> v }.toMap
+    assert(got2 == Map(50 -> 1.0, 90 -> 9.0))
+    intercept[IllegalArgumentException] {
+      graft.ops.Stats.percentileDisc(df, "k", col("v"), Seq(0))
+    }
   }
 
   test("groupedGini: perfect equality → 0, extreme concentration → (n−1)/n, ties stable") {

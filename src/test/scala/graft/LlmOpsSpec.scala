@@ -58,6 +58,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(capped == Seq((1, "a", "a", 5L)))
   }
 
+  test("BpeTrainer.encode: merges apply in order; round-trip preserves text; unseen words tokenize") {
+    val corpus = Seq((1L, "aaab aaab aab")).toDF("doc_id", "text")
+    val merges = graft.llm.BpeTrainer.train(corpus, "text", numMerges = 10)
+      .orderBy($"step").as[(Int, String, String, Long)].collect()
+      .map(m => (m._2, m._3)).toSeq
+    // training corpus words reproduce the trainer's final tokenization
+    val enc = graft.llm.BpeTrainer.encode(corpus, "doc_id", "text", merges)
+      .select($"tokens").as[Seq[String]].head()
+    assert(enc == Seq("aaab", "aaab", "aa", "b"))
+    // unseen text tokenizes with the same merges; concatenation round-trips
+    val novel = Seq((9L, "ab aaa ba")).toDF("doc_id", "text")
+    val novelToks = graft.llm.BpeTrainer.encode(novel, "doc_id", "text", merges)
+      .select($"tokens").as[Seq[String]].head()
+    assert(novelToks == Seq("ab", "aa", "a", "b", "a"))
+    assert(novelToks.mkString == "abaaaba")
+  }
+
   test("simhash: identical normalized texts collide, different texts don't all collide") {
     val df = Seq((1L, "Spark query engine"), (2L, "spark  QUERY engine!"), (3L, "totally different words here"))
       .toDF("doc_id", "text")

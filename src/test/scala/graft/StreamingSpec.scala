@@ -373,6 +373,49 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("StatefulOps.sessionizeTws: event-time timers close sessions when the watermark passes") {
+    val work = tmp("sesstws")
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      val cfg = AutoIngest.Config(s"$work/src/*", s"$work/schema", s"$work/ck")
+      def run(): Unit = {
+        val stream = AutoIngest.readStream(spark, cfg).drop("_rescued_data")
+          .withWatermark("t", "0 seconds")
+          .as[(Long, java.sql.Timestamp)]
+        val sessions = graft.streaming.StatefulOps.sessionizeTws(
+          stream, gapMs = 30 * 60 * 1000L)
+        AutoIngest.appendOnce(sessions.toDF(), s"$work/sink", cfg.checkpointDir)
+      }
+      // two events 5 min apart — one open session for user 1
+      Seq((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:05:00")))
+        .toDF("u", "t").coalesce(1).write.parquet(s"$work/src/f1")
+      run()
+      // watermark advances to 12:00 AFTER this batch commits
+      Seq((2L, ts("2024-01-01 12:00:00")))
+        .toDF("u", "t").coalesce(1).write.parquet(s"$work/src/f2")
+      run()
+      // this batch plans with watermark 12:00 > 10:35 — user 1's timer fires
+      Seq((3L, ts("2024-01-01 13:00:00")))
+        .toDF("u", "t").coalesce(1).write.parquet(s"$work/src/f3")
+      run()
+      val out = spark.read.parquet(s"$work/sink")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // the final no-data micro-batch advances the watermark to 13:00,
+      // which passes user 2's 12:30 timer as well — both sessions close;
+      // user 3 (13:00 + gap > watermark) must still be open
+      assert(out == Set(
+        (1L, ts("2024-01-01 10:00:00").getTime, ts("2024-01-01 10:05:00").getTime, 2L),
+        (2L, ts("2024-01-01 12:00:00").getTime, ts("2024-01-01 12:00:00").getTime, 1L)),
+        s"got $out")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream-stream join: two watermarked file streams join within the time bound") {
     val work = tmp("s2s")
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
