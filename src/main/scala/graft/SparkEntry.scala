@@ -3185,6 +3185,90 @@ object SparkEntry {
         .withColumn("freq", round($"n".cast("double") / lit(tot.toDouble), 6))
         .orderBy($"digit")
     }),
+
+    // ── Exact per-label embedding centroids (Similarity.labelCentroids):
+    //    the class-prototype computation (centroid classifier, IVF
+    //    seeding, drift probe). Shuffle keys are (label, dim) — bounded
+    //    however many vectors stream through; decimal-quantized sums are
+    //    aggregation-order-proof.
+    "q198_label_centroids" -> ((s, dir) => {
+      import s.implicits._
+      graft.llm.Similarity.labelCentroids(
+          Tables.embeddings(s, dir), "label", "embedding")
+        .orderBy($"label", $"dim")
+    }),
+
+    // ── Population stability index (Stats.psi): value drift between the
+    //    first and second half of the event window over 12 fixed bins —
+    //    the standard model-monitoring alarm, decimal term sums like
+    //    entropy/chi-square.
+    "q199_psi" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      graft.ops.Stats.psi(
+        ev.filter($"ts" < lit("2024-01-16 00:00:00").cast("timestamp")),
+        ev.filter($"ts" >= lit("2024-01-16 00:00:00").cast("timestamp")),
+        $"value", lo = 0.0, hi = 600.0, nbins = 12)
+    }),
+
+    // ── Entity resolution: fuzzy customer-name match, BLOCKED by nation
+    //    (the blocking key bounds the quadratic inside each block — the
+    //    standard record-linkage shape; q164 is the unblocked Hamming
+    //    variant). Levenshtein is codegen'd and identically defined in
+    //    both engines.
+    "q200_entity_resolution" -> ((s, dir) => {
+      import s.implicits._
+      val c = Tables.customer(s, dir)
+        .select($"c_custkey", $"c_nationkey", lower(trim($"c_name")).as("nm"))
+      c.as("a").join(c.as("b"),
+          $"a.c_nationkey" === $"b.c_nationkey" && $"a.c_custkey" < $"b.c_custkey")
+        .filter(levenshtein($"a.nm", $"b.nm") <= 2)
+        .select($"a.c_custkey".as("id_a"), $"b.c_custkey".as("id_b"),
+          levenshtein($"a.nm", $"b.nm").cast("long").as("dist"))
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // ── Join-key skew report (Relational.keySkew): the one-row diagnostic
+    //    every salt-factor / AQE-threshold decision reads first.
+    "q201_key_skew" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Relational.keySkew(Tables.lineitem(s, dir), "l_suppkey")
+    }),
+
+    // ── Deterministic grouped mode: the most frequent priority per order
+    //    month, ties broken by the smaller value (built-in `mode()` is
+    //    tie-arbitrary — useless for an oracle; max_by on the packed
+    //    (count, reversed-value) pair is total-ordered).
+    "q202_grouped_mode" -> ((s, dir) => {
+      import s.implicits._
+      val counts = Tables.orders(s, dir)
+        .groupBy(date_trunc("month", $"o_orderdate").as("month"), $"o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy($"month")
+        .orderBy($"cnt".desc, $"o_orderpriority")
+      counts.withColumn("rk", row_number().over(w))
+        .filter($"rk" === 1)
+        .select($"month", $"o_orderpriority".as("mode_priority"), $"cnt")
+        .orderBy($"month")
+    }),
+
+    // ── Sequence-gap detection (the DW id-audit): ranges of missing
+    //    o_orderkey values via lead over the ordered key — gap rows are
+    //    (gap_start, gap_end, missing). Windows partition nothing here by
+    //    design, but the input is the KEY COLUMN ONLY (pushed projection)
+    //    and at 100 TB the same query runs per key-range partition.
+    "q203_sequence_gaps" -> ((s, dir) => {
+      import s.implicits._
+      // the synthetic keys are dense — simulate loss (every 97th order)
+      // so the audit has something to find
+      Tables.orders(s, dir).select($"o_orderkey")
+        .filter($"o_orderkey" % 97 =!= 0)
+        .withColumn("nxt", lead($"o_orderkey", 1).over(Window.orderBy($"o_orderkey")))
+        .filter($"nxt".isNotNull && $"nxt" - $"o_orderkey" > 1)
+        .select(($"o_orderkey" + 1).as("gap_start"), ($"nxt" - 1).as("gap_end"),
+          ($"nxt" - $"o_orderkey" - 1).as("missing"))
+        .orderBy($"gap_start")
+    }),
   )
 
   /** DuckDB-runnable oracle per query (same tables, same column names). */
@@ -5092,5 +5176,66 @@ object SparkEntry {
         |SELECT digit, count(*) AS n,
         |  round(CAST(count(*) AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS freq
         |FROM d CROSS JOIN t GROUP BY digit, tot ORDER BY digit""".stripMargin,
+
+    "q198_label_centroids" ->
+      """SELECT label, CAST(i - 1 AS BIGINT) AS dim, count(*) AS n,
+        |  round(CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(20,6))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS centroid
+        |FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+        |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    "q199_psi" ->
+      """WITH b AS (
+        |  SELECT least(CAST(floor((value - 0.0) / (600.0 - 0.0) * 12) AS BIGINT), 11) AS bin,
+        |    count(*) AS cb
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+        |    AND value >= 0.0 AND value <= 600.0 GROUP BY 1),
+        |c AS (
+        |  SELECT least(CAST(floor((value - 0.0) / (600.0 - 0.0) * 12) AS BIGINT), 11) AS bin,
+        |    count(*) AS cc
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |    AND value >= 0.0 AND value <= 600.0 GROUP BY 1),
+        |j AS (SELECT * FROM b JOIN c USING (bin)),
+        |t AS (SELECT CAST(sum(cb) AS BIGINT) AS tb, CAST(sum(cc) AS BIGINT) AS tc FROM j)
+        |SELECT max(tb) AS n_base, max(tc) AS n_cmp, count(*) AS n_bins_used,
+        |  round(CAST(sum(CAST(round(
+        |    (CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE) - CAST(cc AS DOUBLE) / CAST(tc AS DOUBLE))
+        |    * ln((CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)) / (CAST(cc AS DOUBLE) / CAST(tc AS DOUBLE))), 12)
+        |    AS DECIMAL(28,12))) AS DOUBLE), 6) + 0.0 AS psi
+        |FROM j CROSS JOIN t""".stripMargin,
+
+    "q200_entity_resolution" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(lower(trim(a.c_name)), lower(trim(b.c_name))) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(lower(trim(a.c_name)), lower(trim(b.c_name))) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q201_key_skew" ->
+      """WITH c AS (SELECT l_suppkey, count(*) AS c FROM lineitem GROUP BY 1)
+        |SELECT CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_keys, max(c) AS max_cnt,
+        |  round(CAST(max(c) AS DOUBLE) * CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS skew
+        |FROM c""".stripMargin,
+
+    "q202_grouped_mode" ->
+      """WITH counts AS (
+        |  SELECT date_trunc('month', o_orderdate) AS month, o_orderpriority,
+        |    count(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY month ORDER BY cnt DESC, o_orderpriority) AS rk
+        |  FROM counts)
+        |SELECT month, o_orderpriority AS mode_priority, cnt
+        |FROM r WHERE rk = 1 ORDER BY month""".stripMargin,
+
+    "q203_sequence_gaps" ->
+      """WITH k AS (
+        |  SELECT o_orderkey, lead(o_orderkey) OVER (ORDER BY o_orderkey) AS nxt
+        |  FROM orders WHERE o_orderkey % 97 <> 0)
+        |SELECT o_orderkey + 1 AS gap_start, nxt - 1 AS gap_end,
+        |  nxt - o_orderkey - 1 AS missing
+        |FROM k WHERE nxt IS NOT NULL AND nxt - o_orderkey > 1
+        |ORDER BY gap_start""".stripMargin,
   )
 }

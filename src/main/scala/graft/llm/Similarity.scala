@@ -34,6 +34,26 @@ object Similarity {
     * `queries` and `corpus` both need (`idCol`, `vecCol`). Self-matches are
     * excluded; ties broken by neighbor id (deterministic). The corpus side
     * pre-normalizes once (norms are computed per row, not per pair). */
+  /** Exact per-label centroids of an embedding column, one row per
+    * (label, dim): dimension values are decimal-quantized before the sum
+    * so partial-aggregation order can't move bits, and the mean divides
+    * exact operands — engine-portable with the usual round(6) edge. The
+    * shuffle carries (label, dim) keys — |labels|·|dims| groups however
+    * many vectors stream through, which is what a 100 TB class-prototype
+    * computation (centroid classifier / IVF seeding / drift probe)
+    * needs. */
+  def labelCentroids(embs: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    embs
+      .select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("x").cast("double"), 6).cast(DecimalType(20, 6))).as("s"))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        col("n"),
+        round(col("s").cast("double") / col("n").cast("double"), 6).as("centroid"))
+  }
+
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {

@@ -320,6 +320,21 @@ object Relational {
       .select(col("bin"), col("bin_lo"), col("bin_hi"), col("cnt"))
   }
 
+  /** One-row join-key skew report: row/key counts, the heaviest key's
+    * multiplicity, and `skew = max_cnt / (rows/keys)` — the number every
+    * shuffle-sizing decision (salt factor, AQE skew threshold, broadcast
+    * cutoff) starts from. One grouped count + one fold; exact integers
+    * into one rounded division. */
+  def keySkew(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+    counts.agg(
+      sum(col("c")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max(col("c")).as("max_cnt"),
+      round(max(col("c")).cast("double") * count(lit(1)).cast("double") /
+        sum(col("c")).cast("double"), 6).as("skew"))
+  }
+
   /** One-stop data profiling (the `ANALYZE`/dbt-docs surface): per column
     * — row count, null count, exact distinct count, min/max (stringified).
     * Each column is one partial+final aggregation pass; exact

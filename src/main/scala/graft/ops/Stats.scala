@@ -200,6 +200,39 @@ object Stats {
       .agg(min(col("v")).as("weighted_median"))
   }
 
+  /** Population stability index between a baseline and a comparison
+    * distribution over fixed equal-width bins:
+    * `PSI = Σ (pᵢ − qᵢ)·ln(pᵢ/qᵢ)` — the standard drift alarm
+    * (< 0.1 stable, > 0.25 drifted). Bin counts are exact integers, the
+    * ratios divide exact operands, each term is rounded to 12 decimals
+    * and decimal-summed (order-proof), and only bins populated on BOTH
+    * sides contribute (the conventional treatment — a bin empty on either
+    * side has no finite term). Output one row:
+    * (n_base, n_cmp, n_bins_used, psi). */
+  def psi(base: DataFrame, cmp: DataFrame, valueCol: Column,
+      lo: Double, hi: Double, nbins: Int): DataFrame = {
+    require(nbins > 0 && hi > lo, "need nbins > 0 and hi > lo")
+    def bins(df: DataFrame, cName: String): DataFrame = {
+      val x = valueCol.cast("double")
+      val b = least(floor((x - lit(lo)) / (lit(hi) - lit(lo)) * lit(nbins)).cast("long"),
+        lit(nbins - 1L))
+      df.filter(x >= lo && x <= hi).groupBy(b.as("bin"))
+        .agg(count(lit(1)).as(cName))
+    }
+    val joined = bins(base, "cb").join(bins(cmp, "cc"), Seq("bin"))
+    val tot = joined.agg(sum(col("cb")).as("tb"), sum(col("cc")).as("tc"))
+    // totals are per-POPULATED-bin sums on each side, so p and q are both
+    // proper distributions over the shared support
+    val p = col("cb").cast("double") / col("tb").cast("double")
+    val q = col("cc").cast("double") / col("tc").cast("double")
+    joined.crossJoin(tot)
+      .withColumn("term",
+        round((p - q) * log(p / q), 12).cast(DecimalType(28, 12)))
+      .agg(max(col("tb")).as("n_base"), max(col("tc")).as("n_cmp"),
+        count(lit(1)).as("n_bins_used"),
+        (round(sum(col("term")).cast("double"), 6) + lit(0.0)).as("psi"))
+  }
+
   /** Exact grouped discrete percentiles, division-free: for each integer
     * percent p, the smallest value whose cumulative count satisfies
     * `100·cum ≥ p·total` — [[weightedMedian]]'s half-total rule

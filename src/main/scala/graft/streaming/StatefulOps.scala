@@ -182,6 +182,48 @@ object StatefulOps {
       }
   }
 
+  // ── MapState: per-key sub-keyed state (the third tws state shape) ──────
+
+  /** Per-user per-event-type running counts on `MapState` — sub-keyed
+    * state the old API could only fake by serializing a whole map into
+    * one value (rewriting the full map every batch). MapState reads and
+    * writes individual (user, type) entries in the store, so a user with
+    * thousands of types pays per-touched-type, not per-map. Emits the
+    * updated (user, event_type, n) rows each batch (Update mode). */
+  class TypeCountsProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, String), (Long, String, Long)] {
+    @transient private var m:
+      org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      m = getHandle.getMapState[String, Long]("typeCounts",
+        Encoders.STRING, Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, String, Long)] = {
+      val touched = scala.collection.mutable.LinkedHashSet[String]()
+      rows.foreach { case (_, t) =>
+        val cur = if (m.containsKey(t)) m.getValue(t) else 0L
+        m.updateValue(t, cur + 1L)
+        touched += t
+      }
+      touched.iterator.map(t => (key, t, m.getValue(t)))
+    }
+  }
+
+  /** Running (user, event_type) counts over a stream; per-entry state IO. */
+  def typeCountsTws(ds: Dataset[(Long, String)]): Dataset[(Long, String, Long)] = {
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val outEnc: Encoder[(Long, String, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.scalaLong)
+    ds.groupByKey(_._1)
+      .transformWithState(new TypeCountsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Sessionize a watermarked (user, event-time) stream; emits each
     * session once, when the watermark passes its close. */
   def sessionizeTws(ds: Dataset[(Long, java.sql.Timestamp)],

@@ -398,6 +398,31 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(graft.ops.Stats.groupedGini(z, "k", col("x")).collect().head.isNullAt(2))
   }
 
+  test("psi: identical distributions → 0; a mass shift raises it; shared-support only") {
+    val base = (Seq.fill(50)(1.0) ++ Seq.fill(50)(9.0)).toDF("v")
+    val same = (Seq.fill(20)(1.0) ++ Seq.fill(20)(9.0)).toDF("v")
+    val r0 = graft.ops.Stats.psi(base, same, col("v"), 0.0, 10.0, 10).collect().head
+    assert(r0.getDouble(3) == 0.0)
+    // 50/50 → 80/20: psi = (0.5-0.8)ln(0.5/0.8) + (0.5-0.2)ln(0.5/0.2) > 0
+    val shifted = (Seq.fill(80)(1.0) ++ Seq.fill(20)(9.0)).toDF("v")
+    val r1 = graft.ops.Stats.psi(base, shifted, col("v"), 0.0, 10.0, 10).collect().head
+    val expect = (0.5 - 0.8) * math.log(0.5 / 0.8) + (0.5 - 0.2) * math.log(0.5 / 0.2)
+    assert(math.abs(r1.getDouble(3) - expect) < 1e-5)
+    // a bin present only in one side is excluded; totals renormalize
+    val extra = (Seq.fill(20)(1.0) ++ Seq.fill(20)(9.0) ++ Seq.fill(99)(5.0)).toDF("v")
+    val r2 = graft.ops.Stats.psi(base, extra, col("v"), 0.0, 10.0, 10).collect().head
+    assert(r2.getLong(2) == 2 && r2.getDouble(3) == 0.0)
+  }
+
+  test("keySkew: uniform keys → 1, one hot key dominates") {
+    val uniform = (1 to 100).map(i => i % 10).toDF("k")
+    val u = graft.ops.Relational.keySkew(uniform, "k").collect().head
+    assert((u.getLong(0), u.getLong(1), u.getLong(2), u.getDouble(3)) == ((100L, 10L, 10L, 1.0)))
+    val hot = (Seq.fill(90)(1) ++ (2 to 11)).toDF("k")
+    val h = graft.ops.Relational.keySkew(hot, "k").collect().head
+    assert(h.getLong(2) == 90L && h.getDouble(3) == 9.9) // 90 / (100/11) = 9.9
+  }
+
   test("welchT: hand-checked t and Welch df; degenerate arms emit null") {
     // a = {1,2,3,4}: mean 2.5, var 5/3; b = {2,4,6}: mean 4, var 4.
     // qa = 5/12, qb = 4/3; t = -1.5/sqrt(7/4); df = (7/4)²/((5/12)²/3 + (4/3)²/2)

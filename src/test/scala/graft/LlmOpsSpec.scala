@@ -75,6 +75,18 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(novelToks.mkString == "abaaaba")
   }
 
+  test("labelCentroids: exact means per (label, dim); counts carried") {
+    val df = Seq(
+      (0, Seq(1.0f, 2.0f)), (0, Seq(3.0f, 6.0f)),
+      (1, Seq(10.0f, 0.0f))).toDF("label", "embedding")
+    val got = graft.llm.Similarity.labelCentroids(df, "label", "embedding")
+      .as[(Int, Long, Long, Double)].collect()
+      .map { case (l, d, n, c) => (l, d) -> ((n, c)) }.toMap
+    assert(got == Map(
+      (0, 0L) -> ((2L, 2.0)), (0, 1L) -> ((2L, 4.0)),
+      (1, 0L) -> ((1L, 10.0)), (1, 1L) -> ((1L, 0.0))))
+  }
+
   test("simhash: identical normalized texts collide, different texts don't all collide") {
     val df = Seq((1L, "Spark query engine"), (2L, "spark  QUERY engine!"), (3L, "totally different words here"))
       .toDF("doc_id", "text")

@@ -416,6 +416,40 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("StatefulOps.typeCountsTws: MapState entries accumulate per (user, type) across batches") {
+    val work = tmp("mapstate")
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val cfg = AutoIngest.Config(s"$work/src/*", s"$work/schema", s"$work/ck")
+      def run(): Unit = {
+        val stream = AutoIngest.readStream(spark, cfg).drop("_rescued_data")
+          .as[(Long, String)]
+        AutoIngest.appendOnce(
+          graft.streaming.StatefulOps.typeCountsTws(stream).toDF("u", "t", "n"),
+          s"$work/sink", cfg.checkpointDir)
+      }
+      Seq((1L, "click"), (1L, "click"), (1L, "view"), (2L, "view"))
+        .toDF("u", "t").coalesce(1).write.parquet(s"$work/src/f1")
+      run()
+      Seq((1L, "click"), (2L, "purchase"))
+        .toDF("u", "t").coalesce(1).write.parquet(s"$work/src/f2")
+      run()
+      // latest emission per (user, type) is the cross-batch running count
+      val latest = spark.read.parquet(s"$work/sink")
+        .groupBy($"u", $"t").agg(max($"n").as("n"))
+        .as[(Long, String, Long)].collect()
+        .map { case (u, t, n) => (u, t) -> n }.toMap
+      assert(latest == Map(
+        (1L, "click") -> 3L, (1L, "view") -> 1L,
+        (2L, "view") -> 1L, (2L, "purchase") -> 1L))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream-stream join: two watermarked file streams join within the time bound") {
     val work = tmp("s2s")
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
