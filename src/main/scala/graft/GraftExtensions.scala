@@ -31,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
     ext.injectOptimizerRule(_ => graft.plans.AggRollupRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.JoinEliminationRewrite)
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "vec_dot"),

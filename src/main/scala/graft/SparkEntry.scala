@@ -3269,6 +3269,113 @@ object SparkEntry {
           ($"nxt" - $"o_orderkey" - 1).as("missing"))
         .orderBy($"gap_start")
     }),
+
+    // ── RESTORE (SnapshotTable.restore): v1 = full customers, v2 = a
+    //    botched half-delete, v3 = restore(v1). History moves forward
+    //    (the bad v2 stays inspectable); the live read after restore is
+    //    exactly the original — which is what the oracle selects.
+    "q204_restore" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("restore").toString
+      val t = new graft.tables.SnapshotTable(s"$work/t")
+      val c = Tables.customer(s, dir).select($"c_custkey", $"c_name", $"c_acctbal")
+      t.write(s, c)
+      t.write(s, c.filter($"c_custkey" % 2 === 0)) // the bad deploy
+      t.restore(s, 1)
+      t.read(s).orderBy($"c_custkey")
+    }),
+
+    // ── Revenue share within region (ratio_to_report shape): nation
+    //    revenue as a fraction of its region's total — windows run over
+    //    the 25-row aggregate, the division is IEEE on exact decimals.
+    "q205_revenue_share" -> ((s, dir) => {
+      import s.implicits._
+      val byNation = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        // keep DECIMAL through the window — a double window-sum adds in
+        // partition row order (nondeterministic); decimal sums are exact
+        .agg(sum(Relational.money($"o_totalprice")).as("rev"))
+      byNation
+        .withColumn("region_total", sum($"rev").over(Window.partitionBy($"r_name")))
+        .select($"r_name", $"n_name",
+          $"rev".cast("double").as("revenue"),
+          round($"rev".cast("double") / $"region_total".cast("double"), 6).as("share"))
+        .orderBy($"r_name", $"n_name")
+    }),
+
+    // ── Jaro-Winkler record linkage (functions.JaroWinkler): the linkage
+    //    scorer Spark lacks, as a codegen'd expression — bit-identical to
+    //    DuckDB's implementation on every tested pair; round(6) guards
+    //    the tail. Same nation blocking as q200.
+    "q206_jaro_winkler" -> ((s, dir) => {
+      import s.implicits._
+      val c = Tables.customer(s, dir)
+        .select($"c_custkey", $"c_nationkey", lower(trim($"c_name")).as("nm"))
+      c.as("a").join(c.as("b"),
+          $"a.c_nationkey" === $"b.c_nationkey" && $"a.c_custkey" < $"b.c_custkey")
+        .withColumn("jw", round(
+          graft.functions.JaroWinkler.jaroWinkler($"a.nm", $"b.nm"), 6))
+        .filter($"jw" >= 0.94)
+        .select($"a.c_custkey".as("id_a"), $"b.c_custkey".as("id_b"), $"jw")
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // ── Reconciliation summary (SnapshotTable.changes aggregated): the
+    //    "what changed between loads" report — insert/update/delete counts
+    //    from the derived change feed between two committed versions.
+    "q207_table_diff" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("tdiff").toString
+      val t = new graft.tables.SnapshotTable(s"$work/t")
+      val c = Tables.customer(s, dir).select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+      t.write(s, c)
+      // v2: drop every 11th, re-tier every 7th, add synthetic new keys
+      val v2 = c.filter($"c_custkey" % 11 =!= 0)
+        .withColumn("c_acctbal",
+          when($"c_custkey" % 7 === 0, $"c_acctbal" + 100.0).otherwise($"c_acctbal"))
+        .unionByName(c.limit(0).unionByName(
+          Tables.customer(s, dir).select(($"c_custkey" + 1000000).as("c_custkey"),
+            $"c_mktsegment", $"c_acctbal").filter($"c_custkey" % 3 === 0)))
+      t.write(s, v2)
+      t.changes(s, Seq("c_custkey"), 1, 2)
+        .groupBy($"_change_type").agg(count(lit(1)).as("n"))
+        .orderBy($"_change_type")
+    }),
+
+    // ── 2-D skyline / Pareto frontier (Relational.skyline2D): cheapest-
+    //    for-the-quantity lineitems — the dominance query the naive plan
+    //    answers with an O(n²) self-join, done with one running-min window
+    //    over distinct value pairs.
+    "q208_skyline" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Relational.skyline2D(Tables.lineitem(s, dir),
+          "l_extendedprice", "l_discount")
+        .orderBy($"x")
+    }),
+
+    // ── Primary-key join elimination (plans.JoinEliminationRewrite): the
+    //    BI-view pattern — orders LEFT OUTER customer on a DECLARED-unique
+    //    key, but the query reads no customer columns, so the optimizer
+    //    drops the join and the dim scan entirely (plan pinned in
+    //    GraftExtensionsSpec). The oracle is the same query WITH the join
+    //    — elimination must not change a single row.
+    "q209_join_elimination" -> ((s, dir) => {
+      import s.implicits._
+      val ext = new org.apache.spark.sql.SparkSessionExtensions
+      new graft.GraftExtensions().apply(ext)
+      org.apache.spark.sql.GraftColumnBridge.applyExtensions(ext, s)
+      graft.plans.JoinEliminationRewrite.register(s, s"$dir/customer.parquet", "c_custkey")
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      o.join(c, o("o_custkey") === c("c_custkey"), "left_outer")
+        .select(o("o_orderkey"), o("o_totalprice"), o("o_orderpriority"))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"), Relational.sumMoney($"o_totalprice").as("total"))
+        .orderBy($"o_orderpriority")
+    }),
   )
 
   /** DuckDB-runnable oracle per query (same tables, same column names). */
@@ -5237,5 +5344,65 @@ object SparkEntry {
         |  nxt - o_orderkey - 1 AS missing
         |FROM k WHERE nxt IS NOT NULL AND nxt - o_orderkey > 1
         |ORDER BY gap_start""".stripMargin,
+
+    "q204_restore" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q205_revenue_share" ->
+      """WITH n AS (
+        |  SELECT r_name, n_name, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT r_name, n_name, CAST(rev AS DOUBLE) AS revenue,
+        |  round(CAST(rev AS DOUBLE) / CAST(sum(rev) OVER (PARTITION BY r_name) AS DOUBLE), 6) AS share
+        |FROM n ORDER BY r_name, n_name""".stripMargin,
+
+    "q206_jaro_winkler" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  round(jaro_winkler_similarity(lower(trim(a.c_name)), lower(trim(b.c_name))), 6) AS jw
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |WHERE round(jaro_winkler_similarity(lower(trim(a.c_name)), lower(trim(b.c_name))), 6) >= 0.94
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q207_table_diff" ->
+      """WITH v1 AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+        |v2 AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 11 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_mktsegment, c_acctbal FROM customer
+        |  WHERE (c_custkey + 1000000) % 3 = 0)
+        |SELECT 'delete' AS _change_type, count(*) AS n FROM v1
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM v2)
+        |UNION ALL
+        |SELECT 'insert', count(*) FROM v2
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM v1)
+        |UNION ALL
+        |SELECT 'update', count(*) FROM v1 JOIN v2 USING (c_custkey)
+        |  WHERE v1.c_acctbal <> v2.c_acctbal OR v1.c_mktsegment <> v2.c_mktsegment
+        |ORDER BY _change_type""".stripMargin,
+
+    "q208_skyline" ->
+      """WITH pts AS (
+        |  SELECT DISTINCT CAST(l_extendedprice AS DOUBLE) AS x,
+        |    CAST(l_discount AS DOUBLE) AS y
+        |  FROM lineitem),
+        |w AS (
+        |  SELECT x, y, min(y) OVER (ORDER BY x, y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM pts)
+        |SELECT x, y FROM w WHERE pm IS NULL OR y < pm ORDER BY x""".stripMargin,
+
+    "q209_join_elimination" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders LEFT OUTER JOIN customer ON o_custkey = c_custkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 }

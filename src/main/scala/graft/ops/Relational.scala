@@ -320,6 +320,29 @@ object Relational {
       .select(col("bin"), col("bin_lo"), col("bin_hi"), col("cnt"))
   }
 
+  /** 2-D skyline (Pareto frontier, minimizing both dimensions): the points
+    * no other point dominates (≤ in both, < in one). The naive form is the
+    * O(n²) dominance self-join; sorted by (x asc, y asc), a point is on
+    * the frontier iff its y is strictly below every EARLIER point's y —
+    * one running-min window. Duplicates collapse first (equal points don't
+    * dominate each other; after `distinct` the strict test is exact). The
+    * window is global by construction — the frontier is a global property
+    * — but it runs over the DISTINCT (x, y) pairs, which for the measure
+    * columns skylines see (price × quantity…) is orders of magnitude
+    * smaller than the table; shard-and-merge (frontier of per-partition
+    * frontiers) is the 100 TB refinement and changes no semantics.
+    * Output: the frontier rows (x, y). */
+  def skyline2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = df.select(col(xCol).cast("double").as("x"),
+      col(yCol).cast("double").as("y")).distinct()
+    val w = Window.orderBy(col("x"), col("y"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts.withColumn("__pm", min(col("y")).over(w))
+      .filter(col("__pm").isNull || col("y") < col("__pm"))
+      .select(col("x"), col("y"))
+  }
+
   /** One-row join-key skew report: row/key counts, the heaviest key's
     * multiplicity, and `skew = max_cnt / (rows/keys)` — the number every
     * shuffle-sizing decision (salt factor, AQE skew threshold, broadcast

@@ -298,6 +298,56 @@ final class SnapshotTable(val root: String) {
             .otherwise(col(s"__n_$c")).as(c)) :+ col("_change_type")): _*)
   }
 
+  /** RESTORE (Delta `RESTORE TABLE ... TO VERSION` analog): commit a NEW
+    * version whose content is an older version's — history moves forward,
+    * so the botched intermediate versions stay inspectable and a restore
+    * is itself restorable. Tombstones of the source version apply. */
+  def restore(spark: SparkSession, version: Int): Int =
+    write(spark, readVersion(spark, version))
+
+  /** DESCRIBE HISTORY analog: one row per retained version — version,
+    * rows, files, bytes, whether tombstones are pending against it, and
+    * whether it is the live one. Driver-side listing of the version dirs
+    * (metadata-only; row counts come from parquet footers via count()). */
+  def history(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark)
+    val live = currentVersion(spark).getOrElse(0)
+    val versions = f.listStatus(new Path(root)).toSeq
+      .map(_.getPath.getName).filter(_.matches("_v\\d+"))
+      .map(_.drop(2).toInt).sorted
+    versions.map { v =>
+      val dir = new Path(s"$root/_v$v")
+      val files = f.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
+      val rows = spark.read.parquet(dir.toString).count()
+      (v, rows, files.length.toLong, files.map(_.getLen).sum,
+        f.exists(tombPath(v)), v == live)
+    }.toDF("version", "n_rows", "n_files", "bytes", "has_tombstones", "is_live")
+  }
+
+  /** Commit gated on CHECK constraints (Delta `ADD CONSTRAINT` analog):
+    * every expression must hold on EVERY row or nothing commits — the
+    * violation count comes from one aggregate pass over `df` before any
+    * write starts. Returns the committed version. */
+  def writeChecked(spark: SparkSession, df: DataFrame,
+      constraints: Seq[(String, org.apache.spark.sql.Column)],
+      partitionByCols: Seq[String] = Nil,
+      clusterBy: Seq[String] = Nil): Int = {
+    import org.apache.spark.sql.functions.{count, lit, when}
+    if (constraints.nonEmpty) {
+      val aggs = constraints.map { case (name, c) =>
+        count(when(!c || c.isNull, 1)).as(name)
+      }
+      val viol = df.agg(aggs.head, aggs.tail: _*).collect().head
+      val bad = constraints.zipWithIndex.collect {
+        case ((name, _), i) if viol.getLong(i) > 0 => s"$name (${viol.getLong(i)} rows)"
+      }
+      if (bad.nonEmpty) throw new IllegalStateException(
+        s"SnapshotTable $root: CHECK constraint(s) violated — ${bad.mkString(", ")}; commit aborted")
+    }
+    write(spark, df, partitionByCols, clusterBy)
+  }
+
   /** Drop snapshot dirs older than the `keep` most recent (time travel
     * window). Never touches the live version. */
   def vacuum(spark: SparkSession, keep: Int = 2): Unit = {

@@ -225,6 +225,28 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(d1 == Set((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L)))
   }
 
+  test("JaroWinkler: textbook reference values, boost gating, edges, SQL form") {
+    import graft.functions.JaroWinkler.similarity
+    assert(math.abs(similarity("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-15)
+    assert(math.abs(similarity("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-15)
+    assert(math.abs(similarity("DWAYNE", "DUANE") - 0.84) < 1e-10)
+    // no common prefix → no Winkler boost even above the 0.7 threshold
+    assert(math.abs(similarity("JELLYFISH", "SMELLYFISH") - 0.8962962962962964) < 1e-15)
+    assert(similarity("abc", "abc") == 1.0)
+    assert(similarity("", "abc") == 0.0 && similarity("abc", "") == 0.0)
+    assert(similarity("a", "b") == 0.0) // no matches
+
+    graft.functions.JaroWinkler.register(spark)
+    val viaSql = spark.sql("SELECT jaro_winkler('martha', 'marhta') AS v")
+      .as[Double].head()
+    assert(math.abs(viaSql - 0.9611111111111111) < 1e-15)
+    // null propagation through the expression
+    val n = Seq((Some("x"), None: Option[String])).toDF("a", "b")
+      .select(graft.functions.JaroWinkler.jaroWinkler(col("a"), col("b")))
+      .collect().head
+    assert(n.isNullAt(0))
+  }
+
   test("HammingDistance expression: codegen'd count, null on length mismatch, SQL form") {
     val df = Seq(("karolin", "kathrin"), ("abc", "abc"), ("abc", "abcd"))
       .toDF("a", "b")
@@ -412,6 +434,21 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     val extra = (Seq.fill(20)(1.0) ++ Seq.fill(20)(9.0) ++ Seq.fill(99)(5.0)).toDF("v")
     val r2 = graft.ops.Stats.psi(base, extra, col("v"), 0.0, 10.0, 10).collect().head
     assert(r2.getLong(2) == 2 && r2.getDouble(3) == 0.0)
+  }
+
+  test("skyline2D ≡ brute-force dominance scan; ties and duplicates handled") {
+    val pts = Seq((1.0, 5.0), (1.0, 5.0), (1.0, 7.0), (2.0, 5.0), (2.0, 3.0),
+      (3.0, 3.0), (4.0, 1.0), (5.0, 2.0), (0.5, 9.0)).toDF("a", "b")
+    val got = graft.ops.Relational.skyline2D(pts, "a", "b")
+      .as[(Double, Double)].collect().toSet
+    val arr = pts.as[(Double, Double)].collect().distinct
+    val want = arr.filter { case (x, y) =>
+      !arr.exists { case (px, py) =>
+        px <= x && py <= y && (px < x || py < y)
+      }
+    }.toSet
+    assert(got == want)
+    assert(got == Set((0.5, 9.0), (1.0, 5.0), (2.0, 3.0), (4.0, 1.0)))
   }
 
   test("keySkew: uniform keys → 1, one hot key dominates") {

@@ -247,6 +247,35 @@ class EngineCoreSpec extends AnyFunSuite {
     assert(t.readPrunedEq(spark, "k", "zzz").columns.toSeq == Seq("id", "k", "longk"))
   }
 
+  test("SnapshotTable.restore: forward-history rollback; history reports every version") {
+    val t = new SnapshotTable(tmp("restore"))
+    t.write(spark, Seq(1, 2, 3, 4).toDF("x"))
+    t.write(spark, Seq(1).toDF("x")) // bad deploy
+    assert(t.restore(spark, 1) == 3)
+    assert(t.read(spark).as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4))
+    // the bad version is still inspectable (forward history)
+    assert(t.readVersion(spark, 2).count() == 1)
+    val h = t.history(spark).orderBy(col("version"))
+      .select("version", "n_rows", "is_live")
+      .as[(Int, Long, Boolean)].collect().toSeq
+    assert(h == Seq((1, 4L, false), (2, 1L, false), (3, 4L, true)))
+  }
+
+  test("SnapshotTable.writeChecked: violations abort before any commit; clean data commits") {
+    val t = new SnapshotTable(tmp("checked"))
+    val bad = Seq((1, -5.0), (2, 3.0)).toDF("k", "v")
+    val e = intercept[IllegalStateException] {
+      t.writeChecked(spark, bad, Seq(
+        "v_non_negative" -> (col("v") >= 0),
+        "k_not_null" -> col("k").isNotNull))
+    }
+    assert(e.getMessage.contains("v_non_negative") && e.getMessage.contains("1 rows"))
+    assert(t.currentVersion(spark).isEmpty) // nothing committed
+    assert(t.writeChecked(spark, bad.filter(col("v") >= 0), Seq(
+      "v_non_negative" -> (col("v") >= 0))) == 1)
+    assert(t.read(spark).count() == 1)
+  }
+
   test("MaterializedJoin: chained insert-only refreshes ≡ from-scratch rebuild") {
     import graft.tables.MaterializedJoin
     val mv = new MaterializedJoin(new SnapshotTable(tmp("mv")), Seq("k"))

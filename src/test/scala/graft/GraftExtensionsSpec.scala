@@ -136,4 +136,42 @@ class GraftExtensionsSpec extends AnyFunSuite {
       }
     } finally spark.conf.unset(graft.plans.ApproxDistinctRewrite.ConfKey)
   }
+
+  test("JoinEliminationRewrite: untouched unique dim drops; references/inner/unregistered stay") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    GraftColumnBridge.applyExtensions(ext, spark)
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    graft.plans.JoinEliminationRewrite.register(spark, s"$dir/customer.parquet", "c_custkey")
+    try {
+      val o = graft.tables.Tables.orders(spark, dir)
+      val c = graft.tables.Tables.customer(spark, dir)
+
+      def joined = o.join(c, o("o_custkey") === c("c_custkey"), "left_outer")
+
+      // eliminated: no customer column referenced
+      val q1 = joined.select(o("o_orderkey"), o("o_totalprice"))
+      assert(!q1.queryExecution.optimizedPlan.toString.contains("Join"),
+        q1.queryExecution.optimizedPlan.toString.take(800))
+      // results identical to the unjoined projection
+      assert(q1.count() == o.count())
+      assert(q1.collect().toSet ==
+        o.select("o_orderkey", "o_totalprice").collect().toSet)
+
+      // kept: a dimension column is read
+      val q2 = joined.select(o("o_orderkey"), c("c_mktsegment"))
+      assert(q2.queryExecution.optimizedPlan.toString.contains("Join"))
+
+      // kept: inner join (elimination needs referential integrity there)
+      val q3 = o.join(c, o("o_custkey") === c("c_custkey"))
+        .select(o("o_orderkey"))
+      assert(q3.queryExecution.optimizedPlan.toString.contains("Join"))
+
+      // kept: join key not registered unique
+      val q4 = o.join(c, o("o_custkey") === c("c_nationkey"), "left_outer")
+        .select(o("o_orderkey"))
+      assert(q4.queryExecution.optimizedPlan.toString.contains("Join"))
+    } finally graft.plans.JoinEliminationRewrite.clear()
+  }
 }
