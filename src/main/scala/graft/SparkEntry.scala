@@ -3218,13 +3218,15 @@ object SparkEntry {
     //    both engines.
     "q200_entity_resolution" -> ((s, dir) => {
       import s.implicits._
-      val c = Tables.customer(s, dir)
+      // block on (nation, segment): linkage blocks are multi-attribute by
+      // design — the block size, not the table size, bounds the quadratic
+      val c = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
         .select($"c_custkey", $"c_nationkey", lower(trim($"c_name")).as("nm"))
       c.as("a").join(c.as("b"),
           $"a.c_nationkey" === $"b.c_nationkey" && $"a.c_custkey" < $"b.c_custkey")
-        .filter(levenshtein($"a.nm", $"b.nm") <= 2)
-        .select($"a.c_custkey".as("id_a"), $"b.c_custkey".as("id_b"),
-          levenshtein($"a.nm", $"b.nm").cast("long").as("dist"))
+        .withColumn("dist", levenshtein($"a.nm", $"b.nm").cast("long"))
+        .filter($"dist" <= 2)
+        .select($"a.c_custkey".as("id_a"), $"b.c_custkey".as("id_b"), $"dist")
         .orderBy($"id_a", $"id_b")
     }),
 
@@ -3312,7 +3314,7 @@ object SparkEntry {
     //    the tail. Same nation blocking as q200.
     "q206_jaro_winkler" -> ((s, dir) => {
       import s.implicits._
-      val c = Tables.customer(s, dir)
+      val c = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
         .select($"c_custkey", $"c_nationkey", lower(trim($"c_name")).as("nm"))
       c.as("a").join(c.as("b"),
           $"a.c_nationkey" === $"b.c_nationkey" && $"a.c_custkey" < $"b.c_custkey")
@@ -3375,6 +3377,58 @@ object SparkEntry {
         .groupBy($"o_orderpriority")
         .agg(count(lit(1)).as("n"), Relational.sumMoney($"o_totalprice").as("total"))
         .orderBy($"o_orderpriority")
+    }),
+
+    // ── Robust outliers via MAD (Stats.madOutliers): median / median-of-
+    //    deviations are exact value picks (half-total rule), so unlike
+    //    z-scores the threshold can't be dragged by the outliers
+    //    themselves — and the whole report is engine-exact.
+    "q210_mad_outliers" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Stats.madOutliers(Tables.events(s, dir), "event_type",
+          $"value", k = 3.0)
+        .orderBy($"event_type")
+    }),
+
+    // ── Smoothed target encoding (Stats.targetEncode): mean order value
+    //    per priority blended with the global prior — the standard
+    //    categorical feature, decimal-exact sums (scale 2: money raw
+    //    magnitudes stay inside double-exact range at any SF).
+    "q211_target_encoding" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Stats.targetEncode(Tables.orders(s, dir), "o_orderpriority",
+          $"o_totalprice", smoothing = 20.0, scale = 2)
+        .orderBy($"o_orderpriority")
+    }),
+
+    // ── TF-IDF top terms per document: tf and df are exact counts, the
+    //    idf log runs on identical doubles in both engines, round(6)
+    //    absorbs the libm tail, ranking tie-breaks on the term.
+    "q212_tfidf_topterms" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select($"doc_id",
+          explode(split(lower($"text"), "\\s+")).as("term"))
+        .filter($"term" =!= "")
+      val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val n = docs.count()
+      val scored = tf.join(dfreq, "term")
+        .withColumn("score", round($"tf" * log(lit(n.toDouble) / $"df"), 6))
+      scored.withColumn("rk", row_number().over(
+          Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")))
+        .filter($"rk" <= 3)
+        .select($"doc_id", $"term", $"tf", $"score")
+        .orderBy($"doc_id", $"score".desc, $"term")
+    }),
+
+    // ── Per-group skyline (Relational.skyline2DByKey): the q208 frontier
+    //    per return flag — window partitioned on the group key.
+    "q213_grouped_skyline" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Relational.skyline2DByKey(Tables.lineitem(s, dir),
+          Seq("l_returnflag"), "l_extendedprice", "l_discount")
+        .orderBy($"l_returnflag", $"x")
     }),
   )
 
@@ -5316,7 +5370,8 @@ object SparkEntry {
         |  CAST(levenshtein(lower(trim(a.c_name)), lower(trim(b.c_name))) AS BIGINT) AS dist
         |FROM customer a JOIN customer b
         |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
-        |WHERE levenshtein(lower(trim(a.c_name)), lower(trim(b.c_name))) <= 2
+        |WHERE a.c_mktsegment = 'BUILDING' AND b.c_mktsegment = 'BUILDING'
+        |  AND levenshtein(lower(trim(a.c_name)), lower(trim(b.c_name))) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q201_key_skew" ->
@@ -5366,7 +5421,8 @@ object SparkEntry {
         |  round(jaro_winkler_similarity(lower(trim(a.c_name)), lower(trim(b.c_name))), 6) AS jw
         |FROM customer a JOIN customer b
         |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
-        |WHERE round(jaro_winkler_similarity(lower(trim(a.c_name)), lower(trim(b.c_name))), 6) >= 0.94
+        |WHERE a.c_mktsegment = 'BUILDING' AND b.c_mktsegment = 'BUILDING'
+        |  AND round(jaro_winkler_similarity(lower(trim(a.c_name)), lower(trim(b.c_name))), 6) >= 0.94
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q207_table_diff" ->
@@ -5404,5 +5460,64 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders LEFT OUTER JOIN customer ON o_custkey = c_custkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q210_mad_outliers" ->
+      """WITH v AS (SELECT event_type AS k, CAST(value AS DOUBLE) AS x FROM events),
+        |byv AS (SELECT k, x, count(*) AS w FROM v GROUP BY 1, 2),
+        |c1 AS (SELECT k, x,
+        |  sum(w) OVER (PARTITION BY k ORDER BY x) AS cum,
+        |  sum(w) OVER (PARTITION BY k) AS total FROM byv),
+        |med AS (SELECT k, min(x) AS median FROM c1 WHERE cum * 2 >= total GROUP BY k),
+        |d AS (SELECT v.k, v.x, abs(v.x - med.median) AS dd, med.median FROM v JOIN med USING (k)),
+        |byd AS (SELECT k, dd, count(*) AS w FROM d GROUP BY 1, 2),
+        |c2 AS (SELECT k, dd,
+        |  sum(w) OVER (PARTITION BY k ORDER BY dd) AS cum,
+        |  sum(w) OVER (PARTITION BY k) AS total FROM byd),
+        |mad AS (SELECT k, min(dd) AS mad FROM c2 WHERE cum * 2 >= total GROUP BY k)
+        |SELECT d.k AS event_type, count(*) AS n, max(d.median) AS median,
+        |  max(mad.mad) AS mad,
+        |  count(*) FILTER (d.dd > 3.0 * mad.mad) AS n_outliers
+        |FROM d JOIN mad USING (k)
+        |GROUP BY d.k ORDER BY event_type""".stripMargin,
+
+    "q211_target_encoding" ->
+      """WITH g AS (
+        |  SELECT sum(CAST(round(o_totalprice, 2) AS DECIMAL(20,2))) AS gs, count(*) AS gn
+        |  FROM orders),
+        |c AS (
+        |  SELECT o_orderpriority, count(*) AS n,
+        |    sum(CAST(round(o_totalprice, 2) AS DECIMAL(20,2))) AS s
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, n,
+        |  round((CAST(s AS DOUBLE) + 20.0 * (CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE)))
+        |    / (CAST(n AS DOUBLE) + 20.0), 6) AS encoded
+        |FROM c CROSS JOIN g ORDER BY o_orderpriority""".stripMargin,
+
+    "q212_tfidf_topterms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t != '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id, term, tf,
+        |    round(tf * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS score
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN nn),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM s)
+        |SELECT doc_id, term, tf, score FROM r WHERE rk <= 3
+        |ORDER BY doc_id, score DESC, term""".stripMargin,
+
+    "q213_grouped_skyline" ->
+      """WITH pts AS (
+        |  SELECT DISTINCT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS x,
+        |    CAST(l_discount AS DOUBLE) AS y
+        |  FROM lineitem),
+        |w AS (
+        |  SELECT l_returnflag, x, y, min(y) OVER (PARTITION BY l_returnflag
+        |    ORDER BY x, y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM pts)
+        |SELECT l_returnflag, x, y FROM w WHERE pm IS NULL OR y < pm
+        |ORDER BY l_returnflag, x""".stripMargin,
   )
 }

@@ -343,6 +343,22 @@ object Relational {
       .select(col("x"), col("y"))
   }
 
+  /** Per-group 2-D skyline: [[skyline2D]] with the running-min window
+    * partitioned by `keyCols` — frontier per segment, shuffle on the
+    * group key. Output: (keyCols..., x, y). */
+  def skyline2DByKey(df: DataFrame, keyCols: Seq[String],
+      xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = keyCols.map(col)
+    val pts = df.select((keys :+ col(xCol).cast("double").as("x")
+      :+ col(yCol).cast("double").as("y")): _*).distinct()
+    val w = Window.partitionBy(keys: _*).orderBy(col("x"), col("y"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts.withColumn("__pm", min(col("y")).over(w))
+      .filter(col("__pm").isNull || col("y") < col("__pm"))
+      .select((keys :+ col("x") :+ col("y")): _*)
+  }
+
   /** One-row join-key skew report: row/key counts, the heaviest key's
     * multiplicity, and `skew = max_cnt / (rows/keys)` — the number every
     * shuffle-sizing decision (salt factor, AQE skew threshold, broadcast

@@ -233,6 +233,52 @@ object Stats {
         (round(sum(col("term")).cast("double"), 6) + lit(0.0)).as("psi"))
   }
 
+  /** Robust grouped outlier report via the median absolute deviation:
+    * per group — median (exact lower median, see [[weightedMedian]]),
+    * MAD = median(|x − median|), and the count of rows with
+    * |x − median| > k·MAD. Both medians are exact data-value picks, the
+    * comparison is IEEE on identical operands — deterministic end to end,
+    * unlike mean/stddev z-scores this cannot be dragged by the outliers
+    * it is hunting. Groups with MAD = 0 report outliers as the count of
+    * values different from the median (the k·0 threshold degenerates to
+    * "any deviation"). Output: (key, n, median, mad, n_outliers). */
+  def madOutliers(df: DataFrame, keyCol: String, valueCol: Column,
+      k: Double = 3.0): DataFrame = {
+    val vals = df.select(col(keyCol), valueCol.cast("double").as("__x"))
+    val med = weightedMedian(vals, keyCol, col("__x"), lit(1L))
+      .withColumnRenamed("weighted_median", "median")
+    val dev = vals.join(med, keyCol)
+      .withColumn("__d", abs(col("__x") - col("median")))
+    val mad = weightedMedian(dev, keyCol, col("__d"), lit(1L))
+      .withColumnRenamed("weighted_median", "mad")
+    dev.join(mad, keyCol)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        max(col("median")).as("median"),
+        max(col("mad")).as("mad"),
+        count(when(col("__d") > lit(k) * col("mad"), 1)).as("n_outliers"))
+  }
+
+  /** Smoothed target encoding (the leakage-prone-but-standard categorical
+    * feature): `enc(c) = (Σ_c y + m·prior) / (n_c + m)` with the global
+    * mean as prior — additive smoothing pulls rare categories toward it.
+    * Sums are decimal-exact; the blend is IEEE on identical operands,
+    * rounded to 6. `scale` sets the target's quantization — keep the
+    * summed raw magnitude under 2^53 so the decimal→double cast is exact
+    * in every engine (scale 2 for money, 6 for unit-range labels).
+    * Output: (category, n, encoded). */
+  def targetEncode(df: DataFrame, catCol: String, targetCol: Column,
+      smoothing: Double = 20.0, scale: Int = 6): DataFrame = {
+    val y = round(targetCol.cast("double"), scale).cast(DecimalType(20, scale))
+    val global = df.agg(sum(y).as("gs"), count(lit(1)).as("gn"))
+    val prior = col("gs").cast("double") / col("gn").cast("double")
+    df.groupBy(col(catCol)).agg(count(lit(1)).as("n"), sum(y).as("s"))
+      .crossJoin(global)
+      .select(col(catCol), col("n"),
+        round((col("s").cast("double") + lit(smoothing) * prior) /
+          (col("n").cast("double") + lit(smoothing)), 6).as("encoded"))
+  }
+
   /** Exact grouped discrete percentiles, division-free: for each integer
     * percent p, the smallest value whose cumulative count satisfies
     * `100·cum ≥ p·total` — [[weightedMedian]]'s half-total rule

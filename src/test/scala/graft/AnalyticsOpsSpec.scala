@@ -436,6 +436,43 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(r2.getLong(2) == 2 && r2.getDouble(3) == 0.0)
   }
 
+  test("madOutliers: hand-checked median/MAD, threshold catches the planted spike") {
+    // g: {1,2,3,4,100} → median 3, deviations {2,1,0,1,97} → MAD 1,
+    // outliers where |x−3| > 3·1 → only 100
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0), ("g", 100.0)).toDF("k", "v")
+    val r = graft.ops.Stats.madOutliers(df, "k", col("v")).collect().head
+    assert(r.getLong(1) == 5)
+    assert(r.getDouble(2) == 3.0 && r.getDouble(3) == 1.0)
+    assert(r.getLong(4) == 1)
+    // constant group: MAD 0, every different value is an outlier (none here)
+    val const = Seq(("h", 5.0), ("h", 5.0), ("h", 5.0)).toDF("k", "v")
+    val rc = graft.ops.Stats.madOutliers(const, "k", col("v")).collect().head
+    assert(rc.getDouble(3) == 0.0 && rc.getLong(4) == 0)
+  }
+
+  test("targetEncode: smoothing pulls rare categories toward the prior") {
+    // global mean = 10; a: n=2 mean 20, b: n=2 mean 0
+    val df = Seq(("a", 20.0), ("a", 20.0), ("b", 0.0), ("b", 0.0)).toDF("c", "y")
+    val enc = graft.ops.Stats.targetEncode(df, "c", col("y"), smoothing = 2.0)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    // a: (40 + 2·10)/(2+2) = 15 ; b: (0 + 20)/4 = 5
+    assert(enc == Map("a" -> 15.0, "b" -> 5.0))
+    // zero smoothing degrades to the plain category mean
+    val raw = graft.ops.Stats.targetEncode(df, "c", col("y"), smoothing = 0.0)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(raw == Map("a" -> 20.0, "b" -> 0.0))
+  }
+
+  test("skyline2DByKey: independent frontiers per group") {
+    val pts = Seq(("g", 1.0, 5.0), ("g", 2.0, 3.0), ("g", 3.0, 4.0),
+      ("h", 1.0, 1.0), ("h", 2.0, 0.5)).toDF("k", "a", "b")
+    val got = graft.ops.Relational.skyline2DByKey(pts, Seq("k"), "a", "b")
+      .as[(String, Double, Double)].collect().toSet
+    // g: (3,4) dominated by (2,3); h: both on frontier
+    assert(got == Set(("g", 1.0, 5.0), ("g", 2.0, 3.0),
+      ("h", 1.0, 1.0), ("h", 2.0, 0.5)))
+  }
+
   test("skyline2D ≡ brute-force dominance scan; ties and duplicates handled") {
     val pts = Seq((1.0, 5.0), (1.0, 5.0), (1.0, 7.0), (2.0, 5.0), (2.0, 3.0),
       (3.0, 3.0), (4.0, 1.0), (5.0, 2.0), (0.5, 9.0)).toDF("a", "b")
