@@ -3430,6 +3430,37 @@ object SparkEntry {
           Seq("l_returnflag"), "l_extendedprice", "l_discount")
         .orderBy($"l_returnflag", $"x")
     }),
+
+    // ── Grouped geometric mean: exp(mean(ln x)) with the ln terms rounded
+    //    and decimal-summed (the entropy fold's order-proofing), exp/ln on
+    //    identical doubles, round(6) at the edge.
+    "q214_geometric_mean" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .filter($"l_extendedprice" > 0)
+        .withColumn("lx",
+          round(log($"l_extendedprice".cast("double")), 12).cast("decimal(28,12)"))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(exp(sum($"lx").cast("double") / count(lit(1)).cast("double")), 6)
+            .as("geo_mean"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // ── Per-group min-max feature scaling: supplier balances rescaled to
+    //    [0,1] within their nation — exact min/max picks, one IEEE
+    //    division; constant groups emit null.
+    "q215_minmax_scaling" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"s_nationkey")
+      Tables.supplier(s, dir)
+        .withColumn("mn", min($"s_acctbal").over(w))
+        .withColumn("mx", max($"s_acctbal").over(w))
+        .select($"s_suppkey", $"s_nationkey".cast("long").as("s_nationkey"),
+          when($"mx" =!= $"mn",
+            round(($"s_acctbal" - $"mn") / ($"mx" - $"mn"), 6)).as("scaled"))
+        .orderBy($"s_suppkey")
+    }),
   )
 
   /** DuckDB-runnable oracle per query (same tables, same column names). */
@@ -5519,5 +5550,22 @@ object SparkEntry {
         |  FROM pts)
         |SELECT l_returnflag, x, y FROM w WHERE pm IS NULL OR y < pm
         |ORDER BY l_returnflag, x""".stripMargin,
+
+    "q214_geometric_mean" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(exp(CAST(sum(CAST(round(ln(CAST(l_extendedprice AS DOUBLE)), 12) AS DECIMAL(28,12))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE)), 6) AS geo_mean
+        |FROM lineitem WHERE l_extendedprice > 0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q215_minmax_scaling" ->
+      """WITH s AS (
+        |  SELECT s_suppkey, CAST(s_nationkey AS BIGINT) AS s_nationkey, s_acctbal,
+        |    min(s_acctbal) OVER (PARTITION BY s_nationkey) AS mn,
+        |    max(s_acctbal) OVER (PARTITION BY s_nationkey) AS mx
+        |  FROM supplier)
+        |SELECT s_suppkey, s_nationkey,
+        |  CASE WHEN mx <> mn THEN round((s_acctbal - mn) / (mx - mn), 6) END AS scaled
+        |FROM s ORDER BY s_suppkey""".stripMargin,
   )
 }

@@ -23,11 +23,13 @@ object PlanSmells {
     // cross join), broadcast query/centroid sets in the ANN brute-force and
     // IVF-assignment steps (q26/q27/q43/q61/q93), and the 4-row band table
     // in q60 (q139 is the both-sides-large path).
-    // q179: the chi-square contingency-cell table cross-joins the 1-row
-    // grand-total aggregate (scalar-broadcast pattern, same as q145/q157)
+    // q179/q199/q211: contingency cells / PSI bins / category sums cross-
+    // join a 1-row global-total aggregate (scalar-broadcast pattern, same
+    // as q145/q157)
     val justified = Set("q112_idle_customers", "q26_embedding_knn", "q27_embedding_dedup",
       "q43_ann_ivf", "q60_range_join", "q61_ann_ivf_kmeans", "q93_vector_index",
-      "q145_bm25", "q157_important_stock", "q179_chi_square")
+      "q145_bm25", "q157_important_stock", "q179_chi_square", "q199_psi",
+      "q211_target_encoding")
     var flagged = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
