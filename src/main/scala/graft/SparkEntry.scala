@@ -3461,6 +3461,45 @@ object SparkEntry {
             round(($"s_acctbal" - $"mn") / ($"mx" - $"mn"), 6)).as("scaled"))
         .orderBy($"s_suppkey")
     }),
+
+    // ── Vocabulary coverage (tokenizer sizing): top-10 words by corpus
+    //    occurrence count and the cumulative token share each prefix of
+    //    the vocabulary covers — exact counts, exact cumulative sums, one
+    //    rounded division per row.
+    "q216_vocab_coverage" -> ((s, dir) => {
+      import s.implicits._
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(lower($"text"), "\\s+")).as("term"))
+        .filter($"term" =!= "")
+      val counts = toks.groupBy($"term").agg(count(lit(1)).as("cnt"))
+      val total = toks.count()
+      counts
+        .withColumn("rank", row_number().over(Window.orderBy($"cnt".desc, $"term")))
+        .filter($"rank" <= 10)
+        .withColumn("cum", sum($"cnt").over(Window.orderBy($"rank")))
+        .select($"rank".cast("long").as("rank"), $"term", $"cnt",
+          round($"cum".cast("double") / lit(total.toDouble), 6).as("cum_share"))
+        .orderBy($"rank")
+    }),
+
+    // ── Embedding norm audit per label: per-vector L2 norms from
+    //    decimal-summed squared components (order-proof), then per-label
+    //    min/max/mean — the "did a bad batch of vectors land" probe.
+    "q217_embedding_norms" -> ((s, dir) => {
+      import s.implicits._
+      val norms = Tables.embeddings(s, dir)
+        .select($"vec_id", $"label", posexplode($"embedding").as(Seq("dim", "x")))
+        .withColumn("x2",
+          round($"x".cast("double") * $"x".cast("double"), 12).cast("decimal(28,12)"))
+        .groupBy($"vec_id", $"label")
+        .agg(round(sqrt(sum($"x2").cast("double")), 6).as("norm"))
+      norms.groupBy($"label")
+        .agg(count(lit(1)).as("n_vecs"),
+          min($"norm").as("min_norm"), max($"norm").as("max_norm"),
+          round(sum($"norm".cast("decimal(20,6)")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("mean_norm"))
+        .orderBy($"label")
+    }),
   )
 
   /** DuckDB-runnable oracle per query (same tables, same column names). */
@@ -5567,5 +5606,28 @@ object SparkEntry {
         |SELECT s_suppkey, s_nationkey,
         |  CASE WHEN mx <> mn THEN round((s_acctbal - mn) / (mx - mn), 6) END AS scaled
         |FROM s ORDER BY s_suppkey""".stripMargin,
+
+    "q216_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t != '')) AS term
+        |  FROM documents),
+        |counts AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+        |tot AS (SELECT count(*) AS total FROM toks),
+        |r AS (
+        |  SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rank
+        |  FROM counts)
+        |SELECT CAST(rank AS BIGINT) AS rank, term, cnt,
+        |  round(CAST(sum(cnt) OVER (ORDER BY rank) AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share
+        |FROM r CROSS JOIN tot WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    "q217_embedding_norms" ->
+      """WITH norms AS (
+        |  SELECT vec_id, label,
+        |    round(sqrt(CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE), 12) AS DECIMAL(28,12))) AS DOUBLE)), 6) AS norm
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+        |  GROUP BY vec_id, label)
+        |SELECT label, count(*) AS n_vecs, min(norm) AS min_norm, max(norm) AS max_norm,
+        |  round(CAST(sum(CAST(norm AS DECIMAL(20,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_norm
+        |FROM norms GROUP BY label ORDER BY label""".stripMargin,
   )
 }

@@ -343,6 +343,31 @@ object Relational {
       .select(col("x"), col("y"))
   }
 
+  /** Large-input 2-D skyline: map-side per-partition frontiers first
+    * (local sort + linear running-min scan inside each INPUT partition —
+    * no shuffle), then [[skyline2D]] over the surviving candidates. A
+    * point dominated within its partition is dominated globally, so the
+    * pre-reduce is lossless — and a frontier is tiny relative to its
+    * partition, so the one real shuffle moves candidates, not the table.
+    * This is the shard-and-merge shape the flat window can't give at
+    * 100 TB. Results ≡ [[skyline2D]] under any partitioning. */
+  def skyline2DLarge(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val candidates = df
+      .select(col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+      .as[(Double, Double)]
+      .mapPartitions { it =>
+        val arr = it.toArray.distinct.sortBy(p => (p._1, p._2))
+        var best = Double.PositiveInfinity
+        arr.iterator.filter { case (_, y) =>
+          if (y < best) { best = y; true } else false
+        }
+      }
+      .toDF("x", "y")
+    skyline2D(candidates, "x", "y")
+  }
+
   /** Per-group 2-D skyline: [[skyline2D]] with the running-min window
     * partitioned by `keyCols` — frontier per segment, shuffle on the
     * group key. Output: (keyCols..., x, y). */

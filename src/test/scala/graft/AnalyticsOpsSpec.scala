@@ -473,6 +473,19 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       ("h", 1.0, 1.0), ("h", 2.0, 0.5)))
   }
 
+  test("skyline2DLarge ≡ skyline2D under any partitioning (map-side pre-reduce lossless)") {
+    val rng = new scala.util.Random(11)
+    val pts = (1 to 500).map(_ => (rng.nextDouble() * 100, rng.nextDouble() * 100))
+      .toDF("a", "b")
+    val direct = graft.ops.Relational.skyline2D(pts, "a", "b")
+      .as[(Double, Double)].collect().toSet
+    Seq(1, 3, 7).foreach { n =>
+      val large = graft.ops.Relational.skyline2DLarge(pts.repartition(n), "a", "b")
+        .as[(Double, Double)].collect().toSet
+      assert(large == direct, s"partitions=$n")
+    }
+  }
+
   test("skyline2D ≡ brute-force dominance scan; ties and duplicates handled") {
     val pts = Seq((1.0, 5.0), (1.0, 5.0), (1.0, 7.0), (2.0, 5.0), (2.0, 3.0),
       (3.0, 3.0), (4.0, 1.0), (5.0, 2.0), (0.5, 9.0)).toDF("a", "b")
