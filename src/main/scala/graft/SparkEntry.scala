@@ -3500,6 +3500,43 @@ object SparkEntry {
             count(lit(1)).cast("double"), 6).as("mean_norm"))
         .orderBy($"label")
     }),
+
+    // ── Hashdiff change detection (the data-vault merge accelerant built
+    //    on q188's keys): two loads compared by ONE hash equality per row
+    //    instead of N column compares — at 100 TB the merge's change scan
+    //    reads two narrow columns, not the whole row.
+    "q218_hashdiff_changes" -> ((s, dir) => {
+      import s.implicits._
+      def hashed(df: DataFrame) = df.select($"c_custkey",
+        sha2(concat_ws("||", upper(trim($"c_name")), $"c_mktsegment",
+          Relational.money($"c_acctbal").cast("string")), 256).as("hd"))
+      val v1 = hashed(Tables.customer(s, dir))
+      val v2 = hashed(Tables.customer(s, dir)
+        .withColumn("c_acctbal",
+          when($"c_custkey" % 13 === 0, $"c_acctbal" + 1.0).otherwise($"c_acctbal")))
+      v1.as("a").join(v2.as("b"), "c_custkey")
+        .filter($"a.hd" =!= $"b.hd")
+        .select($"c_custkey", $"a.hd".as("hash_old"), $"b.hd".as("hash_new"))
+        .orderBy($"c_custkey")
+    }),
+
+    // ── Grouped winsorization: balances clipped to the nation's exact
+    //    [p10, p90] band (percentileDisc picks — data values, not
+    //    interpolations; the clip is two comparisons).
+    "q219_winsorize" -> ((s, dir) => {
+      import s.implicits._
+      val sup = Tables.supplier(s, dir)
+      val bands = graft.ops.Stats.percentileDisc(sup, "s_nationkey",
+          $"s_acctbal", Seq(10, 90))
+        .groupBy($"s_nationkey")
+        .agg(min(when($"p" === 10, $"value")).as("p10"),
+          min(when($"p" === 90, $"value")).as("p90"))
+      sup.join(bands, "s_nationkey")
+        .select($"s_suppkey", $"s_nationkey".cast("long").as("s_nationkey"),
+          $"s_acctbal",
+          least(greatest($"s_acctbal", $"p10"), $"p90").as("winsorized"))
+        .orderBy($"s_suppkey")
+    }),
   )
 
   /** DuckDB-runnable oracle per query (same tables, same column names). */
@@ -5629,5 +5666,41 @@ object SparkEntry {
         |SELECT label, count(*) AS n_vecs, min(norm) AS min_norm, max(norm) AS max_norm,
         |  round(CAST(sum(CAST(norm AS DECIMAL(20,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_norm
         |FROM norms GROUP BY label ORDER BY label""".stripMargin,
+
+    "q218_hashdiff_changes" ->
+      """WITH v1 AS (
+        |  SELECT c_custkey, sha256(concat_ws('||', upper(trim(c_name)), c_mktsegment,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR))) AS hd
+        |  FROM customer),
+        |v2 AS (
+        |  SELECT c_custkey, sha256(concat_ws('||', upper(trim(c_name)), c_mktsegment,
+        |    CAST(CAST(CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 1.0 ELSE c_acctbal END AS DECIMAL(18,2)) AS VARCHAR))) AS hd
+        |  FROM customer)
+        |SELECT c_custkey, v1.hd AS hash_old, v2.hd AS hash_new
+        |FROM v1 JOIN v2 USING (c_custkey)
+        |WHERE v1.hd <> v2.hd ORDER BY c_custkey""".stripMargin,
+
+    "q219_winsorize" ->
+      """WITH byv AS (
+        |  SELECT s_nationkey, CAST(s_acctbal AS DOUBLE) AS v, count(*) AS w
+        |  FROM supplier GROUP BY 1, 2),
+        |c AS (
+        |  SELECT s_nationkey, v,
+        |    sum(w) OVER (PARTITION BY s_nationkey ORDER BY v) AS cum,
+        |    sum(w) OVER (PARTITION BY s_nationkey) AS total
+        |  FROM byv),
+        |x AS (SELECT * FROM c, UNNEST([10, 90]) AS t(p)),
+        |bandrows AS (
+        |  SELECT s_nationkey, p, min(v) AS value
+        |  FROM x WHERE cum * 100 >= p * total GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT s_nationkey,
+        |    min(CASE WHEN p = 10 THEN value END) AS p10,
+        |    min(CASE WHEN p = 90 THEN value END) AS p90
+        |  FROM bandrows GROUP BY 1)
+        |SELECT s_suppkey, CAST(s.s_nationkey AS BIGINT) AS s_nationkey, s_acctbal,
+        |  least(greatest(s_acctbal, p10), p90) AS winsorized
+        |FROM supplier s JOIN bands b ON s.s_nationkey = b.s_nationkey
+        |ORDER BY s_suppkey""".stripMargin,
   )
 }
