@@ -29,11 +29,19 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // The driver captures a bounded tail of stdout; a single long line gets its
+    // FRONT truncated, cutting the leading "metric" field (BENCH_r01/r02 both
+    // came back parsed:null). Emit the full per-query map first, then a short
+    // summary line LAST — short enough to always survive the tail window.
+    println(s"""{"queries":$qs,"errors":$errs,"sf":"$sfDir","metric":"total","value":${fmt(total)},"unit":"sec"}""")
+    val slowest = results.toSeq.sortBy(-_._2).take(15)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -25,13 +25,13 @@ object SparkEntry {
 
   /** Queries deliberately shipped without a DuckDB oracle (driver records a
     * rows-only check): ops whose semantics aren't ANSI-SQL-expressible —
-    * SimHash bit votes, LSH bucketing (recall < 1), and the hash-derived
-    * decode stub. */
+    * SimHash bit votes, LSH bucketing (recall < 1), sketch registers, BPE
+    * merge algebra. */
   def rowsOnly: Set[String] =
-    Set("q29_simhash_groups", "q30_ann_lsh", "q31_multimodal_decode", "q43_ann_ivf",
-      "q55_sketches", "q61_ann_ivf_kmeans", "q69_simhash_pairs", "q82_sequence_packing",
-      "q93_vector_index", "q107_global_packing", "q138_sketch_merge", "q146_ann_pq",
-      "q183_bpe_merges", "q194_bpe_encode")
+    Set("q29_simhash_groups", "q30_ann_lsh", "q43_ann_ivf",
+      "q55_sketches", "q61_ann_ivf_kmeans", "q69_simhash_pairs",
+      "q93_vector_index", "q138_sketch_merge", "q146_ann_pq",
+      "q183_bpe_merges", "q194_bpe_encode", "q222_lsh_multiprobe")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -420,17 +420,67 @@ object SparkEntry {
         .orderBy($"query_id")
     }),
 
-    // ── LLM-pipeline (rows-only): partition-batched decode-kernel stub —
-    //    the mapPartitions plumbing real codecs would plug into.
+    // ── LLM-pipeline: REAL partition-batched image decode — synthesize a
+    //    constant-gray BMP per document (dims/fill derived from doc_id, so
+    //    the oracle recomputes them), decode with JDK ImageIO, emit decoded
+    //    dimensions + mean Rec.601 luma. round(6) absorbs the last-ulp of
+    //    the per-pixel double accumulation vs the oracle's closed form.
     "q31_multimodal_decode" -> ((s, dir) => {
       import s.implicits._
-      graft.llm.Multimodal.decodeStub(
-          Tables.documents(s, dir).withColumn("content", $"text".cast("binary")),
-          "content")
-        .groupBy($"source")
-        .agg(count(lit(1)).as("n"),
-          sum($"decoded_width").cast("long").as("total_width"))
-        .orderBy($"source")
+      val fixtures = Tables.documents(s, dir).select($"doc_id",
+        (lit(8) + pmod($"doc_id", lit(17))).cast("int").as("w"),
+        (lit(8) + pmod($"doc_id", lit(13))).cast("int").as("h"),
+        pmod($"doc_id", lit(256)).cast("int").as("g"))
+      graft.llm.Multimodal.decodeImage(
+          graft.llm.Multimodal.syntheticBmp(fixtures, "w", "h", "g"), "content")
+        .select($"doc_id",
+          $"decoded_width".cast("long").as("width"),
+          $"decoded_height".cast("long").as("height"),
+          round($"decoded_mean_luma", 6).as("mean_luma"),
+          $"decoded_real".as("is_real"))
+        .orderBy($"doc_id")
+    }),
+
+    // ── LLM-pipeline (rows-only): multi-probe LSH recall pin — one row
+    //    comparing single-probe vs Hamming-1 multi-probe recall@1 against
+    //    brute force on the fixtures; multi_ge_single must be true (floor
+    //    quantified in LlmOpsSpec). LSH bucketing has no SQL equivalent.
+    "q222_lsh_multiprobe" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter($"vec_id" < 100)
+      val brute = graft.llm.Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 1)
+        .select($"query_id", $"cos".as("bcos"))
+      def top1(multi: Boolean) = graft.llm.Similarity
+        .lshTopK(queries, emb, "vec_id", "embedding", 1, numPlanes = 6, multiProbe = multi)
+      brute
+        .join(top1(false).select($"query_id", $"cos".as("scos")), Seq("query_id"), "left")
+        .join(top1(true).select($"query_id", $"cos".as("mcos")), Seq("query_id"), "left")
+        .agg(count(lit(1)).cast("long").as("n_queries"),
+          count(when(abs($"scos" - $"bcos") < 1e-9, 1)).cast("long").as("single_hits"),
+          count(when(abs($"mcos" - $"bcos") < 1e-9, 1)).cast("long").as("multi_hits"))
+        .withColumn("multi_ge_single", $"multi_hits" >= $"single_hits")
+    }),
+
+    // ── LLM-pipeline: REAL image resize — BMP fixture → bilinear rescale
+    //    to 8×8 → lossless PNG re-encode → re-decode. A constant image
+    //    stays constant under bilinear resampling, so the re-decoded luma
+    //    is oracle-checkable alongside the target dimensions.
+    "q220_multimodal_resize" -> ((s, dir) => {
+      import s.implicits._
+      val fixtures = Tables.documents(s, dir).select($"doc_id",
+        (lit(12) + pmod($"doc_id", lit(9))).cast("int").as("w"),
+        (lit(12) + pmod($"doc_id", lit(7))).cast("int").as("h"),
+        pmod($"doc_id", lit(256)).cast("int").as("g"))
+      val resized = graft.llm.Multimodal.resizeImage(
+        graft.llm.Multimodal.syntheticBmp(fixtures, "w", "h", "g"), "content", 8, 8)
+      graft.llm.Multimodal.decodeImage(resized, "resized")
+        .select($"doc_id",
+          $"decoded_width".cast("long").as("width"),
+          $"decoded_height".cast("long").as("height"),
+          round($"decoded_mean_luma", 6).as("mean_luma"),
+          ($"resized_real" && $"decoded_real").as("is_real"))
+        .orderBy($"doc_id")
     }),
 
     // ── 2.9: UDF surface — the reference's only UDF (distance_km,
@@ -773,6 +823,26 @@ object SparkEntry {
       t.read(s)
         .select($"user_id", $"event_id", $"ts", $"event_type", $"value")
         .orderBy($"user_id")
+    }),
+
+    // ── §7 scale: hash-bucketed SCD2 snapshot merge — the 100 TB medallion
+    //    dim path (the reference's gold dims are SCD2, DimUser.py:20-29):
+    //    each batch rewrites only affected buckets, carries untouched ones
+    //    by reference, and stamps a per-batch stats manifest over
+    //    __START_AT for time-range pruning. Post-state must equal the
+    //    plain whole-table SCD2 history (q17's oracle).
+    "q221_bucketed_scd2" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("bucketedscd2").toString
+      val t = new graft.tables.BucketedSnapshotTable(s"$work/t", 8, Seq("user_id"),
+        statsCols = Seq("__START_AT"))
+      val e = Tables.events(s, dir).select($"user_id", $"event_id", $"event_type", $"ts")
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+      t.scd2Merge(s, e.filter($"ts" < cut), "ts", Seq($"event_id"))
+      t.scd2Merge(s, e.filter($"ts" >= cut), "ts", Seq($"event_id"))
+      t.read(s)
+        .select($"user_id", $"event_id", $"event_type", $"__START_AT", $"__END_AT")
+        .orderBy($"user_id", $"__START_AT", $"event_id")
     }),
 
     // ── C8 depth: genuine stream-stream interval join (two Structured
@@ -1933,31 +2003,37 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
-    // ── LLM-pipeline (rows-only): greedy sequence packing into 512-token
-    //    training examples, shard-local for parallelism (packing order is
-    //    sequential only within a bounded hash shard). Invariants spec'd
-    //    in LlmOpsSpec; no SQL equivalent of the greedy fold.
+    // ── LLM-pipeline: greedy sequence packing into 512-token training
+    //    examples, shard-local for parallelism (packing order is sequential
+    //    only within a bounded shard). The gate uses an explicit
+    //    doc_id%8 shard so the oracle replays the exact greedy fold as a
+    //    recursive CTE; production default is the hash shard. Invariants
+    //    also spec'd in LlmOpsSpec.
     "q82_sequence_packing" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir)
         .select($"doc_id", $"lang",
           graft.llm.TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"))
       graft.llm.Packing.packSequences(docs, "doc_id", "n_tokens",
-          Seq("lang"), budget = 512, shards = 8)
+          Seq("lang"), budget = 512, shards = 8,
+          shardExpr = Some(pmod($"doc_id", lit(8L))))
+        .select($"lang", $"shard".cast("long").as("shard"),
+          $"pack_id", $"doc_id", $"n_tokens")
         .orderBy($"doc_id")
     }),
 
-    // ── LLM-pipeline (rows-only): globally-sorted best-fit-decreasing
-    //    packing — the low-waste variant of q82 (global size order via
-    //    repartitionByRange, best-fit TreeMap per contiguous range).
-    //    Waste-vs-shard-local and budget invariants spec'd in LlmOpsSpec.
+    // ── LLM-pipeline: globally-sorted best-fit-decreasing packing — the
+    //    low-waste variant of q82 (exact global size order via distributed
+    //    row numbers, best-fit TreeMap per deterministic rank-block). The
+    //    block of a row is a pure function of its rank, so the oracle
+    //    replays the whole best-fit state machine as a recursive CTE.
     "q107_global_packing" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir)
         .select($"doc_id",
           graft.llm.TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"))
       graft.llm.Packing.packSequencesGlobal(docs, "doc_id", "n_tokens",
-          budget = 512, numPartitions = 8)
+          budget = 512, numPartitions = 8, blockRows = 512)
         .orderBy($"doc_id")
     }),
 
@@ -3743,6 +3819,22 @@ object SparkEntry {
         |CAST((CAST(ceil(octet_length(CAST(text AS BLOB)) / 100.0) AS BIGINT) + 1) // 2 AS BIGINT) AS n_frames_sampled
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "q31_multimodal_decode" ->
+      """SELECT doc_id,
+        |CAST(8 + doc_id % 17 AS BIGINT) AS width,
+        |CAST(8 + doc_id % 13 AS BIGINT) AS height,
+        |round((doc_id % 256) / 255.0, 6) AS mean_luma,
+        |TRUE AS is_real
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q220_multimodal_resize" ->
+      """SELECT doc_id,
+        |CAST(8 AS BIGINT) AS width,
+        |CAST(8 AS BIGINT) AS height,
+        |round((doc_id % 256) / 255.0, 6) AS mean_luma,
+        |TRUE AS is_real
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q32_udf_distance" ->
       """SELECT event_id, value * 1.60934 AS km_expr, value * 1.60934 AS km_udf
         |FROM events ORDER BY event_id""".stripMargin,
@@ -3925,6 +4017,11 @@ object SparkEntry {
         |SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
+    "q221_bucketed_scd2" ->
+      """SELECT user_id, event_id, event_type, ts AS __START_AT,
+        |LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS __END_AT
+        |FROM events ORDER BY user_id, __START_AT, event_id""".stripMargin,
+
     "q58_stream_stream_join" ->
       """SELECT p.user_id, COUNT(*) AS n_pairs,
         |CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS err_value
@@ -4049,6 +4146,76 @@ object SparkEntry {
         |  FROM events GROUP BY 1)
         |SELECT spine.d, COALESCE(n_raw, 0) AS n, COALESCE(total_raw, 0.0) AS total
         |FROM spine LEFT JOIN daily ON spine.d = daily.d ORDER BY spine.d""".stripMargin,
+
+    // Exact replay of the shard-local greedy fold: row i of each
+    // (lang, doc_id%8) slice opens a new pack iff acc + tokens > 512.
+    "q82_sequence_packing" ->
+      """WITH RECURSIVE toks AS MATERIALIZED (
+        |  SELECT lang, doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t != '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |seqd AS MATERIALIZED (
+        |  SELECT lang, shard, doc_id, n_tokens,
+        |    CAST(row_number() OVER (PARTITION BY lang, shard ORDER BY doc_id) AS BIGINT) AS i
+        |  FROM toks),
+        |fold AS (
+        |  SELECT lang, shard, doc_id, n_tokens, i,
+        |    CAST(0 AS BIGINT) AS pack_id, n_tokens AS acc
+        |  FROM seqd WHERE i = 1
+        |  UNION ALL
+        |  SELECT s.lang, s.shard, s.doc_id, s.n_tokens, s.i,
+        |    CASE WHEN f.acc > 512 - s.n_tokens THEN f.pack_id + 1 ELSE f.pack_id END,
+        |    CASE WHEN f.acc > 512 - s.n_tokens THEN s.n_tokens ELSE f.acc + s.n_tokens END
+        |  FROM fold f JOIN seqd s ON s.lang = f.lang AND s.shard = f.shard AND s.i = f.i + 1)
+        |SELECT lang, shard, pack_id, doc_id, n_tokens
+        |FROM fold ORDER BY doc_id""".stripMargin,
+
+    // Exact replay of block-local best-fit-decreasing: rows in global
+    // (tokens DESC, id) rank order, 512-row rank blocks; state = list of
+    // open packs as (remaining, park-seq, pack) structs — list_sort[1]
+    // picks the smallest remaining >= t with FIFO tie-break, exactly the
+    // engine's TreeMap-of-deques.
+    "q107_global_packing" ->
+      """WITH RECURSIVE toks AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t != '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |ranked AS MATERIALIZED (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rn
+        |  FROM toks),
+        |blocks AS MATERIALIZED (
+        |  SELECT doc_id, n_tokens, CAST((rn - 1) // 512 AS BIGINT) AS block,
+        |    CAST(row_number() OVER (PARTITION BY (rn - 1) // 512 ORDER BY rn) AS BIGINT) AS i
+        |  FROM ranked),
+        |fold AS (
+        |  SELECT block, i, doc_id, n_tokens,
+        |    CAST(0 AS BIGINT) AS pack_local,
+        |    CAST(1 AS BIGINT) AS npacks,
+        |    CAST(1 AS BIGINT) AS seq,
+        |    [{'r': CAST(greatest(512 - n_tokens, 0) AS BIGINT), 's': CAST(0 AS BIGINT), 'p': CAST(0 AS BIGINT)}] AS open
+        |  FROM blocks WHERE i = 1
+        |  UNION ALL
+        |  SELECT b.block, b.i, b.doc_id, b.n_tokens,
+        |    CASE WHEN list_sort(list_filter(f.open, e -> e.r >= b.n_tokens))[1] IS NULL
+        |         THEN f.npacks
+        |         ELSE list_sort(list_filter(f.open, e -> e.r >= b.n_tokens))[1].p END,
+        |    CASE WHEN list_sort(list_filter(f.open, e -> e.r >= b.n_tokens))[1] IS NULL
+        |         THEN f.npacks + 1 ELSE f.npacks END,
+        |    f.seq + 1,
+        |    CASE WHEN list_sort(list_filter(f.open, e -> e.r >= b.n_tokens))[1] IS NULL
+        |         THEN list_append(f.open,
+        |           {'r': CAST(greatest(512 - b.n_tokens, 0) AS BIGINT), 's': f.seq, 'p': f.npacks})
+        |         ELSE list_append(
+        |           list_filter(f.open, e ->
+        |             NOT (e.r = list_sort(list_filter(f.open, x -> x.r >= b.n_tokens))[1].r
+        |              AND e.s = list_sort(list_filter(f.open, x -> x.r >= b.n_tokens))[1].s)),
+        |           {'r': list_sort(list_filter(f.open, e -> e.r >= b.n_tokens))[1].r - b.n_tokens,
+        |            's': f.seq,
+        |            'p': list_sort(list_filter(f.open, e -> e.r >= b.n_tokens))[1].p}) END
+        |  FROM fold f JOIN blocks b ON b.block = f.block AND b.i = f.i + 1)
+        |SELECT CAST(block * 1048576 + pack_local AS BIGINT) AS pack_id, doc_id, n_tokens
+        |FROM fold ORDER BY doc_id""".stripMargin,
 
     "q83_cluster_canonical" ->
       """WITH RECURSIVE toks AS (

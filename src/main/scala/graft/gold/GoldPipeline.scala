@@ -27,7 +27,13 @@ case class GoldTable(
     // > 0 ⇒ the target is a hash-bucketed snapshot (merge rewrites only
     // affected buckets — the 100 TB path; see BucketedSnapshotTable).
     // 0 ⇒ plain whole-snapshot commits (reference-scale parity).
-    numBuckets: Int = 0)
+    numBuckets: Int = 0,
+    // When set, the stage streams from this CATALOG NAME via
+    // `spark.readStream.table` — the reference's DLT source form
+    // (`spark.readStream.table("...silver...")`, DimUser.py:10) — with the
+    // schema resolved by the catalog. When None, it streams from
+    // `silverPath` directly (schema-inference + rescue path).
+    silverTable: Option[String] = None)
 
 final class GoldPipeline(goldDir: String, checkpointRoot: String) {
 
@@ -92,12 +98,19 @@ final class GoldPipeline(goldDir: String, checkpointRoot: String) {
       schemaDir = s"$checkpointRoot/${t.name}/_schema",
       checkpointDir = s"$checkpointRoot/${t.name}/_checkpoint",
       rescue = false)
+    // S4 API parity: a declared catalog name streams via readStream.table
+    // (catalog-resolved schema); otherwise the directory path streams with
+    // schema inference + rescue.
+    val source = t.silverTable match {
+      case Some(name) => spark.readStream.table(name)
+      case None       => AutoIngest.readStream(spark, cfg)
+    }
     // Expectations are attached to the *streaming* DataFrame (not inside
     // foreachBatch) so their observe() metrics surface through
     // StreamingQueryListener.observedMetrics per micro-batch — the DLT
     // expectations-UI analog (C6).
     val stream = Expectations.expectAllOrDrop(
-      AutoIngest.readStream(spark, cfg), t.expectations, s"quality_${t.name}")
+      source, t.expectations, s"quality_${t.name}")
     if (t.numBuckets > 0) {
       // bucketed target: the merge itself prunes to affected buckets
       val target = bucketedSnapshot(t)

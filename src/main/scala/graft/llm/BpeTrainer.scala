@@ -87,8 +87,10 @@ object BpeTrainer {
       val top = words
         .filter(size(col("toks")) >= 2)
         .select(explode(zip_with(
-          slice(col("toks"), 1, 10000), // left operands
-          slice(col("toks"), 2, 10000), // right operands (shifted by one)
+          // adjacent pairs over the FULL token array (length-driven slices:
+          // a fixed cap would silently undercount pathologically long words)
+          slice(col("toks"), lit(1), size(col("toks")) - 1), // left operands
+          slice(col("toks"), lit(2), size(col("toks")) - 1), // right, shifted by one
           (l, r) => struct(l.as("l"), r.as("r")))).as("p"), col("cnt"))
         .filter(col("p.r").isNotNull)
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))

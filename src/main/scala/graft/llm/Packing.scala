@@ -24,10 +24,13 @@ object Packing {
 
   /** Pack each (groupCols, shard) slice greedily in ascending-id order.
     * Output columns: groupCols ++ (shard, pack_id, idCol, n_tokens);
-    * pack_id is unique within its (group, shard) slice. */
+    * pack_id is unique within its (group, shard) slice. `shardExpr`
+    * overrides the default hash shard with a caller-supplied assignment
+    * (any deterministic int expression over the row). */
   def packSequences(
       df: DataFrame, idCol: String, tokenCountCol: String,
-      groupCols: Seq[String], budget: Int, shards: Int = 64): DataFrame = {
+      groupCols: Seq[String], budget: Int, shards: Int = 64,
+      shardExpr: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(budget > 0 && shards > 0, "budget and shards must be positive")
     val groupSchema = StructType(groupCols.map(c => df.schema(c)))
     val outSchema = StructType(groupSchema.fields ++ Seq(
@@ -38,7 +41,8 @@ object Packing {
 
     val prepared = df.select(
       struct(groupCols.map(col): _*).as("__g"),
-      pmod(xxhash64(col(idCol)), lit(shards.toLong)).cast("int").as("__shard"),
+      shardExpr.getOrElse(pmod(xxhash64(col(idCol)), lit(shards.toLong)))
+        .cast("int").as("__shard"),
       col(idCol).cast("long").as("__id"),
       col(tokenCountCol).cast("long").as("__t"))
 
@@ -68,54 +72,72 @@ object Packing {
       .toDF()
   }
 
-  /** Globally-sorted packing: best-fit-decreasing over a range-partitioned
-    * descending token-count order — the low-waste variant of
-    * [[packSequences]].
+  /** Globally-sorted packing: best-fit-decreasing over deterministic
+    * rank-blocks of the global descending token-count order — the
+    * low-waste variant of [[packSequences]].
     *
     * Hash-sharded greedy packing sees documents in random size order, so a
     * pack closes whenever the next random doc doesn't fit (next-fit waste).
     * Sorting the WHOLE corpus by descending size first (the classic
     * first-fit-decreasing setup) lets small documents backfill the gaps big
-    * ones leave. Scale shape: `repartitionByRange` on (tokens DESC, id)
-    * gives contiguous global ranges — a genuinely global sort order without
-    * a single-worker pass — and each range packs independently with
-    * best-fit (a TreeMap of open-pack remainders, O(n log n) per
-    * partition). The only deviation from a true global FFD is at the
-    * `numPartitions - 1` range boundaries: each range starts fresh, so
-    * waste is bounded by one partial pack per partition — noise at 100 TB
-    * (a few thousand packs out of billions).
+    * ones leave. Scale shape: a range-shuffle gives the distributed global
+    * (tokens DESC, id) order; exact global row numbers come from
+    * per-partition counts + offsets (no single-worker window); rows then
+    * regroup into fixed `blockRows`-sized rank blocks, and each block packs
+    * independently with best-fit (a TreeMap of open-pack remainders,
+    * O(n log n) per block, streamed — state is open packs only, never the
+    * rows). The only deviation from a true global FFD is at block
+    * boundaries: each block starts fresh, so waste is bounded by one
+    * partial pack per block — noise at 100 TB (millions of docs per block
+    * with the default size).
     *
-    * Determinism: the sort key (tokens DESC, id ASC) is total, and Spark's
-    * RangePartitioner samples with a fixed seed, so the layout is a pure
-    * function of the input set. pack_id = partition << 32 | local id.
+    * Determinism: the sort key (tokens DESC, id ASC) is total and the
+    * block of a row is a pure function of its exact global rank — NOT of
+    * sampled range boundaries — so the layout is a pure function of the
+    * input set under any partitioning, and an oracle can replay it.
+    * pack_id = block << 20 | block-local id.
     *
     * A document longer than the budget becomes its own overflowing pack,
     * same contract as [[packSequences]].
     */
   def packSequencesGlobal(
       df: DataFrame, idCol: String, tokenCountCol: String,
-      budget: Int, numPartitions: Int = 32): DataFrame = {
+      budget: Int, numPartitions: Int = 32, blockRows: Int = 4096): DataFrame = {
     require(budget > 0 && numPartitions > 0, "budget and numPartitions must be positive")
+    require(blockRows > 0 && blockRows <= (1 << 20), "blockRows must be in (0, 2^20]")
     val outSchema = StructType(Seq(
       StructField("pack_id", LongType, nullable = false),
       StructField(idCol, LongType, nullable = false),
       StructField("n_tokens", LongType, nullable = false)))
 
-    df.select(col(idCol).cast("long").as("__id"), col(tokenCountCol).cast("long").as("__t"))
-      .repartitionByRange(numPartitions, col("__t").desc, col("__id"))
-      .sortWithinPartitions(col("__t").desc, col("__id"))
+    val ranked = graft.ops.Relational.globalRowNumbers(
+      df.select(col(idCol).cast("long").as("__id"),
+          col(tokenCountCol).cast("long").as("__t"))
+        .withColumn("__negt", -col("__t")),
+      Seq("__negt", "__id"), numPartitions)
+      .withColumn("__block", expr(s"CAST((rn - 1) DIV $blockRows AS BIGINT)"))
+      .select(col("__block"), col("rn"), col("__id"), col("__t"))
+
+    ranked
+      .repartition(numPartitions, col("__block"))
+      .sortWithinPartitions(col("__block"), col("rn"))
       .mapPartitions { rows =>
-        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
-        // open packs keyed by remaining capacity; values = pack ids with
-        // that exact remainder (insertion order preserved for determinism)
-        val open = new java.util.TreeMap[Long, scala.collection.mutable.ArrayDeque[Long]]()
+        // streaming best-fit; state (open-pack remainders) resets at each
+        // rank-block edge — several blocks may share a task, never split
+        var curBlock = Long.MinValue
+        var open: java.util.TreeMap[Long, scala.collection.mutable.ArrayDeque[Long]] = null
         var nPacks = 0L
         def park(pack: Long, remaining: Long): Unit = {
           open.putIfAbsent(remaining, new scala.collection.mutable.ArrayDeque[Long]())
           open.get(remaining).append(pack)
         }
         rows.map { r =>
-          val id = r.getLong(0); val t = r.getLong(1)
+          val block = r.getLong(0); val id = r.getLong(2); val t = r.getLong(3)
+          if (block != curBlock) {
+            curBlock = block
+            open = new java.util.TreeMap[Long, scala.collection.mutable.ArrayDeque[Long]]()
+            nPacks = 0L
+          }
           // best fit: the open pack with the SMALLEST remainder still >= t
           val fit = open.ceilingEntry(t)
           val packLocal =
@@ -130,7 +152,7 @@ object Packing {
               park(p, rem - t)
               p
             }
-          Row((pid << 32) | packLocal, id, t)
+          Row((block << 20) | packLocal, id, t)
         }
       }(Encoders.row(outSchema))
       .toDF()

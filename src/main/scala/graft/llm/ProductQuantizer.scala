@@ -50,33 +50,67 @@ object ProductQuantizer {
       .agg(max_by(col("code"), struct(col("ip"), -col("code"))).as("code"))
 
   /** Train per-subspace codebooks: (sub, code, cv). `k` centroids per
-    * subspace, seeded by hash rank, refined with `iters` Lloyd's rounds
-    * (decimal-exact means → deterministic under any partitioning). */
+    * subspace, seeded by hash rank, refined with `iters` Lloyd's rounds.
+    *
+    * Training economics at 100 TB: codebooks need thousands of vectors,
+    * not the corpus. A deterministic hash-sample (value-keyed threshold —
+    * bit-stable under any partitioning) bounds the training set to
+    * ~`sampleN` rows, which are COLLECTED and fitted in one tight local
+    * loop — the alternative (m×iters rounds of distributed join+agg over
+    * a 256-row codebook) costs dozens of near-empty jobs whose scheduling
+    * overhead dwarfs the arithmetic at any scale. The collect is bounded
+    * by `sampleN × dim` by construction (~10 MB at the defaults), the
+    * fit is single-threaded ⇒ bit-deterministic, and the returned
+    * codebook is a local relation every downstream join broadcasts for
+    * free. Encoding the corpus ([[encode]]) stays fully distributed. */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int = 8, k: Int = 16, iters: Int = 3): DataFrame = {
-    val sv = subvectors(corpus, idCol, vecCol, m).localCheckpoint()
-    val seedW = Window.partitionBy(col("sub")).orderBy(xxhash64(col("vid")), col("vid"))
-    var cents = sv.withColumn("rk", row_number().over(seedW))
-      .filter(col("rk") <= k)
-      .select(col("sub"), (col("rk") - 1).cast("int").as("code"), col("sv").as("cv"))
-      .localCheckpoint()
-    (1 to iters).foreach { _ =>
-      val assigned = assign(sv, cents)
-      // element-wise decimal-exact mean of each cluster's subvectors
-      val means = sv.join(assigned, Seq("vid", "sub"))
-        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
-        .groupBy("sub", "code", "pos")
-        .agg((sum(col("x").cast("decimal(28,12)")) / count(lit(1))).cast("double").as("mx"))
-        .groupBy("sub", "code")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
-          s => s.getField("mx")).as("cv"))
-      // empty clusters keep their previous centroid
-      cents = cents.select(col("sub"), col("code"), col("cv").as("cv0"))
-        .join(means, Seq("sub", "code"), "left")
-        .select(col("sub"), col("code"), coalesce(col("cv"), col("cv0")).as("cv"))
-        .localCheckpoint()
+      m: Int = 8, k: Int = 16, iters: Int = 3, sampleN: Int = 20000): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val n = corpus.count()
+    val training = if (n <= sampleN) corpus else {
+      val den = 1L << 20
+      val num = math.max(1L, math.ceil(sampleN.toDouble / n * den).toLong)
+      corpus.filter(pmod(xxhash64(col(idCol)), lit(den)) < lit(num))
     }
-    cents
+    // hash-rank order = the seeding rule: seeds are the first k subvectors
+    // of each subspace in (xxhash64(id), id) order, exactly reproducible
+    val collected = subvectors(training, idCol, vecCol, m)
+      .orderBy(xxhash64(col("vid")), col("vid"), col("sub"))
+      .select(col("sub"), col("sv"))
+      .as[(Int, Seq[Double])]
+      .collect()
+    val bySub = collected.groupBy(_._1) // groupBy preserves encounter order
+    val cents = (0 until m).flatMap { sub =>
+      val vecs = bySub.getOrElse(sub, Array.empty[(Int, Seq[Double])]).map(_._2.toArray)
+      var cs = vecs.take(k).map(_.clone)
+      val kk = cs.length
+      (1 to iters).foreach { _ =>
+        val sums = Array.fill(kk)(null: Array[Double])
+        val cnts = new Array[Long](kk)
+        vecs.foreach { v =>
+          // max-inner-product assignment; ties → lower code (strict >)
+          var best = 0; var bestIp = Double.NegativeInfinity
+          var c = 0
+          while (c < kk) {
+            var ip = 0.0; var i = 0
+            while (i < v.length) { ip += v(i) * cs(c)(i); i += 1 }
+            if (ip > bestIp) { bestIp = ip; best = c }
+            c += 1
+          }
+          if (sums(best) == null) sums(best) = new Array[Double](v.length)
+          var i = 0
+          while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+          cnts(best) += 1
+        }
+        // empty clusters keep their previous centroid
+        cs = Array.tabulate(kk) { c =>
+          if (cnts(c) == 0) cs(c) else sums(c).map(_ / cnts(c))
+        }
+      }
+      cs.zipWithIndex.map { case (cv, code) => (sub, code, cv.toSeq) }
+    }
+    cents.toDF("sub", "code", "cv")
   }
 
   /** Encode the corpus against a codebook: (id, sub, code) — m codes per

@@ -63,12 +63,19 @@ final class Medallion(workDir: String) {
           checkpointDir = s"$ckRoot/silver/$name/_checkpoint")
         val stream = t.silverTransform(AutoIngest.readStream(spark, cfg).drop("_rescued_data"))
         AutoIngest.appendOnce(stream, s"$silverDir/$name", cfg.checkpointDir)
+        // register the silver table so the gold stage can stream it BY
+        // CATALOG NAME (S4 API parity — the reference's gold sources are
+        // `spark.readStream.table(...)` over silver, DimUser.py:10)
+        graft.sql.TableCatalog.registerParquet(
+          spark, "graft_silver", name.toLowerCase, s"$silverDir/$name")
       }
     }
 
-    // E3 — gold: declarative SCD targets in DAG order.
+    // E3 — gold: declarative SCD targets in DAG order, sourced from the
+    // registered silver catalog names.
     val gold = new GoldPipeline(goldDir, s"$ckRoot/gold")
     tables.filter(_.goldEnabled).foreach { t =>
+      val silverName = s"graft_silver.${t.spec.table.toLowerCase}"
       gold.declare(GoldTable(
         name = t.spec.table,
         silverPath = s"$silverDir/${t.spec.table}",
@@ -77,7 +84,9 @@ final class Medallion(workDir: String) {
         scdType = t.scdType,
         expectations = t.expectations,
         tieBreak = t.tieBreak,
-        numBuckets = t.numBuckets))
+        numBuckets = t.numBuckets,
+        silverTable =
+          if (spark.catalog.tableExists(silverName)) Some(silverName) else None))
     }
     gold.runOnce(spark)
 

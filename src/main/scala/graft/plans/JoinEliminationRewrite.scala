@@ -37,11 +37,18 @@ object JoinEliminationRewrite extends Rule[LogicalPlan] {
 
   private val registry = TrieMap.empty[String, Set[String]]
 
-  private def canon(p: String): String = new Path(p).toUri.getPath
+  /** Canonicalize to the FULL qualified URI (scheme + authority + path):
+    * keying by path alone would let a registration for one filesystem or
+    * bucket match a same-pathed table on another, silently eliminating a
+    * join against a table that may hold duplicate keys. */
+  private def canon(p: String, conf: org.apache.hadoop.conf.Configuration): String = {
+    val path = new Path(p)
+    path.getFileSystem(conf).makeQualified(path).toString
+  }
 
   /** Declare `column` unique in the parquet table at `path`. */
   def register(spark: SparkSession, path: String, column: String): Unit = {
-    val key = canon(path)
+    val key = canon(path, spark.sessionState.newHadoopConf())
     registry.put(key, registry.getOrElse(key, Set.empty) + column)
   }
 
@@ -85,7 +92,8 @@ object JoinEliminationRewrite extends Rule[LogicalPlan] {
         case fs: HadoopFsRelation =>
           fs.location.rootPaths.toList match {
             case single :: Nil =>
-              registry.get(canon(single.toString)).exists(_.contains(key.name))
+              val conf = SparkSession.active.sessionState.newHadoopConf()
+              registry.get(canon(single.toString, conf)).exists(_.contains(key.name))
             case _ => false
           }
         case _ => false

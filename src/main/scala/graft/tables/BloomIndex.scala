@@ -23,16 +23,36 @@ import org.apache.spark.util.sketch.BloomFilter
   *
   * Build cost: one extra pass over the just-written immutable snapshot,
   * distributed — each task builds the filters for the files whose rows it
-  * holds (`input_file_name` grouping), and only the serialized filters
-  * (~1.2 bytes/key at 3% fpp) travel to the driver for the manifest write.
+  * holds (`input_file_name` grouping) and WRITES each file's filter
+  * sidecar itself; only sidecar path strings travel to the driver for the
+  * manifest write. Filter bytes never aggregate at the driver — at 100 TB
+  * (millions of files × KBs of filter) a collect-then-write manifest
+  * would be a driver-memory cliff.
   *
-  * Format: one line per file, `path\tcol:kind:b64(bloomBytes)` per indexed
-  * column, kind ∈ {l (hashed as long), s (hashed as UTF-8 string)}.
-  * Files with no live rows for a column still get an (empty) filter, so
-  * lookup pruning stays a superset guarantee; a file missing from the
-  * manifest entirely is always kept.
+  * Layout: `out/` is a directory —
+  * `_MANIFEST`: one line per data file, `path\tsidecarName`;
+  * `part-<sha1(path)>.bloom`: that file's filters,
+  * `path\tcol:kind:b64(bloomBytes)` per indexed column, kind ∈ {l (hashed
+  * as long), s (hashed as UTF-8 string)}. Files with no live rows for a
+  * column still get an (empty) filter, so lookup pruning stays a superset
+  * guarantee; a file missing from the manifest, or an unreadable sidecar,
+  * is always kept.
   */
 private[tables] object BloomIndex {
+
+  /** Minimal serializable Hadoop-conf carrier (the standard Writable
+    * round-trip) so executor tasks can open the snapshot's filesystem. */
+  private class SerConf(@transient var value: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
 
   private def b64(b: Array[Byte]) = java.util.Base64.getEncoder.encodeToString(b)
   private def unb64(s: String) = java.util.Base64.getDecoder.decode(s)
@@ -42,9 +62,14 @@ private[tables] object BloomIndex {
     bf.writeTo(bos); bos.toByteArray
   }
 
+  private def sidecarName(file: String): String =
+    "part-" + java.security.MessageDigest.getInstance("SHA-1")
+      .digest(file.getBytes("UTF-8")).map("%02x".format(_)).mkString + ".bloom"
+
   /** Build per-file Bloom filters over `bloomCols` of `snap` (a freshly
-    * written snapshot directory read) and write the sidecar to `out`.
-    * Integral columns hash as longs, everything else as strings. */
+    * written snapshot directory read) and write the sidecar DIRECTORY at
+    * `out`. Integral columns hash as longs, everything else as strings.
+    * Each task writes its files' sidecars; the driver sees paths only. */
   def write(snap: DataFrame, bloomCols: Seq[String], fpp: Double,
       fs: FileSystem, out: Path): Unit = {
     val kinds = bloomCols.map { c =>
@@ -57,7 +82,10 @@ private[tables] object BloomIndex {
       kinds.map { case (c, k) =>
         if (k == "l") col(c).cast("long").as(c) else col(c).cast("string").as(c)
       }: _*)
-    val lines = proj
+    fs.mkdirs(out)
+    val dirStr = out.toString
+    val conf = new SerConf(fs.getConf)
+    val manifestLines = proj
       .groupByKey(_.getString(0))(Encoders.STRING)
       .mapGroups { (file, rows) =>
         // buffer the (narrow, key-only) rows once: BloomFilter.create needs
@@ -73,31 +101,46 @@ private[tables] object BloomIndex {
           }
           s"$c:$k:${b64(serialize(bf))}"
         }
-        (file +: entries).mkString("\t")
+        // the filter bytes stop HERE, in the task: deterministic sidecar
+        // name + idempotent overwrite make retries safe
+        val name = sidecarName(file)
+        val p = new Path(dirStr, name)
+        val f = p.getFileSystem(conf.value)
+        val o = f.create(p, true)
+        try o.write((file +: entries).mkString("\t").getBytes("UTF-8"))
+        finally o.close()
+        s"$file\t$name"
       }(Encoders.STRING)
-      .collect()
-    val o = fs.create(out, true)
-    try o.write(lines.mkString("\n").getBytes("UTF-8")) finally o.close()
+      .collect() // O(files) short strings — never filter bytes
+    val o = fs.create(new Path(out, "_MANIFEST"), true)
+    try o.write(manifestLines.mkString("\n").getBytes("UTF-8")) finally o.close()
   }
 
-  private def filesWhere(lines: Vector[String], column: String,
-      mightContain: BloomFilter => Boolean): Vector[String] =
-    lines.map(_.split("\t")).collect {
-      case parts if {
-        val entry = parts.drop(1).find(_.startsWith(s"$column:"))
-        // no entry for this column on this file → keep (superset guarantee)
-        entry.forall { e =>
-          val Array(_, _, blob) = e.split(":", 3)
-          mightContain(BloomFilter.readFrom(new ByteArrayInputStream(unb64(blob))))
-        }
-      } => parts(0)
+  private def filesWhere(fs: FileSystem, dir: Path, column: String,
+      mightContain: BloomFilter => Boolean): Option[Vector[String]] =
+    StatsManifest.readLines(fs, new Path(dir, "_MANIFEST")).map { manifest =>
+      manifest.map(_.split("\t", 2)).collect {
+        case parts if parts.length == 2 && {
+          val entry = StatsManifest.readLines(fs, new Path(dir, parts(1)))
+            .flatMap(_.headOption)
+            .flatMap(_.split("\t").drop(1).find(_.startsWith(s"$column:")))
+          // no sidecar / no entry for this column → keep (superset guarantee)
+          entry.forall { e =>
+            val Array(_, _, blob) = e.split(":", 3)
+            mightContain(BloomFilter.readFrom(new ByteArrayInputStream(unb64(blob))))
+          }
+        } => parts(0)
+      }
     }
 
-  /** Files whose Bloom filter for `column` might contain the long key. */
-  def filesMightContainLong(lines: Vector[String], column: String, value: Long): Vector[String] =
-    filesWhere(lines, column, _.mightContainLong(value))
+  /** Files whose Bloom filter for `column` might contain the long key
+    * (None = no index at `dir`). */
+  def filesMightContainLong(fs: FileSystem, dir: Path, column: String,
+      value: Long): Option[Vector[String]] =
+    filesWhere(fs, dir, column, _.mightContainLong(value))
 
   /** Files whose Bloom filter for `column` might contain the string key. */
-  def filesMightContainString(lines: Vector[String], column: String, value: String): Vector[String] =
-    filesWhere(lines, column, _.mightContainString(value))
+  def filesMightContainString(fs: FileSystem, dir: Path, column: String,
+      value: String): Option[Vector[String]] =
+    filesWhere(fs, dir, column, _.mightContainString(value))
 }

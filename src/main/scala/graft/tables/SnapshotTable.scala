@@ -231,10 +231,10 @@ final class SnapshotTable(val root: String) {
   }
 
   private def readBloomFiles(spark: SparkSession,
-      prune: Vector[String] => Vector[String]): DataFrame = {
+      prune: (org.apache.hadoop.fs.FileSystem, Path) => Option[Vector[String]]): DataFrame = {
     val v = currentVersion(spark).getOrElse(
       throw new IllegalStateException(s"SnapshotTable $root has no committed version"))
-    StatsManifest.readLines(fs(spark), bloomPath(v)).map(prune) match {
+    prune(fs(spark), bloomPath(v)) match {
       case None => read(spark)
       case Some(files) if files.isEmpty => read(spark).limit(0)
       case Some(files) =>
@@ -247,11 +247,11 @@ final class SnapshotTable(val root: String) {
     * filter might contain `value` are scanned. Superset guarantee — apply
     * the row filter after. */
   def readPrunedBloomLong(spark: SparkSession, column: String, value: Long): DataFrame =
-    readBloomFiles(spark, BloomIndex.filesMightContainLong(_, column, value))
+    readBloomFiles(spark, BloomIndex.filesMightContainLong(_, _, column, value))
 
   /** Bloom-pruned point lookup on a string column. */
   def readPrunedBloomString(spark: SparkSession, column: String, value: String): DataFrame =
-    readBloomFiles(spark, BloomIndex.filesMightContainString(_, column, value))
+    readBloomFiles(spark, BloomIndex.filesMightContainString(_, _, column, value))
 
   /** Change data feed between two committed versions (Delta CDF analog,
     * computed on demand from the immutable snapshots rather than logged at
@@ -318,10 +318,16 @@ final class SnapshotTable(val root: String) {
       .map(_.drop(2).toInt).sorted
     versions.map { v =>
       val dir = new Path(s"$root/_v$v")
-      val files = f.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
+      // recursive listing: partitionBy writes lay files under hive-style
+      // subdirectories, which a flat listStatus would count as zero
+      val it = f.listFiles(dir, true)
+      var nFiles = 0L; var nBytes = 0L
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) { nFiles += 1; nBytes += st.getLen }
+      }
       val rows = spark.read.parquet(dir.toString).count()
-      (v, rows, files.length.toLong, files.map(_.getLen).sum,
-        f.exists(tombPath(v)), v == live)
+      (v, rows, nFiles, nBytes, f.exists(tombPath(v)), v == live)
     }.toDF("version", "n_rows", "n_files", "bytes", "has_tombstones", "is_live")
   }
 
@@ -349,14 +355,15 @@ final class SnapshotTable(val root: String) {
   }
 
   /** Drop snapshot dirs older than the `keep` most recent (time travel
-    * window). Never touches the live version. */
+    * window), along with their tombstone/stats/bloom sidecars. Never
+    * touches the live version (`keep >= 1` enforced). */
   def vacuum(spark: SparkSession, keep: Int = 2): Unit = {
+    require(keep >= 1, s"vacuum keep must be >= 1 (got $keep): keep=0 would delete the live version")
     val f = fs(spark)
     currentVersion(spark).foreach { cur =>
       (1 to cur - keep).foreach { v =>
-        Seq(new Path(s"$root/_v$v"), tombPath(v)).foreach { p =>
-          if (f.exists(p)) f.delete(p, true)
-        }
+        Seq(new Path(s"$root/_v$v"), tombPath(v), statsPath(v), bloomPath(v))
+          .foreach { p => if (f.exists(p)) f.delete(p, true) }
       }
     }
   }

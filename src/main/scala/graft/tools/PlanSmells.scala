@@ -26,10 +26,12 @@ object PlanSmells {
     // q179/q199/q211: contingency cells / PSI bins / category sums cross-
     // join a 1-row global-total aggregate (scalar-broadcast pattern, same
     // as q145/q157)
+    // q222: the recall PIN intentionally contains the brute-force baseline
+    // (broadcast 100-query side, q26's pattern) to compare LSH against it
     val justified = Set("q112_idle_customers", "q26_embedding_knn", "q27_embedding_dedup",
       "q43_ann_ivf", "q60_range_join", "q61_ann_ivf_kmeans", "q93_vector_index",
       "q145_bm25", "q157_important_stock", "q179_chi_square", "q199_psi",
-      "q211_target_encoding")
+      "q211_target_encoding", "q222_lsh_multiprobe")
     var flagged = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

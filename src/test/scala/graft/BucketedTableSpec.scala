@@ -75,6 +75,31 @@ class BucketedTableSpec extends AnyFunSuite {
     assert(t.read(spark).count() == 64)
   }
 
+  test("scd2Merge rewrites only affected buckets; stats compose per batch") {
+    val t = new BucketedSnapshotTable(tmp("bscd2ref"), numBuckets = 16,
+      keys = Seq("k"), statsCols = Seq("seq"))
+    t.scd2Merge(spark, mkBatch((1 to 64).map(i => (i, 1, s"v$i"))), "seq")
+    val m1 = t.manifest(spark)
+    assert(m1.values.toSet == Set("_batch_v1"))
+
+    // an incremental SCD2 batch touching 2 keys rewrites ≤ 2 buckets;
+    // everything else is carried by reference — merge IO is O(affected)
+    val touched = t.scd2Merge(spark, mkBatch(Seq((1, 2, "x"), (2, 2, "y"))), "seq")
+    assert(touched.nonEmpty && touched.size <= 2)
+    val m2 = t.manifest(spark)
+    assert((m1.keySet -- touched).forall(b => m2(b) == "_batch_v1"))
+    assert(touched.forall(b => m2(b) == "_batch_v2"))
+
+    // history intact: 64 originals + 2 new versions
+    assert(t.read(spark).count() == 66)
+    assert(ScdMerge.current(t.read(spark)).count() == 64)
+
+    // per-batch stats prune: only batch-2 files can hold seq=2 versions
+    val pr = t.readPruned(spark, "seq", 2.0, 2.0)
+    assert(pr.inputFiles.length <= touched.size)
+    assert(pr.filter($"seq" === 2).select("k").as[Int].collect().toSet == Set(1, 2))
+  }
+
   test("compact unifies layout; vacuum drops unreachable batch dirs") {
     val dir = tmp("bvac")
     val t = new BucketedSnapshotTable(dir, numBuckets = 4, keys = Seq("k"))

@@ -459,7 +459,14 @@ class LlmOpsSpec extends AnyFunSuite {
     // aggregate recall (exact top-1 found) must not decrease
     val hitS = single.count { case (q, cos) => math.abs(cos - brute(q)) < 1e-9 }
     val hitM = multi.count { case (q, cos) => math.abs(cos - brute(q)) < 1e-9 }
+    info(s"recall@1 single=$hitS/${brute.size} multi=$hitM/${brute.size}")
     assert(hitM >= hitS)
+    // quantified floors (PQ-spec style), not just "≥ single". The fixture
+    // embeddings are near-uniform random — the worst case for hyperplane
+    // LSH (top-1 is barely closer than the bucket crowd), so the honest
+    // floor is low in absolute terms; measured: single 3/50, multi 9/50.
+    assert(hitM >= (brute.size * 0.15).toInt, s"multi-probe recall@1 $hitM/${brute.size} < 15%")
+    assert(hitM >= 2 * hitS, s"Hamming-1 probing should ≥2× single-probe recall here ($hitM vs $hitS)")
   }
 
   test("ivfTopK: answers every query; approximate cos never exceeds brute force") {

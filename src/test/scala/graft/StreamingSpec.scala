@@ -86,6 +86,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.cdc.ScdMerge.history(t2).select("v").as[String].head() == "v1")
   }
 
+  test("GoldPipeline: streams from a registered CATALOG NAME (readStream.table, S4 API parity)") {
+    val work = tmp("goldCat")
+    Seq((1, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "v1"),
+        (2, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "w1"))
+      .toDF("id", "updated_at", "v").write.parquet(s"$work/silver/dim")
+    graft.sql.TableCatalog.registerParquet(spark, "graft_silver_spec", "dim", s"$work/silver/dim")
+    assert(spark.catalog.tableExists("graft_silver_spec.dim")) // catalog resolution
+    val gp = new GoldPipeline(s"$work/gold", s"$work/ck")
+    gp.declare(GoldTable("dim", s"$work/unused", Seq("id"), "updated_at", 2,
+      silverTable = Some("graft_silver_spec.dim")))
+    gp.runOnce(spark)
+    assert(gp.snapshot("dim").read(spark).count() == 2)
+    // incremental: a new file under the SAME catalog table is picked up by
+    // the stream's checkpoint on the next run — table-name sources are
+    // file-tracking streams, not one-shot batch reads
+    Seq((1, java.sql.Timestamp.valueOf("2024-02-01 00:00:00"), "v2"))
+      .toDF("id", "updated_at", "v").write.mode("append").parquet(s"$work/silver/dim")
+    gp.runOnce(spark)
+    val t = gp.snapshot("dim").read(spark)
+    assert(t.count() == 3)
+    assert(graft.cdc.ScdMerge.current(t).filter($"id" === 1)
+      .select("v").as[String].head() == "v2")
+  }
+
   test("streaming dropDuplicates: stateful dedup persists across AvailableNow runs") {
     val work = tmp("dedup")
     Seq((1, "a"), (2, "b")).toDF("id", "v").write.parquet(s"$work/src/f1")
@@ -410,6 +434,38 @@ class StreamingSpec extends AnyFunSuite {
         (1L, ts("2024-01-01 10:00:00").getTime, ts("2024-01-01 10:05:00").getTime, 2L),
         (2L, ts("2024-01-01 12:00:00").getTime, ts("2024-01-01 12:00:00").getTime, 1L)),
         s"got $out")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("StatefulOps.sessionizeTws: timer landing exactly on the terminal watermark fires") {
+    // Pins the q193 oracle's boundary predicate (endMs + gap <= wm): a
+    // session whose close lands EXACTLY on the final watermark must be
+    // emitted, at every scale factor.
+    val work = tmp("sesstwsedge")
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      val cfg = AutoIngest.Config(s"$work/src/*", s"$work/schema", s"$work/ck")
+      // user 2's event sets the terminal watermark to 10:30:00 — exactly
+      // user 1's 10:00:00 close + the 30-minute gap
+      Seq((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:30:00")))
+        .toDF("u", "t").coalesce(1).write.parquet(s"$work/src/f1")
+      val stream = AutoIngest.readStream(spark, cfg).drop("_rescued_data")
+        .withWatermark("t", "0 seconds")
+        .as[(Long, java.sql.Timestamp)]
+      val sessions = graft.streaming.StatefulOps.sessionizeTws(
+        stream, gapMs = 30 * 60 * 1000L)
+      AutoIngest.appendOnce(sessions.toDF(), s"$work/sink", cfg.checkpointDir)
+      val out = spark.read.parquet(s"$work/sink")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(out == Set(
+        (1L, ts("2024-01-01 10:00:00").getTime, ts("2024-01-01 10:00:00").getTime, 1L)),
+        s"boundary session not emitted at expiry == watermark: got $out")
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
