@@ -441,6 +441,28 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // ── LLM-pipeline: symmetric per-vector int8 embedding quantization
+    //    with reconstruction-error audit — the storage/bandwidth path for
+    //    100 TB of embeddings (4× smaller + one scale per vector).
+    //    Closed-form column algebra, zero shuffles, oracled end-to-end.
+    "q223_int8_quantization" -> ((s, dir) => {
+      import s.implicits._
+      graft.llm.Quantization.int8ErrorAudit(
+          Tables.embeddings(s, dir), "vec_id", "embedding")
+        .orderBy($"vec_id")
+    }),
+
+    // ── LLM-pipeline: corpus-trained bigram LM scoring (add-one
+    //    smoothing) — the perplexity-style quality signal curation ranks
+    //    by; count tables are vocab-bounded hash aggs, V is a 1-row
+    //    scalar broadcast.
+    "q224_bigram_loglik" -> ((s, dir) => {
+      import s.implicits._
+      graft.llm.TextAnalysis.bigramLogLik(
+          Tables.documents(s, dir), "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+
     // ── LLM-pipeline (rows-only): multi-probe LSH recall pin — one row
     //    comparing single-probe vs Hamming-1 multi-probe recall@1 against
     //    brute force on the fixtures; multi_ge_single must be true (floor
@@ -3818,6 +3840,39 @@ object SparkEntry {
         |'text' AS kind,
         |CAST((CAST(ceil(octet_length(CAST(text AS BLOB)) / 100.0) AS BIGINT) + 1) // 2 AS BIGINT) AS n_frames_sampled
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q223_int8_quantization" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, scale,
+        |    CASE WHEN scale = 0 THEN list_transform(v, x -> abs(x))
+        |         ELSE list_transform(v, x -> abs(x - round(x / scale) * scale)) END AS errs
+        |  FROM q)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  round(list_max(errs), 6) AS max_err,
+        |  round(sqrt(list_sum(list_transform(errs, x -> x * x)) / len(errs)), 6) AS rms_err
+        |FROM e ORDER BY vec_id""".stripMargin,
+
+    "q224_bigram_loglik" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, unnest(ts) AS tok, unnest(range(1, len(ts) + 1)) AS pos
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x != '') AS ts
+        |        FROM documents)),
+        |bg AS MATERIALIZED (
+        |  SELECT doc_id, lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev, tok
+        |  FROM toks QUALIFY prev IS NOT NULL),
+        |uni AS MATERIALIZED (SELECT tok AS prev, count(*) AS cw FROM toks GROUP BY 1),
+        |big AS MATERIALIZED (SELECT prev, tok, count(*) AS cww FROM bg GROUP BY 1, 2),
+        |vv AS (SELECT count(DISTINCT tok) AS v FROM toks)
+        |SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(avg(ln((cww + 1) / CAST(cw + vv.v AS DOUBLE))), 6) AS mean_loglik
+        |FROM bg JOIN big USING (prev, tok) JOIN uni USING (prev) CROSS JOIN vv
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q31_multimodal_decode" ->
       """SELECT doc_id,

@@ -95,6 +95,36 @@ object TextAnalysis {
         (max(col("c")).cast("double") / sum(col("c")).cast("double")).as("top_ngram_frac"),
         (count(lit(1)).cast("double") / sum(col("c")).cast("double")).as("distinct_frac"))
 
+  /** Corpus-trained bigram language-model scoring with add-one smoothing:
+    * per-document mean of ln((C(w1,w2)+1)/(C(w1)+V)) over its bigrams —
+    * the classic perplexity-style quality signal curation pipelines rank
+    * by (a doc whose word transitions are corpus-typical scores high; word
+    * salad scores low). Docs with fewer than two tokens are dropped
+    * (no bigrams to score).
+    *
+    * Scale shape: the count tables are two hash aggregations keyed by
+    * (w1) and (w1,w2) — vocabulary-bounded, heavy-hitter-friendly with
+    * partial aggregation; scoring joins on those keys; V is a 1-row
+    * scalar broadcast. No collect, no UDFs, everything codegen'd. */
+  def bigramLogLik(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "tok")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val bg = toks.withColumn("prev", lag(col("tok"), 1).over(w))
+      .filter(col("prev").isNotNull)
+    val uni = toks.groupBy(col("tok").as("prev")).agg(count(lit(1)).as("cw"))
+    val big = bg.groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("cww"))
+    val vocab = toks.agg(countDistinct(col("tok")).as("v"))
+    bg.join(big, Seq("prev", "tok"))
+      .join(uni, Seq("prev"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(avg(log((col("cww") + 1).cast("double")
+          / (col("cw") + col("v")).cast("double"))), 6).as("mean_loglik"))
+  }
+
   /** PII redaction for training corpora: emails, then long digit runs
     * (phone/account/SSN-ish), each replaced by a typed placeholder. Order
     * matters — emails first so their digits aren't half-eaten by the

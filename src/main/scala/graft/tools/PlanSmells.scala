@@ -31,7 +31,9 @@ object PlanSmells {
     val justified = Set("q112_idle_customers", "q26_embedding_knn", "q27_embedding_dedup",
       "q43_ann_ivf", "q60_range_join", "q61_ann_ivf_kmeans", "q93_vector_index",
       "q145_bm25", "q157_important_stock", "q179_chi_square", "q199_psi",
-      "q211_target_encoding", "q222_lsh_multiprobe")
+      "q211_target_encoding", "q222_lsh_multiprobe",
+      // q224: 1-row vocabulary-size scalar broadcast (q145's pattern)
+      "q224_bigram_loglik")
     var flagged = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

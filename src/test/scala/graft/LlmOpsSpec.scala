@@ -594,6 +594,59 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(big, again))
   }
 
+  test("Quantization: codes in int8 range, max_err bounded by scale/2, round-trip faithful") {
+    val q = graft.llm.Quantization.quantizeInt8(embs, "vec_id", "embedding")
+    assert(q.count() == embs.count())
+    val range = q.select(explode($"codes").as("c"))
+      .agg(min($"c"), max($"c")).as[(Byte, Byte)].head()
+    assert(range._1 >= -127 && range._2 <= 127, s"code range $range")
+
+    // symmetric round-to-nearest: every element's reconstruction error is
+    // at most half a quantization step
+    val audit = graft.llm.Quantization.int8ErrorAudit(embs, "vec_id", "embedding")
+      .select($"vec_id", $"scale", $"max_err").as[(Long, Double, Double)].collect()
+    audit.foreach { case (id, scale, maxErr) =>
+      // audit values are round(6)ed — allow half-ulp-of-rounding slack
+      assert(maxErr <= scale / 2 + 1e-6, s"vec $id: max_err $maxErr > scale/2 ${scale / 2}")
+    }
+
+    // dequantized vectors still rank like the originals: cosine ≥ 0.99
+    val deq = q.select($"vec_id",
+      graft.llm.Quantization.dequantize($"codes", $"scale").as("dv"))
+    val both = embs.select($"vec_id", transform($"embedding", _.cast("double")).as("ov"))
+      .join(deq, "vec_id")
+    val worst = both.select(
+      (graft.functions.VectorFunctions.vec_dot($"ov", $"dv")
+        / (sqrt(graft.functions.VectorFunctions.vec_dot($"ov", $"ov"))
+          * sqrt(graft.functions.VectorFunctions.vec_dot($"dv", $"dv")))).as("cos"))
+      .agg(min($"cos")).as[Double].head()
+    assert(worst >= 0.99, s"worst round-trip cosine $worst")
+  }
+
+  test("bigramLogLik: scores negative, bigram counts = tokens-1, typical text beats word salad") {
+    val out = graft.llm.TextAnalysis.bigramLogLik(docs, "doc_id", "text")
+    val joined = out.join(docs.select($"doc_id",
+      graft.llm.TextAnalysis.tokenCount($"text").cast("long").as("nt")), "doc_id")
+    // every scored doc has exactly (tokens − 1) bigrams and a negative
+    // mean log-likelihood (probabilities < 1)
+    assert(joined.filter($"n_bigrams" =!= $"nt" - 1).count() == 0)
+    assert(out.filter($"mean_loglik" >= 0).count() == 0)
+    // hand-checkable controlled corpus: counts C(a)=C(b)=8, C(a,b)=8,
+    // C(b,a)=6, singleton chain q r s t, V=6 →
+    //   d1 = (4·ln(9/14) + 3·ln(7/14)) / 7, d3 = ln(2/7)
+    val tiny = Seq(
+      (1L, "a b a b a b a b"),
+      (2L, "a b a b a b a b"),
+      (3L, "q r s t")).toDF("doc_id", "text")
+    val got = graft.llm.TextAnalysis.bigramLogLik(tiny, "doc_id", "text")
+      .select($"doc_id", $"mean_loglik").as[(Long, Double)].collect().toMap
+    val d1 = (4 * math.log(9.0 / 14) + 3 * math.log(7.0 / 14)) / 7
+    val d3 = math.log(2.0 / 7)
+    assert(math.abs(got(1L) - d1) < 1e-5, s"d1 ${got(1L)} vs $d1")
+    assert(math.abs(got(3L) - d3) < 1e-5, s"d3 ${got(3L)} vs $d3")
+    assert(got(1L) > got(3L)) // corpus-typical transitions beat a rare chain
+  }
+
   test("frameSample: sampled frame count matches arithmetic") {
     val df = Seq(("x" * 250)).toDF("t").withColumn("content", $"t".cast("binary"))
     val r = Multimodal.frameSample(df, "content", 100, 2)
