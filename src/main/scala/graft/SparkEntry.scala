@@ -441,6 +441,33 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // ── S1 in its TRUE JDBC form: the watermark predicate executes IN the
+    //    database (embedded Derby — the in-JVM stand-in for the
+    //    reference's Azure SQL, incremental_loop.json:45), and the delta
+    //    drains as 4 range-bounded parallel queries (partitionColumn
+    //    protocol). Only post-watermark rows ever cross the wire.
+    "q225_jdbc_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("jdbc225").toString
+      System.setProperty("derby.system.home", work) // derby.log stays in scratch
+      val url = s"jdbc:derby:$work/db;create=true"
+      val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+      val src = Tables.events(s, dir).filter($"event_id" % 37 === 0)
+        .select($"event_id", $"user_id", $"event_type", $"ts",
+          $"value".as("ev_value")) // VALUE is a reserved word in Derby
+      src.coalesce(1).write.format("jdbc")
+        .option("url", url).option("driver", driver)
+        .option("dbtable", "events_src").mode("overwrite").save()
+      val bounds = src.agg(min($"event_id"), max($"event_id")).as[(Long, Long)].head()
+      graft.ingest.JdbcIncremental.read(s, url, driver, "events_src",
+          "ts", "2024-01-15 00:00:00", graft.ingest.JdbcIncremental.derbyTs,
+          Some(graft.ingest.JdbcIncremental.Partitioning(
+            "event_id", bounds._1, bounds._2, 4)))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), Relational.sumMoney($"ev_value").as("total"))
+        .orderBy($"event_type")
+    }),
+
     // ── LLM-pipeline: symmetric per-vector int8 embedding quantization
     //    with reconstruction-error audit — the storage/bandwidth path for
     //    100 TB of embeddings (4× smaller + one scale per vector).
@@ -3840,6 +3867,13 @@ object SparkEntry {
         |'text' AS kind,
         |CAST((CAST(ceil(octet_length(CAST(text AS BLOB)) / 100.0) AS BIGINT) + 1) // 2 AS BIGINT) AS n_frames_sampled
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q225_jdbc_incremental" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events
+        |WHERE event_id % 37 = 0 AND ts > TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q223_int8_quantization" ->
       """WITH q AS (

@@ -620,4 +620,33 @@ class EngineCoreSpec extends AnyFunSuite {
     // first-listed rule wins for the doubly-bad row
     assert(tags == Map("id_rule" -> 2L, "v_rule" -> 1L))
   }
+
+  test("JdbcIncremental: DB-side watermark delta, partitioned read ≡ single-query read") {
+    import java.sql.Timestamp
+    val work = java.nio.file.Files.createTempDirectory("jdbcinc").toString
+    System.setProperty("derby.system.home", work)
+    val url = s"jdbc:derby:$work/db;create=true"
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2024-01-10 00:00:00"), "old"),
+      (2L, Timestamp.valueOf("2024-01-15 00:00:00"), "boundary"), // == watermark: excluded (strict >)
+      (3L, Timestamp.valueOf("2024-01-16 12:00:00"), "new1"),
+      (4L, Timestamp.valueOf("2024-02-01 08:30:00"), "new2"))
+      .toDF("id", "ts", "v")
+    rows.coalesce(1).write.format("jdbc")
+      .option("url", url).option("driver", driver)
+      .option("dbtable", "t_inc").mode("overwrite").save()
+
+    def delta(part: Option[graft.ingest.JdbcIncremental.Partitioning]) =
+      graft.ingest.JdbcIncremental.read(spark, url, driver, "t_inc",
+        "ts", "2024-01-15 00:00:00", graft.ingest.JdbcIncremental.derbyTs, part)
+
+    val single = delta(None).select($"id", $"v").as[(Long, String)].collect().toSet
+    // strictly-after rows only — the boundary row stays behind, DB-side
+    assert(single == Set((3L, "new1"), (4L, "new2")))
+    // range-partitioned parallel drain returns the same delta
+    val parted = delta(Some(graft.ingest.JdbcIncremental.Partitioning("id", 1L, 4L, 3)))
+      .select($"id", $"v").as[(Long, String)].collect().toSet
+    assert(parted == single)
+  }
 }

@@ -85,6 +85,30 @@ class GraftOpsProps extends AnyFunSuite {
     }
   }
 
+  test("Quantization int8: code range, error bound, scale formula on random vectors") {
+    val gen = for {
+      n <- Gen.choose(1, 12)
+      vecs <- Gen.listOfN(n,
+        Gen.zip(Gen.choose(0L, 1000L), Gen.listOfN(8, Gen.choose(-5.0, 5.0))))
+    } yield vecs.distinctBy(_._1)
+    forAllSeeded(gen, n = 6) { vecs =>
+      val df = vecs.toDF("id", "v")
+      val q = graft.llm.Quantization.quantizeInt8(df, "id", "v")
+        .select($"id", $"scale", $"codes").as[(Long, Double, Seq[Byte])].collect()
+      val byId = vecs.toMap
+      q.foreach { case (id, scale, codes) =>
+        val v = byId(id)
+        // exact scale formula, full int8 range, per-element error ≤ scale/2
+        assert(math.abs(scale - v.map(math.abs).max / 127.0) < 1e-12)
+        assert(codes.forall(c => c >= -127 && c <= 127))
+        v.zip(codes).foreach { case (x, c) =>
+          val err = math.abs(x - c * scale)
+          assert(err <= scale / 2 + 1e-9, s"id $id: |$x - $c*$scale| = $err")
+        }
+      }
+    }
+  }
+
   test("packSequences: coverage + budget + order invariants on random corpora") {
     val gen = for {
       n <- Gen.choose(1, 50)
