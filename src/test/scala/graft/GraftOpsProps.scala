@@ -85,6 +85,34 @@ class GraftOpsProps extends AnyFunSuite {
     }
   }
 
+  test("packSequencesGlobal: coverage + budget + rank-block determinism on random corpora") {
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      docs <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 500L), Gen.choose(1L, 40L)))
+      budget <- Gen.choose(20, 80)
+      blockRows <- Gen.choose(4, 32)
+    } yield (docs.distinctBy(_._1), budget, blockRows)
+    forAllSeeded(gen, n = 6) { case (docs, budget, blockRows) =>
+      val df = docs.toDF("id", "t")
+      def run() = graft.llm.Packing
+        .packSequencesGlobal(df, "id", "t", budget, numPartitions = 5, blockRows = blockRows)
+        .select($"pack_id", $"id", $"n_tokens").as[(Long, Long, Long)].collect()
+      val packed = run()
+      // exact coverage
+      assert(packed.map(_._2).sorted.toSeq == docs.map(_._1).sorted)
+      // budget respected unless a pack is a single oversized doc
+      packed.groupBy(_._1).foreach { case (_, ps) =>
+        assert(ps.map(_._3).sum <= budget || ps.length == 1)
+      }
+      // rank-block isolation: every pack's docs share one block id
+      packed.groupBy(_._1).foreach { case (pid, ps) =>
+        assert(ps.forall(p => (p._1 >> 20) == (pid >> 20)))
+      }
+      // deterministic under re-run (pure function of the input set)
+      assert(run().sortBy(_._2).toSeq == packed.sortBy(_._2).toSeq)
+    }
+  }
+
   test("Quantization int8: code range, error bound, scale formula on random vectors") {
     val gen = for {
       n <- Gen.choose(1, 12)
