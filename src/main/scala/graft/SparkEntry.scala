@@ -441,6 +441,51 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // ── §7 scale: Z-ORDER clustering (OPTIMIZE ZORDER analog) — Morton-
+    //    interleaved (user_id, value) ranks cluster the snapshot so the
+    //    stats manifest prunes files for range probes on EITHER column;
+    //    linear clusterBy can only serve one. Results must equal plain
+    //    filters (pruning is a superset guarantee); file-skipping itself
+    //    is asserted in EngineCoreSpec.
+    "q227_zorder_skipping" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("zorder").toString
+      val t = new graft.tables.SnapshotTable(s"$work/t")
+      val e = Tables.events(s, dir)
+        .select($"event_id", $"user_id", $"ts", $"event_type", $"value")
+      graft.tables.Zorder.writeZordered(t, s, e, Seq("user_id", "value"),
+        clusterPartitions = 16)
+      def slice(df: DataFrame, tag: String) = df
+        .agg(count(lit(1)).cast("long").as("n"),
+          Relational.sumMoney($"value").as("total"))
+        .withColumn("dim", lit(tag))
+      slice(t.readPruned(s, "user_id", 100, 199)
+          .filter($"user_id".between(100, 199)), "user_slice")
+        .unionByName(slice(t.readPruned(s, "value", 400.0, 500.0)
+          .filter($"value".between(400.0, 500.0)), "value_slice"))
+        .select($"dim", $"n", $"total")
+        .orderBy($"dim")
+    }),
+
+    // ── LLM-pipeline: BUCKETED embedding near-dup pairs (sign-bit LSH
+    //    bands + exact-cosine verify) — q27's all-pairs form is the
+    //    baseline; this is the 100 TB shape. The fixture plants a
+    //    perturbed near-duplicate (cos ≈ 1) of each vec_id<100, so every
+    //    qualifying pair survives banding deterministically and the
+    //    output equals DuckDB's brute force exactly.
+    "q226_embedding_neardup_lsh" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables.embeddings(s, dir)
+        .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+      val pert = base.filter($"vec_id" < 100)
+        .select(($"vec_id" + 1000000L).as("vec_id"),
+          transform($"v", (x, i) =>
+            x * (lit(1.0) + (pmod($"vec_id" + i, lit(7)) - lit(3)) * lit(2e-4))).as("v"))
+      graft.llm.Similarity.simhashCosinePairs(
+          base.unionByName(pert), "vec_id", "v", threshold = 0.99)
+        .orderBy($"d1", $"d2")
+    }),
+
     // ── S1 in its TRUE JDBC form: the watermark predicate executes IN the
     //    database (embedded Derby — the in-JVM stand-in for the
     //    reference's Azure SQL, incremental_loop.json:45), and the delta
@@ -1585,8 +1630,13 @@ object SparkEntry {
         f.setLastModified(t)
       val cfg = graft.streaming.AutoIngest.Config(s"$work/src/*", s"$work/schema",
         s"$work/ck", maxFilesPerTrigger = Some(1))
-      graft.llm.StreamingCorpusDedup.run(s, cfg, s"$work/idx", s"$work/kept",
-        indexBuckets = 8)
+      // per-batch parallelism pinned to the ~2.5k-doc batch size: the
+      // minhash/band/verify stages inside each foreachBatch are many small
+      // shuffles whose per-task overhead dominates at 32 partitions
+      withShufflePartitions(s, 8) {
+        graft.llm.StreamingCorpusDedup.run(s, cfg, s"$work/idx", s"$work/kept",
+          indexBuckets = 8)
+      }
       graft.llm.StreamingCorpusDedup.readKept(s, s"$work/kept")
         .select($"doc_id").orderBy($"doc_id")
     }),
@@ -3874,6 +3924,32 @@ object SparkEntry {
         |FROM events
         |WHERE event_id % 37 = 0 AND ts > TIMESTAMP '2024-01-15 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q227_zorder_skipping" ->
+      """SELECT dim, n, total FROM (
+        |  SELECT 'user_slice' AS dim, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM events WHERE user_id BETWEEN 100 AND 199
+        |  UNION ALL
+        |  SELECT 'value_slice' AS dim, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM events WHERE value BETWEEN 400.0 AND 500.0)
+        |ORDER BY dim""".stripMargin,
+
+    // DuckDB index lambdas are 1-based (Spark's are 0-based): (i - 1).
+    "q226_embedding_neardup_lsh" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |pert AS MATERIALIZED (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(v, (x, i) -> x * (1 + (((vec_id + i - 1) % 7) - 3) * 0.0002)) AS v
+        |  FROM base WHERE vec_id < 100),
+        |u AS MATERIALIZED (SELECT * FROM base UNION ALL SELECT * FROM pert)
+        |SELECT a.vec_id AS d1, b.vec_id AS d2,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        |FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+        |ORDER BY d1, d2""".stripMargin,
 
     "q223_int8_quantization" ->
       """WITH q AS (

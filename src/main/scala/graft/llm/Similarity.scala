@@ -170,6 +170,49 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** Embedding near-dup PAIRS at corpus scale — the bucketed complement
+    * of the all-pairs cosine dedup (q27's brute-force form is the oracle
+    * baseline; this is what actually runs at 100 TB): every vector gets a
+    * `numPlanes`-bit sign signature (random hyperplanes), signatures are
+    * banded (`bands` slices), candidate pairs are band-bucket equi-joins
+    * on 8-byte keys — vectors never travel through the candidate join —
+    * and only candidates get the exact-cosine verify, so output pairs are
+    * EXACT (precision 1); recall is the LSH tradeoff, ~1 for genuine
+    * near-dups (cos ≥ ~0.99 flips ≲1 of 64 sign bits, and a pair must
+    * lose a bit in EVERY band to be missed). Tune bits-per-band
+    * (= numPlanes/bands) up for bigger corpora: candidate volume scales
+    * as bands · n²/2^bits. */
+  def simhashCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numPlanes: Int = 64, bands: Int = 8): DataFrame = {
+    require(numPlanes <= 64 && numPlanes % bands == 0,
+      s"need numPlanes ($numPlanes) ≤ 64 and divisible by bands ($bands)")
+    val bits = numPlanes / bands
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val planes = planeVectors(numPlanes, dim)
+    val sig = df.select(col(idCol).as("id"),
+      bucketOf(transform(col(vecCol), _.cast("double")), planes).as("sig"))
+    val banded = sig.select(col("id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            col("sig").bitwiseAND(lit(((1L << bits) - 1) << (b * bits))).as("slice"))
+        }: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.slice").as("slice"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.slice") === col("b.slice") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("d1"), col("b.id").as("d2"))
+      .dropDuplicates("d1", "d2")
+    val vecs = df.select(col(idCol).as("vid"),
+        transform(col(vecCol), _.cast("double")).as("vv"))
+      .withColumn("nn", l2Norm(col("vv")))
+    cand
+      .join(vecs.select(col("vid").as("d1"), col("vv").as("v1"), col("nn").as("n1")), "d1")
+      .join(vecs.select(col("vid").as("d2"), col("vv").as("v2"), col("nn").as("n2")), "d2")
+      .withColumn("cos0", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .filter(col("cos0") >= threshold)
+      .select(col("d1"), col("d2"), round(col("cos0"), 6).as("cos"))
+  }
+
   /** Spherical k-means fit (Lloyd's iterations, cosine geometry) for IVF
     * cell centroids. Seeds are the `k` corpus vectors with the smallest
     * id-hash (deterministic, no RNG state); each iteration assigns every

@@ -217,6 +217,39 @@ class EngineCoreSpec extends AnyFunSuite {
     assert(t.readPruned(spark, "x", 5000.0, 6000.0).columns.toSeq == Seq("x", "y"))
   }
 
+  test("Zorder: range probes on BOTH interleaved columns prune files; linear clusterBy cannot") {
+    // two independent uniform columns — the adversarial case for linear
+    // clustering and the home turf of Z-order
+    val df = spark.range(4096).toDF("id")
+      .withColumn("a", pmod(col("id") * 2654435761L, lit(4096)))
+      .withColumn("b", pmod(col("id") * 40503L, lit(4096)))
+
+    val z = new SnapshotTable(tmp("zord"))
+    graft.tables.Zorder.writeZordered(z, spark, df, Seq("a", "b"), clusterPartitions = 16)
+    val zAll = z.read(spark).inputFiles.length
+    val zByA = z.readPruned(spark, "a", 0.0, 255.0).inputFiles.length
+    val zByB = z.readPruned(spark, "b", 0.0, 255.0).inputFiles.length
+    assert(zByA < zAll, s"z-order should prune on a: $zByA vs $zAll")
+    assert(zByB < zAll, s"z-order should prune on b: $zByB vs $zAll")
+
+    // linear clustering on a: selective on a, but b-probes read everything
+    val lin = new SnapshotTable(tmp("linord"))
+    lin.writeWithStats(spark, df, Seq("a", "b"),
+      clusterBy = Seq("a"), clusterPartitions = 16)
+    assert(lin.readPruned(spark, "b", 0.0, 255.0).inputFiles.length ==
+      lin.read(spark).inputFiles.length)
+
+    // superset guarantee: pruned + row filter ≡ full filter, both axes
+    val wantA = df.filter(col("a") <= 255).select("id").as[Long].collect().toSet
+    val gotA = z.readPruned(spark, "a", 0.0, 255.0)
+      .filter(col("a") <= 255).select("id").as[Long].collect().toSet
+    assert(gotA == wantA)
+    val wantB = df.filter(col("b") <= 255).select("id").as[Long].collect().toSet
+    val gotB = z.readPruned(spark, "b", 0.0, 255.0)
+      .filter(col("b") <= 255).select("id").as[Long].collect().toSet
+    assert(gotB == wantB)
+  }
+
   test("SnapshotTable: string stats prune point and range reads; truncation stays a superset") {
     val t = new SnapshotTable(tmp("strskip"))
     // keys k000..k999 cluster into disjoint lexicographic file ranges; the

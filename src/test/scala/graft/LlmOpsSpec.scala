@@ -469,6 +469,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(hitM >= 2 * hitS, s"Hamming-1 probing should ≥2× single-probe recall here ($hitM vs $hitS)")
   }
 
+  test("simhashCosinePairs: planted near-dups fully recalled, output exact, no false pairs") {
+    val base = embs.select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val pert = base.filter($"vec_id" < 50)
+      .select(($"vec_id" + 1000000L).as("vec_id"),
+        transform($"v", (x, i) =>
+          x * (lit(1.0) + (pmod($"vec_id" + i, lit(7)) - lit(3)) * lit(2e-4))).as("v"))
+    val pairs = graft.llm.Similarity
+      .simhashCosinePairs(base.unionByName(pert), "vec_id", "v", threshold = 0.99)
+      .select($"d1", $"d2", $"cos").as[(Long, Long, Double)].collect()
+    // recall 1 on the planted set: every (i, i+1000000) pair found
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    (0L until 50L).foreach { i =>
+      assert(found.contains((i, i + 1000000L)), s"planted pair $i missing")
+    }
+    // precision 1: candidates are exact-verified, so every emitted pair
+    // genuinely clears the threshold (cos ≈ 1 for a tiny perturbation)
+    assert(pairs.forall(_._3 >= 0.99))
+    assert(found.size == 50) // random 64-d vectors never hit 0.99
+  }
+
   test("ivfTopK: answers every query; approximate cos never exceeds brute force") {
     val q = embs.filter($"vec_id" < 20)
     val bf = Similarity.bruteForceTopK(q, embs, "vec_id", "embedding", 1)
