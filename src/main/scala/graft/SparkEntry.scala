@@ -467,6 +467,73 @@ object SparkEntry {
         .orderBy($"dim")
     }),
 
+    // ── §7 scale: O(increment) APPEND commits + OPTIMIZE-shape compaction.
+    //    Four dribbled appends re-reference all prior files via the
+    //    _files_v manifest (increment-sized IO per commit); optimizeCompact
+    //    bin-packs only the small files and carries big ones + their stats
+    //    lines in place. The read-back must equal the plain table — the
+    //    manifest/commit machinery is what is under test.
+    "q228_append_compact" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("appendcompact").toString
+      val t = new graft.tables.SnapshotTable(s"$work/t")
+      val e = Tables.events(s, dir)
+        .select($"event_id", $"user_id", $"event_type", $"value")
+      t.writeWithStats(s, e.filter(pmod($"event_id", lit(4)) === 0), Seq("user_id"),
+        clusterBy = Seq("user_id"), clusterPartitions = 4)
+      (1 to 3).foreach { r =>
+        t.append(s, e.filter(pmod($"event_id", lit(4)) === r).coalesce(1))
+      }
+      t.optimizeCompact(s, targetBytes = 1L << 20)
+      t.read(s).groupBy($"event_type")
+        .agg(count(lit(1)).cast("long").as("n"),
+          Relational.sumMoney($"value").as("total"))
+        .orderBy($"event_type")
+    }),
+
+    // ── K3/C2 at the TABLE level: exactly-once streaming append into the
+    //    transactional SnapshotTable (Delta streaming-sink analog). Two
+    //    multi-batch drains through appendTxn — the second replays nothing
+    //    (checkpoint) and a manually replayed batch id is a table-level
+    //    no-op — then the table must equal the plain source aggregate.
+    "q230_stream_snapshot_sink" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("snapsink").toString
+      Tables.events(s, dir).coalesce(4).write.mode("overwrite").parquet(s"$work/src")
+      val cfg = graft.streaming.AutoIngest.Config(
+        sourceDir = s"$work/src", schemaDir = s"$work/schema",
+        checkpointDir = s"$work/ck", maxFilesPerTrigger = Some(2))
+      val t = new graft.tables.SnapshotTable(s"$work/t")
+      def drain(): Unit = graft.streaming.SnapshotSink.appendStreamOnce(
+        graft.streaming.AutoIngest.readStream(s, cfg).drop("_rescued_data"),
+        t, cfg.checkpointDir, queryId = "events_sink")
+      drain(); drain() // second drain: checkpoint says nothing new
+      // replay batch 0 by hand — the txn watermark makes it a no-op
+      t.appendTxn(s, t.read(s).limit(5), Some(("events_sink", 0L)))
+      t.read(s).groupBy($"event_type")
+        .agg(count(lit(1)).cast("long").as("n"),
+          Relational.sumMoney($"value").as("total"))
+        .orderBy($"event_type")
+    }),
+
+    // ── LLM-pipeline: SemDeDup cluster-then-prune semantic dedup. The
+    //    fixture plants a near-identical perturbation of each vec_id<100;
+    //    k-means cells keep each planted pair together (cos ≈ 1 ⇒ same
+    //    nearest centroid), within-cell exact pairs find them all, and the
+    //    min-id canonical keeps exactly the original corpus.
+    "q229_semantic_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables.embeddings(s, dir)
+        .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+      val pert = base.filter($"vec_id" < 100)
+        .select(($"vec_id" + 1000000L).as("vec_id"),
+          transform($"v", (x, i) =>
+            x * (lit(1.0) + (pmod($"vec_id" + i, lit(7)) - lit(3)) * lit(2e-4))).as("v"))
+      graft.llm.Similarity.semanticDedup(
+          base.unionByName(pert), "vec_id", "v", k = 8, threshold = 0.99)
+        .select($"vec_id").orderBy($"vec_id")
+    }),
+
     // ── LLM-pipeline: BUCKETED embedding near-dup pairs (sign-bit LSH
     //    bands + exact-cosine verify) — q27's all-pairs form is the
     //    baseline; this is the 100 TB shape. The fixture plants a
@@ -3935,6 +4002,20 @@ object SparkEntry {
         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |  FROM events WHERE value BETWEEN 400.0 AND 500.0)
         |ORDER BY dim""".stripMargin,
+
+    "q228_append_compact" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // planted near-dups collapse onto their originals → kept = the corpus
+    "q229_semantic_dedup" ->
+      "SELECT vec_id FROM embeddings ORDER BY vec_id",
+
+    "q230_stream_snapshot_sink" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // DuckDB index lambdas are 1-based (Spark's are 0-based): (i - 1).
     "q226_embedding_neardup_lsh" ->

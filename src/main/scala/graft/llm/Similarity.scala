@@ -336,4 +336,53 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("d1"), col("b.id").as("d2"), col("cos"))
   }
+
+  /** SemDeDup-shape semantic dedup (cluster-then-prune, after Abbas et al.
+    * 2023): spherical k-means partitions the corpus into `k` cells, exact
+    * cosine pairs are computed WITHIN cells only, near-dup components
+    * collapse to one canonical doc each. The quadratic step runs per cell
+    * (n²/k per cell in expectation), never corpus-wide — with k scaled
+    * ∝ corpus size the pair stage stays linear, which is the whole trick
+    * at 100 TB; assignment itself is one broadcast pass (the corpus never
+    * shuffles to be assigned).
+    *
+    * Canonical = smallest id per component (deterministic); pass
+    * `keepBest = Some(qualityCol)` to keep the highest-quality doc
+    * instead (ties broken by id). Returns the KEPT rows of `df`, all
+    * columns intact.
+    *
+    * Caveat inherited from SemDeDup: a pair straddling a cell boundary is
+    * missed — recall, not precision, is the trade (every dropped doc
+    * genuinely had an exact-verified near-dup in its cell). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, threshold: Double, trainIters: Int = 2,
+      keepBest: Option[String] = None): DataFrame = {
+    val cents = kmeansCentroids(df, idCol, vecCol, k, trainIters)
+    val v = df.select(col(idCol).as("vid"),
+        transform(col(vecCol), _.cast("double")).as("vv"))
+      .withColumn("vnorm", l2Norm(col("vv")))
+    val w = Window.partitionBy(col("vid"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val cells = v.join(broadcast(cents))
+      .withColumn("ccos", dot(col("vv"), col("cv0")) / (col("vnorm") * col("cnorm0")))
+      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col("vid"), col("cent_id").as("cell"), col("vv"), col("vnorm"))
+    val pairs = cells.alias("a").join(cells.alias("b"),
+        col("a.cell") === col("b.cell") && col("a.vid") < col("b.vid"))
+      .withColumn("cos", dot(col("a.vv"), col("b.vv")) / (col("a.vnorm") * col("b.vnorm")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vid").as("d1"), col("b.vid").as("d2"))
+    val comps = Dedup.connectedComponents(pairs, "d1", "d2")
+    val doomed = keepBest match {
+      case None =>
+        comps.filter(col("id") =!= col("comp")).select(col("id"))
+      case Some(q) =>
+        val rank = Window.partitionBy(col("comp"))
+          .orderBy(col(q).desc, col("id").asc)
+        comps.join(df.select(col(idCol).as("id"), col(q)), Seq("id"))
+          .withColumn("rk", row_number().over(rank))
+          .filter(col("rk") > 1).select(col("id"))
+    }
+    df.join(doomed.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
 }

@@ -15,11 +15,24 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *   root/_current                // one line: the live version number
   * }}}
   *
-  * Commit protocol: write `_v(N+1)` fully, then flip `_current` via
-  * write-temp + rename. Readers resolve the pointer first, so they only
-  * ever see complete snapshots. Single-writer by design — the reference is
-  * one daily job (spotify_dab.job.yml:7-11); multi-writer would need a
-  * lock service, which Delta itself also requires on object stores.
+  * Commit protocol: stage the snapshot fully under `_staging_*`, then — in
+  * a short critical section guarded by the `_lock` file (atomic
+  * create-if-absent, stale-steal after a timeout) — rename it to `_v(N+1)`
+  * and flip `_current` via write-temp + rename. Readers resolve the
+  * pointer first, so they only ever see complete snapshots; concurrent
+  * writers serialize on the rename+flip only (data writes overlap freely).
+  * [[writeIf]] adds read-modify-write conflict DETECTION on top: a merge
+  * job that read version N commits with `expected = N` and aborts cleanly
+  * if someone else advanced the table meanwhile — optimistic concurrency,
+  * the same contract Delta gives MERGE (the reference is one daily job,
+  * spotify_dab.job.yml:7-11, but a shared 100 TB table is not).
+  *
+  * A version may carry a `_files_v<N>` manifest (one absolute file URI per
+  * line): then the snapshot's data is EXACTLY those files, which may live
+  * in OLDER versions' directories. [[optimizeCompact]] uses this to commit
+  * a compaction that rewrites only the small files and re-references the
+  * big ones — O(small files) IO, the Delta OPTIMIZE shape — without
+  * breaking immutability or time travel.
   *
   * Scale note: snapshots are plain parquet dirs, so a 1000-executor read
   * is an ordinary `FileSourceScanExec` with pushdown/pruning; `write` can
@@ -44,15 +57,55 @@ final class SnapshotTable(val root: String) {
 
   def exists(spark: SparkSession): Boolean = currentVersion(spark).isDefined
 
+  private def filesPath(v: Int) = new Path(root, s"_files_v$v")
+
+  /** The version's data file URIs when it carries a `_files_v<N>` manifest
+    * (a compacted version referencing a mix of its own and older files);
+    * None for plain directory-backed versions. */
+  private def fileManifest(f: org.apache.hadoop.fs.FileSystem, v: Int): Option[Vector[String]] = {
+    val p = filesPath(v)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).toVector)
+      finally in.close()
+    }
+  }
+
+  /** (uri, bytes) of every data file of version `v` — manifest-resolved
+    * when present, else a recursive listing of the version dir (partition
+    * subdirs included). */
+  private def listDataFiles(f: org.apache.hadoop.fs.FileSystem, v: Int): Vector[(String, Long)] =
+    fileManifest(f, v) match {
+      case Some(uris) => uris.map(u => u -> f.getFileStatus(new Path(u)).getLen)
+      case None =>
+        val it = f.listFiles(new Path(s"$root/_v$v"), true)
+        val buf = Vector.newBuilder[(String, Long)]
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.getPath.getName.endsWith(".parquet"))
+            buf += st.getPath.toUri.toString -> st.getLen
+        }
+        buf.result()
+    }
+
+  /** The version's snapshot relation, before tombstones: the dir for plain
+    * versions, the exact manifest file list for compacted ones. */
+  private def snapshotDF(spark: SparkSession, v: Int): DataFrame =
+    fileManifest(fs(spark), v) match {
+      case Some(uris) => spark.read.parquet(uris: _*)
+      case None       => spark.read.parquet(s"$root/_v$v")
+    }
+
   def read(spark: SparkSession): DataFrame = {
     val v = currentVersion(spark).getOrElse(
       throw new IllegalStateException(s"SnapshotTable $root has no committed version"))
-    applyTombstones(spark, v, spark.read.parquet(s"$root/_v$v"))
+    applyTombstones(spark, v, snapshotDF(spark, v))
   }
 
   def readOption(spark: SparkSession): Option[DataFrame] =
-    currentVersion(spark).map(v =>
-      applyTombstones(spark, v, spark.read.parquet(s"$root/_v$v")))
+    currentVersion(spark).map(v => applyTombstones(spark, v, snapshotDF(spark, v)))
 
   /** Time travel: read a specific committed version (any snapshot dir not
     * yet vacuumed), minus that version's own tombstones. The live pointer
@@ -60,9 +113,11 @@ final class SnapshotTable(val root: String) {
   def readVersion(spark: SparkSession, version: Int): DataFrame = {
     val f = fs(spark)
     val p = new Path(s"$root/_v$version")
-    if (!f.exists(p)) throw new IllegalArgumentException(
-      s"SnapshotTable $root: version $version does not exist (vacuumed or never committed)")
-    applyTombstones(spark, version, spark.read.parquet(p.toString))
+    val gone = f.exists(new Path(root, s"_gone_v$version"))
+    if (gone || (!f.exists(p) && !f.exists(filesPath(version))))
+      throw new IllegalArgumentException(
+        s"SnapshotTable $root: version $version does not exist (vacuumed or never committed)")
+    applyTombstones(spark, version, snapshotDF(spark, version))
   }
 
   // ── Row-level deletes via key tombstones (deletion-vector analog) ──────
@@ -108,20 +163,95 @@ final class SnapshotTable(val root: String) {
   def write(spark: SparkSession, df: DataFrame,
       partitionByCols: Seq[String] = Nil,
       clusterBy: Seq[String] = Nil,
+      clusterPartitions: Int = 0): Int =
+    writeIf(spark, df, None, partitionByCols, clusterBy, clusterPartitions)
+
+  /** [[write]] with optimistic read-modify-write conflict detection: the
+    * commit succeeds only if the table is still at `expected` when the
+    * critical section runs. A merge job reads version N, computes the new
+    * snapshot, and commits with `expected = Some(N)`; if another writer
+    * advanced the table meanwhile, the staged data is discarded and a
+    * [[java.util.ConcurrentModificationException]] surfaces so the caller
+    * re-reads and retries — lost updates become impossible. `None` skips
+    * the check (blind append semantics: writers serialize, all commit). */
+  def writeIf(spark: SparkSession, df: DataFrame, expected: Option[Int],
+      partitionByCols: Seq[String] = Nil,
+      clusterBy: Seq[String] = Nil,
       clusterPartitions: Int = 0): Int = {
-    val next = currentVersion(spark).getOrElse(0) + 1
-    val target = s"$root/_v$next"
     val cols = clusterBy.map(org.apache.spark.sql.functions.col)
     val prepared =
       if (clusterBy.isEmpty) df
       else (if (clusterPartitions > 0) df.repartitionByRange(clusterPartitions, cols: _*)
             else df.repartitionByRange(cols: _*))
         .sortWithinPartitions(cols: _*)
+    // Stage outside the lock — the expensive distributed write runs with NO
+    // mutual exclusion (concurrent writers overlap here); only the
+    // metadata-sized rename + pointer flip serializes.
+    val f = fs(spark)
+    val staging = new Path(root, s"_staging_${java.util.UUID.randomUUID().toString.take(12)}")
     val writer = prepared.write.mode(SaveMode.Overwrite)
     (if (partitionByCols.nonEmpty) writer.partitionBy(partitionByCols: _*) else writer)
-      .parquet(target)
-    commitPointer(spark, next)
-    next
+      .parquet(staging.toString)
+    withCommitLock(f) {
+      val cur = currentVersion(spark).getOrElse(0)
+      expected.foreach { e =>
+        if (cur != e) {
+          f.delete(staging, true)
+          throw new java.util.ConcurrentModificationException(
+            s"SnapshotTable $root: expected version $e but found $cur — " +
+              "another writer committed first; re-read and retry the merge")
+        }
+      }
+      val next = cur + 1
+      claimVersionDir(f, next, staging)
+      commitPointer(spark, next)
+      next
+    }
+  }
+
+  /** Rename `staging` to `_v<next>` inside the commit lock. An existing
+    * `_v<next>` is an orphan from a writer that crashed before its pointer
+    * flip (the pointer proves it was never committed) — reclaim it. */
+  private def claimVersionDir(f: org.apache.hadoop.fs.FileSystem, next: Int,
+      staging: Path): Unit = {
+    val target = new Path(s"$root/_v$next")
+    if (f.exists(target)) f.delete(target, true)
+    if (!f.rename(staging, target))
+      throw new IllegalStateException(s"SnapshotTable $root: staging rename failed")
+  }
+
+  /** How long a `_lock` may sit before another writer presumes its holder
+    * dead and steals it (a crashed driver must not wedge the table). */
+  private val LockStaleMs = 60000L
+
+  private def withCommitLock[T](f: org.apache.hadoop.fs.FileSystem)(body: => T): T = {
+    val lock = new Path(root, "_lock")
+    f.mkdirs(new Path(root))
+    val deadline = System.currentTimeMillis() + 2 * LockStaleMs
+    var held = false
+    while (!held) {
+      // create(overwrite = false) is the claim: exactly one concurrent
+      // caller wins, everyone else gets FileAlreadyExists. LocalFileSystem
+      // implements the no-overwrite check as check-then-act, so in-process
+      // threads additionally serialize on a per-root JVM monitor; across
+      // JVMs/object stores the file claim is the same best-effort Delta
+      // has without a lock service.
+      try { SnapshotTable.rootMonitor(root).synchronized {
+        f.create(lock, false).close() }; held = true }
+      catch {
+        case _: java.io.IOException =>
+          val stale = try {
+            f.exists(lock) &&
+              System.currentTimeMillis() - f.getFileStatus(lock).getModificationTime > LockStaleMs
+          } catch { case _: java.io.FileNotFoundException => false }
+          if (stale) f.delete(lock, false)
+          else if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"SnapshotTable $root: could not acquire commit lock within ${2 * LockStaleMs} ms")
+          else Thread.sleep(25)
+      }
+    }
+    try body finally f.delete(lock, false)
   }
 
   private def commitPointer(spark: SparkSession, v: Int): Unit = {
@@ -137,9 +267,174 @@ final class SnapshotTable(val root: String) {
   /** Compact the live snapshot into `targetFiles` output files (small-file
     * remediation after many incremental commits) — a new version is
     * committed, so readers are never disturbed and time travel still sees
-    * the pre-compaction layout. */
+    * the pre-compaction layout. Rewrites the WHOLE table (and thereby
+    * materializes pending tombstones); see [[optimizeCompact]] for the
+    * incremental form whose IO is proportional to the small files only. */
   def compact(spark: SparkSession, targetFiles: Int = 1): Int =
     write(spark, read(spark).repartition(targetFiles))
+
+  /** O(increment) append commit: write ONLY `df`'s rows and commit a new
+    * version whose `_files_v<N>` manifest is the live file list plus the
+    * increment — the 100 TB daily-ingest shape ([[write]]'s full-snapshot
+    * rewrite is right for restatements, ruinous for a 10-row late batch).
+    * Pending tombstones carry forward (copied, so the prior version's
+    * time-travel read keeps its own); the stats manifest gains lines for
+    * the new files only. Schema must match the live snapshot (enforced by
+    * name: the increment is aligned to the live column order). */
+  def append(spark: SparkSession, df: DataFrame): Int =
+    appendTxn(spark, df, None)
+
+  /** [[append]] with Delta-style transaction idempotence: `txn = (appId,
+    * batchId)` records the high-water batch per application in the commit
+    * critical section, and a batch at or below the recorded watermark is a
+    * clean NO-OP. Streaming `foreachBatch` is at-least-once on retry;
+    * routing its writes through here makes the table end-to-end
+    * exactly-once (the streaming sink contract Delta implements with
+    * `txnAppId`/`txnVersion`). An empty table bootstraps from the first
+    * append. */
+  def appendTxn(spark: SparkSession, df: DataFrame, txn: Option[(String, Long)]): Int = {
+    val f = fs(spark)
+    // fast-path skip outside the lock (authoritative re-check inside)
+    if (txn.exists { case (app, batch) => lastTxn(spark, app).exists(_ >= batch) })
+      return currentVersion(spark).getOrElse(0)
+    val v0 = currentVersion(spark)
+    val aligned = v0 match {
+      case Some(v) =>
+        val liveCols = snapshotDF(spark, v).columns
+        require(df.columns.toSet == liveCols.toSet,
+          s"append schema mismatch: table has ${liveCols.mkString(",")}, increment has ${df.columns.mkString(",")}")
+        df.select(liveCols.map(org.apache.spark.sql.functions.col).toSeq: _*)
+      case None => df
+    }
+    val staging = new Path(root, s"_staging_${java.util.UUID.randomUUID().toString.take(12)}")
+    aligned.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    withCommitLock(f) {
+      val cur = currentVersion(spark).getOrElse(0)
+      val skip = txn.exists { case (app, batch) => lastTxn(spark, app).exists(_ >= batch) }
+      if (skip) { f.delete(staging, true); cur }
+      else {
+        if (cur != v0.getOrElse(0)) {
+          f.delete(staging, true)
+          throw new java.util.ConcurrentModificationException(
+            s"SnapshotTable $root: append read version ${v0.getOrElse(0)} but found $cur — retry")
+        }
+        val next = cur + 1
+        claimVersionDir(f, next, staging)
+        val prior = v0.map(v => listDataFiles(f, v).map(_._1)).getOrElse(Vector.empty)
+        val added = listDataFiles(f, next).map(_._1)
+        StatsManifest.writeLines(f, filesPath(next), (prior ++ added).map(canonical))
+        v0.foreach { v =>
+          StatsManifest.readLines(f, statsPath(v)).foreach { old =>
+            val newLines =
+              if (added.isEmpty) Nil
+              else StatsManifest.lines(spark.read.parquet(added: _*),
+                StatsManifest.statsColumns(old))
+            StatsManifest.writeLines(f, statsPath(next), old ++ newLines)
+          }
+          if (f.exists(tombPath(v)))
+            org.apache.hadoop.fs.FileUtil.copy(f, tombPath(v), f, tombPath(next),
+              false, f.getConf)
+        }
+        commitPointer(spark, next)
+        txn.foreach { case (app, batch) => recordTxn(f, app, batch) }
+        next
+      }
+    }
+  }
+
+  private def txnPath(appId: String) =
+    new Path(root, "_txn_" + appId.map(c =>
+      if (c.isLetterOrDigit || c == '.' || c == '-' || c == '_') c else '_'))
+
+  /** The highest batch id committed for `appId`, if any. */
+  def lastTxn(spark: SparkSession, appId: String): Option[Long] = {
+    val f = fs(spark)
+    val p = txnPath(appId)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      finally in.close()
+    }
+  }
+
+  private def recordTxn(f: org.apache.hadoop.fs.FileSystem, appId: String, batch: Long): Unit = {
+    val tmp = new Path(root, s"_txn.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = f.create(tmp, true)
+    try out.write(batch.toString.getBytes("UTF-8")) finally out.close()
+    val p = txnPath(appId)
+    if (f.exists(p)) f.delete(p, false)
+    if (!f.rename(tmp, p))
+      throw new IllegalStateException(s"SnapshotTable $root: txn record flip failed")
+  }
+
+  /** Delta `OPTIMIZE`-shape compaction: bin-pack only the files smaller
+    * than `targetBytes` into ~`targetBytes` outputs and commit a new
+    * version whose `_files_v<N>` manifest references the rewritten files
+    * PLUS the untouched big ones in place — IO is O(small files), never
+    * O(table), which is the difference between a nightly maintenance job
+    * and an impossible one at 100 TB. The rewrite is a shuffle-free
+    * `coalesce` (tasks merge input splits; nothing repartitions).
+    * Pending tombstones carry forward unmaterialized (reads keep
+    * anti-joining them — key-based, so doubly-applied is a no-op); the
+    * stats manifest carries kept files' lines verbatim and rescans only
+    * the rewritten output; a Bloom index is NOT carried (point reads fall
+    * back to full scans — superset-safe — until `writeIndexed` runs
+    * again, the same rebuild Delta needs after OPTIMIZE). Returns the new
+    * version, or the current one when fewer than 2 files qualify. */
+  def optimizeCompact(spark: SparkSession, targetBytes: Long = 128L << 20): Int = {
+    val f = fs(spark)
+    val v = currentVersion(spark).getOrElse(
+      throw new IllegalStateException(s"SnapshotTable $root has no committed version"))
+    val files = listDataFiles(f, v)
+    val (small, kept) = files.partition(_._2 < targetBytes)
+    if (small.size < 2) return v
+    val nOut = math.max(1, math.ceil(small.map(_._2).sum.toDouble / targetBytes).toInt)
+    val staging = new Path(root, s"_staging_${java.util.UUID.randomUUID().toString.take(12)}")
+    spark.read.parquet(small.map(_._1): _*).coalesce(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    withCommitLock(f) {
+      val cur = currentVersion(spark).getOrElse(0)
+      if (cur != v) {
+        f.delete(staging, true)
+        throw new java.util.ConcurrentModificationException(
+          s"SnapshotTable $root: compaction read version $v but found $cur — retry")
+      }
+      val next = v + 1
+      claimVersionDir(f, next, staging)
+      val rewritten = listDataFiles(f, next).map(_._1)
+      StatsManifest.writeLines(f, filesPath(next),
+        (kept.map(_._1) ++ rewritten).map(canonical))
+      // carry stats: kept files keep their manifest lines; only the
+      // rewritten output is rescanned (O(small files), like the write)
+      StatsManifest.readLines(f, statsPath(v)).foreach { old =>
+        val keptSet = kept.map(x => canonical(x._1)).toSet
+        val keptLines = old.filter(l => keptSet(canonical(l.split("\t")(0))))
+        val newLines =
+          if (rewritten.isEmpty) Nil
+          else StatsManifest.lines(spark.read.parquet(rewritten: _*),
+            StatsManifest.statsColumns(old))
+        StatsManifest.writeLines(f, statsPath(next), keptLines ++ newLines)
+      }
+      if (f.exists(tombPath(v))) // COPY, not move: version v's time-travel
+        // read still needs its own tombstones (O(deleted keys) bytes)
+        org.apache.hadoop.fs.FileUtil.copy(f, tombPath(v), f, tombPath(next),
+          false, f.getConf)
+      commitPointer(spark, next)
+      next
+    }
+  }
+
+  /** One canonical spelling for a file URI: `input_file_name()` yields
+    * `file:///x` while Hadoop listings yield `file:/x` (null vs empty
+    * authority — Path does NOT unify them), so manifest comparisons and
+    * stored lists rebuild scheme://authority/path explicitly. */
+  private def canonical(uri: String): String = {
+    val u = new Path(uri).toUri
+    val scheme = Option(u.getScheme).map(_ + "://").getOrElse("")
+    val auth = Option(u.getAuthority).getOrElse("")
+    s"$scheme$auth${u.getPath}"
+  }
 
   // ── File-level min/max stats + data skipping (Delta-style) ─────────────
   //
@@ -176,8 +471,9 @@ final class SnapshotTable(val root: String) {
       case Some(files) if files.isEmpty =>
         read(spark).limit(0) // schema-preserving empty relation
       case Some(files) =>
-        applyTombstones(spark, v,
-          spark.read.option("basePath", s"$root/_v$v").parquet(files: _*))
+        // no basePath: stats-covered tables are never hive-partitioned, and
+        // a compacted version's surviving files span several _v dirs
+        applyTombstones(spark, v, spark.read.parquet(files: _*))
     }
   }
 
@@ -313,21 +609,15 @@ final class SnapshotTable(val root: String) {
     import spark.implicits._
     val f = fs(spark)
     val live = currentVersion(spark).getOrElse(0)
-    val versions = f.listStatus(new Path(root)).toSeq
-      .map(_.getPath.getName).filter(_.matches("_v\\d+"))
-      .map(_.drop(2).toInt).sorted
+    val names = f.listStatus(new Path(root)).toSeq.map(_.getPath.getName)
+    val gone = names.filter(_.matches("_gone_v\\d+")).map(_.drop(7).toInt).toSet
+    val versions = names
+      .collect { case n if n.matches("_(v|files_v)\\d+") => n.dropWhile(!_.isDigit).toInt }
+      .distinct.filterNot(gone).sorted
     versions.map { v =>
-      val dir = new Path(s"$root/_v$v")
-      // recursive listing: partitionBy writes lay files under hive-style
-      // subdirectories, which a flat listStatus would count as zero
-      val it = f.listFiles(dir, true)
-      var nFiles = 0L; var nBytes = 0L
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.getPath.getName.endsWith(".parquet")) { nFiles += 1; nBytes += st.getLen }
-      }
-      val rows = spark.read.parquet(dir.toString).count()
-      (v, rows, nFiles, nBytes, f.exists(tombPath(v)), v == live)
+      val files = listDataFiles(f, v)
+      val rows = snapshotDF(spark, v).count()
+      (v, rows, files.size.toLong, files.map(_._2).sum, f.exists(tombPath(v)), v == live)
     }.toDF("version", "n_rows", "n_files", "bytes", "has_tombstones", "is_live")
   }
 
@@ -355,16 +645,35 @@ final class SnapshotTable(val root: String) {
   }
 
   /** Drop snapshot dirs older than the `keep` most recent (time travel
-    * window), along with their tombstone/stats/bloom sidecars. Never
-    * touches the live version (`keep >= 1` enforced). */
+    * window), along with their tombstone/stats/bloom/file-manifest
+    * sidecars. Never touches the live version (`keep >= 1` enforced), and
+    * never a dir that a RETAINED version's file manifest still references
+    * (a compacted version may point into older dirs). */
   def vacuum(spark: SparkSession, keep: Int = 2): Unit = {
     require(keep >= 1, s"vacuum keep must be >= 1 (got $keep): keep=0 would delete the live version")
     val f = fs(spark)
     currentVersion(spark).foreach { cur =>
+      val referenced: Set[Int] =
+        (math.max(1, cur - keep + 1) to cur).toSet.flatMap { (v: Int) =>
+          fileManifest(f, v).getOrElse(Vector.empty).flatMap { uri =>
+            "_v(\\d+)/".r.findFirstMatchIn(uri).map(_.group(1).toInt)
+          }.toSet
+        }
       (1 to cur - keep).foreach { v =>
-        Seq(new Path(s"$root/_v$v"), tombPath(v), statsPath(v), bloomPath(v))
-          .foreach { p => if (f.exists(p)) f.delete(p, true) }
+        val sidecars = Seq(tombPath(v), statsPath(v), bloomPath(v), filesPath(v))
+        val dirs = if (referenced(v)) sidecars else new Path(s"$root/_v$v") +: sidecars
+        dirs.foreach { p => if (f.exists(p)) f.delete(p, true) }
+        // a dir kept only because a retained manifest points into it is no
+        // longer a readable VERSION — mark it so history/readVersion skip it
+        if (referenced(v) && f.exists(new Path(s"$root/_v$v")))
+          f.create(new Path(root, s"_gone_v$v"), true).close()
       }
     }
   }
+}
+
+object SnapshotTable {
+  private val monitors = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[tables] def rootMonitor(root: String): Object =
+    monitors.computeIfAbsent(root, _ => new Object)
 }

@@ -38,7 +38,22 @@ private[tables] object StatsManifest {
 
   /** Scan `snap` (one extra pass over the immutable just-written files) and
     * write the per-file stats manifest for `statsCols` to `out`. */
-  def write(snap: DataFrame, statsCols: Seq[String], fs: FileSystem, out: Path): Unit = {
+  def write(snap: DataFrame, statsCols: Seq[String], fs: FileSystem, out: Path): Unit =
+    writeLines(fs, out, lines(snap, statsCols))
+
+  /** Dump pre-computed manifest lines (compaction carries kept files'
+    * lines forward and computes fresh ones only for rewritten files). */
+  def writeLines(fs: FileSystem, out: Path, body: Seq[String]): Unit = {
+    val o = fs.create(out, true)
+    try o.write(body.mkString("\n").getBytes("UTF-8")) finally o.close()
+  }
+
+  /** The stats columns a manifest covers (parsed from its first line). */
+  def statsColumns(ls: Vector[String]): Seq[String] =
+    ls.headOption.toSeq.flatMap(_.split("\t").drop(1).map(_.split(":", 2)(0)))
+
+  /** Per-file manifest lines for `snap` over `statsCols`. */
+  def lines(snap: DataFrame, statsCols: Seq[String]): Seq[String] = {
     val isStr = statsCols.map(c =>
       c -> snap.schema(c).dataType.isInstanceOf[StringType]).toMap
     def toD(c: String) = snap.schema(c).dataType match {
@@ -62,9 +77,8 @@ private[tables] object StatsManifest {
         } else s"$c:n:${r.getDouble(1 + 2 * i)}:${r.getDouble(2 + 2 * i)}"
       }.mkString("\t")
       s"$file\t$stats"
-    }.mkString("\n")
-    val o = fs.create(out, true)
-    try o.write(body.getBytes("UTF-8")) finally o.close()
+    }
+    body.toSeq
   }
 
   /** Manifest lines at `path`, or None when no manifest was written. */

@@ -217,6 +217,113 @@ class EngineCoreSpec extends AnyFunSuite {
     assert(t.readPruned(spark, "x", 5000.0, 6000.0).columns.toSeq == Seq("x", "y"))
   }
 
+  test("append + optimizeCompact: O(increment) commits, only small files rewritten, stats carried") {
+    def uris(df: org.apache.spark.sql.DataFrame) =
+      df.inputFiles.map(p => new org.apache.hadoop.fs.Path(p).toUri.toString).toSet
+    val t = new SnapshotTable(tmp("optim"))
+    // v1: two big clustered files (sha2 payload defeats parquet encoding so
+    // the files are genuinely large vs the threshold below)
+    val big = spark.range(20000).toDF("k")
+      .withColumn("x", sha2(col("k").cast("string"), 256))
+    t.writeWithStats(spark, big, Seq("k"), clusterBy = Seq("k"), clusterPartitions = 2)
+    val v1Files = uris(t.read(spark))
+    assert(v1Files.size == 2)
+
+    // v2..v5: 10-row appends — each commit writes ONLY the increment and
+    // re-references every prior file in place
+    (0 until 4).foreach { i =>
+      val inc = spark.range(20000 + i * 10, 20010 + i * 10).toDF("k")
+        .withColumn("x", sha2(col("k").cast("string"), 256)).coalesce(1)
+      t.append(spark, inc)
+      assert(v1Files.subsetOf(uris(t.read(spark))), "append must not rewrite prior files")
+    }
+    val v = t.currentVersion(spark).get
+    assert(v == 5)
+    val before = uris(t.read(spark))
+    assert(before.size == 6)
+    val rowsBefore = t.read(spark).count()
+    assert(rowsBefore == 20040)
+    // appended files are stats-covered too: a probe into appended key space
+    // touches only small files
+    val appendProbe = t.readPruned(spark, "k", 20000, 20040)
+    assert(appendProbe.inputFiles.length <= 4)
+
+    // compaction: the 4 small files pack into 1; the 2 big ones survive in place
+    val next = t.optimizeCompact(spark, targetBytes = 100000)
+    assert(next == v + 1)
+    val after = uris(t.read(spark))
+    assert(t.read(spark).count() == rowsBefore)
+    assert(after.size == 3, s"expected 2 kept + 1 packed, got ${after.size}")
+    assert(v1Files.subsetOf(after), "big files must survive untouched")
+    assert((after -- before).forall(_.contains(s"_v$next/")), "new files live in the new version dir")
+
+    // stats manifest carried: range probe still prunes and is exact
+    val pruned = t.readPruned(spark, "k", 0, 999)
+    assert(pruned.inputFiles.length == 1)
+    assert(pruned.filter(col("k") <= 999).count() == 1000)
+
+    // time travel: pre-compaction version intact
+    assert(t.readVersion(spark, v).count() == rowsBefore)
+
+    // tombstones: pending deletes survive both append and compaction,
+    // without disturbing older versions' time-travel reads
+    t.deleteKeys(spark, Seq(0L, 1L).toDF("k"))
+    t.append(spark, Seq((90000L, "z")).toDF("k", "x"))
+    t.append(spark, Seq((90001L, "z")).toDF("k", "x"))
+    val packed = t.optimizeCompact(spark, targetBytes = 100000)
+    assert(packed > next)
+    assert(t.read(spark).count() == rowsBefore - 2 + 2)
+    assert(t.read(spark).filter(col("k") < 2).count() == 0)
+    assert(t.readVersion(spark, packed - 1).filter(col("k") < 2).count() == 0)
+
+    // vacuum: dirs referenced by the live manifest survive, but their
+    // version identity is gone; unreferenced old dirs are reclaimed
+    t.vacuum(spark, keep = 1)
+    assert(t.read(spark).count() == rowsBefore)
+    intercept[IllegalArgumentException](t.readVersion(spark, 1))
+    val hist = t.history(spark).select("version").as[Int].collect()
+    assert(hist.toSet == Set(t.currentVersion(spark).get))
+  }
+
+  test("appendTxn: per-app batch watermark makes replays no-ops; apps are independent") {
+    val t = new SnapshotTable(tmp("txn"))
+    assert(t.appendTxn(spark, Seq(1).toDF("x"), Some(("ingest", 0L))) == 1) // bootstrap
+    assert(t.appendTxn(spark, Seq(99).toDF("x"), Some(("ingest", 0L))) == 1) // replay → no-op
+    assert(t.read(spark).as[Int].collect().toSeq == Seq(1))
+    assert(t.appendTxn(spark, Seq(2).toDF("x"), Some(("ingest", 1L))) == 2)
+    assert(t.appendTxn(spark, Seq(99).toDF("x"), Some(("ingest", 0L))) == 2) // old batch → no-op
+    assert(t.lastTxn(spark, "ingest").contains(1L))
+    // a different logical stream has its own watermark
+    assert(t.appendTxn(spark, Seq(3).toDF("x"), Some(("backfill", 0L))) == 3)
+    assert(t.read(spark).as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    assert(t.lastTxn(spark, "ingest").contains(1L))
+  }
+
+  test("concurrent writers: blind commits serialize losslessly; writeIf detects conflicts") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t = new SnapshotTable(tmp("race"))
+    t.write(spark, Seq(0).toDF("x"))
+    // 6 concurrent blind writers: all must commit, linear history, no losses
+    val fs = (1 to 6).map(i => Future(t.write(spark, Seq(i).toDF("x"))))
+    val versions = Await.result(Future.sequence(fs), 120.seconds)
+    assert(versions.sorted == (2 to 7))
+    assert(t.currentVersion(spark).contains(7))
+    (2 to 7).foreach(v => assert(t.readVersion(spark, v).count() == 1))
+    // no staging debris
+    val leftovers = new java.io.File(t.root).list().count(_.startsWith("_staging_"))
+    assert(leftovers == 0, "staged dirs must be renamed or cleaned")
+
+    // optimistic read-modify-write: second committer on the same base loses
+    val base = t.currentVersion(spark).get
+    t.writeIf(spark, Seq(100).toDF("x"), Some(base))
+    val ex = intercept[java.util.ConcurrentModificationException](
+      t.writeIf(spark, Seq(200).toDF("x"), Some(base)))
+    assert(ex.getMessage.contains("another writer committed first"))
+    assert(t.read(spark).as[Int].collect().toSeq == Seq(100))
+  }
+
   test("Zorder: range probes on BOTH interleaved columns prune files; linear clusterBy cannot") {
     // two independent uniform columns — the adversarial case for linear
     // clustering and the home turf of Z-order

@@ -489,6 +489,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(found.size == 50) // random 64-d vectors never hit 0.99
   }
 
+  test("semanticDedup: drops exactly the planted near-dups; keepBest keeps the high-quality twin") {
+    val base = embs.select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val pert = base.filter($"vec_id" < 40)
+      .select(($"vec_id" + 1000000L).as("vec_id"),
+        transform($"v", (x, i) =>
+          x * (lit(1.0) + (pmod($"vec_id" + i, lit(7)) - lit(3)) * lit(2e-4))).as("v"))
+    val all = base.unionByName(pert)
+    val baseIds = base.select($"vec_id").as[Long].collect().toSet
+
+    // min-id canonical: kept = exactly the original corpus
+    val kept = graft.llm.Similarity.semanticDedup(all, "vec_id", "v", k = 8, threshold = 0.99)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept == baseIds)
+
+    // quality-aware canonical: the perturbed twin wins where its quality is higher
+    val scored = all.withColumn("quality",
+      when($"vec_id" >= 1000000L, 2.0).otherwise(1.0))
+    val keptQ = graft.llm.Similarity.semanticDedup(scored, "vec_id", "v",
+        k = 8, threshold = 0.99, keepBest = Some("quality"))
+      .select($"vec_id").as[Long].collect().toSet
+    assert(keptQ == (baseIds -- (0L until 40L)) ++ (0L until 40L).map(_ + 1000000L))
+    assert(keptQ.size == baseIds.size)
+  }
+
   test("ivfTopK: answers every query; approximate cos never exceeds brute force") {
     val q = embs.filter($"vec_id" < 20)
     val bf = Similarity.bruteForceTopK(q, embs, "vec_id", "embedding", 1)
