@@ -14,6 +14,9 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * }}}
   *
   * Injects:
+  *  - [[graft.sql.GraftSqlParser]] — `OPTIMIZE` / `VACUUM` /
+  *    `DESCRIBE HISTORY` maintenance DDL over [[graft.tables.SnapshotTable]]
+  *    roots (delegating parser — all other SQL is Spark's);
   *  - [[graft.plans.AsOfJoinStrategy]] — plans [[graft.plans.AsOfJoinPlan]]
   *    nodes (point-in-time join) into the sorted-merge physical operator;
   *  - `vec_dot(a, b)` — the codegen'd double inner product
@@ -28,6 +31,9 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // OPTIMIZE / VACUUM / DESCRIBE HISTORY maintenance DDL over
+    // SnapshotTable roots; everything else delegates to Spark's parser
+    ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
     ext.injectOptimizerRule(_ => graft.plans.AggRollupRewrite)

@@ -491,6 +491,47 @@ object SparkEntry {
         .orderBy($"event_type")
     }),
 
+    // ── LLM-pipeline: REAL audio decode. Fixture WAVs are RIFF/PCM16
+    //    whose samples derive from doc_id in integer closed form, so the
+    //    decoded signal statistics are INTEGER-exact and DuckDB replays
+    //    them from the same formula (no float drift anywhere).
+    "q232_audio_decode" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables.documents(s, dir).select($"doc_id")
+        .withColumn("n", (lit(800) + pmod($"doc_id", lit(5)) * 80).cast("int"))
+      val wav = graft.llm.Multimodal.syntheticWav(base, "doc_id", "n")
+      graft.llm.Multimodal.decodeWav(wav, "content")
+        .select($"doc_id", $"sample_rate", $"channels", $"n_frames",
+          $"duration_ms", $"peak_abs", $"sum_sq", $"zero_crossings")
+        .orderBy($"doc_id")
+    }),
+
+    // ── §4(c) SQL surface: the OPTIMIZE / VACUUM maintenance DDL the
+    //    injected GraftSqlParser adds (Delta SQL-form parity). Same table
+    //    lifecycle as q228 but driven by SQL text, plus a VACUUM that must
+    //    keep manifest-referenced dirs alive — the read-back still equals
+    //    the plain aggregate.
+    "q231_sql_maintenance" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("sqlmaint").toString
+      val t = new graft.tables.SnapshotTable(s"$work/t")
+      val e = Tables.events(s, dir)
+        .select($"event_id", $"user_id", $"event_type", $"value")
+      t.writeWithStats(s, e.filter(pmod($"event_id", lit(4)) === 0), Seq("user_id"),
+        clusterBy = Seq("user_id"), clusterPartitions = 4)
+      (1 to 3).foreach { r =>
+        t.append(s, e.filter(pmod($"event_id", lit(4)) === r).coalesce(1))
+      }
+      val sqlRun = (q: String) => org.apache.spark.sql.GraftColumnBridge.graftSql(s, q)
+      sqlRun(s"OPTIMIZE '${t.root}' TARGET ${1L << 20}").collect()
+      sqlRun(s"VACUUM '${t.root}' KEEP 1").collect()
+      assert(sqlRun(s"DESCRIBE HISTORY '${t.root}'").count() >= 1)
+      t.read(s).groupBy($"event_type")
+        .agg(count(lit(1)).cast("long").as("n"),
+          Relational.sumMoney($"value").as("total"))
+        .orderBy($"event_type")
+    }),
+
     // ── K3/C2 at the TABLE level: exactly-once streaming append into the
     //    transactional SnapshotTable (Delta streaming-sink analog). Two
     //    multi-batch drains through appendTxn — the second replays nothing
@@ -4016,6 +4057,27 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q231_sql_maintenance" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // replays the synthetic PCM16 signal sample by sample (integer math)
+    "q232_audio_decode" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT doc_id, CAST(800 + (doc_id % 5) * 80 AS INT) AS n FROM documents),
+        |s AS MATERIALIZED (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+        |s2 AS MATERIALIZED (
+        |  SELECT doc_id, n, i, ((doc_id*31 + i*7919) % 20001) - 10000 AS smp FROM s),
+        |s3 AS MATERIALIZED (
+        |  SELECT doc_id, n, smp, lag(smp) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM s2)
+        |SELECT doc_id, 8000 AS sample_rate, 1 AS channels, any_value(n) AS n_frames,
+        |  CAST(any_value(n) * 1000 / 8000 AS BIGINT) AS duration_ms,
+        |  CAST(MAX(ABS(smp)) AS INT) AS peak_abs,
+        |  CAST(SUM(smp*smp) AS BIGINT) AS sum_sq,
+        |  CAST(COALESCE(SUM(CASE WHEN (smp<0) != (prev<0) THEN 1 ELSE 0 END),0) AS BIGINT) AS zero_crossings
+        |FROM s3 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // DuckDB index lambdas are 1-based (Spark's are 0-based): (i - 1).
     "q226_embedding_neardup_lsh" ->

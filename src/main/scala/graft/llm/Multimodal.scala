@@ -238,4 +238,123 @@ object Multimodal {
         i => col(contentCol).substr(i * frameBytes + 1, lit(frameBytes))))
       .withColumn("n_frames_sampled", size(col("frames")))
   }
+
+  // ── Audio: REAL RIFF/PCM16 WAV kernels ────────────────────────────────
+  //
+  // Same contract as the image path: a real byte-level codec inside the
+  // partition-batched mapPartitions shape, with deterministic synthetic
+  // fixtures whose content derives from integer columns in closed form —
+  // so the decode outputs are INTEGER-exact and a SQL oracle can replay
+  // them (generate_series over the same sample formula).
+
+  /** Synthetic PCM16 mono WAV fixture: `nSamplesCol` samples at
+    * `sampleRate`, sample i = ((seed·31 + i·7919) mod 20001) − 10000 —
+    * integer-only (no trig), so an oracle recomputes every byte's worth
+    * of signal exactly. Emits a `content` binary column holding a
+    * complete RIFF/WAVE file (44-byte canonical header + LE samples). */
+  def syntheticWav(df: DataFrame, seedCol: String, nSamplesCol: String,
+      sampleRate: Int = 8000): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("content", BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val (si, ni) = (df.schema.fieldIndex(seedCol), df.schema.fieldIndex(nSamplesCol))
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val seed = r.getLong(si); val n = r.getInt(ni)
+        val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(1) // PCM, mono
+          .putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+          .putShort(2).putShort(16) // block align, bits
+          .put("data".getBytes("US-ASCII")).putInt(2 * n)
+        var i = 0
+        while (i < n) {
+          bb.putShort((((seed * 31 + i.toLong * 7919) % 20001) - 10000).toShort)
+          i += 1
+        }
+        Row.fromSeq(r.toSeq :+ bb.array())
+      }
+    }(enc)
+  }
+
+  /** REAL audio decode kernel: walks the RIFF chunk list (fmt + data) of a
+    * PCM16 WAV payload and emits integer-exact signal statistics —
+    * sample rate, channel count, frame count, duration, peak |amplitude|,
+    * Σ sample² (the exact energy; RMS = sqrt(sum_sq/n) when a float is
+    * wanted), and sign-change zero crossings. Non-WAV / non-PCM16
+    * payloads yield nulls with `decoded_real = false` (no fake numbers on
+    * the audio path). Shuffle-free mapPartitions, like [[decodeImage]]. */
+  def decodeWav(df: DataFrame, contentCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("peak_abs", IntegerType),
+      StructField("sum_sq", LongType),
+      StructField("zero_crossings", LongType),
+      StructField("decoded_real", BooleanType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(contentCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val decoded = parseWavPcm16(bytes)
+        decoded match {
+          case Some((rate, ch, samples)) =>
+            val n = samples.length / ch // frames
+            var peak = 0; var sumSq = 0L; var zc = 0L
+            var i = 0
+            var prevNeg = false
+            while (i < samples.length) {
+              val s = samples(i).toInt
+              if (math.abs(s) > peak) peak = math.abs(s)
+              sumSq += s.toLong * s
+              val neg = s < 0
+              if (i > 0 && neg != prevNeg) zc += 1
+              prevNeg = neg
+              i += 1
+            }
+            Row.fromSeq(r.toSeq ++ Seq[Any](
+              rate, ch, n, n.toLong * 1000L / rate, peak, sumSq, zc, true))
+          case None =>
+            Row.fromSeq(r.toSeq ++ Seq[Any](null, null, null, null, null, null, null, false))
+        }
+      }
+    }(enc)
+  }
+
+  /** (sampleRate, channels, samples) of a PCM16 RIFF/WAVE payload, or
+    * None when the bytes are not one. Tolerates extra chunks (LIST etc.)
+    * between fmt and data, per the RIFF spec. */
+  private def parseWavPcm16(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    if (bytes == null || bytes.length < 44) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag4() = { val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII") }
+    if (tag4() != "RIFF") return None
+    bb.getInt // riff size
+    if (tag4() != "WAVE") return None
+    var rate = 0; var ch = 0; var bits = 0
+    var samples: Array[Short] = null
+    while (bb.remaining() >= 8 && samples == null) {
+      val chunk = tag4(); val len = bb.getInt
+      if (len < 0 || len > bb.remaining()) return None
+      if (chunk == "fmt ") {
+        val fmt = bb.getShort; ch = bb.getShort
+        rate = bb.getInt; bb.getInt; bb.getShort; bits = bb.getShort
+        if (fmt != 1) return None // PCM only
+        bb.position(bb.position() + len - 16)
+      } else if (chunk == "data") {
+        if (rate <= 0 || ch <= 0 || bits != 16) return None
+        val n = len / 2
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) { out(i) = bb.getShort; i += 1 }
+        samples = out
+      } else bb.position(bb.position() + len + (len & 1)) // chunks pad to even
+    }
+    Option(samples).map((rate, ch, _))
+  }
 }

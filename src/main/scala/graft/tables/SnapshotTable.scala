@@ -40,6 +40,10 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 final class SnapshotTable(val root: String) {
 
+  // (SQL forms of the maintenance entry points — OPTIMIZE / VACUUM /
+  // DESCRIBE HISTORY — live in graft.sql.GraftSqlParser, injected by
+  // graft.GraftExtensions.)
+
   private def fs(spark: SparkSession) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -616,7 +620,9 @@ final class SnapshotTable(val root: String) {
       .distinct.filterNot(gone).sorted
     versions.map { v =>
       val files = listDataFiles(f, v)
-      val rows = snapshotDF(spark, v).count()
+      // n_rows = VISIBLE rows of the version (tombstones applied) — what a
+      // reader of that version gets, not raw file contents
+      val rows = applyTombstones(spark, v, snapshotDF(spark, v)).count()
       (v, rows, files.size.toLong, files.map(_._2).sum, f.exists(tombPath(v)), v == live)
     }.toDF("version", "n_rows", "n_files", "bytes", "has_tombstones", "is_live")
   }

@@ -22,6 +22,19 @@ object GraftColumnBridge {
   def analyzed(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 
+  /** The session's parser (`sessionState` is `private[sql]`) — lets a
+    * caller stack [[graft.sql.GraftSqlParser]] on a LIVE session's
+    * delegate and execute its plans via [[ofRows]], the same text→plan→run
+    * path `injectParser` wires at session build time. */
+  def sessionParser(spark: SparkSession): org.apache.spark.sql.catalyst.parser.ParserInterface =
+    spark.sessionState.sqlParser
+
+  /** Parse `sqlText` with graft's maintenance-DDL parser (delegating to
+    * the session parser) and execute it. */
+  def graftSql(spark: SparkSession, sqlText: String): DataFrame =
+    ofRows(spark,
+      new graft.sql.GraftSqlParser(sessionParser(spark)).parsePlan(sqlText))
+
   /** `SparkSessionExtensions.buildPlannerStrategies` / `registerFunctions`
     * are `private[sql]` (normally called once during session bootstrap) —
     * exposed so specs can assert what `graft.GraftExtensions` injects, and

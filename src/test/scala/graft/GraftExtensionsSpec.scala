@@ -174,4 +174,56 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(q4.queryExecution.optimizedPlan.toString.contains("Join"))
     } finally graft.plans.JoinEliminationRewrite.clear()
   }
+
+  test("GraftSqlParser: OPTIMIZE/VACUUM/DESCRIBE HISTORY route to table ops; other SQL delegates") {
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("sqlddl").toString
+    val t = new graft.tables.SnapshotTable(s"$work/t")
+    t.writeWithStats(spark,
+      spark.range(5000).toDF("k").withColumn("x", sha2($"k".cast("string"), 256)),
+      Seq("k"), clusterBy = Seq("k"), clusterPartitions = 2)
+    (0 until 3).foreach { i =>
+      t.append(spark, spark.range(5000 + i * 10, 5010 + i * 10).toDF("k")
+        .withColumn("x", sha2($"k".cast("string"), 256)).coalesce(1))
+    }
+    def sqlRun(q: String) = GraftColumnBridge.graftSql(spark, q)
+
+    // DESCRIBE HISTORY: one row per retained version
+    assert(sqlRun(s"DESCRIBE HISTORY '${t.root}'").count() == 4)
+
+    // OPTIMIZE returns the new version; small files packed
+    val before = t.read(spark).inputFiles.length
+    val v = sqlRun(s"OPTIMIZE '${t.root}' TARGET 100000").as[Int].head()
+    assert(v == 5)
+    assert(t.read(spark).inputFiles.length < before)
+    assert(t.read(spark).count() == 5030)
+
+    // bad statements near-miss the grammar → delegate → normal ParseException
+    intercept[Exception](sqlRun(s"OPTIMIZE UNQUOTED_PATH EXTRA"))
+
+    // VACUUM drops old versions, keeps manifest-referenced dirs readable
+    sqlRun(s"VACUUM '${t.root}' KEEP 1").collect()
+    assert(t.read(spark).count() == 5030)
+    assert(sqlRun(s"DESCRIBE HISTORY '${t.root}'").count() == 1)
+
+    // plain SQL flows through the delegate untouched
+    assert(sqlRun("SELECT 40 + 2 AS v").as[Int].head() == 42)
+
+    // full injection path: a session built withExtensions parses the DDL
+    // through plain spark.sql (fresh session on the shared context)
+    val prev = spark
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .withExtensions(new GraftExtensions).getOrCreate()
+      assert(s2.sql(s"DESCRIBE HISTORY '${t.root}'").count() == 1)
+      assert(s2.sql("SELECT 1 AS one").count() == 1)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(
+        prev.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+      org.apache.spark.sql.SparkSession.setActiveSession(
+        prev.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+    }
+  }
 }

@@ -638,6 +638,42 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(big, again))
   }
 
+  test("WAV kernels: our writer round-trips through the JDK's own audio stack; decode is exact") {
+    val base = docs.limit(8).select($"doc_id")
+      .withColumn("n", (lit(800) + pmod($"doc_id", lit(5)) * 80).cast("int"))
+    val wav = Multimodal.syntheticWav(base, "doc_id", "n")
+    val rows = Multimodal.decodeWav(wav, "content")
+      .select($"doc_id", $"n", $"content", $"sample_rate", $"channels",
+        $"n_frames", $"peak_abs", $"sum_sq", $"zero_crossings", $"decoded_real")
+      .collect()
+    rows.foreach { r =>
+      val docId = r.getLong(0); val n = r.getInt(1)
+      val bytes = r.getAs[Array[Byte]](2)
+      assert(r.getBoolean(9), "real decode expected")
+      assert(r.getInt(3) == 8000 && r.getInt(4) == 1 && r.getInt(5) == n)
+
+      // independent referee: javax.sound.sampled parses OUR bytes the same
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(ais.getFormat.getSampleRate == 8000f)
+      assert(ais.getFormat.getChannels == 1)
+      assert(ais.getFormat.getSampleSizeInBits == 16)
+      assert(ais.getFrameLength == n.toLong)
+
+      // closed-form replay of the signal agrees with the decoded stats
+      val samples = (0 until n).map(i => ((docId * 31 + i.toLong * 7919) % 20001) - 10000)
+      assert(r.getInt(6) == samples.map(math.abs).max)
+      assert(r.getLong(7) == samples.map(s => s * s).sum)
+      assert(r.getLong(8) == samples.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)))
+    }
+
+    // garbage payloads are flagged, not faked
+    val junk = Seq((1L, "definitely not RIFF".getBytes)).toDF("doc_id", "content")
+    val bad = Multimodal.decodeWav(junk, "content").collect()(0)
+    assert(!bad.getBoolean(bad.fieldIndex("decoded_real")))
+    assert(bad.isNullAt(bad.fieldIndex("sum_sq")))
+  }
+
   test("Quantization: codes in int8 range, max_err bounded by scale/2, round-trip faithful") {
     val q = graft.llm.Quantization.quantizeInt8(embs, "vec_id", "embedding")
     assert(q.count() == embs.count())
