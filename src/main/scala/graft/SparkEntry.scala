@@ -491,6 +491,27 @@ object SparkEntry {
         .orderBy($"event_type")
     }),
 
+    // ── Gold SERVING side: idempotent blue-green JDBC publish (stage →
+    //    metadata-only swap) into embedded Derby, the reference's
+    //    gold→SQL-store stage. A stale first publish must be fully
+    //    replaced by the second; the result is read back THROUGH JDBC so
+    //    the oracle checks what a serving query actually sees.
+    "q233_jdbc_publish" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("jdbcpub").toString
+      System.setProperty("derby.system.home", work)
+      val url = s"jdbc:derby:$work/db;create=true"
+      val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+      val gold = Tables.events(s, dir).groupBy($"event_type")
+        .agg(count(lit(1)).cast("long").as("n"),
+          Relational.sumMoney($"value").as("total"))
+      graft.gold.JdbcPublish.publish(gold.limit(2), url, driver, "gold_events", 2)
+      graft.gold.JdbcPublish.publish(gold, url, driver, "gold_events", 2)
+      s.read.format("jdbc").option("url", url).option("driver", driver)
+        .option("dbtable", "GOLD_EVENTS").load()
+        .select($"event_type", $"n", $"total").orderBy($"event_type")
+    }),
+
     // ── LLM-pipeline: REAL audio decode. Fixture WAVs are RIFF/PCM16
     //    whose samples derive from doc_id in integer closed form, so the
     //    decoded signal statistics are INTEGER-exact and DuckDB replays
@@ -4059,6 +4080,11 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q231_sql_maintenance" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q233_jdbc_publish" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -353,22 +353,42 @@ object Similarity {
     *
     * Caveat inherited from SemDeDup: a pair straddling a cell boundary is
     * missed — recall, not precision, is the trade (every dropped doc
-    * genuinely had an exact-verified near-dup in its cell). */
+    * genuinely had an exact-verified near-dup in its cell).
+    *
+    * `maxCellRows`: skew guard for the per-cell quadratic step. A hot cell
+    * (duplicate-heavy corpora concentrate mass) makes one task do
+    * n_cell²/2 work; cells above the cap are hash-sub-split so no
+    * pair-join partition exceeds ~cap² comparisons. Pairs straddling a
+    * sub-split are missed (more recall trade, zero precision trade) —
+    * exactly how SemDeDup keeps clusters bounded at corpus scale. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       k: Int, threshold: Double, trainIters: Int = 2,
-      keepBest: Option[String] = None): DataFrame = {
+      keepBest: Option[String] = None,
+      maxCellRows: Option[Int] = None): DataFrame = {
     val cents = kmeansCentroids(df, idCol, vecCol, k, trainIters)
     val v = df.select(col(idCol).as("vid"),
         transform(col(vecCol), _.cast("double")).as("vv"))
       .withColumn("vnorm", l2Norm(col("vv")))
     val w = Window.partitionBy(col("vid"))
       .orderBy(col("ccos").desc, col("cent_id").asc)
-    val cells = v.join(broadcast(cents))
+    val cells0 = v.join(broadcast(cents))
       .withColumn("ccos", dot(col("vv"), col("cv0")) / (col("vnorm") * col("cnorm0")))
       .withColumn("r", row_number().over(w)).filter(col("r") === 1)
       .select(col("vid"), col("cent_id").as("cell"), col("vv"), col("vnorm"))
+    val cells = maxCellRows match {
+      case None => cells0.withColumn("sub", lit(0L))
+      case Some(cap) =>
+        val sizes = cells0.groupBy(col("cell"))
+          .agg(count(lit(1)).as("__n"))
+          .withColumn("__splits", greatest(lit(1L), ceil(col("__n") / cap).cast("long")))
+          .select(col("cell"), col("__splits"))
+        cells0.join(broadcast(sizes), Seq("cell"))
+          .withColumn("sub", pmod(xxhash64(col("vid")), col("__splits")))
+          .drop("__splits")
+    }
     val pairs = cells.alias("a").join(cells.alias("b"),
-        col("a.cell") === col("b.cell") && col("a.vid") < col("b.vid"))
+        col("a.cell") === col("b.cell") && col("a.sub") === col("b.sub") &&
+          col("a.vid") < col("b.vid"))
       .withColumn("cos", dot(col("a.vv"), col("b.vv")) / (col("a.vnorm") * col("b.vnorm")))
       .filter(col("cos") >= threshold)
       .select(col("a.vid").as("d1"), col("b.vid").as("d2"))

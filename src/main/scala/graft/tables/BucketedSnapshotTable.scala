@@ -37,8 +37,12 @@ import graft.cdc.ScdMerge
   *   root/_batch_v<N>/__bucket=<b>/...  // immutable bucket snapshots
   * }}}
   *
-  * Commit protocol identical to [[SnapshotTable]] (write everything, then
-  * atomic pointer flip); single-writer by design.
+  * Commit protocol identical to [[SnapshotTable]]: batches stage under
+  * `_staging_*`, then rename + manifest + pointer flip inside the
+  * [[CommitLock]] critical section. Merges are optimistic read-modify-
+  * write — a merge that loses the commit race recomputes against the
+  * fresh state and retries, so racing writers on a shared table all land
+  * and none is lost.
   *
   * Reference semantics carried over: SCD1 = FactStream.py:12-21, SCD2 =
   * DimUser.py:20-29 (via [[ScdMerge]]).
@@ -149,24 +153,56 @@ final class BucketedSnapshotTable(
     val affected = upd.select(BucketCol).distinct()
       .collect().map(_.getInt(0)).toSet
     if (affected.isEmpty) return Set.empty
+    val f = fs(spark)
 
-    val current = readBuckets(spark, Some(affected))
-    val merged = algebra(current, upd)
+    // optimistic concurrency with automatic retry: a merge is read-modify-write
+    // over the affected buckets, so it stages against the version it read
+    // and recomputes from fresh state if another writer committed first —
+    // racing merges on a shared table all land, serialized by the commit
+    // lock, none lost.
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val v0 = currentVersion(spark).getOrElse(0)
+      val current = readBuckets(spark, Some(affected))
+      val merged = algebra(current, upd)
 
-    val next = currentVersion(spark).getOrElse(0) + 1
-    val batchDir = s"_batch_v$next"
-    // repartition on the bucket id so each bucket dir gets ONE writer task
-    // (one file), not shufflePartitions × buckets stragglers — at scale a
-    // bucket is exactly one task's output, and the shuffle is the same
-    // key-hash the merge already clustered on
-    merged.repartition(col(BucketCol)).write.mode(SaveMode.Overwrite)
-      .partitionBy(BucketCol)
-      .parquet(s"$root/$batchDir")
-    writeBatchStats(spark, batchDir)
+      val staging = s"_staging_${java.util.UUID.randomUUID().toString.take(12)}"
+      // repartition on the bucket id so each bucket dir gets ONE writer task
+      // (one file), not shufflePartitions × buckets stragglers — at scale a
+      // bucket is exactly one task's output, and the shuffle is the same
+      // key-hash the merge already clustered on
+      merged.repartition(col(BucketCol)).write.mode(SaveMode.Overwrite)
+        .partitionBy(BucketCol)
+        .parquet(s"$root/$staging")
+      // per-batch stats computed on the staging files, then re-pointed at
+      // the final dir — keeps the locked critical section metadata-sized
+      val stagedStats: Seq[String] =
+        if (statsCols.isEmpty) Nil
+        else StatsManifest.lines(spark.read.parquet(s"$root/$staging"), statsCols)
 
-    val newManifest =
-      manifest(spark) ++ affected.map(_ -> batchDir).toMap
-    writeManifest(spark, next, newManifest)
+      val committed = CommitLock.withLock(f, root) {
+        val cur = currentVersion(spark).getOrElse(0)
+        if (cur != v0) { f.delete(new Path(s"$root/$staging"), true); false }
+        else {
+          val next = cur + 1
+          val batchDir = s"_batch_v$next"
+          if (!f.rename(new Path(s"$root/$staging"), new Path(s"$root/$batchDir")))
+            throw new IllegalStateException(s"BucketedSnapshotTable $root: staging rename failed")
+          if (stagedStats.nonEmpty)
+            StatsManifest.writeLines(f, batchStatsPath(batchDir),
+              stagedStats.map(_.replace(s"/$staging/", s"/$batchDir/")))
+          writeManifest(spark, next, manifest(spark) ++ affected.map(_ -> batchDir).toMap)
+          true
+        }
+      }
+      if (committed) done = true
+      else {
+        attempt += 1
+        if (attempt > 5) throw new java.util.ConcurrentModificationException(
+          s"BucketedSnapshotTable $root: merge lost the commit race 5 times — giving up")
+      }
+    }
     affected
   }
 
@@ -182,11 +218,6 @@ final class BucketedSnapshotTable(
   // rewriting untouched data or rescanning for stats.
 
   private def batchStatsPath(batchDir: String) = new Path(s"$root/$batchDir", "_stats")
-
-  private def writeBatchStats(spark: SparkSession, batchDir: String): Unit =
-    if (statsCols.nonEmpty)
-      StatsManifest.write(spark.read.parquet(s"$root/$batchDir"), statsCols,
-        fs(spark), batchStatsPath(batchDir))
 
   /** Range-pruned full-table read: live buckets only, and within them only
     * files whose per-batch stats for `column` intersect [lo,hi] (timestamp
@@ -221,17 +252,37 @@ final class BucketedSnapshotTable(
 
   /** Rewrite every bucket into the same batch dir (small-file compaction
     * after many incremental merges). Bucket layout is preserved, so
-    * subsequent merges still prune. */
+    * subsequent merges still prune. Staged + locked like merge; aborts
+    * with ConcurrentModificationException if a merge lands first (rerun
+    * the maintenance job — compaction has no state worth retrying). */
   def compact(spark: SparkSession): Int = {
-    val next = currentVersion(spark).getOrElse(0) + 1
+    val f = fs(spark)
+    val v0 = currentVersion(spark).getOrElse(0)
+    val next = v0 + 1
     val batchDir = s"_batch_v$next"
     readBuckets(spark, None).foreach { df =>
+      val staging = s"_staging_${java.util.UUID.randomUUID().toString.take(12)}"
       df.repartition(col(BucketCol))
         .write.mode(SaveMode.Overwrite)
         .partitionBy(BucketCol)
-        .parquet(s"$root/$batchDir")
-      writeBatchStats(spark, batchDir)
-      writeManifest(spark, next, manifest(spark).map { case (b, _) => b -> batchDir })
+        .parquet(s"$root/$staging")
+      val stagedStats: Seq[String] =
+        if (statsCols.isEmpty) Nil
+        else StatsManifest.lines(spark.read.parquet(s"$root/$staging"), statsCols)
+      CommitLock.withLock(f, root) {
+        val cur = currentVersion(spark).getOrElse(0)
+        if (cur != v0) {
+          f.delete(new Path(s"$root/$staging"), true)
+          throw new java.util.ConcurrentModificationException(
+            s"BucketedSnapshotTable $root: compact read version $v0 but found $cur — rerun")
+        }
+        if (!f.rename(new Path(s"$root/$staging"), new Path(s"$root/$batchDir")))
+          throw new IllegalStateException(s"BucketedSnapshotTable $root: staging rename failed")
+        if (stagedStats.nonEmpty)
+          StatsManifest.writeLines(f, batchStatsPath(batchDir),
+            stagedStats.map(_.replace(s"/$staging/", s"/$batchDir/")))
+        writeManifest(spark, next, manifest(spark).map { case (b, _) => b -> batchDir })
+      }
     }
     next
   }

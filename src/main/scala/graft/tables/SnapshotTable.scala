@@ -224,39 +224,8 @@ final class SnapshotTable(val root: String) {
       throw new IllegalStateException(s"SnapshotTable $root: staging rename failed")
   }
 
-  /** How long a `_lock` may sit before another writer presumes its holder
-    * dead and steals it (a crashed driver must not wedge the table). */
-  private val LockStaleMs = 60000L
-
-  private def withCommitLock[T](f: org.apache.hadoop.fs.FileSystem)(body: => T): T = {
-    val lock = new Path(root, "_lock")
-    f.mkdirs(new Path(root))
-    val deadline = System.currentTimeMillis() + 2 * LockStaleMs
-    var held = false
-    while (!held) {
-      // create(overwrite = false) is the claim: exactly one concurrent
-      // caller wins, everyone else gets FileAlreadyExists. LocalFileSystem
-      // implements the no-overwrite check as check-then-act, so in-process
-      // threads additionally serialize on a per-root JVM monitor; across
-      // JVMs/object stores the file claim is the same best-effort Delta
-      // has without a lock service.
-      try { SnapshotTable.rootMonitor(root).synchronized {
-        f.create(lock, false).close() }; held = true }
-      catch {
-        case _: java.io.IOException =>
-          val stale = try {
-            f.exists(lock) &&
-              System.currentTimeMillis() - f.getFileStatus(lock).getModificationTime > LockStaleMs
-          } catch { case _: java.io.FileNotFoundException => false }
-          if (stale) f.delete(lock, false)
-          else if (System.currentTimeMillis() > deadline)
-            throw new IllegalStateException(
-              s"SnapshotTable $root: could not acquire commit lock within ${2 * LockStaleMs} ms")
-          else Thread.sleep(25)
-      }
-    }
-    try body finally f.delete(lock, false)
-  }
+  private def withCommitLock[T](f: org.apache.hadoop.fs.FileSystem)(body: => T): T =
+    CommitLock.withLock(f, root)(body)
 
   private def commitPointer(spark: SparkSession, v: Int): Unit = {
     val f = fs(spark)
@@ -385,8 +354,14 @@ final class SnapshotTable(val root: String) {
     * the rewritten output; a Bloom index is NOT carried (point reads fall
     * back to full scans — superset-safe — until `writeIndexed` runs
     * again, the same rebuild Delta needs after OPTIMIZE). Returns the new
-    * version, or the current one when fewer than 2 files qualify. */
-  def optimizeCompact(spark: SparkSession, targetBytes: Long = 128L << 20): Int = {
+    * version, or the current one when fewer than 2 files qualify.
+    *
+    * `clusterBy`: range-repartition the REWRITTEN subset on these columns
+    * (a shuffle of the small files only — the big ones never move), so
+    * packed files carry disjoint value ranges and the carried stats
+    * manifest stays selective; default is a shuffle-free coalesce. */
+  def optimizeCompact(spark: SparkSession, targetBytes: Long = 128L << 20,
+      clusterBy: Seq[String] = Nil): Int = {
     val f = fs(spark)
     val v = currentVersion(spark).getOrElse(
       throw new IllegalStateException(s"SnapshotTable $root has no committed version"))
@@ -395,8 +370,14 @@ final class SnapshotTable(val root: String) {
     if (small.size < 2) return v
     val nOut = math.max(1, math.ceil(small.map(_._2).sum.toDouble / targetBytes).toInt)
     val staging = new Path(root, s"_staging_${java.util.UUID.randomUUID().toString.take(12)}")
-    spark.read.parquet(small.map(_._1): _*).coalesce(nOut)
-      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val smallDf = spark.read.parquet(small.map(_._1): _*)
+    val packed =
+      if (clusterBy.isEmpty) smallDf.coalesce(nOut)
+      else {
+        val cols = clusterBy.map(org.apache.spark.sql.functions.col)
+        smallDf.repartitionByRange(nOut, cols: _*).sortWithinPartitions(cols: _*)
+      }
+    packed.write.mode(SaveMode.Overwrite).parquet(staging.toString)
     withCommitLock(f) {
       val cur = currentVersion(spark).getOrElse(0)
       if (cur != v) {
@@ -678,8 +659,3 @@ final class SnapshotTable(val root: String) {
   }
 }
 
-object SnapshotTable {
-  private val monitors = new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private[tables] def rootMonitor(root: String): Object =
-    monitors.computeIfAbsent(root, _ => new Object)
-}

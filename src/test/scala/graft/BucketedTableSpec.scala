@@ -24,6 +24,26 @@ class BucketedTableSpec extends AnyFunSuite {
   private def mkBatch(xs: Seq[(Int, Int, String)]): DataFrame =
     xs.toDF("k", "seq", "v")
 
+  test("racing merges: all land via optimistic retry, none lost, history linear") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t = new BucketedSnapshotTable(tmp("brace"), numBuckets = 4, keys = Seq("k"))
+    t.scd1Merge(spark, mkBatch((0 until 40).map(k => (k, 1, s"base$k"))), "seq")
+    // 4 concurrent merges over overlapping buckets (disjoint keys)
+    val fs = (0 until 4).map { w =>
+      Future(t.scd1Merge(spark,
+        mkBatch((0 until 10).map(i => (w * 10 + i, 2, s"w$w-$i"))), "seq"))
+    }
+    Await.result(Future.sequence(fs), 180.seconds)
+    assert(t.currentVersion(spark).contains(5))
+    val got = t.read(spark).select("k", "v").as[(Int, String)].collect().toMap
+    assert(got.size == 40)
+    (0 until 40).foreach { k =>
+      assert(got(k) == s"w${k / 10}-${k % 10}", s"key $k lost an update: ${got(k)}")
+    }
+  }
+
   test("scd1Merge equals whole-table scd1Upsert across batches") {
     val t = new BucketedSnapshotTable(tmp("bscd1"), numBuckets = 8, keys = Seq("k"))
     val b1 = mkBatch(Seq((1, 10, "a"), (2, 10, "b"), (3, 10, "c"), (17, 10, "q")))

@@ -285,6 +285,28 @@ class EngineCoreSpec extends AnyFunSuite {
     assert(hist.toSet == Set(t.currentVersion(spark).get))
   }
 
+  test("optimizeCompact(clusterBy): packed files carry disjoint ranges, probes stay selective") {
+    val t = new SnapshotTable(tmp("optclu"))
+    t.writeWithStats(spark,
+      spark.range(20000).toDF("k").withColumn("x", sha2($"k".cast("string"), 256)),
+      Seq("k"), clusterBy = Seq("k"), clusterPartitions = 2)
+    // six scattered small appends
+    Seq(30000L, 40000L, 50000L, 60000L, 70000L, 80000L).foreach { lo =>
+      t.append(spark, spark.range(lo, lo + 10).toDF("k")
+        .withColumn("x", sha2($"k".cast("string"), 256)).coalesce(1))
+    }
+    // target sized so the smalls pack into 2 range-partitioned files
+    val smallBytes = 6L * 2048
+    val v = t.optimizeCompact(spark, targetBytes = smallBytes / 2 + 1, clusterBy = Seq("k"))
+    assert(v == t.currentVersion(spark).get)
+    val packed = t.read(spark).inputFiles.filter(_.contains(s"_v$v/"))
+    assert(packed.length >= 2, s"expected >=2 range-packed files, got ${packed.length}")
+    // a probe into one appended range touches exactly one packed file
+    val probe = t.readPruned(spark, "k", 30000, 30009)
+    assert(probe.inputFiles.length == 1, s"probe should hit 1 file, got ${probe.inputFiles.length}")
+    assert(probe.filter($"k".between(30000, 30009)).count() == 10)
+  }
+
   test("appendTxn: per-app batch watermark makes replays no-ops; apps are independent") {
     val t = new SnapshotTable(tmp("txn"))
     assert(t.appendTxn(spark, Seq(1).toDF("x"), Some(("ingest", 0L))) == 1) // bootstrap
@@ -788,5 +810,36 @@ class EngineCoreSpec extends AnyFunSuite {
     val parted = delta(Some(graft.ingest.JdbcIncremental.Partitioning("id", 1L, 4L, 3)))
       .select($"id", $"v").as[(Long, String)].collect().toSet
     assert(parted == single)
+  }
+
+  test("JdbcPublish: blue-green swap replaces the whole table, converges after a torn load") {
+    val work = java.nio.file.Files.createTempDirectory("jdbcpub").toString
+    System.setProperty("derby.system.home", work)
+    val url = s"jdbc:derby:$work/db;create=true"
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    def readBack() = spark.read.format("jdbc")
+      .option("url", url).option("driver", driver)
+      .option("dbtable", "DIM").load()
+      .select(col("k"), col("v")).as[(Long, String)].collect().toSet
+
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    assert(graft.gold.JdbcPublish.publish(v1, url, driver, "dim", 2) == 3L)
+    assert(readBack() == Set((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // a torn load: staging exists with garbage, live table untouched
+    Seq((99L, "junk")).toDF("k", "v").write.format("jdbc")
+      .option("url", url).option("driver", driver)
+      .option("dbtable", "DIM_STG").mode("overwrite").save()
+    assert(readBack() == Set((1L, "a"), (2L, "b"), (3L, "c")), "torn load must not leak")
+
+    // the next publish rebuilds staging from scratch and swaps atomically
+    val v2 = Seq((1L, "a2"), (4L, "d")).toDF("k", "v")
+    assert(graft.gold.JdbcPublish.publish(v2, url, driver, "dim", 1) == 2L)
+    assert(readBack() == Set((1L, "a2"), (4L, "d")), "old rows must be fully replaced")
+
+    // staging is consumed by the rename — no debris table
+    intercept[Exception](spark.read.format("jdbc")
+      .option("url", url).option("driver", driver)
+      .option("dbtable", "DIM_STG").load().collect())
   }
 }

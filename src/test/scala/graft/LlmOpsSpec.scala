@@ -511,6 +511,18 @@ class LlmOpsSpec extends AnyFunSuite {
       .select($"vec_id").as[Long].collect().toSet
     assert(keptQ == (baseIds -- (0L until 40L)) ++ (0L until 40L).map(_ + 1000000L))
     assert(keptQ.size == baseIds.size)
+
+    // hot-cell cap: sub-splitting can only LOSE pairs (recall trade), so
+    // drops shrink monotonically and precision stays 1 (every dropped doc
+    // is a genuine planted dup)
+    val allIds = baseIds ++ (0L until 40L).map(_ + 1000000L)
+    val dropsNoCap = allIds -- kept
+    val keptCap = graft.llm.Similarity.semanticDedup(all, "vec_id", "v",
+        k = 8, threshold = 0.99, maxCellRows = Some(16))
+      .select($"vec_id").as[Long].collect().toSet
+    val dropsCap = allIds -- keptCap
+    assert(dropsCap.subsetOf(dropsNoCap))
+    assert(dropsCap.forall(_ >= 1000000L), "capped dedup must only drop planted dups")
   }
 
   test("ivfTopK: answers every query; approximate cos never exceeds brute force") {
