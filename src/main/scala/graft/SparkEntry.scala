@@ -491,6 +491,23 @@ object SparkEntry {
         .orderBy($"event_type")
     }),
 
+    // ── LLM-pipeline: REAL video frame sampling + decode. Fixed-stride
+    //    BMP-frame containers; every 2nd frame is sliced out and decoded
+    //    by the real ImageIO kernel — decode cost ∝ frames KEPT. Grays
+    //    derive from (doc_id, frame) in closed form → per-frame oracle.
+    "q234_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables.documents(s, dir).select($"doc_id")
+        .withColumn("nf", (lit(4) + pmod($"doc_id", lit(3))).cast("int"))
+      val vid = graft.llm.Multimodal.syntheticVideo(base, "doc_id", "nf")
+      graft.llm.Multimodal.decodeVideoFrames(vid, "content",
+          graft.llm.Multimodal.bmpFrameBytes, everyNth = 2)
+        .select($"doc_id", $"frame_idx".cast("long").as("frame_idx"),
+          round($"decoded_mean_luma", 6).as("mean_luma"),
+          $"decoded_real".as("is_real"))
+        .orderBy($"doc_id", $"frame_idx")
+    }),
+
     // ── Gold SERVING side: idempotent blue-green JDBC publish (stage →
     //    metadata-only swap) into embedded Derby, the reference's
     //    gold→SQL-store stage. A stale first publish must be fully
@@ -4083,6 +4100,15 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q234_video_frames" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT doc_id, CAST(4 + doc_id % 3 AS INT) AS nf FROM documents),
+        |f AS (SELECT doc_id, unnest(range(0, nf)) AS i FROM d)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |  round(((doc_id*7 + i*31) % 256) / 255.0, 6) AS mean_luma,
+        |  TRUE AS is_real
+        |FROM f WHERE i % 2 = 0 ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q233_jdbc_publish" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -239,6 +239,72 @@ object Multimodal {
       .withColumn("n_frames_sampled", size(col("frames")))
   }
 
+  // ── Video: fixed-frame container + REAL per-frame ImageIO decode ──────
+  //
+  // A "video" here is the simplest honest container: `n` equal-size BMP
+  // frames concatenated, so [[frameSample]]'s fixed `frameBytes` slices
+  // land exactly on frame boundaries and the sampled frames are REAL
+  // images the existing [[decodeImage]] kernel decodes. That is the
+  // frame-sampling pipeline shape (sample → decode only the kept frames —
+  // decode cost scales with frames KEPT, not frames stored); a production
+  // codec would swap the slicer for a keyframe index, nothing else moves.
+
+  /** Byte size of one 16×16 TYPE_INT_RGB BMP as ImageIO writes it — the
+    * fixed frame stride of [[syntheticVideo]] containers. */
+  lazy val bmpFrameBytes: Int = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", baos)
+    baos.size()
+  }
+
+  /** Synthetic video fixture: `nFramesCol` constant-gray 16×16 BMP frames
+    * back to back, frame f filled with gray ((seed·7 + f·31) mod 256) —
+    * closed-form per frame, so per-frame decode output is oracle-
+    * replayable. Emits a `content` binary column. */
+  def syntheticVideo(df: DataFrame, seedCol: String, nFramesCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("content", BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val (si, ni) = (df.schema.fieldIndex(seedCol), df.schema.fieldIndex(nFramesCol))
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val seed = r.getLong(si); val nf = r.getInt(ni)
+        val out = new java.io.ByteArrayOutputStream()
+        var f = 0
+        while (f < nf) {
+          val g = ((seed * 7 + f * 31) % 256).toInt
+          val img = new java.awt.image.BufferedImage(
+            16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (g << 16) | (g << 8) | g
+          var y = 0
+          while (y < 16) { var x = 0; while (x < 16) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+          javax.imageio.ImageIO.write(img, "bmp", out)
+          f += 1
+        }
+        Row.fromSeq(r.toSeq :+ out.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** Decode the SAMPLED frames of a fixed-stride video column: slice with
+    * [[frameSample]] (keep every `everyNth`), explode, and run the real
+    * [[decodeImage]] kernel on each kept frame. Output: one row per
+    * (input row, sampled frame) with `frame_idx` (position in the FULL
+    * frame sequence) and the decoded columns. Decode work is proportional
+    * to frames kept — the reason pipelines sample before decoding. */
+  def decodeVideoFrames(df: DataFrame, contentCol: String,
+      frameBytes: Int, everyNth: Int): DataFrame = {
+    val passthrough = df.columns.filterNot(_ == contentCol).map(col)
+    val sampled = frameSample(df, contentCol, frameBytes, everyNth)
+      .select(passthrough :+ posexplode(col("frames")).as(Seq("__pos", "frame")): _*)
+      .withColumn("frame_idx", col("__pos") * everyNth)
+      .drop("__pos")
+    decodeImage(sampled, "frame").drop("frame")
+  }
+
   // ── Audio: REAL RIFF/PCM16 WAV kernels ────────────────────────────────
   //
   // Same contract as the image path: a real byte-level codec inside the

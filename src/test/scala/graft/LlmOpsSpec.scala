@@ -650,6 +650,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(big, again))
   }
 
+  test("video frames: fixed-stride slices are real decodable frames, sampling keeps every Nth") {
+    val base = docs.limit(6).select($"doc_id")
+      .withColumn("nf", (lit(4) + pmod($"doc_id", lit(3))).cast("int"))
+    val vid = Multimodal.syntheticVideo(base, "doc_id", "nf")
+    val out = Multimodal.decodeVideoFrames(vid, "content", Multimodal.bmpFrameBytes, 2)
+      .select($"doc_id", $"nf", $"frame_idx", $"decoded_width", $"decoded_height",
+        $"decoded_mean_luma", $"decoded_real")
+      .collect()
+    out.foreach { r =>
+      assert(r.getBoolean(6), "every sampled slice must decode as a real image")
+      assert(r.getInt(3) == 16 && r.getInt(4) == 16)
+      val g = ((r.getLong(0) * 7 + r.getInt(2) * 31) % 256).toInt
+      assert(math.abs(r.getDouble(5) - g / 255.0) < 1e-9,
+        s"doc ${r.getLong(0)} frame ${r.getInt(2)}: luma ${r.getDouble(5)} != ${g / 255.0}")
+    }
+    // everyNth=2 keeps ceil(nf/2) frames, at even indices
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val nf = rs.head.getInt(1)
+      assert(rs.length == (nf + 1) / 2)
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (0 until nf by 2).toSeq)
+    }
+    // everyNth=1 decodes the full frame sequence
+    val full = Multimodal.decodeVideoFrames(vid, "content", Multimodal.bmpFrameBytes, 1)
+    assert(full.count() == base.select(sum($"nf")).as[Long].head())
+  }
+
   test("WAV kernels: our writer round-trips through the JDK's own audio stack; decode is exact") {
     val base = docs.limit(8).select($"doc_id")
       .withColumn("n", (lit(800) + pmod($"doc_id", lit(5)) * 80).cast("int"))
