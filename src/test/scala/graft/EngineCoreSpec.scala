@@ -321,6 +321,23 @@ class EngineCoreSpec extends AnyFunSuite {
     assert(t.lastTxn(spark, "ingest").contains(1L))
   }
 
+  test("appendTxn: CONCURRENT duplicate batches commit exactly once") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t = new SnapshotTable(tmp("txnrace"))
+    t.write(spark, Seq(0).toDF("x"))
+    // 4 replicas of the same (app, batch) race — speculative retries of one
+    // micro-batch. The lock serializes the commits; all but the first see
+    // the recorded watermark and no-op. Exactly one copy may land.
+    val fs = (1 to 4).map(_ =>
+      Future(t.appendTxn(spark, Seq(7).toDF("x"), Some(("app", 1L)))))
+    Await.result(Future.sequence(fs), 120.seconds)
+    assert(t.read(spark).as[Int].collect().sorted.toSeq == Seq(0, 7))
+    assert(t.lastTxn(spark, "app").contains(1L))
+    assert(t.currentVersion(spark).contains(2))
+  }
+
   test("concurrent writers: blind commits serialize losslessly; writeIf detects conflicts") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
