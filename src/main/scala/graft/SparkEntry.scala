@@ -2748,11 +2748,14 @@ object SparkEntry {
       import s.implicits._
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"c_nationkey").orderBy($"c_acctbal".desc, $"c_custkey")
+      // rank ratios land EXACTLY on round-boundaries (41/640 = .0640625…):
+      // round through DECIMAL on both engines — DuckDB rounds DOUBLE
+      // half-even but DECIMAL half-up, which is Spark's rule
       Tables.customer(s, dir)
         .select($"c_custkey", $"c_nationkey",
           dense_rank().over(w).as("dr"),
-          round(percent_rank().over(w), 6).as("pr"),
-          round(cume_dist().over(w), 6).as("cd"),
+          round(percent_rank().over(w).cast("decimal(18,12)"), 6).cast("double").as("pr"),
+          round(cume_dist().over(w).cast("decimal(18,12)"), 6).cast("double").as("cd"),
           ntile(4).over(w).as("quartile"))
         .orderBy($"c_custkey")
     }),
@@ -3141,8 +3144,13 @@ object SparkEntry {
     //    IEEE arithmetic — oracle-exact, no tolerance band.
     "q175_correlation" -> ((s, dir) => {
       import s.implicits._
+      // decimal→double casts of the huge sufficient-statistic sums round
+      // differently across engines past 2^53 — round(6) through DECIMAL
+      // absorbs the last-ulp divergence (visible only at sf0.1+)
       graft.ops.Stats.corrMatrix(Tables.lineitem(s, dir),
           Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .select($"col_a", $"col_b",
+          round($"corr".cast("decimal(18,12)"), 6).cast("double").as("corr"))
         .orderBy($"col_a", $"col_b")
     }),
 
@@ -3395,8 +3403,11 @@ object SparkEntry {
     //    exact decimal·integer space; tie order provably cancels.
     "q191_gini" -> ((s, dir) => {
       import s.implicits._
+      // same last-ulp class as q175: round(6) through DECIMAL both sides
       graft.ops.Stats.groupedGini(Tables.orders(s, dir), "o_orderpriority",
           $"o_totalprice")
+        .select($"o_orderpriority", $"n",
+          round($"gini".cast("decimal(18,12)"), 6).cast("double").as("gini"))
         .orderBy($"o_orderpriority")
     }),
 
@@ -5332,8 +5343,8 @@ object SparkEntry {
     "q110_rank_breadth" ->
       """SELECT c_custkey, c_nationkey,
         |CAST(DENSE_RANK() OVER w AS INTEGER) AS dr,
-        |ROUND(PERCENT_RANK() OVER w, 6) AS pr,
-        |ROUND(CUME_DIST() OVER w, 6) AS cd,
+        |CAST(ROUND(CAST(PERCENT_RANK() OVER w AS DECIMAL(18,12)), 6) AS DOUBLE) AS pr,
+        |CAST(ROUND(CAST(CUME_DIST() OVER w AS DECIMAL(18,12)), 6) AS DOUBLE) AS cd,
         |CAST(NTILE(4) OVER w AS INTEGER) AS quartile
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
@@ -5671,7 +5682,9 @@ object SparkEntry {
         |    sum(d) AS s_d, sum(d * d) AS ss_d,
         |    sum(q * e) AS p_qe, sum(q * d) AS p_qd, sum(e * d) AS p_ed
         |  FROM t)
-        |SELECT * FROM (
+        |SELECT col_a, col_b,
+        |  CAST(ROUND(CAST(corr AS DECIMAL(18,12)), 6) AS DOUBLE) AS corr
+        |FROM (
         |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
         |    CASE WHEN CAST(n AS DOUBLE) * CAST(ss_q AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE) > 0.0
         |      AND CAST(n AS DOUBLE) * CAST(ss_e AS DOUBLE) - CAST(s_e AS DOUBLE) * CAST(s_e AS DOUBLE) > 0.0
@@ -5909,9 +5922,9 @@ object SparkEntry {
         |  SELECT o_orderpriority, count(*) AS n, sum(x) AS sx, sum(x * (i * 2)) AS six
         |  FROM ranked GROUP BY 1)
         |SELECT o_orderpriority, n,
-        |  CASE WHEN sx <> 0 THEN
+        |  CAST(ROUND(CAST(CASE WHEN sx <> 0 THEN
         |    (CAST(six AS DOUBLE) - CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE))
-        |      / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) END AS gini
+        |      / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) END AS DECIMAL(18,12)), 6) AS DOUBLE) AS gini
         |FROM a ORDER BY o_orderpriority""".stripMargin,
 
     "q192_unicode_normalize" ->
@@ -5974,8 +5987,8 @@ object SparkEntry {
 
     "q198_label_centroids" ->
       """SELECT label, CAST(i - 1 AS BIGINT) AS dim, count(*) AS n,
-        |  round(CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(20,6))) AS DOUBLE)
-        |    / CAST(count(*) AS DOUBLE), 6) AS centroid
+        |  CAST(ROUND(CAST(CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(20,6))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS DECIMAL(18,12)), 6) AS DOUBLE) AS centroid
         |FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
         |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
 

@@ -51,7 +51,11 @@ object Similarity {
         sum(round(col("x").cast("double"), 6).cast(DecimalType(20, 6))).as("s"))
       .select(col("label"), col("dim").cast("long").as("dim"),
         col("n"),
-        round(col("s").cast("double") / col("n").cast("double"), 6).as("centroid"))
+        // round through DECIMAL: cross-engine oracles round doubles by
+        // different half-rules exactly on the boundary a mean of 6-digit
+        // values often hits; decimal rounding is half-up everywhere
+        round((col("s").cast("double") / col("n").cast("double"))
+          .cast(DecimalType(18, 12)), 6).cast("double").as("centroid"))
   }
 
   def bruteForceTopK(
