@@ -17,12 +17,19 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   *   1. write `df` to `<table>_STG` (Spark's parallel JDBC writer —
   *      `numPartitions` connections at scale; a crash here touches only
   *      the staging table);
-  *   2. in ONE driver-side connection: drop the previous table and
-  *      `RENAME TABLE <table>_STG TO <table>` — metadata-only, so the
-  *      serving gap is the rename, not the load.
+  *   2. in ONE driver-side connection: `RENAME <table> TO <table>_OLD`,
+  *      `RENAME <table>_STG TO <table>`, then drop `<table>_OLD` — all
+  *      metadata-only. A crash between the two renames leaves no live
+  *      table briefly, but ALWAYS a recoverable one (`_OLD` holds the
+  *      previous rows and the next publish converges); dropping first
+  *      (the naive order) would leave nothing recoverable at all.
   *
-  * Rerunning after any failure converges: staging is always rebuilt from
-  * scratch, the live table is replaced only after staging is complete.
+  * Serving-gap note: dialects without transactional DDL (Derby among
+  * them) cannot make the swap atomic, so a reader between the two
+  * renames can observe "table not found" for the metadata-op window —
+  * retry-once on that error is the standard client pattern. Rerunning
+  * after any failure converges: staging is always rebuilt from scratch,
+  * leftover `_OLD`/`_STG` from a crash are dropped before reuse.
   * Identifiers are uppercased unquoted names (portable across
   * case-folding dialects like Derby, the in-JVM stand-in for Azure SQL).
   */
@@ -42,12 +49,15 @@ object JdbcPublish {
       .option("dbtable", stg)
       .mode(SaveMode.Overwrite) // staging only — never the live table
       .save()
+    val old = s"${name}_OLD"
     val conn = DriverManager.getConnection(url)
     try {
       val st = conn.createStatement()
       try {
-        if (tableExists(conn, name)) st.executeUpdate(s"DROP TABLE $name")
+        if (tableExists(conn, old)) st.executeUpdate(s"DROP TABLE $old") // crash leftover
+        if (tableExists(conn, name)) st.executeUpdate(s"RENAME TABLE $name TO $old")
         st.executeUpdate(s"RENAME TABLE $stg TO $name")
+        if (tableExists(conn, old)) st.executeUpdate(s"DROP TABLE $old")
         val rs = st.executeQuery(s"SELECT COUNT(*) FROM $name")
         rs.next(); rs.getLong(1)
       } finally st.close()

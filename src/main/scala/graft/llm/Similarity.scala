@@ -191,6 +191,11 @@ object Similarity {
     require(numPlanes <= 64 && numPlanes % bands == 0,
       s"need numPlanes ($numPlanes) ≤ 64 and divisible by bands ($bands)")
     val bits = numPlanes / bands
+    // bits == 64 (bands = 1): (1L << 64) wraps to 1 and the mask would be
+    // 0 — every vector one bucket, the O(n²) cross join this method exists
+    // to avoid. The single band's mask is simply all 64 bits.
+    def bandMask(b: Int): Long =
+      if (bits == 64) -1L else ((1L << bits) - 1) << (b * bits)
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     val planes = planeVectors(numPlanes, dim)
     val sig = df.select(col(idCol).as("id"),
@@ -198,7 +203,7 @@ object Similarity {
     val banded = sig.select(col("id"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
-            col("sig").bitwiseAND(lit(((1L << bits) - 1) << (b * bits))).as("slice"))
+            col("sig").bitwiseAND(lit(bandMask(b))).as("slice"))
         }: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.slice").as("slice"))
     val cand = banded.as("a").join(banded.as("b"),

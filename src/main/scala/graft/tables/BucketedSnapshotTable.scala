@@ -181,7 +181,7 @@ final class BucketedSnapshotTable(
         if (statsCols.isEmpty) Nil
         else StatsManifest.lines(spark.read.parquet(s"$root/$staging"), statsCols)
 
-      val committed = CommitLock.withLock(f, root) {
+      val committed = CommitLock.withLockHandle(f, root) { lockH =>
         val cur = currentVersion(spark).getOrElse(0)
         if (cur != v0) { f.delete(new Path(s"$root/$staging"), true); false }
         else {
@@ -192,6 +192,7 @@ final class BucketedSnapshotTable(
           if (stagedStats.nonEmpty)
             StatsManifest.writeLines(f, batchStatsPath(batchDir),
               stagedStats.map(_.replace(s"/$staging/", s"/$batchDir/")))
+          lockH.check() // paused-holder guard: abort rather than double-flip
           writeManifest(spark, next, manifest(spark) ++ affected.map(_ -> batchDir).toMap)
           true
         }
@@ -269,7 +270,7 @@ final class BucketedSnapshotTable(
       val stagedStats: Seq[String] =
         if (statsCols.isEmpty) Nil
         else StatsManifest.lines(spark.read.parquet(s"$root/$staging"), statsCols)
-      CommitLock.withLock(f, root) {
+      CommitLock.withLockHandle(f, root) { lockH =>
         val cur = currentVersion(spark).getOrElse(0)
         if (cur != v0) {
           f.delete(new Path(s"$root/$staging"), true)
@@ -281,6 +282,7 @@ final class BucketedSnapshotTable(
         if (stagedStats.nonEmpty)
           StatsManifest.writeLines(f, batchStatsPath(batchDir),
             stagedStats.map(_.replace(s"/$staging/", s"/$batchDir/")))
+        lockH.check() // paused-holder guard: abort rather than double-flip
         writeManifest(spark, next, manifest(spark).map { case (b, _) => b -> batchDir })
       }
     }

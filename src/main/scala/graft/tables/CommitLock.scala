@@ -9,7 +9,27 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * threads additionally serialize on a per-root JVM monitor; across
   * JVMs/object stores the file claim is the same best-effort Delta has
   * without a lock service. A lock older than [[StaleMs]] is presumed
-  * abandoned (crashed holder) and stolen. */
+  * abandoned (crashed holder) and stolen.
+  *
+  * Steal discipline (two independent guards, because a filesystem has no
+  * compare-and-swap):
+  *
+  *   - every lock file carries its holder's unique TOKEN; after creating
+  *     the file the claimant reads it back and holds only if its own
+  *     token survived — a racing stealer that clobbered the file wins,
+  *     the clobbered claimant retries. The release path likewise deletes
+  *     only a lock that still carries the caller's token, so a stale
+  *     holder's `finally` can never free a stealer's fresh lock.
+  *   - a steal deletes the stale file only if its modification time still
+  *     equals the one observed when staleness was decided — a fresh lock
+  *     created in between (new mtime) is left alone.
+  *
+  * A PAUSED (not dead) holder that resumes after being stolen from still
+  * believes it owns the section; [[Handle.check]] lets commit sites
+  * re-verify token ownership immediately before their irreversible
+  * mutation (the pointer flip) and abort with
+  * `ConcurrentModificationException` instead of double-committing.
+  */
 private[tables] object CommitLock {
 
   /** How long a `_lock` may sit before another writer presumes its holder
@@ -20,26 +40,73 @@ private[tables] object CommitLock {
   private def monitor(root: String): Object =
     monitors.computeIfAbsent(root, _ => new Object)
 
-  def withLock[T](f: FileSystem, root: String)(body: => T): T = {
+  /** Proof of lock ownership, re-checkable mid-critical-section. */
+  final class Handle private[CommitLock] (f: FileSystem, lock: Path,
+      private[CommitLock] val token: String) {
+    def stillHeld: Boolean = readToken(f, lock).contains(token)
+    /** Abort (rather than double-commit) if the lock was stolen while the
+      * holder was paused — call immediately before the pointer flip. */
+    def check(): Unit =
+      if (!stillHeld) throw new java.util.ConcurrentModificationException(
+        s"commit lock $lock was stolen (holder presumed dead after ${StaleMs} ms) — " +
+          "aborting to avoid double-commit; re-read and retry")
+  }
+
+  private def readToken(f: FileSystem, lock: Path): Option[String] =
+    try {
+      val in = f.open(lock)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  def withLock[T](f: FileSystem, root: String)(body: => T): T =
+    withLockHandle(f, root)(_ => body)
+
+  def withLockHandle[T](f: FileSystem, root: String, staleMs: Long = StaleMs)
+      (body: Handle => T): T = {
     val lock = new Path(root, "_lock")
+    val token = java.util.UUID.randomUUID().toString
     f.mkdirs(new Path(root))
-    val deadline = System.currentTimeMillis() + 2 * StaleMs
+    val deadline = System.currentTimeMillis() + 2 * staleMs
     var held = false
     while (!held) {
-      try { monitor(root).synchronized { f.create(lock, false).close() }; held = true }
-      catch {
-        case _: java.io.IOException =>
-          val stale = try {
-            f.exists(lock) &&
-              System.currentTimeMillis() - f.getFileStatus(lock).getModificationTime > StaleMs
-          } catch { case _: java.io.FileNotFoundException => false }
-          if (stale) f.delete(lock, false)
-          else if (System.currentTimeMillis() > deadline)
-            throw new IllegalStateException(
-              s"table $root: could not acquire commit lock within ${2 * StaleMs} ms")
-          else Thread.sleep(25)
+      val created =
+        try {
+          monitor(root).synchronized {
+            val out = f.create(lock, false)
+            try out.write(token.getBytes("UTF-8")) finally out.close()
+          }
+          true
+        } catch { case _: java.io.IOException => false }
+      if (created) {
+        // read-back: a stealer may have deleted-and-replaced our file
+        // between create and now — only our surviving token means we hold
+        held = readToken(f, lock).contains(token)
+        if (!held) Thread.sleep(25)
+      } else {
+        val observed =
+          try Option(f.getFileStatus(lock)).map(_.getModificationTime)
+          catch { case _: java.io.IOException => None }
+        val stale = observed.exists(System.currentTimeMillis() - _ > staleMs)
+        if (stale) {
+          // conditional steal: gone or touched since we judged it stale
+          // means someone else acted — leave it and re-loop
+          monitor(root).synchronized {
+            val still =
+              try Option(f.getFileStatus(lock)).map(_.getModificationTime) == observed
+              catch { case _: java.io.IOException => false }
+            if (still) f.delete(lock, false)
+          }
+        } else if (System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(
+            s"table $root: could not acquire commit lock within ${2 * staleMs} ms")
+        else Thread.sleep(25)
       }
     }
-    try body finally f.delete(lock, false)
+    val h = new Handle(f, lock, token)
+    try body(h)
+    finally monitor(root).synchronized {
+      if (h.stillHeld) f.delete(lock, false)
+    }
   }
 }

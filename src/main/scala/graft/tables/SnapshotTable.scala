@@ -38,7 +38,8 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * is an ordinary `FileSourceScanExec` with pushdown/pruning; `write` can
   * be partitioned (`partitionByCols`) so downstream key-equi joins prune.
   */
-final class SnapshotTable(val root: String) {
+final class SnapshotTable(val root: String,
+    commitStaleMs: Long = CommitLock.StaleMs) {
 
   // (SQL forms of the maintenance entry points — OPTIMIZE / VACUUM /
   // DESCRIBE HISTORY — live in graft.sql.GraftSqlParser, injected by
@@ -98,9 +99,49 @@ final class SnapshotTable(val root: String) {
     * versions, the exact manifest file list for compacted ones. */
   private def snapshotDF(spark: SparkSession, v: Int): DataFrame =
     fileManifest(fs(spark), v) match {
-      case Some(uris) => spark.read.parquet(uris: _*)
+      case Some(uris) => readManifest(spark, uris)
       case None       => spark.read.parquet(s"$root/_v$v")
     }
+
+  /** Read an explicit manifest file list WITHOUT losing hive partition
+    * values: a bare `spark.read.parquet(files)` has no `basePath`, so
+    * `k=v` directory segments (the only place a partitioned write stores
+    * those columns) would silently come back null. Files are therefore
+    * grouped by the version dir that physically holds them and each group
+    * is read with that dir as `basePath` — Spark then runs its ordinary
+    * partition inference per group, typed exactly like a plain directory
+    * read. Groups are cast-aligned by name to the first group's schema
+    * (guards against per-dir inference drift, e.g. int vs long) and
+    * unioned. */
+  private def readManifest(spark: SparkSession, uris: Vector[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val byDir = uris.groupBy(versionDirOf).toSeq.sortBy(_._1)
+    val parts = byDir.map { case (v, us) =>
+      spark.read.option("basePath", s"$root/_v$v").parquet(us: _*)
+    }
+    val base = parts.head
+    parts.tail.foldLeft(base) { (acc, p) =>
+      acc.unionByName(p.select(
+        base.schema.map(fl => col(fl.name).cast(fl.dataType).as(fl.name)).toSeq: _*))
+    }
+  }
+
+  private def versionDirOf(uri: String): Int =
+    "_v(\\d+)/".r.findFirstMatchIn(uri).map(_.group(1).toInt).getOrElse(
+      throw new IllegalStateException(
+        s"SnapshotTable $root: manifest file outside any version dir: $uri"))
+
+  /** Hive partition column names of version `v` (in directory order), from
+    * the `k=v` path segments of its data files; empty when the version's
+    * files are flat. A manifest version mixes partitioned old files with
+    * flat increments, so the first file with segments decides. */
+  private def partitionColsOf(f: org.apache.hadoop.fs.FileSystem, v: Int): Seq[String] =
+    listDataFiles(f, v).iterator.map { case (uri, _) =>
+      val segs = new Path(uri).toUri.getPath.split('/')
+      val vIdx = segs.lastIndexWhere(_.matches("_v\\d+"))
+      segs.slice(vIdx + 1, segs.length - 1).toSeq
+        .filter(_.contains('=')).map(_.takeWhile(_ != '='))
+    }.find(_.nonEmpty).getOrElse(Nil)
 
   def read(spark: SparkSession): DataFrame = {
     val v = currentVersion(spark).getOrElse(
@@ -196,7 +237,7 @@ final class SnapshotTable(val root: String) {
     val writer = prepared.write.mode(SaveMode.Overwrite)
     (if (partitionByCols.nonEmpty) writer.partitionBy(partitionByCols: _*) else writer)
       .parquet(staging.toString)
-    withCommitLock(f) {
+    withCommitLock(f) { lockH =>
       val cur = currentVersion(spark).getOrElse(0)
       expected.foreach { e =>
         if (cur != e) {
@@ -207,7 +248,12 @@ final class SnapshotTable(val root: String) {
         }
       }
       val next = cur + 1
+      // paused-holder guard BEFORE the first destructive step: a writer
+      // whose lock was stolen mid-pause must not reclaim (and thereby
+      // delete) the stealer's committed _v<next> dir
+      lockH.check()
       claimVersionDir(f, next, staging)
+      lockH.check() // and again right before the irreversible flip
       commitPointer(spark, next)
       next
     }
@@ -215,17 +261,28 @@ final class SnapshotTable(val root: String) {
 
   /** Rename `staging` to `_v<next>` inside the commit lock. An existing
     * `_v<next>` is an orphan from a writer that crashed before its pointer
-    * flip (the pointer proves it was never committed) — reclaim it. */
+    * flip (the pointer proves it was never committed) — reclaim it, along
+    * with any txn markers that crashed writer staged for this version
+    * (they must not spring to life when OUR flip advances the pointer). */
   private def claimVersionDir(f: org.apache.hadoop.fs.FileSystem, next: Int,
       staging: Path): Unit = {
     val target = new Path(s"$root/_v$next")
     if (f.exists(target)) f.delete(target, true)
+    f.listStatus(new Path(root)).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_txn_") && n.endsWith(s"_v$next")) f.delete(st.getPath, false)
+    }
+    // same for the crashed writer's sidecars: a stale _files_v/_stats_v/
+    // _bloom_v/_tomb_v for this version would silently attach to OUR commit
+    Seq(filesPath(next), statsPath(next), bloomPath(next), tombPath(next))
+      .foreach(p => if (f.exists(p)) f.delete(p, true))
     if (!f.rename(staging, target))
       throw new IllegalStateException(s"SnapshotTable $root: staging rename failed")
   }
 
-  private def withCommitLock[T](f: org.apache.hadoop.fs.FileSystem)(body: => T): T =
-    CommitLock.withLock(f, root)(body)
+  private def withCommitLock[T](f: org.apache.hadoop.fs.FileSystem)
+      (body: CommitLock.Handle => T): T =
+    CommitLock.withLockHandle(f, root, commitStaleMs)(body)
 
   private def commitPointer(spark: SparkSession, v: Int): Unit = {
     val f = fs(spark)
@@ -280,8 +337,13 @@ final class SnapshotTable(val root: String) {
       case None => df
     }
     val staging = new Path(root, s"_staging_${java.util.UUID.randomUUID().toString.take(12)}")
-    aligned.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    withCommitLock(f) {
+    // keep the live table's hive partitioning on the increment, so the
+    // appended files' partition values live in their paths exactly like
+    // the base version's and manifest reads reattach them uniformly
+    val partCols = v0.map(partitionColsOf(f, _)).getOrElse(Nil)
+    val w = aligned.write.mode(SaveMode.Overwrite)
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(staging.toString)
+    withCommitLock(f) { lockH =>
       val cur = currentVersion(spark).getOrElse(0)
       val skip = txn.exists { case (app, batch) => lastTxn(spark, app).exists(_ >= batch) }
       if (skip) { f.delete(staging, true); cur }
@@ -292,6 +354,7 @@ final class SnapshotTable(val root: String) {
             s"SnapshotTable $root: append read version ${v0.getOrElse(0)} but found $cur — retry")
         }
         val next = cur + 1
+        lockH.check() // paused-holder guard before the first destructive step
         claimVersionDir(f, next, staging)
         val prior = v0.map(v => listDataFiles(f, v).map(_._1)).getOrElse(Vector.empty)
         val added = listDataFiles(f, next).map(_._1)
@@ -300,7 +363,7 @@ final class SnapshotTable(val root: String) {
           StatsManifest.readLines(f, statsPath(v)).foreach { old =>
             val newLines =
               if (added.isEmpty) Nil
-              else StatsManifest.lines(spark.read.parquet(added: _*),
+              else StatsManifest.lines(readManifest(spark, added),
                 StatsManifest.statsColumns(old))
             StatsManifest.writeLines(f, statsPath(next), old ++ newLines)
           }
@@ -308,38 +371,74 @@ final class SnapshotTable(val root: String) {
             org.apache.hadoop.fs.FileUtil.copy(f, tombPath(v), f, tombPath(next),
               false, f.getConf)
         }
+        // The txn watermark is part of the atomic commit: the marker names
+        // the version it rides on and is written BEFORE the pointer flip,
+        // and lastTxn only honors markers whose version is <= the committed
+        // pointer. A crash after the marker but before the flip therefore
+        // reads as "batch not committed" (the retry re-appends — correct),
+        // and a crash after the flip reads as committed (the retry no-ops)
+        // — no window where a committed batch is unrecorded.
+        txn.foreach { case (app, batch) => recordTxn(f, app, batch, next) }
+        lockH.check() // paused-holder guard: abort rather than double-flip
         commitPointer(spark, next)
-        txn.foreach { case (app, batch) => recordTxn(f, app, batch) }
+        txn.foreach { case (app, _) => pruneTxnMarkers(f, app, next) }
         next
       }
     }
   }
 
-  private def txnPath(appId: String) =
-    new Path(root, "_txn_" + appId.map(c =>
-      if (c.isLetterOrDigit || c == '.' || c == '-' || c == '_') c else '_'))
+  private def txnPrefix(appId: String) =
+    "_txn_" + appId.map(c =>
+      if (c.isLetterOrDigit || c == '.' || c == '-' || c == '_') c else '_')
 
-  /** The highest batch id committed for `appId`, if any. */
-  def lastTxn(spark: SparkSession, appId: String): Option[Long] = {
-    val f = fs(spark)
-    val p = txnPath(appId)
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
-      finally in.close()
+  /** All (version, batch) txn markers recorded for `appId` (committed or
+    * not — the caller filters by the live pointer). */
+  private def txnMarkers(f: org.apache.hadoop.fs.FileSystem,
+      appId: String): Seq[(Int, Long)] = {
+    val pre = txnPrefix(appId) + "_v"
+    if (!f.exists(new Path(root))) return Nil
+    f.listStatus(new Path(root)).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      val rest = if (n.startsWith(pre)) n.drop(pre.length) else ""
+      if (rest.nonEmpty && rest.forall(_.isDigit)) {
+        val in = f.open(st.getPath)
+        val batch =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+          finally in.close()
+        Seq(rest.toInt -> batch)
+      } else Nil
     }
   }
 
-  private def recordTxn(f: org.apache.hadoop.fs.FileSystem, appId: String, batch: Long): Unit = {
+  /** The highest batch id COMMITTED for `appId`: markers are per-version
+    * (`_txn_<app>_v<N>`) and only count once the pointer has reached their
+    * version — a marker from a writer that crashed before its flip is
+    * correctly invisible. */
+  def lastTxn(spark: SparkSession, appId: String): Option[Long] = {
+    val cur = currentVersion(spark).getOrElse(return None)
+    val committed = txnMarkers(fs(spark), appId).collect { case (v, b) if v <= cur => b }
+    if (committed.isEmpty) None else Some(committed.max)
+  }
+
+  private def recordTxn(f: org.apache.hadoop.fs.FileSystem, appId: String,
+      batch: Long, version: Int): Unit = {
     val tmp = new Path(root, s"_txn.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
     val out = f.create(tmp, true)
     try out.write(batch.toString.getBytes("UTF-8")) finally out.close()
-    val p = txnPath(appId)
+    val p = new Path(root, s"${txnPrefix(appId)}_v$version")
     if (f.exists(p)) f.delete(p, false)
     if (!f.rename(tmp, p))
       throw new IllegalStateException(s"SnapshotTable $root: txn record flip failed")
   }
+
+  /** Keep only the newest committed marker per app (the skip check needs
+    * just the high-water batch); runs after a successful flip, so a crash
+    * here merely leaves harmless extra markers. */
+  private def pruneTxnMarkers(f: org.apache.hadoop.fs.FileSystem, appId: String,
+      keepV: Int): Unit =
+    txnMarkers(f, appId).collect { case (v, _) if v < keepV => v }.foreach { v =>
+      f.delete(new Path(root, s"${txnPrefix(appId)}_v$v"), false)
+    }
 
   /** Delta `OPTIMIZE`-shape compaction: bin-pack only the files smaller
     * than `targetBytes` into ~`targetBytes` outputs and commit a new
@@ -370,7 +469,10 @@ final class SnapshotTable(val root: String) {
     if (small.size < 2) return v
     val nOut = math.max(1, math.ceil(small.map(_._2).sum.toDouble / targetBytes).toInt)
     val staging = new Path(root, s"_staging_${java.util.UUID.randomUUID().toString.take(12)}")
-    val smallDf = spark.read.parquet(small.map(_._1): _*)
+    // partition-aware read: hive partition values of the small files ride
+    // along as ordinary columns and are MATERIALIZED into the packed
+    // output (flat files), so no value is lost when their dirs vacuum away
+    val smallDf = readManifest(spark, small.map(_._1).map(canonical))
     val packed =
       if (clusterBy.isEmpty) smallDf.coalesce(nOut)
       else {
@@ -378,7 +480,7 @@ final class SnapshotTable(val root: String) {
         smallDf.repartitionByRange(nOut, cols: _*).sortWithinPartitions(cols: _*)
       }
     packed.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    withCommitLock(f) {
+    withCommitLock(f) { lockH =>
       val cur = currentVersion(spark).getOrElse(0)
       if (cur != v) {
         f.delete(staging, true)
@@ -386,6 +488,7 @@ final class SnapshotTable(val root: String) {
           s"SnapshotTable $root: compaction read version $v but found $cur — retry")
       }
       val next = v + 1
+      lockH.check() // paused-holder guard before the first destructive step
       claimVersionDir(f, next, staging)
       val rewritten = listDataFiles(f, next).map(_._1)
       StatsManifest.writeLines(f, filesPath(next),
@@ -405,6 +508,7 @@ final class SnapshotTable(val root: String) {
         // read still needs its own tombstones (O(deleted keys) bytes)
         org.apache.hadoop.fs.FileUtil.copy(f, tombPath(v), f, tombPath(next),
           false, f.getConf)
+      lockH.check() // paused-holder guard: abort rather than double-flip
       commitPointer(spark, next)
       next
     }
@@ -456,9 +560,9 @@ final class SnapshotTable(val root: String) {
       case Some(files) if files.isEmpty =>
         read(spark).limit(0) // schema-preserving empty relation
       case Some(files) =>
-        // no basePath: stats-covered tables are never hive-partitioned, and
-        // a compacted version's surviving files span several _v dirs
-        applyTombstones(spark, v, spark.read.parquet(files: _*))
+        // per-dir basePath grouping (readManifest) keeps any hive
+        // partition values even though surviving files span several _v dirs
+        applyTombstones(spark, v, readManifest(spark, files))
     }
   }
 

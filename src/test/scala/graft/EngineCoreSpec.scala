@@ -859,4 +859,57 @@ class EngineCoreSpec extends AnyFunSuite {
       .option("url", url).option("driver", driver)
       .option("dbtable", "DIM_STG").load().collect())
   }
+
+  // ── Hive-partitioned snapshot tables through the manifest paths ────────
+
+  test("hive-partitioned table: append and optimizeCompact keep partition values") {
+    val t = new SnapshotTable(tmp("hivepart"))
+    t.write(spark, Seq((1L, "a", 10), (2L, "b", 20), (3L, "a", 30)).toDF("k", "p", "x"),
+      partitionByCols = Seq("p"))
+    // increment into an existing and a brand-new partition: values must
+    // survive the manifest read (they live only in k=v dir names)
+    t.append(spark, Seq((4L, "b", 40), (5L, "c", 50)).toDF("k", "p", "x"))
+    val got = t.read(spark).select($"k", $"p", $"x").as[(Long, String, Int)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a", 10), (2L, "b", 20), (3L, "a", 30), (4L, "b", 40), (5L, "c", 50)))
+    // the increment is written with the SAME hive layout as the base
+    assert(t.read(spark).inputFiles.filter(_.contains("_v2/")).forall(_.contains("p=")))
+    // second append, then compaction (materializes partition values into
+    // flat packed files): still no nulls, values exact
+    t.append(spark, Seq((6L, "a", 60)).toDF("k", "p", "x"))
+    t.optimizeCompact(spark, targetBytes = 1L << 20)
+    val after = t.read(spark)
+    assert(after.count() == 6 && after.filter($"p".isNull).count() == 0)
+    assert(after.filter($"p" === "a").select($"k").as[Long].collect().sorted.toSeq
+      == Seq(1L, 3L, 6L))
+    assert(after.filter($"p" === "c").select($"x").as[Int].collect().toSeq == Seq(50))
+  }
+
+  // ── appendTxn crash-window semantics (watermark is part of the commit) ─
+
+  test("appendTxn crash windows: pre-flip marker invisible; claimed version purges orphans") {
+    val t = new SnapshotTable(tmp("txncrash"))
+    t.appendTxn(spark, Seq(1).toDF("x"), Some(("app", 0L))) // v1 committed
+    val f = new org.apache.hadoop.fs.Path(t.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def plant(name: String, batch: Long): Unit = {
+      val out = f.create(new org.apache.hadoop.fs.Path(t.root, name), true)
+      try out.write(batch.toString.getBytes("UTF-8")) finally out.close()
+    }
+    // a writer that crashed AFTER recording its marker for v2 but BEFORE
+    // the pointer flip: the marker rides an uncommitted version → invisible
+    plant("_txn_app_v2", 1L)
+    assert(t.lastTxn(spark, "app").contains(0L), "uncommitted marker must not count")
+    // so the retry of batch 1 lands instead of skipping — exactly-once
+    assert(t.appendTxn(spark, Seq(2).toDF("x"), Some(("app", 1L))) == 2)
+    assert(t.read(spark).as[Int].collect().sorted.toSeq == Seq(1, 2))
+    assert(t.lastTxn(spark, "app").contains(1L))
+    // a DIFFERENT app's orphan marker for the next version must be purged
+    // when some other writer claims that version — not spring to life
+    plant("_txn_other_v3", 9L)
+    t.append(spark, Seq(3).toDF("x")) // commits v3
+    assert(t.lastTxn(spark, "other").isEmpty, "foreign orphan marker must be purged")
+    assert(t.appendTxn(spark, Seq(4).toDF("x"), Some(("other", 9L))) == 4) // lands
+    assert(t.read(spark).as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4))
+  }
 }
