@@ -25,13 +25,14 @@ object SparkEntry {
 
   /** Queries deliberately shipped without a DuckDB oracle (driver records a
     * rows-only check): ops whose semantics aren't ANSI-SQL-expressible —
-    * SimHash bit votes, LSH bucketing (recall < 1), sketch registers, BPE
-    * merge algebra. */
+    * LSH bucketing (recall < 1 by construction) and sketch registers.
+    * (SimHash and BPE were converted to closed-form DuckDB replays in r4:
+    * md5-based portable token hash / unrolled greedy-merge rounds.) */
   def rowsOnly: Set[String] =
-    Set("q29_simhash_groups", "q30_ann_lsh", "q43_ann_ivf",
-      "q55_sketches", "q61_ann_ivf_kmeans", "q69_simhash_pairs",
+    Set("q30_ann_lsh", "q43_ann_ivf",
+      "q55_sketches", "q61_ann_ivf_kmeans",
       "q93_vector_index", "q138_sketch_merge", "q146_ann_pq",
-      "q183_bpe_merges", "q194_bpe_encode", "q222_lsh_multiprobe")
+      "q222_lsh_multiprobe")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -401,11 +402,14 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
-    // ── LLM-pipeline (rows-only): SimHash near-dup buckets — 64-bit
-    //    bit-vote hash has no ANSI-SQL equivalent.
+    // ── LLM-pipeline: SimHash near-dup buckets, on the md5-portable token
+    //    hash so DuckDB replays the full 64-bit sign-vote algebra in closed
+    //    form (hex digit → bit → ±1 vote → sign → bucket). Production
+    //    callers keep the xxhash64 default (same algebra, faster hash).
     "q29_simhash_groups" -> ((s, dir) => {
       import s.implicits._
-      graft.llm.Dedup.simhashGroups(Tables.documents(s, dir), "doc_id", "text")
+      graft.llm.Dedup.simhashGroups(Tables.documents(s, dir), "doc_id", "text",
+          tokenHash = graft.llm.Dedup.md5TokenHash)
         .orderBy($"canonical_id")
     }),
 
@@ -2001,14 +2005,16 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
-    // ── LLM-pipeline (rows-only): SimHash near-dup PAIRS within Hamming
-    //    radius 3 — banded HammingLSH candidates (equality joins on 16-bit
-    //    slices; complete recall for radius < bands) + exact bit_count
-    //    verify. The pair-form complement of q29's identical-hash buckets.
+    // ── LLM-pipeline: SimHash near-dup PAIRS within Hamming radius 3 —
+    //    banded HammingLSH candidates (equality joins on 16-bit slices;
+    //    complete recall for radius < bands) + exact bit_count verify.
+    //    md5-portable token hash: the radius-<bands completeness guarantee
+    //    means the banded output EQUALS the all-pairs Hamming filter, which
+    //    DuckDB computes directly from the replayed simhash values.
     "q69_simhash_pairs" -> ((s, dir) => {
       import s.implicits._
       graft.llm.Dedup.simhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
-          maxHamming = 3, bands = 4)
+          maxHamming = 3, bands = 4, tokenHash = graft.llm.Dedup.md5TokenHash)
         .orderBy($"d1", $"d2")
     }),
 
@@ -3268,9 +3274,10 @@ object SparkEntry {
     //    training step of an LLM pipeline as iterative Spark jobs over the
     //    (word, count) table — pair counting is an explode+sum per round,
     //    the argmax is a deterministic 1-row reduce (freq desc, pair asc),
-    //    merging is a codegen'd greedy fold. Rows-only: the iterative
-    //    greedy fold isn't ANSI-SQL-expressible; the merge algebra is
-    //    hand-proven in LlmOpsSpec instead.
+    //    merging is a codegen'd greedy fold. Oracled: 12 unrolled greedy
+    //    rounds replayed in DuckDB over a delimiter-encoded word table
+    //    (see bpeOracleRounds); the merge algebra is also spec'd in
+    //    LlmOpsSpec.
     "q183_bpe_merges" -> ((s, dir) => {
       import s.implicits._
       graft.llm.BpeTrainer.train(Tables.documents(s, dir), "text", numMerges = 12)
@@ -3467,8 +3474,9 @@ object SparkEntry {
 
     // ── BPE inference (BpeTrainer.encode): the learned merge table applied
     //    over the distinct-word vocabulary, docs tokenized by hash probe.
-    //    Rows-only (the greedy fold isn't SQL); train/encode round-trip
-    //    algebra is proven in LlmOpsSpec.
+    //    Oracled via the same unrolled merge chain (per-word token counts
+    //    joined back onto word-exploded docs); round-trip algebra also
+    //    proven in LlmOpsSpec.
     "q194_bpe_encode" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir)
@@ -3871,6 +3879,62 @@ object SparkEntry {
     }),
   )
 
+  /** Shared CTE for the q29/q69 oracles: rebuilds each document's 64-bit
+    * simhash from the md5-portable token hash ([[graft.llm.Dedup.md5TokenHash]]
+    * convention: lo = hex chars 1-8, hi = 9-16, bit i = bit i%4 of hex
+    * digit 8 - (i%32)/4 within its chunk). Tokenless docs coalesce to 0,
+    * mirroring the Spark left join. */
+  private val simhashOracleCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), '\s+'), x -> x != '')) AS tok
+      |  FROM documents),
+      |votes AS (
+      |  SELECT doc_id, g.i AS i,
+      |    SUM(CASE WHEN ((strpos('0123456789abcdef',
+      |        substr(md5(tok), CASE WHEN g.i < 32 THEN 8 - (g.i // 4) ELSE 16 - ((g.i - 32) // 4) END, 1)) - 1)
+      |        >> (g.i % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM toks, UNNEST(generate_series(0, 63)) AS g(i)
+      |  GROUP BY doc_id, g.i),
+      |sh0 AS (
+      |  SELECT doc_id, CAST(SUM(CASE WHEN v >= 0 THEN CASE WHEN i = 63 THEN -9223372036854775808 ELSE 1::BIGINT << i END ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM votes GROUP BY doc_id),
+      |sh AS (
+      |  SELECT d.doc_id, COALESCE(sh0.simhash, 0) AS simhash
+      |  FROM documents d LEFT JOIN sh0 USING (doc_id))
+      |""".stripMargin
+
+  /** CTE chain for the q183/q194 oracles: w0 is the chr(1)-encoded
+    * (word, count) table; each round i yields m<i> (the argmax pair at
+    * minFreq 2, tie-broken freq DESC then pair ASC — BpeTrainer's exact
+    * rule) and w<i> (the table with that pair greedily merged via the
+    * boundary-safe replace). Every CTE is MATERIALIZED: DuckDB inlines
+    * multiply-referenced CTEs otherwise and the chain re-expands
+    * exponentially. An empty m<i> (early stop) cascades empty, matching
+    * the trainer's termination. */
+  private def bpeOracleRounds(rounds: Int): String = {
+    val d = "chr(1)"
+    val dd = "chr(1)||chr(1)"
+    val w0 =
+      s"""WITH w0 AS MATERIALIZED (
+         |  SELECT w, $d || array_to_string(list_filter(string_split_regex(w, ''), c -> c != ''), $dd) || $d AS s, cnt
+         |  FROM (SELECT w, COUNT(*) AS cnt FROM (
+         |    SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')) AS w
+         |    FROM documents) GROUP BY w))""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      val p = i - 1
+      s"""m$i AS MATERIALIZED (
+         |  SELECT l, r, CAST(freq AS BIGINT) AS freq FROM (
+         |    SELECT ts[i] AS l, ts[i + 1] AS r, SUM(cnt) AS freq
+         |    FROM (SELECT string_split(substr(s, 2, length(s) - 2), $dd) AS ts, cnt FROM w$p) t,
+         |         UNNEST(generate_series(1, len(ts) - 1)) AS g(i)
+         |    GROUP BY 1, 2)
+         |  WHERE freq >= 2 ORDER BY freq DESC, l, r LIMIT 1),
+         |w$i AS MATERIALIZED (
+         |  SELECT w, replace(s, $d||l||$dd||r||$d, $d||l||r||$d) AS s, cnt FROM w$p, m$i)""".stripMargin
+    }
+    (w0 +: steps).mkString(",\n")
+  }
+
   /** DuckDB-runnable oracle per query (same tables, same column names). */
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -4074,6 +4138,56 @@ object SparkEntry {
         |'text' AS kind,
         |CAST((CAST(ceil(octet_length(CAST(text AS BLOB)) / 100.0) AS BIGINT) + 1) // 2 AS BIGINT) AS n_frames_sampled
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Closed-form SimHash replay (md5-portable token hash): per token the
+    // first 16 md5 hex chars are the 64-bit hash (lo = chars 1-8, hi =
+    // chars 9-16, big-endian per chunk); bit i lives in hex digit
+    // 8 - (i%32)/4 of its chunk at in-digit position i%4. Sign-summed
+    // votes per (doc, bit) rebuild the exact simhash BIGINT.
+    "q29_simhash_groups" ->
+      (simhashOracleCte +
+        """SELECT simhash, MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
+          |FROM sh GROUP BY simhash ORDER BY canonical_id""".stripMargin),
+
+    // Pair form: radius 3 < bands 4 makes the banded LSH output EQUAL to
+    // the all-pairs Hamming filter, which DuckDB computes directly.
+    "q69_simhash_pairs" ->
+      (simhashOracleCte +
+        """SELECT a.doc_id AS d1, b.doc_id AS d2,
+          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+          |ORDER BY d1, d2""".stripMargin),
+
+    // BPE merge training replayed in closed form: 12 unrolled greedy
+    // rounds over the word-frequency table. Token arrays are encoded as
+    // chr(1)-delimited strings (chr(1) never occurs in the corpus) with
+    // DOUBLE delimiters between tokens and single at the ends, so the
+    // non-overlapping left-to-right replace() of '\1l\1\1r\1' with
+    // '\1lr\1' is exactly the greedy left-to-right BPE fold ("aaaa" +
+    // (a,a) -> [aa,aa]), boundary-safe against token-substring collisions.
+    "q183_bpe_merges" ->
+      (bpeOracleRounds(12) +
+        "\nSELECT * FROM (" +
+        (1 to 12).map(i =>
+          s"""SELECT $i AS step, l AS "left", r AS "right", freq FROM m$i""")
+          .mkString("\nUNION ALL ") +
+        ") ORDER BY step"),
+
+    // BPE inference: the merged vocabulary's per-word token counts joined
+    // back onto the word-exploded documents (the same hash-probe shape the
+    // Spark encode uses).
+    "q194_bpe_encode" ->
+      (bpeOracleRounds(12) +
+        """,
+          |wc AS MATERIALIZED (
+          |  SELECT w, len(string_split(substr(s, 2, length(s) - 2), chr(1)||chr(1))) AS ntoks
+          |  FROM w12)
+          |SELECT d.doc_id AS id, CAST(SUM(wc.ntoks) AS INTEGER) AS n_tokens
+          |FROM (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS w
+          |      FROM documents) d
+          |JOIN wc USING (w)
+          |GROUP BY d.doc_id ORDER BY id""".stripMargin),
 
     "q225_jdbc_incremental" ->
       """SELECT event_type, COUNT(*) AS n,

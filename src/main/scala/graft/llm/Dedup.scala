@@ -371,15 +371,39 @@ object Dedup {
       (acc, bit) => acc.bitwiseOR(bit))
   }
 
+  /** Per-token 64-bit hash, projected as (lo32, hi32) halves so the 64
+    * bit-vote aggregates test bits with cheap shifts on two pre-computed
+    * longs (one hash evaluation per token row, not 64). Bit i of the hash
+    * is bit `i % 32` of `lo` when `i < 32`, of `hi` otherwise. Default for
+    * production: xxhash64 (codegen'd, fastest). */
+  val xxTokenHash: Column => (Column, Column) = { t =>
+    val h = xxhash64(t)
+    (h.bitwiseAND(lit(0xffffffffL)), shiftrightunsigned(h, 32))
+  }
+
+  /** Portable token hash: the first 16 hex chars of md5 as two 32-bit
+    * halves. Slower than [[xxTokenHash]] but replayable digit-by-digit in
+    * any engine with `md5()` — the DuckDB-oracled gate queries use it so
+    * the full sign-vote algebra is verified in closed form. */
+  val md5TokenHash: Column => (Column, Column) = { t =>
+    val m = md5(t)
+    (conv(substring(m, 1, 8), 16, 10).cast("long"),
+      conv(substring(m, 9, 8), 16, 10).cast("long"))
+  }
+
   /** SimHash per doc via explode + 64 codegen'd sum-aggregates (the
     * nested-HOF [[simhash64]] is interpreted; this path computes identical
     * values with one hash-shuffle on id). */
-  def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashTable(df: DataFrame, idCol: String, textCol: String,
+      tokenHash: Column => (Column, Column) = xxTokenHash): DataFrame = {
+    val (lo, hi) = tokenHash(col("tok"))
     val toks = df.select(col(idCol).as("id"),
-      explode(TextAnalysis.tokens(TextAnalysis.normalize(col(textCol)))).as("tok"))
-    val h = xxhash64(col("tok"))
+        explode(TextAnalysis.tokens(TextAnalysis.normalize(col(textCol)))).as("tok"))
+      .select(col("id"), lo.as("hLo"), hi.as("hHi"))
     val voteAggs = (0 until 64).map { i =>
-      sum(when(h.bitwiseAND(lit(1L << i)) =!= 0, 1L).otherwise(-1L)).as(s"v$i")
+      val chunk = if (i < 32) col("hLo") else col("hHi")
+      sum(when(shiftright(chunk, i % 32).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+        .as(s"v$i")
     }
     df.select(col(idCol).as("id"))
       .join(
@@ -392,8 +416,9 @@ object Dedup {
   }
 
   /** SimHash near-dup buckets: docs sharing an identical 64-bit simhash. */
-  def simhashGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    simhashTable(df, idCol, textCol)
+  def simhashGroups(df: DataFrame, idCol: String, textCol: String,
+      tokenHash: Column => (Column, Column) = xxTokenHash): DataFrame =
+    simhashTable(df, idCol, textCol, tokenHash)
       .groupBy("simhash")
       .agg(min(col("id")).as("canonical_id"), count(lit(1)).as("dup_count"))
 
@@ -406,11 +431,12 @@ object Dedup {
     * `maxHamming < bands` (the classic HammingLSH construction). */
   def simhashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+      maxHamming: Int = 3, bands: Int = 4,
+      tokenHash: Column => (Column, Column) = xxTokenHash): DataFrame = {
     require(maxHamming < bands,
       s"maxHamming=$maxHamming needs bands>$maxHamming for complete recall")
     val bits = 64 / bands
-    val sh = simhashTable(df, idCol, textCol).localCheckpoint()
+    val sh = simhashTable(df, idCol, textCol, tokenHash).localCheckpoint()
     val banded = sh.select(col("id"), col("simhash"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
