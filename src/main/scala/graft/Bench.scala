@@ -19,29 +19,37 @@ object Bench {
     // timed query isn't charged ~5 s of one-time JVM startup cost.
     try SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // Process-CPU per query alongside wall: two driver bench rounds were
+    // distorted by machine load (343 s loaded vs 193 s quiet in r3) —
+    // cpu/wall separates load (wall up, cpu flat) from regression (both
+    // up) without a re-run. getProcessCpuTime is cumulative ns across all
+    // threads of this JVM, which at local[32] IS the whole engine.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
+      val c0 = osBean.getProcessCpuTime
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable =>
         errors += name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9)
     }
     def fmt(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    def jmap(kvs: Iterable[(String, Double)]): String =
+      kvs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.map(_._1).sum
+    val cpuTotal = results.values.map(_._2).sum
     // The driver captures a bounded tail of stdout; a single long line gets its
     // FRONT truncated, cutting the leading "metric" field (BENCH_r01/r02 both
-    // came back parsed:null). Emit the full per-query map first, then a short
+    // came back parsed:null). Emit the full per-query maps first, then a short
     // summary line LAST — short enough to always survive the tail window.
-    println(s"""{"queries":$qs,"errors":$errs,"sf":"$sfDir","metric":"total","value":${fmt(total)},"unit":"sec"}""")
-    val slowest = results.toSeq.sortBy(-_._2).take(15)
-      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"queries":${jmap(results.view.mapValues(_._1))},"cpu":${jmap(results.view.mapValues(_._2))},"errors":$errs,"sf":"$sfDir","metric":"total","value":${fmt(total)},"unit":"sec","cpu_sec":${fmt(cpuTotal)}}""")
+    val slowest = results.toSeq.sortBy(-_._2._1).take(15)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_sec":${fmt(cpuTotal)},"queries":${jmap(slowest.map(x => x._1 -> x._2._1))},"cpu":${jmap(slowest.map(x => x._1 -> x._2._2))},"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
