@@ -27,7 +27,11 @@ object Bench {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // dev-only: optional comma-separated query filter (driver passes no args)
+    val only: Option[Set[String]] = args.headOption.map(_.split(",").toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val c0 = osBean.getProcessCpuTime
       try { fn(spark, sfDir).count() }

@@ -495,6 +495,26 @@ object SparkEntry {
         .orderBy($"event_type")
     }),
 
+    // ── C4/2.10: SCD2 with `track_history_except_column_list` (the DLT
+    //    auto-CDC parameter at DimUser.py:27): only event_type is history-
+    //    tracked; `value` changes update the current version in place —
+    //    versions are RUNS of equal event_type per user, __START_AT is the
+    //    run's first ts, value/ts are the run's latest. Two batches through
+    //    the real merge must equal the one-shot window construction.
+    "q235_scd2_except" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir).select($"user_id", $"event_type", $"value", $"ts")
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+      val initial = graft.cdc.ScdMerge.scd2Merge(
+        None, e.filter($"ts" < cut), Seq("user_id"), "ts",
+        trackHistoryExcept = Seq("value"))
+      graft.cdc.ScdMerge.scd2Merge(
+        Some(initial), e.filter($"ts" >= cut), Seq("user_id"), "ts",
+        trackHistoryExcept = Seq("value"))
+        .select($"user_id", $"event_type", $"value", $"ts", $"__START_AT", $"__END_AT")
+        .orderBy($"user_id", $"__START_AT")
+    }),
+
     // ── LLM-pipeline: REAL video frame sampling + decode. Fixed-stride
     //    BMP-frame containers; every 2nd frame is sliced out and decoded
     //    by the real ImageIO kernel — decode cost ∝ frames KEPT. Grays
@@ -4225,6 +4245,29 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // versions = runs of equal event_type per user (value untracked):
+    // flag run starts null-safely, running-sum into group ids, collapse
+    // each group to (min ts, latest value/ts), then LEAD the chain.
+    "q235_scd2_except" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_type, value, ts,
+        |    CASE WHEN ROW_NUMBER() OVER w = 1
+        |      OR event_type IS DISTINCT FROM LAG(event_type) OVER w
+        |      THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |grouped AS (
+        |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM flagged),
+        |collapsed AS (
+        |  SELECT user_id, arg_max(event_type, ts) AS event_type,
+        |    arg_max(value, ts) AS value, MAX(ts) AS ts, MIN(ts) AS __START_AT
+        |  FROM grouped GROUP BY user_id, grp)
+        |SELECT user_id, event_type, value, ts, __START_AT,
+        |  LEAD(__START_AT) OVER (PARTITION BY user_id ORDER BY __START_AT) AS __END_AT
+        |FROM collapsed ORDER BY user_id, __START_AT""".stripMargin,
 
     "q234_video_frames" ->
       """WITH d AS MATERIALIZED (

@@ -84,15 +84,20 @@ object ScdMerge {
       updates: DataFrame,
       keys: Seq[String],
       seqCol: String,
-      tieBreak: Seq[Column] = Nil): DataFrame = {
+      tieBreak: Seq[Column] = Nil,
+      trackHistoryExcept: Seq[String] = Nil): DataFrame = {
 
     val seqType = updates.schema(seqCol).dataType
     val newVersions = updates
       .withColumn(StartCol, col(seqCol))
       .withColumn(EndCol, lit(null).cast(seqType))
 
+    def finish(versions: DataFrame): DataFrame =
+      rechain(collapseUntracked(versions, keys, seqCol, trackHistoryExcept, tieBreak),
+        keys, tieBreak)
+
     targetVersions match {
-      case None => rechain(dedupVersions(newVersions, keys, tieBreak), keys, tieBreak)
+      case None => finish(dedupVersions(newVersions, keys, tieBreak))
       case Some(t) =>
         val keySet = newVersions.select(keys.map(col): _*).distinct()
         val untouched = t.join(keySet, keys, "left_anti")
@@ -102,8 +107,84 @@ object ScdMerge {
             affected.withColumn("__src", lit(0)),
             newVersions.withColumn("__src", lit(1))),
           keys, tieBreak)
-        unionEvolving(untouched, rechain(combined, keys, tieBreak))
+        unionEvolving(untouched, finish(combined))
     }
+  }
+
+  /** `track_history_except_column_list` (reference API surface:
+    * DimUser.py:27, passed None there — the non-None semantics are DLT's:
+    * a change confined to the excluded columns must NOT open a new SCD2
+    * version; the current version is updated in place, keeping its
+    * original `__START_AT`). The sequence column is implicitly untracked —
+    * it advances on every event, so tracking it would make the except
+    * list a no-op.
+    *
+    * Mechanics: order each key's versions by `__START_AT`, flag rows whose
+    * *tracked* columns differ (null-safely) from the previous row, running-
+    * sum the flags into version-group ids, then collapse each group to one
+    * row carrying the group's earliest `__START_AT` and the values of its
+    * newest row BY `seqCol` — not by `__START_AT`: an already-collapsed
+    * target version keeps the seq of its latest constituent, which must
+    * beat a late arrival with a larger start. A reverted tracked value
+    * reopens a version (groups are runs, not distinct values).
+    *
+    * Late-data repair: a late TRACKED change can land inside an already-
+    * collapsed run (stored run [10..] with latest seq 30; late b@20). The
+    * run's constituents are gone — no SCD2 store keeps them — so after
+    * collapsing, any version whose own seq postdates the next version's
+    * start has its state resurrected at its seq and the chain re-collapsed:
+    * current state is exactly right (a@30 wins again); only the truncated
+    * first segment's untracked values are approximated by the run's latest
+    * (the information a collapsed store inherently discards).
+    *
+    * All windows share the per-key partitioning the merge already shuffles
+    * on — affected keys only, no extra shuffle. Requires versions to carry
+    * `seqCol` (they do: the merge never drops it).
+    */
+  private def collapseUntracked(
+      versions: DataFrame,
+      keys: Seq[String],
+      seqCol: String,
+      untracked: Seq[String],
+      tieBreak: Seq[Column]): DataFrame = {
+    if (untracked.isEmpty) return versions
+    val once = collapseOnce(versions, keys, seqCol, untracked, tieBreak)
+    val wOrd = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(StartCol).asc +: tieBreak.map(_.asc): _*)
+    val flagged = once.withColumn("__nxt", lead(col(StartCol), 1).over(wOrd))
+    val resurrected = flagged
+      .filter(col("__nxt").isNotNull && col(seqCol) > col("__nxt"))
+      .withColumn(StartCol, col(seqCol))
+    collapseOnce(
+      flagged.drop("__nxt").unionByName(resurrected.drop("__nxt")),
+      keys, seqCol, untracked, tieBreak)
+  }
+
+  private def collapseOnce(
+      versions: DataFrame,
+      keys: Seq[String],
+      seqCol: String,
+      untracked: Seq[String],
+      tieBreak: Seq[Column]): DataFrame = {
+    val skip = keys.toSet ++ untracked.toSet ++ Set(StartCol, EndCol, seqCol)
+    val tracked = versions.columns.filterNot(skip.contains)
+    val wOrd = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(StartCol).asc +: tieBreak.map(_.asc): _*)
+    val changed = tracked.toSeq
+      .map(c => !(col(c) <=> lag(col(c), 1).over(wOrd)))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val grouped = versions
+      .withColumn("__chg",
+        when(row_number().over(wOrd) === 1 || changed, 1).otherwise(0))
+      .withColumn("__grp", sum(col("__chg"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wGrp = Window.partitionBy((keys :+ "__grp").map(col): _*)
+    Relational.latestByKey(
+        grouped.withColumn(StartCol, min(col(StartCol)).over(wGrp)),
+        keys :+ "__grp", col(seqCol), tieBreak)
+      .drop("__chg", "__grp")
   }
 
   /** Replay-idempotency: for duplicate (key, __START_AT) rows keep the

@@ -34,7 +34,18 @@ object AutoIngest {
       schemaDir: String,
       checkpointDir: String,
       rescue: Boolean = true,
-      maxFilesPerTrigger: Option[Int] = None)
+      maxFilesPerTrigger: Option[Int] = None,
+      failAndEvolve: Boolean = false)
+
+  /** The Autoloader-default (`addNewColumns`) evolution signal: the stream
+    * failed BEFORE consuming anything because new columns appeared; the
+    * persisted schema has already been evolved, so a restart proceeds with
+    * the new columns — the fail/evolve/restart cycle the reference's
+    * default-mode streams run (silver_Dimensions.py:109-110, the misspelled
+    * option makes `rescue` fall back to this mode — SURVEY §1.3 quirk). */
+  final class SchemaEvolvedException(val newColumns: Seq[String])
+    extends RuntimeException(
+      s"schema evolved: new columns ${newColumns.mkString(", ")} persisted; restart the stream")
 
   /** Load the persisted schema, inferring + persisting on first contact. */
   def loadOrInferSchema(spark: SparkSession, cfg: Config): StructType = {
@@ -46,15 +57,24 @@ object AutoIngest {
       DataType.fromJson(json).asInstanceOf[StructType]
     } else {
       val inferred = spark.read.parquet(cfg.sourceDir).schema
-      fs.mkdirs(file.getParent)
-      val out = fs.create(file, true)
-      try out.write(inferred.json.getBytes("UTF-8")) finally out.close()
+      persistSchema(spark, cfg, inferred)
       inferred
     }
   }
 
+  private def persistSchema(spark: SparkSession, cfg: Config, schema: StructType): Unit = {
+    val fs = new Path(cfg.schemaDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val file = new Path(cfg.schemaDir, "schema.json")
+    fs.mkdirs(file.getParent)
+    val out = fs.create(file, true)
+    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+  }
+
   /** S3 — open the incremental file stream over `sourceDir`, with rescue
-    * handling for columns that appeared after the schema was persisted. */
+    * handling for columns that appeared after the schema was persisted —
+    * or, with `failAndEvolve`, the Autoloader-default cycle: persist the
+    * evolved schema and throw before the stream starts (nothing consumed,
+    * so no data loss), succeed on restart with the new columns typed. */
   def readStream(spark: SparkSession, cfg: Config): DataFrame = {
     val persisted = loadOrInferSchema(spark, cfg)
     // Rescue probe: what do the files actually carry right now?
@@ -63,13 +83,18 @@ object AutoIngest {
     val actual = spark.read.option("mergeSchema", "true").parquet(cfg.sourceDir).schema
     val extras = actual.fields.filterNot(f => persisted.fieldNames.contains(f.name))
 
+    if (cfg.failAndEvolve && extras.nonEmpty) {
+      persistSchema(spark, cfg, StructType(persisted.fields ++ extras))
+      throw new SchemaEvolvedException(extras.toSeq.map(_.name))
+    }
+
     val readSchema = StructType(persisted.fields ++ extras)
     val reader = spark.readStream.schema(readSchema)
     val withOpts = cfg.maxFilesPerTrigger
       .map(n => reader.option("maxFilesPerTrigger", n)).getOrElse(reader)
     val raw = withOpts.parquet(cfg.sourceDir)
 
-    if (!cfg.rescue) raw
+    if (cfg.failAndEvolve || !cfg.rescue) raw
     else if (extras.isEmpty) raw.withColumn("_rescued_data", lit(null).cast(StringType))
     else raw
       .withColumn("_rescued_data", to_json(struct(extras.toSeq.map(f => col(f.name)): _*)))

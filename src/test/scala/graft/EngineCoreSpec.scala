@@ -199,6 +199,48 @@ class EngineCoreSpec extends AnyFunSuite {
     assert(ScdMerge.history(v1).select("extra").head().isNullAt(0))
   }
 
+  test("scd2Merge trackHistoryExcept: excluded-column change updates in place") {
+    // v tracked; w excluded. seq 20 changes only w → same version; seq 30
+    // changes v → new version; seq 40 reverts v to "a" → REOPENS a version
+    // (runs, not distinct values).
+    val evs = Seq((1, 10, "a", 1), (1, 20, "a", 2), (1, 30, "b", 3), (1, 40, "a", 4))
+      .toDF("k", "seq", "v", "w")
+    val t0 = ScdMerge.scd2Merge(None, evs, Seq("k"), "seq",
+      trackHistoryExcept = Seq("w"))
+    def chain(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("__START_AT"), col("__END_AT"), col("v"), col("w"), col("seq"))
+      .collect().map(r => (r.getInt(0), Option(r.get(1)), r.getString(2),
+        r.getInt(3), r.getInt(4))).sortBy(_._1).toSeq
+    assert(chain(t0) == Seq(
+      (10, Some(30), "a", 2, 20),  // w updated in place, start kept
+      (30, Some(40), "b", 3, 30),
+      (40, None,     "a", 4, 40)))
+
+    // A late arrival landing inside an existing run merges in place too:
+    // seq=15 (v=a, w=9) joins the 10..30 run but seq 20's w still wins.
+    val t1 = ScdMerge.scd2Merge(Some(t0),
+      Seq((1, 15, "a", 9)).toDF("k", "seq", "v", "w"), Seq("k"), "seq",
+      trackHistoryExcept = Seq("w"))
+    assert(chain(t1) == Seq(
+      (10, Some(30), "a", 2, 20),
+      (30, Some(40), "b", 3, 30),
+      (40, None,     "a", 4, 40)))
+
+    // Late TRACKED change inside a collapsed run: batch1 {10(a),30(a)}
+    // collapses to one version (seq 30); late b@20 must SPLIT it and the
+    // run's state must be resurrected at seq 30 — current stays v=a.
+    val s0 = ScdMerge.scd2Merge(None,
+      Seq((2, 10, "a", 1), (2, 30, "a", 3)).toDF("k", "seq", "v", "w"),
+      Seq("k"), "seq", trackHistoryExcept = Seq("w"))
+    val s1 = ScdMerge.scd2Merge(Some(s0),
+      Seq((2, 20, "b", 2)).toDF("k", "seq", "v", "w"),
+      Seq("k"), "seq", trackHistoryExcept = Seq("w"))
+    assert(chain(s1) == Seq(
+      (10, Some(20), "a", 3, 30), // truncated segment; untracked w approximated by run's latest
+      (20, Some(30), "b", 2, 20),
+      (30, None,     "a", 3, 30)))
+  }
+
   test("SnapshotTable: stats manifest prunes files for range reads; results exact") {
     val t = new SnapshotTable(tmp("skip"))
     // clusterBy x ⇒ disjoint per-file x-ranges ⇒ selective min/max pruning

@@ -50,6 +50,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(!out.columns.contains("extra"))
   }
 
+  test("AutoIngest failAndEvolve: new column fails the stream, restart picks it up, no data loss") {
+    val work = tmp("evolve")
+    Seq((1, "a"), (2, "b")).toDF("id", "v").write.parquet(s"$work/src/f1")
+    val cfg = AutoIngest.Config(s"$work/src/*", s"$work/schema", s"$work/ck",
+      failAndEvolve = true)
+    AutoIngest.appendOnce(AutoIngest.readStream(spark, cfg), s"$work/sink", cfg.checkpointDir)
+    assert(spark.read.parquet(s"$work/sink").count() == 2)
+
+    // a producer starts writing an extra column → the stream must FAIL
+    // before consuming, and the persisted schema must already be evolved
+    Seq((3, "c", 99)).toDF("id", "v", "extra").write.parquet(s"$work/src/f2")
+    val ex = intercept[AutoIngest.SchemaEvolvedException] {
+      AutoIngest.readStream(spark, cfg)
+    }
+    assert(ex.newColumns == Seq("extra"))
+    assert(AutoIngest.loadOrInferSchema(spark, cfg).fieldNames.contains("extra"))
+
+    // restart: succeeds with the new column typed; only the new file flows
+    // (checkpoint intact → no data loss, no duplicates)
+    AutoIngest.appendOnce(AutoIngest.readStream(spark, cfg), s"$work/sink2", cfg.checkpointDir)
+    val out = spark.read.option("mergeSchema", "true")
+      .parquet(s"$work/sink", s"$work/sink2")
+    assert(out.count() == 3)
+    val got = out.select("id", "v", "extra").collect()
+      .map(r => (r.getInt(0), r.getString(1), if (r.isNullAt(2)) None else Some(r.getInt(2))))
+      .toSet
+    assert(got == Set((1, "a", None), (2, "b", None), (3, "c", Some(99))))
+  }
+
   test("GoldPipeline: DAG order respects dependsOn; cycle detected") {
     val gp = new GoldPipeline(tmp("gold"), tmp("ck"))
     gp.declare(GoldTable("b", "p", Seq("k"), "s", 1, dependsOn = Seq("a")))
