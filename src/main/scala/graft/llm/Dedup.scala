@@ -104,22 +104,24 @@ object Dedup {
           .as("bucket")))
 
   /** Signature + banding over an exploded shingle-hash relation (from
-    * [[shingleHashRows]]): one codegen'd pass of `numHashes` min-aggregates
-    * (one hash-shuffle on id — each "permutation" re-hashes the fixed
-    * 8-byte shingle hash with a distinct seed word; an affine h*A+B mix
-    * would be cheaper but Spark 4's ANSI mode throws on the intentional
-    * overflow), then each band hashes its signature slots directly
-    * (multi-arg xxhash64 over longs — no array assembly, no interpreted
-    * slice/transform). Returns (id, band, bucket) rows — docs sharing a
+    * [[shingleHashRows]]): ONE [[graft.functions.MinHashSignature]]
+    * aggregate computes all `numHashes` slots in a compiled loop (the
+    * previous 96-separate-min-aggregates shape codegen'd past the JIT
+    * method-size budget and ran interpreted — see the aggregate's doc),
+    * one hash-shuffle on id; then each band hashes its signature slots
+    * directly (multi-arg xxhash64 over longs, bit-exact with the old
+    * form). Returns (id, band, bucket) rows — docs sharing a
     * (band, bucket) are LSH candidates. */
   def bandRows(shEx: DataFrame, numHashes: Int = 96, bands: Int = 24): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val minAggs = (0 until numHashes).map { i =>
-      min(xxhash64(lit(i.toLong), col("h"))).as(s"m$i")
-    }
-    val sig = shEx.groupBy("id").agg(minAggs.head, minAggs.tail: _*)
+    val sigAgg = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.MinHashSignature(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("h")),
+        numHashes).toAggregateExpression())
+    val sig = shEx.groupBy("id").agg(sigAgg.as("sig"))
     val bandStructs = (0 until bands).map { b =>
-      val slots = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i"))
+      val slots = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col("sig").getItem(i))
       struct(lit(b).as("band"), xxhash64(slots :+ lit(b): _*).as("bucket"))
     }
     sig.select(col("id"), explode(array(bandStructs: _*)).as("bb"))
@@ -151,15 +153,26 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 96,
       bands: Int = 24): DataFrame = {
-    val rowsPerBand = numHashes / bands
     // The shingle-hash relation feeds three consumers (signature + both
     // verify legs); materialize it once as an RDD checkpoint
     // (localCheckpoint: executor-local blocks, lineage cut) — measured
     // faster than both 3x recompute and persist()'s columnar-cache
     // serialization.
     val shEx = shingleHashRows(df, idCol, textCol, shingleN).localCheckpoint()
+    nearDupPairsFromBands(shEx, bandRows(shEx, numHashes, bands), threshold)
+  }
 
-    val banded = bandRows(shEx, numHashes, bands)
+  /** [[minhashNearDupPairs]] over PRE-computed (id, h) shingle hashes and
+    * (id, band, bucket) band rows — for callers that already paid for them
+    * and reuse them elsewhere (the streaming corpus-dedup loop computes
+    * each batch's shingles/bands ONCE and shares them across within-batch
+    * dedup, index probe, and index append; the 96-way min-hash aggregation
+    * is the pipeline's dominant CPU cost, so recomputing it per consumer
+    * triples the bill). */
+  def nearDupPairsFromBands(
+      shEx: DataFrame,
+      banded: DataFrame,
+      threshold: Double): DataFrame = {
     val candidates = banded.alias("a").join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))

@@ -52,8 +52,16 @@ final class MinHashIndex(
   private def writeFingerprints(df: DataFrame, idCol: String, textCol: String,
       mode: String): Unit = {
     val shEx = Dedup.shingleHashRows(df, idCol, textCol, shingleN).localCheckpoint()
-    Dedup.bandRows(shEx, numHashes, bands)
-      .coalesce(8).write.mode(mode).parquet(s"$root/bands")
+    writePrecomputed(shEx, Dedup.bandRows(shEx, numHashes, bands), mode)
+  }
+
+  /** [[build]]/[[add]] from PRE-computed shingle-hash and band relations
+    * (schemas: (id, h) and (id, band, bucket), fingerprinted with THIS
+    * index's shingleN/numHashes/bands) — for callers that already computed
+    * them for dedup/probe and would otherwise pay the minhash aggregation
+    * a second time. `mode` is "overwrite" (build) or "append" (add). */
+  def writePrecomputed(shEx: DataFrame, banded: DataFrame, mode: String): Unit = {
+    banded.coalesce(8).write.mode(mode).parquet(s"$root/bands")
     shEx.withColumn("__b", idBucket(col("id")))
       .repartition(col("__b"))
       .write.mode(mode).partitionBy("__b").parquet(s"$root/shingles")
@@ -64,7 +72,13 @@ final class MinHashIndex(
   def probe(spark: SparkSession, newDf: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5): DataFrame = {
     val shNew = Dedup.shingleHashRows(newDf, idCol, textCol, shingleN).localCheckpoint()
-    val newBands = Dedup.bandRows(shNew, numHashes, bands)
+    probePrecomputed(spark, shNew, Dedup.bandRows(shNew, numHashes, bands), threshold)
+  }
+
+  /** [[probe]] from PRE-computed new-side shingle-hash and band relations
+    * (same reuse rationale as [[writePrecomputed]]). */
+  def probePrecomputed(spark: SparkSession, shNew: DataFrame, newBands: DataFrame,
+      threshold: Double): DataFrame = {
     val oldBands = spark.read.parquet(s"$root/bands")
     val candidates = newBands.alias("a").join(oldBands.alias("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))

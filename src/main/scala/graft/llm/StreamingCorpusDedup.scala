@@ -1,7 +1,7 @@
 package graft.llm
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.streaming.AutoIngest
@@ -17,8 +17,11 @@ import graft.streaming.AutoIngest
   *     SMALLER-id doc in the batch is ≥ threshold is dropped
   *     ([[Dedup.minhashNearDupPairs]] — conservative: a doc is dropped
   *     even if its only partner was itself dropped);
-  *  2. cross-batch: survivors probe the index ([[MinHashIndex.probe]]) and
-  *     are dropped on any hit — probe cost is O(batch), never O(corpus);
+  *  2. cross-batch: the batch probes the index ([[MinHashIndex
+  *     .probePrecomputed]], sharing the batch's fingerprints) and docs are
+  *     dropped on any hit — equivalent to probing within-batch survivors
+  *     only (the index holds nothing but previously-kept docs), and probe
+  *     cost is O(batch), never O(corpus);
   *  3. the kept rows land in `sinkDir/batch_<id>/` (overwrite — a replayed
   *     batch rewrites the same dir, keeping the SINK idempotent) and their
   *     fingerprints are appended to the index.
@@ -39,24 +42,48 @@ object StreamingCorpusDedup {
     // small/test corpora want 8
     val idx = new MinHashIndex(indexRoot, idBuckets = indexBuckets)
     val stream = AutoIngest.readStream(spark, cfg).drop("_rescued_data")
+    val dbgOn = sys.env.contains("GRAFT_DEDUP_TIMING")
+    def dbg[T](name: String)(f: => T): T =
+      if (!dbgOn) f else {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[sdedup] $name%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s"); r
+      }
     AutoIngest.foreachBatchOnce(stream, cfg.checkpointDir) { (batch, batchId) =>
-      val b = batch.localCheckpoint()
+      val b = dbg(s"b$batchId ckpt")(batch.localCheckpoint())
       if (!b.isEmpty) {
-        val withinDrop = Dedup.minhashNearDupPairs(b, idCol, textCol, threshold = threshold)
+        // Fingerprint the batch ONCE: the 96-way minhash aggregation is the
+        // loop's dominant CPU cost, and three consumers need it (within-
+        // batch dedup, index probe, index append). Survivor subsets are
+        // carved out with id semi-joins instead of re-fingerprinting.
+        val shEx = dbg("shingles")(Dedup.shingleHashRows(b, idCol, textCol, idx.shingleN)
+          .localCheckpoint())
+        val banded = dbg("bands")(Dedup.bandRows(shEx, idx.numHashes, idx.bands)
+          .localCheckpoint())
+        def restrict(df: DataFrame, ids: DataFrame) =
+          df.join(ids.select(col(idCol).as("id")), Seq("id"), "left_semi")
+
+        // One rejection pass: kept = batch − (within-batch drops ∪ index
+        // hits). Identical to the two-step "within-dedup then survivors
+        // probe" form — the index holds only previously-KEPT docs, so an
+        // index hit on a within-dropped doc is redundant, and the within-
+        // drop relation never depended on index status — but it saves the
+        // intermediate survivor materialization and its anti-join job.
+        val withinDrop = Dedup.nearDupPairsFromBands(shEx, banded, threshold)
           .select(col("d2").as("__drop_id")).distinct()
-        val kept1 = b.join(withinDrop, b(idCol) === col("__drop_id"), "left_anti")
-        val kept2 =
-          if (!indexExists(spark, indexRoot)) kept1
-          else {
-            val hit = idx.probe(spark, kept1, idCol, textCol, threshold)
-              .select(col("d_new").as("__drop_id")).distinct()
-            kept1.join(hit, kept1(idCol) === col("__drop_id"), "left_anti")
-          }
-        val kept = kept2.localCheckpoint()
-        kept.write.mode("overwrite").parquet(s"$sinkDir/batch_$batchId")
+        val dropIds =
+          if (!indexExists(spark, indexRoot)) withinDrop
+          else withinDrop.union(
+            idx.probePrecomputed(spark, shEx, banded, threshold)
+              .select(col("d_new").as("__drop_id")).distinct())
+        val kept2 = b.join(dropIds, b(idCol) === col("__drop_id"), "left_anti")
+        // the sink write IS the materialization; read back for the index add
+        dbg("sink write")(
+          kept2.write.mode("overwrite").parquet(s"$sinkDir/batch_$batchId"))
+        val kept = spark.read.parquet(s"$sinkDir/batch_$batchId")
         if (!kept.isEmpty) {
-          if (indexExists(spark, indexRoot)) idx.add(spark, kept, idCol, textCol)
-          else idx.build(spark, kept, idCol, textCol)
+          val mode = if (indexExists(spark, indexRoot)) "append" else "overwrite"
+          dbg("index write")(
+            idx.writePrecomputed(restrict(shEx, kept), restrict(banded, kept), mode))
         }
       }
     }
