@@ -66,13 +66,38 @@ final class BucketedSnapshotTable(
 
   private val pointer = new Path(root, "_current")
 
+  /** Test-only fault injection (no-op in production): invoked at named
+    * commit-protocol steps ("staged", "renamed", "manifest_file",
+    * "mid_flip", "committed") so the crash-recovery property spec can
+    * kill a writer between any two steps. */
+  private[tables] var onStep: String => Unit = _ => ()
+
   def currentVersion(spark: SparkSession): Option[Int] = {
     val f = fs(spark)
-    if (!f.exists(pointer)) None
-    else {
+    if (f.exists(pointer)) {
       val in = f.open(pointer)
       try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
       finally in.close()
+    } else {
+      // Mid-flip crash recovery: the flip is delete(pointer) → rename(tmp,
+      // pointer). A missing pointer with a `_current.tmp.v` present means a
+      // writer died between the two; its manifest + batch dir are complete
+      // (they precede the flip), so the version IS committed — the commit
+      // point is the pointer delete. Adopt the highest tmp, self-healing
+      // the rename. On success the tmp is consumed, so stale tmps can only
+      // be crashed flips.
+      val tmps =
+        if (!f.exists(new Path(root))) Array.empty[Int]
+        else f.listStatus(new Path(root))
+          .map(_.getPath.getName)
+          .filter(_.startsWith("_current.tmp."))
+          .map(_.stripPrefix("_current.tmp.").toInt)
+      if (tmps.isEmpty) None
+      else {
+        val v = tmps.max
+        f.rename(new Path(root, s"_current.tmp.$v"), pointer) // best-effort heal
+        Some(v)
+      }
     }
   }
 
@@ -100,10 +125,12 @@ final class BucketedSnapshotTable(
       m.toSeq.sortBy(_._1).map { case (b, d) => s"$b\t$d" }).mkString("\n")
     val out = f.create(new Path(root, s"_manifest_v$v"), true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
+    onStep("manifest_file")
     val tmp = new Path(root, s"_current.tmp.$v")
     val o2 = f.create(tmp, true)
     try o2.write(v.toString.getBytes("UTF-8")) finally o2.close()
     if (f.exists(pointer)) f.delete(pointer, false)
+    onStep("mid_flip")
     if (!f.rename(tmp, pointer))
       throw new IllegalStateException(s"BucketedSnapshotTable $root: pointer flip failed")
   }
@@ -175,6 +202,7 @@ final class BucketedSnapshotTable(
       merged.repartition(col(BucketCol)).write.mode(SaveMode.Overwrite)
         .partitionBy(BucketCol)
         .parquet(s"$root/$staging")
+      onStep("staged")
       // per-batch stats computed on the staging files, then re-pointed at
       // the final dir — keeps the locked critical section metadata-sized
       val stagedStats: Seq[String] =
@@ -187,13 +215,20 @@ final class BucketedSnapshotTable(
         else {
           val next = cur + 1
           val batchDir = s"_batch_v$next"
-          if (!f.rename(new Path(s"$root/$staging"), new Path(s"$root/$batchDir")))
+          // a crashed writer may have left an orphan _batch_v<next> (it
+          // died between rename and pointer flip): unreachable — claiming
+          // the version purges it, else our rename would nest into it
+          val batchPath = new Path(s"$root/$batchDir")
+          if (f.exists(batchPath)) f.delete(batchPath, true)
+          if (!f.rename(new Path(s"$root/$staging"), batchPath))
             throw new IllegalStateException(s"BucketedSnapshotTable $root: staging rename failed")
+          onStep("renamed")
           if (stagedStats.nonEmpty)
             StatsManifest.writeLines(f, batchStatsPath(batchDir),
               stagedStats.map(_.replace(s"/$staging/", s"/$batchDir/")))
           lockH.check() // paused-holder guard: abort rather than double-flip
           writeManifest(spark, next, manifest(spark) ++ affected.map(_ -> batchDir).toMap)
+          onStep("committed")
           true
         }
       }
@@ -277,7 +312,9 @@ final class BucketedSnapshotTable(
           throw new java.util.ConcurrentModificationException(
             s"BucketedSnapshotTable $root: compact read version $v0 but found $cur — rerun")
         }
-        if (!f.rename(new Path(s"$root/$staging"), new Path(s"$root/$batchDir")))
+        val batchPath = new Path(s"$root/$batchDir")
+        if (f.exists(batchPath)) f.delete(batchPath, true) // crashed writer's orphan
+        if (!f.rename(new Path(s"$root/$staging"), batchPath))
           throw new IllegalStateException(s"BucketedSnapshotTable $root: staging rename failed")
         if (stagedStats.nonEmpty)
           StatsManifest.writeLines(f, batchStatsPath(batchDir),
@@ -291,7 +328,9 @@ final class BucketedSnapshotTable(
 
   /** Delete batch dirs no manifest ≤ the live version references… i.e.
     * unreachable from the CURRENT manifest (no time travel kept — callers
-    * wanting travel keep old manifests and skip vacuum). */
+    * wanting travel keep old manifests and skip vacuum). Also clears
+    * `_staging_*` orphans from crashed writers — do not run vacuum
+    * concurrently with active writers (the standard vacuum contract). */
   def vacuum(spark: SparkSession): Unit = {
     val f = fs(spark)
     val live = manifest(spark).values.toSet
@@ -299,7 +338,8 @@ final class BucketedSnapshotTable(
     while (it.hasNext) {
       val st = it.next()
       val name = st.getPath.getName
-      if (name.startsWith("_batch_v") && !live.contains(name))
+      if ((name.startsWith("_batch_v") && !live.contains(name)) ||
+          name.startsWith("_staging_"))
         f.delete(st.getPath, true)
     }
   }

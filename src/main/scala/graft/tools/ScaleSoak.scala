@@ -1,0 +1,142 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only 10× scale soak of the candidate-capped dedup/ANN operators
+  * (VERDICT r3 #1): synthesizes a ~sf1 corpus from sf0.1 by key-offset
+  * copies — WITHOUT touching /root/testdata — and times each operator at
+  * both scales to prove candidate sets don't blow up super-linearly.
+  *
+  * Copy construction keeps the duplicate structure LINEAR (10× docs →
+  * 10× near-dup pairs), because a naive 10× copy would make every doc a
+  * 10-way exact-dup group (quadratic pair growth — a different corpus,
+  * not a bigger one):
+  *  - documents: copy i injects a copy-specific tag token every 3 words,
+  *    so EVERY word-3-gram shingle of copy i contains a tag ≠ copy k's —
+  *    cross-copy jaccard ≈ 0 while within-copy planted near-dups are
+  *    preserved verbatim;
+  *  - embeddings: copy i applies a per-copy diagonal ±1 sign-flip (an
+  *    orthogonal transform — within-copy cosines are preserved EXACTLY,
+  *    so planted near-dup pairs survive), with patterns differing in
+  *    ~3/8 of dims between copies → cross-copy cosine ≈ 0.25, far below
+  *    the 0.99 thresholds.
+  *
+  * Usage: runMain graft.tools.ScaleSoak [soakDir] [sfDir]
+  */
+object ScaleSoak {
+  def main(args: Array[String]): Unit = {
+    val soakDir = args.headOption.getOrElse("/tmp/graft_soak/sf1")
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def time[T](name: String)(f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val c0 = osBean.getProcessCpuTime
+      val r = f
+      val w = (System.nanoTime() - t0) / 1e9
+      println(f"[soak] $name%-34s wall=$w%8.2f cpu=${(osBean.getProcessCpuTime - c0) / 1e9}%8.2f")
+      (r, w)
+    }
+
+    // ── synthesize sf~1 once ────────────────────────────────────────────
+    val copies = 10
+    if (!new java.io.File(s"$soakDir/documents.parquet").exists()) {
+      val docs = graft.tables.Tables.documents(spark, sfDir)
+      val docCopies = (0 until copies).map { i =>
+        if (i == 0) docs
+        else docs
+          .withColumn("doc_id", $"doc_id" + i * 10000000L)
+          .withColumn("text", regexp_replace($"text", "((\\S+ ){3})", s"$$1zq${i}tag "))
+      }
+      docCopies.reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite").parquet(s"$soakDir/documents.parquet")
+
+      val emb = graft.tables.Tables.embeddings(spark, sfDir)
+      val embCopies = (0 until copies).map { i =>
+        if (i == 0) emb
+        else emb
+          .withColumn("vec_id", $"vec_id" + i * 10000000L)
+          .withColumn("embedding", transform($"embedding", (x, j) =>
+            when(pmod(j * 37 + lit(i * 13), lit(4)) === 0, -x).otherwise(x)))
+      }
+      embCopies.reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite").parquet(s"$soakDir/embeddings.parquet")
+    }
+
+    def run(tag: String, docs: DataFrame, emb: DataFrame): Map[String, Double] = {
+      println(s"── $tag: docs=${docs.count()}, vectors=${emb.count()}")
+      val embD = emb.select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+        .localCheckpoint()
+      val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      def t(name: String)(f: => Long): Unit = {
+        val (rows, w) = time(s"$tag/$name")(f)
+        println(s"[soak]   rows=$rows")
+        results(name) = w
+      }
+      t("minhash_pairs") {
+        graft.llm.Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.5).count()
+      }
+      t("incremental_index") {
+        val work = java.nio.file.Files.createTempDirectory("soak-mhidx").toString
+        val idx = new graft.llm.MinHashIndex(s"$work/idx")
+        idx.build(spark, docs.filter($"doc_id" % 2 === 0), "doc_id", "text")
+        idx.probe(spark, docs.filter($"doc_id" % 2 === 1), "doc_id", "text", 0.5).count()
+      }
+      t("ppjoin") {
+        graft.llm.Dedup.prefixJaccardPairs(docs, "doc_id", "text", threshold = 0.7).count()
+      }
+      t("connected_components") {
+        val pairs = graft.llm.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5)
+        graft.llm.Dedup.connectedComponents(pairs, "d1", "d2").count()
+      }
+      t("streaming_dedup") {
+        val work = java.nio.file.Files.createTempDirectory("soak-sdedup").toString
+        docs.filter($"doc_id" % 2 === 0).coalesce(4).write.parquet(s"$work/src/f1")
+        docs.filter($"doc_id" % 2 === 1).coalesce(4).write.parquet(s"$work/src/f2")
+        val t0 = System.currentTimeMillis() - 120000
+        for ((d, tm) <- Seq(("f1", t0), ("f2", t0 + 60000));
+             f <- new java.io.File(s"$work/src/$d").listFiles())
+          f.setLastModified(tm)
+        val cfg = graft.streaming.AutoIngest.Config(s"$work/src/*", s"$work/schema",
+          s"$work/ck", maxFilesPerTrigger = Some(4))
+        graft.llm.StreamingCorpusDedup.run(spark, cfg, s"$work/idx", s"$work/kept")
+        graft.llm.StreamingCorpusDedup.readKept(spark, s"$work/kept").count()
+      }
+      t("semantic_dedup") {
+        graft.llm.Similarity.semanticDedup(embD, "vec_id", "v", k = 8, threshold = 0.99).count()
+      }
+      t("cosine_neardup_pairs") {
+        graft.llm.Similarity.simhashCosinePairs(embD, "vec_id", "v", threshold = 0.99).count()
+      }
+      t("pq_train_encode_adc") {
+        val cents = graft.llm.ProductQuantizer.train(emb, "vec_id", "embedding", m = 16, iters = 2)
+        val codes = graft.llm.ProductQuantizer.encode(emb, cents, "vec_id", "embedding", m = 16)
+        graft.llm.ProductQuantizer.adcTopK(
+          emb.filter($"vec_id" < 100), emb, cents, codes, "vec_id", "embedding",
+          k = 1, m = 16, rerank = 100).count()
+      }
+      results.toMap
+    }
+
+    val small = run("sf0.1",
+      graft.tables.Tables.documents(spark, sfDir),
+      graft.tables.Tables.embeddings(spark, sfDir))
+    val big = run("sf1",
+      spark.read.parquet(s"$soakDir/documents.parquet"),
+      spark.read.parquet(s"$soakDir/embeddings.parquet"))
+
+    println(f"${"operator"}%-24s ${"sf0.1"}%8s ${"sf1"}%8s ${"ratio"}%7s")
+    small.keys.foreach { k =>
+      println(f"$k%-24s ${small(k)}%8.2f ${big(k)}%8.2f ${big(k) / small(k)}%7.2f")
+    }
+    spark.stop()
+  }
+}
