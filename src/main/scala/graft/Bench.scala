@@ -15,6 +15,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Fail fast (one named line) if the driver regenerated testdata with a
+    // schema the table adapters don't handle — see round-4 events.ts drift.
+    graft.tables.SchemaPreflight.check(spark, sfDir)
     // Warm the session once (codegen/JIT, parquet footers) so the first
     // timed query isn't charged ~5 s of one-time JVM startup cost.
     try SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
@@ -49,11 +52,19 @@ object Bench {
     val cpuTotal = results.values.map(_._2).sum
     // The driver captures a bounded tail of stdout; a single long line gets its
     // FRONT truncated, cutting the leading "metric" field (BENCH_r01/r02 both
-    // came back parsed:null). Emit the full per-query maps first, then a short
-    // summary line LAST — short enough to always survive the tail window.
-    println(s"""{"queries":${jmap(results.view.mapValues(_._1))},"cpu":${jmap(results.view.mapValues(_._2))},"errors":$errs,"sf":"$sfDir","metric":"total","value":${fmt(total)},"unit":"sec","cpu_sec":${fmt(cpuTotal)}}""")
+    // came back parsed:null; r04's 69-name errors array pushed metric/value out
+    // of the tail window again). Emit the full per-query maps first, then a
+    // short summary line LAST whose size is BOUNDED regardless of failures:
+    // error COUNT in the short line, the full list only in the long line and
+    // the side file.
+    val fullJson = s"""{"queries":${jmap(results.view.mapValues(_._1))},"cpu":${jmap(results.view.mapValues(_._2))},"errors":$errs,"sf":"$sfDir","metric":"total","value":${fmt(total)},"unit":"sec","cpu_sec":${fmt(cpuTotal)}}"""
+    println(fullJson)
+    // Whole-result side file the driver (or a human) can read untruncated.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullJson + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] side file: ${e.getMessage}") }
     val slowest = results.toSeq.sortBy(-_._2._1).take(15)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_sec":${fmt(cpuTotal)},"queries":${jmap(slowest.map(x => x._1 -> x._2._1))},"cpu":${jmap(slowest.map(x => x._1 -> x._2._2))},"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_sec":${fmt(cpuTotal)},"queries":${jmap(slowest.map(x => x._1 -> x._2._1))},"cpu":${jmap(slowest.map(x => x._1 -> x._2._2))},"error_count":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

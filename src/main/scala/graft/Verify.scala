@@ -19,6 +19,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Fail fast (one named line) if the driver regenerated testdata with a
+    // schema the table adapters don't handle — see round-4 events.ts drift.
+    graft.tables.SchemaPreflight.check(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

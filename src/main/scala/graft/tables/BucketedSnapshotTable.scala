@@ -51,7 +51,10 @@ final class BucketedSnapshotTable(
     val root: String,
     val numBuckets: Int,
     val keys: Seq[String],
-    val statsCols: Seq[String] = Nil) {
+    val statsCols: Seq[String] = Nil,
+    /** Lock staleness window (test hook: shrink so paused-writer/steal
+      * schedules run in test time; production default [[CommitLock.StaleMs]]). */
+    commitStaleMs: Long = CommitLock.StaleMs) {
 
   require(numBuckets > 0, "numBuckets must be positive")
 
@@ -209,7 +212,7 @@ final class BucketedSnapshotTable(
         if (statsCols.isEmpty) Nil
         else StatsManifest.lines(spark.read.parquet(s"$root/$staging"), statsCols)
 
-      val committed = CommitLock.withLockHandle(f, root) { lockH =>
+      val committed = CommitLock.withLockHandle(f, root, commitStaleMs) { lockH =>
         val cur = currentVersion(spark).getOrElse(0)
         if (cur != v0) { f.delete(new Path(s"$root/$staging"), true); false }
         else {
@@ -305,7 +308,7 @@ final class BucketedSnapshotTable(
       val stagedStats: Seq[String] =
         if (statsCols.isEmpty) Nil
         else StatsManifest.lines(spark.read.parquet(s"$root/$staging"), statsCols)
-      CommitLock.withLockHandle(f, root) { lockH =>
+      CommitLock.withLockHandle(f, root, commitStaleMs) { lockH =>
         val cur = currentVersion(spark).getOrElse(0)
         if (cur != v0) {
           f.delete(new Path(s"$root/$staging"), true)

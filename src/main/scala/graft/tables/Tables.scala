@@ -23,34 +23,57 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as raw nanos (legacy conf) and surface a
-    * proper TimestampType column (µs, matching DuckDB's native precision).
+  /** Schema-adaptive events scan. The driver has regenerated
+    * `events.parquet` with different physical `ts` encodings across rounds
+    * (parquet TIMESTAMP(NANOS) → read as raw-nanos long under the legacy
+    * conf; native timestamp[us] → read as TIMESTAMP_NTZ/TIMESTAMP). Adapt
+    * off the footer schema instead of hard-coding one encoding: whatever
+    * the storage type, the surfaced `ts` is session-zone TimestampType
+    * (µs, matching DuckDB's native precision). The legacy conf is
+    * harmless when the file is not NANOS-typed.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw // already session TimestampType
+    }
   }
 
-  /** Watermark-filtered events scan. The `timestamp_micros(...)` derivation
-    * in [[events]] blocks predicate pushdown (a filter on the derived
-    * column can't reach the scan — audited via explain: only IsNotNull was
-    * pushed). Here the CDC predicate is applied in *storage units* (raw
-    * nanos, a plain long comparison) before the conversion, so the parquet
-    * scan gets `GreaterThan(ts, …)` and can skip row groups by min/max
+  /** Watermark-filtered events scan. A filter on a *derived* ts column
+    * (`timestamp_micros(...)` / a cast) can't reach the parquet scan, so
+    * the CDC predicate is applied to the column in its native storage
+    * type — a raw-nanos long comparison, or an NTZ/LTZ timestamp
+    * comparison — BEFORE any conversion. That way the scan gets a
+    * pushable `GreaterThan(ts, …)` and skips row groups by min/max
     * stats — the difference between a pruned scan and a full scan at
     * 100 TB. Reference analog: the watermark filter evaluated at the
     * source (incremental_loop.json:45). */
   def eventsSince(s: SparkSession, d: String, watermarkUtc: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw  = load(s, d, "events")
     val inst = java.time.LocalDateTime
       .parse(watermarkUtc.replace(' ', 'T'))
       .toInstant(java.time.ZoneOffset.UTC)
     val micros = inst.getEpochSecond * 1000000L + inst.getNano / 1000L
-    load(s, d, "events")
-      .filter(org.apache.spark.sql.functions.col("ts") > (micros * 1000L))
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.filter(col("ts") > (micros * 1000L))
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        // NTZ literal compares wall-clock-to-wall-clock; watermark is UTC
+        // wall time, matching the generator. Pushes down natively.
+        raw.filter(col("ts") > lit(watermarkUtc).cast(TimestampNTZType))
+          .withColumn("ts", col("ts").cast(TimestampType))
+      case _ =>
+        raw.filter(col("ts") > expr(s"timestamp_micros(${micros}L)"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -52,6 +52,53 @@ class CommitLockSpec extends AnyFunSuite {
     assert(t.read(spark).as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
   }
 
+  test("bucketed table: steal-while-paused-then-resume commits exactly once (no double-flip)") {
+    // Same schedule as above but at the BucketedSnapshotTable level — the
+    // VERDICT r3/r4 watch item: a merge holder paused past the staleness
+    // window must not double-flip the manifest pointer after a stealer's
+    // merge lands. Outcome asserted on table STATE (exactly the stealer's
+    // merge applied, versions strictly linear), not just on the exception.
+    val root = java.nio.file.Files.createTempDirectory("pausedbucket").toString
+    val t = new BucketedSnapshotTable(root, numBuckets = 4, keys = Seq("k"),
+      commitStaleMs = 400)
+    t.scd1Merge(spark, Seq((1, "a", 1L), (2, "b", 1L)).toDF("k", "v", "seq"), "seq")
+    val v1 = t.currentVersion(spark)
+    val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    @volatile var inBody = false
+    @volatile var outcome: Option[Throwable] = None
+    val paused = new Thread(() => {
+      try {
+        CommitLock.withLockHandle(f, root, staleMs = 400) { h =>
+          inBody = true
+          val deadline = System.currentTimeMillis() + 30000
+          while (h.stillHeld && System.currentTimeMillis() < deadline)
+            Thread.sleep(50)
+          h.check() // resumed writer's pre-flip guard — must throw once stolen
+        }
+        outcome = Some(new AssertionError("check() did not throw after steal"))
+      } catch { case e: Throwable => outcome = Some(e) }
+    })
+    paused.start()
+    while (!inBody) Thread.sleep(10)
+
+    // stealer: an ordinary SCD1 merge. Must wait out staleness, steal, commit.
+    assert(t.scd1Merge(spark,
+      Seq((2, "B", 2L), (3, "c", 2L)).toDF("k", "v", "seq"), "seq").nonEmpty)
+    paused.join(30000)
+    assert(outcome.exists(_.isInstanceOf[java.util.ConcurrentModificationException]),
+      s"resumed merge holder must abort, got $outcome")
+
+    // exactly one commit landed: version advanced by 1, state is the
+    // stealer's merge and nothing else
+    assert(t.currentVersion(spark) == v1.map(_ + 1))
+    assert(t.read(spark).select($"k", $"v").as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (2, "B"), (3, "c")))
+    // table keeps committing normally afterwards (lock not wedged)
+    t.scd1Merge(spark, Seq((4, "d", 3L)).toDF("k", "v", "seq"), "seq")
+    assert(t.read(spark).count() == 4)
+  }
+
   test("release deletes only its own lock; a fresh foreign lock survives") {
     val root = java.nio.file.Files.createTempDirectory("locktoken").toString
     val f = new Path(root).getFileSystem(new org.apache.hadoop.conf.Configuration())
