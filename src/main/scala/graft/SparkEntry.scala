@@ -3908,6 +3908,50 @@ object SparkEntry {
           least(greatest($"s_acctbal", $"p10"), $"p90").as("winsorized"))
         .orderBy($"s_suppkey")
     }),
+
+    // ── LLM-pipeline: per-source quality cap — the domain-cap step of a
+    //    corpus curation run (keep the best N docs per source by quality,
+    //    doc_id tiebreak). Plans as WindowGroupLimit (map-side partial
+    //    before the shuffle), so at 100 TB each source's candidates are
+    //    pruned to ≤N per task before any data moves. Quality scores are
+    //    exact multiples of 0.25, so the avg is bit-deterministic
+    //    cross-engine.
+    "q236_domain_caps" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val scored = Tables.documents(s, dir)
+        .select($"doc_id", $"source",
+          graft.llm.TextAnalysis.qualityScore($"text").as("quality"))
+      val w = Window.partitionBy($"source").orderBy($"quality".desc, $"doc_id")
+      scored.withColumn("rn", row_number().over(w)).filter($"rn" <= 50)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_kept"), avg($"quality").as("avg_quality"))
+        .orderBy($"source")
+    }),
+
+    // ── LLM-pipeline: end-to-end curation composition — lang-id →
+    //    quality gate → exact dedup by normalized fingerprint (min doc_id
+    //    survives) → per-language corpus stats. Each stage is an
+    //    already-oracled operator (q22/q21/q23/q20); composed they stay
+    //    ONE declarative plan, so Catalyst fuses all four scalar stages
+    //    into a single scan pass and the only shuffles are the dedup
+    //    window and the final agg.
+    "q237_curation_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val scored = Tables.documents(s, dir)
+        .select($"doc_id",
+          graft.llm.TextAnalysis.langId($"text").as("lang_pred"),
+          graft.llm.TextAnalysis.qualityScore($"text").as("quality"),
+          graft.llm.TextAnalysis.fingerprint($"text").as("fp"),
+          graft.llm.TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"))
+        .filter($"quality" >= 0.5)
+      val w = Window.partitionBy($"fp").orderBy($"doc_id")
+      scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .groupBy($"lang_pred")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("total_tokens"))
+        .orderBy($"lang_pred")
+    }),
   )
 
   /** Shared CTE for the q29/q69 oracles: rebuilds each document's 64-bit
@@ -6410,5 +6454,60 @@ object SparkEntry {
         |  least(greatest(s_acctbal, p10), p90) AS winsorized
         |FROM supplier s JOIN bands b ON s.s_nationkey = b.s_nationkey
         |ORDER BY s_suppkey""".stripMargin,
+
+    "q236_domain_caps" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS ntok,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','by'], x))) AS stophits,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS npunct
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, source, CAST(
+        |    (CASE WHEN ntok >= 10 THEN 0.25 ELSE 0.0 END)
+        |    + (CASE WHEN CAST(npunct AS DOUBLE) / CAST(length(text) AS DOUBLE) < 0.1 THEN 0.25 ELSE 0.0 END)
+        |    + (CASE WHEN CAST(stophits AS DOUBLE) / CAST(greatest(ntok, 1) AS DOUBLE) > 0.02 THEN 0.25 ELSE 0.0 END)
+        |    + (CASE WHEN length(regexp_replace(text, '\s+', '', 'g')) / CAST(greatest(ntok, 1) AS DOUBLE) BETWEEN 3.0 AND 10.0 THEN 0.25 ELSE 0.0 END)
+        |    AS DOUBLE) AS quality
+        |  FROM t),
+        |r AS (
+        |  SELECT source, quality,
+        |    row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rn
+        |  FROM q)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_kept, avg(quality) AS avg_quality
+        |FROM r WHERE rn <= 50 GROUP BY source ORDER BY source""".stripMargin,
+
+    "q237_curation_pipeline" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x != '') AS lts,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS ntok,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','by'], x))) AS stophits,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS npunct
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, ntok,
+        |    len(list_filter(lts, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','by'], x))) AS en,
+        |    len(list_filter(lts, x -> list_contains(['el','la','de','que','y','en','un','una','los','las','por','con','para','es','del'], x))) AS es,
+        |    len(list_filter(lts, x -> list_contains(['der','die','das','und','in','den','von','zu','mit','sich','des','auf','ist','ein','eine'], x))) AS de,
+        |    CAST(
+        |      (CASE WHEN ntok >= 10 THEN 0.25 ELSE 0.0 END)
+        |      + (CASE WHEN CAST(npunct AS DOUBLE) / CAST(length(text) AS DOUBLE) < 0.1 THEN 0.25 ELSE 0.0 END)
+        |      + (CASE WHEN CAST(stophits AS DOUBLE) / CAST(greatest(ntok, 1) AS DOUBLE) > 0.02 THEN 0.25 ELSE 0.0 END)
+        |      + (CASE WHEN length(regexp_replace(text, '\s+', '', 'g')) / CAST(greatest(ntok, 1) AS DOUBLE) BETWEEN 3.0 AND 10.0 THEN 0.25 ELSE 0.0 END)
+        |      AS DOUBLE) AS quality,
+        |    md5(array_to_string(list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), '\s+'), x -> x != ''), ' ')) AS fp
+        |  FROM t),
+        |gated AS (
+        |  SELECT doc_id, fp, CAST(ntok AS BIGINT) AS n_tokens,
+        |    CASE WHEN en >= es AND en >= de THEN 'en' WHEN es >= de THEN 'es' ELSE 'de' END AS lang_pred
+        |  FROM s WHERE quality >= 0.5),
+        |dedup AS (
+        |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM gated)
+        |SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM dedup WHERE rn = 1 GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
   )
 }

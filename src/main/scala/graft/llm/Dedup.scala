@@ -234,15 +234,25 @@ object Dedup {
   /** All-pairs set-similarity join with PREFIX FILTERING (the PPJoin
     * family's core pruning — Xiao et al., "Efficient Similarity Joins for
     * Near Duplicate Detection", WWW'08): order each document's shingle
-    * hashes by a global canonical order (ascending 64-bit hash) and keep
-    * only the first `|s| − ⌈t·|s|⌉ + 1` as its index prefix. Any pair
-    * with Jaccard ≥ t must share an element in BOTH prefixes (≥ t·|s|
-    * common elements cannot all hide in a suffix of length ⌈t·|s|⌉ − 1),
-    * so the inverted-index join runs over prefixes only — at t = 0.8
-    * that's ~20% of [[ngramJaccardPairs]]'s postings and a quadratically
-    * smaller candidate join — then candidates are verified by an exact
-    * intersection count restricted to candidate pairs. Higher thresholds
-    * prune harder; the full-index form is the t → 0 degenerate case.
+    * hashes by a global canonical order and keep only the first
+    * `|s| − ⌈t·|s|⌉ + 1` as its index prefix. Any pair with Jaccard ≥ t
+    * must share an element in BOTH prefixes (≥ t·|s| common elements
+    * cannot all hide in a suffix of length ⌈t·|s|⌉ − 1), so the
+    * inverted-index join runs over prefixes only — then candidates are
+    * verified by an exact intersection count restricted to candidate
+    * pairs. Higher thresholds prune harder; the full-index form is the
+    * t → 0 degenerate case.
+    *
+    * The canonical order is ASCENDING GLOBAL DOCUMENT FREQUENCY (ties by
+    * hash) — the ordering the PPJoin paper's pruning power depends on.
+    * Any consistent total order is CORRECT, but ordering by raw hash puts
+    * frequent shingles in prefixes, and the candidate pairs a shingle
+    * generates grow quadratically in its posting length — a 10× corpus
+    * soak measured 57× wall on hash order vs frequency order, because the
+    * longest postings (stop-phrase shingles) landed in prefixes. Rarest-
+    * first makes every prefix posting short by construction, so candidate
+    * growth tracks corpus growth ~linearly. Costs one extra shuffle (the
+    * frequency join) — cheap next to the candidate join it shrinks.
     * Same output contract as [[ngramJaccardPairs]]: (d1, d2, jaccard). */
   def prefixJaccardPairs(
       df: DataFrame,
@@ -254,27 +264,49 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val sh = shingleHashRows(df, idCol, textCol, shingleN).localCheckpoint()
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    // per-doc rank — an id-partitioned window (each doc sorts its own
-    // shingles; no corpus-wide ordering is ever materialized)
+    // global document frequency of each shingle — distributed agg on h,
+    // never materialized on the driver
+    val freq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    // per-doc rank by (global frequency asc, h) — an id-partitioned window
+    // (each doc sorts its own shingles; no corpus-wide SORT is ever run,
+    // the global ORDER exists only as the (df, h) sort key)
     val prefix = sh
-      .withColumn("r", row_number().over(Window.partitionBy("id").orderBy("h")))
+      .join(freq, "h")
+      .withColumn("r", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("h"))))
       .join(counts, "id")
       .filter(col("r") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select("id", "h")
+      .select("id", "h", "r", "n")
+    // Candidate join over prefix postings with the paper's two
+    // exactness-preserving per-match prunes applied IN the join condition
+    // (before the distinct — they shrink the shuffle, not just the output):
+    //  - length filter: Jaccard ≥ t forces t·max(n1,n2) ≤ min(n1,n2);
+    //  - positional filter: a match at prefix ranks (r1, r2) bounds the
+    //    overlap by 1 + min(n1−r1, n2−r2), which must reach the
+    //    equivalent-overlap threshold ⌈t/(1+t)·(n1+n2)⌉.
+    val t = lit(threshold)
     val cand = prefix.alias("a").join(prefix.alias("b"),
-        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+          col("a.n") >= t * col("b.n") && col("b.n") >= t * col("a.n") &&
+          (lit(1) + least(col("a.n") - col("a.r"), col("b.n") - col("b.r"))) >=
+            ceil(t / (t + 1) * (col("a.n") + col("b.n"))))
       .select(col("a.id").as("d1"), col("b.id").as("d2"))
       .distinct()
-    // exact verification, candidate-restricted: expand d1's full set, then
-    // an equi-join on (d2, h) counts the intersection
-    val inter = cand
-      .join(sh.withColumnRenamed("id", "d1"), "d1")
-      .join(sh.select(col("id").as("d2"), col("h")), Seq("d2", "h"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
-    inter
-      .join(counts.withColumnRenamed("id", "d1").withColumnRenamed("n", "n1"), "d1")
-      .join(counts.withColumnRenamed("id", "d2").withColumnRenamed("n", "n2"), "d2")
-      .withColumn("jaccard", col("i").cast("double") / (col("n1") + col("n2") - col("i")).cast("double"))
+    // Exact verification with per-doc sorted shingle arrays and a
+    // codegen'd array_intersect per candidate (the Vernica/Carey/Li
+    // kernel-verification shape). The previous form re-joined candidates
+    // against the full posting relation — a |cand| × |doc| row explosion
+    // whose shuffle dominated at 10× scale (ScaleSoak: verification was
+    // ~90% of a 187 s run). Arrays keep verification at |cand| ROWS (one
+    // hash-join lookup per side), with the intersection fused into
+    // whole-stage codegen.
+    val docSets = sh.groupBy("id").agg(sort_array(collect_list(col("h"))).as("hs"))
+    cand
+      .join(docSets.select(col("id").as("d1"), col("hs").as("h1")), "d1")
+      .join(docSets.select(col("id").as("d2"), col("hs").as("h2")), "d2")
+      .withColumn("i", size(array_intersect(col("h1"), col("h2"))).cast("long"))
+      .withColumn("jaccard", col("i").cast("double") /
+        (size(col("h1")) + size(col("h2")) - col("i")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
   }
