@@ -179,18 +179,21 @@ object Dedup {
       .select(col("a.id").as("d1"), col("b.id").as("d2"))
       .dropDuplicates("d1", "d2")
 
-    // Exact verify, set-join form: intersection size per candidate pair
-    // from the exploded hash relation (8-byte join keys, no array lambdas).
-    val counts = shEx.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = candidates
-      .join(shEx.select(col("id").as("d1"), col("h")), "d1")
-      .join(shEx.select(col("id").as("d2"), col("h")), Seq("d2", "h"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
-    inter
-      .join(counts.select(col("id").as("d1"), col("n").as("n1")), "d1")
-      .join(counts.select(col("id").as("d2"), col("n").as("n2")), "d2")
-      .withColumn("jaccard",
-        col("i").cast("double") / (col("n1") + col("n2") - col("i")).cast("double"))
+    // Exact verify, kernel form (same shape as [[prefixJaccardPairs]]):
+    // per-doc sorted shingle arrays, one hash-join lookup per side, and a
+    // codegen'd array_intersect per candidate pair. The previous form
+    // re-joined candidates against the exploded posting relation — a
+    // |cand| × |doc-size| row expansion that is invisible while banding
+    // keeps candidates rare but becomes the dominant shuffle on dup-heavy
+    // corpora (measured 90% of ppjoin's 10× soak run before the same
+    // change there). Verification work is now O(|cand|) rows.
+    val docSets = shEx.groupBy("id").agg(sort_array(collect_list(col("h"))).as("hs"))
+    candidates
+      .join(docSets.select(col("id").as("d1"), col("hs").as("h1")), "d1")
+      .join(docSets.select(col("id").as("d2"), col("hs").as("h2")), "d2")
+      .withColumn("i", size(array_intersect(col("h1"), col("h2"))).cast("long"))
+      .withColumn("jaccard", col("i").cast("double") /
+        (size(col("h1")) + size(col("h2")) - col("i")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
   }
