@@ -133,9 +133,47 @@ object ScaleSoak {
       spark.read.parquet(s"$soakDir/documents.parquet"),
       spark.read.parquet(s"$soakDir/embeddings.parquet"))
 
+    // ── CDC core at 10×: bucketed SCD1 merge ──────────────────────────────
+    // The BucketedSnapshotTable contract is merge IO = O(affected buckets),
+    // and production sizing grows numBuckets with the table (4096 at
+    // 100 TB) so bucket SIZE stays constant. Under that sizing a
+    // trickle-CDC batch (10 keys → ≤10 buckets) must cost the SAME at any
+    // table size — the flat-merge property that makes the format viable at
+    // 100 TB. The full build is O(table) and should scale ~linearly.
+    def scdSoak(tag: String, mult: Int): Map[String, Double] = {
+      val base = graft.tables.Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      val orders =
+        if (mult == 1) base
+        else (0 until mult).map(i =>
+          base.withColumn("o_orderkey", col("o_orderkey") + i * 100000000L))
+          .reduce(_ unionByName _)
+      val work = java.nio.file.Files.createTempDirectory(s"soak-scd").toString
+      val t = new graft.tables.BucketedSnapshotTable(s"$work/t",
+        numBuckets = 64 * mult, keys = Seq("o_orderkey"))
+      val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      val (_, buildW) = time(s"$tag/bucketed_build") {
+        t.scd1Merge(spark, orders.withColumn("op_seq", lit(1)), "op_seq")
+      }
+      results("bucketed_build") = buildW
+      val batch = orders.limit(10)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+        .withColumn("op_seq", lit(2))
+        .localCheckpoint() // pin the batch: limit() is otherwise re-planned
+      val (touched, mergeW) = time(s"$tag/bucketed_merge_10keys") {
+        t.scd1Merge(spark, batch, "op_seq")
+      }
+      println(s"[soak]   buckets touched=${touched.size} of ${64 * mult}")
+      results("bucketed_merge_10keys") = mergeW
+      results.toMap
+    }
+    val scdSmall = scdSoak("sf0.1", 1)
+    val scdBig = scdSoak("sf1", 10)
+
     println(f"${"operator"}%-24s ${"sf0.1"}%8s ${"sf1"}%8s ${"ratio"}%7s")
-    small.keys.foreach { k =>
-      println(f"$k%-24s ${small(k)}%8.2f ${big(k)}%8.2f ${big(k) / small(k)}%7.2f")
+    (small.keys ++ scdSmall.keys).foreach { k =>
+      val (s, b) = (small.getOrElse(k, scdSmall(k)), big.getOrElse(k, scdBig(k)))
+      println(f"$k%-24s $s%8.2f $b%8.2f ${b / s}%7.2f")
     }
     spark.stop()
   }
