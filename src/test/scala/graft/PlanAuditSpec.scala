@@ -128,6 +128,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"expected ≤1 exchange (distinct), got $exchanges:\n${plan.take(1500)}")
   }
 
+  test("similarity verify legs use the array kernel, not a posting re-join") {
+    // Verification must stay at |candidates| ROWS: per-doc sorted shingle
+    // arrays + codegen'd array_intersect (Vernica/Carey/Li kernel). The
+    // posting-relation re-join it replaced expanded each candidate by the
+    // doc's full shingle set — 90% of a 390 s ppjoin soak run at 10×
+    // scale. Pin the kernel so a refactor can't quietly reintroduce the
+    // expansion.
+    val docs = graft.tables.Tables.documents(spark, dir)
+    for (df <- Seq(
+        graft.llm.Dedup.prefixJaccardPairs(docs, "doc_id", "text", 0.7),
+        graft.llm.Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.5))) {
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("array_intersect"), plan.take(1500))
+      assert(plan.contains("sort_array"), plan.take(1500))
+    }
+  }
+
   test("dynamic partition pruning: selective dim filter prunes fact partitions at runtime") {
     import org.apache.spark.sql.functions.{col, lit, count}
     val work = java.nio.file.Files.createTempDirectory("dpp").toString
