@@ -128,6 +128,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"expected ≤1 exchange (distinct), got $exchanges:\n${plan.take(1500)}")
   }
 
+  test("q236: per-source cap plans as WindowGroupLimit; q237 fuses to one documents scan") {
+    val p236 = planOf("q236_domain_caps")
+    assert(p236.contains("WindowGroupLimit"), p236.take(2000))
+    // all four scalar stages (lang-id, quality, fingerprint, token count)
+    // must fuse into a single pass over documents — one scan, no re-read
+    val df = SparkEntry.queries("q237_curation_pipeline")(spark, dir)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 1, s"expected 1 documents scan, got ${scans.size}")
+  }
+
   test("similarity verify legs use the array kernel, not a posting re-join") {
     // Verification must stay at |candidates| ROWS: per-doc sorted shingle
     // arrays + codegen'd array_intersect (Vernica/Carey/Li kernel). The
