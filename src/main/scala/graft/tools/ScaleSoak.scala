@@ -170,9 +170,54 @@ object ScaleSoak {
     val scdSmall = scdSoak("sf0.1", 1)
     val scdBig = scdSoak("sf1", 10)
 
+    // ── Events-analytics family at 10× (the reference's own operators) ───
+    // Copies offset BOTH event_id and user_id: 10× users with unchanged
+    // per-user event counts, so per-user windows/sessions/funnels see the
+    // same partition sizes and only the number of keys grows — the shape
+    // a 10× production corpus actually has (more users, not 10×-longer
+    // histories). All four are per-key window/join/agg plans that should
+    // scale ~linearly.
+    def eventsSoak(tag: String, mult: Int): Map[String, Double] = {
+      val base = graft.tables.Tables.events(spark, sfDir)
+      val ev = (if (mult == 1) base
+        else (0 until mult).map(i => base
+          .withColumn("event_id", col("event_id") + i * 100000000L)
+          .withColumn("user_id", col("user_id") + i * 100000000L))
+          .reduce(_ unionByName _)).localCheckpoint()
+      val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      def t(name: String)(f: => Long): Unit = {
+        val (rows, w) = time(s"$tag/$name")(f)
+        println(s"[soak]   rows=$rows")
+        results(name) = w
+      }
+      t("asof_join") {
+        val e = ev.select(col("event_id"), col("user_id"), col("ts"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("event_id").as("p_event_id"))
+        graft.plans.AsOfJoin.asofJoin(e, p, "user_id", "p_user", "ts", "p_ts").count()
+      }
+      t("funnel") {
+        graft.ops.Funnel.funnel(ev, "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase")).count()
+      }
+      t("sessionize") {
+        graft.ops.Funnel.sessionize(ev, "user_id", "ts", "event_id", 3600L)
+          .groupBy(col("user_id"), col("session")).agg(count(lit(1))).count()
+      }
+      t("latest_by_key") {
+        graft.ops.Relational.latestByKey(ev, Seq("user_id"), col("ts"),
+          Seq(col("event_id"))).count()
+      }
+      results.toMap
+    }
+    val evSmall = eventsSoak("sf0.1", 1)
+    val evBig = eventsSoak("sf1", 10)
+
     println(f"${"operator"}%-24s ${"sf0.1"}%8s ${"sf1"}%8s ${"ratio"}%7s")
-    (small.keys ++ scdSmall.keys).foreach { k =>
-      val (s, b) = (small.getOrElse(k, scdSmall(k)), big.getOrElse(k, scdBig(k)))
+    (small.keys ++ scdSmall.keys ++ evSmall.keys).foreach { k =>
+      val s = small.getOrElse(k, scdSmall.getOrElse(k, evSmall(k)))
+      val b = big.getOrElse(k, scdBig.getOrElse(k, evBig(k)))
       println(f"$k%-24s $s%8.2f $b%8.2f ${b / s}%7.2f")
     }
     spark.stop()
