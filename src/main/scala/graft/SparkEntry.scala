@@ -24,15 +24,12 @@ import graft.tables.Tables
 object SparkEntry {
 
   /** Queries deliberately shipped without a DuckDB oracle (driver records a
-    * rows-only check): ops whose semantics aren't ANSI-SQL-expressible —
-    * LSH bucketing (recall < 1 by construction) and sketch registers.
-    * (SimHash and BPE were converted to closed-form DuckDB replays in r4:
-    * md5-based portable token hash / unrolled greedy-merge rounds.) */
-  def rowsOnly: Set[String] =
-    Set("q30_ann_lsh", "q43_ann_ivf",
-      "q55_sketches", "q61_ann_ivf_kmeans",
-      "q93_vector_index", "q138_sketch_merge", "q146_ann_pq",
-      "q222_lsh_multiprobe")
+    * rows-only check). EMPTY since r6: the ANN family (q30/q43/q61/q93/
+    * q146/q222) is oracled via planted ground-truth nearest neighbors
+    * ([[plantedAnnCorpus]]) and the sketch family (q55/q138) via
+    * error-bound verdicts against exact counts — every gate query now has
+    * a DuckDB-replayable expected result. */
+  def rowsOnly: Set[String] = Set.empty
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -47,6 +44,29 @@ object SparkEntry {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
     try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** Planted-ground-truth ANN fixture (the q226 pattern, extended to the
+    * top-k family): every query vector (vec_id < 100) gets a SAME-DIRECTION
+    * scaled copy planted into the corpus at vec_id + 1000000. Positive
+    * scaling is cosine-invariant, so it preserves every hyperplane sign
+    * bit, every nearest-centroid assignment, and every PQ code EXACTLY
+    * (up to ~1e-15 fp noise, 9 orders of magnitude below any decision
+    * boundary here) — each ANN variant must therefore return the planted
+    * copy as top-1 with cos = 1.000000, making the expected result
+    * closed-form and DuckDB-replayable. A recall miss or ranking bug
+    * surfaces as a different neighbor_id at cos ≤ ~0.9 — a hash mismatch,
+    * not a silently-passing row count. Returns (queries, corpus), both
+    * with columns (vec_id, v: array<double>). */
+  private def plantedAnnCorpus(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val base = Tables.embeddings(s, dir)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val pert = base.filter($"vec_id" < 100)
+      .select(($"vec_id" + 1000000L).as("vec_id"),
+        transform($"v", x =>
+          x * (lit(1.0) + (pmod($"vec_id", lit(7)) + 1) * lit(1e-3))).as("v"))
+    (base.filter($"vec_id" < 100), base.unionByName(pert))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -413,13 +433,14 @@ object SparkEntry {
         .orderBy($"canonical_id")
     }),
 
-    // ── LLM-pipeline (rows-only): hyperplane-LSH approximate top-k — the
-    //    100 TB ANN path (bucketed search; recall < 1 by construction).
+    // ── LLM-pipeline: hyperplane-LSH approximate top-k — the 100 TB ANN
+    //    path (bucketed search). Oracled via planted ground truth: the
+    //    same-direction copy shares every sign bit with its query, so
+    //    LSH MUST find it at cos 1 — the expected top-1 is closed-form.
     "q30_ann_lsh" -> ((s, dir) => {
       import s.implicits._
-      val emb = Tables.embeddings(s, dir)
-      graft.llm.Similarity.lshTopK(
-          emb.filter($"vec_id" < 100), emb, "vec_id", "embedding", 1, numPlanes = 4)
+      val (queries, corpus) = plantedAnnCorpus(s, dir)
+      graft.llm.Similarity.lshTopK(queries, corpus, "vec_id", "v", 1, numPlanes = 4)
         .select($"query_id", $"neighbor_id", round($"cos", 6).as("cos"))
         .orderBy($"query_id")
     }),
@@ -705,18 +726,19 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
-    // ── LLM-pipeline (rows-only): multi-probe LSH recall pin — one row
-    //    comparing single-probe vs Hamming-1 multi-probe recall@1 against
-    //    brute force on the fixtures; multi_ge_single must be true (floor
-    //    quantified in LlmOpsSpec). LSH bucketing has no SQL equivalent.
+    // ── LLM-pipeline: multi-probe LSH recall pin — one row comparing
+    //    single-probe vs Hamming-1 multi-probe recall@1 against brute
+    //    force. With planted ground truth both probes MUST find every
+    //    query's same-bucket planted copy, so the whole row is
+    //    closed-form (n = hits = |queries|); a bucketing or multi-probe
+    //    regression breaks the hash. Floor also quantified in LlmOpsSpec.
     "q222_lsh_multiprobe" -> ((s, dir) => {
       import s.implicits._
-      val emb = Tables.embeddings(s, dir)
-      val queries = emb.filter($"vec_id" < 100)
-      val brute = graft.llm.Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 1)
+      val (queries, corpus) = plantedAnnCorpus(s, dir)
+      val brute = graft.llm.Similarity.bruteForceTopK(queries, corpus, "vec_id", "v", 1)
         .select($"query_id", $"cos".as("bcos"))
       def top1(multi: Boolean) = graft.llm.Similarity
-        .lshTopK(queries, emb, "vec_id", "embedding", 1, numPlanes = 6, multiProbe = multi)
+        .lshTopK(queries, corpus, "vec_id", "v", 1, numPlanes = 6, multiProbe = multi)
       brute
         .join(top1(false).select($"query_id", $"cos".as("scos")), Seq("query_id"), "left")
         .join(top1(true).select($"query_id", $"cos".as("mcos")), Seq("query_id"), "left")
@@ -868,13 +890,14 @@ object SparkEntry {
         .orderBy($"l_returnflag")
     }),
 
-    // ── LLM-pipeline (rows-only): IVF-bucketed approximate top-k — the
-    //    centroid-cell ANN path (probe nProbe cells per query).
+    // ── LLM-pipeline: IVF-bucketed approximate top-k — the centroid-cell
+    //    ANN path (probe nProbe cells per query). Oracled via planted
+    //    ground truth: the scaled copy lands in its query's top-1 cell
+    //    (cosine-to-centroid is scale-invariant), within the probe set.
     "q43_ann_ivf" -> ((s, dir) => {
       import s.implicits._
-      val emb = Tables.embeddings(s, dir)
-      graft.llm.Similarity.ivfTopK(
-          emb.filter($"vec_id" < 100), emb, "vec_id", "embedding", 1,
+      val (queries, corpus) = plantedAnnCorpus(s, dir)
+      graft.llm.Similarity.ivfTopK(queries, corpus, "vec_id", "v", 1,
           nCentroids = 16, nProbe = 4)
         .select($"query_id", $"neighbor_id", round($"cos", 6).as("cos"))
         .orderBy($"query_id")
@@ -1030,16 +1053,38 @@ object SparkEntry {
         .orderBy($"event_type")
     }),
 
-    // ── 2.6 scale (rows-only): sketch aggregates — HyperLogLog++ distinct
-    //    counts and approximate percentiles, the fixed-memory forms a
-    //    100 TB aggregation actually uses.
+    // ── 2.6 scale: sketch aggregates — HyperLogLog++ distinct counts and
+    //    approximate percentiles, the fixed-memory forms a 100 TB
+    //    aggregation actually uses. Oracled via error-bound verdicts: the
+    //    exact counts are DuckDB-replayable and the booleans assert the
+    //    sketches landed within their published error (HLL++ rsd 1% →
+    //    3σ = 3%; percentile accuracy 1000 → 0.1% rank error, checked at
+    //    a 1% tolerance) — a broken sketch is off by far more and flips
+    //    the boolean into a hash mismatch.
     "q55_sketches" -> ((s, dir) => {
       import s.implicits._
-      Tables.events(s, dir)
-        .groupBy($"event_type")
+      val e = Tables.events(s, dir)
+      val sk = e.groupBy($"event_type")
         .agg(
           approx_count_distinct($"user_id", rsd = 0.01).as("approx_users"),
-          percentile_approx($"value", lit(0.5), lit(1000)).as("approx_p50"))
+          countDistinct($"user_id").as("exact_users"),
+          percentile_approx($"value", lit(0.5), lit(1000)).as("p50"))
+      // rank audit of the approximate median: one more pass over events
+      // joined to the tiny per-type sketch row (broadcast) — the fraction
+      // of values strictly below / at-or-below p50 must straddle 0.5
+      // within tolerance
+      e.join(broadcast(sk), "event_type")
+        .groupBy($"event_type")
+        .agg(
+          first($"exact_users").as("exact_users"),
+          first($"approx_users").as("approx_users"),
+          count(lit(1)).as("n"),
+          count(when($"value" < $"p50", 1)).as("n_lt"),
+          count(when($"value" <= $"p50", 1)).as("n_le"))
+        .select($"event_type", $"exact_users",
+          (abs($"approx_users" - $"exact_users") <=
+            greatest(lit(3.0), $"exact_users" * 0.03)).as("users_ok"),
+          ($"n_lt" <= $"n" * 0.51 && $"n_le" >= $"n" * 0.49).as("p50_ok"))
         .orderBy($"event_type")
     }),
 
@@ -1384,7 +1429,10 @@ object SparkEntry {
     //    (source, lang) slice into a binary sketch, PERSIST the sketches,
     //    then answer distinct-count rollups from the stored sketches alone
     //    (hll_union_agg) — at 100 TB, daily cardinality dashboards stay
-    //    O(#sketches), never rescanning the corpus.
+    //    O(#sketches), never rescanning the corpus. Oracled via an
+    //    error-bound verdict: lgK=14 → rsd ≈ 0.81%, the merged estimate
+    //    must land within 3% (+3 absolute slack) of DuckDB's exact
+    //    per-source distinct count or the boolean flips the hash.
     "q138_sketch_merge" -> ((s, dir) => {
       import s.implicits._
       val work = java.nio.file.Files.createTempDirectory("sketch").toString
@@ -1393,9 +1441,15 @@ object SparkEntry {
         .agg(expr("hll_sketch_agg(doc_id, 14)").as("sk"), count(lit(1)).as("n"))
         .write.mode("overwrite").parquet(s"$work/sketches")
       val sk = s.read.parquet(s"$work/sketches")
-      sk.groupBy($"source")
-        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("distinct_docs"),
+      val merged = sk.groupBy($"source")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("est"),
           sum($"n").as("n_docs"))
+      val exact = Tables.documents(s, dir).groupBy($"source")
+        .agg(countDistinct($"doc_id").as("exact_docs"))
+      merged.join(exact, "source")
+        .select($"source", $"exact_docs", $"n_docs",
+          (abs($"est" - $"exact_docs") <=
+            greatest(lit(3.0), $"exact_docs" * 0.03)).as("est_ok"))
         .orderBy($"source")
     }),
 
@@ -1757,18 +1811,21 @@ object SparkEntry {
         .orderBy($"node")
     }),
 
-    // ── LLM-pipeline (rows-only): product-quantized ANN — train per-
-    //    subspace codebooks, encode the corpus to 16 4-bit codes, rank by
-    //    ADC table lookups over CODES (64× smaller than the vectors),
-    //    exact-rerank the shortlist.
+    // ── LLM-pipeline: product-quantized ANN — train per-subspace
+    //    codebooks, encode the corpus to 16 4-bit codes, rank by ADC
+    //    table lookups over CODES (64× smaller than the vectors),
+    //    exact-rerank the shortlist. Oracled via planted ground truth:
+    //    the scaled copy unit-normalizes to the query's exact direction,
+    //    so its PQ codes maximize the query's ADC table per subspace —
+    //    it tops the shortlist and exact-reranks to score 1.000000.
     "q146_ann_pq" -> ((s, dir) => {
       import s.implicits._
-      val emb = Tables.embeddings(s, dir)
-      val cents = graft.llm.ProductQuantizer.train(emb, "vec_id", "embedding",
+      val (queries, corpus) = plantedAnnCorpus(s, dir)
+      val cents = graft.llm.ProductQuantizer.train(corpus, "vec_id", "v",
         m = 16, iters = 2)
-      val codes = graft.llm.ProductQuantizer.encode(emb, cents, "vec_id", "embedding", m = 16)
+      val codes = graft.llm.ProductQuantizer.encode(corpus, cents, "vec_id", "v", m = 16)
       graft.llm.ProductQuantizer.adcTopK(
-          emb.filter($"vec_id" < 100), emb, cents, codes, "vec_id", "embedding",
+          queries, corpus, cents, codes, "vec_id", "v",
           k = 1, m = 16, rerank = 100)
         .orderBy($"query_id")
     }),
@@ -1896,14 +1953,13 @@ object SparkEntry {
         .orderBy($"l_returnflag", $"l_linestatus")
     }),
 
-    // ── LLM-pipeline (rows-only): IVF ANN with spherical-k-means-TRAINED
-    //    centroids (2 Lloyd's iterations) — tighter cells than the hash
-    //    seed of q43, same probe geometry.
+    // ── LLM-pipeline: IVF ANN with spherical-k-means-TRAINED centroids
+    //    (2 Lloyd's iterations) — tighter cells than the hash seed of
+    //    q43, same probe geometry. Same planted-ground-truth oracle.
     "q61_ann_ivf_kmeans" -> ((s, dir) => {
       import s.implicits._
-      val emb = Tables.embeddings(s, dir)
-      graft.llm.Similarity.ivfTopK(
-          emb.filter($"vec_id" < 100), emb, "vec_id", "embedding", 1,
+      val (queries, corpus) = plantedAnnCorpus(s, dir)
+      graft.llm.Similarity.ivfTopK(queries, corpus, "vec_id", "v", 1,
           nCentroids = 16, nProbe = 4, trainIters = 2)
         .select($"query_id", $"neighbor_id", round($"cos", 6).as("cos"))
         .orderBy($"query_id")
@@ -2181,9 +2237,20 @@ object SparkEntry {
       // path, so bench shouldn't re-pay the two bucketed merge rewrites
       // every invocation. A `_built` marker written after the last merge
       // guards against a half-built cache from a crashed run.
+      // Key by sf-dir basename + the FULL mtime value (not a 32-bit
+      // hashCode): a hash collision or an mtime-preserving regeneration
+      // must never serve a stale bucketed table to an oracle-compared query.
       val srcMtime = new java.io.File(s"$dir/orders.parquet").lastModified
-      val key = java.lang.Integer.toHexString((dir + ":" + srcMtime).hashCode)
-      val work = s"${System.getProperty("java.io.tmpdir")}/graft_q109_$key"
+      val base0 = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+      val work = s"${System.getProperty("java.io.tmpdir")}/graft_q109_${base0}_$srcMtime"
+      // Concurrent builders are TOLERATED, not excluded: the table's own
+      // CommitLock serializes manifest commits, both merges are idempotent
+      // (same keys, same op_seq ⇒ same post-state), and `_built` is
+      // written only after the second merge — a racer at worst repeats a
+      // merge, never corrupts. (A stage-and-rename scheme is NOT usable
+      // here: stats manifests key files by absolute path, so a renamed
+      // table would prune every file.) A crashed half-build has no
+      // `_built` and is simply re-merged to the same fixpoint.
       val t = new graft.tables.BucketedSnapshotTable(s"$work/t", numBuckets = 8,
         keys = Seq("o_orderkey"), statsCols = Seq("o_orderdate"))
       val builtMarker = new java.io.File(s"$work/_built")
@@ -2519,17 +2586,18 @@ object SparkEntry {
         .orderBy($"event_type")
     }),
 
-    // ── LLM-pipeline (rows-only): PERSISTENT vector index — IVF cells as
-    //    a hive-partitioned parquet layout; search scans only the probed
-    //    cell dirs (partition pruning = the on-disk ANN path). Recall < 1
-    //    by construction; bounds + pruning asserted in LlmOpsSpec.
+    // ── LLM-pipeline: PERSISTENT vector index — IVF cells as a
+    //    hive-partitioned parquet layout; search scans only the probed
+    //    cell dirs (partition pruning = the on-disk ANN path). Oracled
+    //    via planted ground truth through the full build→write→search
+    //    round-trip (pruning bounds asserted in LlmOpsSpec).
     "q93_vector_index" -> ((s, dir) => {
       import s.implicits._
       val work = java.nio.file.Files.createTempDirectory("vecidx").toString
-      val emb = Tables.embeddings(s, dir)
+      val (queries, corpus) = plantedAnnCorpus(s, dir)
       val idx = new graft.llm.VectorIndex(s"$work/idx")
-      idx.build(s, emb, "vec_id", "embedding", nCentroids = 16, trainIters = 1)
-      idx.search(s, emb.filter($"vec_id" < 100), "vec_id", "embedding", 1, nProbe = 4)
+      idx.build(s, corpus, "vec_id", "v", nCentroids = 16, trainIters = 1)
+      idx.search(s, queries, "vec_id", "v", 1, nProbe = 4)
         .select($"query_id", $"neighbor_id", round($"cos", 6).as("cos"))
         .orderBy($"query_id")
     }),
@@ -4368,6 +4436,53 @@ object SparkEntry {
         |FROM u a JOIN u b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.99
         |ORDER BY d1, d2""".stripMargin,
+
+    // ── ANN family: planted ground truth (see plantedAnnCorpus). The
+    //    planted same-direction copy at vec_id+1000000 is provably the
+    //    top-1 neighbor of every query at cosine exactly 1 (scale
+    //    invariance), so the expected result needs no similarity search
+    //    at all — just the closed-form row per query.
+    "q30_ann_lsh" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+        |  CAST(1 AS DOUBLE) AS cos
+        |FROM embeddings WHERE vec_id < 100 ORDER BY query_id""".stripMargin,
+
+    "q43_ann_ivf" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+        |  CAST(1 AS DOUBLE) AS cos
+        |FROM embeddings WHERE vec_id < 100 ORDER BY query_id""".stripMargin,
+
+    "q61_ann_ivf_kmeans" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+        |  CAST(1 AS DOUBLE) AS cos
+        |FROM embeddings WHERE vec_id < 100 ORDER BY query_id""".stripMargin,
+
+    "q93_vector_index" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+        |  CAST(1 AS DOUBLE) AS cos
+        |FROM embeddings WHERE vec_id < 100 ORDER BY query_id""".stripMargin,
+
+    "q146_ann_pq" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+        |  CAST(1 AS DOUBLE) AS score
+        |FROM embeddings WHERE vec_id < 100 ORDER BY query_id""".stripMargin,
+
+    "q222_lsh_multiprobe" ->
+      """SELECT COUNT(*) AS n_queries, COUNT(*) AS single_hits,
+        |  COUNT(*) AS multi_hits, TRUE AS multi_ge_single
+        |FROM embeddings WHERE vec_id < 100""".stripMargin,
+
+    // ── Sketch family: error-bound verdicts — exact counts from DuckDB,
+    //    booleans assert the sketch landed within its published error.
+    "q55_sketches" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        |  TRUE AS users_ok, TRUE AS p50_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q138_sketch_merge" ->
+      """SELECT source, COUNT(DISTINCT doc_id) AS exact_docs,
+        |  COUNT(*) AS n_docs, TRUE AS est_ok
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q223_int8_quantization" ->
       """WITH q AS (

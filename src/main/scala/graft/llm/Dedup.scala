@@ -291,8 +291,13 @@ object Dedup {
     val cand = prefix.alias("a").join(prefix.alias("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
           col("a.n") >= t * col("b.n") && col("b.n") >= t * col("a.n") &&
+          // ceil over an FP product can round UP by 1 ulp at exact-threshold
+          // boundaries (t/(1+t)·(n1+n2) landing a hair above an integer) and
+          // wrongly drop a pair with Jaccard == threshold; the 1e-9 slack
+          // keeps the bound exactness-preserving (it can only ADMIT an extra
+          // candidate, which exact verification then rejects).
           (lit(1) + least(col("a.n") - col("a.r"), col("b.n") - col("b.r"))) >=
-            ceil(t / (t + 1) * (col("a.n") + col("b.n"))))
+            ceil(t / (t + 1) * (col("a.n") + col("b.n")) - lit(1e-9)))
       .select(col("a.id").as("d1"), col("b.id").as("d2"))
       .distinct()
     // Exact verification with per-doc sorted shingle arrays and a

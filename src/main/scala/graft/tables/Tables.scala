@@ -40,7 +40,12 @@ object Tables {
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _                => raw // already session TimestampType
+      case TimestampType    => raw
+      case other =>
+        throw new IllegalStateException(
+          s"SCHEMA_DRIFT: events.ts has unrecognized storage type $other " +
+            s"(expected raw-nanos LONG, TIMESTAMP_NTZ, or TIMESTAMP); " +
+            s"the testdata generator changed encodings again — extend Tables.events")
     }
   }
 
@@ -71,8 +76,13 @@ object Tables {
         // wall time, matching the generator. Pushes down natively.
         raw.filter(col("ts") > lit(watermarkUtc).cast(TimestampNTZType))
           .withColumn("ts", col("ts").cast(TimestampType))
-      case _ =>
+      case TimestampType =>
         raw.filter(col("ts") > expr(s"timestamp_micros(${micros}L)"))
+      case other =>
+        throw new IllegalStateException(
+          s"SCHEMA_DRIFT: events.ts has unrecognized storage type $other " +
+            s"(expected raw-nanos LONG, TIMESTAMP_NTZ, or TIMESTAMP); " +
+            s"the testdata generator changed encodings again — extend Tables.eventsSince")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
