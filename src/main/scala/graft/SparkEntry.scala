@@ -311,6 +311,37 @@ object SparkEntry {
         .orderBy($"user_id", $"event_type")
     }),
 
+    // ── §1.1 asymmetry pin: the reference ships DimArtist SILVER-ONLY (it
+    //    lands in silver but no gold DLT module exists for it,
+    //    silver_Dimensions.py:70-74 vs the DLT folder). The engine models
+    //    that as MedallionTable(goldEnabled = false) — config, not
+    //    special-casing. This query runs a medallion with a silver-only
+    //    table, probes it through the registered silver CATALOG name (the
+    //    reference's exploration-SQL surface), and pins gold absence as a
+    //    hashed boolean: a regression that starts gold-materializing the
+    //    table (or stops landing silver) breaks the oracle.
+    "q238_silver_only_dim" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("silveronly").toString
+      val med = new graft.pipeline.Medallion(work)
+      med.run(s,
+        Seq(graft.pipeline.MedallionTable(
+          spec = graft.ingest.TableSpec("main", "artists", "ts"),
+          silverTransform = df => df.withColumn("event_type", upper($"event_type")),
+          keys = Seq("user_id"),
+          scdType = 1,
+          goldEnabled = false)),
+        _ => { Tables.events(s, dir).coalesce(8).write.mode("overwrite").parquet(s"$work/source"); s"$work/source" },
+        runTs = "r1")
+      val goldAbsent = !new java.io.File(s"${med.goldDir}/artists").exists &&
+        !s.catalog.tableExists("graft_gold.artists")
+      s.sql("""SELECT event_type, COUNT(*) AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+               FROM graft_silver.artists GROUP BY event_type""")
+        .withColumn("gold_absent", lit(goldAbsent))
+        .orderBy($"event_type")
+    }),
+
     // ── S3+C1+C2/2.10: genuine Structured Streaming file ingest with
     //    AvailableNow + checkpoint (Autoloader parity), aggregated after
     //    the drain completes.
@@ -458,6 +489,29 @@ object SparkEntry {
         pmod($"doc_id", lit(256)).cast("int").as("g"))
       graft.llm.Multimodal.decodeImage(
           graft.llm.Multimodal.syntheticBmp(fixtures, "w", "h", "g"), "content")
+        .select($"doc_id",
+          $"decoded_width".cast("long").as("width"),
+          $"decoded_height".cast("long").as("height"),
+          round($"decoded_mean_luma", 6).as("mean_luma"),
+          $"decoded_real".as("is_real"))
+        .orderBy($"doc_id")
+    }),
+
+    // ── LLM-pipeline: REAL PNG decode (VERDICT r5 #5) — a deterministic
+    //    two-gray checkerboard PNG per document goes through ImageIO's
+    //    PNG reader (DEFLATE + scanline unfiltering — a different decoder
+    //    than q31's uncompressed BMP walker); PNG is lossless so the
+    //    decoded mean luma is closed-form for the oracle.
+    "q239_multimodal_png" -> ((s, dir) => {
+      import s.implicits._
+      val fixtures = Tables.documents(s, dir).select($"doc_id",
+        (lit(9) + pmod($"doc_id", lit(11))).cast("int").as("w"),
+        (lit(7) + pmod($"doc_id", lit(5))).cast("int").as("h"),
+        pmod($"doc_id", lit(256)).cast("int").as("g1"),
+        pmod($"doc_id" * 7 + 13, lit(256)).cast("int").as("g2"))
+      graft.llm.Multimodal.decodeImage(
+          graft.llm.Multimodal.syntheticCheckerPng(fixtures, "w", "h", "g1", "g2"),
+          "content")
         .select($"doc_id",
           $"decoded_width".cast("long").as("width"),
           $"decoded_height".cast("long").as("height"),
@@ -4532,6 +4586,24 @@ object SparkEntry {
         |round((doc_id % 256) / 255.0, 6) AS mean_luma,
         |TRUE AS is_real
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // checkerboard: ⌈wh/2⌉ pixels of g1 (even x+y parity), ⌊wh/2⌋ of g2.
+    "q239_multimodal_png" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    9 + doc_id % 11 AS w, 7 + doc_id % 5 AS h,
+        |    doc_id % 256 AS g1, (doc_id * 7 + 13) % 256 AS g2
+        |  FROM documents)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  round(((w*h+1)//2 * g1 + (w*h)//2 * g2) / (255.0 * w * h), 6) AS mean_luma,
+        |  TRUE AS is_real
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q238_silver_only_dim" ->
+      """SELECT UPPER(event_type) AS event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  TRUE AS gold_absent
+        |FROM events GROUP BY UPPER(event_type) ORDER BY event_type""".stripMargin,
 
     "q32_udf_distance" ->
       """SELECT event_id, value * 1.60934 AS km_expr, value * 1.60934 AS km_udf

@@ -137,6 +137,47 @@ object Multimodal {
     }(enc)
   }
 
+  /** Synthesize a two-gray checkerboard PNG payload per row — the
+    * PNG-codec fixture (the BMP fixture exercises only ImageIO's
+    * uncompressed-BMP walker; PNG goes through DEFLATE decompression and
+    * scanline unfiltering, a genuinely different decoder). The checker
+    * keeps mean luma closed-form: pixel (x,y) is g1 when (x+y) is even
+    * else g2, so an oracle recomputes
+    * `(⌈wh/2⌉·g1 + ⌊wh/2⌋·g2) / (255·wh)` exactly. PNG is lossless, so
+    * the decode must return these exact pixels. Partition-batched like
+    * every media kernel. */
+  def syntheticCheckerPng(df: DataFrame, widthCol: String, heightCol: String,
+      g1Col: String, g2Col: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("content", BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val (wi, hi, g1i, g2i) = (df.schema.fieldIndex(widthCol),
+      df.schema.fieldIndex(heightCol), df.schema.fieldIndex(g1Col),
+      df.schema.fieldIndex(g2Col))
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val w = r.getInt(wi); val h = r.getInt(hi)
+        val g1 = r.getInt(g1i) & 0xff; val g2 = r.getInt(g2i) & 0xff
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb1 = (g1 << 16) | (g1 << 8) | g1
+        val rgb2 = (g2 << 16) | (g2 << 8) | g2
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, if (((x + y) & 1) == 0) rgb1 else rgb2)
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        Row.fromSeq(r.toSeq :+ baos.toByteArray)
+      }
+    }(enc)
+  }
+
   /** REAL decode kernel: JDK ImageIO (PNG/BMP/GIF/JPEG). Emits decoded
     * width/height and mean Rec.601 luma in [0,1]; payloads ImageIO cannot
     * decode get the [[decodeStub]] fake instead, flagged `decoded_real =

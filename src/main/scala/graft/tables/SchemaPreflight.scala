@@ -32,6 +32,62 @@ object SchemaPreflight {
       }
     }.toMap
 
+    // Adapter assumption 0 (r6, VERDICT r5 #8): every gate-query column of
+    // every table keeps its TYPE FAMILY. Families, not exact types, so a
+    // harmless width change (int32→int64) passes while the kind of drift
+    // that breaks query semantics (double→decimal, string→binary,
+    // timestamp→string) fails as ONE named line listing every drifted
+    // column. Extra columns are tolerated (queries select by name);
+    // missing columns are drift.
+    val integral = Set[DataType](ByteType, ShortType, IntegerType, LongType)
+    val fractional = Set[DataType](FloatType, DoubleType)
+    val str = Set[DataType](StringType)
+    // LongType: the raw-nanos legacy encoding events.ts used in r1–r3
+    val tstamp = Set[DataType](TimestampType, TimestampNTZType, LongType)
+    val expected: Map[String, Map[String, Set[DataType]]] = Map(
+      "region" -> Map("r_regionkey" -> integral, "r_name" -> str),
+      "nation" -> Map("n_nationkey" -> integral, "n_name" -> str,
+        "n_regionkey" -> integral),
+      "customer" -> Map("c_custkey" -> integral, "c_name" -> str,
+        "c_nationkey" -> integral, "c_acctbal" -> fractional,
+        "c_mktsegment" -> str),
+      "supplier" -> Map("s_suppkey" -> integral, "s_name" -> str,
+        "s_nationkey" -> integral, "s_acctbal" -> fractional),
+      "part" -> Map("p_partkey" -> integral, "p_name" -> str,
+        "p_brand" -> str, "p_type" -> str, "p_size" -> integral,
+        "p_retailprice" -> fractional),
+      "orders" -> Map("o_orderkey" -> integral, "o_custkey" -> integral,
+        "o_orderstatus" -> str, "o_totalprice" -> fractional,
+        "o_orderdate" -> tstamp, "o_orderpriority" -> str),
+      "lineitem" -> Map("l_orderkey" -> integral, "l_partkey" -> integral,
+        "l_suppkey" -> integral, "l_linenumber" -> integral,
+        "l_quantity" -> fractional, "l_extendedprice" -> fractional,
+        "l_discount" -> fractional, "l_tax" -> fractional,
+        "l_returnflag" -> str, "l_linestatus" -> str,
+        "l_shipdate" -> tstamp),
+      "events" -> Map("event_id" -> integral, "ts" -> tstamp,
+        "user_id" -> integral, "event_type" -> str, "value" -> fractional,
+        "props" -> str),
+      "documents" -> Map("doc_id" -> integral, "text" -> str,
+        "lang" -> str, "source" -> str, "n_chars" -> integral),
+      "embeddings" -> Map("vec_id" -> integral, "label" -> integral))
+    val drift = for {
+      (t, cols) <- expected.toSeq.sortBy(_._1)
+      sch <- schemas.get(t).toSeq
+      (c, fams) <- cols.toSeq.sortBy(_._1)
+      problem <- sch.fields.find(_.name == c) match {
+        case None => Some(s"$t.$c: MISSING")
+        case Some(f) if !fams.contains(f.dataType) =>
+          Some(s"$t.$c: ${f.dataType.simpleString} (expected one of " +
+            s"${fams.map(_.simpleString).toSeq.sorted.mkString("/")})")
+        case _ => None
+      }
+    } yield problem
+    if (drift.nonEmpty) throw new IllegalStateException(
+      s"SCHEMA_DRIFT: testdata regeneration changed ${drift.size} column(s) — " +
+        drift.mkString("; ") +
+        " — update the adapters/pins in graft/tables before trusting any query")
+
     // Adapter assumption 1: Tables.events handles exactly these ts encodings.
     schemas.get("events").foreach { sch =>
       val ts = sch("ts").dataType

@@ -23,6 +23,18 @@ class SchemaPreflightSpec extends AnyFunSuite {
     assert(e.getMessage.contains("events.ts"))
   }
 
+  test("any table's column retype throws a named SCHEMA_DRIFT line (r6: all 10 pinned)") {
+    val dir = java.nio.file.Files.createTempDirectory("preflight3").toString
+    // l_quantity regenerated as string — the family pin must name it
+    Seq((1L, "5")).toDF("l_orderkey", "l_quantity")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val e = intercept[IllegalStateException](SchemaPreflight.check(spark, dir))
+    assert(e.getMessage.contains("SCHEMA_DRIFT"))
+    assert(e.getMessage.contains("l_quantity"))
+    // dropped columns are drift too, reported in the same line
+    assert(e.getMessage.contains("l_partkey: MISSING"))
+  }
+
   test("embeddings with a non-float vector element throws SCHEMA_DRIFT") {
     val dir = java.nio.file.Files.createTempDirectory("preflight2").toString
     Seq((1L, Array("a", "b"))).toDF("vec_id", "embedding")
