@@ -238,8 +238,13 @@ final class BucketedSnapshotTable(
       if (committed) done = true
       else {
         attempt += 1
-        if (attempt > 5) throw new java.util.ConcurrentModificationException(
-          s"BucketedSnapshotTable $root: merge lost the commit race 5 times — giving up")
+        if (attempt > 12) throw new java.util.ConcurrentModificationException(
+          s"BucketedSnapshotTable $root: merge lost the commit race 12 times — giving up")
+        // jittered backoff so N symmetric racers don't re-stage in lockstep
+        // (each loser pays a full re-stage; desynchronizing them lets one
+        // winner land per staging window instead of all colliding again)
+        Thread.sleep(math.min(50L * attempt, 500L) +
+          java.util.concurrent.ThreadLocalRandom.current().nextLong(50))
       }
     }
     affected

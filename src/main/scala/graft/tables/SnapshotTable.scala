@@ -323,6 +323,32 @@ final class SnapshotTable(val root: String,
     * `txnAppId`/`txnVersion`). An empty table bootstraps from the first
     * append. */
   def appendTxn(spark: SparkSession, df: DataFrame, txn: Option[(String, Long)]): Int = {
+    // A blind append NEVER logically conflicts (Delta's rule: concurrent
+    // appends commute) — a version moving between our pre-lock read and
+    // the in-lock re-check only invalidates the PHYSICAL staging (column
+    // order / hive partitioning were derived from the old version), so the
+    // correct response is re-stage + re-commit, not surfacing the spurious
+    // conflict to the caller. Bounded jittered retries; read-modify-write
+    // paths ([[writeIf]]) deliberately DON'T retry — their caller must
+    // re-derive the payload from the new state. Cross-process contention
+    // is pinned by CrossProcessContentionSpec (two JVMs racing appends).
+    val MaxAttempts = 16
+    var attempt = 1
+    while (true) {
+      try return appendTxnOnce(spark, df, txn)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= MaxAttempts) throw e
+          Thread.sleep(math.min(50L * attempt, 500L) +
+            java.util.concurrent.ThreadLocalRandom.current().nextLong(50))
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def appendTxnOnce(
+      spark: SparkSession, df: DataFrame, txn: Option[(String, Long)]): Int = {
     val f = fs(spark)
     // fast-path skip outside the lock (authoritative re-check inside)
     if (txn.exists { case (app, batch) => lastTxn(spark, app).exists(_ >= batch) })
