@@ -3641,6 +3641,24 @@ object SparkEntry {
         .orderBy($"id")
     }),
 
+    // ── LLM-pipeline: BPE inference through the VOCAB-SCALE path —
+    //    capped local train + broadcast-rank-map kernel tokenization
+    //    (encodeAtScale: one hash probe per corpus row, no per-merge
+    //    column folds). Same oracle as q194: at full vocabCap both
+    //    trainers and both encoders are provably identical, so the
+    //    32k-merge-shaped machinery is held to the exact answer.
+    "q240_bpe_encode_scale" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val merges = graft.llm.BpeTrainer
+        .trainCapped(docs, "text", numMerges = 12, vocabCap = 10000000)
+        .orderBy($"step")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.llm.BpeTrainer.encodeAtScale(docs, "doc_id", "text", merges)
+        .select($"id", $"n_tokens")
+        .orderBy($"id")
+    }),
+
     // ── Exact percentile bands (Stats.percentileDisc): p25/50/75/90 per
     //    line status — the division-free half-total rule generalized;
     //    integer comparisons end to end.
@@ -4375,6 +4393,20 @@ object SparkEntry {
     // back onto the word-exploded documents (the same hash-probe shape the
     // Spark encode uses).
     "q194_bpe_encode" ->
+      (bpeOracleRounds(12) +
+        """,
+          |wc AS MATERIALIZED (
+          |  SELECT w, len(string_split(substr(s, 2, length(s) - 2), chr(1)||chr(1))) AS ntoks
+          |  FROM w12)
+          |SELECT d.doc_id AS id, CAST(SUM(wc.ntoks) AS INTEGER) AS n_tokens
+          |FROM (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS w
+          |      FROM documents) d
+          |JOIN wc USING (w)
+          |GROUP BY d.doc_id ORDER BY id""".stripMargin),
+
+    // identical expected result to q194 — the scale path must match the
+    // reference path bit-for-bit at full vocabCap
+    "q240_bpe_encode_scale" ->
       (bpeOracleRounds(12) +
         """,
           |wc AS MATERIALIZED (

@@ -328,7 +328,10 @@ object Dedup {
     * on 8-byte ids, no driver-side graph, each round one shuffle on the
     * edge key. Rounds needed = cluster diameter, which for near-dup
     * clusters is tiny (they are near-cliques); `maxIters` bounds
-    * pathological chains. Labels are `localCheckpoint`ed per round so the
+    * pathological chains. Cost bound: rounds × O(|E|) shuffled rows —
+    * LINEAR in |E| at fixed diameter, pinned empirically through 100×
+    * planted edges in ScaleSoak (constant-diameter stars isolate the
+    * |E| term from round growth). Labels are `localCheckpoint`ed per round so the
     * plan does not grow with iterations (lineage cut — the standard
     * iterative-algorithm pattern, same as GraphX/Pregel).
     *

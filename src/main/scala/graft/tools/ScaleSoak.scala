@@ -117,6 +117,13 @@ object ScaleSoak {
       t("cosine_neardup_pairs") {
         graft.llm.Similarity.simhashCosinePairs(embD, "vec_id", "v", threshold = 0.99).count()
       }
+      t("bpe_train_capped") {
+        // vocab-scale trainer (VERDICT r5 #4): one distributed word-count
+        // + capped local fit — must be ~flat at 10× corpus (the merge
+        // loop never sees corpus size, only the word-count agg does)
+        graft.llm.BpeTrainer.trainCapped(docs, "text", numMerges = 32,
+          vocabCap = 50000).count()
+      }
       t("pq_train_encode_adc") {
         val cents = graft.llm.ProductQuantizer.train(emb, "vec_id", "embedding", m = 16, iters = 2)
         val codes = graft.llm.ProductQuantizer.encode(emb, cents, "vec_id", "embedding", m = 16)
@@ -214,6 +221,28 @@ object ScaleSoak {
     }
     val evSmall = eventsSoak("sf0.1", 1)
     val evBig = eventsSoak("sf1", 10)
+
+    // ── connected components at 10× and 100× planted edges ──────────────
+    // Pins the cost bound documented on Dedup.connectedComponents: each
+    // round is ONE bounded shuffle of O(|E|) rows and rounds = component
+    // diameter. The planted graph fixes the diameter (4-node stars — the
+    // near-clique shape real near-dup clusters have), so total cost must
+    // stay ~LINEAR in |E| through 100×. (The docs-derived soak above
+    // conflates edge growth with round growth; this isolates |E|.)
+    def ccSoak(mult: Int): Double = {
+      val E = 30000L * mult
+      val edges = spark.range(E).select(
+          ((col("id") / 3) * 4).as("src"),
+          ((col("id") / 3) * 4 + (col("id") % 3) + 1).as("dst"))
+        .localCheckpoint()
+      val (comps, w) = time(s"${mult}x/cc_planted_${E}e") {
+        graft.llm.Dedup.connectedComponents(edges, "src", "dst").count()
+      }
+      println(s"[soak]   labeled nodes=$comps")
+      w
+    }
+    val cc1 = ccSoak(1); val cc10 = ccSoak(10); val cc100 = ccSoak(100)
+    println(f"[soak] planted-CC linearity: 10x=${cc10 / cc1}%.2f 100x=${cc100 / cc1}%.2f (vs 10/100 if perfectly linear, minus fixed per-round overhead)")
 
     println(f"${"operator"}%-24s ${"sf0.1"}%8s ${"sf1"}%8s ${"ratio"}%7s")
     (small.keys ++ scdSmall.keys ++ evSmall.keys).foreach { k =>

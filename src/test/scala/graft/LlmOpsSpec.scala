@@ -58,6 +58,49 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(capped == Seq((1, "a", "a", 5L)))
   }
 
+  test("BpeTrainer.trainCapped ≡ train on the gate corpus (uncapped); cap keeps head merges") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dist = graft.llm.BpeTrainer.train(docs, "text", numMerges = 12)
+      .as[(Int, String, String, Long)].collect().toSeq
+    // vocabCap above the distinct-word count ⇒ bit-identical merge table
+    // (same counts, same argmax, same UTF-8 tie-breaks, same greedy fold)
+    val local = graft.llm.BpeTrainer.trainCapped(docs, "text", numMerges = 12,
+        vocabCap = 10000000)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(local == dist,
+      s"local fit diverged from distributed loop:\n$local\nvs\n$dist")
+    // a real cap still learns the head of the merge sequence: frequent
+    // pairs live in frequent words, so the first merges are stable
+    val capped = graft.llm.BpeTrainer.trainCapped(docs, "text", numMerges = 12,
+        vocabCap = 2000)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(capped.nonEmpty)
+    assert(capped.map(m => (m._2, m._3)).take(3) ==
+      dist.map(m => (m._2, m._3)).take(3),
+      "capped trainer must agree with the exact trainer on the head merges")
+  }
+
+  test("BpeTrainer.encodeAtScale ≡ encode on the gate corpus; handles a deep merge table") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = graft.llm.BpeTrainer.train(docs, "text", numMerges = 12)
+      .orderBy($"step").as[(Int, String, String, Long)].collect()
+      .map(m => (m._2, m._3)).toSeq
+    val ref = graft.llm.BpeTrainer.encode(docs, "doc_id", "text", merges)
+      .select($"id", $"tokens").as[(Long, Seq[String])].collect().toMap
+    val scale = graft.llm.BpeTrainer.encodeAtScale(docs, "doc_id", "text", merges)
+      .select($"id", $"tokens").as[(Long, Seq[String])].collect().toMap
+    assert(scale == ref, "rank-map kernel diverged from the per-merge fold")
+
+    // a production-depth merge table (thousands of entries) — the fold
+    // path would build a plan that deep; the kernel must stay O(1) plan
+    val deep = merges ++ (1 to 5000).map(i => (s"z$i", s"z$i"))
+    val deepToks = graft.llm.BpeTrainer
+      .encodeAtScale(docs.limit(5), "doc_id", "text", deep)
+      .select($"id", $"tokens").as[(Long, Seq[String])].collect().toMap
+    assert(deepToks == ref.view.filterKeys(deepToks.contains).toMap,
+      "irrelevant deep merges must not change tokenization")
+  }
+
   test("BpeTrainer.encode: merges apply in order; round-trip preserves text; unseen words tokenize") {
     val corpus = Seq((1L, "aaab aaab aab")).toDF("doc_id", "text")
     val merges = graft.llm.BpeTrainer.train(corpus, "text", numMerges = 10)
