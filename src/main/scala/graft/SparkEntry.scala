@@ -520,6 +520,29 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // ── LLM-pipeline: REAL JPEG decode — the LOSSY leg of the codec
+    //    matrix (BMP = uncompressed walker, PNG = DEFLATE lossless, JPEG
+    //    = DCT + quantization + Huffman). A constant image is pure DC, so
+    //    the decoded gray may shift a few quantizer codes; the oracle
+    //    therefore hashes exact dimensions + an error-bound verdict
+    //    (|mean_luma − g/255| ≤ 2.5/255), the honest lossy contract.
+    "q241_multimodal_jpeg" -> ((s, dir) => {
+      import s.implicits._
+      val fixtures = Tables.documents(s, dir).select($"doc_id",
+        (lit(8) + pmod($"doc_id", lit(9))).cast("int").as("w"),
+        (lit(8) + pmod($"doc_id", lit(7))).cast("int").as("h"),
+        pmod($"doc_id", lit(256)).cast("int").as("g"))
+      graft.llm.Multimodal.decodeImage(
+          graft.llm.Multimodal.syntheticJpeg(fixtures, "w", "h", "g"), "content")
+        .select($"doc_id",
+          $"decoded_width".cast("long").as("width"),
+          $"decoded_height".cast("long").as("height"),
+          (abs($"decoded_mean_luma" - pmod($"doc_id", lit(256)) / 255.0) <=
+            lit(2.5 / 255.0)).as("luma_ok"),
+          $"decoded_real".as("is_real"))
+        .orderBy($"doc_id")
+    }),
+
     // ── §7 scale: Z-ORDER clustering (OPTIMIZE ZORDER analog) — Morton-
     //    interleaved (user_id, value) ranks cluster the snapshot so the
     //    stats manifest prunes files for range probes on EITHER column;
@@ -4616,6 +4639,14 @@ object SparkEntry {
         |CAST(8 AS BIGINT) AS width,
         |CAST(8 AS BIGINT) AS height,
         |round((doc_id % 256) / 255.0, 6) AS mean_luma,
+        |TRUE AS is_real
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q241_multimodal_jpeg" ->
+      """SELECT doc_id,
+        |CAST(8 + doc_id % 9 AS BIGINT) AS width,
+        |CAST(8 + doc_id % 7 AS BIGINT) AS height,
+        |TRUE AS luma_ok,
         |TRUE AS is_real
         |FROM documents ORDER BY doc_id""".stripMargin,
 

@@ -178,6 +178,34 @@ object Multimodal {
     }(enc)
   }
 
+  /** Synthesize a constant-gray JPEG payload per row — the lossy-codec
+    * fixture (DCT + quantization + Huffman through ImageIO's JPEG reader
+    * and writer). A constant image is pure DC: quantization moves the
+    * decoded level by at most a couple of codes, so decode is pinned with
+    * an ERROR-BOUND verdict (|decoded − g/255| small), not exact luma —
+    * the honest contract for a lossy codec. */
+  def syntheticJpeg(df: DataFrame, widthCol: String, heightCol: String,
+      grayCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("content", BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val (wi, hi, gi) = (df.schema.fieldIndex(widthCol),
+      df.schema.fieldIndex(heightCol), df.schema.fieldIndex(grayCol))
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val w = r.getInt(wi); val h = r.getInt(hi); val g = r.getInt(gi) & 0xff
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (g << 16) | (g << 8) | g
+        var y = 0
+        while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", baos)
+        Row.fromSeq(r.toSeq :+ baos.toByteArray)
+      }
+    }(enc)
+  }
+
   /** REAL decode kernel: JDK ImageIO (PNG/BMP/GIF/JPEG). Emits decoded
     * width/height and mean Rec.601 luma in [0,1]; payloads ImageIO cannot
     * decode get the [[decodeStub]] fake instead, flagged `decoded_real =
