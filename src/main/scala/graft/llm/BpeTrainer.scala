@@ -84,6 +84,9 @@ object BpeTrainer {
       merges: Seq[(String, String)]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // array for O(1) rank→pair lookup in the kernel loop (a Seq could be
+    // a List: O(n) apply × rounds × words = quadratic at 32k merges)
+    val mergeArr = merges.toArray
     val rank = merges.zipWithIndex.toMap
     val bc = spark.sparkContext.broadcast(rank)
     val docWords = df.select(col(idCol).as("id"),
@@ -105,7 +108,7 @@ object BpeTrainer {
             }
             if (best == Int.MaxValue) more = false
             else {
-              val (a, b) = merges(best)
+              val (a, b) = mergeArr(best)
               val out = scala.collection.mutable.ArrayBuffer[String]()
               var j = 0
               while (j < toks.length) {
