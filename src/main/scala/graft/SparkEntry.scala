@@ -543,6 +543,53 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // ── LLM-pipeline: EXACT substring-level dedup (the suffix-array-
+    //    style signal of Lee et al. 2022) — per document, the disjoint
+    //    character spans of length ≥40 that also occur elsewhere in the
+    //    corpus (other docs OR within-doc boilerplate repeats). MinHash/
+    //    SimHash score whole documents; contamination lives in spans.
+    //    Fully relational: every position's 40-gram → one gram-keyed
+    //    aggregation → gaps-and-islands runs → interval union. Exact,
+    //    no sampling/winnowing. At 40 chars the small-vocab corpus's
+    //    chance collisions vanish; only planted duplication survives.
+    "q242_substring_dedup" -> ((s, dir) => {
+      import s.implicits._
+      graft.llm.SubstringDedup.duplicatedSpans(
+          Tables.documents(s, dir), "doc_id", "text", 40)
+        .orderBy($"doc_id")
+    }),
+
+    // ── LLM-pipeline: hybrid retrieval — a BM25 lexical leg and an
+    //    embedding-cosine leg, each ranked top-50, fused by Reciprocal
+    //    Rank Fusion (1/(60+rank), Cormack et al. 2009). Rank-based, so
+    //    the legs' incomparable score scales never meet; ranks are taken
+    //    over 6-dp-rounded scores with id tie-breaks so both engines
+    //    rank identically. The post-limit windows run on ≤50 rows (the
+    //    limits execute as TakeOrderedAndProject), so the single-
+    //    partition window is constant-size at any corpus scale.
+    "q243_hybrid_rrf" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val lex = graft.llm.Ranking.bm25(Tables.documents(s, dir),
+          "doc_id", "text", Seq("spark", "merge", "window"))
+        .orderBy($"score".desc, $"doc_id").limit(50)
+        .withColumn("rank", row_number().over(
+          Window.orderBy($"score".desc, $"doc_id")))
+      val qv = broadcast(emb.filter($"vec_id" === 0)
+        .select(transform($"embedding", _.cast("double")).as("qv")))
+      val cos = emb.crossJoin(qv)
+        .select($"vec_id", round(graft.llm.Similarity.cosine(
+          transform($"embedding", _.cast("double")), $"qv"), 6).as("cos"))
+        .orderBy($"cos".desc, $"vec_id").limit(50)
+        .withColumn("rank", row_number().over(
+          Window.orderBy($"cos".desc, $"vec_id")))
+      graft.llm.Ranking.rrfFuse(Seq(
+          lex.select($"doc_id".as("id"), $"rank"),
+          cos.select($"vec_id".as("id"), $"rank")), "id", "rank", 60)
+        .orderBy($"rrf".desc, $"id").limit(20)
+        .select($"id".as("doc_id"), $"rrf", $"n_legs")
+    }),
+
     // ── §7 scale: Z-ORDER clustering (OPTIMIZE ZORDER analog) — Morton-
     //    interleaved (user_id, value) ranks cluster the snapshot so the
     //    stats manifest prunes files for range probes on EITHER column;
@@ -4667,6 +4714,76 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |  TRUE AS gold_absent
         |FROM events GROUP BY UPPER(event_type) ORDER BY event_type""".stripMargin,
+
+    // exact replay: duplicated 40-gram positions → islands → interval
+    // union; identical run/merge rules to SubstringDedup.duplicatedSpans.
+    "q242_substring_dedup" ->
+      """WITH g AS (
+        |  SELECT doc_id, i, substr(text, i, 40) AS gram
+        |  FROM documents, UNNEST(generate_series(1, length(text) - 39)) AS t(i)
+        |  WHERE length(text) >= 40),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |dp AS (SELECT doc_id, i FROM g JOIN dup USING (gram)),
+        |runs AS (
+        |  SELECT doc_id, min(i) AS s, max(i) + 39 AS e
+        |  FROM (SELECT doc_id, i,
+        |          i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        |        FROM dp)
+        |  GROUP BY doc_id, grp),
+        |m AS (
+        |  SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM runs),
+        |mg AS (
+        |  SELECT doc_id, s, e,
+        |    SUM(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY s, e) AS mgrp
+        |  FROM m),
+        |merged AS (SELECT doc_id, min(s) AS ms, max(e) AS me
+        |           FROM mg GROUP BY doc_id, mgrp),
+        |agg AS (
+        |  SELECT doc_id, CAST(SUM(me - ms + 1) AS BIGINT) AS dup_chars,
+        |    CAST(MAX(me - ms + 1) AS BIGINT) AS max_span
+        |  FROM merged GROUP BY doc_id)
+        |SELECT a.doc_id, dup_chars, max_span,
+        |  round(CAST(dup_chars AS DOUBLE) / length(d.text), 6) AS dup_frac
+        |FROM agg a JOIN documents d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // BM25 leg = q145's CTEs; cosine leg vs vec_id 0; RRF 1/(60+rank).
+    "q243_hybrid_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS w
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs,
+        |  CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+        |  WHERE w IN ('spark', 'merge', 'window') GROUP BY 1, 2),
+        |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |contrib AS (
+        |  SELECT tf.doc_id,
+        |    CAST(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
+        |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS DECIMAL(18,9)) AS c
+        |  FROM tf JOIN dfreq USING (w) JOIN dl USING (doc_id) CROSS JOIN stats),
+        |bm AS (SELECT doc_id, ROUND(CAST(SUM(c) AS DOUBLE), 6) AS score
+        |       FROM contrib GROUP BY 1),
+        |lex AS (SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r
+        |  FROM bm ORDER BY score DESC, doc_id LIMIT 50),
+        |cs AS (SELECT vec_id,
+        |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
+        |  FROM embeddings),
+        |vec AS (SELECT vec_id,
+        |    CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS r
+        |  FROM cs ORDER BY cos DESC, vec_id LIMIT 50),
+        |u AS (SELECT doc_id AS id, CAST(1.0 AS DOUBLE) / (60 + r) AS contrib FROM lex
+        |      UNION ALL
+        |      SELECT vec_id, CAST(1.0 AS DOUBLE) / (60 + r) FROM vec)
+        |SELECT id AS doc_id, round(SUM(contrib), 6) AS rrf,
+        |  CAST(count(*) AS BIGINT) AS n_legs
+        |FROM u GROUP BY 1 ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
 
     "q32_udf_distance" ->
       """SELECT event_id, value * 1.60934 AS km_expr, value * 1.60934 AS km_udf

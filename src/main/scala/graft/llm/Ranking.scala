@@ -46,4 +46,26 @@ object Ranking {
       .agg(round(sum($"c").cast("double"), 6).as("score"))
       .select(col("id").as(idCol), $"score")
   }
+
+  /** Reciprocal Rank Fusion (Cormack et al. 2009): merge any number of
+    * ranked candidate lists into one by `Σ 1/(k + rank)`. The standard
+    * hybrid-retrieval combiner (lexical BM25 leg ⊕ embedding-cosine leg)
+    * — rank-based, so the legs' incomparable score scales never touch.
+    *
+    * Each input is `(id, rank)` with ranks 1..n. Fusion is a union +
+    * one hash aggregation on id — no join tree, so adding a leg adds a
+    * scan, not a shuffle stage. Candidate lists are top-k-bounded
+    * upstream, so the fused relation is small regardless of corpus size.
+    */
+  def rrfFuse(legs: Seq[DataFrame], idCol: String, rankCol: String,
+      k: Int = 60): DataFrame = {
+    require(legs.nonEmpty, "rrfFuse needs at least one ranked leg")
+    val norm = legs.map(_.select(col(idCol).as("id"),
+      (lit(1.0) / (lit(k) + col(rankCol))).as("contrib")))
+    norm.reduce(_ unionByName _)
+      .groupBy(col("id"))
+      .agg(round(sum(col("contrib")), 6).as("rrf"),
+        count(lit(1)).cast("long").as("n_legs"))
+      .select(col("id").as(idCol), col("rrf"), col("n_legs"))
+  }
 }

@@ -815,4 +815,41 @@ class LlmOpsSpec extends AnyFunSuite {
     // 250 bytes → 3 frames → keep indices 0, 2 → 2 sampled
     assert(r == 2)
   }
+
+  test("SubstringDedup: planted spans — overlap merge, within-doc repeat, short-doc exclusion") {
+    // L=10. Doc 1's grams at positions 1 and 3 are each duplicated
+    // (in docs 2 and 3 resp.) but position 2's gram is not — the two
+    // runs [1,10] and [3,12] overlap in characters and must union to
+    // [1,12], the interval-merge path the sf corpus (whole-doc dups)
+    // barely exercises. Doc 6 repeats a 12-char block within itself:
+    // both copies count (boilerplate semantics), runs don't overlap.
+    val docs = Seq(
+      (1L, "abcdefghijkl"),            // merged span [1,12]
+      (2L, "QQQabcdefghij"),           // "abcdefghij" @4 → [4,13]
+      (3L, "cdefghijklZZZ"),           // "cdefghijkl" @1 → [1,10]
+      (4L, "tooshort"),                // < L: no grams, absent
+      (5L, "0123456789!@#$%^&*()_-="), // all grams unique, absent
+      (6L, "KLMNOPQRSTUV#KLMNOPQRSTUV") // within-doc: [1,12] + [14,25]
+    ).toDF("doc_id", "text")
+    val got = graft.llm.SubstringDedup
+      .duplicatedSpans(docs, "doc_id", "text", 10)
+      .as[(Long, Long, Long, Double)].collect().toList.sortBy(_._1)
+    assert(got == List(
+      (1L, 12L, 12L, 1.0),
+      (2L, 10L, 10L, 0.769231),
+      (3L, 10L, 10L, 0.769231),
+      (6L, 24L, 12L, 0.96)), got.toString)
+  }
+
+  test("rrfFuse: hand-computed fusion, shared id sums both legs") {
+    val lex = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
+    val vec = Seq((20L, 1L), (40L, 2L)).toDF("id", "rank")
+    val got = graft.llm.Ranking.rrfFuse(Seq(lex, vec), "id", "rank", 60)
+      .as[(Long, Double, Long)].collect().toList.sortBy(_._1)
+    assert(got == List(
+      (10L, 0.016393, 1L),              // 1/61
+      (20L, 0.032522, 2L),              // 1/62 + 1/61
+      (30L, 0.015873, 1L),              // 1/63
+      (40L, 0.016129, 1L)), got.toString) // 1/62
+  }
 }
