@@ -46,20 +46,22 @@ object SubstringDedup {
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
       gramLen: Int): DataFrame = {
     val L = gramLen
+    // the length guard matters: Spark's sequence(1, n) DESCENDS when n < 1
     val grams = docs
       .filter(length(col(textCol)) >= L)
       .select(col(idCol).as("id"), col(textCol).as("t"))
       .withColumn("i", explode(sequence(lit(1), length(col("t")) - lit(L - 1))))
       .select(col("id"), col("i"), col("t").substr(col("i"), lit(L)).as("gram"))
+      .localCheckpoint() // reused by the count pass and the semi join
 
-    // one exchange on the gram; groups with ≥2 corpus positions re-explode
-    val dupPos = grams.groupBy(col("gram"))
-      .agg(collect_list(struct(col("id"), col("i"))).as("occ"))
-      .filter(size(col("occ")) >= 2)
-      .select(explode(col("occ")).as("o"))
-      .select(col("o.id").as("id"), col("o.i").as("i"))
-      // each position emits exactly one gram, so (id, i) lands in exactly
-      // one group — no dedup needed before the islands window
+    // count pass stays a codegen'd declarative agg (partial aggregation,
+    // no per-group object collection); the duplicated-gram set is small
+    // whenever duplication is rare, so AQE turns the semi join into a
+    // broadcast — the full gram relation then never shuffles twice
+    val dupGrams = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select(col("gram"))
+    val dupPos = grams.join(dupGrams, Seq("gram"), "left_semi")
+      .select(col("id"), col("i"))
 
     val wIsl = Window.partitionBy(col("id")).orderBy(col("i"))
     val runs = dupPos
