@@ -124,6 +124,13 @@ object ScaleSoak {
         graft.llm.BpeTrainer.trainCapped(docs, "text", numMerges = 32,
           vocabCap = 50000).count()
       }
+      t("substring_dedup") {
+        // exact span detection is Θ(total chars) rows through one
+        // gram-keyed exchange — must stay ~linear at 10× corpus (the
+        // tag-injected copies keep cross-copy 40-grams distinct, so the
+        // duplicated-gram set also grows 10×, not 100×)
+        graft.llm.SubstringDedup.duplicatedSpans(docs, "doc_id", "text", 40).count()
+      }
       t("pq_train_encode_adc") {
         val cents = graft.llm.ProductQuantizer.train(emb, "vec_id", "embedding", m = 16, iters = 2)
         val codes = graft.llm.ProductQuantizer.encode(emb, cents, "vec_id", "embedding", m = 16)
