@@ -590,6 +590,39 @@ object SparkEntry {
         .select($"id".as("doc_id"), $"rrf", $"n_legs")
     }),
 
+    // ── LLM-pipeline: deterministic corpus shuffle + shard assignment
+    //    (the training-order step). The permutation is a portable LCG —
+    //    no engine hash — so shard membership, within-shard order, and
+    //    therefore the head docs of every shard are bit-reproducible in
+    //    any engine. Shard = permKey mod n is a pure map (no global
+    //    sort); the only sort is per shard. Stats + each shard's first-3
+    //    docs pin both the assignment and the order.
+    "q244_corpus_shards" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .withColumn("nt", graft.llm.TextAnalysis.tokenCount($"text").cast("long"))
+      graft.llm.Sharding.assignShards(docs, "doc_id", 8)
+        .groupBy($"shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tokens"),
+          array_join(transform(array_sort(collect_list(
+              when($"pos_in_shard" <= 3, struct($"pos_in_shard", $"doc_id")))),
+            x => x("doc_id").cast("string")), ",").as("head_docs"))
+        .orderBy($"shard_id")
+    }),
+
+    // ── LLM-pipeline: inverted index over word-bigram terms, postings
+    //    materialized ONLY inside the df band (two-pass: codegen'd df
+    //    count → small band broadcasts back → collect just the survivors
+    //    — a stop-word term never builds its huge list to be dropped).
+    //    The rare band (2 ≤ df ≤ 8) is exactly the discriminative-phrase
+    //    tier retrieval engines index eagerly.
+    "q245_inverted_index" -> ((s, dir) => {
+      import s.implicits._
+      graft.llm.Ranking.invertedIndex(Tables.documents(s, dir),
+          "doc_id", "text", n = 2, minDf = 2L, maxDf = 8L)
+        .orderBy($"term")
+    }),
+
     // ── §7 scale: Z-ORDER clustering (OPTIMIZE ZORDER analog) — Morton-
     //    interleaved (user_id, value) ranks cluster the snapshot so the
     //    stats manifest prunes files for range probes on EITHER column;
@@ -4784,6 +4817,38 @@ object SparkEntry {
         |SELECT id AS doc_id, round(SUM(contrib), 6) AS rrf,
         |  CAST(count(*) AS BIGINT) AS n_legs
         |FROM u GROUP BY 1 ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+
+    // same portable LCG permutation — no engine hash anywhere
+    "q244_corpus_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS nt,
+        |    (doc_id * 1103515245 + 12345) % 2147483648 AS pk
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, nt, pk, pk % 8 AS shard_id,
+        |    row_number() OVER (PARTITION BY pk % 8 ORDER BY pk, doc_id) AS pos
+        |  FROM t)
+        |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  string_agg(CASE WHEN pos <= 3 THEN CAST(doc_id AS VARCHAR) END,
+        |             ',' ORDER BY pos) AS head_docs
+        |FROM p GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+
+    "q245_inverted_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS ts
+        |  FROM documents),
+        |bg AS (
+        |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS term
+        |  FROM toks, UNNEST(generate_series(1, len(ts)-1)) AS g(i)),
+        |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM bg GROUP BY 1),
+        |k AS (SELECT term, df FROM d WHERE df BETWEEN 2 AND 8)
+        |SELECT k.term, k.df,
+        |  array_to_string(list_sort(list(bg.doc_id)), ',') AS postings
+        |FROM bg JOIN k USING (term)
+        |GROUP BY k.term, k.df
+        |ORDER BY k.term""".stripMargin,
 
     "q32_udf_distance" ->
       """SELECT event_id, value * 1.60934 AS km_expr, value * 1.60934 AS km_udf

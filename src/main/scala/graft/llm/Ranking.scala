@@ -47,6 +47,30 @@ object Ranking {
       .select(col("id").as(idCol), $"score")
   }
 
+  /** Inverted index over word n-gram terms: `(term, df, postings)` with
+    * postings as the sorted id list. Two-pass so posting lists are only
+    * materialized for terms inside the [minDf, maxDf] band: the df count
+    * is a codegen'd partial aggregation over the full term relation, the
+    * band (small for any selective band) broadcasts back via AQE, and
+    * only the surviving rows reach the collect. A stop-word-heavy term
+    * therefore never builds its (huge) posting list just to be dropped —
+    * the same discipline BM25 engines apply with df ceilings.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 1, minDf: Long = 1L, maxDf: Long = Long.MaxValue): DataFrame = {
+    val rows = Dedup.shingleRows(docs, idCol, textCol, n) // distinct (id, shingle)
+    val band = rows.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+    rows.join(band, "shingle")
+      .groupBy(col("shingle"), col("df"))
+      .agg(array_join(
+        transform(array_sort(collect_list(col("id"))), _.cast("string")),
+        ",").as("postings"))
+      .select(col("shingle").as("term"), col("df").cast("long").as("df"),
+        col("postings"))
+  }
+
   /** Reciprocal Rank Fusion (Cormack et al. 2009): merge any number of
     * ranked candidate lists into one by `Σ 1/(k + rank)`. The standard
     * hybrid-retrieval combiner (lexical BM25 leg ⊕ embedding-cosine leg)

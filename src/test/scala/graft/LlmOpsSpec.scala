@@ -841,6 +841,46 @@ class LlmOpsSpec extends AnyFunSuite {
       (6L, 24L, 12L, 0.96)), got.toString)
   }
 
+  test("Sharding.assignShards: layout-independent, contiguous per-shard order, seed shifts") {
+    val base = docs.select($"doc_id", $"text")
+    val a = graft.llm.Sharding.assignShards(base.repartition(1), "doc_id", 4)
+      .select($"doc_id", $"shard_id", $"pos_in_shard")
+      .as[(Long, Long, Int)].collect().toSet
+    val b = graft.llm.Sharding.assignShards(base.repartition(7), "doc_id", 4)
+      .select($"doc_id", $"shard_id", $"pos_in_shard")
+      .as[(Long, Long, Int)].collect().toSet
+    // identical assignment AND order no matter the input partitioning
+    assert(a == b)
+    // positions are exactly 1..n within every shard
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).toList.sorted == (1 to rows.size).toList)
+    }
+    // every shard populated, no shard starved (LCG spreads the id range)
+    assert(a.map(_._2) == (0L to 3L).toSet)
+    // a different seed produces a different permutation
+    val c = graft.llm.Sharding.assignShards(base, "doc_id", 4, seed = 99L)
+      .select($"doc_id", $"shard_id", $"pos_in_shard")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(a != c)
+  }
+
+  test("invertedIndex: df band, sorted postings, within-doc repeats collapse") {
+    val d = Seq(
+      (3L, "x y x y"),     // bigrams: "x y"(×2 → once), "y x"
+      (1L, "x y z"),       // "x y", "y z"
+      (2L, "x y q"),       // "x y", "y q"
+      (4L, "solo")         // < 2 tokens: nothing
+    ).toDF("doc_id", "text")
+    val all = graft.llm.Ranking.invertedIndex(d, "doc_id", "text", n = 2)
+      .as[(String, Long, String)].collect().toSet
+    assert(all == Set(("x y", 3L, "1,2,3"), ("y x", 1L, "3"),
+      ("y z", 1L, "1"), ("y q", 1L, "2")), all.toString)
+    // band filter keeps only the 2..maxDf tier
+    val band = graft.llm.Ranking.invertedIndex(d, "doc_id", "text", n = 2,
+      minDf = 2L, maxDf = 8L).as[(String, Long, String)].collect().toSet
+    assert(band == Set(("x y", 3L, "1,2,3")))
+  }
+
   test("rrfFuse: hand-computed fusion, shared id sums both legs") {
     val lex = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
     val vec = Seq((20L, 1L), (40L, 2L)).toDF("id", "rank")
