@@ -623,6 +623,34 @@ object SparkEntry {
         .orderBy($"term")
     }),
 
+    // ── Sketch family: Count-Min heavy hitters via Spark's built-in
+    //    count_min_sketch aggregate (one merge-able pass; the sketch is
+    //    a ~2000×7 model-sized artifact on the driver, same economics as
+    //    kmeans centroids). Verdict per top-10 token: the CMS point
+    //    estimate must respect the algorithm's one-sided bound
+    //    exact ≤ est ≤ exact + ⌈ε·N⌉ (ε=0.001, δ=0.01) — a broken
+    //    sketch/hash mismatch lands orders outside it. Exact counts and
+    //    the top-10 ordering replay in DuckDB; the verdict is hashed.
+    "q246_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val toks = Tables.documents(s, dir)
+        .select(explode(graft.llm.TextAnalysis.tokens($"text")).as("w"))
+      val n = toks.count()
+      val bytes = toks
+        .agg(expr("count_min_sketch(w, CAST(0.001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)"))
+        .head().getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+      val top = toks.groupBy($"w").agg(count(lit(1)).as("n_exact"))
+        .orderBy($"n_exact".desc, $"w").limit(10)
+        .as[(String, Long)].collect()
+      val bound = math.ceil(0.001 * n).toLong
+      top.toSeq.map { case (w, c) =>
+        val est = cms.estimateCount(w)
+        (w, c, est >= c && est <= c + bound)
+      }.toDF("w", "n_exact", "cms_ok").orderBy($"n_exact".desc, $"w")
+    }),
+
     // ── §7 scale: Z-ORDER clustering (OPTIMIZE ZORDER analog) — Morton-
     //    interleaved (user_id, value) ranks cluster the snapshot so the
     //    stats manifest prunes files for range probes on EITHER column;
@@ -4849,6 +4877,14 @@ object SparkEntry {
         |FROM bg JOIN k USING (term)
         |GROUP BY k.term, k.df
         |ORDER BY k.term""".stripMargin,
+
+    "q246_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT UNNEST(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS w
+        |  FROM documents),
+        |c AS (SELECT w, CAST(count(*) AS BIGINT) AS n_exact FROM toks GROUP BY 1)
+        |SELECT w, n_exact, TRUE AS cms_ok FROM c
+        |ORDER BY n_exact DESC, w LIMIT 10""".stripMargin,
 
     "q32_udf_distance" ->
       """SELECT event_id, value * 1.60934 AS km_expr, value * 1.60934 AS km_udf
