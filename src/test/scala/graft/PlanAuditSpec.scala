@@ -336,4 +336,28 @@ class PlanAuditSpec extends AnyFunSuite {
     import spark.implicits._
     assert(df.as[Double].collect().toSet == Set(8.0, 11.0, 14.0, 17.0))
   }
+
+  test("q242: dup-gram semi join broadcasts under AQE; no cross product") {
+    val df = SparkEntry.queries("q242_substring_dedup")(spark, dir)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"dup-gram set not broadcast:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q243: both retrieval legs bound by TakeOrderedAndProject before fusion") {
+    val plan = planOf("q243_hybrid_rrf")
+    assert("TakeOrderedAndProject".r.findAllIn(plan).size >= 2,
+      s"legs not top-k bounded:\n${plan.take(3000)}")
+  }
+
+  test("q244: shard order is a per-shard window — never a global sort") {
+    val df = graft.llm.Sharding.assignShards(
+      graft.tables.Tables.documents(spark, dir), "doc_id", 8)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(shard_id"),
+      s"window not partitioned by shard:\n${plan.take(3000)}")
+  }
 }
