@@ -651,6 +651,26 @@ object SparkEntry {
       }.toDF("w", "n_exact", "cms_ok").orderBy($"n_exact".desc, $"w")
     }),
 
+    // ── LLM-pipeline: span-level DECONTAMINATION — the eval-set-leak
+    //    removal step. q81's n-gram overlap flags documents; this returns
+    //    the exact characters to cut: for every train doc (source ∉
+    //    bench), the disjoint ≥40-char spans appearing verbatim anywhere
+    //    in the benchmark corpus (source ∈ src0..src4). The benchmark
+    //    gram set is the small side — it broadcasts, and the train gram
+    //    relation never shuffles at all.
+    "q247_span_decontamination" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val bench = Seq("src0", "src1", "src2", "src3", "src4")
+      graft.llm.SubstringDedup.contaminatedSpans(
+          docs.filter(!$"source".isin(bench: _*)),
+          docs.filter($"source".isin(bench: _*)),
+          "doc_id", "text", 40)
+        .select($"doc_id", $"dup_chars".as("contaminated_chars"),
+          $"max_span", $"dup_frac".as("contaminated_frac"))
+        .orderBy($"doc_id")
+    }),
+
     // ── §7 scale: Z-ORDER clustering (OPTIMIZE ZORDER analog) — Morton-
     //    interleaved (user_id, value) ranks cluster the snapshot so the
     //    stats manifest prunes files for range probes on EITHER column;
@@ -4885,6 +4905,42 @@ object SparkEntry {
         |c AS (SELECT w, CAST(count(*) AS BIGINT) AS n_exact FROM toks GROUP BY 1)
         |SELECT w, n_exact, TRUE AS cms_ok FROM c
         |ORDER BY n_exact DESC, w LIMIT 10""".stripMargin,
+
+    // q242's span machinery, asymmetric: match set = benchmark grams
+    "q247_span_decontamination" ->
+      """WITH g AS (
+        |  SELECT doc_id, source, i, substr(text, i, 40) AS gram
+        |  FROM documents, UNNEST(generate_series(1, length(text) - 39)) AS t(i)
+        |  WHERE length(text) >= 40),
+        |bg AS (SELECT DISTINCT gram FROM g
+        |       WHERE source IN ('src0','src1','src2','src3','src4')),
+        |tp AS (SELECT doc_id, i FROM g JOIN bg USING (gram)
+        |       WHERE source NOT IN ('src0','src1','src2','src3','src4')),
+        |runs AS (
+        |  SELECT doc_id, min(i) AS s, max(i) + 39 AS e
+        |  FROM (SELECT doc_id, i,
+        |          i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        |        FROM tp)
+        |  GROUP BY doc_id, grp),
+        |m AS (
+        |  SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM runs),
+        |mg AS (
+        |  SELECT doc_id, s, e,
+        |    SUM(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY s, e) AS mgrp
+        |  FROM m),
+        |merged AS (SELECT doc_id, min(s) AS ms, max(e) AS me
+        |           FROM mg GROUP BY doc_id, mgrp),
+        |agg AS (
+        |  SELECT doc_id, CAST(SUM(me - ms + 1) AS BIGINT) AS contaminated_chars,
+        |    CAST(MAX(me - ms + 1) AS BIGINT) AS max_span
+        |  FROM merged GROUP BY doc_id)
+        |SELECT a.doc_id, contaminated_chars, max_span,
+        |  round(CAST(contaminated_chars AS DOUBLE) / length(d.text), 6) AS contaminated_frac
+        |FROM agg a JOIN documents d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q32_udf_distance" ->
       """SELECT event_id, value * 1.60934 AS km_expr, value * 1.60934 AS km_udf

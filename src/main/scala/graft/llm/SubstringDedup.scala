@@ -14,57 +14,48 @@ import org.apache.spark.sql.functions._
   * Algorithm, fully relational (no suffix array materialized):
   *  1. every character position emits its fixed-length L-gram
   *     (`explode(sequence)` + `substr` — codegen'd, no UDF);
-  *  2. one hash aggregation on the gram finds grams occurring at ≥2
-  *     corpus positions (within-doc repeats count: they are exactly the
-  *     boilerplate case) and re-emits the positions — aggregate-then-
-  *     re-explode, so the corpus-wide gram relation is shuffled ONCE;
-  *  3. per document, consecutive duplicated positions collapse to
-  *     maximal runs (gaps-and-islands: `i - row_number()`), each run
-  *     covering chars [min(i), max(i)+L-1];
+  *  2. the positions whose gram matches the target gram set survive a
+  *     left-semi join (for self-dedup the target set is "grams at ≥2
+  *     corpus positions" from a codegen'd count pass; for
+  *     decontamination it is the benchmark's distinct grams) — the
+  *     match set is small in the non-pathological case, so AQE
+  *     broadcasts it and the gram relation is exchanged at most once;
+  *  3. per document, consecutive matching positions collapse to maximal
+  *     runs (gaps-and-islands: `i - row_number()`), each run covering
+  *     chars [min(i), max(i)+L-1];
   *  4. runs whose character intervals overlap (position gap < L) merge
-  *     via the running-max-end interval union, giving disjoint
-  *     duplicated spans and therefore an exact duplicated-char count.
+  *     via the running-max-end interval union, giving disjoint spans and
+  *     therefore an exact matched-char count.
   *
   * Every duplicated substring of length ≥ L contains a duplicated L-gram
   * at each of its positions, so the spans are exact (no sampling, no
-  * winnowing): a character is counted iff it lies inside some duplicated
+  * winnowing): a character is counted iff it lies inside some matching
   * run of length ≥ L.
   *
   * At 100 TB: cost is Θ(total chars) rows through one gram-keyed
   * exchange (the same asymptotics as distributed suffix-array builds,
-  * with a ~L-byte constant) and one doc-keyed window. Gram groups are
-  * bounded by the corpus duplication count per gram; a degenerate corpus
-  * (one char repeated everywhere) concentrates a single gram key — for
-  * such inputs swap step 2 for the two-pass count-then-join form, which
-  * trades a second exchange for no per-key collection.
+  * with a ~L-byte constant) and one doc-keyed window. A degenerate
+  * corpus (one char repeated everywhere) concentrates a single gram
+  * key — for such inputs the count pass's partial aggregation still
+  * combines map-side, and the semi join degrades to a shuffle join
+  * rather than failing.
   */
 object SubstringDedup {
 
-  /** Per-document duplicated-span profile: `(id, dup_chars, max_span,
-    * dup_frac)` for every document containing at least one substring of
-    * length ≥ `gramLen` that occurs at ≥2 positions corpus-wide. */
-  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
-      gramLen: Int): DataFrame = {
-    val L = gramLen
-    // the length guard matters: Spark's sequence(1, n) DESCENDS when n < 1
-    val grams = docs
-      .filter(length(col(textCol)) >= L)
+  /** (id, i, gram) — every character position's L-gram. The length guard
+    * matters: Spark's `sequence(1, n)` DESCENDS when n < 1. */
+  private def gramsOf(docs: DataFrame, idCol: String, textCol: String,
+      L: Int): DataFrame =
+    docs.filter(length(col(textCol)) >= L)
       .select(col(idCol).as("id"), col(textCol).as("t"))
       .withColumn("i", explode(sequence(lit(1), length(col("t")) - lit(L - 1))))
       .select(col("id"), col("i"), col("t").substr(col("i"), lit(L)).as("gram"))
-      .localCheckpoint() // reused by the count pass and the semi join
 
-    // count pass stays a codegen'd declarative agg (partial aggregation,
-    // no per-group object collection); the duplicated-gram set is small
-    // whenever duplication is rare, so AQE turns the semi join into a
-    // broadcast — the full gram relation then never shuffles twice
-    val dupGrams = grams.groupBy(col("gram"))
-      .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select(col("gram"))
-    val dupPos = grams.join(dupGrams, Seq("gram"), "left_semi")
-      .select(col("id"), col("i"))
-
+  /** Matching positions → disjoint spans → per-doc stats (steps 3–4). */
+  private def spanStats(matchPos: DataFrame, lens: DataFrame, L: Int,
+      idCol: String): DataFrame = {
     val wIsl = Window.partitionBy(col("id")).orderBy(col("i"))
-    val runs = dupPos
+    val runs = matchPos
       .withColumn("grp", col("i") - row_number().over(wIsl))
       .groupBy(col("id"), col("grp"))
       .agg(min(col("i")).as("s"), (max(col("i")) + lit(L - 1)).as("e"))
@@ -80,12 +71,48 @@ object SubstringDedup {
       .groupBy(col("id"), col("mgrp"))
       .agg(min(col("s")).as("ms"), max(col("e")).as("me"))
 
-    val lens = docs.select(col(idCol).as("id"), length(col(textCol)).as("len"))
     merged.groupBy(col("id"))
       .agg(sum(col("me") - col("ms") + 1).cast("long").as("dup_chars"),
         max(col("me") - col("ms") + 1).cast("long").as("max_span"))
       .join(lens, "id")
       .select(col("id").as(idCol), col("dup_chars"), col("max_span"),
         round(col("dup_chars").cast("double") / col("len"), 6).as("dup_frac"))
+  }
+
+  /** Per-document duplicated-span profile: `(id, dup_chars, max_span,
+    * dup_frac)` for every document containing at least one substring of
+    * length ≥ `gramLen` that occurs at ≥2 positions corpus-wide
+    * (within-doc repeats count — they are exactly the boilerplate case). */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      gramLen: Int): DataFrame = {
+    val L = gramLen
+    // reused by the count pass and the semi join
+    val grams = gramsOf(docs, idCol, textCol, L).localCheckpoint()
+    val dupGrams = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select(col("gram"))
+    val dupPos = grams.join(dupGrams, Seq("gram"), "left_semi")
+      .select(col("id"), col("i"))
+    val lens = docs.select(col(idCol).as("id"), length(col(textCol)).as("len"))
+    spanStats(dupPos, lens, L, idCol)
+  }
+
+  /** Span-level DECONTAMINATION: for each `train` document, the disjoint
+    * spans of length ≥ `gramLen` that appear verbatim anywhere in the
+    * `bench` corpus (the eval-set-leak removal step — doc-level n-gram
+    * overlap scores flag documents; this returns the exact characters to
+    * cut). Same span machinery as [[duplicatedSpans]], but the match set
+    * is the benchmark's distinct grams — typically millions of times
+    * smaller than the train corpus, so it broadcasts and the train gram
+    * relation never shuffles at all. */
+  def contaminatedSpans(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, gramLen: Int): DataFrame = {
+    val L = gramLen
+    val trainGrams = gramsOf(train, idCol, textCol, L)
+    val benchGrams = gramsOf(bench, idCol, textCol, L)
+      .select(col("gram")).distinct()
+    val hitPos = trainGrams.join(benchGrams, Seq("gram"), "left_semi")
+      .select(col("id"), col("i"))
+    val lens = train.select(col(idCol).as("id"), length(col(textCol)).as("len"))
+    spanStats(hitPos, lens, L, idCol)
   }
 }

@@ -841,6 +841,23 @@ class LlmOpsSpec extends AnyFunSuite {
       (6L, 24L, 12L, 0.96)), got.toString)
   }
 
+  test("contaminatedSpans: only bench-matching spans count; train-train dup ignored") {
+    // L=10. Train doc 1 embeds a 12-char bench substring → merged span 12.
+    // Train docs 2+3 duplicate EACH OTHER (not the bench) → must NOT be
+    // flagged: cross-train duplication is duplicatedSpans' business.
+    val train = Seq(
+      (1L, "XXabcdefghijklXX"),       // bench's abcdefghijkl at pos 3..14
+      (2L, "WWWWWWWWWWWWQ"),          // dup of doc 3, absent from bench
+      (3L, "QWWWWWWWWWWWW")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "abcdefghijkl"),
+      (101L, "zzzzzzzzzzzz")).toDF("doc_id", "text")
+    val got = graft.llm.SubstringDedup
+      .contaminatedSpans(train, bench, "doc_id", "text", 10)
+      .as[(Long, Long, Long, Double)].collect().toList.sortBy(_._1)
+    assert(got == List((1L, 12L, 12L, 0.75)), got.toString)
+  }
+
   test("Sharding.assignShards: layout-independent, contiguous per-shard order, seed shifts") {
     val base = docs.select($"doc_id", $"text")
     val a = graft.llm.Sharding.assignShards(base.repartition(1), "doc_id", 4)
