@@ -4817,7 +4817,7 @@ object SparkEntry {
         |  FROM runs),
         |mg AS (
         |  SELECT doc_id, s, e,
-        |    SUM(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+        |    SUM(CASE WHEN pme IS NULL OR s > pme + 1 THEN 1 ELSE 0 END)
         |      OVER (PARTITION BY doc_id ORDER BY s, e) AS mgrp
         |  FROM m),
         |merged AS (SELECT doc_id, min(s) AS ms, max(e) AS me
@@ -4928,7 +4928,7 @@ object SparkEntry {
         |  FROM runs),
         |mg AS (
         |  SELECT doc_id, s, e,
-        |    SUM(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+        |    SUM(CASE WHEN pme IS NULL OR s > pme + 1 THEN 1 ELSE 0 END)
         |      OVER (PARTITION BY doc_id ORDER BY s, e) AS mgrp
         |  FROM m),
         |merged AS (SELECT doc_id, min(s) AS ms, max(e) AS me

@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
   *  3. per document, consecutive matching positions collapse to maximal
   *     runs (gaps-and-islands: `i - row_number()`), each run covering
   *     chars [min(i), max(i)+L-1];
-  *  4. runs whose character intervals overlap (position gap < L) merge
-  *     via the running-max-end interval union, giving disjoint spans and
-  *     therefore an exact matched-char count.
+  *  4. runs whose character intervals overlap or touch (position gap
+  *     ≤ L) merge via the running-max-end interval union, giving the
+  *     maximal CONTIGUOUS runs of matched characters — so `max_span` is
+  *     exactly the longest contiguous duplicated-char stretch and
+  *     `dup_chars` the exact matched-char count.
   *
   * Every duplicated substring of length ≥ L contains a duplicated L-gram
   * at each of its positions, so the spans are exact (no sampling, no
@@ -60,13 +62,14 @@ object SubstringDedup {
       .groupBy(col("id"), col("grp"))
       .agg(min(col("i")).as("s"), (max(col("i")) + lit(L - 1)).as("e"))
 
-    // interval union: runs overlap when the position gap is < L
+    // interval union over chars: merge on overlap OR adjacency (s = pme+1),
+    // so each merged group is a maximal contiguous matched-char run
     val wPrev = Window.partitionBy(col("id")).orderBy(col("s"), col("e"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wOrd = Window.partitionBy(col("id")).orderBy(col("s"), col("e"))
     val merged = runs
       .withColumn("pme", max(col("e")).over(wPrev))
-      .withColumn("f", when(col("pme").isNull || col("s") > col("pme"), 1).otherwise(0))
+      .withColumn("f", when(col("pme").isNull || col("s") > col("pme") + 1, 1).otherwise(0))
       .withColumn("mgrp", sum(col("f")).over(wOrd))
       .groupBy(col("id"), col("mgrp"))
       .agg(min(col("s")).as("ms"), max(col("e")).as("me"))

@@ -159,4 +159,76 @@ class GraftOpsProps extends AnyFunSuite {
       }
     }
   }
+
+  // brute-force span reference: the set of characters covered by any
+  // length-l window at a hit position; spans = maximal consecutive runs
+  private def refSpans(t: String, l: Int, hit: Int => Boolean)
+      : Option[(Long, Long, Double)] = {
+    val chars = (for (i <- 0 to t.length - l; if hit(i); c <- i until i + l)
+      yield c).toSet
+    if (chars.isEmpty) None
+    else {
+      val sorted = chars.toList.sorted
+      var runs = List.empty[Int]; var runLen = 0; var prev = Int.MinValue
+      for (c <- sorted) {
+        if (c == prev + 1) runLen += 1
+        else { if (runLen > 0) runs ::= runLen; runLen = 1 }
+        prev = c
+      }
+      runs ::= runLen
+      Some((chars.size.toLong, runs.max.toLong, chars.size.toDouble / t.length))
+    }
+  }
+
+  private val corpusGen = for {
+    n <- Gen.choose(2, 6)
+    docs <- Gen.listOfN(n, Gen.choose(0, 28).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf('a', 'b')).map(_.mkString)))
+    l <- Gen.choose(2, 5)
+    parts <- Gen.choose(1, 5)
+  } yield (docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }, l, parts)
+
+  test("duplicatedSpans ≡ brute-force char-set reference on random 2-letter corpora") {
+    // a 2-letter alphabet makes duplicated grams dense, hammering the
+    // islands + interval-union legs (overlap, adjacency, within-doc)
+    forAllSeeded(corpusGen, n = 12) { case (docs, l, parts) =>
+      val occ = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+      for ((_, t) <- docs; i <- 0 to t.length - l) occ(t.substring(i, i + l)) += 1
+      val expect = docs.flatMap { case (id, t) =>
+        refSpans(t, l, i => occ(t.substring(i, i + l)) >= 2).map(r => id -> r)
+      }.toMap
+      val got = graft.llm.SubstringDedup.duplicatedSpans(
+          docs.toDF("doc_id", "text").repartition(parts), "doc_id", "text", l)
+        .as[(Long, Long, Long, Double)].collect()
+      assert(got.map(_._1).sorted.toSeq == expect.keys.toSeq.sorted,
+        s"docs=$docs l=$l")
+      got.foreach { case (id, dc, ms, fr) =>
+        val (edc, ems, efr) = expect(id)
+        assert(dc == edc && ms == ems && math.abs(fr - efr) < 1.1e-6,
+          s"id=$id got=($dc,$ms,$fr) want=($edc,$ems,$efr) docs=$docs l=$l")
+      }
+    }
+  }
+
+  test("contaminatedSpans ≡ brute-force reference (train grams vs bench gram set)") {
+    forAllSeeded(corpusGen, n = 12) { case (docs, l, parts) =>
+      val (train, bench) = docs.partition(_._1 % 2 == 0)
+      val benchGrams = (for ((_, t) <- bench; i <- 0 to t.length - l)
+        yield t.substring(i, i + l)).toSet
+      val expect = train.flatMap { case (id, t) =>
+        refSpans(t, l, i => benchGrams(t.substring(i, i + l))).map(r => id -> r)
+      }.toMap
+      val got = graft.llm.SubstringDedup.contaminatedSpans(
+          train.toDF("doc_id", "text").repartition(parts),
+          bench.toDF("doc_id", "text"), "doc_id", "text", l)
+        .as[(Long, Long, Long, Double)].collect()
+      assert(got.map(_._1).sorted.toSeq == expect.keys.toSeq.sorted,
+        s"docs=$docs l=$l")
+      got.foreach { case (id, dc, ms, fr) =>
+        val (edc, ems, efr) = expect(id)
+        assert(dc == edc && ms == ems && math.abs(fr - efr) < 1.1e-6,
+          s"id=$id got=($dc,$ms,$fr) want=($edc,$ems,$efr) docs=$docs l=$l")
+      }
+    }
+  }
 }
