@@ -210,6 +210,34 @@ class GraftOpsProps extends AnyFunSuite {
     }
   }
 
+  test("invertedIndex ≡ brute-force postings on random tiny-vocab corpora") {
+    val gen = for {
+      n <- Gen.choose(1, 8)
+      docs <- Gen.listOfN(n, Gen.choose(0, 10).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("u", "v", "w")).map(_.mkString(" "))))
+      ng <- Gen.choose(1, 2)
+      lo <- Gen.choose(1L, 2L)
+      hi <- Gen.choose(2L, 5L)
+      parts <- Gen.choose(1, 5)
+    } yield (docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }, ng, lo, hi, parts)
+    forAllSeeded(gen, n = 12) { case (docs, ng, lo, hi, parts) =>
+      val expect = docs.flatMap { case (id, t) =>
+        val toks = t.trim.split("\\s+").filter(_.nonEmpty)
+        (0 to toks.length - ng).map(i => toks.slice(i, i + ng).mkString(" "))
+          .distinct.map(term => term -> id)
+      }.groupBy(_._1).view
+        .mapValues(_.map(_._2).sorted)
+        .filter { case (_, ids) => ids.size >= lo && ids.size <= hi }
+        .map { case (term, ids) => (term, ids.size.toLong, ids.mkString(",")) }
+        .toSet
+      val got = graft.llm.Ranking.invertedIndex(
+          docs.toDF("doc_id", "text").repartition(parts),
+          "doc_id", "text", n = ng, minDf = lo, maxDf = hi)
+        .as[(String, Long, String)].collect().toSet
+      assert(got == expect, s"docs=$docs ng=$ng band=[$lo,$hi]")
+    }
+  }
+
   test("contaminatedSpans ≡ brute-force reference (train grams vs bench gram set)") {
     forAllSeeded(corpusGen, n = 12) { case (docs, l, parts) =>
       val (train, bench) = docs.partition(_._1 % 2 == 0)

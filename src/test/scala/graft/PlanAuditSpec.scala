@@ -337,6 +337,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(df.as[Double].collect().toSet == Set(8.0, 11.0, 14.0, 17.0))
   }
 
+  test("parquet aggregate pushdown: whole-table MAX answered by footer stats (v2 scan)") {
+    // the watermark probe pattern (q7) at its cheapest: with the v2
+    // reader + aggregatePushdown, MAX over a parquet table reads row-group
+    // footers, not data pages — O(files) instead of O(rows)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    import org.apache.spark.sql.functions.max
+    val df = s2.read.parquet(s"$dir/events.parquet").agg(max("event_id"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation: [MAX(event_id)]"),
+      s"aggregate not pushed to the scan:\n${plan.take(2000)}")
+    // and it still answers correctly
+    val viaV1 = spark.read.parquet(s"$dir/events.parquet").agg(max("event_id"))
+      .head().getLong(0)
+    assert(df.head().getLong(0) == viaV1)
+  }
+
   test("q242: dup-gram semi join broadcasts under AQE; no cross product") {
     val df = SparkEntry.queries("q242_substring_dedup")(spark, dir)
     df.collect() // finalize the adaptive plan
