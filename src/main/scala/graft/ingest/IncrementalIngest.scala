@@ -74,22 +74,26 @@ object IncrementalIngest {
       fs.delete(p, true)
       IngestResult(spec.table, 0L, None)
     } else {
-      val maxCdc = (cdcType, stats("mx")) match {
-        case (TimestampType, ts: java.sql.Timestamp) =>
-          // Format the instant at UTC (matching the UTC session TZ used to
-          // cast the watermark string back on the next run).
-          ts.toInstant
-            .atOffset(java.time.ZoneOffset.UTC).toLocalDateTime
-            .format(java.time.format.DateTimeFormatter.ofPattern(WmFormat))
-        case (TimestampType, i: java.time.Instant) =>
-          i.atOffset(java.time.ZoneOffset.UTC).toLocalDateTime
-            .format(java.time.format.DateTimeFormatter.ofPattern(WmFormat))
-        case (DateType, d) => d.toString
-        case (_, v)        => v.toString
-      }
+      val maxCdc = formatCdcValue(cdcType, stats("mx"))
       wmStore.write(spark, spec.table, maxCdc)
       IngestResult(spec.table, n, Some(maxCdc))
     }
+  }
+
+  /** Watermark text form of a max(cdcCol) result — formatted at UTC
+    * (matching the UTC session TZ used to cast the watermark string back
+    * on the next run). Shared by the ingest path and watermark recovery. */
+  private[ingest] def formatCdcValue(cdcType: org.apache.spark.sql.types.DataType,
+      v: Any): String = (cdcType, v) match {
+    case (TimestampType, ts: java.sql.Timestamp) =>
+      ts.toInstant
+        .atOffset(java.time.ZoneOffset.UTC).toLocalDateTime
+        .format(java.time.format.DateTimeFormatter.ofPattern(WmFormat))
+    case (TimestampType, i: java.time.Instant) =>
+      i.atOffset(java.time.ZoneOffset.UTC).toLocalDateTime
+        .format(java.time.format.DateTimeFormatter.ofPattern(WmFormat))
+    case (DateType, d) => d.toString
+    case (_, x)        => x.toString
   }
 
   /** §2.11 ForEach parity: ingest every configured table for one run. */

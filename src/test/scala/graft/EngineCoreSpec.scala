@@ -717,6 +717,50 @@ class EngineCoreSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$bronze/t/*").count() == 3)
   }
 
+  test("WatermarkStore.recover: lost cdc.json rebuilt from bronze footer stats") {
+    val src = tmp("src"); val bronze = tmp("bronze")
+    val wmStore = new WatermarkStore(bronze)
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "a"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), "b")
+    ).toDF("id", "updated_at", "v").write.parquet(s"$src/t.parquet")
+    val spec = TableSpec("dbo", "t", "updated_at")
+    IncrementalIngest.ingestTable(spark, spec, s"$src/t.parquet", bronze, wmStore, "run1")
+    Seq((3L, java.sql.Timestamp.valueOf("2024-02-01 00:00:00"), "c"))
+      .toDF("id", "updated_at", "v").write.mode("append").parquet(s"$src/t.parquet")
+    IncrementalIngest.ingestTable(spark, spec, s"$src/t.parquet", bronze, wmStore, "run2")
+    val recorded = wmStore.read(spark, "t").get
+
+    // simulate watermark-store loss, then recover from bronze footers
+    val p = new org.apache.hadoop.fs.Path(s"$bronze/t_cdc/cdc.json")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+    assert(wmStore.read(spark, "t").isEmpty)
+    assert(wmStore.recover(spark, "t", "updated_at").contains(recorded))
+
+    // numeric watermarks recover from footer statistics, not data pages
+    // (timestamp MAX is outside Spark's parquet aggregate pushdown — the
+    // timestamp path above is a column-pruned scan, pinned correct)
+    Seq((1L, 100L), (2L, 250L)).toDF("id", "op_seq")
+      .write.parquet(s"$bronze/seqtab/seqtab-run1")
+    Seq((3L, 900L)).toDF("id", "op_seq")
+      .write.parquet(s"$bronze/seqtab/seqtab-run2")
+    assert(wmStore.recover(spark, "seqtab", "op_seq").contains("900"))
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    val plan = s2.read.parquet(s"$bronze/seqtab/*")
+      .agg(org.apache.spark.sql.functions.max($"op_seq"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation: [MAX(op_seq)]"), plan.take(2000))
+
+    // an ingest resumed from the recovered watermark takes nothing new
+    wmStore.write(spark, "t", wmStore.recover(spark, "t", "updated_at").get)
+    val r = IncrementalIngest.ingestTable(spark, spec, s"$src/t.parquet", bronze, wmStore, "run3")
+    assert(r.rowsRead == 0)
+    // recover on a table with no bronze at all → None
+    assert(wmStore.recover(spark, "absent", "updated_at").isEmpty)
+  }
+
   test("IncrementalIngest: from_date backfill override re-reads history") {
     val src = tmp("src"); val bronze = tmp("bronze")
     val wmStore = new WatermarkStore(bronze)
