@@ -658,6 +658,31 @@ object SparkEntry {
     //    in the benchmark corpus (source ∈ src0..src4). The benchmark
     //    gram set is the small side — it broadcasts, and the train gram
     //    relation never shuffles at all.
+    // ── LLM-pipeline: WINNOWED substring dedup (Schleimer et al. 2003) —
+    //    the 100 TB path for q242. Fingerprint selection is row-local
+    //    (nested HOFs, no shuffle); only the ~2n/(w+1)-dense fingerprint
+    //    relation aggregates. The winnowing GUARANTEE — every doc whose
+    //    exact max duplicated span ≥ w+L−1 = 49 shares a selected
+    //    fingerprint with the span's other occurrence — is the hashed
+    //    verdict: the oracle replays the exact spans and asserts TRUE.
+    "q248_winnowed_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val fps = graft.llm.SubstringDedup
+        .winnowedFingerprints(docs, "doc_id", "text", 40, 10)
+      val dupFp = fps.groupBy($"h").agg(count(lit(1)).as("c"))
+        .filter($"c" >= 2).select($"h")
+      val det = fps.join(dupFp, Seq("h"), "left_semi")
+        .select($"id".as("doc_id")).distinct()
+        .withColumn("detected", lit(true))
+      graft.llm.SubstringDedup.duplicatedSpans(docs, "doc_id", "text", 40)
+        .filter($"max_span" >= 49)
+        .join(det, Seq("doc_id"), "left_outer")
+        .select($"doc_id", $"max_span",
+          coalesce($"detected", lit(false)).as("detected"))
+        .orderBy($"doc_id")
+    }),
+
     "q247_span_decontamination" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir)
@@ -4905,6 +4930,38 @@ object SparkEntry {
         |c AS (SELECT w, CAST(count(*) AS BIGINT) AS n_exact FROM toks GROUP BY 1)
         |SELECT w, n_exact, TRUE AS cms_ok FROM c
         |ORDER BY n_exact DESC, w LIMIT 10""".stripMargin,
+
+    // exact-span replay (q242's machinery); the winnowing guarantee is the
+    // hashed TRUE verdict for every doc with a span ≥ w+L−1
+    "q248_winnowed_dedup" ->
+      """WITH g AS (
+        |  SELECT doc_id, i, substr(text, i, 40) AS gram
+        |  FROM documents, UNNEST(generate_series(1, length(text) - 39)) AS t(i)
+        |  WHERE length(text) >= 40),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |dp AS (SELECT doc_id, i FROM g JOIN dup USING (gram)),
+        |runs AS (
+        |  SELECT doc_id, min(i) AS s, max(i) + 39 AS e
+        |  FROM (SELECT doc_id, i,
+        |          i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        |        FROM dp)
+        |  GROUP BY doc_id, grp),
+        |m AS (
+        |  SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM runs),
+        |mg AS (
+        |  SELECT doc_id, s, e,
+        |    SUM(CASE WHEN pme IS NULL OR s > pme + 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY s, e) AS mgrp
+        |  FROM m),
+        |merged AS (SELECT doc_id, min(s) AS ms, max(e) AS me
+        |           FROM mg GROUP BY doc_id, mgrp),
+        |agg AS (
+        |  SELECT doc_id, CAST(MAX(me - ms + 1) AS BIGINT) AS max_span
+        |  FROM merged GROUP BY doc_id)
+        |SELECT doc_id, max_span, TRUE AS detected
+        |FROM agg WHERE max_span >= 49 ORDER BY doc_id""".stripMargin,
 
     // q242's span machinery, asymmetric: match set = benchmark grams
     "q247_span_decontamination" ->

@@ -99,6 +99,47 @@ object SubstringDedup {
     spanStats(dupPos, lens, L, idCol)
   }
 
+  /** Winnowed fingerprints (Schleimer et al. 2003, robust winnowing) —
+    * the 100 TB path for substring dedup. From every window of `w`
+    * consecutive gram positions, select the (hash, position)-minimal
+    * gram as a fingerprint. GUARANTEE: any matched span of length
+    * ≥ w + gramLen − 1 shares at least one selected fingerprint between
+    * its occurrences; expected density 2/(w+1), so only ~2n/(w+1)
+    * fingerprints per n chars ever participate in set algebra.
+    *
+    * Selection is computed ROW-LOCALLY with nested higher-order array
+    * functions (per-doc hash array → per-window argmin) — no window
+    * operator, no exchange, nothing shuffles until the (much smaller)
+    * fingerprint relation itself. [[duplicatedSpans]] shuffles every
+    * char position; this shuffles a ~(w+1)/2-times-smaller relation at
+    * the price of exactness (span boundaries need a verify pass).
+    * Output: distinct `(id, i, h)` fingerprints. */
+  def winnowedFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      gramLen: Int, w: Int): DataFrame = {
+    val L = gramLen
+    val t = col("t")
+    val hs = transform(
+      sequence(lit(1), length(t) - lit(L - 1)),
+      i => xxhash64(t.substr(i, lit(L))))
+    // argmin per full window [j, j+w-1] as a single w-step fold (no array
+    // copies): min hash, earliest position on ties (strict <)
+    val sel = array_distinct(transform(
+      sequence(lit(1), size(col("hs")) - lit(w - 1)),
+      j => aggregate(
+        sequence(j + lit(1), j + lit(w - 1)),
+        struct(element_at(col("hs"), j.cast("int")).as("h"),
+          j.cast("long").as("i")),
+        (acc, p) => when(element_at(col("hs"), p.cast("int")) < acc("h"),
+            struct(element_at(col("hs"), p.cast("int")).as("h"),
+              p.cast("long").as("i")))
+          .otherwise(acc))))
+    docs.filter(length(col(textCol)) >= L + w - 1) // need ≥1 full window
+      .select(col(idCol).as("id"), col(textCol).as("t"))
+      .withColumn("hs", hs)
+      .select(col("id"), explode(sel).as("fp"))
+      .select(col("id"), col("fp.i").as("i"), col("fp.h").as("h"))
+  }
+
   /** Span-level DECONTAMINATION: for each `train` document, the disjoint
     * spans of length ≥ `gramLen` that appear verbatim anywhere in the
     * `bench` corpus (the eval-set-leak removal step — doc-level n-gram

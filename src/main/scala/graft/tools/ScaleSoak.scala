@@ -124,6 +124,14 @@ object ScaleSoak {
         graft.llm.BpeTrainer.trainCapped(docs, "text", numMerges = 32,
           vocabCap = 50000).count()
       }
+      t("winnowed_dedup") {
+        // the scale path: row-local selection, only ~2n/(w+1) fingerprints
+        // shuffle — compare against substring_dedup's full-gram exchange
+        val fps = graft.llm.SubstringDedup
+          .winnowedFingerprints(docs, "doc_id", "text", 40, 10)
+        fps.groupBy(col("h")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).count()
+      }
       t("substring_dedup") {
         // exact span detection is Θ(total chars) rows through one
         // gram-keyed exchange — must stay ~linear at 10× corpus (the

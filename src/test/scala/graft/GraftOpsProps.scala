@@ -238,6 +238,37 @@ class GraftOpsProps extends AnyFunSuite {
     }
   }
 
+  test("winnowedFingerprints: window coverage + shared-fingerprint guarantee") {
+    val l = 3; val w = 3; val t = w + l - 1 // detection guarantee length
+    forAllSeeded(corpusGen.map { case (docs, _, parts) => (docs, parts) }, n = 12) {
+      case (docs, parts) =>
+        val fps = graft.llm.SubstringDedup.winnowedFingerprints(
+            docs.toDF("doc_id", "text").repartition(parts), "doc_id", "text", l, w)
+          .as[(Long, Long, Long)].collect()
+        val byDoc = fps.groupBy(_._1).view.mapValues(_.map(f => f._2 -> f._3).toMap).toMap
+        // coverage: every full window of w gram positions holds ≥1 selection
+        for ((id, text) <- docs; if text.length >= l + w - 1) {
+          val nPos = text.length - l + 1
+          val sel = byDoc.getOrElse(id, Map.empty).keySet
+          for (j <- 1 to nPos - w + 1)
+            assert((j until j + w).exists(p => sel(p.toLong)),
+              s"window $j of doc $id uncovered; sel=$sel text=$text")
+        }
+        // guarantee: every t-length match between two positions shares a
+        // selected fingerprint at the SAME offset inside both occurrences
+        for {
+          (a, ta) <- docs; (b, tb) <- docs
+          ia <- 1 to ta.length - t + 1; ib <- 1 to tb.length - t + 1
+          if (a, ia) != (b, ib) && ta.substring(ia - 1, ia + t - 1) == tb.substring(ib - 1, ib + t - 1)
+        } {
+          val fa = byDoc.getOrElse(a, Map.empty); val fb = byDoc.getOrElse(b, Map.empty)
+          val hit = (0 to t - l).exists(k =>
+            fa.get((ia + k).toLong).exists(h => fb.get((ib + k).toLong).contains(h)))
+          assert(hit, s"match a=$a@$ia b=$b@$ib undetected; docs=$docs")
+        }
+    }
+  }
+
   test("contaminatedSpans ≡ brute-force reference (train grams vs bench gram set)") {
     forAllSeeded(corpusGen, n = 12) { case (docs, l, parts) =>
       val (train, bench) = docs.partition(_._1 % 2 == 0)

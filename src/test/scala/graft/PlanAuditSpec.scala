@@ -371,6 +371,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"legs not top-k bounded:\n${plan.take(3000)}")
   }
 
+  test("q248: winnowed fingerprint selection is row-local — no exchange, no window operator") {
+    val df = graft.llm.SubstringDedup.winnowedFingerprints(
+      graft.tables.Tables.documents(spark, dir), "doc_id", "text", 40, 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Window"),
+      s"fingerprint selection shuffles:\n${plan.take(2000)}")
+  }
+
   test("q244: shard order is a per-shard window — never a global sort") {
     val df = graft.llm.Sharding.assignShards(
       graft.tables.Tables.documents(spark, dir), "doc_id", 8)
