@@ -696,6 +696,82 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // ── LLM-pipeline: SEGMENT-level corpus dedup (the CCNet/RefinedWeb
+    //    "drop duplicated lines across pages" pass — the unit between
+    //    whole-doc MinHash and q242's raw char spans). Segments = aligned
+    //    4-word windows; a segment in >1 distinct docs is cut everywhere
+    //    but its globally-first occurrence; the doc text is rebuilt from
+    //    the survivors. Segment construction is row-local (array HOFs);
+    //    the only exchanges are the segment-keyed count and the per-doc
+    //    reassembly. kept_text is md5'd so the compare stays compact.
+    "q249_segment_dedup" -> ((s, dir) => {
+      import s.implicits._
+      graft.llm.SegmentDedup.segmentDedup(
+          Tables.documents(s, dir), "doc_id", "text", segWords = 4)
+        .filter($"n_dropped" > 0)
+        .select($"id".as("doc_id"), $"n_segs", $"n_dropped",
+          md5($"kept_text").as("kept_md5"),
+          length($"kept_text").cast("long").as("kept_chars"))
+        .orderBy($"doc_id")
+    }),
+
+    // ── LLM-pipeline: TRAINED multinomial Naive Bayes language classifier
+    //    (fastText-pattern: fit a cheap model on labeled seed data in one
+    //    distributed counting pass, score everything with one join).
+    //    Train = doc_id % 5 ≠ 0, test = the held-out fifth; smoothed
+    //    log-likelihoods are decimal-summed so the argmax is
+    //    engine-portable. Compare against q22's zero-shot stopword
+    //    heuristic: this one LEARNS the vocabulary.
+    "q250_nb_classifier" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val train = docs.filter(pmod($"doc_id", lit(5)) =!= 0)
+      val test = docs.filter(pmod($"doc_id", lit(5)) === 0)
+      graft.llm.NaiveBayes.trainPredict(train, test, "doc_id", "text", "lang")
+        .join(test.select($"doc_id".as("id"), $"lang"), Seq("id"))
+        .select($"id".as("doc_id"), $"pred", $"score",
+          ($"pred" === $"lang").as("correct"))
+        .orderBy($"doc_id")
+    }),
+
+    // ── LLM-pipeline: DSIR importance resampling (Xie et al. 2023) —
+    //    rank the raw corpus by avg per-token log-ratio between a TARGET
+    //    unigram LM (here: the zh slice) and the raw-corpus LM; the
+    //    top-weighted docs are the ones distilling the crawl toward the
+    //    target distribution. Two count aggs + one token-keyed join; no
+    //    iteration, no driver state.
+    "q251_dsir_selection" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      graft.llm.Dsir.importanceWeights(docs, docs.filter($"lang" === "zh"),
+          "doc_id", "text")
+        .orderBy($"weight".desc, $"id")
+        .limit(50)
+        .select($"id".as("doc_id"), $"n_toks", $"weight")
+    }),
+
+    // ── LLM-pipeline: token-budget MIXTURE PLANNER — the step that turns
+    //    per-source token counts + quality weights into per-source epoch
+    //    counts for a fixed training budget (the LLaMA-style data-mixture
+    //    table). Share ∝ decimal-summed quality mass; epochs capped at 3;
+    //    everything downstream derives from the 6-dp-rounded share so the
+    //    plan is engine-portable. One groupBy + one scalar broadcast.
+    "q252_mixture_planner" -> ((s, dir) => {
+      import s.implicits._
+      val per = Tables.documents(s, dir).groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.llm.TextAnalysis.tokenCount($"text").cast("long")).as("n_tokens"),
+          sum(graft.llm.TextAnalysis.modelScore($"text").cast("decimal(18,6)")).as("qsum"))
+      val tot = per.agg(sum($"qsum").as("qtot"))
+      val share = round($"qsum".cast("double") / $"qtot".cast("double"), 6)
+      val epochs = round(least(lit(3.0), share * lit(200000.0) / $"n_tokens"), 6)
+      per.crossJoin(broadcast(tot))
+        .select($"source", $"n_docs", $"n_tokens", share.as("share"),
+          epochs.as("epochs"),
+          floor(epochs * $"n_tokens").cast("long").as("planned_tokens"))
+        .orderBy($"source")
+    }),
+
     // ── §7 scale: Z-ORDER clustering (OPTIMIZE ZORDER analog) — Morton-
     //    interleaved (user_id, value) ranks cluster the snapshot so the
     //    stats manifest prunes files for range probes on EITHER column;
@@ -4998,6 +5074,135 @@ object SparkEntry {
         |  round(CAST(contaminated_chars AS DOUBLE) / length(d.text), 6) AS contaminated_frac
         |FROM agg a JOIN documents d USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // segment = aligned 4-word window; dup = >1 distinct docs; keeper =
+    // lexicographic min (doc_id, seg_idx); rebuilt text md5'd
+    "q249_segment_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS ts
+        |  FROM documents),
+        |segs AS (
+        |  SELECT doc_id, i AS seg_idx,
+        |    array_to_string(list_slice(ts, (i-1)*4+1, i*4), ' ') AS seg
+        |  FROM t, UNNEST(generate_series(1, CAST(ceil(len(ts)/4.0) AS BIGINT))) AS g(i)),
+        |dup AS (SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) > 1),
+        |keep AS (
+        |  SELECT seg, doc_id AS keep_id, seg_idx AS keep_seg_idx
+        |  FROM (SELECT s.seg, s.doc_id, s.seg_idx,
+        |          row_number() OVER (PARTITION BY s.seg ORDER BY s.doc_id, s.seg_idx) AS rn
+        |        FROM segs s JOIN dup USING (seg))
+        |  WHERE rn = 1),
+        |f AS (
+        |  SELECT s.doc_id, s.seg_idx, s.seg,
+        |    CASE WHEN k.keep_id IS NOT NULL
+        |           AND NOT (s.doc_id = k.keep_id AND s.seg_idx = k.keep_seg_idx)
+        |         THEN 1 ELSE 0 END AS drp
+        |  FROM segs s LEFT JOIN keep k USING (seg))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+        |  CAST(sum(drp) AS BIGINT) AS n_dropped,
+        |  md5(coalesce(string_agg(CASE WHEN drp = 0 THEN seg END, ' ' ORDER BY seg_idx), '')) AS kept_md5,
+        |  CAST(length(coalesce(string_agg(CASE WHEN drp = 0 THEN seg END, ' ' ORDER BY seg_idx), '')) AS BIGINT) AS kept_chars
+        |FROM f GROUP BY doc_id HAVING sum(drp) > 0 ORDER BY doc_id""".stripMargin,
+
+    // add-1-smoothed multinomial NB; per-term DECIMAL(18,9) casts make the
+    // log-lik sum order-independent, so the argmax is engine-portable
+    "q250_nb_classifier" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS ts
+        |  FROM documents),
+        |tr AS (SELECT * FROM d WHERE doc_id % 5 != 0),
+        |te AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+        |trt AS (SELECT lang AS lab, UNNEST(ts) AS tok FROM tr),
+        |ctok AS (SELECT lab, tok, count(*) AS ctok FROM trt GROUP BY 1, 2),
+        |mass AS (SELECT lab, count(*) AS nl FROM trt GROUP BY 1),
+        |voc AS (SELECT count(DISTINCT tok) AS v FROM trt),
+        |pri AS (SELECT lang AS lab,
+        |    ln(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM tr)) AS lprior
+        |  FROM tr GROUP BY 1),
+        |tet AS (SELECT doc_id, tok, count(*) AS m
+        |        FROM (SELECT doc_id, UNNEST(ts) AS tok FROM te) GROUP BY 1, 2),
+        |terms AS (
+        |  SELECT tet.doc_id, mass.lab,
+        |    CAST(CAST(m AS DOUBLE) *
+        |      ln(CAST(COALESCE(ctok, 0) + 1 AS DOUBLE) / CAST(nl + v AS DOUBLE))
+        |      AS DECIMAL(18,9)) AS term
+        |  FROM tet CROSS JOIN mass
+        |  LEFT JOIN ctok ON ctok.lab = mass.lab AND ctok.tok = tet.tok
+        |  CROSS JOIN voc),
+        |sc AS (
+        |  SELECT doc_id, lab,
+        |    round(CAST(SUM(term) AS DOUBLE) +
+        |      CAST(CAST(lprior AS DECIMAL(18,9)) AS DOUBLE), 6) AS score
+        |  FROM terms JOIN pri USING (lab) GROUP BY doc_id, lab, lprior),
+        |rk AS (SELECT doc_id, lab, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lab) AS rn
+        |  FROM sc)
+        |SELECT r.doc_id, r.lab AS pred, r.score, (r.lab = te.lang) AS correct
+        |FROM rk r JOIN te ON te.doc_id = r.doc_id
+        |WHERE rn = 1 ORDER BY r.doc_id""".stripMargin,
+
+    // target LM = zh slice, raw LM = whole corpus; weight = mean per-token
+    // ln ratio with add-1 smoothing over the union vocabulary
+    "q251_dsir_selection" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS ts
+        |  FROM documents),
+        |rt AS (SELECT doc_id, UNNEST(ts) AS tok FROM d),
+        |tt AS (SELECT UNNEST(ts) AS tok FROM d WHERE lang = 'zh'),
+        |cr AS (SELECT tok, count(*) AS c_raw FROM rt GROUP BY 1),
+        |ct AS (SELECT tok, count(*) AS c_tgt FROM tt GROUP BY 1),
+        |lm AS (
+        |  SELECT COALESCE(cr.tok, ct.tok) AS tok,
+        |    COALESCE(c_raw, 0) AS c_raw, COALESCE(c_tgt, 0) AS c_tgt
+        |  FROM cr FULL OUTER JOIN ct ON cr.tok = ct.tok),
+        |s AS (SELECT SUM(c_raw) AS n_raw, SUM(c_tgt) AS n_tgt, count(*) AS v FROM lm),
+        |m AS (SELECT doc_id, tok, count(*) AS m FROM rt GROUP BY 1, 2),
+        |terms AS (
+        |  SELECT doc_id, m,
+        |    CAST(CAST(m AS DOUBLE) * ln(
+        |      (CAST(c_tgt + 1 AS DOUBLE) / CAST(n_tgt + v AS DOUBLE)) /
+        |      (CAST(c_raw + 1 AS DOUBLE) / CAST(n_raw + v AS DOUBLE)))
+        |      AS DECIMAL(18,9)) AS term
+        |  FROM m JOIN lm USING (tok) CROSS JOIN s),
+        |w AS (
+        |  SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_toks,
+        |    round(CAST(SUM(term) AS DOUBLE) / SUM(m), 6) AS weight
+        |  FROM terms GROUP BY 1)
+        |SELECT doc_id, n_toks, weight FROM w
+        |ORDER BY weight DESC, doc_id LIMIT 50""".stripMargin,
+
+    // share ∝ decimal-summed q163 model score; epochs = min(3, share·B/T_s)
+    // derived from the ROUNDED share so both engines agree bit-for-bit
+    "q252_mixture_planner" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS ntok,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','by'], x))) AS stophits,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS npunct,
+        |    length(text) AS nch
+        |  FROM documents),
+        |sc AS (
+        |  SELECT source, ntok,
+        |    round(1.0 / (1.0 + exp(-(-1.5
+        |      + 0.02 * CAST(ntok AS DOUBLE)
+        |      + 8.0 * (CAST(stophits AS DOUBLE) / CAST(greatest(ntok, 1) AS DOUBLE))
+        |      + (-6.0) * (CAST(npunct AS DOUBLE) / CAST(nch AS DOUBLE))))), 6) AS score
+        |  FROM t),
+        |per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+        |    SUM(CAST(score AS DECIMAL(18,6))) AS qsum
+        |  FROM sc GROUP BY 1),
+        |tot AS (SELECT SUM(qsum) AS qtot FROM per),
+        |b AS (
+        |  SELECT source, n_docs, n_tokens,
+        |    round(CAST(qsum AS DOUBLE) / CAST(qtot AS DOUBLE), 6) AS share
+        |  FROM per CROSS JOIN tot),
+        |e AS (SELECT *, round(least(3.0, share * 200000.0 / n_tokens), 6) AS epochs FROM b)
+        |SELECT source, n_docs, n_tokens, share, epochs,
+        |  CAST(floor(epochs * n_tokens) AS BIGINT) AS planned_tokens
+        |FROM e ORDER BY source""".stripMargin,
 
     "q32_udf_distance" ->
       """SELECT event_id, value * 1.60934 AS km_expr, value * 1.60934 AS km_udf

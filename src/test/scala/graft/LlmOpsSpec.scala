@@ -909,4 +909,76 @@ class LlmOpsSpec extends AnyFunSuite {
       (30L, 0.015873, 1L),              // 1/63
       (40L, 0.016129, 1L)), got.toString) // 1/62
   }
+
+  test("segmentDedup: keep-first cut, within-doc repeats survive, empty doc safe") {
+    // W=2 segments: doc1 = [a b][c d], doc2 = [a b][a b][x y] (within-doc
+    // repeat of "a b"), doc3 = [c d][z z], doc4 = "" (no segments).
+    val d = Seq((1L, "a b c d"), (2L, "a b a b x y"),
+      (3L, "c d z z"), (4L, "")).toDF("doc_id", "text")
+    val got = graft.llm.SegmentDedup
+      .segmentDedup(d, "doc_id", "text", segWords = 2)
+      .as[(Long, Long, Long, String)].collect().toList.sortBy(_._1)
+    // "a b" in docs {1,2} → keeper (1,1); BOTH doc2 occurrences drop.
+    // "c d" in docs {1,3} → keeper (1,2); doc3's drops. "x y"/"z z" unique.
+    assert(got == List(
+      (1L, 2L, 0L, "a b c d"),
+      (2L, 3L, 2L, "x y"),
+      (3L, 2L, 1L, "z z"),
+      (4L, 0L, 0L, "")), got.toString)
+    // keepFirst=false: CCNet-style drop of EVERY duplicated occurrence
+    val all = graft.llm.SegmentDedup
+      .segmentDedup(d, "doc_id", "text", segWords = 2, keepFirst = false)
+      .as[(Long, Long, Long, String)].collect().toList.sortBy(_._1)
+    assert(all.map(r => (r._1, r._3)) == List((1L, 2L), (2L, 2L), (3L, 1L), (4L, 0L)))
+    assert(all.head._4 == "", all.toString) // doc1 loses both segments
+  }
+
+  test("segmentDedup: a segment repeated only WITHIN one doc is not corpus-duplicated") {
+    val d = Seq((1L, "p q p q"), (2L, "r s t u")).toDF("doc_id", "text")
+    val got = graft.llm.SegmentDedup
+      .segmentDedup(d, "doc_id", "text", segWords = 2)
+      .as[(Long, Long, Long, String)].collect().toList.sortBy(_._1)
+    assert(got.forall(_._3 == 0L), got.toString) // dfreq=1 everywhere
+  }
+
+  test("NaiveBayes: learned vocabulary separates labels; ties break label-asc") {
+    val train = Seq(
+      (1L, "cat cat dog", "pets"), (2L, "cat dog dog", "pets"),
+      (3L, "tensor graph", "ml"), (4L, "graph tensor tensor", "ml")
+    ).toDF("doc_id", "text", "lab")
+    val test = Seq((10L, "cat dog"), (11L, "tensor tensor"), (12L, "unseen"))
+      .toDF("doc_id", "text")
+    val got = graft.llm.NaiveBayes
+      .trainPredict(train, test, "doc_id", "text", "lab")
+      .as[(Long, String, Double)].collect().toList.sortBy(_._1)
+    assert(got.map(r => (r._1, r._2)) ==
+      List((10L, "pets"), (11L, "ml"), (12L, "ml")), got.toString)
+    // doc 12 "unseen": equal priors, back-off 1/(N_l+V) per class — the
+    // smaller class mass (ml: 5 tokens vs pets: 6) gives the larger
+    // smoothed likelihood, so "ml" wins on score, not on tie-break.
+  }
+
+  test("NaiveBayes: exact score tie breaks label-asc") {
+    // Symmetric classes (same mass, same priors, same count profile) —
+    // an unseen token scores identically under both → label asc wins.
+    val train = Seq((1L, "aa aa", "zz_lab"), (2L, "bb bb", "aa_lab"))
+      .toDF("doc_id", "text", "lab")
+    val test = Seq((10L, "unseen")).toDF("doc_id", "text")
+    val got = graft.llm.NaiveBayes
+      .trainPredict(train, test, "doc_id", "text", "lab")
+      .as[(Long, String, Double)].collect().toList
+    assert(got.map(r => (r._1, r._2)) == List((10L, "aa_lab")), got.toString)
+  }
+
+  test("Dsir: target-typical docs outweigh raw-typical; weight is per-token mean") {
+    val raw = Seq((1L, "alpha alpha beta"), (2L, "gamma gamma delta"),
+      (3L, "alpha gamma")).toDF("doc_id", "text")
+    val target = Seq((100L, "alpha alpha alpha beta")).toDF("doc_id", "text")
+    val w = graft.llm.Dsir.importanceWeights(raw, target, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toList.sortBy(_._1)
+    val byId = w.map(r => r._1 -> r._3).toMap
+    // doc1 is made of target-frequent tokens, doc2 of target-absent ones.
+    assert(byId(1L) > byId(3L) && byId(3L) > byId(2L), w.toString)
+    assert(w.map(r => (r._1, r._2)) == List((1L, 3L), (2L, 3L), (3L, 2L)))
+  }
 }
