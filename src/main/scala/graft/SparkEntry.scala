@@ -772,6 +772,66 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    // ── LLM-pipeline: Johnson–Lindenstrauss ±1 random projection
+    //    (Achlioptas 2003) — 64-dim embeddings → 16 dims, matrix never
+    //    materialized (closed-form LCG signs, the q244 portability rule),
+    //    projection fully row-local (zero shuffles). The query returns
+    //    top-3 neighbors IN PROJECTED SPACE alongside the exact cosine of
+    //    the same pairs, so the oracle pins both the projection arithmetic
+    //    and how well 16 dims preserve the neighborhood.
+    "q255_jl_projection" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val proj = graft.llm.RandomProjection.project(emb, "vec_id", "embedding", 16)
+      val topk = graft.llm.Similarity.bruteForceTopK(
+        proj.filter($"vec_id" < 5), proj, "vec_id", "y", 3)
+      val orig = emb.select($"vec_id",
+        transform($"embedding", _.cast("double")).as("v"))
+      topk
+        .join(orig.select($"vec_id".as("query_id"), $"v".as("qv")), Seq("query_id"))
+        .join(orig.select($"vec_id".as("neighbor_id"), $"v".as("nv")), Seq("neighbor_id"))
+        .select($"query_id", $"rank".cast("long").as("rank"), $"neighbor_id",
+          round($"cos", 6).as("cos_proj"),
+          round(graft.llm.Similarity.cosine($"qv", $"nv"), 6).as("cos_exact"))
+        .orderBy($"query_id", $"rank")
+    }),
+
+    // ── LLM-pipeline: TEMPERATURE-scaled sampling weights (the standard
+    //    multilingual rebalancing: share_l ∝ p_l^(1/T), T=5 flattens the
+    //    head so low-resource slices up-weight). pow() results are
+    //    decimal-cast BEFORE the normalizing sum so the shares are
+    //    order-independent and engine-portable; everything derives from
+    //    exact per-language token counts (one hash agg).
+    "q254_temperature_mixture" -> ((s, dir) => {
+      import s.implicits._
+      val per = Tables.documents(s, dir).groupBy($"lang")
+        .agg(sum(graft.llm.TextAnalysis.tokenCount($"text").cast("long")).as("n_tokens"))
+      val tot = per.agg(sum($"n_tokens").as("t_all"))
+      val raw = per.crossJoin(broadcast(tot))
+        .withColumn("p", $"n_tokens".cast("double") / $"t_all".cast("double"))
+        .withColumn("w", pow($"p", lit(0.2)).cast("decimal(18,9)"))
+      val wtot = raw.agg(sum($"w").as("w_all"))
+      raw.crossJoin(broadcast(wtot))
+        .select($"lang", $"n_tokens", round($"p", 6).as("p_raw"),
+          round($"w".cast("double") / $"w_all".cast("double"), 6).as("p_temp"))
+        .orderBy($"lang")
+    }),
+
+    // ── LLM-pipeline: LEAKAGE-SAFE train/test split — assign splits by
+    //    dedup CLUSTER, not by document, so a test doc's near-duplicate
+    //    can never sit in train (the eval-contamination bug a row-level
+    //    random split commits). Cluster = q80's connected components over
+    //    exact-Jaccard pairs; split key = cluster canonical id through the
+    //    portable LCG (q244's permutation), testMod 10 ≈ a 10% test slice.
+    "q253_leakage_safe_split" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val pairs = graft.llm.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5)
+      graft.llm.Sampling.leakageSafeSplit(docs, "doc_id", pairs, "d1", "d2")
+        .select($"id".as("doc_id"), $"group_id", $"split")
+        .orderBy($"doc_id")
+    }),
+
     // ── §7 scale: Z-ORDER clustering (OPTIMIZE ZORDER analog) — Morton-
     //    interleaved (user_id, value) ranks cluster the snapshot so the
     //    stats manifest prunes files for range probes on EITHER column;
@@ -5203,6 +5263,91 @@ object SparkEntry {
         |SELECT source, n_docs, n_tokens, share, epochs,
         |  CAST(floor(epochs * n_tokens) AS BIGINT) AS planned_tokens
         |FROM e ORDER BY source""".stripMargin,
+
+    // relational replay of the row-local projection: same LCG signs, same
+    // 6-dp decimal quantization, order-free decimal sum per (vec, jo)
+    "q255_jl_projection" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cells AS (
+        |  SELECT vec_id, i - 1 AS ji, v[i] AS x
+        |  FROM e, UNNEST(generate_series(1, 64)) AS t(i)),
+        |dims AS (
+        |  SELECT a.g - 1 AS ji, b.g - 1 AS jo, (a.g - 1) * 16 + (b.g - 1) + 1 AS k
+        |  FROM UNNEST(generate_series(1, 64)) AS a(g),
+        |       UNNEST(generate_series(1, 16)) AS b(g)),
+        |s1 AS (SELECT ji, jo, xor(k, k >> 16) AS h FROM dims),
+        |s2 AS (SELECT ji, jo,
+        |    xor((h * 73244475) % 4294967296, ((h * 73244475) % 4294967296) >> 16) AS h FROM s1),
+        |s3 AS (SELECT ji, jo,
+        |    xor((h * 73244475) % 4294967296, ((h * 73244475) % 4294967296) >> 16) AS h FROM s2),
+        |sg AS (SELECT ji, jo, CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END AS sgn FROM s3),
+        |proj AS (
+        |  SELECT vec_id, jo,
+        |    CAST(SUM(CAST(round(x, 6) AS DECIMAL(20,6)) * sgn) AS DOUBLE) / 4.0 AS y
+        |  FROM cells JOIN sg USING (ji)
+        |  GROUP BY 1, 2),
+        |pv AS (SELECT vec_id, list(y ORDER BY jo) AS y FROM proj GROUP BY 1),
+        |sc AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    list_cosine_similarity(a.y, b.y) AS cosp
+        |  FROM pv a JOIN pv b ON a.vec_id < 5 AND a.vec_id != b.vec_id),
+        |rk AS (
+        |  SELECT query_id, neighbor_id, cosp,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosp DESC, neighbor_id) AS rank
+        |  FROM sc)
+        |SELECT r.query_id, CAST(r.rank AS BIGINT) AS rank, r.neighbor_id,
+        |  round(r.cosp, 6) AS cos_proj,
+        |  round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_exact
+        |FROM rk r JOIN e ea ON ea.vec_id = r.query_id
+        |          JOIN e eb ON eb.vec_id = r.neighbor_id
+        |WHERE r.rank <= 3 ORDER BY r.query_id, r.rank""".stripMargin,
+
+    // pow results decimal-cast before the normalizing sum (order-free)
+    "q254_temperature_mixture" ->
+      """WITH per AS (
+        |  SELECT lang,
+        |    CAST(SUM(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT SUM(n_tokens) AS t_all FROM per),
+        |raw AS (
+        |  SELECT lang, n_tokens,
+        |    CAST(n_tokens AS DOUBLE) / CAST(t_all AS DOUBLE) AS p,
+        |    CAST(pow(CAST(n_tokens AS DOUBLE) / CAST(t_all AS DOUBLE), 0.2)
+        |      AS DECIMAL(18,9)) AS w
+        |  FROM per CROSS JOIN tot),
+        |wt AS (SELECT SUM(w) AS w_all FROM raw)
+        |SELECT lang, n_tokens, round(p, 6) AS p_raw,
+        |  round(CAST(w AS DOUBLE) / CAST(w_all AS DOUBLE), 6) AS p_temp
+        |FROM raw CROSS JOIN wt ORDER BY lang""".stripMargin,
+
+    // q80's recursive-CTE closure for the clusters; singleton docs are
+    // their own group; split = LCG(group) mod 10 (q244's permutation)
+    "q253_leakage_safe_split" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS ts FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+        |  FROM toks, UNNEST(generate_series(1, len(ts)-2)) AS g(i)),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT d1, d2 FROM inter JOIN cnt c1 ON c1.doc_id = d1 JOIN cnt c2 ON c2.doc_id = d2
+        |  WHERE CAST(i AS DOUBLE) / CAST(c1.n + c2.n - i AS DOUBLE) >= 0.5),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |reach AS (
+        |  SELECT a AS id, b AS r FROM edges
+        |  UNION
+        |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+        |cl AS (SELECT id AS doc_id, LEAST(id, MIN(r)) AS cluster_id
+        |       FROM reach GROUP BY id),
+        |g AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS group_id
+        |      FROM documents d LEFT JOIN cl USING (doc_id))
+        |SELECT doc_id, group_id,
+        |  CASE WHEN ((group_id * 1103515245 + 12345) % 2147483648) % 10 = 0
+        |       THEN 'test' ELSE 'train' END AS split
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "q32_udf_distance" ->
       """SELECT event_id, value * 1.60934 AS km_expr, value * 1.60934 AS km_udf

@@ -91,4 +91,34 @@ object Sampling {
       .filter(col("__rank") <= k)
       .drop("__rank")
   }
+
+  /** LEAKAGE-SAFE train/test split: a per-row split that respects dedup
+    * clusters, so two near-duplicate documents can never straddle the
+    * boundary (the classic eval-contamination bug a doc-level random
+    * split commits: the test doc's near-copy sits in train). `pairs` is
+    * any near-dup pair relation (MinHash/SimHash/embedding — columns
+    * `d1Col`/`d2Col`); docs absent from it are their own singleton group.
+    * The split key is the GROUP id (cluster canonical id) through the
+    * portable LCG permutation ([[Sharding.permKey]] — engine-portable, no
+    * Spark-private hash), so membership is reproducible and stable as the
+    * corpus grows.
+    *
+    * Scale shape: connected components is the round-bounded
+    * pointer-jumping of [[Dedup.connectedComponents]] (only docs IN pairs
+    * enter it — the cluster relation is small by construction); the
+    * singleton back-fill is one left join keyed by id; the split itself
+    * is a pure map. Returns `(id, group_id, split)`. */
+  def leakageSafeSplit(
+      docs: DataFrame, idCol: String, pairs: DataFrame,
+      d1Col: String, d2Col: String, testMod: Int = 10): DataFrame = {
+    val comp = Dedup.connectedComponents(pairs, d1Col, d2Col)
+      .withColumnRenamed("id", idCol)
+    docs.select(col(idCol))
+      .join(comp, Seq(idCol), "left_outer")
+      .select(col(idCol).as("id"),
+        coalesce(col("comp"), col(idCol)).as("group_id"))
+      .withColumn("split",
+        when(pmod(Sharding.permKey(col("group_id")), lit(testMod)) === 0,
+          lit("test")).otherwise(lit("train")))
+  }
 }

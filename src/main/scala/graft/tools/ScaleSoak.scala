@@ -146,6 +146,22 @@ object ScaleSoak {
           emb.filter($"vec_id" < 100), emb, cents, codes, "vec_id", "embedding",
           k = 1, m = 16, rerank = 100).count()
       }
+      t("segment_dedup") {
+        // cost = one segment-keyed count + one join; ~n/W segment rows
+        graft.llm.SegmentDedup.segmentDedup(docs, "doc_id", "text", 4)
+          .filter(col("n_dropped") > 0).count()
+      }
+      t("nb_classifier") {
+        // training = two vocab-bounded aggs; scoring = |labels|× token rows
+        val train = docs.filter(col("doc_id") % 5 =!= 0)
+        val test = docs.filter(col("doc_id") % 5 === 0)
+        graft.llm.NaiveBayes.trainPredict(train, test, "doc_id", "text", "lang").count()
+      }
+      t("dsir_weights") {
+        // two LM count aggs + one token-keyed scoring join over raw
+        graft.llm.Dsir.importanceWeights(docs,
+          docs.filter(col("lang") === "zh"), "doc_id", "text").count()
+      }
       results.toMap
     }
 

@@ -970,6 +970,56 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.map(r => (r._1, r._2)) == List((10L, "aa_lab")), got.toString)
   }
 
+  test("leakageSafeSplit: near-dup pairs never straddle the boundary; singletons self-group") {
+    val docs = (1L to 20L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // clusters: {1,2,3} (chained), {7,8}; the rest singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("d1", "d2")
+    val got = graft.llm.Sampling
+      .leakageSafeSplit(docs, "doc_id", pairs, "d1", "d2")
+      .as[(Long, Long, String)].collect().toList.sortBy(_._1)
+    assert(got.size == 20)
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L)._2 == 1L && byId(2L)._2 == 1L && byId(3L)._2 == 1L)
+    assert(byId(7L)._2 == 7L && byId(8L)._2 == 7L)
+    assert(byId(4L)._2 == 4L) // singleton
+    // the leak-safety property itself: same group ⇒ same split
+    got.groupBy(_._2).values.foreach { grp =>
+      assert(grp.map(_._3).distinct.size == 1, grp.toString)
+    }
+    // both labels actually occur over a spread of group ids
+    assert(got.map(_._3).distinct.sorted == List("test", "train"), got.toString)
+  }
+
+  test("RandomProjection: planted duplicate projects to cos 1; JL error bounded; sign matrix non-degenerate") {
+    import graft.llm.{RandomProjection, Similarity}
+    val emb = embs.select($"vec_id",
+      transform($"embedding", _.cast("double")).as("v"))
+    // plant an exact copy of vec 0 at id 999999
+    val planted = emb.filter($"vec_id" === 0)
+      .select(lit(999999L).as("vec_id"), $"v")
+    val proj = RandomProjection.project(emb.unionByName(planted), "vec_id", "v", 16)
+    val top1 = Similarity.bruteForceTopK(
+        proj.filter($"vec_id" === 0), proj, "vec_id", "y", 1)
+      .select($"neighbor_id", round($"cos", 6)).as[(Long, Double)].head()
+    assert(top1 == ((999999L, 1.0)), top1.toString)
+
+    // JL preservation: mean |cos_proj − cos_exact| over a pair sample is
+    // within the dOut=16 regime (~1/√16); a factorizing (degenerate) sign
+    // matrix fails this at ~0.9 because every projected cos is ±1.
+    val sample = emb.filter($"vec_id" < 30)
+    val a = sample.select($"vec_id".as("ida"), $"v".as("va"))
+    val b = sample.select($"vec_id".as("idb"), $"v".as("vb"))
+    val pa = RandomProjection.project(sample, "vec_id", "v", 16)
+    val ya = pa.select($"vec_id".as("ida"), $"y".as("ya"))
+    val yb = pa.select($"vec_id".as("idb"), $"y".as("yb"))
+    val meanErr = a.join(b, $"ida" < $"idb")
+      .join(ya, Seq("ida")).join(yb, Seq("idb"))
+      .select(abs(Similarity.cosine($"va", $"vb") -
+        Similarity.cosine($"ya", $"yb")).as("err"))
+      .agg(avg($"err")).as[Double].head()
+    assert(meanErr < 0.35, s"JL mean cos error $meanErr — projection degenerate?")
+  }
+
   test("Dsir: target-typical docs outweigh raw-typical; weight is per-token mean") {
     val raw = Seq((1L, "alpha alpha beta"), (2L, "gamma gamma delta"),
       (3L, "alpha gamma")).toDF("doc_id", "text")

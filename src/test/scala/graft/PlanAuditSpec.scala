@@ -386,4 +386,41 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("windowspecdefinition(shard_id"),
       s"window not partitioned by shard:\n${plan.take(3000)}")
   }
+
+  test("q249: segment construction is row-local; dup set broadcasts under AQE") {
+    // No Window operator anywhere (segments come from array HOFs, not
+    // explode+window), and the duplicated-segment relation — small by
+    // construction — reaches the segment relation as a broadcast join.
+    val df = SparkEntry.queries("q249_segment_dedup")(spark, dir)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window "), s"segment build uses a window:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dup-segment set not broadcast:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q250: NB model dims (labels/mass/vocab/priors) broadcast; no cartesian blowup") {
+    val df = SparkEntry.queries("q250_nb_classifier")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // label/mass/vocab/prior relations are model-sized — every one must
+    // arrive as a broadcast, never a shuffle exchange on the token relation
+    assert("BroadcastHashJoin|BroadcastExchange".r.findAllIn(plan).nonEmpty)
+    assert(!plan.contains("CartesianProduct"),
+      s"NB scoring degenerated to a cartesian:\n${plan.take(3000)}")
+  }
+
+  test("q251: DSIR scoring is one token-keyed join; scalars broadcast") {
+    val df = SparkEntry.queries("q251_dsir_selection")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastExchange"),
+      s"LM normalizers not broadcast:\n${plan.take(3000)}")
+    // the final top-50 must be a bounded sort, not a global one
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"selection not top-k bounded:\n${plan.take(3000)}")
+  }
 }
