@@ -772,6 +772,44 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    // ── LLM-pipeline: CROSS-CODEC image dedup — the same picture stored
+    //    as BMP and as PNG has different BYTES (so fingerprint/MinHash
+    //    dedup can never catch it) but identical decoded PIXELS: dedup on
+    //    a decoded-signal signature (dims + 6-dp mean luma) through the
+    //    REAL ImageIO decoders. Planted: every BMP fixture gets a PNG
+    //    twin with the same pixel content at id+1e6; the join is
+    //    signature-keyed (hash join, never all-pairs). A codec bug in
+    //    either decoder breaks pair recovery — the oracle is the
+    //    closed-form parameter replay.
+    "q256_image_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val m = graft.llm.Multimodal
+      val base = Tables.documents(s, dir).filter($"doc_id" < 200)
+        .select($"doc_id",
+          (lit(8) + pmod($"doc_id", lit(5))).cast("int").as("w"),
+          (lit(8) + pmod($"doc_id", lit(3))).cast("int").as("h"),
+          pmod($"doc_id" * 37, lit(256)).cast("int").as("g"))
+      val bmp = m.syntheticBmp(base, "w", "h", "g").select($"doc_id", $"content")
+      val pngIn = base.select(($"doc_id" + 1000000L).as("doc_id"), $"w", $"h",
+        $"g".as("g1"), $"g".as("g2"))
+      val png = m.syntheticCheckerPng(pngIn, "w", "h", "g1", "g2")
+        .select($"doc_id", $"content")
+      val sig = m.decodeImage(bmp.unionByName(png), "content")
+        .filter($"decoded_real")
+        .select($"doc_id", $"decoded_width", $"decoded_height",
+          round($"decoded_mean_luma", 6).as("luma"))
+      sig.as("a").join(sig.as("b"),
+          col("a.decoded_width") === col("b.decoded_width") &&
+          col("a.decoded_height") === col("b.decoded_height") &&
+          col("a.luma") === col("b.luma") &&
+          col("a.doc_id") < lit(1000000L) && col("b.doc_id") >= lit(1000000L))
+        .select(col("a.doc_id").as("bmp_id"), col("b.doc_id").as("png_id"),
+          col("a.decoded_width").cast("long").as("width"),
+          col("a.decoded_height").cast("long").as("height"),
+          col("a.luma").as("luma"))
+        .orderBy($"bmp_id")
+    }),
+
     // ── LLM-pipeline: Johnson–Lindenstrauss ±1 random projection
     //    (Achlioptas 2003) — 64-dim embeddings → 16 dims, matrix never
     //    materialized (closed-form LCG signs, the q244 portability rule),
@@ -5263,6 +5301,15 @@ object SparkEntry {
         |SELECT source, n_docs, n_tokens, share, epochs,
         |  CAST(floor(epochs * n_tokens) AS BIGINT) AS planned_tokens
         |FROM e ORDER BY source""".stripMargin,
+
+    // every (w,h,g) class is a singleton (37 is invertible mod 256, so g
+    // is distinct per doc) → exactly the planted BMP↔PNG twins pair up
+    "q256_image_dedup" ->
+      """SELECT doc_id AS bmp_id, doc_id + 1000000 AS png_id,
+        |  CAST(8 + doc_id % 5 AS BIGINT) AS width,
+        |  CAST(8 + doc_id % 3 AS BIGINT) AS height,
+        |  round((doc_id * 37 % 256) / 255.0, 6) AS luma
+        |FROM documents WHERE doc_id < 200 ORDER BY bmp_id""".stripMargin,
 
     // relational replay of the row-local projection: same LCG signs, same
     // 6-dp decimal quantization, order-free decimal sum per (vec, jo)

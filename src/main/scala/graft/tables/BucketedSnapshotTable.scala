@@ -77,10 +77,12 @@ final class BucketedSnapshotTable(
 
   def currentVersion(spark: SparkSession): Option[Int] = {
     val f = fs(spark)
-    if (f.exists(pointer)) {
-      val in = f.open(pointer)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
-      finally in.close()
+    // MetaIO rides out a concurrent flip's transient states (missing-file
+    // window, checksum-sidecar skew); a genuinely absent pointer falls
+    // through to tmp adoption below.
+    val direct = MetaIO.readSmall(f, pointer)
+    if (direct.isDefined) {
+      direct.map(_.trim.toInt)
     } else {
       // Mid-flip crash recovery: the flip is delete(pointer) → rename(tmp,
       // pointer). A missing pointer with a `_current.tmp.v` present means a

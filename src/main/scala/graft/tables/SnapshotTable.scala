@@ -50,15 +50,10 @@ final class SnapshotTable(val root: String,
 
   private val pointer = new Path(root, "_current")
 
-  def currentVersion(spark: SparkSession): Option[Int] = {
-    val f = fs(spark)
-    if (!f.exists(pointer)) None
-    else {
-      val in = f.open(pointer)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
-      finally in.close()
-    }
-  }
+  def currentVersion(spark: SparkSession): Option[Int] =
+    // MetaIO rides out a concurrent writer's delete→rename pointer flip
+    // (missing-file window + checksum-sidecar skew on local FS)
+    MetaIO.readSmall(fs(spark), pointer).map(_.trim.toInt)
 
   def exists(spark: SparkSession): Boolean = currentVersion(spark).isDefined
 
@@ -224,10 +219,11 @@ final class SnapshotTable(val root: String,
       clusterBy: Seq[String] = Nil,
       clusterPartitions: Int = 0): Int = {
     val cols = clusterBy.map(org.apache.spark.sql.functions.col)
+    val checked = enforceConstraints(spark, df)
     val prepared =
-      if (clusterBy.isEmpty) df
-      else (if (clusterPartitions > 0) df.repartitionByRange(clusterPartitions, cols: _*)
-            else df.repartitionByRange(cols: _*))
+      if (clusterBy.isEmpty) checked
+      else (if (clusterPartitions > 0) checked.repartitionByRange(clusterPartitions, cols: _*)
+            else checked.repartitionByRange(cols: _*))
         .sortWithinPartitions(cols: _*)
     // Stage outside the lock — the expensive distributed write runs with NO
     // mutual exclusion (concurrent writers overlap here); only the
@@ -354,13 +350,14 @@ final class SnapshotTable(val root: String,
     if (txn.exists { case (app, batch) => lastTxn(spark, app).exists(_ >= batch) })
       return currentVersion(spark).getOrElse(0)
     val v0 = currentVersion(spark)
+    val checked = enforceConstraints(spark, df)
     val aligned = v0 match {
       case Some(v) =>
         val liveCols = snapshotDF(spark, v).columns
         require(df.columns.toSet == liveCols.toSet,
           s"append schema mismatch: table has ${liveCols.mkString(",")}, increment has ${df.columns.mkString(",")}")
-        df.select(liveCols.map(org.apache.spark.sql.functions.col).toSeq: _*)
-      case None => df
+        checked.select(liveCols.map(org.apache.spark.sql.functions.col).toSeq: _*)
+      case None => checked
     }
     val staging = new Path(root, s"_staging_${java.util.UUID.randomUUID().toString.take(12)}")
     // keep the live table's hive partitioning on the increment, so the
@@ -427,11 +424,10 @@ final class SnapshotTable(val root: String,
       val n = st.getPath.getName
       val rest = if (n.startsWith(pre)) n.drop(pre.length) else ""
       if (rest.nonEmpty && rest.forall(_.isDigit)) {
-        val in = f.open(st.getPath)
-        val batch =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-          finally in.close()
-        Seq(rest.toInt -> batch)
+        // a marker can vanish between list and open (another process's
+        // pruneTxnMarkers) — a vanished marker is simply not a marker
+        MetaIO.readSmall(f, st.getPath, attempts = 4)
+          .map(b => rest.toInt -> b.trim.toLong).toSeq
       } else Nil
     }
   }
@@ -565,6 +561,81 @@ final class SnapshotTable(val root: String,
   // numeric/timestamp stats columns only, which is what range predicates
   // at scale filter on. Pair with `clusterBy` on the same column so file
   // ranges are disjoint and pruning is maximally selective.
+
+  // ── CHECK constraints (ALTER TABLE … ADD CONSTRAINT analog) ───────────
+  // Stored as "name\tpredicate" lines in _constraints; enforced INLINE in
+  // every write path via assert_true inside a filter (one pass, fused into
+  // the staging write's plan — no second scan of the batch, and a filter
+  // condition cannot be pruned away like a dropped projection could).
+
+  private def constraintsFile = new Path(root, "_constraints")
+
+  /** Active constraints, name → SQL predicate. */
+  def constraints(spark: SparkSession): Map[String, String] = {
+    val f = fs(spark)
+    if (!f.exists(constraintsFile)) Map.empty
+    else {
+      val in = f.open(constraintsFile)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      txt.linesIterator.filter(_.nonEmpty).map { l =>
+        val Array(n, p) = l.split("\t", 2); n -> p
+      }.toMap
+    }
+  }
+
+  private def writeConstraints(f: org.apache.hadoop.fs.FileSystem,
+      cs: Map[String, String]): Unit = {
+    val tmp = new Path(root, "_constraints.tmp")
+    val out = f.create(tmp, true)
+    try out.write(cs.toSeq.sortBy(_._1)
+      .map { case (n, p) => s"$n\t$p" }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (f.exists(constraintsFile)) f.delete(constraintsFile, false)
+    if (!f.rename(tmp, constraintsFile))
+      throw new IllegalStateException(s"SnapshotTable $root: constraints write failed")
+  }
+
+  /** Add a CHECK constraint. Delta semantics: the EXISTING snapshot is
+    * validated first (one distributed count of violations — rejecting the
+    * constraint, not the data, if any row already breaks it), then the
+    * constraint persists and every subsequent write/append/merge batch is
+    * checked inline. DDL serializes under the commit lock. */
+  def addConstraint(spark: SparkSession, name: String, predicate: String): Unit = {
+    require(!name.contains("\t") && !name.contains("\n") &&
+      !predicate.contains("\t") && !predicate.contains("\n"),
+      "constraint name/predicate must not contain tabs or newlines")
+    val f = fs(spark)
+    withCommitLock(f) { _ =>
+      readOption(spark).foreach { df =>
+        val bad = df.filter(!org.apache.spark.sql.functions.expr(predicate)).count()
+        if (bad > 0) throw new IllegalArgumentException(
+          s"CONSTRAINT_VIOLATION: cannot add CHECK $name ($predicate) — " +
+            s"$bad existing row(s) violate it")
+      }
+      writeConstraints(f, constraints(spark) + (name -> predicate))
+    }
+  }
+
+  /** Drop a CHECK constraint (no-op if absent). */
+  def dropConstraint(spark: SparkSession, name: String): Unit = {
+    val f = fs(spark)
+    withCommitLock(f) { _ =>
+      writeConstraints(f, constraints(spark) - name)
+    }
+  }
+
+  /** Wrap `df` so scanning it raises CONSTRAINT_VIOLATION on the first
+    * row breaking any active CHECK — fused into the write that consumes
+    * it. NULL predicate results count as violations (CHECK must prove the
+    * row, unknown does not pass — Delta's rule for NOT NULL via CHECK). */
+  private def enforceConstraints(spark: SparkSession, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{assert_true, coalesce, expr, lit}
+    constraints(spark).foldLeft(df) { case (d, (name, pred)) =>
+      d.filter(assert_true(coalesce(expr(pred), lit(false)),
+        lit(s"CONSTRAINT_VIOLATION: CHECK $name ($pred) failed")).isNull)
+    }
+  }
 
   private def statsPath(v: Int) = new Path(root, s"_stats_v$v")
 
