@@ -772,6 +772,28 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    // ── LLM-pipeline: CONTENT-DEFINED chunking dedup (rolling-hash CDC,
+    //    the storage-dedup/pipeline chunker): cut where the 8-char window
+    //    hash ≡ 0 mod 32 (≈32-char chunks). Unlike q249's ALIGNED
+    //    segments, boundaries derive from content — one inserted char
+    //    shifts every fixed window after it, but CDC boundaries
+    //    resynchronize, so shared text keeps chunking identically. Hash +
+    //    boundary + chunk build are all row-local HOFs (zero shuffles,
+    //    portable integer fold B=257 mod 1e9+7); only the chunk-keyed
+    //    count and report agg exchange.
+    "q257_cdc_chunk_dedup" -> ((s, dir) => {
+      import s.implicits._
+      // the hash kernel is row-local CPU-bound work; the sf dir is ONE
+      // parquet file, so spread rows across cores first (a real cluster's
+      // input splits provide this for free — here it's one tiny shuffle)
+      val docs = Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism)
+      graft.llm.SubstringDedup.cdcDedupReport(
+          docs, "doc_id", "text", w = 8, divisor = 32)
+        .filter($"n_dup_chunks" > 0)
+        .select($"id".as("doc_id"), $"n_chunks", $"n_dup_chunks", $"dup_chars")
+        .orderBy($"doc_id")
+    }),
+
     // ── LLM-pipeline: CROSS-CODEC image dedup — the same picture stored
     //    as BMP and as PNG has different BYTES (so fingerprint/MinHash
     //    dedup can never catch it) but identical decoded PIXELS: dedup on
@@ -5301,6 +5323,33 @@ object SparkEntry {
         |SELECT source, n_docs, n_tokens, share, epochs,
         |  CAST(floor(epochs * n_tokens) AS BIGINT) AS planned_tokens
         |FROM e ORDER BY source""".stripMargin,
+
+    // unrolled replay of the row-local rolling-hash fold (same mod
+    // placement per step), boundaries → chunks via lag + trailing piece
+    "q257_cdc_chunk_dedup" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |cuts AS (
+        |  SELECT doc_id, i FROM d, UNNEST(generate_series(8, n)) AS t(i)
+        |  WHERE n >= 8 AND (((((((((((((((CAST(ascii(substr(text, i-7, 1)) AS BIGINT))*257 + ascii(substr(text, i-6, 1))) % 1000000007)*257 + ascii(substr(text, i-5, 1))) % 1000000007)*257 + ascii(substr(text, i-4, 1))) % 1000000007)*257 + ascii(substr(text, i-3, 1))) % 1000000007)*257 + ascii(substr(text, i-2, 1))) % 1000000007)*257 + ascii(substr(text, i-1, 1))) % 1000000007)*257 + ascii(substr(text, i-0, 1))) % 1000000007) % 32 = 0),
+        |c AS (SELECT doc_id, i AS e, lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS pe
+        |      FROM cuts),
+        |chunkrows AS (
+        |  SELECT c.doc_id, substr(text, COALESCE(pe, 0) + 1, e - COALESCE(pe, 0)) AS chunk
+        |  FROM c JOIN d USING (doc_id)
+        |  UNION ALL
+        |  SELECT l.doc_id, substr(text, lc + 1, n - lc)
+        |  FROM (SELECT doc_id, max(i) AS lc FROM cuts GROUP BY 1) l
+        |  JOIN d USING (doc_id) WHERE n > lc
+        |  UNION ALL
+        |  SELECT doc_id, text FROM d
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM cuts) AND n > 0),
+        |dup AS (SELECT chunk FROM chunkrows GROUP BY chunk
+        |        HAVING count(DISTINCT doc_id) > 1)
+        |SELECT cr.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN dup.chunk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+        |  CAST(sum(CASE WHEN dup.chunk IS NOT NULL THEN length(cr.chunk) ELSE 0 END) AS BIGINT) AS dup_chars
+        |FROM chunkrows cr LEFT JOIN dup ON cr.chunk = dup.chunk
+        |GROUP BY cr.doc_id HAVING n_dup_chunks > 0 ORDER BY cr.doc_id""".stripMargin,
 
     // every (w,h,g) class is a singleton (37 is invertible mod 256, so g
     // is distinct per doc) → exactly the planted BMP↔PNG twins pair up

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -158,5 +158,73 @@ object SubstringDedup {
       .select(col("id"), col("i"))
     val lens = train.select(col(idCol).as("id"), length(col(textCol)).as("len"))
     spanStats(hitPos, lens, L, idCol)
+  }
+
+  /** CONTENT-DEFINED chunking (rolling-hash/Rabin-style, the storage-dedup
+    * and CommonCrawl-pipeline chunker): cut after position i whenever the
+    * polynomial hash of the w-char window ending at i is ≡ 0 mod
+    * `divisor` (expected chunk length ≈ divisor chars). Unlike the
+    * ALIGNED windows of [[SegmentDedup]], boundaries derive from CONTENT:
+    * a one-character insertion shifts every fixed segment after it but
+    * CDC boundaries resynchronize within ~one window — shared text keeps
+    * producing identical chunks, which is the whole point.
+    *
+    * Everything up to the chunk relation is row-local (nested HOFs:
+    * O(n·w) hash work per doc, zero shuffles — the winnowing cost shape);
+    * hash arithmetic is portable integer math (B=257, M=1e9+7, the same
+    * fold any SQL engine replays exactly). Docs shorter than `w` are one
+    * whole-doc chunk. Returns the exploded chunk relation
+    * `(id, chunk_idx, chunk)` — chunk_idx 1-based in doc order. */
+  def contentDefinedChunks(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, divisor: Int = 64): DataFrame = {
+    val M = lit(1000000007L)
+    // STAGE the char array and cut list as columns between selects: an
+    // expression referenced inside a HOF lambda is re-evaluated per lambda
+    // call, so an inline split(text) inside the per-position fold would
+    // re-split the whole string O(n·w) times — O(n²·w) char work per doc
+    // (measured: hung the sf0.1 bench). An attribute reference is a
+    // pointer fetch; staging restores the intended O(n·w).
+    val staged = docs.select(col(idCol).as("id"), col(textCol).as("__t"),
+      split(col(textCol), "").as("__chars"), length(col(textCol)).as("__n"))
+    // cut positions: window END offsets i ∈ [w, n] whose hash divides
+    val pos = when(col("__n") < w, array().cast("array<int>"))
+      .otherwise(sequence(lit(w), col("__n")))
+    // the w-step fold is UNROLLED into a static expression tree: an inner
+    // aggregate() HOF would pay sequence materialization + lambda dispatch
+    // per step per position (interpreted), ~2× the whole operator's cost
+    val cutsExpr = filter(pos, i =>
+      pmod((1 to w).foldLeft(lit(0L): Column)((acc, k) =>
+        pmod(acc * lit(257L) + ascii(element_at(col("__chars"), i - w + k)), M)),
+        lit(divisor.toLong)) === 0)
+    val cut = staged.select(col("id"), col("__t"), col("__n"), cutsExpr.as("__cuts"))
+    // chunk k spans (prev cut + 1) .. cut; a trailing remainder after the
+    // last cut is its own chunk (empty remainder drops out)
+    val starts = concat(array(lit(1)), transform(col("__cuts"), c => c + 1))
+    val ends = concat(col("__cuts"), array(col("__n")))
+    val chunks = filter(
+      zip_with(starts, ends, (s, e) =>
+        when(e >= s, col("__t").substr(s, e - s + lit(1)))),
+      c => c.isNotNull)
+    cut.select(col("id"), posexplode(chunks).as(Seq("ci", "chunk")))
+      .select(col("id"), (col("ci") + 1).as("chunk_idx"), col("chunk"))
+  }
+
+  /** Per-doc CDC dedup report: a chunk occurring in more than
+    * `maxDocFreq` distinct docs is duplicated; every occurrence counts.
+    * `(id, n_chunks, n_dup_chunks, dup_chars)` — one chunk-keyed count +
+    * one join, the [[SegmentDedup]] scale shape. */
+  def cdcDedupReport(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, divisor: Int = 64, maxDocFreq: Long = 1L): DataFrame = {
+    val chunks = contentDefinedChunks(docs, idCol, textCol, w, divisor)
+    val dup = chunks.groupBy(col("chunk"))
+      .agg(countDistinct(col("id")).as("dfreq"))
+      .filter(col("dfreq") > maxDocFreq)
+      .select(col("chunk"), lit(true).as("is_dup"))
+    chunks.join(dup, Seq("chunk"), "left_outer")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        sum(coalesce(col("is_dup"), lit(false)).cast("long")).as("n_dup_chunks"),
+        sum(when(coalesce(col("is_dup"), lit(false)), length(col("chunk")))
+          .otherwise(lit(0)).cast("long")).as("dup_chars"))
   }
 }

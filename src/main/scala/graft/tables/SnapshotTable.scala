@@ -50,10 +50,32 @@ final class SnapshotTable(val root: String,
 
   private val pointer = new Path(root, "_current")
 
-  def currentVersion(spark: SparkSession): Option[Int] =
+  def currentVersion(spark: SparkSession): Option[Int] = {
+    val f = fs(spark)
     // MetaIO rides out a concurrent writer's delete→rename pointer flip
     // (missing-file window + checksum-sidecar skew on local FS)
-    MetaIO.readSmall(fs(spark), pointer).map(_.trim.toInt)
+    MetaIO.readSmall(f, pointer).map(_.trim.toInt).orElse {
+      // Mid-flip CRASH recovery (the bucketed table's rule, same protocol):
+      // pointer absent but a `_current.tmp.v` present means a writer died
+      // between delete(pointer) and rename(tmp, pointer). Its version dir
+      // and manifest are complete (they precede the flip), so the version
+      // IS committed — without adoption the table would read as v0 and the
+      // next writer's claimVersionDir would RECLAIM (delete) live version
+      // dirs. Adopt the highest tmp and self-heal the rename.
+      val tmps =
+        if (!f.exists(new Path(root))) Array.empty[Int]
+        else f.listStatus(new Path(root))
+          .map(_.getPath.getName)
+          .filter(_.startsWith("_current.tmp."))
+          .map(_.stripPrefix("_current.tmp.").toInt)
+      if (tmps.isEmpty) None
+      else {
+        val v = tmps.max
+        f.rename(new Path(root, s"_current.tmp.$v"), pointer) // best-effort heal
+        Some(v)
+      }
+    }
+  }
 
   def exists(spark: SparkSession): Boolean = currentVersion(spark).isDefined
 

@@ -1020,6 +1020,42 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(meanErr < 0.35, s"JL mean cos error $meanErr — projection degenerate?")
   }
 
+  test("contentDefinedChunks: boundaries resynchronize after an insertion; short docs are one chunk") {
+    import graft.llm.SubstringDedup
+    val base = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "green bottles stand on the wall and the rain in spain falls mainly on the plain " +
+      "as colorless green ideas sleep furiously near the silent harbor lights tonight"
+    val d = Seq((1L, base), (2L, "Z" + base), (3L, "ab")).toDF("doc_id", "text")
+    val ch = SubstringDedup.contentDefinedChunks(d, "doc_id", "text", 8, 32)
+      .as[(Long, Long, String)].collect().toList
+    val c1 = ch.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    val c2 = ch.filter(_._1 == 2L).sortBy(_._2).map(_._3)
+    val c3 = ch.filter(_._1 == 3L).map(_._3)
+    assert(c1.mkString == base && c2.mkString == "Z" + base) // lossless cover
+    assert(c1.size >= 3, s"text too short for the test: ${c1.size} chunks")
+    // content-defined boundaries RESYNC after the unshared prefix: every
+    // chunk of doc1 except the first reappears verbatim in doc2 (a fixed
+    // ALIGNED chunker shares nothing after a 1-char insertion)
+    assert(c1.drop(1).forall(c2.toSet), (c1, c2).toString)
+    assert(c3 == List("ab")) // shorter than the window: one whole-doc chunk
+  }
+
+  test("cdcDedupReport: planted shared block is found; unique docs report zero") {
+    import graft.llm.SubstringDedup
+    val shared = "uniform resource locator canonicalization for training corpora " +
+      "requires deterministic lowercase folding of the host and scheme parts always"
+    val d = Seq(
+      (1L, "intro text first " + shared + " outro one"),
+      (2L, "different preamble here " + shared + " and a tail"),
+      (3L, "completely unrelated content that shares nothing with the others at all")
+    ).toDF("doc_id", "text")
+    val got = SubstringDedup.cdcDedupReport(d, "doc_id", "text", 8, 32)
+      .as[(Long, Long, Long, Long)].collect().toList.sortBy(_._1)
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L)._3 > 0 && byId(2L)._3 > 0, got.toString) // shared block chunks pair up
+    assert(byId(3L)._3 == 0 && byId(3L)._4 == 0, got.toString)
+  }
+
   test("Dsir: target-typical docs outweigh raw-typical; weight is per-token mean") {
     val raw = Seq((1L, "alpha alpha beta"), (2L, "gamma gamma delta"),
       (3L, "alpha gamma")).toDF("doc_id", "text")
