@@ -772,6 +772,45 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    // ── Sources: ORC round-trip (the third columnar format after
+    //    parquet + CSV/JSON in q51) — write orders to ORC partitioned by
+    //    priority, read back through the ORC scan with a partition-pruning
+    //    filter + pushed predicate, aggregate. The oracle reads the same
+    //    rows from parquet: the format must be lossless for every type in
+    //    the row (decimal-summed money, timestamps, strings).
+    "q259_orc_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("orc").toString
+      Tables.orders(s, dir)
+        .write.mode("overwrite").partitionBy("o_orderpriority")
+        .orc(s"$work/orders")
+      s.read.orc(s"$work/orders")
+        .filter($"o_orderpriority".isin("1-URGENT", "2-HIGH") &&
+          $"o_totalprice" > 100000.0)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          Relational.sumMoney($"o_totalprice").as("total"),
+          max($"o_orderdate").as("latest"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // ── LLM-pipeline: TextRank keyword extraction (Mihalcea & Tarau
+    //    2004) — weighted PageRank over the word co-occurrence graph, the
+    //    unsupervised keyword signal that needs no background corpus.
+    //    Per-iteration rank vectors are DECIMAL(18,12)-quantized and
+    //    contributions decimal-summed, so 5 damped iterations replay
+    //    bit-for-bit in DuckDB (the oracle unrolls them). Each iteration
+    //    is one edge⋈rank join + one agg, all keyed by word.
+    "q258_textrank" -> ((s, dir) => {
+      import s.implicits._
+      val edges = graft.llm.TextRank.cooccurrenceEdges(
+        Tables.documents(s, dir), "doc_id", "text")
+      graft.llm.TextRank.pageRank(edges, iters = 5)
+        .select($"word", $"score".cast("double").as("score"))
+        .orderBy($"score".desc, $"word")
+        .limit(10)
+    }),
+
     // ── LLM-pipeline: CONTENT-DEFINED chunking dedup (rolling-hash CDC,
     //    the storage-dedup/pipeline chunker): cut where the 8-char window
     //    hash ≡ 0 mod 32 (≈32-char chunks). Unlike q249's ALIGNED
@@ -4523,7 +4562,59 @@ object SparkEntry {
   }
 
   /** DuckDB-runnable oracle per query (same tables, same column names). */
+  /** q258's oracle: the 5 PageRank iterations UNROLLED as chained CTEs,
+    * generated so each step mirrors the Spark arithmetic exactly —
+    * (1.0-0.85) spelled as the subtraction (it is NOT the double 0.15),
+    * per-step DECIMAL(18,12) quantization, decimal-summed contributions. */
+  private def textrankOracle: String = {
+    val steps = (1 to 5).map { k =>
+      s"""pr$k AS (
+         |  SELECT nodes.v,
+         |    CAST(round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))/CAST(nn.n AS DOUBLE)
+         |        + CAST(0.85 AS DOUBLE)*CAST(COALESCE(c.cs, 0) AS DOUBLE), 12)
+         |      AS DECIMAL(18,12)) AS pr
+         |  FROM nodes CROSS JOIN nn LEFT JOIN (
+         |    SELECT dir.t,
+         |      SUM(CAST((CAST(dir.c AS DOUBLE)/CAST(ow.ow AS DOUBLE))
+         |        *CAST(pr${k - 1}.pr AS DOUBLE) AS DECIMAL(28,12))) AS cs
+         |    FROM dir JOIN pr${k - 1} ON pr${k - 1}.v = dir.s
+         |    JOIN ow ON ow.s = dir.s
+         |    GROUP BY dir.t) c ON c.t = nodes.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != '') AS ts
+       |  FROM documents),
+       |pairs AS (
+       |  SELECT CASE WHEN ts[i] < ts[i+1] THEN ts[i] ELSE ts[i+1] END AS w1,
+       |         CASE WHEN ts[i] < ts[i+1] THEN ts[i+1] ELSE ts[i] END AS w2
+       |  FROM toks, UNNEST(generate_series(1, len(ts)-1)) AS g(i)
+       |  WHERE ts[i] != ts[i+1]),
+       |e AS (SELECT w1, w2, count(*) AS c FROM pairs GROUP BY 1, 2),
+       |dir AS (SELECT w1 AS s, w2 AS t, c FROM e UNION ALL SELECT w2, w1, c FROM e),
+       |ow AS (SELECT s, SUM(c) AS ow FROM dir GROUP BY 1),
+       |nodes AS (SELECT DISTINCT s AS v FROM dir),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |pr0 AS (SELECT v,
+       |          CAST(round(CAST(1.0 AS DOUBLE)/CAST(nn.n AS DOUBLE), 12)
+       |            AS DECIMAL(18,12)) AS pr
+       |        FROM nodes CROSS JOIN nn),
+       |$steps
+       |SELECT v AS word, CAST(pr AS DOUBLE) AS score FROM pr5
+       |ORDER BY score DESC, word LIMIT 10""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+
+    "q258_textrank" -> textrankOracle,
+
+    // the oracle never sees ORC — identical results prove the round-trip
+    "q259_orc_roundtrip" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  max(o_orderdate) AS latest
+        |FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_totalprice > 100000.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -1056,6 +1056,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(byId(3L)._3 == 0 && byId(3L)._4 == 0, got.toString)
   }
 
+  test("TextRank: hub outranks leaves, symmetric leaves tie exactly; self-pairs dropped") {
+    import graft.llm.TextRank
+    // star graph: hub—l1, hub—l2, hub—l3 each weight 1; "x x" self-pair
+    val d = Seq((1L, "l1 hub l2"), (2L, "hub l3"), (3L, "x x"))
+      .toDF("doc_id", "text")
+    val edges = TextRank.cooccurrenceEdges(d, "doc_id", "text")
+    assert(edges.as[(String, String, Long)].collect().toSet ==
+      Set(("hub", "l1", 1L), ("hub", "l2", 1L), ("hub", "l3", 1L)))
+    val pr = TextRank.pageRank(edges, iters = 5)
+      .as[(String, java.math.BigDecimal)].collect().toMap
+    assert(pr("hub").doubleValue > pr("l1").doubleValue, pr.toString)
+    assert(pr("l1") == pr("l2") && pr("l2") == pr("l3"), pr.toString) // exact tie
+    // probability mass ≈ 1 (12-dp quantization drift only)
+    val total = pr.values.map(_.doubleValue).sum
+    assert(math.abs(total - 1.0) < 1e-9, total.toString)
+  }
+
   test("Dsir: target-typical docs outweigh raw-typical; weight is per-token mean") {
     val raw = Seq((1L, "alpha alpha beta"), (2L, "gamma gamma delta"),
       (3L, "alpha gamma")).toDF("doc_id", "text")
