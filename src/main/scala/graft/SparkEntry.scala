@@ -772,6 +772,22 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    // ── LLM-pipeline: distributed PCA top component by POWER ITERATION —
+    //    whitening/de-biasing/compression diagnostics for the embedding
+    //    corpus. The data pass is ONE (i,j)-keyed covariance agg (d²=4096
+    //    groups no matter how many vectors stream through, partial-agg
+    //    combined); the 10 power rounds then run on model-sized relations
+    //    (broadcast joins only). Decimal quantization at every step makes
+    //    all 10 iterations — and the eigenvector itself — DuckDB-exact.
+    "q260_pca_power" -> ((s, dir) => {
+      import s.implicits._
+      val cov = graft.llm.Pca.covariance(
+        Tables.embeddings(s, dir), "vec_id", "embedding")
+      graft.llm.Pca.topComponent(s, cov, 64, iters = 10)
+        .select($"i".cast("long").as("dim"), $"loading", $"eigenvalue")
+        .orderBy($"dim")
+    }),
+
     // ── Sources: ORC round-trip (the third columnar format after
     //    parquet + CSV/JSON in q51) — write orders to ORC partitioned by
     //    priority, read back through the ORC scan with a partition-pruning
@@ -4603,9 +4619,56 @@ object SparkEntry {
        |ORDER BY score DESC, word LIMIT 10""".stripMargin
   }
 
+  /** q260's oracle: covariance + 10 power-iteration rounds unrolled as
+    * generated CTEs, each mirroring the Spark arithmetic (decimal
+    * quantization points, double casts, IEEE sqrt). */
+  private def pcaOracle: String = {
+    val steps = (1 to 10).map { k =>
+      s"""w$k AS MATERIALIZED (
+         |  SELECT cov.i,
+         |    CAST(SUM(CAST(CAST(c AS DOUBLE)*CAST(v AS DOUBLE) AS DECIMAL(28,12)))
+         |      AS DOUBLE) AS w
+         |  FROM cov JOIN v${k - 1} ON v${k - 1}.i = cov.j GROUP BY cov.i),
+         |n$k AS MATERIALIZED (
+         |  SELECT sqrt(CAST(SUM(CAST(w*w AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+         |  FROM w$k),
+         |v$k AS MATERIALIZED (
+         |  SELECT i, CAST(round(w/nrm, 9) AS DECIMAL(18,9)) AS v
+         |  FROM w$k CROSS JOIN n$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+       |cells AS (
+       |  SELECT vec_id AS id, i0 - 1 AS i,
+       |    CAST(round(vv[i0], 6) AS DECIMAL(20,6)) AS q
+       |  FROM e, UNNEST(generate_series(1, 64)) AS t(i0)),
+       |nn AS (SELECT count(*) AS n FROM e),
+       |means AS (
+       |  SELECT i, CAST(round(CAST(SUM(q) AS DOUBLE)/CAST(nn.n AS DOUBLE), 9)
+       |    AS DECIMAL(18,9)) AS m
+       |  FROM cells CROSS JOIN nn GROUP BY i, nn.n),
+       |cent AS MATERIALIZED (
+       |  SELECT id, i, CAST(q AS DOUBLE) - CAST(m AS DOUBLE) AS cx
+       |  FROM cells JOIN means USING (i)),
+       |cov AS MATERIALIZED (
+       |  SELECT a.i AS i, b.i AS j,
+       |    CAST(round(CAST(SUM(CAST(a.cx*b.cx AS DECIMAL(28,12))) AS DOUBLE)
+       |      /CAST(nn.n AS DOUBLE), 9) AS DECIMAL(18,9)) AS c
+       |  FROM cent a JOIN cent b USING (id) CROSS JOIN nn GROUP BY a.i, b.i, nn.n),
+       |v0 AS (
+       |  SELECT i, CAST(round(CAST(1.0 AS DOUBLE)/sqrt(CAST(64 AS DOUBLE)), 9)
+       |    AS DECIMAL(18,9)) AS v
+       |  FROM (SELECT DISTINCT i FROM means)),
+       |$steps
+       |SELECT CAST(v10.i AS BIGINT) AS dim, CAST(v AS DOUBLE) AS loading,
+       |  round(nrm, 6) AS eigenvalue
+       |FROM v10 CROSS JOIN n10 ORDER BY dim""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
 
     "q258_textrank" -> textrankOracle,
+
+    "q260_pca_power" -> pcaOracle,
 
     // the oracle never sees ORC — identical results prove the round-trip
     "q259_orc_roundtrip" ->

@@ -1,0 +1,95 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distributed PCA (top principal component) via power iteration — the
+  * embedding-pipeline op behind whitening, de-biasing ("all-but-the-top"),
+  * drift probes and low-rank compression diagnostics.
+  *
+  * Scale decomposition, the part that matters at 100 TB:
+  *  - the COVARIANCE is one (i,j)-keyed aggregation: however many vectors
+  *    stream through, the shuffle carries d² groups (64² = 4096 here) and
+  *    partial aggregation combines map-side — the classic "statistics are
+  *    small, data is big" shape;
+  *  - the POWER ITERATION then runs entirely on model-sized relations
+  *    (the d² covariance joined with the d-row rank vector per step) —
+  *    broadcast joins, no data pass at all.
+  *
+  * Engine parity (every step replayable in any SQL engine): components
+  * are 6-dp-quantized before decimal sums (means), centered values are
+  * exact decimal-derived doubles, per-pair products are DECIMAL(28,12)-
+  * cast before the order-free sum, and the covariance and each iterate
+  * are quantized to DECIMAL(18,9) — 9 decimals of O(0.01–1) values is ~11
+  * significant digits, safely below the ~15.9 where Spark's
+  * shortest-string rounding and exact-binary rounding diverge (12
+  * decimals sat AT that edge and drifted ~1e-10 over ten iterations). `sqrt` is IEEE-correctly-rounded
+  * (unlike exp/ln/pow) so the normalization introduces no cross-engine
+  * ulp drift. The eigenvector sign is pinned by the all-positive start
+  * vector (1/√d)ᵢ.
+  */
+object Pca {
+
+  /** Quantized covariance matrix of `vecCol`: one row per (i, j) with
+    * c = round(Σ (xᵢ−mᵢ)(xⱼ−mⱼ) / N, 9). */
+  def covariance(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val cells = embs.select(col(idCol).as("id"),
+        posexplode(transform(col(vecCol), _.cast("double"))).as(Seq("i", "x")))
+      .select(col("id"), col("i"),
+        round(col("x"), 6).cast(DecimalType(20, 6)).as("q"))
+    val n = embs.select(col(idCol)).count()
+    val means = cells.groupBy(col("i"))
+      .agg(round(sum(col("q")).cast("double") / n, 9)
+        .cast(DecimalType(18, 9)).as("m"))
+    val centered = cells.join(broadcast(means), Seq("i"))
+      .select(col("id"), col("i"),
+        (col("q").cast("double") - col("m").cast("double")).as("cx"))
+    centered.select(col("id"), col("i").as("i1"), col("cx").as("cx1"))
+      .join(centered.select(col("id"), col("i").as("i2"), col("cx").as("cx2")),
+        Seq("id"))
+      .select(col("i1").as("i"), col("i2").as("j"),
+        (col("cx1") * col("cx2")).cast(DecimalType(28, 12)).as("p"))
+      .groupBy(col("i"), col("j"))
+      .agg(round(sum(col("p")).cast("double") / n, 9)
+        .cast(DecimalType(18, 9)).as("c"))
+  }
+
+  /** Top eigenpair of the covariance by `iters` power-iteration rounds
+    * from the uniform unit vector. Returns one row per dimension:
+    * `(i, loading, eigenvalue)` — eigenvalue identical on every row. */
+  def topComponent(spark: SparkSession, cov: DataFrame, d: Int,
+      iters: Int = 10): DataFrame = {
+    import spark.implicits._
+    val covM = cov.localCheckpoint() // 10 iterations reuse it; d² rows
+    // v is localCheckpoint'd per round: the iterate feeds BOTH the next
+    // matvec and its own normalizer, so an un-truncated lineage doubles
+    // per round (2^iters subplans by round 10). The relation is d rows.
+    var v = (0 until d).toDF("i")
+      .select(col("i"), round(lit(1.0 / math.sqrt(d.toDouble)), 9)
+        .cast(DecimalType(18, 9)).as("v"))
+      .localCheckpoint()
+    var lambda: DataFrame = null
+    for (_ <- 1 to iters) {
+      val w = covM
+        .join(broadcast(v.select(col("i").as("j"), col("v"))), Seq("j"))
+        .select(col("i"),
+          (col("c").cast("double") * col("v").cast("double"))
+            .cast(DecimalType(28, 12)).as("t"))
+        .groupBy(col("i"))
+        .agg(sum(col("t")).cast("double").as("w"))
+        .localCheckpoint()
+      val norm = w.select(
+        sqrt(sum((col("w") * col("w")).cast(DecimalType(28, 12))).cast("double"))
+          .as("nrm"))
+      lambda = norm
+      v = w.crossJoin(broadcast(norm))
+        .select(col("i"),
+          round(col("w") / col("nrm"), 9).cast(DecimalType(18, 9)).as("v"))
+        .localCheckpoint()
+    }
+    v.crossJoin(broadcast(lambda))
+      .select(col("i"), col("v").cast("double").as("loading"),
+        round(col("nrm"), 6).as("eigenvalue"))
+  }
+}

@@ -162,6 +162,17 @@ object ScaleSoak {
         graft.llm.Dsir.importanceWeights(docs,
           docs.filter(col("lang") === "zh"), "doc_id", "text").count()
       }
+      t("cdc_chunk_dedup") {
+        // row-local O(n·w) hash kernel + one chunk-keyed count
+        graft.llm.SubstringDedup.cdcDedupReport(
+          docs.repartition(32), "doc_id", "text", 8, 32)
+          .filter(col("n_dup_chunks") > 0).count()
+      }
+      t("textrank") {
+        // vocab-keyed joins; corpus size only affects the edge count pass
+        graft.llm.TextRank.pageRank(
+          graft.llm.TextRank.cooccurrenceEdges(docs, "doc_id", "text"), 5).count()
+      }
       results.toMap
     }
 

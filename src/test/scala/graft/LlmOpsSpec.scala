@@ -1073,6 +1073,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(math.abs(total - 1.0) < 1e-9, total.toString)
   }
 
+  test("Pca: planted dominant axis recovered, loadings unit-norm, eigenvalue ≈ axis variance") {
+    import graft.llm.Pca
+    // dim 0 carries variance ~100× the rest: the top component must be ≈ e0
+    val rows = (0 until 200).map { k =>
+      val t = (k % 21) - 10  // mean-zero ramp on dim 0
+      val v = Array.tabulate(8)(j =>
+        if (j == 0) t.toFloat
+        else (((k * 31 + j * 17) % 7) - 3) * 0.1f) // small deterministic noise
+      (k.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val cov = Pca.covariance(rows, "vec_id", "embedding")
+    val comp = Pca.topComponent(spark, cov, 8, iters = 10)
+      .as[(Int, Double, Double)].collect().sortBy(_._1)
+    val loadings = comp.map(_._2)
+    assert(math.abs(loadings.map(x => x * x).sum - 1.0) < 1e-6,
+      s"not unit norm: ${loadings.toSeq}")
+    assert(math.abs(loadings(0)) > 0.99,
+      s"dominant axis not recovered: ${loadings.toSeq}")
+    // eigenvalue ≈ variance of the ramp (mean 0, values -10..10 over 21)
+    val varRamp = (0 until 200).map(k => (k % 21) - 10).map(t => t * t).sum / 200.0
+    assert(math.abs(comp.head._3 - varRamp) / varRamp < 0.05,
+      s"eigenvalue ${comp.head._3} vs ramp variance $varRamp")
+  }
+
   test("Dsir: target-typical docs outweigh raw-typical; weight is per-token mean") {
     val raw = Seq((1L, "alpha alpha beta"), (2L, "gamma gamma delta"),
       (3L, "alpha gamma")).toDF("doc_id", "text")

@@ -412,6 +412,26 @@ class PlanAuditSpec extends AnyFunSuite {
       s"NB scoring degenerated to a cartesian:\n${plan.take(3000)}")
   }
 
+  test("q257: CDC chunk build is row-local (no window/exchange before the explode)") {
+    val df = graft.llm.SubstringDedup.contentDefinedChunks(
+      graft.tables.Tables.documents(spark, dir), "doc_id", "text", 8, 32)
+    val plan = df.queryExecution.executedPlan.toString
+    // everything up to the chunk relation is per-row HOF work: the plan
+    // must contain a Generate (posexplode) but no Exchange and no Window
+    assert(plan.contains("Generate"), s"no explode found:\n${plan.take(2000)}")
+    assert(!plan.contains("Exchange") && !plan.contains("Window"),
+      s"chunk construction shuffles:\n${plan.take(3000)}")
+  }
+
+  test("q258: PageRank iterations join on the word key — no cartesian anywhere") {
+    val df = SparkEntry.queries("q258_textrank")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"rank iteration degenerated:\n${plan.take(3000)}")
+  }
+
   test("q251: DSIR scoring is one token-keyed join; scalars broadcast") {
     val df = SparkEntry.queries("q251_dsir_selection")(spark, dir)
     df.collect()
