@@ -788,6 +788,74 @@ object SparkEntry {
         .orderBy($"dim")
     }),
 
+    // ── LLM-pipeline: all-but-the-top DE-BIASING (Mu & Viswanath 2018) —
+    //    remove each vector's projection on q260's top component (usually
+    //    a corpus-frequency artifact; nearest-neighbor quality improves
+    //    without it). Component fit on the FULL corpus; report sliced to
+    //    the first 20 vectors. One broadcast join + two per-id aggs.
+    "q261_debias_topcomp" -> ((s, dir) => {
+      import s.implicits._
+      graft.llm.Pca.debiasReport(s, Tables.embeddings(s, dir),
+          "vec_id", "embedding", 64, iters = 10)
+        .filter($"id" < 20)
+        .select($"id".as("vec_id"), $"top_proj", $"norm_before", $"norm_after")
+        .orderBy($"vec_id")
+    }),
+
+    // ── LLM-pipeline: kNN LABEL PROPAGATION — auto-label the unlabeled
+    //    fifth of the corpus by majority vote of its 5 nearest labeled
+    //    neighbors (embedding cosine), ties to the smaller label: the
+    //    standard semi-supervised bootstrap for quality/domain tiers.
+    "q262_knn_label" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val test = emb.filter(pmod($"vec_id", lit(5)) === 0)
+      val train = emb.filter(pmod($"vec_id", lit(5)) =!= 0)
+      val voted = graft.llm.Similarity
+        .bruteForceTopK(test, train, "vec_id", "embedding", 5)
+        .join(train.select($"vec_id".as("neighbor_id"), $"label"), Seq("neighbor_id"))
+        .groupBy($"query_id", $"label").agg(count(lit(1)).as("votes"))
+      val w = Window.partitionBy($"query_id").orderBy($"votes".desc, $"label")
+      voted.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+        .join(test.select($"vec_id".as("query_id"), $"label".as("true_label")),
+          Seq("query_id"))
+        .select($"query_id".as("vec_id"), $"label".as("pred_label"), $"votes",
+          $"true_label", ($"label" === $"true_label").as("correct"))
+        .orderBy($"vec_id")
+    }),
+
+    // ── LLM-pipeline: corpus DATA CARD — the one-pass summary block a
+    //    dataset release ships (sizes, language mix, quality mass, exact-
+    //    dup exposure). All metrics from one scan + one fingerprint agg.
+    "q263_data_card" -> ((s, dir) => {
+      import s.implicits._
+      val t = graft.llm.TextAnalysis
+      val base = Tables.documents(s, dir).select($"doc_id", $"lang", $"source",
+        t.tokenCount($"text").cast("long").as("nt"),
+        t.modelScore($"text").cast("decimal(18,6)").as("q"),
+        t.fingerprint($"text").as("fp"))
+      def m(name: String, c: org.apache.spark.sql.Column) = base.agg(c.as("v"))
+        .select(lit(name).as("metric"), $"v".cast("double").as("value"))
+      val dupDocs = base
+        .join(base.groupBy($"fp").agg(count(lit(1)).as("c")).filter($"c" > 1),
+          Seq("fp"), "left_semi")
+        .agg(count(lit(1)).as("v"))
+        .select(lit("exact_dup_docs").as("metric"), $"v".cast("double").as("value"))
+      m("docs", count(lit(1)))
+        .unionByName(m("tokens", sum($"nt")))
+        .unionByName(m("langs", countDistinct($"lang")))
+        .unionByName(m("sources", countDistinct($"source")))
+        .unionByName(m("mean_tokens",
+          round(sum($"nt").cast("double") / count(lit(1)), 6)))
+        .unionByName(m("mean_quality",
+          round(sum($"q").cast("double") / count(lit(1)), 6)))
+        .unionByName(m("pct_en",
+          round(sum(when($"lang" === "en", 1L).otherwise(0L)).cast("double")
+            / count(lit(1)), 6)))
+        .unionByName(dupDocs)
+        .orderBy($"metric")
+    }),
+
     // ── Sources: ORC round-trip (the third columnar format after
     //    parquet + CSV/JSON in q51) — write orders to ORC partitioned by
     //    priority, read back through the ORC scan with a partition-pruning
@@ -4658,17 +4726,91 @@ object SparkEntry {
        |  SELECT i, CAST(round(CAST(1.0 AS DOUBLE)/sqrt(CAST(64 AS DOUBLE)), 9)
        |    AS DECIMAL(18,9)) AS v
        |  FROM (SELECT DISTINCT i FROM means)),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  private def pcaOracleFinal: String =
+    s"""$pcaOracle
        |SELECT CAST(v10.i AS BIGINT) AS dim, CAST(v AS DOUBLE) AS loading,
        |  round(nrm, 6) AS eigenvalue
        |FROM v10 CROSS JOIN n10 ORDER BY dim""".stripMargin
-  }
+
+  /** q261's oracle: the PCA pipeline + per-vector projection removal. */
+  private def debiasOracle: String =
+    s"""$pcaOracle,
+       |p AS MATERIALIZED (
+       |  SELECT id, CAST(SUM(CAST(cx*CAST(v AS DOUBLE) AS DECIMAL(28,12)))
+       |    AS DOUBLE) AS p
+       |  FROM cent JOIN v10 USING (i) GROUP BY id)
+       |SELECT cent.id AS vec_id, round(max(p), 6) AS top_proj,
+       |  round(sqrt(CAST(SUM(CAST(cx*cx AS DECIMAL(28,12))) AS DOUBLE)), 6) AS norm_before,
+       |  round(sqrt(CAST(SUM(CAST((cx - p*CAST(v AS DOUBLE))*(cx - p*CAST(v AS DOUBLE))
+       |    AS DECIMAL(28,12))) AS DOUBLE)), 6) AS norm_after
+       |FROM cent JOIN v10 USING (i) JOIN p USING (id)
+       |WHERE id < 20 GROUP BY cent.id ORDER BY vec_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
     "q258_textrank" -> textrankOracle,
 
-    "q260_pca_power" -> pcaOracle,
+    "q260_pca_power" -> pcaOracleFinal,
+
+    "q261_debias_topcomp" -> debiasOracle,
+
+    // kNN label propagation — cosine ranks replay per q26's precedent
+    "q262_knn_label" ->
+      """WITH te AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0),
+        |tr AS (SELECT * FROM embeddings WHERE vec_id % 5 != 0),
+        |sc AS (
+        |  SELECT a.vec_id AS q, b.vec_id AS n, b.label,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])) AS cos
+        |  FROM te a JOIN tr b ON a.vec_id != b.vec_id),
+        |top AS (SELECT q, n, label FROM (
+        |    SELECT q, n, label,
+        |      row_number() OVER (PARTITION BY q ORDER BY cos DESC, n) AS rn
+        |    FROM sc) WHERE rn <= 5),
+        |v AS (SELECT q, label, CAST(count(*) AS BIGINT) AS votes FROM top GROUP BY 1, 2),
+        |p AS (SELECT q, label, votes FROM (
+        |    SELECT q, label, votes,
+        |      row_number() OVER (PARTITION BY q ORDER BY votes DESC, label) AS rn
+        |    FROM v) WHERE rn = 1)
+        |SELECT p.q AS vec_id, p.label AS pred_label, p.votes,
+        |  te.label AS true_label, p.label = te.label AS correct
+        |FROM p JOIN te ON te.vec_id = p.q ORDER BY vec_id""".stripMargin,
+
+    // corpus data card — one row per corpus-level metric
+    "q263_data_card" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, source,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS nt,
+        |    md5(array_to_string(list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), '\s+'), x -> x != ''), ' ')) AS fp,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','by'], x))) AS stophits,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS npunct,
+        |    length(text) AS nch
+        |  FROM documents),
+        |sc AS (
+        |  SELECT base.*,
+        |    round(1.0 / (1.0 + exp(-(-1.5
+        |      + 0.02 * CAST(nt AS DOUBLE)
+        |      + 8.0 * (CAST(stophits AS DOUBLE) / CAST(greatest(nt, 1) AS DOUBLE))
+        |      + (-6.0) * (CAST(npunct AS DOUBLE) / CAST(nch AS DOUBLE))))), 6) AS score
+        |  FROM base),
+        |dupfp AS (SELECT fp FROM sc GROUP BY fp HAVING count(*) > 1)
+        |SELECT 'docs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM sc
+        |UNION ALL SELECT 'tokens', CAST(SUM(nt) AS DOUBLE) FROM sc
+        |UNION ALL SELECT 'langs', CAST(count(DISTINCT lang) AS DOUBLE) FROM sc
+        |UNION ALL SELECT 'sources', CAST(count(DISTINCT source) AS DOUBLE) FROM sc
+        |UNION ALL SELECT 'mean_tokens',
+        |  round(CAST(SUM(nt) AS DOUBLE)/count(*), 6) FROM sc
+        |UNION ALL SELECT 'mean_quality',
+        |  round(CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE)/count(*), 6) FROM sc
+        |UNION ALL SELECT 'pct_en',
+        |  round(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)/count(*), 6) FROM sc
+        |UNION ALL SELECT 'exact_dup_docs',
+        |  CAST((SELECT count(*) FROM sc WHERE fp IN (SELECT fp FROM dupfp)) AS DOUBLE)
+        |ORDER BY metric""".stripMargin,
 
     // the oracle never sees ORC — identical results prove the round-trip
     "q259_orc_roundtrip" ->

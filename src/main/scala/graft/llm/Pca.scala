@@ -31,9 +31,10 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Pca {
 
-  /** Quantized covariance matrix of `vecCol`: one row per (i, j) with
-    * c = round(Σ (xᵢ−mᵢ)(xⱼ−mⱼ) / N, 9). */
-  def covariance(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  /** Mean-centered cell relation `(id, i, cx)` — 6-dp-quantized inputs,
+    * 9-dp-quantized means, exact decimal-derived doubles out. */
+  private[llm] def centeredCells(embs: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
     val cells = embs.select(col(idCol).as("id"),
         posexplode(transform(col(vecCol), _.cast("double"))).as(Seq("i", "x")))
       .select(col("id"), col("i"),
@@ -42,9 +43,16 @@ object Pca {
     val means = cells.groupBy(col("i"))
       .agg(round(sum(col("q")).cast("double") / n, 9)
         .cast(DecimalType(18, 9)).as("m"))
-    val centered = cells.join(broadcast(means), Seq("i"))
+    cells.join(broadcast(means), Seq("i"))
       .select(col("id"), col("i"),
         (col("q").cast("double") - col("m").cast("double")).as("cx"))
+  }
+
+  /** Quantized covariance matrix of `vecCol`: one row per (i, j) with
+    * c = round(Σ (xᵢ−mᵢ)(xⱼ−mⱼ) / N, 9). */
+  def covariance(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val n = embs.select(col(idCol)).count()
+    val centered = centeredCells(embs, idCol, vecCol)
     centered.select(col("id"), col("i").as("i1"), col("cx").as("cx1"))
       .join(centered.select(col("id"), col("i").as("i2"), col("cx").as("cx2")),
         Seq("id"))
@@ -91,5 +99,38 @@ object Pca {
     v.crossJoin(broadcast(lambda))
       .select(col("i"), col("v").cast("double").as("loading"),
         round(col("nrm"), 6).as("eigenvalue"))
+  }
+
+  /** All-but-the-top de-biasing report (Mu & Viswanath 2018): remove each
+    * vector's projection on the top principal component — the cheap
+    * post-processing that restores isotropy to embedding spaces (the top
+    * direction is usually a corpus-wide frequency artifact, and nearest-
+    * neighbor quality improves once it is gone). Returns per vector
+    * `(id, top_proj, norm_before, norm_after)` — norm_after < norm_before
+    * exactly when the vector leaned on the removed direction.
+    *
+    * Scale shape: the component comes from [[topComponent]] (model-sized);
+    * the de-bias pass is one broadcast join of the d-row component onto
+    * the cell relation + two per-id aggregations. Decimal-cast dot-product
+    * terms keep every number engine-exact. */
+  def debiasReport(spark: SparkSession, embs: DataFrame, idCol: String,
+      vecCol: String, d: Int, iters: Int = 10): DataFrame = {
+    val centered = centeredCells(embs, idCol, vecCol)
+    val comp = topComponent(spark, covariance(embs, idCol, vecCol), d, iters)
+      .select(col("i"), col("loading"))
+    val p = centered.join(broadcast(comp), Seq("i"))
+      .groupBy(col("id"))
+      .agg(sum((col("cx") * col("loading")).cast(DecimalType(28, 12)))
+        .cast("double").as("p"))
+    centered.join(broadcast(comp), Seq("i"))
+      .join(p, Seq("id"))
+      .select(col("id"), col("cx"), col("p"),
+        (col("cx") - col("p") * col("loading")).as("dv"))
+      .groupBy(col("id"))
+      .agg(round(max(col("p")), 6).as("top_proj"),
+        round(sqrt(sum((col("cx") * col("cx")).cast(DecimalType(28, 12)))
+          .cast("double")), 6).as("norm_before"),
+        round(sqrt(sum((col("dv") * col("dv")).cast(DecimalType(28, 12)))
+          .cast("double")), 6).as("norm_after"))
   }
 }
