@@ -856,6 +856,61 @@ object SparkEntry {
         .orderBy($"metric")
     }),
 
+    // ── LLM-pipeline: GOPHER-style quality RULES (Rae et al. 2021 §A1.1
+    //    shape): per-doc hard filters — word count band, mean word
+    //    length band, symbol-to-word ratio, stopword floor, distinct-word
+    //    floor — each an exact integer/double predicate on row-local
+    //    features (array HOFs, zero shuffles), plus the AND verdict.
+    "q264_gopher_rules" -> ((s, dir) => {
+      import s.implicits._
+      val t = graft.llm.TextAnalysis
+      val toks = t.tokens($"text")
+      val sw = t.EnglishStopwords
+      Tables.documents(s, dir).select($"doc_id",
+          size(toks).as("nt"),
+          length(regexp_replace($"text", "\\s", "")).as("nchw"),
+          size(regexp_extract_all($"text", lit("[^A-Za-z0-9\\s]"), lit(0))).as("npunct"),
+          size(filter(t.tokens(lower($"text")),
+            x => array_contains(array(sw.map(lit): _*), x))).as("stophits"),
+          size(array_distinct(toks)).as("ndist"))
+        .select($"doc_id",
+          ($"nt" >= 20 && $"nt" <= 1000).as("r_words"),
+          ($"nchw".cast("double") / $"nt" >= 2.0 &&
+            $"nchw".cast("double") / $"nt" <= 12.0).as("r_word_len"),
+          ($"npunct".cast("double") / $"nt" < 0.1).as("r_symbols"),
+          ($"stophits" >= 2).as("r_stopwords"),
+          ($"ndist".cast("double") / $"nt" >= 0.3).as("r_distinct"))
+        .withColumn("pass", $"r_words" && $"r_word_len" && $"r_symbols" &&
+          $"r_stopwords" && $"r_distinct")
+        .orderBy($"doc_id")
+    }),
+
+    // ── LLM-pipeline: CURATION DECISIONS with PROVENANCE — the audit
+    //    table a dedup+filter pass must emit: per doc, kept or the FIRST
+    //    reason it was cut (exact_dup ≻ near_dup ≻ low_quality), with
+    //    canonical-keep semantics (the cluster minimum survives). This is
+    //    what makes a 100 TB curation run debuggable — "why did doc X
+    //    disappear" is a lookup, not a re-run.
+    "q265_curation_decisions" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val t = graft.llm.TextAnalysis
+      val base = docs.select($"doc_id", t.fingerprint($"text").as("fp"),
+        t.modelScore($"text").as("score"))
+      val exactCanon = base.groupBy($"fp").agg(min($"doc_id").as("fp_canon"))
+      val pairs = graft.llm.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5)
+      val comp = graft.llm.Dedup.connectedComponents(pairs, "d1", "d2")
+        .withColumnRenamed("id", "doc_id")
+      base.join(exactCanon, Seq("fp"))
+        .join(comp, Seq("doc_id"), "left_outer")
+        .select($"doc_id", $"score",
+          when($"doc_id" =!= $"fp_canon", "exact_dup")
+            .when($"comp".isNotNull && $"doc_id" =!= $"comp", "near_dup")
+            .when($"score" < 0.4, "low_quality")
+            .otherwise("kept").as("decision"))
+        .orderBy($"doc_id")
+    }),
+
     // ── Sources: ORC round-trip (the third columnar format after
     //    parquet + CSV/JSON in q51) — write orders to ORC partitioned by
     //    priority, read back through the ORC scan with a partition-pruning
@@ -4811,6 +4866,75 @@ object SparkEntry {
         |UNION ALL SELECT 'exact_dup_docs',
         |  CAST((SELECT count(*) FROM sc WHERE fp IN (SELECT fp FROM dupfp)) AS DOUBLE)
         |ORDER BY metric""".stripMargin,
+
+    "q264_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS nt,
+        |    length(regexp_replace(text, '\s', '', 'g')) AS nchw,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS npunct,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','by'], x))) AS stophits,
+        |    len(list_distinct(list_filter(string_split_regex(trim(text), '\s+'), x -> x != ''))) AS ndist
+        |  FROM documents)
+        |SELECT doc_id,
+        |  (nt >= 20 AND nt <= 1000) AS r_words,
+        |  (CAST(nchw AS DOUBLE)/nt >= 2.0 AND CAST(nchw AS DOUBLE)/nt <= 12.0) AS r_word_len,
+        |  (CAST(npunct AS DOUBLE)/nt < 0.1) AS r_symbols,
+        |  (stophits >= 2) AS r_stopwords,
+        |  (CAST(ndist AS DOUBLE)/nt >= 0.3) AS r_distinct,
+        |  ((nt >= 20 AND nt <= 1000)
+        |    AND (CAST(nchw AS DOUBLE)/nt >= 2.0 AND CAST(nchw AS DOUBLE)/nt <= 12.0)
+        |    AND (CAST(npunct AS DOUBLE)/nt < 0.1)
+        |    AND (stophits >= 2)
+        |    AND (CAST(ndist AS DOUBLE)/nt >= 0.3)) AS pass
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    // fingerprint canon + recursive-CTE cluster canon + q163 score gate,
+    // first-match-wins decision
+    "q265_curation_decisions" ->
+      """WITH RECURSIVE toksj AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS ts FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+        |  FROM toksj, UNNEST(generate_series(1, len(ts)-2)) AS g(i)),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT d1, d2 FROM inter JOIN cnt c1 ON c1.doc_id = d1 JOIN cnt c2 ON c2.doc_id = d2
+        |  WHERE CAST(i AS DOUBLE) / CAST(c1.n + c2.n - i AS DOUBLE) >= 0.5),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |reach AS (
+        |  SELECT a AS id, b AS r FROM edges
+        |  UNION
+        |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+        |cl AS (SELECT id AS doc_id, LEAST(id, MIN(r)) AS comp FROM reach GROUP BY id),
+        |ft AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), '\s+'), x -> x != ''), ' ')) AS fp,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS ntok,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','by'], x))) AS stophits,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS npunct,
+        |    length(text) AS nch
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, fp,
+        |    round(1.0 / (1.0 + exp(-(-1.5
+        |      + 0.02 * CAST(ntok AS DOUBLE)
+        |      + 8.0 * (CAST(stophits AS DOUBLE) / CAST(greatest(ntok, 1) AS DOUBLE))
+        |      + (-6.0) * (CAST(npunct AS DOUBLE) / CAST(nch AS DOUBLE))))), 6) AS score
+        |  FROM ft),
+        |canon AS (SELECT fp, MIN(doc_id) AS fp_canon FROM sc GROUP BY fp)
+        |SELECT sc.doc_id, sc.score,
+        |  CASE WHEN sc.doc_id != canon.fp_canon THEN 'exact_dup'
+        |       WHEN cl.comp IS NOT NULL AND sc.doc_id != cl.comp THEN 'near_dup'
+        |       WHEN sc.score < 0.4 THEN 'low_quality'
+        |       ELSE 'kept' END AS decision
+        |FROM sc JOIN canon USING (fp) LEFT JOIN cl USING (doc_id)
+        |ORDER BY sc.doc_id""".stripMargin,
 
     // the oracle never sees ORC — identical results prove the round-trip
     "q259_orc_roundtrip" ->
