@@ -911,6 +911,34 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // ── Streaming: per-micro-batch DRIFT MONITOR — every batch's language
+    //    distribution PSI'd against the frozen corpus reference, one
+    //    metrics row per batch through the idempotent per-batch sink.
+    //    Batch 0 (parity split) is reference-like → PSI ≈ 0; batch 1 is
+    //    a deliberately zh-only feed → the PSI spike an upstream crawler
+    //    change produces. Deterministic: pinned file mtimes + 1 file per
+    //    trigger, same harness as q144.
+    "q266_streaming_drift" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("drift266").toString
+      val docs = Tables.documents(s, dir)
+      docs.filter($"doc_id" % 2 === 0).coalesce(1).write.parquet(s"$work/src/f1")
+      docs.filter($"doc_id" % 2 === 1 && $"lang" === "zh")
+        .coalesce(1).write.parquet(s"$work/src/f2")
+      val t0 = System.currentTimeMillis() - 120000
+      for ((d, t) <- Seq(("f1", t0), ("f2", t0 + 60000));
+           f <- new java.io.File(s"$work/src/$d").listFiles())
+        f.setLastModified(t)
+      val cfg = graft.streaming.AutoIngest.Config(s"$work/src/*", s"$work/schema",
+        s"$work/ck", maxFilesPerTrigger = Some(1))
+      val ref = docs.groupBy($"lang").agg(count(lit(1)).as("rc"))
+      withShufflePartitions(s, 8) {
+        graft.streaming.DriftMonitor.run(s, cfg, ref, "lang", s"$work/metrics")
+      }
+      graft.streaming.DriftMonitor.readMetrics(s, s"$work/metrics")
+        .orderBy($"batch_id")
+    }),
+
     // ── Sources: ORC round-trip (the third columnar format after
     //    parquet + CSV/JSON in q51) — write orders to ORC partitioned by
     //    priority, read back through the ORC scan with a partition-pruning
@@ -4866,6 +4894,33 @@ object SparkEntry {
         |UNION ALL SELECT 'exact_dup_docs',
         |  CAST((SELECT count(*) FROM sc WHERE fp IN (SELECT fp FROM dupfp)) AS DOUBLE)
         |ORDER BY metric""".stripMargin,
+
+    // batch 0 = even ids, batch 1 = odd∩zh; same PSI idiom as q199
+    "q266_streaming_drift" ->
+      """WITH ref AS (SELECT lang, count(*) AS rc FROM documents GROUP BY 1),
+        |b0 AS (SELECT lang, count(*) AS bc FROM documents
+        |       WHERE doc_id % 2 = 0 GROUP BY 1),
+        |b1 AS (SELECT lang, count(*) AS bc FROM documents
+        |       WHERE doc_id % 2 = 1 AND lang = 'zh' GROUP BY 1),
+        |j0 AS (SELECT * FROM b0 JOIN ref USING (lang)),
+        |t0 AS (SELECT (SELECT sum(bc) FROM b0) AS tb, (SELECT sum(rc) FROM ref) AS tr),
+        |p0 AS (
+        |  SELECT CAST(0 AS BIGINT) AS batch_id, CAST(max(tb) AS BIGINT) AS n_rows,
+        |    round(CAST(sum(CAST(round(
+        |      (CAST(bc AS DOUBLE)/CAST(tb AS DOUBLE) - CAST(rc AS DOUBLE)/CAST(tr AS DOUBLE))
+        |      * ln((CAST(bc AS DOUBLE)/CAST(tb AS DOUBLE)) / (CAST(rc AS DOUBLE)/CAST(tr AS DOUBLE))), 12)
+        |      AS DECIMAL(28,12))) AS DOUBLE), 6) + 0.0 AS psi
+        |  FROM j0 CROSS JOIN t0),
+        |j1 AS (SELECT * FROM b1 JOIN ref USING (lang)),
+        |t1 AS (SELECT (SELECT sum(bc) FROM b1) AS tb, (SELECT sum(rc) FROM ref) AS tr),
+        |p1 AS (
+        |  SELECT CAST(1 AS BIGINT) AS batch_id, CAST(max(tb) AS BIGINT) AS n_rows,
+        |    round(CAST(sum(CAST(round(
+        |      (CAST(bc AS DOUBLE)/CAST(tb AS DOUBLE) - CAST(rc AS DOUBLE)/CAST(tr AS DOUBLE))
+        |      * ln((CAST(bc AS DOUBLE)/CAST(tb AS DOUBLE)) / (CAST(rc AS DOUBLE)/CAST(tr AS DOUBLE))), 12)
+        |      AS DECIMAL(28,12))) AS DOUBLE), 6) + 0.0 AS psi
+        |  FROM j1 CROSS JOIN t1)
+        |SELECT * FROM p0 UNION ALL SELECT * FROM p1 ORDER BY batch_id""".stripMargin,
 
     "q264_gopher_rules" ->
       """WITH t AS (
