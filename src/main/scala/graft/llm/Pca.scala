@@ -52,7 +52,13 @@ object Pca {
     * c = round(Σ (xᵢ−mᵢ)(xⱼ−mⱼ) / N, 9). */
   def covariance(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val n = embs.select(col(idCol)).count()
-    val centered = centeredCells(embs, idCol, vecCol)
+    // EXPLICIT partition count on the join key: the cell relation is small
+    // (n·d rows) so AQE coalesces its shuffle to a couple of partitions —
+    // but the join EXPANDS each id to d² product rows, so the real work is
+    // d²/d ≈ d× the shuffled bytes and wants full parallelism. A
+    // user-specified repartition(N) is exempt from AQE coalescing.
+    val par = embs.sparkSession.sparkContext.defaultParallelism
+    val centered = centeredCells(embs, idCol, vecCol).repartition(par, col("id"))
     centered.select(col("id"), col("i").as("i1"), col("cx").as("cx1"))
       .join(centered.select(col("id"), col("i").as("i2"), col("cx").as("cx2")),
         Seq("id"))
@@ -65,40 +71,44 @@ object Pca {
 
   /** Top eigenpair of the covariance by `iters` power-iteration rounds
     * from the uniform unit vector. Returns one row per dimension:
-    * `(i, loading, eigenvalue)` — eigenvalue identical on every row. */
+    * `(i, loading, eigenvalue)` — eigenvalue identical on every row.
+    *
+    * The iteration runs LOCALLY on the collected d² covariance — model
+    * parameters, the kmeansCentroids/BpeTrainer.trainCapped economics: a
+    * DataFrame-join formulation spent ~20 tiny Spark jobs on lineage
+    * truncation (the iterate feeds both its normalizer and the next
+    * matvec, so un-checkpointed lineage doubles per round) and was 3× the
+    * cost of the covariance pass itself. The local loop replicates the
+    * engine arithmetic EXACTLY — `BigDecimal.valueOf` (shortest-string,
+    * what Spark's round/cast use) quantization at the same 9/12-dp
+    * points, exact decimal sums — so results are bit-identical to the
+    * distributed form and to the SQL oracle. */
   def topComponent(spark: SparkSession, cov: DataFrame, d: Int,
       iters: Int = 10): DataFrame = {
     import spark.implicits._
-    val covM = cov.localCheckpoint() // 10 iterations reuse it; d² rows
-    // v is localCheckpoint'd per round: the iterate feeds BOTH the next
-    // matvec and its own normalizer, so an un-truncated lineage doubles
-    // per round (2^iters subplans by round 10). The relation is d rows.
-    var v = (0 until d).toDF("i")
-      .select(col("i"), round(lit(1.0 / math.sqrt(d.toDouble)), 9)
-        .cast(DecimalType(18, 9)).as("v"))
-      .localCheckpoint()
-    var lambda: DataFrame = null
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def q(x: Double, scale: Int): JBD =
+      JBD.valueOf(x).setScale(scale, RoundingMode.HALF_UP)
+    val c = Array.ofDim[Double](d, d)
+    cov.select(col("i"), col("j"), col("c").cast("double")).collect()
+      .foreach(r => c(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    var v = Array.fill(d)(q(1.0 / math.sqrt(d.toDouble), 9).doubleValue)
+    var nrm = 0.0
     for (_ <- 1 to iters) {
-      val w = covM
-        .join(broadcast(v.select(col("i").as("j"), col("v"))), Seq("j"))
-        .select(col("i"),
-          (col("c").cast("double") * col("v").cast("double"))
-            .cast(DecimalType(28, 12)).as("t"))
-        .groupBy(col("i"))
-        .agg(sum(col("t")).cast("double").as("w"))
-        .localCheckpoint()
-      val norm = w.select(
-        sqrt(sum((col("w") * col("w")).cast(DecimalType(28, 12))).cast("double"))
-          .as("nrm"))
-      lambda = norm
-      v = w.crossJoin(broadcast(norm))
-        .select(col("i"),
-          round(col("w") / col("nrm"), 9).cast(DecimalType(18, 9)).as("v"))
-        .localCheckpoint()
+      val w = Array.tabulate(d) { i =>
+        var s = JBD.ZERO
+        var j = 0
+        while (j < d) { s = s.add(q(c(i)(j) * v(j), 12)); j += 1 }
+        s.doubleValue
+      }
+      var n2 = JBD.ZERO
+      w.foreach(wi => n2 = n2.add(q(wi * wi, 12)))
+      nrm = math.sqrt(n2.doubleValue)
+      v = w.map(wi => q(wi / nrm, 9).doubleValue)
     }
-    v.crossJoin(broadcast(lambda))
-      .select(col("i"), col("v").cast("double").as("loading"),
-        round(col("nrm"), 6).as("eigenvalue"))
+    val eig = q(nrm, 6).doubleValue
+    v.toSeq.zipWithIndex.map { case (loading, i) => (i, loading, eig) }
+      .toDF("i", "loading", "eigenvalue")
   }
 
   /** All-but-the-top de-biasing report (Mu & Viswanath 2018): remove each

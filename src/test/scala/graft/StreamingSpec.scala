@@ -569,4 +569,30 @@ class StreamingSpec extends AnyFunSuite {
     val salted = graft.ops.Relational.saltedJoin(e, dim, Seq("user_id"), 8).count()
     assert(plain == salted)
   }
+
+  test("DriftMonitor: re-drain is a no-op (idempotent metrics); new file appends one row") {
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("driftspec").toString
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    docs.filter($"doc_id" % 2 === 0).coalesce(1).write.parquet(s"$work/src/f1")
+    val t0 = System.currentTimeMillis() - 120000
+    new java.io.File(s"$work/src/f1").listFiles().foreach(_.setLastModified(t0))
+    val cfg = graft.streaming.AutoIngest.Config(s"$work/src/*", s"$work/schema",
+      s"$work/ck", maxFilesPerTrigger = Some(1))
+    val ref = docs.groupBy($"lang").agg(count(lit(1)).as("rc"))
+    graft.streaming.DriftMonitor.run(spark, cfg, ref, "lang", s"$work/m")
+    val first = graft.streaming.DriftMonitor.readMetrics(spark, s"$work/m")
+      .collect().toSet
+    assert(first.size == 1)
+    // drained checkpoint: a second run must add nothing and change nothing
+    graft.streaming.DriftMonitor.run(spark, cfg, ref, "lang", s"$work/m")
+    assert(graft.streaming.DriftMonitor.readMetrics(spark, s"$work/m")
+      .collect().toSet == first)
+    // a NEW file appends exactly one new batch row, old rows untouched
+    docs.filter($"doc_id" % 2 === 1).coalesce(1).write.parquet(s"$work/src/f2")
+    new java.io.File(s"$work/src/f2").listFiles().foreach(_.setLastModified(t0 + 60000))
+    graft.streaming.DriftMonitor.run(spark, cfg, ref, "lang", s"$work/m")
+    val all = graft.streaming.DriftMonitor.readMetrics(spark, s"$work/m").collect().toSet
+    assert(all.size == 2 && first.subsetOf(all), all.toString)
+  }
 }
