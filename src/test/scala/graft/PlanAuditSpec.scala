@@ -432,6 +432,27 @@ class PlanAuditSpec extends AnyFunSuite {
       s"rank iteration degenerated:\n${plan.take(3000)}")
   }
 
+  test("q262: kNN voting — query side broadcast, vote window partitioned by query") {
+    val df = SparkEntry.queries("q262_knn_label")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"knn degenerated:\n${plan.take(3000)}")
+    assert(plan.contains("windowspecdefinition(query_id"),
+      s"vote window not per-query:\n${plan.take(3000)}")
+  }
+
+  test("q264: quality rules are one scan, zero exchanges before the sort") {
+    val df = SparkEntry.queries("q264_gopher_rules")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // row-local predicates: the only exchange allowed is the final
+    // ordering's range exchange
+    assert("Exchange".r.findAllIn(plan).size <= 1,
+      s"rule evaluation shuffles:\n${plan.take(3000)}")
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      s"unexpected operator:\n${plan.take(3000)}")
+  }
+
   test("q251: DSIR scoring is one token-keyed join; scalars broadcast") {
     val df = SparkEntry.queries("q251_dsir_selection")(spark, dir)
     df.collect()
