@@ -873,13 +873,18 @@ object SparkEntry {
           size(filter(t.tokens(lower($"text")),
             x => array_contains(array(sw.map(lit): _*), x))).as("stophits"),
           size(array_distinct(toks)).as("ndist"))
+        // greatest(nt,1) denominator guard: Spark's non-ANSI x/0 is NULL
+        // while DuckDB's IEEE double /0 is inf — an empty/whitespace-only
+        // doc would silently break Spark/oracle parity (and yield a NULL
+        // verdict); with the guard an empty doc fails r_words and r_stopwords
+        // deterministically on both engines.
         .select($"doc_id",
           ($"nt" >= 20 && $"nt" <= 1000).as("r_words"),
-          ($"nchw".cast("double") / $"nt" >= 2.0 &&
-            $"nchw".cast("double") / $"nt" <= 12.0).as("r_word_len"),
-          ($"npunct".cast("double") / $"nt" < 0.1).as("r_symbols"),
+          ($"nchw".cast("double") / greatest($"nt", lit(1)) >= 2.0 &&
+            $"nchw".cast("double") / greatest($"nt", lit(1)) <= 12.0).as("r_word_len"),
+          ($"npunct".cast("double") / greatest($"nt", lit(1)) < 0.1).as("r_symbols"),
           ($"stophits" >= 2).as("r_stopwords"),
-          ($"ndist".cast("double") / $"nt" >= 0.3).as("r_distinct"))
+          ($"ndist".cast("double") / greatest($"nt", lit(1)) >= 0.3).as("r_distinct"))
         .withColumn("pass", $"r_words" && $"r_word_len" && $"r_symbols" &&
           $"r_stopwords" && $"r_distinct")
         .orderBy($"doc_id")
@@ -970,8 +975,11 @@ object SparkEntry {
     //    is one edge⋈rank join + one agg, all keyed by word.
     "q258_textrank" -> ((s, dir) => {
       import s.implicits._
-      val edges = graft.llm.TextRank.cooccurrenceEdges(
-        Tables.documents(s, dir), "doc_id", "text")
+      // one parquet file in the sf dir → spread the row-local tokenize/
+      // explode kernel across cores first (q257's rule; a real cluster's
+      // input splits provide this for free)
+      val docs = Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism)
+      val edges = graft.llm.TextRank.cooccurrenceEdges(docs, "doc_id", "text")
       graft.llm.TextRank.pageRank(edges, iters = 5)
         .select($"word", $"score".cast("double").as("score"))
         .orderBy($"score".desc, $"word")
@@ -2480,7 +2488,8 @@ object SparkEntry {
     "q144_streaming_dedup" -> ((s, dir) => {
       import s.implicits._
       val work = java.nio.file.Files.createTempDirectory("sdedup144").toString
-      val docs = Tables.documents(s, dir)
+      // one corpus scan feeds both fixture halves (pinned blocks), not two
+      val docs = Tables.documents(s, dir).localCheckpoint()
       docs.filter($"doc_id" % 2 === 0).coalesce(1).write.parquet(s"$work/src/f1")
       docs.filter($"doc_id" % 2 === 1).coalesce(1).write.parquet(s"$work/src/f2")
       val t0 = System.currentTimeMillis() - 120000
@@ -4670,6 +4679,49 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("total_tokens"))
         .orderBy($"lang_pred")
     }),
+
+    // ── C5 + deletes: SCD1 with `apply_as_deletes` (DLT's parameter; the
+    //    reference leaves it unset — any real CDC source emits deletes).
+    //    'error' events act as tombstones: a key whose NEWEST event is an
+    //    error is absent from the final state; a stale tombstone loses to
+    //    the stored row; a later upsert re-inserts. Two merge batches
+    //    split at a cut must equal the closed-form last-write construction.
+    "q267_scd1_deletes" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir)
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+      val del = Some($"event_type" === "error")
+      val initial = graft.cdc.ScdMerge.scd1Upsert(
+        None, e.filter($"ts" < cut), Seq("user_id"), "ts", Seq($"event_id"), del)
+      graft.cdc.ScdMerge.scd1Upsert(
+        Some(initial), e.filter($"ts" >= cut), Seq("user_id"), "ts", Seq($"event_id"), del)
+        .select($"user_id", $"event_id", $"ts", $"event_type", $"value")
+        .orderBy($"user_id")
+    }),
+
+    // ── C4 + deletes: SCD2 with `apply_as_deletes` — an 'error' event
+    //    becomes a stored tombstone version that closes the previous
+    //    version AT THE DELETE'S SEQUENCE without opening a successor; a
+    //    later event re-opens the key. The visible chain (tombstones
+    //    filtered) must equal the closed-form lead() construction over ALL
+    //    events with tombstone rows dropped after chaining — across two
+    //    merge batches, so late splices against stored tombstones and
+    //    replay dedup are exercised.
+    "q268_scd2_deletes" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir).select($"user_id", $"event_id", $"event_type", $"ts")
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+      val del = Some($"event_type" === "error")
+      val initial = graft.cdc.ScdMerge.scd2Merge(
+        None, e.filter($"ts" < cut), Seq("user_id"), "ts", Seq($"event_id"),
+        Nil, del)
+      graft.cdc.ScdMerge.scd2Merge(
+        Some(initial), e.filter($"ts" >= cut), Seq("user_id"), "ts", Seq($"event_id"),
+        Nil, del)
+        .filter(!$"__DELETED")
+        .select($"user_id", $"event_id", $"event_type", $"__START_AT", $"__END_AT")
+        .orderBy($"user_id", $"__START_AT", $"event_id")
+    }),
   )
 
   /** Shared CTE for the q29/q69 oracles: rebuilds each document's 64-bit
@@ -4902,22 +4954,22 @@ object SparkEntry {
         |       WHERE doc_id % 2 = 0 GROUP BY 1),
         |b1 AS (SELECT lang, count(*) AS bc FROM documents
         |       WHERE doc_id % 2 = 1 AND lang = 'zh' GROUP BY 1),
-        |j0 AS (SELECT * FROM b0 JOIN ref USING (lang)),
+        |j0 AS (SELECT * FROM b0 LEFT JOIN ref USING (lang)),
         |t0 AS (SELECT (SELECT sum(bc) FROM b0) AS tb, (SELECT sum(rc) FROM ref) AS tr),
         |p0 AS (
         |  SELECT CAST(0 AS BIGINT) AS batch_id, CAST(max(tb) AS BIGINT) AS n_rows,
         |    round(CAST(sum(CAST(round(
-        |      (CAST(bc AS DOUBLE)/CAST(tb AS DOUBLE) - CAST(rc AS DOUBLE)/CAST(tr AS DOUBLE))
-        |      * ln((CAST(bc AS DOUBLE)/CAST(tb AS DOUBLE)) / (CAST(rc AS DOUBLE)/CAST(tr AS DOUBLE))), 12)
+        |      (CAST(bc AS DOUBLE)/CAST(tb AS DOUBLE) - greatest(CAST(coalesce(rc,0) AS DOUBLE)/CAST(tr AS DOUBLE), 1e-9))
+        |      * ln((CAST(bc AS DOUBLE)/CAST(tb AS DOUBLE)) / greatest(CAST(coalesce(rc,0) AS DOUBLE)/CAST(tr AS DOUBLE), 1e-9)), 12)
         |      AS DECIMAL(28,12))) AS DOUBLE), 6) + 0.0 AS psi
         |  FROM j0 CROSS JOIN t0),
-        |j1 AS (SELECT * FROM b1 JOIN ref USING (lang)),
+        |j1 AS (SELECT * FROM b1 LEFT JOIN ref USING (lang)),
         |t1 AS (SELECT (SELECT sum(bc) FROM b1) AS tb, (SELECT sum(rc) FROM ref) AS tr),
         |p1 AS (
         |  SELECT CAST(1 AS BIGINT) AS batch_id, CAST(max(tb) AS BIGINT) AS n_rows,
         |    round(CAST(sum(CAST(round(
-        |      (CAST(bc AS DOUBLE)/CAST(tb AS DOUBLE) - CAST(rc AS DOUBLE)/CAST(tr AS DOUBLE))
-        |      * ln((CAST(bc AS DOUBLE)/CAST(tb AS DOUBLE)) / (CAST(rc AS DOUBLE)/CAST(tr AS DOUBLE))), 12)
+        |      (CAST(bc AS DOUBLE)/CAST(tb AS DOUBLE) - greatest(CAST(coalesce(rc,0) AS DOUBLE)/CAST(tr AS DOUBLE), 1e-9))
+        |      * ln((CAST(bc AS DOUBLE)/CAST(tb AS DOUBLE)) / greatest(CAST(coalesce(rc,0) AS DOUBLE)/CAST(tr AS DOUBLE), 1e-9)), 12)
         |      AS DECIMAL(28,12))) AS DOUBLE), 6) + 0.0 AS psi
         |  FROM j1 CROSS JOIN t1)
         |SELECT * FROM p0 UNION ALL SELECT * FROM p1 ORDER BY batch_id""".stripMargin,
@@ -4934,15 +4986,15 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id,
         |  (nt >= 20 AND nt <= 1000) AS r_words,
-        |  (CAST(nchw AS DOUBLE)/nt >= 2.0 AND CAST(nchw AS DOUBLE)/nt <= 12.0) AS r_word_len,
-        |  (CAST(npunct AS DOUBLE)/nt < 0.1) AS r_symbols,
+        |  (CAST(nchw AS DOUBLE)/greatest(nt,1) >= 2.0 AND CAST(nchw AS DOUBLE)/greatest(nt,1) <= 12.0) AS r_word_len,
+        |  (CAST(npunct AS DOUBLE)/greatest(nt,1) < 0.1) AS r_symbols,
         |  (stophits >= 2) AS r_stopwords,
-        |  (CAST(ndist AS DOUBLE)/nt >= 0.3) AS r_distinct,
+        |  (CAST(ndist AS DOUBLE)/greatest(nt,1) >= 0.3) AS r_distinct,
         |  ((nt >= 20 AND nt <= 1000)
-        |    AND (CAST(nchw AS DOUBLE)/nt >= 2.0 AND CAST(nchw AS DOUBLE)/nt <= 12.0)
-        |    AND (CAST(npunct AS DOUBLE)/nt < 0.1)
+        |    AND (CAST(nchw AS DOUBLE)/greatest(nt,1) >= 2.0 AND CAST(nchw AS DOUBLE)/greatest(nt,1) <= 12.0)
+        |    AND (CAST(npunct AS DOUBLE)/greatest(nt,1) < 0.1)
         |    AND (stophits >= 2)
-        |    AND (CAST(ndist AS DOUBLE)/nt >= 0.3)) AS pass
+        |    AND (CAST(ndist AS DOUBLE)/greatest(nt,1) >= 0.3)) AS pass
         |FROM t ORDER BY doc_id""".stripMargin,
 
     // fingerprint canon + recursive-CTE cluster canon + q163 score gate,
@@ -5090,6 +5142,23 @@ object SparkEntry {
       """SELECT user_id, event_id, event_type, ts AS __START_AT,
         |LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS __END_AT
         |FROM events ORDER BY user_id, __START_AT, event_id""".stripMargin,
+
+    // last write wins; a winning 'error' tombstone removes the key
+    "q267_scd1_deletes" ->
+      """SELECT user_id, event_id, ts, event_type, value FROM (
+        |SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |FROM events) WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin,
+
+    // chain over ALL events (tombstones close their predecessor), then
+    // tombstone rows drop out of the visible history
+    "q268_scd2_deletes" ->
+      """WITH chain AS (
+        |  SELECT user_id, event_id, event_type, ts AS __START_AT,
+        |    LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS __END_AT
+        |  FROM events)
+        |SELECT user_id, event_id, event_type, __START_AT, __END_AT
+        |FROM chain WHERE event_type <> 'error'
+        |ORDER BY user_id, __START_AT, event_id""".stripMargin,
 
     "q18_medallion_e2e" ->
       """SELECT user_id, UPPER(event_type) AS event_type, event_id, ts, value FROM (

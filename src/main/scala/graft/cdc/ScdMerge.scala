@@ -32,6 +32,11 @@ object ScdMerge {
   val StartCol = "__START_AT"
   val EndCol   = "__END_AT"
 
+  /** SCD2 tombstone flag (see [[scd2Merge]]'s `applyAsDeletes`). Only
+    * present when delete flows are enabled — delete-free tables keep
+    * their exact historical schema. */
+  val DeletedCol = "__DELETED"
+
   /** Schema evolution across batches (C3 meets C4/C5): a batch may add
     * columns the target lacks (and vice versa) — the union takes the name
     * union, null-filling the missing side, like DLT auto-CDC over an
@@ -43,30 +48,53 @@ object ScdMerge {
 
   /** C5 — SCD Type 1 upsert: per business key, last write (highest
     * `sequence_by`) wins; ties prefer the incoming batch. No history.
+    *
+    * `applyAsDeletes` (DLT `create_auto_cdc_flow`'s parameter of the same
+    * name — the reference leaves it unset, DimUser.py:20-29, so this is
+    * beyond-parity): batch rows matching the predicate are TOMBSTONES.
+    * Sequence-ordered like every other event (C7): the key is removed only
+    * when the tombstone is the key's newest event; a stale tombstone
+    * (older than the stored row) is ignored, and a later upsert after a
+    * delete re-inserts the key. At an exact (seq, tieBreak) tie an upsert
+    * beats a tombstone (deterministic; DLT leaves this undefined).
+    * Replay-idempotent: re-applying a batch changes nothing.
     */
   def scd1Upsert(
       target: Option[DataFrame],
       updates: DataFrame,
       keys: Seq[String],
       seqCol: String,
-      tieBreak: Seq[Column] = Nil): DataFrame = {
+      tieBreak: Seq[Column] = Nil,
+      applyAsDeletes: Option[Column] = None): DataFrame = {
 
-    val upd = Relational.latestByKey(updates, keys, col(seqCol), tieBreak)
-    target match {
+    // tombstones ride the SAME last-write-wins reduction as updates (one
+    // extra bool column, no second pass); the winner's flag decides whether
+    // the key survives. Upsert-beats-delete tie rule via a trailing
+    // tiebreak ((!__del) desc: false sorts after true under desc… cast to
+    // int so non-delete = 1 wins the desc ordering).
+    val delFlag = applyAsDeletes.map(c => coalesce(c, lit(false)))
+    val marked = delFlag.map(f => updates.withColumn("__del", f)).getOrElse(updates)
+    val tb = if (delFlag.isEmpty) tieBreak
+             else tieBreak :+ (!col("__del")).cast("int")
+    val upd = Relational.latestByKey(marked, keys, col(seqCol), tb)
+    val merged = target match {
       case None => upd
-      case Some(t) =>
+      case Some(t0) =>
+        val t = if (delFlag.isEmpty) t0 else t0.withColumn("__del", lit(false))
         val keySet = upd.select(keys.map(col): _*).distinct()
         val untouched = t.join(keySet, keys, "left_anti")
         val affected  = t.join(keySet, keys, "left_semi")
         // union + one keyed reduction: higher seq wins, batch wins ties.
-        val merged = Relational.latestByKey(
+        val m = Relational.latestByKey(
           unionEvolving(
             affected.withColumn("__src", lit(0)),
             upd.withColumn("__src", lit(1))),
-          keys, col(seqCol), col("__src") +: tieBreak
+          keys, col(seqCol), col("__src") +: tb
         ).drop("__src")
-        unionEvolving(untouched, merged)
+        unionEvolving(untouched, m)
     }
+    if (delFlag.isEmpty) merged
+    else merged.filter(!col("__del")).drop("__del")
   }
 
   /** C4 — SCD Type 2 merge: maintain the full version chain per key with
@@ -85,10 +113,34 @@ object ScdMerge {
       keys: Seq[String],
       seqCol: String,
       tieBreak: Seq[Column] = Nil,
-      trackHistoryExcept: Seq[String] = Nil): DataFrame = {
+      trackHistoryExcept: Seq[String] = Nil,
+      applyAsDeletes: Option[Column] = None): DataFrame = {
 
-    val seqType = updates.schema(seqCol).dataType
-    val newVersions = updates
+    // `applyAsDeletes` (DLT parameter; beyond-parity — see scd1Upsert):
+    // a matching batch row becomes a TOMBSTONE VERSION — stored with
+    // __DELETED = true and __START_AT = its sequence, so the ordinary
+    // rechain closes the previous version AT THE DELETE'S SEQUENCE without
+    // opening a live successor ([[current]] excludes tombstones). Keeping
+    // the tombstone as a row is what makes the semantics compose: a replay
+    // dedups against it ((key, __START_AT) identity), a LATE pre-delete
+    // version splices before it and correctly ends at the delete, a later
+    // upsert re-opens the key (closing the tombstone row), and
+    // [[pointInTimeJoin]] sees the deleted interval as dimension-less.
+    // Delete-free merges never grow the __DELETED column.
+    val delEnabled = applyAsDeletes.isDefined ||
+      targetVersions.exists(_.columns.contains(DeletedCol))
+    val updates2 =
+      if (!delEnabled) updates
+      else updates.withColumn(DeletedCol,
+        coalesce(applyAsDeletes.getOrElse(lit(false)), lit(false)))
+    val target2 = targetVersions.map { t =>
+      if (delEnabled && !t.columns.contains(DeletedCol))
+        t.withColumn(DeletedCol, lit(false))
+      else t
+    }
+
+    val seqType = updates2.schema(seqCol).dataType
+    val newVersions = updates2
       .withColumn(StartCol, col(seqCol))
       .withColumn(EndCol, lit(null).cast(seqType))
 
@@ -96,7 +148,7 @@ object ScdMerge {
       rechain(collapseUntracked(versions, keys, seqCol, trackHistoryExcept, tieBreak),
         keys, tieBreak)
 
-    targetVersions match {
+    target2 match {
       case None => finish(dedupVersions(newVersions, keys, tieBreak))
       case Some(t) =>
         val keySet = newVersions.select(keys.map(col): _*).distinct()
@@ -204,11 +256,21 @@ object ScdMerge {
     versions.withColumn(EndCol, lead(col(StartCol), 1).over(w))
   }
 
-  /** The reference's SCD2 history probe (F5): closed versions only. */
-  def history(versions: DataFrame): DataFrame = versions.filter(col(EndCol).isNotNull)
+  /** True rows only — tombstone versions are bookkeeping, not entity
+    * state; tables without delete flows pass through untouched. */
+  private def nonTombstone(versions: DataFrame): DataFrame =
+    if (!versions.columns.contains(DeletedCol)) versions
+    else versions.filter(!coalesce(col(DeletedCol), lit(false)))
 
-  /** Current snapshot of an SCD2 table. */
-  def current(versions: DataFrame): DataFrame = versions.filter(col(EndCol).isNull)
+  /** The reference's SCD2 history probe (F5): closed versions only
+    * (tombstones excluded — a delete event is not an entity version). */
+  def history(versions: DataFrame): DataFrame =
+    nonTombstone(versions).filter(col(EndCol).isNotNull)
+
+  /** Current snapshot of an SCD2 table. A key whose chain ends in a
+    * tombstone has NO current row — the delete semantics. */
+  def current(versions: DataFrame): DataFrame =
+    nonTombstone(versions).filter(col(EndCol).isNull)
 
   /** Point-in-time (as-of-event-time) enrichment: each fact row joined to
     * the dimension version that was valid at `factTs` — `__START_AT ≤ ts`
@@ -223,12 +285,17 @@ object ScdMerge {
   def pointInTimeJoin(facts: DataFrame, versions: DataFrame,
       keys: Seq[String], factTs: String): DataFrame = {
     val f = facts.alias("__f")
-    val d = versions.alias("__d")
+    // Tombstone rows are excluded from the dimension side: a fact whose ts
+    // falls inside a deleted interval must enrich to nulls (left-join
+    // miss), not to the delete event's payload. The preceding version's
+    // __END_AT (= the delete's sequence) already bounds its own match.
+    val d = nonTombstone(versions).alias("__d")
     val keyEq = keys.map(k => col(s"__f.$k") === col(s"__d.$k")).reduce(_ && _)
     val pit = col(s"__f.$factTs") >= col(s"__d.$StartCol") &&
       (col(s"__d.$EndCol").isNull || col(s"__f.$factTs") < col(s"__d.$EndCol"))
     val dimCols = versions.columns
       .filterNot(keys.contains).filterNot(facts.columns.contains)
+      .filterNot(_ == DeletedCol) // uniformly false after the filter above
       .map(c => col(s"__d.$c"))
     f.join(d, keyEq && pit, "left")
       .select(facts.columns.map(c => col(s"__f.$c")) ++ dimCols: _*)

@@ -49,7 +49,12 @@ object StreamingCorpusDedup {
         println(f"[sdedup] $name%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s"); r
       }
     AutoIngest.foreachBatchOnce(stream, cfg.checkpointDir) { (batch, batchId) =>
-      val b = dbg(s"b$batchId ckpt")(batch.localCheckpoint())
+      // No batch checkpoint: the micro-batch is a frozen parquet file list,
+      // so each consumer's rescan is a cheap pushdown scan inside a job it
+      // already runs — an eager pin here only adds a job to the fixed
+      // per-batch cost (measured: job count, not data, dominates a small
+      // batch's latency).
+      val b = batch
       if (!b.isEmpty) {
         // Fingerprint the batch ONCE: the 96-way minhash aggregation is the
         // loop's dominant CPU cost, and three consumers need it (within-

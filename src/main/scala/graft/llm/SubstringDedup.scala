@@ -220,11 +220,20 @@ object SubstringDedup {
       .agg(countDistinct(col("id")).as("dfreq"))
       .filter(col("dfreq") > maxDocFreq)
       .select(col("chunk"), lit(true).as("is_dup"))
-    chunks.join(dup, Seq("chunk"), "left_outer")
+    val perDoc = chunks.join(dup, Seq("chunk"), "left_outer")
       .groupBy(col("id"))
       .agg(count(lit(1)).cast("long").as("n_chunks"),
         sum(coalesce(col("is_dup"), lit(false)).cast("long")).as("n_dup_chunks"),
         sum(when(coalesce(col("is_dup"), lit(false)), length(col("chunk")))
           .otherwise(lit(0)).cast("long")).as("dup_chars"))
+    // Back-fill docs with no chunk rows (empty text): same contract as
+    // SegmentDedup.segmentDedup — silently dropping inputs from the
+    // report is a data-loss bug, an empty doc reports all-zero counts.
+    docs.select(col(idCol).as("id")).distinct()
+      .join(perDoc, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
   }
 }

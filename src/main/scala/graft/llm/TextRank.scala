@@ -47,15 +47,23 @@ object TextRank {
     * Returns `(word, score)` with score the DECIMAL(18,12)-quantized
     * stationary estimate. */
   def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    // The edge relation, out-weight table, and node list are
+    // iteration-INVARIANT: pin their lineage once (localCheckpoint, the
+    // Pca/Graph precedent) so each round's plan references materialized
+    // blocks instead of re-embedding the tokenize→explode→groupBy edge
+    // derivation — without this the final plan holds ~2^iters copies of
+    // the corpus tokenization subtree.
     val dir = edges.select(col("w1").as("s"), col("w2").as("t"), col("weight"))
       .unionByName(edges.select(col("w2").as("s"), col("w1").as("t"), col("weight")))
+      .localCheckpoint(true)
     val outw = dir.groupBy(col("s")).agg(sum(col("weight")).as("ow"))
-    val nodes = dir.select(col("s").as("word")).distinct()
+      .localCheckpoint(true)
+    val nodes = dir.select(col("s").as("word")).distinct().localCheckpoint(true)
     val n = nodes.count()
     val base = (1.0 - damping) / n
     var pr = nodes.withColumn("pr",
       round(lit(1.0 / n), 12).cast(DecimalType(18, 12)))
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val contrib = dir
         .join(pr.select(col("word").as("s"), col("pr")), Seq("s"))
         .join(outw, Seq("s"))
@@ -69,6 +77,13 @@ object TextRank {
           round(lit(base) + lit(damping) *
             coalesce(col("cs"), lit(0)).cast("double"), 12)
             .cast(DecimalType(18, 12)).as("pr"))
+      // Pin the rank vector every 8 rounds: with dir/outw/nodes already
+      // materialized each un-pinned round adds only a fixed 2-join layer
+      // (linear, all broadcast-able when the vocabulary is model-sized),
+      // so an eager job per round would cost more in scheduling than it
+      // saves; periodic pinning still bounds lineage depth for large
+      // iteration counts (Graph.shortestPaths' checkpointEvery pattern).
+      if (it % 8 == 0 && it < iters) pr = pr.localCheckpoint(true)
     }
     pr.select(col("word"), col("pr").as("score"))
   }

@@ -47,20 +47,27 @@ object AutoIngest {
     extends RuntimeException(
       s"schema evolved: new columns ${newColumns.mkString(", ")} persisted; restart the stream")
 
-  /** Load the persisted schema, inferring + persisting on first contact. */
-  def loadOrInferSchema(spark: SparkSession, cfg: Config): StructType = {
+  /** The persisted schema if one exists. */
+  private def persistedSchema(spark: SparkSession, cfg: Config): Option[StructType] = {
     val fs = new Path(cfg.schemaDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val file = new Path(cfg.schemaDir, "schema.json")
-    if (fs.exists(file)) {
+    if (!fs.exists(file)) None
+    else {
       val in = fs.open(file)
       val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      DataType.fromJson(json).asInstanceOf[StructType]
-    } else {
-      val inferred = spark.read.parquet(cfg.sourceDir).schema
+      Some(DataType.fromJson(json).asInstanceOf[StructType])
+    }
+  }
+
+  /** Load the persisted schema, inferring + persisting on first contact.
+    * Inference merges ALL files' footers (a one-footer sample would miss
+    * columns only some files carry — the exact rescue case). */
+  def loadOrInferSchema(spark: SparkSession, cfg: Config): StructType =
+    persistedSchema(spark, cfg).getOrElse {
+      val inferred = spark.read.option("mergeSchema", "true").parquet(cfg.sourceDir).schema
       persistSchema(spark, cfg, inferred)
       inferred
     }
-  }
 
   private def persistSchema(spark: SparkSession, cfg: Config, schema: StructType): Unit = {
     val fs = new Path(cfg.schemaDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -76,12 +83,20 @@ object AutoIngest {
     * evolved schema and throw before the stream starts (nothing consumed,
     * so no data loss), succeed on restart with the new columns typed. */
   def readStream(spark: SparkSession, cfg: Config): DataFrame = {
-    val persisted = loadOrInferSchema(spark, cfg)
     // Rescue probe: what do the files actually carry right now?
     // mergeSchema=true — a single-footer sample would miss columns that
-    // only newer files carry (exactly the rescue case).
-    val actual = spark.read.option("mergeSchema", "true").parquet(cfg.sourceDir).schema
-    val extras = actual.fields.filterNot(f => persisted.fieldNames.contains(f.name))
+    // only newer files carry (exactly the rescue case). At FIRST contact
+    // the freshly-inferred schema IS that probe (same mergeSchema read),
+    // so the footer pass runs once, not twice, per fresh stream.
+    val (persisted, extras) = persistedSchema(spark, cfg) match {
+      case Some(p) =>
+        val actual = spark.read.option("mergeSchema", "true").parquet(cfg.sourceDir).schema
+        (p, actual.fields.filterNot(f => p.fieldNames.contains(f.name)))
+      case None =>
+        val inferred = spark.read.option("mergeSchema", "true").parquet(cfg.sourceDir).schema
+        persistSchema(spark, cfg, inferred)
+        (inferred, Array.empty[org.apache.spark.sql.types.StructField])
+    }
 
     if (cfg.failAndEvolve && extras.nonEmpty) {
       persistSchema(spark, cfg, StructType(persisted.fields ++ extras))

@@ -12,11 +12,16 @@ import org.apache.spark.sql.types.DecimalType
   * language, a source going silent) shows up as a PSI spike on the NEXT
   * batch rather than in a post-mortem.
   *
-  * PSI arithmetic matches [[graft.ops.Stats.psi]] exactly (the oracled
-  * batch form): exact counts, p·ln(p/q) terms rounded to 12 decimals and
-  * decimal-summed (order-proof), only categories populated on BOTH sides
-  * contribute, final round(6). Metrics rows are append-only parquet via
-  * the exactly-once batch sink — a replayed batch cannot double-log.
+  * PSI arithmetic matches [[graft.ops.Stats.psi]] exactly for categories
+  * present on both sides (the oracled batch form): exact counts,
+  * p·ln(p/q) terms rounded to 12 decimals and decimal-summed
+  * (order-proof), final round(6). Batch categories ABSENT from the
+  * reference — a brand-new lang code, the exact upstream change this
+  * monitor exists to flag — get an epsilon reference probability
+  * (`epsRef`) instead of being silently dropped by an inner join, so an
+  * all-novel batch scores a huge PSI rather than logging NULL. Metrics
+  * rows are append-only parquet via the exactly-once batch sink — a
+  * replayed batch cannot double-log.
   *
   * Scale shape: the per-batch work is one categorical count (partial-agg)
   * joined against a broadcast reference; the metrics sink grows one row
@@ -28,30 +33,39 @@ object DriftMonitor {
     * `(batch_id, n_rows, psi)` row per micro-batch against the reference
     * category counts `(cat, rc)` in `refCounts`. */
   def run(spark: SparkSession, cfg: AutoIngest.Config, refCounts: DataFrame,
-      catCol: String, outDir: String): Unit = {
+      catCol: String, outDir: String, epsRef: Double = 1e-9): Unit = {
     val ref = refCounts.select(col(catCol).as("cat"), col("rc"))
       .localCheckpoint()
     val stream = AutoIngest.readStream(spark, cfg).drop("_rescued_data")
     AutoIngest.foreachBatchOnce(stream, cfg.checkpointDir) { (batch, batchId) =>
       val counts = batch.groupBy(col(catCol).as("cat"))
         .agg(count(lit(1)).as("bc"))
-      val joined = counts.join(ref, Seq("cat"))
+      // LEFT join from batch counts: a batch category the reference has
+      // never seen must contribute a (large) term, not vanish — an inner
+      // join made an all-novel batch log (batch_id, NULL, NULL).
+      val joined = counts.join(ref, Seq("cat"), "left_outer")
       // Totals are FULL-batch and FULL-reference mass — NOT the joined
       // support Stats.psi uses for continuous bins. A zh-only batch under
       // joined-support normalization reads p = q = 1 → PSI 0: the exact
       // drift this monitor exists to flag. With full totals the same
       // batch scores (1−q_zh)·ln(1/q_zh) — the spike.
-      val tot = counts.agg(sum(col("bc")).as("tb"))
+      val tot = counts.agg(coalesce(sum(col("bc")), lit(0L)).as("tb"))
         .crossJoin(ref.agg(sum(col("rc")).as("tr")))
       val p = col("bc").cast("double") / col("tb").cast("double")
-      val q = col("rc").cast("double") / col("tr").cast("double")
+      // unmatched categories: rc is NULL → epsilon reference probability
+      val q = greatest(
+        coalesce(col("rc"), lit(0L)).cast("double") / col("tr").cast("double"),
+        lit(epsRef))
       val psiRow = joined.crossJoin(tot)
         .withColumn("term",
           round((p - q) * log(p / q), 12).cast(DecimalType(28, 12)))
-        .agg(max(col("tb")).cast("long").as("n_rows"),
-          (round(sum(col("term")).cast("double"), 6) + lit(0.0)).as("psi"))
+        .agg((round(coalesce(sum(col("term")), lit(0)).cast("double"), 6)
+          + lit(0.0)).as("psi"))
+        // n_rows from the batch totals, never the joined relation — an
+        // empty batch logs (batch_id, 0, 0.0), not NULLs
+        .crossJoin(tot)
         .withColumn("batch_id", lit(batchId))
-        .select(col("batch_id"), col("n_rows"), col("psi"))
+        .select(col("batch_id"), col("tb").cast("long").as("n_rows"), col("psi"))
       // per-batch dir + overwrite = idempotent under foreachBatch replay
       // (a plain append would double-log a batch retried after a crash)
       psiRow.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")

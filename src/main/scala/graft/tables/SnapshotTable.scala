@@ -253,8 +253,11 @@ final class SnapshotTable(val root: String,
     val f = fs(spark)
     val staging = new Path(root, s"_staging_${java.util.UUID.randomUUID().toString.take(12)}")
     val writer = prepared.write.mode(SaveMode.Overwrite)
-    (if (partitionByCols.nonEmpty) writer.partitionBy(partitionByCols: _*) else writer)
+    // CHECK-constraint rejection (enforceConstraints fires mid-write) is a
+    // routine expected path — never leave the staging dir behind for it
+    try (if (partitionByCols.nonEmpty) writer.partitionBy(partitionByCols: _*) else writer)
       .parquet(staging.toString)
+    catch { case t: Throwable => f.delete(staging, true); throw t }
     withCommitLock(f) { lockH =>
       val cur = currentVersion(spark).getOrElse(0)
       expected.foreach { e =>
@@ -308,8 +311,17 @@ final class SnapshotTable(val root: String,
     val out = f.create(tmp, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
     if (f.exists(pointer)) f.delete(pointer, false)
-    if (!f.rename(tmp, pointer))
-      throw new IllegalStateException(s"SnapshotTable $root: pointer flip failed")
+    if (!f.rename(tmp, pointer)) {
+      // A reader that observed the pointer missing during our delete→rename
+      // window may have ADOPTED our tmp itself (currentVersion's crash-heal
+      // path runs without the commit lock) — then our rename fails even
+      // though the flip landed. If the pointer now reads v, the commit is
+      // in effect: treat it as success instead of failing a landed commit.
+      val healed = MetaIO.readSmall(f, pointer).map(_.trim.toInt).contains(v)
+      if (!healed)
+        throw new IllegalStateException(s"SnapshotTable $root: pointer flip failed")
+      if (f.exists(tmp)) f.delete(tmp, false)
+    }
   }
 
   /** Compact the live snapshot into `targetFiles` output files (small-file
@@ -387,7 +399,8 @@ final class SnapshotTable(val root: String,
     // the base version's and manifest reads reattach them uniformly
     val partCols = v0.map(partitionColsOf(f, _)).getOrElse(Nil)
     val w = aligned.write.mode(SaveMode.Overwrite)
-    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(staging.toString)
+    try (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(staging.toString)
+    catch { case t: Throwable => f.delete(staging, true); throw t }
     withCommitLock(f) { lockH =>
       val cur = currentVersion(spark).getOrElse(0)
       val skip = txn.exists { case (app, batch) => lastTxn(spark, app).exists(_ >= batch) }
@@ -523,7 +536,8 @@ final class SnapshotTable(val root: String,
         val cols = clusterBy.map(org.apache.spark.sql.functions.col)
         smallDf.repartitionByRange(nOut, cols: _*).sortWithinPartitions(cols: _*)
       }
-    packed.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    try packed.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    catch { case t: Throwable => f.delete(staging, true); throw t }
     withCommitLock(f) { lockH =>
       val cur = currentVersion(spark).getOrElse(0)
       if (cur != v) {
@@ -877,6 +891,15 @@ final class SnapshotTable(val root: String,
         // longer a readable VERSION — mark it so history/readVersion skip it
         if (referenced(v) && f.exists(new Path(s"$root/_v$v")))
           f.create(new Path(root, s"_gone_v$v"), true).close()
+      }
+      // Reap _staging_* orphans from crashed writers (the bucketed table's
+      // rule). Age-gated by commitStaleMs so an ACTIVE writer mid-stage is
+      // never clobbered — same staleness bound the commit lock uses.
+      val now = System.currentTimeMillis()
+      f.listStatus(new Path(root)).foreach { st =>
+        if (st.getPath.getName.startsWith("_staging_") &&
+            now - st.getModificationTime > commitStaleMs)
+          f.delete(st.getPath, true)
       }
     }
   }

@@ -432,6 +432,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"rank iteration degenerated:\n${plan.take(3000)}")
   }
 
+  test("q258: iteration plan references the edge relation as pinned blocks — " +
+    "zero copies of the corpus tokenization") {
+    // The r6 scale-killer: un-pinned lineage embedded the tokenize→explode→
+    // groupBy edge derivation ~16× in the final plan. With dir/outw/nodes
+    // localCheckpoint'ed the executed plan must contain NO Generate
+    // (explode) and NO parquet scan at all — every input is a materialized
+    // block scan, so the corpus is tokenized exactly once (inside the
+    // checkpoint jobs), never in the iteration plan.
+    val edges = graft.llm.TextRank.cooccurrenceEdges(
+      graft.tables.Tables.documents(spark, dir), "doc_id", "text")
+    val pr = graft.llm.TextRank.pageRank(edges, iters = 5)
+    pr.collect()
+    val plan = pr.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"),
+      s"tokenization re-embedded in the iteration plan:\n${plan.take(3000)}")
+    assert(!plan.contains("FileScan"),
+      s"corpus rescan in the iteration plan:\n${plan.take(3000)}")
+  }
+
   test("q262: kNN voting — query side broadcast, vote window partitioned by query") {
     val df = SparkEntry.queries("q262_knn_label")(spark, dir)
     df.collect()

@@ -15,6 +15,7 @@ import graft.cdc.ScdMerge
   */
 object ScdMergeProps {
   case class Ev(id: Int, seq: Int, v: String)
+  case class EvD(id: Int, seq: Int, v: String, del: Boolean)
 }
 
 class ScdMergeProps extends AnyFunSuite {
@@ -90,5 +91,105 @@ class ScdMergeProps extends AnyFunSuite {
         }
       }
     }
+  }
+
+  // ── apply_as_deletes (CDC delete flows) ──────────────────────────────
+  import ScdMergeProps.EvD
+
+  private val genEventsD: Gen[List[EvD]] = for {
+    n <- Gen.choose(1, 40)
+    evs <- Gen.listOfN(n, for {
+      id <- Gen.choose(0, 5)
+      seq <- Gen.choose(0, 20)
+      v <- Gen.alphaLowerStr.map(_.take(4))
+      del <- Gen.prob(0.3)
+    } yield EvD(id, seq, v, del))
+  } yield evs.distinctBy(e => (e.id, e.seq))
+
+  private def dfD(evs: Seq[EvD]): DataFrame = evs.toDF("id", "seq", "v", "del")
+  private val delCond = Some(org.apache.spark.sql.functions.col("del"))
+
+  test("scd1 deletes: winner-is-tombstone removes the key, under any split; replay no-op") {
+    forAllSeeded(Gen.zip(genEventsD, Gen.choose(0, 20))) { case (evs, cut) =>
+      if (evs.nonEmpty) {
+        val (b1, b2) = evs.partition(_.seq < cut)
+        var state: Option[DataFrame] = None
+        if (b1.nonEmpty) state = Some(ScdMerge.scd1Upsert(state, dfD(b1), Seq("id"), "seq", Nil, delCond))
+        if (b2.nonEmpty) state = Some(ScdMerge.scd1Upsert(state, dfD(b2), Seq("id"), "seq", Nil, delCond))
+        val got = state.get.select("id", "seq").as[(Int, Int)].collect().toSeq.sorted
+        // closed form: per key keep max seq; key absent when that row is a delete
+        val want = evs.groupBy(_.id).flatMap { case (id, g) =>
+          val w = g.maxBy(_.seq)
+          if (w.del) None else Some((id, w.seq))
+        }.toSeq.sorted
+        assert(got == want, s"\nevents=$evs cut=$cut")
+        // replay the final batch — nothing changes
+        val rb = if (b2.nonEmpty) b2 else b1
+        val replayed = ScdMerge.scd1Upsert(state, dfD(rb), Seq("id"), "seq", Nil, delCond)
+          .select("id", "seq").as[(Int, Int)].collect().toSeq.sorted
+        assert(replayed == want)
+      }
+    }
+  }
+
+  test("scd2 deletes: visible chain ≡ closed form (tombstone closes, no successor); replay no-op") {
+    forAllSeeded(Gen.zip(genEventsD, Gen.choose(0, 20))) { case (evs, cut) =>
+      if (evs.nonEmpty) {
+        def visible(d: DataFrame): Seq[(Int, Int, Option[Int])] =
+          canon2(d.filter(!org.apache.spark.sql.functions.col(ScdMerge.DeletedCol)))
+        val (b1, b2) = evs.partition(_.seq < cut)
+        var split: Option[DataFrame] = None
+        if (b1.nonEmpty) split = Some(ScdMerge.scd2Merge(split, dfD(b1), Seq("id"), "seq", Nil, Nil, delCond))
+        if (b2.nonEmpty) split = Some(ScdMerge.scd2Merge(split, dfD(b2), Seq("id"), "seq", Nil, Nil, delCond))
+        // closed form: chain ALL events by seq (END = next start), then
+        // drop tombstone rows from the visible history
+        val want = evs.groupBy(_.id).toSeq.flatMap { case (id, g) =>
+          val sorted = g.sortBy(_.seq)
+          sorted.zipWithIndex.collect { case (e, i) if !e.del =>
+            (id, e.seq, sorted.lift(i + 1).map(_.seq))
+          }
+        }.sorted
+        assert(visible(split.get) == want, s"\nevents=$evs cut=$cut")
+        val rb = if (b2.nonEmpty) b2 else b1
+        val replayed = ScdMerge.scd2Merge(split, dfD(rb), Seq("id"), "seq", Nil, Nil, delCond)
+        assert(visible(replayed) == want)
+        // current(): a key whose newest event is a tombstone has NO row
+        val curIds = ScdMerge.current(split.get).select("id").as[Int].collect().toSet
+        val wantCur = evs.groupBy(_.id).collect {
+          case (id, g) if !g.maxBy(_.seq).del => id
+        }.toSet
+        assert(curIds == wantCur)
+      }
+    }
+  }
+
+  test("scd2 deletes: stale tombstone splices history without touching current; PIT sees a hole") {
+    // v1@10, v2@30 committed; then a LATE tombstone @20 arrives: v1 must
+    // close at 20 (not 30), v2 stays current, and a fact at ts=25 enriches
+    // to nulls (the key was deleted then)
+    val b1 = Seq(EvD(1, 10, "a", false), EvD(1, 30, "b", false))
+    val b2 = Seq(EvD(1, 20, "x", true))
+    val s1 = ScdMerge.scd2Merge(None, dfD(b1), Seq("id"), "seq", Nil, Nil, delCond)
+    val s2 = ScdMerge.scd2Merge(Some(s1), dfD(b2), Seq("id"), "seq", Nil, Nil, delCond)
+    val vis = canon2(s2.filter(!org.apache.spark.sql.functions.col(ScdMerge.DeletedCol)))
+    assert(vis == Seq((1, 10, Some(20)), (1, 30, None)), vis.toString)
+    assert(ScdMerge.current(s2).select("seq").as[Int].collect().toSeq == Seq(30))
+    assert(ScdMerge.history(s2).select("seq").as[Int].collect().toSeq == Seq(10))
+    val facts = Seq((1, 25), (1, 15), (1, 35)).toDF("id", "fts")
+    val pit = ScdMerge.pointInTimeJoin(facts, s2, Seq("id"), "fts")
+      .select("fts", "v").as[(Int, Option[String])].collect().toMap
+    assert(pit == Map(25 -> None, 15 -> Some("a"), 35 -> Some("b")), pit.toString)
+  }
+
+  test("scd1 deletes: stale tombstone is ignored; delete-then-reinsert round-trips") {
+    val s1 = ScdMerge.scd1Upsert(None, dfD(Seq(EvD(1, 10, "a", false))), Seq("id"), "seq", Nil, delCond)
+    // stale delete @5 loses to stored @10
+    val s2 = ScdMerge.scd1Upsert(Some(s1), dfD(Seq(EvD(1, 5, "x", true))), Seq("id"), "seq", Nil, delCond)
+    assert(s2.select("seq").as[Int].collect().toSeq == Seq(10))
+    // fresh delete @20 removes; upsert @30 re-inserts
+    val s3 = ScdMerge.scd1Upsert(Some(s2), dfD(Seq(EvD(1, 20, "x", true))), Seq("id"), "seq", Nil, delCond)
+    assert(s3.count() == 0)
+    val s4 = ScdMerge.scd1Upsert(Some(s3), dfD(Seq(EvD(1, 30, "c", false))), Seq("id"), "seq", Nil, delCond)
+    assert(s4.select("seq", "v").as[(Int, String)].collect().toSeq == Seq((30, "c")))
   }
 }
