@@ -85,6 +85,18 @@ object Pca {
     * distributed form and to the SQL oracle. */
   def topComponent(spark: SparkSession, cov: DataFrame, d: Int,
       iters: Int = 10): DataFrame = {
+    // The d×d covariance is MODEL-sized state and is iterated on the
+    // driver (the bit-replay contract documented above) — that is only
+    // sound while d² stays model-sized. Embedding dims in practice are
+    // ≤ ~4k (d² ≤ 16M doubles ≈ 128 MB): fail loudly beyond that rather
+    // than silently materializing a data-sized matrix driver-side; a
+    // larger d needs a distributed eigensolver (power iteration as a
+    // d-keyed matrix-vector join per round), not this entry point.
+    require(d.toLong * d <= 16L * 1000 * 1000,
+      s"topComponent iterates the d²=${d.toLong * d} covariance on the driver; " +
+        "supported for d² <= 16M (d <= 4000). For larger d, run power iteration " +
+        "distributed: keep cov as the (i,j)-keyed relation and express each " +
+        "round as a matrix-vector join + per-i aggregation.")
     import spark.implicits._
     import java.math.{BigDecimal => JBD, RoundingMode}
     def q(x: Double, scale: Int): JBD =

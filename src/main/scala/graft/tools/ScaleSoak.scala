@@ -117,6 +117,16 @@ object ScaleSoak {
       t("cosine_neardup_pairs") {
         graft.llm.Similarity.simhashCosinePairs(embD, "vec_id", "v", threshold = 0.99).count()
       }
+      t("ann_lsh_multitable") {
+        // the recall-floor setting (planes=4, tables=16; LlmOpsSpec pins
+        // ≥0.8 recall@10 here): corpus fans out tables×, candidates ≈
+        // tables·n/2^planes per query — cost must stay ~linear in corpus
+        // size at fixed params (production raises numPlanes ~log n to hold
+        // the candidate FRACTION constant instead)
+        graft.llm.Similarity.lshTopK(
+          embD.filter(col("vec_id") % 100 === 0), embD, "vec_id", "v",
+          k = 10, numPlanes = 4, numTables = 16).count()
+      }
       t("bpe_train_capped") {
         // vocab-scale trainer (VERDICT r5 #4): one distributed word-count
         // + capped local fit — must be ~flat at 10× corpus (the merge

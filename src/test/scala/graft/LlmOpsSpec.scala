@@ -512,6 +512,44 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(hitM >= 2 * hitS, s"Hamming-1 probing should ≥2× single-probe recall here ($hitM vs $hitS)")
   }
 
+  test("ANN recall floor on ORGANIC embeddings: ≥0.8 recall@10 at documented cost " +
+    "(multi-table LSH and trained IVF)") {
+    // The r6 gap: planted-copy oracles prove the machinery, but a user
+    // tuning parameters needs a pinned quality floor on non-planted data.
+    // The fixture is near-uniform random — LSH/IVF's WORST case (top-10
+    // cosine ≈ 0.3) — so the floors here are the honest lower bound; the
+    // documented cost (candidate fraction) is the price of 0.8+ recall on
+    // structureless data. Parameters match the Similarity scaladoc tables.
+    val queries = embs.filter($"vec_id" < 50)
+    val truth = Similarity.bruteForceTopK(queries, embs, "vec_id", "embedding", 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    def recallAt10(ann: org.apache.spark.sql.DataFrame): Double = {
+      val got = ann.select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      truth.map { case (q, t) => got.getOrElse(q, Set.empty[Long]).count(t).toDouble / t.size }
+        .sum / truth.size
+    }
+
+    val lsh = recallAt10(Similarity.lshTopK(queries, embs, "vec_id", "embedding",
+      k = 10, numPlanes = 4, numTables = 16))
+    info(f"multi-table LSH (planes=4, tables=16) recall@10 = $lsh%.3f")
+    assert(lsh >= 0.8, f"LSH recall@10 $lsh%.3f < 0.8 floor")
+
+    val ivf = recallAt10(Similarity.ivfTopK(queries, embs, "vec_id", "embedding",
+      k = 10, nCentroids = 32, nProbe = 20, trainIters = 2))
+    info(f"trained IVF (nlist=32, nProbe=20, iters=2) recall@10 = $ivf%.3f")
+    assert(ivf >= 0.8, f"IVF recall@10 $ivf%.3f < 0.8 floor")
+
+    // the cheap settings stay cheap-and-lossy (the documented trade is
+    // real, not an artifact of the floor parameters being defaults)
+    val cheap = recallAt10(Similarity.lshTopK(queries, embs, "vec_id", "embedding",
+      k = 10, numPlanes = 4, numTables = 1))
+    info(f"single-table LSH (planes=4) recall@10 = $cheap%.3f")
+    assert(cheap < lsh, "multi-table must beat single-table on recall")
+  }
+
   test("simhashCosinePairs: planted near-dups fully recalled, output exact, no false pairs") {
     val base = embs.select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
     val pert = base.filter($"vec_id" < 50)
@@ -1095,6 +1133,18 @@ class LlmOpsSpec extends AnyFunSuite {
     val varRamp = (0 until 200).map(k => (k % 21) - 10).map(t => t * t).sum / 200.0
     assert(math.abs(comp.head._3 - varRamp) / varRamp < 0.05,
       s"eigenvalue ${comp.head._3} vs ramp variance $varRamp")
+  }
+
+  test("Pca.topComponent: d² driver-collect guard rejects over-large d with a pointer " +
+    "to the distributed fallback") {
+    import graft.llm.Pca
+    val cov = Seq((0, 0, BigDecimal(1))).toDF("i", "j", "c")
+    val e = intercept[IllegalArgumentException] {
+      Pca.topComponent(spark, cov, d = 5000)
+    }
+    assert(e.getMessage.contains("d² <= 16M") || e.getMessage.contains("d² <= 16M"),
+      e.getMessage)
+    assert(e.getMessage.contains("distributed"), e.getMessage)
   }
 
   test("Dsir: target-typical docs outweigh raw-typical; weight is per-token mean") {

@@ -51,6 +51,33 @@ object ContentionWorker {
               Seq((s"$workerId-$i", 2 * i - 1), ("shared", 2 * i - 1))
                 .toDF("k", "op_seq"),
               "op_seq")
+        case "read" =>
+          // continuous reader while the PARENT appends + compacts: every
+          // read must see a COMPLETE committed snapshot — the seed row,
+          // a gapless prefix {("A",1..k)} (a hole would be a torn read of
+          // a half-committed version or a mid-commit manifest), and a row
+          // count that never goes backwards. Loops until the parent drops
+          // `done` (and always reads at least once after it appears, so
+          // the final state is covered too).
+          val t = new SnapshotTable(root)
+          val done = java.nio.file.Paths.get(syncDir, "done")
+          var lastCount = -1
+          var reads = 0
+          var sawDone = false
+          while (!sawDone) {
+            sawDone = java.nio.file.Files.exists(done)
+            val rows = t.read(spark).as[(String, Int)].collect()
+            require(rows.count(_._1 == "seed") == 1,
+              s"torn read: seed missing in ${rows.toSeq}")
+            val seqs = rows.filter(_._1 == "A").map(_._2).sorted.toSeq
+            require(seqs == (1 to seqs.size), s"torn read: non-prefix seqs $seqs")
+            require(rows.length >= lastCount,
+              s"row count went backwards: ${rows.length} < $lastCount")
+            lastCount = rows.length
+            reads += 1
+          }
+          System.err.println(s"[contention-worker] $reads clean reads")
+          require(reads > 0)
       }
       spark.stop()
       sys.exit(0)
