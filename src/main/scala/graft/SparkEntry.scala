@@ -4680,6 +4680,60 @@ object SparkEntry {
         .orderBy($"lang_pred")
     }),
 
+    // ── SQL DML surface over the transactional table: MERGE INTO with
+    //    DELETE WHEN — DLT auto-CDC SCD1 semantics (sequence-ordered
+    //    last-write-wins, tombstone rows remove their key) driven entirely
+    //    from SQL through the injected parser; the command compiles to the
+    //    same ScdMerge.scd1Upsert + atomic snapshot commit the
+    //    programmatic API uses.
+    "q269_sql_merge" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("sqlmerge").toString
+      val t = new graft.tables.SnapshotTable(s"$work/t")
+      val cust = Tables.customer(s, dir)
+      t.write(s, cust.filter($"c_custkey" <= 1000)
+        .select($"c_custkey", $"c_acctbal", lit(1L).as("op_seq")))
+      cust.filter($"c_custkey" % 2 === 0 && $"c_custkey" <= 1500)
+        .select($"c_custkey", ($"c_acctbal" + 100.0).as("c_acctbal"),
+          lit(2L).as("op_seq"))
+        .createOrReplaceTempView("g269_batch")
+      org.apache.spark.sql.GraftColumnBridge.graftSql(s,
+        s"MERGE INTO '${t.root}' USING g269_batch ON KEYS (c_custkey) " +
+          "SEQUENCE BY op_seq DELETE WHEN c_custkey % 10 = 0").collect()
+      t.read(s).select($"c_custkey", $"c_acctbal", $"op_seq")
+        .orderBy($"c_custkey")
+    }),
+
+    // ── SQL DML: UPDATE (copy-on-write atomic rewrite) + DELETE FROM
+    //    (O(matched) key tombstones) + SNAPSHOT time travel — the final
+    //    answer reads the post-DML state AND version 1 through the SQL
+    //    `SNAPSHOT … [VERSION AS OF]` query form, proving DML never
+    //    destroys history.
+    "q270_sql_update_delete" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("sqldml").toString
+      val t = new graft.tables.SnapshotTable(s"$work/t")
+      t.write(s, Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        .filter($"o_orderkey" <= 20000))
+      val sqlRun = (q: String) => org.apache.spark.sql.GraftColumnBridge.graftSql(s, q)
+      // +50.0 (not *1.1): double addition is IEEE-exact here, so the
+      // updated values are bit-identical in Spark and DuckDB and the
+      // DECIMAL(18,2) money cast rounds the same input on both sides
+      sqlRun(s"UPDATE '${t.root}' SET o_totalprice = o_totalprice + 50.0 " +
+        "WHERE o_orderstatus = 'F'").collect()
+      sqlRun(s"DELETE FROM '${t.root}' WHERE o_totalprice < 1000.0").collect()
+      def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.groupBy($"o_orderstatus")
+          .agg(count(lit(1)).cast("long").as("n"),
+            Relational.sumMoney($"o_totalprice").as("total"))
+          .withColumn("state", lit(tag))
+      agg(sqlRun(s"SNAPSHOT '${t.root}'"), "current")
+        .unionByName(agg(sqlRun(s"SNAPSHOT '${t.root}' VERSION AS OF 1"), "v1"))
+        .select($"state", $"o_orderstatus", $"n", $"total")
+        .orderBy($"state", $"o_orderstatus")
+    }),
+
     // ── C5 + deletes: SCD1 with `apply_as_deletes` (DLT's parameter; the
     //    reference leaves it unset — any real CDC source emits deletes).
     //    'error' events act as tombstones: a key whose NEWEST event is an
@@ -5142,6 +5196,41 @@ object SparkEntry {
       """SELECT user_id, event_id, event_type, ts AS __START_AT,
         |LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS __END_AT
         |FROM events ORDER BY user_id, __START_AT, event_id""".stripMargin,
+
+    // seq-ordered last-write-wins; batch rows with custkey%10=0 are
+    // tombstones and (being the newest write) remove their key
+    "q269_sql_merge" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_acctbal, CAST(1 AS BIGINT) AS op_seq, 0 AS is_del
+        |  FROM customer WHERE c_custkey <= 1000),
+        |b AS (
+        |  SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal, CAST(2 AS BIGINT) AS op_seq,
+        |    CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END AS is_del
+        |  FROM customer WHERE c_custkey % 2 = 0 AND c_custkey <= 1500),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM b),
+        |w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY op_seq DESC) AS rn FROM u)
+        |SELECT c_custkey, c_acctbal, op_seq FROM w WHERE rn = 1 AND is_del = 0
+        |ORDER BY c_custkey""".stripMargin,
+
+    // UPDATE scales F-status prices by 1.1, DELETE drops post-update
+    // rows under 1000; v1 is the untouched original (time travel)
+    "q270_sql_update_delete" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey <= 20000),
+        |upd AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 50.0 ELSE o_totalprice END AS o_totalprice
+        |  FROM v1),
+        |cur AS (SELECT * FROM upd WHERE o_totalprice >= 1000.0),
+        |a AS (
+        |  SELECT 'current' AS state, o_orderstatus, COUNT(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM cur GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT 'v1', o_orderstatus, COUNT(*),
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM v1 GROUP BY o_orderstatus)
+        |SELECT state, o_orderstatus, n, total FROM a ORDER BY state, o_orderstatus""".stripMargin,
 
     // last write wins; a winning 'error' tombstone removes the key
     "q267_scd1_deletes" ->

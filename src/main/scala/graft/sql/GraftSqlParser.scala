@@ -10,22 +10,33 @@ import org.apache.spark.sql.types._
 
 import graft.tables.SnapshotTable
 
-/** Maintenance-DDL parser extension — the `injectParser` surface of
+/** Maintenance-DDL + DML parser extension — the `injectParser` surface of
   * [[graft.GraftExtensions]] (SURVEY §4 extension point (c); the Delta
-  * `OPTIMIZE` / `VACUUM` / `DESCRIBE HISTORY` SQL forms, which the
-  * reference's maintenance notebooks run as cell SQL). Three statements
-  * over [[SnapshotTable]] paths:
+  * `OPTIMIZE` / `VACUUM` / `DESCRIBE HISTORY` / `MERGE` / `UPDATE` /
+  * `DELETE` / time-travel SQL forms, which the reference's maintenance
+  * notebooks run as cell SQL). Statements over [[SnapshotTable]] paths:
   *
   * {{{
   *   OPTIMIZE '<table root>' [TARGET <bytes>]
   *   VACUUM '<table root>' [KEEP <n>]
   *   DESCRIBE HISTORY '<table root>'
+  *   MERGE INTO '<table root>' USING <view> ON KEYS (k1[, k2…])
+  *     SEQUENCE BY <col> [DELETE WHEN <predicate>]
+  *   UPDATE '<table root>' SET c = <expr>[, …] WHERE <predicate>
+  *   DELETE FROM '<table root>' WHERE <predicate>
+  *   SNAPSHOT '<table root>' [VERSION AS OF <n>]
   * }}}
   *
-  * Everything else delegates verbatim to Spark's parser, so the extension
-  * is purely additive. Commands execute driver-side through the same
-  * table code the programmatic API uses — the parser is syntax, not a
-  * second implementation.
+  * MERGE is DLT auto-CDC SCD1 semantics ([[graft.cdc.ScdMerge.scd1Upsert]]
+  * — sequence-ordered last-write-wins per key, `DELETE WHEN` rows are
+  * tombstones); UPDATE commits a full rewritten snapshot (atomic,
+  * copy-on-write — Delta's UPDATE shape); DELETE appends key tombstones
+  * (O(matched rows), never a table rewrite); SNAPSHOT is a query (time
+  * travel when VERSION AS OF is given). Everything else delegates
+  * verbatim to Spark's parser, so the extension is purely additive.
+  * Commands execute driver-side through the same table code the
+  * programmatic API uses — the parser is syntax, not a second
+  * implementation.
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
@@ -35,6 +46,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*VACUUM\s+'([^']+)'(?:\s+KEEP\s+(\d+))?\s*;?\s*""".r
   private val History =
     """(?is)\s*DESCRIBE\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
+  private val Merge =
+    """(?is)\s*MERGE\s+INTO\s+'([^']+)'\s+USING\s+([\w.]+)\s+ON\s+KEYS\s*\(([^)]+)\)\s+SEQUENCE\s+BY\s+(\w+)(?:\s+DELETE\s+WHEN\s+(.+?))?\s*;?\s*""".r
+  private val Update =
+    """(?is)\s*UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
+  private val Delete =
+    """(?is)\s*DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)\s*;?\s*""".r
+  private val Snapshot =
+    """(?is)\s*SNAPSHOT\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Optimize(path, target) =>
@@ -44,7 +63,44 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       VacuumSnapshotCommand(path, Option(keep).map(_.toInt).getOrElse(2))
     case History(path) =>
       DescribeHistoryCommand(path)
+    case Merge(path, view, keys, seqCol, deleteWhen) =>
+      MergeSnapshotCommand(path, view,
+        keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq, seqCol,
+        Option(deleteWhen).map(_.trim))
+    case Update(path, setList, pred) =>
+      UpdateSnapshotCommand(path, splitTopLevel(setList).map { a =>
+        val Array(c, e) = a.split("=", 2)
+        (c.trim, e.trim)
+      }, pred.trim)
+    case Delete(path, pred) =>
+      DeleteSnapshotCommand(path, pred.trim)
+    case Snapshot(path, version) =>
+      // a QUERY, not a command: time-travel read as a logical plan
+      val spark = SparkSession.active
+      val t = new SnapshotTable(path)
+      val df = Option(version).map(v => t.readVersion(spark, v.toInt))
+        .getOrElse(t.read(spark))
+      df.queryExecution.logical
     case _ => delegate.parsePlan(sqlText)
+  }
+
+  /** Split on commas at paren/quote depth 0 — `SET a = f(x, y), b = 2`
+    * must not split inside the call. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var inStr = false; var start = 0
+    s.zipWithIndex.foreach { case (ch, i) =>
+      ch match {
+        case '\'' => inStr = !inStr
+        case '(' if !inStr => depth += 1
+        case ')' if !inStr => depth -= 1
+        case ',' if !inStr && depth == 0 =>
+          out += s.substring(start, i); start = i + 1
+        case _ => ()
+      }
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
   }
 
   override def parseExpression(sqlText: String): Expression =
@@ -84,6 +140,63 @@ case class VacuumSnapshotCommand(path: String, keep: Int)
   override def run(spark: SparkSession): Seq[Row] = {
     new SnapshotTable(path).vacuum(spark, keep)
     Seq(Row(keep))
+  }
+}
+
+/** `MERGE INTO '<root>' USING <view> ON KEYS (…) SEQUENCE BY <col>
+  * [DELETE WHEN <pred>]` → [[graft.cdc.ScdMerge.scd1Upsert]] over the
+  * live snapshot + atomic snapshot commit. Returns (version, n_rows). */
+case class MergeSnapshotCommand(path: String, view: String, keys: Seq[String],
+    seqCol: String, deleteWhen: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = new SnapshotTable(path)
+    val updates = spark.table(view)
+    val merged = graft.cdc.ScdMerge.scd1Upsert(
+      t.readOption(spark), updates, keys, seqCol, Nil,
+      deleteWhen.map(org.apache.spark.sql.functions.expr))
+    val v = t.write(spark, merged)
+    Seq(Row(v, t.read(spark).count()))
+  }
+}
+
+/** `UPDATE '<root>' SET … WHERE <pred>` → copy-on-write: one atomic new
+  * snapshot with matched rows rewritten (the Delta UPDATE shape — readers
+  * flip between complete versions, never see a half-updated table). */
+case class UpdateSnapshotCommand(path: String, sets: Seq[(String, String)],
+    pred: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("n_updated", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{expr, when => sqlWhen, col}
+    val t = new SnapshotTable(path)
+    val cur = t.read(spark)
+    val p = expr(pred)
+    val n = cur.filter(p).count()
+    val updated = sets.foldLeft(cur) { case (d, (c, e)) =>
+      d.withColumn(c, sqlWhen(p, expr(e)).otherwise(col(c)))
+    }
+    Seq(Row(t.write(spark, updated), n))
+  }
+}
+
+/** `DELETE FROM '<root>' WHERE <pred>` → key tombstones for the matched
+  * rows ([[SnapshotTable.deleteKeys]]): O(matched) IO, no table rewrite —
+  * the deletion-vector analog, already covered by q149's programmatic
+  * form. Returns the number of tombstoned rows. */
+case class DeleteSnapshotCommand(path: String, pred: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("n_deleted", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = new SnapshotTable(path)
+    val doomed = t.read(spark).filter(org.apache.spark.sql.functions.expr(pred))
+    val n = doomed.count()
+    if (n > 0) t.deleteKeys(spark, doomed)
+    Seq(Row(n))
   }
 }
 

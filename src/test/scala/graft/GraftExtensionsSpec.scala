@@ -175,6 +175,40 @@ class GraftExtensionsSpec extends AnyFunSuite {
     } finally graft.plans.JoinEliminationRewrite.clear()
   }
 
+  test("GraftSqlParser DML: MERGE INTO (DELETE WHEN) / UPDATE / DELETE FROM / SNAPSHOT time travel") {
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("sqldml").toString
+    val t = new graft.tables.SnapshotTable(s"$work/t")
+    def sqlRun(q: String) = GraftColumnBridge.graftSql(spark, q)
+
+    t.write(spark, Seq((1L, 10.0, 1L), (2L, 20.0, 1L), (3L, 30.0, 1L))
+      .toDF("k", "v", "op_seq"))
+    // MERGE: update k=1 (newer seq), tombstone k=2, insert k=4, STALE row
+    // for k=3 (op_seq 0 loses to the stored 1)
+    Seq((1L, 11.0, 2L), (2L, 0.0, 2L), (4L, 40.0, 2L), (3L, 99.0, 0L))
+      .toDF("k", "v", "op_seq").createOrReplaceTempView("dml_batch")
+    sqlRun(s"MERGE INTO '${t.root}' USING dml_batch ON KEYS (k) " +
+      "SEQUENCE BY op_seq DELETE WHEN v = 0.0").collect()
+    assert(t.read(spark).select("k", "v").as[(Long, Double)].collect().toSet ==
+      Set((1L, 11.0), (3L, 30.0), (4L, 40.0)))
+
+    // UPDATE with a function call in SET (top-level comma splitter) — and
+    // it must be atomic: a new version, not an in-place mutation
+    sqlRun(s"UPDATE '${t.root}' SET v = v + greatest(1.0, 2.0), op_seq = 3 " +
+      "WHERE k <= 3").collect()
+    assert(t.read(spark).select("k", "v").as[(Long, Double)].collect().toSet ==
+      Set((1L, 13.0), (3L, 32.0), (4L, 40.0)))
+
+    // DELETE FROM tombstones, no rewrite
+    val nDel = sqlRun(s"DELETE FROM '${t.root}' WHERE v > 35.0").as[Long].head()
+    assert(nDel == 1)
+    assert(t.read(spark).select("k").as[Long].collect().toSet == Set(1L, 3L))
+
+    // SNAPSHOT is a query; VERSION AS OF sees pre-DML history
+    assert(sqlRun(s"SNAPSHOT '${t.root}'").count() == 2)
+    assert(sqlRun(s"SNAPSHOT '${t.root}' VERSION AS OF 1").count() == 3)
+  }
+
   test("GraftSqlParser: OPTIMIZE/VACUUM/DESCRIBE HISTORY route to table ops; other SQL delegates") {
     import org.apache.spark.sql.functions._
     val work = java.nio.file.Files.createTempDirectory("sqlddl").toString
