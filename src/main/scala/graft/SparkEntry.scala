@@ -4680,6 +4680,116 @@ object SparkEntry {
         .orderBy($"lang_pred")
     }),
 
+    // ── Scale: DYNAMIC PARTITION PRUNING — a hive-partitioned fact joined
+    //    to a filtered dim must scan only the partitions the dim filter
+    //    selects, with the pruning value discovered AT RUNTIME from the
+    //    broadcast side (Catalyst's DPP; the star-schema scan-cost killer
+    //    at 100 TB). PlanAuditSpec pins `dynamicpruning` in the fact
+    //    scan's partition filters.
+    "q272_dynamic_partition_pruning" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("dpp").toString
+      Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+        .write.partitionBy("o_orderpriority").parquet(s"$work/fact")
+      val fact = s.read.parquet(s"$work/fact")
+      // the dim must be a real scan: an in-memory LocalRelation would
+      // constant-fold the tier filter away and DPP (which requires a
+      // selective predicate on the build side) would never trigger
+      Seq(("1-URGENT", "hot"), ("2-HIGH", "hot"), ("3-MEDIUM", "warm"),
+        ("4-NOT SPECIFIED", "cold"), ("5-LOW", "cold"))
+        .toDF("o_orderpriority", "tier")
+        .write.parquet(s"$work/dim")
+      val dim = s.read.parquet(s"$work/dim")
+      fact.join(dim, Seq("o_orderpriority")).filter($"tier" === "hot")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).cast("long").as("n"),
+          Relational.sumMoney($"o_totalprice").as("total"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // ── LLM-pipeline: PERPLEXITY-FILTER scoring (the CCNet/KenLM stage,
+    //    add-1 bigram core): train transition counts on the even-id half,
+    //    score EVERY doc by mean transition log-prob. The model is two
+    //    vocab-bounded aggs; scoring is one (w1,w2) hash join + a per-doc
+    //    agg — 12-dp decimal-summed terms so scores replay bit-for-bit.
+    "q274_bigram_perplexity" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      graft.llm.BigramLm.scoreDocs(
+          docs.filter($"doc_id" % 2 === 0), docs, "doc_id", "text")
+        .select($"id".as("doc_id"), $"n_bigrams", $"avg_logprob",
+          ($"avg_logprob" >= -7.5 && $"n_bigrams" >= 10).as("keep"))
+        .orderBy($"doc_id")
+    }),
+
+    // ── LLM-pipeline: CROSS-RESOLUTION image dedup via perceptual dHash —
+    //    the same picture at 16×16 and 32×32 has different bytes AND
+    //    different pixels (so q256's exact-pixel signature can't catch
+    //    it), but only luma ORDERINGS survive a resize: dHash (9×8
+    //    bilinear → 64 adjacent-luma comparison bits) lands twins at
+    //    Hamming ≤ ~8 while distinct patterns sit near 32. Pairs via the
+    //    SimHash-style banded join (8×8-bit bands; Hamming ≤ 7 over 8
+    //    bands pigeonholes into ≥1 clean band) + exact bit_count verify —
+    //    never all-pairs. Oracle: closed-form planted-twin enumeration.
+    "q273_image_dhash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val m = graft.llm.Multimodal
+      val ids = Tables.documents(s, dir).filter($"doc_id" < 150)
+        .select($"doc_id", $"doc_id".cast("long").as("seed"))
+      val all = ids.select($"doc_id", $"seed", lit(2).as("scale"))
+        .unionByName(ids.select(($"doc_id" + 1000000L).as("doc_id"), $"seed",
+          lit(4).as("scale")))
+      val hashed = m.dhash64(m.syntheticBlockPng(all, "seed", "scale"), "content")
+        .select($"doc_id", $"dhash")
+      val banded = hashed.select($"doc_id", $"dhash",
+        explode(array((0 until 8).map(b =>
+          struct(lit(b).as("band"),
+            shiftright($"dhash", b * 8).bitwiseAND(lit(255L)).as("slice"))): _*)).as("bb"))
+        .select($"doc_id", $"dhash", $"bb.band", $"bb.slice")
+      banded.as("a").join(banded.as("b"),
+          $"a.band" === $"b.band" && $"a.slice" === $"b.slice" &&
+            $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+          $"a.dhash".as("h1"), $"b.dhash".as("h2"))
+        .dropDuplicates("d1", "d2")
+        .filter(bit_count($"h1".bitwiseXOR($"h2")) <= 12)
+        .filter($"d2" - $"d1" === 1000000L) // planted-recovery form
+        .select($"d1", $"d2")
+        .orderBy($"d1")
+    }),
+
+    // ── C4 + deletes, STREAMING form: the declarative gold pipeline
+    //    (create_auto_cdc_flow analog) drains a two-file silver stream
+    //    through an SCD2 merge with apply_as_deletes into the
+    //    transactional snapshot — 'error' events tombstone their user.
+    //    Output is the CURRENT state: users whose newest event is an
+    //    error must be absent; everyone else carries their latest event.
+    "q271_streaming_cdc_deletes" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("cdcdel").toString
+      val e = Tables.events(s, dir).select($"user_id", $"event_id", $"event_type", $"ts")
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+      e.filter($"ts" < cut).coalesce(1).write.parquet(s"$work/silver/f1")
+      e.filter($"ts" >= cut).coalesce(1).write.parquet(s"$work/silver/f2")
+      val t0 = System.currentTimeMillis() - 120000
+      for ((d, tm) <- Seq(("f1", t0), ("f2", t0 + 60000));
+           f <- new java.io.File(s"$work/silver/$d").listFiles())
+        f.setLastModified(tm)
+      val pipe = new graft.gold.GoldPipeline(s"$work/gold", s"$work/ck")
+        .declare(graft.gold.GoldTable(
+          name = "dim_user", silverPath = s"$work/silver/*",
+          keys = Seq("user_id"), sequenceBy = "ts", scdType = 2,
+          tieBreak = Seq($"event_id"),
+          applyAsDeletes = Some($"event_type" === "error")))
+      // maxFilesPerTrigger isn't part of GoldTable (DLT parity) — one
+      // AvailableNow drain merges both files' batches in order
+      pipe.runOnce(s)
+      graft.cdc.ScdMerge.current(pipe.readTable(s, "dim_user"))
+        .select($"user_id", $"event_id", $"event_type", $"__START_AT")
+        .orderBy($"user_id")
+    }),
+
     // ── SQL DML surface over the transactional table: MERGE INTO with
     //    DELETE WHEN — DLT auto-CDC SCD1 semantics (sequence-ordered
     //    last-write-wins, tombstone rows remove their key) driven entirely
@@ -5196,6 +5306,54 @@ object SparkEntry {
       """SELECT user_id, event_id, event_type, ts AS __START_AT,
         |LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS __END_AT
         |FROM events ORDER BY user_id, __START_AT, event_id""".stripMargin,
+
+    // hot tiers = urgent + high priorities
+    "q272_dynamic_partition_pruning" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // add-1 bigram LM trained on even ids; per-doc mean transition
+    // log-prob with the 12-dp decimal-sum discipline
+    "q274_bigram_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x != '') AS ts
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+        |  FROM toks, UNNEST(generate_series(1, len(ts)-1)) AS g(i)),
+        |tb AS (SELECT w1, w2, count(*) AS c2 FROM bg WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |t1 AS (SELECT w1, sum(c2) AS c1 FROM tb GROUP BY 1),
+        |v AS (SELECT count(DISTINCT x) AS vv FROM (
+        |  SELECT UNNEST(ts) AS x FROM toks WHERE doc_id % 2 = 0)),
+        |sc AS (
+        |  SELECT bg.doc_id,
+        |    CAST(round(ln((COALESCE(c2, 0) + 1.0) / (COALESCE(c1, 0) + vv)), 12) AS DECIMAL(28,12)) AS term
+        |  FROM bg LEFT JOIN tb USING (w1, w2) LEFT JOIN t1 USING (w1) CROSS JOIN v),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    round(CAST(sum(term) AS DOUBLE) / count(*), 6) + 0.0 AS avg_logprob
+        |  FROM sc GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(avg_logprob, 0.0) + 0.0 AS avg_logprob,
+        |  (COALESCE(avg_logprob, 0.0) >= -7.5 AND COALESCE(n_bigrams, 0) >= 10) AS keep
+        |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // every planted cross-resolution twin must be recovered — a decoder,
+    // resize, or hash regression loses pairs and hash-mismatches
+    "q273_image_dhash_dedup" ->
+      """SELECT doc_id AS d1, doc_id + 1000000 AS d2 FROM documents
+        |WHERE doc_id < 150 ORDER BY d1""".stripMargin,
+
+    // current state after the drain: latest event per user, unless that
+    // latest event is an 'error' tombstone (user absent)
+    "q271_streaming_cdc_deletes" ->
+      """SELECT user_id, event_id, event_type, ts AS __START_AT FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
 
     // seq-ordered last-write-wins; batch rows with custkey%10=0 are
     // tombstones and (being the newest write) remove their key

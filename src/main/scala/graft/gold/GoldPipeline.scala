@@ -24,6 +24,11 @@ case class GoldTable(
     expectations: Seq[Expectation] = Nil,
     tieBreak: Seq[Column] = Nil,
     dependsOn: Seq[String] = Nil,
+    // DLT `apply_as_deletes` analog: batch rows matching this predicate
+    // are sequence-ordered tombstones (SCD1 removes the key, SCD2 stores
+    // a __DELETED version closing the chain — see ScdMerge). Plain
+    // snapshot targets only.
+    applyAsDeletes: Option[Column] = None,
     // > 0 ⇒ the target is a hash-bucketed snapshot (merge rewrites only
     // affected buckets — the 100 TB path; see BucketedSnapshotTable).
     // 0 ⇒ plain whole-snapshot commits (reference-scale parity).
@@ -112,6 +117,9 @@ final class GoldPipeline(goldDir: String, checkpointRoot: String) {
     val stream = Expectations.expectAllOrDrop(
       source, t.expectations, s"quality_${t.name}")
     if (t.numBuckets > 0) {
+      require(t.applyAsDeletes.isEmpty,
+        s"gold ${t.name}: applyAsDeletes is not supported on bucketed targets yet — " +
+          "declare the table unbucketed or pre-filter deletes")
       // bucketed target: the merge itself prunes to affected buckets
       val target = bucketedSnapshot(t)
       AutoIngest.foreachBatchOnce(stream, cfg.checkpointDir) { (clean, _) =>
@@ -124,9 +132,11 @@ final class GoldPipeline(goldDir: String, checkpointRoot: String) {
       AutoIngest.foreachBatchOnce(stream, cfg.checkpointDir) { (clean, _) =>
         val merged =
           if (t.scdType == 2)
-            ScdMerge.scd2Merge(target.readOption(spark), clean, t.keys, t.sequenceBy, t.tieBreak)
+            ScdMerge.scd2Merge(target.readOption(spark), clean, t.keys,
+              t.sequenceBy, t.tieBreak, Nil, t.applyAsDeletes)
           else
-            ScdMerge.scd1Upsert(target.readOption(spark), clean, t.keys, t.sequenceBy, t.tieBreak)
+            ScdMerge.scd1Upsert(target.readOption(spark), clean, t.keys,
+              t.sequenceBy, t.tieBreak, t.applyAsDeletes)
         target.write(spark, merged)
       }
     }

@@ -178,6 +178,102 @@ object Multimodal {
     }(enc)
   }
 
+  /** Synthesize a PNG of an 8×8 grid of hash-derived gray cells rendered
+    * at `scale` px per cell (image = 8s × 8s). The pattern is a function
+    * of RELATIVE position only, so two scales of one seed are the same
+    * picture at different resolutions — the cross-RESOLUTION dedup
+    * fixture [[dhash64]] needs (the cross-CODEC fixture q256 uses exact
+    * pixel signatures, which resizing defeats by construction). */
+  def syntheticBlockPng(df: DataFrame, seedCol: String, scaleCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("content", BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val (si, sci) = (df.schema.fieldIndex(seedCol), df.schema.fieldIndex(scaleCol))
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      def mix(z0: Long): Long = {
+        var z = z0 + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
+      }
+      rows.map { r =>
+        val seed = r.getLong(si); val s = r.getInt(sci)
+        val img = new java.awt.image.BufferedImage(
+          8 * s, 8 * s, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var cy = 0
+        while (cy < 8) {
+          var cx = 0
+          while (cx < 8) {
+            val g = (math.abs(mix(seed * 64 + cy * 8 + cx)) % 256).toInt
+            val rgb = (g << 16) | (g << 8) | g
+            var y = cy * s
+            while (y < (cy + 1) * s) {
+              var x = cx * s
+              while (x < (cx + 1) * s) { img.setRGB(x, y, rgb); x += 1 }
+              y += 1
+            }
+            cx += 1
+          }
+          cy += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        Row.fromSeq(r.toSeq :+ baos.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** PERCEPTUAL difference hash (dHash): decode → 9×8 bilinear grayscale
+    * → 64-bit signature, bit (y·8+x) set when luma(x+1,y) > luma(x,y).
+    * Robust to resizing and codec changes (only luma ORDERINGS survive,
+    * not values) — the resize-robust image-dedup signature; near-dups are
+    * found by small Hamming distance, so pair search composes with the
+    * SimHash banded join (precision then exact via bit_count). Payloads
+    * ImageIO cannot decode hash their raw bytes instead, flagged
+    * `dhash_real = false`. Partition-batched kernel, no shuffle. */
+  def dhash64(df: DataFrame, contentCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("dhash", LongType),
+      StructField("dhash_real", BooleanType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(contentCol)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+        if (img != null) {
+          val small = new java.awt.image.BufferedImage(
+            9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g2 = small.createGraphics()
+          g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g2.drawImage(img, 0, 0, 9, 8, null)
+          g2.dispose()
+          var h = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              def luma(px: Int): Double =
+                0.299 * ((px >> 16) & 0xff) + 0.587 * ((px >> 8) & 0xff) + 0.114 * (px & 0xff)
+              if (luma(small.getRGB(x + 1, y)) > luma(small.getRGB(x, y)))
+                h |= 1L << (y * 8 + x)
+              x += 1
+            }
+            y += 1
+          }
+          Row.fromSeq(r.toSeq ++ Seq[Any](h, true))
+        } else {
+          Row.fromSeq(r.toSeq ++ Seq[Any](
+            java.util.Arrays.hashCode(bytes).toLong, false))
+        }
+      }
+    }(enc)
+  }
+
   /** Synthesize a constant-gray JPEG payload per row — the lossy-codec
     * fixture (DCT + quantization + Huffman through ImageIO's JPEG reader
     * and writer). A constant image is pure DC: quantization moves the

@@ -1147,6 +1147,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("distributed"), e.getMessage)
   }
 
+  test("dhash64: cross-resolution twins land at small Hamming distance, distinct patterns far") {
+    import graft.llm.Multimodal
+    val base = (0L until 50L).map(k => (k, 2)).toDF("seed", "scale")
+    val twin = (0L until 50L).map(k => (k, 4)).toDF("seed", "scale")
+    def hashes(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.dhash64(Multimodal.syntheticBlockPng(df, "seed", "scale"), "content")
+        .select($"seed", $"dhash", $"dhash_real").as[(Long, Long, Boolean)].collect()
+    val hb = hashes(base); val ht = hashes(twin)
+    assert(hb.forall(_._3) && ht.forall(_._3), "real decode expected")
+    val mb = hb.map(r => r._1 -> r._2).toMap
+    val planted = ht.map(r => java.lang.Long.bitCount(mb(r._1) ^ r._2))
+    info(s"planted Hamming: max=${planted.max} mean=${planted.sum / 50.0}")
+    assert(planted.max <= 8, s"cross-resolution twin drifted: max Hamming ${planted.max}")
+    // distinct patterns: pairwise distances concentrate near 32 (random)
+    val cross = for (i <- 0 until 20; j <- (i + 1) until 20)
+      yield java.lang.Long.bitCount(mb(i.toLong) ^ mb(j.toLong))
+    info(s"cross-pattern Hamming: min=${cross.min} mean=${cross.sum.toDouble / cross.size}")
+    assert(cross.min > 12, s"distinct patterns too close: min Hamming ${cross.min}")
+  }
+
   test("Dsir: target-typical docs outweigh raw-typical; weight is per-token mean") {
     val raw = Seq((1L, "alpha alpha beta"), (2L, "gamma gamma delta"),
       (3L, "alpha gamma")).toDF("doc_id", "text")

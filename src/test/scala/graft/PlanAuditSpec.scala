@@ -451,6 +451,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"corpus rescan in the iteration plan:\n${plan.take(3000)}")
   }
 
+  test("q272: dynamic partition pruning reaches the fact scan") {
+    val df = SparkEntry.queries("q272_dynamic_partition_pruning")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the fact scan's partition filter must carry a runtime subquery
+    // (dynamicpruning) on o_orderpriority — without it the join scans all
+    // 5 partitions and DPP silently regressed
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in:\n${plan.take(3000)}")
+  }
+
   test("q262: kNN voting — query side broadcast, vote window partitioned by query") {
     val df = SparkEntry.queries("q262_knn_label")(spark, dir)
     df.collect()
