@@ -4680,6 +4680,49 @@ object SparkEntry {
         .orderBy($"lang_pred")
     }),
 
+    // ── Table format: SCHEMA-EVOLVING APPEND (Delta mergeSchema) — v2's
+    //    increment ADDS o_orderstatus; the manifest read resolves every
+    //    version's files to the union schema by name, so v1's rows read
+    //    the new column as null. No rewrite of existing data — ADD COLUMN
+    //    on a 100 TB table costs O(increment).
+    "q276_append_schema_evolution" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("appendevo").toString
+      val t = new graft.tables.SnapshotTable(s"$work/t")
+      val o = Tables.orders(s, dir)
+      t.write(s, o.filter($"o_orderkey" <= 10000)
+        .select($"o_orderkey", $"o_totalprice"))
+      t.appendEvolving(s, o.filter($"o_orderkey" > 10000 && $"o_orderkey" <= 20000)
+        .select($"o_orderkey", $"o_totalprice", $"o_orderstatus").coalesce(1))
+      t.read(s)
+        .groupBy(coalesce($"o_orderstatus", lit("<pre-evolution>")).as("status"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          Relational.sumMoney($"o_totalprice").as("total"))
+        .orderBy($"status")
+    }),
+
+    // ── Governance: JOIN-PRESERVING PSEUDONYMIZATION — customer keys in
+    //    BOTH tables replaced by a keyed SHA-256 surrogate (tokenization-
+    //    by-MAC), then the star join runs ON THE TOKENS: referential
+    //    integrity must survive masking exactly (per-segment aggregates
+    //    equal the raw-key join's), and the sample token pins the byte-
+    //    level surrogate against DuckDB's sha256. Pure codegen'd
+    //    expressions — masking 100 TB is one scan-and-write, no shuffle.
+    "q275_pseudonymize" -> ((s, dir) => {
+      import s.implicits._
+      val p = graft.ops.Privacy
+      val cust = Tables.customer(s, dir)
+        .select(p.pseudonym($"c_custkey", "pepper").as("cust_token"), $"c_mktsegment")
+      val ord = Tables.orders(s, dir)
+        .select(p.pseudonym($"o_custkey", "pepper").as("cust_token"), $"o_totalprice")
+      cust.join(ord, Seq("cust_token"))
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).cast("long").as("n"),
+          Relational.sumMoney($"o_totalprice").as("total"),
+          min($"cust_token").as("sample_token"))
+        .orderBy($"c_mktsegment")
+    }),
+
     // ── Scale: DYNAMIC PARTITION PRUNING — a hive-partitioned fact joined
     //    to a filtered dim must scan only the partitions the dim filter
     //    selects, with the pruning value discovered AT RUNTIME from the
@@ -5306,6 +5349,22 @@ object SparkEntry {
       """SELECT user_id, event_id, event_type, ts AS __START_AT,
         |LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS __END_AT
         |FROM events ORDER BY user_id, __START_AT, event_id""".stripMargin,
+
+    // rows appended before the column existed read it as null
+    "q276_append_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey <= 10000 THEN '<pre-evolution>' ELSE o_orderstatus END AS status,
+        |  COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey <= 20000
+        |GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // the tokenized join must equal the raw-key join; sample_token pins
+    // the surrogate bytes (sha256 hex, both engines lowercase)
+    "q275_pseudonymize" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  MIN(sha256('pepper:' || CAST(c_custkey AS VARCHAR))) AS sample_token
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // hot tiers = urgent + high priorities
     "q272_dynamic_partition_pruning" ->

@@ -131,16 +131,24 @@ final class SnapshotTable(val root: String,
     * (guards against per-dir inference drift, e.g. int vs long) and
     * unioned. */
   private def readManifest(spark: SparkSession, uris: Vector[String]): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit}
     val byDir = uris.groupBy(versionDirOf).toSeq.sortBy(_._1)
     val parts = byDir.map { case (v, us) =>
       spark.read.option("basePath", s"$root/_v$v").parquet(us: _*)
     }
-    val base = parts.head
-    parts.tail.foldLeft(base) { (acc, p) =>
-      acc.unionByName(p.select(
-        base.schema.map(fl => col(fl.name).cast(fl.dataType).as(fl.name)).toSeq: _*))
-    }
+    // UNION schema across groups (a schema-evolving append mixes old files
+    // lacking the new columns with new files carrying them): first-seen
+    // type wins, absent columns null-fill — the Delta mergeSchema read.
+    val allCols = scala.collection.mutable.LinkedHashMap
+      .empty[String, org.apache.spark.sql.types.DataType]
+    parts.foreach(_.schema.foreach(f =>
+      if (!allCols.contains(f.name)) allCols(f.name) = f.dataType))
+    parts.map { p =>
+      p.select(allCols.toSeq.map { case (n, dt) =>
+        if (p.columns.contains(n)) col(n).cast(dt).as(n)
+        else lit(null).cast(dt).as(n)
+      }: _*)
+    }.reduce(_ unionByName _)
   }
 
   private def versionDirOf(uri: String): Int =
@@ -344,6 +352,17 @@ final class SnapshotTable(val root: String,
   def append(spark: SparkSession, df: DataFrame): Int =
     appendTxn(spark, df, None)
 
+  /** [[append]] with Delta `mergeSchema` semantics: the increment may ADD
+    * columns (older files read them as null) and/or OMIT live columns
+    * (the increment's files read them as null) — the manifest read
+    * resolves every version to the union schema by name. Partition
+    * columns must be present. The stats manifest is carried only when the
+    * increment carries every stats column; otherwise the new version
+    * drops it (pruned reads fall back to full scans — superset-safe —
+    * until the next writeWithStats). */
+  def appendEvolving(spark: SparkSession, df: DataFrame): Int =
+    appendTxn(spark, df, None, mergeSchema = true)
+
   /** [[append]] with Delta-style transaction idempotence: `txn = (appId,
     * batchId)` records the high-water batch per application in the commit
     * critical section, and a batch at or below the recorded watermark is a
@@ -352,7 +371,8 @@ final class SnapshotTable(val root: String,
     * exactly-once (the streaming sink contract Delta implements with
     * `txnAppId`/`txnVersion`). An empty table bootstraps from the first
     * append. */
-  def appendTxn(spark: SparkSession, df: DataFrame, txn: Option[(String, Long)]): Int = {
+  def appendTxn(spark: SparkSession, df: DataFrame, txn: Option[(String, Long)],
+      mergeSchema: Boolean = false): Int = {
     // A blind append NEVER logically conflicts (Delta's rule: concurrent
     // appends commute) — a version moving between our pre-lock read and
     // the in-lock re-check only invalidates the PHYSICAL staging (column
@@ -365,7 +385,7 @@ final class SnapshotTable(val root: String,
     val MaxAttempts = 16
     var attempt = 1
     while (true) {
-      try return appendTxnOnce(spark, df, txn)
+      try return appendTxnOnce(spark, df, txn, mergeSchema)
       catch {
         case e: java.util.ConcurrentModificationException =>
           if (attempt >= MaxAttempts) throw e
@@ -378,7 +398,8 @@ final class SnapshotTable(val root: String,
   }
 
   private def appendTxnOnce(
-      spark: SparkSession, df: DataFrame, txn: Option[(String, Long)]): Int = {
+      spark: SparkSession, df: DataFrame, txn: Option[(String, Long)],
+      mergeSchema: Boolean = false): Int = {
     val f = fs(spark)
     // fast-path skip outside the lock (authoritative re-check inside)
     if (txn.exists { case (app, batch) => lastTxn(spark, app).exists(_ >= batch) })
@@ -386,18 +407,23 @@ final class SnapshotTable(val root: String,
     val v0 = currentVersion(spark)
     val checked = enforceConstraints(spark, df)
     val aligned = v0 match {
-      case Some(v) =>
+      case Some(v) if !mergeSchema =>
         val liveCols = snapshotDF(spark, v).columns
         require(df.columns.toSet == liveCols.toSet,
-          s"append schema mismatch: table has ${liveCols.mkString(",")}, increment has ${df.columns.mkString(",")}")
+          s"append schema mismatch: table has ${liveCols.mkString(",")}, " +
+            s"increment has ${df.columns.mkString(",")} " +
+            "(use appendEvolving for Delta-mergeSchema semantics)")
         checked.select(liveCols.map(org.apache.spark.sql.functions.col).toSeq: _*)
-      case None => checked
+      case _ => checked // mergeSchema: files keep their own schema; the
+                        // manifest read resolves to the union by name
     }
     val staging = new Path(root, s"_staging_${java.util.UUID.randomUUID().toString.take(12)}")
     // keep the live table's hive partitioning on the increment, so the
     // appended files' partition values live in their paths exactly like
     // the base version's and manifest reads reattach them uniformly
     val partCols = v0.map(partitionColsOf(f, _)).getOrElse(Nil)
+    require(partCols.forall(df.columns.contains),
+      s"append increment must carry the table's partition columns ${partCols.mkString(",")}")
     val w = aligned.write.mode(SaveMode.Overwrite)
     try (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(staging.toString)
     catch { case t: Throwable => f.delete(staging, true); throw t }
@@ -419,11 +445,18 @@ final class SnapshotTable(val root: String,
         StatsManifest.writeLines(f, filesPath(next), (prior ++ added).map(canonical))
         v0.foreach { v =>
           StatsManifest.readLines(f, statsPath(v)).foreach { old =>
-            val newLines =
-              if (added.isEmpty) Nil
-              else StatsManifest.lines(readManifest(spark, added),
-                StatsManifest.statsColumns(old))
-            StatsManifest.writeLines(f, statsPath(next), old ++ newLines)
+            // An evolving increment may lack a stats column; a file with
+            // no manifest line would be SILENTLY EXCLUDED by pruned reads
+            // (keepFiles semantics), so in that case the new version drops
+            // its stats manifest — full scans until the next writeWithStats
+            // (superset-safe, the readPruned fallback).
+            val statsCols = StatsManifest.statsColumns(old)
+            if (statsCols.forall(df.columns.contains)) {
+              val newLines =
+                if (added.isEmpty) Nil
+                else StatsManifest.lines(readManifest(spark, added), statsCols)
+              StatsManifest.writeLines(f, statsPath(next), old ++ newLines)
+            }
           }
           if (f.exists(tombPath(v)))
             org.apache.hadoop.fs.FileUtil.copy(f, tombPath(v), f, tombPath(next),

@@ -98,4 +98,41 @@ class SnapshotTableProps extends AnyFunSuite {
       }
     }
   }
+
+  test("appendEvolving: add-column and omit-column increments null-fill; strict append still rejects") {
+    val work = java.nio.file.Files.createTempDirectory("evo").toString
+    val t = new SnapshotTable(s"$work/t")
+    t.write(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    // strict append rejects a schema change, pointing at the evolving form
+    val e = intercept[IllegalArgumentException] {
+      t.append(spark, Seq((3L, "c", 30)).toDF("k", "v", "x"))
+    }
+    assert(e.getMessage.contains("appendEvolving"), e.getMessage)
+    // ADD COLUMN: old rows read the new column as null
+    t.appendEvolving(spark, Seq((3L, "c", 30)).toDF("k", "v", "x").coalesce(1))
+    val after = t.read(spark).select("k", "v", "x")
+      .as[(Long, String, Option[Int])].collect().toSet
+    assert(after == Set((1L, "a", None), (2L, "b", None), (3L, "c", Some(30))))
+    // OMIT COLUMN: the increment's rows read the omitted column as null
+    t.appendEvolving(spark, Seq(4L -> "d").toDF("k", "v").coalesce(1))
+    val after2 = t.read(spark).select("k", "x").as[(Long, Option[Int])].collect().toSet
+    assert(after2 == Set(1L -> None, 2L -> None, 3L -> Some(30), 4L -> None))
+    // time travel: v1 keeps its original 2-column schema
+    assert(t.readVersion(spark, 1).columns.toSeq == Seq("k", "v"))
+    // compaction materializes the union schema and keeps contents
+    t.optimizeCompact(spark, targetBytes = 1L << 20)
+    assert(t.read(spark).select("k", "x").as[(Long, Option[Int])].collect().toSet == after2)
+  }
+
+  test("appendEvolving without a stats column drops the manifest (pruned reads stay complete)") {
+    val work = java.nio.file.Files.createTempDirectory("evostats").toString
+    val t = new SnapshotTable(s"$work/t")
+    t.writeWithStats(spark, Seq((1L, 10.0), (2L, 20.0)).toDF("k", "m"), Seq("m"))
+    // increment lacks the stats column m → stats manifest must NOT carry
+    // (a file without a line would be silently excluded by pruned reads)
+    t.appendEvolving(spark, Seq(Tuple1(3L)).toDF("k").coalesce(1))
+    val pruned = t.readPruned(spark, "m", 0.0, 100.0)
+      .select("k").as[Long].collect().toSet
+    assert(pruned == Set(1L, 2L, 3L), s"pruned read lost rows: $pruned")
+  }
 }
