@@ -4680,6 +4680,52 @@ object SparkEntry {
         .orderBy($"lang_pred")
     }),
 
+    // ── LLM-pipeline: BPE DECODE ROUND-TRIP — BPE is a lossless
+    //    segmentation, so concatenating each doc's tokens must reproduce
+    //    its normalized character stream EXACTLY (the invariant a
+    //    tokenizer pipeline asserts before shipping a merge table; a
+    //    corrupted merge drops or duplicates characters and flips ok).
+    //    The Spark side compares decode(encode(text)) against the
+    //    normalization for real; the oracle pins the closed form.
+    "q277_bpe_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val merges = graft.llm.BpeTrainer.trainCapped(docs, "text", numMerges = 24,
+          vocabCap = 50000)
+        .orderBy($"step")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val enc = graft.llm.BpeTrainer.encodeAtScale(docs, "doc_id", "text", merges)
+      val norm = docs.select($"doc_id",
+        regexp_replace(lower($"text"), "\\s", "").as("norm"))
+      enc.join(norm, $"id" === $"doc_id")
+        .select($"doc_id",
+          length($"norm").cast("long").as("n_chars"),
+          (graft.llm.BpeTrainer.decode($"tokens") === $"norm").as("roundtrip_ok"))
+        .orderBy($"doc_id")
+    }),
+
+    // ── Scale: MERGEABLE HLL SKETCH ROLLUP — per-(event_type, shard)
+    //    sketches built ONCE, then rolled up to event_type by UNIONING
+    //    the sketch binaries (hll_union_agg) with NO rescan of events:
+    //    the pre-aggregate-then-merge pattern that makes distinct-count
+    //    rollups O(sketches) instead of O(data) at 100 TB. Error-bound
+    //    verdict vs the exact distinct count.
+    "q278_hll_rollup" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir)
+      val shard = e.groupBy($"event_type", pmod($"user_id", lit(8)).as("shard"))
+        .agg(hll_sketch_agg($"user_id").as("sk"))
+      val rolled = shard.groupBy($"event_type")
+        .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("approx_users"))
+      val exact = e.groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("exact_users"))
+      rolled.join(exact, Seq("event_type"))
+        .select($"event_type", $"exact_users",
+          (abs($"approx_users" - $"exact_users") <=
+            greatest(lit(3.0), $"exact_users" * 0.05)).as("est_ok"))
+        .orderBy($"event_type")
+    }),
+
     // ── Table format: SCHEMA-EVOLVING APPEND (Delta mergeSchema) — v2's
     //    increment ADDS o_orderstatus; the manifest read resolves every
     //    version's files to the union schema by name, so v1's rows read
@@ -5349,6 +5395,18 @@ object SparkEntry {
       """SELECT user_id, event_id, event_type, ts AS __START_AT,
         |LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS __END_AT
         |FROM events ORDER BY user_id, __START_AT, event_id""".stripMargin,
+
+    // lossless segmentation: decoded chars == whitespace-stripped lower text
+    "q277_bpe_roundtrip" ->
+      """SELECT doc_id,
+        |  length(regexp_replace(lower(text), '\s', '', 'g')) AS n_chars,
+        |  TRUE AS roundtrip_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // sketch union must land within 5% of the exact distinct count
+    "q278_hll_rollup" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS est_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // rows appended before the column existed read it as null
     "q276_append_schema_evolution" ->

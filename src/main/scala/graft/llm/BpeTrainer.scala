@@ -67,6 +67,13 @@ object BpeTrainer {
       .withColumn("n_tokens", size(col("tokens")))
   }
 
+  /** Inverse of [[encode]]/[[encodeAtScale]] at the text level: BPE is a
+    * LOSSLESS segmentation of each (lowercased, whitespace-split) word,
+    * so concatenating a doc's tokens must reproduce its normalized
+    * character stream exactly — the round-trip invariant tokenizer
+    * pipelines assert before shipping a merge table. */
+  def decode(tokens: Column): Column = array_join(tokens, "")
+
   /** Vocab-scale tokenization (the 32k-merge production path): [[encode]]
     * stacks one column-fold PER MERGE, so a real vocabulary builds a
     * 32k-deep Catalyst expression tree — analysis cost explodes long
