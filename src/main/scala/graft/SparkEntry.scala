@@ -4680,6 +4680,24 @@ object SparkEntry {
         .orderBy($"lang_pred")
     }),
 
+    // ── Custom-plan surface: AS-OF JOIN WITH TOLERANCE (pandas
+    //    merge_asof parity on the custom AsOfJoinExec): each event joins
+    //    the latest purchase of the same user strictly before it, but a
+    //    match further back than 30 minutes is discarded — an O(1)
+    //    per-row check inside the sorted-merge pass (the latest-before
+    //    match is also the nearest), never a second scan. Oracle:
+    //    DuckDB's native ASOF JOIN + tolerance post-filter.
+    "q279_asof_tolerance" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir).select($"event_id", $"user_id", $"ts")
+      val p = Tables.events(s, dir).filter($"event_type" === "purchase")
+        .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"event_id".as("p_event_id"))
+      graft.plans.AsOfJoin.asofJoin(e, p, "user_id", "p_user", "ts", "p_ts",
+          tolerance = Some(1800.0))
+        .select($"event_id", $"user_id", $"ts", $"p_event_id", $"p_ts")
+        .orderBy($"event_id")
+    }),
+
     // ── LLM-pipeline: BPE DECODE ROUND-TRIP — BPE is a lossless
     //    segmentation, so concatenating each doc's tokens must reproduce
     //    its normalized character stream EXACTLY (the invariant a
@@ -5395,6 +5413,22 @@ object SparkEntry {
       """SELECT user_id, event_id, event_type, ts AS __START_AT,
         |LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS __END_AT
         |FROM events ORDER BY user_id, __START_AT, event_id""".stripMargin,
+
+    // native ASOF JOIN; matches further back than 30 min nulled out
+    "q279_asof_tolerance" ->
+      """WITH p AS (
+        |  SELECT user_id AS p_user, ts AS p_ts, event_id AS p_event_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT e.event_id, e.user_id, e.ts, p.p_event_id, p.p_ts
+        |  FROM events e ASOF LEFT JOIN p
+        |    ON e.user_id = p.p_user AND e.ts > p.p_ts)
+        |SELECT event_id, user_id, ts,
+        |  CASE WHEN p_ts IS NOT NULL AND epoch_ms(ts) - epoch_ms(p_ts) <= 1800000
+        |       THEN p_event_id END AS p_event_id,
+        |  CASE WHEN p_ts IS NOT NULL AND epoch_ms(ts) - epoch_ms(p_ts) <= 1800000
+        |       THEN p_ts END AS p_ts
+        |FROM j ORDER BY event_id""".stripMargin,
 
     // lossless segmentation: decoded chars == whitespace-stripped lower text
     "q277_bpe_roundtrip" ->

@@ -35,7 +35,11 @@ case class AsOfJoinPlan(
     leftKey: Expression,
     rightKey: Expression,
     leftTime: Expression,
-    rightTime: Expression) extends BinaryNode {
+    rightTime: Expression,
+    // max lookback (pandas merge_asof `tolerance`): a match further back
+    // than this is treated as no match. Units of `Cast(time, double)` —
+    // SECONDS for timestamps, plain numeric difference otherwise.
+    tolerance: Option[Double] = None) extends BinaryNode {
   // left-outer semantics: unmatched left rows keep nulls on the right
   override def output: Seq[Attribute] = left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): AsOfJoinPlan =
@@ -44,8 +48,8 @@ case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol) :: Nil
     case _ => Nil
   }
 }
@@ -56,7 +60,8 @@ case class AsOfJoinExec(
     leftKey: Expression,
     rightKey: Expression,
     leftTime: Expression,
-    rightTime: Expression) extends BinaryExecNode {
+    rightTime: Expression,
+    tolerance: Option[Double] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -81,6 +86,14 @@ case class AsOfJoinExec(
     val boundLt = BindReferences.bindReference(leftTime, left.output)
     val boundRk = BindReferences.bindReference(rightKey, right.output)
     val boundRt = BindReferences.bindReference(rightTime, right.output)
+    // tolerance is evaluated in Cast(time, double) space (seconds for
+    // timestamps) — bound lazily so the zero-tolerance path pays nothing
+    val boundLtD = tolerance.map(_ => BindReferences.bindReference(
+      org.apache.spark.sql.catalyst.expressions.Cast(leftTime,
+        org.apache.spark.sql.types.DoubleType): Expression, left.output))
+    val boundRtD = tolerance.map(_ => BindReferences.bindReference(
+      org.apache.spark.sql.catalyst.expressions.Cast(rightTime,
+        org.apache.spark.sql.types.DoubleType): Expression, right.output))
     val allOut = output
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -95,6 +108,7 @@ case class AsOfJoinExec(
         // the latest right row whose (key, time) precedes the current left row
         private var lastMatch: InternalRow = null
         private var lastMatchKey: Any = null
+        private var lastMatchT: Double = 0.0
 
         override def hasNext: Boolean = lIter.hasNext
 
@@ -109,11 +123,21 @@ case class AsOfJoinExec(
             kc < 0 || (kc == 0 && timeOrd.compare(boundRt.eval(rCur), lt) < 0)
           }) {
             val rk = boundRk.eval(rCur)
-            if (keyOrd.compare(rk, lk) == 0) { lastMatch = rCur; lastMatchKey = rk }
+            if (keyOrd.compare(rk, lk) == 0) {
+              lastMatch = rCur; lastMatchKey = rk
+              boundRtD.foreach(e => lastMatchT = e.eval(rCur).asInstanceOf[Double])
+            }
             rCur = if (rIter.hasNext) rIter.next().copy() else null
           }
+          // the latest-before match is also the NEAREST, so if it exceeds
+          // the tolerance no earlier row can be inside it either
+          val withinTol = tolerance.forall { tol =>
+            lastMatch != null &&
+              boundLtD.get.eval(l).asInstanceOf[Double] - lastMatchT <= tol
+          }
           val m =
-            if (lastMatch != null && keyOrd.compare(lastMatchKey, lk) == 0) lastMatch
+            if (lastMatch != null && keyOrd.compare(lastMatchKey, lk) == 0 && withinTol)
+              lastMatch
             else nullRight
           proj(joined(l, m))
         }
@@ -138,19 +162,41 @@ object AsOfJoin {
     * Key/time columns are referenced by name and resolved here against the
     * analyzed children (the plan enters the session fully resolved — a
     * custom node's expressions are opaque to the analyzer). Rename ahead
-    * of the call if the two sides share column names. */
+    * of the call if the two sides share column names.
+    *
+    * pandas `merge_asof` parity knobs:
+    *  - `tolerance`: max |leftTime − rightTime| for a match, in SECONDS
+    *    for timestamp columns (plain numeric difference otherwise). The
+    *    latest-before match is also the nearest, so tolerance is an O(1)
+    *    per-row check in the merge pass — never a second scan.
+    *  - `direction`: "backward" (default — latest right strictly before)
+    *    or "forward" (earliest right strictly after), implemented by
+    *    running the same sorted-merge plan on NEGATED time — zero extra
+    *    operator code, identical cost envelope. */
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      tolerance: Option[Double] = None,
+      direction: String = "backward"): DataFrame = {
     val spark = left.sparkSession
     ensureStrategy(spark)
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward (got $direction)")
+    if (direction == "forward") {
+      import org.apache.spark.sql.functions.col
+      // strictly-after in real time ≡ strictly-before in negated time
+      val l2 = left.withColumn("__negt_l", -col(leftTime).cast("double"))
+      val r2 = right.withColumn("__negt_r", -col(rightTime).cast("double"))
+      return asofJoin(l2, r2, leftKey, rightKey, "__negt_l", "__negt_r",
+        tolerance, "backward").drop("__negt_l", "__negt_r")
+    }
     val lPlan = GraftColumnBridge.analyzed(left)
     val rPlan = GraftColumnBridge.analyzed(right)
     def attr(p: LogicalPlan, n: String) = p.output.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(s"column $n not in ${p.output.map(_.name)}"))
     val plan = AsOfJoinPlan(lPlan, rPlan,
       attr(lPlan, leftKey), attr(rPlan, rightKey),
-      attr(lPlan, leftTime), attr(rPlan, rightTime))
+      attr(lPlan, leftTime), attr(rPlan, rightTime), tolerance)
     GraftColumnBridge.ofRows(spark, plan)
   }
 
