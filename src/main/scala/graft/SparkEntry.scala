@@ -4680,6 +4680,57 @@ object SparkEntry {
         .orderBy($"lang_pred")
     }),
 
+    // ── LLM-pipeline: HOMOGLYPH-FOLDED dedup — planted twins substitute
+    //    Latin letters with Cyrillic confusables (the spam/SEO evasion):
+    //    the plain fingerprint misses them (normalize even DELETES the
+    //    impostor chars), the homoglyph-folded fingerprint pairs every
+    //    twin with its original. Fold is one codegen'd translate; pairs
+    //    come from a fingerprint-keyed hash join (never all-pairs). The
+    //    oracle replays fold + fingerprint + join in full, so organic
+    //    exact-dup pairs in the corpus count identically on both sides.
+    "q280_homoglyph_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val t = graft.llm.TextAnalysis
+      val base = Tables.documents(s, dir).filter($"doc_id" < 100)
+        .select($"doc_id", $"text")
+      val twin = base.select(($"doc_id" + 1000000L).as("doc_id"),
+        translate($"text", "aeopcxy", "аеорсху").as("text"))
+      val fp = base.unionByName(twin).select($"doc_id",
+        t.fingerprint($"text").as("fp_plain"),
+        t.fingerprint(t.foldHomoglyphs($"text")).as("fp_fold"))
+      fp.as("a").join(fp.as("b"),
+          $"a.fp_fold" === $"b.fp_fold" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+          ($"a.fp_plain" === $"b.fp_plain").as("plain_match"))
+        .orderBy($"d1", $"d2")
+    }),
+
+    // ── LLM-pipeline: LENGTH-BUCKETED BATCHING PLAN — assign every doc to
+    //    a power-of-two token-length bucket and report per-bucket padding
+    //    waste (batch inference pads to the bucket's longest; bucketing by
+    //    length is THE padding-efficiency lever). One row-local bucket
+    //    assignment + one agg; waste arithmetic is exact-integer.
+    "q281_length_buckets" -> ((s, dir) => {
+      import s.implicits._
+      val t = graft.llm.TextAnalysis
+      val bounds = Seq(16, 32, 64, 128, 256, 512, 1024, 2048)
+      val nt = t.tokenCount($"text").cast("long")
+      val bucket = bounds.reverse.tail.foldLeft(lit(bounds.last): org.apache.spark.sql.Column) {
+        (acc, b) => when(nt <= b, lit(b)).otherwise(acc)
+      }
+      Tables.documents(s, dir)
+        .select($"doc_id", nt.as("nt"), bucket.as("bucket"))
+        .filter($"nt" <= bounds.last) // longer docs are truncation, not padding
+        .groupBy($"bucket")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum($"nt").cast("long").as("sum_tokens"))
+        .withColumn("padded_tokens", ($"n_docs" * $"bucket").cast("long"))
+        .withColumn("waste_ratio",
+          round(($"padded_tokens" - $"sum_tokens").cast("double") / $"padded_tokens", 6))
+        .select($"bucket", $"n_docs", $"sum_tokens", $"padded_tokens", $"waste_ratio")
+        .orderBy($"bucket")
+    }),
+
     // ── Custom-plan surface: AS-OF JOIN WITH TOLERANCE (pandas
     //    merge_asof parity on the custom AsOfJoinExec): each event joins
     //    the latest purchase of the same user strictly before it, but a
@@ -5413,6 +5464,37 @@ object SparkEntry {
       """SELECT user_id, event_id, event_type, ts AS __START_AT,
         |LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS __END_AT
         |FROM events ORDER BY user_id, __START_AT, event_id""".stripMargin,
+
+    // full replay: twin construction, fold, fingerprint, join
+    "q280_homoglyph_dedup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        |twin AS (SELECT doc_id + 1000000 AS doc_id,
+        |  translate(text, 'aeopcxy', 'аеорсху') AS text FROM base),
+        |ad AS (SELECT * FROM base UNION ALL SELECT * FROM twin),
+        |fp AS (SELECT doc_id,
+        |  md5(array_to_string(list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), '\s+'), x -> x != ''), ' ')) AS fp_plain,
+        |  md5(array_to_string(list_filter(string_split_regex(trim(regexp_replace(lower(translate(text, 'аеорсхуіѕјԛԝɡАЕОРСХУІЅЈ', 'aeopcxyisjqwgAEOPCXYISJ')), '[^a-z0-9 ]', ' ', 'g')), '\s+'), x -> x != ''), ' ')) AS fp_fold
+        |  FROM ad)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2, a.fp_plain = b.fp_plain AS plain_match
+        |FROM fp a JOIN fp b ON a.fp_fold = b.fp_fold AND a.doc_id < b.doc_id
+        |ORDER BY d1, d2""".stripMargin,
+
+    // power-of-two buckets; waste = padded minus real tokens
+    "q281_length_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS nt
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, nt,
+        |    CASE WHEN nt <= 16 THEN 16 WHEN nt <= 32 THEN 32 WHEN nt <= 64 THEN 64
+        |         WHEN nt <= 128 THEN 128 WHEN nt <= 256 THEN 256 WHEN nt <= 512 THEN 512
+        |         WHEN nt <= 1024 THEN 1024 ELSE 2048 END AS bucket
+        |  FROM t WHERE nt <= 2048)
+        |SELECT bucket, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS sum_tokens,
+        |  COUNT(*) * bucket AS padded_tokens,
+        |  round(CAST(COUNT(*) * bucket - SUM(nt) AS DOUBLE) / (COUNT(*) * bucket), 6) AS waste_ratio
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // native ASOF JOIN; matches further back than 30 min nulled out
     "q279_asof_tolerance" ->

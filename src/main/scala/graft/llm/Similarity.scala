@@ -165,7 +165,12 @@ object Similarity {
 
     def withBuckets(df: DataFrame, id: String, vec: String, probe: Boolean): DataFrame = {
       // one (table, bucket) struct per table; queries under multiProbe add
-      // the numPlanes Hamming-1 flips of each table's bucket
+      // the numPlanes Hamming-1 flips of each table's bucket. Only
+      // (id, table, bucket) leaves this relation — vectors NEVER travel
+      // through the candidate join (the simhashCosinePairs rule: the
+      // candidate shuffle moves 8-byte keys, the verify legs fetch
+      // vectors by id), which is what keeps the candidate stage's bytes
+      // linear in candidate COUNT at corpus scale.
       val entries = tablePlanes.flatMap { case (t, planes) =>
         val b0 = bucketOf(col(vec), planes)
         val main = struct(lit(t).as("table"), b0.as("bucket"))
@@ -173,29 +178,30 @@ object Similarity {
         else main +: (0 until numPlanes).map(i =>
           struct(lit(t).as("table"), b0.bitwiseXOR(lit(1L << i)).as("bucket")))
       }
-      df.select(col(id), col(vec), explode(array(entries: _*)).as("tb"))
-        .select(col(id), col(vec), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+      df.select(col(id), explode(array(entries: _*)).as("tb"))
+        .select(col(id), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
     }
 
-    val q = withBuckets(
-        queries.select(col(idCol).as("query_id"),
-          transform(col(vecCol), _.cast("double")).as("qv")),
-        "query_id", "qv", multiProbe)
-      .withColumn("qnorm", l2Norm(col("qv")))
-    val c = withBuckets(
-        corpus.select(col(idCol).as("neighbor_id"),
-          transform(col(vecCol), _.cast("double")).as("cv")),
-        "neighbor_id", "cv", probe = false)
-      .withColumn("cnorm", l2Norm(col("cv")))
+    val qv = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), _.cast("double")).as("qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      transform(col(vecCol), _.cast("double")).as("cv"))
+    val q = withBuckets(qv, "query_id", "qv", multiProbe)
+    val c = withBuckets(cv, "neighbor_id", "cv", probe = false)
 
     val joined = q.join(c, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
     // several tables / probe buckets can reach the same (query, neighbor)
     val candidates =
       if (multiProbe || numTables > 1)
         joined.dropDuplicates("query_id", "neighbor_id")
       else joined
+    // exact verify: candidate-restricted vector fetch by id (hash joins;
+    // the query side is small and broadcasts)
     val scored = candidates
+      .join(broadcast(qv.withColumn("qnorm", l2Norm(col("qv")))), Seq("query_id"))
+      .join(cv.withColumn("cnorm", l2Norm(col("cv"))), Seq("neighbor_id"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
 
     val w = Window.partitionBy(col("query_id"))

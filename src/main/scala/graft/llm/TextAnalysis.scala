@@ -164,4 +164,16 @@ object TextAnalysis {
 
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(normalize(text))).cast("binary"))
+
+  /** Fold common Cyrillic/Greek HOMOGLYPHS to their Latin lookalikes —
+    * the normalization that defeats confusable-substitution evasion
+    * (spam/SEO text swaps 'o' for Cyrillic 'о' so byte-level dedup and
+    * fingerprints miss the duplicate; [[normalize]] even DELETES the
+    * impostor chars, mangling tokens). One codegen'd `translate` — apply
+    * before [[fingerprint]]/shingling for an adversary-resistant dedup
+    * key. Mapping is 1:1 by position (both strings same length). */
+  def foldHomoglyphs(text: Column): Column =
+    translate(text,
+      "аеорсхуіѕјԛԝɡАЕОРСХУІЅЈ",
+      "aeopcxyisjqwgAEOPCXYISJ")
 }

@@ -119,12 +119,14 @@ object ScaleSoak {
       }
       t("ann_lsh_multitable") {
         // the recall-floor setting (planes=4, tables=16; LlmOpsSpec pins
-        // ≥0.8 recall@10 here): corpus fans out tables×, candidates ≈
-        // tables·n/2^planes per query — cost must stay ~linear in corpus
-        // size at fixed params (production raises numPlanes ~log n to hold
-        // the candidate FRACTION constant instead)
+        // ≥0.8 recall@10 here). The query set is PINNED to the base copy
+        // (fixed 50 queries at any corpus size) so the row isolates the
+        // per-query cost curve: candidates ≈ tables·n/2^planes per query
+        // — linear in corpus size at fixed params (production raises
+        // numPlanes ~log n to hold the candidate FRACTION constant)
         graft.llm.Similarity.lshTopK(
-          embD.filter(col("vec_id") % 100 === 0), embD, "vec_id", "v",
+          embD.filter(col("vec_id") < 5000 && col("vec_id") % 100 === 0),
+          embD, "vec_id", "v",
           k = 10, numPlanes = 4, numTables = 16).count()
       }
       t("bpe_train_capped") {

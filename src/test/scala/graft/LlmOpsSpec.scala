@@ -1167,6 +1167,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(cross.min > 12, s"distinct patterns too close: min Hamming ${cross.min}")
   }
 
+  test("foldHomoglyphs: confusable-substituted text folds back; fingerprint pairs twins") {
+    val t = graft.llm.TextAnalysis
+    val df = Seq(
+      (1L, "the quick brown fox"),
+      // Cyrillic о/е/а substituted (bytes differ, looks identical)
+      (2L, "the quick brоwn fоx".replace('e', 'е').replace('a', 'а')),
+      (3L, "a different sentence")).toDF("id", "text")
+    val fp = df.select($"id", t.fingerprint(t.foldHomoglyphs($"text")).as("f"),
+        t.fingerprint($"text").as("plain"))
+      .as[(Long, String, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(fp(1L)._1 == fp(2L)._1, "folded fingerprints must pair the twins")
+    assert(fp(1L)._2 != fp(2L)._2, "plain fingerprints must differ (the evasion works)")
+    assert(fp(1L)._1 != fp(3L)._1, "distinct text stays distinct")
+  }
+
   test("Dsir: target-typical docs outweigh raw-typical; weight is per-token mean") {
     val raw = Seq((1L, "alpha alpha beta"), (2L, "gamma gamma delta"),
       (3L, "alpha gamma")).toDF("doc_id", "text")
