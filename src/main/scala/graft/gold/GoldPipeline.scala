@@ -117,14 +117,15 @@ final class GoldPipeline(goldDir: String, checkpointRoot: String) {
     val stream = Expectations.expectAllOrDrop(
       source, t.expectations, s"quality_${t.name}")
     if (t.numBuckets > 0) {
-      require(t.applyAsDeletes.isEmpty,
-        s"gold ${t.name}: applyAsDeletes is not supported on bucketed targets yet — " +
-          "declare the table unbucketed or pre-filter deletes")
       // bucketed target: the merge itself prunes to affected buckets
+      // (SCD2 deletes: the first delete-enabled merge is a one-time
+      // all-bucket migration commit — see BucketedSnapshotTable.scd2Merge)
       val target = bucketedSnapshot(t)
       AutoIngest.foreachBatchOnce(stream, cfg.checkpointDir) { (clean, _) =>
-        if (t.scdType == 2) target.scd2Merge(spark, clean, t.sequenceBy, t.tieBreak)
-        else target.scd1Merge(spark, clean, t.sequenceBy, t.tieBreak)
+        if (t.scdType == 2)
+          target.scd2Merge(spark, clean, t.sequenceBy, t.tieBreak, t.applyAsDeletes)
+        else
+          target.scd1Merge(spark, clean, t.sequenceBy, t.tieBreak, t.applyAsDeletes)
         ()
       }
     } else {

@@ -167,23 +167,40 @@ final class BucketedSnapshotTable(
   /** SCD Type 1 merge (last-write-wins upsert, FactStream.py:12-21
     * semantics). Returns the set of bucket ids rewritten. */
   def scd1Merge(spark: SparkSession, updates: DataFrame, seqCol: String,
-      tieBreak: Seq[Column] = Nil): Set[Int] =
+      tieBreak: Seq[Column] = Nil,
+      applyAsDeletes: Option[Column] = None): Set[Int] =
     merge(spark, updates, (cur, upd) =>
-      ScdMerge.scd1Upsert(cur, upd, keys, seqCol, tieBreak))
+      ScdMerge.scd1Upsert(cur, upd, keys, seqCol, tieBreak, applyAsDeletes))
 
   /** SCD Type 2 merge (full version history, DimUser.py:20-29 semantics).
-    * Returns the set of bucket ids rewritten. */
+    * Returns the set of bucket ids rewritten.
+    *
+    * `applyAsDeletes` (tombstone semantics — see [[ScdMerge.scd2Merge]]):
+    * the FIRST delete-enabled merge on a table written without deletes is
+    * a one-time O(table) MIGRATION commit — every bucket is rewritten so
+    * the stored schema gains `__DELETED` uniformly (bucket dirs from
+    * different commits must agree on schema; a per-bucket drift would
+    * break the unioned read). Subsequent merges are O(affected buckets)
+    * again. */
   def scd2Merge(spark: SparkSession, updates: DataFrame, seqCol: String,
-      tieBreak: Seq[Column] = Nil): Set[Int] =
+      tieBreak: Seq[Column] = Nil,
+      applyAsDeletes: Option[Column] = None): Set[Int] = {
+    val migrate = applyAsDeletes.isDefined && currentVersion(spark).isDefined &&
+      !read(spark).columns.contains(ScdMerge.DeletedCol)
     merge(spark, updates, (cur, upd) =>
-      ScdMerge.scd2Merge(cur, upd, keys, seqCol, tieBreak))
+      ScdMerge.scd2Merge(cur, upd, keys, seqCol, tieBreak, Nil, applyAsDeletes),
+      allBuckets = migrate)
+  }
 
   private def merge(spark: SparkSession, updates: DataFrame,
-      algebra: (Option[DataFrame], DataFrame) => DataFrame): Set[Int] = {
+      algebra: (Option[DataFrame], DataFrame) => DataFrame,
+      allBuckets: Boolean = false): Set[Int] = {
     val upd = updates.withColumn(BucketCol, bucketExpr)
     // driver-side metadata: at most numBuckets ints — NOT row data
-    val affected = upd.select(BucketCol).distinct()
+    val updBuckets = upd.select(BucketCol).distinct()
       .collect().map(_.getInt(0)).toSet
+    val affected =
+      if (allBuckets) updBuckets ++ manifest(spark).keys else updBuckets
     if (affected.isEmpty) return Set.empty
     val f = fs(spark)
 
@@ -232,7 +249,15 @@ final class BucketedSnapshotTable(
             StatsManifest.writeLines(f, batchStatsPath(batchDir),
               stagedStats.map(_.replace(s"/$staging/", s"/$batchDir/")))
           lockH.check() // paused-holder guard: abort rather than double-flip
-          writeManifest(spark, next, manifest(spark) ++ affected.map(_ -> batchDir).toMap)
+          // A bucket whose merged content is EMPTY (every key tombstoned
+          // by a delete flow) writes no partition dir — its manifest entry
+          // must be REMOVED, not pointed at a missing path.
+          val written = f.listStatus(batchPath).map(_.getPath.getName)
+            .collect { case n if n.startsWith(s"$BucketCol=") =>
+              n.stripPrefix(s"$BucketCol=").toInt }.toSet
+          writeManifest(spark, next,
+            (manifest(spark) -- affected) ++
+              affected.intersect(written).map(_ -> batchDir).toMap)
           onStep("committed")
           true
         }

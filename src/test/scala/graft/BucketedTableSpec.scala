@@ -120,6 +120,40 @@ class BucketedTableSpec extends AnyFunSuite {
     assert(pr.filter($"seq" === 2).select("k").as[Int].collect().toSet == Set(1, 2))
   }
 
+  test("bucketed deletes: SCD1 removes keys; SCD2 migrates once then prunes buckets again") {
+    def mkD(xs: Seq[(Int, Int, String, Boolean)]): DataFrame =
+      xs.toDF("k", "seq", "v", "del")
+    val dc = Some($"del")
+
+    // SCD1: tombstone removes its key, stale tombstone loses
+    val t1 = new BucketedSnapshotTable(tmp("bdel1"), numBuckets = 8, keys = Seq("k"))
+    t1.scd1Merge(spark, mkD(Seq((1, 10, "a", false), (2, 10, "b", false))), "seq",
+      Nil, dc)
+    t1.scd1Merge(spark, mkD(Seq((1, 20, "x", true), (2, 5, "x", true))), "seq",
+      Nil, dc)
+    assert(rows(t1.read(spark), "k", "seq", "v") == Set("2|10|b"))
+
+    // SCD2: table built WITHOUT deletes, then a delete-enabled merge —
+    // the first one is a one-time all-bucket migration (schema gains
+    // __DELETED uniformly), the next is bucket-pruned again
+    val t2 = new BucketedSnapshotTable(tmp("bdel2"), numBuckets = 8, keys = Seq("k"))
+    t2.scd2Merge(spark, mkBatch(Seq((1, 10, "a"), (2, 10, "b"), (17, 10, "q")))
+      .withColumn("del", lit(false)), "seq")
+    val touchedMig = t2.scd2Merge(spark, mkD(Seq((1, 20, "x", true))), "seq", Nil, dc)
+    assert(touchedMig.size > 1, s"migration must rewrite all buckets: $touchedMig")
+    // key 1's chain: v@10 closed at 20 by the tombstone, no current row
+    val cur = ScdMerge.current(t2.read(spark))
+    assert(cur.select("k").as[Int].collect().toSet == Set(2, 17))
+    val k1 = t2.read(spark).filter($"k" === 1 && !$"__DELETED")
+      .select($"seq", $"__END_AT".cast("int")).as[(Int, Option[Int])].collect().toSeq
+    assert(k1 == Seq((10, Some(20))), k1.toString)
+    // post-migration merge prunes to affected buckets again
+    val touched2 = t2.scd2Merge(spark, mkD(Seq((2, 30, "b2", false))), "seq", Nil, dc)
+    assert(touched2.size == 1, s"post-migration merge must stay pruned: $touched2")
+    assert(ScdMerge.current(t2.read(spark)).filter($"k" === 2)
+      .select("v").as[String].head() == "b2")
+  }
+
   test("compact unifies layout; vacuum drops unreachable batch dirs") {
     val dir = tmp("bvac")
     val t = new BucketedSnapshotTable(dir, numBuckets = 4, keys = Seq("k"))
