@@ -4680,6 +4680,55 @@ object SparkEntry {
         .orderBy($"lang_pred")
     }),
 
+    // ── LLM-pipeline: MATRYOSHKA TRUNCATION FIDELITY — how much cosine
+    //    moves when vectors are truncated to prefix budgets (the MRL
+    //    serving decision: which dim budget preserves ranking). Per
+    //    budget, mean |cos_d − cos_full| over consecutive-id pairs,
+    //    12-dp decimal-summed — one row-local slice per budget, one agg.
+    "q282_matryoshka_fidelity" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val sim = graft.llm.Similarity
+      val e = Tables.embeddings(s, dir)
+      val a = e.filter($"vec_id" < 99).select($"vec_id",
+        transform($"embedding", _.cast("double")).as("va"))
+      val b = e.select(($"vec_id" - 1).as("vec_id"),
+        transform($"embedding", _.cast("double")).as("vb"))
+      a.join(b, Seq("vec_id"))
+        .select($"vec_id", $"va", $"vb",
+          explode(array(Seq(8, 16, 32, 64).map(lit): _*)).as("budget"))
+        .select($"budget",
+          round(abs(
+            sim.cosine(slice($"va", lit(1), $"budget"), slice($"vb", lit(1), $"budget")) -
+              sim.cosine($"va", $"vb")), 12)
+            .cast(DecimalType(28, 12)).as("gap"))
+        .groupBy($"budget")
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          (round(sum($"gap").cast("double") / count(lit(1)), 6) + lit(0.0)).as("mean_gap"))
+        .orderBy($"budget")
+    }),
+
+    // ── CDC: COLUMN-ATTRIBUTED CHANGE FEED — the derived-CDF of q116
+    //    plus `_changed_columns` (sorted names of the data columns whose
+    //    values moved, computed inside the same full-outer join row):
+    //    the "which field changed" answer a consumer needs for partial
+    //    downstream refresh. Scenario moves bal for some keys, seg for
+    //    others, both for keys divisible by both moduli.
+    "q284_column_diff" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("coldiff").toString
+      val t = new graft.tables.SnapshotTable(s"$work/t")
+      val base = Tables.customer(s, dir)
+        .select($"c_custkey", Relational.money($"c_acctbal").cast("double").as("bal"),
+          $"c_mktsegment".as("seg"))
+      t.write(s, base) // v1
+      t.write(s, base
+        .withColumn("bal", when($"c_custkey" % 50 === 0, $"bal" + 100.0).otherwise($"bal"))
+        .withColumn("seg", when($"c_custkey" % 30 === 0, lit("MOVED")).otherwise($"seg"))) // v2
+      t.changes(s, Seq("c_custkey"), 1, 2, withChangedColumns = true)
+        .orderBy($"c_custkey")
+    }),
+
     // ── LLM-pipeline: HOMOGLYPH-FOLDED dedup — planted twins substitute
     //    Latin letters with Cyrillic confusables (the spam/SEO evasion):
     //    the plain fingerprint misses them (normalize even DELETES the
@@ -5464,6 +5513,38 @@ object SparkEntry {
       """SELECT user_id, event_id, event_type, ts AS __START_AT,
         |LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS __END_AT
         |FROM events ORDER BY user_id, __START_AT, event_id""".stripMargin,
+
+    // prefix-cosine vs full-cosine gap per dim budget, decimal-summed
+    "q282_matryoshka_fidelity" ->
+      """WITH a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va FROM embeddings WHERE vec_id < 99),
+        |b AS (SELECT vec_id - 1 AS vec_id, CAST(embedding AS DOUBLE[]) AS vb FROM embeddings),
+        |p AS (SELECT a.vec_id, va, vb FROM a JOIN b USING (vec_id)),
+        |x AS (
+        |  SELECT budget,
+        |    CAST(round(abs(list_cosine_similarity(va[1:budget], vb[1:budget])
+        |      - list_cosine_similarity(va, vb)), 12) AS DECIMAL(28,12)) AS gap
+        |  FROM p CROSS JOIN (SELECT UNNEST([8, 16, 32, 64]) AS budget))
+        |SELECT budget, COUNT(*) AS n_pairs,
+        |  round(CAST(sum(gap) AS DOUBLE) / COUNT(*), 6) + 0.0 AS mean_gap
+        |FROM x GROUP BY budget ORDER BY budget""".stripMargin,
+
+    // v1→v2 diff with per-row changed-column attribution
+    "q284_column_diff" ->
+      """WITH v1 AS (
+        |  SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal,
+        |    c_mktsegment AS seg
+        |  FROM customer),
+        |v2 AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 50 = 0 THEN bal + 100.0 ELSE bal END AS bal,
+        |    CASE WHEN c_custkey % 30 = 0 THEN 'MOVED' ELSE seg END AS seg
+        |  FROM v1)
+        |SELECT v2.c_custkey, v2.bal, v2.seg, 'update' AS _change_type,
+        |  CASE WHEN v1.bal != v2.bal AND v1.seg != v2.seg THEN 'bal,seg'
+        |       WHEN v1.bal != v2.bal THEN 'bal' ELSE 'seg' END AS _changed_columns
+        |FROM v1 JOIN v2 USING (c_custkey)
+        |WHERE v1.bal != v2.bal OR v1.seg != v2.seg
+        |ORDER BY c_custkey""".stripMargin,
 
     // full replay: twin construction, fold, fingerprint, join
     "q280_homoglyph_dedup" ->

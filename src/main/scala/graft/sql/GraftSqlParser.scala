@@ -54,6 +54,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val Snapshot =
     """(?is)\s*SNAPSHOT\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+  private val Restore =
+    """(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Optimize(path, target) =>
@@ -74,6 +76,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       }, pred.trim)
     case Delete(path, pred) =>
       DeleteSnapshotCommand(path, pred.trim)
+    case Restore(path, version) =>
+      RestoreSnapshotCommand(path, version.toInt)
     case Snapshot(path, version) =>
       // a QUERY, not a command: time-travel read as a logical plan
       val spark = SparkSession.active
@@ -198,6 +202,16 @@ case class DeleteSnapshotCommand(path: String, pred: String)
     if (n > 0) t.deleteKeys(spark, doomed)
     Seq(Row(n))
   }
+}
+
+/** `RESTORE '<root>' TO VERSION <n>` → [[SnapshotTable.restore]]: commit
+  * a NEW version with the older content — history only moves forward. */
+case class RestoreSnapshotCommand(path: String, version: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(new SnapshotTable(path).restore(spark, version)))
 }
 
 /** `DESCRIBE HISTORY '<root>'` → [[SnapshotTable.history]] rows. */

@@ -812,7 +812,18 @@ final class SnapshotTable(val root: String,
     * business key both snapshots are already clustered by in the common
     * case. `null_safe` key equality is not needed: keys are business keys
     * and assumed non-null (same contract as the SCD merges). */
-  def changes(spark: SparkSession, keys: Seq[String], fromV: Int, toV: Int): DataFrame = {
+  def changes(spark: SparkSession, keys: Seq[String], fromV: Int, toV: Int): DataFrame =
+    changes(spark, keys, fromV, toV, withChangedColumns = false)
+
+  /** [[changes]] with COLUMN-LEVEL attribution: update rows additionally
+    * carry `_changed_columns` — the sorted comma-joined names of data
+    * columns whose values differ (null-safely) between the versions; ""
+    * for inserts/deletes (every column changed by definition). The "which
+    * field moved" answer a CDC consumer needs for partial downstream
+    * refresh, at zero extra shuffle (computed inside the same full-outer
+    * join row). */
+  def changes(spark: SparkSession, keys: Seq[String], fromV: Int, toV: Int,
+      withChangedColumns: Boolean): DataFrame = {
     import org.apache.spark.sql.functions._
     // Schema evolution across versions: align both snapshots to the union
     // schema (new version's order first, then old-only columns), null-
@@ -837,16 +848,25 @@ final class SnapshotTable(val root: String,
     val changedData =
       if (dataCols.isEmpty) lit(false)
       else dataCols.map(c => !(col(s"__o_$c") <=> col(s"__n_$c"))).reduce(_ || _)
+    val changedColsExpr = concat_ws(",", array_sort(filter(
+      array(dataCols.map(c =>
+        when(!(col(s"__o_$c") <=> col(s"__n_$c")), lit(c))): _*),
+      x => x.isNotNull)))
+    val baseCols =
+      keys.map(k => coalesce(col(s"__n_$k"), col(s"__o_$k")).as(k)) ++
+        dataCols.map(c => when(col("_change_type") === "delete", col(s"__o_$c"))
+          .otherwise(col(s"__n_$c")).as(c)) :+ col("_change_type")
+    val outCols =
+      if (!withChangedColumns) baseCols
+      else baseCols :+ when(col("_change_type") === "update", changedColsExpr)
+        .otherwise(lit("")).as("_changed_columns")
     o.join(n, cond, "full_outer")
       .withColumn("_change_type",
         when(col(s"__o_${keys.head}").isNull, "insert")
           .when(col(s"__n_${keys.head}").isNull, "delete")
           .when(changedData, "update"))
       .filter(col("_change_type").isNotNull)
-      .select(
-        (keys.map(k => coalesce(col(s"__n_$k"), col(s"__o_$k")).as(k)) ++
-          dataCols.map(c => when(col("_change_type") === "delete", col(s"__o_$c"))
-            .otherwise(col(s"__n_$c")).as(c)) :+ col("_change_type")): _*)
+      .select(outCols: _*)
   }
 
   /** RESTORE (Delta `RESTORE TABLE ... TO VERSION` analog): commit a NEW

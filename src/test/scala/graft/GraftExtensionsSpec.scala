@@ -207,6 +207,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // SNAPSHOT is a query; VERSION AS OF sees pre-DML history
     assert(sqlRun(s"SNAPSHOT '${t.root}'").count() == 2)
     assert(sqlRun(s"SNAPSHOT '${t.root}' VERSION AS OF 1").count() == 3)
+
+    // RESTORE commits a NEW version with the old content (history intact)
+    val rv = sqlRun(s"RESTORE '${t.root}' TO VERSION 1").as[Int].head()
+    assert(t.read(spark).select("k", "v").as[(Long, Double)].collect().toSet ==
+      Set((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    // v1 write, v2 merge, v3 update (DELETE FROM is tombstones — no new
+    // version), so the restore commits v4
+    assert(t.currentVersion(spark).contains(rv) && rv == 4)
   }
 
   test("GraftSqlParser: OPTIMIZE/VACUUM/DESCRIBE HISTORY route to table ops; other SQL delegates") {
