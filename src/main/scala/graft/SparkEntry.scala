@@ -4680,6 +4680,37 @@ object SparkEntry {
         .orderBy($"lang_pred")
     }),
 
+    // ── Streaming: NUMERIC drift monitor — the binned-PSI form of q266
+    //    (production monitors watch score/length/price distributions, not
+    //    just categories): the stream's `value` is bucketed into fixed
+    //    bins via DriftMonitor's prepare hook; batch 0 (parity split) is
+    //    reference-like, batch 1 is a deliberate high-tail-only feed →
+    //    the PSI spike a payment-amount anomaly produces.
+    "q285_streaming_numeric_drift" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("ndrift").toString
+      val e = Tables.events(s, dir).localCheckpoint()
+      e.filter($"event_id" % 2 === 0).coalesce(1).write.parquet(s"$work/src/f1")
+      e.filter($"event_id" % 2 === 1 && $"value" > 200.0)
+        .coalesce(1).write.parquet(s"$work/src/f2")
+      val t0 = System.currentTimeMillis() - 120000
+      for ((d, t) <- Seq(("f1", t0), ("f2", t0 + 60000));
+           f <- new java.io.File(s"$work/src/$d").listFiles())
+        f.setLastModified(t)
+      val cfg = graft.streaming.AutoIngest.Config(s"$work/src/*", s"$work/schema",
+        s"$work/ck", maxFilesPerTrigger = Some(1))
+      def binOf(c: org.apache.spark.sql.Column) =
+        least(floor(c / 50.0), lit(9.0)).cast("long")
+      val ref = e.select(binOf($"value").as("vbin"))
+        .groupBy($"vbin").agg(count(lit(1)).as("rc"))
+      withShufflePartitions(s, 8) {
+        graft.streaming.DriftMonitor.run(s, cfg, ref, "vbin", s"$work/metrics",
+          prepare = df => df.withColumn("vbin", binOf(df("value"))))
+      }
+      graft.streaming.DriftMonitor.readMetrics(s, s"$work/metrics")
+        .orderBy($"batch_id")
+    }),
+
     // ── LLM-pipeline: MATRYOSHKA TRUNCATION FIDELITY — how much cosine
     //    moves when vectors are truncated to prefix budgets (the MRL
     //    serving decision: which dim budget preserves ranking). Per
@@ -5513,6 +5544,37 @@ object SparkEntry {
       """SELECT user_id, event_id, event_type, ts AS __START_AT,
         |LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS __END_AT
         |FROM events ORDER BY user_id, __START_AT, event_id""".stripMargin,
+
+    // binned PSI, same epsilon-left-join idiom as q266; batch 1 is the
+    // planted high-tail feed
+    "q285_streaming_numeric_drift" ->
+      """WITH binned AS (
+        |  SELECT event_id, value,
+        |    CAST(least(floor(value / 50.0), 9.0) AS BIGINT) AS vbin
+        |  FROM events),
+        |ref AS (SELECT vbin, count(*) AS rc FROM binned GROUP BY 1),
+        |b0 AS (SELECT vbin, count(*) AS bc FROM binned WHERE event_id % 2 = 0 GROUP BY 1),
+        |b1 AS (SELECT vbin, count(*) AS bc FROM binned
+        |       WHERE event_id % 2 = 1 AND value > 200.0 GROUP BY 1),
+        |j0 AS (SELECT * FROM b0 LEFT JOIN ref USING (vbin)),
+        |t0 AS (SELECT (SELECT sum(bc) FROM b0) AS tb, (SELECT sum(rc) FROM ref) AS tr),
+        |p0 AS (
+        |  SELECT CAST(0 AS BIGINT) AS batch_id, CAST(max(tb) AS BIGINT) AS n_rows,
+        |    round(CAST(sum(CAST(round(
+        |      (CAST(bc AS DOUBLE)/CAST(tb AS DOUBLE) - greatest(CAST(coalesce(rc,0) AS DOUBLE)/CAST(tr AS DOUBLE), 1e-9))
+        |      * ln((CAST(bc AS DOUBLE)/CAST(tb AS DOUBLE)) / greatest(CAST(coalesce(rc,0) AS DOUBLE)/CAST(tr AS DOUBLE), 1e-9)), 12)
+        |      AS DECIMAL(28,12))) AS DOUBLE), 6) + 0.0 AS psi
+        |  FROM j0 CROSS JOIN t0),
+        |j1 AS (SELECT * FROM b1 LEFT JOIN ref USING (vbin)),
+        |t1 AS (SELECT (SELECT sum(bc) FROM b1) AS tb, (SELECT sum(rc) FROM ref) AS tr),
+        |p1 AS (
+        |  SELECT CAST(1 AS BIGINT) AS batch_id, CAST(max(tb) AS BIGINT) AS n_rows,
+        |    round(CAST(sum(CAST(round(
+        |      (CAST(bc AS DOUBLE)/CAST(tb AS DOUBLE) - greatest(CAST(coalesce(rc,0) AS DOUBLE)/CAST(tr AS DOUBLE), 1e-9))
+        |      * ln((CAST(bc AS DOUBLE)/CAST(tb AS DOUBLE)) / greatest(CAST(coalesce(rc,0) AS DOUBLE)/CAST(tr AS DOUBLE), 1e-9)), 12)
+        |      AS DECIMAL(28,12))) AS DOUBLE), 6) + 0.0 AS psi
+        |  FROM j1 CROSS JOIN t1)
+        |SELECT * FROM p0 UNION ALL SELECT * FROM p1 ORDER BY batch_id""".stripMargin,
 
     // prefix-cosine vs full-cosine gap per dim budget, decimal-summed
     "q282_matryoshka_fidelity" ->

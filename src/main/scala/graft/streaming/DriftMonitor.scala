@@ -31,12 +31,19 @@ object DriftMonitor {
 
   /** Drain `cfg`'s stream with AvailableNow, logging one
     * `(batch_id, n_rows, psi)` row per micro-batch against the reference
-    * category counts `(cat, rc)` in `refCounts`. */
+    * category counts `(cat, rc)` in `refCounts`.
+    *
+    * `prepare` maps the raw stream before counting — the hook that turns
+    * this into a NUMERIC drift monitor: derive a bin column (e.g.
+    * `least(floor(value/100), 9)`) and pass it as `catCol`; binned PSI
+    * over a continuous column is exactly how production monitors watch
+    * score/length/price distributions. */
   def run(spark: SparkSession, cfg: AutoIngest.Config, refCounts: DataFrame,
-      catCol: String, outDir: String, epsRef: Double = 1e-9): Unit = {
+      catCol: String, outDir: String, epsRef: Double = 1e-9,
+      prepare: DataFrame => DataFrame = identity): Unit = {
     val ref = refCounts.select(col(catCol).as("cat"), col("rc"))
       .localCheckpoint()
-    val stream = AutoIngest.readStream(spark, cfg).drop("_rescued_data")
+    val stream = prepare(AutoIngest.readStream(spark, cfg).drop("_rescued_data"))
     AutoIngest.foreachBatchOnce(stream, cfg.checkpointDir) { (batch, batchId) =>
       val counts = batch.groupBy(col(catCol).as("cat"))
         .agg(count(lit(1)).as("bc"))
