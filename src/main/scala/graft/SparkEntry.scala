@@ -4680,6 +4680,20 @@ object SparkEntry {
         .orderBy($"lang_pred")
     }),
 
+    // ── Sampling: WEIGHTED RESERVOIR per group (Efraimidis–Spirtakis
+    //    A-ES): top-k of u^(1/w) per event_type is an exact weighted-
+    //    without-replacement sample — the "k representatives per stratum,
+    //    weighted by value" one-pass answer. Deterministic hash-u, one
+    //    window shuffle, replayable in any engine.
+    "q286_weighted_reservoir" -> ((s, dir) => {
+      import s.implicits._
+      graft.llm.Sampling.weightedReservoirPerKey(
+          Tables.events(s, dir), "event_type", "event_id", $"value", k = 5)
+        .select($"event_type", $"__aes_rank".cast("long").as("rank"),
+          $"event_id", $"value")
+        .orderBy($"event_type", $"rank")
+    }),
+
     // ── Streaming: NUMERIC drift monitor — the binned-PSI form of q266
     //    (production monitors watch score/length/price distributions, not
     //    just categories): the stream's `value` is bucketed into fixed
@@ -5544,6 +5558,20 @@ object SparkEntry {
       """SELECT user_id, event_id, event_type, ts AS __START_AT,
         |LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS __END_AT
         |FROM events ORDER BY user_id, __START_AT, event_id""".stripMargin,
+
+    // A-ES: u from the portable md5 idiom (q162's), score = u^(1/w)
+    "q286_weighted_reservoir" ->
+      """WITH s AS (
+        |  SELECT event_type, event_id, value,
+        |    pow((CAST(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS DOUBLE) + 0.5) / 1000000.0,
+        |        1.0 / value) AS score
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY score DESC, event_id) AS rank
+        |  FROM s)
+        |SELECT event_type, rank, event_id, value FROM r WHERE rank <= 5
+        |ORDER BY event_type, rank""".stripMargin,
 
     // binned PSI, same epsilon-left-join idiom as q266; batch 1 is the
     // planted high-tail feed

@@ -92,6 +92,31 @@ object Sampling {
       .drop("__rank")
   }
 
+  /** WEIGHTED fixed-size sample per group — Efraimidis–Spirtakis A-ES
+    * (2006): each row draws a deterministic uniform `u` from its key hash
+    * and scores `u^(1/w)`; the top `k` scores per group are EXACTLY a
+    * weighted-without-replacement sample (a row's inclusion probability is
+    * proportional to its weight at every step). The classic one-pass
+    * distributed answer to "k representatives per stratum, weighted by
+    * importance/quality" — one window shuffle on the group, no per-group
+    * state, reproducible (hash-u, not RNG). Weights must be positive.
+    * Adds `__aes_rank`; score ties (md5 collisions) break by the raw
+    * key, so selection is total-ordered and replayable. */
+  def weightedReservoirPerKey(
+      df: DataFrame, groupCol: String, keyCol: String, weight: Column,
+      k: Int): DataFrame = {
+    // u ∈ (0,1): the +0.5 keeps u strictly positive (u = 0 would score 0
+    // regardless of weight) and strictly below 1
+    val u = (conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % 1000000L).cast("double").plus(0.5) / 1000000.0
+    val score = pow(u, lit(1.0) / weight)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(score.desc, col(keyCol).asc)
+    df.withColumn("__aes_rank", row_number().over(w))
+      .filter(col("__aes_rank") <= k)
+  }
+
   /** LEAKAGE-SAFE train/test split: a per-row split that respects dedup
     * clusters, so two near-duplicate documents can never straddle the
     * boundary (the classic eval-contamination bug a doc-level random

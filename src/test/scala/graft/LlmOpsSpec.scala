@@ -1167,6 +1167,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(cross.min > 12, s"distinct patterns too close: min Hamming ${cross.min}")
   }
 
+  test("weightedReservoirPerKey: heavy weights dominate the sample; exact size per group") {
+    val df = (0L until 1000L).map(i =>
+      (i, if (i < 10) "g1" else "g1", if (i < 10) 100.0 else 0.1))
+      .toDF("id", "g", "w")
+    val got = graft.llm.Sampling.weightedReservoirPerKey(df, "g", "id", $"w", 5)
+      .select("id").as[Long].collect().toSet
+    assert(got.size == 5)
+    // A-ES: P(heavy in top) ≈ 1; with 10 heavy rows at 1000× weight the
+    // top-5 is essentially all-heavy (deterministic given the hash-u draw)
+    assert(got.count(_ < 10) >= 4, s"heavy rows underrepresented: $got")
+    // reproducible: same input → identical sample
+    val again = graft.llm.Sampling.weightedReservoirPerKey(df, "g", "id", $"w", 5)
+      .select("id").as[Long].collect().toSet
+    assert(again == got)
+  }
+
   test("foldHomoglyphs: confusable-substituted text folds back; fingerprint pairs twins") {
     val t = graft.llm.TextAnalysis
     val df = Seq(

@@ -181,6 +181,28 @@ class ScdMergeProps extends AnyFunSuite {
     assert(pit == Map(25 -> None, 15 -> Some("a"), 35 -> Some("b")), pit.toString)
   }
 
+  test("scd2 deletes × trackHistoryExcept: tombstones break untracked runs; collapse still works") {
+    import org.apache.spark.sql.functions.col
+    // v(tracked=a, untracked=u1)@10, untracked-only change @20 (must NOT
+    // open a version), tombstone @30, re-insert (a, u3)@40. The tombstone
+    // must terminate the collapsed run at 30 even though __DELETED is not
+    // in the except list (it is implicitly tracked), and the re-insert
+    // opens a fresh version.
+    val mk = (rows: Seq[(Int, Int, String, String, Boolean)]) =>
+      rows.toDF("id", "seq", "tracked", "untracked", "del")
+    val out = ScdMerge.scd2Merge(None,
+      mk(Seq((1, 10, "a", "u1", false), (1, 20, "a", "u2", false),
+        (1, 30, "a", "u2", true), (1, 40, "a", "u3", false))),
+      Seq("id"), "seq", Nil, Seq("untracked"), Some(col("del")))
+    val vis = out.filter(!col(ScdMerge.DeletedCol))
+      .select("seq", "untracked", "__START_AT", "__END_AT")
+      .as[(Int, String, Int, Option[Int])].collect().toSet
+    // run [10..] collapsed (u2 is untracked, latest-by-seq payload), closed
+    // AT 30 by the tombstone; fresh version at 40 open
+    assert(vis == Set((20, "u2", 10, Some(30)), (40, "u3", 40, None)), vis.toString)
+    assert(ScdMerge.current(out).select("seq").as[Int].collect().toSeq == Seq(40))
+  }
+
   test("scd1 deletes: stale tombstone is ignored; delete-then-reinsert round-trips") {
     val s1 = ScdMerge.scd1Upsert(None, dfD(Seq(EvD(1, 10, "a", false))), Seq("id"), "seq", Nil, delCond)
     // stale delete @5 loses to stored @10
