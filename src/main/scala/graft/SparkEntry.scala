@@ -5563,8 +5563,10 @@ object SparkEntry {
     "q286_weighted_reservoir" ->
       """WITH s AS (
         |  SELECT event_type, event_id, value,
-        |    pow((CAST(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS DOUBLE) + 0.5) / 1000000.0,
-        |        1.0 / value) AS score
+        |    CASE WHEN value > 0.0 THEN
+        |      pow((CAST(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS DOUBLE) + 0.5) / 1000000.0,
+        |          1.0 / value)
+        |    ELSE 0.0 END AS score
         |  FROM events),
         |r AS (
         |  SELECT event_type, event_id, value,

@@ -106,10 +106,13 @@ object Sampling {
       df: DataFrame, groupCol: String, keyCol: String, weight: Column,
       k: Int): DataFrame = {
     // u ∈ (0,1): the +0.5 keeps u strictly positive (u = 0 would score 0
-    // regardless of weight) and strictly below 1
+    // regardless of weight) and strictly below 1. Non-positive weights
+    // score 0 (zero inclusion probability — they fill a group only when it
+    // has fewer than k positive-weight rows) instead of tripping ANSI
+    // division by zero.
     val u = (conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
       .cast("long") % 1000000L).cast("double").plus(0.5) / 1000000.0
-    val score = pow(u, lit(1.0) / weight)
+    val score = when(weight > 0.0, pow(u, lit(1.0) / weight)).otherwise(lit(0.0))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(score.desc, col(keyCol).asc)
