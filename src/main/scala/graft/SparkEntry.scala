@@ -4680,6 +4680,31 @@ object SparkEntry {
         .orderBy($"lang_pred")
     }),
 
+    // ── LLM-pipeline: MINHASH SIMILARITY ESTIMATOR with a quantified
+    //    error bound — the sketch the LSH family is built on, surfaced as
+    //    a first-class estimate: for every exact-Jaccard ≥0.5 pair, the
+    //    96-slot signature agreement must estimate Jaccard within 0.2
+    //    (≈4σ at √(J(1−J)/96)). The estimate is engine-internal
+    //    (xxhash-based), so the gate is the q55-style error-bound
+    //    verdict; a sketch regression flips est_ok and hash-mismatches.
+    "q287_minhash_estimate" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val pairs = graft.llm.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5)
+      val shEx = graft.llm.Dedup.shingleHashRows(docs, "doc_id", "text", 3)
+        .localCheckpoint()
+      val sigs = graft.llm.Dedup.minhashSignatures(shEx)
+      pairs
+        .join(sigs.select($"id".as("d1"), $"sig".as("s1")), "d1")
+        .join(sigs.select($"id".as("d2"), $"sig".as("s2")), "d2")
+        .withColumn("est",
+          size(filter(zip_with($"s1", $"s2", (a, b) => a === b), x => x))
+            .cast("double") / 96.0)
+        .select($"d1", $"d2", round($"jaccard", 6).as("jaccard"),
+          (abs($"est" - $"jaccard") <= 0.2).as("est_ok"))
+        .orderBy($"d1", $"d2")
+    }),
+
     // ── Sampling: WEIGHTED RESERVOIR per group (Efraimidis–Spirtakis
     //    A-ES): top-k of u^(1/w) per event_type is an exact weighted-
     //    without-replacement sample — the "k representatives per stratum,
@@ -5558,6 +5583,24 @@ object SparkEntry {
       """SELECT user_id, event_id, event_type, ts AS __START_AT,
         |LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS __END_AT
         |FROM events ORDER BY user_id, __START_AT, event_id""".stripMargin,
+
+    // exact pairs replayed (q24's CTE); est_ok is the error-bound verdict
+    "q287_minhash_estimate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS ts FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+        |  FROM toks, UNNEST(generate_series(1, len(ts)-2)) AS g(i)),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT d1, d2,
+        |  round(CAST(i AS DOUBLE) / CAST(c1.n + c2.n - i AS DOUBLE), 6) AS jaccard,
+        |  TRUE AS est_ok
+        |FROM inter JOIN cnt c1 ON c1.doc_id = d1 JOIN cnt c2 ON c2.doc_id = d2
+        |WHERE CAST(i AS DOUBLE) / CAST(c1.n + c2.n - i AS DOUBLE) >= 0.5
+        |ORDER BY d1, d2""".stripMargin,
 
     // A-ES: u from the portable md5 idiom (q162's), score = u^(1/w)
     "q286_weighted_reservoir" ->

@@ -112,13 +112,21 @@ object Dedup {
     * directly (multi-arg xxhash64 over longs, bit-exact with the old
     * form). Returns (id, band, bucket) rows — docs sharing a
     * (band, bucket) are LSH candidates. */
-  def bandRows(shEx: DataFrame, numHashes: Int = 96, bands: Int = 24): DataFrame = {
-    val rowsPerBand = numHashes / bands
+  /** `(id, sig)` — the `numHashes`-slot minhash signature per doc from a
+    * shingle-hash relation. The signature IS the mergeable sketch: the
+    * fraction of equal slots between two signatures is an unbiased
+    * estimator of Jaccard similarity with std ≈ √(J(1−J)/numHashes). */
+  def minhashSignatures(shEx: DataFrame, numHashes: Int = 96): DataFrame = {
     val sigAgg = org.apache.spark.sql.GraftColumnBridge.column(
       graft.functions.MinHashSignature(
         org.apache.spark.sql.GraftColumnBridge.expression(col("h")),
         numHashes).toAggregateExpression())
-    val sig = shEx.groupBy("id").agg(sigAgg.as("sig"))
+    shEx.groupBy("id").agg(sigAgg.as("sig"))
+  }
+
+  def bandRows(shEx: DataFrame, numHashes: Int = 96, bands: Int = 24): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sig = minhashSignatures(shEx, numHashes)
     val bandStructs = (0 until bands).map { b =>
       val slots = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(i => col("sig").getItem(i))
