@@ -149,20 +149,51 @@ case class VacuumSnapshotCommand(path: String, keep: Int)
 
 /** `MERGE INTO '<root>' USING <view> ON KEYS (…) SEQUENCE BY <col>
   * [DELETE WHEN <pred>]` → [[graft.cdc.ScdMerge.scd1Upsert]] over the
-  * live snapshot + atomic snapshot commit. Returns (version, n_rows). */
+  * live snapshot + atomic snapshot commit. A root carrying a
+  * `_manifest_v*` (a [[graft.tables.BucketedSnapshotTable]]) routes to
+  * the bucketed merge instead — affected-buckets-only rewrite, with
+  * numBuckets read from the manifest header and ON KEYS as the bucket
+  * keys (they must match the keys the table was built with).
+  * Returns (version, n_rows). */
 case class MergeSnapshotCommand(path: String, view: String, keys: Seq[String],
     seqCol: String, deleteWhen: Option[String]) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", IntegerType, nullable = false)(),
     AttributeReference("n_rows", LongType, nullable = false)())
+
+  /** numBuckets from the newest `_manifest_v<N>` header, when the root is
+    * a bucketed table. */
+  private def bucketedLayout(spark: SparkSession): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) return None
+    val manifests = f.listStatus(p).map(_.getPath.getName)
+      .filter(_.matches("_manifest_v\\d+"))
+    if (manifests.isEmpty) None
+    else {
+      val newest = manifests.maxBy(_.stripPrefix("_manifest_v").toInt)
+      val in = f.open(new org.apache.hadoop.fs.Path(p, newest))
+      val head = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().next() finally in.close()
+      Some(head.stripPrefix("numBuckets=").trim.toInt)
+    }
+  }
+
   override def run(spark: SparkSession): Seq[Row] = {
-    val t = new SnapshotTable(path)
     val updates = spark.table(view)
-    val merged = graft.cdc.ScdMerge.scd1Upsert(
-      t.readOption(spark), updates, keys, seqCol, Nil,
-      deleteWhen.map(org.apache.spark.sql.functions.expr))
-    val v = t.write(spark, merged)
-    Seq(Row(v, t.read(spark).count()))
+    val del = deleteWhen.map(org.apache.spark.sql.functions.expr)
+    bucketedLayout(spark) match {
+      case Some(numBuckets) =>
+        val bt = new graft.tables.BucketedSnapshotTable(path, numBuckets, keys)
+        bt.scd1Merge(spark, updates, seqCol, Nil, del)
+        Seq(Row(bt.currentVersion(spark).getOrElse(0), bt.read(spark).count()))
+      case None =>
+        val t = new SnapshotTable(path)
+        val merged = graft.cdc.ScdMerge.scd1Upsert(
+          t.readOption(spark), updates, keys, seqCol, Nil, del)
+        val v = t.write(spark, merged)
+        Seq(Row(v, t.read(spark).count()))
+    }
   }
 }
 

@@ -217,6 +217,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(t.currentVersion(spark).contains(rv) && rv == 4)
   }
 
+  test("GraftSqlParser MERGE INTO routes to a BUCKETED table root (affected buckets only)") {
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("sqlbmerge").toString
+    val bt = new graft.tables.BucketedSnapshotTable(s"$work/t", 8, Seq("k"))
+    bt.scd1Merge(spark, Seq((1L, 1L, "a"), (2L, 1L, "b"), (17L, 1L, "q"))
+      .toDF("k", "op_seq", "v"), "op_seq")
+    Seq((1L, 2L, "a2"), (2L, 2L, "DEAD"), (42L, 2L, "new"))
+      .toDF("k", "op_seq", "v").createOrReplaceTempView("bmerge_batch")
+    def sqlRun(q: String) = GraftColumnBridge.graftSql(spark, q)
+    val out = sqlRun(s"MERGE INTO '$work/t' USING bmerge_batch ON KEYS (k) " +
+      "SEQUENCE BY op_seq DELETE WHEN v = 'DEAD'").as[(Int, Long)].head()
+    assert(out._2 == 3) // 1 updated + 17 untouched + 42 inserted; 2 deleted
+    assert(bt.read(spark).select("k", "v").as[(Long, String)].collect().toSet ==
+      Set((1L, "a2"), (17L, "q"), (42L, "new")))
+  }
+
   test("GraftSqlParser: OPTIMIZE/VACUUM/DESCRIBE HISTORY route to table ops; other SQL delegates") {
     import org.apache.spark.sql.functions._
     val work = java.nio.file.Files.createTempDirectory("sqlddl").toString
