@@ -56,6 +56,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*SNAPSHOT\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
   private val Restore =
     """(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*;?\s*""".r
+  private val AddConstraint =
+    """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
+  private val DropConstraint =
+    """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Optimize(path, target) =>
@@ -78,6 +82,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       DeleteSnapshotCommand(path, pred.trim)
     case Restore(path, version) =>
       RestoreSnapshotCommand(path, version.toInt)
+    case AddConstraint(path, name, pred) =>
+      AlterConstraintCommand(path, name, Some(pred.trim))
+    case DropConstraint(path, name) =>
+      AlterConstraintCommand(path, name, None)
     case Snapshot(path, version) =>
       // a QUERY, not a command: time-travel read as a logical plan
       val spark = SparkSession.active
@@ -232,6 +240,24 @@ case class DeleteSnapshotCommand(path: String, pred: String)
     val n = doomed.count()
     if (n > 0) t.deleteKeys(spark, doomed)
     Seq(Row(n))
+  }
+}
+
+/** `ALTER TABLE '<root>' ADD CONSTRAINT <name> CHECK (<pred>)` /
+  * `… DROP CONSTRAINT <name>` → [[SnapshotTable.addConstraint]] (Delta
+  * semantics: the existing snapshot is validated first, then every
+  * subsequent write is checked inline) / [[SnapshotTable.dropConstraint]]. */
+case class AlterConstraintCommand(path: String, name: String,
+    predicate: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("n_constraints", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = new SnapshotTable(path)
+    predicate match {
+      case Some(p) => t.addConstraint(spark, name, p)
+      case None    => t.dropConstraint(spark, name)
+    }
+    Seq(Row(t.constraints(spark).size))
   }
 }
 

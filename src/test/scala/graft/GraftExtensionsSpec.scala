@@ -217,6 +217,28 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(t.currentVersion(spark).contains(rv) && rv == 4)
   }
 
+  test("GraftSqlParser ALTER TABLE ADD/DROP CONSTRAINT: validated on add, enforced on write") {
+    val work = java.nio.file.Files.createTempDirectory("sqlcons").toString
+    val t = new graft.tables.SnapshotTable(s"$work/t")
+    t.write(spark, Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"))
+    def sqlRun(q: String) = GraftColumnBridge.graftSql(spark, q)
+    // existing rows pass → constraint lands
+    assert(sqlRun(s"ALTER TABLE '$work/t' ADD CONSTRAINT v_pos CHECK (v > 0)")
+      .as[Int].head() == 1)
+    // a violating batch is rejected at write time
+    val e = intercept[Exception](t.append(spark, Seq((3L, -1.0)).toDF("k", "v")))
+    assert(e.getMessage == null || e.toString.contains("CONSTRAINT") ||
+      e.getCause != null) // surfaced through the task failure chain
+    assert(t.read(spark).count() == 2)
+    // a constraint the existing data violates is itself rejected
+    intercept[IllegalArgumentException](
+      sqlRun(s"ALTER TABLE '$work/t' ADD CONSTRAINT v_big CHECK (v > 15)").collect())
+    // drop → violating batch lands
+    assert(sqlRun(s"ALTER TABLE '$work/t' DROP CONSTRAINT v_pos").as[Int].head() == 0)
+    t.append(spark, Seq((3L, -1.0)).toDF("k", "v").coalesce(1))
+    assert(t.read(spark).count() == 3)
+  }
+
   test("GraftSqlParser MERGE INTO routes to a BUCKETED table root (affected buckets only)") {
     import org.apache.spark.sql.functions._
     val work = java.nio.file.Files.createTempDirectory("sqlbmerge").toString
