@@ -193,6 +193,13 @@ case class MergeSnapshotCommand(path: String, view: String, keys: Seq[String],
     bucketedLayout(spark) match {
       case Some(numBuckets) =>
         val bt = new graft.tables.BucketedSnapshotTable(path, numBuckets, keys)
+        // keys recorded in the manifest header (since r7) must match ON
+        // KEYS — merging with different keys would silently mis-bucket
+        bt.manifestHeader(spark).get("keys").foreach { stored =>
+          require(stored == keys.mkString(","),
+            s"MERGE INTO $path: ON KEYS (${keys.mkString(",")}) does not match " +
+              s"the table's bucket keys ($stored)")
+        }
         bt.scd1Merge(spark, updates, seqCol, Nil, del)
         Seq(Row(bt.currentVersion(spark).getOrElse(0), bt.read(spark).count()))
       case None =>

@@ -118,15 +118,31 @@ final class BucketedSnapshotTable(
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
       finally in.close()
-    lines.drop(1).map { l => // line 0: "numBuckets=<n>"
+    // header lines are "name=value" (numBuckets always; keys since r7 —
+    // older manifests without it still parse); entries are "bucket\tdir"
+    lines.dropWhile(l => l.contains("=") && !l.contains("\t")).map { l =>
       val Array(b, dir) = l.split("\t", 2)
       b.toInt -> dir
     }.toMap
   }
 
+  /** Header fields of the live manifest (numBuckets, keys when present) —
+    * lets path-only consumers (the SQL MERGE router) reconstruct and
+    * VALIDATE the table identity instead of silently mis-bucketing. */
+  def manifestHeader(spark: SparkSession): Map[String, String] =
+    currentVersion(spark).map { v =>
+      val f = fs(spark)
+      val in = f.open(new Path(root, s"_manifest_v$v"))
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+        finally in.close()
+      lines.takeWhile(l => l.contains("=") && !l.contains("\t"))
+        .map { l => val Array(k, vv) = l.split("=", 2); k -> vv }.toMap
+    }.getOrElse(Map.empty)
+
   private def writeManifest(spark: SparkSession, v: Int, m: Map[Int, String]): Unit = {
     val f = fs(spark)
-    val body = (s"numBuckets=$numBuckets" +:
+    val body = (Seq(s"numBuckets=$numBuckets", s"keys=${keys.mkString(",")}") ++
       m.toSeq.sortBy(_._1).map { case (b, d) => s"$b\t$d" }).mkString("\n")
     val out = f.create(new Path(root, s"_manifest_v$v"), true)
     try out.write(body.getBytes("UTF-8")) finally out.close()

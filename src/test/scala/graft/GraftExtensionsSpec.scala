@@ -253,6 +253,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(out._2 == 3) // 1 updated + 17 untouched + 42 inserted; 2 deleted
     assert(bt.read(spark).select("k", "v").as[(Long, String)].collect().toSet ==
       Set((1L, "a2"), (17L, "q"), (42L, "new")))
+    // wrong ON KEYS must fail loudly (manifest header records the bucket
+    // keys), never silently mis-bucket
+    val e = intercept[Exception](
+      sqlRun(s"MERGE INTO '$work/t' USING bmerge_batch ON KEYS (v) " +
+        "SEQUENCE BY op_seq").collect())
+    assert(e.getMessage.contains("bucket keys"), e.getMessage)
   }
 
   test("GraftSqlParser: OPTIMIZE/VACUUM/DESCRIBE HISTORY route to table ops; other SQL delegates") {
