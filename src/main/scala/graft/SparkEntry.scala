@@ -5087,7 +5087,10 @@ object SparkEntry {
       org.apache.spark.sql.GraftColumnBridge.graftSql(s,
         s"MERGE INTO '${t.root}' USING g269_batch ON KEYS (c_custkey) " +
           "SEQUENCE BY op_seq DELETE WHEN c_custkey % 10 = 0").collect()
-      t.read(s).select($"c_custkey", $"c_acctbal", $"op_seq")
+      // read back through the SQL surface: SNAPSHOT hides the persisted
+      // tombstone state rows (__DELETED) and drops the bookkeeping column
+      org.apache.spark.sql.GraftColumnBridge.graftSql(s, s"SNAPSHOT '${t.root}'")
+        .select($"c_custkey", $"c_acctbal", $"op_seq")
         .orderBy($"c_custkey")
     }),
 
@@ -5134,8 +5137,10 @@ object SparkEntry {
       val del = Some($"event_type" === "error")
       val initial = graft.cdc.ScdMerge.scd1Upsert(
         None, e.filter($"ts" < cut), Seq("user_id"), "ts", Seq($"event_id"), del)
-      graft.cdc.ScdMerge.scd1Upsert(
-        Some(initial), e.filter($"ts" >= cut), Seq("user_id"), "ts", Seq($"event_id"), del)
+      // the STATE persists tombstone rows (cross-batch out-of-order
+      // protection); scd1Current is the visible table
+      graft.cdc.ScdMerge.scd1Current(graft.cdc.ScdMerge.scd1Upsert(
+        Some(initial), e.filter($"ts" >= cut), Seq("user_id"), "ts", Seq($"event_id"), del))
         .select($"user_id", $"event_id", $"ts", $"event_type", $"value")
         .orderBy($"user_id")
     }),
@@ -5162,6 +5167,112 @@ object SparkEntry {
         .filter(!$"__DELETED")
         .select($"user_id", $"event_id", $"event_type", $"__START_AT", $"__END_AT")
         .orderBy($"user_id", $"__START_AT", $"event_id")
+    }),
+
+    // ── SQL UPDATE on a BUCKETED root (r8): copy-on-write DML on the
+    //    100 TB table format — only buckets containing matches are
+    //    rewritten (asserted in BucketedTableSpec), and ALL SET right-hand
+    //    sides evaluate against the PRE-update row (simultaneous
+    //    assignment: o_totalprice reads the OLD o_custkey even though
+    //    o_custkey is itself being SET).
+    "q288_bucketed_sql_update" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("bsqlupd").toString
+      val bt = new graft.tables.BucketedSnapshotTable(s"$work/t", 16, Seq("o_orderkey"))
+      bt.scd1Merge(s, Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+        .withColumn("op_seq", lit(1L)), "op_seq")
+      org.apache.spark.sql.GraftColumnBridge.graftSql(s,
+        s"UPDATE '$work/t' SET o_totalprice = o_totalprice + o_custkey, " +
+          "o_custkey = o_custkey + 7 WHERE o_orderstatus = 'F'").collect()
+      org.apache.spark.sql.GraftColumnBridge.graftSql(s, s"SNAPSHOT '$work/t'")
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    }),
+
+    // ── SQL DELETE FROM on a BUCKETED root (r8): rewrite only buckets
+    //    holding matches, drop the rows; a NULL predicate keeps its row
+    //    (SQL DELETE removes TRUE matches only).
+    "q289_bucketed_sql_delete" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("bsqldel").toString
+      val bt = new graft.tables.BucketedSnapshotTable(s"$work/t", 16, Seq("c_custkey"))
+      bt.scd1Merge(s, Tables.customer(s, dir)
+        .select($"c_custkey", $"c_name", $"c_acctbal", $"c_mktsegment")
+        .withColumn("op_seq", lit(1L)), "op_seq")
+      val n = org.apache.spark.sql.GraftColumnBridge.graftSql(s,
+        s"DELETE FROM '$work/t' WHERE c_acctbal < 0.0 OR c_mktsegment = 'BUILDING'")
+        .as[Long].head()
+      org.apache.spark.sql.GraftColumnBridge.graftSql(s, s"SNAPSHOT '$work/t'")
+        .select($"c_custkey", $"c_name", $"c_acctbal", $"c_mktsegment")
+        .withColumn("n_deleted", lit(n))
+        .orderBy($"c_custkey")
+    }),
+
+    // ── Bucketed SCHEMA EVOLUTION (r8): a later merge batch ADDS a column
+    //    (tier) and OMITS one (c_acctbal) — the commit stays O(affected
+    //    buckets) with NO migration rewrite; the bucket read resolves the
+    //    union schema by name, null-filling both directions (untouched
+    //    buckets read tier as NULL; updated keys read the omitted
+    //    c_acctbal as NULL — pure last-write version semantics).
+    "q290_bucketed_evolve" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("bevolve").toString
+      val bt = new graft.tables.BucketedSnapshotTable(s"$work/t", 8, Seq("c_custkey"))
+      val c = Tables.customer(s, dir)
+      bt.scd1Merge(s, c.select($"c_custkey", $"c_name", $"c_acctbal")
+        .withColumn("op_seq", lit(1L)), "op_seq")
+      bt.scd1Merge(s, c.filter($"c_custkey" % 7 === 0)
+        .select($"c_custkey", $"c_name",
+          when($"c_acctbal" > 5000.0, "high").otherwise("low").as("tier"))
+        .withColumn("op_seq", lit(2L)), "op_seq")
+      bt.read(s)
+        .select($"c_custkey", $"c_name", $"c_acctbal", $"tier", $"op_seq")
+        .orderBy($"c_custkey")
+    }),
+
+    // ── SCD TYPE 2 through SQL MERGE (r8): the q268 delete-flow scenario
+    //    driven entirely from SQL — two MERGE … SCD TYPE 2 … DELETE WHEN
+    //    batches into a snapshot root, visible chain read back through
+    //    SNAPSHOT (which hides tombstone versions and the bookkeeping
+    //    column). SQL surface ≡ programmatic gold pipeline.
+    "q291_sql_scd2_merge" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("sqlscd2").toString
+      val e = Tables.events(s, dir).select($"user_id", $"event_id", $"event_type", $"ts")
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+      e.filter($"ts" < cut).createOrReplaceTempView("g291_b1")
+      e.filter($"ts" >= cut).createOrReplaceTempView("g291_b2")
+      val sqlRun = (q: String) => org.apache.spark.sql.GraftColumnBridge.graftSql(s, q)
+      sqlRun(s"MERGE INTO '$work/t' USING g291_b1 ON KEYS (user_id) " +
+        "SEQUENCE BY ts SCD TYPE 2 DELETE WHEN event_type = 'error'").collect()
+      sqlRun(s"MERGE INTO '$work/t' USING g291_b2 ON KEYS (user_id) " +
+        "SEQUENCE BY ts SCD TYPE 2 DELETE WHEN event_type = 'error'").collect()
+      sqlRun(s"SNAPSHOT '$work/t'")
+        .select($"user_id", $"event_id", $"event_type", $"__START_AT", $"__END_AT")
+        .orderBy($"user_id", $"__START_AT", $"event_id")
+    }),
+
+    // ── DISTRIBUTED PCA power iteration (r8): d = 4096 sits beyond the
+    //    local path's driver-side d² guard (Pca.topComponent rejects it),
+    //    so the iteration runs on the (i,j)-keyed covariance RELATION —
+    //    one matvec broadcast join + per-i agg per round, only the d-row
+    //    iterate ever reaching the driver. Banded synthetic covariance
+    //    (Toeplitz, width ±8) so both engines generate it exactly; the
+    //    oracle unrolls the same 10 quantized rounds.
+    "q292_pca_power_distributed" -> ((s, dir) => {
+      import s.implicits._
+      val d = 4096
+      val cov = s.range(d).select($"id".cast("int").as("i"))
+        .crossJoin(s.range(-8, 9).select($"id".cast("int").as("o")))
+        .select($"i", ($"i" + $"o").as("j"), $"o")
+        .filter($"j" >= 0 && $"j" < d)
+        .select($"i", $"j",
+          round(lit(1.0) / (lit(1.0) + abs($"o").cast("double")), 9)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("c"))
+      graft.llm.Pca.topComponentDistributed(s, cov, d, iters = 10)
+        .select($"i".cast("long").as("dim"), $"loading", $"eigenvalue")
+        .orderBy($"dim")
     }),
   )
 
@@ -5263,23 +5374,28 @@ object SparkEntry {
        |ORDER BY score DESC, word LIMIT 10""".stripMargin
   }
 
-  /** q260's oracle: covariance + 10 power-iteration rounds unrolled as
-    * generated CTEs, each mirroring the Spark arithmetic (decimal
-    * quantization points, double casts, IEEE sqrt). */
+  /** 10 power-iteration rounds unrolled as generated CTEs over a `cov`
+    * (i,j,c) CTE and a `v0` start vector, each mirroring the Spark
+    * arithmetic (decimal quantization points, double casts, IEEE sqrt) —
+    * shared by the local-path (q260/q261) and distributed-path (q292)
+    * oracles, which differ only in how `cov` is built. */
+  private def pcaPowerSteps: String = (1 to 10).map { k =>
+    s"""w$k AS MATERIALIZED (
+       |  SELECT cov.i,
+       |    CAST(SUM(CAST(CAST(c AS DOUBLE)*CAST(v AS DOUBLE) AS DECIMAL(28,12)))
+       |      AS DOUBLE) AS w
+       |  FROM cov JOIN v${k - 1} ON v${k - 1}.i = cov.j GROUP BY cov.i),
+       |n$k AS MATERIALIZED (
+       |  SELECT sqrt(CAST(SUM(CAST(w*w AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+       |  FROM w$k),
+       |v$k AS MATERIALIZED (
+       |  SELECT i, CAST(round(w/nrm, 9) AS DECIMAL(18,9)) AS v
+       |  FROM w$k CROSS JOIN n$k)""".stripMargin
+  }.mkString(",\n")
+
+  /** q260's oracle: covariance + the unrolled power-iteration rounds. */
   private def pcaOracle: String = {
-    val steps = (1 to 10).map { k =>
-      s"""w$k AS MATERIALIZED (
-         |  SELECT cov.i,
-         |    CAST(SUM(CAST(CAST(c AS DOUBLE)*CAST(v AS DOUBLE) AS DECIMAL(28,12)))
-         |      AS DOUBLE) AS w
-         |  FROM cov JOIN v${k - 1} ON v${k - 1}.i = cov.j GROUP BY cov.i),
-         |n$k AS MATERIALIZED (
-         |  SELECT sqrt(CAST(SUM(CAST(w*w AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
-         |  FROM w$k),
-         |v$k AS MATERIALIZED (
-         |  SELECT i, CAST(round(w/nrm, 9) AS DECIMAL(18,9)) AS v
-         |  FROM w$k CROSS JOIN n$k)""".stripMargin
-    }.mkString(",\n")
+    val steps = pcaPowerSteps
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
        |cells AS (
        |  SELECT vec_id AS id, i0 - 1 AS i,
@@ -5311,6 +5427,25 @@ object SparkEntry {
        |  round(nrm, 6) AS eigenvalue
        |FROM v10 CROSS JOIN n10 ORDER BY dim""".stripMargin
 
+  /** q292's oracle: the SAME unrolled rounds over the banded synthetic
+    * d=4096 covariance (Toeplitz width ±8) the Spark side generates. */
+  private def pcaDistributedOracle: String =
+    s"""WITH dims AS (SELECT UNNEST(range(4096)) AS i),
+       |cov AS MATERIALIZED (
+       |  SELECT i, i + o AS j,
+       |    CAST(round(CAST(1.0 AS DOUBLE)/(CAST(1.0 AS DOUBLE) + CAST(ABS(o) AS DOUBLE)), 9)
+       |      AS DECIMAL(18,9)) AS c
+       |  FROM dims, (SELECT UNNEST(range(-8, 9)) AS o)
+       |  WHERE i + o >= 0 AND i + o < 4096),
+       |v0 AS (
+       |  SELECT i, CAST(round(CAST(1.0 AS DOUBLE)/sqrt(CAST(4096 AS DOUBLE)), 9)
+       |    AS DECIMAL(18,9)) AS v
+       |  FROM dims),
+       |$pcaPowerSteps
+       |SELECT CAST(v10.i AS BIGINT) AS dim, CAST(v AS DOUBLE) AS loading,
+       |  round(nrm, 6) AS eigenvalue
+       |FROM v10 CROSS JOIN n10 ORDER BY dim""".stripMargin
+
   /** q261's oracle: the PCA pipeline + per-vector projection removal. */
   private def debiasOracle: String =
     s"""$pcaOracle,
@@ -5332,6 +5467,8 @@ object SparkEntry {
     "q260_pca_power" -> pcaOracleFinal,
 
     "q261_debias_topcomp" -> debiasOracle,
+
+    "q292_pca_power_distributed" -> pcaDistributedOracle,
 
     // kNN label propagation — cosine ranks replay per q26's precedent
     "q262_knn_label" ->
@@ -5848,6 +5985,45 @@ object SparkEntry {
     // chain over ALL events (tombstones close their predecessor), then
     // tombstone rows drop out of the visible history
     "q268_scd2_deletes" ->
+      """WITH chain AS (
+        |  SELECT user_id, event_id, event_type, ts AS __START_AT,
+        |    LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS __END_AT
+        |  FROM events)
+        |SELECT user_id, event_id, event_type, __START_AT, __END_AT
+        |FROM chain WHERE event_type <> 'error'
+        |ORDER BY user_id, __START_AT, event_id""".stripMargin,
+
+    // simultaneous assignment: updated o_totalprice reads the PRE-update
+    // o_custkey even though o_custkey is itself assigned
+    "q288_bucketed_sql_update" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderstatus = 'F' THEN o_custkey + 7 ELSE o_custkey END AS o_custkey,
+        |  o_orderstatus,
+        |  CASE WHEN o_orderstatus = 'F' THEN o_totalprice + o_custkey ELSE o_totalprice END AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // DELETE drops TRUE matches only; n_deleted rides along as a constant
+    "q289_bucketed_sql_delete" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+        |  (SELECT COUNT(*) FROM customer WHERE c_acctbal < 0.0 OR c_mktsegment = 'BUILDING') AS n_deleted
+        |FROM customer
+        |WHERE NOT (c_acctbal < 0.0 OR c_mktsegment = 'BUILDING')
+        |ORDER BY c_custkey""".stripMargin,
+
+    // evolved keys (custkey%7=0) carry batch-2 values: tier present,
+    // omitted c_acctbal NULL (pure last-write), op_seq 2; untouched keys
+    // null-fill tier
+    "q290_bucketed_evolve" ->
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS c_acctbal,
+        |  CASE WHEN c_custkey % 7 = 0 THEN
+        |    (CASE WHEN c_acctbal > 5000.0 THEN 'high' ELSE 'low' END) END AS tier,
+        |  CAST(CASE WHEN c_custkey % 7 = 0 THEN 2 ELSE 1 END AS BIGINT) AS op_seq
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // q268's scenario through SQL MERGE … SCD TYPE 2 … DELETE WHEN:
+    // identical closed form
+    "q291_sql_scd2_merge" ->
       """WITH chain AS (
         |  SELECT user_id, event_id, event_type, ts AS __START_AT,
         |    LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS __END_AT

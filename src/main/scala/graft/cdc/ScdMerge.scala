@@ -52,12 +52,24 @@ object ScdMerge {
     * `applyAsDeletes` (DLT `create_auto_cdc_flow`'s parameter of the same
     * name — the reference leaves it unset, DimUser.py:20-29, so this is
     * beyond-parity): batch rows matching the predicate are TOMBSTONES.
-    * Sequence-ordered like every other event (C7): the key is removed only
-    * when the tombstone is the key's newest event; a stale tombstone
-    * (older than the stored row) is ignored, and a later upsert after a
-    * delete re-inserts the key. At an exact (seq, tieBreak) tie an upsert
-    * beats a tombstone (deterministic; DLT leaves this undefined).
-    * Replay-idempotent: re-applying a batch changes nothing.
+    * Sequence-ordered like every other event (C7): the key is invisible
+    * exactly while the tombstone is the key's newest event; a stale
+    * tombstone (older than the stored row) is ignored, and a later upsert
+    * after a delete re-inserts the key. At an exact (seq, tieBreak) tie an
+    * upsert beats a tombstone (deterministic; DLT leaves this undefined).
+    *
+    * STATE vs VIEW (the DLT tombstone-management design): when delete
+    * flows are enabled the returned STATE retains each deleted key's
+    * winning tombstone row, flagged `__DELETED = true` — exactly like
+    * [[scd2Merge]] persists tombstone versions. That stored tombstone is
+    * what makes the semantics hold ACROSS batches under out-of-order
+    * delivery: a later batch replaying a pre-delete upsert (older
+    * sequence) loses the keyed reduction against the stored tombstone
+    * instead of silently resurrecting the key. Read the visible table
+    * with [[scd1Current]]. Delete-free merges return the plain row set
+    * (no bookkeeping column), and a target that already carries
+    * `__DELETED` keeps delete tracking even when a batch passes no
+    * predicate. Replay-idempotent: re-applying a batch changes nothing.
     */
   def scd1Upsert(
       target: Option[DataFrame],
@@ -69,18 +81,29 @@ object ScdMerge {
 
     // tombstones ride the SAME last-write-wins reduction as updates (one
     // extra bool column, no second pass); the winner's flag decides whether
-    // the key survives. Upsert-beats-delete tie rule via a trailing
-    // tiebreak ((!__del) desc: false sorts after true under desc… cast to
-    // int so non-delete = 1 wins the desc ordering).
-    val delFlag = applyAsDeletes.map(c => coalesce(c, lit(false)))
-    val marked = delFlag.map(f => updates.withColumn("__del", f)).getOrElse(updates)
-    val tb = if (delFlag.isEmpty) tieBreak
-             else tieBreak :+ (!col("__del")).cast("int")
+    // the key is visible. Upsert-beats-delete tie rule via a trailing
+    // tiebreak ((!__DELETED) desc: cast to int so non-delete = 1 wins the
+    // desc ordering).
+    val delEnabled = applyAsDeletes.isDefined ||
+      target.exists(_.columns.contains(DeletedCol))
+    val marked =
+      if (!delEnabled) updates
+      else updates.withColumn(DeletedCol,
+        coalesce(applyAsDeletes.getOrElse(lit(false)), lit(false)))
+    val tb = if (!delEnabled) tieBreak
+             else tieBreak :+ (!col(DeletedCol)).cast("int")
     val upd = Relational.latestByKey(marked, keys, col(seqCol), tb)
-    val merged = target match {
+    target match {
       case None => upd
       case Some(t0) =>
-        val t = if (delFlag.isEmpty) t0 else t0.withColumn("__del", lit(false))
+        // normalize the stored flag: absent → false (a delete-free table
+        // gaining delete flows), null → false (schema-evolving reads
+        // null-fill buckets written before the flag existed)
+        val t =
+          if (!delEnabled) t0
+          else if (t0.columns.contains(DeletedCol))
+            t0.withColumn(DeletedCol, coalesce(col(DeletedCol), lit(false)))
+          else t0.withColumn(DeletedCol, lit(false))
         val keySet = upd.select(keys.map(col): _*).distinct()
         val untouched = t.join(keySet, keys, "left_anti")
         val affected  = t.join(keySet, keys, "left_semi")
@@ -93,9 +116,13 @@ object ScdMerge {
         ).drop("__src")
         unionEvolving(untouched, m)
     }
-    if (delFlag.isEmpty) merged
-    else merged.filter(!col("__del")).drop("__del")
   }
+
+  /** Current visible rows of an SCD1 state ([[scd1Upsert]] output):
+    * tombstoned keys removed and the bookkeeping column dropped.
+    * Pass-through for delete-free states. */
+  def scd1Current(state: DataFrame): DataFrame =
+    nonTombstone(state).drop(DeletedCol)
 
   /** C4 — SCD Type 2 merge: maintain the full version chain per key with
     * `__START_AT`/`__END_AT`; current row has `__END_AT IS NULL`

@@ -118,8 +118,8 @@ final class GoldPipeline(goldDir: String, checkpointRoot: String) {
       source, t.expectations, s"quality_${t.name}")
     if (t.numBuckets > 0) {
       // bucketed target: the merge itself prunes to affected buckets
-      // (SCD2 deletes: the first delete-enabled merge is a one-time
-      // all-bucket migration commit — see BucketedSnapshotTable.scd2Merge)
+      // (delete flows included — the schema-evolving bucket read
+      // null-fills __DELETED for untouched buckets, no migration commit)
       val target = bucketedSnapshot(t)
       AutoIngest.foreachBatchOnce(stream, cfg.checkpointDir) { (clean, _) =>
         if (t.scdType == 2)

@@ -50,15 +50,22 @@ object Pca {
 
   /** Quantized covariance matrix of `vecCol`: one row per (i, j) with
     * c = round(Σ (xᵢ−mᵢ)(xⱼ−mⱼ) / N, 9). */
-  def covariance(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val n = embs.select(col(idCol)).count()
+  def covariance(embs: DataFrame, idCol: String, vecCol: String): DataFrame =
+    covarianceFromCells(centeredCells(embs, idCol, vecCol),
+      embs.select(col(idCol)).count())
+
+  /** [[covariance]] over a PRE-COMPUTED centered cell relation `(id, i,
+    * cx)` with `n` source vectors — lets a caller that also consumes the
+    * cells ([[debiasReport]]) derive them ONCE and share the pinned
+    * relation instead of re-running the explode + mean join per consumer. */
+  def covarianceFromCells(centeredCells: DataFrame, n: Long): DataFrame = {
     // EXPLICIT partition count on the join key: the cell relation is small
     // (n·d rows) so AQE coalesces its shuffle to a couple of partitions —
     // but the join EXPANDS each id to d² product rows, so the real work is
     // d²/d ≈ d× the shuffled bytes and wants full parallelism. A
     // user-specified repartition(N) is exempt from AQE coalescing.
-    val par = embs.sparkSession.sparkContext.defaultParallelism
-    val centered = centeredCells(embs, idCol, vecCol).repartition(par, col("id"))
+    val par = centeredCells.sparkSession.sparkContext.defaultParallelism
+    val centered = centeredCells.repartition(par, col("id"))
     centered.select(col("id"), col("i").as("i1"), col("cx").as("cx1"))
       .join(centered.select(col("id"), col("i").as("i2"), col("cx").as("cx2")),
         Seq("id"))
@@ -123,6 +130,52 @@ object Pca {
       .toDF("i", "loading", "eigenvalue")
   }
 
+  /** The d > 4000 fallback [[topComponent]]'s guard names: power iteration
+    * with the covariance KEPT as the (i,j)-keyed distributed relation —
+    * each round is one matrix-vector broadcast join + per-i aggregation,
+    * and only the d-ROW iterate (never the d² matrix) reaches the driver.
+    * Works for sparse/banded covariances too (absent (i,j) entries
+    * contribute exact zero, as in the dense loop); every row i must
+    * appear (any (i,j) entry, e.g. the diagonal) to receive an iterate.
+    *
+    * Arithmetic replicates [[topComponent]]'s quantization points exactly
+    * — 12-dp decimal product terms, order-free decimal sums, 9-dp
+    * iterates, 6-dp eigenvalue, IEEE sqrt — so small-d results are
+    * bit-identical to the local path (pinned by AnalyticsOpsSpec) and to
+    * the SQL oracle's unrolled rounds. The iterate is localCheckpointed
+    * per round: it feeds both its normalizer and the next matvec, so
+    * un-pinned lineage would double per round (the TextRank/Graph rule).
+    */
+  def topComponentDistributed(spark: SparkSession, cov: DataFrame, d: Int,
+      iters: Int = 10): DataFrame = {
+    val covD = cov.select(col("i"), col("j"), col("c").cast("double").as("c"))
+      .localCheckpoint() // iteration-invariant: scan once, reuse per round
+    var v = spark.range(d).select(col("id").cast("int").as("j"),
+      round(lit(1.0) / sqrt(lit(d.toDouble)), 9).as("vj"))
+      .localCheckpoint()
+    var nrm = 0.0
+    for (_ <- 1 to iters) {
+      // pin w too: its two consumers (normalizer, next iterate) must not
+      // each re-run the matvec join
+      val w = covD.join(broadcast(v), Seq("j"))
+        .select(col("i"),
+          round(col("c") * col("vj"), 12).cast(DecimalType(28, 12)).as("p"))
+        .groupBy(col("i"))
+        .agg(sum(col("p")).cast("double").as("wi"))
+        .localCheckpoint()
+      // the normalizer is ONE scalar — a model-sized driver read per round
+      nrm = math.sqrt(w
+        .select(round(col("wi") * col("wi"), 12).cast(DecimalType(28, 12)).as("s"))
+        .agg(sum(col("s")).cast("double")).head().getDouble(0))
+      v = w.select(col("i").as("j"), round(col("wi") / nrm, 9).as("vj"))
+        .localCheckpoint()
+    }
+    val eig = java.math.BigDecimal.valueOf(nrm)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    v.select(col("j").as("i"), col("vj").as("loading"),
+      lit(eig).as("eigenvalue"))
+  }
+
   /** All-but-the-top de-biasing report (Mu & Viswanath 2018): remove each
     * vector's projection on the top principal component — the cheap
     * post-processing that restores isotropy to embedding spaces (the top
@@ -137,8 +190,14 @@ object Pca {
     * terms keep every number engine-exact. */
   def debiasReport(spark: SparkSession, embs: DataFrame, idCol: String,
       vecCol: String, d: Int, iters: Int = 10): DataFrame = {
-    val centered = centeredCells(embs, idCol, vecCol)
-    val comp = topComponent(spark, covariance(embs, idCol, vecCol), d, iters)
+    // ONE derivation of the corpus-sized cell relation, PINNED: three
+    // consumers need it (the covariance pass and both de-bias joins), and
+    // un-pinned each would re-run the explode + broadcast-mean join over
+    // the full corpus — 3 linear passes where 1 suffices (the TextRank
+    // iteration-invariant lineage-pin precedent, TextRank.scala).
+    val n = embs.select(col(idCol)).count()
+    val centered = centeredCells(embs, idCol, vecCol).localCheckpoint()
+    val comp = topComponent(spark, covarianceFromCells(centered, n), d, iters)
       .select(col("i"), col("loading"))
     val p = centered.join(broadcast(comp), Seq("i"))
       .groupBy(col("id"))

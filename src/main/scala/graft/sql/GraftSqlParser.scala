@@ -21,18 +21,27 @@ import graft.tables.SnapshotTable
   *   VACUUM '<table root>' [KEEP <n>]
   *   DESCRIBE HISTORY '<table root>'
   *   MERGE INTO '<table root>' USING <view> ON KEYS (k1[, k2…])
-  *     SEQUENCE BY <col> [DELETE WHEN <predicate>]
+  *     SEQUENCE BY <col> [SCD TYPE 1|2] [DELETE WHEN <predicate>]
   *   UPDATE '<table root>' SET c = <expr>[, …] WHERE <predicate>
   *   DELETE FROM '<table root>' WHERE <predicate>
   *   SNAPSHOT '<table root>' [VERSION AS OF <n>]
   * }}}
   *
-  * MERGE is DLT auto-CDC SCD1 semantics ([[graft.cdc.ScdMerge.scd1Upsert]]
-  * — sequence-ordered last-write-wins per key, `DELETE WHEN` rows are
-  * tombstones); UPDATE commits a full rewritten snapshot (atomic,
-  * copy-on-write — Delta's UPDATE shape); DELETE appends key tombstones
-  * (O(matched rows), never a table rewrite); SNAPSHOT is a query (time
-  * travel when VERSION AS OF is given). Everything else delegates
+  * MERGE is DLT auto-CDC semantics — SCD TYPE 1 (default,
+  * [[graft.cdc.ScdMerge.scd1Upsert]]: sequence-ordered last-write-wins
+  * per key) or SCD TYPE 2 ([[graft.cdc.ScdMerge.scd2Merge]]: full
+  * `__START_AT`/`__END_AT` version chains); `DELETE WHEN` rows are
+  * sequence-ordered tombstones in either type. UPDATE and DELETE FROM are
+  * copy-on-write DML: on a plain snapshot root UPDATE commits a full
+  * rewritten snapshot (carrying the table's hive partitioning and stats
+  * manifest forward) and DELETE appends key tombstones (O(matched rows));
+  * on a BUCKETED root ([[graft.tables.BucketedSnapshotTable]], detected by
+  * its `_manifest_v*`) both rewrite ONLY the buckets containing matches —
+  * the O(affected)/100 TB path. All SET expressions evaluate against the
+  * PRE-update row (simultaneous assignment: `SET a = b, b = a` swaps).
+  * SNAPSHOT is a query (time travel when VERSION AS OF is given) returning
+  * the VISIBLE table: persisted `__DELETED` tombstone state rows are
+  * filtered and the bookkeeping column dropped. Everything else delegates
   * verbatim to Spark's parser, so the extension is purely additive.
   * Commands execute driver-side through the same table code the
   * programmatic API uses — the parser is syntax, not a second
@@ -47,7 +56,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val History =
     """(?is)\s*DESCRIBE\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
   private val Merge =
-    """(?is)\s*MERGE\s+INTO\s+'([^']+)'\s+USING\s+([\w.]+)\s+ON\s+KEYS\s*\(([^)]+)\)\s+SEQUENCE\s+BY\s+(\w+)(?:\s+DELETE\s+WHEN\s+(.+?))?\s*;?\s*""".r
+    """(?is)\s*MERGE\s+INTO\s+'([^']+)'\s+USING\s+([\w.]+)\s+ON\s+KEYS\s*\(([^)]+)\)\s+SEQUENCE\s+BY\s+(\w+)(?:\s+SCD\s+TYPE\s+([12]))?(?:\s+DELETE\s+WHEN\s+(.+?))?\s*;?\s*""".r
   private val Update =
     """(?is)\s*UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val Delete =
@@ -69,10 +78,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       VacuumSnapshotCommand(path, Option(keep).map(_.toInt).getOrElse(2))
     case History(path) =>
       DescribeHistoryCommand(path)
-    case Merge(path, view, keys, seqCol, deleteWhen) =>
+    case Merge(path, view, keys, seqCol, scdType, deleteWhen) =>
       MergeSnapshotCommand(path, view,
         keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq, seqCol,
-        Option(deleteWhen).map(_.trim))
+        Option(deleteWhen).map(_.trim),
+        Option(scdType).map(_.trim.toInt).getOrElse(1))
     case Update(path, setList, pred) =>
       UpdateSnapshotCommand(path, splitTopLevel(setList).map { a =>
         val Array(c, e) = a.split("=", 2)
@@ -87,12 +97,24 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case DropConstraint(path, name) =>
       AlterConstraintCommand(path, name, None)
     case Snapshot(path, version) =>
-      // a QUERY, not a command: time-travel read as a logical plan
+      // a QUERY, not a command: time-travel read as a logical plan. The
+      // VISIBLE table: SCD tombstone state rows (persisted for cross-batch
+      // out-of-order protection) are filtered and __DELETED dropped —
+      // scd1Current is a pass-through for tables without delete flows.
       val spark = SparkSession.active
-      val t = new SnapshotTable(path)
-      val df = Option(version).map(v => t.readVersion(spark, v.toInt))
-        .getOrElse(t.read(spark))
-      df.queryExecution.logical
+      val raw = graft.tables.BucketedSnapshotTable.layoutOf(spark, path) match {
+        case Some(l) =>
+          require(version == null,
+            s"SNAPSHOT $path: VERSION AS OF is not supported on bucketed roots " +
+              "(the bucketed manifest keeps only the live version)")
+          new graft.tables.BucketedSnapshotTable(path, l.numBuckets,
+            l.keys.getOrElse(Nil)).read(spark)
+        case None =>
+          val t = new SnapshotTable(path)
+          Option(version).map(v => t.readVersion(spark, v.toInt))
+            .getOrElse(t.read(spark))
+      }
+      graft.cdc.ScdMerge.scd1Current(raw).queryExecution.logical
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -155,98 +177,147 @@ case class VacuumSnapshotCommand(path: String, keep: Int)
   }
 }
 
+/** Shared root-detection for the DML commands: a root carrying a
+  * `_manifest_v*` is a [[graft.tables.BucketedSnapshotTable]] and DML
+  * routes to its O(affected buckets) rewrite paths; anything else is a
+  * plain [[SnapshotTable]]. Header parsing (and its corrupt-manifest
+  * errors) live in [[graft.tables.BucketedSnapshotTable.layoutOf]]. */
+private[sql] object DmlRouting {
+  def bucketed(spark: SparkSession, path: String)
+      : Option[graft.tables.BucketedSnapshotTable.Layout] =
+    graft.tables.BucketedSnapshotTable.layoutOf(spark, path)
+
+  def table(spark: SparkSession, path: String,
+      l: graft.tables.BucketedSnapshotTable.Layout,
+      keys: Seq[String] = Nil): graft.tables.BucketedSnapshotTable =
+    new graft.tables.BucketedSnapshotTable(path, l.numBuckets,
+      l.keys.getOrElse(keys), l.statsCols)
+
+  def warnNoKeys(path: String, what: String): Unit =
+    org.apache.log4j.Logger.getLogger(getClass).warn(
+      s"$what $path: manifest records no bucket keys (pre-r7 table) — " +
+        "key validation skipped; rewrite the table to record its keys")
+}
+
 /** `MERGE INTO '<root>' USING <view> ON KEYS (…) SEQUENCE BY <col>
-  * [DELETE WHEN <pred>]` → [[graft.cdc.ScdMerge.scd1Upsert]] over the
-  * live snapshot + atomic snapshot commit. A root carrying a
-  * `_manifest_v*` (a [[graft.tables.BucketedSnapshotTable]]) routes to
-  * the bucketed merge instead — affected-buckets-only rewrite, with
-  * numBuckets read from the manifest header and ON KEYS as the bucket
-  * keys (they must match the keys the table was built with).
-  * Returns (version, n_rows). */
+  * [SCD TYPE 1|2] [DELETE WHEN <pred>]` → the auto-CDC merge algebra over
+  * the live snapshot + atomic commit: [[graft.cdc.ScdMerge.scd1Upsert]]
+  * (type 1, default) or [[graft.cdc.ScdMerge.scd2Merge]] (type 2, full
+  * version chains). A root carrying a `_manifest_v*` (a
+  * [[graft.tables.BucketedSnapshotTable]]) routes to the bucketed merge
+  * instead — affected-buckets-only rewrite, with the layout read from the
+  * manifest header and ON KEYS validated against the recorded bucket keys
+  * (a mismatch would silently mis-bucket; a pre-r7 manifest without the
+  * keys header logs a warning). Returns (version, n_rows) where n_rows
+  * counts VISIBLE rows (tombstone state rows excluded). */
 case class MergeSnapshotCommand(path: String, view: String, keys: Seq[String],
-    seqCol: String, deleteWhen: Option[String]) extends LeafRunnableCommand {
+    seqCol: String, deleteWhen: Option[String], scdType: Int = 1)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", IntegerType, nullable = false)(),
     AttributeReference("n_rows", LongType, nullable = false)())
 
-  /** numBuckets from the newest `_manifest_v<N>` header, when the root is
-    * a bucketed table. */
-  private def bucketedLayout(spark: SparkSession): Option[Int] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!f.exists(p)) return None
-    val manifests = f.listStatus(p).map(_.getPath.getName)
-      .filter(_.matches("_manifest_v\\d+"))
-    if (manifests.isEmpty) None
-    else {
-      val newest = manifests.maxBy(_.stripPrefix("_manifest_v").toInt)
-      val in = f.open(new org.apache.hadoop.fs.Path(p, newest))
-      val head = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().next() finally in.close()
-      Some(head.stripPrefix("numBuckets=").trim.toInt)
-    }
-  }
-
   override def run(spark: SparkSession): Seq[Row] = {
     val updates = spark.table(view)
     val del = deleteWhen.map(org.apache.spark.sql.functions.expr)
-    bucketedLayout(spark) match {
-      case Some(numBuckets) =>
-        val bt = new graft.tables.BucketedSnapshotTable(path, numBuckets, keys)
+    DmlRouting.bucketed(spark, path) match {
+      case Some(l) =>
+        val bt = DmlRouting.table(spark, path, l, keys)
         // keys recorded in the manifest header (since r7) must match ON
         // KEYS — merging with different keys would silently mis-bucket
-        bt.manifestHeader(spark).get("keys").foreach { stored =>
-          require(stored == keys.mkString(","),
-            s"MERGE INTO $path: ON KEYS (${keys.mkString(",")}) does not match " +
-              s"the table's bucket keys ($stored)")
+        l.keys match {
+          case Some(stored) =>
+            require(stored == keys,
+              s"MERGE INTO $path: ON KEYS (${keys.mkString(",")}) does not match " +
+                s"the table's bucket keys (${stored.mkString(",")})")
+          case None => DmlRouting.warnNoKeys(path, "MERGE INTO")
         }
-        bt.scd1Merge(spark, updates, seqCol, Nil, del)
-        Seq(Row(bt.currentVersion(spark).getOrElse(0), bt.read(spark).count()))
+        if (scdType == 2) bt.scd2Merge(spark, updates, seqCol, Nil, del)
+        else bt.scd1Merge(spark, updates, seqCol, Nil, del)
+        Seq(Row(bt.currentVersion(spark).getOrElse(0),
+          graft.cdc.ScdMerge.scd1Current(bt.read(spark)).count()))
       case None =>
         val t = new SnapshotTable(path)
-        val merged = graft.cdc.ScdMerge.scd1Upsert(
-          t.readOption(spark), updates, keys, seqCol, Nil, del)
+        val merged =
+          if (scdType == 2) graft.cdc.ScdMerge.scd2Merge(
+            t.readOption(spark), updates, keys, seqCol, Nil, Nil, del)
+          else graft.cdc.ScdMerge.scd1Upsert(
+            t.readOption(spark), updates, keys, seqCol, Nil, del)
         val v = t.write(spark, merged)
-        Seq(Row(v, t.read(spark).count()))
+        Seq(Row(v, graft.cdc.ScdMerge.scd1Current(t.read(spark)).count()))
     }
   }
 }
 
-/** `UPDATE '<root>' SET … WHERE <pred>` → copy-on-write: one atomic new
-  * snapshot with matched rows rewritten (the Delta UPDATE shape — readers
-  * flip between complete versions, never see a half-updated table). */
+/** `UPDATE '<root>' SET … WHERE <pred>` → copy-on-write: matched rows
+  * rewritten atomically (the Delta UPDATE shape — readers flip between
+  * complete versions, never see a half-updated table). All SET right-hand
+  * sides evaluate against the PRE-update row in one projection
+  * (simultaneous assignment — `SET a = b, b = a` swaps, SQL semantics).
+  * Plain roots commit a full rewritten snapshot carrying the table's hive
+  * partitioning and stats manifest forward; bucketed roots rewrite ONLY
+  * the buckets containing matches ([[graft.tables.BucketedSnapshotTable
+  * .update]] — the O(affected) path the 100 TB format exists for). */
 case class UpdateSnapshotCommand(path: String, sets: Seq[(String, String)],
     pred: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", IntegerType, nullable = false)(),
     AttributeReference("n_updated", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    import org.apache.spark.sql.functions.{expr, when => sqlWhen, col}
-    val t = new SnapshotTable(path)
-    val cur = t.read(spark)
+    import org.apache.spark.sql.functions.{col, expr, when => sqlWhen}
     val p = expr(pred)
-    val n = cur.filter(p).count()
-    val updated = sets.foldLeft(cur) { case (d, (c, e)) =>
-      d.withColumn(c, sqlWhen(p, expr(e)).otherwise(col(c)))
+    val setExprs = sets.map { case (c, e) => c -> expr(e) }
+    DmlRouting.bucketed(spark, path) match {
+      case Some(l) =>
+        if (l.keys.isEmpty) DmlRouting.warnNoKeys(path, "UPDATE")
+        val bt = DmlRouting.table(spark, path, l)
+        val (_, n) = bt.update(spark, p, setExprs)
+        Seq(Row(bt.currentVersion(spark).getOrElse(0), n))
+      case None =>
+        val t = new SnapshotTable(path)
+        val cur = t.read(spark)
+        val n = cur.filter(p).count()
+        // one projection over the original row: simultaneous SET semantics
+        val updated = cur.select(cur.columns.map { c =>
+          setExprs.collectFirst { case (nm, e) if nm == c =>
+            sqlWhen(p, e).otherwise(col(c)).as(c)
+          }.getOrElse(col(c))
+        }: _*)
+        // carry the physical layout forward: hive partitioning and the
+        // stats manifest survive the rewrite (they are table properties,
+        // not properties of one version)
+        val partCols = t.partitionColumns(spark)
+        val statsCols = t.statsColumns(spark)
+        val v = t.write(spark, updated, partCols)
+        statsCols.foreach(t.refreshStats(spark, _))
+        Seq(Row(v, n))
     }
-    Seq(Row(t.write(spark, updated), n))
   }
 }
 
-/** `DELETE FROM '<root>' WHERE <pred>` → key tombstones for the matched
-  * rows ([[SnapshotTable.deleteKeys]]): O(matched) IO, no table rewrite —
-  * the deletion-vector analog, already covered by q149's programmatic
-  * form. Returns the number of tombstoned rows. */
+/** `DELETE FROM '<root>' WHERE <pred>` — plain roots append key tombstones
+  * for the matched rows ([[SnapshotTable.deleteKeys]]): O(matched) IO, no
+  * table rewrite (the deletion-vector analog); bucketed roots rewrite only
+  * the buckets containing matches ([[graft.tables.BucketedSnapshotTable
+  * .delete]]). Returns the number of deleted rows. */
 case class DeleteSnapshotCommand(path: String, pred: String)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("n_deleted", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val t = new SnapshotTable(path)
-    val doomed = t.read(spark).filter(org.apache.spark.sql.functions.expr(pred))
-    val n = doomed.count()
-    if (n > 0) t.deleteKeys(spark, doomed)
-    Seq(Row(n))
+    val p = org.apache.spark.sql.functions.expr(pred)
+    DmlRouting.bucketed(spark, path) match {
+      case Some(l) =>
+        val bt = DmlRouting.table(spark, path, l)
+        val (_, n) = bt.delete(spark, p)
+        Seq(Row(n))
+      case None =>
+        val t = new SnapshotTable(path)
+        val doomed = t.read(spark).filter(p)
+        val n = doomed.count()
+        if (n > 0) t.deleteKeys(spark, doomed)
+        Seq(Row(n))
+    }
   }
 }
 

@@ -142,7 +142,9 @@ final class BucketedSnapshotTable(
 
   private def writeManifest(spark: SparkSession, v: Int, m: Map[Int, String]): Unit = {
     val f = fs(spark)
-    val body = (Seq(s"numBuckets=$numBuckets", s"keys=${keys.mkString(",")}") ++
+    val header = Seq(s"numBuckets=$numBuckets", s"keys=${keys.mkString(",")}") ++
+      (if (statsCols.isEmpty) Nil else Seq(s"statsCols=${statsCols.mkString(",")}"))
+    val body = (header ++
       m.toSeq.sortBy(_._1).map { case (b, d) => s"$b\t$d" }).mkString("\n")
     val out = f.create(new Path(root, s"_manifest_v$v"), true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -157,21 +159,49 @@ final class BucketedSnapshotTable(
   }
 
   /** Read a subset of buckets (directory-pruned: only the named bucket
-    * dirs are listed/scanned). `None` = all live buckets. */
+    * dirs are listed/scanned). `None` = all live buckets.
+    *
+    * SCHEMA EVOLUTION across batch dirs (the `appendEvolving`/mergeSchema
+    * read semantics): batches written across a schema change resolve to
+    * the UNION schema by name — oldest batch's type wins per column,
+    * absent columns null-fill — so a merge whose algebra adds or omits
+    * columns commits O(affected buckets) like any other, never a uniform
+    * whole-table migration. */
   private def readBuckets(spark: SparkSession, wanted: Option[Set[Int]]): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{col, lit}
     val m = manifest(spark)
     val picked = wanted.map(w => m.filter { case (b, _) => w(b) }).getOrElse(m)
     if (picked.isEmpty) None
     else {
       // group by batch dir so each dir is one relation with basePath set
-      // (keeps __bucket as a partition column)
-      val parts = picked.groupBy(_._2).map { case (dir, entries) =>
-        spark.read
-          .option("basePath", s"$root/$dir")
-          .parquet(entries.keys.toSeq.sorted.map(b => s"$root/$dir/$BucketCol=$b"): _*)
-      }.toSeq
-      Some(parts.reduce(_ unionByName _))
+      // (keeps __bucket as a partition column); deterministic batch order
+      // so first-seen column types are stable
+      val parts = picked.groupBy(_._2).toSeq
+        .sortBy { case (dir, _) => dir.stripPrefix("_batch_v").toIntOption.getOrElse(0) }
+        .map { case (dir, entries) =>
+          spark.read
+            .option("basePath", s"$root/$dir")
+            .parquet(entries.keys.toSeq.sorted.map(b => s"$root/$dir/$BucketCol=$b"): _*)
+        }
+      Some(unionEvolvingParts(parts))
     }
+  }
+
+  /** Union per-batch relations to the name-union schema (first-seen type
+    * wins, absent columns null-fill) — how batch dirs written across a
+    * schema change read as one table. */
+  private def unionEvolvingParts(parts: Seq[DataFrame]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val allCols = scala.collection.mutable.LinkedHashMap
+      .empty[String, org.apache.spark.sql.types.DataType]
+    parts.foreach(_.schema.foreach(fld =>
+      if (!allCols.contains(fld.name)) allCols(fld.name) = fld.dataType))
+    parts.map { p =>
+      p.select(allCols.toSeq.map { case (n, dt) =>
+        if (p.columns.contains(n)) col(n).cast(dt).as(n)
+        else lit(null).cast(dt).as(n)
+      }: _*)
+    }.reduce(_ unionByName _)
   }
 
   /** Full-table read (all buckets, internal bucket column dropped). */
@@ -192,45 +222,107 @@ final class BucketedSnapshotTable(
     * Returns the set of bucket ids rewritten.
     *
     * `applyAsDeletes` (tombstone semantics — see [[ScdMerge.scd2Merge]]):
-    * the FIRST delete-enabled merge on a table written without deletes is
-    * a one-time O(table) MIGRATION commit — every bucket is rewritten so
-    * the stored schema gains `__DELETED` uniformly (bucket dirs from
-    * different commits must agree on schema; a per-bucket drift would
-    * break the unioned read). Subsequent merges are O(affected buckets)
-    * again. */
+    * a delete-enabled merge on a table written without deletes commits
+    * O(affected buckets) like any other — the stored schema gains
+    * `__DELETED` only in the rewritten batch dirs, and [[readBuckets]]'s
+    * union-schema resolution null-fills it for untouched buckets (the
+    * merge algebra coalesces null → false). No migration commit. */
   def scd2Merge(spark: SparkSession, updates: DataFrame, seqCol: String,
       tieBreak: Seq[Column] = Nil,
-      applyAsDeletes: Option[Column] = None): Set[Int] = {
-    val migrate = applyAsDeletes.isDefined && currentVersion(spark).isDefined &&
-      !read(spark).columns.contains(ScdMerge.DeletedCol)
+      applyAsDeletes: Option[Column] = None): Set[Int] =
     merge(spark, updates, (cur, upd) =>
-      ScdMerge.scd2Merge(cur, upd, keys, seqCol, tieBreak, Nil, applyAsDeletes),
-      allBuckets = migrate)
+      ScdMerge.scd2Merge(cur, upd, keys, seqCol, tieBreak, Nil, applyAsDeletes))
+
+  /** Copy-on-write UPDATE (the Delta UPDATE shape on the bucketed format):
+    * rewrite ONLY the buckets containing rows matching `pred`, with every
+    * SET expression evaluated against the PRE-update row (simultaneous
+    * assignment, `SET a = b, b = a` swaps). Returns (buckets rewritten,
+    * rows updated).
+    *
+    * Scale shape: finding the affected buckets is one column-pruned scan
+    * of `pred`'s columns + the bucket partition column (the same touched-
+    * file discovery Delta's UPDATE runs); the rewrite IO is then O(matched
+    * buckets), never O(table). Bucket KEY columns cannot be SET — the row
+    * would belong in a different bucket (that is a delete + merge, not an
+    * update). */
+  def update(spark: SparkSession, pred: Column,
+      sets: Seq[(String, Column)]): (Set[Int], Long) = {
+    val badKeys = sets.map(_._1).filter(keys.contains)
+    require(badKeys.isEmpty,
+      s"BucketedSnapshotTable $root: UPDATE may not modify bucket key column(s) " +
+        s"${badKeys.mkString(",")} — the row would be mis-bucketed; model a key " +
+        "change as delete + merge")
+    require(sets.nonEmpty, "UPDATE needs at least one SET assignment")
+    rewriteMatching(spark, pred) { df =>
+      val unknown = sets.map(_._1).filterNot(df.columns.contains)
+      require(unknown.isEmpty,
+        s"BucketedSnapshotTable $root: UPDATE SET on unknown column(s) ${unknown.mkString(",")}")
+      // ONE projection over the original row: all SET right-hand sides see
+      // pre-update values (SQL simultaneous-assignment semantics)
+      df.select(df.columns.map { c =>
+        sets.collectFirst { case (n, e) if n == c =>
+          when(pred, e).otherwise(col(c)).as(c)
+        }.getOrElse(col(c))
+      }: _*)
+    }
+  }
+
+  /** Copy-on-write DELETE FROM: rewrite only the buckets containing rows
+    * matching `pred`, dropping those rows. Returns (buckets rewritten,
+    * rows deleted). A bucket whose every row matches writes no dir and
+    * leaves the manifest. NULL predicate results keep the row (SQL DELETE
+    * removes only rows where the predicate is TRUE). */
+  def delete(spark: SparkSession, pred: Column): (Set[Int], Long) =
+    rewriteMatching(spark, pred)(_.filter(!coalesce(pred, lit(false))))
+
+  /** Shared copy-on-write loop for [[update]]/[[delete]]: per attempt,
+    * discover the buckets holding `pred` matches (one job: per-bucket
+    * match counts, ≤ numBuckets rows of driver metadata), rewrite those
+    * buckets through `transform`, and commit. Recomputed from fresh state
+    * on a lost commit race. */
+  private def rewriteMatching(spark: SparkSession, pred: Column)
+      (transform: DataFrame => DataFrame): (Set[Int], Long) = {
+    var matched = 0L
+    val touched = commitLoop(spark) { () =>
+      readBuckets(spark, None).flatMap { all =>
+        val hits = all.filter(pred).groupBy(col(BucketCol)).count().collect()
+        matched = hits.map(_.getLong(1)).sum
+        val affected = hits.map(_.getInt(0)).toSet
+        if (affected.isEmpty) None
+        else Some((affected, transform(readBuckets(spark, Some(affected)).get)))
+      }
+    }
+    (touched, matched)
   }
 
   private def merge(spark: SparkSession, updates: DataFrame,
-      algebra: (Option[DataFrame], DataFrame) => DataFrame,
-      allBuckets: Boolean = false): Set[Int] = {
+      algebra: (Option[DataFrame], DataFrame) => DataFrame): Set[Int] = {
     val upd = updates.withColumn(BucketCol, bucketExpr)
     // driver-side metadata: at most numBuckets ints — NOT row data
     val updBuckets = upd.select(BucketCol).distinct()
       .collect().map(_.getInt(0)).toSet
-    val affected =
-      if (allBuckets) updBuckets ++ manifest(spark).keys else updBuckets
-    if (affected.isEmpty) return Set.empty
-    val f = fs(spark)
+    if (updBuckets.isEmpty) return Set.empty
+    commitLoop(spark) { () =>
+      Some((updBuckets, algebra(readBuckets(spark, Some(updBuckets)), upd)))
+    }
+  }
 
-    // optimistic concurrency with automatic retry: a merge is read-modify-write
-    // over the affected buckets, so it stages against the version it read
-    // and recomputes from fresh state if another writer committed first —
-    // racing merges on a shared table all land, serialized by the commit
-    // lock, none lost.
+  /** The optimistic read-modify-write commit loop shared by merges and
+    * copy-on-write DML: `stage` reads CURRENT state and returns (affected
+    * buckets, their rewritten content carrying [[BucketCol]]), or None for
+    * a no-op. Stages against the version it read and recomputes from
+    * fresh state if another writer committed first — racing writers on a
+    * shared table all land, serialized by the commit lock, none lost. */
+  private def commitLoop(spark: SparkSession)
+      (stage: () => Option[(Set[Int], DataFrame)]): Set[Int] = {
+    val f = fs(spark)
     var attempt = 0
-    var done = false
-    while (!done) {
+    while (true) {
       val v0 = currentVersion(spark).getOrElse(0)
-      val current = readBuckets(spark, Some(affected))
-      val merged = algebra(current, upd)
+      val (affected, merged) = stage() match {
+        case None => return Set.empty
+        case Some(x) => x
+      }
 
       val staging = s"_staging_${java.util.UUID.randomUUID().toString.take(12)}"
       // repartition on the bucket id so each bucket dir gets ONE writer task
@@ -278,19 +370,17 @@ final class BucketedSnapshotTable(
           true
         }
       }
-      if (committed) done = true
-      else {
-        attempt += 1
-        if (attempt > 12) throw new java.util.ConcurrentModificationException(
-          s"BucketedSnapshotTable $root: merge lost the commit race 12 times — giving up")
-        // jittered backoff so N symmetric racers don't re-stage in lockstep
-        // (each loser pays a full re-stage; desynchronizing them lets one
-        // winner land per staging window instead of all colliding again)
-        Thread.sleep(math.min(50L * attempt, 500L) +
-          java.util.concurrent.ThreadLocalRandom.current().nextLong(50))
-      }
+      if (committed) return affected
+      attempt += 1
+      if (attempt > 12) throw new java.util.ConcurrentModificationException(
+        s"BucketedSnapshotTable $root: merge lost the commit race 12 times — giving up")
+      // jittered backoff so N symmetric racers don't re-stage in lockstep
+      // (each loser pays a full re-stage; desynchronizing them lets one
+      // winner land per staging window instead of all colliding again)
+      Thread.sleep(math.min(50L * attempt, 500L) +
+        java.util.concurrent.ThreadLocalRandom.current().nextLong(50))
     }
-    affected
+    throw new IllegalStateException("unreachable")
   }
 
   // ── Per-batch file stats (SCD-merge × data-skipping composition) ───────
@@ -334,7 +424,7 @@ final class BucketedSnapshotTable(
       else Some(spark.read.option("basePath", s"$root/$dir").parquet(picked: _*))
     }.toSeq
     if (parts.isEmpty) read(spark).limit(0) // schema-preserving empty relation
-    else parts.reduce(_ unionByName _).drop(BucketCol)
+    else unionEvolvingParts(parts).drop(BucketCol)
   }
 
   /** Rewrite every bucket into the same batch dir (small-file compaction
@@ -393,5 +483,46 @@ final class BucketedSnapshotTable(
           name.startsWith("_staging_"))
         f.delete(st.getPath, true)
     }
+  }
+}
+
+object BucketedSnapshotTable {
+
+  /** Identity of a bucketed table as recorded in its manifest header:
+    * bucket count, bucket keys (absent on pre-r7 manifests that did not
+    * record them), and stats columns (absent when the table carries no
+    * per-batch stats). */
+  final case class Layout(numBuckets: Int, keys: Option[Seq[String]],
+      statsCols: Seq[String])
+
+  /** Probe `root` for a bucketed-table layout: Some(layout) when the
+    * newest `_manifest_v<N>` exists — the path-only table detection the
+    * SQL DML router uses. The header is parsed as key=value pairs; a
+    * manifest whose `numBuckets` is missing or non-numeric fails with a
+    * descriptive error (truncated/corrupt manifest) instead of a bare
+    * NumberFormatException. */
+  def layoutOf(spark: SparkSession, root: String): Option[Layout] = {
+    val p = new Path(root)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) return None
+    val manifests = f.listStatus(p).map(_.getPath.getName)
+      .filter(_.matches("_manifest_v\\d+"))
+    if (manifests.isEmpty) return None
+    val newest = manifests.maxBy(_.stripPrefix("_manifest_v").toInt)
+    val in = f.open(new Path(p, newest))
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      finally in.close()
+    val header = lines.takeWhile(l => l.contains("=") && !l.contains("\t"))
+      .map { l => val Array(k, v) = l.split("=", 2); k.trim -> v.trim }.toMap
+    def csv(s: String): Seq[String] =
+      s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val nb = header.get("numBuckets").flatMap(_.toIntOption).filter(_ > 0)
+      .getOrElse(throw new IllegalStateException(
+        s"BucketedSnapshotTable $root: manifest $newest has no parseable " +
+          s"numBuckets header (headers: ${header.keys.toSeq.sorted.mkString(",")}) " +
+          "— truncated or corrupt manifest"))
+    Some(Layout(nb, header.get("keys").map(csv),
+      header.get("statsCols").map(csv).getOrElse(Nil)))
   }
 }

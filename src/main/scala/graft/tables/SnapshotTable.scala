@@ -168,6 +168,26 @@ final class SnapshotTable(val root: String,
         .filter(_.contains('=')).map(_.takeWhile(_ != '='))
     }.find(_.nonEmpty).getOrElse(Nil)
 
+  /** Hive partition columns of the LIVE version (empty when flat) — lets
+    * rewrite DML (SQL UPDATE) carry the table's physical layout forward
+    * through a copy-on-write commit. */
+  def partitionColumns(spark: SparkSession): Seq[String] =
+    currentVersion(spark).map(partitionColsOf(fs(spark), _)).getOrElse(Nil)
+
+  /** Stats-manifest columns of the live version, when it carries one. */
+  def statsColumns(spark: SparkSession): Option[Seq[String]] =
+    currentVersion(spark).flatMap(v =>
+      StatsManifest.readLines(fs(spark), statsPath(v)).map(StatsManifest.statsColumns))
+
+  /** (Re)build the LIVE version's stats manifest over `cols` — one scan of
+    * the immutable just-committed snapshot; used by rewrite DML so data
+    * skipping survives a copy-on-write commit. */
+  def refreshStats(spark: SparkSession, cols: Seq[String]): Unit = {
+    val v = currentVersion(spark).getOrElse(
+      throw new IllegalStateException(s"SnapshotTable $root has no committed version"))
+    StatsManifest.write(snapshotDF(spark, v), cols, fs(spark), statsPath(v))
+  }
+
   def read(spark: SparkSession): DataFrame = {
     val v = currentVersion(spark).getOrElse(
       throw new IllegalStateException(s"SnapshotTable $root has no committed version"))
@@ -947,12 +967,18 @@ final class SnapshotTable(val root: String,
       }
       // Reap _staging_* orphans from crashed writers (the bucketed table's
       // rule). Age-gated by commitStaleMs so an ACTIVE writer mid-stage is
-      // never clobbered — same staleness bound the commit lock uses.
+      // never clobbered — and gated on the MAX mtime across the dir tree,
+      // not the root's: Spark writes task files under _staging_*/_temporary
+      // without bumping the staging root's mtime, so a root-mtime gate
+      // would reap a healthy long-running write mid-job.
       val now = System.currentTimeMillis()
       f.listStatus(new Path(root)).foreach { st =>
-        if (st.getPath.getName.startsWith("_staging_") &&
-            now - st.getModificationTime > commitStaleMs)
-          f.delete(st.getPath, true)
+        if (st.getPath.getName.startsWith("_staging_")) {
+          var newest = st.getModificationTime
+          val files = f.listFiles(st.getPath, true)
+          while (files.hasNext) newest = math.max(newest, files.next().getModificationTime)
+          if (now - newest > commitStaleMs) f.delete(st.getPath, true)
+        }
       }
     }
   }

@@ -120,36 +120,43 @@ class BucketedTableSpec extends AnyFunSuite {
     assert(pr.filter($"seq" === 2).select("k").as[Int].collect().toSet == Set(1, 2))
   }
 
-  test("bucketed deletes: SCD1 removes keys; SCD2 migrates once then prunes buckets again") {
+  test("bucketed deletes: SCD1 hides keys (tombstone state persists); SCD2 stays bucket-pruned") {
     def mkD(xs: Seq[(Int, Int, String, Boolean)]): DataFrame =
       xs.toDF("k", "seq", "v", "del")
     val dc = Some($"del")
 
-    // SCD1: tombstone removes its key, stale tombstone loses
+    // SCD1: tombstone hides its key, stale tombstone loses; the STATE
+    // keeps the tombstone row (cross-batch out-of-order protection)
     val t1 = new BucketedSnapshotTable(tmp("bdel1"), numBuckets = 8, keys = Seq("k"))
     t1.scd1Merge(spark, mkD(Seq((1, 10, "a", false), (2, 10, "b", false))), "seq",
       Nil, dc)
     t1.scd1Merge(spark, mkD(Seq((1, 20, "x", true), (2, 5, "x", true))), "seq",
       Nil, dc)
-    assert(rows(t1.read(spark), "k", "seq", "v") == Set("2|10|b"))
+    assert(rows(ScdMerge.scd1Current(t1.read(spark)), "k", "seq", "v") == Set("2|10|b"))
+    assert(t1.read(spark).filter($"k" === 1).count() == 1,
+      "deleted key's tombstone row must persist in the stored state")
+    // an out-of-order replay of the pre-delete upsert cannot resurrect key 1
+    t1.scd1Merge(spark, mkD(Seq((1, 10, "a", false))), "seq", Nil, dc)
+    assert(rows(ScdMerge.scd1Current(t1.read(spark)), "k", "seq", "v") == Set("2|10|b"))
 
     // SCD2: table built WITHOUT deletes, then a delete-enabled merge —
-    // the first one is a one-time all-bucket migration (schema gains
-    // __DELETED uniformly), the next is bucket-pruned again
+    // NO migration commit: only key 1's bucket is rewritten, the evolving
+    // bucket read null-fills __DELETED for untouched buckets
     val t2 = new BucketedSnapshotTable(tmp("bdel2"), numBuckets = 8, keys = Seq("k"))
     t2.scd2Merge(spark, mkBatch(Seq((1, 10, "a"), (2, 10, "b"), (17, 10, "q")))
       .withColumn("del", lit(false)), "seq")
-    val touchedMig = t2.scd2Merge(spark, mkD(Seq((1, 20, "x", true))), "seq", Nil, dc)
-    assert(touchedMig.size > 1, s"migration must rewrite all buckets: $touchedMig")
+    val touchedDel = t2.scd2Merge(spark, mkD(Seq((1, 20, "x", true))), "seq", Nil, dc)
+    assert(touchedDel.size == 1,
+      s"delete-enabled merge must stay bucket-pruned (no migration): $touchedDel")
     // key 1's chain: v@10 closed at 20 by the tombstone, no current row
     val cur = ScdMerge.current(t2.read(spark))
     assert(cur.select("k").as[Int].collect().toSet == Set(2, 17))
     val k1 = t2.read(spark).filter($"k" === 1 && !$"__DELETED")
       .select($"seq", $"__END_AT".cast("int")).as[(Int, Option[Int])].collect().toSeq
     assert(k1 == Seq((10, Some(20))), k1.toString)
-    // post-migration merge prunes to affected buckets again
+    // subsequent merges stay pruned too
     val touched2 = t2.scd2Merge(spark, mkD(Seq((2, 30, "b2", false))), "seq", Nil, dc)
-    assert(touched2.size == 1, s"post-migration merge must stay pruned: $touched2")
+    assert(touched2.size == 1, s"merge must stay pruned: $touched2")
     assert(ScdMerge.current(t2.read(spark)).filter($"k" === 2)
       .select("v").as[String].head() == "b2")
   }
@@ -219,6 +226,69 @@ class BucketedTableSpec extends AnyFunSuite {
     assert(t.readPruned(spark, "d", 1.0, 2.0).count() == full.count())
     assert(t.readPruned(spark, "d", 99.0, 100.0).count() == 0)
     assert(t.readPruned(spark, "d", 99.0, 100.0).columns.toSeq == full.columns.toSeq)
+  }
+
+  test("copy-on-write UPDATE/DELETE: affected-buckets-only IO, simultaneous SET, key columns protected") {
+    val t = new BucketedSnapshotTable(tmp("bcow"), numBuckets = 16, keys = Seq("k"))
+    t.scd1Merge(spark, (1 to 160).map(i => (i, 1, i.toDouble, i * 10.0))
+      .toDF("k", "seq", "a", "b"), "seq")
+    val before = t.manifest(spark)
+
+    // UPDATE matching exactly one key: only that key's bucket rewrites;
+    // SET is simultaneous (a reads the OLD b, b reads the OLD a — a swap)
+    val (touched, n) = t.update(spark, $"k" === 7,
+      Seq("a" -> col("b"), "b" -> col("a")))
+    assert(n == 1 && touched.size == 1)
+    assert((before.keySet -- touched).forall(bk => t.manifest(spark)(bk) == before(bk)),
+      "untouched buckets must carry over by reference")
+    assert(t.read(spark).filter($"k" === 7).select("a", "b")
+      .as[(Double, Double)].head() == ((70.0, 7.0)), "SET must be simultaneous (swap)")
+    assert(t.read(spark).filter($"k" === 8).select("a", "b")
+      .as[(Double, Double)].head() == ((8.0, 80.0)))
+
+    // SET on a bucket key must be refused (the row would be mis-bucketed)
+    val e = intercept[IllegalArgumentException](
+      t.update(spark, lit(true), Seq("k" -> lit(0))))
+    assert(e.getMessage.contains("bucket key"))
+
+    // DELETE: only matching buckets rewrite, rows drop, count is exact
+    val before2 = t.manifest(spark)
+    val (dTouched, dN) = t.delete(spark, $"k" === 7 || $"k" === 8)
+    assert(dN == 2)
+    assert((before2.keySet -- dTouched).forall(bk => t.manifest(spark)(bk) == before2(bk)))
+    assert(t.read(spark).filter($"k".isin(7, 8)).count() == 0)
+    assert(t.read(spark).count() == 158)
+    // no-match DELETE is a clean no-op (no commit)
+    val v = t.currentVersion(spark)
+    assert(t.delete(spark, $"k" === -1) == ((Set.empty[Int], 0L)))
+    assert(t.currentVersion(spark) == v)
+  }
+
+  test("schema evolution: add/omit-column merges stay bucket-pruned; stats manifests stay complete") {
+    val t = new BucketedSnapshotTable(tmp("bevol"), numBuckets = 8,
+      keys = Seq("k"), statsCols = Seq("seq"))
+    t.scd1Merge(spark, (1 to 80).map(i => (i, 1, s"v$i")).toDF("k", "seq", "v"), "seq")
+    val before = t.manifest(spark)
+    // batch 2 ADDS `extra` and OMITS `v` for one key — O(affected buckets)
+    val touched = t.scd1Merge(spark,
+      Seq((3, 2, 99.5)).toDF("k", "seq", "extra"), "seq")
+    assert(touched.size == 1, s"evolving merge must stay bucket-pruned: $touched")
+    assert((before.keySet -- touched).forall(bk => t.manifest(spark)(bk) == before(bk)))
+    val r = t.read(spark)
+    assert(r.columns.toSet == Set("k", "seq", "v", "extra"))
+    assert(r.filter($"k" === 3).select($"v".isNull, $"extra")
+      .as[(Boolean, Option[Double])].head() == ((true, Some(99.5))))
+    assert(r.filter($"k" === 4).select($"v", $"extra".isNull)
+      .as[(String, Boolean)].head() == (("v4", true)))
+    // stats stay complete across evolved batches: seq=2 prunes to the new
+    // batch's bucket only; a covering range still sees every row
+    val pr = t.readPruned(spark, "seq", 2.0, 2.0)
+    assert(pr.filter($"seq" === 2).select("k").as[Int].collect().toSeq == Seq(3))
+    assert(t.readPruned(spark, "seq", 1.0, 2.0).count() == 80)
+    // round-trip the other way: a later full-schema merge on the evolved
+    // table unions cleanly
+    t.scd1Merge(spark, Seq((5, 3, "v5b")).toDF("k", "seq", "v"), "seq")
+    assert(t.read(spark).filter($"k" === 5).select("v").as[String].head() == "v5b")
   }
 
   test("read prunes to affected buckets only (directory-level pruning)") {

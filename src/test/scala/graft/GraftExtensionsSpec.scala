@@ -189,20 +189,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .toDF("k", "v", "op_seq").createOrReplaceTempView("dml_batch")
     sqlRun(s"MERGE INTO '${t.root}' USING dml_batch ON KEYS (k) " +
       "SEQUENCE BY op_seq DELETE WHEN v = 0.0").collect()
-    assert(t.read(spark).select("k", "v").as[(Long, Double)].collect().toSet ==
+    // visible table via scd1Current (the stored STATE keeps k=2's tombstone)
+    def visible() = graft.cdc.ScdMerge.scd1Current(t.read(spark))
+    assert(visible().select("k", "v").as[(Long, Double)].collect().toSet ==
       Set((1L, 11.0), (3L, 30.0), (4L, 40.0)))
+    assert(t.read(spark).filter($"k" === 2).count() == 1,
+      "tombstone state row must persist for out-of-order protection")
 
     // UPDATE with a function call in SET (top-level comma splitter) — and
     // it must be atomic: a new version, not an in-place mutation
     sqlRun(s"UPDATE '${t.root}' SET v = v + greatest(1.0, 2.0), op_seq = 3 " +
       "WHERE k <= 3").collect()
-    assert(t.read(spark).select("k", "v").as[(Long, Double)].collect().toSet ==
+    assert(visible().select("k", "v").as[(Long, Double)].collect().toSet ==
       Set((1L, 13.0), (3L, 32.0), (4L, 40.0)))
 
     // DELETE FROM tombstones, no rewrite
     val nDel = sqlRun(s"DELETE FROM '${t.root}' WHERE v > 35.0").as[Long].head()
     assert(nDel == 1)
-    assert(t.read(spark).select("k").as[Long].collect().toSet == Set(1L, 3L))
+    assert(visible().select("k").as[Long].collect().toSet == Set(1L, 3L))
 
     // SNAPSHOT is a query; VERSION AS OF sees pre-DML history
     assert(sqlRun(s"SNAPSHOT '${t.root}'").count() == 2)
@@ -251,7 +255,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val out = sqlRun(s"MERGE INTO '$work/t' USING bmerge_batch ON KEYS (k) " +
       "SEQUENCE BY op_seq DELETE WHEN v = 'DEAD'").as[(Int, Long)].head()
     assert(out._2 == 3) // 1 updated + 17 untouched + 42 inserted; 2 deleted
-    assert(bt.read(spark).select("k", "v").as[(Long, String)].collect().toSet ==
+    assert(graft.cdc.ScdMerge.scd1Current(bt.read(spark))
+      .select("k", "v").as[(Long, String)].collect().toSet ==
       Set((1L, "a2"), (17L, "q"), (42L, "new")))
     // wrong ON KEYS must fail loudly (manifest header records the bucket
     // keys), never silently mis-bucket

@@ -1147,6 +1147,36 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("distributed"), e.getMessage)
   }
 
+  test("Pca.topComponentDistributed ≡ topComponent, bit-identical at small d") {
+    import graft.llm.Pca
+    import org.apache.spark.sql.functions.{abs => sqlAbs, round => sqlRound}
+    // the q292 banded Toeplitz covariance at a d the local path accepts
+    val d = 48
+    val cov = spark.range(d).select($"id".cast("int").as("i"))
+      .crossJoin(spark.range(-8, 9).select($"id".cast("int").as("o")))
+      .select($"i", ($"i" + $"o").as("j"), $"o")
+      .filter($"j" >= 0 && $"j" < d)
+      .select($"i", $"j",
+        sqlRound(lit(1.0) / (lit(1.0) + sqlAbs($"o").cast("double")), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("c"))
+    val local = Pca.topComponent(spark, cov, d, iters = 10)
+      .as[(Int, Double, Double)].collect().sortBy(_._1).toSeq
+    val dist = Pca.topComponentDistributed(spark, cov, d, iters = 10)
+      .as[(Int, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(local == dist, s"distributed/local drift:\n${
+      local.zip(dist).filter(p => p._1 != p._2).take(5)}")
+    // and on a DENSE covariance from real-shaped vectors
+    val rows = (0 until 60).map { k =>
+      (k.toLong, Array.tabulate(8)(j => (((k * 13 + j * 7) % 11) - 5) * 0.2f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val dcov = Pca.covariance(rows, "vec_id", "embedding")
+    val l2 = Pca.topComponent(spark, dcov, 8, iters = 10)
+      .as[(Int, Double, Double)].collect().sortBy(_._1).toSeq
+    val d2 = Pca.topComponentDistributed(spark, dcov, 8, iters = 10)
+      .as[(Int, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(l2 == d2, s"dense distributed/local drift: $l2 vs $d2")
+  }
+
   test("dhash64: cross-resolution twins land at small Hamming distance, distinct patterns far") {
     import graft.llm.Multimodal
     val base = (0L until 50L).map(k => (k, 2)).toDF("seed", "scale")

@@ -451,6 +451,47 @@ class PlanAuditSpec extends AnyFunSuite {
       s"corpus rescan in the iteration plan:\n${plan.take(3000)}")
   }
 
+  test("q261: debias plan derives the centered cell relation ONCE (pinned) — " +
+    "no explode or corpus rescan in the report plan") {
+    // The r7 top profile entry: debiasReport used to derive `centered`
+    // three times (covariance + two de-bias joins), re-running the
+    // explode + broadcast-mean join over the full corpus each time. With
+    // the cell relation localCheckpoint'ed and shared, the final report
+    // plan must contain NO Generate (posexplode) and NO parquet FileScan —
+    // every corpus input is the one pinned block.
+    val df = graft.llm.Pca.debiasReport(spark,
+      graft.tables.Tables.embeddings(spark, dir), "vec_id", "embedding", 64, iters = 10)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"),
+      s"cell derivation re-embedded in the debias plan:\n${plan.take(3000)}")
+    assert(!plan.contains("FileScan"),
+      s"corpus rescan in the debias plan:\n${plan.take(3000)}")
+  }
+
+  test("q292: distributed power-iteration round plan is matvec-join-only — " +
+    "pinned iterate, no d² driver materialization, no cartesian") {
+    import org.apache.spark.sql.functions.{abs => sqlAbs, round => sqlRound, col, lit}
+    val d = 64
+    val cov = spark.range(d).select(col("id").cast("int").as("i"))
+      .crossJoin(spark.range(-8, 9).select(col("id").cast("int").as("o")))
+      .select(col("i"), (col("i") + col("o")).as("j"), col("o"))
+      .filter(col("j") >= 0 && col("j") < d)
+      .select(col("i"), col("j"),
+        sqlRound(lit(1.0) / (lit(1.0) + sqlAbs(col("o")).cast("double")), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("c"))
+    val out = graft.llm.Pca.topComponentDistributed(spark, cov, d, iters = 3)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    // the returned iterate is a pinned block — the final plan must not
+    // re-embed the matvec chain (lineage would double per round) nor any
+    // cartesian/BNLJ
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("ExistingRDD") || plan.contains("LocalTableScan"),
+      s"iterate not pinned:\n${plan.take(3000)}")
+  }
+
   test("q272: dynamic partition pruning reaches the fact scan") {
     val df = SparkEntry.queries("q272_dynamic_partition_pruning")(spark, dir)
     df.collect()

@@ -109,23 +109,37 @@ class ScdMergeProps extends AnyFunSuite {
   private def dfD(evs: Seq[EvD]): DataFrame = evs.toDF("id", "seq", "v", "del")
   private val delCond = Some(org.apache.spark.sql.functions.col("del"))
 
-  test("scd1 deletes: winner-is-tombstone removes the key, under any split; replay no-op") {
-    forAllSeeded(Gen.zip(genEventsD, Gen.choose(0, 20))) { case (evs, cut) =>
+  test("scd1 deletes: winner-is-tombstone hides the key, under any RANDOM split; replay no-op") {
+    // The split is a random event partition, NOT a sequence cut — batch 2
+    // may deliver events OLDER than batch 1's (out-of-order delivery /
+    // replay of a pre-delete batch). The persisted tombstone state is what
+    // keeps a stale upsert from resurrecting a deleted key across batches.
+    val genSplit = for {
+      evs <- genEventsD
+      mask <- Gen.listOfN(evs.size, Gen.prob(0.5))
+    } yield (evs, mask)
+    forAllSeeded(genSplit) { case (evs, mask) =>
       if (evs.nonEmpty) {
-        val (b1, b2) = evs.partition(_.seq < cut)
+        val (b1p, b2p) = evs.zip(mask).partition(_._2)
+        val (b1, b2) = (b1p.map(_._1), b2p.map(_._1))
         var state: Option[DataFrame] = None
         if (b1.nonEmpty) state = Some(ScdMerge.scd1Upsert(state, dfD(b1), Seq("id"), "seq", Nil, delCond))
         if (b2.nonEmpty) state = Some(ScdMerge.scd1Upsert(state, dfD(b2), Seq("id"), "seq", Nil, delCond))
-        val got = state.get.select("id", "seq").as[(Int, Int)].collect().toSeq.sorted
+        val got = ScdMerge.scd1Current(state.get)
+          .select("id", "seq").as[(Int, Int)].collect().toSeq.sorted
         // closed form: per key keep max seq; key absent when that row is a delete
         val want = evs.groupBy(_.id).flatMap { case (id, g) =>
           val w = g.maxBy(_.seq)
           if (w.del) None else Some((id, w.seq))
         }.toSeq.sorted
-        assert(got == want, s"\nevents=$evs cut=$cut")
+        assert(got == want, s"\nevents=$evs mask=$mask")
+        // the STATE retains exactly one row per key (winner, flagged)
+        val stateKeys = state.get.select("id").as[Int].collect().toSeq.sorted
+        assert(stateKeys == evs.map(_.id).distinct.sorted, "state must keep tombstoned keys")
         // replay the final batch — nothing changes
         val rb = if (b2.nonEmpty) b2 else b1
-        val replayed = ScdMerge.scd1Upsert(state, dfD(rb), Seq("id"), "seq", Nil, delCond)
+        val replayed = ScdMerge.scd1Current(
+            ScdMerge.scd1Upsert(state, dfD(rb), Seq("id"), "seq", Nil, delCond))
           .select("id", "seq").as[(Int, Int)].collect().toSeq.sorted
         assert(replayed == want)
       }
@@ -207,11 +221,30 @@ class ScdMergeProps extends AnyFunSuite {
     val s1 = ScdMerge.scd1Upsert(None, dfD(Seq(EvD(1, 10, "a", false))), Seq("id"), "seq", Nil, delCond)
     // stale delete @5 loses to stored @10
     val s2 = ScdMerge.scd1Upsert(Some(s1), dfD(Seq(EvD(1, 5, "x", true))), Seq("id"), "seq", Nil, delCond)
-    assert(s2.select("seq").as[Int].collect().toSeq == Seq(10))
-    // fresh delete @20 removes; upsert @30 re-inserts
+    assert(ScdMerge.scd1Current(s2).select("seq").as[Int].collect().toSeq == Seq(10))
+    // fresh delete @20 hides the key (the tombstone row persists in state)
     val s3 = ScdMerge.scd1Upsert(Some(s2), dfD(Seq(EvD(1, 20, "x", true))), Seq("id"), "seq", Nil, delCond)
-    assert(s3.count() == 0)
+    assert(ScdMerge.scd1Current(s3).count() == 0)
+    assert(s3.count() == 1, "tombstone must persist in the SCD1 state")
     val s4 = ScdMerge.scd1Upsert(Some(s3), dfD(Seq(EvD(1, 30, "c", false))), Seq("id"), "seq", Nil, delCond)
-    assert(s4.select("seq", "v").as[(Int, String)].collect().toSeq == Seq((30, "c")))
+    assert(ScdMerge.scd1Current(s4).select("seq", "v").as[(Int, String)].collect().toSeq == Seq((30, "c")))
+  }
+
+  test("scd1 deletes: cross-batch out-of-order — a replayed pre-delete upsert cannot resurrect the key") {
+    // b1: upsert@10 then delete@20 → key hidden. b2 replays the OLD
+    // upsert@10 (out-of-order delivery). Without persisted tombstone state
+    // the key would silently come back with stale data.
+    val s1 = ScdMerge.scd1Upsert(None,
+      dfD(Seq(EvD(1, 10, "a", false), EvD(1, 20, "x", true))), Seq("id"), "seq", Nil, delCond)
+    assert(ScdMerge.scd1Current(s1).count() == 0)
+    val s2 = ScdMerge.scd1Upsert(Some(s1),
+      dfD(Seq(EvD(1, 10, "a", false))), Seq("id"), "seq", Nil, delCond)
+    assert(ScdMerge.scd1Current(s2).count() == 0,
+      "stale upsert after delete must stay invisible")
+    // ...and a batch with NO delete predicate still honors the stored state
+    val s3 = ScdMerge.scd1Upsert(Some(s2),
+      dfD(Seq(EvD(1, 15, "b", false))).drop("del"), Seq("id"), "seq")
+    assert(ScdMerge.scd1Current(s3).count() == 0,
+      "delete tracking must persist even when a later batch passes no predicate")
   }
 }
