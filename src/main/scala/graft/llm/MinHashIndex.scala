@@ -67,6 +67,33 @@ final class MinHashIndex(
       .write.mode(mode).partitionBy("__b").parquet(s"$root/shingles")
   }
 
+  /** The indexed (id, band, bucket) relation — for callers that fold the
+    * index side into their OWN candidate join (the streaming corpus loop
+    * unions it with the batch's bands so within-batch dedup and index
+    * probe are ONE join). At the join this side is the big scanned one;
+    * the batch side broadcasts, so per-batch cost stays O(batch) + one
+    * index scan, no corpus shuffle. */
+  def readBands(spark: SparkSession): DataFrame =
+    spark.read.parquet(s"$root/bands")
+
+  /** Sorted shingle-hash sets `(id, hs)` for the ids in `candidateOldIds`
+    * (a one-column `id` relation): the id set is reduced to its bucket
+    * dirs driver-side (≤ idBuckets ints — metadata, not row data) and
+    * ONLY those dirs are scanned, so verify IO is O(candidates), never
+    * O(corpus). Non-candidate ids sharing a bucket ride along — harmless,
+    * the verify join filters them. */
+  def readShingleSets(spark: SparkSession, candidateOldIds: DataFrame): DataFrame = {
+    val buckets = candidateOldIds
+      .select(idBucket(col(candidateOldIds.columns.head)).as("b"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    if (buckets.isEmpty)
+      return spark.range(0).select(col("id"),
+        array().cast("array<bigint>").as("hs"))
+    spark.read.option("basePath", s"$root/shingles")
+      .parquet(buckets.map(b => s"$root/shingles/__b=$b").toIndexedSeq: _*)
+      .groupBy("id").agg(sort_array(collect_list(col("h"))).as("hs"))
+  }
+
   /** Near-dup pairs between `newDf` and the indexed corpus: (d_new, d_old,
     * jaccard ≥ threshold). Only the candidates' shingle buckets are read. */
   def probe(spark: SparkSession, newDf: DataFrame, idCol: String, textCol: String,

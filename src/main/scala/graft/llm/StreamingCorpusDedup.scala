@@ -13,16 +13,16 @@ import graft.streaming.AutoIngest
   * [[MinHashIndex]] (incremental LSH index).
   *
   * Per batch, in arrival order:
-  *  1. within-batch: any doc whose exact-verified jaccard with a
-  *     SMALLER-id doc in the batch is ≥ threshold is dropped
-  *     ([[Dedup.minhashNearDupPairs]] — conservative: a doc is dropped
-  *     even if its only partner was itself dropped);
-  *  2. cross-batch: the batch probes the index ([[MinHashIndex
-  *     .probePrecomputed]], sharing the batch's fingerprints) and docs are
-  *     dropped on any hit — equivalent to probing within-batch survivors
-  *     only (the index holds nothing but previously-kept docs), and probe
-  *     cost is O(batch), never O(corpus);
-  *  3. the kept rows land in `sinkDir/batch_<id>/` (overwrite — a replayed
+  *  1. rejection, as ONE candidate join (r8): the batch's band rows probe
+  *     (batch ∪ index) bands in a single LSH join — a doc is dropped when
+  *     an exact-verified jaccard ≥ threshold pairs it with a SMALLER-id
+  *     batch doc (within-batch dedup; conservative: dropped even if the
+  *     partner was itself dropped) or with ANY indexed doc (cross-batch).
+  *     Equivalent to the former two-join within-then-probe form — the
+  *     index holds only previously-kept docs — at ~half the per-batch
+  *     jobs; the batch side broadcasts, so probe cost is O(batch) + one
+  *     index-band scan, never a corpus shuffle;
+  *  2. the kept rows land in `sinkDir/batch_<id>/` (overwrite — a replayed
   *     batch rewrites the same dir, keeping the SINK idempotent) and their
   *     fingerprints are appended to the index.
   *
@@ -67,19 +67,49 @@ object StreamingCorpusDedup {
         def restrict(df: DataFrame, ids: DataFrame) =
           df.join(ids.select(col(idCol).as("id")), Seq("id"), "left_semi")
 
-        // One rejection pass: kept = batch − (within-batch drops ∪ index
-        // hits). Identical to the two-step "within-dedup then survivors
-        // probe" form — the index holds only previously-KEPT docs, so an
-        // index hit on a within-dropped doc is redundant, and the within-
-        // drop relation never depended on index status — but it saves the
-        // intermediate survivor materialization and its anti-join job.
-        val withinDrop = Dedup.nearDupPairsFromBands(shEx, banded, threshold)
-          .select(col("d2").as("__drop_id")).distinct()
-        val dropIds =
-          if (!indexExists(spark, indexRoot)) withinDrop
-          else withinDrop.union(
-            idx.probePrecomputed(spark, shEx, banded, threshold)
-              .select(col("d_new").as("__drop_id")).distinct())
+        // ONE candidate join for the whole rejection pass (r8): the batch's
+        // bands probe (batch ∪ index) bands in a single join instead of a
+        // within-batch self-join PLUS an index-probe join. The batch side
+        // broadcasts (it is the small side), so the index bands are scanned
+        // once map-side — no corpus shuffle, and ~half the per-batch jobs.
+        // Semantics unchanged and conservative: a batch doc is doomed when
+        //  - an INDEX doc verifies ≥ threshold (src=1, any pair), or
+        //  - a SMALLER-id batch doc verifies ≥ threshold (src=0, a.id<b.id
+        //    dooms the larger), even if the partner is itself dropped.
+        val hasIdx = indexExists(spark, indexRoot)
+        val probeSide =
+          if (!hasIdx) banded.withColumn("__src", lit(0))
+          else banded.withColumn("__src", lit(0))
+            .unionByName(idx.readBands(spark).withColumn("__src", lit(1)))
+        val cands = dbg("candidate join")(banded.alias("a")
+          .join(probeSide.alias("b"),
+            col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+              (col("b.__src") === 1 || col("a.id") < col("b.id")))
+          .select(
+            when(col("b.__src") === 1, col("a.id")).otherwise(col("b.id")).as("__doomed"),
+            when(col("b.__src") === 1, col("b.id")).otherwise(col("a.id")).as("__other"),
+            col("b.__src").as("__src"))
+          .dropDuplicates("__doomed", "__other")
+          .localCheckpoint()) // reused: old-bucket pruning + verify join
+        // exact verify with ONE kernel for both pair kinds: doomed is
+        // always a batch doc (sets from the batch's pinned shingles);
+        // the partner's sets come from the batch or the bucket-pruned
+        // index read (O(candidates) IO) — ids are globally unique, so the
+        // unioned set relation is unambiguous
+        val batchSets = shEx.groupBy("id")
+          .agg(sort_array(collect_list(col("h"))).as("hs"))
+        val otherSets =
+          if (!hasIdx) batchSets
+          else batchSets.unionByName(
+            idx.readShingleSets(spark, cands.filter(col("__src") === 1)
+              .select(col("__other"))))
+        val dropIds = cands
+          .join(batchSets.select(col("id").as("__doomed"), col("hs").as("h1")), "__doomed")
+          .join(otherSets.select(col("id").as("__other"), col("hs").as("h2")), "__other")
+          .withColumn("i", size(array_intersect(col("h1"), col("h2"))).cast("long"))
+          .filter(col("i").cast("double") /
+            (size(col("h1")) + size(col("h2")) - col("i")).cast("double") >= threshold)
+          .select(col("__doomed").as("__drop_id")).distinct()
         val kept2 = b.join(dropIds, b(idCol) === col("__drop_id"), "left_anti")
         // the sink write IS the materialization; read back for the index add
         dbg("sink write")(
