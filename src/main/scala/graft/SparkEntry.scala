@@ -5253,6 +5253,37 @@ object SparkEntry {
         .orderBy($"user_id", $"__START_AT", $"event_id")
     }),
 
+    // ── Bucketed MAINTENANCE + TIME TRAVEL through SQL (r8): MERGE into a
+    //    bucketed root, OPTIMIZE (per-bucket batch unification), then read
+    //    both the post-maintenance state and VERSION AS OF 1 — proving the
+    //    manifest-by-reference design keeps history readable and
+    //    maintenance never changes visible content.
+    "q293_bucketed_maintenance_sql" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("bmaint").toString
+      val bt = new graft.tables.BucketedSnapshotTable(s"$work/t", 8, Seq("c_custkey"))
+      val c = Tables.customer(s, dir)
+      bt.scd1Merge(s, c.select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+        .withColumn("op_seq", lit(1L)), "op_seq")
+      c.filter($"c_custkey" % 3 === 0)
+        .select($"c_custkey", $"c_mktsegment", ($"c_acctbal" + 10.0).as("c_acctbal"))
+        .withColumn("op_seq", lit(2L)).createOrReplaceTempView("g293_batch")
+      val sqlRun = (q: String) => org.apache.spark.sql.GraftColumnBridge.graftSql(s, q)
+      sqlRun(s"MERGE INTO '$work/t' USING g293_batch ON KEYS (c_custkey) " +
+        "SEQUENCE BY op_seq").collect()
+      val v3 = sqlRun(s"OPTIMIZE '$work/t'").as[Int].head()
+      def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.groupBy($"c_mktsegment")
+          .agg(count(lit(1)).cast("long").as("n"),
+            Relational.sumMoney($"c_acctbal").as("total"))
+          .withColumn("state", lit(tag))
+      agg(sqlRun(s"SNAPSHOT '$work/t'"), "current")
+        .unionByName(agg(sqlRun(s"SNAPSHOT '$work/t' VERSION AS OF 1"), "v1"))
+        .withColumn("opt_version", lit(v3))
+        .select($"state", $"c_mktsegment", $"n", $"total", $"opt_version")
+        .orderBy($"state", $"c_mktsegment")
+    }),
+
     // ── DISTRIBUTED PCA power iteration (r8): d = 4096 sits beyond the
     //    local path's driver-side d² guard (Pca.topComponent rejects it),
     //    so the iteration runs on the (i,j)-keyed covariance RELATION —
@@ -6020,6 +6051,25 @@ object SparkEntry {
         |    (CASE WHEN c_acctbal > 5000.0 THEN 'high' ELSE 'low' END) END AS tier,
         |  CAST(CASE WHEN c_custkey % 7 = 0 THEN 2 ELSE 1 END AS BIGINT) AS op_seq
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // maintenance never changes visible content: current = merged state,
+    // v1 = the pre-merge load; OPTIMIZE commits version 3
+    "q293_bucketed_maintenance_sql" ->
+      """WITH v1 AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+        |cur AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 10.0 ELSE c_acctbal END AS c_acctbal
+        |  FROM v1),
+        |a AS (
+        |  SELECT 'current' AS state, c_mktsegment, COUNT(*) AS n,
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM cur GROUP BY c_mktsegment
+        |  UNION ALL
+        |  SELECT 'v1', c_mktsegment, COUNT(*),
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM v1 GROUP BY c_mktsegment)
+        |SELECT state, c_mktsegment, n, total, 3 AS opt_version
+        |FROM a ORDER BY state, c_mktsegment""".stripMargin,
 
     // q268's scenario through SQL MERGE … SCD TYPE 2 … DELETE WHEN:
     // identical closed form

@@ -104,11 +104,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       val spark = SparkSession.active
       val raw = graft.tables.BucketedSnapshotTable.layoutOf(spark, path) match {
         case Some(l) =>
-          require(version == null,
-            s"SNAPSHOT $path: VERSION AS OF is not supported on bucketed roots " +
-              "(the bucketed manifest keeps only the live version)")
-          new graft.tables.BucketedSnapshotTable(path, l.numBuckets,
-            l.keys.getOrElse(Nil)).read(spark)
+          val bt = new graft.tables.BucketedSnapshotTable(path, l.numBuckets,
+            l.keys.getOrElse(Nil))
+          Option(version).map(v => bt.readVersion(spark, v.toInt))
+            .getOrElse(bt.read(spark))
         case None =>
           val t = new SnapshotTable(path)
           Option(version).map(v => t.readVersion(spark, v.toInt))
@@ -155,24 +154,35 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     delegate.parseTableSchema(sqlText)
 }
 
-/** `OPTIMIZE '<root>' [TARGET <bytes>]` → [[SnapshotTable.optimizeCompact]];
-  * returns the (possibly unchanged) live version. */
+/** `OPTIMIZE '<root>' [TARGET <bytes>]` → [[SnapshotTable.optimizeCompact]]
+  * (plain roots: bin-pack small files, O(small files) IO) or
+  * [[graft.tables.BucketedSnapshotTable.compact]] (bucketed roots: unify
+  * each bucket's incremental batch files; TARGET is not applicable —
+  * bucket granularity is the layout). Returns the new live version. */
 case class OptimizeSnapshotCommand(path: String, targetBytes: Long)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(new SnapshotTable(path).optimizeCompact(spark, targetBytes)))
+    DmlRouting.bucketed(spark, path) match {
+      case Some(l) => Seq(Row(DmlRouting.table(spark, path, l).compact(spark)))
+      case None => Seq(Row(new SnapshotTable(path).optimizeCompact(spark, targetBytes)))
+    }
 }
 
-/** `VACUUM '<root>' [KEEP <n>]` → [[SnapshotTable.vacuum]]; returns the
-  * retained version window. */
+/** `VACUUM '<root>' [KEEP <n>]` → [[SnapshotTable.vacuum]] (plain) or
+  * [[graft.tables.BucketedSnapshotTable.vacuum]] (bucketed: unreferenced
+  * batch dirs + staging orphans; KEEP is not applicable — reachability
+  * from the live manifest is the retention rule). */
 case class VacuumSnapshotCommand(path: String, keep: Int)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("kept_versions", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    new SnapshotTable(path).vacuum(spark, keep)
+    DmlRouting.bucketed(spark, path) match {
+      case Some(l) => DmlRouting.table(spark, path, l).vacuum(spark)
+      case None    => new SnapshotTable(path).vacuum(spark, keep)
+    }
     Seq(Row(keep))
   }
 }
@@ -349,7 +359,10 @@ case class RestoreSnapshotCommand(path: String, version: Int)
     Seq(Row(new SnapshotTable(path).restore(spark, version)))
 }
 
-/** `DESCRIBE HISTORY '<root>'` → [[SnapshotTable.history]] rows. */
+/** `DESCRIBE HISTORY '<root>'` → [[SnapshotTable.history]] rows, or
+  * [[graft.tables.BucketedSnapshotTable.history]] for bucketed roots
+  * (has_tombstones reports false — the bucketed format materializes
+  * deletes into its batch rewrites instead of pending sidecars). */
 case class DescribeHistoryCommand(path: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", IntegerType, nullable = false)(),
@@ -359,5 +372,11 @@ case class DescribeHistoryCommand(path: String) extends LeafRunnableCommand {
     AttributeReference("has_tombstones", BooleanType, nullable = false)(),
     AttributeReference("is_live", BooleanType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
-    new SnapshotTable(path).history(spark).collect().toSeq
+    DmlRouting.bucketed(spark, path) match {
+      case Some(l) =>
+        DmlRouting.table(spark, path, l).history(spark).collect().toSeq
+          .map(r => Row(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            false, r.getBoolean(4)))
+      case None => new SnapshotTable(path).history(spark).collect().toSeq
+    }
 }

@@ -167,9 +167,11 @@ final class BucketedSnapshotTable(
     * absent columns null-fill — so a merge whose algebra adds or omits
     * columns commits O(affected buckets) like any other, never a uniform
     * whole-table migration. */
-  private def readBuckets(spark: SparkSession, wanted: Option[Set[Int]]): Option[DataFrame] = {
-    import org.apache.spark.sql.functions.{col, lit}
-    val m = manifest(spark)
+  private def readBuckets(spark: SparkSession, wanted: Option[Set[Int]]): Option[DataFrame] =
+    fromManifest(spark, manifest(spark), wanted)
+
+  private def fromManifest(spark: SparkSession, m: Map[Int, String],
+      wanted: Option[Set[Int]]): Option[DataFrame] = {
     val picked = wanted.map(w => m.filter { case (b, _) => w(b) }).getOrElse(m)
     if (picked.isEmpty) None
     else {
@@ -209,6 +211,53 @@ final class BucketedSnapshotTable(
     readBuckets(spark, None)
       .getOrElse(throw new IllegalStateException(s"BucketedSnapshotTable $root is empty"))
       .drop(BucketCol)
+
+  /** Time travel: read manifest version `version`. Old manifests persist
+    * across commits (metadata-sized), so any version whose batch dirs
+    * [[vacuum]] has not yet reaped reads exactly as it was committed;
+    * a vacuumed version raises (same contract as the plain table). */
+  def readVersion(spark: SparkSession, version: Int): DataFrame = {
+    val f = fs(spark)
+    if (!f.exists(new Path(root, s"_manifest_v$version")))
+      throw new IllegalArgumentException(
+        s"BucketedSnapshotTable $root: version $version does not exist")
+    val m = readManifest(spark, version)
+    m.values.toSet.foreach { (dir: String) =>
+      if (!f.exists(new Path(s"$root/$dir")))
+        throw new IllegalArgumentException(
+          s"BucketedSnapshotTable $root: version $version was vacuumed (missing $dir)")
+    }
+    fromManifest(spark, m, None)
+      .getOrElse(throw new IllegalStateException(
+        s"BucketedSnapshotTable $root: version $version is empty"))
+      .drop(BucketCol)
+  }
+
+  /** DESCRIBE HISTORY analog: one row per RETAINED (readable) manifest
+    * version — version, visible rows, files, bytes, is_live. Versions
+    * whose batch dirs vacuum already reaped are skipped. */
+  def history(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark)
+    val live = currentVersion(spark).getOrElse(0)
+    val versions = f.listStatus(new Path(root)).map(_.getPath.getName)
+      .filter(_.matches("_manifest_v\\d+"))
+      .map(_.stripPrefix("_manifest_v").toInt).sorted
+    versions.toSeq.flatMap { v =>
+      val m = readManifest(spark, v)
+      val readable = m.values.toSet.forall(d => f.exists(new Path(s"$root/$d")))
+      if (!readable) None
+      else {
+        val files = m.toSeq.flatMap { case (b, dir) =>
+          val p = new Path(s"$root/$dir/$BucketCol=$b")
+          if (!f.exists(p)) Nil
+          else f.listStatus(p).toSeq.filter(_.getPath.getName.endsWith(".parquet"))
+        }
+        val rows = fromManifest(spark, m, None).map(_.count()).getOrElse(0L)
+        Some((v, rows, files.size.toLong, files.map(_.getLen).sum, v == live))
+      }
+    }.toDF("version", "n_rows", "n_files", "bytes", "is_live")
+  }
 
   /** SCD Type 1 merge (last-write-wins upsert, FactStream.py:12-21
     * semantics). Returns the set of bucket ids rewritten. */

@@ -129,6 +129,21 @@ object ScaleSoak {
           embD, "vec_id", "v",
           k = 10, numPlanes = 4, numTables = 16).count()
       }
+      t("ann_lsh_clustered") {
+        // the CLUSTERED regime (LlmOpsSpec pins recall@10 ≥0.9 here at
+        // HALF the uniform fixture's tables): synthesize a 16-center
+        // Gaussian mixture sized to this tag's corpus so the row tracks
+        // the candidate-cost curve on real-shaped data
+        val n = embD.count().toInt
+        val mix = spark.range(n).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)), j =>
+            sin(pmod(col("id"), lit(16)) * 7 + j * 13) +
+              sin(col("id") * 37 + j * 101) * 0.5).as("v"))
+          .localCheckpoint()
+        graft.llm.Similarity.lshTopK(
+          mix.filter(col("vec_id") < 50), mix, "vec_id", "v",
+          k = 10, numPlanes = 4, numTables = 8).count()
+      }
       t("bpe_train_capped") {
         // vocab-scale trainer (VERDICT r5 #4): one distributed word-count
         // + capped local fit — must be ~flat at 10× corpus (the merge

@@ -161,6 +161,30 @@ class BucketedTableSpec extends AnyFunSuite {
       .select("v").as[String].head() == "b2")
   }
 
+  test("time travel + history: old manifests read as committed until vacuum reaps their batches") {
+    val dir = tmp("btt")
+    val t = new BucketedSnapshotTable(dir, numBuckets = 4, keys = Seq("k"))
+    t.scd1Merge(spark, mkBatch(Seq((1, 1, "a"), (2, 1, "b"), (9, 1, "c"))), "seq")
+    t.scd1Merge(spark, mkBatch(Seq((1, 2, "a2"), (4, 2, "d"))), "seq")
+    // v1 reads exactly as committed; live is v2
+    assert(rows(t.readVersion(spark, 1), "k", "v") == Set("1|a", "2|b", "9|c"))
+    assert(rows(t.read(spark), "k", "v") == Set("1|a2", "2|b", "9|c", "4|d"))
+    val h = t.history(spark).select("version", "n_rows", "is_live")
+      .as[(Int, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(h == Seq((1, 3L, false), (2, 4L, true)), h.toString)
+    intercept[IllegalArgumentException](t.readVersion(spark, 7))
+    // SQL forms route by the _manifest_v* probe
+    def sqlRun(q: String) = org.apache.spark.sql.GraftColumnBridge.graftSql(spark, q)
+    assert(sqlRun(s"SNAPSHOT '$dir' VERSION AS OF 1").count() == 3)
+    assert(sqlRun(s"DESCRIBE HISTORY '$dir'").count() == 2)
+    val v3 = sqlRun(s"OPTIMIZE '$dir'").as[Int].head()
+    assert(v3 == 3 && rows(t.read(spark), "k", "v") == Set("1|a2", "2|b", "9|c", "4|d"))
+    sqlRun(s"VACUUM '$dir'").collect()
+    // pre-compaction batches are unreachable from the live manifest → reaped
+    intercept[IllegalArgumentException](t.readVersion(spark, 1))
+    assert(rows(t.read(spark), "k", "v") == Set("1|a2", "2|b", "9|c", "4|d"))
+  }
+
   test("compact unifies layout; vacuum drops unreachable batch dirs") {
     val dir = tmp("bvac")
     val t = new BucketedSnapshotTable(dir, numBuckets = 4, keys = Seq("k"))
