@@ -5253,6 +5253,22 @@ object SparkEntry {
         .orderBy($"user_id", $"__START_AT", $"event_id")
     }),
 
+    // ── Bucketed POINT LOOKUP (r8): the probed keys hash to their bucket
+    //    dirs driver-side and only those are scanned before the semi-join
+    //    — a single-key read on a 4096-bucket 100 TB table touches
+    //    1/4096th of it (the bucketed format's Bloom-index analog).
+    "q294_bucketed_point_lookup" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("bkey").toString
+      val bt = new graft.tables.BucketedSnapshotTable(s"$work/t", 32, Seq("c_custkey"))
+      val c = Tables.customer(s, dir)
+      bt.scd1Merge(s, c.select($"c_custkey", $"c_name", $"c_acctbal")
+        .withColumn("op_seq", lit(1L)), "op_seq")
+      bt.readKeys(s, c.filter($"c_custkey" % 97 === 0).select($"c_custkey"))
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+        .orderBy($"c_custkey")
+    }),
+
     // ── Bucketed MAINTENANCE + TIME TRAVEL through SQL (r8): MERGE into a
     //    bucketed root, OPTIMIZE (per-bucket batch unification), then read
     //    both the post-maintenance state and VERSION AS OF 1 — proving the
@@ -5282,6 +5298,27 @@ object SparkEntry {
         .withColumn("opt_version", lit(v3))
         .select($"state", $"c_mktsegment", $"n", $"total", $"opt_version")
         .orderBy($"state", $"c_mktsegment")
+    }),
+
+    // ── Bucketed SCD TYPE 2 through SQL MERGE (r8): the full routing
+    //    matrix corner — version-chain merge with delete flows INTO the
+    //    bucketed 100 TB format, driven from SQL; batch 2's buckets only
+    //    are rewritten, and SNAPSHOT reads the visible chain back.
+    "q295_bucketed_sql_scd2" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("bsqlscd2").toString
+      val bt = new graft.tables.BucketedSnapshotTable(s"$work/t", 8, Seq("user_id"))
+      val e = Tables.events(s, dir).select($"user_id", $"event_id", $"event_type", $"ts")
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+      bt.scd2Merge(s, e.filter($"ts" < cut), "ts", Nil,
+        Some($"event_type" === "error"))
+      e.filter($"ts" >= cut).createOrReplaceTempView("g295_b2")
+      org.apache.spark.sql.GraftColumnBridge.graftSql(s,
+        s"MERGE INTO '$work/t' USING g295_b2 ON KEYS (user_id) " +
+          "SEQUENCE BY ts SCD TYPE 2 DELETE WHEN event_type = 'error'").collect()
+      org.apache.spark.sql.GraftColumnBridge.graftSql(s, s"SNAPSHOT '$work/t'")
+        .select($"user_id", $"event_id", $"event_type", $"__START_AT", $"__END_AT")
+        .orderBy($"user_id", $"__START_AT", $"event_id")
     }),
 
     // ── DISTRIBUTED PCA power iteration (r8): d = 4096 sits beyond the
@@ -6051,6 +6088,22 @@ object SparkEntry {
         |    (CASE WHEN c_acctbal > 5000.0 THEN 'high' ELSE 'low' END) END AS tier,
         |  CAST(CASE WHEN c_custkey % 7 = 0 THEN 2 ELSE 1 END AS BIGINT) AS op_seq
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // bucketed SCD2 via SQL: q268's closed form again — storage layout
+    // must not change merge semantics
+    "q295_bucketed_sql_scd2" ->
+      """WITH chain AS (
+        |  SELECT user_id, event_id, event_type, ts AS __START_AT,
+        |    LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS __END_AT
+        |  FROM events)
+        |SELECT user_id, event_id, event_type, __START_AT, __END_AT
+        |FROM chain WHERE event_type <> 'error'
+        |ORDER BY user_id, __START_AT, event_id""".stripMargin,
+
+    // the semi-join on probed keys over the bucket-pruned read
+    "q294_bucketed_point_lookup" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey % 97 = 0 ORDER BY c_custkey""".stripMargin,
 
     // maintenance never changes visible content: current = merged state,
     // v1 = the pre-merge load; OPTIMIZE commits version 3

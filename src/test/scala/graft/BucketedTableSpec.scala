@@ -161,6 +161,22 @@ class BucketedTableSpec extends AnyFunSuite {
       .select("v").as[String].head() == "b2")
   }
 
+  test("readKeys: point lookup scans only the probed keys' bucket dirs") {
+    val t = new BucketedSnapshotTable(tmp("bkey"), numBuckets = 32, keys = Seq("k"))
+    t.scd1Merge(spark, mkBatch((1 to 320).map(i => (i, 1, s"v$i"))), "seq")
+    val full = t.read(spark)
+    val hit = t.readKeys(spark, Seq(7, 7, 13).toDF("k"))
+    assert(hit.select("k", "v").as[(Int, String)].collect().toSet ==
+      Set((7, "v7"), (13, "v13")))
+    // IO bound: at most 2 buckets' files are listed for 2 distinct keys
+    assert(hit.inputFiles.length <= 2 * full.inputFiles.length / 32 + 2,
+      s"${hit.inputFiles.length} files scanned of ${full.inputFiles.length}")
+    assert(hit.inputFiles.length < full.inputFiles.length)
+    // missing keys → empty, schema preserved
+    val miss = t.readKeys(spark, Seq(100000).toDF("k"))
+    assert(miss.count() == 0 && miss.columns.toSeq == full.columns.toSeq)
+  }
+
   test("time travel + history: old manifests read as committed until vacuum reaps their batches") {
     val dir = tmp("btt")
     val t = new BucketedSnapshotTable(dir, numBuckets = 4, keys = Seq("k"))
