@@ -5257,6 +5257,31 @@ object SparkEntry {
     //    dirs driver-side and only those are scanned before the semi-join
     //    — a single-key read on a 4096-bucket 100 TB table touches
     //    1/4096th of it (the bucketed format's Bloom-index analog).
+    // ── Bucketed CHANGE FEED (r8): the Delta CDF analog on the 100 TB
+    //    format — the two manifests name which buckets changed (driver
+    //    metadata), so the diff reads O(changed buckets), never the
+    //    table. Update rows carry NEW values + column attribution,
+    //    delete rows (tombstone flow) the old values.
+    "q296_bucketed_change_feed" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("bcdfq").toString
+      val bt = new graft.tables.BucketedSnapshotTable(s"$work/t", 64, Seq("c_custkey"))
+      val c = Tables.customer(s, dir).select($"c_custkey", $"c_name", $"c_acctbal")
+      bt.scd1Merge(s, c.withColumn("op_seq", lit(1L)), "op_seq")
+      val upd = c.filter($"c_custkey" % 10 === 0 && $"c_custkey" % 17 =!= 0)
+        .withColumn("c_acctbal", $"c_acctbal" + 100)
+      val dels = c.filter($"c_custkey" % 17 === 0)
+      val ins = c.filter($"c_custkey" % 50 === 0)
+        .withColumn("c_custkey", $"c_custkey" + 10000000L)
+      bt.scd1Merge(s, upd.unionByName(dels).unionByName(ins)
+          .withColumn("op_seq", lit(2L)), "op_seq", Nil,
+        applyAsDeletes = Some($"c_custkey" % 17 === 0 && $"c_custkey" < 10000000L))
+      bt.changes(s, 1, 2, withChangedColumns = true)
+        .select($"c_custkey", $"c_name", $"c_acctbal",
+          $"_change_type", $"_changed_columns")
+        .orderBy($"c_custkey", $"_change_type")
+    }),
+
     "q294_bucketed_point_lookup" -> ((s, dir) => {
       import s.implicits._
       val work = java.nio.file.Files.createTempDirectory("bkey").toString
@@ -6099,6 +6124,22 @@ object SparkEntry {
         |SELECT user_id, event_id, event_type, __START_AT, __END_AT
         |FROM chain WHERE event_type <> 'error'
         |ORDER BY user_id, __START_AT, event_id""".stripMargin,
+
+    // the derived CDF closed form: updates carry new values + attribution
+    // (c_acctbal moved, and op_seq 1→2 with it), deletes old values,
+    // inserts the new keys
+    "q296_bucketed_change_feed" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer)
+        |SELECT c_custkey, c_name, c_acctbal + 100 AS c_acctbal,
+        |  'update' AS _change_type, 'c_acctbal,op_seq' AS _changed_columns
+        |FROM base WHERE c_custkey % 10 = 0 AND c_custkey % 17 <> 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal, 'delete', '' FROM base
+        |WHERE c_custkey % 17 = 0
+        |UNION ALL
+        |SELECT c_custkey + 10000000, c_name, c_acctbal, 'insert', '' FROM base
+        |WHERE c_custkey % 50 = 0
+        |ORDER BY c_custkey, _change_type""".stripMargin,
 
     // the semi-join on probed keys over the bucket-pruned read
     "q294_bucketed_point_lookup" ->

@@ -843,51 +843,13 @@ final class SnapshotTable(val root: String,
     * refresh, at zero extra shuffle (computed inside the same full-outer
     * join row). */
   def changes(spark: SparkSession, keys: Seq[String], fromV: Int, toV: Int,
-      withChangedColumns: Boolean): DataFrame = {
-    import org.apache.spark.sql.functions._
-    // Schema evolution across versions: align both snapshots to the union
-    // schema (new version's order first, then old-only columns), null-
-    // filling what a version lacks. A column added in `toV` therefore
+      withChangedColumns: Boolean): DataFrame =
+    // Schema evolution across versions: both sides align to the union
+    // schema inside [[ChangeFeed.diff]] — a column added in `toV`
     // reports prior rows as updates (absent → value) and deletes carry
-    // null for it — the accurate derived-CDF reading of an ADD COLUMN.
-    val oldS0 = readVersion(spark, fromV)
-    val newS0 = readVersion(spark, toV)
-    val allCols: Seq[(String, org.apache.spark.sql.types.DataType)] =
-      newS0.schema.map(f => f.name -> f.dataType) ++
-        oldS0.schema.filterNot(f => newS0.columns.contains(f.name))
-          .map(f => f.name -> f.dataType)
-    def align(df: DataFrame): DataFrame = df.select(allCols.map { case (n, dt) =>
-      if (df.columns.contains(n)) col(n) else lit(null).cast(dt).as(n)
-    }: _*)
-    val oldS = align(oldS0)
-    val newS = align(newS0)
-    val dataCols = allCols.map(_._1).filterNot(keys.contains)
-    val o = oldS.select(oldS.columns.map(c => col(c).as(s"__o_$c")): _*)
-    val n = newS.select(newS.columns.map(c => col(c).as(s"__n_$c")): _*)
-    val cond = keys.map(k => o(s"__o_$k") === n(s"__n_$k")).reduce(_ && _)
-    val changedData =
-      if (dataCols.isEmpty) lit(false)
-      else dataCols.map(c => !(col(s"__o_$c") <=> col(s"__n_$c"))).reduce(_ || _)
-    val changedColsExpr = concat_ws(",", array_sort(filter(
-      array(dataCols.map(c =>
-        when(!(col(s"__o_$c") <=> col(s"__n_$c")), lit(c))): _*),
-      x => x.isNotNull)))
-    val baseCols =
-      keys.map(k => coalesce(col(s"__n_$k"), col(s"__o_$k")).as(k)) ++
-        dataCols.map(c => when(col("_change_type") === "delete", col(s"__o_$c"))
-          .otherwise(col(s"__n_$c")).as(c)) :+ col("_change_type")
-    val outCols =
-      if (!withChangedColumns) baseCols
-      else baseCols :+ when(col("_change_type") === "update", changedColsExpr)
-        .otherwise(lit("")).as("_changed_columns")
-    o.join(n, cond, "full_outer")
-      .withColumn("_change_type",
-        when(col(s"__o_${keys.head}").isNull, "insert")
-          .when(col(s"__n_${keys.head}").isNull, "delete")
-          .when(changedData, "update"))
-      .filter(col("_change_type").isNotNull)
-      .select(outCols: _*)
-  }
+    // null for it, the accurate derived-CDF reading of an ADD COLUMN.
+    ChangeFeed.diff(readVersion(spark, fromV), readVersion(spark, toV),
+      keys, withChangedColumns)
 
   /** RESTORE (Delta `RESTORE TABLE ... TO VERSION` analog): commit a NEW
     * version whose content is an older version's — history moves forward,

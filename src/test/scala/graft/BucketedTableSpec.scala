@@ -44,6 +44,38 @@ class BucketedTableSpec extends AnyFunSuite {
     }
   }
 
+  test("disjoint-bucket racers rebase: every writer stages exactly once, all land") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t = new BucketedSnapshotTable(tmp("breb"), numBuckets = 64, keys = Seq("k"))
+    val base = (1 to 640).map(k => (k, 1, s"base$k"))
+    t.scd1Merge(spark, mkBatch(base), "seq") // v1
+    val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+    graft.tables.TestHooks.onStep(t, s => if (s == "staged") stages.incrementAndGet())
+    // 4 writers, each updating only keys that hash to ONE distinct bucket
+    // — affected sets are disjoint, so a lost race must rebase the staged
+    // batch instead of recomputing (one stage per writer, no retries)
+    val byBucket = mkBatch(base)
+      .withColumn("__b", t.bucketExpr)
+      .select("k", "__b").as[(Int, Int)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSeq).toMap
+    val buckets = byBucket.keys.toSeq.sorted.take(4)
+    val fs = buckets.map { b =>
+      Future(t.scd1Merge(spark,
+        mkBatch(byBucket(b).map(k => (k, 2, s"b$b-$k"))), "seq"))
+    }
+    val touched = Await.result(Future.sequence(fs), 180.seconds)
+    graft.tables.TestHooks.onStep(t, _ => ())
+    assert(touched.map(_.size).sum == 4 && touched.flatten.toSet.size == 4)
+    assert(t.currentVersion(spark).contains(5))
+    assert(stages.get() == 4, s"expected 4 stage jobs (rebase, no re-stage), got ${stages.get()}")
+    val got = t.read(spark).select("k", "v").as[(Int, String)].collect().toMap
+    buckets.foreach(b => byBucket(b).foreach(k =>
+      assert(got(k) == s"b$b-$k", s"key $k lost its update: ${got(k)}")))
+    assert(got.size == 640)
+  }
+
   test("scd1Merge equals whole-table scd1Upsert across batches") {
     val t = new BucketedSnapshotTable(tmp("bscd1"), numBuckets = 8, keys = Seq("k"))
     val b1 = mkBatch(Seq((1, 10, "a"), (2, 10, "b"), (3, 10, "c"), (17, 10, "q")))
@@ -175,6 +207,44 @@ class BucketedTableSpec extends AnyFunSuite {
     // missing keys → empty, schema preserved
     val miss = t.readKeys(spark, Seq(100000).toDF("k"))
     assert(miss.count() == 0 && miss.columns.toSeq == full.columns.toSeq)
+  }
+
+  test("changes: manifest-pruned CDF classifies insert/update/delete and scans only changed buckets") {
+    val dir = tmp("bcdf")
+    val t = new BucketedSnapshotTable(dir, numBuckets = 32, keys = Seq("k"))
+    t.scd1Merge(spark, mkBatch((1 to 320).map(i => (i, 1, s"v$i"))), "seq") // v1
+    // v2: update k=7, insert k=1000, tombstone-delete k=13
+    t.scd1Merge(spark,
+      mkBatch(Seq((7, 2, "v7b"), (1000, 2, "new"), (13, 2, "gone")))
+        .withColumn("del", $"k" === 13),
+      "seq", Nil, applyAsDeletes = Some(col("del") === true))
+    val cdf = t.changes(spark, 1, 2, withChangedColumns = true)
+    val got = cdf.select("k", "_change_type", "_changed_columns")
+      .as[(Int, String, String)].collect().toSet
+    // the delete-flow merge adds __DELETED to rewritten buckets, so the
+    // update row attributes v (the real change) — __DELETED is filtered
+    // out of the visible diff entirely, and `del` appears only in v2
+    assert(got.map(x => (x._1, x._2)) ==
+      Set((7, "update"), (1000, "insert"), (13, "delete")))
+    assert(got.find(_._1 == 7).get._3.split(",").toSet.contains("v"))
+    // IO bound: 3 changed keys → ≤3 buckets read per side, not 32
+    val full = t.read(spark)
+    assert(cdf.inputFiles.length <= 6 * full.inputFiles.length / 32 + 6,
+      s"${cdf.inputFiles.length} files for 3 changed keys of ${full.inputFiles.length}")
+    // SQL surface round-trip (keys from the manifest header)
+    val viaSql = org.apache.spark.sql.GraftColumnBridge.graftSql(spark,
+      s"CHANGES '$dir' FROM 1 TO 2 WITH COLUMNS")
+      .select("k", "_change_type").as[(Int, String)].collect().toSet
+    assert(viaSql == got.map(x => (x._1, x._2)))
+    // identical manifests ⇒ empty feed, schema intact (OPTIMIZE commits v3
+    // with every bucket re-pointed, so diff 2→3 must also be empty rows)
+    t.compact(spark)
+    assert(t.changes(spark, 2, 3).count() == 0)
+    // mismatched ON KEYS refused
+    intercept[Exception] {
+      org.apache.spark.sql.GraftColumnBridge.graftSql(spark,
+        s"CHANGES '$dir' FROM 1 TO 2 ON KEYS (wrong)").collect()
+    }
   }
 
   test("time travel + history: old manifests read as committed until vacuum reaps their batches") {

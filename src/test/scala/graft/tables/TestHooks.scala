@@ -1,0 +1,7 @@
+package graft.tables
+
+/** Test-only bridge to the `private[tables]` fault-injection hook, for
+  * specs that live outside this package. */
+object TestHooks {
+  def onStep(t: BucketedSnapshotTable, f: String => Unit): Unit = t.onStep = f
+}
