@@ -5257,6 +5257,78 @@ object SparkEntry {
     //    dirs driver-side and only those are scanned before the semi-join
     //    — a single-key read on a 4096-bucket 100 TB table touches
     //    1/4096th of it (the bucketed format's Bloom-index analog).
+    // ── PCA TOP-K VIA DEFLATION (r8): extract the top component, subtract
+    //    its rank-1 contribution (Hotelling deflation, engine-exact
+    //    quantization), iterate again — the top FEW directions
+    //    all-but-the-top de-biasing classically removes. Oracle replays
+    //    both unrolled iterations AND the deflation arithmetic.
+    "q299_pca_top2_deflation" -> ((s, dir) => {
+      import s.implicits._
+      val cov = graft.llm.Pca.covariance(
+        Tables.embeddings(s, dir), "vec_id", "embedding")
+      graft.llm.Pca.topComponents(s, cov, 64, k = 2, iters = 10)
+        .select($"comp", $"i".cast("long").as("dim"), $"loading", $"eigenvalue")
+        .orderBy($"comp", $"dim")
+    }),
+
+    // ── SQL INSERT INTO (r8): transactional append through SQL —
+    //    O(increment) manifest append on the plain root, EVOLVE giving
+    //    mergeSchema semantics (new column joins the union schema, old
+    //    rows null-fill). Closes the DML surface: MERGE/UPDATE/DELETE/
+    //    INSERT all route through the same transactional tables.
+    "q298_sql_insert" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("sqlins").toString
+      val t = new graft.tables.SnapshotTable(s"$work/t")
+      t.write(s, Tables.region(s, dir)
+        .select($"r_regionkey".as("rkey"), $"r_name".as("name")))
+      Tables.nation(s, dir)
+        .select(($"n_nationkey" + 100L).as("rkey"), $"n_name".as("name"))
+        .createOrReplaceTempView("g298_more")
+      Tables.nation(s, dir)
+        .select(($"n_nationkey" + 200L).as("rkey"), $"n_name".as("name"),
+          $"n_regionkey".cast("long").as("note"))
+        .createOrReplaceTempView("g298_evolved")
+      org.apache.spark.sql.GraftColumnBridge.graftSql(s,
+        s"INSERT INTO '$work/t' FROM g298_more").collect()
+      org.apache.spark.sql.GraftColumnBridge.graftSql(s,
+        s"INSERT INTO '$work/t' FROM g298_evolved EVOLVE").collect()
+      org.apache.spark.sql.GraftColumnBridge.graftSql(s, s"SNAPSHOT '$work/t'")
+        .select($"rkey", $"name", $"note")
+        .orderBy($"rkey")
+    }),
+
+    // ── Bucketed STREAMING CDC SINK (r8): micro-batches scd1-merge into
+    //    the bucketed 100 TB format — each trigger rewrites only the
+    //    buckets its keys hash to, and the manifest-header txn ledger
+    //    makes a crash-replayed batch a clean no-op (exactly-once). The
+    //    hand replay of batch 0 after the drain proves the ledger: the
+    //    table's version count and content are unchanged by it.
+    "q297_bucketed_stream_cdc" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("bstream").toString
+      Tables.events(s, dir).select($"user_id", $"event_id", $"event_type", $"ts")
+        .coalesce(4).write.mode("overwrite").parquet(s"$work/src")
+      val cfg = graft.streaming.AutoIngest.Config(
+        sourceDir = s"$work/src", schemaDir = s"$work/schema",
+        checkpointDir = s"$work/ck", maxFilesPerTrigger = Some(2))
+      val bt = new graft.tables.BucketedSnapshotTable(s"$work/t", 16, Seq("user_id"))
+      def drain(): Unit = graft.streaming.BucketedSink.scd1StreamOnce(
+        graft.streaming.AutoIngest.readStream(s, cfg).drop("_rescued_data"),
+        bt, cfg.checkpointDir, queryId = "events_cdc", seqCol = "ts",
+        tieBreak = Seq($"event_id"))
+      drain(); drain() // second drain: checkpoint says nothing new
+      val vAfter = bt.currentVersion(s).get
+      // replay batch 0 by hand — the txn ledger makes it a clean no-op
+      val replayTouched = bt.scd1Merge(s,
+        bt.read(s).limit(5), "ts", Seq($"event_id"),
+        txn = Some(("events_cdc", 0L)))
+      require(replayTouched.isEmpty && bt.currentVersion(s).contains(vAfter),
+        "replayed batch must be a no-op")
+      bt.read(s).select($"user_id", $"event_id", $"event_type", $"ts")
+        .orderBy($"user_id")
+    }),
+
     // ── Bucketed CHANGE FEED (r8): the Delta CDF analog on the 100 TB
     //    format — the two manifests name which buckets changed (driver
     //    metadata), so the diff reads O(changed buckets), never the
@@ -5265,7 +5337,7 @@ object SparkEntry {
     "q296_bucketed_change_feed" -> ((s, dir) => {
       import s.implicits._
       val work = java.nio.file.Files.createTempDirectory("bcdfq").toString
-      val bt = new graft.tables.BucketedSnapshotTable(s"$work/t", 64, Seq("c_custkey"))
+      val bt = new graft.tables.BucketedSnapshotTable(s"$work/t", 32, Seq("c_custkey"))
       val c = Tables.customer(s, dir).select($"c_custkey", $"c_name", $"c_acctbal")
       bt.scd1Merge(s, c.withColumn("op_seq", lit(1L)), "op_seq")
       val upd = c.filter($"c_custkey" % 10 === 0 && $"c_custkey" % 17 =!= 0)
@@ -5485,6 +5557,52 @@ object SparkEntry {
        |  SELECT i, CAST(round(w/nrm, 9) AS DECIMAL(18,9)) AS v
        |  FROM w$k CROSS JOIN n$k)""".stripMargin
   }.mkString(",\n")
+
+  /** [[pcaPowerSteps]] with a name prefix and covariance CTE name — lets
+    * one oracle unroll SEVERAL power iterations (the q299 deflation
+    * replay: rounds over `cov`, then rounds over the deflated `cov2`). */
+  private def pcaPowerStepsNamed(pfx: String, covName: String): String =
+    (1 to 10).map { k =>
+      s"""${pfx}w$k AS MATERIALIZED (
+         |  SELECT $covName.i,
+         |    CAST(SUM(CAST(CAST(c AS DOUBLE)*CAST(v AS DOUBLE) AS DECIMAL(28,12)))
+         |      AS DOUBLE) AS w
+         |  FROM $covName JOIN ${pfx}v${k - 1} ON ${pfx}v${k - 1}.i = $covName.j
+         |  GROUP BY $covName.i),
+         |${pfx}n$k AS MATERIALIZED (
+         |  SELECT sqrt(CAST(SUM(CAST(w*w AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+         |  FROM ${pfx}w$k),
+         |${pfx}v$k AS MATERIALIZED (
+         |  SELECT i, CAST(round(w/nrm, 9) AS DECIMAL(18,9)) AS v
+         |  FROM ${pfx}w$k CROSS JOIN ${pfx}n$k)""".stripMargin
+    }.mkString(",\n")
+
+  /** q299's oracle: the q260 pipeline (cov + rounds → v10/n10), then the
+    * engine-exact Hotelling deflation (λ the 6-dp eigenvalue, rank-1 term
+    * 12-dp-decimal-cast, deflated entry re-quantized DECIMAL(18,9)) and a
+    * second unrolled iteration over the deflated matrix. */
+  private def pcaDeflationOracle: String =
+    s"""$pcaOracle,
+       |eig1 AS (SELECT round(nrm, 6) AS e FROM n10),
+       |cov2 AS MATERIALIZED (
+       |  SELECT cov.i, cov.j,
+       |    CAST(round(CAST(c AS DOUBLE) -
+       |      CAST(CAST(e*CAST(a.v AS DOUBLE)*CAST(b.v AS DOUBLE)
+       |        AS DECIMAL(28,12)) AS DOUBLE), 9) AS DECIMAL(18,9)) AS c
+       |  FROM cov JOIN v10 a ON a.i = cov.i JOIN v10 b ON b.i = cov.j
+       |  CROSS JOIN eig1),
+       |dv0 AS (
+       |  SELECT i, CAST(round(CAST(1.0 AS DOUBLE)/sqrt(CAST(64 AS DOUBLE)), 9)
+       |    AS DECIMAL(18,9)) AS v
+       |  FROM (SELECT DISTINCT i FROM means)),
+       |${pcaPowerStepsNamed("d", "cov2")}
+       |SELECT 0 AS comp, CAST(v10.i AS BIGINT) AS dim, CAST(v AS DOUBLE) AS loading,
+       |  round(n10.nrm, 6) AS eigenvalue
+       |FROM v10 CROSS JOIN n10
+       |UNION ALL
+       |SELECT 1, CAST(dv10.i AS BIGINT), CAST(v AS DOUBLE), round(dn10.nrm, 6)
+       |FROM dv10 CROSS JOIN dn10
+       |ORDER BY comp, dim""".stripMargin
 
   /** q260's oracle: covariance + the unrolled power-iteration rounds. */
   private def pcaOracle: String = {
@@ -6124,6 +6242,29 @@ object SparkEntry {
         |SELECT user_id, event_id, event_type, __START_AT, __END_AT
         |FROM chain WHERE event_type <> 'error'
         |ORDER BY user_id, __START_AT, event_id""".stripMargin,
+
+    "q299_pca_top2_deflation" -> pcaDeflationOracle,
+
+    // three appends = UNION ALL; pre-evolution rows null-fill the evolved
+    // column
+    "q298_sql_insert" ->
+      """SELECT rkey, name, note FROM (
+        |  SELECT r_regionkey AS rkey, r_name AS name, CAST(NULL AS BIGINT) AS note FROM region
+        |  UNION ALL
+        |  SELECT n_nationkey + 100, n_name, NULL FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey + 200, n_name, CAST(n_regionkey AS BIGINT) FROM nation)
+        |ORDER BY rkey""".stripMargin,
+
+    // streamed SCD1 state = latest event per user (ts desc, event_id desc
+    // tiebreak), independent of micro-batch boundaries
+    "q297_bucketed_stream_cdc" ->
+      """SELECT user_id, event_id, event_type, ts FROM (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
 
     // the derived CDF closed form: updates carry new values + attribution
     // (c_acctbal moved, and op_seq 1→2 with it), deletes old values,

@@ -176,6 +176,87 @@ object Pca {
       lit(eig).as("eigenvalue"))
   }
 
+  /** Top-k eigenpairs via DEFLATION: extract the top component, subtract
+    * its rank-1 contribution from the covariance (C ← C − λ·vvᵀ, the
+    * Hotelling deflation), repeat. Returns one row per (component,
+    * dimension): `(comp, i, loading, eigenvalue)`, comp = 0-based rank.
+    *
+    * The deflation arithmetic is engine-exact like everything else here:
+    * the rank-1 term λ·vᵢ·vⱼ is 12-dp-decimal-cast (λ the 6-dp quantized
+    * eigenvalue, v the 9-dp iterate), and the deflated entry re-quantizes
+    * to DECIMAL(18,9) — the covariance's own contract — so local,
+    * distributed, and SQL replays stay bit-identical round for round.
+    * "All-but-the-top" de-biasing classically removes the top FEW
+    * directions (Mu & Viswanath use d/100); this is that k. */
+  def topComponents(spark: SparkSession, cov: DataFrame, d: Int, k: Int,
+      iters: Int = 10): DataFrame = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def q(x: Double, scale: Int): JBD =
+      JBD.valueOf(x).setScale(scale, RoundingMode.HALF_UP)
+    var c = cov
+    val parts = (0 until k).map { comp =>
+      val top = topComponent(spark, c, d, iters)
+      if (comp < k - 1) {
+        val rows = top.select(col("i"), col("loading"), col("eigenvalue"))
+          .collect() // d rows — model-sized
+        val eig = rows.head.getDouble(2)
+        val v = Array.ofDim[Double](d)
+        rows.foreach(r => v(r.getInt(0)) = r.getDouble(1))
+        val sess = spark
+        import sess.implicits._
+        // deflated covariance, quantized at the covariance contract: the
+        // local matrix is model-sized so the deflation is a driver map
+        val cArr = Array.ofDim[Double](d, d)
+        c.select(col("i"), col("j"), col("c").cast("double")).collect()
+          .foreach(r => cArr(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+        val deflated = for { i <- 0 until d; j <- 0 until d } yield {
+          val t = q(eig * v(i) * v(j), 12).doubleValue
+          (i, j, q(cArr(i)(j) - t, 9).doubleValue)
+        }
+        c = deflated.toDF("i", "j", "c")
+          .select(col("i"), col("j"), col("c").cast(DecimalType(18, 9)).as("c"))
+      }
+      top.select(lit(comp).as("comp"), col("i"), col("loading"), col("eigenvalue"))
+    }
+    parts.reduce(_ unionByName _)
+  }
+
+  /** [[topComponents]] with the covariance kept DISTRIBUTED throughout
+    * (the d > 4000 path): each extraction is [[topComponentDistributed]],
+    * each deflation one broadcast join of the d-row component onto the
+    * (i,j) relation — the d² matrix never reaches the driver. Quantization
+    * points identical to the local path (bit-identical at small d, pinned
+    * by spec). Absent (i,j) entries of a SPARSE covariance deflate to
+    * −λ·vᵢ·vⱼ ≠ 0, so deflation densifies: fine for k·d² work distributed,
+    * and exactly what the algebra requires. */
+  def topComponentsDistributed(spark: SparkSession, cov: DataFrame, d: Int,
+      k: Int, iters: Int = 10): DataFrame = {
+    var c = cov.select(col("i"), col("j"), col("c"))
+    val parts = (0 until k).map { comp =>
+      val top = topComponentDistributed(spark, c, d, iters)
+        .localCheckpoint() // two consumers: output + deflation join
+      if (comp < k - 1) {
+        val eig = top.select(col("eigenvalue")).head().getDouble(0)
+        val v = top.select(col("i"), col("loading"))
+        // densify on the full (i,j) grid: sparse entries deflate off zero
+        val grid = spark.range(d).select(col("id").cast("int").as("i"))
+          .crossJoin(spark.range(d).select(col("id").cast("int").as("j")))
+        c = grid
+          .join(c, Seq("i", "j"), "left")
+          .join(broadcast(v.select(col("i"), col("loading").as("vi"))), Seq("i"))
+          .join(broadcast(v.select(col("i").as("j"), col("loading").as("vj"))), Seq("j"))
+          .select(col("i"), col("j"),
+            round(coalesce(col("c").cast("double"), lit(0.0)) -
+              (lit(eig) * col("vi") * col("vj")).cast(DecimalType(28, 12))
+                .cast("double"), 9)
+              .cast(DecimalType(18, 9)).as("c"))
+          .localCheckpoint() // pin: next extraction iterates over it
+      }
+      top.select(lit(comp).as("comp"), col("i"), col("loading"), col("eigenvalue"))
+    }
+    parts.reduce(_ unionByName _)
+  }
+
   /** All-but-the-top de-biasing report (Mu & Viswanath 2018): remove each
     * vector's projection on the top principal component — the cheap
     * post-processing that restores isotropy to embedding spaces (the top

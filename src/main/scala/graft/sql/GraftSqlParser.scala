@@ -24,7 +24,8 @@ import graft.tables.SnapshotTable
   *     SEQUENCE BY <col> [SCD TYPE 1|2] [DELETE WHEN <predicate>]
   *   UPDATE '<table root>' SET c = <expr>[, …] WHERE <predicate>
   *   DELETE FROM '<table root>' WHERE <predicate>
-  *   SNAPSHOT '<table root>' [VERSION AS OF <n>]
+  *   INSERT INTO '<table root>' FROM <view> [EVOLVE]
+  *   SNAPSHOT '<table root>' [VERSION AS OF <n> | TIMESTAMP AS OF '<ts>']
   *   CHANGES '<table root>' FROM <v> TO <v> [ON KEYS (…)] [WITH COLUMNS]
   * }}}
   *
@@ -63,7 +64,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Delete =
     """(?is)\s*DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val Snapshot =
-    """(?is)\s*SNAPSHOT\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+    """(?is)\s*SNAPSHOT\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?\s*""".r
+  private val Insert =
+    """(?is)\s*INSERT\s+INTO\s+'([^']+)'\s+FROM\s+([\w.]+)(\s+EVOLVE)?\s*;?\s*""".r
   private val Changes =
     """(?is)\s*CHANGES\s+'([^']+)'\s+FROM\s+(\d+)\s+TO\s+(\d+)(?:\s+ON\s+KEYS\s*\(([^)]+)\))?(\s+WITH\s+COLUMNS)?\s*;?\s*""".r
   private val Restore =
@@ -93,27 +96,32 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       }, pred.trim)
     case Delete(path, pred) =>
       DeleteSnapshotCommand(path, pred.trim)
+    case Insert(path, view, evolve) =>
+      InsertSnapshotCommand(path, view, evolve != null)
     case Restore(path, version) =>
       RestoreSnapshotCommand(path, version.toInt)
     case AddConstraint(path, name, pred) =>
       AlterConstraintCommand(path, name, Some(pred.trim))
     case DropConstraint(path, name) =>
       AlterConstraintCommand(path, name, None)
-    case Snapshot(path, version) =>
+    case Snapshot(path, version, asOfTs) =>
       // a QUERY, not a command: time-travel read as a logical plan. The
       // VISIBLE table: SCD tombstone state rows (persisted for cross-batch
       // out-of-order protection) are filtered and __DELETED dropped —
       // scd1Current is a pass-through for tables without delete flows.
       val spark = SparkSession.active
+      val tsMillis = Option(asOfTs).map(parseTsMillis)
       val raw = graft.tables.BucketedSnapshotTable.layoutOf(spark, path) match {
         case Some(l) =>
           val bt = new graft.tables.BucketedSnapshotTable(path, l.numBuckets,
             l.keys.getOrElse(Nil))
           Option(version).map(v => bt.readVersion(spark, v.toInt))
+            .orElse(tsMillis.map(bt.readTimestamp(spark, _)))
             .getOrElse(bt.read(spark))
         case None =>
           val t = new SnapshotTable(path)
           Option(version).map(v => t.readVersion(spark, v.toInt))
+            .orElse(tsMillis.map(t.readTimestamp(spark, _)))
             .getOrElse(t.read(spark))
       }
       graft.cdc.ScdMerge.scd1Current(raw).queryExecution.logical
@@ -148,6 +156,22 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       }
       df.queryExecution.logical
     case _ => delegate.parsePlan(sqlText)
+  }
+
+  /** `TIMESTAMP AS OF` literal → epoch millis (UTC when no zone given):
+    * `yyyy-MM-dd HH:mm:ss[.SSS]`, `yyyy-MM-dd`, or full ISO-8601. */
+  private def parseTsMillis(s: String): Long = {
+    val t = s.trim
+    try java.time.Instant.parse(t).toEpochMilli
+    catch { case _: Exception =>
+      try java.time.LocalDateTime
+        .parse(t.replace(' ', 'T'))
+        .atZone(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+      catch { case _: Exception =>
+        java.time.LocalDate.parse(t).atStartOfDay(java.time.ZoneOffset.UTC)
+          .toInstant.toEpochMilli
+      }
+    }
   }
 
   /** Split on commas at paren/quote depth 0 — `SET a = f(x, y), b = 2`
@@ -361,6 +385,31 @@ case class DeleteSnapshotCommand(path: String, pred: String)
         if (n > 0) t.deleteKeys(spark, doomed)
         Seq(Row(n))
     }
+  }
+}
+
+/** `INSERT INTO '<root>' FROM <view> [EVOLVE]` → transactional append of
+  * the view's rows to a plain snapshot root: O(increment) manifest append
+  * (never a snapshot rewrite), constraints checked inline. `EVOLVE`
+  * routes through [[SnapshotTable.appendEvolving]] (mergeSchema
+  * semantics: new columns join the union schema, absent columns
+  * null-fill). A BUCKETED root refuses with a named error — its state is
+  * a keyed SCD mapping, so unkeyed appends have no meaning there; use
+  * `MERGE INTO … ON KEYS` instead. */
+case class InsertSnapshotCommand(path: String, view: String, evolve: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("n_inserted", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(DmlRouting.bucketed(spark, path).isEmpty,
+      s"INSERT INTO $path: the root is a bucketed SCD table (keyed state) — " +
+        "plain appends would bypass the merge algebra; use MERGE INTO … ON KEYS")
+    val t = new SnapshotTable(path)
+    val rows = spark.table(view)
+    val n = rows.count()
+    val v = if (evolve) t.appendEvolving(spark, rows) else t.append(spark, rows)
+    Seq(Row(v, n))
   }
 }
 

@@ -133,20 +133,33 @@ final class BucketedSnapshotTable(
     * lets path-only consumers (the SQL MERGE router) reconstruct and
     * VALIDATE the table identity instead of silently mis-bucketing. */
   def manifestHeader(spark: SparkSession): Map[String, String] =
-    currentVersion(spark).map { v =>
-      val f = fs(spark)
-      val in = f.open(new Path(root, s"_manifest_v$v"))
-      val lines =
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
-        finally in.close()
-      lines.takeWhile(l => l.contains("=") && !l.contains("\t"))
-        .map { l => val Array(k, vv) = l.split("=", 2); k -> vv }.toMap
-    }.getOrElse(Map.empty)
+    currentVersion(spark).map(headerOf(spark, _)).getOrElse(Map.empty)
 
-  private def writeManifest(spark: SparkSession, v: Int, m: Map[Int, String]): Unit = {
+  private def headerOf(spark: SparkSession, v: Int): Map[String, String] = {
+    val f = fs(spark)
+    val in = f.open(new Path(root, s"_manifest_v$v"))
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      finally in.close()
+    lines.takeWhile(l => l.contains("=") && !l.contains("\t"))
+      .map { l => val Array(k, vv) = l.split("=", 2); k -> vv }.toMap
+  }
+
+  /** Streaming-transaction watermarks recorded in version `v`'s manifest
+    * header (`txn:<queryId>=<batchId>`): the highest micro-batch each
+    * logical stream has committed — the exactly-once ledger. */
+  private def txnsOf(spark: SparkSession, v: Int): Map[String, Long] =
+    if (v == 0) Map.empty
+    else headerOf(spark, v).collect {
+      case (k, b) if k.startsWith("txn:") => k.stripPrefix("txn:") -> b.toLong
+    }
+
+  private def writeManifest(spark: SparkSession, v: Int, m: Map[Int, String],
+      txns: Map[String, Long] = Map.empty): Unit = {
     val f = fs(spark)
     val header = Seq(s"numBuckets=$numBuckets", s"keys=${keys.mkString(",")}") ++
-      (if (statsCols.isEmpty) Nil else Seq(s"statsCols=${statsCols.mkString(",")}"))
+      (if (statsCols.isEmpty) Nil else Seq(s"statsCols=${statsCols.mkString(",")}")) ++
+      txns.toSeq.sortBy(_._1).map { case (q, b) => s"txn:$q=$b" }
     val body = (header ++
       m.toSeq.sortBy(_._1).map { case (b, d) => s"$b\t$d" }).mkString("\n")
     val out = f.create(new Path(root, s"_manifest_v$v"), true)
@@ -252,6 +265,26 @@ final class BucketedSnapshotTable(
       .drop(BucketCol)
   }
 
+  /** Timestamp time travel: the newest version whose `_manifest_v<N>` was
+    * committed at or before `tsMillis` (manifest files are written inside
+    * the commit critical section and never touched again — their mtime IS
+    * the commit time). Raises if every retained version is newer. */
+  def versionAt(spark: SparkSession, tsMillis: Long): Int = {
+    val f = fs(spark)
+    val eligible = f.listStatus(new Path(root))
+      .filter(_.getPath.getName.matches("_manifest_v\\d+"))
+      .filter(_.getModificationTime <= tsMillis)
+      .map(_.getPath.getName.stripPrefix("_manifest_v").toInt)
+    if (eligible.isEmpty) throw new IllegalArgumentException(
+      s"BucketedSnapshotTable $root: no version committed at or before " +
+        s"${java.time.Instant.ofEpochMilli(tsMillis)} (earliest retained is newer)")
+    eligible.max
+  }
+
+  /** [[readVersion]] at the newest version committed ≤ `tsMillis`. */
+  def readTimestamp(spark: SparkSession, tsMillis: Long): DataFrame =
+    readVersion(spark, versionAt(spark, tsMillis))
+
   /** DESCRIBE HISTORY analog: one row per RETAINED (readable) manifest
     * version — version, visible rows, files, bytes, is_live. Versions
     * whose batch dirs vacuum already reaped are skipped. */
@@ -334,9 +367,10 @@ final class BucketedSnapshotTable(
     * semantics). Returns the set of bucket ids rewritten. */
   def scd1Merge(spark: SparkSession, updates: DataFrame, seqCol: String,
       tieBreak: Seq[Column] = Nil,
-      applyAsDeletes: Option[Column] = None): Set[Int] =
+      applyAsDeletes: Option[Column] = None,
+      txn: Option[(String, Long)] = None): Set[Int] =
     merge(spark, updates, (cur, upd) =>
-      ScdMerge.scd1Upsert(cur, upd, keys, seqCol, tieBreak, applyAsDeletes))
+      ScdMerge.scd1Upsert(cur, upd, keys, seqCol, tieBreak, applyAsDeletes), txn)
 
   /** SCD Type 2 merge (full version history, DimUser.py:20-29 semantics).
     * Returns the set of bucket ids rewritten.
@@ -349,9 +383,10 @@ final class BucketedSnapshotTable(
     * merge algebra coalesces null → false). No migration commit. */
   def scd2Merge(spark: SparkSession, updates: DataFrame, seqCol: String,
       tieBreak: Seq[Column] = Nil,
-      applyAsDeletes: Option[Column] = None): Set[Int] =
+      applyAsDeletes: Option[Column] = None,
+      txn: Option[(String, Long)] = None): Set[Int] =
     merge(spark, updates, (cur, upd) =>
-      ScdMerge.scd2Merge(cur, upd, keys, seqCol, tieBreak, Nil, applyAsDeletes))
+      ScdMerge.scd2Merge(cur, upd, keys, seqCol, tieBreak, Nil, applyAsDeletes), txn)
 
   /** Copy-on-write UPDATE (the Delta UPDATE shape on the bucketed format):
     * rewrite ONLY the buckets containing rows matching `pred`, with every
@@ -416,24 +451,38 @@ final class BucketedSnapshotTable(
   }
 
   private def merge(spark: SparkSession, updates: DataFrame,
-      algebra: (Option[DataFrame], DataFrame) => DataFrame): Set[Int] = {
+      algebra: (Option[DataFrame], DataFrame) => DataFrame,
+      txn: Option[(String, Long)] = None): Set[Int] = {
+    // cheap replay short-circuit: a micro-batch the exactly-once ledger
+    // already records skips before reading or staging anything (the
+    // authoritative check re-runs inside the commit lock)
+    if (txnApplied(spark, currentVersion(spark).getOrElse(0), txn)) return Set.empty
     val upd = updates.withColumn(BucketCol, bucketExpr)
     // driver-side metadata: at most numBuckets ints — NOT row data
     val updBuckets = upd.select(BucketCol).distinct()
       .collect().map(_.getInt(0)).toSet
     if (updBuckets.isEmpty) return Set.empty
-    commitLoop(spark) { () =>
+    commitLoop(spark, txn = txn) { () =>
       Some((updBuckets, algebra(readBuckets(spark, Some(updBuckets)), upd)))
     }
   }
 
+  private def txnApplied(spark: SparkSession, v: Int,
+      txn: Option[(String, Long)]): Boolean =
+    txn.exists { case (q, b) => txnsOf(spark, v).get(q).exists(_ >= b) }
+
   /** The optimistic read-modify-write commit loop shared by merges and
     * copy-on-write DML: `stage` reads CURRENT state and returns (affected
     * buckets, their rewritten content carrying [[BucketCol]]), or None for
-    * a no-op. Stages against the version it read and recomputes from
-    * fresh state if another writer committed first — racing writers on a
-    * shared table all land, serialized by the commit lock, none lost. */
-  private def commitLoop(spark: SparkSession, wholeTableRead: Boolean = false)
+    * a no-op. Stages against the version it read; a lost race REBASES the
+    * staged batch when the intervening commits left its affected buckets'
+    * entries unmoved, else recomputes from fresh state — racing writers on
+    * a shared table all land, serialized by the commit lock, none lost.
+    * `txn` = (queryId, batchId) exactly-once ledger entry: a batch the
+    * manifest header already records is a clean no-op (checked cheaply
+    * before staging by [[merge]] and authoritatively inside the lock). */
+  private def commitLoop(spark: SparkSession, wholeTableRead: Boolean = false,
+      txn: Option[(String, Long)] = None)
       (stage: () => Option[(Set[Int], DataFrame)]): Set[Int] = {
     val f = fs(spark)
     var attempt = 0
@@ -462,8 +511,17 @@ final class BucketedSnapshotTable(
         if (statsCols.isEmpty) Nil
         else StatsManifest.lines(spark.read.parquet(s"$root/$staging"), statsCols)
 
+      var replayed = false
       val committed = CommitLock.withLockHandle(f, root, commitStaleMs) { lockH =>
         val cur = currentVersion(spark).getOrElse(0)
+        // authoritative exactly-once check, inside the critical section: a
+        // racing restart of the same stream that committed this batch
+        // first makes ours a clean no-op
+        if (txnApplied(spark, cur, txn)) {
+          f.delete(new Path(s"$root/$staging"), true)
+          replayed = true
+          true
+        } else {
         // DISJOINT-WRITER REBASE: losing the version race only invalidates
         // our staged batch if an intervening commit touched one of OUR
         // affected buckets (its manifest entry moved). Otherwise the bytes
@@ -506,12 +564,14 @@ final class BucketedSnapshotTable(
               n.stripPrefix(s"$BucketCol=").toInt }.toSet
           writeManifest(spark, next,
             (mCur -- affected) ++
-              affected.intersect(written).map(_ -> batchDir).toMap)
+              affected.intersect(written).map(_ -> batchDir).toMap,
+            txnsOf(spark, cur) ++ txn)
           onStep("committed")
           true
         }
+        }
       }
-      if (committed) return affected
+      if (committed) return if (replayed) Set.empty else affected
       attempt += 1
       if (attempt > 12) throw new java.util.ConcurrentModificationException(
         s"BucketedSnapshotTable $root: merge lost the commit race 12 times — giving up")
@@ -570,14 +630,21 @@ final class BucketedSnapshotTable(
 
   /** Rewrite every bucket into the same batch dir (small-file compaction
     * after many incremental merges). Bucket layout is preserved, so
-    * subsequent merges still prune. Staged + locked like merge; aborts
-    * with ConcurrentModificationException if a merge lands first (rerun
-    * the maintenance job — compaction has no state worth retrying). */
+    * subsequent merges still prune.
+    *
+    * MAINTENANCE NEVER BLOCKS INGESTION: compaction is content-preserving
+    * per bucket, so a merge landing while the compaction job ran does not
+    * abort it — inside the commit lock, buckets whose manifest entry
+    * MOVED since the compaction read simply keep the merge's (newer)
+    * entry and their stale compacted output is dropped; only unmoved
+    * buckets re-point at the compacted dir. The commit is always
+    * consistent: every bucket shows either its compacted bytes (equal
+    * content) or the newer merge's bytes. Returns the committed version. */
   def compact(spark: SparkSession): Int = {
     val f = fs(spark)
     val v0 = currentVersion(spark).getOrElse(0)
-    val next = v0 + 1
-    val batchDir = s"_batch_v$next"
+    val m0 = if (v0 == 0) Map.empty[Int, String] else readManifest(spark, v0)
+    var committed = v0
     readBuckets(spark, None).foreach { df =>
       val staging = s"_staging_${java.util.UUID.randomUUID().toString.take(12)}"
       df.repartition(col(BucketCol))
@@ -587,25 +654,37 @@ final class BucketedSnapshotTable(
       val stagedStats: Seq[String] =
         if (statsCols.isEmpty) Nil
         else StatsManifest.lines(spark.read.parquet(s"$root/$staging"), statsCols)
+      onStep("compact_staged")
       CommitLock.withLockHandle(f, root, commitStaleMs) { lockH =>
         val cur = currentVersion(spark).getOrElse(0)
-        if (cur != v0) {
-          f.delete(new Path(s"$root/$staging"), true)
-          throw new java.util.ConcurrentModificationException(
-            s"BucketedSnapshotTable $root: compact read version $v0 but found $cur — rerun")
-        }
+        val mCur = if (cur == v0) m0 else readManifest(spark, cur)
+        val next = cur + 1
+        val batchDir = s"_batch_v$next"
         val batchPath = new Path(s"$root/$batchDir")
         if (f.exists(batchPath)) f.delete(batchPath, true) // crashed writer's orphan
         if (!f.rename(new Path(s"$root/$staging"), batchPath))
           throw new IllegalStateException(s"BucketedSnapshotTable $root: staging rename failed")
-        if (stagedStats.nonEmpty)
+        // entries moved by intervening merges win; their compacted output
+        // is stale — drop it (not yet referenced, safe under the lock).
+        // A bucket DELETED since the read (entry gone) stays deleted.
+        val unmoved = m0.keySet.filter(b => mCur.get(b) == m0.get(b))
+        m0.keySet.diff(unmoved).foreach { b =>
+          f.delete(new Path(batchPath, s"$BucketCol=$b"), true)
+        }
+        if (stagedStats.nonEmpty) {
+          val keptDirs = unmoved.map(b => s"/$batchDir/$BucketCol=$b/")
           StatsManifest.writeLines(f, batchStatsPath(batchDir),
-            stagedStats.map(_.replace(s"/$staging/", s"/$batchDir/")))
+            stagedStats.map(_.replace(s"/$staging/", s"/$batchDir/"))
+              .filter(l => keptDirs.exists(l.contains)))
+        }
         lockH.check() // paused-holder guard: abort rather than double-flip
-        writeManifest(spark, next, manifest(spark).map { case (b, _) => b -> batchDir })
+        writeManifest(spark, next,
+          mCur ++ unmoved.filter(mCur.contains).map(_ -> batchDir).toMap,
+          txnsOf(spark, cur)) // the exactly-once ledger survives maintenance
+        committed = next
       }
     }
-    next
+    committed
   }
 
   /** Delete batch dirs no manifest ≤ the live version references… i.e.

@@ -210,6 +210,31 @@ final class SnapshotTable(val root: String,
     applyTombstones(spark, version, snapshotDF(spark, version))
   }
 
+  /** Timestamp time travel (Delta `TIMESTAMP AS OF` analog): the newest
+    * version committed at or before `tsMillis`, by the commit artifact's
+    * filesystem mtime — `_files_v<N>` (written inside the commit critical
+    * section) when present, else the `_v<N>` snapshot dir (claimed by the
+    * commit rename). Raises if every retained version is newer. */
+  def versionAt(spark: SparkSession, tsMillis: Long): Int = {
+    val f = fs(spark)
+    val byName = f.listStatus(new Path(root)).map(s => s.getPath.getName -> s).toMap
+    val versions = byName.keys
+      .collect { case n if n.matches("_v\\d+") => n.drop(2).toInt }
+      .filterNot(v => byName.contains(s"_gone_v$v"))
+    val eligible = versions.filter { v =>
+      val art = byName.get(s"_files_v$v").orElse(byName.get(s"_v$v"))
+      art.exists(_.getModificationTime <= tsMillis)
+    }
+    if (eligible.isEmpty) throw new IllegalArgumentException(
+      s"SnapshotTable $root: no version committed at or before " +
+        s"${java.time.Instant.ofEpochMilli(tsMillis)} (earliest retained is newer)")
+    eligible.max
+  }
+
+  /** [[readVersion]] at the newest version committed ≤ `tsMillis`. */
+  def readTimestamp(spark: SparkSession, tsMillis: Long): DataFrame =
+    readVersion(spark, versionAt(spark, tsMillis))
+
   // ── Row-level deletes via key tombstones (deletion-vector analog) ──────
   //
   // Deleting a handful of rows from a 100 TB snapshot must not rewrite the

@@ -242,6 +242,30 @@ object ScaleSoak {
       }
       println(s"[soak]   buckets touched=${touched.size} of ${64 * mult}")
       results("bucketed_merge_10keys") = mergeW
+      // CDF between the build and the trickle merge: manifest diff says
+      // ≤10 buckets changed, so the feed must be flat in table size
+      val (nChanges, cdfW) = time(s"$tag/bucketed_changes_trickle") {
+        t.changes(spark, 1, 2, withChangedColumns = true).count()
+      }
+      println(s"[soak]   cdf rows=$nChanges")
+      results("bucketed_changes_trickle") = cdfW
+      // point lookup: driver-side bucket hash → ≤10 bucket dirs scanned;
+      // flat in table size under production bucket sizing
+      val probe = batch.select("o_orderkey")
+      val (nHit, lookW) = time(s"$tag/bucketed_point_lookup") {
+        t.readKeys(spark, probe).count()
+      }
+      println(s"[soak]   lookup rows=$nHit")
+      results("bucketed_point_lookup") = lookW
+      // predicate UPDATE: the discovery scan is O(table) (column-pruned
+      // count) but the rewrite is O(matched buckets) — expect ~linear
+      // discovery dominated by the scan, flat rewrite
+      val (un, updW) = time(s"$tag/bucketed_update_pred") {
+        t.update(spark, col("o_orderkey") % 1000000L === 7L,
+          Seq("o_totalprice" -> (col("o_totalprice") + 2.0)))
+      }
+      println(s"[soak]   update touched=${un._1.size} rows=${un._2}")
+      results("bucketed_update_pred") = updW
       results.toMap
     }
     val scdSmall = scdSoak("sf0.1", 1)

@@ -76,6 +76,56 @@ class BucketedTableSpec extends AnyFunSuite {
     assert(got.size == 640)
   }
 
+  test("compact during a concurrent merge: maintenance never blocks ingestion, merge wins its bucket") {
+    val t = new BucketedSnapshotTable(tmp("bcmpc"), numBuckets = 8, keys = Seq("k"))
+    t.scd1Merge(spark, mkBatch((1 to 80).map(i => (i, 1, s"v$i"))), "seq") // v1
+    // land a merge BETWEEN compact's staging read and its commit lock —
+    // the schedule that used to abort with ConcurrentModificationException
+    var fired = false
+    graft.tables.TestHooks.onStep(t, {
+      case "compact_staged" if !fired =>
+        fired = true
+        t.scd1Merge(spark, mkBatch(Seq((3, 2, "merged-during-compact"))), "seq") // v2
+      case _ => ()
+    })
+    val v = t.compact(spark)
+    graft.tables.TestHooks.onStep(t, _ => ())
+    assert(fired && v == 3 && t.currentVersion(spark).contains(3))
+    // the interleaved merge's write survives (its bucket kept the newer
+    // entry); every other key compacted, content unchanged
+    val got = t.read(spark).select("k", "v").as[(Int, String)].collect().toMap
+    assert(got(3) == "merged-during-compact")
+    assert(got.size == 80 && (1 to 80).filter(_ != 3).forall(k => got(k) == s"v$k"))
+    // unmoved buckets re-pointed at the compacted dir; the merged bucket's
+    // stale compacted output was dropped from it
+    val m = t.manifest(spark)
+    assert(m.values.exists(_ == "_batch_v3") && m.values.exists(_ == "_batch_v2"))
+  }
+
+  test("txn ledger: replayed micro-batch is a no-op; ledger survives compact and maintenance") {
+    val t = new BucketedSnapshotTable(tmp("btxn"), numBuckets = 8, keys = Seq("k"))
+    assert(t.scd1Merge(spark, mkBatch(Seq((1, 1, "a"), (2, 1, "b"))), "seq",
+      txn = Some(("s1", 0L))).nonEmpty) // v1
+    // same stream, same batch id → clean no-op (no version, no content change)
+    assert(t.scd1Merge(spark, mkBatch(Seq((1, 9, "REPLAY"))), "seq",
+      txn = Some(("s1", 0L))).isEmpty)
+    assert(t.currentVersion(spark).contains(1))
+    assert(t.read(spark).filter($"k" === 1).select("v").as[String].head() == "a")
+    // the next batch applies; a second stream has its own ledger entry
+    assert(t.scd1Merge(spark, mkBatch(Seq((1, 2, "a2"))), "seq",
+      txn = Some(("s1", 1L))).nonEmpty) // v2
+    assert(t.scd1Merge(spark, mkBatch(Seq((3, 1, "c"))), "seq",
+      txn = Some(("s2", 0L))).nonEmpty) // v3
+    // maintenance carries the ledger forward: replay after compact still no-op
+    t.compact(spark) // v4
+    assert(t.scd1Merge(spark, mkBatch(Seq((1, 9, "REPLAY"))), "seq",
+      txn = Some(("s1", 1L))).isEmpty)
+    assert(t.scd1Merge(spark, mkBatch(Seq((3, 9, "REPLAY"))), "seq",
+      txn = Some(("s2", 0L))).isEmpty)
+    assert(t.currentVersion(spark).contains(4))
+    assert(rows(t.read(spark), "k", "v") == Set("1|a2", "2|b", "3|c"))
+  }
+
   test("scd1Merge equals whole-table scd1Upsert across batches") {
     val t = new BucketedSnapshotTable(tmp("bscd1"), numBuckets = 8, keys = Seq("k"))
     val b1 = mkBatch(Seq((1, 10, "a"), (2, 10, "b"), (3, 10, "c"), (17, 10, "q")))

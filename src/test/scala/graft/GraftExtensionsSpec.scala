@@ -266,6 +266,61 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bucket keys"), e.getMessage)
   }
 
+  test("GraftSqlParser INSERT INTO: transactional append, EVOLVE for new columns, bucketed root refused") {
+    val work = java.nio.file.Files.createTempDirectory("sqlins").toString
+    val t = new graft.tables.SnapshotTable(s"$work/t")
+    t.write(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    Seq((3L, "c")).toDF("k", "v").createOrReplaceTempView("ins_plain")
+    Seq((4L, "d", 9.5)).toDF("k", "v", "score").createOrReplaceTempView("ins_evo")
+    def sqlRun(q: String) = GraftColumnBridge.graftSql(spark, q)
+    val r1 = sqlRun(s"INSERT INTO '$work/t' FROM ins_plain").as[(Int, Long)].head()
+    assert(r1 == ((2, 1L)))
+    // without EVOLVE, a new column is a schema error (append contract)
+    intercept[Exception](sqlRun(s"INSERT INTO '$work/t' FROM ins_evo").collect())
+    sqlRun(s"INSERT INTO '$work/t' FROM ins_evo EVOLVE").collect()
+    val got = t.read(spark).select("k", "v", "score")
+      .as[(Long, String, Option[Double])].collect().toSet
+    assert(got == Set((1L, "a", None), (2L, "b", None), (3L, "c", None),
+      (4L, "d", Some(9.5))))
+    // bucketed roots refuse: their state is keyed SCD, appends bypass it
+    val bt = new graft.tables.BucketedSnapshotTable(s"$work/b", 4, Seq("k"))
+    bt.scd1Merge(spark, Seq((1L, 1L, "x")).toDF("k", "op_seq", "v"), "op_seq")
+    val e = intercept[Exception](
+      sqlRun(s"INSERT INTO '$work/b' FROM ins_plain").collect())
+    assert(e.getMessage.contains("MERGE INTO"), e.getMessage)
+  }
+
+  test("GraftSqlParser SNAPSHOT TIMESTAMP AS OF: newest version committed at or before the instant") {
+    val work = java.nio.file.Files.createTempDirectory("sqlts").toString
+    def sqlRun(q: String) = GraftColumnBridge.graftSql(spark, q)
+    def iso(ms: Long) = java.time.Instant.ofEpochMilli(ms).toString
+    // plain root
+    val t = new graft.tables.SnapshotTable(s"$work/t")
+    t.write(spark, Seq((1L, "v1")).toDF("k", "v"))
+    Thread.sleep(30)
+    val betweenPlain = System.currentTimeMillis()
+    Thread.sleep(30)
+    t.write(spark, Seq((1L, "v2")).toDF("k", "v"))
+    assert(sqlRun(s"SNAPSHOT '$work/t' TIMESTAMP AS OF '${iso(betweenPlain)}'")
+      .select("v").as[String].head() == "v1")
+    assert(sqlRun(s"SNAPSHOT '$work/t' TIMESTAMP AS OF " +
+      s"'${iso(System.currentTimeMillis())}'").select("v").as[String].head() == "v2")
+    intercept[Exception](sqlRun(
+      s"SNAPSHOT '$work/t' TIMESTAMP AS OF '2000-01-01'").collect())
+    // bucketed root (manifest mtime is the commit time)
+    val bt = new graft.tables.BucketedSnapshotTable(s"$work/b", 4, Seq("k"))
+    bt.scd1Merge(spark, Seq((1L, 1L, "b1")).toDF("k", "op_seq", "v"), "op_seq")
+    Thread.sleep(30)
+    val betweenB = System.currentTimeMillis()
+    Thread.sleep(30)
+    bt.scd1Merge(spark, Seq((1L, 2L, "b2")).toDF("k", "op_seq", "v"), "op_seq")
+    assert(sqlRun(s"SNAPSHOT '$work/b' TIMESTAMP AS OF '${iso(betweenB)}'")
+      .select("v").as[String].head() == "b1")
+    // the space-separated literal form parses too
+    assert(sqlRun(s"SNAPSHOT '$work/b' TIMESTAMP AS OF '2099-12-31 23:59:59'")
+      .select("v").as[String].head() == "b2")
+  }
+
   test("GraftSqlParser: OPTIMIZE/VACUUM/DESCRIBE HISTORY route to table ops; other SQL delegates") {
     import org.apache.spark.sql.functions._
     val work = java.nio.file.Files.createTempDirectory("sqlddl").toString

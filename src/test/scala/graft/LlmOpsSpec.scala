@@ -1221,6 +1221,44 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(l2 == d2, s"dense distributed/local drift: $l2 vs $d2")
   }
 
+  test("Pca.topComponents deflation: distributed ≡ local bit-identical; components orthogonal, eigenvalues descend") {
+    import graft.llm.Pca
+    // two planted factors with WELL-SEPARATED variances (power iteration
+    // at 10 rounds needs λ₂/λ₁ ≪ 1 to converge; a close spectrum is a
+    // more-iterations problem, not a deflation problem) + small noise
+    val rows = (0 until 80).map { k =>
+      val a = ((k * 13 % 17) - 8) * 1.0f
+      val b = ((k * 7 % 11) - 5) * 0.4f
+      (k.toLong, Array.tabulate(12) { j =>
+        val noise = (((k * 17 + j * 5) % 13) - 6) * 0.02f
+        j match {
+          case 0 => 0.8f * a + noise
+          case 1 => 0.6f * a + noise
+          case 2 => 0.8f * b + noise
+          case 3 => -0.6f * b + noise
+          case _ => noise
+        }
+      }.toSeq)
+    }.toDF("vec_id", "embedding")
+    val cov = Pca.covariance(rows, "vec_id", "embedding")
+    val local = Pca.topComponents(spark, cov, 12, k = 3, iters = 10)
+      .as[(Int, Int, Double, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val dist = Pca.topComponentsDistributed(spark, cov, 12, k = 3, iters = 10)
+      .as[(Int, Int, Double, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(local == dist, s"deflation distributed/local drift:\n${
+      local.zip(dist).filter(p => p._1 != p._2).take(5)}")
+    // eigenvalues strictly descend across deflation steps
+    val eigs = local.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.head._4)
+    assert(eigs == eigs.sorted.reverse && eigs.distinct.size == eigs.size,
+      s"eigenvalues not descending: $eigs")
+    // successive components near-orthogonal (quantized arithmetic: ~1e-6)
+    val byComp = local.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    for (a <- 0 until 3; b <- a + 1 until 3) {
+      val dot = byComp(a).zip(byComp(b)).map { case (x, y) => x * y }.sum
+      assert(math.abs(dot) < 1e-4, s"components $a,$b not orthogonal: $dot")
+    }
+  }
+
   test("dhash64: cross-resolution twins land at small Hamming distance, distinct patterns far") {
     import graft.llm.Multimodal
     val base = (0L until 50L).map(k => (k, 2)).toDF("seed", "scale")
