@@ -5257,6 +5257,24 @@ object SparkEntry {
     //    dirs driver-side and only those are scanned before the semi-join
     //    — a single-key read on a 4096-bucket 100 TB table touches
     //    1/4096th of it (the bucketed format's Bloom-index analog).
+    // ── MERGEABLE HISTOGRAM QUANTILE ROLLUP (r8): each (event_type, day)
+    //    shard reduces to a 128-bin count array — a stored, mergeable
+    //    sketch; corpus percentiles come from elementwise-summing shard
+    //    sketches, never re-scanning them (the stored-HLL rollup pattern,
+    //    q278, for quantiles). Deterministic left-edge estimator + integer
+    //    threshold arithmetic → exact cross-engine replay.
+    "q300_histogram_quantile_rollup" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir).withColumn("day", to_date($"ts"))
+      val shards = graft.ops.Stats.histogramSketch(
+        e, Seq("event_type", "day"), $"value", bins = 128, lo = 0.0, hi = 640.0)
+      val merged = graft.ops.Stats.mergeHistogramSketches(shards, Seq("event_type"))
+      graft.ops.Stats.histogramQuantiles(
+          merged, Seq("event_type"), Seq(50, 95, 99), lo = 0.0, hi = 640.0)
+        .select($"event_type", $"pct", $"estimate", $"n")
+        .orderBy($"event_type", $"pct")
+    }),
+
     // ── PCA TOP-K VIA DEFLATION (r8): extract the top component, subtract
     //    its rank-1 contribution (Hotelling deflation, engine-exact
     //    quantization), iterate again — the top FEW directions
@@ -6244,6 +6262,26 @@ object SparkEntry {
         |ORDER BY user_id, __START_AT, event_id""".stripMargin,
 
     "q299_pca_top2_deflation" -> pcaDeflationOracle,
+
+    // shard-merge is invisible to the final counts (sum of shards = total),
+    // so the oracle replays binning + cumulative + integer threshold direct
+    "q300_histogram_quantile_rollup" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CAST(LEAST(GREATEST(FLOOR(value / 5.0), 0), 127) AS INT) AS bin
+        |  FROM events WHERE value IS NOT NULL),
+        |counts AS (SELECT event_type, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n FROM counts GROUP BY 1),
+        |cum AS (SELECT event_type, bin,
+        |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum
+        |  FROM counts),
+        |qs AS (SELECT UNNEST([50, 95, 99]) AS pct)
+        |SELECT c.event_type, CAST(pct AS BIGINT) AS pct,
+        |  CAST(MIN(bin) AS DOUBLE) * CAST(5.0 AS DOUBLE) AS estimate, n
+        |FROM cum c JOIN tot USING (event_type) CROSS JOIN qs
+        |WHERE cum >= (pct * n + 99) // 100
+        |GROUP BY c.event_type, pct, n
+        |ORDER BY event_type, pct""".stripMargin,
 
     // three appends = UNION ALL; pre-evolution rows null-fill the evolved
     // column

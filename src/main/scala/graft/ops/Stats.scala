@@ -13,6 +13,80 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Stats {
 
+  // ── Mergeable fixed-bin histogram sketches ─────────────────────────────
+  //
+  // The quantile analog of the stored-HLL rollup (q278): each shard (e.g.
+  // a day of ingest) reduces its values to a BINS-long count array — a
+  // mergeable, storable sketch a few hundred bytes wide — and corpus
+  // quantiles come from summing sketches, never re-scanning shards. The
+  // estimator is deterministic (bin LEFT edge at the ceil(q·N)-th count),
+  // so unlike t-digest/KLL the whole pipeline replays exactly in any
+  // engine: merge = elementwise +, quantile = one cumulative scan of a
+  // BINS-row relation. Error is bounded by bin width — the data-card /
+  // drift-monitor use case, where a fixed budget beats an adaptive one.
+
+  /** Per-key fixed-bin histogram sketch of `valueCol` over [lo, hi):
+    * `keys... , hist: array<long>` (values clamped into the edge bins, so
+    * mass is never lost; NULL values are dropped). One shuffle on
+    * (keys, bin), then a model-sized per-key array assembly. */
+  def histogramSketch(df: DataFrame, keys: Seq[String], valueCol: Column,
+      bins: Int, lo: Double, hi: Double): DataFrame = {
+    require(bins > 0 && hi > lo, "need bins > 0 and hi > lo")
+    val binW = (hi - lo) / bins
+    val bin = least(greatest(floor((valueCol - lo) / binW), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("int")
+    df.filter(valueCol.isNotNull)
+      .groupBy((keys.map(col) :+ bin.as("__bin")): _*)
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(keys.map(col): _*)
+      .agg(collect_list(struct(col("__bin"), col("__n"))).as("__e"))
+      .select((keys.map(col) :+
+        transform(sequence(lit(0), lit(bins - 1)),
+          i => coalesce(element_at(map_from_entries(col("__e")), i), lit(0L)))
+          .as("hist")): _*)
+  }
+
+  /** Merge stored sketches to coarser keys: elementwise array sum
+    * (commutative — order of shards cannot matter). */
+  def mergeHistogramSketches(df: DataFrame, keys: Seq[String],
+      histCol: String = "hist"): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(aggregate(collect_list(col(histCol)),
+        transform(sequence(lit(1), size(first(col(histCol)))), _ => lit(0L)),
+        (acc, x) => zip_with(acc, x, (a, b) => a + b)).as(histCol))
+
+  /** Deterministic percentile estimates from a histogram sketch: for each
+    * integer percent p the LEFT edge of the first bin whose cumulative
+    * count reaches ceil(p·N/100). One row per (key, p): `keys..., pct,
+    * estimate, n`. Integer percents keep the threshold arithmetic exact —
+    * `ceil(0.95·N)` in IEEE doubles rounds the wrong way exactly at
+    * integer boundaries, `(p·N + 99) div 100` never does. The cumulative
+    * scan is per-(key, bin) over a BINS-row relation — sketch math, no
+    * data pass. */
+  def histogramQuantiles(df: DataFrame, keys: Seq[String], pcts: Seq[Int],
+      lo: Double, hi: Double, histCol: String = "hist"): DataFrame = {
+    require(pcts.forall(p => p >= 1 && p <= 100), "percents must be in 1..100")
+    val exploded = df
+      .select((keys.map(col) :+ col(histCol) :+
+        posexplode(col(histCol)).as(Seq("__bin", "__cnt"))): _*)
+      .withColumn("__bins", size(col(histCol)))
+      .withColumn("__n", aggregate(col(histCol), lit(0L), (a, x) => a + x))
+      .withColumn("__cum", expr(
+        s"aggregate(slice($histCol, 1, __bin + 1), 0L, (a, x) -> a + x)"))
+    exploded
+      .select((keys.map(col) :+ col("__bin") :+ col("__bins") :+ col("__cum") :+
+        col("__n") :+ explode(array(pcts.map(p => lit(p.toLong)): _*)).as("pct")): _*)
+      .filter(col("__n") > 0 &&
+        col("__cum") >= expr("(pct * __n + 99) div 100"))
+      .groupBy((keys.map(col) :+ col("pct")): _*)
+      .agg(min(col("__bin")).as("__b"), first(col("__bins")).as("__bins"),
+        first(col("__n")).as("n"))
+      .select((keys.map(col) :+ col("pct") :+
+        (lit(lo) + col("__b").cast("double") *
+          ((lit(hi) - lit(lo)) / col("__bins").cast("double"))).as("estimate") :+
+        col("n")): _*)
+  }
+
   /** Two-proportion z-test between groups `a` and `b`: per-group trials
     * and successes (exact integer counts), conversion rates, and the
     * pooled-variance z statistic

@@ -228,16 +228,16 @@ case class OptimizeSnapshotCommand(path: String, targetBytes: Long)
 }
 
 /** `VACUUM '<root>' [KEEP <n>]` → [[SnapshotTable.vacuum]] (plain) or
-  * [[graft.tables.BucketedSnapshotTable.vacuum]] (bucketed: unreferenced
-  * batch dirs + staging orphans; KEEP is not applicable — reachability
-  * from the live manifest is the retention rule). */
+  * [[graft.tables.BucketedSnapshotTable.vacuum]] (bucketed) — both keep
+  * the newest `n` versions readable for time travel and reap batch
+  * dirs/staging orphans unreachable from them. */
 case class VacuumSnapshotCommand(path: String, keep: Int)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("kept_versions", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     DmlRouting.bucketed(spark, path) match {
-      case Some(l) => DmlRouting.table(spark, path, l).vacuum(spark)
+      case Some(l) => DmlRouting.table(spark, path, l).vacuum(spark, keep)
       case None    => new SnapshotTable(path).vacuum(spark, keep)
     }
     Seq(Row(keep))
@@ -416,19 +416,30 @@ case class InsertSnapshotCommand(path: String, view: String, evolve: Boolean)
 /** `ALTER TABLE '<root>' ADD CONSTRAINT <name> CHECK (<pred>)` /
   * `… DROP CONSTRAINT <name>` → [[SnapshotTable.addConstraint]] (Delta
   * semantics: the existing snapshot is validated first, then every
-  * subsequent write is checked inline) / [[SnapshotTable.dropConstraint]]. */
+  * subsequent write is checked inline) / [[SnapshotTable.dropConstraint]].
+  * Bucketed roots route to the bucketed table's own constraint store,
+  * enforced inline in every merge/DML staging write. */
 case class AlterConstraintCommand(path: String, name: String,
     predicate: Option[String]) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("n_constraints", IntegerType, nullable = false)())
-  override def run(spark: SparkSession): Seq[Row] = {
-    val t = new SnapshotTable(path)
-    predicate match {
-      case Some(p) => t.addConstraint(spark, name, p)
-      case None    => t.dropConstraint(spark, name)
+  override def run(spark: SparkSession): Seq[Row] =
+    DmlRouting.bucketed(spark, path) match {
+      case Some(l) =>
+        val bt = DmlRouting.table(spark, path, l)
+        predicate match {
+          case Some(p) => bt.addConstraint(spark, name, p)
+          case None    => bt.dropConstraint(spark, name)
+        }
+        Seq(Row(bt.constraints(spark).size))
+      case None =>
+        val t = new SnapshotTable(path)
+        predicate match {
+          case Some(p) => t.addConstraint(spark, name, p)
+          case None    => t.dropConstraint(spark, name)
+        }
+        Seq(Row(t.constraints(spark).size))
     }
-    Seq(Row(t.constraints(spark).size))
-  }
 }
 
 /** `RESTORE '<root>' TO VERSION <n>` → [[SnapshotTable.restore]]: commit

@@ -363,6 +363,82 @@ final class BucketedSnapshotTable(
     ChangeFeed.diff(visible(mFrom), visible(mTo), keys, withChangedColumns)
   }
 
+  // ── CHECK constraints (Delta semantics, plain-table parity) ────────────
+  //
+  // Stored as "name\tpredicate" lines in `_constraints`, validated against
+  // the VISIBLE table on add, enforced inline in every merge/DML staging
+  // write via assert_true-in-filter (fused into the write plan — no second
+  // scan). Tombstone bookkeeping rows (`__DELETED`) are exempt: a CHECK
+  // constrains the data a reader can see, not the delete marker that
+  // removes it.
+
+  private def constraintsFile = new Path(root, "_constraints")
+
+  /** Active CHECK constraints, name → SQL predicate. */
+  def constraints(spark: SparkSession): Map[String, String] = {
+    val f = fs(spark)
+    MetaIO.readSmall(f, constraintsFile) match {
+      case None => Map.empty
+      case Some(txt) => txt.linesIterator.filter(_.nonEmpty).map { l =>
+        val Array(n, p) = l.split("\t", 2); n -> p
+      }.toMap
+    }
+  }
+
+  private def writeConstraints(f: org.apache.hadoop.fs.FileSystem,
+      cs: Map[String, String]): Unit = {
+    val tmp = new Path(root, "_constraints.tmp")
+    val out = f.create(tmp, true)
+    try out.write(cs.toSeq.sortBy(_._1)
+      .map { case (n, p) => s"$n\t$p" }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (f.exists(constraintsFile)) f.delete(constraintsFile, false)
+    if (!f.rename(tmp, constraintsFile))
+      throw new IllegalStateException(s"BucketedSnapshotTable $root: constraints write failed")
+  }
+
+  /** Add a CHECK constraint: the existing VISIBLE snapshot is validated
+    * first (rejecting the constraint, not the data, if any row breaks
+    * it), then every subsequent merge/DML batch is checked inline. */
+  def addConstraint(spark: SparkSession, name: String, predicate: String): Unit = {
+    require(!name.contains("\t") && !name.contains("\n") &&
+      !predicate.contains("\t") && !predicate.contains("\n"),
+      "constraint name/predicate must not contain tabs or newlines")
+    val f = fs(spark)
+    CommitLock.withLockHandle(f, root, commitStaleMs) { _ =>
+      if (exists(spark)) {
+        val bad = ScdMerge.scd1Current(read(spark))
+          .filter(!coalesce(expr(predicate), lit(false))).count()
+        if (bad > 0) throw new IllegalArgumentException(
+          s"CONSTRAINT_VIOLATION: cannot add CHECK $name ($predicate) — " +
+            s"$bad existing row(s) violate it")
+      }
+      writeConstraints(f, constraints(spark) + (name -> predicate))
+    }
+  }
+
+  /** Drop a CHECK constraint (no-op if absent). */
+  def dropConstraint(spark: SparkSession, name: String): Unit = {
+    val f = fs(spark)
+    CommitLock.withLockHandle(f, root, commitStaleMs) { _ =>
+      writeConstraints(f, constraints(spark) - name)
+    }
+  }
+
+  /** Inline enforcement on a staging write's content: raises
+    * CONSTRAINT_VIOLATION on the first visible row breaking any CHECK.
+    * NULL predicate results violate (CHECK must prove the row);
+    * `__DELETED` tombstone rows are exempt. */
+  private def enforceConstraints(spark: SparkSession, df: DataFrame): DataFrame =
+    constraints(spark).foldLeft(df) { case (d, (name, pred)) =>
+      val exempt =
+        if (d.columns.contains(ScdMerge.DeletedCol))
+          coalesce(col(ScdMerge.DeletedCol), lit(false))
+        else lit(false)
+      d.filter(assert_true(exempt || coalesce(expr(pred), lit(false)),
+        lit(s"CONSTRAINT_VIOLATION: CHECK $name ($pred) failed")).isNull)
+    }
+
   /** SCD Type 1 merge (last-write-wins upsert, FactStream.py:12-21
     * semantics). Returns the set of bucket ids rewritten. */
   def scd1Merge(spark: SparkSession, updates: DataFrame, seqCol: String,
@@ -500,8 +576,10 @@ final class BucketedSnapshotTable(
       // repartition on the bucket id so each bucket dir gets ONE writer task
       // (one file), not shufflePartitions × buckets stragglers — at scale a
       // bucket is exactly one task's output, and the shuffle is the same
-      // key-hash the merge already clustered on
-      merged.repartition(col(BucketCol)).write.mode(SaveMode.Overwrite)
+      // key-hash the merge already clustered on. CHECK constraints enforce
+      // inline in this same plan (no second scan of the batch).
+      enforceConstraints(spark, merged)
+        .repartition(col(BucketCol)).write.mode(SaveMode.Overwrite)
         .partitionBy(BucketCol)
         .parquet(s"$root/$staging")
       onStep("staged")
@@ -687,19 +765,27 @@ final class BucketedSnapshotTable(
     committed
   }
 
-  /** Delete batch dirs no manifest ≤ the live version references… i.e.
-    * unreachable from the CURRENT manifest (no time travel kept — callers
-    * wanting travel keep old manifests and skip vacuum). Also clears
-    * `_staging_*` orphans from crashed writers — do not run vacuum
-    * concurrently with active writers (the standard vacuum contract). */
-  def vacuum(spark: SparkSession): Unit = {
+  /** Delete batch dirs unreachable from the newest `keepVersions`
+    * manifests (retention window for [[readVersion]] time travel: KEEP 1
+    * = live only, KEEP n keeps the last n versions readable). Manifests
+    * themselves persist (metadata-sized) — a reaped version raises the
+    * "was vacuumed" travel error. Also clears `_staging_*` orphans from
+    * crashed writers — do not run vacuum concurrently with active writers
+    * (the standard vacuum contract). */
+  def vacuum(spark: SparkSession, keepVersions: Int = 1): Unit = {
+    require(keepVersions >= 1, "vacuum must keep at least the live version")
     val f = fs(spark)
-    val live = manifest(spark).values.toSet
+    val liveV = currentVersion(spark).getOrElse(return)
+    val retained = f.listStatus(new Path(root)).map(_.getPath.getName)
+      .filter(_.matches("_manifest_v\\d+"))
+      .map(_.stripPrefix("_manifest_v").toInt)
+      .filter(_ <= liveV).sorted.takeRight(keepVersions)
+    val reachable = retained.flatMap(v => readManifest(spark, v).values).toSet
     val it = f.listStatus(new Path(root)).iterator
     while (it.hasNext) {
       val st = it.next()
       val name = st.getPath.getName
-      if ((name.startsWith("_batch_v") && !live.contains(name)) ||
+      if ((name.startsWith("_batch_v") && !reachable.contains(name)) ||
           name.startsWith("_staging_"))
         f.delete(st.getPath, true)
     }

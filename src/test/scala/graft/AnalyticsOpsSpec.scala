@@ -588,6 +588,44 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(want.nonEmpty && got == want)
   }
 
+  test("histogram sketch rollup: shard-merge ≡ direct sketch; estimator within a bin of exact") {
+    import graft.ops.Stats
+    val vals = (0 until 4000).map { i =>
+      (s"g${i % 3}", s"shard${i % 7}", ((i * 37) % 1000) / 10.0 + (i % 3))
+    }.toDF("g", "shard", "x")
+    // merged shard sketches must equal the sketch computed in one pass
+    val direct = Stats.histogramSketch(vals, Seq("g"), $"x", 50, 0.0, 125.0)
+      .as[(String, Seq[Long])].collect().toMap
+    val merged = Stats.mergeHistogramSketches(
+        Stats.histogramSketch(vals, Seq("g", "shard"), $"x", 50, 0.0, 125.0),
+        Seq("g"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(merged == direct)
+    assert(direct.values.map(_.sum).sum == 4000) // no mass lost to sharding
+    // percentile estimates land within one bin width of the exact value
+    val est = Stats.histogramQuantiles(
+        Stats.mergeHistogramSketches(
+          Stats.histogramSketch(vals, Seq("g", "shard"), $"x", 50, 0.0, 125.0),
+          Seq("g")),
+        Seq("g"), Seq(50, 95), 0.0, 125.0)
+      .select($"g", $"pct", $"estimate").as[(String, Long, Double)].collect()
+    val binW = 125.0 / 50
+    val byG = vals.as[(String, String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).sorted).toMap
+    est.foreach { case (g, pct, e) =>
+      val xs = byG(g)
+      val exact = xs(math.min(xs.length - 1,
+        math.ceil(pct * xs.length / 100.0).toInt - 1))
+      assert(math.abs(e - exact) <= binW + 1e-9,
+        s"$g p$pct: est $e vs exact $exact (binW $binW)")
+    }
+    // clamping: out-of-range mass lands in the edge bins, never lost
+    val clamped = Stats.histogramSketch(
+      Seq(("a", -5.0), ("a", 9999.0)).toDF("g", "x"), Seq("g"), $"x", 4, 0.0, 8.0)
+      .as[(String, Seq[Long])].head()._2
+    assert(clamped == Seq(1L, 0L, 0L, 1L))
+  }
+
   test("modelScore: bounded, 6-decimal, orders clean text above junk") {
     val docs = Seq(
       (1L, "the cat sat on the mat and it is a fine day for all of us to be here"),

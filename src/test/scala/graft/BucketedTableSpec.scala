@@ -297,6 +297,40 @@ class BucketedTableSpec extends AnyFunSuite {
     }
   }
 
+  test("CHECK constraints: validated on add, enforced inline in merges and DML, tombstones exempt") {
+    val dir = tmp("bcons")
+    val t = new BucketedSnapshotTable(dir, numBuckets = 4, keys = Seq("k"))
+    t.scd1Merge(spark, mkBatch(Seq((1, 1, "a"), (2, 1, "b"))), "seq")
+    def sqlRun(q: String) = org.apache.spark.sql.GraftColumnBridge.graftSql(spark, q)
+    // DDL routes to the bucketed root by the _manifest_v* probe
+    sqlRun(s"ALTER TABLE '$dir' ADD CONSTRAINT pos CHECK (seq > 0)").collect()
+    assert(t.constraints(spark) == Map("pos" -> "seq > 0"))
+    // violating merge refused, nothing committed
+    val v0 = t.currentVersion(spark).get
+    intercept[Exception](t.scd1Merge(spark, mkBatch(Seq((3, -5, "bad"))), "seq"))
+    assert(t.currentVersion(spark).contains(v0))
+    assert(t.read(spark).count() == 2)
+    // clean merge lands; violating UPDATE refused
+    t.scd1Merge(spark, mkBatch(Seq((3, 2, "c"))), "seq")
+    intercept[Exception](t.update(spark, col("k") === 3, Seq("seq" -> lit(-1))))
+    assert(t.read(spark).filter($"k" === 3).select("seq").as[Int].head() == 2)
+    // a DELETE-flow tombstone row is exempt (it removes, not asserts,
+    // data): the tombstone itself carries v='gone', which the constraint
+    // forbids for visible rows — the merge must still land
+    sqlRun(s"ALTER TABLE '$dir' ADD CONSTRAINT nodel CHECK (v <> 'gone')").collect()
+    t.scd1Merge(spark, mkBatch(Seq((3, 3, "gone"))).withColumn("d", lit(true)),
+      "seq", Nil, applyAsDeletes = Some(col("d")))
+    assert(graft.cdc.ScdMerge.scd1Current(t.read(spark)).count() == 2)
+    sqlRun(s"ALTER TABLE '$dir' DROP CONSTRAINT nodel").collect()
+    // adding a constraint the existing data violates is refused
+    val e = intercept[IllegalArgumentException](
+      t.addConstraint(spark, "impossible", "seq > 100"))
+    assert(e.getMessage.contains("existing row"), e.getMessage)
+    sqlRun(s"ALTER TABLE '$dir' DROP CONSTRAINT pos").collect()
+    t.scd1Merge(spark, mkBatch(Seq((9, -9, "ok-now"))), "seq")
+    assert(t.constraints(spark).isEmpty)
+  }
+
   test("time travel + history: old manifests read as committed until vacuum reaps their batches") {
     val dir = tmp("btt")
     val t = new BucketedSnapshotTable(dir, numBuckets = 4, keys = Seq("k"))
@@ -315,9 +349,15 @@ class BucketedTableSpec extends AnyFunSuite {
     assert(sqlRun(s"DESCRIBE HISTORY '$dir'").count() == 2)
     val v3 = sqlRun(s"OPTIMIZE '$dir'").as[Int].head()
     assert(v3 == 3 && rows(t.read(spark), "k", "v") == Set("1|a2", "2|b", "9|c", "4|d"))
-    sqlRun(s"VACUUM '$dir'").collect()
-    // pre-compaction batches are unreachable from the live manifest → reaped
+    // KEEP 2 retains the last two versions' batches: v2 stays readable
+    // (and v1 incidentally — its dirs are shared with v2's manifest)
+    sqlRun(s"VACUUM '$dir' KEEP 2").collect()
+    assert(rows(t.readVersion(spark, 2), "k", "v") ==
+      Set("1|a2", "2|b", "9|c", "4|d"))
+    // KEEP 1: only the live (compacted) version's batches survive
+    sqlRun(s"VACUUM '$dir' KEEP 1").collect()
     intercept[IllegalArgumentException](t.readVersion(spark, 1))
+    intercept[IllegalArgumentException](t.readVersion(spark, 2))
     assert(rows(t.read(spark), "k", "v") == Set("1|a2", "2|b", "9|c", "4|d"))
   }
 
