@@ -5257,6 +5257,28 @@ object SparkEntry {
     //    dirs driver-side and only those are scanned before the semi-join
     //    — a single-key read on a 4096-bucket 100 TB table touches
     //    1/4096th of it (the bucketed format's Bloom-index analog).
+    // ── DESCRIBE DETAIL (r8): one metadata row per table — format,
+    //    version, bucket layout, partition/stats columns, constraints —
+    //    all driver-side metadata reads, no data scan. Exercised over
+    //    both formats; the layout facts are closed-form.
+    "q301_describe_detail" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("detail").toString
+      val bt = new graft.tables.BucketedSnapshotTable(s"$work/b", 8,
+        Seq("c_custkey"), statsCols = Seq("c_acctbal"))
+      bt.scd1Merge(s, Tables.customer(s, dir)
+        .select($"c_custkey", $"c_acctbal").withColumn("op_seq", lit(1L)), "op_seq")
+      bt.addConstraint(s, "bal", "c_acctbal IS NOT NULL")
+      val t = new graft.tables.SnapshotTable(s"$work/p")
+      t.write(s, Tables.region(s, dir))
+      val sqlRun = (q: String) => org.apache.spark.sql.GraftColumnBridge.graftSql(s, q)
+      sqlRun(s"DESCRIBE DETAIL '$work/b'")
+        .unionByName(sqlRun(s"DESCRIBE DETAIL '$work/p'"))
+        .select($"format", $"version", $"num_buckets", $"bucket_keys",
+          $"partition_cols", $"stats_cols", $"n_constraints")
+        .orderBy($"format")
+    }),
+
     // ── MERGEABLE HISTOGRAM QUANTILE ROLLUP (r8): each (event_type, day)
     //    shard reduces to a 128-bin count array — a stored, mergeable
     //    sketch; corpus percentiles come from elementwise-summing shard
@@ -6262,6 +6284,16 @@ object SparkEntry {
         |ORDER BY user_id, __START_AT, event_id""".stripMargin,
 
     "q299_pca_top2_deflation" -> pcaDeflationOracle,
+
+    // layout facts are closed-form (data-independent)
+    "q301_describe_detail" ->
+      """SELECT * FROM (VALUES
+        |  ('bucketed', 1, 8, 'c_custkey', CAST(NULL AS VARCHAR), 'c_acctbal', 1),
+        |  ('snapshot', 1, CAST(NULL AS INT), CAST(NULL AS VARCHAR),
+        |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 0))
+        |AS t(format, version, num_buckets, bucket_keys, partition_cols,
+        |     stats_cols, n_constraints)
+        |ORDER BY format""".stripMargin,
 
     // shard-merge is invisible to the final counts (sum of shards = total),
     // so the oracle replays binning + cumulative + integer threshold direct

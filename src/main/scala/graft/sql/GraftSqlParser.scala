@@ -20,6 +20,7 @@ import graft.tables.SnapshotTable
   *   OPTIMIZE '<table root>' [TARGET <bytes>]
   *   VACUUM '<table root>' [KEEP <n>]
   *   DESCRIBE HISTORY '<table root>'
+  *   DESCRIBE DETAIL '<table root>'
   *   MERGE INTO '<table root>' USING <view> ON KEYS (k1[, k2…])
   *     SEQUENCE BY <col> [SCD TYPE 1|2] [DELETE WHEN <predicate>]
   *   UPDATE '<table root>' SET c = <expr>[, …] WHERE <predicate>
@@ -57,6 +58,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*VACUUM\s+'([^']+)'(?:\s+KEEP\s+(\d+))?\s*;?\s*""".r
   private val History =
     """(?is)\s*DESCRIBE\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
+  private val Detail =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+'([^']+)'\s*;?\s*""".r
   private val Merge =
     """(?is)\s*MERGE\s+INTO\s+'([^']+)'\s+USING\s+([\w.]+)\s+ON\s+KEYS\s*\(([^)]+)\)\s+SEQUENCE\s+BY\s+(\w+)(?:\s+SCD\s+TYPE\s+([12]))?(?:\s+DELETE\s+WHEN\s+(.+?))?\s*;?\s*""".r
   private val Update =
@@ -84,6 +87,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       VacuumSnapshotCommand(path, Option(keep).map(_.toInt).getOrElse(2))
     case History(path) =>
       DescribeHistoryCommand(path)
+    case Detail(path) =>
+      DescribeDetailCommand(path)
     case Merge(path, view, keys, seqCol, scdType, deleteWhen) =>
       MergeSnapshotCommand(path, view,
         keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq, seqCol,
@@ -450,6 +455,50 @@ case class RestoreSnapshotCommand(path: String, version: Int)
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(new SnapshotTable(path).restore(spark, version)))
+}
+
+/** `DESCRIBE DETAIL '<root>'` (Delta analog): ONE metadata row describing
+  * the table's identity and physical layout — format (snapshot/bucketed),
+  * live version, bucket count + keys (bucketed), partition + stats
+  * columns, active constraint count, and live file count/bytes. All
+  * driver-side metadata reads (manifest headers, file listings) — no data
+  * scan. */
+case class DescribeDetailCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("num_buckets", IntegerType, nullable = true)(),
+    AttributeReference("bucket_keys", StringType, nullable = true)(),
+    AttributeReference("partition_cols", StringType, nullable = true)(),
+    AttributeReference("stats_cols", StringType, nullable = true)(),
+    AttributeReference("n_constraints", IntegerType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)(),
+    AttributeReference("bytes", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def sizeOf(files: Seq[String]): Long = files.map { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).getFileStatus(hp).getLen
+    }.sum
+    DmlRouting.bucketed(spark, path) match {
+      case Some(l) =>
+        val bt = DmlRouting.table(spark, path, l)
+        val files = bt.read(spark).inputFiles.toSeq
+        Seq(Row("bucketed", bt.currentVersion(spark).getOrElse(0),
+          l.numBuckets, l.keys.map(_.mkString(",")).orNull, null,
+          if (l.statsCols.isEmpty) null else l.statsCols.mkString(","),
+          bt.constraints(spark).size, files.size.toLong, sizeOf(files)))
+      case None =>
+        val t = new SnapshotTable(path)
+        val files = t.read(spark).inputFiles.toSeq
+        val parts = t.partitionColumns(spark)
+        val stats = t.statsColumns(spark)
+        Seq(Row("snapshot", t.currentVersion(spark).getOrElse(0), null, null,
+          if (parts.isEmpty) null else parts.mkString(","),
+          if (stats.isEmpty) null else stats.mkString(","),
+          t.constraints(spark).size, files.size.toLong, sizeOf(files)))
+    }
+  }
 }
 
 /** `DESCRIBE HISTORY '<root>'` → [[SnapshotTable.history]] rows, or
