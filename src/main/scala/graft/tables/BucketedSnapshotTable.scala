@@ -439,6 +439,41 @@ final class BucketedSnapshotTable(
         lit(s"CONSTRAINT_VIOLATION: CHECK $name ($pred) failed")).isNull)
     }
 
+  /** Incremental CDF consumption (the consumer side of [[changes]]):
+    * process every change committed since this consumer's checkpoint in
+    * ONE manifest-pruned diff, then advance the checkpoint — the
+    * downstream-incremental-refresh loop (feed a materialized aggregate,
+    * mirror to a search index, …) without the consumer ever re-scanning
+    * the table. `fn` receives the [[ChangeFeed]]-shaped diff (fromV →
+    * live); the checkpoint file records the processed version and is
+    * written only AFTER `fn` returns, so a crashed consumer re-reads the
+    * same window (at-least-once; pair with idempotent apply or a txn
+    * ledger downstream for exactly-once). First call = full bootstrap:
+    * every live row arrives as `insert`. Returns the version the
+    * checkpoint now records. */
+  def consumeChanges(spark: SparkSession, checkpointFile: String,
+      withChangedColumns: Boolean = false)(fn: DataFrame => Unit): Int = {
+    val f = fs(spark)
+    val ckPath = new Path(checkpointFile)
+    val live = currentVersion(spark).getOrElse(
+      throw new IllegalStateException(s"BucketedSnapshotTable $root is empty"))
+    val last = MetaIO.readSmall(f, ckPath).map(_.trim.toInt).getOrElse(0)
+    if (live > last) {
+      val feed =
+        if (last == 0) {
+          // bootstrap: the whole visible table as inserts, CDF-shaped
+          val base = ScdMerge.scd1Current(read(spark))
+            .withColumn("_change_type", lit("insert"))
+          if (withChangedColumns) base.withColumn("_changed_columns", lit(""))
+          else base
+        } else changes(spark, last, live, withChangedColumns)
+      fn(feed)
+      val out = f.create(ckPath, true)
+      try out.write(live.toString.getBytes("UTF-8")) finally out.close()
+    }
+    math.max(live, last)
+  }
+
   /** SCD Type 1 merge (last-write-wins upsert, FactStream.py:12-21
     * semantics). Returns the set of bucket ids rewritten. */
   def scd1Merge(spark: SparkSession, updates: DataFrame, seqCol: String,

@@ -331,6 +331,35 @@ class BucketedTableSpec extends AnyFunSuite {
     assert(t.constraints(spark).isEmpty)
   }
 
+  test("consumeChanges: bootstrap inserts, then exactly the per-window diffs; crash re-reads the window") {
+    val dir = tmp("bcons2")
+    val t = new BucketedSnapshotTable(dir, numBuckets = 4, keys = Seq("k"))
+    t.scd1Merge(spark, mkBatch(Seq((1, 1, "a"), (2, 1, "b"))), "seq") // v1
+    val ck = s"$dir/_consumer_x"
+    var seen = Vector.empty[Set[(Int, String, String)]]
+    def drain() = t.consumeChanges(spark, ck) { feed =>
+      seen :+= feed.select("k", "v", "_change_type")
+        .as[(Int, String, String)].collect().toSet
+    }
+    assert(drain() == 1)
+    assert(seen.last == Set((1, "a", "insert"), (2, "b", "insert"))) // bootstrap
+    assert(drain() == 1 && seen.size == 1) // nothing new → fn not called
+    t.scd1Merge(spark, mkBatch(Seq((1, 2, "a2"), (3, 2, "c"))), "seq") // v2
+    t.scd1Merge(spark,
+      mkBatch(Seq((2, 3, "x"))).withColumn("d", lit(true)), "seq", Nil,
+      applyAsDeletes = Some(col("d"))) // v3: delete k=2
+    assert(drain() == 3)
+    // one diff covering v1 → v3: update, insert, delete (collapsed window)
+    assert(seen.last == Set((1, "a2", "update"), (3, "c", "insert"), (2, "b", "delete")))
+    // crashed consumer (fn throws) leaves the checkpoint untouched
+    t.scd1Merge(spark, mkBatch(Seq((4, 4, "d4"))), "seq") // v4
+    intercept[RuntimeException](t.consumeChanges(spark, ck) { _ =>
+      throw new RuntimeException("consumer crash")
+    })
+    assert(drain() == 4)
+    assert(seen.last == Set((4, "d4", "insert"))) // window re-read after crash
+  }
+
   test("time travel + history: old manifests read as committed until vacuum reaps their batches") {
     val dir = tmp("btt")
     val t = new BucketedSnapshotTable(dir, numBuckets = 4, keys = Seq("k"))
