@@ -360,6 +360,36 @@ class BucketedTableSpec extends AnyFunSuite {
     assert(seen.last == Set((4, "d4", "insert"))) // window re-read after crash
   }
 
+  test("CDF reconciliation: applying changes(a,b) to visible(a) reconstructs visible(b), any window") {
+    val t = new BucketedSnapshotTable(tmp("brecon"), numBuckets = 8, keys = Seq("k"))
+    val rnd = new scala.util.Random(42)
+    // 5 versions of randomized upserts + deletes over a 60-key space
+    for (v <- 1 to 5) {
+      val ks = rnd.shuffle((1 to 60).toList).take(12 + rnd.nextInt(10))
+      val batch = ks.map(k => (k, v, s"v$v-$k", rnd.nextInt(5) == 0))
+        .toDF("k", "seq", "v", "del")
+      t.scd1Merge(spark, batch, "seq", Nil, applyAsDeletes = Some(col("del")))
+    }
+    def visible(ver: Int): Map[Int, String] =
+      ScdMerge.scd1Current(t.readVersion(spark, ver))
+        .select("k", "v").as[(Int, String)].collect().toMap
+    for (a <- 1 until 5; b <- (a + 1) to 5) {
+      val diff = t.changes(spark, a, b)
+        .select("k", "v", "_change_type").as[(Int, String, String)].collect()
+      val rebuilt = diff.foldLeft(visible(a)) {
+        case (m, (k, _, "delete")) => m - k
+        case (m, (k, v, _))        => m.updated(k, v)
+      }
+      assert(rebuilt == visible(b), s"window $a→$b does not reconcile")
+      // and the diff is MINIMAL: no row for an unchanged key
+      diff.foreach { case (k, v, ct) => ct match {
+        case "insert" => assert(!visible(a).contains(k) && visible(b)(k) == v)
+        case "delete" => assert(visible(a).contains(k) && !visible(b).contains(k))
+        case "update" => assert(visible(a).contains(k) && visible(b)(k) == v)
+      }}
+    }
+  }
+
   test("time travel + history: old manifests read as committed until vacuum reaps their batches") {
     val dir = tmp("btt")
     val t = new BucketedSnapshotTable(dir, numBuckets = 4, keys = Seq("k"))
