@@ -5261,6 +5261,89 @@ object SparkEntry {
     //    version, bucket layout, partition/stats columns, constraints —
     //    all driver-side metadata reads, no data scan. Exercised over
     //    both formats; the layout facts are closed-form.
+    // ── EXACTLY-ONCE CDF MIRROR (r9): the consumer side of the bucketed
+    //    change feed closed into a loop — applyChangesTo keeps a second
+    //    bucketed table (different bucket count) in sync via manifest-
+    //    pruned diffs, with the target's txn ledger as the committed
+    //    progress marker. The query replays a REAL crash window in-line:
+    //    the v2 window's merge lands but the consumer dies before its
+    //    checkpoint advances; the next applyChangesTo call heals the
+    //    checkpoint from the ledger (no double-apply) and then follows the
+    //    v3 window incrementally. Oracle reconstructs the final state.
+    "q302_cdf_exactly_once_mirror" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("cdfmirror").toString
+      val src = new graft.tables.BucketedSnapshotTable(s"$work/src", 32, Seq("c_custkey"))
+      val dst = new graft.tables.BucketedSnapshotTable(s"$work/dst", 8, Seq("c_custkey"))
+      val ck = s"$work/ck"
+      val c = Tables.customer(s, dir).select($"c_custkey", $"c_name", $"c_acctbal")
+      src.scd1Merge(s, c.withColumn("op_seq", lit(1L)), "op_seq") // v1
+      src.applyChangesTo(s, ck, dst, "mirror") // bootstrap
+      // v2: update + delete + insert
+      val upd = c.filter($"c_custkey" % 10 === 0 && $"c_custkey" % 17 =!= 0)
+        .withColumn("c_acctbal", $"c_acctbal" + 100)
+      val dels = c.filter($"c_custkey" % 17 === 0)
+      val ins = c.filter($"c_custkey" % 50 === 0)
+        .withColumn("c_custkey", $"c_custkey" + 10000000L)
+      src.scd1Merge(s, upd.unionByName(dels).unionByName(ins)
+          .withColumn("op_seq", lit(2L)), "op_seq", Nil,
+        applyAsDeletes = Some($"c_custkey" % 17 === 0 && $"c_custkey" < 10000000L))
+      // crash window: the v2 apply LANDS in dst (ledger stamped) but the
+      // consumer dies before the checkpoint advances
+      try src.consumeChangesVersioned(s, ck) { (feed, _, toV) =>
+        dst.scd1Merge(s, feed
+            .withColumn(graft.cdc.ScdMerge.DeletedCol, $"_change_type" === "delete")
+            .drop("_change_type")
+            .withColumn("__cdf_seq", lit(toV.toLong)),
+          "__cdf_seq", Nil,
+          applyAsDeletes = Some(col(graft.cdc.ScdMerge.DeletedCol)),
+          txn = Some(("cdf:mirror", toV.toLong)))
+        throw new RuntimeException("crash before checkpoint")
+      } catch { case _: RuntimeException => }
+      src.applyChangesTo(s, ck, dst, "mirror") // heal: ledger says v2 applied
+      // v3: one more incremental window on the healed consumer
+      val v2state = graft.cdc.ScdMerge.scd1Current(src.read(s))
+      src.scd1Merge(s, v2state.filter($"c_custkey" % 7 === 0)
+        .withColumn("c_acctbal", $"c_acctbal" + 1)
+        .withColumn("op_seq", lit(3L)), "op_seq")
+      src.applyChangesTo(s, ck, dst, "mirror")
+      graft.cdc.ScdMerge.scd1Current(dst.read(s))
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+        .orderBy($"c_custkey")
+    }),
+
+    // ── STATS-PRUNED PREDICATE DML (r9): UPDATE WHERE mod_ts >= <recent>
+    //    on a bucketed table whose batches carry per-file stats — the
+    //    discovery scan skips every bucket whose files cannot hold recent
+    //    rows (Delta data-skipping composed with the copy-on-write DML),
+    //    so the maintenance cost tracks the RECENT data, not the table.
+    //    The query asserts the pruning in-line (candidate set strictly
+    //    smaller than the table) and the oracle replays the arithmetic.
+    "q303_update_stats_pruned" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("updstats").toString
+      val bt = new graft.tables.BucketedSnapshotTable(s"$work/t", 16,
+        Seq("c_custkey"), statsCols = Seq("mod_ts"))
+      val c = Tables.customer(s, dir).select($"c_custkey", $"c_acctbal")
+      bt.scd1Merge(s, c
+        .withColumn("mod_ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+        .withColumn("op_seq", lit(1L)), "op_seq")
+      bt.scd1Merge(s, c.filter($"c_custkey" % 100 === 0)
+        .withColumn("c_acctbal", $"c_acctbal" + 5)
+        .withColumn("mod_ts", lit("2024-02-01 00:00:00").cast("timestamp"))
+        .withColumn("op_seq", lit(2L)), "op_seq")
+      val pred = $"mod_ts" >= lit("2024-01-15 00:00:00").cast("timestamp")
+      val cand = bt.statsCandidates(s, bt.manifest(s), pred)
+        .getOrElse(sys.error("stats pre-filter must extract the range bound"))
+      require(cand.size < 16,
+        s"discovery must be stats-pruned: ${cand.size} candidate buckets of 16")
+      val (touched, _) = bt.update(s, pred,
+        Seq("c_acctbal" -> ($"c_acctbal" + 1000)))
+      require(touched.subsetOf(cand), "rewrite must stay inside the candidate set")
+      bt.read(s).select($"c_custkey", $"c_acctbal", $"mod_ts")
+        .orderBy($"c_custkey")
+    }),
+
     "q301_describe_detail" -> ((s, dir) => {
       import s.implicits._
       val work = java.nio.file.Files.createTempDirectory("detail").toString
@@ -6284,6 +6367,31 @@ object SparkEntry {
         |ORDER BY user_id, __START_AT, event_id""".stripMargin,
 
     "q299_pca_top2_deflation" -> pcaDeflationOracle,
+
+    // the mirror must equal the source's final visible state: v2 applied
+    // updates(+100 to %10, minus the %17 deletes), inserted %50 copies at
+    // key+10M, v3 added +1 to every surviving %7 key — a crashed consumer
+    // window in between must change NOTHING (exactly-once)
+    "q302_cdf_exactly_once_mirror" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |v2 AS (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal
+        |  FROM base WHERE c_custkey % 17 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, c_name, c_acctbal FROM base WHERE c_custkey % 50 = 0)
+        |SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1 ELSE c_acctbal END AS c_acctbal
+        |FROM v2 ORDER BY c_custkey""".stripMargin,
+
+    // stats-pruned UPDATE: only the %100 keys were re-merged with the
+    // newer mod_ts, so only they match the range predicate and take +1000
+    "q303_update_stats_pruned" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 100 = 0 THEN c_acctbal + 5 + 1000 ELSE c_acctbal END AS c_acctbal,
+        |  CASE WHEN c_custkey % 100 = 0 THEN TIMESTAMP '2024-02-01 00:00:00'
+        |       ELSE TIMESTAMP '2024-01-01 00:00:00' END AS mod_ts
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     // layout facts are closed-form (data-independent)
     "q301_describe_detail" ->

@@ -113,19 +113,33 @@ final class BucketedSnapshotTable(
 
   /** bucket id → batch dir name (relative to root) for the live version. */
   def manifest(spark: SparkSession): Map[Int, String] =
-    currentVersion(spark).map(readManifest(spark, _)).getOrElse(Map.empty)
+    readManifest0(spark, currentVersion(spark))
 
-  private def readManifest(spark: SparkSession, v: Int): Map[Int, String] = {
+  private def readManifest0(spark: SparkSession, v: Option[Int]): Map[Int, String] =
+    v.map(readManifest(spark, _)).getOrElse(Map.empty)
+
+  private def readManifest(spark: SparkSession, v: Int): Map[Int, String] =
+    readEntries(spark, v).map { case (b, e) => b -> e.dir }
+
+  import BucketedSnapshotTable.BucketEntry
+
+  private def readEntries(spark: SparkSession, v: Int): Map[Int, BucketEntry] = {
     val f = fs(spark)
     val in = f.open(new Path(root, s"_manifest_v$v"))
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
       finally in.close()
     // header lines are "name=value" (numBuckets always; keys since r7 —
-    // older manifests without it still parse); entries are "bucket\tdir"
+    // older manifests without it still parse); entries are
+    // "bucket\tdir[\tcontentV]"
     lines.dropWhile(l => l.contains("=") && !l.contains("\t")).map { l =>
-      val Array(b, dir) = l.split("\t", 2)
-      b.toInt -> dir
+      l.split("\t", 3) match {
+        case Array(b, dir, cv) => b.toInt -> BucketEntry(dir, cv.toInt)
+        case Array(b, dir) => b.toInt -> BucketEntry(dir,
+          dir.stripPrefix("_batch_v").toIntOption.getOrElse(Int.MaxValue))
+        case _ => throw new IllegalStateException(
+          s"BucketedSnapshotTable $root: corrupt manifest entry '$l' in _manifest_v$v")
+      }
     }.toMap
   }
 
@@ -154,14 +168,14 @@ final class BucketedSnapshotTable(
       case (k, b) if k.startsWith("txn:") => k.stripPrefix("txn:") -> b.toLong
     }
 
-  private def writeManifest(spark: SparkSession, v: Int, m: Map[Int, String],
+  private def writeManifest(spark: SparkSession, v: Int, m: Map[Int, BucketEntry],
       txns: Map[String, Long] = Map.empty): Unit = {
     val f = fs(spark)
     val header = Seq(s"numBuckets=$numBuckets", s"keys=${keys.mkString(",")}") ++
       (if (statsCols.isEmpty) Nil else Seq(s"statsCols=${statsCols.mkString(",")}")) ++
       txns.toSeq.sortBy(_._1).map { case (q, b) => s"txn:$q=$b" }
     val body = (header ++
-      m.toSeq.sortBy(_._1).map { case (b, d) => s"$b\t$d" }).mkString("\n")
+      m.toSeq.sortBy(_._1).map { case (b, e) => s"$b\t${e.dir}\t${e.contentV}" }).mkString("\n")
     val out = f.create(new Path(root, s"_manifest_v$v"), true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     onStep("manifest_file")
@@ -331,24 +345,29 @@ final class BucketedSnapshotTable(
     require(fromV < toV,
       s"BucketedSnapshotTable $root: changes needs fromV < toV (got $fromV, $toV)")
     val f = fs(spark)
-    def checked(v: Int): Map[Int, String] = {
+    def checked(v: Int): Map[Int, BucketEntry] = {
       if (!f.exists(new Path(root, s"_manifest_v$v")))
         throw new IllegalArgumentException(
           s"BucketedSnapshotTable $root: version $v does not exist")
-      val m = readManifest(spark, v)
-      m.values.toSet.foreach { (dir: String) =>
+      val m = readEntries(spark, v)
+      m.values.map(_.dir).toSet.foreach { (dir: String) =>
         if (!f.exists(new Path(s"$root/$dir")))
           throw new IllegalArgumentException(
             s"BucketedSnapshotTable $root: version $v was vacuumed (missing $dir)")
       }
       m
     }
-    val mFrom = checked(fromV)
-    val mTo = checked(toV)
-    // metadata-only pruning: a bucket mapped to the SAME batch dir in both
-    // versions is byte-identical — skip it
-    val changed = (mFrom.keySet ++ mTo.keySet)
-      .filter(b => mFrom.get(b) != mTo.get(b))
+    val eFrom = checked(fromV)
+    val eTo = checked(toV)
+    // metadata-only pruning on the CONTENT version: a bucket whose content
+    // last changed at the same commit in both manifests is byte-identical
+    // even if maintenance moved its bytes to a new batch dir in between —
+    // so a change-feed window spanning an OPTIMIZE still reads only the
+    // buckets a merge actually touched
+    val changed = (eFrom.keySet ++ eTo.keySet)
+      .filter(b => eFrom.get(b).map(_.contentV) != eTo.get(b).map(_.contentV))
+    val mFrom = eFrom.map { case (b, e) => b -> e.dir }
+    val mTo = eTo.map { case (b, e) => b -> e.dir }
     // schema donor for an empty side (e.g. fromV before the key range
     // existed, or a fully-deleted toV): footer-only read, no data scan
     lazy val schemaOnly: DataFrame =
@@ -361,6 +380,17 @@ final class BucketedSnapshotTable(
         .map(df => ScdMerge.scd1Current(df.drop(BucketCol)))
         .getOrElse(schemaOnly)
     ChangeFeed.diff(visible(mFrom), visible(mTo), keys, withChangedColumns)
+  }
+
+  /** Metadata-only: the buckets whose CONTENT changed between two committed
+    * versions — exactly what [[changes]] will read. Exposed for the pruning
+    * assertions (spec pins that an OPTIMIZE between the versions does not
+    * inflate this set). */
+  private[graft] def changedBuckets(spark: SparkSession, fromV: Int, toV: Int): Set[Int] = {
+    val eFrom = readEntries(spark, fromV)
+    val eTo = readEntries(spark, toV)
+    (eFrom.keySet ++ eTo.keySet)
+      .filter(b => eFrom.get(b).map(_.contentV) != eTo.get(b).map(_.contentV))
   }
 
   // ── CHECK constraints (Delta semantics, plain-table parity) ────────────
@@ -452,7 +482,16 @@ final class BucketedSnapshotTable(
     * every live row arrives as `insert`. Returns the version the
     * checkpoint now records. */
   def consumeChanges(spark: SparkSession, checkpointFile: String,
-      withChangedColumns: Boolean = false)(fn: DataFrame => Unit): Int = {
+      withChangedColumns: Boolean = false)(fn: DataFrame => Unit): Int =
+    consumeChangesVersioned(spark, checkpointFile, withChangedColumns) {
+      (feed, _, _) => fn(feed)
+    }
+
+  /** [[consumeChanges]] with the window's (fromVersion, toVersion) handed
+    * to the consumer — what an exactly-once apply needs to stamp its txn
+    * ledger entry (fromVersion = 0 on the bootstrap call). */
+  def consumeChangesVersioned(spark: SparkSession, checkpointFile: String,
+      withChangedColumns: Boolean = false)(fn: (DataFrame, Int, Int) => Unit): Int = {
     val f = fs(spark)
     val ckPath = new Path(checkpointFile)
     val live = currentVersion(spark).getOrElse(
@@ -467,11 +506,56 @@ final class BucketedSnapshotTable(
           if (withChangedColumns) base.withColumn("_changed_columns", lit(""))
           else base
         } else changes(spark, last, live, withChangedColumns)
-      fn(feed)
+      fn(feed, last, live)
       val out = f.create(ckPath, true)
       try out.write(live.toString.getBytes("UTF-8")) finally out.close()
     }
     math.max(live, last)
+  }
+
+  /** EXACTLY-ONCE incremental mirror into another bucketed table: consume
+    * this table's change feed since `checkpointFile` and merge it into
+    * `target`, the consumer loop that keeps a downstream copy (different
+    * bucket count, different cluster, a serving mirror) in sync without
+    * ever re-scanning the source.
+    *
+    * Exactly-once composition: the merge is stamped into `target`'s
+    * transaction ledger as (`cdf:<consumerId>`, toVersion) in the SAME
+    * manifest commit that applies it, so the ledger — not the checkpoint
+    * file — is the authoritative progress marker. On every call the
+    * checkpoint first HEALS from the ledger: a consumer that crashed after
+    * the merge landed but before its checkpoint advanced resumes from the
+    * version the ledger proves applied, never re-diffing a window the
+    * target already absorbed. (Resuming from the stale checkpoint instead
+    * would be wrong, not just wasteful: if a key changed in the crashed
+    * window and REVERTED before the retry, the wider stale-window diff
+    * reports no change for it and the mirror would keep the crashed
+    * window's value.) Rows arrive in `target` carrying `__cdf_seq` = the
+    * source version that produced them (the merge's ordering column,
+    * monotone across windows); deletes flow as tombstones. Read the mirror
+    * with SNAPSHOT / [[ScdMerge.scd1Current]], which filter tombstones.
+    * Returns the checkpointed source version. */
+  def applyChangesTo(spark: SparkSession, checkpointFile: String,
+      target: BucketedSnapshotTable, consumerId: String): Int = {
+    val f = fs(spark)
+    val ckPath = new Path(checkpointFile)
+    val applied = target.currentVersion(spark)
+      .map(v => target.txnsOf(spark, v)).getOrElse(Map.empty)
+      .getOrElse(s"cdf:$consumerId", 0L).toInt
+    val ckV = MetaIO.readSmall(f, ckPath).map(_.trim.toInt).getOrElse(0)
+    if (applied > ckV) { // heal: the ledger outran the checkpoint (crash window)
+      val out = f.create(ckPath, true)
+      try out.write(applied.toString.getBytes("UTF-8")) finally out.close()
+    }
+    consumeChangesVersioned(spark, checkpointFile) { (feed, _, toV) =>
+      val upd = feed
+        .withColumn(ScdMerge.DeletedCol, col("_change_type") === "delete")
+        .drop("_change_type")
+        .withColumn("__cdf_seq", lit(toV.toLong))
+      target.scd1Merge(spark, upd, "__cdf_seq", Nil,
+        applyAsDeletes = Some(col(ScdMerge.DeletedCol)),
+        txn = Some((s"cdf:$consumerId", toV.toLong)))
+    }
   }
 
   /** SCD Type 1 merge (last-write-wins upsert, FactStream.py:12-21
@@ -541,17 +625,142 @@ final class BucketedSnapshotTable(
   def delete(spark: SparkSession, pred: Column): (Set[Int], Long) =
     rewriteMatching(spark, pred)(_.filter(!coalesce(pred, lit(false))))
 
+  /** Conservative conjunctive [lo,hi] bounds per column, extracted from a
+    * predicate's (unanalyzed) Catalyst expression — the driver-side range
+    * analysis feeding [[statsCandidates]]. Only shapes whose bounds are
+    * PROVABLY implied by the predicate contribute: `col <cmp> literal`
+    * comparisons (either operand order) on numeric/date/timestamp columns,
+    * conjoined by AND. Anything else (OR, NOT, functions, unanalyzable
+    * conjuncts) contributes nothing — an AND-conjunct can only narrow the
+    * match set, so ignoring one keeps the candidate set a superset.
+    * Literal values quantize exactly as [[StatsManifest]] records them
+    * (timestamps → epoch micros, dates → epoch days, numerics → double). */
+  private[graft] def predBounds(pred: Column): Map[String, (Double, Double)] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    def attr(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference  => Some(a.name)
+      case _ => None
+    }
+    def litD(e0: Expression): Option[Double] = {
+      val e = e0 match {
+        // a Cast(literal, timestamp/date) from the Column API carries no
+        // timezone yet (the analyzer normally injects it) — stamp the
+        // session zone so the literal folds, matching what analysis does
+        case c: Cast if !c.resolved && c.childrenResolved =>
+          c.withTimeZone(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+        case x => x
+      }
+      if (e.resolved && e.foldable) e.eval(null) match {
+        case n: Number => Some(n.doubleValue)
+        case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+        case _ => None
+      } else None
+    }
+    val NegInf = Double.NegativeInfinity
+    val PosInf = Double.PositiveInfinity
+    def merge(a: Map[String, (Double, Double)], b: Map[String, (Double, Double)]) =
+      (a.keySet ++ b.keySet).map { c =>
+        val (alo, ahi) = a.getOrElse(c, (NegInf, PosInf))
+        val (blo, bhi) = b.getOrElse(c, (NegInf, PosInf))
+        c -> (math.max(alo, blo), math.min(ahi, bhi))
+      }.toMap
+    def one(c: Option[String], v: Option[Double],
+        f: Double => (Double, Double)): Map[String, (Double, Double)] =
+      (for (cc <- c; vv <- v) yield Map(cc -> f(vv))).getOrElse(Map.empty)
+    // two comparison encodings reach us unanalyzed: SQL text parses to the
+    // typed nodes (GreaterThanOrEqual, …); the Column DSL converts to
+    // UnresolvedFunction("and" | ">=" | …) calls — handle both
+    def cmp(name: String, l: Expression, r: Expression): Map[String, (Double, Double)] =
+      name match {
+        case "=" | "==" =>
+          one(attr(l), litD(r), v => (v, v)) ++ one(attr(r), litD(l), v => (v, v))
+        case ">" | ">=" =>
+          one(attr(l), litD(r), v => (v, PosInf)) ++ one(attr(r), litD(l), v => (NegInf, v))
+        case "<" | "<=" =>
+          one(attr(l), litD(r), v => (NegInf, v)) ++ one(attr(r), litD(l), v => (v, PosInf))
+        case _ => Map.empty
+      }
+    def walk(e: Expression): Map[String, (Double, Double)] = e match {
+      case And(l, r)                => merge(walk(l), walk(r))
+      case EqualTo(l, r)            => cmp("=", l, r)
+      case GreaterThan(l, r)        => cmp(">", l, r)
+      case GreaterThanOrEqual(l, r) => cmp(">=", l, r)
+      case LessThan(l, r)           => cmp("<", l, r)
+      case LessThanOrEqual(l, r)    => cmp("<=", l, r)
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+        (f.nameParts.last.toLowerCase, f.arguments) match {
+          case ("and", Seq(l, r)) => merge(walk(l), walk(r))
+          case (n, Seq(l, r))     => cmp(n, l, r)
+          case _                  => Map.empty
+        }
+      case _ => Map.empty
+    }
+    walk(org.apache.spark.sql.GraftColumnBridge.catalystExpression(pred))
+  }
+
+  /** Stats-manifest pre-filter for predicate DML discovery (the bucketed
+    * analog of Delta's data-skipping on UPDATE/DELETE): buckets whose every
+    * file's recorded [min,max] for some bounded stats column lies outside
+    * the predicate's extracted range CANNOT contain a match, so the
+    * discovery scan skips them. Returns None when the predicate yields no
+    * usable bounds (scan everything, the pre-r9 behavior); a batch dir
+    * without a stats manifest keeps all its buckets — pruning is always a
+    * superset guarantee, and the row-level filter still applies. */
+  private[graft] def statsCandidates(spark: SparkSession, m: Map[Int, String],
+      pred: Column): Option[Set[Int]] = {
+    val bounds = predBounds(pred).filter { case (c, _) => statsCols.contains(c) }
+    if (bounds.isEmpty) return None
+    val f = fs(spark)
+    def norm(p: String) = new Path(p).toUri.getPath
+    Some(m.groupBy(_._2).flatMap { case (dir, entries) =>
+      StatsManifest.readLines(f, batchStatsPath(dir)) match {
+        case None => entries.keys // no stats for this batch → keep its buckets
+        case Some(lines) =>
+          // a file survives iff EVERY bounded column's recorded range
+          // intersects (a column missing from the file's stats entry keeps
+          // the file — superset guarantee)
+          val passFiles = lines.filter { l =>
+            val ents = l.split("\t").drop(1)
+            bounds.forall { case (c, (lo, hi)) =>
+              ents.find(_.startsWith(s"$c:n:")) match {
+                case None => true
+                case Some(s) =>
+                  val Array(_, _, mn, mx) = s.split(":", 4)
+                  !(mx.toDouble < lo || mn.toDouble > hi)
+              }
+            }
+          }.map(l => norm(l.split("\t")(0)))
+          entries.keys.filter { b =>
+            val d = norm(s"$root/$dir/$BucketCol=$b") + "/"
+            passFiles.exists(_.startsWith(d))
+          }
+      }
+    }.toSet)
+  }
+
   /** Shared copy-on-write loop for [[update]]/[[delete]]: per attempt,
     * discover the buckets holding `pred` matches (one job: per-bucket
     * match counts, ≤ numBuckets rows of driver metadata), rewrite those
     * buckets through `transform`, and commit. Recomputed from fresh state
-    * on a lost commit race. */
+    * on a lost commit race.
+    *
+    * Discovery is stats-pruned when the predicate carries range bounds on
+    * a stats column ([[statsCandidates]]): on a table whose batches carry
+    * per-file stats, `UPDATE … WHERE ts >= <recent>` scans only the
+    * buckets whose files can hold such rows — O(recent data), not
+    * O(table). The commit-race rebase rule stays the strict
+    * `wholeTableRead` one (identical manifests required): a moved entry in
+    * a NON-candidate bucket could hold new rows the stats snapshot this
+    * attempt read never covered. */
   private def rewriteMatching(spark: SparkSession, pred: Column)
       (transform: DataFrame => DataFrame): (Set[Int], Long) = {
     var matched = 0L
     val touched = commitLoop(spark, wholeTableRead = true) { () =>
-      readBuckets(spark, None).flatMap { all =>
-        val hits = all.filter(pred).groupBy(col(BucketCol)).count().collect()
+      val cand = statsCandidates(spark, manifest(spark), pred)
+      readBuckets(spark, cand).flatMap { scanned =>
+        val hits = scanned.filter(pred).groupBy(col(BucketCol)).count().collect()
         matched = hits.map(_.getLong(1)).sum
         val affected = hits.map(_.getInt(0)).toSet
         if (affected.isEmpty) None
@@ -601,7 +810,7 @@ final class BucketedSnapshotTable(
       val v0 = currentVersion(spark).getOrElse(0)
       // manifest AT v0 (immutable once written): the rebase check below
       // compares the affected buckets' entries against it
-      val m0 = if (v0 == 0) Map.empty[Int, String] else readManifest(spark, v0)
+      val m0 = if (v0 == 0) Map.empty[Int, BucketEntry] else readEntries(spark, v0)
       val (affected, merged) = stage() match {
         case None => return Set.empty
         case Some(x) => x
@@ -648,7 +857,7 @@ final class BucketedSnapshotTable(
         // (`wholeTableRead`) discovered its affected set by scanning the
         // whole table, so ANY moved entry could hide rows its predicate
         // never saw — rebase only when the manifests are identical.
-        val mCur = if (cur == v0) m0 else readManifest(spark, cur)
+        val mCur = if (cur == v0) m0 else readEntries(spark, cur)
         val rebasable = cur == v0 ||
           (if (wholeTableRead) mCur == m0
            else affected.forall(b => mCur.get(b) == m0.get(b)))
@@ -677,7 +886,8 @@ final class BucketedSnapshotTable(
               n.stripPrefix(s"$BucketCol=").toInt }.toSet
           writeManifest(spark, next,
             (mCur -- affected) ++
-              affected.intersect(written).map(_ -> batchDir).toMap,
+              affected.intersect(written)
+                .map(_ -> BucketEntry(batchDir, next)).toMap,
             txnsOf(spark, cur) ++ txn)
           onStep("committed")
           true
@@ -756,7 +966,7 @@ final class BucketedSnapshotTable(
   def compact(spark: SparkSession): Int = {
     val f = fs(spark)
     val v0 = currentVersion(spark).getOrElse(0)
-    val m0 = if (v0 == 0) Map.empty[Int, String] else readManifest(spark, v0)
+    val m0 = if (v0 == 0) Map.empty[Int, BucketEntry] else readEntries(spark, v0)
     var committed = v0
     readBuckets(spark, None).foreach { df =>
       val staging = s"_staging_${java.util.UUID.randomUUID().toString.take(12)}"
@@ -770,7 +980,7 @@ final class BucketedSnapshotTable(
       onStep("compact_staged")
       CommitLock.withLockHandle(f, root, commitStaleMs) { lockH =>
         val cur = currentVersion(spark).getOrElse(0)
-        val mCur = if (cur == v0) m0 else readManifest(spark, cur)
+        val mCur = if (cur == v0) m0 else readEntries(spark, cur)
         val next = cur + 1
         val batchDir = s"_batch_v$next"
         val batchPath = new Path(s"$root/$batchDir")
@@ -791,8 +1001,12 @@ final class BucketedSnapshotTable(
               .filter(l => keptDirs.exists(l.contains)))
         }
         lockH.check() // paused-holder guard: abort rather than double-flip
+        // compaction is content-preserving: re-pointed buckets KEEP their
+        // contentV, so a change-feed window spanning this commit still
+        // prunes them as unchanged
         writeManifest(spark, next,
-          mCur ++ unmoved.filter(mCur.contains).map(_ -> batchDir).toMap,
+          mCur ++ unmoved.filter(mCur.contains)
+            .map(b => b -> BucketEntry(batchDir, mCur(b).contentV)).toMap,
           txnsOf(spark, cur)) // the exactly-once ledger survives maintenance
         committed = next
       }
@@ -828,6 +1042,18 @@ final class BucketedSnapshotTable(
 }
 
 object BucketedSnapshotTable {
+
+  /** One manifest entry: the batch dir holding the bucket's bytes, plus
+    * the commit version at which the bucket's CONTENT last changed.
+    * `contentV` survives content-preserving rewrites (compaction moves a
+    * bucket to a new dir but carries its contentV), so the change feed can
+    * prune "did this bucket change between v_a and v_b?" on metadata even
+    * across an OPTIMIZE boundary — dir comparison alone would report every
+    * bucket moved. Manifests written before contentV existed (2-field
+    * lines) fall back to the dir's own batch version, which is always ≥
+    * the true content version — a conservative over-approximation that
+    * reads more buckets, never misses a change. */
+  private[tables] final case class BucketEntry(dir: String, contentV: Int)
 
   /** Identity of a bucketed table as recorded in its manifest header:
     * bucket count, bucket keys (absent on pre-r7 manifests that did not

@@ -12,6 +12,13 @@ object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Eagerly convert a Column's node tree into concrete Catalyst
+    * expressions ([[expression]] wraps them lazily in a
+    * `ColumnNodeExpression`, whose children are not walkable) — what a
+    * driver-side predicate analysis (stats pruning) needs. */
+  def catalystExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Wrap a logical plan as a DataFrame (`Dataset.ofRows` is
     * `private[sql]`). */
   def ofRows(spark: SparkSession,

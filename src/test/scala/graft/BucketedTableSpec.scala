@@ -550,6 +550,115 @@ class BucketedTableSpec extends AnyFunSuite {
     assert(t.read(spark).filter($"k" === 5).select("v").as[String].head() == "v5b")
   }
 
+  test("CDF pruning survives OPTIMIZE: contentV carries across compaction, windows stay bucket-pruned") {
+    val t = new BucketedSnapshotTable(tmp("bcdfopt"), numBuckets = 32, keys = Seq("k"))
+    t.scd1Merge(spark, mkBatch((1 to 320).map(i => (i, 1, s"v$i"))), "seq") // v1
+    val t2 = t.scd1Merge(spark, mkBatch(Seq((7, 2, "v7b"))), "seq")        // v2
+    t.compact(spark)                                                        // v3 moves EVERY dir
+    val t4 = t.scd1Merge(spark, mkBatch(Seq((200, 3, "v200b"))), "seq")    // v4
+
+    // metadata-level pruning assertions on the exact set changes() reads
+    assert(t.changedBuckets(spark, 1, 2) == t2)
+    assert(t.changedBuckets(spark, 2, 3).isEmpty,
+      "compaction is content-preserving — the 2→3 window must prune to nothing")
+    assert(t.changedBuckets(spark, 1, 4) == (t2 ++ t4),
+      "a window spanning the OPTIMIZE must see only the merged buckets, " +
+        "not every bucket the compaction re-pointed")
+
+    // and the diffs themselves stay correct
+    assert(t.changes(spark, 2, 3).count() == 0)
+    val cdf = t.changes(spark, 1, 4).select("k", "_change_type")
+      .as[(Int, String)].collect().toSet
+    assert(cdf == Set((7, "update"), (200, "update")))
+    // IO bound: 2 changed buckets of 32, both sides
+    val full = t.read(spark)
+    assert(t.changes(spark, 1, 4).inputFiles.length <= 4 * full.inputFiles.length / 32 + 4)
+  }
+
+  test("predicate DML stats pre-filter: range predicates skip buckets whose files cannot match") {
+    val t = new BucketedSnapshotTable(tmp("bdmlstats"), numBuckets = 16,
+      keys = Seq("k"), statsCols = Seq("d"))
+    t.scd1Merge(spark, (1 to 160).map(i => (i, 1, 1, s"v$i")).toDF("k", "seq", "d", "v"), "seq")
+    val hot = t.scd1Merge(spark,
+      Seq((3, 2, 5, "v3b"), (4, 2, 5, "v4b")).toDF("k", "seq", "d", "v"), "seq")
+
+    // bound extraction: conjunctions intersect, OR/unknown shapes bail
+    assert(t.predBounds($"d" >= 2 && $"d" < 9 && upper($"v") === "X") == Map("d" -> ((2.0, 9.0))))
+    assert(t.predBounds($"d" >= 2 || $"k" === 1).isEmpty)
+    assert(t.predBounds($"ts" >= lit("2024-01-15 00:00:00").cast("timestamp"))
+      .get("ts").exists(_._1 > 1.7e15), "timestamp literal must fold to epoch micros")
+
+    // candidate set: only the d=5 batch's buckets survive the d>=2 bound
+    val cand = t.statsCandidates(spark, t.manifest(spark), $"d" >= 2).get
+    assert(cand == hot, s"stats pre-filter must name exactly the hot buckets: $cand vs $hot")
+    // no usable bounds → no pruning (None = scan everything)
+    assert(t.statsCandidates(spark, t.manifest(spark), $"v" === "v3b").isEmpty)
+
+    // UPDATE with the range predicate rewrites only the hot buckets and is
+    // still value-correct
+    val (touched, n) = t.update(spark, $"d" >= 2, Seq("v" -> concat($"v", lit("!"))))
+    assert(n == 2 && touched == hot)
+    assert(t.read(spark).filter($"k".isin(3, 4)).select("v")
+      .as[String].collect().toSet == Set("v3b!", "v4b!"))
+    assert(t.read(spark).filter($"k" === 5).select("v").as[String].head() == "v5")
+
+    // DELETE with a disjoint range is a clean no-op without scanning
+    val v0 = t.currentVersion(spark)
+    assert(t.delete(spark, $"d" >= 99) == ((Set.empty[Int], 0L)))
+    assert(t.currentVersion(spark) == v0)
+  }
+
+  test("applyChangesTo: exactly-once CDF mirror — ledger heals the checkpoint across an ABA crash window") {
+    val src = new BucketedSnapshotTable(tmp("bcdfsrc"), numBuckets = 32, keys = Seq("k"))
+    val dst = new BucketedSnapshotTable(tmp("bcdfdst"), numBuckets = 8, keys = Seq("k"))
+    val ck = tmp("bcdfck") + "/ck"
+    def mirror(): Set[String] =
+      rows(ScdMerge.scd1Current(dst.read(spark)), "k", "v")
+    def source(): Set[String] =
+      rows(ScdMerge.scd1Current(src.read(spark)), "k", "v")
+
+    src.scd1Merge(spark, mkBatch((1 to 100).map(i => (i, 1, s"v$i"))), "seq") // v1
+    assert(src.applyChangesTo(spark, ck, dst, "m1") == 1) // bootstrap
+    assert(mirror() == source())
+
+    // incremental window: update + insert + delete flow through the diff
+    src.scd1Merge(spark,
+      mkBatch(Seq((7, 2, "v7b"), (1000, 2, "new"), (13, 2, "gone")))
+        .withColumn("del", $"k" === 13),
+      "seq", Nil, applyAsDeletes = Some(col("del") === true))
+    assert(src.applyChangesTo(spark, ck, dst, "m1") == 2)
+    assert(mirror() == source())
+    assert(!mirror().exists(_.startsWith("13|")))
+
+    // idempotent replay: nothing new → no target commit
+    val dv = dst.currentVersion(spark)
+    src.applyChangesTo(spark, ck, dst, "m1")
+    assert(dst.currentVersion(spark) == dv)
+
+    // ABA crash window: apply v3's change, crash BEFORE the checkpoint
+    // advances, then the source REVERTS the key. A consumer resuming from
+    // the stale checkpoint would diff 2→4 (no change for k=20) and keep
+    // the crashed window's value; the ledger heal resumes from 3 instead.
+    src.scd1Merge(spark, mkBatch(Seq((20, 3, "X"))), "seq") // v3
+    intercept[RuntimeException] {
+      src.consumeChangesVersioned(spark, ck) { (feed, _, toV) =>
+        val upd = feed
+          .withColumn(ScdMerge.DeletedCol, col("_change_type") === "delete")
+          .drop("_change_type")
+          .withColumn("__cdf_seq", lit(toV.toLong))
+        dst.scd1Merge(spark, upd, "__cdf_seq", Nil,
+          applyAsDeletes = Some(col(ScdMerge.DeletedCol)),
+          txn = Some(("cdf:m1", toV.toLong)))
+        throw new RuntimeException("crash before checkpoint")
+      }
+    }
+    assert(mirror().contains("20|X"), "the crashed window's merge DID land")
+    src.scd1Merge(spark, mkBatch(Seq((20, 4, "v20"))), "seq") // v4: revert
+    assert(src.applyChangesTo(spark, ck, dst, "m1") == 4)
+    assert(mirror() == source(), "ledger heal must pick up the 3→4 revert")
+    assert(mirror().contains("20|v20"))
+  }
+
   test("read prunes to affected buckets only (directory-level pruning)") {
     val t = new BucketedSnapshotTable(tmp("bprune"), numBuckets = 32, keys = Seq("k"))
     t.scd1Merge(spark, mkBatch((1 to 200).map(i => (i, 1, s"v$i"))), "seq")
