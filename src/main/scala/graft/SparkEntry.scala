@@ -5344,6 +5344,99 @@ object SparkEntry {
         .orderBy($"c_custkey")
     }),
 
+    // ── SQL CTAS (r9): CREATE TABLE … BUCKETED BY … INTO n BUCKETS
+    //    SEQUENCE BY … STATS (…) AS <query> seeds the 100 TB format from
+    //    SQL alone — the initial load runs the same merge algebra every
+    //    later MERGE INTO uses, the manifest header records the layout,
+    //    and the created table is immediately a first-class MERGE target.
+    //    A plain CTAS rides along to pin the other format's route.
+    "q304_sql_ctas" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("ctas").toString
+      val sqlRun = (q: String) => org.apache.spark.sql.GraftColumnBridge.graftSql(s, q)
+      Tables.customer(s, dir).select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+        .withColumn("op_seq", lit(1L)).createOrReplaceTempView("g304_src")
+      sqlRun(s"CREATE TABLE '$work/b' BUCKETED BY (c_custkey) INTO 16 BUCKETS " +
+        "SEQUENCE BY op_seq STATS (c_acctbal) AS SELECT * FROM g304_src").collect()
+      Tables.customer(s, dir).filter($"c_custkey" % 9 === 0)
+        .select($"c_custkey", $"c_mktsegment", ($"c_acctbal" + 7).as("c_acctbal"))
+        .withColumn("op_seq", lit(2L)).createOrReplaceTempView("g304_b2")
+      sqlRun(s"MERGE INTO '$work/b' USING g304_b2 ON KEYS (c_custkey) " +
+        "SEQUENCE BY op_seq").collect()
+      Tables.region(s, dir).createOrReplaceTempView("g304_region")
+      sqlRun(s"CREATE TABLE '$work/p' AS SELECT r_regionkey, r_name FROM g304_region").collect()
+      val nRegions = sqlRun(s"SNAPSHOT '$work/p'").count()
+      sqlRun(s"SNAPSHOT '$work/b'")
+        .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+        .withColumn("n_regions", lit(nRegions))
+        .orderBy($"c_custkey")
+    }),
+
+    // ── SQL ANALYZE (r9): stats backfill on a bucketed table created
+    //    WITHOUT stats — per-batch `_stats` sidecars + a metadata-only
+    //    commit recording the columns in the manifest header, after which
+    //    the same range UPDATE q303 runs is stats-pruned here too (the
+    //    in-query require pins it). Closes the "legacy data can never
+    //    prune" gap.
+    "q305_sql_analyze" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("analyze").toString
+      val bt = new graft.tables.BucketedSnapshotTable(s"$work/t", 16, Seq("c_custkey"))
+      val c = Tables.customer(s, dir).select($"c_custkey", $"c_acctbal")
+      bt.scd1Merge(s, c
+        .withColumn("mod_ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+        .withColumn("op_seq", lit(1L)), "op_seq")
+      bt.scd1Merge(s, c.filter($"c_custkey" % 100 === 0)
+        .withColumn("c_acctbal", $"c_acctbal" + 5)
+        .withColumn("mod_ts", lit("2024-02-01 00:00:00").cast("timestamp"))
+        .withColumn("op_seq", lit(2L)), "op_seq")
+      val sqlRun = (q: String) => org.apache.spark.sql.GraftColumnBridge.graftSql(s, q)
+      sqlRun(s"ANALYZE '$work/t' STATS (mod_ts)").collect()
+      val l = graft.tables.BucketedSnapshotTable.layoutOf(s, s"$work/t").get
+      require(l.statsCols == Seq("mod_ts"),
+        s"ANALYZE must record stats columns in the manifest header: ${l.statsCols}")
+      val bt2 = new graft.tables.BucketedSnapshotTable(s"$work/t", 16,
+        Seq("c_custkey"), l.statsCols)
+      val pred = $"mod_ts" >= lit("2024-01-15 00:00:00").cast("timestamp")
+      val cand = bt2.statsCandidates(s, bt2.manifest(s), pred)
+        .getOrElse(sys.error("backfilled stats must feed the DML pre-filter"))
+      require(cand.size < 16,
+        s"post-ANALYZE discovery must be stats-pruned: ${cand.size} of 16")
+      sqlRun(s"UPDATE '$work/t' SET c_acctbal = c_acctbal + 1000 " +
+        "WHERE mod_ts >= TIMESTAMP '2024-01-15 00:00:00'").collect()
+      sqlRun(s"SNAPSHOT '$work/t'")
+        .select($"c_custkey", $"c_acctbal", $"mod_ts")
+        .orderBy($"c_custkey")
+    }),
+
+    // ── APPLY CHANGES INTO … FROM … (r9): the DLT-style consumer loop as
+    //    ONE SQL statement — bootstrap creates the target with the
+    //    source's keys, each later call consumes exactly the manifest-
+    //    pruned window since the checkpoint, and an immediate replay is a
+    //    clean no-op (ledger + checkpoint agree).
+    "q306_sql_apply_changes" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("sqlapply").toString
+      val src = new graft.tables.BucketedSnapshotTable(s"$work/src", 16, Seq("o_orderkey"))
+      val o = Tables.orders(s, dir).select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      src.scd1Merge(s, o.withColumn("op_seq", lit(1L)), "op_seq")
+      val sqlRun = (q: String) => org.apache.spark.sql.GraftColumnBridge.graftSql(s, q)
+      val stmt = s"APPLY CHANGES INTO '$work/dst' FROM '$work/src' " +
+        s"USING CHECKPOINT '$work/ck' AS mirror"
+      sqlRun(stmt).collect() // bootstrap: creates dst with the source's keys
+      src.scd1Merge(s, o.filter($"o_orderkey" % 13 === 0 && $"o_orderkey" % 19 =!= 0)
+          .withColumn("o_totalprice", $"o_totalprice" + 10)
+          .unionByName(o.filter($"o_orderkey" % 19 === 0))
+          .withColumn("op_seq", lit(2L)), "op_seq", Nil,
+        applyAsDeletes = Some($"o_orderkey" % 19 === 0))
+      sqlRun(stmt).collect() // incremental window
+      val replay = sqlRun(stmt).as[(Int, Int)].head()
+      require(replay._1 == 2, s"replay must stand at source v2: $replay")
+      sqlRun(s"SNAPSHOT '$work/dst'")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    }),
+
     "q301_describe_detail" -> ((s, dir) => {
       import s.implicits._
       val work = java.nio.file.Files.createTempDirectory("detail").toString
@@ -6383,6 +6476,31 @@ object SparkEntry {
         |SELECT c_custkey, c_name,
         |  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1 ELSE c_acctbal END AS c_acctbal
         |FROM v2 ORDER BY c_custkey""".stripMargin,
+
+    // mirror after the v2 window: %19 keys deleted, surviving %13 keys
+    // carry +10 — a third (replay) APPLY CHANGES must change nothing
+    "q306_sql_apply_changes" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 10 ELSE o_totalprice END AS o_totalprice
+        |FROM orders WHERE o_orderkey % 19 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // CTAS + MERGE increment: %9 keys carry batch-2 values; the plain
+    // CTAS contributes the region count
+    "q304_sql_ctas" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CASE WHEN c_custkey % 9 = 0 THEN c_acctbal + 7 ELSE c_acctbal END AS c_acctbal,
+        |  (SELECT COUNT(*) FROM region) AS n_regions
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // same closed form as q303 — the journey differs (stats backfilled by
+    // ANALYZE on a stats-less table, DML through SQL), the state must not
+    "q305_sql_analyze" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 100 = 0 THEN c_acctbal + 5 + 1000 ELSE c_acctbal END AS c_acctbal,
+        |  CASE WHEN c_custkey % 100 = 0 THEN TIMESTAMP '2024-02-01 00:00:00'
+        |       ELSE TIMESTAMP '2024-01-01 00:00:00' END AS mod_ts
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     // stats-pruned UPDATE: only the %100 keys were re-merged with the
     // newer mod_ts, so only they match the range predicate and take +1000

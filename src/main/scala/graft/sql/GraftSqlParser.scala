@@ -28,6 +28,10 @@ import graft.tables.SnapshotTable
   *   INSERT INTO '<table root>' FROM <view> [EVOLVE]
   *   SNAPSHOT '<table root>' [VERSION AS OF <n> | TIMESTAMP AS OF '<ts>']
   *   CHANGES '<table root>' FROM <v> TO <v> [ON KEYS (…)] [WITH COLUMNS]
+  *   CREATE TABLE '<root>' [BUCKETED BY (k…) INTO <n> BUCKETS SEQUENCE BY c]
+  *     [PARTITIONED BY (p…)] [STATS (s…)] AS <query>
+  *   ANALYZE '<root>' STATS (c1[, c2…])
+  *   APPLY CHANGES INTO '<dst>' FROM '<src>' USING CHECKPOINT '<ck>' AS <id>
   * }}}
   *
   * MERGE is DLT auto-CDC semantics — SCD TYPE 1 (default,
@@ -74,6 +78,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*CHANGES\s+'([^']+)'\s+FROM\s+(\d+)\s+TO\s+(\d+)(?:\s+ON\s+KEYS\s*\(([^)]+)\))?(\s+WITH\s+COLUMNS)?\s*;?\s*""".r
   private val Restore =
     """(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*;?\s*""".r
+  private val ApplyChanges =
+    """(?is)\s*APPLY\s+CHANGES\s+INTO\s+'([^']+)'\s+FROM\s+'([^']+)'\s+USING\s+CHECKPOINT\s+'([^']+)'\s+AS\s+(\w+)\s*;?\s*""".r
+  private val CreateTableAs =
+    """(?is)\s*CREATE\s+TABLE\s+'([^']+)'(?:\s+BUCKETED\s+BY\s*\(([^)]+)\)\s+INTO\s+(\d+)\s+BUCKETS\s+SEQUENCE\s+BY\s+(\w+))?(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?(?:\s+STATS\s*\(([^)]+)\))?\s+AS\s+(.+?)\s*;?\s*""".r
+  private val Analyze =
+    """(?is)\s*ANALYZE\s+'([^']+)'\s+STATS\s*\(([^)]+)\)\s*;?\s*""".r
   private val AddConstraint =
     """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraint =
@@ -105,6 +115,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       InsertSnapshotCommand(path, view, evolve != null)
     case Restore(path, version) =>
       RestoreSnapshotCommand(path, version.toInt)
+    case CreateTableAs(path, bKeys, nBuckets, seqCol, partCols, stats, query) =>
+      def csv(s: String) = Option(s).toSeq
+        .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+      CreateTableAsCommand(path, csv(bKeys),
+        Option(nBuckets).map(_.toInt), Option(seqCol),
+        csv(partCols), csv(stats), query.trim)
+    case Analyze(path, cols) =>
+      AnalyzeSnapshotCommand(path,
+        cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    case ApplyChanges(dst, src, ck, consumer) =>
+      ApplyChangesCommand(dst, src, ck, consumer)
     case AddConstraint(path, name, pred) =>
       AlterConstraintCommand(path, name, Some(pred.trim))
     case DropConstraint(path, name) =>
@@ -499,6 +520,108 @@ case class DescribeDetailCommand(path: String) extends LeafRunnableCommand {
           t.constraints(spark).size, files.size.toLong, sizeOf(files)))
     }
   }
+}
+
+/** `CREATE TABLE '<root>' [BUCKETED BY (k…) INTO n BUCKETS SEQUENCE BY c]
+  * [PARTITIONED BY (p…)] [STATS (s…)] AS <query>` — CTAS for both
+  * formats. The bucketed form seeds the 100 TB SCD table from a query:
+  * the initial load runs through the same [[graft.cdc.ScdMerge]] algebra
+  * every later `MERGE INTO` uses (so the query output must carry the
+  * SEQUENCE BY column), and the manifest header records numBuckets /
+  * keys / statsCols for path-only consumers. The plain form commits a v1
+  * snapshot with optional hive partitioning and a stats manifest.
+  * Refuses an existing root (CTAS creates; RESTORE/DML mutate). */
+case class CreateTableAsCommand(path: String, bucketKeys: Seq[String],
+    numBuckets: Option[Int], seqCol: Option[String],
+    partitionCols: Seq[String], statsCols: Seq[String], query: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(DmlRouting.bucketed(spark, path).isEmpty &&
+      !new SnapshotTable(path).exists(spark),
+      s"CREATE TABLE $path: the root already holds a table — CTAS creates; " +
+        "use MERGE/INSERT/UPDATE to change an existing table")
+    val df = spark.sql(query)
+    if (bucketKeys.nonEmpty) {
+      require(partitionCols.isEmpty,
+        s"CREATE TABLE $path: BUCKETED BY and PARTITIONED BY are exclusive — " +
+          "the bucket hash IS the bucketed format's layout")
+      val bt = new graft.tables.BucketedSnapshotTable(path,
+        numBuckets.get, bucketKeys, statsCols)
+      bt.scd1Merge(spark, df, seqCol.get)
+      Seq(Row(bt.currentVersion(spark).getOrElse(0),
+        graft.cdc.ScdMerge.scd1Current(bt.read(spark)).count()))
+    } else {
+      val t = new SnapshotTable(path)
+      val v = t.write(spark, df, partitionCols)
+      if (statsCols.nonEmpty) t.refreshStats(spark, statsCols)
+      Seq(Row(v, t.read(spark).count()))
+    }
+  }
+}
+
+/** `APPLY CHANGES INTO '<dst>' FROM '<src>' USING CHECKPOINT '<ck>' AS
+  * <consumerId>` — the DLT apply-changes consumer loop as one SQL
+  * statement: consume the source bucketed table's manifest-pruned change
+  * feed since the checkpoint and merge it EXACTLY-ONCE into the target
+  * ([[graft.tables.BucketedSnapshotTable.applyChangesTo]] — the target's
+  * txn ledger is the committed progress marker and heals the checkpoint).
+  * A missing target is created with the source's keys (bucket count
+  * carried over); an existing target must agree on keys. Returns
+  * (source_version consumed, target_version). */
+case class ApplyChangesCommand(dst: String, src: String, checkpoint: String,
+    consumerId: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("source_version", IntegerType, nullable = false)(),
+    AttributeReference("target_version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val sl = DmlRouting.bucketed(spark, src).getOrElse(
+      throw new IllegalArgumentException(
+        s"APPLY CHANGES: source $src is not a bucketed table — only the " +
+          "bucketed format derives a manifest-pruned change feed"))
+    val keys = sl.keys.getOrElse(throw new IllegalArgumentException(
+      s"APPLY CHANGES: source $src records no bucket keys (pre-r7 manifest)"))
+    val s = new graft.tables.BucketedSnapshotTable(src, sl.numBuckets, keys)
+    val t = DmlRouting.bucketed(spark, dst) match {
+      case Some(dl) =>
+        dl.keys.foreach(stored => require(stored == keys,
+          s"APPLY CHANGES: target $dst bucket keys (${stored.mkString(",")}) " +
+            s"differ from the source's (${keys.mkString(",")})"))
+        DmlRouting.table(spark, dst, dl, keys)
+      case None =>
+        new graft.tables.BucketedSnapshotTable(dst, sl.numBuckets, keys)
+    }
+    val v = s.applyChangesTo(spark, checkpoint, t, consumerId)
+    Seq(Row(v, t.currentVersion(spark).getOrElse(0)))
+  }
+}
+
+/** `ANALYZE '<root>' STATS (c…)` — backfill data-skipping stats for data
+  * already on disk: plain roots rebuild the whole-snapshot stats manifest
+  * ([[SnapshotTable.refreshStats]]); bucketed roots write per-batch
+  * `_stats` sidecars for every reachable batch dir and commit a
+  * metadata-only version recording the stats columns in the manifest
+  * header — after which range reads AND the predicate-DML pre-filter
+  * prune on tables written before stats existed. One column-pruned scan
+  * per batch dir; no data rewrite. */
+case class AnalyzeSnapshotCommand(path: String, cols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("stats_cols", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    DmlRouting.bucketed(spark, path) match {
+      case Some(l) =>
+        val bt = new graft.tables.BucketedSnapshotTable(path, l.numBuckets,
+          l.keys.getOrElse(Nil), cols)
+        Seq(Row(bt.analyze(spark), cols.mkString(",")))
+      case None =>
+        val t = new SnapshotTable(path)
+        t.refreshStats(spark, cols)
+        Seq(Row(t.currentVersion(spark).getOrElse(0), cols.mkString(",")))
+    }
 }
 
 /** `DESCRIBE HISTORY '<root>'` → [[SnapshotTable.history]] rows, or

@@ -629,13 +629,26 @@ final class BucketedSnapshotTable(
     * predicate's (unanalyzed) Catalyst expression — the driver-side range
     * analysis feeding [[statsCandidates]]. Only shapes whose bounds are
     * PROVABLY implied by the predicate contribute: `col <cmp> literal`
-    * comparisons (either operand order) on numeric/date/timestamp columns,
+    * comparisons (either operand order) on numeric/date/timestamp columns
+    * (string columns take the [[predStrBounds]] path against prefix stats),
     * conjoined by AND. Anything else (OR, NOT, functions, unanalyzable
     * conjuncts) contributes nothing — an AND-conjunct can only narrow the
     * match set, so ignoring one keeps the candidate set a superset.
     * Literal values quantize exactly as [[StatsManifest]] records them
     * (timestamps → epoch micros, dates → epoch days, numerics → double). */
-  private[graft] def predBounds(pred: Column): Map[String, (Double, Double)] = {
+  private[graft] def predBounds(pred: Column): Map[String, (Double, Double)] =
+    predAllBounds(pred)._1
+
+  /** String-column analog of [[predBounds]]: conservative [lo,hi] prefix
+    * bounds (None = unbounded side), matched against the b64 prefix stats
+    * [[StatsManifest]] records for string columns. */
+  private[graft] def predStrBounds(pred: Column): Map[String, (Option[String], Option[String])] =
+    predAllBounds(pred)._2
+
+  private type NumB = Map[String, (Double, Double)]
+  private type StrB = Map[String, (Option[String], Option[String])]
+
+  private def predAllBounds(pred: Column): (NumB, StrB) = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions._
     def attr(e: Expression): Option[String] = e match {
@@ -643,7 +656,7 @@ final class BucketedSnapshotTable(
       case a: AttributeReference  => Some(a.name)
       case _ => None
     }
-    def litD(e0: Expression): Option[Double] = {
+    def folded(e0: Expression): Option[Any] = {
       val e = e0 match {
         // a Cast(literal, timestamp/date) from the Column API carries no
         // timezone yet (the analyzer normally injects it) — stamp the
@@ -652,37 +665,60 @@ final class BucketedSnapshotTable(
           c.withTimeZone(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
         case x => x
       }
-      if (e.resolved && e.foldable) e.eval(null) match {
-        case n: Number => Some(n.doubleValue)
-        case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
-        case _ => None
-      } else None
+      if (e.resolved && e.foldable) Option(e.eval(null)) else None
+    }
+    def litD(e: Expression): Option[Double] = folded(e).collect {
+      case n: Number => n.doubleValue
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    }
+    def litS(e: Expression): Option[String] = folded(e).collect {
+      case s: String => s
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
     }
     val NegInf = Double.NegativeInfinity
     val PosInf = Double.PositiveInfinity
-    def merge(a: Map[String, (Double, Double)], b: Map[String, (Double, Double)]) =
+    def mergeN(a: NumB, b: NumB): NumB =
       (a.keySet ++ b.keySet).map { c =>
         val (alo, ahi) = a.getOrElse(c, (NegInf, PosInf))
         val (blo, bhi) = b.getOrElse(c, (NegInf, PosInf))
         c -> (math.max(alo, blo), math.min(ahi, bhi))
       }.toMap
-    def one(c: Option[String], v: Option[Double],
-        f: Double => (Double, Double)): Map[String, (Double, Double)] =
+    def mergeS(a: StrB, b: StrB): StrB =
+      (a.keySet ++ b.keySet).map { c =>
+        val (alo, ahi) = a.getOrElse(c, (None, None))
+        val (blo, bhi) = b.getOrElse(c, (None, None))
+        val lo = (alo.toSeq ++ blo.toSeq).maxOption
+        val hi = (ahi.toSeq ++ bhi.toSeq).minOption
+        c -> (lo, hi)
+      }.toMap
+    def merge(a: (NumB, StrB), b: (NumB, StrB)): (NumB, StrB) =
+      (mergeN(a._1, b._1), mergeS(a._2, b._2))
+    val empty: (NumB, StrB) = (Map.empty, Map.empty)
+    def oneN(c: Option[String], v: Option[Double],
+        f: Double => (Double, Double)): NumB =
+      (for (cc <- c; vv <- v) yield Map(cc -> f(vv))).getOrElse(Map.empty)
+    def oneS(c: Option[String], v: Option[String],
+        f: String => (Option[String], Option[String])): StrB =
       (for (cc <- c; vv <- v) yield Map(cc -> f(vv))).getOrElse(Map.empty)
     // two comparison encodings reach us unanalyzed: SQL text parses to the
     // typed nodes (GreaterThanOrEqual, …); the Column DSL converts to
     // UnresolvedFunction("and" | ">=" | …) calls — handle both
-    def cmp(name: String, l: Expression, r: Expression): Map[String, (Double, Double)] =
-      name match {
-        case "=" | "==" =>
-          one(attr(l), litD(r), v => (v, v)) ++ one(attr(r), litD(l), v => (v, v))
-        case ">" | ">=" =>
-          one(attr(l), litD(r), v => (v, PosInf)) ++ one(attr(r), litD(l), v => (NegInf, v))
-        case "<" | "<=" =>
-          one(attr(l), litD(r), v => (NegInf, v)) ++ one(attr(r), litD(l), v => (v, PosInf))
-        case _ => Map.empty
-      }
-    def walk(e: Expression): Map[String, (Double, Double)] = e match {
+    def cmp(name: String, l: Expression, r: Expression): (NumB, StrB) = name match {
+      case "=" | "==" =>
+        (oneN(attr(l), litD(r), v => (v, v)) ++ oneN(attr(r), litD(l), v => (v, v)),
+         oneS(attr(l), litS(r), v => (Some(v), Some(v))) ++
+           oneS(attr(r), litS(l), v => (Some(v), Some(v))))
+      case ">" | ">=" =>
+        (oneN(attr(l), litD(r), v => (v, PosInf)) ++ oneN(attr(r), litD(l), v => (NegInf, v)),
+         oneS(attr(l), litS(r), v => (Some(v), None)) ++
+           oneS(attr(r), litS(l), v => (None, Some(v))))
+      case "<" | "<=" =>
+        (oneN(attr(l), litD(r), v => (NegInf, v)) ++ oneN(attr(r), litD(l), v => (v, PosInf)),
+         oneS(attr(l), litS(r), v => (None, Some(v))) ++
+           oneS(attr(r), litS(l), v => (Some(v), None)))
+      case _ => empty
+    }
+    def walk(e: Expression): (NumB, StrB) = e match {
       case And(l, r)                => merge(walk(l), walk(r))
       case EqualTo(l, r)            => cmp("=", l, r)
       case GreaterThan(l, r)        => cmp(">", l, r)
@@ -693,9 +729,9 @@ final class BucketedSnapshotTable(
         (f.nameParts.last.toLowerCase, f.arguments) match {
           case ("and", Seq(l, r)) => merge(walk(l), walk(r))
           case (n, Seq(l, r))     => cmp(n, l, r)
-          case _                  => Map.empty
+          case _                  => empty
         }
-      case _ => Map.empty
+      case _ => empty
     }
     walk(org.apache.spark.sql.GraftColumnBridge.catalystExpression(pred))
   }
@@ -710,8 +746,10 @@ final class BucketedSnapshotTable(
     * superset guarantee, and the row-level filter still applies. */
   private[graft] def statsCandidates(spark: SparkSession, m: Map[Int, String],
       pred: Column): Option[Set[Int]] = {
-    val bounds = predBounds(pred).filter { case (c, _) => statsCols.contains(c) }
-    if (bounds.isEmpty) return None
+    val (allN, allS) = predAllBounds(pred)
+    val nBounds = allN.filter { case (c, _) => statsCols.contains(c) }
+    val sBounds = allS.filter { case (c, _) => statsCols.contains(c) }
+    if (nBounds.isEmpty && sBounds.isEmpty) return None
     val f = fs(spark)
     def norm(p: String) = new Path(p).toUri.getPath
     Some(m.groupBy(_._2).flatMap { case (dir, entries) =>
@@ -723,12 +761,18 @@ final class BucketedSnapshotTable(
           // the file — superset guarantee)
           val passFiles = lines.filter { l =>
             val ents = l.split("\t").drop(1)
-            bounds.forall { case (c, (lo, hi)) =>
+            nBounds.forall { case (c, (lo, hi)) =>
               ents.find(_.startsWith(s"$c:n:")) match {
                 case None => true
                 case Some(s) =>
                   val Array(_, _, mn, mx) = s.split(":", 4)
                   !(mx.toDouble < lo || mn.toDouble > hi)
+              }
+            } && sBounds.forall { case (c, (lo, hi)) =>
+              ents.find(_.startsWith(s"$c:s:")) match {
+                case None => true
+                case Some(s) =>
+                  StatsManifest.stringEntryIntersects(s.split(":", 5), lo, hi)
               }
             }
           }.map(l => norm(l.split("\t")(0)))
@@ -949,6 +993,41 @@ final class BucketedSnapshotTable(
     }.toSeq
     if (parts.isEmpty) read(spark).limit(0) // schema-preserving empty relation
     else unionEvolvingParts(parts).drop(BucketCol)
+  }
+
+  /** ANALYZE: backfill per-batch file stats for THIS instance's
+    * `statsCols` over every batch dir the live manifest reaches, then
+    * commit a metadata-only version whose header records the stats
+    * columns — after which [[readPruned]] and the predicate-DML stats
+    * pre-filter work on data written before stats existed (or with a
+    * different column set). One column-pruned scan per batch dir, no data
+    * rewrite: the batch dirs are immutable, only their `_stats` sidecars
+    * and the manifest header change. Returns the committed version. */
+  def analyze(spark: SparkSession): Int = {
+    require(statsCols.nonEmpty,
+      s"BucketedSnapshotTable $root: analyze needs statsCols — construct the " +
+        "table (or run ANALYZE … STATS (…)) with the columns to index")
+    val f = fs(spark)
+    CommitLock.withLockHandle(f, root, commitStaleMs) { lockH =>
+      val cur = currentVersion(spark).getOrElse(
+        throw new IllegalStateException(s"BucketedSnapshotTable $root is empty"))
+      val entries = readEntries(spark, cur)
+      entries.values.map(_.dir).toSet.foreach { (dir: String) =>
+        val snap = spark.read.parquet(s"$root/$dir")
+        // a batch written before a schema evolution may lack a stats
+        // column — record the ones it has (missing entries keep files,
+        // superset guarantee)
+        val present = statsCols.filter(snap.columns.contains)
+        if (present.nonEmpty)
+          StatsManifest.write(snap, present, f, batchStatsPath(dir))
+      }
+      lockH.check()
+      // metadata-only commit: same entries, same contentV (no content
+      // changed — the CDF must not re-read anything), header now carries
+      // statsCols so path-only consumers (SQL DML routing) see them
+      writeManifest(spark, cur + 1, entries, txnsOf(spark, cur))
+      cur + 1
+    }
   }
 
   /** Rewrite every bucket into the same batch dir (small-file compaction

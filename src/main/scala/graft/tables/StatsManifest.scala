@@ -105,15 +105,23 @@ private[tables] object StatsManifest {
   def filesInStringRange(lines: Vector[String], column: String, lo: String, hi: String): Vector[String] =
     keepFiles(lines, { s =>
       val parts = s.split(":", 5)
-      parts(0) == column && parts(1) == "s" && {
-        val mn = unb64(parts(2)); val mx = unb64(parts(3)); val mxTrunc = parts(4) == "1"
-        // skip iff file's max < lo or file's min > hi. A stored min prefix
-        // is <= the true min, so `mn > hi` is safe; a truncated max needs
-        // its successor as the bound (no successor → cannot skip on max).
-        val maxBelowLo =
-          if (!mxTrunc) mx < lo
-          else prefixSuccessor(mx).exists(_ <= lo)
-        !(maxBelowLo || mn > hi)
-      }
+      parts(0) == column && parts(1) == "s" &&
+        stringEntryIntersects(parts, Some(lo), Some(hi))
     })
+
+  /** Can a `col:s:…` stats entry's recorded [min,max] prefix range
+    * intersect [lo,hi] (either side optionally unbounded)? Skip iff the
+    * file's max < lo or the file's min > hi. A stored min prefix is ≤ the
+    * true min, so `mn > hi` is safe; a truncated max needs its
+    * prefix-successor as the bound (no successor → cannot skip on max). */
+  def stringEntryIntersects(parts: Array[String],
+      lo: Option[String], hi: Option[String]): Boolean = {
+    val mn = unb64(parts(2)); val mx = unb64(parts(3)); val mxTrunc = parts(4) == "1"
+    val maxBelowLo = lo.exists { l =>
+      if (!mxTrunc) mx < l
+      else prefixSuccessor(mx).exists(_ <= l)
+    }
+    val minAboveHi = hi.exists(h => mn > h)
+    !(maxBelowLo || minAboveHi)
+  }
 }

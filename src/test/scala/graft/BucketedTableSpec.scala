@@ -606,6 +606,20 @@ class BucketedTableSpec extends AnyFunSuite {
     val v0 = t.currentVersion(spark)
     assert(t.delete(spark, $"d" >= 99) == ((Set.empty[Int], 0L)))
     assert(t.currentVersion(spark) == v0)
+
+    // STRING bounds prune against the b64 prefix stats too
+    val ts = new BucketedSnapshotTable(tmp("bdmlstr"), numBuckets = 16,
+      keys = Seq("k"), statsCols = Seq("v"))
+    ts.scd1Merge(spark, (1 to 160).map(i => (i, 1, f"aa$i%04d")).toDF("k", "seq", "v"), "seq")
+    val hotS = ts.scd1Merge(spark,
+      Seq((3, 2, "zz0003"), (4, 2, "zz0004")).toDF("k", "seq", "v"), "seq")
+    assert(ts.predStrBounds($"v" >= "x" && $"v" < "zz9") ==
+      Map("v" -> ((Some("x"), Some("zz9")))))
+    assert(ts.statsCandidates(spark, ts.manifest(spark), $"v" >= "x") == Some(hotS))
+    val (tS, nS) = ts.delete(spark, $"v" >= "x")
+    assert(nS == 2 && tS == hotS)
+    assert(ts.read(spark).filter($"k".isin(3, 4)).count() == 0)
+    assert(ts.read(spark).count() == 158)
   }
 
   test("applyChangesTo: exactly-once CDF mirror — ledger heals the checkpoint across an ABA crash window") {

@@ -290,6 +290,81 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("MERGE INTO"), e.getMessage)
   }
 
+  test("GraftSqlParser CTAS + ANALYZE: create both formats from SQL, backfill stats on legacy data") {
+    val work = java.nio.file.Files.createTempDirectory("sqlctas").toString
+    def sqlRun(q: String) = GraftColumnBridge.graftSql(spark, q)
+    Seq((1L, 1L, "a", 10.0), (2L, 1L, "b", 20.0), (3L, 1L, "c", 30.0))
+      .toDF("k", "op_seq", "v", "d").createOrReplaceTempView("ctas_src")
+
+    // bucketed CTAS: layout lands in the manifest header, MERGE works on it
+    sqlRun(s"CREATE TABLE '$work/b' BUCKETED BY (k) INTO 4 BUCKETS " +
+      "SEQUENCE BY op_seq STATS (d) AS SELECT * FROM ctas_src").collect()
+    val l = graft.tables.BucketedSnapshotTable.layoutOf(spark, s"$work/b").get
+    assert(l.numBuckets == 4 && l.keys.contains(Seq("k")) && l.statsCols == Seq("d"))
+    Seq((2L, 2L, "B", 21.0)).toDF("k", "op_seq", "v", "d")
+      .createOrReplaceTempView("ctas_b2")
+    sqlRun(s"MERGE INTO '$work/b' USING ctas_b2 ON KEYS (k) SEQUENCE BY op_seq").collect()
+    assert(sqlRun(s"SNAPSHOT '$work/b'").select("k", "v").as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "B"), (3L, "c")))
+
+    // plain CTAS with partitioning
+    sqlRun(s"CREATE TABLE '$work/p' PARTITIONED BY (v) AS SELECT * FROM ctas_src").collect()
+    assert(new graft.tables.SnapshotTable(s"$work/p").partitionColumns(spark) == Seq("v"))
+    assert(sqlRun(s"SNAPSHOT '$work/p'").count() == 3)
+
+    // an existing root refuses CTAS (both formats)
+    assert(intercept[Exception](sqlRun(s"CREATE TABLE '$work/b' BUCKETED BY (k) " +
+      "INTO 4 BUCKETS SEQUENCE BY op_seq AS SELECT * FROM ctas_src").collect())
+      .getMessage.contains("already holds"))
+    assert(intercept[Exception](
+      sqlRun(s"CREATE TABLE '$work/p' AS SELECT * FROM ctas_src").collect())
+      .getMessage.contains("already holds"))
+
+    // ANALYZE backfill: a stats-less bucketed table gains per-batch stats
+    // + the header record, and the DML pre-filter starts pruning
+    val bt = new graft.tables.BucketedSnapshotTable(s"$work/nb", 8, Seq("k"))
+    bt.scd1Merge(spark, (1L to 80L).map(i => (i, 1L, 1.0)).toDF("k", "op_seq", "d"), "op_seq")
+    val hot = bt.scd1Merge(spark, Seq((3L, 2L, 9.0)).toDF("k", "op_seq", "d"), "op_seq")
+    assert(graft.tables.BucketedSnapshotTable.layoutOf(spark, s"$work/nb").get.statsCols.isEmpty)
+    sqlRun(s"ANALYZE '$work/nb' STATS (d)").collect()
+    val l2 = graft.tables.BucketedSnapshotTable.layoutOf(spark, s"$work/nb").get
+    assert(l2.statsCols == Seq("d"))
+    val bt2 = new graft.tables.BucketedSnapshotTable(s"$work/nb", 8, Seq("k"), l2.statsCols)
+    assert(bt2.statsCandidates(spark, bt2.manifest(spark), $"d" >= 5.0) == Some(hot))
+    // the metadata-only analyze commit must not inflate the change feed
+    val v = bt2.currentVersion(spark).get
+    assert(bt2.changedBuckets(spark, v - 1, v).isEmpty)
+  }
+
+  test("GraftSqlParser APPLY CHANGES INTO: bootstrap creates target, windows consume, mismatches refuse") {
+    val work = java.nio.file.Files.createTempDirectory("sqlapply").toString
+    def sqlRun(q: String) = GraftColumnBridge.graftSql(spark, q)
+    val src = new graft.tables.BucketedSnapshotTable(s"$work/s", 8, Seq("k"))
+    src.scd1Merge(spark, Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("k", "op_seq", "v"), "op_seq")
+    val stmt = s"APPLY CHANGES INTO '$work/d' FROM '$work/s' " +
+      s"USING CHECKPOINT '$work/ck' AS m"
+    assert(sqlRun(stmt).as[(Int, Int)].head() == ((1, 1))) // bootstrap creates d
+    src.scd1Merge(spark, Seq((2L, 2L, "B"), (3L, 2L, "c")).toDF("k", "op_seq", "v"), "op_seq")
+    sqlRun(stmt).collect()
+    assert(sqlRun(s"SNAPSHOT '$work/d'").select("k", "v").as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "B"), (3L, "c")))
+    // replay is a no-op; target version stands
+    val (sv, tv) = sqlRun(stmt).as[(Int, Int)].head()
+    assert(sv == 2 && tv == 2)
+    // a plain source refuses (no manifest-pruned feed to consume)
+    val p = new graft.tables.SnapshotTable(s"$work/p")
+    p.write(spark, Seq((1L, "x")).toDF("k", "v"))
+    assert(intercept[Exception](sqlRun(s"APPLY CHANGES INTO '$work/d2' FROM " +
+      s"'$work/p' USING CHECKPOINT '$work/ck2' AS m").collect())
+      .getMessage.contains("bucketed"))
+    // a target with different keys refuses
+    val other = new graft.tables.BucketedSnapshotTable(s"$work/o", 8, Seq("z"))
+    other.scd1Merge(spark, Seq((1L, 1L)).toDF("z", "op_seq"), "op_seq")
+    assert(intercept[Exception](sqlRun(s"APPLY CHANGES INTO '$work/o' FROM " +
+      s"'$work/s' USING CHECKPOINT '$work/ck3' AS m").collect())
+      .getMessage.contains("keys"))
+  }
+
   test("GraftSqlParser SNAPSHOT TIMESTAMP AS OF: newest version committed at or before the instant") {
     val work = java.nio.file.Files.createTempDirectory("sqlts").toString
     def sqlRun(q: String) = GraftColumnBridge.graftSql(spark, q)
