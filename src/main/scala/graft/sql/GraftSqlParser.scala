@@ -28,6 +28,7 @@ import graft.tables.SnapshotTable
   *   INSERT INTO '<table root>' FROM <view> [EVOLVE]
   *   SNAPSHOT '<table root>' [VERSION AS OF <n> | TIMESTAMP AS OF '<ts>']
   *   CHANGES '<table root>' FROM <v> TO <v> [ON KEYS (…)] [WITH COLUMNS]
+  *   CHANGES '<table root>' SINCE TIMESTAMP '<ts>' [ON KEYS (…)] [WITH COLUMNS]
   *   CREATE TABLE '<root>' [BUCKETED BY (k…) INTO <n> BUCKETS SEQUENCE BY c]
   *     [PARTITIONED BY (p…)] [STATS (s…)] AS <query>
   *   ANALYZE '<root>' STATS (c1[, c2…])
@@ -76,6 +77,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*INSERT\s+INTO\s+'([^']+)'\s+FROM\s+([\w.]+)(\s+EVOLVE)?\s*;?\s*""".r
   private val Changes =
     """(?is)\s*CHANGES\s+'([^']+)'\s+FROM\s+(\d+)\s+TO\s+(\d+)(?:\s+ON\s+KEYS\s*\(([^)]+)\))?(\s+WITH\s+COLUMNS)?\s*;?\s*""".r
+  private val ChangesSince =
+    """(?is)\s*CHANGES\s+'([^']+)'\s+SINCE\s+TIMESTAMP\s+'([^']+)'(?:\s+ON\s+KEYS\s*\(([^)]+)\))?(\s+WITH\s+COLUMNS)?\s*;?\s*""".r
   private val Restore =
     """(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*;?\s*""".r
   private val ApplyChanges =
@@ -152,36 +155,67 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       }
       graft.cdc.ScdMerge.scd1Current(raw).queryExecution.logical
     case Changes(path, fromV, toV, keysOpt, withCols) =>
-      // a QUERY: the derived change feed between two committed versions
-      // (Delta `table_changes` analog). Bucketed roots take their keys
-      // from the manifest header and prune to the buckets whose manifest
-      // entry changed — CDF IO is O(changed buckets) on the 100 TB
-      // format; plain roots diff the two snapshots and REQUIRE ON KEYS.
-      val spark = SparkSession.active
-      val attribution = withCols != null
-      val askedKeys = Option(keysOpt)
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      val df = DmlRouting.bucketed(spark, path) match {
-        case Some(l) =>
-          (askedKeys, l.keys) match {
-            case (Some(a), Some(stored)) => require(a == stored,
-              s"CHANGES $path: ON KEYS (${a.mkString(",")}) does not match the " +
-                s"table's bucket keys (${stored.mkString(",")})")
-            case _ => ()
-          }
-          val keys = l.keys.orElse(askedKeys).getOrElse(throw new IllegalArgumentException(
-            s"CHANGES $path: manifest records no bucket keys — give ON KEYS (…)"))
-          new graft.tables.BucketedSnapshotTable(path, l.numBuckets, keys)
-            .changes(spark, fromV.toInt, toV.toInt, attribution)
-        case None =>
-          val keys = askedKeys.getOrElse(throw new IllegalArgumentException(
-            s"CHANGES $path: plain snapshot roots need ON KEYS (…) — the table " +
-              "format does not record business keys"))
-          new SnapshotTable(path).changes(spark, keys, fromV.toInt, toV.toInt,
-            attribution)
-      }
-      df.queryExecution.logical
+      changesPlan(path, Right((fromV.toInt, toV.toInt)), Option(keysOpt),
+        withCols != null)
+    case ChangesSince(path, ts, keysOpt, withCols) =>
+      changesPlan(path, Left(parseTsMillis(ts)), Option(keysOpt), withCols != null)
     case _ => delegate.parsePlan(sqlText)
+  }
+
+  /** The CHANGES query (Delta `table_changes` analog): the derived change
+    * feed between two committed versions, or — `SINCE TIMESTAMP` — from
+    * the newest version committed at or before the instant to the live
+    * version (an empty, schema-correct feed when nothing changed since).
+    * Bucketed roots take their keys from the manifest header and prune to
+    * the buckets whose CONTENT changed — CDF IO is O(changed buckets) on
+    * the 100 TB format; plain roots diff the two snapshots and REQUIRE
+    * ON KEYS. */
+  private def changesPlan(path: String, window: Either[Long, (Int, Int)],
+      askedKeys0: Option[String], attribution: Boolean): LogicalPlan = {
+    val spark = SparkSession.active
+    val askedKeys = askedKeys0
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def emptyFeed(visible: org.apache.spark.sql.DataFrame) = {
+      val base = visible.limit(0)
+        .withColumn("_change_type", org.apache.spark.sql.functions.lit(""))
+      if (attribution)
+        base.withColumn("_changed_columns", org.apache.spark.sql.functions.lit(""))
+      else base
+    }
+    val df = DmlRouting.bucketed(spark, path) match {
+      case Some(l) =>
+        (askedKeys, l.keys) match {
+          case (Some(a), Some(stored)) => require(a == stored,
+            s"CHANGES $path: ON KEYS (${a.mkString(",")}) does not match the " +
+              s"table's bucket keys (${stored.mkString(",")})")
+          case _ => ()
+        }
+        val keys = l.keys.orElse(askedKeys).getOrElse(throw new IllegalArgumentException(
+          s"CHANGES $path: manifest records no bucket keys — give ON KEYS (…)"))
+        val bt = new graft.tables.BucketedSnapshotTable(path, l.numBuckets, keys)
+        val (fromV, toV) = window match {
+          case Right(w) => w
+          case Left(ts) => (bt.versionAt(spark, ts),
+            bt.currentVersion(spark).getOrElse(0))
+        }
+        if (fromV >= toV)
+          emptyFeed(graft.cdc.ScdMerge.scd1Current(bt.read(spark)))
+        else bt.changes(spark, fromV, toV, attribution)
+      case None =>
+        val keys = askedKeys.getOrElse(throw new IllegalArgumentException(
+          s"CHANGES $path: plain snapshot roots need ON KEYS (…) — the table " +
+            "format does not record business keys"))
+        val t = new SnapshotTable(path)
+        val (fromV, toV) = window match {
+          case Right(w) => w
+          case Left(ts) => (t.versionAt(spark, ts),
+            t.currentVersion(spark).getOrElse(0))
+        }
+        if (fromV >= toV)
+          emptyFeed(graft.cdc.ScdMerge.scd1Current(t.read(spark)))
+        else t.changes(spark, keys, fromV, toV, attribution)
+    }
+    df.queryExecution.logical
   }
 
   /** `TIMESTAMP AS OF` literal → epoch millis (UTC when no zone given):

@@ -718,6 +718,19 @@ final class BucketedSnapshotTable(
            oneS(attr(r), litS(l), v => (Some(v), None)))
       case _ => empty
     }
+    // IN-list: the column lies in [min(items), max(items)] — usable only
+    // when EVERY item folds (a non-literal item could lie anywhere)
+    def inB(l: Expression, items: Seq[Expression]): (NumB, StrB) =
+      attr(l) match {
+        case None => empty
+        case Some(c) =>
+          val ds = items.map(litD)
+          val ss = items.map(litS)
+          (if (items.nonEmpty && ds.forall(_.isDefined))
+             Map(c -> ((ds.flatten.min, ds.flatten.max))) else Map.empty[String, (Double, Double)],
+           if (items.nonEmpty && ss.forall(_.isDefined))
+             Map(c -> ((Some(ss.flatten.min), Some(ss.flatten.max)))) else Map.empty[String, (Option[String], Option[String])])
+      }
     def walk(e: Expression): (NumB, StrB) = e match {
       case And(l, r)                => merge(walk(l), walk(r))
       case EqualTo(l, r)            => cmp("=", l, r)
@@ -725,11 +738,13 @@ final class BucketedSnapshotTable(
       case GreaterThanOrEqual(l, r) => cmp(">=", l, r)
       case LessThan(l, r)           => cmp("<", l, r)
       case LessThanOrEqual(l, r)    => cmp("<=", l, r)
+      case In(l, items)             => inB(l, items)
       case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
         (f.nameParts.last.toLowerCase, f.arguments) match {
-          case ("and", Seq(l, r)) => merge(walk(l), walk(r))
-          case (n, Seq(l, r))     => cmp(n, l, r)
-          case _                  => empty
+          case ("and", Seq(l, r))          => merge(walk(l), walk(r))
+          case ("in", l +: items)          => inB(l, items)
+          case (n, Seq(l, r))              => cmp(n, l, r)
+          case _                           => empty
         }
       case _ => empty
     }

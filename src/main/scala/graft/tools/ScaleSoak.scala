@@ -266,6 +266,52 @@ object ScaleSoak {
       }
       println(s"[soak]   update touched=${un._1.size} rows=${un._2}")
       results("bucketed_update_pred") = updW
+
+      // r9: ANALYZE backfill is O(table) (~linear — one column-pruned scan
+      // per batch dir), after which a range UPDATE isolating a recent
+      // merge's values is stats-pruned — discovery FLAT in table size
+      // (contrast with bucketed_update_pred's O(table) discovery above)
+      val ta = new graft.tables.BucketedSnapshotTable(s"$work/t",
+        numBuckets = 64 * mult, keys = Seq("o_orderkey"),
+        statsCols = Seq("o_orderdate"))
+      val (_, anW) = time(s"$tag/bucketed_analyze") { ta.analyze(spark) }
+      results("bucketed_analyze") = anW
+      ta.scd1Merge(spark, batch
+        .withColumn("o_orderdate", to_date(lit("1999-12-31")))
+        .withColumn("op_seq", lit(3)), "op_seq")
+      val (ur, updPW) = time(s"$tag/bucketed_update_stats_pruned") {
+        ta.update(spark, col("o_orderdate") >= lit("1999-12-01").cast("date"),
+          Seq("o_totalprice" -> (col("o_totalprice") + 3.0)))
+      }
+      println(s"[soak]   stats-pruned update touched=${ur._1.size} rows=${ur._2}")
+      results("bucketed_update_stats_pruned") = updPW
+
+      // r9: OPTIMIZE moves every bucket dir; contentV keeps a CDF window
+      // spanning it FLAT (dir comparison would re-read the whole table)
+      val vBefore = ta.currentVersion(spark).get
+      val (_, optW) = time(s"$tag/bucketed_optimize") { ta.compact(spark) }
+      results("bucketed_optimize") = optW
+      ta.scd1Merge(spark, batch.withColumn("op_seq", lit(4)), "op_seq")
+      val vAfter = ta.currentVersion(spark).get
+      val (nCo, coW) = time(s"$tag/bucketed_changes_post_optimize") {
+        ta.changes(spark, vBefore, vAfter).count()
+      }
+      println(s"[soak]   post-optimize cdf rows=$nCo")
+      results("bucketed_changes_post_optimize") = coW
+
+      // r9: exactly-once mirror — after the O(table) bootstrap, a 10-key
+      // window apply (manifest-pruned diff + ≤10-bucket target merge) must
+      // be flat in table size
+      val mirror = new graft.tables.BucketedSnapshotTable(s"$work/m",
+        numBuckets = 64 * mult, keys = Seq("o_orderkey"))
+      ta.applyChangesTo(spark, s"$work/ck", mirror, "soak") // bootstrap, untimed
+      ta.scd1Merge(spark, batch
+        .withColumn("o_totalprice", col("o_totalprice") + 9.0)
+        .withColumn("op_seq", lit(5)), "op_seq")
+      val (_, mirW) = time(s"$tag/bucketed_mirror_window") {
+        ta.applyChangesTo(spark, s"$work/ck", mirror, "soak")
+      }
+      results("bucketed_mirror_window") = mirW
       results.toMap
     }
     val scdSmall = scdSoak("sf0.1", 1)

@@ -585,6 +585,10 @@ class BucketedTableSpec extends AnyFunSuite {
     // bound extraction: conjunctions intersect, OR/unknown shapes bail
     assert(t.predBounds($"d" >= 2 && $"d" < 9 && upper($"v") === "X") == Map("d" -> ((2.0, 9.0))))
     assert(t.predBounds($"d" >= 2 || $"k" === 1).isEmpty)
+    // IN-list spans [min,max] of its (all-literal) items; both encodings
+    assert(t.predBounds($"d".isin(5, 3, 8)) == Map("d" -> ((3.0, 8.0))))
+    assert(t.predBounds(expr("d IN (5, 3, 8)")) == Map("d" -> ((3.0, 8.0))))
+    assert(t.predBounds($"d".isin(5, 3) || $"d" === 1).isEmpty)
     assert(t.predBounds($"ts" >= lit("2024-01-15 00:00:00").cast("timestamp"))
       .get("ts").exists(_._1 > 1.7e15), "timestamp literal must fold to epoch micros")
 

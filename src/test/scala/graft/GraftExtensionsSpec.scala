@@ -365,6 +365,27 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .getMessage.contains("keys"))
   }
 
+  test("GraftSqlParser CHANGES SINCE TIMESTAMP: window from the instant's version to live") {
+    val work = java.nio.file.Files.createTempDirectory("sqlcdfts").toString
+    def sqlRun(q: String) = GraftColumnBridge.graftSql(spark, q)
+    val t = new graft.tables.BucketedSnapshotTable(s"$work/t", 8, Seq("k"))
+    t.scd1Merge(spark, Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("k", "op_seq", "v"), "op_seq")
+    Thread.sleep(15)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(15)
+    t.scd1Merge(spark, Seq((2L, 2L, "B"), (3L, 2L, "c")).toDF("k", "op_seq", "v"), "op_seq")
+    val midIso = java.time.Instant.ofEpochMilli(mid).toString
+    val got = sqlRun(s"CHANGES '$work/t' SINCE TIMESTAMP '$midIso'")
+      .select("k", "_change_type").as[(Long, String)].collect().toSet
+    assert(got == Set((2L, "update"), (3L, "insert")))
+    // an instant after the last commit yields an EMPTY, schema-correct feed
+    Thread.sleep(15)
+    val now = java.time.Instant.ofEpochMilli(System.currentTimeMillis()).toString
+    val empty = sqlRun(s"CHANGES '$work/t' SINCE TIMESTAMP '$now' WITH COLUMNS")
+    assert(empty.count() == 0)
+    assert(empty.columns.toSet == Set("k", "op_seq", "v", "_change_type", "_changed_columns"))
+  }
+
   test("GraftSqlParser SNAPSHOT TIMESTAMP AS OF: newest version committed at or before the instant") {
     val work = java.nio.file.Files.createTempDirectory("sqlts").toString
     def sqlRun(q: String) = GraftColumnBridge.graftSql(spark, q)
