@@ -32,7 +32,8 @@ import graft.tables.SnapshotTable
   *   CREATE TABLE '<root>' [BUCKETED BY (k…) INTO <n> BUCKETS SEQUENCE BY c]
   *     [PARTITIONED BY (p…)] [STATS (s…)] AS <query>
   *   ANALYZE '<root>' STATS (c1[, c2…])
-  *   APPLY CHANGES INTO '<dst>' FROM '<src>' USING CHECKPOINT '<ck>' AS <id>
+  *   APPLY CHANGES INTO '<dst>' FROM '<src>' USING CHECKPOINT '<ck>'
+  *     AS <id> [ON KEYS (…)] [INTO <n> BUCKETS]
   * }}}
   *
   * MERGE is DLT auto-CDC semantics — SCD TYPE 1 (default,
@@ -82,7 +83,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Restore =
     """(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*;?\s*""".r
   private val ApplyChanges =
-    """(?is)\s*APPLY\s+CHANGES\s+INTO\s+'([^']+)'\s+FROM\s+'([^']+)'\s+USING\s+CHECKPOINT\s+'([^']+)'\s+AS\s+(\w+)\s*;?\s*""".r
+    """(?is)\s*APPLY\s+CHANGES\s+INTO\s+'([^']+)'\s+FROM\s+'([^']+)'\s+USING\s+CHECKPOINT\s+'([^']+)'\s+AS\s+(\w+)(?:\s+ON\s+KEYS\s*\(([^)]+)\))?(?:\s+INTO\s+(\d+)\s+BUCKETS)?\s*;?\s*""".r
   private val CreateTableAs =
     """(?is)\s*CREATE\s+TABLE\s+'([^']+)'(?:\s+BUCKETED\s+BY\s*\(([^)]+)\)\s+INTO\s+(\d+)\s+BUCKETS\s+SEQUENCE\s+BY\s+(\w+))?(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?(?:\s+STATS\s*\(([^)]+)\))?\s+AS\s+(.+?)\s*;?\s*""".r
   private val Analyze =
@@ -127,8 +128,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case Analyze(path, cols) =>
       AnalyzeSnapshotCommand(path,
         cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    case ApplyChanges(dst, src, ck, consumer) =>
-      ApplyChangesCommand(dst, src, ck, consumer)
+    case ApplyChanges(dst, src, ck, consumer, onKeys, buckets) =>
+      ApplyChangesCommand(dst, src, ck, consumer,
+        Option(onKeys).toSeq
+          .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)),
+        Option(buckets).map(_.toInt))
     case AddConstraint(path, name, pred) =>
       AlterConstraintCommand(path, name, Some(pred.trim))
     case DropConstraint(path, name) =>
@@ -597,27 +601,39 @@ case class CreateTableAsCommand(path: String, bucketKeys: Seq[String],
 }
 
 /** `APPLY CHANGES INTO '<dst>' FROM '<src>' USING CHECKPOINT '<ck>' AS
-  * <consumerId>` — the DLT apply-changes consumer loop as one SQL
-  * statement: consume the source bucketed table's manifest-pruned change
-  * feed since the checkpoint and merge it EXACTLY-ONCE into the target
-  * ([[graft.tables.BucketedSnapshotTable.applyChangesTo]] — the target's
-  * txn ledger is the committed progress marker and heals the checkpoint).
-  * A missing target is created with the source's keys (bucket count
-  * carried over); an existing target must agree on keys. Returns
+  * <consumerId> [ON KEYS (…)] [INTO <n> BUCKETS]` — the DLT apply-changes
+  * consumer loop as one SQL statement: consume the source table's change
+  * feed since the checkpoint and merge it EXACTLY-ONCE into the bucketed
+  * target (`applyChangesTo` — the target's txn ledger is the committed
+  * progress marker and heals the checkpoint). Bucketed sources derive the
+  * manifest-pruned feed and carry their keys; PLAIN sources (reference
+  * dims) need `ON KEYS` and diff full snapshots per window — O(dim), the
+  * honest cost on that format. A missing target is created with the
+  * source's keys (bucket count from `INTO n BUCKETS`, else the source's,
+  * else 64); an existing target must agree on keys. Returns
   * (source_version consumed, target_version). */
 case class ApplyChangesCommand(dst: String, src: String, checkpoint: String,
-    consumerId: String) extends LeafRunnableCommand {
+    consumerId: String, onKeys: Seq[String] = Nil,
+    buckets: Option[Int] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("source_version", IntegerType, nullable = false)(),
     AttributeReference("target_version", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val sl = DmlRouting.bucketed(spark, src).getOrElse(
-      throw new IllegalArgumentException(
-        s"APPLY CHANGES: source $src is not a bucketed table — only the " +
-          "bucketed format derives a manifest-pruned change feed"))
-    val keys = sl.keys.getOrElse(throw new IllegalArgumentException(
-      s"APPLY CHANGES: source $src records no bucket keys (pre-r7 manifest)"))
-    val s = new graft.tables.BucketedSnapshotTable(src, sl.numBuckets, keys)
+    val srcLayout = DmlRouting.bucketed(spark, src)
+    val keys = srcLayout match {
+      case Some(sl) =>
+        val stored = sl.keys.getOrElse(throw new IllegalArgumentException(
+          s"APPLY CHANGES: source $src records no bucket keys (pre-r7 manifest)"))
+        require(onKeys.isEmpty || onKeys == stored,
+          s"APPLY CHANGES: ON KEYS (${onKeys.mkString(",")}) does not match " +
+            s"source $src's bucket keys (${stored.mkString(",")})")
+        stored
+      case None =>
+        require(onKeys.nonEmpty,
+          s"APPLY CHANGES: plain source $src needs ON KEYS (…) — the plain " +
+            "format does not record business keys")
+        onKeys
+    }
     val t = DmlRouting.bucketed(spark, dst) match {
       case Some(dl) =>
         dl.keys.foreach(stored => require(stored == keys,
@@ -625,9 +641,16 @@ case class ApplyChangesCommand(dst: String, src: String, checkpoint: String,
             s"differ from the source's (${keys.mkString(",")})"))
         DmlRouting.table(spark, dst, dl, keys)
       case None =>
-        new graft.tables.BucketedSnapshotTable(dst, sl.numBuckets, keys)
+        new graft.tables.BucketedSnapshotTable(dst,
+          buckets.orElse(srcLayout.map(_.numBuckets)).getOrElse(64), keys)
     }
-    val v = s.applyChangesTo(spark, checkpoint, t, consumerId)
+    val v = srcLayout match {
+      case Some(sl) =>
+        new graft.tables.BucketedSnapshotTable(src, sl.numBuckets, keys)
+          .applyChangesTo(spark, checkpoint, t, consumerId)
+      case None =>
+        new SnapshotTable(src).applyChangesTo(spark, keys, checkpoint, t, consumerId)
+    }
     Seq(Row(v, t.currentVersion(spark).getOrElse(0)))
   }
 }

@@ -168,6 +168,12 @@ final class BucketedSnapshotTable(
       case (k, b) if k.startsWith("txn:") => k.stripPrefix("txn:") -> b.toLong
     }
 
+  /** The highest batch id the live manifest's exactly-once ledger records
+    * for `queryId` (None = never applied) — the committed progress marker
+    * a crashed consumer recovers from. */
+  def appliedTxn(spark: SparkSession, queryId: String): Option[Long] =
+    currentVersion(spark).flatMap(v => txnsOf(spark, v).get(queryId))
+
   private def writeManifest(spark: SparkSession, v: Int, m: Map[Int, BucketEntry],
       txns: Map[String, Long] = Map.empty): Unit = {
     val f = fs(spark)
@@ -537,24 +543,10 @@ final class BucketedSnapshotTable(
     * Returns the checkpointed source version. */
   def applyChangesTo(spark: SparkSession, checkpointFile: String,
       target: BucketedSnapshotTable, consumerId: String): Int = {
-    val f = fs(spark)
-    val ckPath = new Path(checkpointFile)
-    val applied = target.currentVersion(spark)
-      .map(v => target.txnsOf(spark, v)).getOrElse(Map.empty)
-      .getOrElse(s"cdf:$consumerId", 0L).toInt
-    val ckV = MetaIO.readSmall(f, ckPath).map(_.trim.toInt).getOrElse(0)
-    if (applied > ckV) { // heal: the ledger outran the checkpoint (crash window)
-      val out = f.create(ckPath, true)
-      try out.write(applied.toString.getBytes("UTF-8")) finally out.close()
-    }
+    BucketedSnapshotTable.healCheckpoint(fs(spark), checkpointFile,
+      target, consumerId)
     consumeChangesVersioned(spark, checkpointFile) { (feed, _, toV) =>
-      val upd = feed
-        .withColumn(ScdMerge.DeletedCol, col("_change_type") === "delete")
-        .drop("_change_type")
-        .withColumn("__cdf_seq", lit(toV.toLong))
-      target.scd1Merge(spark, upd, "__cdf_seq", Nil,
-        applyAsDeletes = Some(col(ScdMerge.DeletedCol)),
-        txn = Some((s"cdf:$consumerId", toV.toLong)))
+      BucketedSnapshotTable.applyFeed(spark, target, feed, toV, consumerId)
     }
   }
 
@@ -1148,6 +1140,41 @@ object BucketedSnapshotTable {
     * the true content version — a conservative over-approximation that
     * reads more buckets, never misses a change. */
   private[tables] final case class BucketEntry(dir: String, contentV: Int)
+
+  /** Merge one CDF window (a [[ChangeFeed]]-shaped relation whose changes
+    * were derived at source version `toV`) into `target` with the
+    * exactly-once ledger stamp — the shared apply step of every
+    * `applyChangesTo` (bucketed OR plain source): deletes flow as
+    * tombstones, `__cdf_seq` = the source version orders windows. */
+  def applyFeed(spark: SparkSession, target: BucketedSnapshotTable,
+      feed: DataFrame, toV: Int, consumerId: String): Unit = {
+    val upd = feed
+      .withColumn(ScdMerge.DeletedCol, col("_change_type") === "delete")
+      .drop("_change_type")
+      .withColumn("__cdf_seq", lit(toV.toLong))
+    target.scd1Merge(spark, upd, "__cdf_seq", Nil,
+      applyAsDeletes = Some(col(ScdMerge.DeletedCol)),
+      txn = Some((s"cdf:$consumerId", toV.toLong)))
+  }
+
+  /** Advance `checkpointFile` to the target ledger's committed progress
+    * when the ledger outran it (the consumer crashed after its merge
+    * landed but before the checkpoint advanced) — resuming from the stale
+    * checkpoint would not just be wasteful but WRONG on an ABA schedule
+    * (a key changed in the crashed window and reverted before the retry
+    * diffs as unchanged over the stale window). */
+  private[tables] def healCheckpoint(f: org.apache.hadoop.fs.FileSystem,
+      checkpointFile: String, target: BucketedSnapshotTable,
+      consumerId: String): Unit = {
+    val spark = SparkSession.active
+    val ckPath = new Path(checkpointFile)
+    val applied = target.appliedTxn(spark, s"cdf:$consumerId").getOrElse(0L).toInt
+    val ckV = MetaIO.readSmall(f, ckPath).map(_.trim.toInt).getOrElse(0)
+    if (applied > ckV) {
+      val out = f.create(ckPath, true)
+      try out.write(applied.toString.getBytes("UTF-8")) finally out.close()
+    }
+  }
 
   /** Identity of a bucketed table as recorded in its manifest header:
     * bucket count, bucket keys (absent on pre-r7 manifests that did not

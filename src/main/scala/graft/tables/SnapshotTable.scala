@@ -876,6 +876,59 @@ final class SnapshotTable(val root: String,
     ChangeFeed.diff(readVersion(spark, fromV), readVersion(spark, toV),
       keys, withChangedColumns)
 
+  /** Incremental CDF consumption for PLAIN roots — parity with
+    * [[BucketedSnapshotTable.consumeChangesVersioned]]: one diff covering
+    * everything committed since the consumer's checkpoint (over VISIBLE
+    * rows — SCD tombstone state filtered, same contract as the bucketed
+    * feed), checkpoint advanced only after `fn` returns. The plain format
+    * has no manifest to prune by, so each window diffs two full snapshots
+    * — O(table) per window, the honest cost on the small-dim format this
+    * table exists for; the 100 TB path is the bucketed table's. First
+    * call = full bootstrap (every visible row as `insert`). */
+  def consumeChangesVersioned(spark: SparkSession, keys: Seq[String],
+      checkpointFile: String, withChangedColumns: Boolean = false)
+      (fn: (DataFrame, Int, Int) => Unit): Int = {
+    import org.apache.spark.sql.functions.lit
+    val f = fs(spark)
+    val ckPath = new Path(checkpointFile)
+    val live = currentVersion(spark).getOrElse(
+      throw new IllegalStateException(s"SnapshotTable $root is empty"))
+    val last = MetaIO.readSmall(f, ckPath).map(_.trim.toInt).getOrElse(0)
+    if (live > last) {
+      val feed =
+        if (last == 0) {
+          val base = graft.cdc.ScdMerge.scd1Current(read(spark))
+            .withColumn("_change_type", lit("insert"))
+          if (withChangedColumns) base.withColumn("_changed_columns", lit(""))
+          else base
+        } else ChangeFeed.diff(
+          graft.cdc.ScdMerge.scd1Current(readVersion(spark, last)),
+          graft.cdc.ScdMerge.scd1Current(readVersion(spark, live)),
+          keys, withChangedColumns)
+      fn(feed, last, live)
+      val out = f.create(ckPath, true)
+      try out.write(live.toString.getBytes("UTF-8")) finally out.close()
+    }
+    math.max(live, last)
+  }
+
+  /** EXACTLY-ONCE mirror of a plain root into a bucketed serving copy —
+    * the [[BucketedSnapshotTable.applyChangesTo]] loop with a plain
+    * SOURCE (reference dims live in plain snapshots; their mirrors want
+    * the keyed format). Same guarantees, same machinery: the target's txn
+    * ledger is the committed progress marker and heals the checkpoint
+    * across crash windows; deletes flow as tombstones; `__cdf_seq` = the
+    * source version orders windows. Returns the checkpointed version. */
+  def applyChangesTo(spark: SparkSession, keys: Seq[String],
+      checkpointFile: String, target: graft.tables.BucketedSnapshotTable,
+      consumerId: String): Int = {
+    BucketedSnapshotTable.healCheckpoint(fs(spark), checkpointFile,
+      target, consumerId)
+    consumeChangesVersioned(spark, keys, checkpointFile) { (feed, _, toV) =>
+      BucketedSnapshotTable.applyFeed(spark, target, feed, toV, consumerId)
+    }
+  }
+
   /** RESTORE (Delta `RESTORE TABLE ... TO VERSION` analog): commit a NEW
     * version whose content is an older version's — history moves forward,
     * so the botched intermediate versions stay inspectable and a restore

@@ -351,12 +351,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // replay is a no-op; target version stands
     val (sv, tv) = sqlRun(stmt).as[(Int, Int)].head()
     assert(sv == 2 && tv == 2)
-    // a plain source refuses (no manifest-pruned feed to consume)
+    // a plain source works WITH ON KEYS (dims live in plain snapshots):
+    // bootstrap, then a window diffing two full snapshots
     val p = new graft.tables.SnapshotTable(s"$work/p")
-    p.write(spark, Seq((1L, "x")).toDF("k", "v"))
-    assert(intercept[Exception](sqlRun(s"APPLY CHANGES INTO '$work/d2' FROM " +
-      s"'$work/p' USING CHECKPOINT '$work/ck2' AS m").collect())
-      .getMessage.contains("bucketed"))
+    p.write(spark, Seq((1L, "x"), (2L, "y")).toDF("k", "v"))
+    val plainStmt = s"APPLY CHANGES INTO '$work/d2' FROM '$work/p' " +
+      s"USING CHECKPOINT '$work/ck2' AS m ON KEYS (k) INTO 4 BUCKETS"
+    sqlRun(plainStmt).collect()
+    p.write(spark, Seq((1L, "x"), (2L, "Y2"), (3L, "z")).toDF("k", "v"))
+    sqlRun(plainStmt).collect()
+    assert(sqlRun(s"SNAPSHOT '$work/d2'").select("k", "v").as[(Long, String)]
+      .collect().toSet == Set((1L, "x"), (2L, "Y2"), (3L, "z")))
+    // …but without ON KEYS it refuses (the plain format records no keys)
+    assert(intercept[Exception](sqlRun(s"APPLY CHANGES INTO '$work/d3' FROM " +
+      s"'$work/p' USING CHECKPOINT '$work/ck3' AS m").collect())
+      .getMessage.contains("ON KEYS"))
     // a target with different keys refuses
     val other = new graft.tables.BucketedSnapshotTable(s"$work/o", 8, Seq("z"))
     other.scd1Merge(spark, Seq((1L, 1L)).toDF("z", "op_seq"), "op_seq")
