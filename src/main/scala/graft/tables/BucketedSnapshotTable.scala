@@ -33,8 +33,9 @@ import graft.cdc.ScdMerge
   * Layout:
   * {{{
   *   root/_current                      // one line: live manifest version
-  *   root/_manifest_v<N>                // numBuckets + bucket→batchDir map
+  *   root/_manifest_v<N>                // header + bucket→(batchDir, contentV)
   *   root/_batch_v<N>/__bucket=<b>/...  // immutable bucket snapshots
+  *   root/_batch_v<N>/_stats            // per-file min/max (when statsCols)
   * }}}
   *
   * Commit protocol identical to [[SnapshotTable]]: batches stage under
@@ -1019,8 +1020,11 @@ final class BucketedSnapshotTable(
       val cur = currentVersion(spark).getOrElse(
         throw new IllegalStateException(s"BucketedSnapshotTable $root is empty"))
       val entries = readEntries(spark, cur)
-      entries.values.map(_.dir).toSet.foreach { (dir: String) =>
-        val snap = spark.read.parquet(s"$root/$dir")
+      // per dir, scan its LIVE buckets explicitly (`__bucket=…` children
+      // are underscore-prefixed — hidden from a directory-level read)
+      entries.groupBy(_._2.dir).foreach { case (dir, es) =>
+        val snap = spark.read.option("basePath", s"$root/$dir")
+          .parquet(es.keys.toSeq.sorted.map(b => s"$root/$dir/$BucketCol=$b"): _*)
         // a batch written before a schema evolution may lack a stats
         // column — record the ones it has (missing entries keep files,
         // superset guarantee)

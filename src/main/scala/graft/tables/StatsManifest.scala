@@ -58,6 +58,11 @@ private[tables] object StatsManifest {
       c -> snap.schema(c).dataType.isInstanceOf[StringType]).toMap
     def toD(c: String) = snap.schema(c).dataType match {
       case TimestampType => unix_micros(col(c)).cast("double")
+      // NTZ wall time → micros via the session zone (fixed UTC in this
+      // engine's sessions, so the quantization is deterministic and
+      // matches a timestamp literal's folded micros)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(c).cast(TimestampType)).cast("double")
       case DateType     => unix_date(col(c)).cast("double")
       case _            => col(c).cast("double")
     }

@@ -276,11 +276,15 @@ object ScaleSoak {
         statsCols = Seq("o_orderdate"))
       val (_, anW) = time(s"$tag/bucketed_analyze") { ta.analyze(spark) }
       results("bucketed_analyze") = anW
+      // o_orderdate in the testdata is TIMESTAMP_NTZ — keep both the
+      // merged values and the predicate literal in that type so the
+      // folded micros line up with the stats quantization
       ta.scd1Merge(spark, batch
-        .withColumn("o_orderdate", to_date(lit("1999-12-31")))
+        .withColumn("o_orderdate", lit("2100-01-01 00:00:00").cast("timestamp_ntz"))
         .withColumn("op_seq", lit(3)), "op_seq")
       val (ur, updPW) = time(s"$tag/bucketed_update_stats_pruned") {
-        ta.update(spark, col("o_orderdate") >= lit("1999-12-01").cast("date"),
+        ta.update(spark,
+          col("o_orderdate") >= lit("2099-12-01 00:00:00").cast("timestamp_ntz"),
           Seq("o_totalprice" -> (col("o_totalprice") + 3.0)))
       }
       println(s"[soak]   stats-pruned update touched=${ur._1.size} rows=${ur._2}")

@@ -611,6 +611,18 @@ class BucketedTableSpec extends AnyFunSuite {
     assert(t.delete(spark, $"d" >= 99) == ((Set.empty[Int], 0L)))
     assert(t.currentVersion(spark) == v0)
 
+    // TIMESTAMP_NTZ stats columns quantize to session-zone micros (the
+    // testdata's timestamp physical type) and prune like any numeric
+    val tn = new BucketedSnapshotTable(tmp("bdmlntz"), numBuckets = 16,
+      keys = Seq("k"), statsCols = Seq("ts"))
+    tn.scd1Merge(spark, (1 to 160).map(i => (i, 1))
+      .toDF("k", "seq")
+      .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp_ntz")), "seq")
+    val hotN = tn.scd1Merge(spark, Seq((3, 2), (4, 2)).toDF("k", "seq")
+      .withColumn("ts", lit("2024-02-01 00:00:00").cast("timestamp_ntz")), "seq")
+    assert(tn.statsCandidates(spark, tn.manifest(spark),
+      $"ts" >= lit("2024-01-15 00:00:00").cast("timestamp_ntz")) == Some(hotN))
+
     // STRING bounds prune against the b64 prefix stats too
     val ts = new BucketedSnapshotTable(tmp("bdmlstr"), numBuckets = 16,
       keys = Seq("k"), statsCols = Seq("v"))
