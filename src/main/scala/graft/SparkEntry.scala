@@ -5273,7 +5273,7 @@ object SparkEntry {
     "q302_cdf_exactly_once_mirror" -> ((s, dir) => {
       import s.implicits._
       val work = java.nio.file.Files.createTempDirectory("cdfmirror").toString
-      val src = new graft.tables.BucketedSnapshotTable(s"$work/src", 32, Seq("c_custkey"))
+      val src = new graft.tables.BucketedSnapshotTable(s"$work/src", 16, Seq("c_custkey"))
       val dst = new graft.tables.BucketedSnapshotTable(s"$work/dst", 8, Seq("c_custkey"))
       val ck = s"$work/ck"
       val c = Tables.customer(s, dir).select($"c_custkey", $"c_name", $"c_acctbal")
@@ -5301,8 +5301,13 @@ object SparkEntry {
         throw new RuntimeException("crash before checkpoint")
       } catch { case _: RuntimeException => }
       src.applyChangesTo(s, ck, dst, "mirror") // heal: ledger says v2 applied
-      // v3: one more incremental window on the healed consumer
-      val v2state = graft.cdc.ScdMerge.scd1Current(src.read(s))
+      // v3: one more incremental window on the healed consumer — the v2
+      // visible state derived arithmetically from the input (no need to
+      // re-read the whole source just to build the next batch)
+      val v2state = c.filter($"c_custkey" % 17 =!= 0)
+        .withColumn("c_acctbal", when($"c_custkey" % 10 === 0,
+          $"c_acctbal" + 100).otherwise($"c_acctbal"))
+        .unionByName(ins)
       src.scd1Merge(s, v2state.filter($"c_custkey" % 7 === 0)
         .withColumn("c_acctbal", $"c_acctbal" + 1)
         .withColumn("op_seq", lit(3L)), "op_seq")
@@ -5328,15 +5333,18 @@ object SparkEntry {
       bt.scd1Merge(s, c
         .withColumn("mod_ts", lit("2024-01-01 00:00:00").cast("timestamp"))
         .withColumn("op_seq", lit(1L)), "op_seq")
-      bt.scd1Merge(s, c.filter($"c_custkey" % 100 === 0)
+      val hot = bt.scd1Merge(s, c.filter($"c_custkey" % 100 === 0)
         .withColumn("c_acctbal", $"c_acctbal" + 5)
         .withColumn("mod_ts", lit("2024-02-01 00:00:00").cast("timestamp"))
         .withColumn("op_seq", lit(2L)), "op_seq")
       val pred = $"mod_ts" >= lit("2024-01-15 00:00:00").cast("timestamp")
       val cand = bt.statsCandidates(s, bt.manifest(s), pred)
         .getOrElse(sys.error("stats pre-filter must extract the range bound"))
-      require(cand.size < 16,
-        s"discovery must be stats-pruned: ${cand.size} candidate buckets of 16")
+      // scale-independent pruning pin: candidates must be EXACTLY the
+      // buckets the hot merge rewrote (batch-1 files max out at the old
+      // mod_ts and are skipped), whatever fraction of the table that is
+      require(cand == hot,
+        s"discovery must prune to the hot merge's buckets: $cand vs $hot")
       val (touched, _) = bt.update(s, pred,
         Seq("c_acctbal" -> ($"c_acctbal" + 1000)))
       require(touched.subsetOf(cand), "rewrite must stay inside the candidate set")
@@ -5386,7 +5394,7 @@ object SparkEntry {
       bt.scd1Merge(s, c
         .withColumn("mod_ts", lit("2024-01-01 00:00:00").cast("timestamp"))
         .withColumn("op_seq", lit(1L)), "op_seq")
-      bt.scd1Merge(s, c.filter($"c_custkey" % 100 === 0)
+      val hot = bt.scd1Merge(s, c.filter($"c_custkey" % 100 === 0)
         .withColumn("c_acctbal", $"c_acctbal" + 5)
         .withColumn("mod_ts", lit("2024-02-01 00:00:00").cast("timestamp"))
         .withColumn("op_seq", lit(2L)), "op_seq")
@@ -5400,8 +5408,10 @@ object SparkEntry {
       val pred = $"mod_ts" >= lit("2024-01-15 00:00:00").cast("timestamp")
       val cand = bt2.statsCandidates(s, bt2.manifest(s), pred)
         .getOrElse(sys.error("backfilled stats must feed the DML pre-filter"))
-      require(cand.size < 16,
-        s"post-ANALYZE discovery must be stats-pruned: ${cand.size} of 16")
+      // scale-independent pin (see q303): candidates = the hot merge's
+      // buckets exactly, now from ANALYZE-backfilled stats
+      require(cand == hot,
+        s"post-ANALYZE discovery must prune to the hot buckets: $cand vs $hot")
       sqlRun(s"UPDATE '$work/t' SET c_acctbal = c_acctbal + 1000 " +
         "WHERE mod_ts >= TIMESTAMP '2024-01-15 00:00:00'").collect()
       sqlRun(s"SNAPSHOT '$work/t'")
