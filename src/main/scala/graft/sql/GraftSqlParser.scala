@@ -31,7 +31,7 @@ import graft.tables.SnapshotTable
   *   CHANGES '<table root>' SINCE TIMESTAMP '<ts>' [ON KEYS (…)] [WITH COLUMNS]
   *   CREATE TABLE '<root>' [BUCKETED BY (k…) INTO <n> BUCKETS SEQUENCE BY c]
   *     [PARTITIONED BY (p…)] [STATS (s…)] AS <query>
-  *   ANALYZE '<root>' STATS (c1[, c2…])
+  *   ANALYZE '<root>' STATS (c1[, c2…]) [INCREMENTAL]
   *   APPLY CHANGES INTO '<dst>' FROM '<src>' USING CHECKPOINT '<ck>'
   *     AS <id> [ON KEYS (…)] [INTO <n> BUCKETS]
   * }}}
@@ -87,7 +87,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val CreateTableAs =
     """(?is)\s*CREATE\s+TABLE\s+'([^']+)'(?:\s+BUCKETED\s+BY\s*\(([^)]+)\)\s+INTO\s+(\d+)\s+BUCKETS\s+SEQUENCE\s+BY\s+(\w+))?(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?(?:\s+STATS\s*\(([^)]+)\))?\s+AS\s+(.+?)\s*;?\s*""".r
   private val Analyze =
-    """(?is)\s*ANALYZE\s+'([^']+)'\s+STATS\s*\(([^)]+)\)\s*;?\s*""".r
+    """(?is)\s*ANALYZE\s+'([^']+)'\s+STATS\s*\(([^)]+)\)(\s+INCREMENTAL)?\s*;?\s*""".r
   private val AddConstraint =
     """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraint =
@@ -125,9 +125,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       CreateTableAsCommand(path, csv(bKeys),
         Option(nBuckets).map(_.toInt), Option(seqCol),
         csv(partCols), csv(stats), query.trim)
-    case Analyze(path, cols) =>
+    case Analyze(path, cols, incr) =>
       AnalyzeSnapshotCommand(path,
-        cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq, incr != null)
     case ApplyChanges(dst, src, ck, consumer, onKeys, buckets) =>
       ApplyChangesCommand(dst, src, ck, consumer,
         Option(onKeys).toSeq
@@ -663,8 +663,8 @@ case class ApplyChangesCommand(dst: String, src: String, checkpoint: String,
   * header — after which range reads AND the predicate-DML pre-filter
   * prune on tables written before stats existed. One column-pruned scan
   * per batch dir; no data rewrite. */
-case class AnalyzeSnapshotCommand(path: String, cols: Seq[String])
-    extends LeafRunnableCommand {
+case class AnalyzeSnapshotCommand(path: String, cols: Seq[String],
+    onlyMissing: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", IntegerType, nullable = false)(),
     AttributeReference("stats_cols", StringType, nullable = false)())
@@ -673,7 +673,7 @@ case class AnalyzeSnapshotCommand(path: String, cols: Seq[String])
       case Some(l) =>
         val bt = new graft.tables.BucketedSnapshotTable(path, l.numBuckets,
           l.keys.getOrElse(Nil), cols)
-        Seq(Row(bt.analyze(spark), cols.mkString(",")))
+        Seq(Row(bt.analyze(spark, onlyMissing), cols.mkString(",")))
       case None =>
         val t = new SnapshotTable(path)
         t.refreshStats(spark, cols)

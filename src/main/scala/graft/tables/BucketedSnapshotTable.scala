@@ -1011,7 +1011,7 @@ final class BucketedSnapshotTable(
     * different column set). One column-pruned scan per batch dir, no data
     * rewrite: the batch dirs are immutable, only their `_stats` sidecars
     * and the manifest header change. Returns the committed version. */
-  def analyze(spark: SparkSession): Int = {
+  def analyze(spark: SparkSession, onlyMissing: Boolean = false): Int = {
     require(statsCols.nonEmpty,
       s"BucketedSnapshotTable $root: analyze needs statsCols — construct the " +
         "table (or run ANALYZE … STATS (…)) with the columns to index")
@@ -1021,8 +1021,17 @@ final class BucketedSnapshotTable(
         throw new IllegalStateException(s"BucketedSnapshotTable $root is empty"))
       val entries = readEntries(spark, cur)
       // per dir, scan its LIVE buckets explicitly (`__bucket=…` children
-      // are underscore-prefixed — hidden from a directory-level read)
+      // are underscore-prefixed — hidden from a directory-level read).
+      // `onlyMissing` makes re-ANALYZE O(new batches): a dir whose
+      // existing sidecar already covers every requested column is skipped
+      // (batch dirs are immutable, so existing stats cannot be stale).
       entries.groupBy(_._2.dir).foreach { case (dir, es) =>
+        val covered = onlyMissing &&
+          StatsManifest.readLines(f, batchStatsPath(dir)).exists { ls =>
+            val have = StatsManifest.statsColumns(ls).toSet
+            statsCols.forall(have.contains)
+          }
+        if (!covered) {
         val snap = spark.read.option("basePath", s"$root/$dir")
           .parquet(es.keys.toSeq.sorted.map(b => s"$root/$dir/$BucketCol=$b"): _*)
         // a batch written before a schema evolution may lack a stats
@@ -1031,6 +1040,7 @@ final class BucketedSnapshotTable(
         val present = statsCols.filter(snap.columns.contains)
         if (present.nonEmpty)
           StatsManifest.write(snap, present, f, batchStatsPath(dir))
+        }
       }
       lockH.check()
       // metadata-only commit: same entries, same contentV (no content

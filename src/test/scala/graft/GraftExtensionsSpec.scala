@@ -334,6 +334,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // the metadata-only analyze commit must not inflate the change feed
     val v = bt2.currentVersion(spark).get
     assert(bt2.changedBuckets(spark, v - 1, v).isEmpty)
+
+    // INCREMENTAL re-ANALYZE is O(new batches): a later stats-less merge
+    // gains a sidecar while already-covered dirs are untouched (immutable
+    // batch dirs → their existing stats cannot be stale)
+    bt.scd1Merge(spark, Seq((7L, 2L, 42.0)).toDF("k", "op_seq", "d"), "op_seq")
+    val oldStats = new java.io.File(s"$work/nb/_batch_v1/_stats")
+    val mtimeBefore = oldStats.lastModified()
+    Thread.sleep(20)
+    sqlRun(s"ANALYZE '$work/nb' STATS (d) INCREMENTAL").collect()
+    assert(oldStats.lastModified() == mtimeBefore,
+      "covered dirs must be skipped by INCREMENTAL")
+    val bt3 = new graft.tables.BucketedSnapshotTable(s"$work/nb", 8, Seq("k"), Seq("d"))
+    assert(bt3.statsCandidates(spark, bt3.manifest(spark), $"d" >= 40.0)
+      .exists(_.nonEmpty), "the new batch's backfilled stats must prune")
   }
 
   test("GraftSqlParser APPLY CHANGES INTO: bootstrap creates target, windows consume, mismatches refuse") {
