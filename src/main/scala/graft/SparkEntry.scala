@@ -5447,6 +5447,40 @@ object SparkEntry {
         .orderBy($"o_orderkey")
     }),
 
+    // ── BLOOM-PRUNED POINT DML (r9): the table is bucketed (and thus
+    //    clustered) by c_custkey, so every batch's [min,max] for c_name
+    //    spans the whole domain — range stats prune NOTHING for a point
+    //    predicate on it. Per-batch Bloom sidecars answer "might this
+    //    file contain the key?" regardless of layout: the in-query
+    //    require pins discovery to ≲fpp·files buckets, then the SQL
+    //    UPDATE (the merges recorded the bloomCols header, so routing
+    //    picks the index up from the manifest alone) rewrites only the
+    //    matched bucket. The oracle replays the arithmetic.
+    "q307_bloom_point_dml" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("bloomdml").toString
+      val bt = new graft.tables.BucketedSnapshotTable(s"$work/t", 16,
+        Seq("c_custkey"), Nil, Seq("c_name"))
+      val c = Tables.customer(s, dir).select($"c_custkey", $"c_name", $"c_acctbal")
+      bt.scd1Merge(s, c.withColumn("op_seq", lit(1L)), "op_seq")
+      bt.scd1Merge(s, c.filter($"c_custkey" % 50 === 0)
+        .withColumn("c_acctbal", $"c_acctbal" + 5)
+        .withColumn("op_seq", lit(2L)), "op_seq")
+      val target = "Customer#000000042"
+      // scale-independent pin: a point probe on the non-key column must
+      // name ≲fpp·files buckets, not the whole live set
+      val cand = bt.statsCandidates(s, bt.manifest(s), $"c_name" === target)
+        .getOrElse(sys.error("bloom probe must extract the point constraint"))
+      require(cand.size <= 3,
+        s"bloom must prune the point probe to ~1 bucket: ${cand.size} ($cand)")
+      val sqlRun = (q: String) => org.apache.spark.sql.GraftColumnBridge.graftSql(s, q)
+      sqlRun(s"UPDATE '$work/t' SET c_acctbal = c_acctbal + 1000 " +
+        s"WHERE c_name = '$target'").collect()
+      sqlRun(s"SNAPSHOT '$work/t'")
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+        .orderBy($"c_custkey")
+    }),
+
     "q301_describe_detail" -> ((s, dir) => {
       import s.implicits._
       val work = java.nio.file.Files.createTempDirectory("detail").toString
@@ -6510,6 +6544,16 @@ object SparkEntry {
         |  CASE WHEN c_custkey % 100 = 0 THEN c_acctbal + 5 + 1000 ELSE c_acctbal END AS c_acctbal,
         |  CASE WHEN c_custkey % 100 = 0 THEN TIMESTAMP '2024-02-01 00:00:00'
         |       ELSE TIMESTAMP '2024-01-01 00:00:00' END AS mod_ts
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // bloom-pruned point UPDATE: the %50 keys took +5 in batch 2, then
+    // exactly one name took +1000 — the discovery pruning is invisible to
+    // the final state, which is what the oracle replays
+    "q307_bloom_point_dml" ->
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 50 = 0 THEN c_acctbal + 5 ELSE c_acctbal END
+        |    + CASE WHEN c_name = 'Customer#000000042' THEN 1000 ELSE 0 END
+        |    AS c_acctbal
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     // stats-pruned UPDATE: only the %100 keys were re-merged with the

@@ -31,7 +31,7 @@ import graft.tables.SnapshotTable
   *   CHANGES '<table root>' SINCE TIMESTAMP '<ts>' [ON KEYS (…)] [WITH COLUMNS]
   *   CREATE TABLE '<root>' [BUCKETED BY (k…) INTO <n> BUCKETS SEQUENCE BY c]
   *     [PARTITIONED BY (p…)] [STATS (s…)] AS <query>
-  *   ANALYZE '<root>' STATS (c1[, c2…]) [INCREMENTAL]
+  *   ANALYZE '<root>' [STATS (c1[, c2…])] [BLOOM (c1[, c2…])] [INCREMENTAL]
   *   APPLY CHANGES INTO '<dst>' FROM '<src>' USING CHECKPOINT '<ck>'
   *     AS <id> [ON KEYS (…)] [INTO <n> BUCKETS]
   * }}}
@@ -87,7 +87,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val CreateTableAs =
     """(?is)\s*CREATE\s+TABLE\s+'([^']+)'(?:\s+BUCKETED\s+BY\s*\(([^)]+)\)\s+INTO\s+(\d+)\s+BUCKETS\s+SEQUENCE\s+BY\s+(\w+))?(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?(?:\s+STATS\s*\(([^)]+)\))?\s+AS\s+(.+?)\s*;?\s*""".r
   private val Analyze =
-    """(?is)\s*ANALYZE\s+'([^']+)'\s+STATS\s*\(([^)]+)\)(\s+INCREMENTAL)?\s*;?\s*""".r
+    """(?is)\s*ANALYZE\s+'([^']+)'(?:\s+STATS\s*\(([^)]+)\))?(?:\s+BLOOM\s*\(([^)]+)\))?(\s+INCREMENTAL)?\s*;?\s*""".r
   private val AddConstraint =
     """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraint =
@@ -125,9 +125,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       CreateTableAsCommand(path, csv(bKeys),
         Option(nBuckets).map(_.toInt), Option(seqCol),
         csv(partCols), csv(stats), query.trim)
-    case Analyze(path, cols, incr) =>
-      AnalyzeSnapshotCommand(path,
-        cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq, incr != null)
+    case Analyze(path, cols, bloomCols, incr) =>
+      def csvOf(s: String) = Option(s).toSeq
+        .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+      AnalyzeSnapshotCommand(path, csvOf(cols), csvOf(bloomCols), incr != null)
     case ApplyChanges(dst, src, ck, consumer, onKeys, buckets) =>
       ApplyChangesCommand(dst, src, ck, consumer,
         Option(onKeys).toSeq
@@ -322,7 +323,7 @@ private[sql] object DmlRouting {
       l: graft.tables.BucketedSnapshotTable.Layout,
       keys: Seq[String] = Nil): graft.tables.BucketedSnapshotTable =
     new graft.tables.BucketedSnapshotTable(path, l.numBuckets,
-      l.keys.getOrElse(keys), l.statsCols)
+      l.keys.getOrElse(keys), l.statsCols, l.bloomCols)
 
   def warnNoKeys(path: String, what: String): Unit =
     org.apache.log4j.Logger.getLogger(getClass).warn(
@@ -655,29 +656,41 @@ case class ApplyChangesCommand(dst: String, src: String, checkpoint: String,
   }
 }
 
-/** `ANALYZE '<root>' STATS (c…)` — backfill data-skipping stats for data
-  * already on disk: plain roots rebuild the whole-snapshot stats manifest
-  * ([[SnapshotTable.refreshStats]]); bucketed roots write per-batch
-  * `_stats` sidecars for every reachable batch dir and commit a
-  * metadata-only version recording the stats columns in the manifest
-  * header — after which range reads AND the predicate-DML pre-filter
-  * prune on tables written before stats existed. One column-pruned scan
-  * per batch dir; no data rewrite. */
+/** `ANALYZE '<root>' [STATS (c…)] [BLOOM (c…)] [INCREMENTAL]` — backfill
+  * data-skipping metadata for data already on disk: STATS builds min/max
+  * range stats, BLOOM per-file Bloom filters (the point-lookup complement
+  * for high-cardinality non-key columns whose ranges span the domain).
+  * Plain roots rebuild the live snapshot's sidecars
+  * ([[SnapshotTable.refreshStats]]/[[SnapshotTable.refreshBloom]]);
+  * bucketed roots write per-batch `_stats`/`_bloom` sidecars for every
+  * reachable batch dir and commit a metadata-only version recording the
+  * indexed columns in the manifest header — after which range reads AND
+  * the predicate-DML pre-filter prune on tables written before the index
+  * existed. INCREMENTAL skips batch dirs whose sidecars already cover the
+  * requested columns (immutable dirs → never stale), making re-ANALYZE
+  * O(new batches). One column-pruned scan per analyzed dir; no rewrite. */
 case class AnalyzeSnapshotCommand(path: String, cols: Seq[String],
-    onlyMissing: Boolean = false) extends LeafRunnableCommand {
+    bloomCols: Seq[String] = Nil, onlyMissing: Boolean = false)
+    extends LeafRunnableCommand {
+  require(cols.nonEmpty || bloomCols.nonEmpty,
+    s"ANALYZE $path: give STATS (…) and/or BLOOM (…) columns")
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", IntegerType, nullable = false)(),
-    AttributeReference("stats_cols", StringType, nullable = false)())
+    AttributeReference("stats_cols", StringType, nullable = false)(),
+    AttributeReference("bloom_cols", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     DmlRouting.bucketed(spark, path) match {
       case Some(l) =>
         val bt = new graft.tables.BucketedSnapshotTable(path, l.numBuckets,
-          l.keys.getOrElse(Nil), cols)
-        Seq(Row(bt.analyze(spark, onlyMissing), cols.mkString(",")))
+          l.keys.getOrElse(Nil), cols, bloomCols)
+        Seq(Row(bt.analyze(spark, onlyMissing),
+          cols.mkString(","), bloomCols.mkString(",")))
       case None =>
         val t = new SnapshotTable(path)
-        t.refreshStats(spark, cols)
-        Seq(Row(t.currentVersion(spark).getOrElse(0), cols.mkString(",")))
+        if (cols.nonEmpty) t.refreshStats(spark, cols)
+        if (bloomCols.nonEmpty) t.refreshBloom(spark, bloomCols)
+        Seq(Row(t.currentVersion(spark).getOrElse(0),
+          cols.mkString(","), bloomCols.mkString(",")))
     }
 }
 

@@ -30,7 +30,9 @@ import org.apache.spark.util.sketch.BloomFilter
   * would be a driver-memory cliff.
   *
   * Layout: `out/` is a directory —
-  * `_MANIFEST`: one line per data file, `path\tsidecarName`;
+  * `_MANIFEST`: a `cols=<csv>` header line (the indexed columns — lets
+  * re-ANALYZE coverage checks stay metadata-only) then one line per data
+  * file, `path\tsidecarName`;
   * `part-<sha1(path)>.bloom`: that file's filters,
   * `path\tcol:kind:b64(bloomBytes)` per indexed column, kind ∈ {l (hashed
   * as long), s (hashed as UTF-8 string)}. Files with no live rows for a
@@ -113,8 +115,17 @@ private[tables] object BloomIndex {
       }(Encoders.STRING)
       .collect() // O(files) short strings — never filter bytes
     val o = fs.create(new Path(out, "_MANIFEST"), true)
-    try o.write(manifestLines.mkString("\n").getBytes("UTF-8")) finally o.close()
+    try o.write((s"cols=${bloomCols.mkString(",")}" +: manifestLines)
+      .mkString("\n").getBytes("UTF-8")) finally o.close()
   }
+
+  /** The columns an index at `dir` covers (its `cols=` manifest header);
+    * None when no index (or a pre-header one) exists — the coverage probe
+    * behind `ANALYZE … INCREMENTAL`. */
+  def indexedColumns(fs: FileSystem, dir: Path): Option[Seq[String]] =
+    StatsManifest.readLines(fs, new Path(dir, "_MANIFEST"))
+      .flatMap(_.headOption.filter(l => l.startsWith("cols=") && !l.contains("\t")))
+      .map(_.stripPrefix("cols=").split(",").map(_.trim).filter(_.nonEmpty).toSeq)
 
   private def filesWhere(fs: FileSystem, dir: Path, column: String,
       mightContain: BloomFilter => Boolean): Option[Vector[String]] =
@@ -143,4 +154,33 @@ private[tables] object BloomIndex {
   def filesMightContainString(fs: FileSystem, dir: Path, column: String,
       value: String): Option[Vector[String]] =
     filesWhere(fs, dir, column, _.mightContainString(value))
+
+  /** Files whose filter for `column` might contain ANY of the point
+    * values (the IN-list / OR-of-equalities probe). A value whose type
+    * does not match the indexed hash kind cannot be evaluated, so its
+    * presence keeps every file — pruning only ever happens when EVERY
+    * constraint value is of the indexed kind and none might be contained
+    * (superset guarantee under unanalyzed-predicate type mismatches).
+    * None = no index at `dir`. */
+  def filesMightContainAny(fs: FileSystem, dir: Path, column: String,
+      longs: Set[Long], strs: Set[String]): Option[Vector[String]] =
+    StatsManifest.readLines(fs, new Path(dir, "_MANIFEST")).map { manifest =>
+      manifest.map(_.split("\t", 2)).collect {
+        case parts if parts.length == 2 && {
+          val entry = StatsManifest.readLines(fs, new Path(dir, parts(1)))
+            .flatMap(_.headOption)
+            .flatMap(_.split("\t").drop(1).find(_.startsWith(s"$column:")))
+          entry.forall { e =>
+            val Array(_, kind, blob) = e.split(":", 3)
+            lazy val bf = BloomFilter.readFrom(new ByteArrayInputStream(unb64(blob)))
+            val provablyAbsent = kind match {
+              case "l" => strs.isEmpty && longs.nonEmpty && !longs.exists(bf.mightContainLong)
+              case "s" => longs.isEmpty && strs.nonEmpty && !strs.exists(bf.mightContainString)
+              case _   => false
+            }
+            !provablyAbsent
+          }
+        } => parts(0)
+      }
+    }
 }

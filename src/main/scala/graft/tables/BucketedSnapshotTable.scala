@@ -56,6 +56,14 @@ final class BucketedSnapshotTable(
     val numBuckets: Int,
     val keys: Seq[String],
     val statsCols: Seq[String] = Nil,
+    /** Columns carrying a per-batch [[BloomIndex]] sidecar: the point-
+      * lookup complement to `statsCols`' min/max ranges. On a 100 TB table
+      * clustered by the bucket keys, every OTHER high-cardinality column's
+      * [min,max] spans the whole domain in every file — range stats prune
+      * nothing for `WHERE order_id = k`. A per-file Bloom filter answers
+      * membership regardless of layout, so predicate DML / point reads on
+      * non-key columns touch O(1 + fpp·files) files instead of O(table). */
+    val bloomCols: Seq[String] = Nil,
     /** Lock staleness window (test hook: shrink so paused-writer/steal
       * schedules run in test time; production default [[CommitLock.StaleMs]]). */
     commitStaleMs: Long = CommitLock.StaleMs) {
@@ -178,8 +186,20 @@ final class BucketedSnapshotTable(
   private def writeManifest(spark: SparkSession, v: Int, m: Map[Int, BucketEntry],
       txns: Map[String, Long] = Map.empty): Unit = {
     val f = fs(spark)
+    // indexed-column headers are TABLE properties, not writer properties: a
+    // writer constructed without statsCols/bloomCols (a maintenance job, a
+    // default-routed merge) must not erase what ANALYZE recorded — inherit
+    // the previous header's columns when this instance carries none
+    val prev =
+      if (v <= 1) Map.empty[String, String]
+      else try headerOf(spark, v - 1) catch { case _: java.io.IOException => Map.empty[String, String] }
+    val effStats = if (statsCols.nonEmpty) statsCols
+      else prev.get("statsCols").toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val effBloom = if (bloomCols.nonEmpty) bloomCols
+      else prev.get("bloomCols").toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
     val header = Seq(s"numBuckets=$numBuckets", s"keys=${keys.mkString(",")}") ++
-      (if (statsCols.isEmpty) Nil else Seq(s"statsCols=${statsCols.mkString(",")}")) ++
+      (if (effStats.isEmpty) Nil else Seq(s"statsCols=${effStats.mkString(",")}")) ++
+      (if (effBloom.isEmpty) Nil else Seq(s"bloomCols=${effBloom.mkString(",")}")) ++
       txns.toSeq.sortBy(_._1).map { case (q, b) => s"txn:$q=$b" }
     val body = (header ++
       m.toSeq.sortBy(_._1).map { case (b, e) => s"$b\t${e.dir}\t${e.contentV}" }).mkString("\n")
@@ -638,10 +658,18 @@ final class BucketedSnapshotTable(
   private[graft] def predStrBounds(pred: Column): Map[String, (Option[String], Option[String])] =
     predAllBounds(pred)._2
 
+  /** Point-equality sets per column (`c = lit`, `c IN (lits)`, and ORs of
+    * those), extracted for the Bloom-sidecar membership probe. Only
+    * values representable in an index hash kind (integral → long,
+    * string) contribute — anything else drops the column's constraint. */
+  private[graft] def predPointSets(pred: Column): Map[String, BucketedSnapshotTable.PointSet] =
+    predAllBounds(pred)._3
+
   private type NumB = Map[String, (Double, Double)]
   private type StrB = Map[String, (Option[String], Option[String])]
+  private type PtB  = Map[String, BucketedSnapshotTable.PointSet]
 
-  private def predAllBounds(pred: Column): (NumB, StrB) = {
+  private def predAllBounds(pred: Column): (NumB, StrB, PtB) = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions._
     def attr(e: Expression): Option[String] = e match {
@@ -668,6 +696,13 @@ final class BucketedSnapshotTable(
       case s: String => s
       case u: org.apache.spark.unsafe.types.UTF8String => u.toString
     }
+    def litL(e: Expression): Option[Long] = folded(e).collect {
+      case b: Byte  => b.toLong
+      case s: Short => s.toLong
+      case i: Int   => i.toLong
+      case l: Long  => l
+    }
+    import BucketedSnapshotTable.PointSet
     val NegInf = Double.NegativeInfinity
     val PosInf = Double.PositiveInfinity
     def mergeN(a: NumB, b: NumB): NumB =
@@ -684,36 +719,81 @@ final class BucketedSnapshotTable(
         val hi = (ahi.toSeq ++ bhi.toSeq).minOption
         c -> (lo, hi)
       }.toMap
-    def merge(a: (NumB, StrB), b: (NumB, StrB)): (NumB, StrB) =
-      (mergeN(a._1, b._1), mergeS(a._2, b._2))
-    val empty: (NumB, StrB) = (Map.empty, Map.empty)
+    // AND on point sets: the column must satisfy both constraints →
+    // member-wise intersection (two IN-lists conjoin to their overlap; an
+    // empty overlap is unsatisfiable and prunes every indexed file)
+    def mergeP(a: PtB, b: PtB): PtB =
+      (a.keySet ++ b.keySet).map { c =>
+        c -> ((a.get(c), b.get(c)) match {
+          case (Some(x), Some(y)) => PointSet(x.longs intersect y.longs, x.strs intersect y.strs)
+          case (x, y)             => x.orElse(y).get
+        })
+      }.toMap
+    def merge(a: (NumB, StrB, PtB), b: (NumB, StrB, PtB)): (NumB, StrB, PtB) =
+      (mergeN(a._1, b._1), mergeS(a._2, b._2), mergeP(a._3, b._3))
+    // OR is sound only for columns BOTH branches constrain (a row can
+    // satisfy the other branch without touching this column otherwise):
+    // ranges take the hull, point sets the union; single-side columns drop
+    def mergeOr(a: (NumB, StrB, PtB), b: (NumB, StrB, PtB)): (NumB, StrB, PtB) = {
+      val n = (a._1.keySet intersect b._1.keySet).map { c =>
+        val (alo, ahi) = a._1(c); val (blo, bhi) = b._1(c)
+        c -> (math.min(alo, blo), math.max(ahi, bhi))
+      }.toMap
+      val s = (a._2.keySet intersect b._2.keySet).map { c =>
+        val (alo, ahi) = a._2(c); val (blo, bhi) = b._2(c)
+        val lo = for (x <- alo; y <- blo) yield if (x < y) x else y
+        val hi = for (x <- ahi; y <- bhi) yield if (x > y) x else y
+        c -> (lo, hi)
+      }.filter { case (_, (lo, hi)) => lo.isDefined || hi.isDefined }.toMap
+      val p = (a._3.keySet intersect b._3.keySet).map { c =>
+        val x = a._3(c); val y = b._3(c)
+        c -> PointSet(x.longs ++ y.longs, x.strs ++ y.strs)
+      }.toMap
+      (n, s, p)
+    }
+    val empty: (NumB, StrB, PtB) = (Map.empty, Map.empty, Map.empty)
     def oneN(c: Option[String], v: Option[Double],
         f: Double => (Double, Double)): NumB =
       (for (cc <- c; vv <- v) yield Map(cc -> f(vv))).getOrElse(Map.empty)
     def oneS(c: Option[String], v: Option[String],
         f: String => (Option[String], Option[String])): StrB =
       (for (cc <- c; vv <- v) yield Map(cc -> f(vv))).getOrElse(Map.empty)
+    // a single `c ∈ {values}` point constraint: usable only when every
+    // value is integral (→ the index's long hash kind) or string
+    def onePts(c: Option[String], items: Seq[Expression]): PtB =
+      c match {
+        case Some(cc) if items.nonEmpty =>
+          val vs = items.map(e => (litL(e), litS(e)))
+          if (vs.forall { case (l, s) => l.isDefined || s.isDefined })
+            Map(cc -> PointSet(vs.flatMap(_._1).toSet, vs.flatMap(_._2).toSet))
+          else Map.empty
+        case _ => Map.empty
+      }
     // two comparison encodings reach us unanalyzed: SQL text parses to the
     // typed nodes (GreaterThanOrEqual, …); the Column DSL converts to
     // UnresolvedFunction("and" | ">=" | …) calls — handle both
-    def cmp(name: String, l: Expression, r: Expression): (NumB, StrB) = name match {
+    def cmp(name: String, l: Expression, r: Expression): (NumB, StrB, PtB) = name match {
       case "=" | "==" =>
         (oneN(attr(l), litD(r), v => (v, v)) ++ oneN(attr(r), litD(l), v => (v, v)),
          oneS(attr(l), litS(r), v => (Some(v), Some(v))) ++
-           oneS(attr(r), litS(l), v => (Some(v), Some(v))))
+           oneS(attr(r), litS(l), v => (Some(v), Some(v))),
+         (if (attr(l).isDefined) onePts(attr(l), Seq(r)) else Map.empty[String, PointSet]) ++
+           (if (attr(r).isDefined) onePts(attr(r), Seq(l)) else Map.empty[String, PointSet]))
       case ">" | ">=" =>
         (oneN(attr(l), litD(r), v => (v, PosInf)) ++ oneN(attr(r), litD(l), v => (NegInf, v)),
          oneS(attr(l), litS(r), v => (Some(v), None)) ++
-           oneS(attr(r), litS(l), v => (None, Some(v))))
+           oneS(attr(r), litS(l), v => (None, Some(v))),
+         Map.empty)
       case "<" | "<=" =>
         (oneN(attr(l), litD(r), v => (NegInf, v)) ++ oneN(attr(r), litD(l), v => (v, PosInf)),
          oneS(attr(l), litS(r), v => (None, Some(v))) ++
-           oneS(attr(r), litS(l), v => (Some(v), None)))
+           oneS(attr(r), litS(l), v => (Some(v), None)),
+         Map.empty)
       case _ => empty
     }
     // IN-list: the column lies in [min(items), max(items)] — usable only
     // when EVERY item folds (a non-literal item could lie anywhere)
-    def inB(l: Expression, items: Seq[Expression]): (NumB, StrB) =
+    def inB(l: Expression, items: Seq[Expression]): (NumB, StrB, PtB) =
       attr(l) match {
         case None => empty
         case Some(c) =>
@@ -722,10 +802,12 @@ final class BucketedSnapshotTable(
           (if (items.nonEmpty && ds.forall(_.isDefined))
              Map(c -> ((ds.flatten.min, ds.flatten.max))) else Map.empty[String, (Double, Double)],
            if (items.nonEmpty && ss.forall(_.isDefined))
-             Map(c -> ((Some(ss.flatten.min), Some(ss.flatten.max)))) else Map.empty[String, (Option[String], Option[String])])
+             Map(c -> ((Some(ss.flatten.min), Some(ss.flatten.max)))) else Map.empty[String, (Option[String], Option[String])],
+           onePts(Some(c), items))
       }
-    def walk(e: Expression): (NumB, StrB) = e match {
+    def walk(e: Expression): (NumB, StrB, PtB) = e match {
       case And(l, r)                => merge(walk(l), walk(r))
+      case Or(l, r)                 => mergeOr(walk(l), walk(r))
       case EqualTo(l, r)            => cmp("=", l, r)
       case GreaterThan(l, r)        => cmp(">", l, r)
       case GreaterThanOrEqual(l, r) => cmp(">=", l, r)
@@ -735,6 +817,7 @@ final class BucketedSnapshotTable(
       case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
         (f.nameParts.last.toLowerCase, f.arguments) match {
           case ("and", Seq(l, r))          => merge(walk(l), walk(r))
+          case ("or", Seq(l, r))           => mergeOr(walk(l), walk(r))
           case ("in", l +: items)          => inB(l, items)
           case (n, Seq(l, r))              => cmp(n, l, r)
           case _                           => empty
@@ -754,20 +837,21 @@ final class BucketedSnapshotTable(
     * superset guarantee, and the row-level filter still applies. */
   private[graft] def statsCandidates(spark: SparkSession, m: Map[Int, String],
       pred: Column): Option[Set[Int]] = {
-    val (allN, allS) = predAllBounds(pred)
+    val (allN, allS, allP) = predAllBounds(pred)
     val nBounds = allN.filter { case (c, _) => statsCols.contains(c) }
     val sBounds = allS.filter { case (c, _) => statsCols.contains(c) }
-    if (nBounds.isEmpty && sBounds.isEmpty) return None
+    val pSets   = allP.filter { case (c, _) => bloomCols.contains(c) }
+    if (nBounds.isEmpty && sBounds.isEmpty && pSets.isEmpty) return None
     val f = fs(spark)
     def norm(p: String) = new Path(p).toUri.getPath
     Some(m.groupBy(_._2).flatMap { case (dir, entries) =>
-      StatsManifest.readLines(f, batchStatsPath(dir)) match {
-        case None => entries.keys // no stats for this batch → keep its buckets
-        case Some(lines) =>
-          // a file survives iff EVERY bounded column's recorded range
-          // intersects (a column missing from the file's stats entry keeps
-          // the file — superset guarantee)
-          val passFiles = lines.filter { l =>
+      // range pass: files whose every bounded column's recorded [min,max]
+      // intersects (a column missing from a file's stats entry keeps the
+      // file — superset guarantee); None = no stats manifest for the batch
+      val rangePass: Option[Set[String]] =
+        if (nBounds.isEmpty && sBounds.isEmpty) None
+        else StatsManifest.readLines(f, batchStatsPath(dir)).map { lines =>
+          lines.filter { l =>
             val ents = l.split("\t").drop(1)
             nBounds.forall { case (c, (lo, hi)) =>
               ents.find(_.startsWith(s"$c:n:")) match {
@@ -783,7 +867,25 @@ final class BucketedSnapshotTable(
                   StatsManifest.stringEntryIntersects(s.split(":", 5), lo, hi)
               }
             }
-          }.map(l => norm(l.split("\t")(0)))
+          }.map(l => norm(l.split("\t")(0))).toSet
+        }
+      // bloom pass: files whose per-file filter might contain at least one
+      // point value, for EVERY point-constrained indexed column; None = no
+      // bloom index for the batch (or no point constraints)
+      val bloomPass: Option[Set[String]] = {
+        val perCol = pSets.toSeq.flatMap { case (c, pts) =>
+          BloomIndex.filesMightContainAny(f, batchBloomPath(dir), c, pts.longs, pts.strs)
+            .map(_.map(norm).toSet)
+        }
+        if (perCol.isEmpty) None else Some(perCol.reduce(_ intersect _))
+      }
+      val pass: Option[Set[String]] = (rangePass, bloomPass) match {
+        case (Some(a), Some(b)) => Some(a intersect b)
+        case (a, b)             => a.orElse(b)
+      }
+      pass match {
+        case None => entries.keys // no skipping metadata → keep the batch's buckets
+        case Some(passFiles) =>
           entries.keys.filter { b =>
             val d = norm(s"$root/$dir/$BucketCol=$b") + "/"
             passFiles.exists(_.startsWith(d))
@@ -884,6 +986,11 @@ final class BucketedSnapshotTable(
       val stagedStats: Seq[String] =
         if (statsCols.isEmpty) Nil
         else StatsManifest.lines(spark.read.parquet(s"$root/$staging"), statsCols)
+      // bloom sidecars land INSIDE the staging dir (underscore-hidden from
+      // parquet reads) so the rename carries them; only the manifest's
+      // file paths need re-pointing after the flip
+      if (bloomCols.nonEmpty)
+        writeBloom(spark, spark.read.parquet(s"$root/$staging"), staging)
 
       var replayed = false
       val committed = CommitLock.withLockHandle(f, root, commitStaleMs) { lockH =>
@@ -929,6 +1036,7 @@ final class BucketedSnapshotTable(
           if (stagedStats.nonEmpty)
             StatsManifest.writeLines(f, batchStatsPath(batchDir),
               stagedStats.map(_.replace(s"/$staging/", s"/$batchDir/")))
+          if (bloomCols.nonEmpty) repointBloom(f, batchDir, staging, None)
           lockH.check() // paused-holder guard: abort rather than double-flip
           // A bucket whose merged content is EMPTY (every key tombstoned
           // by a delete flow) writes no partition dir — its manifest entry
@@ -971,6 +1079,35 @@ final class BucketedSnapshotTable(
   // rewriting untouched data or rescanning for stats.
 
   private def batchStatsPath(batchDir: String) = new Path(s"$root/$batchDir", "_stats")
+  private def batchBloomPath(batchDir: String) = new Path(s"$root/$batchDir", "_bloom")
+
+  /** Build the per-batch Bloom sidecar directory for a freshly staged (or
+    * analyzed) snapshot — one extra distributed pass over the immutable
+    * files; filter bytes never aggregate at the driver (see
+    * [[BloomIndex.write]]). Columns a pre-evolution batch lacks are
+    * skipped (their absent entries keep files — superset guarantee). */
+  private def writeBloom(spark: SparkSession, snap: DataFrame, dir: String): Unit = {
+    val present = bloomCols.filter(snap.columns.contains)
+    if (present.nonEmpty)
+      BloomIndex.write(snap, present, BucketedSnapshotTable.BloomFpp,
+        fs(spark), batchBloomPath(dir))
+  }
+
+  /** Re-point a staged `_bloom/_MANIFEST`'s file paths at the renamed
+    * batch dir (the sidecar blobs themselves are path-agnostic — only the
+    * manifest's data-file paths matter to the probe), optionally dropping
+    * entries outside `keptDirs` (compaction's moved-bucket filter). The
+    * `cols=` header line carries through untouched. */
+  private def repointBloom(f: org.apache.hadoop.fs.FileSystem, batchDir: String,
+      staging: String, keptDirs: Option[Set[String]]): Unit = {
+    val mPath = new Path(batchBloomPath(batchDir), "_MANIFEST")
+    StatsManifest.readLines(f, mPath).foreach { ls =>
+      val out = ls.map(_.replace(s"/$staging/", s"/$batchDir/")).filter { l =>
+        !l.contains("\t") || keptDirs.forall(ds => ds.exists(l.contains))
+      }
+      StatsManifest.writeLines(f, mPath, out)
+    }
+  }
 
   /** Range-pruned full-table read: live buckets only, and within them only
     * files whose per-batch stats for `column` intersect [lo,hi] (timestamp
@@ -1012,9 +1149,9 @@ final class BucketedSnapshotTable(
     * rewrite: the batch dirs are immutable, only their `_stats` sidecars
     * and the manifest header change. Returns the committed version. */
   def analyze(spark: SparkSession, onlyMissing: Boolean = false): Int = {
-    require(statsCols.nonEmpty,
-      s"BucketedSnapshotTable $root: analyze needs statsCols — construct the " +
-        "table (or run ANALYZE … STATS (…)) with the columns to index")
+    require(statsCols.nonEmpty || bloomCols.nonEmpty,
+      s"BucketedSnapshotTable $root: analyze needs statsCols or bloomCols — " +
+        "construct the table (or run ANALYZE … STATS/BLOOM (…)) with the columns to index")
     val f = fs(spark)
     CommitLock.withLockHandle(f, root, commitStaleMs) { lockH =>
       val cur = currentVersion(spark).getOrElse(
@@ -1023,23 +1160,30 @@ final class BucketedSnapshotTable(
       // per dir, scan its LIVE buckets explicitly (`__bucket=…` children
       // are underscore-prefixed — hidden from a directory-level read).
       // `onlyMissing` makes re-ANALYZE O(new batches): a dir whose
-      // existing sidecar already covers every requested column is skipped
+      // existing sidecars already cover every requested column is skipped
       // (batch dirs are immutable, so existing stats cannot be stale).
       entries.groupBy(_._2.dir).foreach { case (dir, es) =>
-        val covered = onlyMissing &&
+        val statsCovered = statsCols.isEmpty || (onlyMissing &&
           StatsManifest.readLines(f, batchStatsPath(dir)).exists { ls =>
             val have = StatsManifest.statsColumns(ls).toSet
             statsCols.forall(have.contains)
+          })
+        val bloomCovered = bloomCols.isEmpty || (onlyMissing &&
+          BloomIndex.indexedColumns(f, batchBloomPath(dir)).exists { have =>
+            bloomCols.forall(have.toSet.contains)
+          })
+        if (!(statsCovered && bloomCovered)) {
+          val snap = spark.read.option("basePath", s"$root/$dir")
+            .parquet(es.keys.toSeq.sorted.map(b => s"$root/$dir/$BucketCol=$b"): _*)
+          // a batch written before a schema evolution may lack a stats
+          // column — record the ones it has (missing entries keep files,
+          // superset guarantee)
+          if (!statsCovered) {
+            val present = statsCols.filter(snap.columns.contains)
+            if (present.nonEmpty)
+              StatsManifest.write(snap, present, f, batchStatsPath(dir))
           }
-        if (!covered) {
-        val snap = spark.read.option("basePath", s"$root/$dir")
-          .parquet(es.keys.toSeq.sorted.map(b => s"$root/$dir/$BucketCol=$b"): _*)
-        // a batch written before a schema evolution may lack a stats
-        // column — record the ones it has (missing entries keep files,
-        // superset guarantee)
-        val present = statsCols.filter(snap.columns.contains)
-        if (present.nonEmpty)
-          StatsManifest.write(snap, present, f, batchStatsPath(dir))
+          if (!bloomCovered) writeBloom(spark, snap, dir)
         }
       }
       lockH.check()
@@ -1077,6 +1221,8 @@ final class BucketedSnapshotTable(
       val stagedStats: Seq[String] =
         if (statsCols.isEmpty) Nil
         else StatsManifest.lines(spark.read.parquet(s"$root/$staging"), statsCols)
+      if (bloomCols.nonEmpty)
+        writeBloom(spark, spark.read.parquet(s"$root/$staging"), staging)
       onStep("compact_staged")
       CommitLock.withLockHandle(f, root, commitStaleMs) { lockH =>
         val cur = currentVersion(spark).getOrElse(0)
@@ -1100,6 +1246,9 @@ final class BucketedSnapshotTable(
             stagedStats.map(_.replace(s"/$staging/", s"/$batchDir/"))
               .filter(l => keptDirs.exists(l.contains)))
         }
+        if (bloomCols.nonEmpty)
+          repointBloom(f, batchDir, staging,
+            Some(unmoved.map(b => s"/$batchDir/$BucketCol=$b/")))
         lockH.check() // paused-holder guard: abort rather than double-flip
         // compaction is content-preserving: re-pointed buckets KEEP their
         // contentV, so a change-feed window spanning this commit still
@@ -1155,6 +1304,17 @@ object BucketedSnapshotTable {
     * reads more buckets, never misses a change. */
   private[tables] final case class BucketEntry(dir: String, contentV: Int)
 
+  /** False-positive probability for per-batch Bloom sidecars: at 1% a
+    * point probe over N files schedules ~1 + N/100 scan tasks; sidecar
+    * size stays ~1.2 KB per 1k distinct keys per file. */
+  val BloomFpp = 0.01
+
+  /** A `column ∈ {values}` point constraint extracted from a predicate —
+    * integral values probe the long-hashed filters, strings the
+    * string-hashed ones (a kind mismatch keeps the file; see
+    * [[BloomIndex.filesMightContainAny]]). */
+  private[graft] final case class PointSet(longs: Set[Long], strs: Set[String])
+
   /** Merge one CDF window (a [[ChangeFeed]]-shaped relation whose changes
     * were derived at source version `toV`) into `target` with the
     * exactly-once ledger stamp — the shared apply step of every
@@ -1195,7 +1355,7 @@ object BucketedSnapshotTable {
     * record them), and stats columns (absent when the table carries no
     * per-batch stats). */
   final case class Layout(numBuckets: Int, keys: Option[Seq[String]],
-      statsCols: Seq[String])
+      statsCols: Seq[String], bloomCols: Seq[String] = Nil)
 
   /** Probe `root` for a bucketed-table layout: Some(layout) when the
     * newest `_manifest_v<N>` exists — the path-only table detection the
@@ -1225,6 +1385,7 @@ object BucketedSnapshotTable {
           s"numBuckets header (headers: ${header.keys.toSeq.sorted.mkString(",")}) " +
           "— truncated or corrupt manifest"))
     Some(Layout(nb, header.get("keys").map(csv),
-      header.get("statsCols").map(csv).getOrElse(Nil)))
+      header.get("statsCols").map(csv).getOrElse(Nil),
+      header.get("bloomCols").map(csv).getOrElse(Nil)))
   }
 }

@@ -188,6 +188,18 @@ final class SnapshotTable(val root: String,
     StatsManifest.write(snapshotDF(spark, v), cols, fs(spark), statsPath(v))
   }
 
+  /** ANALYZE-style Bloom backfill: (re)build the live version's per-file
+    * Bloom sidecar over `cols` without rewriting data — the plain-table
+    * analog of the bucketed per-batch bloom, after which
+    * [[readPrunedBloomLong]]/[[readPrunedBloomString]] prune on a table
+    * whose snapshot was written without an index. */
+  def refreshBloom(spark: SparkSession, cols: Seq[String],
+      fpp: Double = 0.03): Unit = {
+    val v = currentVersion(spark).getOrElse(
+      throw new IllegalStateException(s"SnapshotTable $root has no committed version"))
+    BloomIndex.write(snapshotDF(spark, v), cols, fpp, fs(spark), bloomPath(v))
+  }
+
   def read(spark: SparkSession): DataFrame = {
     val v = currentVersion(spark).getOrElse(
       throw new IllegalStateException(s"SnapshotTable $root has no committed version"))

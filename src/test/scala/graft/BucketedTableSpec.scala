@@ -582,13 +582,15 @@ class BucketedTableSpec extends AnyFunSuite {
     val hot = t.scd1Merge(spark,
       Seq((3, 2, 5, "v3b"), (4, 2, 5, "v4b")).toDF("k", "seq", "d", "v"), "seq")
 
-    // bound extraction: conjunctions intersect, OR/unknown shapes bail
+    // bound extraction: conjunctions intersect; OR on DIFFERENT columns
+    // bails (the row can satisfy the other branch); unknown shapes bail
     assert(t.predBounds($"d" >= 2 && $"d" < 9 && upper($"v") === "X") == Map("d" -> ((2.0, 9.0))))
     assert(t.predBounds($"d" >= 2 || $"k" === 1).isEmpty)
     // IN-list spans [min,max] of its (all-literal) items; both encodings
     assert(t.predBounds($"d".isin(5, 3, 8)) == Map("d" -> ((3.0, 8.0))))
     assert(t.predBounds(expr("d IN (5, 3, 8)")) == Map("d" -> ((3.0, 8.0))))
-    assert(t.predBounds($"d".isin(5, 3) || $"d" === 1).isEmpty)
+    // OR on the SAME column takes the hull (r9)
+    assert(t.predBounds($"d".isin(5, 3) || $"d" === 1) == Map("d" -> ((1.0, 5.0))))
     assert(t.predBounds($"ts" >= lit("2024-01-15 00:00:00").cast("timestamp"))
       .get("ts").exists(_._1 > 1.7e15), "timestamp literal must fold to epoch micros")
 
@@ -636,6 +638,89 @@ class BucketedTableSpec extends AnyFunSuite {
     assert(nS == 2 && tS == hotS)
     assert(ts.read(spark).filter($"k".isin(3, 4)).count() == 0)
     assert(ts.read(spark).count() == 158)
+  }
+
+  test("bloom sidecars: point predicates on non-key columns prune files regardless of layout") {
+    import graft.tables.BucketedSnapshotTable.PointSet
+    // bucketed by k; oid/name are high-cardinality NON-key columns whose
+    // [min,max] in every batch spans the whole domain — range stats would
+    // prune nothing, the per-file Bloom filters are what prunes here
+    val t = new BucketedSnapshotTable(tmp("bbloom"), numBuckets = 16,
+      keys = Seq("k"), bloomCols = Seq("oid", "name"))
+    t.scd1Merge(spark, (1 to 160).map(i => (i, 1L, i * 1000L, f"n$i%04d"))
+      .toDF("k", "seq", "oid", "name"), "seq")
+    val hot = t.scd1Merge(spark,
+      Seq((3, 2L, 999999L, "zz3"), (4, 2L, 888888L, "zz4"))
+        .toDF("k", "seq", "oid", "name"), "seq")
+    assert(hot.size == 2)
+
+    // point-set extraction: =, IN, OR-of-equalities (union), both
+    // encodings; AND intersects (disjoint conjunction is unsatisfiable);
+    // OR across different columns bails
+    assert(t.predPointSets($"oid" === 999999L) ==
+      Map("oid" -> PointSet(Set(999999L), Set.empty)))
+    assert(t.predPointSets(expr("oid = 999999")) ==
+      Map("oid" -> PointSet(Set(999999L), Set.empty)))
+    assert(t.predPointSets($"name".isin("zz3", "zz4")) ==
+      Map("name" -> PointSet(Set.empty, Set("zz3", "zz4"))))
+    assert(t.predPointSets($"oid" === 1L || $"oid" === 2L) ==
+      Map("oid" -> PointSet(Set(1L, 2L), Set.empty)))
+    assert(t.predPointSets($"oid" === 1L || $"name" === "x").isEmpty)
+    assert(t.predPointSets($"oid" === 1L && $"oid" === 2L) ==
+      Map("oid" -> PointSet(Set.empty, Set.empty)))
+
+    // candidate discovery: a point probe on oid keeps only the files whose
+    // filter might contain the key — far fewer than the 16 live buckets
+    val all = t.manifest(spark).keySet
+    val candL = t.statsCandidates(spark, t.manifest(spark), $"oid" === 999999L).get
+    assert(candL.exists(hot.contains) && candL.size <= 3,
+      s"bloom must prune the point probe to ~1 bucket: $candL")
+    val candS = t.statsCandidates(spark, t.manifest(spark), $"name" === "zz4").get
+    assert(candS.size <= 3, s"string bloom must prune: $candS")
+    // a value of the wrong kind for the indexed hash cannot be evaluated —
+    // every file is kept (superset guarantee, never a wrong prune)
+    assert(t.statsCandidates(spark, t.manifest(spark), $"name" === 5) == Some(all))
+
+    // point UPDATE touches exactly the matched bucket and stays correct
+    val (touched, n) = t.update(spark, $"oid" === 999999L, Seq("name" -> lit("upd")))
+    assert(n == 1 && touched.size == 1)
+    assert(t.read(spark).filter($"k" === 3).select("name").as[String].head() == "upd")
+
+    // compaction re-points the bloom manifests: pruning survives OPTIMIZE
+    t.compact(spark)
+    val candC = t.statsCandidates(spark, t.manifest(spark), $"oid" === 888888L).get
+    assert(candC.size <= 3, s"bloom pruning must survive compact: $candC")
+    val (t2, n2) = t.update(spark, $"oid" === 888888L, Seq("name" -> lit("upd2")))
+    assert(n2 == 1 && t2.size == 1)
+    assert(t.read(spark).filter($"k" === 4).select("name").as[String].head() == "upd2")
+
+    // ANALYZE BLOOM backfills an index on a table written without one, and
+    // INCREMENTAL re-ANALYZE skips covered dirs (immutable batch dirs)
+    val root2 = tmp("bbloom2")
+    val p = new BucketedSnapshotTable(root2, numBuckets = 16, keys = Seq("k"))
+    p.scd1Merge(spark, (1 to 160).map(i => (i, 1L, i * 1000L))
+      .toDF("k", "seq", "oid"), "seq")
+    def sqlRun(q: String) = org.apache.spark.sql.GraftColumnBridge.graftSql(spark, q)
+    sqlRun(s"ANALYZE '$root2' BLOOM (oid)").collect()
+    val l = BucketedSnapshotTable.layoutOf(spark, root2).get
+    assert(l.bloomCols == Seq("oid"), "ANALYZE BLOOM must record the manifest header")
+    val p2 = new BucketedSnapshotTable(root2, 16, Seq("k"), Nil, l.bloomCols)
+    val candB = p2.statsCandidates(spark, p2.manifest(spark), $"oid" === 42000L).get
+    assert(candB.size <= 3, s"backfilled bloom must prune: $candB")
+    // INCREMENTAL: the covered dir's sidecar is untouched after a new merge
+    // — merged through the BLOOM-LESS instance, which must neither write a
+    // sidecar for its batch nor erase the recorded bloomCols header
+    p.scd1Merge(spark, Seq((7, 2L, 777L)).toDF("k", "seq", "oid"), "seq")
+    assert(BucketedSnapshotTable.layoutOf(spark, root2).get.bloomCols == Seq("oid"),
+      "a writer without bloomCols must not erase the table's recorded header")
+    val oldManifest = new java.io.File(s"$root2/_batch_v1/_bloom/_MANIFEST")
+    val mtime = oldManifest.lastModified()
+    Thread.sleep(20)
+    sqlRun(s"ANALYZE '$root2' BLOOM (oid) INCREMENTAL").collect()
+    assert(oldManifest.lastModified() == mtime,
+      "covered dirs must be skipped by INCREMENTAL bloom re-ANALYZE")
+    val candI = p2.statsCandidates(spark, p2.manifest(spark), $"oid" === 777L).get
+    assert(candI.size <= 3, "the new batch's backfilled bloom must prune")
   }
 
   test("applyChangesTo: exactly-once CDF mirror — ledger heals the checkpoint across an ABA crash window") {
