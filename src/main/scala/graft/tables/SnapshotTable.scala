@@ -880,23 +880,64 @@ final class SnapshotTable(val root: String,
     * refresh, at zero extra shuffle (computed inside the same full-outer
     * join row). */
   def changes(spark: SparkSession, keys: Seq[String], fromV: Int, toV: Int,
-      withChangedColumns: Boolean): DataFrame =
+      withChangedColumns: Boolean): DataFrame = {
     // Schema evolution across versions: both sides align to the union
     // schema inside [[ChangeFeed.diff]] — a column added in `toV`
     // reports prior rows as updates (absent → value) and deletes carry
     // null for it, the accurate derived-CDF reading of an ADD COLUMN.
-    ChangeFeed.diff(readVersion(spark, fromV), readVersion(spark, toV),
-      keys, withChangedColumns)
+    val (a, b) = diffInputs(spark, fromV, toV)
+    ChangeFeed.diff(a, b, keys, withChangedColumns)
+  }
+
+  /** Diff inputs for [[changes]]/[[consumeChangesVersioned]], FILE-LEVEL
+    * pruned when possible: a data file listed by BOTH versions is the same
+    * immutable bytes, so its rows cannot differ between them — the keyed
+    * diff only needs the rows of files unique to each side. Exact, not
+    * approximate: [[ChangeFeed.diff]] emits only changed keys, and under
+    * the unique-key contract a key's row lives in exactly one file, so a
+    * key whose file is shared contributes no feed row either way. On an
+    * append-mostly dim (`_files_v<N>` manifests reference prior files), a
+    * mirror window's diff cost is O(appended files), not O(dim) — the
+    * plain-format analog of the bucketed manifest pruning. Falls back to
+    * full snapshots when either version carries a tombstone sidecar
+    * (visibility then depends on more than file bytes) or the versions
+    * share nothing (a full rewrite). */
+  private def diffInputs(spark: SparkSession, fromV: Int,
+      toV: Int): (DataFrame, DataFrame) = {
+    val f = fs(spark)
+    def full = (readVersion(spark, fromV), readVersion(spark, toV))
+    if (f.exists(tombPath(fromV)) || f.exists(tombPath(toV))) return full
+    // cheap existence guards first — a vacuumed or never-committed version
+    // must surface readVersion's named error, not a raw listing failure
+    def missing(v: Int) = f.exists(new Path(root, s"_gone_v$v")) ||
+      (!f.exists(new Path(s"$root/_v$v")) && !f.exists(filesPath(v)))
+    if (missing(fromV) || missing(toV)) return full
+    val oldFiles = listDataFiles(f, fromV).map(_._1)
+    val newFiles = listDataFiles(f, toV).map(_._1)
+    val shared = oldFiles.toSet intersect newFiles.toSet
+    if (shared.isEmpty) return full
+    def side(uris: Vector[String], v: Int): DataFrame =
+      if (uris.isEmpty)
+        // schema-correct TRULY empty relation (not a limit(0) over the
+        // snapshot scan, which would still schedule the shared files)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          snapshotDF(spark, v).schema)
+      else readManifest(spark, uris)
+    (side(oldFiles.filterNot(shared.contains).toVector, fromV),
+     side(newFiles.filterNot(shared.contains).toVector, toV))
+  }
 
   /** Incremental CDF consumption for PLAIN roots — parity with
     * [[BucketedSnapshotTable.consumeChangesVersioned]]: one diff covering
     * everything committed since the consumer's checkpoint (over VISIBLE
     * rows — SCD tombstone state filtered, same contract as the bucketed
-    * feed), checkpoint advanced only after `fn` returns. The plain format
-    * has no manifest to prune by, so each window diffs two full snapshots
-    * — O(table) per window, the honest cost on the small-dim format this
-    * table exists for; the 100 TB path is the bucketed table's. First
-    * call = full bootstrap (every visible row as `insert`). */
+    * feed), checkpoint advanced only after `fn` returns. Windows between
+    * versions that SHARE data files (append-mostly dims, whose
+    * `_files_v<N>` manifests reference prior files) diff only the
+    * files unique to each side — O(appended data) per window
+    * ([[diffInputs]]); full-rewrite or tombstone-carrying windows fall
+    * back to the honest two-full-snapshot diff. First call = full
+    * bootstrap (every visible row as `insert`). */
   def consumeChangesVersioned(spark: SparkSession, keys: Seq[String],
       checkpointFile: String, withChangedColumns: Boolean = false)
       (fn: (DataFrame, Int, Int) => Unit): Int = {
@@ -913,10 +954,17 @@ final class SnapshotTable(val root: String,
             .withColumn("_change_type", lit("insert"))
           if (withChangedColumns) base.withColumn("_changed_columns", lit(""))
           else base
-        } else ChangeFeed.diff(
-          graft.cdc.ScdMerge.scd1Current(readVersion(spark, last)),
-          graft.cdc.ScdMerge.scd1Current(readVersion(spark, live)),
-          keys, withChangedColumns)
+        } else {
+          // file-level pruned on append-mostly dims (see [[diffInputs]]):
+          // scd1Current is a row-local visibility filter, so applying it
+          // to the pruned sides is exact — shared files' rows carry
+          // identical __DELETED flags in both versions
+          val (a, b) = diffInputs(spark, last, live)
+          ChangeFeed.diff(
+            graft.cdc.ScdMerge.scd1Current(a),
+            graft.cdc.ScdMerge.scd1Current(b),
+            keys, withChangedColumns)
+        }
       fn(feed, last, live)
       val out = f.create(ckPath, true)
       try out.write(live.toString.getBytes("UTF-8")) finally out.close()

@@ -595,6 +595,35 @@ class EngineCoreSpec extends AnyFunSuite {
     assert(t.changes(spark, Seq("k"), 2, 2).count() == 0)
   }
 
+  test("SnapshotTable.changes: append windows diff only the files unique to each side") {
+    val t = new SnapshotTable(tmp("cdfappend"))
+    t.write(spark, (1 to 64).map(i => (i, s"v$i")).toDF("k", "v"))   // v1
+    t.append(spark, Seq((1001, "n1"), (1002, "n2")).toDF("k", "v"))  // v2 = v1 files + appended
+    val ch = t.changes(spark, Seq("k"), 1, 2)
+    // correctness: exactly the appended keys, as inserts
+    assert(ch.select("k", "_change_type").as[(Int, String)].collect().toSet ==
+      Set((1001, "insert"), (1002, "insert")))
+    // pruning pin: files shared between the versions are immutable bytes —
+    // an append-window diff must scan ONLY the appended files, making the
+    // mirror window O(appended data) on an append-mostly dim
+    assert(ch.inputFiles.nonEmpty && ch.inputFiles.forall(f => !f.contains("/_v1/")),
+      s"shared v1 files must not be scanned: ${ch.inputFiles.mkString(",")}")
+    // a second append's window likewise skips everything before it
+    t.append(spark, Seq((1003, "n3")).toDF("k", "v"))                // v3
+    val ch23 = t.changes(spark, Seq("k"), 2, 3)
+    assert(ch23.select("k", "_change_type").as[(Int, String)].collect().toSet ==
+      Set((1003, "insert")))
+    assert(ch23.inputFiles.forall(f => !f.contains("/_v1/") && !f.contains("/_v2/")))
+    // tombstones flip visibility without touching file bytes → the fast
+    // path must fall back to the full two-snapshot diff
+    t.deleteKeys(spark, Seq(Tuple1(5)).toDF("k"))
+    val full = t.changes(spark, Seq("k"), 1, 3)
+    assert(full.inputFiles.exists(_.contains("/_v1/")),
+      "a tombstone-carrying window must take the full-diff fallback")
+    assert(full.select("k", "_change_type").as[(Int, String)].collect().toSet ==
+      Set((1001, "insert"), (1002, "insert"), (1003, "insert"), (5, "delete")))
+  }
+
   test("SnapshotTable: a reader opened before a commit still reads its snapshot") {
     // snapshot immutability: version dirs are never rewritten, so a plan
     // bound to _vN keeps working while writers commit _v(N+1) — the
