@@ -13,13 +13,22 @@ import org.apache.spark.sql.types.{DateType, StringType, TimestampType}
   *   - numeric/timestamp/date: `col:n:<minDouble>:<maxDouble>`
   *     (timestamps as epoch micros, dates as epoch days)
   *   - string: `col:s:<b64 minPrefix>:<b64 maxPrefix>:<maxTruncated 0|1>`
-  *     (UTF-8 prefixes truncated at [[StrPrefixLen]]; a truncated max
+  *     (UTF-8 prefixes truncated [[StrPrefixLen]] chars past the min/max
+  *     common prefix, capped at [[MaxStrPrefixLen]]; a truncated max
   *     prunes against its prefix-successor so skipping stays a superset)
   */
 private[tables] object StatsManifest {
 
   /** Stats prefix length for string columns (Delta uses 32 too). */
   val StrPrefixLen = 32
+
+  /** Adaptive-prefix cap: a file whose min/max share a long common prefix
+    * (URL corpora — "https://example.com/…") records StrPrefixLen chars
+    * BEYOND the shared prefix, up to this bound, so the stored range
+    * actually separates files instead of collapsing to the shared prefix.
+    * Past the cap the entries degrade to identical prefixes — a correct
+    * superset, just no pruning. */
+  val MaxStrPrefixLen = 256
 
   private def b64(s: String) =
     java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
@@ -77,8 +86,13 @@ private[tables] object StatsManifest {
       val stats = statsCols.zipWithIndex.map { case (c, i) =>
         if (isStr(c)) {
           val mn = r.getString(1 + 2 * i); val mx = r.getString(2 + 2 * i)
-          val mxTrunc = if (mx.length > StrPrefixLen) 1 else 0
-          s"$c:s:${b64(mn.take(StrPrefixLen))}:${b64(mx.take(StrPrefixLen))}:$mxTrunc"
+          // adaptive prefix: cut StrPrefixLen chars past the min/max's
+          // common prefix (capped), so a boundary falling inside a long
+          // shared prefix still separates files
+          val common = mn.zip(mx).segmentLength { case (a, b) => a == b }
+          val cut = math.min(common + StrPrefixLen, MaxStrPrefixLen)
+          val mxTrunc = if (mx.length > cut) 1 else 0
+          s"$c:s:${b64(mn.take(cut))}:${b64(mx.take(cut))}:$mxTrunc"
         } else s"$c:n:${r.getDouble(1 + 2 * i)}:${r.getDouble(2 + 2 * i)}"
       }.mkString("\t")
       s"$file\t$stats"

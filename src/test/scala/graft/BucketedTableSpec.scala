@@ -638,6 +638,22 @@ class BucketedTableSpec extends AnyFunSuite {
     assert(nS == 2 && tS == hotS)
     assert(ts.read(spark).filter($"k".isin(3, 4)).count() == 0)
     assert(ts.read(spark).count() == 158)
+
+    // ADAPTIVE prefix (r9): a URL corpus shares a >32-char prefix, so
+    // fixed 32-char stats would collapse every file to the same entry and
+    // prune nothing — the recorded cut extends past the common prefix
+    val base = "https://shared-host.example.com/catalog/department/item-"
+    assert(base.length > 40)
+    val tu = new BucketedSnapshotTable(tmp("bdmlurl"), numBuckets = 16,
+      keys = Seq("k"), statsCols = Seq("v"))
+    tu.scd1Merge(spark, (1 to 160).map(i => (i, 1, f"${base}aa$i%04d")).toDF("k", "seq", "v"), "seq")
+    val hotU = tu.scd1Merge(spark,
+      Seq((3, 2, s"${base}zz0003"), (4, 2, s"${base}zz0004")).toDF("k", "seq", "v"), "seq")
+    assert(tu.statsCandidates(spark, tu.manifest(spark), $"v" >= s"${base}x") == Some(hotU),
+      "boundary inside the shared prefix region must still prune (adaptive cut)")
+    val (tU, nU) = tu.delete(spark, $"v" >= s"${base}x")
+    assert(nU == 2 && tU == hotU)
+    assert(tu.read(spark).count() == 158)
   }
 
   test("bloom sidecars: point predicates on non-key columns prune files regardless of layout") {
