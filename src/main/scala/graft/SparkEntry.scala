@@ -5481,6 +5481,34 @@ object SparkEntry {
         .orderBy($"c_custkey")
     }),
 
+    // ── PLAIN-DIM APPEND-WINDOW MIRROR (r9): reference dims live in
+    //    plain snapshots; on an append-mostly dim the mirror window's
+    //    diff is FILE-LEVEL pruned — files shared by both versions are
+    //    immutable bytes, so only the appended files reach the keyed
+    //    diff (O(appended data), not O(dim), per window). The in-query
+    //    require pins the scan set; the oracle replays the end state.
+    "q308_plain_append_mirror" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("plainappend").toString
+      val dim = new graft.tables.SnapshotTable(s"$work/dim")
+      dim.write(s, Tables.nation(s, dir)
+        .select($"n_nationkey", $"n_name", $"n_regionkey"))
+      val sqlRun = (q: String) => org.apache.spark.sql.GraftColumnBridge.graftSql(s, q)
+      val stmt = s"APPLY CHANGES INTO '$work/m' FROM '$work/dim' " +
+        s"USING CHECKPOINT '$work/ck' AS pmirror ON KEYS (n_nationkey) INTO 8 BUCKETS"
+      sqlRun(stmt).collect() // bootstrap: full dim as inserts
+      dim.append(s, Tables.nation(s, dir).select(
+        ($"n_nationkey" + 100).as("n_nationkey"),
+        upper($"n_name").as("n_name"), $"n_regionkey"))
+      val ch = dim.changes(s, Seq("n_nationkey"), 1, 2)
+      require(ch.inputFiles.nonEmpty && ch.inputFiles.forall(f => !f.contains("/_v1/")),
+        "append window must scan only the appended files")
+      sqlRun(stmt).collect() // the file-pruned incremental window
+      sqlRun(s"SNAPSHOT '$work/m'")
+        .select($"n_nationkey", $"n_name", $"n_regionkey")
+        .orderBy($"n_nationkey")
+    }),
+
     "q301_describe_detail" -> ((s, dir) => {
       import s.implicits._
       val work = java.nio.file.Files.createTempDirectory("detail").toString
@@ -6555,6 +6583,15 @@ object SparkEntry {
         |    + CASE WHEN c_name = 'Customer#000000042' THEN 1000 ELSE 0 END
         |    AS c_acctbal
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // the mirror after bootstrap + one append window = base dim plus the
+    // appended (offset, uppercased) rows — file pruning is invisible to
+    // the end state, which is what the oracle replays
+    "q308_plain_append_mirror" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |UNION ALL
+        |SELECT n_nationkey + 100, upper(n_name), n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
 
     // stats-pruned UPDATE: only the %100 keys were re-merged with the
     // newer mod_ts, so only they match the range predicate and take +1000

@@ -531,6 +531,7 @@ case class DescribeDetailCommand(path: String) extends LeafRunnableCommand {
     AttributeReference("bucket_keys", StringType, nullable = true)(),
     AttributeReference("partition_cols", StringType, nullable = true)(),
     AttributeReference("stats_cols", StringType, nullable = true)(),
+    AttributeReference("bloom_cols", StringType, nullable = true)(),
     AttributeReference("n_constraints", IntegerType, nullable = false)(),
     AttributeReference("n_files", LongType, nullable = false)(),
     AttributeReference("bytes", LongType, nullable = false)())
@@ -547,6 +548,7 @@ case class DescribeDetailCommand(path: String) extends LeafRunnableCommand {
         Seq(Row("bucketed", bt.currentVersion(spark).getOrElse(0),
           l.numBuckets, l.keys.map(_.mkString(",")).orNull, null,
           if (l.statsCols.isEmpty) null else l.statsCols.mkString(","),
+          if (l.bloomCols.isEmpty) null else l.bloomCols.mkString(","),
           bt.constraints(spark).size, files.size.toLong, sizeOf(files)))
       case None =>
         val t = new SnapshotTable(path)
@@ -556,6 +558,7 @@ case class DescribeDetailCommand(path: String) extends LeafRunnableCommand {
         Seq(Row("snapshot", t.currentVersion(spark).getOrElse(0), null, null,
           if (parts.isEmpty) null else parts.mkString(","),
           if (stats.isEmpty) null else stats.mkString(","),
+          null, // plain bloom sidecars are per-version, not a header fact
           t.constraints(spark).size, files.size.toLong, sizeOf(files)))
     }
   }

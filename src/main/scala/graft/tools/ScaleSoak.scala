@@ -219,11 +219,14 @@ object ScaleSoak {
     // 100 TB. The full build is O(table) and should scale ~linearly.
     def scdSoak(tag: String, mult: Int): Map[String, Double] = {
       val base = graft.tables.Tables.orders(spark, sfDir)
-        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+      // offset BOTH keys: 10× orders means more customers too, not
+      // 10×-longer per-customer histories
       val orders =
         if (mult == 1) base
         else (0 until mult).map(i =>
-          base.withColumn("o_orderkey", col("o_orderkey") + i * 100000000L))
+          base.withColumn("o_orderkey", col("o_orderkey") + i * 100000000L)
+            .withColumn("o_custkey", col("o_custkey") + i * 100000000L))
           .reduce(_ unionByName _)
       val work = java.nio.file.Files.createTempDirectory(s"soak-scd").toString
       val t = new graft.tables.BucketedSnapshotTable(s"$work/t",
@@ -316,6 +319,43 @@ object ScaleSoak {
         ta.applyChangesTo(spark, s"$work/ck", mirror, "soak")
       }
       results("bucketed_mirror_window") = mirW
+
+      // r9: per-batch Bloom sidecars — the point-predicate complement.
+      // o_custkey is a NON-key column (bucketed by o_orderkey), so its
+      // [min,max] spans the domain in every file and range stats prune
+      // nothing; the bloom probe keeps only the ~|orders-of-one-customer|
+      // files. Backfill is O(table); the point UPDATE must be flat.
+      val tb = new graft.tables.BucketedSnapshotTable(s"$work/t",
+        numBuckets = 64 * mult, keys = Seq("o_orderkey"),
+        bloomCols = Seq("o_custkey"))
+      val (_, abW) = time(s"$tag/bucketed_analyze_bloom") {
+        tb.analyze(spark, onlyMissing = true)
+      }
+      results("bucketed_analyze_bloom") = abW
+      val probeCust = base.select("o_custkey").head.getLong(0)
+      val (ub, blW) = time(s"$tag/bucketed_update_bloom_point") {
+        tb.update(spark, col("o_custkey") === lit(probeCust),
+          Seq("o_totalprice" -> (col("o_totalprice") + 4.0)))
+      }
+      println(s"[soak]   bloom-point update touched=${ub._1.size} rows=${ub._2}")
+      results("bucketed_update_bloom_point") = blW
+
+      // r9: plain-dim mirror with FILE-LEVEL window pruning — an
+      // append-mostly dim's `_files_v<N>` manifests share prior files, so
+      // the window diff reads only the appended files: flat in dim size
+      // (the pre-r9 cost was two full snapshot reads per window)
+      val dim = new graft.tables.SnapshotTable(s"$work/dim")
+      dim.write(spark, orders)                     // O(dim) seed, untimed
+      val pm = new graft.tables.BucketedSnapshotTable(s"$work/pm",
+        numBuckets = 64 * mult, keys = Seq("o_orderkey"))
+      dim.applyChangesTo(spark, Seq("o_orderkey"), s"$work/pck", pm, "psoak")
+      dim.append(spark, batch.drop("op_seq").withColumn("o_custkey", lit(1L))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .withColumn("o_orderkey", col("o_orderkey") + 900000000L))
+      val (_, pmW) = time(s"$tag/plain_mirror_append_window") {
+        dim.applyChangesTo(spark, Seq("o_orderkey"), s"$work/pck", pm, "psoak")
+      }
+      results("plain_mirror_append_window") = pmW
       results.toMap
     }
     val scdSmall = scdSoak("sf0.1", 1)
