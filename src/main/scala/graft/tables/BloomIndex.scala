@@ -104,19 +104,26 @@ private[tables] object BloomIndex {
           s"$c:$k:${b64(serialize(bf))}"
         }
         // the filter bytes stop HERE, in the task: deterministic sidecar
-        // name + idempotent overwrite make retries safe
+        // name + idempotent overwrite make retries safe. tmp-then-rename
+        // (not truncate-in-place) so a concurrent probe during an ANALYZE
+        // rebuild on a live dir never reads a torn filter blob — a
+        // transient missing sidecar just keeps the file (superset).
         val name = sidecarName(file)
         val p = new Path(dirStr, name)
         val f = p.getFileSystem(conf.value)
-        val o = f.create(p, true)
+        val tmp = new Path(dirStr, name + s".tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+        val o = f.create(tmp, true)
         try o.write((file +: entries).mkString("\t").getBytes("UTF-8"))
         finally o.close()
+        if (f.exists(p)) f.delete(p, false)
+        if (!f.rename(tmp, p))
+          throw new java.io.IOException(s"BloomIndex: rename $tmp -> $p failed")
         s"$file\t$name"
       }(Encoders.STRING)
       .collect() // O(files) short strings — never filter bytes
-    val o = fs.create(new Path(out, "_MANIFEST"), true)
-    try o.write((s"cols=${bloomCols.mkString(",")}" +: manifestLines)
-      .mkString("\n").getBytes("UTF-8")) finally o.close()
+    // atomic swap for the same live-dir-rebuild reason as the sidecars
+    StatsManifest.writeLines(fs, new Path(out, "_MANIFEST"),
+      s"cols=${bloomCols.mkString(",")}" +: manifestLines.toSeq)
   }
 
   /** The columns an index at `dir` covers (its `cols=` manifest header);

@@ -51,10 +51,21 @@ private[tables] object StatsManifest {
     writeLines(fs, out, lines(snap, statsCols))
 
   /** Dump pre-computed manifest lines (compaction carries kept files'
-    * lines forward and computes fresh ones only for rewritten files). */
+    * lines forward and computes fresh ones only for rewritten files).
+    *
+    * Written tmp-then-rename, NOT truncate-in-place: ANALYZE backfills
+    * sidecars on LIVE batch dirs while readers (DML discovery, pruned
+    * reads) may be probing them — a reader catching a half-written
+    * manifest would silently exclude the unlisted files (a WRONG prune),
+    * whereas the rename's transient missing-file window just reads as
+    * "no stats" and keeps everything (superset guarantee). */
   def writeLines(fs: FileSystem, out: Path, body: Seq[String]): Unit = {
-    val o = fs.create(out, true)
+    val tmp = new Path(out.getParent, out.getName + s".tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+    val o = fs.create(tmp, true)
     try o.write(body.mkString("\n").getBytes("UTF-8")) finally o.close()
+    if (fs.exists(out)) fs.delete(out, false)
+    if (!fs.rename(tmp, out))
+      throw new java.io.IOException(s"StatsManifest: rename $tmp -> $out failed")
   }
 
   /** The stats columns a manifest covers (parsed from its first line). */
