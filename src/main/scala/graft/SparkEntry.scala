@@ -5273,6 +5273,9 @@ object SparkEntry {
     "q302_cdf_exactly_once_mirror" -> ((s, dir) => {
       import s.implicits._
       val work = java.nio.file.Files.createTempDirectory("cdfmirror").toString
+      // 15k-row fixture across many small merge/window jobs: shrink the
+      // shuffle width so the run measures the exactly-once machinery
+      withShufflePartitions(s, 8) {
       val src = new graft.tables.BucketedSnapshotTable(s"$work/src", 16, Seq("c_custkey"))
       val dst = new graft.tables.BucketedSnapshotTable(s"$work/dst", 8, Seq("c_custkey"))
       val ck = s"$work/ck"
@@ -5315,6 +5318,7 @@ object SparkEntry {
       graft.cdc.ScdMerge.scd1Current(dst.read(s))
         .select($"c_custkey", $"c_name", $"c_acctbal")
         .orderBy($"c_custkey")
+      }
     }),
 
     // ── STATS-PRUNED PREDICATE DML (r9): UPDATE WHERE mod_ts >= <recent>
@@ -5459,6 +5463,7 @@ object SparkEntry {
     "q307_bloom_point_dml" -> ((s, dir) => {
       import s.implicits._
       val work = java.nio.file.Files.createTempDirectory("bloomdml").toString
+      withShufflePartitions(s, 8) {
       val bt = new graft.tables.BucketedSnapshotTable(s"$work/t", 16,
         Seq("c_custkey"), Nil, Seq("c_name"))
       val c = Tables.customer(s, dir).select($"c_custkey", $"c_name", $"c_acctbal")
@@ -5479,6 +5484,7 @@ object SparkEntry {
       sqlRun(s"SNAPSHOT '$work/t'")
         .select($"c_custkey", $"c_name", $"c_acctbal")
         .orderBy($"c_custkey")
+      }
     }),
 
     // ── PLAIN-DIM APPEND-WINDOW MIRROR (r9): reference dims live in
@@ -5490,6 +5496,9 @@ object SparkEntry {
     "q308_plain_append_mirror" -> ((s, dir) => {
       import s.implicits._
       val work = java.nio.file.Files.createTempDirectory("plainappend").toString
+      // a 25-row dim across ~10 tiny jobs: shrink the shuffle width so the
+      // fixture measures the mirror machinery, not 32-task scheduling
+      withShufflePartitions(s, 4) {
       val dim = new graft.tables.SnapshotTable(s"$work/dim")
       dim.write(s, Tables.nation(s, dir)
         .select($"n_nationkey", $"n_name", $"n_regionkey"))
@@ -5507,6 +5516,7 @@ object SparkEntry {
       sqlRun(s"SNAPSHOT '$work/m'")
         .select($"n_nationkey", $"n_name", $"n_regionkey")
         .orderBy($"n_nationkey")
+      }
     }),
 
     "q301_describe_detail" -> ((s, dir) => {
