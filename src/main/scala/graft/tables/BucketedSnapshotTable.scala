@@ -981,15 +981,20 @@ final class BucketedSnapshotTable(
         .partitionBy(BucketCol)
         .parquet(s"$root/$staging")
       onStep("staged")
+      // a batch whose every row was tombstoned away stages NO parquet
+      // (only _SUCCESS) — nothing to index, and reading it for stats
+      // would fail schema inference
+      val stagedHasData = f.listStatus(new Path(s"$root/$staging"))
+        .exists(_.getPath.getName.startsWith(s"$BucketCol="))
       // per-batch stats computed on the staging files, then re-pointed at
       // the final dir — keeps the locked critical section metadata-sized
       val stagedStats: Seq[String] =
-        if (statsCols.isEmpty) Nil
+        if (statsCols.isEmpty || !stagedHasData) Nil
         else StatsManifest.lines(spark.read.parquet(s"$root/$staging"), statsCols)
       // bloom sidecars land INSIDE the staging dir (underscore-hidden from
       // parquet reads) so the rename carries them; only the manifest's
       // file paths need re-pointing after the flip
-      if (bloomCols.nonEmpty)
+      if (bloomCols.nonEmpty && stagedHasData)
         writeBloom(spark, spark.read.parquet(s"$root/$staging"), staging)
 
       var replayed = false
@@ -1218,10 +1223,12 @@ final class BucketedSnapshotTable(
         .write.mode(SaveMode.Overwrite)
         .partitionBy(BucketCol)
         .parquet(s"$root/$staging")
+      val stagedHasData = f.listStatus(new Path(s"$root/$staging"))
+        .exists(_.getPath.getName.startsWith(s"$BucketCol="))
       val stagedStats: Seq[String] =
-        if (statsCols.isEmpty) Nil
+        if (statsCols.isEmpty || !stagedHasData) Nil
         else StatsManifest.lines(spark.read.parquet(s"$root/$staging"), statsCols)
-      if (bloomCols.nonEmpty)
+      if (bloomCols.nonEmpty && stagedHasData)
         writeBloom(spark, spark.read.parquet(s"$root/$staging"), staging)
       onStep("compact_staged")
       CommitLock.withLockHandle(f, root, commitStaleMs) { lockH =>

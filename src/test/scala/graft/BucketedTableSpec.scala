@@ -656,6 +656,22 @@ class BucketedTableSpec extends AnyFunSuite {
     assert(tu.read(spark).count() == 158)
   }
 
+  test("DELETE emptying every affected bucket commits on an indexed table (no staged parquet to stat)") {
+    // an indexed table whose DELETE tombstones EVERY row of the affected
+    // buckets stages a batch with NO parquet files — the stats/bloom
+    // builds must skip it instead of failing schema inference on an
+    // empty directory
+    val t = new BucketedSnapshotTable(tmp("bdelall"), numBuckets = 4,
+      keys = Seq("k"), statsCols = Seq("d"), bloomCols = Seq("d"))
+    t.scd1Merge(spark, (1 to 40).map(i => (i, 1L, i.toLong)).toDF("k", "seq", "d"), "seq")
+    val (touched, n) = t.delete(spark, lit(true))
+    assert(n == 40 && touched.nonEmpty)
+    assert(t.manifest(spark).isEmpty, "all buckets emptied → no manifest entries")
+    // the table is still writable afterwards
+    t.scd1Merge(spark, Seq((50, 2L, 50L)).toDF("k", "seq", "d"), "seq")
+    assert(t.read(spark).count() == 1)
+  }
+
   test("bloom sidecars: point predicates on non-key columns prune files regardless of layout") {
     import graft.tables.BucketedSnapshotTable.PointSet
     // bucketed by k; oid/name are high-cardinality NON-key columns whose
