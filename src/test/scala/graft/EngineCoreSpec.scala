@@ -614,6 +614,18 @@ class EngineCoreSpec extends AnyFunSuite {
     assert(ch23.select("k", "_change_type").as[(Int, String)].collect().toSet ==
       Set((1003, "insert")))
     assert(ch23.inputFiles.forall(f => !f.contains("/_v1/") && !f.contains("/_v2/")))
+    // an EVOLVING append (new column) stays file-pruned and reports the
+    // same feed a full diff would: appended rows insert with the new
+    // column, shared-file rows null-fill it on BOTH sides (no change)
+    val t2 = new SnapshotTable(tmp("cdfappendev"))
+    t2.write(spark, (1 to 32).map(i => (i, s"v$i")).toDF("k", "v"))
+    t2.appendEvolving(spark, Seq((2001, "e1", 7.5)).toDF("k", "v", "w"))
+    val chE = t2.changes(spark, Seq("k"), 1, 2)
+    assert(chE.inputFiles.forall(f => !f.contains("/_v1/")))
+    assert(chE.select("k", "v", "w", "_change_type")
+      .as[(Int, String, Option[Double], String)].collect().toSet ==
+      Set((2001, "e1", Some(7.5), "insert")))
+
     // tombstones flip visibility without touching file bytes → the fast
     // path must fall back to the full two-snapshot diff
     t.deleteKeys(spark, Seq(Tuple1(5)).toDF("k"))
