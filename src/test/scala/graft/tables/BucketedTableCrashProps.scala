@@ -50,7 +50,30 @@ class BucketedTableCrashProps extends AnyFunSuite {
   test("merge protocol: random kills between stage/rename/flip ≡ model; retry lands") {
     forAllSeeded(genScript, n = 5) { script =>
       val root = java.nio.file.Files.createTempDirectory("bcrash").toString
-      val t = new BucketedSnapshotTable(root, numBuckets = 4, keys = Seq("k"))
+      // indexed table: the SAME protocol now also carries per-batch stats
+      // and bloom sidecars (computed on staging, re-pointed after the
+      // rename), so every kill point exercises their crash behavior too
+      val t = new BucketedSnapshotTable(root, numBuckets = 4, keys = Seq("k"),
+        statsCols = Seq("seq"), bloomCols = Seq("p"))
+
+      // sidecar invariant at every observed state: a LIVE batch dir's
+      // bloom manifest never references staging paths or missing files
+      // (a crashed writer's un-repointed manifest must never become live)
+      def checkSidecars(ctx: String): Unit = if (t.exists(spark)) {
+        t.manifest(spark).values.toSet[String].foreach { dir =>
+          val mf = new java.io.File(s"$root/$dir/_bloom/_MANIFEST")
+          if (mf.exists()) {
+            val src = scala.io.Source.fromFile(mf)
+            val lines = try src.getLines().toList finally src.close()
+            assert(!lines.exists(_.contains("_staging_")),
+              s"$ctx: staging path in live $dir bloom manifest")
+            lines.filter(_.contains("\t")).foreach { l =>
+              val f = new java.io.File(new java.net.URI(l.split("\t")(0)).getPath)
+              assert(f.exists(), s"$ctx: bloom manifest in $dir lists missing file")
+            }
+          }
+        }
+      }
 
       // model: k -> (seq, payload), SCD1 last-write-wins (ties: batch wins)
       var model = Map.empty[Long, (Long, String)]
@@ -70,6 +93,7 @@ class BucketedTableCrashProps extends AnyFunSuite {
             .as[(Long, Long, String)].collect().toSet
         val want = model.map { case (k, (s, p)) => (k, s, p) }.toSet
         assert(got == want, s"$ctx (script $script)")
+        checkSidecars(ctx)
       }
 
       var commits = 0
@@ -109,6 +133,15 @@ class BucketedTableCrashProps extends AnyFunSuite {
       val leftover = new java.io.File(root).listFiles()
         .map(_.getName).filter(_.startsWith("_staging_"))
       assert(leftover.isEmpty, s"staging orphans survived vacuum: ${leftover.toSeq}")
+      // end-to-end: a bloom-pruned point DELETE through whatever sidecar
+      // state the crash schedule left must still find its row — a wrong
+      // prune (torn/stale manifest surviving) would delete 0 rows
+      model.headOption.foreach { case (k, (_, p)) =>
+        val (_, nDel) = t.delete(spark, col("p") === lit(p))
+        assert(nDel == 1, s"bloom-pruned DELETE missed its row (script $script)")
+        model -= k
+        checkState("post point-delete")
+      }
     }
   }
 }
