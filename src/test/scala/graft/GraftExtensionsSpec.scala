@@ -348,6 +348,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val bt3 = new graft.tables.BucketedSnapshotTable(s"$work/nb", 8, Seq("k"), Seq("d"))
     assert(bt3.statsCandidates(spark, bt3.manifest(spark), $"d" >= 40.0)
       .exists(_.nonEmpty), "the new batch's backfilled stats must prune")
+
+    // ANALYZE BLOOM on a PLAIN root backfills the live version's per-file
+    // bloom sidecar: the point lookup prunes to fewer files and stays exact
+    val pt = new graft.tables.SnapshotTable(s"$work/pb")
+    pt.write(spark, (1L to 64L).map(i => (i, s"u$i")).toDF("k", "v")
+      .repartition(8))
+    sqlRun(s"ANALYZE '$work/pb' BLOOM (k)").collect()
+    val full = pt.read(spark).inputFiles.length
+    val pruned = pt.readPrunedBloomLong(spark, "k", 7L)
+    assert(pruned.inputFiles.length < full,
+      s"plain bloom backfill must prune (${pruned.inputFiles.length} of $full)")
+    assert(pruned.filter($"k" === 7L).count() == 1)
+    // bare ANALYZE with neither STATS nor BLOOM refuses
+    assert(intercept[Exception](sqlRun(s"ANALYZE '$work/pb'").collect())
+      .getMessage.contains("STATS"))
   }
 
   test("GraftSqlParser APPLY CHANGES INTO: bootstrap creates target, windows consume, mismatches refuse") {
