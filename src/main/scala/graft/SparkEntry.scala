@@ -5487,6 +5487,34 @@ object SparkEntry {
       }
     }),
 
+    // ── BLOOM-PRUNED POINT READ (r9): the read-side complement of q307 —
+    //    a serving-style lookup by a NON-key column on a table bucketed
+    //    (and so clustered) by another key. The bucket layout prunes
+    //    nothing here; the per-file Bloom sidecars keep only the files
+    //    that might contain the name (in-query require pins the scan
+    //    set), and the row filter makes the superset exact.
+    "q309_bloom_point_read" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("bloomread").toString
+      withShufflePartitions(s, 8) {
+      val bt = new graft.tables.BucketedSnapshotTable(s"$work/t", 16,
+        Seq("c_custkey"), Nil, Seq("c_name"))
+      val c = Tables.customer(s, dir).select($"c_custkey", $"c_name", $"c_acctbal")
+      bt.scd1Merge(s, c.withColumn("op_seq", lit(1L)), "op_seq")
+      bt.scd1Merge(s, c.filter($"c_custkey" % 70 === 0)
+        .withColumn("c_acctbal", $"c_acctbal" + 3)
+        .withColumn("op_seq", lit(2L)), "op_seq")
+      val target = "Customer#000000077"
+      val full = bt.read(s).inputFiles.length
+      val look = bt.readPrunedPoint(s, "c_name", target)
+      require(look.inputFiles.nonEmpty && look.inputFiles.length * 4 <= full,
+        s"bloom point read must prune files: ${look.inputFiles.length} of $full")
+      look.filter($"c_name" === target)
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+        .orderBy($"c_custkey")
+      }
+    }),
+
     // ── PLAIN-DIM APPEND-WINDOW MIRROR (r9): reference dims live in
     //    plain snapshots; on an append-mostly dim the mirror window's
     //    diff is FILE-LEVEL pruned — files shared by both versions are
@@ -6593,6 +6621,14 @@ object SparkEntry {
         |    + CASE WHEN c_name = 'Customer#000000042' THEN 1000 ELSE 0 END
         |    AS c_acctbal
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // the point read's pruning is invisible to the final (row-filtered)
+    // result; 77 % 70 ≠ 0 so the target kept its batch-1 balance
+    "q309_bloom_point_read" ->
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 70 = 0 THEN c_acctbal + 3 ELSE c_acctbal END AS c_acctbal
+        |FROM customer WHERE c_name = 'Customer#000000077'
+        |ORDER BY c_custkey""".stripMargin,
 
     // the mirror after bootstrap + one append window = base dim plus the
     // appended (offset, uppercased) rows — file pruning is invisible to

@@ -1145,6 +1145,42 @@ final class BucketedSnapshotTable(
     else unionEvolvingParts(parts).drop(BucketCol)
   }
 
+  /** Bloom-pruned point read on a NON-key column: live buckets only, and
+    * within them only the files whose per-batch Bloom filter might contain
+    * the key — the read-side complement of the bloom-pruned DML discovery
+    * (the bucket layout itself only prunes lookups on the bucket KEYS;
+    * this serves `WHERE order_id = k` on a table bucketed by customer).
+    * Superset guarantee — apply the row filter after; batches without a
+    * bloom sidecar keep all their files. Integral values probe long-hashed
+    * filters, strings string-hashed ones. */
+  def readPrunedPoint(spark: SparkSession, column: String, value: Any): DataFrame = {
+    val m = manifest(spark)
+    if (m.isEmpty) throw new IllegalStateException(s"BucketedSnapshotTable $root is empty")
+    val f = fs(spark)
+    def norm(p: String) = new Path(p).toUri.getPath
+    val (longs, strs) = value match {
+      case l: Long   => (Set(l), Set.empty[String])
+      case i: Int    => (Set(i.toLong), Set.empty[String])
+      case s: String => (Set.empty[Long], Set(s))
+      case other => throw new IllegalArgumentException(
+        s"readPrunedPoint probes long/string-hashed filters; got ${other.getClass.getName}")
+    }
+    val parts = m.groupBy(_._2).flatMap { case (dir, entries) =>
+      val liveBucketDirs = entries.keys.toSeq.sorted.map(b => s"$root/$dir/$BucketCol=$b")
+      val picked = BloomIndex.filesMightContainAny(
+          f, batchBloomPath(dir), column, longs, strs) match {
+        case None => liveBucketDirs // no index for this batch → keep all
+        case Some(files) =>
+          val liveDirs = liveBucketDirs.map(d => norm(d) + "/")
+          files.filter(p => liveDirs.exists(norm(p).startsWith)).sorted
+      }
+      if (picked.isEmpty) None
+      else Some(spark.read.option("basePath", s"$root/$dir").parquet(picked: _*))
+    }.toSeq
+    if (parts.isEmpty) read(spark).limit(0) // schema-preserving empty relation
+    else unionEvolvingParts(parts).drop(BucketCol)
+  }
+
   /** ANALYZE: backfill per-batch file stats for THIS instance's
     * `statsCols` over every batch dir the live manifest reaches, then
     * commit a metadata-only version whose header records the stats

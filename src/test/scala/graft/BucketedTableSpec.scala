@@ -726,6 +726,16 @@ class BucketedTableSpec extends AnyFunSuite {
     assert(n2 == 1 && t2.size == 1)
     assert(t.read(spark).filter($"k" === 4).select("name").as[String].head() == "upd2")
 
+    // read-side point lookup on the non-key column: scans only the files
+    // whose filter might contain the key, exact after the row filter
+    val look = t.readPrunedPoint(spark, "oid", 888888L)
+    assert(look.inputFiles.length <= 3,
+      s"point read must prune files: ${look.inputFiles.length}")
+    assert(look.filter($"oid" === 888888L).select("name").as[String].head() == "upd2")
+    val lookS = t.readPrunedPoint(spark, "name", "upd")
+    assert(lookS.filter($"name" === "upd").select("k").as[Int].head() == 3)
+    intercept[IllegalArgumentException](t.readPrunedPoint(spark, "oid", 1.5))
+
     // ANALYZE BLOOM backfills an index on a table written without one, and
     // INCREMENTAL re-ANALYZE skips covered dirs (immutable batch dirs)
     val root2 = tmp("bbloom2")
