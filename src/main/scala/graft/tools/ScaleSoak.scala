@@ -339,6 +339,13 @@ object ScaleSoak {
       }
       println(s"[soak]   bloom-point update touched=${ub._1.size} rows=${ub._2}")
       results("bucketed_update_bloom_point") = blW
+      // the read-side lookup rides the same probe: flat in table size
+      val (nL, prW) = time(s"$tag/bucketed_read_bloom_point") {
+        tb.readPrunedPoint(spark, "o_custkey", probeCust)
+          .filter(col("o_custkey") === probeCust).count()
+      }
+      println(s"[soak]   bloom-point read rows=$nL")
+      results("bucketed_read_bloom_point") = prW
 
       // r9: plain-dim mirror with FILE-LEVEL window pruning — an
       // append-mostly dim's `_files_v<N>` manifests share prior files, so
