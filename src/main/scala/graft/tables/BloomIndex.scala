@@ -134,20 +134,29 @@ private[tables] object BloomIndex {
       .flatMap(_.headOption.filter(l => l.startsWith("cols=") && !l.contains("\t")))
       .map(_.stripPrefix("cols=").split(",").map(_.trim).filter(_.nonEmpty).toSeq)
 
+  /** Parallelize the per-file sidecar reads: a probe opens one small
+    * sidecar per data file (≤ numBuckets per batch dir) — sequential
+    * driver IO would grow linearly with bucket count (4096 at 100 TB),
+    * a thread-pooled read keeps the probe latency near-flat. */
+  private def parProbe(manifest: Vector[String])(keep: Array[String] => Boolean): Vector[String] = {
+    import scala.collection.parallel.CollectionConverters._
+    manifest.par.map(_.split("\t", 2))
+      .filter(parts => parts.length == 2 && keep(parts))
+      .map(_(0)).seq.toVector
+  }
+
   private def filesWhere(fs: FileSystem, dir: Path, column: String,
       mightContain: BloomFilter => Boolean): Option[Vector[String]] =
     StatsManifest.readLines(fs, new Path(dir, "_MANIFEST")).map { manifest =>
-      manifest.map(_.split("\t", 2)).collect {
-        case parts if parts.length == 2 && {
-          val entry = StatsManifest.readLines(fs, new Path(dir, parts(1)))
-            .flatMap(_.headOption)
-            .flatMap(_.split("\t").drop(1).find(_.startsWith(s"$column:")))
-          // no sidecar / no entry for this column → keep (superset guarantee)
-          entry.forall { e =>
-            val Array(_, _, blob) = e.split(":", 3)
-            mightContain(BloomFilter.readFrom(new ByteArrayInputStream(unb64(blob))))
-          }
-        } => parts(0)
+      parProbe(manifest) { parts =>
+        val entry = StatsManifest.readLines(fs, new Path(dir, parts(1)))
+          .flatMap(_.headOption)
+          .flatMap(_.split("\t").drop(1).find(_.startsWith(s"$column:")))
+        // no sidecar / no entry for this column → keep (superset guarantee)
+        entry.forall { e =>
+          val Array(_, _, blob) = e.split(":", 3)
+          mightContain(BloomFilter.readFrom(new ByteArrayInputStream(unb64(blob))))
+        }
       }
     }
 
@@ -172,22 +181,20 @@ private[tables] object BloomIndex {
   def filesMightContainAny(fs: FileSystem, dir: Path, column: String,
       longs: Set[Long], strs: Set[String]): Option[Vector[String]] =
     StatsManifest.readLines(fs, new Path(dir, "_MANIFEST")).map { manifest =>
-      manifest.map(_.split("\t", 2)).collect {
-        case parts if parts.length == 2 && {
-          val entry = StatsManifest.readLines(fs, new Path(dir, parts(1)))
-            .flatMap(_.headOption)
-            .flatMap(_.split("\t").drop(1).find(_.startsWith(s"$column:")))
-          entry.forall { e =>
-            val Array(_, kind, blob) = e.split(":", 3)
-            lazy val bf = BloomFilter.readFrom(new ByteArrayInputStream(unb64(blob)))
-            val provablyAbsent = kind match {
-              case "l" => strs.isEmpty && longs.nonEmpty && !longs.exists(bf.mightContainLong)
-              case "s" => longs.isEmpty && strs.nonEmpty && !strs.exists(bf.mightContainString)
-              case _   => false
-            }
-            !provablyAbsent
+      parProbe(manifest) { parts =>
+        val entry = StatsManifest.readLines(fs, new Path(dir, parts(1)))
+          .flatMap(_.headOption)
+          .flatMap(_.split("\t").drop(1).find(_.startsWith(s"$column:")))
+        entry.forall { e =>
+          val Array(_, kind, blob) = e.split(":", 3)
+          lazy val bf = BloomFilter.readFrom(new ByteArrayInputStream(unb64(blob)))
+          val provablyAbsent = kind match {
+            case "l" => strs.isEmpty && longs.nonEmpty && !longs.exists(bf.mightContainLong)
+            case "s" => longs.isEmpty && strs.nonEmpty && !strs.exists(bf.mightContainString)
+            case _   => false
           }
-        } => parts(0)
+          !provablyAbsent
+        }
       }
     }
 }
