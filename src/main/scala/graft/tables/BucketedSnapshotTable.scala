@@ -1153,18 +1153,22 @@ final class BucketedSnapshotTable(
     * Superset guarantee — apply the row filter after; batches without a
     * bloom sidecar keep all their files. Integral values probe long-hashed
     * filters, strings string-hashed ones. */
-  def readPrunedPoint(spark: SparkSession, column: String, value: Any): DataFrame = {
+  def readPrunedPoint(spark: SparkSession, column: String, value: Any): DataFrame =
+    readPrunedPoints(spark, column, Seq(value))
+
+  /** IN-list form of [[readPrunedPoint]]: a file is kept when its filter
+    * might contain ANY of the values. */
+  def readPrunedPoints(spark: SparkSession, column: String, values: Seq[Any]): DataFrame = {
+    require(values.nonEmpty, "readPrunedPoints needs at least one value")
     val m = manifest(spark)
     if (m.isEmpty) throw new IllegalStateException(s"BucketedSnapshotTable $root is empty")
     val f = fs(spark)
     def norm(p: String) = new Path(p).toUri.getPath
-    val (longs, strs) = value match {
-      case l: Long   => (Set(l), Set.empty[String])
-      case i: Int    => (Set(i.toLong), Set.empty[String])
-      case s: String => (Set.empty[Long], Set(s))
-      case other => throw new IllegalArgumentException(
-        s"readPrunedPoint probes long/string-hashed filters; got ${other.getClass.getName}")
-    }
+    val longs = values.collect { case l: Long => l; case i: Int => i.toLong }.toSet
+    val strs = values.collect { case s: String => s }.toSet
+    require(longs.size + strs.size == values.distinct.size,
+      s"readPrunedPoints probes long/string-hashed filters; got " +
+        values.map(_.getClass.getSimpleName).distinct.mkString(","))
     val parts = m.groupBy(_._2).flatMap { case (dir, entries) =>
       val liveBucketDirs = entries.keys.toSeq.sorted.map(b => s"$root/$dir/$BucketCol=$b")
       val picked = BloomIndex.filesMightContainAny(

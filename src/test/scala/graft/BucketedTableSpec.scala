@@ -735,6 +735,10 @@ class BucketedTableSpec extends AnyFunSuite {
     val lookS = t.readPrunedPoint(spark, "name", "upd")
     assert(lookS.filter($"name" === "upd").select("k").as[Int].head() == 3)
     intercept[IllegalArgumentException](t.readPrunedPoint(spark, "oid", 1.5))
+    // IN-list form: keeps a file when ANY value might be contained
+    val lookIn = t.readPrunedPoints(spark, "oid", Seq(888888L, 5000L))
+    assert(lookIn.inputFiles.length <= 4)
+    assert(lookIn.filter($"oid".isin(888888L, 5000L)).count() == 2)
 
     // ANALYZE BLOOM backfills an index on a table written without one, and
     // INCREMENTAL re-ANALYZE skips covered dirs (immutable batch dirs)
