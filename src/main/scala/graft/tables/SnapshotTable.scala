@@ -906,7 +906,18 @@ final class SnapshotTable(val root: String,
       toV: Int): (DataFrame, DataFrame) = {
     val f = fs(spark)
     def full = (readVersion(spark, fromV), readVersion(spark, toV))
-    if (f.exists(tombPath(fromV)) || f.exists(tombPath(toV))) return full
+    // tombstones flip row visibility without touching file bytes — BUT
+    // [[append]] carries the prior version's tombstone batch forward by
+    // file copy, so when the two versions' tombstone dirs hold the SAME
+    // files (name+length; a new deleteKeys always adds fresh part files)
+    // the visibility filter is identical on both sides and the fast path
+    // still applies, with the tombstones filtered per side below.
+    // Differing tombstone sets fall back to the full two-snapshot diff.
+    def tombSig(v: Int): Set[(String, Long)] =
+      if (!f.exists(tombPath(v))) Set.empty
+      else f.listStatus(tombPath(v)).filter(_.getPath.getName.endsWith(".parquet"))
+        .map(st => (st.getPath.getName, st.getLen)).toSet
+    if (tombSig(fromV) != tombSig(toV)) return full
     // cheap existence guards first — a vacuumed or never-committed version
     // must surface readVersion's named error, not a raw listing failure
     def missing(v: Int) = f.exists(new Path(root, s"_gone_v$v")) ||
@@ -916,13 +927,16 @@ final class SnapshotTable(val root: String,
     val newFiles = listDataFiles(f, toV).map(_._1)
     val shared = oldFiles.toSet intersect newFiles.toSet
     if (shared.isEmpty) return full
-    def side(uris: Vector[String], v: Int): DataFrame =
-      if (uris.isEmpty)
-        // schema-correct TRULY empty relation (not a limit(0) over the
-        // snapshot scan, which would still schedule the shared files)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          snapshotDF(spark, v).schema)
-      else readManifest(spark, uris)
+    def side(uris: Vector[String], v: Int): DataFrame = {
+      val base =
+        if (uris.isEmpty)
+          // schema-correct TRULY empty relation (not a limit(0) over the
+          // snapshot scan, which would still schedule the shared files)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            snapshotDF(spark, v).schema)
+        else readManifest(spark, uris)
+      applyTombstones(spark, v, base)
+    }
     (side(oldFiles.filterNot(shared.contains).toVector, fromV),
      side(newFiles.filterNot(shared.contains).toVector, toV))
   }

@@ -626,14 +626,25 @@ class EngineCoreSpec extends AnyFunSuite {
       .as[(Int, String, Option[Double], String)].collect().toSet ==
       Set((2001, "e1", Some(7.5), "insert")))
 
-    // tombstones flip visibility without touching file bytes → the fast
-    // path must fall back to the full two-snapshot diff
+    // tombstones flip visibility without touching file bytes → a window
+    // whose tombstone sets DIFFER must fall back to the full diff
     t.deleteKeys(spark, Seq(Tuple1(5)).toDF("k"))
     val full = t.changes(spark, Seq("k"), 1, 3)
     assert(full.inputFiles.exists(_.contains("/_v1/")),
-      "a tombstone-carrying window must take the full-diff fallback")
+      "a tombstone-changing window must take the full-diff fallback")
     assert(full.select("k", "_change_type").as[(Int, String)].collect().toSet ==
       Set((1001, "insert"), (1002, "insert"), (1003, "insert"), (5, "delete")))
+
+    // append COPIES tombstones forward: a window whose tombstone dirs hold
+    // the same files stays file-pruned, with the (identical) visibility
+    // filter applied on both sides — the tombstoned key never reappears
+    t.append(spark, Seq((1004, "n4")).toDF("k", "v"))                // v4
+    val ch34 = t.changes(spark, Seq("k"), 3, 4)
+    assert(ch34.inputFiles.filter(_.contains("/_v")).forall(f =>
+      !f.contains("/_v1/") && !f.contains("/_v2/") && !f.contains("/_v3/")),
+      s"tombstone-identical append window must stay pruned: ${ch34.inputFiles.mkString(",")}")
+    assert(ch34.select("k", "_change_type").as[(Int, String)].collect().toSet ==
+      Set((1004, "insert")))
   }
 
   test("SnapshotTable: a reader opened before a commit still reads its snapshot") {
