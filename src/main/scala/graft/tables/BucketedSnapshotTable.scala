@@ -197,7 +197,16 @@ final class BucketedSnapshotTable(
       else prev.get("statsCols").toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
     val effBloom = if (bloomCols.nonEmpty) bloomCols
       else prev.get("bloomCols").toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
-    val header = Seq(s"numBuckets=$numBuckets", s"keys=${keys.mkString(",")}") ++
+    // keys inherit the same way, and an empty key set OMITS the header
+    // entirely: a metadata-only commit over a pre-r7 manifest (no keys
+    // header) must not write `keys=`, which layoutOf would read back as
+    // Some(Nil) — consumers rely on the None-vs-Some(Nil) distinction to
+    // raise the explicit "manifest records no bucket keys" error instead
+    // of silently proceeding with empty bucket keys.
+    val effKeys = if (keys.nonEmpty) keys
+      else prev.get("keys").toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val header = Seq(s"numBuckets=$numBuckets") ++
+      (if (effKeys.isEmpty) Nil else Seq(s"keys=${effKeys.mkString(",")}")) ++
       (if (effStats.isEmpty) Nil else Seq(s"statsCols=${effStats.mkString(",")}")) ++
       (if (effBloom.isEmpty) Nil else Seq(s"bloomCols=${effBloom.mkString(",")}")) ++
       txns.toSeq.sortBy(_._1).map { case (q, b) => s"txn:$q=$b" }
@@ -392,7 +401,7 @@ final class BucketedSnapshotTable(
     // so a change-feed window spanning an OPTIMIZE still reads only the
     // buckets a merge actually touched
     val changed = (eFrom.keySet ++ eTo.keySet)
-      .filter(b => eFrom.get(b).map(_.contentV) != eTo.get(b).map(_.contentV))
+      .filter(b => BucketedSnapshotTable.contentDiffers(eFrom.get(b), eTo.get(b)))
     val mFrom = eFrom.map { case (b, e) => b -> e.dir }
     val mTo = eTo.map { case (b, e) => b -> e.dir }
     // schema donor for an empty side (e.g. fromV before the key range
@@ -417,7 +426,7 @@ final class BucketedSnapshotTable(
     val eFrom = readEntries(spark, fromV)
     val eTo = readEntries(spark, toV)
     (eFrom.keySet ++ eTo.keySet)
-      .filter(b => eFrom.get(b).map(_.contentV) != eTo.get(b).map(_.contentV))
+      .filter(b => BucketedSnapshotTable.contentDiffers(eFrom.get(b), eTo.get(b)))
   }
 
   // ── CHECK constraints (Delta semantics, plain-table parity) ────────────
@@ -721,11 +730,21 @@ final class BucketedSnapshotTable(
       }.toMap
     // AND on point sets: the column must satisfy both constraints →
     // member-wise intersection (two IN-lists conjoin to their overlap; an
-    // empty overlap is unsatisfiable and prunes every indexed file)
+    // empty overlap is unsatisfiable and prunes every indexed file).
+    // Intersection is only sound WITHIN a hash kind both sides populate:
+    // Spark coerces cast-compatible literals of different kinds to the
+    // same value (`c = 1 AND c = '1'` holds on an int column), so
+    // intersecting a longs-only side against a strs-only side would
+    // collapse a satisfiable conjunction to the empty set — safe alone
+    // (empty keeps all files) but WRONG under OR, where mergeOr would
+    // union the empty set away and claim {other branch} complete. For a
+    // kind only one side populates, that side's values carry through
+    // verbatim: the column's value must satisfy both constraints, so
+    // either side alone is a sound over-approximation.
     def mergeP(a: PtB, b: PtB): PtB =
       (a.keySet ++ b.keySet).map { c =>
         c -> ((a.get(c), b.get(c)) match {
-          case (Some(x), Some(y)) => PointSet(x.longs intersect y.longs, x.strs intersect y.strs)
+          case (Some(x), Some(y)) => PointSet.and(x, y)
           case (x, y)             => x.orElse(y).get
         })
       }.toMap
@@ -759,14 +778,22 @@ final class BucketedSnapshotTable(
         f: String => (Option[String], Option[String])): StrB =
       (for (cc <- c; vv <- v) yield Map(cc -> f(vv))).getOrElse(Map.empty)
     // a single `c ∈ {values}` point constraint: usable only when every
-    // value is integral (→ the index's long hash kind) or string
+    // value is integral (→ the index's long hash kind) or string. A string
+    // literal that is itself a pure integer ALSO probes the long kind:
+    // Spark coerces `c = '1'` on an int column to the numeric comparison,
+    // and without the extra long the conjunction algebra (PointSet.and)
+    // could intersect two coerce-equal literals of different kinds to a
+    // false "unsatisfiable".
     def onePts(c: Option[String], items: Seq[Expression]): PtB =
       c match {
         case Some(cc) if items.nonEmpty =>
           val vs = items.map(e => (litL(e), litS(e)))
-          if (vs.forall { case (l, s) => l.isDefined || s.isDefined })
-            Map(cc -> PointSet(vs.flatMap(_._1).toSet, vs.flatMap(_._2).toSet))
-          else Map.empty
+          if (vs.forall { case (l, s) => l.isDefined || s.isDefined }) {
+            val strs = vs.flatMap(_._2).toSet
+            val longs = vs.flatMap(_._1).toSet ++
+              strs.flatMap(BucketedSnapshotTable.integerLiteral)
+            Map(cc -> PointSet(longs, strs))
+          } else Map.empty
         case _ => Map.empty
       }
     // two comparison encodings reach us unanalyzed: SQL text parses to the
@@ -1198,45 +1225,66 @@ final class BucketedSnapshotTable(
       s"BucketedSnapshotTable $root: analyze needs statsCols or bloomCols — " +
         "construct the table (or run ANALYZE … STATS/BLOOM (…)) with the columns to index")
     val f = fs(spark)
+    // The O(table) sidecar build runs OUTSIDE the commit lock: batch dirs
+    // are immutable, so sidecars computed unlocked can never be stale, and
+    // holding the lock for a full backfill would block every writer for
+    // the ANALYZE duration (and invite a stale-lock steal that wastes the
+    // whole run) — the locked critical section stays metadata-sized, the
+    // invariant every other commit path here keeps.
+    val cur0 = currentVersion(spark).getOrElse(
+      throw new IllegalStateException(s"BucketedSnapshotTable $root is empty"))
+    buildSidecars(spark, readEntries(spark, cur0), skipCovered = onlyMissing)
+    onStep("analyze_built")
     CommitLock.withLockHandle(f, root, commitStaleMs) { lockH =>
-      val cur = currentVersion(spark).getOrElse(
-        throw new IllegalStateException(s"BucketedSnapshotTable $root is empty"))
+      // re-read under the lock: commits that raced the unlocked build keep
+      // their (newer) entries; their dirs simply lack sidecars until the
+      // next ANALYZE … INCREMENTAL — absent sidecars keep all files, the
+      // standing superset guarantee.
+      val cur = currentVersion(spark).getOrElse(cur0)
       val entries = readEntries(spark, cur)
-      // per dir, scan its LIVE buckets explicitly (`__bucket=…` children
-      // are underscore-prefixed — hidden from a directory-level read).
-      // `onlyMissing` makes re-ANALYZE O(new batches): a dir whose
-      // existing sidecars already cover every requested column is skipped
-      // (batch dirs are immutable, so existing stats cannot be stale).
-      entries.groupBy(_._2.dir).foreach { case (dir, es) =>
-        val statsCovered = statsCols.isEmpty || (onlyMissing &&
-          StatsManifest.readLines(f, batchStatsPath(dir)).exists { ls =>
-            val have = StatsManifest.statsColumns(ls).toSet
-            statsCols.forall(have.contains)
-          })
-        val bloomCovered = bloomCols.isEmpty || (onlyMissing &&
-          BloomIndex.indexedColumns(f, batchBloomPath(dir)).exists { have =>
-            bloomCols.forall(have.toSet.contains)
-          })
-        if (!(statsCovered && bloomCovered)) {
-          val snap = spark.read.option("basePath", s"$root/$dir")
-            .parquet(es.keys.toSeq.sorted.map(b => s"$root/$dir/$BucketCol=$b"): _*)
-          // a batch written before a schema evolution may lack a stats
-          // column — record the ones it has (missing entries keep files,
-          // superset guarantee)
-          if (!statsCovered) {
-            val present = statsCols.filter(snap.columns.contains)
-            if (present.nonEmpty)
-              StatsManifest.write(snap, present, f, batchStatsPath(dir))
-          }
-          if (!bloomCovered) writeBloom(spark, snap, dir)
-        }
-      }
       lockH.check()
       // metadata-only commit: same entries, same contentV (no content
       // changed — the CDF must not re-read anything), header now carries
       // statsCols so path-only consumers (SQL DML routing) see them
       writeManifest(spark, cur + 1, entries, txnsOf(spark, cur))
       cur + 1
+    }
+  }
+
+  /** The ANALYZE work-horse: per batch dir of `entries`, scan its LIVE
+    * buckets explicitly (`__bucket=…` children are underscore-prefixed —
+    * hidden from a directory-level read) and (re)write the `_stats` /
+    * `_bloom` sidecars. `skipCovered` makes re-ANALYZE O(new batches): a
+    * dir whose existing sidecars already cover every requested column is
+    * skipped (batch dirs are immutable, so existing stats cannot be
+    * stale). Sidecar writes are tmp-then-rename, so concurrent probes on
+    * live dirs never see a torn manifest. */
+  private def buildSidecars(spark: SparkSession, entries: Map[Int, BucketEntry],
+      skipCovered: Boolean): Unit = {
+    val f = fs(spark)
+    entries.groupBy(_._2.dir).foreach { case (dir, es) =>
+      val statsCovered = statsCols.isEmpty || (skipCovered &&
+        StatsManifest.readLines(f, batchStatsPath(dir)).exists { ls =>
+          val have = StatsManifest.statsColumns(ls).toSet
+          statsCols.forall(have.contains)
+        })
+      val bloomCovered = bloomCols.isEmpty || (skipCovered &&
+        BloomIndex.indexedColumns(f, batchBloomPath(dir)).exists { have =>
+          bloomCols.forall(have.toSet.contains)
+        })
+      if (!(statsCovered && bloomCovered)) {
+        val snap = spark.read.option("basePath", s"$root/$dir")
+          .parquet(es.keys.toSeq.sorted.map(b => s"$root/$dir/$BucketCol=$b"): _*)
+        // a batch written before a schema evolution may lack a stats
+        // column — record the ones it has (missing entries keep files,
+        // superset guarantee)
+        if (!statsCovered) {
+          val present = statsCols.filter(snap.columns.contains)
+          if (present.nonEmpty)
+            StatsManifest.write(snap, present, f, batchStatsPath(dir))
+        }
+        if (!bloomCovered) writeBloom(spark, snap, dir)
+      }
     }
   }
 
@@ -1351,6 +1399,22 @@ object BucketedSnapshotTable {
     * reads more buckets, never misses a change. */
   private[tables] final case class BucketEntry(dir: String, contentV: Int)
 
+  /** Did a bucket's CONTENT change between two manifest entries? Normally
+    * a contentV comparison, with one guard: the legacy 2-field-manifest
+    * fallback maps any batch dir whose name does not parse as
+    * `_batch_v<N>` to the Int.MaxValue sentinel — two DIFFERENT
+    * unparseable dirs would then compare equal and silently drop a
+    * changed bucket from the feed. When either side carries the sentinel,
+    * the dir string itself must also match (same dir = same immutable
+    * bytes — still a sound "unchanged"; different dirs = conservative
+    * over-read, the behavior the fallback promises). */
+  private[tables] def contentDiffers(a: Option[BucketEntry],
+      b: Option[BucketEntry]): Boolean = (a, b) match {
+    case (Some(x), Some(y)) if x.contentV == Int.MaxValue || y.contentV == Int.MaxValue =>
+      x.contentV != y.contentV || x.dir != y.dir
+    case (x, y) => x.map(_.contentV) != y.map(_.contentV)
+  }
+
   /** False-positive probability for per-batch Bloom sidecars: at 1% a
     * point probe over N files schedules ~1 + N/100 scan tasks; sidecar
     * size stays ~1.2 KB per 1k distinct keys per file. */
@@ -1361,6 +1425,29 @@ object BucketedSnapshotTable {
     * string-hashed ones (a kind mismatch keeps the file; see
     * [[BloomIndex.filesMightContainAny]]). */
   private[graft] final case class PointSet(longs: Set[Long], strs: Set[String])
+
+  /** A string that is exactly an (optionally signed) integer in Long
+    * range — the only strings whose long-kind coercion target is known
+    * driver-side. Anything else ('1.0', '1e0', non-numeric) stays
+    * string-kind only; the probe keeps such files (superset). */
+  private[graft] def integerLiteral(s: String): Option[Long] = {
+    val t = s.trim
+    if (t.nonEmpty && t.matches("[+-]?\\d+")) t.toLongOption else None
+  }
+
+  private[graft] object PointSet {
+    /** Conjunction of two point constraints on the same column: intersect
+      * within a kind BOTH sides populate; a kind only one side populates
+      * carries through verbatim (sound — the value must satisfy both
+      * constraints, and cross-kind literals can coerce to the same value,
+      * so cross-kind intersection-to-empty would be an UNSOUND claim of
+      * unsatisfiability: `c = 1 AND c = '1'` holds on an int column). */
+    def and(x: PointSet, y: PointSet): PointSet = PointSet(
+      if (x.longs.nonEmpty && y.longs.nonEmpty) x.longs intersect y.longs
+      else x.longs ++ y.longs,
+      if (x.strs.nonEmpty && y.strs.nonEmpty) x.strs intersect y.strs
+      else x.strs ++ y.strs)
+  }
 
   /** Merge one CDF window (a [[ChangeFeed]]-shaped relation whose changes
     * were derived at source version `toV`) into `target` with the

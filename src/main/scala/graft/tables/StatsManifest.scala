@@ -78,11 +78,18 @@ private[tables] object StatsManifest {
       c -> snap.schema(c).dataType.isInstanceOf[StringType]).toMap
     def toD(c: String) = snap.schema(c).dataType match {
       case TimestampType => unix_micros(col(c)).cast("double")
-      // NTZ wall time → micros via the session zone (fixed UTC in this
-      // engine's sessions, so the quantization is deterministic and
-      // matches a timestamp literal's folded micros)
+      // NTZ wall time → ZONE-FREE micros, assembled from the wall-clock
+      // fields (date / hour / minute / fractional second — all zone-free
+      // on NTZ). An NTZ literal in a predicate folds to zone-free wall
+      // micros, so quantizing through a session-zone cast would shift the
+      // stored bounds by the zone offset in any non-UTC session and a
+      // range predicate could WRONGLY prune files holding matching rows.
+      // Exact up to 2026-era micros (~1.8e15 ≪ 2^53).
       case org.apache.spark.sql.types.TimestampNTZType =>
-        unix_micros(col(c).cast(TimestampType)).cast("double")
+        unix_date(col(c).cast(DateType)).cast("double") * 86400000000.0 +
+          hour(col(c)).cast("double") * 3600000000.0 +
+          minute(col(c)).cast("double") * 60000000.0 +
+          date_part(lit("SECOND"), col(c)).cast("double") * 1000000.0
       case DateType     => unix_date(col(c)).cast("double")
       case _            => col(c).cast("double")
     }
