@@ -5515,6 +5515,70 @@ object SparkEntry {
       }
     }),
 
+    // ── READ-SIDE DATA SKIPPING THROUGH SQL (r10, bucketed): the engine's
+    //    stats+Bloom sidecars prune SQL READS, not just DML discovery —
+    //    `SNAPSHOT '<root>' WHERE …` lists its files through the pruning
+    //    file index, so the interactive point/range query a serving user
+    //    runs schedules O(matching files), never O(table). The in-query
+    //    requires pin the pruned file counts (scale-independent: the probe
+    //    is metadata-only); the row filter makes the superset exact.
+    "q310_sql_read_skipping" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("sqlskip").toString
+      withShufflePartitions(s, 8) {
+      val bt = new graft.tables.BucketedSnapshotTable(s"$work/t", 16,
+        Seq("c_custkey"), Seq("c_acctbal"), Seq("c_name"))
+      val c = Tables.customer(s, dir).select($"c_custkey", $"c_name", $"c_acctbal")
+      bt.scd1Merge(s, c.withColumn("op_seq", lit(1L)), "op_seq")
+      // the hot batch's balances land FAR outside the base range, so the
+      // per-batch stats separate its files from every base file
+      bt.scd1Merge(s, c.filter($"c_custkey" % 60 === 0)
+        .withColumn("c_acctbal", $"c_acctbal" + 20000)
+        .withColumn("op_seq", lit(2L)), "op_seq")
+      val target = "Customer#000000049" // 49 % 60 != 0: keeps batch-1 balance
+      val (kRange, all) = bt.pruneStats(s, $"c_acctbal" >= 15000)
+      require(kRange > 0 && kRange * 4 <= all,
+        s"stats must prune the SQL range read: $kRange of $all files")
+      val (kPoint, _) = bt.pruneStats(s, $"c_name" === target)
+      require(kPoint > 0 && kPoint * 4 <= all,
+        s"bloom must prune the SQL point read: $kPoint of $all files")
+      val sqlRun = (q: String) => org.apache.spark.sql.GraftColumnBridge.graftSql(s, q)
+      sqlRun(s"SNAPSHOT '$work/t' WHERE c_acctbal >= 15000")
+        .unionByName(sqlRun(s"SNAPSHOT '$work/t' WHERE c_name = '$target'"))
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+        .orderBy($"c_custkey")
+      }
+    }),
+
+    // ── READ-SIDE DATA SKIPPING THROUGH SQL (r10, plain format): same
+    //    serving queries on a plain snapshot — `_stats_v` range manifest
+    //    (clustered by order date, so file ranges are disjoint) and the
+    //    `_bloom_v` sidecar (point lookups OFF the clustering order) both
+    //    prune the SNAPSHOT relation's file list at planning time.
+    "q311_sql_read_skipping_plain" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("sqlskipp").toString
+      withShufflePartitions(s, 8) {
+      val t = new graft.tables.SnapshotTable(s"$work/t")
+      t.writeIndexed(s, Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderdate"),
+        statsCols = Seq("o_orderdate"), bloomCols = Seq("o_orderkey"),
+        clusterBy = Seq("o_orderdate"), clusterPartitions = 8)
+      val (kRange, all) = t.pruneStats(s,
+        $"o_orderdate" >= lit("2001-06-01 00:00:00").cast("timestamp"))
+      require(kRange > 0 && kRange * 2 <= all,
+        s"stats must prune the late-date range read: $kRange of $all files")
+      val (kPoint, _) = t.pruneStats(s, $"o_orderkey" === 1L)
+      require(kPoint > 0 && kPoint * 2 <= all,
+        s"bloom must prune the point read: $kPoint of $all files")
+      val sqlRun = (q: String) => org.apache.spark.sql.GraftColumnBridge.graftSql(s, q)
+      sqlRun(s"SNAPSHOT '$work/t' WHERE o_orderdate >= TIMESTAMP '2001-06-01 00:00:00'")
+        .unionByName(sqlRun(s"SNAPSHOT '$work/t' WHERE o_orderkey = 1"))
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderdate")
+        .orderBy($"o_orderkey", $"o_orderdate")
+      }
+    }),
+
     // ── PLAIN-DIM APPEND-WINDOW MIRROR (r9): reference dims live in
     //    plain snapshots; on an append-mostly dim the mirror window's
     //    diff is FILE-LEVEL pruned — files shared by both versions are
@@ -6629,6 +6693,29 @@ object SparkEntry {
         |  CASE WHEN c_custkey % 70 = 0 THEN c_acctbal + 3 ELSE c_acctbal END AS c_acctbal
         |FROM customer WHERE c_name = 'Customer#000000077'
         |ORDER BY c_custkey""".stripMargin,
+
+    // SQL read skipping is invisible to the row-filtered result: range
+    // rows (the +20000 hot batch) UNION ALL the point row (49 % 60 != 0,
+    // base balance) — the spark side unions two SNAPSHOT reads the same way
+    "q310_sql_read_skipping" ->
+      """WITH v AS (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 60 = 0 THEN c_acctbal + 20000 ELSE c_acctbal END AS c_acctbal
+        |  FROM customer)
+        |SELECT * FROM (
+        |  SELECT * FROM v WHERE c_acctbal >= 15000
+        |  UNION ALL
+        |  SELECT * FROM v WHERE c_name = 'Customer#000000049')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q311_sql_read_skipping_plain" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '2001-06-01 00:00:00'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |  FROM orders WHERE o_orderkey = 1)
+        |ORDER BY o_orderkey, o_orderdate""".stripMargin,
 
     // the mirror after bootstrap + one append window = base dim plus the
     // appended (offset, uppercased) rows — file pruning is invisible to

@@ -27,6 +27,8 @@ import graft.tables.SnapshotTable
   *   DELETE FROM '<table root>' WHERE <predicate>
   *   INSERT INTO '<table root>' FROM <view> [EVOLVE]
   *   SNAPSHOT '<table root>' [VERSION AS OF <n> | TIMESTAMP AS OF '<ts>']
+  *     [WHERE <predicate>]   -- file-skipping read: stats+Bloom sidecars
+  *                           -- prune the scan's file list at planning time
   *   CHANGES '<table root>' FROM <v> TO <v> [ON KEYS (…)] [WITH COLUMNS]
   *   CHANGES '<table root>' SINCE TIMESTAMP '<ts>' [ON KEYS (…)] [WITH COLUMNS]
   *   CREATE TABLE '<root>' [BUCKETED BY (k…) INTO <n> BUCKETS SEQUENCE BY c]
@@ -73,7 +75,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Delete =
     """(?is)\s*DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val Snapshot =
-    """(?is)\s*SNAPSHOT\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?\s*""".r
+    """(?is)\s*SNAPSHOT\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
   private val Insert =
     """(?is)\s*INSERT\s+INTO\s+'([^']+)'\s+FROM\s+([\w.]+)(\s+EVOLVE)?\s*;?\s*""".r
   private val Changes =
@@ -138,27 +140,34 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       AlterConstraintCommand(path, name, Some(pred.trim))
     case DropConstraint(path, name) =>
       AlterConstraintCommand(path, name, None)
-    case Snapshot(path, version, asOfTs) =>
+    case Snapshot(path, version, asOfTs, where) =>
       // a QUERY, not a command: time-travel read as a logical plan. The
       // VISIBLE table: SCD tombstone state rows (persisted for cross-batch
       // out-of-order protection) are filtered and __DELETED dropped —
       // scd1Current is a pass-through for tables without delete flows.
+      // The relation lists its files through the PRUNING file index
+      // (readIndexed), so the WHERE here — and any predicate a wrapping
+      // query pushes down later — skips files via the table's stats/Bloom
+      // sidecars at planning time, not just rows at execution time.
       val spark = SparkSession.active
       val tsMillis = Option(asOfTs).map(parseTsMillis)
       val raw = graft.tables.BucketedSnapshotTable.layoutOf(spark, path) match {
         case Some(l) =>
-          val bt = new graft.tables.BucketedSnapshotTable(path, l.numBuckets,
-            l.keys.getOrElse(Nil))
-          Option(version).map(v => bt.readVersion(spark, v.toInt))
-            .orElse(tsMillis.map(bt.readTimestamp(spark, _)))
-            .getOrElse(bt.read(spark))
+          val bt = DmlRouting.table(spark, path, l)
+          val ver = Option(version).map(_.toInt)
+            .orElse(tsMillis.map(bt.versionAt(spark, _)))
+          bt.readIndexed(spark, ver)
         case None =>
           val t = new SnapshotTable(path)
-          Option(version).map(v => t.readVersion(spark, v.toInt))
-            .orElse(tsMillis.map(t.readTimestamp(spark, _)))
-            .getOrElse(t.read(spark))
+          val ver = Option(version).map(_.toInt)
+            .orElse(tsMillis.map(t.versionAt(spark, _)))
+          t.readIndexed(spark, ver)
       }
-      graft.cdc.ScdMerge.scd1Current(raw).queryExecution.logical
+      val visible = graft.cdc.ScdMerge.scd1Current(raw)
+      Option(where).map(w =>
+          visible.filter(org.apache.spark.sql.functions.expr(w.trim)))
+        .getOrElse(visible)
+        .queryExecution.logical
     case Changes(path, fromV, toV, keysOpt, withCols) =>
       changesPlan(path, Right((fromV.toInt, toV.toInt)), Option(keysOpt),
         withCols != null)

@@ -134,6 +134,13 @@ private[tables] object BloomIndex {
       .flatMap(_.headOption.filter(l => l.startsWith("cols=") && !l.contains("\t")))
       .map(_.stripPrefix("cols=").split(",").map(_.trim).filter(_.nonEmpty).toSeq)
 
+  /** The data files an index at `dir` LISTS (None = no index) — what a
+    * probe needs to distinguish "provably absent" from "never indexed":
+    * files outside this set must always be kept (superset guarantee). */
+  def indexedFiles(fs: FileSystem, dir: Path): Option[Set[String]] =
+    StatsManifest.readLines(fs, new Path(dir, "_MANIFEST")).map(
+      _.collect { case l if l.contains("\t") => l.split("\t", 2)(0) }.toSet)
+
   /** Parallelize the per-file sidecar reads: a probe opens one small
     * sidecar per data file (≤ numBuckets per batch dir) — sequential
     * driver IO would grow linearly with bucket count (4096 at 100 TB),

@@ -678,181 +678,9 @@ final class BucketedSnapshotTable(
   private type StrB = Map[String, (Option[String], Option[String])]
   private type PtB  = Map[String, BucketedSnapshotTable.PointSet]
 
-  private def predAllBounds(pred: Column): (NumB, StrB, PtB) = {
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    import org.apache.spark.sql.catalyst.expressions._
-    def attr(e: Expression): Option[String] = e match {
-      case a: UnresolvedAttribute => Some(a.name)
-      case a: AttributeReference  => Some(a.name)
-      case _ => None
-    }
-    def folded(e0: Expression): Option[Any] = {
-      val e = e0 match {
-        // a Cast(literal, timestamp/date) from the Column API carries no
-        // timezone yet (the analyzer normally injects it) — stamp the
-        // session zone so the literal folds, matching what analysis does
-        case c: Cast if !c.resolved && c.childrenResolved =>
-          c.withTimeZone(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
-        case x => x
-      }
-      if (e.resolved && e.foldable) Option(e.eval(null)) else None
-    }
-    def litD(e: Expression): Option[Double] = folded(e).collect {
-      case n: Number => n.doubleValue
-      case d: org.apache.spark.sql.types.Decimal => d.toDouble
-    }
-    def litS(e: Expression): Option[String] = folded(e).collect {
-      case s: String => s
-      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
-    }
-    def litL(e: Expression): Option[Long] = folded(e).collect {
-      case b: Byte  => b.toLong
-      case s: Short => s.toLong
-      case i: Int   => i.toLong
-      case l: Long  => l
-    }
-    import BucketedSnapshotTable.PointSet
-    val NegInf = Double.NegativeInfinity
-    val PosInf = Double.PositiveInfinity
-    def mergeN(a: NumB, b: NumB): NumB =
-      (a.keySet ++ b.keySet).map { c =>
-        val (alo, ahi) = a.getOrElse(c, (NegInf, PosInf))
-        val (blo, bhi) = b.getOrElse(c, (NegInf, PosInf))
-        c -> (math.max(alo, blo), math.min(ahi, bhi))
-      }.toMap
-    def mergeS(a: StrB, b: StrB): StrB =
-      (a.keySet ++ b.keySet).map { c =>
-        val (alo, ahi) = a.getOrElse(c, (None, None))
-        val (blo, bhi) = b.getOrElse(c, (None, None))
-        val lo = (alo.toSeq ++ blo.toSeq).maxOption
-        val hi = (ahi.toSeq ++ bhi.toSeq).minOption
-        c -> (lo, hi)
-      }.toMap
-    // AND on point sets: the column must satisfy both constraints →
-    // member-wise intersection (two IN-lists conjoin to their overlap; an
-    // empty overlap is unsatisfiable and prunes every indexed file).
-    // Intersection is only sound WITHIN a hash kind both sides populate:
-    // Spark coerces cast-compatible literals of different kinds to the
-    // same value (`c = 1 AND c = '1'` holds on an int column), so
-    // intersecting a longs-only side against a strs-only side would
-    // collapse a satisfiable conjunction to the empty set — safe alone
-    // (empty keeps all files) but WRONG under OR, where mergeOr would
-    // union the empty set away and claim {other branch} complete. For a
-    // kind only one side populates, that side's values carry through
-    // verbatim: the column's value must satisfy both constraints, so
-    // either side alone is a sound over-approximation.
-    def mergeP(a: PtB, b: PtB): PtB =
-      (a.keySet ++ b.keySet).map { c =>
-        c -> ((a.get(c), b.get(c)) match {
-          case (Some(x), Some(y)) => PointSet.and(x, y)
-          case (x, y)             => x.orElse(y).get
-        })
-      }.toMap
-    def merge(a: (NumB, StrB, PtB), b: (NumB, StrB, PtB)): (NumB, StrB, PtB) =
-      (mergeN(a._1, b._1), mergeS(a._2, b._2), mergeP(a._3, b._3))
-    // OR is sound only for columns BOTH branches constrain (a row can
-    // satisfy the other branch without touching this column otherwise):
-    // ranges take the hull, point sets the union; single-side columns drop
-    def mergeOr(a: (NumB, StrB, PtB), b: (NumB, StrB, PtB)): (NumB, StrB, PtB) = {
-      val n = (a._1.keySet intersect b._1.keySet).map { c =>
-        val (alo, ahi) = a._1(c); val (blo, bhi) = b._1(c)
-        c -> (math.min(alo, blo), math.max(ahi, bhi))
-      }.toMap
-      val s = (a._2.keySet intersect b._2.keySet).map { c =>
-        val (alo, ahi) = a._2(c); val (blo, bhi) = b._2(c)
-        val lo = for (x <- alo; y <- blo) yield if (x < y) x else y
-        val hi = for (x <- ahi; y <- bhi) yield if (x > y) x else y
-        c -> (lo, hi)
-      }.filter { case (_, (lo, hi)) => lo.isDefined || hi.isDefined }.toMap
-      val p = (a._3.keySet intersect b._3.keySet).map { c =>
-        val x = a._3(c); val y = b._3(c)
-        c -> PointSet(x.longs ++ y.longs, x.strs ++ y.strs)
-      }.toMap
-      (n, s, p)
-    }
-    val empty: (NumB, StrB, PtB) = (Map.empty, Map.empty, Map.empty)
-    def oneN(c: Option[String], v: Option[Double],
-        f: Double => (Double, Double)): NumB =
-      (for (cc <- c; vv <- v) yield Map(cc -> f(vv))).getOrElse(Map.empty)
-    def oneS(c: Option[String], v: Option[String],
-        f: String => (Option[String], Option[String])): StrB =
-      (for (cc <- c; vv <- v) yield Map(cc -> f(vv))).getOrElse(Map.empty)
-    // a single `c ∈ {values}` point constraint: usable only when every
-    // value is integral (→ the index's long hash kind) or string. A string
-    // literal that is itself a pure integer ALSO probes the long kind:
-    // Spark coerces `c = '1'` on an int column to the numeric comparison,
-    // and without the extra long the conjunction algebra (PointSet.and)
-    // could intersect two coerce-equal literals of different kinds to a
-    // false "unsatisfiable".
-    def onePts(c: Option[String], items: Seq[Expression]): PtB =
-      c match {
-        case Some(cc) if items.nonEmpty =>
-          val vs = items.map(e => (litL(e), litS(e)))
-          if (vs.forall { case (l, s) => l.isDefined || s.isDefined }) {
-            val strs = vs.flatMap(_._2).toSet
-            val longs = vs.flatMap(_._1).toSet ++
-              strs.flatMap(BucketedSnapshotTable.integerLiteral)
-            Map(cc -> PointSet(longs, strs))
-          } else Map.empty
-        case _ => Map.empty
-      }
-    // two comparison encodings reach us unanalyzed: SQL text parses to the
-    // typed nodes (GreaterThanOrEqual, …); the Column DSL converts to
-    // UnresolvedFunction("and" | ">=" | …) calls — handle both
-    def cmp(name: String, l: Expression, r: Expression): (NumB, StrB, PtB) = name match {
-      case "=" | "==" =>
-        (oneN(attr(l), litD(r), v => (v, v)) ++ oneN(attr(r), litD(l), v => (v, v)),
-         oneS(attr(l), litS(r), v => (Some(v), Some(v))) ++
-           oneS(attr(r), litS(l), v => (Some(v), Some(v))),
-         (if (attr(l).isDefined) onePts(attr(l), Seq(r)) else Map.empty[String, PointSet]) ++
-           (if (attr(r).isDefined) onePts(attr(r), Seq(l)) else Map.empty[String, PointSet]))
-      case ">" | ">=" =>
-        (oneN(attr(l), litD(r), v => (v, PosInf)) ++ oneN(attr(r), litD(l), v => (NegInf, v)),
-         oneS(attr(l), litS(r), v => (Some(v), None)) ++
-           oneS(attr(r), litS(l), v => (None, Some(v))),
-         Map.empty)
-      case "<" | "<=" =>
-        (oneN(attr(l), litD(r), v => (NegInf, v)) ++ oneN(attr(r), litD(l), v => (v, PosInf)),
-         oneS(attr(l), litS(r), v => (None, Some(v))) ++
-           oneS(attr(r), litS(l), v => (Some(v), None)),
-         Map.empty)
-      case _ => empty
-    }
-    // IN-list: the column lies in [min(items), max(items)] — usable only
-    // when EVERY item folds (a non-literal item could lie anywhere)
-    def inB(l: Expression, items: Seq[Expression]): (NumB, StrB, PtB) =
-      attr(l) match {
-        case None => empty
-        case Some(c) =>
-          val ds = items.map(litD)
-          val ss = items.map(litS)
-          (if (items.nonEmpty && ds.forall(_.isDefined))
-             Map(c -> ((ds.flatten.min, ds.flatten.max))) else Map.empty[String, (Double, Double)],
-           if (items.nonEmpty && ss.forall(_.isDefined))
-             Map(c -> ((Some(ss.flatten.min), Some(ss.flatten.max)))) else Map.empty[String, (Option[String], Option[String])],
-           onePts(Some(c), items))
-      }
-    def walk(e: Expression): (NumB, StrB, PtB) = e match {
-      case And(l, r)                => merge(walk(l), walk(r))
-      case Or(l, r)                 => mergeOr(walk(l), walk(r))
-      case EqualTo(l, r)            => cmp("=", l, r)
-      case GreaterThan(l, r)        => cmp(">", l, r)
-      case GreaterThanOrEqual(l, r) => cmp(">=", l, r)
-      case LessThan(l, r)           => cmp("<", l, r)
-      case LessThanOrEqual(l, r)    => cmp("<=", l, r)
-      case In(l, items)             => inB(l, items)
-      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
-        (f.nameParts.last.toLowerCase, f.arguments) match {
-          case ("and", Seq(l, r))          => merge(walk(l), walk(r))
-          case ("or", Seq(l, r))           => mergeOr(walk(l), walk(r))
-          case ("in", l +: items)          => inB(l, items)
-          case (n, Seq(l, r))              => cmp(n, l, r)
-          case _                           => empty
-        }
-      case _ => empty
-    }
-    walk(org.apache.spark.sql.GraftColumnBridge.catalystExpression(pred))
-  }
+  private def predAllBounds(pred: Column): (NumB, StrB, PtB) =
+    BucketedSnapshotTable.extractBounds(
+      org.apache.spark.sql.GraftColumnBridge.catalystExpression(pred))
 
   /** Stats-manifest pre-filter for predicate DML discovery (the bucketed
     * analog of Delta's data-skipping on UPDATE/DELETE): buckets whose every
@@ -1212,6 +1040,104 @@ final class BucketedSnapshotTable(
     else unionEvolvingParts(parts).drop(BucketCol)
   }
 
+  /** Pruning-aware read — the general SNAPSHOT relation: a plain parquet
+    * scan whose FILE LISTING goes through [[PruningFileIndex]], so ANY
+    * predicate Catalyst pushes into the scan (a later `.filter`, a SQL
+    * WHERE over `SNAPSHOT '<root>'`, a join's pushed equality) prunes the
+    * scheduled files through the per-batch stats AND Bloom sidecars at
+    * planning time — the read-side twin of the predicate-DML pre-filter,
+    * with no dedicated `readPruned*` call required. Superset guarantee
+    * throughout: the row filter still runs on the survivors.
+    *
+    * Falls back to the union-cast read when batch dirs disagree on a
+    * column's TYPE (such evolved tables need per-dir casts a
+    * single-schema parquet relation cannot express; add/drop-column
+    * evolution stays on the fast path — missing columns null-fill in the
+    * reader). `version` = time travel over that manifest. */
+  def readIndexed(spark: SparkSession, version: Option[Int] = None): DataFrame = {
+    val f = fs(spark)
+    version.foreach { x =>
+      if (!f.exists(new Path(root, s"_manifest_v$x")))
+        throw new IllegalArgumentException(
+          s"BucketedSnapshotTable $root: version $x does not exist")
+    }
+    val v = version.orElse(currentVersion(spark)).getOrElse(
+      throw new IllegalStateException(s"BucketedSnapshotTable $root is empty"))
+    val entries = readEntries(spark, v)
+    entries.values.map(_.dir).toSet.foreach { (dir: String) =>
+      if (!f.exists(new Path(s"$root/$dir")))
+        throw new IllegalArgumentException(
+          s"BucketedSnapshotTable $root: version $v was vacuumed (missing $dir)")
+    }
+    def fallback = version.map(readVersion(spark, _)).getOrElse(read(spark))
+    if (entries.isEmpty) return fallback // uniform empty-table errors
+    val byDir = liveFilesByDir(spark, entries)
+    val reps = byDir.flatMap(_._2.headOption).map(_.getPath.toString)
+    PruningFileIndex.unionSchema(spark, reps) match {
+      case None => fallback
+      case Some(schema) =>
+        PruningFileIndex.relation(spark, byDir.flatMap(_._2), schema,
+          keepFor(f, byDir))
+    }
+  }
+
+  /** (dir, its live buckets' data files) for a manifest's entries, oldest
+    * batch first (stable first-seen column types, like the union read). */
+  private def liveFilesByDir(spark: SparkSession, entries: Map[Int, BucketEntry])
+      : Seq[(String, Seq[org.apache.hadoop.fs.FileStatus])] = {
+    val f = fs(spark)
+    entries.groupBy(_._2.dir).toSeq
+      .sortBy { case (dir, _) => dir.stripPrefix("_batch_v").toIntOption.getOrElse(0) }
+      .map { case (dir, es) =>
+        dir -> es.keys.toSeq.sorted.flatMap { b =>
+          val p = new Path(s"$root/$dir/$BucketCol=$b")
+          if (!f.exists(p)) Nil
+          else f.listStatus(p).toSeq.filter(_.getPath.getName.endsWith(".parquet"))
+        }
+      }
+  }
+
+  /** The [[PruningFileIndex]] keep-callback over this table's per-batch
+    * sidecars: extract constraints once per planning call, build one
+    * dir-level keep predicate per batch dir ([[PruningFileIndex.dirKeep]]),
+    * route each file through its dir's. No extracted constraints (or an
+    * unknown file) → keep everything. */
+  private def keepFor(f: org.apache.hadoop.fs.FileSystem,
+      byDir: Seq[(String, Seq[org.apache.hadoop.fs.FileStatus])])
+      (preds: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : String => Boolean = {
+    val (nB, sB, pS) = BucketedSnapshotTable.extractBounds(
+      preds.reduce(org.apache.spark.sql.catalyst.expressions.And))
+    if (nB.isEmpty && sB.isEmpty && pS.isEmpty) (_: String) => true
+    else {
+      val perDir: Map[String, Option[String => Boolean]] = byDir.map { case (dir, _) =>
+        dir -> PruningFileIndex.dirKeep(f,
+          StatsManifest.readLines(f, batchStatsPath(dir)), batchBloomPath(dir),
+          nB, sB, pS)
+      }.toMap
+      val fileDir: Map[String, String] = byDir.flatMap { case (dir, fls) =>
+        fls.map(st => st.getPath.toUri.getPath -> dir)
+      }.toMap
+      (p: String) => fileDir.get(p) match {
+        case None      => true
+        case Some(dir) => perDir(dir).forall(_(p))
+      }
+    }
+  }
+
+  /** Metadata-only (never schedules a scan): of the live version's data
+    * files, how many survive read-side skipping under `pred` — the
+    * scale-independent pin gate queries `require` on. (kept, total). */
+  def pruneStats(spark: SparkSession, pred: Column): (Int, Int) = {
+    val entries = readEntries(spark, currentVersion(spark).getOrElse(
+      throw new IllegalStateException(s"BucketedSnapshotTable $root is empty")))
+    val byDir = liveFilesByDir(spark, entries)
+    val all = byDir.flatMap(_._2).map(_.getPath.toUri.getPath)
+    val k = keepFor(fs(spark), byDir)(Seq(
+      org.apache.spark.sql.GraftColumnBridge.catalystExpression(pred)))
+    (all.count(k), all.size)
+  }
+
   /** ANALYZE: backfill per-batch file stats for THIS instance's
     * `statsCols` over every batch dir the live manifest reaches, then
     * commit a metadata-only version whose header records the stats
@@ -1433,6 +1359,196 @@ object BucketedSnapshotTable {
   private[graft] def integerLiteral(s: String): Option[Long] = {
     val t = s.trim
     if (t.nonEmpty && t.matches("[+-]?\\d+")) t.toLongOption else None
+  }
+
+  private type NumB = Map[String, (Double, Double)]
+  private type StrB = Map[String, (Option[String], Option[String])]
+  private type PtB  = Map[String, PointSet]
+
+  /** Conservative data-skipping constraints extracted from a predicate's
+    * Catalyst expression tree: per-column numeric [lo,hi] bounds, string
+    * prefix bounds, and point-equality sets — the one driver-side analysis
+    * feeding BOTH the predicate-DML discovery pre-filter and the
+    * read-side pruning file index. Handles the typed comparison nodes
+    * (SQL text / analyzed plans: AttributeReference + foldable literals)
+    * and the Column-DSL `UnresolvedFunction` encoding. Anything it cannot
+    * prove contributes nothing — skipping is always a superset
+    * guarantee. */
+  private[graft] def extractBounds(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): (NumB, StrB, PtB) = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    def attr(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference  => Some(a.name)
+      case _ => None
+    }
+    def folded(e0: Expression): Option[Any] = {
+      val e = e0 match {
+        // a Cast(literal, timestamp/date) from the Column API carries no
+        // timezone yet (the analyzer normally injects it) — stamp the
+        // session zone so the literal folds, matching what analysis does
+        case c: Cast if !c.resolved && c.childrenResolved =>
+          c.withTimeZone(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+        case x => x
+      }
+      if (e.resolved && e.foldable) Option(e.eval(null)) else None
+    }
+    def litD(e: Expression): Option[Double] = folded(e).collect {
+      case n: Number => n.doubleValue
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    }
+    def litS(e: Expression): Option[String] = folded(e).collect {
+      case s: String => s
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+    }
+    def litL(e: Expression): Option[Long] = folded(e).collect {
+      case b: Byte  => b.toLong
+      case s: Short => s.toLong
+      case i: Int   => i.toLong
+      case l: Long  => l
+    }
+    import BucketedSnapshotTable.PointSet
+    val NegInf = Double.NegativeInfinity
+    val PosInf = Double.PositiveInfinity
+    def mergeN(a: NumB, b: NumB): NumB =
+      (a.keySet ++ b.keySet).map { c =>
+        val (alo, ahi) = a.getOrElse(c, (NegInf, PosInf))
+        val (blo, bhi) = b.getOrElse(c, (NegInf, PosInf))
+        c -> (math.max(alo, blo), math.min(ahi, bhi))
+      }.toMap
+    def mergeS(a: StrB, b: StrB): StrB =
+      (a.keySet ++ b.keySet).map { c =>
+        val (alo, ahi) = a.getOrElse(c, (None, None))
+        val (blo, bhi) = b.getOrElse(c, (None, None))
+        val lo = (alo.toSeq ++ blo.toSeq).maxOption
+        val hi = (ahi.toSeq ++ bhi.toSeq).minOption
+        c -> (lo, hi)
+      }.toMap
+    // AND on point sets: the column must satisfy both constraints →
+    // member-wise intersection (two IN-lists conjoin to their overlap; an
+    // empty overlap is unsatisfiable and prunes every indexed file).
+    // Intersection is only sound WITHIN a hash kind both sides populate:
+    // Spark coerces cast-compatible literals of different kinds to the
+    // same value (`c = 1 AND c = '1'` holds on an int column), so
+    // intersecting a longs-only side against a strs-only side would
+    // collapse a satisfiable conjunction to the empty set — safe alone
+    // (empty keeps all files) but WRONG under OR, where mergeOr would
+    // union the empty set away and claim {other branch} complete. For a
+    // kind only one side populates, that side's values carry through
+    // verbatim: the column's value must satisfy both constraints, so
+    // either side alone is a sound over-approximation.
+    def mergeP(a: PtB, b: PtB): PtB =
+      (a.keySet ++ b.keySet).map { c =>
+        c -> ((a.get(c), b.get(c)) match {
+          case (Some(x), Some(y)) => PointSet.and(x, y)
+          case (x, y)             => x.orElse(y).get
+        })
+      }.toMap
+    def merge(a: (NumB, StrB, PtB), b: (NumB, StrB, PtB)): (NumB, StrB, PtB) =
+      (mergeN(a._1, b._1), mergeS(a._2, b._2), mergeP(a._3, b._3))
+    // OR is sound only for columns BOTH branches constrain (a row can
+    // satisfy the other branch without touching this column otherwise):
+    // ranges take the hull, point sets the union; single-side columns drop
+    def mergeOr(a: (NumB, StrB, PtB), b: (NumB, StrB, PtB)): (NumB, StrB, PtB) = {
+      val n = (a._1.keySet intersect b._1.keySet).map { c =>
+        val (alo, ahi) = a._1(c); val (blo, bhi) = b._1(c)
+        c -> (math.min(alo, blo), math.max(ahi, bhi))
+      }.toMap
+      val s = (a._2.keySet intersect b._2.keySet).map { c =>
+        val (alo, ahi) = a._2(c); val (blo, bhi) = b._2(c)
+        val lo = for (x <- alo; y <- blo) yield if (x < y) x else y
+        val hi = for (x <- ahi; y <- bhi) yield if (x > y) x else y
+        c -> (lo, hi)
+      }.filter { case (_, (lo, hi)) => lo.isDefined || hi.isDefined }.toMap
+      val p = (a._3.keySet intersect b._3.keySet).map { c =>
+        val x = a._3(c); val y = b._3(c)
+        c -> PointSet(x.longs ++ y.longs, x.strs ++ y.strs)
+      }.toMap
+      (n, s, p)
+    }
+    val empty: (NumB, StrB, PtB) = (Map.empty, Map.empty, Map.empty)
+    def oneN(c: Option[String], v: Option[Double],
+        f: Double => (Double, Double)): NumB =
+      (for (cc <- c; vv <- v) yield Map(cc -> f(vv))).getOrElse(Map.empty)
+    def oneS(c: Option[String], v: Option[String],
+        f: String => (Option[String], Option[String])): StrB =
+      (for (cc <- c; vv <- v) yield Map(cc -> f(vv))).getOrElse(Map.empty)
+    // a single `c ∈ {values}` point constraint: usable only when every
+    // value is integral (→ the index's long hash kind) or string. A string
+    // literal that is itself a pure integer ALSO probes the long kind:
+    // Spark coerces `c = '1'` on an int column to the numeric comparison,
+    // and without the extra long the conjunction algebra (PointSet.and)
+    // could intersect two coerce-equal literals of different kinds to a
+    // false "unsatisfiable".
+    def onePts(c: Option[String], items: Seq[Expression]): PtB =
+      c match {
+        case Some(cc) if items.nonEmpty =>
+          val vs = items.map(e => (litL(e), litS(e)))
+          if (vs.forall { case (l, s) => l.isDefined || s.isDefined }) {
+            val strs = vs.flatMap(_._2).toSet
+            val longs = vs.flatMap(_._1).toSet ++
+              strs.flatMap(BucketedSnapshotTable.integerLiteral)
+            Map(cc -> PointSet(longs, strs))
+          } else Map.empty
+        case _ => Map.empty
+      }
+    // two comparison encodings reach us unanalyzed: SQL text parses to the
+    // typed nodes (GreaterThanOrEqual, …); the Column DSL converts to
+    // UnresolvedFunction("and" | ">=" | …) calls — handle both
+    def cmp(name: String, l: Expression, r: Expression): (NumB, StrB, PtB) = name match {
+      case "=" | "==" =>
+        (oneN(attr(l), litD(r), v => (v, v)) ++ oneN(attr(r), litD(l), v => (v, v)),
+         oneS(attr(l), litS(r), v => (Some(v), Some(v))) ++
+           oneS(attr(r), litS(l), v => (Some(v), Some(v))),
+         (if (attr(l).isDefined) onePts(attr(l), Seq(r)) else Map.empty[String, PointSet]) ++
+           (if (attr(r).isDefined) onePts(attr(r), Seq(l)) else Map.empty[String, PointSet]))
+      case ">" | ">=" =>
+        (oneN(attr(l), litD(r), v => (v, PosInf)) ++ oneN(attr(r), litD(l), v => (NegInf, v)),
+         oneS(attr(l), litS(r), v => (Some(v), None)) ++
+           oneS(attr(r), litS(l), v => (None, Some(v))),
+         Map.empty)
+      case "<" | "<=" =>
+        (oneN(attr(l), litD(r), v => (NegInf, v)) ++ oneN(attr(r), litD(l), v => (v, PosInf)),
+         oneS(attr(l), litS(r), v => (None, Some(v))) ++
+           oneS(attr(r), litS(l), v => (Some(v), None)),
+         Map.empty)
+      case _ => empty
+    }
+    // IN-list: the column lies in [min(items), max(items)] — usable only
+    // when EVERY item folds (a non-literal item could lie anywhere)
+    def inB(l: Expression, items: Seq[Expression]): (NumB, StrB, PtB) =
+      attr(l) match {
+        case None => empty
+        case Some(c) =>
+          val ds = items.map(litD)
+          val ss = items.map(litS)
+          (if (items.nonEmpty && ds.forall(_.isDefined))
+             Map(c -> ((ds.flatten.min, ds.flatten.max))) else Map.empty[String, (Double, Double)],
+           if (items.nonEmpty && ss.forall(_.isDefined))
+             Map(c -> ((Some(ss.flatten.min), Some(ss.flatten.max)))) else Map.empty[String, (Option[String], Option[String])],
+           onePts(Some(c), items))
+      }
+    def walk(e: Expression): (NumB, StrB, PtB) = e match {
+      case And(l, r)                => merge(walk(l), walk(r))
+      case Or(l, r)                 => mergeOr(walk(l), walk(r))
+      case EqualTo(l, r)            => cmp("=", l, r)
+      case GreaterThan(l, r)        => cmp(">", l, r)
+      case GreaterThanOrEqual(l, r) => cmp(">=", l, r)
+      case LessThan(l, r)           => cmp("<", l, r)
+      case LessThanOrEqual(l, r)    => cmp("<=", l, r)
+      case In(l, items)             => inB(l, items)
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+        (f.nameParts.last.toLowerCase, f.arguments) match {
+          case ("and", Seq(l, r))          => merge(walk(l), walk(r))
+          case ("or", Seq(l, r))           => mergeOr(walk(l), walk(r))
+          case ("in", l +: items)          => inB(l, items)
+          case (n, Seq(l, r))              => cmp(n, l, r)
+          case _                           => empty
+        }
+      case _ => empty
+    }
+    walk(e)
   }
 
   private[graft] object PointSet {

@@ -861,6 +861,65 @@ final class SnapshotTable(val root: String,
   def readPrunedBloomString(spark: SparkSession, column: String, value: String): DataFrame =
     readBloomFiles(spark, BloomIndex.filesMightContainString(_, _, column, value))
 
+  /** Pruning-aware read — the general SNAPSHOT relation on the plain
+    * format: file listing goes through [[PruningFileIndex]], so any
+    * predicate Catalyst pushes into the scan prunes the version's file
+    * list through the `_stats_v` range manifest AND the `_bloom_v`
+    * point-lookup sidecar at planning time (no dedicated `readPruned*`
+    * call). Tombstones anti-join on top as in [[read]] — sound, the
+    * tombstone side is its own relation. Falls back to the ordinary read
+    * when the version is hive-partitioned (partition values live in dir
+    * names a bare-file relation cannot reattach) or when version dirs
+    * disagree on a column's type. `version` = time travel. */
+  def readIndexed(spark: SparkSession, version: Option[Int] = None): DataFrame = {
+    val f = fs(spark)
+    val v = version.getOrElse(currentVersion(spark).getOrElse(
+      throw new IllegalStateException(s"SnapshotTable $root has no committed version")))
+    def fallback = version.map(readVersion(spark, _)).getOrElse(read(spark))
+    val gone = f.exists(new Path(root, s"_gone_v$v"))
+    if (gone || (!f.exists(new Path(s"$root/_v$v")) && !f.exists(filesPath(v))))
+      throw new IllegalArgumentException(
+        s"SnapshotTable $root: version $v does not exist (vacuumed or never committed)")
+    if (partitionColsOf(f, v).nonEmpty) return fallback
+    val uris = listDataFiles(f, v).map(_._1)
+    if (uris.isEmpty) return fallback
+    val statuses = uris.map(u => f.getFileStatus(new Path(u)))
+    // one representative per version dir (files of one write job share a
+    // schema); bail to the union-cast read on a type conflict
+    val reps = uris.groupBy(versionDirOf).toSeq.sortBy(_._1).map(_._2.head)
+    PruningFileIndex.unionSchema(spark, reps) match {
+      case None => fallback
+      case Some(schema) =>
+        val base = PruningFileIndex.relation(spark, statuses, schema, keepFor(f, v))
+        applyTombstones(spark, v, base)
+    }
+  }
+
+  /** The [[PruningFileIndex]] keep-callback over version `v`'s stats
+    * manifest + Bloom sidecar (both whole-version on this format). */
+  private def keepFor(f: org.apache.hadoop.fs.FileSystem, v: Int)
+      (preds: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : String => Boolean = {
+    val (nB, sB, pS) = BucketedSnapshotTable.extractBounds(
+      preds.reduce(org.apache.spark.sql.catalyst.expressions.And))
+    if (nB.isEmpty && sB.isEmpty && pS.isEmpty) (_: String) => true
+    else PruningFileIndex.dirKeep(f,
+      StatsManifest.readLines(f, statsPath(v)), bloomPath(v), nB, sB, pS)
+      .getOrElse((_: String) => true)
+  }
+
+  /** Metadata-only: of the live version's data files, how many survive
+    * read-side skipping under `pred` — (kept, total), the gate-query pin. */
+  def pruneStats(spark: SparkSession, pred: org.apache.spark.sql.Column): (Int, Int) = {
+    val f = fs(spark)
+    val v = currentVersion(spark).getOrElse(
+      throw new IllegalStateException(s"SnapshotTable $root has no committed version"))
+    val all = listDataFiles(f, v).map { case (u, _) => new Path(u).toUri.getPath }
+    val k = keepFor(f, v)(Seq(
+      org.apache.spark.sql.GraftColumnBridge.catalystExpression(pred)))
+    (all.count(k), all.size)
+  }
+
   /** Change data feed between two committed versions (Delta CDF analog,
     * computed on demand from the immutable snapshots rather than logged at
     * write time): one row per changed key with `_change_type` ∈

@@ -1,0 +1,129 @@
+package graft.tables
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Read-side data skipping through the pruning file index: any predicate
+  * pushed into a SNAPSHOT relation's scan must shrink the EXECUTED plan's
+  * file list via the stats/Bloom sidecars, on both table formats, without
+  * changing results. */
+class PruningReadSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  private def sql(q: String): DataFrame =
+    org.apache.spark.sql.GraftColumnBridge.graftSql(spark, q)
+
+  /** Files the EXECUTED scan actually read (the planner's listFiles
+    * output), summed over every parquet scan in the plan. */
+  private def scannedFiles(df: DataFrame): Long = {
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "expected a FileSourceScanExec in the executed plan")
+    scans.map(_.metrics("numFiles").value).sum
+  }
+
+  test("bucketed SNAPSHOT: WHERE prunes files via stats AND bloom; results exact") {
+    val root = tmp("bpread")
+    val t = new BucketedSnapshotTable(root, numBuckets = 16, keys = Seq("k"),
+      statsCols = Seq("d"), bloomCols = Seq("oid"))
+    t.scd1Merge(spark, (1 to 160).map(i => (i, 1L, i.toLong, i * 1000L))
+      .toDF("k", "seq", "d", "oid"), "seq")
+    t.scd1Merge(spark, Seq((3, 2L, 500L, 999999L), (4, 2L, 501L, 888888L))
+      .toDF("k", "seq", "d", "oid"), "seq")
+    val total = t.read(spark).inputFiles.length
+
+    // range predicate on the stats column — SQL WHERE form
+    val range = sql(s"SNAPSHOT '$root' WHERE d >= 400")
+    assert(range.as[(Int, Long, Long, Long)].collect().map(_._1).toSet == Set(3, 4))
+    val rangeFiles = scannedFiles(sql(s"SNAPSHOT '$root' WHERE d >= 400"))
+    assert(rangeFiles * 4 <= total,
+      s"stats skipping must prune the range scan: $rangeFiles of $total files")
+
+    // point predicate on the bloom column, pushed through a plain .filter
+    // on the relation (NO dedicated readPruned call — the file index does
+    // it at planning time)
+    val snap = sql(s"SNAPSHOT '$root'")
+    val point = snap.filter($"oid" === 999999L)
+    assert(point.select("k").as[Int].collect().toSeq == Seq(3))
+    assert(scannedFiles(snap.filter($"oid" === 999999L)) * 4 <= total,
+      "bloom skipping must prune the point scan")
+
+    // metadata pin used by the gate query
+    val (kept, all) = t.pruneStats(spark, $"oid" === 999999L)
+    assert(all == total && kept * 4 <= all, s"pruneStats: $kept of $all")
+    // no constraints → no pruning, full scan is a full scan
+    assert(scannedFiles(snap) == total)
+    // unsatisfiable range → zero files, schema preserved, zero rows
+    assert(sql(s"SNAPSHOT '$root' WHERE d > 100000").count() == 0)
+  }
+
+  test("bucketed SNAPSHOT: SCD tombstones filtered; time travel prunes too") {
+    val root = tmp("bpread2")
+    val t = new BucketedSnapshotTable(root, numBuckets = 8, keys = Seq("k"),
+      statsCols = Seq("d"))
+    t.scd1Merge(spark, (1 to 80).map(i => (i, 1L, i.toLong)).toDF("k", "seq", "d"), "seq")
+    t.scd1Merge(spark,
+      Seq((5, 2L, 5L)).toDF("k", "seq", "d").withColumn(graft.cdc.ScdMerge.DeletedCol, lit(true)),
+      "seq", applyAsDeletes = Some(col(graft.cdc.ScdMerge.DeletedCol)))
+    // the tombstoned key is invisible through SNAPSHOT
+    assert(sql(s"SNAPSHOT '$root' WHERE d <= 10").select("k").as[Int]
+      .collect().toSet == Set(1, 2, 3, 4, 6, 7, 8, 9, 10))
+    // version 1 still shows it, read through the same pruned path
+    assert(sql(s"SNAPSHOT '$root' VERSION AS OF 1 WHERE d = 5").select("k")
+      .as[Int].collect().toSeq == Seq(5))
+  }
+
+  test("bucketed fallback: type-evolved dirs take the union-cast read, results stay correct") {
+    val root = tmp("bpreadevo")
+    val t = new BucketedSnapshotTable(root, numBuckets = 4, keys = Seq("k"))
+    t.scd1Merge(spark, Seq((1, 1L, 10), (2, 1L, 20)).toDF("k", "seq", "d"), "seq") // d: int
+    t.scd1Merge(spark, Seq((9, 2L, 90L)).toDF("k", "seq", "d"), "seq")             // d: long
+    val got = sql(s"SNAPSHOT '$root' WHERE d >= 20").select("k").as[Int].collect().toSet
+    assert(got == Set(2, 9), s"evolved table must answer through the fallback: $got")
+  }
+
+  test("plain SNAPSHOT: stats + bloom skipping, key tombstones still anti-joined") {
+    val root = tmp("ppread")
+    val t = new SnapshotTable(root)
+    // 8 files clustered by d so the stats ranges are disjoint; bloom on id
+    t.writeIndexed(spark, (1 to 800).map(i => (i.toLong, i.toLong, s"v$i"))
+      .toDF("id", "d", "v"), statsCols = Seq("d"), bloomCols = Seq("id"),
+      clusterBy = Seq("d"), clusterPartitions = 8)
+    val total = t.read(spark).inputFiles.length
+    assert(total >= 8)
+
+    val range = sql(s"SNAPSHOT '$root' WHERE d BETWEEN 100 AND 120")
+    assert(range.count() == 21)
+    assert(scannedFiles(sql(s"SNAPSHOT '$root' WHERE d BETWEEN 100 AND 120")) * 2 <= total)
+
+    val point = sql(s"SNAPSHOT '$root' WHERE id = 400")
+    assert(point.select("v").as[String].collect().toSeq == Seq("v400"))
+    assert(scannedFiles(sql(s"SNAPSHOT '$root' WHERE id = 400")) * 2 <= total)
+    val (kept, all) = t.pruneStats(spark, $"id" === 400L)
+    assert(all == total && kept * 2 <= all)
+
+    // delete a key via tombstones: the pruned relation must still hide it
+    t.deleteKeys(spark, Seq(400L).toDF("id"))
+    assert(sql(s"SNAPSHOT '$root' WHERE id = 400").count() == 0)
+    assert(sql(s"SNAPSHOT '$root' WHERE d BETWEEN 100 AND 120").count() == 21)
+  }
+
+  test("plain fallback: hive-partitioned snapshot reads through the ordinary path") {
+    val root = tmp("ppreadpart")
+    val t = new SnapshotTable(root)
+    t.write(spark, (1 to 40).map(i => (i, i % 4, s"v$i")).toDF("id", "p", "v"),
+      partitionByCols = Seq("p"))
+    val got = sql(s"SNAPSHOT '$root' WHERE p = 2").select("id").as[Int].collect().toSet
+    assert(got == (1 to 40).filter(_ % 4 == 2).toSet)
+  }
+}
