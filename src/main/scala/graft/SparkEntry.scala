@@ -5531,11 +5531,14 @@ object SparkEntry {
       val c = Tables.customer(s, dir).select($"c_custkey", $"c_name", $"c_acctbal")
       bt.scd1Merge(s, c.withColumn("op_seq", lit(1L)), "op_seq")
       // the hot batch's balances land FAR outside the base range, so the
-      // per-batch stats separate its files from every base file
-      bt.scd1Merge(s, c.filter($"c_custkey" % 60 === 0)
+      // per-batch stats separate its files from every base file; a FIXED
+      // 2-key hot set keeps the matching file count scale-independent
+      // (a modulus-based set would grow with SF and honestly touch most
+      // buckets — no prune to pin)
+      bt.scd1Merge(s, c.filter($"c_custkey".isin(3, 4))
         .withColumn("c_acctbal", $"c_acctbal" + 20000)
         .withColumn("op_seq", lit(2L)), "op_seq")
-      val target = "Customer#000000049" // 49 % 60 != 0: keeps batch-1 balance
+      val target = "Customer#000000049" // not in the hot set: batch-1 balance
       val (kRange, all) = bt.pruneStats(s, $"c_acctbal" >= 15000)
       require(kRange > 0 && kRange * 4 <= all,
         s"stats must prune the SQL range read: $kRange of $all files")
@@ -6700,7 +6703,7 @@ object SparkEntry {
     "q310_sql_read_skipping" ->
       """WITH v AS (
         |  SELECT c_custkey, c_name,
-        |    CASE WHEN c_custkey % 60 = 0 THEN c_acctbal + 20000 ELSE c_acctbal END AS c_acctbal
+        |    CASE WHEN c_custkey IN (3, 4) THEN c_acctbal + 20000 ELSE c_acctbal END AS c_acctbal
         |  FROM customer)
         |SELECT * FROM (
         |  SELECT * FROM v WHERE c_acctbal >= 15000
