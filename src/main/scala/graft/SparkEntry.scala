@@ -5582,6 +5582,26 @@ object SparkEntry {
       }
     }),
 
+    // ── LLM-pipeline: ALL-BUT-THE-TOP DE-BIASING AT d=4096 (r10) — q261's
+    //    report past the driver guard: debiasReport routes through the
+    //    DISTRIBUTED power iteration (topComponentDistributed — only the
+    //    d-row component ever reaches the driver, never the 16.7M-cell
+    //    covariance), with arithmetic bit-identical to the local path
+    //    (LlmOpsSpec pins local ≡ distributed at d=64). The corpus is a
+    //    rational synthetic (k/97 — exact in any engine) so the DuckDB
+    //    oracle replays every quantization point.
+    "q312_debias_distributed" -> ((s, dir) => {
+      import s.implicits._
+      val d = 4096
+      val embs = s.range(3).select($"id".cast("long").as("vec_id"))
+        .select($"vec_id", transform(sequence(lit(0), lit(d - 1)),
+          i => ((($"vec_id" + 1) * 31 + i.cast("long") * 17) % 97)
+            .cast("double") / 97.0).as("embedding"))
+      graft.llm.Pca.debiasReport(s, embs, "vec_id", "embedding", d, iters = 10)
+        .select($"id".as("vec_id"), $"top_proj", $"norm_before", $"norm_after")
+        .orderBy($"vec_id")
+    }),
+
     // ── PLAIN-DIM APPEND-WINDOW MIRROR (r9): reference dims live in
     //    plain snapshots; on an append-mostly dim the mirror window's
     //    diff is FILE-LEVEL pruned — files shared by both versions are
@@ -6050,6 +6070,46 @@ object SparkEntry {
        |  round(nrm, 6) AS eigenvalue
        |FROM v10 CROSS JOIN n10 ORDER BY dim""".stripMargin
 
+  /** q312's oracle: the q261 debias pipeline over the rational synthetic
+    * d=4096 corpus (3 vectors, cell = ((id+1)*31 + i*17) % 97 / 97 — exact
+    * integer arithmetic + one correctly-rounded division, so both engines
+    * quantize identical doubles), every round unrolled like q292. */
+  private def debiasDistributedOracle: String =
+    s"""WITH e AS (SELECT UNNEST(range(3)) AS vec_id),
+       |cells AS (
+       |  SELECT vec_id AS id, i,
+       |    CAST(round(CAST(((vec_id + 1) * 31 + i * 17) % 97 AS DOUBLE) / 97.0, 6)
+       |      AS DECIMAL(20,6)) AS q
+       |  FROM e, (SELECT UNNEST(range(4096)) AS i)),
+       |nn AS (SELECT count(*) AS n FROM e),
+       |means AS (
+       |  SELECT i, CAST(round(CAST(SUM(q) AS DOUBLE)/CAST(nn.n AS DOUBLE), 9)
+       |    AS DECIMAL(18,9)) AS m
+       |  FROM cells CROSS JOIN nn GROUP BY i, nn.n),
+       |cent AS MATERIALIZED (
+       |  SELECT id, i, CAST(q AS DOUBLE) - CAST(m AS DOUBLE) AS cx
+       |  FROM cells JOIN means USING (i)),
+       |cov AS MATERIALIZED (
+       |  SELECT a.i AS i, b.i AS j,
+       |    CAST(round(CAST(SUM(CAST(a.cx*b.cx AS DECIMAL(28,12))) AS DOUBLE)
+       |      /CAST(nn.n AS DOUBLE), 9) AS DECIMAL(18,9)) AS c
+       |  FROM cent a JOIN cent b USING (id) CROSS JOIN nn GROUP BY a.i, b.i, nn.n),
+       |v0 AS (
+       |  SELECT i, CAST(round(CAST(1.0 AS DOUBLE)/sqrt(CAST(4096 AS DOUBLE)), 9)
+       |    AS DECIMAL(18,9)) AS v
+       |  FROM (SELECT DISTINCT i FROM means)),
+       |$pcaPowerSteps,
+       |p AS MATERIALIZED (
+       |  SELECT id, CAST(SUM(CAST(cx*CAST(v AS DOUBLE) AS DECIMAL(28,12)))
+       |    AS DOUBLE) AS p
+       |  FROM cent JOIN v10 USING (i) GROUP BY id)
+       |SELECT cent.id AS vec_id, round(max(p), 6) AS top_proj,
+       |  round(sqrt(CAST(SUM(CAST(cx*cx AS DECIMAL(28,12))) AS DOUBLE)), 6) AS norm_before,
+       |  round(sqrt(CAST(SUM(CAST((cx - p*CAST(v AS DOUBLE))*(cx - p*CAST(v AS DOUBLE))
+       |    AS DECIMAL(28,12))) AS DOUBLE)), 6) AS norm_after
+       |FROM cent JOIN v10 USING (i) JOIN p USING (id)
+       |GROUP BY cent.id ORDER BY vec_id""".stripMargin
+
   /** q261's oracle: the PCA pipeline + per-vector projection removal. */
   private def debiasOracle: String =
     s"""$pcaOracle,
@@ -6071,6 +6131,8 @@ object SparkEntry {
     "q260_pca_power" -> pcaOracleFinal,
 
     "q261_debias_topcomp" -> debiasOracle,
+
+    "q312_debias_distributed" -> debiasDistributedOracle,
 
     "q292_pca_power_distributed" -> pcaDistributedOracle,
 

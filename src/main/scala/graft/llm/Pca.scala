@@ -31,6 +31,12 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Pca {
 
+  /** Largest d² the LOCAL power iteration materializes driver-side (d ≤
+    * 4000, ≈128 MB of doubles — model-sized). Above it every consumer
+    * routes to [[topComponentDistributed]], whose arithmetic is
+    * bit-identical. */
+  private[llm] val LocalDimCells: Long = 16L * 1000 * 1000
+
   /** Mean-centered cell relation `(id, i, cx)` — 6-dp-quantized inputs,
     * 9-dp-quantized means, exact decimal-derived doubles out. */
   private[llm] def centeredCells(embs: DataFrame, idCol: String,
@@ -99,7 +105,7 @@ object Pca {
     // than silently materializing a data-sized matrix driver-side; a
     // larger d needs a distributed eigensolver (power iteration as a
     // d-keyed matrix-vector join per round), not this entry point.
-    require(d.toLong * d <= 16L * 1000 * 1000,
+    require(d.toLong * d <= LocalDimCells,
       s"topComponent iterates the d²=${d.toLong * d} covariance on the driver; " +
         "supported for d² <= 16M (d <= 4000). For larger d, run power iteration " +
         "distributed: keep cov as the (i,j)-keyed relation and express each " +
@@ -270,7 +276,8 @@ object Pca {
     * the cell relation + two per-id aggregations. Decimal-cast dot-product
     * terms keep every number engine-exact. */
   def debiasReport(spark: SparkSession, embs: DataFrame, idCol: String,
-      vecCol: String, d: Int, iters: Int = 10): DataFrame = {
+      vecCol: String, d: Int, iters: Int = 10,
+      forceDistributed: Boolean = false): DataFrame = {
     // ONE derivation of the corpus-sized cell relation, PINNED: three
     // consumers need it (the covariance pass and both de-bias joins), and
     // un-pinned each would re-run the explode + broadcast-mean join over
@@ -278,7 +285,15 @@ object Pca {
     // iteration-invariant lineage-pin precedent, TextRank.scala).
     val n = embs.select(col(idCol)).count()
     val centered = centeredCells(embs, idCol, vecCol).localCheckpoint()
-    val comp = topComponent(spark, covarianceFromCells(centered, n), d, iters)
+    // model-sized d iterates locally; past the driver guard the SAME
+    // report routes through the distributed power iteration (bit-identical
+    // arithmetic — the d-row component is all the de-bias joins consume,
+    // so the d² covariance never reaches the driver on that path).
+    // `forceDistributed` is the spec hook pinning local ≡ distributed.
+    val cov = covarianceFromCells(centered, n)
+    val comp = (if (!forceDistributed && d.toLong * d <= LocalDimCells)
+        topComponent(spark, cov, d, iters)
+      else topComponentDistributed(spark, cov, d, iters))
       .select(col("i"), col("loading"))
     val p = centered.join(broadcast(comp), Seq("i"))
       .groupBy(col("id"))

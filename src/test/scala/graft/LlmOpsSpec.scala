@@ -1221,6 +1221,20 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(l2 == d2, s"dense distributed/local drift: $l2 vs $d2")
   }
 
+  test("Pca.debiasReport: distributed routing ≡ local report, bit-identical at d=64") {
+    import graft.llm.Pca
+    // the whole REPORT (projections + norms), not just the component: the
+    // q312 path (d > 4000 → topComponentDistributed) must reproduce q261's
+    // local numbers exactly when forced at a d the local guard accepts
+    val local = Pca.debiasReport(spark, embs, "vec_id", "embedding", 64, iters = 10)
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1).toSeq
+    val dist = Pca.debiasReport(spark, embs, "vec_id", "embedding", 64, iters = 10,
+        forceDistributed = true)
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(local.nonEmpty && local == dist, s"debias routing drift:\n${
+      local.zip(dist).filter(p => p._1 != p._2).take(5)}")
+  }
+
   test("Pca.topComponents deflation: distributed ≡ local bit-identical; components orthogonal, eigenvalues descend") {
     import graft.llm.Pca
     // two planted factors with WELL-SEPARATED variances (power iteration
