@@ -5582,6 +5582,42 @@ object SparkEntry {
       }
     }),
 
+    // ── DOUBLE-KIND BLOOM + MIXED-TYPE IN PROBING (r10): point lookups on
+    //    a FRACTIONAL column (canonical-double-bits "d" filters — range
+    //    stats see domain-wide [min,max] in every file here) and an
+    //    IN-list mixing integral and string literals, both pruned through
+    //    SQL SNAPSHOT reads. Pre-r10 a double value could not probe at all
+    //    and one off-kind IN item degraded the probe to a full scan; now
+    //    each item converts per-kind when coercion-sound. In-query
+    //    requires pin both file sets.
+    "q313_double_bloom_read" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("dblbloom").toString
+      withShufflePartitions(s, 8) {
+      val bt = new graft.tables.BucketedSnapshotTable(s"$work/t", 16,
+        Seq("c_custkey"), Nil, Seq("c_acctbal", "oid"))
+      val c = Tables.customer(s, dir)
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+        .withColumn("oid", $"c_custkey" * 1000L)
+      bt.scd1Merge(s, c.withColumn("op_seq", lit(1L)), "op_seq")
+      // the probed double is customer 7's stored balance — deterministic
+      // given the table, and its shortest-string rendering round-trips to
+      // the exact stored double in both engines
+      val v = c.filter($"c_custkey" === 7).select($"c_acctbal").as[Double].head()
+      val (kD, all) = bt.pruneStats(s, $"c_acctbal" === v)
+      require(kD > 0 && kD * 4 <= all,
+        s"double bloom must prune the point read: $kD of $all files")
+      val (kIn, _) = bt.pruneStats(s, expr("oid IN (3000, '4000')"))
+      require(kIn > 0 && kIn * 4 <= all,
+        s"mixed-type IN must prune on its convertible items: $kIn of $all files")
+      val sqlRun = (q: String) => org.apache.spark.sql.GraftColumnBridge.graftSql(s, q)
+      sqlRun(s"SNAPSHOT '$work/t' WHERE c_acctbal = ${v.toString}")
+        .unionByName(sqlRun(s"SNAPSHOT '$work/t' WHERE oid IN (3000, '4000')"))
+        .select($"c_custkey", $"c_name", $"c_acctbal", $"oid")
+        .orderBy($"c_custkey")
+      }
+    }),
+
     // ── LLM-pipeline: ALL-BUT-THE-TOP DE-BIASING AT d=4096 (r10) — q261's
     //    report past the driver guard: debiasReport routes through the
     //    DISTRIBUTED power iteration (topComponentDistributed — only the
@@ -6133,6 +6169,19 @@ object SparkEntry {
     "q261_debias_topcomp" -> debiasOracle,
 
     "q312_debias_distributed" -> debiasDistributedOracle,
+
+    // the probes' pruning is invisible to the row-filtered result; ties on
+    // the probed balance (if any) appear on both sides identically
+    "q313_double_bloom_read" ->
+      """WITH v AS (
+        |  SELECT c_custkey, c_name, c_acctbal, c_custkey * 1000 AS oid
+        |  FROM customer)
+        |SELECT * FROM (
+        |  SELECT * FROM v
+        |  WHERE c_acctbal = (SELECT c_acctbal FROM customer WHERE c_custkey = 7)
+        |  UNION ALL
+        |  SELECT * FROM v WHERE oid IN (3000, 4000))
+        |ORDER BY c_custkey""".stripMargin,
 
     "q292_pca_power_distributed" -> pcaDistributedOracle,
 

@@ -68,21 +68,35 @@ private[tables] object BloomIndex {
     "part-" + java.security.MessageDigest.getInstance("SHA-1")
       .digest(file.getBytes("UTF-8")).map("%02x".format(_)).mkString + ".bloom"
 
+  /** Canonical hashable bits of a double: −0.0 folds to 0.0 (SQL equality
+    * treats them equal) and `doubleToLongBits` canonicalizes NaN — build
+    * and probe sides must agree bit-for-bit. */
+  private[tables] def canonBits(v: Double): Long =
+    java.lang.Double.doubleToLongBits(if (v == 0.0) 0.0 else v)
+
   /** Build per-file Bloom filters over `bloomCols` of `snap` (a freshly
     * written snapshot directory read) and write the sidecar DIRECTORY at
-    * `out`. Integral columns hash as longs, everything else as strings.
-    * Each task writes its files' sidecars; the driver sees paths only. */
+    * `out`. Integral columns hash as longs ("l"), fractional/decimal
+    * columns as canonical double bits ("d" — decimals via their double
+    * rendering: two decimals colliding in double only widens the filter,
+    * and an equal probe always lands on the same bits), everything else
+    * as strings ("s"). Each task writes its files' sidecars; the driver
+    * sees paths only. */
   def write(snap: DataFrame, bloomCols: Seq[String], fpp: Double,
       fs: FileSystem, out: Path): Unit = {
     val kinds = bloomCols.map { c =>
       c -> (snap.schema(c).dataType match {
         case LongType | IntegerType | ShortType | ByteType => "l"
+        case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType |
+             _: org.apache.spark.sql.types.DecimalType    => "d"
         case _                                             => "s"
       })
     }
     val proj = snap.select(input_file_name().as("__file") +:
       kinds.map { case (c, k) =>
-        if (k == "l") col(c).cast("long").as(c) else col(c).cast("string").as(c)
+        if (k == "l") col(c).cast("long").as(c)
+        else if (k == "d") col(c).cast("double").as(c)
+        else col(c).cast("string").as(c)
       }: _*)
     fs.mkdirs(out)
     val dirStr = out.toString
@@ -98,6 +112,7 @@ private[tables] object BloomIndex {
           buf.foreach { r =>
             if (!r.isNullAt(i + 1)) {
               if (k == "l") bf.putLong(r.getLong(i + 1))
+              else if (k == "d") bf.putLong(canonBits(r.getDouble(i + 1)))
               else bf.putString(r.getString(i + 1))
             }
           }
@@ -179,14 +194,17 @@ private[tables] object BloomIndex {
     filesWhere(fs, dir, column, _.mightContainString(value))
 
   /** Files whose filter for `column` might contain ANY of the point
-    * values (the IN-list / OR-of-equalities probe). A value whose type
-    * does not match the indexed hash kind cannot be evaluated, so its
-    * presence keeps every file — pruning only ever happens when EVERY
-    * constraint value is of the indexed kind and none might be contained
-    * (superset guarantee under unanalyzed-predicate type mismatches).
+    * values (the IN-list / OR-of-equalities probe), PER VALUE and
+    * coercion-aware: each value converts to the filter's hash kind when
+    * the conversion provably preserves SQL-equality semantics, proves
+    * absence when no stored value of the kind can equal it, and KEEPS the
+    * file when neither holds — so a mixed-kind IN-list still prunes on
+    * its convertible items instead of degrading to a full scan. An empty
+    * constraint (an unsatisfiable conjunction) prunes every indexed file.
     * None = no index at `dir`. */
   def filesMightContainAny(fs: FileSystem, dir: Path, column: String,
-      longs: Set[Long], strs: Set[String]): Option[Vector[String]] =
+      longs: Set[Long], strs: Set[String],
+      dbls: Set[Double] = Set.empty): Option[Vector[String]] =
     StatsManifest.readLines(fs, new Path(dir, "_MANIFEST")).map { manifest =>
       parProbe(manifest) { parts =>
         val entry = StatsManifest.readLines(fs, new Path(dir, parts(1)))
@@ -195,13 +213,54 @@ private[tables] object BloomIndex {
         entry.forall { e =>
           val Array(_, kind, blob) = e.split(":", 3)
           lazy val bf = BloomFilter.readFrom(new ByteArrayInputStream(unb64(blob)))
-          val provablyAbsent = kind match {
-            case "l" => strs.isEmpty && longs.nonEmpty && !longs.exists(bf.mightContainLong)
-            case "s" => longs.isEmpty && strs.nonEmpty && !strs.exists(bf.mightContainString)
-            case _   => false
-          }
-          !provablyAbsent
+          def might(v: Any): Boolean = mightMatch(kind, bf, v)
+          longs.exists(might) || strs.exists(might) || dbls.exists(might)
         }
       }
     }
+
+  /** Could a row hashed under `kind` SQL-equal `value`? Per kind:
+    *  - "l" (integral rows): longs probe directly; a double matches only
+    *    its exact integral long (|v| ≤ 2^53 — above, several longs round
+    *    to the same double, so keep; non-integral/non-finite can equal no
+    *    long → provably absent); a string probes its integer form, else
+    *    its numeric value under the same double rule, and a string that
+    *    is not a number at all casts to NULL in the comparison → absent.
+    *  - "d" (fractional rows): doubles/longs probe canonical bits (NaN
+    *    never SQL-equals → absent); strings probe their parsed value and
+    *    keep the file when unparseable HERE (Spark's cast accepts forms
+    *    like 'infinity' that Double.parseDouble rejects — absence is only
+    *    claimed when the probe provably covers the coercion).
+    *  - "s" (string rows): strings probe directly; numeric values keep
+    *    the file (a numeric literal matches every string RENDERING that
+    *    casts to it — '05' = 5 — which no finite probe set covers).
+    *  - unknown kinds keep the file. */
+  private def mightMatch(kind: String,
+      bf: => BloomFilter, value: Any): Boolean = {
+    val MaxExactLong = 1L << 53
+    def dblOnLongKind(v: Double): Boolean =
+      if (v.isNaN || v.isInfinite) false
+      else if (v != math.rint(v)) false
+      else if (math.abs(v) > MaxExactLong) true
+      else bf.mightContainLong(v.toLong)
+    def parsed(s: String): Option[Double] =
+      try Some(java.lang.Double.parseDouble(s.trim))
+      catch { case _: NumberFormatException => None }
+    (kind, value) match {
+      case ("l", l: Long)   => bf.mightContainLong(l)
+      case ("l", d: Double) => dblOnLongKind(d)
+      case ("l", s: String) =>
+        BucketedSnapshotTable.integerLiteral(s) match {
+          case Some(l) => bf.mightContainLong(l)
+          case None    => parsed(s).fold(false)(dblOnLongKind)
+        }
+      case ("d", d: Double) => !d.isNaN && bf.mightContainLong(canonBits(d))
+      case ("d", l: Long)   => bf.mightContainLong(canonBits(l.toDouble))
+      case ("d", s: String) =>
+        parsed(s).forall(v => !v.isNaN && bf.mightContainLong(canonBits(v)))
+      case ("s", s: String) => bf.mightContainString(s)
+      case ("s", _)         => true
+      case _                => true
+    }
+  }
 }

@@ -729,7 +729,7 @@ final class BucketedSnapshotTable(
       // bloom index for the batch (or no point constraints)
       val bloomPass: Option[Set[String]] = {
         val perCol = pSets.toSeq.flatMap { case (c, pts) =>
-          BloomIndex.filesMightContainAny(f, batchBloomPath(dir), c, pts.longs, pts.strs)
+          BloomIndex.filesMightContainAny(f, batchBloomPath(dir), c, pts.longs, pts.strs, pts.dbls)
             .map(_.map(norm).toSet)
         }
         if (perCol.isEmpty) None else Some(perCol.reduce(_ intersect _))
@@ -1021,13 +1021,14 @@ final class BucketedSnapshotTable(
     def norm(p: String) = new Path(p).toUri.getPath
     val longs = values.collect { case l: Long => l; case i: Int => i.toLong }.toSet
     val strs = values.collect { case s: String => s }.toSet
-    require(longs.size + strs.size == values.distinct.size,
-      s"readPrunedPoints probes long/string-hashed filters; got " +
+    val dbls = values.collect { case d: Double => d; case fl: Float => fl.toDouble }.toSet
+    require(longs.size + strs.size + dbls.size == values.distinct.size,
+      s"readPrunedPoints probes long/double/string-hashed filters; got " +
         values.map(_.getClass.getSimpleName).distinct.mkString(","))
     val parts = m.groupBy(_._2).flatMap { case (dir, entries) =>
       val liveBucketDirs = entries.keys.toSeq.sorted.map(b => s"$root/$dir/$BucketCol=$b")
       val picked = BloomIndex.filesMightContainAny(
-          f, batchBloomPath(dir), column, longs, strs) match {
+          f, batchBloomPath(dir), column, longs, strs, dbls) match {
         case None => liveBucketDirs // no index for this batch → keep all
         case Some(files) =>
           val liveDirs = liveBucketDirs.map(d => norm(d) + "/")
@@ -1348,9 +1349,13 @@ object BucketedSnapshotTable {
 
   /** A `column ∈ {values}` point constraint extracted from a predicate —
     * integral values probe the long-hashed filters, strings the
-    * string-hashed ones (a kind mismatch keeps the file; see
+    * string-hashed ones, doubles (and decimals, via their double
+    * rendering) the canonical-bits-hashed "d" kind; each value probes
+    * per-kind with coercion-aware conversion, and a value that cannot be
+    * soundly evaluated against a filter's kind keeps the file (see
     * [[BloomIndex.filesMightContainAny]]). */
-  private[graft] final case class PointSet(longs: Set[Long], strs: Set[String])
+  private[graft] final case class PointSet(longs: Set[Long], strs: Set[String],
+      dbls: Set[Double] = Set.empty)
 
   /** A string that is exactly an (optionally signed) integer in Long
     * range — the only strings whose long-kind coercion target is known
@@ -1392,7 +1397,12 @@ object BucketedSnapshotTable {
           c.withTimeZone(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
         case x => x
       }
-      if (e.resolved && e.foldable) Option(e.eval(null)) else None
+      // ANSI mode makes a malformed foldable cast THROW on eval (the query
+      // itself will raise the same error at constant folding, before any
+      // scan) — bounds extraction must stay total and just learn nothing
+      if (e.resolved && e.foldable)
+        try Option(e.eval(null)) catch { case _: Exception => None }
+      else None
     }
     def litD(e: Expression): Option[Double] = folded(e).collect {
       case n: Number => n.doubleValue
@@ -1407,6 +1417,15 @@ object BucketedSnapshotTable {
       case s: Short => s.toLong
       case i: Int   => i.toLong
       case l: Long  => l
+    }
+    // fractional literals for the "d" bloom kind: doubles as-is, floats by
+    // exact widening, decimals via their double rendering (the same
+    // conversion the index build applies to the column, so a stored value
+    // equal to the literal always hashes to the same canonical bits)
+    def litDbl(e: Expression): Option[Double] = folded(e).collect {
+      case d: Double => d
+      case f: Float  => f.toDouble
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
     }
     import BucketedSnapshotTable.PointSet
     val NegInf = Double.NegativeInfinity
@@ -1463,7 +1482,7 @@ object BucketedSnapshotTable {
       }.filter { case (_, (lo, hi)) => lo.isDefined || hi.isDefined }.toMap
       val p = (a._3.keySet intersect b._3.keySet).map { c =>
         val x = a._3(c); val y = b._3(c)
-        c -> PointSet(x.longs ++ y.longs, x.strs ++ y.strs)
+        c -> PointSet(x.longs ++ y.longs, x.strs ++ y.strs, x.dbls ++ y.dbls)
       }.toMap
       (n, s, p)
     }
@@ -1484,12 +1503,12 @@ object BucketedSnapshotTable {
     def onePts(c: Option[String], items: Seq[Expression]): PtB =
       c match {
         case Some(cc) if items.nonEmpty =>
-          val vs = items.map(e => (litL(e), litS(e)))
-          if (vs.forall { case (l, s) => l.isDefined || s.isDefined }) {
+          val vs = items.map(e => (litL(e), litS(e), litDbl(e)))
+          if (vs.forall { case (l, s, d) => l.isDefined || s.isDefined || d.isDefined }) {
             val strs = vs.flatMap(_._2).toSet
             val longs = vs.flatMap(_._1).toSet ++
               strs.flatMap(BucketedSnapshotTable.integerLiteral)
-            Map(cc -> PointSet(longs, strs))
+            Map(cc -> PointSet(longs, strs, vs.flatMap(_._3).toSet))
           } else Map.empty
         case _ => Map.empty
       }
@@ -1562,7 +1581,9 @@ object BucketedSnapshotTable {
       if (x.longs.nonEmpty && y.longs.nonEmpty) x.longs intersect y.longs
       else x.longs ++ y.longs,
       if (x.strs.nonEmpty && y.strs.nonEmpty) x.strs intersect y.strs
-      else x.strs ++ y.strs)
+      else x.strs ++ y.strs,
+      if (x.dbls.nonEmpty && y.dbls.nonEmpty) x.dbls intersect y.dbls
+      else x.dbls ++ y.dbls)
   }
 
   /** Merge one CDF window (a [[ChangeFeed]]-shaped relation whose changes

@@ -129,7 +129,7 @@ private[graft] object PruningFileIndex {
       val perCol: Seq[String => Boolean] = pS.toSeq.flatMap { case (c, pts) =>
         for {
           listed <- BloomIndex.indexedFiles(f, bloomDir)
-          pass <- BloomIndex.filesMightContainAny(f, bloomDir, c, pts.longs, pts.strs)
+          pass <- BloomIndex.filesMightContainAny(f, bloomDir, c, pts.longs, pts.strs, pts.dbls)
         } yield {
           val listedN = listed.map(norm)
           val passN = pass.map(norm).toSet

@@ -118,6 +118,73 @@ class PruningReadSpec extends AnyFunSuite {
     assert(sql(s"SNAPSHOT '$root' WHERE d BETWEEN 100 AND 120").count() == 21)
   }
 
+  test("double-kind bloom + per-item IN probing: fractional and mixed-type points prune") {
+    val root = tmp("bdbl")
+    val t = new BucketedSnapshotTable(root, numBuckets = 16, keys = Seq("k"),
+      bloomCols = Seq("price", "oid"))
+    t.scd1Merge(spark, (1 to 160).map(i => (i, 1L, i + 0.25, i * 10L))
+      .toDF("k", "seq", "price", "oid"), "seq")
+    val total = t.read(spark).inputFiles.length
+
+    // a double literal probes the canonical-bits "d" filters (pre-r10:
+    // doubles could not probe at all)
+    val (kD, all) = t.pruneStats(spark, $"price" === 42.25)
+    assert(all == total && kD > 0 && kD * 4 <= all, s"double point: $kD of $all")
+    assert(spark.sparkContext.hadoopConfiguration != null)
+    assert(t.readIndexed(spark).filter($"price" === 42.25).select("k")
+      .as[Int].collect().toSeq == Seq(42))
+    // an INTEGRAL literal on the double column probes bits((double)l)
+    val (kL, _) = t.pruneStats(spark, expr("price = 43"))
+    assert(kL * 4 <= all, s"integral-on-double: $kL of $all")
+    assert(t.readIndexed(spark).filter(expr("price = 43")).count() == 0)
+    // a string rendering probes its parsed value
+    val (kS, _) = t.pruneStats(spark, expr("price = '42.25'"))
+    assert(kS > 0 && kS * 4 <= all, s"string-on-double: $kS of $all")
+    // -0.0 folds to 0.0 bits: no row stores 0.0, but the probe is sound
+    assert(t.readIndexed(spark).filter($"price" === -0.0).count() == 0)
+
+    // mixed-type IN on the long column prunes on EVERY item: the integer
+    // literal probes directly, the integer-shaped string via its parsed
+    // long (pre-r10 the mixed list degraded the probe to keep-all)
+    val (kIn, _) = t.pruneStats(spark, expr("oid IN (420, '430')"))
+    assert(kIn > 0 && kIn * 4 <= all, s"mixed IN: $kIn of $all")
+    assert(t.readIndexed(spark).filter(expr("oid IN (420, '430')"))
+      .select("k").as[Int].collect().toSet == Set(42, 43))
+    // a NON-numeric string can equal no long (ANSI errors the query at
+    // constant folding before any scan; non-ANSI casts to NULL) — the
+    // metadata probe claims absence either way without masking anything
+    val (kJ, _) = t.pruneStats(spark, $"oid" === "junk")
+    assert(kJ == 0, s"non-numeric string on a long column kept $kJ files")
+    // a fractional string on the long column KEEPS files: ANSI rejects the
+    // query itself ('420.0' is malformed for BIGINT), but a non-ANSI
+    // session coerces both sides to double and matches oid=420 — absence
+    // may not be claimed, so the probe keeps the candidate files
+    val (kFr, _) = t.pruneStats(spark, expr("oid = '420.0'"))
+    assert(kFr > 0, "fractional rendering must not claim absence blindly")
+
+    // an unsatisfiable conjunction prunes every indexed file
+    val (kU, _) = t.pruneStats(spark, $"oid" === 420L && $"oid" === 430L)
+    assert(kU == 0, s"unsatisfiable conjunction must prune all: kept $kU")
+
+    // serving API: readPrunedPoints accepts doubles now
+    val look = t.readPrunedPoints(spark, "price", Seq(42.25, 77.25))
+    assert(look.inputFiles.length * 4 <= total)
+    assert(look.filter($"price".isin(42.25, 77.25)).count() == 2)
+  }
+
+  test("decimal columns take the double bloom kind and prune") {
+    val root = tmp("bdec")
+    val t = new BucketedSnapshotTable(root, numBuckets = 8, keys = Seq("k"),
+      bloomCols = Seq("amt"))
+    t.scd1Merge(spark, (1 to 80).map(i => (i, 1L, s"$i.99"))
+      .toDF("k", "seq", "amt")
+      .withColumn("amt", $"amt".cast("decimal(10,2)")), "seq")
+    val (kept, all) = t.pruneStats(spark, expr("amt = 42.99"))
+    assert(kept > 0 && kept * 2 <= all, s"decimal point: $kept of $all")
+    assert(t.readIndexed(spark).filter(expr("amt = 42.99")).select("k")
+      .as[Int].collect().toSeq == Seq(42))
+  }
+
   test("plain fallback: hive-partitioned snapshot reads through the ordinary path") {
     val root = tmp("ppreadpart")
     val t = new SnapshotTable(root)
