@@ -40,7 +40,7 @@ import org.apache.spark.util.sketch.BloomFilter
   * guarantee; a file missing from the manifest, or an unreadable sidecar,
   * is always kept.
   */
-private[tables] object BloomIndex {
+private[graft] object BloomIndex {
 
   /** Minimal serializable Hadoop-conf carrier (the standard Writable
     * round-trip) so executor tasks can open the snapshot's filesystem. */
@@ -156,6 +156,11 @@ private[tables] object BloomIndex {
     StatsManifest.readLines(fs, new Path(dir, "_MANIFEST")).map(
       _.collect { case l if l.contains("\t") => l.split("\t", 2)(0) }.toSet)
 
+  /** Probe-IO counter (reads of sidecars, blobs, and probe manifests) —
+    * the observable the consolidation pin asserts on: a consolidated dir
+    * probe costs O(1) reads, a per-file one O(files). Test-only. */
+  private[graft] val probeReads = new java.util.concurrent.atomic.AtomicLong
+
   /** Parallelize the per-file sidecar reads: a probe opens one small
     * sidecar per data file (≤ numBuckets per batch dir) — sequential
     * driver IO would grow linearly with bucket count (4096 at 100 TB),
@@ -167,12 +172,54 @@ private[tables] object BloomIndex {
       .map(_(0)).seq.toVector
   }
 
+  /** Accessor from a manifest's sidecar REF (`<sidecarName>` or
+    * `@<blob>:<off>:<len>`) to that file's entry line. Per-file sidecars
+    * read individually (under parProbe's thread pool); every referenced
+    * blob is read ONCE here — the O(dirs)-not-O(files) probe IO the
+    * consolidated layout exists for. Unavailable bytes → None (probe
+    * keeps the file, superset guarantee — e.g. a probe racing a
+    * consolidation's sidecar reap with the pre-swap manifest). */
+  private def entryReader(fs: FileSystem, dir: Path,
+      manifest: Vector[String]): String => Option[String] = {
+    val blobNames = manifest.flatMap { l =>
+      val p = l.split("\t", 2)
+      if (p.length == 2 && p(1).startsWith("@")) Some(p(1).drop(1).split(":", 3)(0))
+      else None
+    }.distinct
+    val blobs: Map[String, Array[Byte]] = blobNames.flatMap { n =>
+      try {
+        val in = fs.open(new Path(dir, n))
+        try {
+          probeReads.incrementAndGet()
+          val bos = new ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 64 * 1024, false)
+          Some(n -> bos.toByteArray)
+        } finally in.close()
+      } catch { case _: java.io.IOException => None }
+    }.toMap
+    ref =>
+      if (ref.startsWith("@")) {
+        val Array(n, o, len) = ref.drop(1).split(":", 3)
+        blobs.get(n).flatMap { b =>
+          val off = o.toLong.toInt
+          val l = len.toInt
+          if (off >= 0 && l >= 0 && off + l <= b.length)
+            Some(new String(b, off, l, "UTF-8"))
+          else None
+        }
+      } else {
+        probeReads.incrementAndGet()
+        StatsManifest.readLines(fs, new Path(dir, ref)).flatMap(_.headOption)
+      }
+  }
+
   private def filesWhere(fs: FileSystem, dir: Path, column: String,
       mightContain: BloomFilter => Boolean): Option[Vector[String]] =
     StatsManifest.readLines(fs, new Path(dir, "_MANIFEST")).map { manifest =>
+      probeReads.incrementAndGet()
+      val reader = entryReader(fs, dir, manifest)
       parProbe(manifest) { parts =>
-        val entry = StatsManifest.readLines(fs, new Path(dir, parts(1)))
-          .flatMap(_.headOption)
+        val entry = reader(parts(1))
           .flatMap(_.split("\t").drop(1).find(_.startsWith(s"$column:")))
         // no sidecar / no entry for this column → keep (superset guarantee)
         entry.forall { e =>
@@ -206,9 +253,10 @@ private[tables] object BloomIndex {
       longs: Set[Long], strs: Set[String],
       dbls: Set[Double] = Set.empty): Option[Vector[String]] =
     StatsManifest.readLines(fs, new Path(dir, "_MANIFEST")).map { manifest =>
+      probeReads.incrementAndGet()
+      val reader = entryReader(fs, dir, manifest)
       parProbe(manifest) { parts =>
-        val entry = StatsManifest.readLines(fs, new Path(dir, parts(1)))
-          .flatMap(_.headOption)
+        val entry = reader(parts(1))
           .flatMap(_.split("\t").drop(1).find(_.startsWith(s"$column:")))
         entry.forall { e =>
           val Array(_, kind, blob) = e.split(":", 3)
@@ -218,6 +266,53 @@ private[tables] object BloomIndex {
         }
       }
     }
+
+  /** Consolidate a per-file sidecar directory into ONE blob file plus an
+    * offset-indexed manifest (`path\t@<blob>:<off>:<len>`), cutting probe
+    * IO from O(files) small reads to O(1) per dir — the maintenance-time
+    * complement of the distributed per-file write path (which must never
+    * aggregate filter bytes anywhere, driver included; consolidation is a
+    * sequential driver stream over an immutable dir, paid once and
+    * amortized over every future probe). Idempotent; a probe racing the
+    * swap with the OLD manifest finds reaped sidecars and keeps those
+    * files (superset). No-op when no index or already consolidated. */
+  def consolidate(fs: FileSystem, dir: Path): Unit = {
+    val mPath = new Path(dir, "_MANIFEST")
+    val lines = StatsManifest.readLines(fs, mPath).getOrElse(return)
+    val (headers, entries) = lines.partition(l => !l.contains("\t"))
+    if (entries.isEmpty || entries.forall(_.split("\t", 2)(1).startsWith("@"))) return
+    val reader = entryReader(fs, dir, lines)
+    val blobName = s"_BLOB.${java.util.UUID.randomUUID().toString.take(8)}"
+    val tmp = new Path(dir, blobName + ".tmp")
+    val out = fs.create(tmp, true)
+    val newEntries = Vector.newBuilder[String]
+    val reaped = Vector.newBuilder[Path]
+    var off = 0L
+    try entries.foreach { l =>
+      val Array(path, ref) = l.split("\t", 2)
+      reader(ref) match {
+        case None => newEntries += l // unreadable sidecar: keep the old ref
+        case Some(line) =>
+          val b = line.getBytes("UTF-8")
+          out.write(b)
+          newEntries += s"$path\t@$blobName:$off:${b.length}"
+          off += b.length
+          if (!ref.startsWith("@")) reaped += new Path(dir, ref)
+      }
+    } finally out.close()
+    if (!fs.rename(tmp, new Path(dir, blobName)))
+      throw new java.io.IOException(s"BloomIndex: blob rename failed in $dir")
+    StatsManifest.writeLines(fs, mPath, headers ++ newEntries.result())
+    // reap AFTER the manifest swap: a racing probe on the old manifest at
+    // worst keeps the affected files
+    reaped.result().foreach(p => fs.delete(p, false))
+    // stale blobs from earlier consolidations of a since-rebuilt index
+    fs.listStatus(dir).map(_.getPath).foreach { p =>
+      if (p.getName.startsWith("_BLOB.") && p.getName != blobName &&
+          !p.getName.endsWith(".tmp"))
+        fs.delete(p, false)
+    }
+  }
 
   /** Could a row hashed under `kind` SQL-equal `value`? Per kind:
     *  - "l" (integral rows): longs probe directly; a double matches only

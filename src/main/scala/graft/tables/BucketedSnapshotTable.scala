@@ -1160,7 +1160,17 @@ final class BucketedSnapshotTable(
     // invariant every other commit path here keeps.
     val cur0 = currentVersion(spark).getOrElse(
       throw new IllegalStateException(s"BucketedSnapshotTable $root is empty"))
-    buildSidecars(spark, readEntries(spark, cur0), skipCovered = onlyMissing)
+    val entries0 = readEntries(spark, cur0)
+    buildSidecars(spark, entries0, skipCovered = onlyMissing)
+    // maintenance-time probe-IO consolidation: per-file bloom sidecars
+    // collapse into one offset-indexed blob per batch dir, so a point
+    // probe costs O(dirs) reads instead of O(files); still unlocked —
+    // dirs are immutable and the swap is rename-atomic (no-op when
+    // already consolidated, so INCREMENTAL re-ANALYZE stays O(new))
+    if (bloomCols.nonEmpty)
+      entries0.values.map(_.dir).toSet.foreach { (dir: String) =>
+        BloomIndex.consolidate(f, batchBloomPath(dir))
+      }
     onStep("analyze_built")
     CommitLock.withLockHandle(f, root, commitStaleMs) { lockH =>
       // re-read under the lock: commits that raced the unlocked build keep
@@ -1281,6 +1291,10 @@ final class BucketedSnapshotTable(
           txnsOf(spark, cur)) // the exactly-once ledger survives maintenance
         committed = next
       }
+      // post-commit, outside the lock: the new batch dir is immutable now —
+      // collapse its per-file bloom sidecars into the O(1)-probe blob
+      if (bloomCols.nonEmpty)
+        BloomIndex.consolidate(f, batchBloomPath(s"_batch_v$committed"))
     }
     committed
   }

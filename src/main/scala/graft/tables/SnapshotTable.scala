@@ -198,6 +198,8 @@ final class SnapshotTable(val root: String,
     val v = currentVersion(spark).getOrElse(
       throw new IllegalStateException(s"SnapshotTable $root has no committed version"))
     BloomIndex.write(snapshotDF(spark, v), cols, fpp, fs(spark), bloomPath(v))
+    // ANALYZE-time probe-IO consolidation (one blob per version dir)
+    BloomIndex.consolidate(fs(spark), bloomPath(v))
   }
 
   def read(spark: SparkSession): DataFrame = {

@@ -346,6 +346,16 @@ object ScaleSoak {
       }
       println(s"[soak]   bloom-point read rows=$nL")
       results("bucketed_read_bloom_point") = prW
+      // r10: consolidated per-dir blob — the probe's driver IO is a READ
+      // COUNT of O(batch dirs), not O(files): analyze() above collapsed
+      // each dir's per-file sidecars into one offset-indexed blob, so this
+      // row stays ~2 reads per dir as buckets scale 64 → 640
+      graft.tables.BloomIndex.probeReads.set(0)
+      val (kc, _) = tb.pruneStats(spark, col("o_custkey") === lit(probeCust))
+      val ioReads = graft.tables.BloomIndex.probeReads.get
+      val nDirs = tb.manifest(spark).values.toSet.size
+      println(s"[soak]   bloom probe IO reads=$ioReads over $nDirs dirs (kept $kc files)")
+      results("bucketed_bloom_probe_io_reads") = ioReads.toDouble
 
       // r9: plain-dim mirror with FILE-LEVEL window pruning — an
       // append-mostly dim's `_files_v<N>` manifests share prior files, so

@@ -185,6 +185,37 @@ class PruningReadSpec extends AnyFunSuite {
       .as[Int].collect().toSeq == Seq(42))
   }
 
+  test("bloom blob consolidation: probe IO drops to O(dirs), pruning identical") {
+    val root = tmp("bblob")
+    val t = new BucketedSnapshotTable(root, numBuckets = 32, keys = Seq("k"),
+      bloomCols = Seq("oid"))
+    t.scd1Merge(spark, (1 to 320).map(i => (i, 1L, i * 10L)).toDF("k", "seq", "oid"), "seq")
+    def probe(): ((Int, Int), Long) = {
+      BloomIndex.probeReads.set(0)
+      val r = t.pruneStats(spark, $"oid" === 420L)
+      (r, BloomIndex.probeReads.get)
+    }
+    val (before, readsBefore) = probe()
+    assert(readsBefore >= 32, s"per-file layout reads one sidecar per file: $readsBefore")
+    t.analyze(spark) // consolidates each batch dir into one blob
+    val (after, readsAfter) = probe()
+    assert(after == before, s"consolidation changed the pruning verdict: $before vs $after")
+    assert(readsAfter <= 3,
+      s"consolidated probe must read O(dirs) (manifest + blob): $readsAfter")
+    // the pruned read stays exact, and re-ANALYZE INCREMENTAL is a no-op
+    assert(t.readIndexed(spark).filter($"oid" === 420L).select("k")
+      .as[Int].collect().toSeq == Seq(42))
+    t.analyze(spark, onlyMissing = true)
+    val (again, readsAgain) = probe()
+    assert(again == before && readsAgain <= 3)
+    // a new merge writes per-file sidecars for ITS dir only; the blob dir
+    // keeps O(1) probes and the fresh dir is probed per-file until the
+    // next maintenance pass
+    t.scd1Merge(spark, Seq((5, 2L, 50L)).toDF("k", "seq", "oid"), "seq")
+    assert(t.readIndexed(spark).filter($"oid" === 420L).select("k")
+      .as[Int].collect().toSeq == Seq(42))
+  }
+
   test("plain fallback: hive-partitioned snapshot reads through the ordinary path") {
     val root = tmp("ppreadpart")
     val t = new SnapshotTable(root)
