@@ -5618,6 +5618,42 @@ object SparkEntry {
       }
     }),
 
+    // ── PLAIN-DIM DELETE-CARRYING MIRROR WINDOW (r10): a DELETE landing
+    //    between mirror windows must flow to the serving copy as a
+    //    tombstone — and the window diff must stay pruned: the versioned
+    //    delete commits the data files BY REFERENCE with a new tombstone
+    //    batch, so the diff takes the TOMBSTONE-DELTA path (unique files
+    //    plus one broadcast semi-join for exactly the hidden keys — the
+    //    keyed diff is O(changed), never two full snapshots). The in-query
+    //    require pins the path taken; the oracle replays the end state.
+    "q314_plain_delete_mirror" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("plaindel").toString
+      withShufflePartitions(s, 4) {
+      val dim = new graft.tables.SnapshotTable(s"$work/dim")
+      dim.write(s, Tables.nation(s, dir)
+        .select($"n_nationkey", $"n_name", $"n_regionkey"))
+      val sqlRun = (q: String) => org.apache.spark.sql.GraftColumnBridge.graftSql(s, q)
+      val stmt = s"APPLY CHANGES INTO '$work/m' FROM '$work/dim' " +
+        s"USING CHECKPOINT '$work/ck' AS dmirror ON KEYS (n_nationkey) INTO 8 BUCKETS"
+      sqlRun(stmt).collect() // bootstrap: full dim as inserts
+      sqlRun(s"DELETE FROM '$work/dim' WHERE n_nationkey = 3").collect() // v2
+      dim.append(s, Tables.nation(s, dir).select(
+        ($"n_nationkey" + 200).as("n_nationkey"),
+        lower($"n_name").as("n_name"), $"n_regionkey"))                  // v3
+      val ch = dim.changes(s, Seq("n_nationkey"), 1, 3)
+      require(graft.tables.SnapshotTable.lastDiffMode.get == "tombstone-delta",
+        s"delete+append window must take the tombstone-delta diff, took " +
+          graft.tables.SnapshotTable.lastDiffMode.get)
+      require(ch.filter($"_change_type" === "delete").count() == 1,
+        "the versioned delete must surface in the feed")
+      sqlRun(stmt).collect() // the pruned incremental window
+      sqlRun(s"SNAPSHOT '$work/m'")
+        .select($"n_nationkey", $"n_name", $"n_regionkey")
+        .orderBy($"n_nationkey")
+      }
+    }),
+
     // ── LLM-pipeline: ALL-BUT-THE-TOP DE-BIASING AT d=4096 (r10) — q261's
     //    report past the driver guard: debiasReport routes through the
     //    DISTRIBUTED power iteration (topComponentDistributed — only the
@@ -6169,6 +6205,16 @@ object SparkEntry {
     "q261_debias_topcomp" -> debiasOracle,
 
     "q312_debias_distributed" -> debiasDistributedOracle,
+
+    // mirror end state: the dim minus the deleted key, plus the appended
+    // (offset, lowercased) rows — the diff path is invisible to values
+    "q314_plain_delete_mirror" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM (
+        |  SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |  WHERE n_nationkey <> 3
+        |  UNION ALL
+        |  SELECT n_nationkey + 200, lower(n_name), n_regionkey FROM nation)
+        |ORDER BY n_nationkey""".stripMargin,
 
     // the probes' pruning is invisible to the row-filtered result; ties on
     // the probed balance (if any) appear on both sides identically

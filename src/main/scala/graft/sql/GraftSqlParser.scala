@@ -436,11 +436,14 @@ case class UpdateSnapshotCommand(path: String, sets: Seq[(String, String)],
   }
 }
 
-/** `DELETE FROM '<root>' WHERE <pred>` — plain roots append key tombstones
-  * for the matched rows ([[SnapshotTable.deleteKeys]]): O(matched) IO, no
-  * table rewrite (the deletion-vector analog); bucketed roots rewrite only
-  * the buckets containing matches ([[graft.tables.BucketedSnapshotTable
-  * .delete]]). Returns the number of deleted rows. */
+/** `DELETE FROM '<root>' WHERE <pred>` — plain roots commit a VERSIONED
+  * tombstone batch for the matched rows
+  * ([[SnapshotTable.deleteKeysVersioned]]): O(matched) IO, no table
+  * rewrite (the deletion-vector analog), data files carried by reference
+  * into a new version so time travel keeps the rows and CDF windows
+  * report the deletes; bucketed roots rewrite only the buckets containing
+  * matches ([[graft.tables.BucketedSnapshotTable.delete]]). Returns the
+  * number of deleted rows. */
 case class DeleteSnapshotCommand(path: String, pred: String)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
@@ -456,7 +459,7 @@ case class DeleteSnapshotCommand(path: String, pred: String)
         val t = new SnapshotTable(path)
         val doomed = t.read(spark).filter(p)
         val n = doomed.count()
-        if (n > 0) t.deleteKeys(spark, doomed)
+        if (n > 0) t.deleteKeysVersioned(spark, doomed)
         Seq(Row(n))
     }
   }

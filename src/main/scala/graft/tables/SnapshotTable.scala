@@ -38,6 +38,16 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * is an ordinary `FileSourceScanExec` with pushdown/pruning; `write` can
   * be partitioned (`partitionByCols`) so downstream key-equi joins prune.
   */
+object SnapshotTable {
+  /** Which path the most recent [[SnapshotTable.changes]]/CDF-window diff
+    * took on this driver — "pruned" (unique files only), "tombstone-delta"
+    * (unique files + the semi-joined rows new tombstones hid), or "full"
+    * (two whole snapshots). Observability hook for the scan-set pins;
+    * driver-side single-writer, not a synchronization primitive. */
+  private[graft] val lastDiffMode =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
+}
+
 final class SnapshotTable(val root: String,
     commitStaleMs: Long = CommitLock.StaleMs) {
 
@@ -232,8 +242,11 @@ final class SnapshotTable(val root: String,
   def versionAt(spark: SparkSession, tsMillis: Long): Int = {
     val f = fs(spark)
     val byName = f.listStatus(new Path(root)).map(s => s.getPath.getName -> s).toMap
+    // manifest-only versions (a versioned delete references the prior
+    // files without a _v dir) count like any other
     val versions = byName.keys
-      .collect { case n if n.matches("_v\\d+") => n.drop(2).toInt }
+      .collect { case n if n.matches("_(v|files_v)\\d+") => n.dropWhile(!_.isDigit).toInt }
+      .toSet
       .filterNot(v => byName.contains(s"_gone_v$v"))
     val eligible = versions.filter { v =>
       val art = byName.get(s"_files_v$v").orElse(byName.get(s"_v$v"))
@@ -270,6 +283,57 @@ final class SnapshotTable(val root: String,
     val v = currentVersion(spark).getOrElse(
       throw new IllegalStateException(s"SnapshotTable $root has no committed version"))
     keys.dropDuplicates().write.mode(SaveMode.Append).parquet(tombPath(v).toString)
+  }
+
+  /** Versioned row delete — commit a NEW version whose data files are the
+    * live version's BY REFERENCE (`_files_v`, zero data IO) and whose
+    * tombstone set adds `keys`: the delete becomes an EVENT between two
+    * versions, so time travel to the prior version still shows the rows
+    * and a CDF window spanning the commit reports them as `delete`s
+    * through the tombstone-delta diff. (An in-place [[deleteKeys]]
+    * retroactively mutates the live version's visibility, which a
+    * checkpointed CDF consumer can never observe — use this form wherever
+    * downstream mirrors consume the table.) Stats carry verbatim (same
+    * files), the Bloom sidecar by copy. O(deleted + accumulated
+    * tombstones) IO. Returns the committed version. */
+  def deleteKeysVersioned(spark: SparkSession, keys: DataFrame): Int = {
+    val f = fs(spark)
+    val staging = new Path(root, s"_staging_${java.util.UUID.randomUUID().toString.take(12)}")
+    try keys.dropDuplicates().write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    catch { case t: Throwable => f.delete(staging, true); throw t }
+    withCommitLock(f) { lockH =>
+      val cur = currentVersion(spark).getOrElse {
+        f.delete(staging, true)
+        throw new IllegalStateException(s"SnapshotTable $root has no committed version")
+      }
+      val next = cur + 1
+      lockH.check()
+      // claim: a crashed writer's stale artifacts for `next` must not
+      // attach to OUR commit
+      (Seq(filesPath(next), statsPath(next), bloomPath(next), tombPath(next),
+        new Path(s"$root/_v$next"))).foreach(p => if (f.exists(p)) f.delete(p, true))
+      StatsManifest.writeLines(f, filesPath(next),
+        listDataFiles(f, cur).map(_._1).map(canonical))
+      StatsManifest.readLines(f, statsPath(cur)).foreach(ls =>
+        StatsManifest.writeLines(f, statsPath(next), ls))
+      if (f.exists(bloomPath(cur)))
+        org.apache.hadoop.fs.FileUtil.copy(f, bloomPath(cur), f, bloomPath(next),
+          false, f.getConf)
+      if (f.exists(tombPath(cur)))
+        org.apache.hadoop.fs.FileUtil.copy(f, tombPath(cur), f, tombPath(next),
+          false, f.getConf)
+      f.mkdirs(tombPath(next))
+      f.listStatus(staging).filter(_.getPath.getName.endsWith(".parquet"))
+        .foreach { st =>
+          if (!f.rename(st.getPath, new Path(tombPath(next), st.getPath.getName)))
+            throw new IllegalStateException(
+              s"SnapshotTable $root: tombstone batch move failed")
+        }
+      f.delete(staging, true)
+      lockH.check()
+      commitPointer(spark, next)
+      next
+    }
   }
 
   private def applyTombstones(spark: SparkSession, v: Int, df: DataFrame): DataFrame = {
@@ -959,26 +1023,35 @@ final class SnapshotTable(val root: String,
     * key whose file is shared contributes no feed row either way. On an
     * append-mostly dim (`_files_v<N>` manifests reference prior files), a
     * mirror window's diff cost is O(appended files), not O(dim) — the
-    * plain-format analog of the bucketed manifest pruning. Falls back to
-    * full snapshots when either version carries a tombstone sidecar
-    * (visibility then depends on more than file bytes) or the versions
-    * share nothing (a full rewrite). */
+    * plain-format analog of the bucketed manifest pruning. A window whose
+    * tombstone set GREW (a delete landed) adds exactly the newly-hidden
+    * rows via one broadcast semi-join over the shared files (the
+    * tombstone-delta path — the keyed diff stays O(changed)); only a
+    * SHRUNK/replaced tombstone set (deletes materialized by maintenance)
+    * or a no-shared-files window falls back to the full two-snapshot
+    * diff. */
   private def diffInputs(spark: SparkSession, fromV: Int,
       toV: Int): (DataFrame, DataFrame) = {
     val f = fs(spark)
-    def full = (readVersion(spark, fromV), readVersion(spark, toV))
+    def full = {
+      SnapshotTable.lastDiffMode.set("full")
+      (readVersion(spark, fromV), readVersion(spark, toV))
+    }
     // tombstones flip row visibility without touching file bytes — BUT
     // [[append]] carries the prior version's tombstone batch forward by
-    // file copy, so when the two versions' tombstone dirs hold the SAME
-    // files (name+length; a new deleteKeys always adds fresh part files)
-    // the visibility filter is identical on both sides and the fast path
-    // still applies, with the tombstones filtered per side below.
-    // Differing tombstone sets fall back to the full two-snapshot diff.
+    // file copy and a new deleteKeys only ADDS fresh part files, so the
+    // from-side's tombstone files are normally a SUBSET of the to-side's
+    // (name+length). Identical sets → the plain pruned diff; a GROWN set →
+    // the tombstone-delta diff below (the only changes shared files can
+    // contribute are rows the window's NEW tombstones hid); anything else
+    // (a compaction materialized deletes and dropped the dir) → full diff.
     def tombSig(v: Int): Set[(String, Long)] =
       if (!f.exists(tombPath(v))) Set.empty
       else f.listStatus(tombPath(v)).filter(_.getPath.getName.endsWith(".parquet"))
         .map(st => (st.getPath.getName, st.getLen)).toSet
-    if (tombSig(fromV) != tombSig(toV)) return full
+    val tFrom = tombSig(fromV)
+    val tTo = tombSig(toV)
+    if (!tFrom.subsetOf(tTo)) return full
     // cheap existence guards first — a vacuumed or never-committed version
     // must surface readVersion's named error, not a raw listing failure
     def missing(v: Int) = f.exists(new Path(root, s"_gone_v$v")) ||
@@ -998,8 +1071,31 @@ final class SnapshotTable(val root: String,
         else readManifest(spark, uris)
       applyTombstones(spark, v, base)
     }
-    (side(oldFiles.filterNot(shared.contains).toVector, fromV),
-     side(newFiles.filterNot(shared.contains).toVector, toV))
+    val fromSide = side(oldFiles.filterNot(shared.contains).toVector, fromV)
+    val toSide = side(newFiles.filterNot(shared.contains).toVector, toV)
+    val newTombFiles = (tTo -- tFrom).toSeq.map(_._1).sorted
+    if (newTombFiles.isEmpty) {
+      SnapshotTable.lastDiffMode.set("pruned")
+      (fromSide, toSide)
+    } else {
+      // TOMBSTONE-DELTA (r10): a shared file's rows are identical bytes on
+      // both sides, so the ONLY feed rows it can contribute are the keys
+      // the window's new tombstones hid — visible at fromV, gone at toV.
+      // Surface exactly those (with their true old values) by one
+      // broadcast SEMI-JOIN pass over the shared files against the tiny
+      // new-tombstone batch: no shuffle of the dim, and the keyed diff
+      // downstream stays O(changed) instead of O(two snapshots) — the
+      // pre-r10 cost of any delete-carrying mirror window.
+      SnapshotTable.lastDiffMode.set("tombstone-delta")
+      val newTombs = spark.read
+        .parquet(newTombFiles.map(n => s"${tombPath(toV)}/$n"): _*)
+        .dropDuplicates()
+      val sharedRel = readManifest(spark, shared.toVector.sorted)
+      val hidden = applyTombstones(spark, fromV, sharedRel)
+        .join(org.apache.spark.sql.functions.broadcast(newTombs),
+          newTombs.columns.toSeq, "left_semi")
+      (fromSide.unionByName(hidden, allowMissingColumns = true), toSide)
+    }
   }
 
   /** Incremental CDF consumption for PLAIN roots — parity with

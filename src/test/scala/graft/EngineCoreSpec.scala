@@ -626,15 +626,19 @@ class EngineCoreSpec extends AnyFunSuite {
       .as[(Int, String, Option[Double], String)].collect().toSet ==
       Set((2001, "e1", Some(7.5), "insert")))
 
-    // tombstones flip visibility without touching file bytes → a window
-    // whose tombstone sets DIFFER must fall back to the full diff
+    // a DELETE lands inside the window: tombstone files only GREW, so the
+    // diff takes the TOMBSTONE-DELTA path (r10) — unique files plus ONE
+    // broadcast semi-join over the shared files for exactly the keys the
+    // new tombstones hid; no full two-snapshot diff, and the delete row
+    // carries its true old values
     t.deleteKeys(spark, Seq(Tuple1(5)).toDF("k"))
-    val full = t.changes(spark, Seq("k"), 1, 3)
-    assert(full.inputFiles.exists(_.contains("/_v1/")),
-      "a tombstone-changing window must take the full-diff fallback")
-    assert(full.select("k", "_change_type").as[(Int, String)].collect().toSet ==
-      Set((1001, "insert"), (1002, "insert"), (1003, "insert"), (5, "delete")))
-
+    val del = t.changes(spark, Seq("k"), 1, 3)
+    assert(graft.tables.SnapshotTable.lastDiffMode.get == "tombstone-delta",
+      s"delete-then-append window took ${graft.tables.SnapshotTable.lastDiffMode.get}")
+    assert(del.select("k", "v", "_change_type").as[(Int, String, String)]
+      .collect().toSet ==
+      Set((1001, "n1", "insert"), (1002, "n2", "insert"),
+        (1003, "n3", "insert"), (5, "v5", "delete")))
     // append COPIES tombstones forward: a window whose tombstone dirs hold
     // the same files stays file-pruned, with the (identical) visibility
     // filter applied on both sides — the tombstoned key never reappears
@@ -643,8 +647,17 @@ class EngineCoreSpec extends AnyFunSuite {
     assert(ch34.inputFiles.filter(_.contains("/_v")).forall(f =>
       !f.contains("/_v1/") && !f.contains("/_v2/") && !f.contains("/_v3/")),
       s"tombstone-identical append window must stay pruned: ${ch34.inputFiles.mkString(",")}")
+    assert(graft.tables.SnapshotTable.lastDiffMode.get == "pruned")
     assert(ch34.select("k", "_change_type").as[(Int, String)].collect().toSet ==
       Set((1004, "insert")))
+
+    // a SHRUNK/replaced tombstone set (maintenance materialized the
+    // deletes into a clean rewrite) still falls back to the honest full
+    // diff — and stays correct
+    t.compact(spark)                                                 // v5: clean
+    val post = t.changes(spark, Seq("k"), 4, 5)
+    assert(graft.tables.SnapshotTable.lastDiffMode.get == "full")
+    assert(post.count() == 0, "compaction is content-preserving on visible rows")
   }
 
   test("SnapshotTable: a reader opened before a commit still reads its snapshot") {

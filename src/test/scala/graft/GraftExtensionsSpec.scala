@@ -212,13 +212,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(sqlRun(s"SNAPSHOT '${t.root}'").count() == 2)
     assert(sqlRun(s"SNAPSHOT '${t.root}' VERSION AS OF 1").count() == 3)
 
+    // DELETE FROM commits a VERSIONED tombstone batch (r10): the prior
+    // version still shows the row, the files were never rewritten
+    assert(sqlRun(s"SNAPSHOT '${t.root}' VERSION AS OF 3").count() == 3,
+      "the pre-delete version must still show the deleted row")
+
     // RESTORE commits a NEW version with the old content (history intact)
     val rv = sqlRun(s"RESTORE '${t.root}' TO VERSION 1").as[Int].head()
     assert(t.read(spark).select("k", "v").as[(Long, Double)].collect().toSet ==
       Set((1L, 10.0), (2L, 20.0), (3L, 30.0)))
-    // v1 write, v2 merge, v3 update (DELETE FROM is tombstones — no new
-    // version), so the restore commits v4
-    assert(t.currentVersion(spark).contains(rv) && rv == 4)
+    // v1 write, v2 merge, v3 update, v4 the versioned DELETE FROM — so the
+    // restore commits v5
+    assert(t.currentVersion(spark).contains(rv) && rv == 5)
   }
 
   test("GraftSqlParser ALTER TABLE ADD/DROP CONSTRAINT: validated on add, enforced on write") {
