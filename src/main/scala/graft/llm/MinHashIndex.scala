@@ -62,8 +62,16 @@ final class MinHashIndex(
     * a second time. `mode` is "overwrite" (build) or "append" (add). */
   def writePrecomputed(shEx: DataFrame, banded: DataFrame, mode: String): Unit = {
     banded.coalesce(8).write.mode(mode).parquet(s"$root/bands")
+    // write-task count: hashing __b into shuffle-partition-many tasks left
+    // most tasks writing 1-2 tiny files each, and the per-task commit
+    // overhead dominated the build on small batches (measured 3× the write
+    // time of an 8-task layout at sf0.1 — the r9 verdict's q124 suspect).
+    // Grow with cluster width, cap at idBuckets (a bucket is one file, so
+    // parallelism beyond the bucket count buys nothing).
+    val sc = shEx.sparkSession.sparkContext
+    val writeTasks = math.min(idBuckets, math.max(8, sc.defaultParallelism / 4))
     shEx.withColumn("__b", idBucket(col("id")))
-      .repartition(col("__b"))
+      .repartition(writeTasks, col("__b"))
       .write.mode(mode).partitionBy("__b").parquet(s"$root/shingles")
   }
 

@@ -71,10 +71,18 @@ object Pca {
     // d²/d ≈ d× the shuffled bytes and wants full parallelism. A
     // user-specified repartition(N) is exempt from AQE coalescing.
     val par = centeredCells.sparkSession.sparkContext.defaultParallelism
-    val centered = centeredCells.repartition(par, col("id"))
+    // Keying the product join by id caps its parallelism at DISTINCT IDS —
+    // fine for a corpus (n ≫ cores), a cliff for the few-vectors/large-d
+    // shape (q312: n=3, d=4096 → 3 tasks each expanding 16.7M product
+    // rows). There, round-robin the left side across all cores and
+    // BROADCAST the (n·d-cell, model-sized) right side: same order-free
+    // decimal aggregation, bit-identical output, d²-parallel.
+    val centered =
+      if (n < par) centeredCells.repartition(par)
+      else centeredCells.repartition(par, col("id"))
+    val right = centered.select(col("id"), col("i").as("i2"), col("cx").as("cx2"))
     centered.select(col("id"), col("i").as("i1"), col("cx").as("cx1"))
-      .join(centered.select(col("id"), col("i").as("i2"), col("cx").as("cx2")),
-        Seq("id"))
+      .join(if (n < par) broadcast(right) else right, Seq("id"))
       .select(col("i1").as("i"), col("i2").as("j"),
         (col("cx1") * col("cx2")).cast(DecimalType(28, 12)).as("p"))
       .groupBy(col("i"), col("j"))

@@ -1078,7 +1078,7 @@ final class BucketedSnapshotTable(
       case None => fallback
       case Some(schema) =>
         PruningFileIndex.relation(spark, byDir.flatMap(_._2), schema,
-          keepFor(f, byDir))
+          keepFor(f, byDir, Some(schema)))
     }
   }
 
@@ -1099,12 +1099,16 @@ final class BucketedSnapshotTable(
   }
 
   /** The [[PruningFileIndex]] keep-callback over this table's per-batch
-    * sidecars: extract constraints once per planning call, build one
-    * dir-level keep predicate per batch dir ([[PruningFileIndex.dirKeep]]),
-    * route each file through its dir's. No extracted constraints (or an
-    * unknown file) → keep everything. */
+    * sidecars AND the bucket layout itself: extract constraints once per
+    * planning call, build one dir-level keep predicate per batch dir
+    * ([[PruningFileIndex.dirKeep]]), and — when every bucket KEY carries a
+    * point constraint — keep only the files of the hash-candidate buckets
+    * ([[keyBuckets]]: pure metadata, the read-side SQL twin of
+    * [[readKeys]]' O(1/numBuckets) lookup). No extracted constraints (or
+    * an unknown file) → keep everything. */
   private def keepFor(f: org.apache.hadoop.fs.FileSystem,
-      byDir: Seq[(String, Seq[org.apache.hadoop.fs.FileStatus])])
+      byDir: Seq[(String, Seq[org.apache.hadoop.fs.FileStatus])],
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
       (preds: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : String => Boolean = {
     val (nB, sB, pS) = BucketedSnapshotTable.extractBounds(
@@ -1119,11 +1123,101 @@ final class BucketedSnapshotTable(
       val fileDir: Map[String, String] = byDir.flatMap { case (dir, fls) =>
         fls.map(st => st.getPath.toUri.getPath -> dir)
       }.toMap
-      (p: String) => fileDir.get(p) match {
-        case None      => true
-        case Some(dir) => perDir(dir).forall(_(p))
+      val wantedBuckets: Option[Set[Int]] =
+        schema.flatMap(sc => keyBuckets(sc, pS))
+      val fileBucket: Map[String, Int] = byDir.flatMap { case (_, fls) =>
+        fls.flatMap { st =>
+          val p = st.getPath.toUri.getPath
+          s"$BucketCol=(\\d+)/".r.findFirstMatchIn(p)
+            .map(m => p -> m.group(1).toInt)
+        }
+      }.toMap
+      (p: String) => {
+        val bucketPass = wantedBuckets.forall(bs =>
+          fileBucket.get(p).forall(bs.contains))
+        bucketPass && (fileDir.get(p) match {
+          case None      => true
+          case Some(dir) => perDir(dir).forall(_(p))
+        })
       }
     }
+  }
+
+  /** Candidate bucket ids when EVERY bucket key carries a point
+    * constraint: the driver-side replay of [[bucketExpr]]'s Murmur3 hash
+    * over the literal tuples (cross product of the per-key value sets — a
+    * superset of the true tuples, so the bucket set is a superset of the
+    * buckets matching rows can live in). Values convert to each key
+    * column's STORED type with the same coercion-soundness rules the
+    * Bloom probe uses: a value provably unable to equal any stored value
+    * contributes nothing; a value whose equality class cannot be
+    * enumerated driver-side (fractional-or-huge renderings on an integral
+    * key, numeric literals on a string key, exotic key types) makes the
+    * whole analysis bail to None — skipping is always a superset
+    * guarantee. */
+  private def keyBuckets(schema: org.apache.spark.sql.types.StructType,
+      pS: Map[String, BucketedSnapshotTable.PointSet]): Option[Set[Int]] = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+    if (keys.isEmpty) return None
+    val MaxExact = 1L << 53
+    def intishVals(pts: BucketedSnapshotTable.PointSet): Option[Set[Long]] = {
+      // doubles: only an exact small integral can equal a stored integral
+      if (pts.dbls.exists(v => !v.isNaN && !v.isInfinite &&
+          v == math.rint(v) && math.abs(v) > MaxExact)) return None
+      val fromD = pts.dbls.filter(v => !v.isNaN && !v.isInfinite &&
+        v == math.rint(v) && math.abs(v) <= MaxExact).map(_.toLong)
+      // strings: integer-shaped ones were canonicalized into longs at
+      // extraction; a numeric non-integer rendering ('1e2') can still
+      // coerce-match in a non-ANSI session → enumerate when exact, bail
+      // when not; non-numeric matches no integral → contributes nothing
+      val fromS = pts.strs.flatMap { s =>
+        if (BucketedSnapshotTable.integerLiteral(s).isDefined) None // already in longs
+        else try {
+          val v = java.lang.Double.parseDouble(s.trim)
+          if (v.isNaN || v.isInfinite || v != math.rint(v)) None
+          else if (math.abs(v) > MaxExact) return None
+          else Some(v.toLong)
+        } catch { case _: NumberFormatException => None }
+      }
+      Some(pts.longs ++ fromD ++ fromS)
+    }
+    val perKey: Seq[Seq[(Any, DataType)]] = keys.map { k =>
+      val dt = schema.find(_.name == k).map(_.dataType).getOrElse(return None)
+      val pts = pS.getOrElse(k, return None)
+      dt match {
+        case LongType =>
+          intishVals(pts).getOrElse(return None).toSeq.map(v => (v: Any, dt))
+        case IntegerType =>
+          intishVals(pts).getOrElse(return None).toSeq
+            .filter(v => v >= Int.MinValue && v <= Int.MaxValue)
+            .map(v => (v.toInt: Any, dt))
+        case ShortType =>
+          intishVals(pts).getOrElse(return None).toSeq
+            .filter(v => v >= Short.MinValue && v <= Short.MaxValue)
+            .map(v => (v.toShort: Any, dt))
+        case StringType =>
+          // sound only when the string set alone is complete: every long
+          // must be explained by an integer-shaped string (the extraction
+          // canonicalization), else a numeric literal's unbounded string
+          // renderings ('05' = 5) defeat enumeration
+          if (pts.dbls.nonEmpty ||
+              pts.longs != pts.strs.flatMap(BucketedSnapshotTable.integerLiteral))
+            return None
+          pts.strs.toSeq.map(v => (v: Any, dt))
+        case _ => return None
+      }
+    }
+    if (perKey.exists(_.isEmpty)) return Some(Set.empty) // unsatisfiable
+    val tuples = perKey.foldLeft(Seq(Seq.empty[(Any, DataType)])) { (acc, vs) =>
+      acc.flatMap(t => vs.map(t :+ _))
+    }
+    if (tuples.size > 1024) return None // cap the cross-product blowup
+    Some(tuples.map { t =>
+      val h = Murmur3Hash(t.map { case (v, dt) => Literal.create(v, dt) }, 42)
+        .eval(null).asInstanceOf[Int]
+      ((h % numBuckets) + numBuckets) % numBuckets
+    }.toSet)
   }
 
   /** Metadata-only (never schedules a scan): of the live version's data
@@ -1134,7 +1228,9 @@ final class BucketedSnapshotTable(
       throw new IllegalStateException(s"BucketedSnapshotTable $root is empty")))
     val byDir = liveFilesByDir(spark, entries)
     val all = byDir.flatMap(_._2).map(_.getPath.toUri.getPath)
-    val k = keepFor(fs(spark), byDir)(Seq(
+    val reps = byDir.flatMap(_._2.headOption).map(_.getPath.toString)
+    val schema = PruningFileIndex.unionSchema(spark, reps)
+    val k = keepFor(fs(spark), byDir, schema)(Seq(
       org.apache.spark.sql.GraftColumnBridge.catalystExpression(pred)))
     (all.count(k), all.size)
   }

@@ -216,6 +216,46 @@ class PruningReadSpec extends AnyFunSuite {
       .as[Int].collect().toSeq == Seq(42))
   }
 
+  test("bucket-key point lookup through the file index: hash replay prunes to the key's bucket") {
+    // INT-typed key pins the literal-type handling: Murmur3(int 5) and
+    // Murmur3(long 5) differ, so hashing the literal in the STORED type is
+    // what keeps the replayed bucket honest (the result check would
+    // silently go empty on a wrong hash)
+    val root = tmp("bkey")
+    val t = new BucketedSnapshotTable(root, numBuckets = 16, keys = Seq("k"))
+    t.scd1Merge(spark, (1 to 160).map(i => (i, 1L, s"v$i")).toDF("k", "seq", "v"), "seq")
+    val total = t.read(spark).inputFiles.length
+    val (k1, all) = t.pruneStats(spark, $"k" === 5)
+    assert(all == total && k1 > 0 && k1 * 8 <= all, s"key point: $k1 of $all")
+    assert(t.readIndexed(spark).filter($"k" === 5).select("v")
+      .as[String].collect().toSeq == Seq("v5"))
+    // integer-shaped string coerces onto the key; IN-list unions buckets
+    val (kIn, _) = t.pruneStats(spark, expr("k IN (5, '7')"))
+    assert(kIn > 0 && kIn * 4 <= all, s"key IN: $kIn of $all")
+    assert(t.readIndexed(spark).filter(expr("k IN (5, '7')")).select("v")
+      .as[String].collect().toSet == Set("v5", "v7"))
+    // a range on the key cannot enumerate buckets → no bucket pruning
+    assert(t.pruneStats(spark, $"k" >= 100)._1 == all)
+    // unsatisfiable key conjunction prunes everything
+    assert(t.pruneStats(spark, $"k" === 5 && $"k" === 7)._1 == 0)
+
+    // multi-key table: every key needs a point constraint; the cross
+    // product of per-key sets covers the true tuples
+    val root2 = tmp("bkey2")
+    val t2 = new BucketedSnapshotTable(root2, numBuckets = 16, keys = Seq("a", "b"))
+    t2.scd1Merge(spark, (1 to 160).map(i => (i.toLong, s"g${i % 4}", 1L, i))
+      .toDF("a", "b", "seq", "x"), "seq")
+    val (kM, allM) = t2.pruneStats(spark, $"a" === 9L && $"b" === "g1")
+    assert(kM > 0 && kM * 8 <= allM, s"multi-key point: $kM of $allM")
+    assert(t2.readIndexed(spark).filter($"a" === 9L && $"b" === "g1")
+      .select("x").as[Int].collect().toSeq == Seq(9))
+    // one key unconstrained → the layout cannot prune
+    assert(t2.pruneStats(spark, $"a" === 9L)._1 == allM)
+    // a bare numeric literal on the STRING key bails (its string
+    // renderings cannot be enumerated) — keep-all, never a wrong prune
+    assert(t2.pruneStats(spark, $"a" === 9L && $"b" === 5)._1 == allM)
+  }
+
   test("plain fallback: hive-partitioned snapshot reads through the ordinary path") {
     val root = tmp("ppreadpart")
     val t = new SnapshotTable(root)
