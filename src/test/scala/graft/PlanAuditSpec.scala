@@ -24,6 +24,32 @@ class PlanAuditSpec extends AnyFunSuite {
       s"watermark filter not pushed:\n${plan.take(2000)}")
   }
 
+  test("SNAPSHOT pruning relation keeps parquet pushdown + column pruning (r10)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("planidx").toString
+    val t = new graft.tables.BucketedSnapshotTable(s"$work/t", 8, Seq("k"),
+      statsCols = Seq("d"))
+    t.scd1Merge(spark, (1 to 80).map(i => (i, 1L, i.toLong, s"v$i", s"w$i"))
+      .toDF("k", "seq", "d", "v", "w"), "seq")
+    val df = org.apache.spark.sql.GraftColumnBridge
+      .graftSql(spark, s"SNAPSHOT '$work/t' WHERE d >= 70")
+      .select($"k", $"v")
+    val plan = df.queryExecution.executedPlan.toString
+    // the file index must not cost us the ordinary parquet goodness: the
+    // row filter is still pushed to the scan, and only the referenced
+    // columns are read
+    assert(plan.contains("PushedFilters: [IsNotNull(d), GreaterThanOrEqual(d,70)"),
+      s"filter not pushed through the pruning relation:\n${plan.take(1500)}")
+    assert(plan.contains("ReadSchema") && !plan.contains("w#") ||
+      "ReadSchema: [^\\n]*".r.findFirstIn(plan).exists(rs =>
+        !rs.contains("w:") && rs.contains("v:")),
+      s"column pruning lost:\n${plan.take(1500)}")
+    assert(plan.contains("WholeStageCodegen"), "scan left whole-stage codegen")
+    assert(df.as[(Int, String)].collect().toSet ==
+      (70 to 80).map(i => (i, s"v$i")).toSet)
+  }
+
   test("q4: star-join dimensions broadcast; fact side never broadcasts") {
     val plan = planOf("q4_star_join")
     val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
