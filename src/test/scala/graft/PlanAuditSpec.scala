@@ -45,7 +45,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "ReadSchema: [^\\n]*".r.findFirstIn(plan).exists(rs =>
         !rs.contains("w:") && rs.contains("v:")),
       s"column pruning lost:\n${plan.take(1500)}")
-    assert(plan.contains("WholeStageCodegen"), "scan left whole-stage codegen")
+    assert(plan.contains("*(1)") || plan.contains("WholeStageCodegen"),
+      "scan left whole-stage codegen")
     assert(df.as[(Int, String)].collect().toSet ==
       (70 to 80).map(i => (i, s"v$i")).toSet)
   }
