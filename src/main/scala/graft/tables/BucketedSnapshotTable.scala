@@ -696,10 +696,23 @@ final class BucketedSnapshotTable(
     val nBounds = allN.filter { case (c, _) => statsCols.contains(c) }
     val sBounds = allS.filter { case (c, _) => statsCols.contains(c) }
     val pSets   = allP.filter { case (c, _) => bloomCols.contains(c) }
-    if (nBounds.isEmpty && sBounds.isEmpty && pSets.isEmpty) return None
+    // BUCKET-KEY pruning needs no sidecars at all: when every bucket key
+    // carries a point constraint, the candidate buckets are the literal
+    // tuples' hash targets (keyBuckets, one footer read for the key
+    // types) — `UPDATE … WHERE key = k` discovers O(1) buckets on a bare
+    // table, the DML twin of the q315 read path.
+    val byKey: Option[Set[Int]] =
+      if (keys.isEmpty || !keys.forall(allP.contains)) None
+      else m.headOption.flatMap { case (b, dir) =>
+        val rep = s"$root/$dir/$BucketCol=$b"
+        (try Some(spark.read.parquet(rep).schema)
+         catch { case _: Exception => None })
+          .flatMap(keyBuckets(_, allP))
+      }
+    if (nBounds.isEmpty && sBounds.isEmpty && pSets.isEmpty) return byKey
     val f = fs(spark)
     def norm(p: String) = new Path(p).toUri.getPath
-    Some(m.groupBy(_._2).flatMap { case (dir, entries) =>
+    val sidecarCands = Some(m.groupBy(_._2).flatMap { case (dir, entries) =>
       // range pass: files whose every bounded column's recorded [min,max]
       // intersects (a column missing from a file's stats entry keeps the
       // file — superset guarantee); None = no stats manifest for the batch
@@ -747,6 +760,11 @@ final class BucketedSnapshotTable(
           }
       }
     }.toSet)
+    // both analyses are supersets of the matching buckets → intersect
+    (sidecarCands, byKey) match {
+      case (Some(a), Some(b)) => Some(a intersect b)
+      case (a, b)             => a.orElse(b)
+    }
   }
 
   /** Shared copy-on-write loop for [[update]]/[[delete]]: per attempt,

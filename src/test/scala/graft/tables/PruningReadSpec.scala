@@ -239,6 +239,16 @@ class PruningReadSpec extends AnyFunSuite {
     // unsatisfiable key conjunction prunes everything
     assert(t.pruneStats(spark, $"k" === 5 && $"k" === 7)._1 == 0)
 
+    // DML twin: predicate discovery prunes to the key's hash bucket with
+    // NO sidecars at all — `UPDATE WHERE key = k` rewrites O(1) buckets
+    // on a bare table
+    val cand = t.statsCandidates(spark, t.manifest(spark), $"k" === 5)
+    assert(cand.exists(_.size <= 2), s"key-point DML discovery: $cand")
+    val (touched, nUpd) = t.update(spark, $"k" === 5, Seq("v" -> lit("upd")))
+    assert(nUpd == 1 && touched.size == 1)
+    assert(t.readIndexed(spark).filter($"k" === 5).select("v")
+      .as[String].head() == "upd")
+
     // multi-key table: every key needs a point constraint; the cross
     // product of per-key sets covers the true tuples
     val root2 = tmp("bkey2")
