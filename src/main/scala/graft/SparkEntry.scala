@@ -5618,6 +5618,30 @@ object SparkEntry {
       }
     }),
 
+    // ── LIKE-PREFIX DATA SKIPPING (r10): `WHERE url LIKE 'prefix%'` is
+    //    the serving predicate string stats exist for — the bounds
+    //    extractor maps LIKE/startswith prefixes to the inclusive range
+    //    [p, prefixSuccessor(p)], so a prefix probe over a name-clustered
+    //    table schedules only the lexicographic band's files (composes
+    //    with the r9 adaptive-prefix stats for long shared prefixes).
+    "q316_like_prefix_skipping" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("likeskip").toString
+      withShufflePartitions(s, 8) {
+      val t = new graft.tables.SnapshotTable(s"$work/t")
+      t.writeWithStats(s, Tables.customer(s, dir)
+        .select($"c_custkey", $"c_name", $"c_acctbal"),
+        statsCols = Seq("c_name"), clusterBy = Seq("c_name"), clusterPartitions = 8)
+      val (kept, all) = t.pruneStats(s, $"c_name".like("Customer#00000001%"))
+      require(kept > 0 && kept * 2 <= all,
+        s"LIKE-prefix must prune the name-clustered scan: $kept of $all files")
+      val sqlRun = (q: String) => org.apache.spark.sql.GraftColumnBridge.graftSql(s, q)
+      sqlRun(s"SNAPSHOT '$work/t' WHERE c_name LIKE 'Customer#00000001%'")
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+        .orderBy($"c_custkey")
+      }
+    }),
+
     // ── SQL POINT LOOKUP BY BUCKET KEY (r10): the bucket layout IS the
     //    primary index, and the pruning file index now replays its Murmur3
     //    hash driver-side — `SNAPSHOT … WHERE <bucket key> = k` schedules
@@ -6239,6 +6263,11 @@ object SparkEntry {
     "q261_debias_topcomp" -> debiasOracle,
 
     "q312_debias_distributed" -> debiasDistributedOracle,
+
+    // prefix skipping is invisible to the row-filtered result
+    "q316_like_prefix_skipping" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_name LIKE 'Customer#00000001%' ORDER BY c_custkey""".stripMargin,
 
     // the key lookup's bucket pruning is invisible to the row-filtered
     // result — and the rows MUST be present, which proves the driver-side

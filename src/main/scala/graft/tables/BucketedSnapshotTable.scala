@@ -1676,20 +1676,44 @@ object BucketedSnapshotTable {
              Map(c -> ((Some(ss.flatten.min), Some(ss.flatten.max)))) else Map.empty[String, (Option[String], Option[String])],
            onePts(Some(c), items))
       }
+    // `col LIKE 'p%'` / startswith(col, 'p'): the column lies in the
+    // inclusive prefix range [p, prefixSuccessor(p)] against the string
+    // stats — the successor is EXCLUSIVE semantically, so using it as an
+    // inclusive hi only ever keeps an extra boundary file (superset). A
+    // pattern with any other wildcard/escape contributes nothing.
+    def prefixB(l: Expression, p: String): (NumB, StrB, PtB) =
+      attr(l) match {
+        case Some(c) if p.nonEmpty =>
+          (Map.empty, Map(c -> ((Some(p), StatsManifest.prefixSuccessor(p)))), Map.empty)
+        case _ => empty
+      }
+    def likeB(l: Expression, pattern: Expression): (NumB, StrB, PtB) =
+      litS(pattern) match {
+        case Some(pat) =>
+          val i = pat.indexWhere(ch => ch == '%' || ch == '_' || ch == '\\')
+          if (i > 0 && pat.substring(i) == "%") prefixB(l, pat.substring(0, i))
+          else empty
+        case None => empty
+      }
     def walk(e: Expression): (NumB, StrB, PtB) = e match {
       case And(l, r)                => merge(walk(l), walk(r))
       case Or(l, r)                 => mergeOr(walk(l), walk(r))
       case EqualTo(l, r)            => cmp("=", l, r)
+      case EqualNullSafe(l, r)      => cmp("=", l, r)
       case GreaterThan(l, r)        => cmp(">", l, r)
       case GreaterThanOrEqual(l, r) => cmp(">=", l, r)
       case LessThan(l, r)           => cmp("<", l, r)
       case LessThanOrEqual(l, r)    => cmp("<=", l, r)
       case In(l, items)             => inB(l, items)
+      case StartsWith(l, r)         => litS(r).map(prefixB(l, _)).getOrElse(empty)
+      case Like(l, r, '\\')         => likeB(l, r)
       case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
         (f.nameParts.last.toLowerCase, f.arguments) match {
           case ("and", Seq(l, r))          => merge(walk(l), walk(r))
           case ("or", Seq(l, r))           => mergeOr(walk(l), walk(r))
           case ("in", l +: items)          => inB(l, items)
+          case ("startswith", Seq(l, r))   => litS(r).map(prefixB(l, _)).getOrElse(empty)
+          case ("like", Seq(l, r))         => likeB(l, r)
           case (n, Seq(l, r))              => cmp(n, l, r)
           case _                           => empty
         }
