@@ -17,7 +17,7 @@ import graft.tables.SnapshotTable
   * notebooks run as cell SQL). Statements over [[SnapshotTable]] paths:
   *
   * {{{
-  *   OPTIMIZE '<table root>' [TARGET <bytes>]
+  *   OPTIMIZE '<table root>' [TARGET <bytes>] [CLUSTER BY (c…)]
   *   VACUUM '<table root>' [KEEP <n>]
   *   DESCRIBE HISTORY '<table root>'
   *   DESCRIBE DETAIL '<table root>'
@@ -61,7 +61,7 @@ import graft.tables.SnapshotTable
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private val Optimize =
-    """(?is)\s*OPTIMIZE\s+'([^']+)'(?:\s+TARGET\s+(\d+))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+'([^']+)'(?:\s+TARGET\s+(\d+))?(?:\s+CLUSTER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
   private val Vacuum =
     """(?is)\s*VACUUM\s+'([^']+)'(?:\s+KEEP\s+(\d+))?\s*;?\s*""".r
   private val History =
@@ -96,9 +96,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case Optimize(path, target) =>
+    case Optimize(path, target, cluster) =>
       OptimizeSnapshotCommand(path,
-        Option(target).map(_.toLong).getOrElse(128L << 20))
+        Option(target).map(_.toLong).getOrElse(128L << 20),
+        Option(cluster).toSeq
+          .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)))
     case Vacuum(path, keep) =>
       VacuumSnapshotCommand(path, Option(keep).map(_.toInt).getOrElse(2))
     case History(path) =>
@@ -290,14 +292,18 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   * [[graft.tables.BucketedSnapshotTable.compact]] (bucketed roots: unify
   * each bucket's incremental batch files; TARGET is not applicable —
   * bucket granularity is the layout). Returns the new live version. */
-case class OptimizeSnapshotCommand(path: String, targetBytes: Long)
+case class OptimizeSnapshotCommand(path: String, targetBytes: Long,
+    clusterBy: Seq[String] = Nil)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     DmlRouting.bucketed(spark, path) match {
-      case Some(l) => Seq(Row(DmlRouting.table(spark, path, l).compact(spark)))
-      case None => Seq(Row(new SnapshotTable(path).optimizeCompact(spark, targetBytes)))
+      case Some(l) =>
+        Seq(Row(DmlRouting.table(spark, path, l).compact(spark, clusterBy)))
+      case None =>
+        Seq(Row(new SnapshotTable(path)
+          .optimizeCompact(spark, targetBytes, clusterBy)))
     }
 }
 

@@ -1092,6 +1092,7 @@ final class BucketedSnapshotTable(
     if (entries.isEmpty) return fallback // uniform empty-table errors
     val byDir = liveFilesByDir(spark, entries)
     val reps = byDir.flatMap(_._2.headOption).map(_.getPath.toString)
+    if (reps.isEmpty) return fallback // no listable data files
     PruningFileIndex.unionSchema(spark, reps) match {
       case None => fallback
       case Some(schema) =>
@@ -1351,14 +1352,20 @@ final class BucketedSnapshotTable(
     * buckets re-point at the compacted dir. The commit is always
     * consistent: every bucket shows either its compacted bytes (equal
     * content) or the newer merge's bytes. Returns the committed version. */
-  def compact(spark: SparkSession): Int = {
+  def compact(spark: SparkSession, clusterBy: Seq[String] = Nil): Int = {
     val f = fs(spark)
     val v0 = currentVersion(spark).getOrElse(0)
     val m0 = if (v0 == 0) Map.empty[Int, BucketEntry] else readEntries(spark, v0)
     var committed = v0
     readBuckets(spark, None).foreach { df =>
       val staging = s"_staging_${java.util.UUID.randomUUID().toString.take(12)}"
-      df.repartition(col(BucketCol))
+      // clusterBy: sort WITHIN each bucket's file so parquet row-group
+      // min/max become selective on those columns (the bucket layout is
+      // the file-level index; this is the row-group-level one)
+      val shaped = df.repartition(col(BucketCol))
+      (if (clusterBy.isEmpty) shaped
+       else shaped.sortWithinPartitions(
+         (BucketCol +: clusterBy).map(col): _*))
         .write.mode(SaveMode.Overwrite)
         .partitionBy(BucketCol)
         .parquet(s"$root/$staging")

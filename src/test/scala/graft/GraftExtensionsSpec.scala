@@ -483,12 +483,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(t.read(spark).inputFiles.length < before)
     assert(t.read(spark).count() == 5030)
 
+    // OPTIMIZE … CLUSTER BY (r10): the packed small files land range-
+    // clustered, so the carried stats stay selective on the column
+    (0 until 2).foreach { i =>
+      t.append(spark, spark.range(9000 + i * 10, 9010 + i * 10).toDF("k")
+        .withColumn("x", sha2($"k".cast("string"), 256)).coalesce(1))
+    }
+    val v2 = sqlRun(s"OPTIMIZE '${t.root}' TARGET 100000 CLUSTER BY (k)")
+      .as[Int].head()
+    assert(v2 > v && t.read(spark).count() == 5050)
+    val (keptC, allC) = t.pruneStats(spark, $"k" >= 9000)
+    assert(keptC > 0 && keptC < allC,
+      s"clustered OPTIMIZE must keep range stats selective: $keptC of $allC")
+
     // bad statements near-miss the grammar → delegate → normal ParseException
     intercept[Exception](sqlRun(s"OPTIMIZE UNQUOTED_PATH EXTRA"))
 
     // VACUUM drops old versions, keeps manifest-referenced dirs readable
     sqlRun(s"VACUUM '${t.root}' KEEP 1").collect()
-    assert(t.read(spark).count() == 5030)
+    assert(t.read(spark).count() == 5050)
     assert(sqlRun(s"DESCRIBE HISTORY '${t.root}'").count() == 1)
 
     // plain SQL flows through the delegate untouched
