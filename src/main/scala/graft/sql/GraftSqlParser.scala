@@ -32,7 +32,7 @@ import graft.tables.SnapshotTable
   *   CHANGES '<table root>' FROM <v> TO <v> [ON KEYS (…)] [WITH COLUMNS]
   *   CHANGES '<table root>' SINCE TIMESTAMP '<ts>' [ON KEYS (…)] [WITH COLUMNS]
   *   CREATE TABLE '<root>' [BUCKETED BY (k…) INTO <n> BUCKETS SEQUENCE BY c]
-  *     [PARTITIONED BY (p…)] [STATS (s…)] AS <query>
+  *     [PARTITIONED BY (p…)] [STATS (s…)] [BLOOM (b…)] AS <query>
   *   ANALYZE '<root>' [STATS (c1[, c2…])] [BLOOM (c1[, c2…])] [INCREMENTAL]
   *   APPLY CHANGES INTO '<dst>' FROM '<src>' USING CHECKPOINT '<ck>'
   *     AS <id> [ON KEYS (…)] [INTO <n> BUCKETS]
@@ -87,7 +87,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val ApplyChanges =
     """(?is)\s*APPLY\s+CHANGES\s+INTO\s+'([^']+)'\s+FROM\s+'([^']+)'\s+USING\s+CHECKPOINT\s+'([^']+)'\s+AS\s+(\w+)(?:\s+ON\s+KEYS\s*\(([^)]+)\))?(?:\s+INTO\s+(\d+)\s+BUCKETS)?\s*;?\s*""".r
   private val CreateTableAs =
-    """(?is)\s*CREATE\s+TABLE\s+'([^']+)'(?:\s+BUCKETED\s+BY\s*\(([^)]+)\)\s+INTO\s+(\d+)\s+BUCKETS\s+SEQUENCE\s+BY\s+(\w+))?(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?(?:\s+STATS\s*\(([^)]+)\))?\s+AS\s+(.+?)\s*;?\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+'([^']+)'(?:\s+BUCKETED\s+BY\s*\(([^)]+)\)\s+INTO\s+(\d+)\s+BUCKETS\s+SEQUENCE\s+BY\s+(\w+))?(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?(?:\s+STATS\s*\(([^)]+)\))?(?:\s+BLOOM\s*\(([^)]+)\))?\s+AS\s+(.+?)\s*;?\s*""".r
   private val Analyze =
     """(?is)\s*ANALYZE\s+'([^']+)'(?:\s+STATS\s*\(([^)]+)\))?(?:\s+BLOOM\s*\(([^)]+)\))?(\s+INCREMENTAL)?\s*;?\s*""".r
   private val AddConstraint =
@@ -123,12 +123,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       InsertSnapshotCommand(path, view, evolve != null)
     case Restore(path, version) =>
       RestoreSnapshotCommand(path, version.toInt)
-    case CreateTableAs(path, bKeys, nBuckets, seqCol, partCols, stats, query) =>
+    case CreateTableAs(path, bKeys, nBuckets, seqCol, partCols, stats, bloom, query) =>
       def csv(s: String) = Option(s).toSeq
         .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
       CreateTableAsCommand(path, csv(bKeys),
         Option(nBuckets).map(_.toInt), Option(seqCol),
-        csv(partCols), csv(stats), query.trim)
+        csv(partCols), csv(stats), query.trim, csv(bloom))
     case Analyze(path, cols, bloomCols, incr) =>
       def csvOf(s: String) = Option(s).toSeq
         .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
@@ -593,7 +593,8 @@ case class DescribeDetailCommand(path: String) extends LeafRunnableCommand {
   * Refuses an existing root (CTAS creates; RESTORE/DML mutate). */
 case class CreateTableAsCommand(path: String, bucketKeys: Seq[String],
     numBuckets: Option[Int], seqCol: Option[String],
-    partitionCols: Seq[String], statsCols: Seq[String], query: String)
+    partitionCols: Seq[String], statsCols: Seq[String], query: String,
+    bloomCols: Seq[String] = Nil)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", IntegerType, nullable = false)(),
@@ -609,7 +610,7 @@ case class CreateTableAsCommand(path: String, bucketKeys: Seq[String],
         s"CREATE TABLE $path: BUCKETED BY and PARTITIONED BY are exclusive — " +
           "the bucket hash IS the bucketed format's layout")
       val bt = new graft.tables.BucketedSnapshotTable(path,
-        numBuckets.get, bucketKeys, statsCols)
+        numBuckets.get, bucketKeys, statsCols, bloomCols)
       bt.scd1Merge(spark, df, seqCol.get)
       Seq(Row(bt.currentVersion(spark).getOrElse(0),
         graft.cdc.ScdMerge.scd1Current(bt.read(spark)).count()))
@@ -617,6 +618,7 @@ case class CreateTableAsCommand(path: String, bucketKeys: Seq[String],
       val t = new SnapshotTable(path)
       val v = t.write(spark, df, partitionCols)
       if (statsCols.nonEmpty) t.refreshStats(spark, statsCols)
+      if (bloomCols.nonEmpty) t.refreshBloom(spark, bloomCols)
       Seq(Row(v, t.read(spark).count()))
     }
   }

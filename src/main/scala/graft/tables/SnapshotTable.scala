@@ -1073,7 +1073,11 @@ final class SnapshotTable(val root: String,
     }
     val fromSide = side(oldFiles.filterNot(shared.contains).toVector, fromV)
     val toSide = side(newFiles.filterNot(shared.contains).toVector, toV)
-    val newTombFiles = (tTo -- tFrom).toSeq.map(_._1).sorted
+    val newTombs0 = (tTo -- tFrom).toSeq
+    // the delta path BROADCASTS the new tombstone batch — a mass delete
+    // (file-size metadata says so, no scan) takes the full diff instead
+    if (newTombs0.map(_._2).sum > (64L << 20)) return full
+    val newTombFiles = newTombs0.map(_._1).sorted
     if (newTombFiles.isEmpty) {
       SnapshotTable.lastDiffMode.set("pruned")
       (fromSide, toSide)

@@ -317,6 +317,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(new graft.tables.SnapshotTable(s"$work/p").partitionColumns(spark) == Seq("v"))
     assert(sqlRun(s"SNAPSHOT '$work/p'").count() == 3)
 
+    // BLOOM clause (r10): the index lands with the CTAS on both formats
+    sqlRun(s"CREATE TABLE '$work/bb' BUCKETED BY (k) INTO 4 BUCKETS " +
+      "SEQUENCE BY op_seq BLOOM (v) AS SELECT * FROM ctas_src").collect()
+    assert(graft.tables.BucketedSnapshotTable.layoutOf(spark, s"$work/bb")
+      .get.bloomCols == Seq("v"))
+    sqlRun(s"CREATE TABLE '$work/pb' BLOOM (v) AS SELECT * FROM ctas_src").collect()
+    assert(sqlRun(s"SNAPSHOT '$work/pb' WHERE v = 'b'").count() == 1)
+
     // an existing root refuses CTAS (both formats)
     assert(intercept[Exception](sqlRun(s"CREATE TABLE '$work/b' BUCKETED BY (k) " +
       "INTO 4 BUCKETS SEQUENCE BY op_seq AS SELECT * FROM ctas_src").collect())
