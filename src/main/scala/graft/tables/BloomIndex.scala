@@ -302,30 +302,42 @@ private[graft] object BloomIndex {
     } finally out.close()
     if (!fs.rename(tmp, new Path(dir, blobName)))
       throw new java.io.IOException(s"BloomIndex: blob rename failed in $dir")
-    StatsManifest.writeLines(fs, mPath, headers ++ newEntries.result())
+    val finalEntries = newEntries.result()
+    StatsManifest.writeLines(fs, mPath, headers ++ finalEntries)
     // reap AFTER the manifest swap: a racing probe on the old manifest at
     // worst keeps the affected files
     reaped.result().foreach(p => fs.delete(p, false))
-    // stale blobs from earlier consolidations of a since-rebuilt index
+    // sweep stale blobs from earlier consolidations — but NEVER one a kept
+    // entry still references (an unreadable-here sidecar keeps its old
+    // `@blob` ref; deleting that blob would orphan the ref permanently).
+    // Crashed consolidations' `.tmp` leftovers reap too.
+    val stillRef: Set[String] = finalEntries.flatMap { l =>
+      val p = l.split("\t", 2)
+      if (p.length == 2 && p(1).startsWith("@")) Some(p(1).drop(1).split(":", 3)(0))
+      else None
+    }.toSet
     fs.listStatus(dir).map(_.getPath).foreach { p =>
-      if (p.getName.startsWith("_BLOB.") && p.getName != blobName &&
-          !p.getName.endsWith(".tmp"))
+      val n = p.getName
+      if (n.startsWith("_BLOB.") && !stillRef.contains(n) && n != blobName)
         fs.delete(p, false)
     }
   }
 
   /** Could a row hashed under `kind` SQL-equal `value`? Per kind:
     *  - "l" (integral rows): longs probe directly; a double matches only
-    *    its exact integral long (|v| ≤ 2^53 — above, several longs round
-    *    to the same double, so keep; non-integral/non-finite can equal no
-    *    long → provably absent); a string probes its integer form, else
-    *    its numeric value under the same double rule, and a string that
-    *    is not a number at all casts to NULL in the comparison → absent.
-    *  - "d" (fractional rows): doubles/longs probe canonical bits (NaN
-    *    never SQL-equals → absent); strings probe their parsed value and
-    *    keep the file when unparseable HERE (Spark's cast accepts forms
-    *    like 'infinity' that Double.parseDouble rejects — absence is only
-    *    claimed when the probe provably covers the coercion).
+    *    its exact integral long (|v| < 2^53 — at and above, SEVERAL longs
+    *    round to the same double under Spark's comparison coercion, so
+    *    keep; non-integral/non-finite can equal no long → provably
+    *    absent); a string probes its integer form, else its numeric value
+    *    under the same double rule, and a string that is not a number at
+    *    all casts to NULL in the comparison → absent.
+    *  - "d" (fractional rows): doubles/longs probe canonical bits — NaN
+    *    INCLUDED: Spark SQL defines NaN = NaN as TRUE (unlike IEEE), and
+    *    the build side hashed stored NaNs to the same canonical bits;
+    *    strings probe their parsed value and keep the file when
+    *    unparseable HERE (Spark's cast accepts forms like 'infinity' that
+    *    Double.parseDouble rejects — absence is only claimed when the
+    *    probe provably covers the coercion).
     *  - "s" (string rows): strings probe directly; numeric values keep
     *    the file (a numeric literal matches every string RENDERING that
     *    casts to it — '05' = 5 — which no finite probe set covers).
@@ -336,7 +348,7 @@ private[graft] object BloomIndex {
     def dblOnLongKind(v: Double): Boolean =
       if (v.isNaN || v.isInfinite) false
       else if (v != math.rint(v)) false
-      else if (math.abs(v) > MaxExactLong) true
+      else if (math.abs(v) >= MaxExactLong) true
       else bf.mightContainLong(v.toLong)
     def parsed(s: String): Option[Double] =
       try Some(java.lang.Double.parseDouble(s.trim))
@@ -349,10 +361,10 @@ private[graft] object BloomIndex {
           case Some(l) => bf.mightContainLong(l)
           case None    => parsed(s).fold(false)(dblOnLongKind)
         }
-      case ("d", d: Double) => !d.isNaN && bf.mightContainLong(canonBits(d))
+      case ("d", d: Double) => bf.mightContainLong(canonBits(d))
       case ("d", l: Long)   => bf.mightContainLong(canonBits(l.toDouble))
       case ("d", s: String) =>
-        parsed(s).forall(v => !v.isNaN && bf.mightContainLong(canonBits(v)))
+        parsed(s).forall(v => bf.mightContainLong(canonBits(v)))
       case ("s", s: String) => bf.mightContainString(s)
       case ("s", _)         => true
       case _                => true

@@ -1179,50 +1179,25 @@ final class BucketedSnapshotTable(
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
     if (keys.isEmpty) return None
-    val MaxExact = 1L << 53
-    def intishVals(pts: BucketedSnapshotTable.PointSet): Option[Set[Long]] = {
-      // doubles: only an exact small integral can equal a stored integral
-      if (pts.dbls.exists(v => !v.isNaN && !v.isInfinite &&
-          v == math.rint(v) && math.abs(v) > MaxExact)) return None
-      val fromD = pts.dbls.filter(v => !v.isNaN && !v.isInfinite &&
-        v == math.rint(v) && math.abs(v) <= MaxExact).map(_.toLong)
-      // strings: integer-shaped ones were canonicalized into longs at
-      // extraction; a numeric non-integer rendering ('1e2') can still
-      // coerce-match in a non-ANSI session → enumerate when exact, bail
-      // when not; non-numeric matches no integral → contributes nothing
-      val fromS = pts.strs.flatMap { s =>
-        if (BucketedSnapshotTable.integerLiteral(s).isDefined) None // already in longs
-        else try {
-          val v = java.lang.Double.parseDouble(s.trim)
-          if (v.isNaN || v.isInfinite || v != math.rint(v)) None
-          else if (math.abs(v) > MaxExact) return None
-          else Some(v.toLong)
-        } catch { case _: NumberFormatException => None }
-      }
-      Some(pts.longs ++ fromD ++ fromS)
-    }
     val perKey: Seq[Seq[(Any, DataType)]] = keys.map { k =>
       val dt = schema.find(_.name == k).map(_.dataType).getOrElse(return None)
       val pts = pS.getOrElse(k, return None)
       dt match {
         case LongType =>
-          intishVals(pts).getOrElse(return None).toSeq.map(v => (v: Any, dt))
+          pts.longInterpretation.getOrElse(return None).toSeq.map(v => (v: Any, dt))
         case IntegerType =>
-          intishVals(pts).getOrElse(return None).toSeq
+          pts.longInterpretation.getOrElse(return None).toSeq
             .filter(v => v >= Int.MinValue && v <= Int.MaxValue)
             .map(v => (v.toInt: Any, dt))
         case ShortType =>
-          intishVals(pts).getOrElse(return None).toSeq
+          pts.longInterpretation.getOrElse(return None).toSeq
             .filter(v => v >= Short.MinValue && v <= Short.MaxValue)
             .map(v => (v.toShort: Any, dt))
         case StringType =>
-          // sound only when the string set alone is complete: every long
-          // must be explained by an integer-shaped string (the extraction
-          // canonicalization), else a numeric literal's unbounded string
-          // renderings ('05' = 5) defeat enumeration
-          if (pts.dbls.nonEmpty ||
-              pts.longs != pts.strs.flatMap(BucketedSnapshotTable.integerLiteral))
-            return None
+          // sound only when the string set alone is complete: a numeric
+          // literal matches every string RENDERING that casts to it
+          // ('05' = 5), which no finite probe set covers
+          if (pts.dbls.nonEmpty || pts.longs.nonEmpty) return None
           pts.strs.toSeq.map(v => (v: Any, dt))
         case _ => return None
       }
@@ -1483,14 +1458,45 @@ object BucketedSnapshotTable {
   val BloomFpp = 0.01
 
   /** A `column ∈ {values}` point constraint extracted from a predicate —
-    * integral values probe the long-hashed filters, strings the
-    * string-hashed ones, doubles (and decimals, via their double
-    * rendering) the canonical-bits-hashed "d" kind; each value probes
-    * per-kind with coercion-aware conversion, and a value that cannot be
-    * soundly evaluated against a filter's kind keeps the file (see
+    * each literal recorded under its OWN kind (provenance preserved, so a
+    * numeric-shaped string still prunes string-hashed filters); integral
+    * values probe the long-hashed filters, strings the string-hashed
+    * ones, doubles (and decimals, via their double rendering) the
+    * canonical-bits-hashed "d" kind. Probes convert per filter kind with
+    * coercion-aware rules, and a value that cannot be soundly evaluated
+    * against a kind keeps the file (see
     * [[BloomIndex.filesMightContainAny]]). */
   private[graft] final case class PointSet(longs: Set[Long], strs: Set[String],
-      dbls: Set[Double] = Set.empty)
+      dbls: Set[Double] = Set.empty) {
+
+    /** The values of this set interpreted as the LONGS they could
+      * SQL-equal under coercion, when that set is enumerable: raw longs,
+      * exact small integral doubles, integer-shaped strings, and numeric
+      * strings whose parsed value is an exact small integral; a
+      * non-numeric string or non-integral double can equal no long and
+      * contributes nothing. None when some value's long-equality class
+      * cannot be enumerated (an integral magnitude at or past 2^53, where
+      * several longs share one double rendering). Feeds the conjunction
+      * algebra and the bucket-key hash replay. */
+    def longInterpretation: Option[Set[Long]] = {
+      val MaxExact = 1L << 53
+      def fromD(v: Double): Option[Option[Long]] = // outer None = bail
+        if (v.isNaN || v.isInfinite || v != math.rint(v)) Some(None)
+        else if (math.abs(v) >= MaxExact) None
+        else Some(Some(v.toLong))
+      val viaD = dbls.toSeq.map(fromD)
+      val viaS = strs.toSeq.map { s =>
+        BucketedSnapshotTable.integerLiteral(s) match {
+          case Some(l) => (Some(Some(l)): Option[Option[Long]])
+          case None =>
+            try fromD(java.lang.Double.parseDouble(s.trim))
+            catch { case _: NumberFormatException => Some(None) }
+        }
+      }
+      if ((viaD ++ viaS).contains(None)) None
+      else Some(longs ++ (viaD ++ viaS).flatten.flatten)
+    }
+  }
 
   /** A string that is exactly an (optionally signed) integer in Long
     * range — the only strings whose long-kind coercion target is known
@@ -1628,23 +1634,20 @@ object BucketedSnapshotTable {
     def oneS(c: Option[String], v: Option[String],
         f: String => (Option[String], Option[String])): StrB =
       (for (cc <- c; vv <- v) yield Map(cc -> f(vv))).getOrElse(Map.empty)
-    // a single `c ∈ {values}` point constraint: usable only when every
-    // value is integral (→ the index's long hash kind) or string. A string
-    // literal that is itself a pure integer ALSO probes the long kind:
-    // Spark coerces `c = '1'` on an int column to the numeric comparison,
-    // and without the extra long the conjunction algebra (PointSet.and)
-    // could intersect two coerce-equal literals of different kinds to a
-    // false "unsatisfiable".
+    // a single `c ∈ {values}` point constraint: each literal lands in the
+    // set of its OWN kind (provenance preserved — a numeric-shaped string
+    // stays a string, so an 's'-kind Bloom probe still prunes on it);
+    // cross-kind coercion is handled where it is sound to do so: at probe
+    // time per filter kind (BloomIndex.mightMatch) and in the conjunction
+    // algebra via the enumerable long interpretation (PointSet.and).
     def onePts(c: Option[String], items: Seq[Expression]): PtB =
       c match {
         case Some(cc) if items.nonEmpty =>
           val vs = items.map(e => (litL(e), litS(e), litDbl(e)))
-          if (vs.forall { case (l, s, d) => l.isDefined || s.isDefined || d.isDefined }) {
-            val strs = vs.flatMap(_._2).toSet
-            val longs = vs.flatMap(_._1).toSet ++
-              strs.flatMap(BucketedSnapshotTable.integerLiteral)
-            Map(cc -> PointSet(longs, strs, vs.flatMap(_._3).toSet))
-          } else Map.empty
+          if (vs.forall { case (l, s, d) => l.isDefined || s.isDefined || d.isDefined })
+            Map(cc -> PointSet(vs.flatMap(_._1).toSet, vs.flatMap(_._2).toSet,
+              vs.flatMap(_._3).toSet))
+          else Map.empty
         case _ => Map.empty
       }
     // two comparison encodings reach us unanalyzed: SQL text parses to the
@@ -1702,6 +1705,20 @@ object BucketedSnapshotTable {
           else empty
         case None => empty
       }
+    // the optimizer rewrites IN-lists past spark.sql.optimizer.
+    // inSetConversionThreshold (default 10) into InSet with INTERNAL
+    // values — without this case an 11-key serving lookup would silently
+    // lose every pruning path a 10-key one has. Re-literalize and reuse
+    // the IN analysis; NULL never equals and drops.
+    def inSetB(l: Expression, hset: Set[Any]): (NumB, StrB, PtB) = {
+      def external(v: Any): Any = v match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        case d: org.apache.spark.sql.types.Decimal       => d.toJavaBigDecimal
+        case x => x
+      }
+      try inB(l, hset.toSeq.filter(_ != null).map(v => Literal(external(v))))
+      catch { case _: RuntimeException => empty } // unliteralizable value kind
+    }
     def walk(e: Expression): (NumB, StrB, PtB) = e match {
       case And(l, r)                => merge(walk(l), walk(r))
       case Or(l, r)                 => mergeOr(walk(l), walk(r))
@@ -1712,6 +1729,7 @@ object BucketedSnapshotTable {
       case LessThan(l, r)           => cmp("<", l, r)
       case LessThanOrEqual(l, r)    => cmp("<=", l, r)
       case In(l, items)             => inB(l, items)
+      case InSet(l, hset)           => inSetB(l, hset)
       case StartsWith(l, r)         => litS(r).map(prefixB(l, _)).getOrElse(empty)
       case Like(l, r, '\\')         => likeB(l, r)
       case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
@@ -1730,19 +1748,29 @@ object BucketedSnapshotTable {
   }
 
   private[graft] object PointSet {
-    /** Conjunction of two point constraints on the same column: intersect
-      * within a kind BOTH sides populate; a kind only one side populates
-      * carries through verbatim (sound — the value must satisfy both
-      * constraints, and cross-kind literals can coerce to the same value,
-      * so cross-kind intersection-to-empty would be an UNSOUND claim of
-      * unsatisfiability: `c = 1 AND c = '1'` holds on an int column). */
-    def and(x: PointSet, y: PointSet): PointSet = PointSet(
-      if (x.longs.nonEmpty && y.longs.nonEmpty) x.longs intersect y.longs
-      else x.longs ++ y.longs,
-      if (x.strs.nonEmpty && y.strs.nonEmpty) x.strs intersect y.strs
-      else x.strs ++ y.strs,
-      if (x.dbls.nonEmpty && y.dbls.nonEmpty) x.dbls intersect y.dbls
-      else x.dbls ++ y.dbls)
+    /** Conjunction of two point constraints on the same column. The LONG
+      * kind intersects the sides' enumerable long INTERPRETATIONS (raw
+      * longs plus every cross-kind literal's long-equality class), so
+      * coerce-equal literals of different kinds (`c = 1 AND c = '1'`)
+      * conjoin to their true overlap instead of a false "unsatisfiable",
+      * while `c IN (1,'2') AND c IN (2,'1')` still tightens to {1,2}; a
+      * side whose interpretation is not enumerable falls back to the
+      * carry rule (union — either side alone over-approximates). Strings
+      * and doubles intersect when both sides populate the kind, else
+      * carry (their cross-kind equality classes are not enumerable: '05'
+      * = 5 has unbounded renderings). */
+    def and(x: PointSet, y: PointSet): PointSet = {
+      val longs = (x.longInterpretation, y.longInterpretation) match {
+        case (Some(a), Some(b)) => a intersect b
+        case _                  => x.longs ++ y.longs
+      }
+      PointSet(
+        longs,
+        if (x.strs.nonEmpty && y.strs.nonEmpty) x.strs intersect y.strs
+        else x.strs ++ y.strs,
+        if (x.dbls.nonEmpty && y.dbls.nonEmpty) x.dbls intersect y.dbls
+        else x.dbls ++ y.dbls)
+    }
   }
 
   /** Merge one CDF window (a [[ChangeFeed]]-shaped relation whose changes

@@ -301,9 +301,13 @@ final class SnapshotTable(val root: String,
     val staging = new Path(root, s"_staging_${java.util.UUID.randomUUID().toString.take(12)}")
     try keys.dropDuplicates().write.mode(SaveMode.Overwrite).parquet(staging.toString)
     catch { case t: Throwable => f.delete(staging, true); throw t }
-    withCommitLock(f) { lockH =>
+    // any failure inside the critical section (stolen lock, rename error)
+    // must not leak the staged tombstone batch — nothing else reaps
+    // _staging_ dirs at this root outside vacuum
+    def cleanupOnFailure[T](body: => T): T =
+      try body catch { case t: Throwable => f.delete(staging, true); throw t }
+    cleanupOnFailure(withCommitLock(f) { lockH =>
       val cur = currentVersion(spark).getOrElse {
-        f.delete(staging, true)
         throw new IllegalStateException(s"SnapshotTable $root has no committed version")
       }
       val next = cur + 1
@@ -333,7 +337,7 @@ final class SnapshotTable(val root: String,
       lockH.check()
       commitPointer(spark, next)
       next
-    }
+    })
   }
 
   private def applyTombstones(spark: SparkSession, v: Int, df: DataFrame): DataFrame = {
@@ -947,9 +951,16 @@ final class SnapshotTable(val root: String,
       throw new IllegalArgumentException(
         s"SnapshotTable $root: version $v does not exist (vacuumed or never committed)")
     if (partitionColsOf(f, v).nonEmpty) return fallback
-    val uris = listDataFiles(f, v).map(_._1)
-    if (uris.isEmpty) return fallback
-    val statuses = uris.map(u => f.getFileStatus(new Path(u)))
+    val files = listDataFiles(f, v)
+    if (files.isEmpty) return fallback
+    val uris = files.map(_._1)
+    // build the statuses from the (uri, len) listing — listDataFiles
+    // already paid one metadata call per file; a second getFileStatus
+    // round per file would double the planning RPCs on an object store
+    // (mtime/block metadata are unused by the parquet split planner)
+    val statuses = files.map { case (u, len) =>
+      new org.apache.hadoop.fs.FileStatus(len, false, 1, 128L << 20, 0L, new Path(u))
+    }
     // one representative per version dir (files of one write job share a
     // schema); bail to the union-cast read on a type conflict
     val reps = uris.groupBy(versionDirOf).toSeq.sortBy(_._1).map(_._2.head)

@@ -166,6 +166,42 @@ class PruningReadSpec extends AnyFunSuite {
     val (kU, _) = t.pruneStats(spark, $"oid" === 420L && $"oid" === 430L)
     assert(kU == 0, s"unsatisfiable conjunction must prune all: kept $kU")
 
+    // Spark defines NaN = NaN as TRUE: stored NaNs are probeable, never
+    // wrongly pruned (r10 review fix)
+    val rootN = tmp("bnan")
+    val tN = new BucketedSnapshotTable(rootN, numBuckets = 8, keys = Seq("k"),
+      bloomCols = Seq("price"))
+    tN.scd1Merge(spark, ((1 to 79).map(i => (i, 1L, i + 0.5)) :+ ((80, 1L, Double.NaN)))
+      .toDF("k", "seq", "price"), "seq")
+    val (kNaN, allN) = tN.pruneStats(spark, $"price" === Double.NaN)
+    assert(kNaN > 0, "the NaN row's file must survive the probe")
+    assert(tN.readIndexed(spark).filter($"price" === Double.NaN).select("k")
+      .as[Int].collect().toSeq == Seq(80), "Spark NaN-equality row must come back")
+    assert(kNaN * 2 <= allN, s"and the probe still prunes the rest: $kNaN of $allN")
+
+    // at |v| >= 2^53 several longs share one double rendering — absence
+    // may not be claimed from the rounded probe (r10 review fix)
+    val big = (1L << 53) + 1
+    val rootB = tmp("bbig")
+    val tB = new BucketedSnapshotTable(rootB, numBuckets = 4, keys = Seq("k"),
+      bloomCols = Seq("oid"))
+    tB.scd1Merge(spark, Seq((1, 1L, big)).toDF("k", "seq", "oid"), "seq")
+    val (kBig, _) = tB.pruneStats(spark, $"oid" === big.toDouble)
+    assert(kBig > 0, "2^53-boundary double probe must keep the candidate file")
+
+    // provenance (r10 review fix): a numeric-SHAPED string literal on a
+    // STRING bloom column still prunes via the string filter
+    val rootS = tmp("bstrnum")
+    val tS = new BucketedSnapshotTable(rootS, numBuckets = 16, keys = Seq("k"),
+      bloomCols = Seq("ref"))
+    tS.scd1Merge(spark, (1 to 160).map(i => (i, 1L, f"${i * 7}%06d"))
+      .toDF("k", "seq", "ref"), "seq")
+    val (kRef, allRef) = tS.pruneStats(spark, $"ref" === "000294") // 42*7
+    assert(kRef > 0 && kRef * 4 <= allRef,
+      s"numeric-shaped string must prune the string bloom: $kRef of $allRef")
+    assert(tS.readIndexed(spark).filter($"ref" === "000294").select("k")
+      .as[Int].collect().toSeq == Seq(42))
+
     // serving API: readPrunedPoints accepts doubles now
     val look = t.readPrunedPoints(spark, "price", Seq(42.25, 77.25))
     assert(look.inputFiles.length * 4 <= total)
@@ -236,6 +272,14 @@ class PruningReadSpec extends AnyFunSuite {
       .as[String].collect().toSet == Set("v5", "v7"))
     // a range on the key cannot enumerate buckets → no bucket pruning
     assert(t.pruneStats(spark, $"k" >= 100)._1 == all)
+    // a WIDE IN-list (optimizer rewrites In → InSet past 10 items) keeps
+    // its pruning: the executed scan reads only the 12 keys' buckets
+    // (r10 review fix — pre-fix this was a silent keep-all cliff)
+    val wideIn = t.readIndexed(spark).filter($"k".isin((1 to 12): _*))
+    assert(wideIn.select("v").as[String].collect().toSet ==
+      (1 to 12).map(i => s"v$i").toSet)
+    assert(scannedFiles(t.readIndexed(spark).filter($"k".isin((1 to 12): _*))) < total,
+      "InSet-rewritten IN must still prune the executed scan")
     // unsatisfiable key conjunction prunes everything
     assert(t.pruneStats(spark, $"k" === 5 && $"k" === 7)._1 == 0)
 
