@@ -38,6 +38,20 @@ object TableCatalog {
   def registerView(spark: SparkSession, name: String, df: DataFrame): Unit =
     df.createOrReplaceTempView(name)
 
+  /** Register the live PRUNING relation of a versioned table as a temp
+    * view: any WHERE a later `spark.sql` query puts on the view prunes
+    * the scan's file list through the table's stats/Bloom sidecars (and,
+    * for bucketed tables, the bucket-hash replay) at planning time — the
+    * catalog-facing form of `SNAPSHOT '<root>' WHERE …`. Visible rows
+    * only (SCD tombstone state filtered). Re-register after commits. */
+  def registerIndexedView(spark: SparkSession, name: String,
+      t: graft.tables.SnapshotTable): Unit =
+    registerView(spark, name, graft.cdc.ScdMerge.scd1Current(t.readIndexed(spark)))
+
+  def registerIndexedView(spark: SparkSession, name: String,
+      t: graft.tables.BucketedSnapshotTable): Unit =
+    registerView(spark, name, graft.cdc.ScdMerge.scd1Current(t.readIndexed(spark)))
+
   /** Compute table-level (and optionally column-level) statistics — the
     * cost-based-optimizer inputs (row count, size, per-column NDV/min/max).
     * At 100 TB, analyzed dimension tables are what let the planner pick

@@ -310,6 +310,25 @@ class PruningReadSpec extends AnyFunSuite {
     assert(t2.pruneStats(spark, $"a" === 9L && $"b" === 5)._1 == allM)
   }
 
+  test("registerIndexedView: plain spark.sql over the view prunes files at planning time") {
+    val root = tmp("bview")
+    val t = new BucketedSnapshotTable(root, numBuckets = 16, keys = Seq("k"),
+      bloomCols = Seq("oid"))
+    t.scd1Merge(spark, (1 to 160).map(i => (i, 1L, i * 10L, s"v$i"))
+      .toDF("k", "seq", "oid", "v"), "seq")
+    graft.sql.TableCatalog.registerIndexedView(spark, "pruned_view", t)
+    val total = t.read(spark).inputFiles.length
+    // bucket-key equality through ordinary SQL over the registered view
+    val byKey = spark.sql("SELECT v FROM pruned_view WHERE k = 7")
+    assert(byKey.as[String].collect().toSeq == Seq("v7"))
+    assert(scannedFiles(spark.sql("SELECT v FROM pruned_view WHERE k = 7")) * 4 <= total)
+    // bloom point on the non-key column
+    assert(scannedFiles(spark.sql("SELECT k FROM pruned_view WHERE oid = 420")) * 4 <= total)
+    assert(spark.sql("SELECT k FROM pruned_view WHERE oid = 420")
+      .as[Int].collect().toSeq == Seq(42))
+    spark.catalog.dropTempView("pruned_view")
+  }
+
   test("plain fallback: hive-partitioned snapshot reads through the ordinary path") {
     val root = tmp("ppreadpart")
     val t = new SnapshotTable(root)
