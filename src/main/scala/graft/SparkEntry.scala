@@ -5624,6 +5624,54 @@ object SparkEntry {
     //    [p, prefixSuccessor(p)], so a prefix probe over a name-clustered
     //    table schedules only the lexicographic band's files (composes
     //    with the r9 adaptive-prefix stats for long shared prefixes).
+    // ── HIVE PARTITION PRUNING THROUGH THE FILE INDEX (r11): a
+    //    hive-partitioned plain snapshot now reads through the
+    //    partition-aware pruning index instead of falling back — partition
+    //    values are reattached (typed) from the `k=v` directory segments,
+    //    so Catalyst's partition filters drop whole directories at
+    //    planning time AND the stats/Bloom keep still skips files inside
+    //    the surviving partitions. At 100 TB: a year-partitioned fact
+    //    table's `WHERE year = Y AND price >= P` schedules only year Y's
+    //    top price-range files — O(matching files), never O(table). The
+    //    in-query requires pin both prunings scale-independently.
+    "q317_partition_pruned_read" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("partskip").toString
+      withShufflePartitions(s, 8) {
+      val t = new graft.tables.SnapshotTable(s"$work/t")
+      t.writeIndexed(s, Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderdate")
+        .withColumn("o_year", year($"o_orderdate")),
+        statsCols = Seq("o_totalprice"), bloomCols = Seq("o_orderkey"),
+        clusterBy = Seq("o_totalprice"), clusterPartitions = 4,
+        partitionByCols = Seq("o_year"))
+      // TPC-H order dates span 7 years → partition pruning alone keeps
+      // ~1/7 of the files, at ANY scale factor
+      val (kPart, all) = t.pruneStats(s, $"o_year" === 1997)
+      require(kPart > 0 && kPart * 4 <= all,
+        s"partition pruning must drop the other years: $kPart of $all files")
+      // partition + stats compose: one year's top price-range files only
+      val (kBoth, _) = t.pruneStats(s,
+        $"o_year" === 1997 && $"o_totalprice" >= 250000)
+      require(kBoth > 0 && kBoth * 8 <= all,
+        s"partition+stats must compose: $kBoth of $all files")
+      // partition + bloom compose on a point lookup
+      val probeKey = Tables.orders(s, dir)
+        .filter(year($"o_orderdate") === 1996)
+        .agg(min($"o_orderkey")).as[Long].head()
+      val (kPoint, _) = t.pruneStats(s,
+        $"o_year" === 1996 && $"o_orderkey" === probeKey)
+      require(kPoint > 0 && kPoint * 8 <= all,
+        s"partition+bloom must compose: $kPoint of $all files")
+      val sqlRun = (q: String) => org.apache.spark.sql.GraftColumnBridge.graftSql(s, q)
+      sqlRun(s"SNAPSHOT '$work/t' WHERE o_year = 1997 AND o_totalprice >= 250000")
+        .unionByName(
+          sqlRun(s"SNAPSHOT '$work/t' WHERE o_year = 1996 AND o_orderkey = $probeKey"))
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderdate", $"o_year")
+        .orderBy($"o_orderkey")
+      }
+    }),
+
     "q316_like_prefix_skipping" -> ((s, dir) => {
       import s.implicits._
       val work = java.nio.file.Files.createTempDirectory("likeskip").toString
@@ -6268,6 +6316,21 @@ object SparkEntry {
     "q316_like_prefix_skipping" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_name LIKE 'Customer#00000001%' ORDER BY c_custkey""".stripMargin,
+
+    // partition + sidecar pruning are invisible to the row-filtered
+    // result: 1997's expensive orders UNION ALL 1996's first order — the
+    // point row proves the pruned partition read keeps the right files
+    "q317_partition_pruned_read" ->
+      """WITH v AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+        |    CAST(year(o_orderdate) AS INT) AS o_year
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT * FROM v WHERE o_year = 1997 AND o_totalprice >= 250000
+        |  UNION ALL
+        |  SELECT * FROM v WHERE o_year = 1996
+        |    AND o_orderkey = (SELECT min(o_orderkey) FROM v WHERE o_year = 1996))
+        |ORDER BY o_orderkey""".stripMargin,
 
     // the key lookup's bucket pruning is invisible to the row-filtered
     // result — and the rows MUST be present, which proves the driver-side

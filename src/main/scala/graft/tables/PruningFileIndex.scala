@@ -22,31 +22,61 @@ import org.apache.spark.sql.types.StructType
   * NORMALIZED (scheme-less) file paths; it must be a superset guarantee —
   * the row-level filter still runs on top. With no pushed filters every
   * file is listed (a full scan is a full scan).
+  *
+  * Hive-partitioned snapshots (r11): `groups` carries one entry per
+  * partition-value tuple and `partitionSchema` its typed layout — Catalyst
+  * then routes partition-column predicates into `listFiles` as
+  * `partitionFilters`, evaluated here against each group's value row
+  * BEFORE the sidecar keep runs, so directory pruning and stats/Bloom
+  * skipping compose: `WHERE p = 7 AND d > x` schedules only partition 7's
+  * files whose stats admit `d > x`.
   */
 private[graft] final class PruningFileIndex(
-    files: Seq[FileStatus],
+    groups: Seq[(InternalRow, Seq[FileStatus])],
+    override val partitionSchema: StructType,
     keep: Seq[Expression] => String => Boolean) extends FileIndex {
+
+  def this(files: Seq[FileStatus], keep: Seq[Expression] => String => Boolean) =
+    this(Seq((InternalRow.empty, files)), StructType(Nil), keep)
 
   private def norm(p: Path): String = p.toUri.getPath
 
-  override def rootPaths: Seq[Path] = files.map(_.getPath.getParent).distinct
+  private def allFiles: Seq[FileStatus] = groups.flatMap(_._2)
+
+  override def rootPaths: Seq[Path] = allFiles.map(_.getPath.getParent).distinct
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val kept =
-      if (dataFilters.isEmpty) files
+    // hive-style partition pruning first: evaluate the pushed partition
+    // filters against each group's partition-value row (the standard
+    // PartitioningAwareFileIndex binding — by name into our own schema)
+    val prunedGroups =
+      if (partitionFilters.isEmpty || partitionSchema.isEmpty) groups
       else {
-        val k = keep(dataFilters)
-        files.filter(f => k(norm(f.getPath)))
+        import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Predicate}
+        val bound = Predicate.createInterpreted(partitionFilters.reduce(And).transform {
+          case a: AttributeReference =>
+            val i = partitionSchema.indexWhere(_.name == a.name)
+            BoundReference(i, partitionSchema(i).dataType, nullable = true)
+        })
+        bound.initialize(0)
+        groups.filter { case (row, _) => bound.eval(row) }
       }
-    Seq(PartitionDirectory(InternalRow.empty,
-      kept.map(FileStatusWithMetadata(_, Map.empty))))
+    // then stats/Bloom data skipping within the surviving partitions
+    val k: Option[String => Boolean] =
+      if (dataFilters.isEmpty) None else Some(keep(dataFilters))
+    prunedGroups.map { case (row, fs) =>
+      val kept = k match {
+        case None     => fs
+        case Some(kp) => fs.filter(f => kp(norm(f.getPath)))
+      }
+      PartitionDirectory(row, kept.map(FileStatusWithMetadata(_, Map.empty)))
+    }
   }
 
-  override def inputFiles: Array[String] = files.map(_.getPath.toString).toArray
+  override def inputFiles: Array[String] = allFiles.map(_.getPath.toString).toArray
   override def refresh(): Unit = ()
-  override def sizeInBytes: Long = files.map(_.getLen).sum
-  override def partitionSchema: StructType = StructType(Nil)
+  override def sizeInBytes: Long = allFiles.map(_.getLen).sum
 }
 
 private[graft] object PruningFileIndex {
@@ -72,6 +102,80 @@ private[graft] object PruningFileIndex {
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark)
     org.apache.spark.sql.GraftColumnBridge.ofRows(spark, LogicalRelation(rel, false))
+  }
+
+  /** Partition-aware variant: `groups` = (partition-value row, files) per
+    * distinct partition tuple, `partSchema` their typed layout,
+    * `dataSchema` the FILE schema (partition columns excluded — they live
+    * only in directory names). The relation's output is data columns then
+    * partition columns, exactly like Spark's own partitioned parquet
+    * read. */
+  def partitionedRelation(spark: SparkSession,
+      groups: Seq[(InternalRow, Seq[FileStatus])],
+      partSchema: StructType, dataSchema: StructType,
+      keep: Seq[Expression] => String => Boolean): DataFrame = {
+    val rel = HadoopFsRelation(
+      new PruningFileIndex(groups, partSchema, keep),
+      partitionSchema = partSchema,
+      dataSchema = dataSchema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(spark)
+    org.apache.spark.sql.GraftColumnBridge.ofRows(spark, LogicalRelation(rel, false))
+  }
+
+  /** Reverse of Spark's `escapePathName` (`%xx` hex escapes in `k=v`
+    * directory segments). */
+  def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 &&
+          Character.digit(s.charAt(i + 2), 16) >= 0) {
+        sb.append((Character.digit(s.charAt(i + 1), 16) * 16 +
+          Character.digit(s.charAt(i + 2), 16)).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private val HiveNull = "__HIVE_DEFAULT_PARTITION__"
+  private val DateRe = """\d{4}-\d{2}-\d{2}""".r
+
+  /** Infer ONE partition column's type from every raw directory value —
+    * the common subset of Spark's own inference (int, long, double, date,
+    * else string), so the relation types match what the per-dir basePath
+    * fallback read would produce. */
+  def inferPartitionType(values: Iterable[String])
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    val vs = values.filterNot(_ == HiveNull)
+    if (vs.isEmpty) StringType
+    else if (vs.forall(_.toIntOption.isDefined)) IntegerType
+    else if (vs.forall(_.toLongOption.isDefined)) LongType
+    else if (vs.forall(_.toDoubleOption.isDefined)) DoubleType
+    else if (vs.forall(v => DateRe.matches(v) &&
+      scala.util.Try(java.time.LocalDate.parse(v)).isSuccess)) DateType
+    else StringType
+  }
+
+  /** A raw directory value as the INTERNAL representation of `dt` (what a
+    * `PartitionDirectory` row must hold). */
+  def internalPartitionValue(raw: String,
+      dt: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.types._
+    if (raw == HiveNull) null
+    else dt match {
+      case IntegerType => raw.toInt
+      case LongType    => raw.toLong
+      case DoubleType  => raw.toDouble
+      case DateType    => java.time.LocalDate.parse(raw).toEpochDay.toInt
+      case _ => org.apache.spark.unsafe.types.UTF8String.fromString(raw)
+    }
   }
 
   /** Union-by-name schema across representative files (one per immutable

@@ -122,6 +122,26 @@ final class SnapshotTable(val root: String,
         buf.result()
     }
 
+  /** [[listDataFiles]] keeping the listing's own [[FileStatus]] objects —
+    * what a path-sensitive consumer (the partition-aware index, whose
+    * `k=v` values may contain Spark-escaped characters that do NOT survive
+    * a `Path → uri-string → Path` round trip) must use. Manifest versions
+    * pay the same one-getFileStatus-per-file the (uri, len) listing
+    * already pays. */
+  private def listDataFileStatuses(f: org.apache.hadoop.fs.FileSystem,
+      v: Int): Vector[org.apache.hadoop.fs.FileStatus] =
+    fileManifest(f, v) match {
+      case Some(uris) => uris.map(u => f.getFileStatus(new Path(u)))
+      case None =>
+        val it = f.listFiles(new Path(s"$root/_v$v"), true)
+        val buf = Vector.newBuilder[org.apache.hadoop.fs.FileStatus]
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.getPath.getName.endsWith(".parquet")) buf += st
+        }
+        buf.result()
+    }
+
   /** The version's snapshot relation, before tombstones: the dir for plain
     * versions, the exact manifest file list for compacted ones. */
   private def snapshotDF(spark: SparkSession, v: Int): DataFrame =
@@ -898,8 +918,9 @@ final class SnapshotTable(val root: String,
   def writeIndexed(spark: SparkSession, df: DataFrame,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
       bloomFpp: Double = 0.03,
-      clusterBy: Seq[String] = Nil, clusterPartitions: Int = 0): Int = {
-    val v = write(spark, df, Nil, clusterBy, clusterPartitions)
+      clusterBy: Seq[String] = Nil, clusterPartitions: Int = 0,
+      partitionByCols: Seq[String] = Nil): Int = {
+    val v = write(spark, df, partitionByCols, clusterBy, clusterPartitions)
     val snap = spark.read.parquet(s"$root/_v$v")
     if (statsCols.nonEmpty)
       StatsManifest.write(snap, statsCols, fs(spark), statsPath(v))
@@ -937,10 +958,14 @@ final class SnapshotTable(val root: String,
     * list through the `_stats_v` range manifest AND the `_bloom_v`
     * point-lookup sidecar at planning time (no dedicated `readPruned*`
     * call). Tombstones anti-join on top as in [[read]] — sound, the
-    * tombstone side is its own relation. Falls back to the ordinary read
-    * when the version is hive-partitioned (partition values live in dir
-    * names a bare-file relation cannot reattach) or when version dirs
-    * disagree on a column's type. `version` = time travel. */
+    * tombstone side is its own relation. Hive-partitioned versions (r11)
+    * route through the partition-aware index — partition-value rows are
+    * reattached from the `k=v` directory segments, so Catalyst's partition
+    * pruning composes with the sidecar skipping; only a version MIXING
+    * partitioned and flat files (an un-partitioned manifest increment,
+    * whose partition values live in file bytes, not dir names) or one
+    * whose dirs disagree on a column's type falls back to the ordinary
+    * read. `version` = time travel. */
   def readIndexed(spark: SparkSession, version: Option[Int] = None): DataFrame = {
     val f = fs(spark)
     val v = version.getOrElse(currentVersion(spark).getOrElse(
@@ -950,7 +975,9 @@ final class SnapshotTable(val root: String,
     if (gone || (!f.exists(new Path(s"$root/_v$v")) && !f.exists(filesPath(v))))
       throw new IllegalArgumentException(
         s"SnapshotTable $root: version $v does not exist (vacuumed or never committed)")
-    if (partitionColsOf(f, v).nonEmpty) return fallback
+    val partCols = partitionColsOf(f, v)
+    if (partCols.nonEmpty)
+      return readIndexedPartitioned(spark, f, v, partCols).getOrElse(fallback)
     val files = listDataFiles(f, v)
     if (files.isEmpty) return fallback
     val uris = files.map(_._1)
@@ -972,6 +999,62 @@ final class SnapshotTable(val root: String,
     }
   }
 
+  /** Partition-aware pruning relation over a hive-partitioned version:
+    * one [[PruningFileIndex]] group per distinct partition-value tuple
+    * (typed via the same int/long/double/date/string inference the per-dir
+    * basePath read runs), so `WHERE p = …` prunes directories at planning
+    * time AND the stats/Bloom keep still skips files inside surviving
+    * partitions. None (→ caller falls back) when any file lacks a `k=v`
+    * segment for some partition column — a flat manifest increment stores
+    * those values in file bytes this relation cannot see — or when a data
+    * file physically carries a partition column, or on a cross-dir type
+    * conflict. */
+  private def readIndexedPartitioned(spark: SparkSession,
+      f: org.apache.hadoop.fs.FileSystem, v: Int,
+      partCols: Seq[String]): Option[DataFrame] = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    // the listing's OWN FileStatus objects — escaped partition values
+    // ("cat 0" → "cat%200") do not survive a Path→string→Path round trip
+    val files = listDataFileStatuses(f, v)
+    if (files.isEmpty) return None
+    val parsed: Vector[Option[(org.apache.hadoop.fs.FileStatus, Seq[String])]] =
+      files.map { st =>
+        val segs = st.getPath.toUri.getPath.split('/')
+        val vIdx = segs.lastIndexWhere(_.matches("_v\\d+"))
+        val kvs = segs.slice(vIdx + 1, segs.length - 1).filter(_.contains('='))
+          .map { s =>
+            val i = s.indexOf('=')
+            s.take(i) -> PruningFileIndex.unescapePathName(s.drop(i + 1))
+          }.toMap
+        if (partCols.forall(kvs.contains)) Some((st, partCols.map(kvs)))
+        else None
+      }
+    if (parsed.exists(_.isEmpty)) return None
+    val rows = parsed.flatten
+    val types = partCols.indices.map(i =>
+      PruningFileIndex.inferPartitionType(rows.map(_._2(i))))
+    val partSchema = StructType(partCols.zip(types).map { case (c, t) =>
+      StructField(c, t, nullable = true)
+    })
+    val groups = rows.groupBy(_._2).toSeq.sortBy(_._1.mkString("/")).map {
+      case (vals, fsOfPart) =>
+        val row = org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+          vals.zip(types).map { case (raw, t) =>
+            PruningFileIndex.internalPartitionValue(raw, t)
+          })
+        row -> fsOfPart.map(_._1)
+    }
+    val reps = rows.map(_._1.getPath).groupBy(p => versionDirOf(p.toUri.getPath))
+      .toSeq.sortBy(_._1).map(_._2.head.toString)
+    PruningFileIndex.unionSchema(spark, reps) match {
+      case Some(dataSchema) if !dataSchema.fieldNames.exists(partCols.contains) =>
+        val base = PruningFileIndex.partitionedRelation(
+          spark, groups, partSchema, dataSchema, keepFor(f, v))
+        Some(applyTombstones(spark, v, base))
+      case _ => None
+    }
+  }
+
   /** The [[PruningFileIndex]] keep-callback over version `v`'s stats
     * manifest + Bloom sidecar (both whole-version on this format). */
   private def keepFor(f: org.apache.hadoop.fs.FileSystem, v: Int)
@@ -986,15 +1069,116 @@ final class SnapshotTable(val root: String,
   }
 
   /** Metadata-only: of the live version's data files, how many survive
-    * read-side skipping under `pred` — (kept, total), the gate-query pin. */
+    * read-side skipping under `pred` — (kept, total), the gate-query pin.
+    * On a hive-partitioned version, conjuncts referencing ONLY partition
+    * columns prune whole directories first (the same verdict the
+    * partition-aware file index reaches at planning time), then the
+    * stats/Bloom keep runs on the survivors. */
   def pruneStats(spark: SparkSession, pred: org.apache.spark.sql.Column): (Int, Int) = {
     val f = fs(spark)
     val v = currentVersion(spark).getOrElse(
       throw new IllegalStateException(s"SnapshotTable $root has no committed version"))
-    val all = listDataFiles(f, v).map { case (u, _) => new Path(u).toUri.getPath }
-    val k = keepFor(f, v)(Seq(
-      org.apache.spark.sql.GraftColumnBridge.catalystExpression(pred)))
-    (all.count(k), all.size)
+    // status-based listing: its decoded paths are what [[partitionKeep]]
+    // keys by (escaped partition values break the uri-string round trip)
+    val all = listDataFileStatuses(f, v).map(_.getPath.toUri.getPath)
+    val expr = org.apache.spark.sql.GraftColumnBridge.catalystExpression(pred)
+    val k = keepFor(f, v)(Seq(expr))
+    val pk = partitionKeep(spark, f, v, expr)
+    (all.count(p => pk(p) && k(p)), all.size)
+  }
+
+  /** Partition-directory verdict for [[pruneStats]]: evaluates the
+    * partition-only conjuncts of `expr` against each file's `k=v` path
+    * values (typed exactly as [[readIndexedPartitioned]] types them).
+    * Keep-all whenever the version is flat, any file lacks the segments,
+    * no conjunct is partition-only, or evaluation fails — superset
+    * guarantee, same contract as the sidecar keep. */
+  private def partitionKeep(spark: SparkSession, f: org.apache.hadoop.fs.FileSystem,
+      v: Int, expr: org.apache.spark.sql.catalyst.expressions.Expression)
+      : String => Boolean = {
+    val keepAll = (_: String) => true
+    val partCols = partitionColsOf(f, v)
+    if (partCols.isEmpty) return keepAll
+    def refs(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[String] =
+      e.collect {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => u.name
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name
+      }
+    // both conjunction encodings reach here: SQL text parses to a catalyst
+    // And, the Column DSL to UnresolvedFunction("and", …)
+    def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.last.equalsIgnoreCase("and") && f.arguments.size == 2 =>
+        conjuncts(f.arguments(0)) ++ conjuncts(f.arguments(1))
+      case other => Seq(other)
+    }
+    val partOnly = conjuncts(expr).filter { c =>
+      val r = refs(c); r.nonEmpty && r.forall(partCols.contains)
+    }
+    if (partOnly.isEmpty) return keepAll
+    scala.util.Try {
+      val parsed = listDataFileStatuses(f, v).map { st =>
+        val norm = st.getPath.toUri.getPath
+        val segs = norm.split('/')
+        val vIdx = segs.lastIndexWhere(_.matches("_v\\d+"))
+        val kvs = segs.slice(vIdx + 1, segs.length - 1).filter(_.contains('='))
+          .map { s =>
+            val i = s.indexOf('=')
+            s.take(i) -> PruningFileIndex.unescapePathName(s.drop(i + 1))
+          }.toMap
+        norm -> partCols.map(kvs.get)
+      }
+      if (parsed.exists(_._2.exists(_.isEmpty))) keepAll
+      else {
+        val tuples = parsed.map(_._2.map(_.get)).distinct
+        val types = partCols.indices.map(i =>
+          PruningFileIndex.inferPartitionType(tuples.map(_(i))))
+        // a tiny driver-built relation (one row per distinct tuple) lets
+        // the session's own analyzer+evaluator decide each verdict — no
+        // hand-rolled expression interpreter to drift from SQL semantics
+        import org.apache.spark.sql.types.{StructField, StructType, StringType}
+        val schema = StructType(StructField("__pk_tuple", StringType, nullable = false) +:
+          partCols.zip(types).map { case (c, t) => StructField(c, t, nullable = true) })
+        val rows = tuples.map { vals =>
+          org.apache.spark.sql.Row.fromSeq(vals.mkString("") +: vals.zip(types).map {
+            case (raw, t) => externalPartitionValue(raw, t)
+          })
+        }
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), schema)
+        val keptTuples = df.filter(org.apache.spark.sql.GraftColumnBridge.column(
+            partOnly.reduce(org.apache.spark.sql.catalyst.expressions.And)))
+          .select("__pk_tuple").collect().map(_.getString(0)).toSet
+        val byFile = parsed.toMap
+        (p: String) => byFile.get(p) match {
+          case Some(vals) => keptTuples(vals.map(_.get).mkString(""))
+          case None => true
+        }
+      }
+    }.recover { case e =>
+      // superset fallback -- but say so: a silent keep-all here would read
+      // as "nothing to prune" when the analysis itself failed
+      org.slf4j.LoggerFactory.getLogger(classOf[SnapshotTable])
+        .warn(s"partitionKeep: falling back to keep-all: $e")
+      keepAll
+    }.get
+  }
+
+  /** A raw `k=v` value as the EXTERNAL (Row-level) representation of
+    * `dt` — the driver-built relation's input type. */
+  private def externalPartitionValue(raw: String,
+      dt: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.types._
+    if (raw == "__HIVE_DEFAULT_PARTITION__") null
+    else dt match {
+      case IntegerType => raw.toInt
+      case LongType    => raw.toLong
+      case DoubleType  => raw.toDouble
+      case DateType    => java.sql.Date.valueOf(raw)
+      case _           => raw
+    }
   }
 
   /** Change data feed between two committed versions (Delta CDF analog,

@@ -118,6 +118,85 @@ class PruningReadSpec extends AnyFunSuite {
     assert(sql(s"SNAPSHOT '$root' WHERE d BETWEEN 100 AND 120").count() == 21)
   }
 
+  test("plain SNAPSHOT: hive partition pruning composes with stats + bloom skipping") {
+    val root = tmp("ppart")
+    val t = new SnapshotTable(root)
+    // 4 hive partitions × 8 range-clustered files each: a partition
+    // predicate must drop whole directories, a data predicate must then
+    // skip files INSIDE the surviving directory
+    t.writeIndexed(spark, (1 to 800).map(i => (i.toLong, i % 4, i.toLong))
+      .toDF("id", "p", "d"), statsCols = Seq("d"), bloomCols = Seq("id"),
+      clusterBy = Seq("d"), clusterPartitions = 8, partitionByCols = Seq("p"))
+    val total = t.read(spark).inputFiles.length
+    assert(total >= 16, s"expected a multi-file multi-dir layout, got $total")
+
+    // partition-only predicate: directory pruning alone
+    val part = sql(s"SNAPSHOT '$root' WHERE p = 1")
+    assert(part.count() == 200)
+    assert(scannedFiles(sql(s"SNAPSHOT '$root' WHERE p = 1")) * 2 <= total,
+      "partition pruning must drop the other directories")
+    val (kPart, all) = t.pruneStats(spark, $"p" === 1)
+    assert(all == total && kPart * 2 <= all, s"pruneStats partition: $kPart of $all")
+
+    // partition AND data predicate: both prunings compose
+    val both = sql(s"SNAPSHOT '$root' WHERE p = 1 AND d >= 790")
+    assert(both.select("id").as[Long].collect().toSet ==
+      (790L to 800L).filter(_ % 4 == 1).toSet)
+    val bothFiles = scannedFiles(sql(s"SNAPSHOT '$root' WHERE p = 1 AND d >= 790"))
+    assert(bothFiles * 8 <= total,
+      s"partition+stats must compose: $bothFiles of $total files")
+    val (kBoth, _) = t.pruneStats(spark, $"p" === 1 && $"d" >= 790)
+    assert(kBoth * 8 <= all, s"pruneStats composed: $kBoth of $all")
+
+    // bloom point INSIDE a partition predicate
+    assert(sql(s"SNAPSHOT '$root' WHERE p = 1 AND id = 401").count() == 1)
+    assert(scannedFiles(sql(s"SNAPSHOT '$root' WHERE p = 1 AND id = 401")) * 8 <= total)
+
+    // partition values survive the pruned relation (typed like the
+    // ordinary read) and tombstones still anti-join on top
+    assert(t.readIndexed(spark).schema("p").dataType ==
+      t.read(spark).schema("p").dataType)
+    t.deleteKeys(spark, Seq(401L).toDF("id"))
+    assert(sql(s"SNAPSHOT '$root' WHERE p = 1 AND id = 401").count() == 0)
+    assert(sql(s"SNAPSHOT '$root' WHERE p = 1").count() == 199)
+  }
+
+  test("plain SNAPSHOT: mixed partitioned+flat manifest falls back, results correct") {
+    val root = tmp("ppartmix")
+    val t = new SnapshotTable(root)
+    t.writeIndexed(spark, (1 to 100).map(i => (i.toLong, i % 2, i.toLong))
+      .toDF("id", "p", "d"), statsCols = Seq("d"), partitionByCols = Seq("p"))
+    // a flat append stores p in file bytes, not dir names — the
+    // partition-aware index cannot reattach it and must fall back to the
+    // per-dir basePath read (which CAN)
+    t.append(spark, Seq((1000L, 9, 1000L)).toDF("id", "p", "d"))
+    val got = sql(s"SNAPSHOT '$root' WHERE p = 9")
+    assert(got.select("id").as[Long].collect().toSeq == Seq(1000L))
+    assert(sql(s"SNAPSHOT '$root'").count() == 101)
+  }
+
+  test("plain SNAPSHOT: string and date partition values type and prune correctly") {
+    val root = tmp("ppartty")
+    val t = new SnapshotTable(root)
+    val df = (1 to 90).map { i =>
+      (i.toLong, s"cat ${i % 3}", java.sql.Date.valueOf(f"2024-01-${i % 3 + 1}%02d"))
+    }.toDF("id", "c", "dt")
+    t.writeIndexed(spark, df, partitionByCols = Seq("c", "dt"))
+    val total = t.read(spark).inputFiles.length
+    // the escaped space round-trips; both columns type like the fallback
+    assert(t.readIndexed(spark).schema("c").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(t.readIndexed(spark).schema("dt").dataType ==
+      org.apache.spark.sql.types.DateType)
+    val one = sql(s"SNAPSHOT '$root' WHERE c = 'cat 1' AND dt = DATE '2024-01-02'")
+    assert(one.count() == 30)
+    assert(scannedFiles(
+      sql(s"SNAPSHOT '$root' WHERE c = 'cat 1' AND dt = DATE '2024-01-02'")) * 2 <= total)
+    val (kept, all) = t.pruneStats(spark,
+      $"c" === "cat 1" && $"dt" === java.sql.Date.valueOf("2024-01-02"))
+    assert(kept * 2 <= all, s"string+date partition pruneStats: $kept of $all")
+  }
+
   test("double-kind bloom + per-item IN probing: fractional and mixed-type points prune") {
     val root = tmp("bdbl")
     val t = new BucketedSnapshotTable(root, numBuckets = 16, keys = Seq("k"),
