@@ -5624,6 +5624,173 @@ object SparkEntry {
     //    [p, prefixSuccessor(p)], so a prefix probe over a name-clustered
     //    table schedules only the lexicographic band's files (composes
     //    with the r9 adaptive-prefix stats for long shared prefixes).
+    // ── Z-ORDER CLUSTERING (r11): OPTIMIZE … ZORDER BY rank-quantizes
+    //    each clustering column (one approxQuantile pass), interleaves the
+    //    bucket bits and range-partitions the rewrite by the z-value — so
+    //    every file covers a HYPER-RECTANGLE of (custkey × totalprice)
+    //    space and the per-file stats prune range reads on BOTH
+    //    dimensions. The lexicographic CLUSTER BY this replaces prunes
+    //    only its leading column (pinned as the in-query contrast). At
+    //    100 TB: the serving table answers "this customer's expensive
+    //    orders" reading O(matching rectangles), not O(customer slab).
+    "q321_zorder_clustering" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("zorder").toString
+      withShufflePartitions(s, 8) {
+      val t = new graft.tables.SnapshotTable(s"$work/t")
+      t.writeIndexed(s, Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice"),
+        statsCols = Seq("o_custkey", "o_totalprice"),
+        clusterBy = Seq("o_custkey"), clusterPartitions = 16)
+      // contrast: the custkey-clustered layout cannot prune totalprice
+      val (yLex, allLex) = t.pruneStats(s, $"o_totalprice" >= 400000)
+      require(yLex * 2 > allLex,
+        s"contrast: lexicographic layout should not prune price: $yLex of $allLex")
+      val custCut = Tables.orders(s, dir).agg(max($"o_custkey")).as[Long].head() / 8
+      // scale-invariant pin geometry: target ≈ tableBytes/24 → ~24 z-tiles
+      // at ANY scale factor (a real deployment uses the 128 MB default)
+      val bytes = t.read(s).inputFiles.map(u => new java.io.File(new java.net.URI(u)).length).sum
+      org.apache.spark.sql.GraftColumnBridge.graftSql(s,
+        s"OPTIMIZE '$work/t' TARGET ${math.max(1L, bytes / 24)} " +
+          "ZORDER BY (o_custkey, o_totalprice)")
+      val (kx, all) = t.pruneStats(s, $"o_custkey" <= custCut)
+      require(kx > 0 && kx * 2 <= all,
+        s"custkey must prune after zorder: $kx of $all files")
+      val (ky, _) = t.pruneStats(s, $"o_totalprice" >= 400000)
+      require(ky > 0 && ky * 2 <= all,
+        s"totalprice must prune after zorder: $ky of $all files")
+      val (kb, _) = t.pruneStats(s,
+        $"o_custkey" <= custCut && $"o_totalprice" >= 400000)
+      require(kb * 4 <= all,
+        s"both dims must compose after zorder: $kb of $all files")
+      val sqlRun = (q: String) => org.apache.spark.sql.GraftColumnBridge.graftSql(s, q)
+      sqlRun(s"SNAPSHOT '$work/t' WHERE o_custkey <= $custCut AND o_totalprice >= 400000")
+        .unionByName(sqlRun(s"SNAPSHOT '$work/t' WHERE o_totalprice >= 480000"))
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .orderBy($"o_orderkey", $"o_custkey")
+      }
+    }),
+
+    // ── INCREMENTAL MATERIALIZED AGGREGATE VIEW (r11): the reference's
+    //    gold rollups are nightly full GROUP BY recomputes — at 100 TB the
+    //    recompute IS the bottleneck. CREATE MATERIALIZED VIEW declares
+    //    the rollup once; each REFRESH folds the source's preimage change
+    //    feed into a bucketed state table: O(changed groups) per refresh,
+    //    exactly-once via the state table's txn ledger, zero-count groups
+    //    tombstoned. The in-query requires pin the scale shape — an
+    //    incremental refresh after a one-customer change rewrites ≤4 of 32
+    //    state buckets at ANY scale factor — and the oracle pins the
+    //    result to a full GROUP BY recompute of the final state.
+    "q320_incremental_mv" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("incmv").toString
+      withShufflePartitions(s, 8) {
+      val src = new graft.tables.SnapshotTable(s"$work/src")
+      val o = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey",
+        $"o_totalprice".cast("decimal(18,2)").as("price"))
+      src.write(s, o)
+      val mv = graft.tables.MaterializedAggView.create(s, s"$work/mv",
+        s"$work/src", sourceKeys = Seq("o_orderkey"), groupBy = Seq("o_custkey"),
+        aggs = Seq(graft.tables.MaterializedAggView.Agg("count", None, "n"),
+          graft.tables.MaterializedAggView.Agg("sum", Some("price"), "rev")),
+        numBuckets = 32)
+      mv.refresh(s) // bootstrap
+      val cust = o.agg(min($"o_custkey")).as[Long].head()
+      val v2 = o.withColumn("price",
+        when($"o_custkey" === cust, $"price" + 10).otherwise($"price")
+          .cast("decimal(18,2)"))
+      src.write(s, v2)
+      val (_, t2) = mv.refresh(s)
+      require(t2.nonEmpty && t2.size <= 4,
+        s"one-group change must rewrite O(1) state buckets, got ${t2.size}")
+      src.write(s, v2.filter($"o_custkey" =!= cust))
+      val (_, t3) = mv.refresh(s)
+      require(t3.nonEmpty && t3.size <= 4,
+        s"one-group delete must rewrite O(1) state buckets, got ${t3.size}")
+      require(mv.lastApplied(s) == 3, "ledger must record source v3 applied")
+      mv.read(s)
+        .select($"o_custkey", $"n", $"rev".cast("double").as("rev"))
+        .orderBy($"o_custkey")
+      }
+    }),
+
+    // ── STREAMING CHANGE-FEED SOURCE (r11): `readStream.format
+    //    ("graft-cdf")` turns ANY snapshot table into a streaming source —
+    //    the Delta readChangeFeed streaming analog, and the missing link
+    //    between the engine's tables and its DLT-style pipelines (no
+    //    staging topic needed). Offsets ARE committed versions, so Spark's
+    //    checkpointed offset log gives exactly-once through restarts with
+    //    zero source-side state; each micro-batch window diffs through the
+    //    table's own pruned CDF (manifest-pruned on the bucketed format),
+    //    reading O(changed) per window at 100 TB. Here: history replay
+    //    from version 1 with preimages — the v1 snapshot as inserts, then
+    //    each commit's retractable pre/post rows, all stamped with
+    //    _commit_version, drained by one AvailableNow run and verified
+    //    row-for-row against the oracle's replay of all three versions.
+    "q319_cdf_streaming_source" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("cdfstream").toString
+      withShufflePartitions(s, 8) {
+      val t = new graft.tables.SnapshotTable(s"$work/t")
+      val base = Tables.customer(s, dir).select($"c_custkey", $"c_name", $"c_acctbal")
+      t.write(s, base)
+      val s2 = base.filter($"c_custkey" =!= 7)
+        .withColumn("c_acctbal",
+          when($"c_custkey" % 10 === 0, $"c_acctbal" + 100).otherwise($"c_acctbal"))
+        .unionByName(Seq((900001L, "NewCo", 0.0)).toDF("c_custkey", "c_name", "c_acctbal"))
+      t.write(s, s2)
+      val s3 = s2.withColumn("c_acctbal",
+        when($"c_custkey" % 25 === 0, $"c_acctbal" + 1000).otherwise($"c_acctbal"))
+      t.write(s, s3)
+      val q = s.readStream.format("graft-cdf")
+        .option("path", s"$work/t").option("keys", "c_custkey")
+        .option("startingVersion", "1").option("withPreimage", "true")
+        .load()
+        .writeStream.format("parquet").option("path", s"$work/sink")
+        .option("checkpointLocation", s"$work/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$work/sink")
+        .select($"c_custkey", $"c_name", $"c_acctbal", $"_change_type", $"_commit_version")
+        .orderBy($"_commit_version", $"c_custkey", $"_change_type")
+      }
+    }),
+
+    // ── CDF PREIMAGES (r11, the Delta CDF row shape): CHANGES … WITH
+    //    PREIMAGE splits each update into update_preimage (old values) +
+    //    update_postimage (new values) — the row shape a RETRACTING
+    //    consumer needs (a materialized aggregate subtracts the preimage,
+    //    adds the postimage; a plain `update` row with new values only
+    //    cannot be retracted). Same manifest-pruned diff underneath: at
+    //    100 TB the feed still reads only the buckets whose content
+    //    changed. The oracle replays all four row kinds from the base
+    //    table, proving old values survive on preimage AND delete rows.
+    "q318_cdf_preimage" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("cdfpre").toString
+      withShufflePartitions(s, 8) {
+      val bt = new graft.tables.BucketedSnapshotTable(s"$work/t", 16,
+        Seq("c_custkey"))
+      val c = Tables.customer(s, dir).select($"c_custkey", $"c_name", $"c_acctbal")
+      bt.scd1Merge(s, c.withColumn("op_seq", lit(1L)), "op_seq")
+      val batch2 = c.filter($"c_custkey" % 10 === 0)
+        .withColumn("c_acctbal", $"c_acctbal" + 100)
+        .unionByName(Seq((900001L, "NewCo", 0.0)).toDF("c_custkey", "c_name", "c_acctbal"))
+        .unionByName(c.filter($"c_custkey" === 7))
+        .withColumn("op_seq", lit(2L))
+      bt.scd1Merge(s, batch2, "op_seq",
+        applyAsDeletes = Some($"c_custkey" === 7))
+      // manifest pruning pin: the window reads only changed buckets
+      val touched = bt.changedBuckets(s, 1, 2)
+      require(touched.nonEmpty && touched.size <= 16,
+        s"changed-bucket set out of range: ${touched.size}")
+      org.apache.spark.sql.GraftColumnBridge.graftSql(s,
+        s"CHANGES '$work/t' FROM 1 TO 2 WITH PREIMAGE")
+        .select($"c_custkey", $"c_name", $"c_acctbal", $"_change_type")
+        .orderBy($"c_custkey", $"_change_type")
+      }
+    }),
+
     // ── HIVE PARTITION PRUNING THROUGH THE FILE INDEX (r11): a
     //    hive-partitioned plain snapshot now reads through the
     //    partition-aware pruning index instead of falling back — partition
@@ -6316,6 +6483,84 @@ object SparkEntry {
     "q316_like_prefix_skipping" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_name LIKE 'Customer#00000001%' ORDER BY c_custkey""".stripMargin,
+
+    // the z-order rewrite is content-preserving: the row-filtered result
+    // is just the base table under both predicates (UNION ALL of the
+    // rectangle query and the expensive-order slice)
+    "q321_zorder_clustering" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_custkey <= (SELECT CAST(FLOOR(max(o_custkey) / 8) AS BIGINT) FROM orders)
+        |    AND o_totalprice >= 400000
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_totalprice >= 480000)
+        |ORDER BY o_orderkey, o_custkey""".stripMargin,
+
+    // the MV's final state = a full recompute of the source's final
+    // state: the deleted customer's group is GONE (not a zero row), every
+    // other group still carries its bootstrap-era values — incremental
+    // maintenance is invisible to the result, which is the whole point
+    "q320_incremental_mv" ->
+      """SELECT o_custkey, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |FROM orders
+        |WHERE o_custkey <> (SELECT min(o_custkey) FROM orders)
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // streamed history replay: v1 snapshot as inserts, then each
+    // commit's preimage/postimage/delete/insert rows — the oracle
+    // reconstructs all three versions' states and their diffs
+    "q319_cdf_streaming_source" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |s2 AS (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal
+        |  FROM base WHERE c_custkey <> 7
+        |  UNION ALL SELECT CAST(900001 AS BIGINT), 'NewCo', CAST(0.0 AS DOUBLE)),
+        |s3 AS (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 25 = 0 THEN c_acctbal + 1000 ELSE c_acctbal END AS c_acctbal
+        |  FROM s2)
+        |SELECT * FROM (
+        |  SELECT c_custkey, c_name, c_acctbal, 'insert' AS _change_type,
+        |    CAST(1 AS BIGINT) AS _commit_version FROM base
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal, 'update_preimage', 2
+        |  FROM base WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal, 'update_postimage', 2
+        |  FROM s2 WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal, 'delete', 2
+        |  FROM base WHERE c_custkey = 7
+        |  UNION ALL
+        |  SELECT CAST(900001 AS BIGINT), 'NewCo', CAST(0.0 AS DOUBLE), 'insert', 2
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal, 'update_preimage', 3
+        |  FROM s2 WHERE c_custkey % 25 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal, 'update_postimage', 3
+        |  FROM s3 WHERE c_custkey % 25 = 0)
+        |ORDER BY _commit_version, c_custkey, _change_type""".stripMargin,
+
+    // preimage feed replay: updated keys emit their OLD row (preimage)
+    // and NEW row (postimage), the deleted key its old row, the insert
+    // its new row — all four kinds reconstructable from the base table
+    "q318_cdf_preimage" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey, c_name, c_acctbal,
+        |    'update_preimage' AS _change_type
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal + 100,
+        |    'update_postimage' FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal, 'delete'
+        |  FROM customer WHERE c_custkey = 7
+        |  UNION ALL
+        |  SELECT CAST(900001 AS BIGINT), 'NewCo', CAST(0.0 AS DOUBLE), 'insert')
+        |ORDER BY c_custkey, _change_type""".stripMargin,
 
     // partition + sidecar pruning are invisible to the row-filtered
     // result: 1997's expensive orders UNION ALL 1996's first order — the

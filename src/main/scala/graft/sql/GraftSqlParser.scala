@@ -18,7 +18,12 @@ import graft.tables.SnapshotTable
   *
   * {{{
   *   OPTIMIZE '<table root>' [TARGET <bytes>] [CLUSTER BY (c…)]
+  *     [ZORDER BY (c…)]      -- multi-dimensional clustering rewrite
   *   VACUUM '<table root>' [KEEP <n>]
+  *   CREATE MATERIALIZED VIEW '<mv>' ON '<src>' [KEYS (k…)] GROUP BY (g…)
+  *     AGG (count(*)|count(c)|sum(c)|avg(c) AS alias, …) [INTO <n> BUCKETS]
+  *   REFRESH MATERIALIZED VIEW '<mv>'     -- O(changed groups), exactly-once
+  *   MATERIALIZED VIEW '<mv>'             -- query the maintained rollup
   *   DESCRIBE HISTORY '<table root>'
   *   DESCRIBE DETAIL '<table root>'
   *   MERGE INTO '<table root>' USING <view> ON KEYS (k1[, k2…])
@@ -30,7 +35,9 @@ import graft.tables.SnapshotTable
   *     [WHERE <predicate>]   -- file-skipping read: stats+Bloom sidecars
   *                           -- prune the scan's file list at planning time
   *   CHANGES '<table root>' FROM <v> TO <v> [ON KEYS (…)] [WITH COLUMNS]
+  *     [WITH PREIMAGE]   -- updates as update_preimage + update_postimage
   *   CHANGES '<table root>' SINCE TIMESTAMP '<ts>' [ON KEYS (…)] [WITH COLUMNS]
+  *     [WITH PREIMAGE]
   *   CREATE TABLE '<root>' [BUCKETED BY (k…) INTO <n> BUCKETS SEQUENCE BY c]
   *     [PARTITIONED BY (p…)] [STATS (s…)] [BLOOM (b…)] AS <query>
   *   ANALYZE '<root>' [STATS (c1[, c2…])] [BLOOM (c1[, c2…])] [INCREMENTAL]
@@ -61,7 +68,7 @@ import graft.tables.SnapshotTable
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private val Optimize =
-    """(?is)\s*OPTIMIZE\s+'([^']+)'(?:\s+TARGET\s+(\d+))?(?:\s+CLUSTER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+'([^']+)'(?:\s+TARGET\s+(\d+))?(?:\s+CLUSTER\s+BY\s*\(([^)]+)\))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
   private val Vacuum =
     """(?is)\s*VACUUM\s+'([^']+)'(?:\s+KEEP\s+(\d+))?\s*;?\s*""".r
   private val History =
@@ -79,9 +86,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Insert =
     """(?is)\s*INSERT\s+INTO\s+'([^']+)'\s+FROM\s+([\w.]+)(\s+EVOLVE)?\s*;?\s*""".r
   private val Changes =
-    """(?is)\s*CHANGES\s+'([^']+)'\s+FROM\s+(\d+)\s+TO\s+(\d+)(?:\s+ON\s+KEYS\s*\(([^)]+)\))?(\s+WITH\s+COLUMNS)?\s*;?\s*""".r
+    """(?is)\s*CHANGES\s+'([^']+)'\s+FROM\s+(\d+)\s+TO\s+(\d+)(?:\s+ON\s+KEYS\s*\(([^)]+)\))?(\s+WITH\s+COLUMNS)?(\s+WITH\s+PREIMAGE)?\s*;?\s*""".r
   private val ChangesSince =
-    """(?is)\s*CHANGES\s+'([^']+)'\s+SINCE\s+TIMESTAMP\s+'([^']+)'(?:\s+ON\s+KEYS\s*\(([^)]+)\))?(\s+WITH\s+COLUMNS)?\s*;?\s*""".r
+    """(?is)\s*CHANGES\s+'([^']+)'\s+SINCE\s+TIMESTAMP\s+'([^']+)'(?:\s+ON\s+KEYS\s*\(([^)]+)\))?(\s+WITH\s+COLUMNS)?(\s+WITH\s+PREIMAGE)?\s*;?\s*""".r
   private val Restore =
     """(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*;?\s*""".r
   private val ApplyChanges =
@@ -90,16 +97,24 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*CREATE\s+TABLE\s+'([^']+)'(?:\s+BUCKETED\s+BY\s*\(([^)]+)\)\s+INTO\s+(\d+)\s+BUCKETS\s+SEQUENCE\s+BY\s+(\w+))?(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?(?:\s+STATS\s*\(([^)]+)\))?(?:\s+BLOOM\s*\(([^)]+)\))?\s+AS\s+(.+?)\s*;?\s*""".r
   private val Analyze =
     """(?is)\s*ANALYZE\s+'([^']+)'(?:\s+STATS\s*\(([^)]+)\))?(?:\s+BLOOM\s*\(([^)]+)\))?(\s+INCREMENTAL)?\s*;?\s*""".r
+  private val CreateMv =
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s+ON\s+'([^']+)'(?:\s+KEYS\s*\(([^)]+)\))?\s+GROUP\s+BY\s*\(([^)]+)\)\s+AGG\s*\((.+)\)(?:\s+INTO\s+(\d+)\s+BUCKETS)?\s*;?\s*""".r
+  private val RefreshMv =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s*;?\s*""".r
+  private val QueryMv =
+    """(?is)\s*MATERIALIZED\s+VIEW\s+'([^']+)'\s*;?\s*""".r
   private val AddConstraint =
     """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraint =
     """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case Optimize(path, target, cluster) =>
+    case Optimize(path, target, cluster, zorder) =>
       OptimizeSnapshotCommand(path,
         Option(target).map(_.toLong).getOrElse(128L << 20),
         Option(cluster).toSeq
+          .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)),
+        Option(zorder).toSeq
           .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)))
     case Vacuum(path, keep) =>
       VacuumSnapshotCommand(path, Option(keep).map(_.toInt).getOrElse(2))
@@ -170,11 +185,23 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           visible.filter(org.apache.spark.sql.functions.expr(w.trim)))
         .getOrElse(visible)
         .queryExecution.logical
-    case Changes(path, fromV, toV, keysOpt, withCols) =>
+    case CreateMv(mv, src, keysOpt, groupBy, aggList, buckets) =>
+      CreateMaterializedViewCommand(mv, src,
+        Option(keysOpt).toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)),
+        groupBy.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        GraftSqlParser.parseAggList(aggList),
+        Option(buckets).map(_.toInt))
+    case RefreshMv(mv) =>
+      RefreshMaterializedViewCommand(mv)
+    case QueryMv(mv) =>
+      new graft.tables.MaterializedAggView(mv)
+        .read(SparkSession.active).queryExecution.logical
+    case Changes(path, fromV, toV, keysOpt, withCols, withPre) =>
       changesPlan(path, Right((fromV.toInt, toV.toInt)), Option(keysOpt),
-        withCols != null)
-    case ChangesSince(path, ts, keysOpt, withCols) =>
-      changesPlan(path, Left(parseTsMillis(ts)), Option(keysOpt), withCols != null)
+        withCols != null, withPre != null)
+    case ChangesSince(path, ts, keysOpt, withCols, withPre) =>
+      changesPlan(path, Left(parseTsMillis(ts)), Option(keysOpt),
+        withCols != null, withPre != null)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -187,7 +214,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     * the 100 TB format; plain roots diff the two snapshots and REQUIRE
     * ON KEYS. */
   private def changesPlan(path: String, window: Either[Long, (Int, Int)],
-      askedKeys0: Option[String], attribution: Boolean): LogicalPlan = {
+      askedKeys0: Option[String], attribution: Boolean,
+      preimage: Boolean): LogicalPlan = {
     val spark = SparkSession.active
     val askedKeys = askedKeys0
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -216,7 +244,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         }
         if (fromV >= toV)
           emptyFeed(graft.cdc.ScdMerge.scd1Current(bt.read(spark)))
-        else bt.changes(spark, fromV, toV, attribution)
+        else bt.changes(spark, fromV, toV, attribution, preimage)
       case None =>
         val keys = askedKeys.getOrElse(throw new IllegalArgumentException(
           s"CHANGES $path: plain snapshot roots need ON KEYS (…) — the table " +
@@ -229,7 +257,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         }
         if (fromV >= toV)
           emptyFeed(graft.cdc.ScdMerge.scd1Current(t.read(spark)))
-        else t.changes(spark, keys, fromV, toV, attribution)
+        else t.changes(spark, keys, fromV, toV, attribution, preimage)
     }
     df.queryExecution.logical
   }
@@ -293,18 +321,27 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   * each bucket's incremental batch files; TARGET is not applicable —
   * bucket granularity is the layout). Returns the new live version. */
 case class OptimizeSnapshotCommand(path: String, targetBytes: Long,
-    clusterBy: Seq[String] = Nil)
+    clusterBy: Seq[String] = Nil, zorderBy: Seq[String] = Nil)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", IntegerType, nullable = false)())
-  override def run(spark: SparkSession): Seq[Row] =
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(clusterBy.isEmpty || zorderBy.isEmpty,
+      "OPTIMIZE: CLUSTER BY and ZORDER BY are mutually exclusive")
     DmlRouting.bucketed(spark, path) match {
       case Some(l) =>
+        require(zorderBy.isEmpty,
+          s"OPTIMIZE $path: ZORDER BY is a plain-snapshot rewrite; the " +
+            "bucketed format clusters within buckets via CLUSTER BY")
         Seq(Row(DmlRouting.table(spark, path, l).compact(spark, clusterBy)))
+      case None if zorderBy.nonEmpty =>
+        Seq(Row(new SnapshotTable(path)
+          .zorderRewrite(spark, zorderBy, targetBytes)))
       case None =>
         Seq(Row(new SnapshotTable(path)
           .optimizeCompact(spark, targetBytes, clusterBy)))
     }
+  }
 }
 
 /** `VACUUM '<root>' [KEEP <n>]` → [[SnapshotTable.vacuum]] (plain) or
@@ -737,4 +774,53 @@ case class DescribeHistoryCommand(path: String) extends LeafRunnableCommand {
             false, r.getBoolean(4)))
       case None => new SnapshotTable(path).history(spark).collect().toSeq
     }
+}
+
+object GraftSqlParser {
+  private val AggItem =
+    """(?is)\s*(count|sum|avg)\s*\(\s*(\*|\w+)\s*\)\s+AS\s+(\w+)\s*""".r
+
+  /** `count(*) AS n, sum(x) AS sx, avg(y) AS ay` → typed agg specs. */
+  private[sql] def parseAggList(s: String): Seq[graft.tables.MaterializedAggView.Agg] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map {
+      case AggItem(fn, "*", as) =>
+        graft.tables.MaterializedAggView.Agg(fn.toLowerCase, None, as)
+      case AggItem(fn, c, as) =>
+        graft.tables.MaterializedAggView.Agg(fn.toLowerCase, Some(c), as)
+      case other => throw new IllegalArgumentException(
+        s"CREATE MATERIALIZED VIEW: cannot parse aggregate '$other' — only " +
+          "the invertible count(*)/count(c)/sum(c)/avg(c) AS alias can be " +
+          "maintained incrementally from the change feed")
+    }
+}
+
+/** `CREATE MATERIALIZED VIEW '<mv>' ON '<src>' [KEYS (k…)] GROUP BY (g…)
+  * AGG (count(*) AS n, sum(x) AS sx…) [INTO <n> BUCKETS]` — declare an
+  * incrementally-maintained aggregate over a snapshot table
+  * ([[graft.tables.MaterializedAggView]]). No data moves until REFRESH. */
+case class CreateMaterializedViewCommand(mv: String, src: String,
+    keys: Seq[String], groupBy: Seq[String],
+    aggs: Seq[graft.tables.MaterializedAggView.Agg],
+    buckets: Option[Int]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("mv", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.tables.MaterializedAggView.create(spark, mv, src, keys, groupBy,
+      aggs, buckets.getOrElse(16))
+    Seq(Row(mv))
+  }
+}
+
+/** `REFRESH MATERIALIZED VIEW '<mv>'` — fold the source's change feed
+  * since the last refresh into the view's bucketed state (O(changed
+  * groups), exactly-once via the state table's txn ledger). Returns the
+  * source version applied and how many state buckets were rewritten. */
+case class RefreshMaterializedViewCommand(mv: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("source_version", IntegerType, nullable = false)(),
+    AttributeReference("buckets_rewritten", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (v, touched) = new graft.tables.MaterializedAggView(mv).refresh(spark)
+    Seq(Row(v, touched.size))
+  }
 }

@@ -377,7 +377,8 @@ final class BucketedSnapshotTable(
     * by a delete flow between the versions reports `delete` — the event
     * a CDC consumer needs, not the bookkeeping row that encodes it. */
   def changes(spark: SparkSession, fromV: Int, toV: Int,
-      withChangedColumns: Boolean = false): DataFrame = {
+      withChangedColumns: Boolean = false,
+      withPreimage: Boolean = false): DataFrame = {
     require(fromV < toV,
       s"BucketedSnapshotTable $root: changes needs fromV < toV (got $fromV, $toV)")
     val f = fs(spark)
@@ -415,7 +416,8 @@ final class BucketedSnapshotTable(
       fromManifest(spark, m, Some(changed))
         .map(df => ScdMerge.scd1Current(df.drop(BucketCol)))
         .getOrElse(schemaOnly)
-    ChangeFeed.diff(visible(mFrom), visible(mTo), keys, withChangedColumns)
+    ChangeFeed.diff(visible(mFrom), visible(mTo), keys, withChangedColumns,
+      withPreimage)
   }
 
   /** Metadata-only: the buckets whose CONTENT changed between two committed

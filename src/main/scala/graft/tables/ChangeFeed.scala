@@ -29,7 +29,18 @@ import org.apache.spark.sql.functions._
 private[tables] object ChangeFeed {
 
   def diff(oldS0: DataFrame, newS0: DataFrame, keys: Seq[String],
-      withChangedColumns: Boolean): DataFrame = {
+      withChangedColumns: Boolean): DataFrame =
+    diff(oldS0, newS0, keys, withChangedColumns, withPreimage = false)
+
+  /** `withPreimage` (r11, the Delta CDF row shape): an updated key emits
+    * TWO rows — `update_preimage` carrying the OLD values and
+    * `update_postimage` the new — instead of one `update` row with new
+    * values only. What an incremental consumer that must RETRACT the old
+    * contribution (a materialized aggregate, a downstream join state)
+    * needs; both rows come out of the same joined row via one generated
+    * explode, no second diff pass. */
+  def diff(oldS0: DataFrame, newS0: DataFrame, keys: Seq[String],
+      withChangedColumns: Boolean, withPreimage: Boolean): DataFrame = {
     val allCols: Seq[(String, org.apache.spark.sql.types.DataType)] =
       newS0.schema.map(f => f.name -> f.dataType) ++
         oldS0.schema.filterNot(f => newS0.columns.contains(f.name))
@@ -50,20 +61,38 @@ private[tables] object ChangeFeed {
       array(dataCols.map(c =>
         when(!(col(s"__o_$c") <=> col(s"__n_$c")), lit(c))): _*),
       x => x.isNotNull)))
-    val baseCols =
-      keys.map(k => coalesce(col(s"__n_$k"), col(s"__o_$k")).as(k)) ++
-        dataCols.map(c => when(col("_change_type") === "delete", col(s"__o_$c"))
-          .otherwise(col(s"__n_$c")).as(c)) :+ col("_change_type")
-    val outCols =
-      if (!withChangedColumns) baseCols
-      else baseCols :+ when(col("_change_type") === "update", changedColsExpr)
-        .otherwise(lit("")).as("_changed_columns")
-    o.join(n, cond, "full_outer")
+    val joined = o.join(n, cond, "full_outer")
       .withColumn("_change_type",
         when(col(s"__o_${keys.head}").isNull, "insert")
           .when(col(s"__n_${keys.head}").isNull, "delete")
           .when(changedData, "update"))
       .filter(col("_change_type").isNotNull)
-      .select(outCols: _*)
+    // preimage mode splits each update row into pre+post INSIDE the same
+    // projection (explode of a 1-or-2 element literal array — codegen'd,
+    // no second join pass); rows carrying old values are then delete OR
+    // update_preimage instead of delete alone
+    val exploded =
+      if (!withPreimage) joined
+      else joined
+        .withColumn("_ct2", explode(
+          when(col("_change_type") === "update",
+            array(lit("update_preimage"), lit("update_postimage")))
+            .otherwise(array(col("_change_type")))))
+        .drop("_change_type").withColumnRenamed("_ct2", "_change_type")
+    val oldValued =
+      if (withPreimage) col("_change_type").isin("delete", "update_preimage")
+      else col("_change_type") === "delete"
+    val isUpdate =
+      if (withPreimage) col("_change_type").startsWith("update")
+      else col("_change_type") === "update"
+    val baseCols =
+      keys.map(k => coalesce(col(s"__n_$k"), col(s"__o_$k")).as(k)) ++
+        dataCols.map(c => when(oldValued, col(s"__o_$c"))
+          .otherwise(col(s"__n_$c")).as(c)) :+ col("_change_type")
+    val outCols =
+      if (!withChangedColumns) baseCols
+      else baseCols :+ when(isUpdate, changedColsExpr)
+        .otherwise(lit("")).as("_changed_columns")
+    exploded.select(outCols: _*)
   }
 }

@@ -696,6 +696,29 @@ final class SnapshotTable(val root: String,
     * (a shuffle of the small files only — the big ones never move), so
     * packed files carry disjoint value ranges and the carried stats
     * manifest stays selective; default is a shuffle-free coalesce. */
+  /** Z-ORDER rewrite (`OPTIMIZE … ZORDER BY`): recommit the VISIBLE table
+    * range-partitioned and sorted by the interleaved z-value of
+    * `zorderBy`, sized to `targetBytes` per file, then refresh the stats
+    * manifest over (prior stats ∪ zorder) columns — after which range
+    * reads prune on EVERY clustering dimension (each file covers a
+    * hyper-rectangle, not a leading-column slab; see [[Zorder]]). A full
+    * rewrite commit like compaction — time travel keeps the old layout;
+    * SCD tombstone state rows ride along untouched (the rewrite reorders
+    * rows, it must not change visibility). */
+  def zorderRewrite(spark: SparkSession, zorderBy: Seq[String],
+      targetBytes: Long = 128L << 20, bits: Int = 8): Int = {
+    val f = fs(spark)
+    val v = currentVersion(spark).getOrElse(
+      throw new IllegalStateException(s"SnapshotTable $root has no committed version"))
+    val bytes = listDataFiles(f, v).map(_._2).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = read(spark)
+    val next = write(spark, Zorder.shape(df, zorderBy, nOut, bits))
+    refreshStats(spark,
+      (statsColumns(spark).getOrElse(Nil) ++ zorderBy).distinct)
+    next
+  }
+
   def optimizeCompact(spark: SparkSession, targetBytes: Long = 128L << 20,
       clusterBy: Seq[String] = Nil): Int = {
     val f = fs(spark)
@@ -1200,13 +1223,21 @@ final class SnapshotTable(val root: String,
     * refresh, at zero extra shuffle (computed inside the same full-outer
     * join row). */
   def changes(spark: SparkSession, keys: Seq[String], fromV: Int, toV: Int,
-      withChangedColumns: Boolean): DataFrame = {
+      withChangedColumns: Boolean): DataFrame =
+    changes(spark, keys, fromV, toV, withChangedColumns, withPreimage = false)
+
+  /** [[changes]] with the Delta CDF row shape: `withPreimage` splits each
+    * update into `update_preimage` (old values) + `update_postimage` (new)
+    * — what a retracting consumer (incremental materialized aggregate)
+    * needs. Same pruned diff underneath. */
+  def changes(spark: SparkSession, keys: Seq[String], fromV: Int, toV: Int,
+      withChangedColumns: Boolean, withPreimage: Boolean): DataFrame = {
     // Schema evolution across versions: both sides align to the union
     // schema inside [[ChangeFeed.diff]] — a column added in `toV`
     // reports prior rows as updates (absent → value) and deletes carry
     // null for it, the accurate derived-CDF reading of an ADD COLUMN.
     val (a, b) = diffInputs(spark, fromV, toV)
-    ChangeFeed.diff(a, b, keys, withChangedColumns)
+    ChangeFeed.diff(a, b, keys, withChangedColumns, withPreimage)
   }
 
   /** Diff inputs for [[changes]]/[[consumeChangesVersioned]], FILE-LEVEL

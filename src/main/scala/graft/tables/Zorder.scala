@@ -71,4 +71,66 @@ object Zorder {
       (zorderBy ++ extraStats).distinct)
     v
   }
+
+  // ── r11 additions: rank-quantized z-values + the OPTIMIZE ZORDER BY
+  //    rewrite path ─────────────────────────────────────────────────────
+
+  /** RANK-quantized z-value (vs [[zvalue]]'s linear min/max scaling):
+    * each column is bucketed by approximate quantile boundaries (one
+    * driver-side stats pass; boundaries are model-sized), so the curve
+    * stays balanced under SKEWED distributions where linear scaling would
+    * collapse most rows into a few cells — each rank bucket holds
+    * ~1/2^bits of the rows by construction. Numeric, date and timestamp
+    * columns (dates/timestamps quantize through their numeric
+    * representation); strings rejected. Nulls sort into bucket 0. */
+  def zvalueRanked(df: DataFrame, cols: Seq[String], bits: Int = 8): Column = {
+    require(cols.nonEmpty, "ZORDER needs at least one column")
+    require(bits >= 1 && bits * cols.size <= 62,
+      s"bits($bits) × dims(${cols.size}) must fit a long")
+    val nb = 1 << bits
+    def numeric(c: String): Column = df.schema(c).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => col(c).cast("double")
+      case _: org.apache.spark.sql.types.DateType =>
+        col(c).cast("int").cast("double")
+      case _: org.apache.spark.sql.types.TimestampType |
+           _: org.apache.spark.sql.types.TimestampNTZType =>
+        col(c).cast("long").cast("double")
+      case other => throw new IllegalArgumentException(
+        s"ZORDER BY $c: unsupported type $other (numeric/date/timestamp only)")
+    }
+    val probs = (1 until nb).map(_.toDouble / nb).toArray
+    // one stats pass for ALL dimensions' boundaries
+    val numd = df.select(cols.map(c => numeric(c).as(c)): _*)
+    val bounds: Seq[Array[Double]] =
+      numd.stat.approxQuantile(cols.toArray, probs, 0.001).toSeq
+    val buckets: Seq[Column] = cols.zip(bounds).map { case (c, bs) =>
+      // distinct boundaries only — ties collapse, the bucket count just
+      // shrinks for low-cardinality columns
+      val distinctBs = bs.distinct
+      val v = numeric(c)
+      // boundary search: count boundaries ≤ value (codegen'd HOF over the
+      // broadcast literal array; |bs| ≤ 255 at the default bits)
+      when(v.isNull, lit(0)).otherwise(
+        aggregate(lit(distinctBs), lit(0),
+          (acc, b) => acc + when(v >= b, 1).otherwise(0)))
+    }
+    val n = cols.size
+    (0 until bits).flatMap { i =>
+      buckets.zipWithIndex.map { case (b, j) =>
+        shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), i * n + j)
+      }
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Rewrite `df` into `files` z-ordered output partitions: range-
+    * partition by the rank-quantized z-value, sort within, drop the
+    * helper column — each written file covers one contiguous z-range (a
+    * hyper-rectangle neighborhood of the clustering space). The
+    * `OPTIMIZE … ZORDER BY` rewrite shape
+    * ([[SnapshotTable.zorderRewrite]]). */
+  def shape(df: DataFrame, cols: Seq[String], files: Int, bits: Int = 8): DataFrame =
+    df.withColumn("__zorder", zvalueRanked(df, cols, bits))
+      .repartitionByRange(files, col("__zorder"))
+      .sortWithinPartitions("__zorder")
+      .drop("__zorder")
 }

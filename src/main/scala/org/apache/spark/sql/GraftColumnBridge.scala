@@ -42,6 +42,19 @@ object GraftColumnBridge {
     ofRows(spark,
       new graft.sql.GraftSqlParser(sessionParser(spark)).parsePlan(sqlText))
 
+  /** Re-tag a BATCH DataFrame's physical result as a STREAMING relation
+    * (`internalCreateDataFrame(_, _, isStreaming = true)` is
+    * `private[sql]`) — the contract a V1 streaming `Source.getBatch` must
+    * meet: MicroBatchExecution splices the returned plan into the
+    * streaming query, and only streaming-tagged relations pass its
+    * checks. Lazy: the wrapped `toRdd` plan executes when the sink runs
+    * the micro-batch, not here. */
+  def streamingDataFrame(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+
   /** `SparkSessionExtensions.buildPlannerStrategies` / `registerFunctions`
     * are `private[sql]` (normally called once during session bootstrap) —
     * exposed so specs can assert what `graft.GraftExtensions` injects, and

@@ -595,6 +595,34 @@ class EngineCoreSpec extends AnyFunSuite {
     assert(t.changes(spark, Seq("k"), 2, 2).count() == 0)
   }
 
+  test("SnapshotTable.changes withPreimage: updates split into retractable pre+post rows") {
+    val t = new SnapshotTable(tmp("cdfpre"))
+    t.write(spark, Seq((1, "a", 10), (2, "b", 20), (3, "c", 30)).toDF("k", "v", "x"))
+    t.write(spark, Seq((1, "a", 10), (2, "B", 21), (4, "d", 40)).toDF("k", "v", "x"))
+    val ch = t.changes(spark, Seq("k"), 1, 2,
+        withChangedColumns = false, withPreimage = true)
+      .select("k", "v", "x", "_change_type").as[(Int, String, Int, String)]
+      .collect().toSet
+    assert(ch == Set(
+      (2, "b", 20, "update_preimage"),  // OLD values — the retraction row
+      (2, "B", 21, "update_postimage"), // NEW values
+      (3, "c", 30, "delete"),
+      (4, "d", 40, "insert")))
+    // attribution composes: both update rows name the changed columns
+    val attr = t.changes(spark, Seq("k"), 1, 2,
+        withChangedColumns = true, withPreimage = true)
+      .select("k", "_change_type", "_changed_columns")
+      .as[(Int, String, String)].collect().toSet
+    assert(attr.filter(_._1 == 2).map(_._3) == Set("v,x"))
+    assert(attr.filter(_._1 == 4).map(_._3) == Set(""))
+    // SQL form over a plain root
+    val viaSql = org.apache.spark.sql.GraftColumnBridge.graftSql(spark,
+      s"CHANGES '${t.root}' FROM 1 TO 2 ON KEYS (k) WITH PREIMAGE")
+      .select("k", "v", "x", "_change_type").as[(Int, String, Int, String)]
+      .collect().toSet
+    assert(viaSql == ch)
+  }
+
   test("SnapshotTable.changes: append windows diff only the files unique to each side") {
     val t = new SnapshotTable(tmp("cdfappend"))
     t.write(spark, (1 to 64).map(i => (i, s"v$i")).toDF("k", "v"))   // v1

@@ -595,4 +595,106 @@ class StreamingSpec extends AnyFunSuite {
     val all = graft.streaming.DriftMonitor.readMetrics(spark, s"$work/m").collect().toSet
     assert(all.size == 2 && first.subsetOf(all), all.toString)
   }
+
+  // ── graft-cdf streaming source (r11) ─────────────────────────────────
+
+  private def drainCdf(src: String, ck: String, sink: String,
+      opts: Map[String, String] = Map.empty): Unit = {
+    val q = opts.foldLeft(
+        spark.readStream.format("graft-cdf").option("path", src)
+          .option("keys", "k")) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("graft-cdf source: bootstrap snapshot, then per-version feeds, exactly-once restarts") {
+    val work = tmp("cdfsrc")
+    val t = new graft.tables.SnapshotTable(s"$work/t")
+    t.write(spark, Seq((1, "a", 10), (2, "b", 20), (3, "c", 30)).toDF("k", "v", "x"))
+
+    // run 1: bootstrap — the current snapshot as inserts, stamped v1
+    drainCdf(s"$work/t", s"$work/ck", s"$work/sink")
+    val after1 = spark.read.parquet(s"$work/sink")
+      .select("k", "v", "x", "_change_type", "_commit_version")
+      .as[(Int, String, Int, String, Long)].collect().toSet
+    assert(after1 == Set((1, "a", 10, "insert", 1L), (2, "b", 20, "insert", 1L),
+      (3, "c", 30, "insert", 1L)), after1.toString)
+
+    // run 2 with NO new commits: checkpointed offset → nothing re-emitted
+    drainCdf(s"$work/t", s"$work/ck", s"$work/sink")
+    assert(spark.read.parquet(s"$work/sink").count() == 3)
+
+    // two commits, then one drain: per-version granularity survives a
+    // multi-version micro-batch
+    t.write(spark, Seq((1, "a", 10), (2, "B", 21), (4, "d", 40)).toDF("k", "v", "x"))
+    t.write(spark, Seq((1, "a", 10), (2, "B", 21), (4, "D", 41)).toDF("k", "v", "x"))
+    drainCdf(s"$work/t", s"$work/ck", s"$work/sink")
+    val feed = spark.read.parquet(s"$work/sink")
+      .filter(col("_commit_version") > 1)
+      .select("k", "v", "x", "_change_type", "_commit_version")
+      .as[(Int, String, Int, String, Long)].collect().toSet
+    assert(feed == Set(
+      (2, "B", 21, "update", 2L), (3, "c", 30, "delete", 2L),
+      (4, "d", 40, "insert", 2L), (4, "D", 41, "update", 3L)), feed.toString)
+
+    // idempotent again
+    drainCdf(s"$work/t", s"$work/ck", s"$work/sink")
+    assert(spark.read.parquet(s"$work/sink").count() == 7)
+  }
+
+  test("graft-cdf source: startingVersion replays history; preimages flow through") {
+    val work = tmp("cdfsrc2")
+    val t = new graft.tables.SnapshotTable(s"$work/t")
+    t.write(spark, Seq((1, 10), (2, 20)).toDF("k", "x"))
+    t.write(spark, Seq((1, 11), (2, 20)).toDF("k", "x"))
+
+    // startingVersion=1 AFTER both commits: v1 snapshot + v2 feed, with
+    // the retractable preimage row shape
+    drainCdf(s"$work/t", s"$work/ck", s"$work/sink",
+      Map("startingVersion" -> "1", "withPreimage" -> "true"))
+    val got = spark.read.parquet(s"$work/sink")
+      .select("k", "x", "_change_type", "_commit_version")
+      .as[(Int, Int, String, Long)].collect().toSet
+    assert(got == Set(
+      (1, 10, "insert", 1L), (2, 20, "insert", 1L),
+      (1, 10, "update_preimage", 2L), (1, 11, "update_postimage", 2L)), got.toString)
+
+    // startingVersion=2: no snapshot, just the v2 window
+    drainCdf(s"$work/t", s"$work/ck2", s"$work/sink2",
+      Map("startingVersion" -> "2"))
+    val raw = spark.read.parquet(s"$work/sink2")
+      .select("k", "x", "_change_type", "_commit_version")
+      .as[(Int, Int, String, Long)].collect().toSet
+    assert(raw == Set((1, 11, "update", 2L)), raw.toString)
+  }
+
+  test("graft-cdf source: bucketed root takes keys from the manifest") {
+    val work = tmp("cdfsrc3")
+    val bt = new graft.tables.BucketedSnapshotTable(s"$work/t", 4, Seq("k"))
+    bt.scd1Merge(spark, Seq((1, 1L, "a"), (2, 1L, "b")).toDF("k", "seq", "v"), "seq")
+    val q = spark.readStream.format("graft-cdf").option("path", s"$work/t")
+      .load() // no keys option: the manifest records them
+      .writeStream.format("parquet")
+      .option("path", s"$work/sink").option("checkpointLocation", s"$work/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    bt.scd1Merge(spark, Seq((2, 2L, "B")).toDF("k", "seq", "v"), "seq")
+    val q2 = spark.readStream.format("graft-cdf").option("path", s"$work/t")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$work/sink").option("checkpointLocation", s"$work/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val got = spark.read.parquet(s"$work/sink")
+      .select("k", "v", "_change_type", "_commit_version")
+      .as[(Int, String, String, Long)].collect().toSet
+    assert(got == Set((1, "a", "insert", 1L), (2, "b", "insert", 1L),
+      (2, "B", "update", 2L)), got.toString)
+  }
 }

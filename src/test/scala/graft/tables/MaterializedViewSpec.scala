@@ -1,0 +1,156 @@
+package graft.tables
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Incremental materialized aggregate views: every refresh must leave the
+  * view EQUAL to a full GROUP BY recompute of the source's visible rows,
+  * while rewriting only the state buckets holding changed groups. */
+class MaterializedViewSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  private def sql(q: String): DataFrame =
+    org.apache.spark.sql.GraftColumnBridge.graftSql(spark, q)
+
+  /** Full recompute of what the MV must equal. */
+  private def recompute(src: SnapshotTable): Set[(String, Long, Option[Long])] =
+    src.read(spark).groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"))
+      .as[(String, Long, Option[Long])].collect().toSet
+
+  private def mvRows(mv: MaterializedAggView): Set[(String, Long, Option[Long])] =
+    mv.read(spark).as[(String, Long, Option[Long])].collect().toSet
+
+  test("refresh folds inserts/updates/deletes; equals full recompute at every step") {
+    val work = tmp("mv")
+    val src = new SnapshotTable(s"$work/src")
+    src.write(spark, Seq((1, "a", 10L), (2, "a", 20L), (3, "b", 30L)).toDF("k", "g", "x"))
+    val mv = MaterializedAggView.create(spark, s"$work/mv", s"$work/src",
+      sourceKeys = Seq("k"), groupBy = Seq("g"),
+      aggs = Seq(MaterializedAggView.Agg("count", None, "n"),
+        MaterializedAggView.Agg("sum", Some("x"), "sx")), numBuckets = 8)
+
+    val (v1, _) = mv.refresh(spark)
+    assert(v1 == 1 && mvRows(mv) == recompute(src))
+    assert(mvRows(mv) == Set(("a", 2L, Some(30L)), ("b", 1L, Some(30L))))
+
+    // update key 2 (a: 20→25), move key 3 from b to a, insert key 4 in c
+    src.write(spark, Seq((1, "a", 10L), (2, "a", 25L), (3, "a", 30L), (4, "c", 40L))
+      .toDF("k", "g", "x"))
+    val (v2, _) = mv.refresh(spark)
+    assert(v2 == 2 && mvRows(mv) == recompute(src))
+    // group b's count hit 0 → its row is GONE, not a zero row
+    assert(!mvRows(mv).exists(_._1 == "b"))
+
+    // delete everything in c, resurrect b
+    src.write(spark, Seq((1, "a", 10L), (2, "a", 25L), (3, "a", 30L), (5, "b", 50L))
+      .toDF("k", "g", "x"))
+    val (v3, _) = mv.refresh(spark)
+    assert(v3 == 3 && mvRows(mv) == recompute(src))
+    assert(mvRows(mv).exists(_._1 == "b") && !mvRows(mv).exists(_._1 == "c"))
+  }
+
+  test("refresh is exactly-once: replays and no-ops do not double-count") {
+    val work = tmp("mv2")
+    val src = new SnapshotTable(s"$work/src")
+    src.write(spark, Seq((1, "a", 10L), (2, "b", 20L)).toDF("k", "g", "x"))
+    val mv = MaterializedAggView.create(spark, s"$work/mv", s"$work/src",
+      Seq("k"), Seq("g"), Seq(MaterializedAggView.Agg("sum", Some("x"), "sx")), 4)
+    mv.refresh(spark)
+    val once = mvRows0(mv)
+    // no new source version → no-op; state version unchanged
+    val stV = new BucketedSnapshotTable(s"$work/mv/state", 4, Seq("g"))
+      .currentVersion(spark)
+    val (v, touched) = mv.refresh(spark)
+    assert(v == 1 && touched.isEmpty && mvRows0(mv) == once)
+    assert(new BucketedSnapshotTable(s"$work/mv/state", 4, Seq("g"))
+      .currentVersion(spark) == stV)
+    assert(mv.lastApplied(spark) == 1)
+  }
+
+  private def mvRows0(mv: MaterializedAggView): Set[(String, Option[Long])] =
+    mv.read(spark).as[(String, Option[Long])].collect().toSet
+
+  test("avg and count(c) honor SQL null semantics incrementally") {
+    val work = tmp("mv3")
+    val src = new SnapshotTable(s"$work/src")
+    src.write(spark, Seq((1, "a", Some(10L)), (2, "a", None), (3, "b", None))
+      .toDF("k", "g", "x"))
+    val mv = MaterializedAggView.create(spark, s"$work/mv", s"$work/src",
+      Seq("k"), Seq("g"),
+      Seq(MaterializedAggView.Agg("count", Some("x"), "nn"),
+        MaterializedAggView.Agg("avg", Some("x"), "ax")), 4)
+    mv.refresh(spark)
+    val got = mv.read(spark).as[(String, Long, Option[Double])].collect().toSet
+    // b has ONLY null measures: count(x)=0, avg(x)=NULL — like a recompute
+    assert(got == Set(("a", 1L, Some(10.0)), ("b", 0L, None)), got.toString)
+    // the null measure gains a value
+    src.write(spark, Seq((1, "a", Some(10L)), (2, "a", Some(30L)), (3, "b", None))
+      .toDF("k", "g", "x"))
+    mv.refresh(spark)
+    val got2 = mv.read(spark).as[(String, Long, Option[Double])].collect().toSet
+    assert(got2 == Set(("a", 2L, Some(20.0)), ("b", 0L, None)), got2.toString)
+  }
+
+  test("refresh rewrites only the buckets holding changed groups") {
+    val work = tmp("mv4")
+    val src = new SnapshotTable(s"$work/src")
+    val base = (1 to 512).map(i => (i, s"g${i % 64}", i.toLong))
+    src.write(spark, base.toDF("k", "g", "x"))
+    val mv = MaterializedAggView.create(spark, s"$work/mv", s"$work/src",
+      Seq("k"), Seq("g"), Seq(MaterializedAggView.Agg("sum", Some("x"), "sx")), 32)
+    val (_, bootTouched) = mv.refresh(spark)
+    assert(bootTouched.size >= 24) // bootstrap touches ~every bucket, once
+    // one key changes → one group changes → ≲ a couple of buckets rewrite
+    src.write(spark, (base.filterNot(_._1 == 7) :+ ((7, "g7", 999L))).toDF("k", "g", "x"))
+    val (_, touched) = mv.refresh(spark)
+    assert(touched.size <= 2, s"expected O(changed groups) buckets, got ${touched.size}")
+    assert(mvRows0b(mv) == src.read(spark).groupBy("g").agg(sum("x").as("sx"))
+      .as[(String, Option[Long])].collect().toSet)
+  }
+
+  private def mvRows0b(mv: MaterializedAggView): Set[(String, Option[Long])] =
+    mv.read(spark).as[(String, Option[Long])].collect().toSet
+
+  test("SQL surface: CREATE / REFRESH / query forms round-trip") {
+    val work = tmp("mv5")
+    val src = new SnapshotTable(s"$work/src")
+    src.write(spark, Seq((1, "a", 10L), (2, "a", 20L), (3, "b", 30L)).toDF("k", "g", "x"))
+    sql(s"CREATE MATERIALIZED VIEW '$work/mv' ON '$work/src' KEYS (k) " +
+      "GROUP BY (g) AGG (count(*) AS n, sum(x) AS sx) INTO 8 BUCKETS").collect()
+    val r = sql(s"REFRESH MATERIALIZED VIEW '$work/mv'").collect().head
+    assert(r.getInt(0) == 1 && r.getInt(1) > 0)
+    val got = sql(s"MATERIALIZED VIEW '$work/mv'")
+      .as[(String, Long, Option[Long])].collect().toSet
+    assert(got == Set(("a", 2L, Some(30L)), ("b", 1L, Some(30L))), got.toString)
+    // min/max rejected with a named error
+    val e = intercept[IllegalArgumentException] {
+      sql(s"CREATE MATERIALIZED VIEW '$work/mv6' ON '$work/src' KEYS (k) " +
+        "GROUP BY (g) AGG (min(x) AS mn)").collect()
+    }
+    assert(e.getMessage.contains("invertible"))
+  }
+
+  test("bucketed source: MV rides the manifest-pruned feed, keys from manifest") {
+    val work = tmp("mv7")
+    val src = new BucketedSnapshotTable(s"$work/src", 8, Seq("k"))
+    src.scd1Merge(spark, Seq((1, 1L, "a", 10L), (2, 1L, "a", 20L), (3, 1L, "b", 30L))
+      .toDF("k", "seq", "g", "x"), "seq")
+    val mv = MaterializedAggView.create(spark, s"$work/mv", s"$work/src",
+      sourceKeys = Nil, groupBy = Seq("g"),
+      aggs = Seq(MaterializedAggView.Agg("sum", Some("x"), "sx")), numBuckets = 4)
+    mv.refresh(spark)
+    src.scd1Merge(spark, Seq((2, 2L, "a", 25L)).toDF("k", "seq", "g", "x"), "seq")
+    mv.refresh(spark)
+    val got = mv.read(spark).as[(String, Option[Long])].collect().toSet
+    assert(got == Set(("a", Some(35L)), ("b", Some(30L))), got.toString)
+  }
+}
