@@ -5624,6 +5624,57 @@ object SparkEntry {
     //    [p, prefixSuccessor(p)], so a prefix probe over a name-clustered
     //    table schedules only the lexicographic band's files (composes
     //    with the r9 adaptive-prefix stats for long shared prefixes).
+    // ── TRANSPARENT MV ROUTING (r11): registerRewrite connects the
+    //    incrementally-maintained materialized view to the optimizer's
+    //    rollup rewrite — an ORDINARY aggregate over the source's snapshot
+    //    relation (no view named anywhere) is rewritten to read the MV's
+    //    bucketed state instead: a kilobyte read in place of a fact scan,
+    //    and REFRESH visibility is immediate because the provider re-reads
+    //    the live state per query. The in-query require pins that the
+    //    optimized plan aggregates the MV partials, and the second leg
+    //    proves a post-refresh query sees the new source version. The
+    //    Databricks materialized-view story end to end: incremental
+    //    maintenance (q320) + transparent routing (this).
+    "q322_transparent_mv_routing" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("mvroute").toString
+      withShufflePartitions(s, 8) {
+      val ext = new org.apache.spark.sql.SparkSessionExtensions
+      new graft.GraftExtensions().apply(ext)
+      org.apache.spark.sql.GraftColumnBridge.applyExtensions(ext, s)
+      val src = new graft.tables.SnapshotTable(s"$work/src")
+      val base = Tables.customer(s, dir).select($"c_custkey",
+        $"c_nationkey".cast("long").as("c_nationkey"),
+        $"c_acctbal".cast("decimal(18,2)").as("price"))
+      src.write(s, base)
+      val mv = graft.tables.MaterializedAggView.create(s, s"$work/mv",
+        s"$work/src", sourceKeys = Seq("c_custkey"), groupBy = Seq("c_nationkey"),
+        aggs = Seq(graft.tables.MaterializedAggView.Agg("count", None, "n"),
+          graft.tables.MaterializedAggView.Agg("sum", Some("price"), "rev")),
+        numBuckets = 16)
+      mv.refresh(s)
+      mv.registerRewrite(s)
+      // a new customer lands; the MV refreshes incrementally; the SAME
+      // transparent query must see it (provider reads live state)
+      src.write(s, base.unionByName(
+        Seq((900001L, 0L, new java.math.BigDecimal("100.00")))
+          .toDF("c_custkey", "c_nationkey", "price")
+          .select($"c_custkey", $"c_nationkey",
+            $"price".cast("decimal(18,2)").as("price"))))
+      mv.refresh(s)
+      val q = src.readIndexed(s).groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n"), count($"price").as("nn"),
+          sum($"price").cast("double").as("rev"))
+        .orderBy($"c_nationkey")
+      val plan = q.queryExecution.optimizedPlan.toString
+      require(plan.contains("__sum_price") && plan.contains("__cnt"),
+        s"transparent routing must aggregate the MV partials, got:\n$plan")
+      require(!plan.contains("/src/_v"),
+        "plan must not scan the source snapshot's version dirs")
+      q
+      }
+    }),
+
     // ── Z-ORDER CLUSTERING (r11): OPTIMIZE … ZORDER BY rank-quantizes
     //    each clustering column (one approxQuantile pass), interleaves the
     //    bucket bits and range-partitions the rewrite by the z-value — so
@@ -6483,6 +6534,20 @@ object SparkEntry {
     "q316_like_prefix_skipping" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_name LIKE 'Customer#00000001%' ORDER BY c_custkey""".stripMargin,
+
+    // the routed aggregate equals the plain GROUP BY over the final
+    // source state (base + the appended customer) — routing is invisible
+    // to values, which is the contract
+    "q322_transparent_mv_routing" ->
+      """WITH src AS (
+        |  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS price FROM customer
+        |  UNION ALL
+        |  SELECT CAST(900001 AS BIGINT), CAST(0 AS BIGINT),
+        |    CAST(100.00 AS DECIMAL(18,2)))
+        |SELECT c_nationkey, count(*) AS n, count(price) AS nn,
+        |  CAST(sum(price) AS DOUBLE) AS rev
+        |FROM src GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     // the z-order rewrite is content-preserving: the row-filtered result
     // is just the base table under both predicates (UNION ALL of the

@@ -42,7 +42,7 @@ import org.apache.spark.sql.types.DoubleType
   */
 object AggRollupRewrite extends Rule[LogicalPlan] {
 
-  final case class Rollup(spark: SparkSession, rollupPath: String,
+  final case class Rollup(spark: SparkSession, provider: () => DataFrame,
       dims: Seq[String], measures: Seq[String])
 
   private val registry = TrieMap.empty[String, Rollup]
@@ -52,7 +52,19 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
   /** Point queries over `basePath` at the rollup stored at `rollupPath`. */
   def register(spark: SparkSession, basePath: String, rollupPath: String,
       dims: Seq[String], measures: Seq[String]): Unit =
-    registry.put(canon(basePath), Rollup(spark, rollupPath, dims, measures))
+    registry.put(canon(basePath),
+      Rollup(spark, () => spark.read.parquet(rollupPath), dims, measures))
+
+  /** Point queries over `basePath` at a LIVE rollup-format relation (r11:
+    * the incrementally-maintained [[graft.tables.MaterializedAggView]]
+    * registers its state this way — the provider re-reads the view's
+    * current state per query, so a REFRESH is visible immediately). The
+    * provided frame must carry the dims plus `__cnt` and, per covered
+    * measure, `__sum_<m>`/`__nn_<m>` (and optionally `__min_/__max_`) —
+    * aggregates whose partial is absent simply do not rewrite. */
+  def registerView(spark: SparkSession, basePath: String, dims: Seq[String],
+      measures: Seq[String], provider: () => DataFrame): Unit =
+    registry.put(canon(basePath), Rollup(spark, provider, dims, measures))
 
   def clear(): Unit = registry.clear()
 
@@ -65,8 +77,8 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
     import org.apache.spark.sql.functions._
     val aggs = count(lit(1)).as("__cnt") +:
       measures.flatMap(m => Seq(
-        sum(col(m)).as(s"__sum_$m"), min(col(m)).as(s"__min_$m"),
-        max(col(m)).as(s"__max_$m")))
+        sum(col(m)).as(s"__sum_$m"), count(col(m)).as(s"__nn_$m"),
+        min(col(m)).as(s"__min_$m"), max(col(m)).as(s"__max_$m")))
     base.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
       .coalesce(1).write.mode("overwrite").parquet(rollupPath)
   }
@@ -91,6 +103,7 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
       .agg(sum(col("__cnt")).cast("long").as("__cnt"),
         measures.flatMap(m => Seq(
           sum(col(s"__sum_$m")).cast(old.schema(s"__sum_$m").dataType).as(s"__sum_$m"),
+          sum(col(s"__nn_$m")).cast("long").as(s"__nn_$m"),
           min(col(s"__min_$m")).as(s"__min_$m"),
           max(col(s"__max_$m")).as(s"__max_$m"))): _*)
     merged.coalesce(1).write.mode("overwrite").parquet(rollupPath)
@@ -104,16 +117,34 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
           .getOrElse(agg)
     }
 
+  /** Registry hit for a scan path: exact, or any ANCESTOR directory —
+    * a SNAPSHOT relation's root paths are the table's version dirs
+    * (`<root>/_v<N>`, moving per commit), while the registration is the
+    * stable table root. */
+  private def lookup(p: Path): Option[Rollup] = {
+    var cur: Path = p
+    while (cur != null) {
+      val hit = registry.get(canon(cur.toString))
+      if (hit.isDefined) return hit
+      cur = cur.getParent
+    }
+    None
+  }
+
   /** The registered rollup, if `child` is exactly a scan of a registered
-    * base table (optionally under a column-pruning Project). */
+    * base table (optionally under a column-pruning Project). Multi-dir
+    * scans (a manifest referencing several version dirs) match when every
+    * dir resolves to the SAME registration. */
   private def baseScanOf(child: LogicalPlan): Option[Rollup] = child match {
     case Project(projectList, grandchild) if projectList.forall(_.isInstanceOf[Attribute]) =>
       baseScanOf(grandchild)
     case lr: LogicalRelation =>
       lr.relation match {
         case fs: HadoopFsRelation =>
-          fs.location.rootPaths.toList match {
-            case single :: Nil => registry.get(canon(single.toString))
+          val hits = fs.location.rootPaths.toList.map(lookup)
+          hits match {
+            case Nil => None
+            case h :: t if h.isDefined && t.forall(_ == h) => h
             case _ => None
           }
         case _ => None
@@ -130,7 +161,7 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
     if (!groupNames.forall(r.dims.contains)) return None
 
     // a fresh analyzed read of the rollup (new exprIds per use)
-    val rollupPlan = r.spark.read.parquet(r.rollupPath).queryExecution.analyzed
+    val rollupPlan = r.provider().queryExecution.analyzed
     val out = rollupPlan.output.map(a => a.name -> a).toMap
 
     def partial(kind: String, m: String): Option[Attribute] =
@@ -152,10 +183,22 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
               partial("max", s.name).map(p => ae.copy(aggregateFunction = Max(p)))
             case c: Count if c.children.forall(_.isInstanceOf[Literal]) =>
               Some(ae.copy(aggregateFunction = Sum(out("__cnt"))))
+            case c @ Count(Seq(s: AttributeReference)) =>
+              partial("nn", s.name).map(p => ae.copy(aggregateFunction = Sum(p)))
             case Average(s: AttributeReference, _) if s.dataType == DoubleType =>
-              partial("sum", s.name).map(p => Divide(
-                ae.copy(aggregateFunction = Sum(p)),
-                Cast(ae.copy(aggregateFunction = Sum(out("__cnt"))), DoubleType)))
+              // divide by the NON-NULL count partial — `__cnt` would be
+              // wrong the moment the measure has nulls (SQL avg ignores
+              // them); rollups lacking `__nn_` simply do not rewrite AVG
+              // TWO rebuilt aggregates inside one result expression: each
+              // needs its OWN resultId — `ae.copy` keeps the original's,
+              // and duplicate resultIds make the physical agg bind both
+              // operands to the same slot (sum/sum ≡ 1.0)
+              for (su <- partial("sum", s.name); nn <- partial("nn", s.name))
+                yield Divide(
+                  ae.copy(aggregateFunction = Sum(su),
+                    resultId = NamedExpression.newExprId),
+                  Cast(ae.copy(aggregateFunction = Sum(nn),
+                    resultId = NamedExpression.newExprId), DoubleType))
             case _ => None
           }
           case _ => None

@@ -21,9 +21,11 @@ import graft.tables.SnapshotTable
   *     [ZORDER BY (c…)]      -- multi-dimensional clustering rewrite
   *   VACUUM '<table root>' [KEEP <n>]
   *   CREATE MATERIALIZED VIEW '<mv>' ON '<src>' [KEYS (k…)] GROUP BY (g…)
-  *     AGG (count(*)|count(c)|sum(c)|avg(c) AS alias, …) [INTO <n> BUCKETS]
+  *     AGG (count(*)|count(c)|sum(c)|avg(c)|min(c)|max(c) AS alias, …)
+  *     [WITH RESCAN] [INTO <n> BUCKETS]  -- min/max need WITH RESCAN
   *   REFRESH MATERIALIZED VIEW '<mv>'     -- O(changed groups), exactly-once
   *   MATERIALIZED VIEW '<mv>'             -- query the maintained rollup
+  *   DESCRIBE MATERIALIZED VIEW '<mv>'    -- spec + last applied version
   *   DESCRIBE HISTORY '<table root>'
   *   DESCRIBE DETAIL '<table root>'
   *   MERGE INTO '<table root>' USING <view> ON KEYS (k1[, k2…])
@@ -98,7 +100,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Analyze =
     """(?is)\s*ANALYZE\s+'([^']+)'(?:\s+STATS\s*\(([^)]+)\))?(?:\s+BLOOM\s*\(([^)]+)\))?(\s+INCREMENTAL)?\s*;?\s*""".r
   private val CreateMv =
-    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s+ON\s+'([^']+)'(?:\s+KEYS\s*\(([^)]+)\))?\s+GROUP\s+BY\s*\(([^)]+)\)\s+AGG\s*\((.+)\)(?:\s+INTO\s+(\d+)\s+BUCKETS)?\s*;?\s*""".r
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s+ON\s+'([^']+)'(?:\s+KEYS\s*\(([^)]+)\))?\s+GROUP\s+BY\s*\(([^)]+)\)\s+AGG\s*\((.+?)\)(\s+WITH\s+RESCAN)?(?:\s+INTO\s+(\d+)\s+BUCKETS)?\s*;?\s*""".r
+  private val DescribeMv =
+    """(?is)\s*DESCRIBE\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s*;?\s*""".r
   private val RefreshMv =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s*;?\s*""".r
   private val QueryMv =
@@ -185,12 +189,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           visible.filter(org.apache.spark.sql.functions.expr(w.trim)))
         .getOrElse(visible)
         .queryExecution.logical
-    case CreateMv(mv, src, keysOpt, groupBy, aggList, buckets) =>
+    case CreateMv(mv, src, keysOpt, groupBy, aggList, rescan, buckets) =>
       CreateMaterializedViewCommand(mv, src,
         Option(keysOpt).toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)),
         groupBy.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
         GraftSqlParser.parseAggList(aggList),
-        Option(buckets).map(_.toInt))
+        Option(buckets).map(_.toInt), rescan != null)
+    case DescribeMv(mv) =>
+      DescribeMaterializedViewCommand(mv)
     case RefreshMv(mv) =>
       RefreshMaterializedViewCommand(mv)
     case QueryMv(mv) =>
@@ -778,9 +784,11 @@ case class DescribeHistoryCommand(path: String) extends LeafRunnableCommand {
 
 object GraftSqlParser {
   private val AggItem =
-    """(?is)\s*(count|sum|avg)\s*\(\s*(\*|\w+)\s*\)\s+AS\s+(\w+)\s*""".r
+    """(?is)\s*(count|sum|avg|min|max)\s*\(\s*(\*|\w+)\s*\)\s+AS\s+(\w+)\s*""".r
 
-  /** `count(*) AS n, sum(x) AS sx, avg(y) AS ay` → typed agg specs. */
+  /** `count(*) AS n, sum(x) AS sx, avg(y) AS ay, min(z) AS mz` → typed
+    * agg specs (min/max additionally need WITH RESCAN — enforced at
+    * create). */
   private[sql] def parseAggList(s: String): Seq[graft.tables.MaterializedAggView.Agg] =
     s.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map {
       case AggItem(fn, "*", as) =>
@@ -788,9 +796,8 @@ object GraftSqlParser {
       case AggItem(fn, c, as) =>
         graft.tables.MaterializedAggView.Agg(fn.toLowerCase, Some(c), as)
       case other => throw new IllegalArgumentException(
-        s"CREATE MATERIALIZED VIEW: cannot parse aggregate '$other' — only " +
-          "the invertible count(*)/count(c)/sum(c)/avg(c) AS alias can be " +
-          "maintained incrementally from the change feed")
+        s"CREATE MATERIALIZED VIEW: cannot parse aggregate '$other' — " +
+          "expected count(*)/count(c)/sum(c)/avg(c)/min(c)/max(c) AS alias")
     }
 }
 
@@ -801,13 +808,33 @@ object GraftSqlParser {
 case class CreateMaterializedViewCommand(mv: String, src: String,
     keys: Seq[String], groupBy: Seq[String],
     aggs: Seq[graft.tables.MaterializedAggView.Agg],
-    buckets: Option[Int]) extends LeafRunnableCommand {
+    buckets: Option[Int], allowRescan: Boolean = false)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("mv", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     graft.tables.MaterializedAggView.create(spark, mv, src, keys, groupBy,
-      aggs, buckets.getOrElse(16))
+      aggs, buckets.getOrElse(16), allowRescan)
     Seq(Row(mv))
+  }
+}
+
+/** `DESCRIBE MATERIALIZED VIEW '<mv>'` — the view's metadata row: source
+  * root, business keys, grouping, declared aggregates, state bucket
+  * count, and the last source version the ledger records as applied. */
+case class DescribeMaterializedViewCommand(mv: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("source", StringType, nullable = false)(),
+    AttributeReference("source_keys", StringType, nullable = false)(),
+    AttributeReference("group_by", StringType, nullable = false)(),
+    AttributeReference("aggs", StringType, nullable = false)(),
+    AttributeReference("num_buckets", IntegerType, nullable = false)(),
+    AttributeReference("last_applied_version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = new graft.tables.MaterializedAggView(mv)
+    val sp = v.spec(spark)
+    Seq(Row(sp.sourceRoot, sp.sourceKeys.mkString(","), sp.groupBy.mkString(","),
+      sp.aggs.map(_.render).mkString(","), sp.numBuckets, v.lastApplied(spark)))
   }
 }
 

@@ -60,6 +60,9 @@ private[graft] object ChangeFeedSource {
     def currentVersion: Option[Int]
     /** VISIBLE rows of version `v` (SCD tombstone state filtered). */
     def visibleAt(v: Int): DataFrame
+    /** The visible relation's SCHEMA only — planning-cheap (O(dirs), not
+      * an O(buckets) listing on the bucketed format). */
+    def visibleSchema(v: Int): org.apache.spark.sql.types.StructType
     /** Derived change feed over one version window. */
     def feed(fromV: Int, toV: Int, withColumns: Boolean, withPreimage: Boolean): DataFrame
   }
@@ -86,6 +89,8 @@ private[graft] object ChangeFeedSource {
           def currentVersion: Option[Int] = bt.currentVersion(spark)
           def visibleAt(v: Int): DataFrame =
             ScdMerge.scd1Current(bt.readVersion(spark, v))
+          def visibleSchema(v: Int): org.apache.spark.sql.types.StructType =
+            bt.versionSchema(spark, v)
           def feed(fromV: Int, toV: Int, wc: Boolean, wp: Boolean): DataFrame =
             bt.changes(spark, fromV, toV, wc, wp)
         }
@@ -98,6 +103,8 @@ private[graft] object ChangeFeedSource {
           def currentVersion: Option[Int] = t.currentVersion(spark)
           def visibleAt(v: Int): DataFrame =
             ScdMerge.scd1Current(t.readVersion(spark, v))
+          def visibleSchema(v: Int): org.apache.spark.sql.types.StructType =
+            visibleAt(v).schema // one Spark-listed dir: already cheap
           def feed(fromV: Int, toV: Int, wc: Boolean, wp: Boolean): DataFrame =
             t.changes(spark, keys, fromV, toV, wc, wp)
         }
@@ -113,7 +120,7 @@ private[graft] object ChangeFeedSource {
     val v = a.currentVersion.getOrElse(throw new IllegalArgumentException(
       s"graft-cdf ${params("path")}: table has no committed version yet — " +
         "create it before defining the stream"))
-    val base = a.visibleAt(v).schema
+    val base = a.visibleSchema(v)
     val extra =
       StructField("_change_type", StringType, nullable = true) +:
         (if (params.get("withColumns").exists(_.toBoolean))

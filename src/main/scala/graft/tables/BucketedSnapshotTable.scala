@@ -272,6 +272,22 @@ final class BucketedSnapshotTable(
     }.reduce(_ unionByName _)
   }
 
+  /** Version `v`'s VISIBLE relation schema from ONE representative bucket
+    * per batch dir (schema evolution is per write job = per dir, so one
+    * bucket carries the dir's schema) — O(dirs) planning instead of the
+    * full read's O(buckets) listing. What a streaming source / consumer
+    * that only needs the shape should call. */
+  private[graft] def versionSchema(spark: SparkSession,
+      v: Int): org.apache.spark.sql.types.StructType = {
+    val m = readManifest(spark, v)
+    val onePerDir: Map[Int, String] =
+      m.groupBy(_._2).map { case (dir, entries) => entries.keys.min -> dir }
+    fromManifest(spark, onePerDir, None)
+      .map(df => ScdMerge.scd1Current(df.drop(BucketCol)).schema)
+      .getOrElse(throw new IllegalStateException(
+        s"BucketedSnapshotTable $root: version $v is empty"))
+  }
+
   /** Full-table read (all buckets, internal bucket column dropped). */
   def read(spark: SparkSession): DataFrame =
     readBuckets(spark, None)

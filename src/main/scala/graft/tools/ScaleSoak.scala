@@ -373,6 +373,62 @@ object ScaleSoak {
         dim.applyChangesTo(spark, Seq("o_orderkey"), s"$work/pck", pm, "psoak")
       }
       results("plain_mirror_append_window") = pmW
+
+      // ── r11: incremental MV — bootstrap is O(source), the trickle
+      //    refresh (one customer's orders change → ONE group) must be
+      //    FLAT in source size: the feed is manifest-pruned and the state
+      //    merge rewrites ≤1 bucket
+      val msrc = new graft.tables.BucketedSnapshotTable(s"$work/msrc",
+        numBuckets = 64 * mult, keys = Seq("o_orderkey"))
+      msrc.scd1Merge(spark, orders
+        .withColumn("price", col("o_totalprice").cast("decimal(18,2)"))
+        .select("o_orderkey", "o_custkey", "price")
+        .withColumn("op_seq", lit(1L)), "op_seq") // untimed O(table) seed
+      val mv = graft.tables.MaterializedAggView.create(spark, s"$work/mv",
+        s"$work/msrc", sourceKeys = Nil, groupBy = Seq("o_custkey"),
+        aggs = Seq(graft.tables.MaterializedAggView.Agg("count", None, "n"),
+          graft.tables.MaterializedAggView.Agg("sum", Some("price"), "rev")),
+        numBuckets = 64 * mult)
+      val (_, bootW) = time(s"$tag/mv_bootstrap") { mv.refresh(spark) }
+      results("mv_bootstrap") = bootW
+      val cust = orders.agg(min(col("o_custkey"))).head.getLong(0)
+      msrc.scd1Merge(spark, orders.filter(col("o_custkey") === cust).limit(10)
+        .withColumn("price", col("o_totalprice").cast("decimal(18,2)") + 1)
+        .select("o_orderkey", "o_custkey", "price")
+        .withColumn("op_seq", lit(2L)).localCheckpoint(), "op_seq")
+      val ((_, mvTouched), refW) = time(s"$tag/mv_refresh_trickle") {
+        mv.refresh(spark)
+      }
+      println(s"[soak]   mv refresh touched=${mvTouched.size} state buckets")
+      results("mv_refresh_trickle") = refW
+      // the same window through the STREAMING source: fixed streaming
+      // machinery + the manifest-pruned feed — flat in table size
+      val (_, strW) = time(s"$tag/cdf_stream_window") {
+        val q = spark.readStream.format("graft-cdf")
+          .option("path", s"$work/msrc").option("startingVersion", "2").load()
+          .writeStream.format("parquet").option("path", s"$work/cdfsink")
+          .option("checkpointLocation", s"$work/cdfck")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      results("cdf_stream_window") = strW
+
+      // ── r11: hive partition pruning composed with stats skipping — the
+      //    kept-file FRACTION stays constant as files grow linearly, and
+      //    the pruned read touches only one year's top price range
+      val pt = new graft.tables.SnapshotTable(s"$work/pt")
+      pt.writeIndexed(spark, orders.withColumn("o_year", year(col("o_orderdate"))),
+        statsCols = Seq("o_totalprice"), clusterBy = Seq("o_totalprice"),
+        clusterPartitions = 8 * mult, partitionByCols = Seq("o_year")) // untimed seed
+      val (pRows, ppW) = time(s"$tag/partitioned_pruned_read") {
+        org.apache.spark.sql.GraftColumnBridge.graftSql(spark,
+          s"SNAPSHOT '$work/pt' WHERE o_year = 1997 AND o_totalprice >= 490000")
+          .count()
+      }
+      val (keptP, totP) = pt.pruneStats(spark,
+        col("o_year") === 1997 && col("o_totalprice") >= 490000)
+      println(s"[soak]   partitioned read rows=$pRows kept=$keptP/$totP files")
+      results("partitioned_pruned_read") = ppW
       results.toMap
     }
     val scdSmall = scdSoak("sf0.1", 1)

@@ -109,6 +109,45 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("MaterializedAggView.registerRewrite: transparent routing, null-correct AVG, refresh visibility") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    GraftColumnBridge.applyExtensions(ext, spark)
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("mvroute").toString
+    val src = new graft.tables.SnapshotTable(s"$work/src")
+    // group b has a NULL measure — routed AVG must divide by the non-null
+    // count, not the group row count
+    src.write(spark, Seq((1, "a", Some(10.0)), (2, "a", Some(30.0)), (3, "b", None),
+      (4, "b", Some(8.0))).toDF("k", "g", "x"))
+    val mv = graft.tables.MaterializedAggView.create(spark, s"$work/mv",
+      s"$work/src", Seq("k"), Seq("g"),
+      Seq(graft.tables.MaterializedAggView.Agg("count", None, "n"),
+        graft.tables.MaterializedAggView.Agg("avg", Some("x"), "ax")), 4)
+    mv.refresh(spark)
+    mv.registerRewrite(spark)
+    try {
+      def q = src.readIndexed(spark).groupBy($"g")
+        .agg(count(lit(1)).as("n"), count($"x").as("nn"), avg($"x").as("ax"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("__nn_x") && !plan.contains("/src/_v"), plan)
+      val got = q.orderBy($"g").as[(String, Long, Long, Double)].collect().toSeq
+      assert(got == Seq(("a", 2L, 2L, 20.0), ("b", 2L, 1L, 8.0)), got.toString)
+
+      // an uncovered aggregate leaves the WHOLE query on the base
+      val miss = src.readIndexed(spark).groupBy($"g").agg(max($"x").as("mx"))
+      assert(!miss.queryExecution.optimizedPlan.toString.contains("__"),
+        miss.queryExecution.optimizedPlan.toString)
+
+      // refresh visibility: the same transparent query sees the new commit
+      src.write(spark, Seq((1, "a", Some(10.0)), (2, "a", Some(30.0)), (3, "b", None),
+        (4, "b", Some(8.0)), (5, "b", Some(2.0))).toDF("k", "g", "x"))
+      mv.refresh(spark)
+      val got2 = q.orderBy($"g").as[(String, Long, Long, Double)].collect().toSeq
+      assert(got2 == Seq(("a", 2L, 2L, 20.0), ("b", 3L, 2L, 5.0)), got2.toString)
+    } finally graft.plans.AggRollupRewrite.clear()
+  }
+
   test("ApproxDistinctRewrite: COUNT(DISTINCT) becomes HLL++ only when opted in") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)

@@ -131,12 +131,40 @@ class MaterializedViewSpec extends AnyFunSuite {
     val got = sql(s"MATERIALIZED VIEW '$work/mv'")
       .as[(String, Long, Option[Long])].collect().toSet
     assert(got == Set(("a", 2L, Some(30L)), ("b", 1L, Some(30L))), got.toString)
+    // DESCRIBE form surfaces the spec + applied version
+    val d = sql(s"DESCRIBE MATERIALIZED VIEW '$work/mv'").collect().head
+    assert(d.getString(0) == s"$work/src" && d.getString(2) == "g" &&
+      d.getString(3) == "count:*:n,sum:x:sx" && d.getInt(5) == 1, d.toString)
     // min/max rejected with a named error
     val e = intercept[IllegalArgumentException] {
       sql(s"CREATE MATERIALIZED VIEW '$work/mv6' ON '$work/src' KEYS (k) " +
         "GROUP BY (g) AGG (min(x) AS mn)").collect()
     }
     assert(e.getMessage.contains("invertible"))
+  }
+
+  test("min/max WITH RESCAN: recomputed for changed groups only, exact under deletes") {
+    val work = tmp("mvmm")
+    val src = new SnapshotTable(s"$work/src")
+    src.write(spark, Seq((1, "a", 10L), (2, "a", 50L), (3, "b", 30L)).toDF("k", "g", "x"))
+    sql(s"CREATE MATERIALIZED VIEW '$work/mv' ON '$work/src' KEYS (k) " +
+      "GROUP BY (g) AGG (count(*) AS n, min(x) AS mn, max(x) AS mx) " +
+      "WITH RESCAN INTO 8 BUCKETS").collect()
+    val mv = new MaterializedAggView(s"$work/mv")
+    mv.refresh(spark)
+    def rows = mv.read(spark).as[(String, Long, Long, Long)].collect().toSet
+    assert(rows == Set(("a", 2L, 10L, 50L), ("b", 1L, 30L, 30L)), rows.toString)
+    // delete the group maximum: a pure retraction an additive fold cannot
+    // answer — the rescan must find the NEW max among survivors
+    src.write(spark, Seq((1, "a", 10L), (3, "b", 30L), (4, "b", 7L)).toDF("k", "g", "x"))
+    mv.refresh(spark)
+    assert(rows == Set(("a", 1L, 10L, 10L), ("b", 2L, 7L, 30L)), rows.toString)
+    // min without RESCAN refuses with a named error
+    val e = intercept[IllegalArgumentException] {
+      sql(s"CREATE MATERIALIZED VIEW '$work/mv2' ON '$work/src' KEYS (k) " +
+        "GROUP BY (g) AGG (min(x) AS mn)").collect()
+    }
+    assert(e.getMessage.contains("RESCAN"))
   }
 
   test("bucketed source: MV rides the manifest-pruned feed, keys from manifest") {
