@@ -5635,6 +5635,116 @@ object SparkEntry {
     //    proves a post-refresh query sees the new source version. The
     //    Databricks materialized-view story end to end: incremental
     //    maintenance (q320) + transparent routing (this).
+    // ── INCREMENTAL JOIN-AGGREGATE VIEW (r11): the reference's gold
+    //    rollups join fact to dimension before aggregating — at 100 TB
+    //    the nightly join recompute is the bottleneck. The view maintains
+    //    `fact ⋈ dim GROUP BY` from BOTH change feeds via the signed
+    //    delta-join identity (ΔF⋈D_new + F_old⋈ΔD): a fact window
+    //    point-reads the dim (bucket-pruned) for its keys; a dim window
+    //    reads the OLD fact through the pruning file index IN-list
+    //    (stats/Bloom file skipping) for exactly the changed join keys —
+    //    so a dim attribute flip moves every joined fact row between
+    //    groups WITHOUT a fact recompute, and late-arriving dims surface
+    //    their orphaned fact rows exactly once. Pins: each incremental
+    //    refresh rewrites ≤4 of 16 state buckets at ANY scale factor; the
+    //    oracle is a full recompute of the final join.
+    "q324_incremental_join_mv" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("mvjoin").toString
+      withShufflePartitions(s, 8) {
+      val fact = new graft.tables.SnapshotTable(s"$work/fact")
+      val dim = new graft.tables.BucketedSnapshotTable(s"$work/dim", 16, Seq("o_orderkey"))
+      // the synthetic lineitem is NOT unique on (orderkey, linenumber) —
+      // pre-aggregate to that grain so the CDF key is a true row identity
+      val l0 = Tables.lineitem(s, dir)
+        .select($"l_orderkey".as("o_orderkey"), $"l_linenumber",
+          $"l_quantity".cast("decimal(18,2)").as("q0"))
+        .groupBy($"o_orderkey", $"l_linenumber")
+        .agg(sum($"q0").cast("decimal(18,2)").as("qty"))
+      val keys = l0.agg(min($"o_orderkey"), max($"o_orderkey")).as[(Long, Long)].head()
+      val (k1, k3) = keys
+      val k2 = l0.filter($"o_orderkey" > k1).agg(min($"o_orderkey")).as[Long].head()
+      fact.write(s, l0)
+      dim.scd1Merge(s, Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderpriority".as("prio"))
+        .withColumn("op_seq", lit(1L)), "op_seq")
+      val mv = graft.tables.MaterializedJoinAggView.create(s, s"$work/mv",
+        s"$work/fact", Seq("o_orderkey", "l_linenumber"), s"$work/dim", Nil,
+        Seq("o_orderkey"), Seq("prio"),
+        Seq(graft.tables.MaterializedAggView.Agg("count", None, "n"),
+          graft.tables.MaterializedAggView.Agg("sum", Some("qty"), "sqty")),
+        numBuckets = 16)
+      mv.refresh(s) // bootstrap = the one full join
+      // ── fact-side window: one order's lines get +5 qty, another
+      //    order's lines are deleted — one refresh, ≤2 groups touched
+      val l1 = l0.withColumn("qty",
+          when($"o_orderkey" === k1, $"qty" + 5).otherwise($"qty")
+            .cast("decimal(18,2)"))
+        .filter($"o_orderkey" =!= k3)
+      fact.write(s, l1)
+      val (_, t2) = mv.refresh(s)
+      require(t2.nonEmpty && t2.size <= 4,
+        s"a two-order fact change must rewrite O(1) state buckets, got ${t2.size}")
+      // ── dim-side window: one order's priority flips to a brand-new
+      //    group — its surviving lines must MOVE groups with no fact change
+      dim.scd1Merge(s, Seq((k2, 2L, "9-FLIP")).toDF("o_orderkey", "op_seq", "prio"),
+        "op_seq")
+      val (_, t3) = mv.refresh(s)
+      require(t3.nonEmpty && t3.size <= 4,
+        s"a one-dim change must rewrite O(1) state buckets, got ${t3.size}")
+      require(mv.lastApplied(s) == ((2, 2)),
+        s"ledger must record (fact v2, dim v2), got ${mv.lastApplied(s)}")
+      mv.read(s).select($"prio", $"n", $"sqty".cast("double").as("sqty"))
+        .orderBy($"prio")
+      }
+    }),
+
+    // ── EXACT RETRACTABLE COUNT(DISTINCT) IN MATERIALIZED VIEWS (r11):
+    //    distinct counts are the one dashboard aggregate sketches cannot
+    //    maintain under deletes (an HLL can only grow). The MV keeps an
+    //    auxiliary per-(group, value) occurrence table bucketed like the
+    //    state; each refresh folds SIGNED occurrence deltas and emits a
+    //    distinct delta only where a count crosses zero — O(changed
+    //    pairs) per refresh, exact under updates, deletes, and value
+    //    resurrection. Pins: an incremental refresh after a one-customer
+    //    change rewrites ≤4 of 32 state buckets at ANY scale factor; the
+    //    oracle is a full COUNT(DISTINCT) recompute of the final state.
+    "q323_mv_count_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("mvdc").toString
+      withShufflePartitions(s, 8) {
+      val sqlRun = (q: String) => org.apache.spark.sql.GraftColumnBridge.graftSql(s, q)
+      val src = new graft.tables.SnapshotTable(s"$work/src")
+      val o = Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_orderpriority".as("prio"))
+      src.write(s, o)
+      sqlRun(s"CREATE MATERIALIZED VIEW '$work/mv' ON '$work/src' KEYS (o_orderkey) " +
+        "GROUP BY (o_custkey) AGG (count(*) AS n, count(distinct prio) AS dp) " +
+        "INTO 32 BUCKETS").collect()
+      sqlRun(s"REFRESH MATERIALIZED VIEW '$work/mv'").collect() // bootstrap
+      // one customer's orders all flip to a brand-new priority value:
+      // their old values' occurrence counts cross zero DOWN, the new
+      // value's crosses zero UP → distinct count collapses to 1
+      val cust = o.agg(min($"o_custkey")).as[Long].head()
+      val v2 = o.withColumn("prio",
+        when($"o_custkey" === cust, lit("9-SPECIAL")).otherwise($"prio"))
+      src.write(s, v2)
+      val r2 = sqlRun(s"REFRESH MATERIALIZED VIEW '$work/mv'").collect().head
+      require(r2.getInt(1) > 0 && r2.getInt(1) <= 4,
+        s"one-group change must rewrite O(1) state buckets, got ${r2.getInt(1)}")
+      // another customer's orders are deleted outright: group row AND its
+      // aux occurrence rows tombstone
+      val cust2 = o.agg(max($"o_custkey")).as[Long].head()
+      src.write(s, v2.filter($"o_custkey" =!= cust2))
+      val r3 = sqlRun(s"REFRESH MATERIALIZED VIEW '$work/mv'").collect().head
+      require(r3.getInt(1) > 0 && r3.getInt(1) <= 4,
+        s"one-group delete must rewrite O(1) state buckets, got ${r3.getInt(1)}")
+      sqlRun(s"MATERIALIZED VIEW '$work/mv'")
+        .select($"o_custkey", $"n", $"dp")
+        .orderBy($"o_custkey")
+      }
+    }),
+
     "q322_transparent_mv_routing" -> ((s, dir) => {
       import s.implicits._
       val work = java.nio.file.Files.createTempDirectory("mvroute").toString
@@ -6561,6 +6671,46 @@ object SparkEntry {
         |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |  WHERE o_totalprice >= 480000)
         |ORDER BY o_orderkey, o_custkey""".stripMargin,
+
+    // the join view's final state = a full recompute of the final
+    // fact ⋈ dim: one order's lines +5 qty, another's deleted (fact
+    // legs), a third's priority flipped to a new group (dim leg)
+    "q324_incremental_join_mv" ->
+      """WITH k AS (
+        |  SELECT min(l_orderkey) AS k1, max(l_orderkey) AS k3,
+        |    (SELECT min(l_orderkey) FROM lineitem
+        |     WHERE l_orderkey > (SELECT min(l_orderkey) FROM lineitem)) AS k2
+        |  FROM lineitem),
+        |lbase AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |lfix AS (
+        |  SELECT l_orderkey,
+        |    CASE WHEN l_orderkey = (SELECT k1 FROM k)
+        |         THEN qty + 5 ELSE qty END AS qty
+        |  FROM lbase WHERE l_orderkey <> (SELECT k3 FROM k)),
+        |ofix AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey = (SELECT k2 FROM k)
+        |         THEN '9-FLIP' ELSE o_orderpriority END AS prio
+        |  FROM orders)
+        |SELECT prio, count(*) AS n, CAST(sum(qty) AS DOUBLE) AS sqty
+        |FROM lfix JOIN ofix ON l_orderkey = o_orderkey
+        |GROUP BY prio ORDER BY prio""".stripMargin,
+
+    // exact COUNT(DISTINCT) under updates AND deletes: the oracle is a
+    // full distinct recompute of the final state — one customer's
+    // priorities collapsed to a single new value, another customer gone
+    "q323_mv_count_distinct" ->
+      """WITH fin AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_custkey = (SELECT min(o_custkey) FROM orders)
+        |         THEN '9-SPECIAL' ELSE o_orderpriority END AS prio
+        |  FROM orders
+        |  WHERE o_custkey <> (SELECT max(o_custkey) FROM orders))
+        |SELECT o_custkey, count(*) AS n, count(DISTINCT prio) AS dp
+        |FROM fin GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     // the MV's final state = a full recompute of the source's final
     // state: the deleted customer's group is GONE (not a zero row), every

@@ -174,6 +174,14 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
         Alias(out(a.name), a.name)(exprId = a.exprId)
       case al @ Alias(childExpr, name) =>
         def rebuildAgg(ae: AggregateExpression): Option[Expression] = ae match {
+          // COUNT(DISTINCT m) from the exact `__dc_` partial — ONLY at the
+          // rollup's own grain: distinct counts are not re-aggregable
+          // across merged groups (SUM(__dc) over a coarser grouping would
+          // double-count values present in several subsumed groups)
+          case AggregateExpression(Count(Seq(s: AttributeReference)), _, true, None, _)
+              if groupNames.toSet == r.dims.toSet =>
+            partial("dc", s.name).map(p =>
+              ae.copy(aggregateFunction = Sum(p), isDistinct = false))
           case AggregateExpression(f, _, false, None, _) => f match {
             case Sum(s: AttributeReference, _) =>
               partial("sum", s.name).map(p => ae.copy(aggregateFunction = Sum(p)))

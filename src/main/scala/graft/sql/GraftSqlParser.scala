@@ -101,6 +101,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*ANALYZE\s+'([^']+)'(?:\s+STATS\s*\(([^)]+)\))?(?:\s+BLOOM\s*\(([^)]+)\))?(\s+INCREMENTAL)?\s*;?\s*""".r
   private val CreateMv =
     """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s+ON\s+'([^']+)'(?:\s+KEYS\s*\(([^)]+)\))?\s+GROUP\s+BY\s*\(([^)]+)\)\s+AGG\s*\((.+?)\)(\s+WITH\s+RESCAN)?(?:\s+INTO\s+(\d+)\s+BUCKETS)?\s*;?\s*""".r
+  private val CreateMjv =
+    """(?is)\s*CREATE\s+MATERIALIZED\s+JOIN\s+VIEW\s+'([^']+)'\s+FACT\s+'([^']+)'(?:\s+KEYS\s*\(([^)]+)\))?\s+DIM\s+'([^']+)'(?:\s+KEYS\s*\(([^)]+)\))?\s+ON\s*\(([^)]+)\)\s+GROUP\s+BY\s*\(([^)]+)\)\s+AGG\s*\((.+?)\)(?:\s+INTO\s+(\d+)\s+BUCKETS)?\s*;?\s*""".r
+  private val RefreshMjv =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+JOIN\s+VIEW\s+'([^']+)'\s*;?\s*""".r
   private val DescribeMv =
     """(?is)\s*DESCRIBE\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s*;?\s*""".r
   private val RefreshMv =
@@ -189,6 +193,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           visible.filter(org.apache.spark.sql.functions.expr(w.trim)))
         .getOrElse(visible)
         .queryExecution.logical
+    case CreateMjv(mv, fact, factKeys, dim, dimKeys, joinKeys, groupBy, aggList, buckets) =>
+      def split(s: String) = Option(s).toSeq
+        .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+      CreateMaterializedJoinViewCommand(mv, fact, split(factKeys), dim,
+        split(dimKeys), split(joinKeys), split(groupBy),
+        GraftSqlParser.parseAggList(aggList), Option(buckets).map(_.toInt))
+    case RefreshMjv(mv) =>
+      RefreshMaterializedJoinViewCommand(mv)
     case CreateMv(mv, src, keysOpt, groupBy, aggList, rescan, buckets) =>
       CreateMaterializedViewCommand(mv, src,
         Option(keysOpt).toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)),
@@ -200,8 +212,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case RefreshMv(mv) =>
       RefreshMaterializedViewCommand(mv)
     case QueryMv(mv) =>
-      new graft.tables.MaterializedAggView(mv)
-        .read(SparkSession.active).queryExecution.logical
+      // one query form for both view kinds — dispatch on the spec file
+      val sp = SparkSession.active
+      val mjSpec = new org.apache.hadoop.fs.Path(mv, "_mvj")
+      val isJoin = mjSpec.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        .exists(mjSpec)
+      (if (isJoin) new graft.tables.MaterializedJoinAggView(mv).read(sp)
+       else new graft.tables.MaterializedAggView(mv).read(sp))
+        .queryExecution.logical
     case Changes(path, fromV, toV, keysOpt, withCols, withPre) =>
       changesPlan(path, Right((fromV.toInt, toV.toInt)), Option(keysOpt),
         withCols != null, withPre != null)
@@ -785,19 +803,24 @@ case class DescribeHistoryCommand(path: String) extends LeafRunnableCommand {
 object GraftSqlParser {
   private val AggItem =
     """(?is)\s*(count|sum|avg|min|max)\s*\(\s*(\*|\w+)\s*\)\s+AS\s+(\w+)\s*""".r
+  private val DistinctItem =
+    """(?is)\s*count\s*\(\s*distinct\s+(\w+)\s*\)\s+AS\s+(\w+)\s*""".r
 
-  /** `count(*) AS n, sum(x) AS sx, avg(y) AS ay, min(z) AS mz` → typed
-    * agg specs (min/max additionally need WITH RESCAN — enforced at
-    * create). */
+  /** `count(*) AS n, count(distinct c) AS dc, sum(x) AS sx, avg(y) AS ay,
+    * min(z) AS mz` → typed agg specs (min/max additionally need WITH
+    * RESCAN — enforced at create). */
   private[sql] def parseAggList(s: String): Seq[graft.tables.MaterializedAggView.Agg] =
     s.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map {
+      case DistinctItem(c, as) =>
+        graft.tables.MaterializedAggView.Agg("count_distinct", Some(c), as)
       case AggItem(fn, "*", as) =>
         graft.tables.MaterializedAggView.Agg(fn.toLowerCase, None, as)
       case AggItem(fn, c, as) =>
         graft.tables.MaterializedAggView.Agg(fn.toLowerCase, Some(c), as)
       case other => throw new IllegalArgumentException(
         s"CREATE MATERIALIZED VIEW: cannot parse aggregate '$other' — " +
-          "expected count(*)/count(c)/sum(c)/avg(c)/min(c)/max(c) AS alias")
+          "expected count(*)/count(c)/count(distinct c)/sum(c)/avg(c)/" +
+          "min(c)/max(c) AS alias")
     }
 }
 
@@ -816,6 +839,41 @@ case class CreateMaterializedViewCommand(mv: String, src: String,
     graft.tables.MaterializedAggView.create(spark, mv, src, keys, groupBy,
       aggs, buckets.getOrElse(16), allowRescan)
     Seq(Row(mv))
+  }
+}
+
+/** `CREATE MATERIALIZED JOIN VIEW '<mv>' FACT '<fact>' [KEYS (k…)]
+  * DIM '<dim>' [KEYS (k…)] ON (jk…) GROUP BY (g…) AGG (count(*) AS n,
+  * sum(x) AS sx…) [INTO <n> BUCKETS]` — declare an incrementally-
+  * maintained aggregate over `fact ⋈ dim`
+  * ([[graft.tables.MaterializedJoinAggView]]). No data moves until
+  * REFRESH. */
+case class CreateMaterializedJoinViewCommand(mv: String, fact: String,
+    factKeys: Seq[String], dim: String, dimKeys: Seq[String],
+    joinKeys: Seq[String], groupBy: Seq[String],
+    aggs: Seq[graft.tables.MaterializedAggView.Agg],
+    buckets: Option[Int]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("mv", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.tables.MaterializedJoinAggView.create(spark, mv, fact, factKeys,
+      dim, dimKeys, joinKeys, groupBy, aggs, buckets.getOrElse(16))
+    Seq(Row(mv))
+  }
+}
+
+/** `REFRESH MATERIALIZED JOIN VIEW '<mv>'` — fold BOTH sources' change
+  * feeds since the last refresh into the view's bucketed state via the
+  * delta-join identity (O(deltas + pruned lookups), exactly-once via the
+  * packed two-version ledger entry). */
+case class RefreshMaterializedJoinViewCommand(mv: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("fact_version", IntegerType, nullable = false)(),
+    AttributeReference("dim_version", IntegerType, nullable = false)(),
+    AttributeReference("buckets_rewritten", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val ((f, d), touched) = new graft.tables.MaterializedJoinAggView(mv).refresh(spark)
+    Seq(Row(f, d, touched.size))
   }
 }
 

@@ -38,7 +38,12 @@ import graft.tables.{BucketedSnapshotTable, SnapshotTable}
   * manifest on bucketed ones), `withColumns` (attribution column),
   * `withPreimage` (update_preimage/update_postimage row shape),
   * `startingVersion` (1 = initial snapshot then every change; n > 1 =
-  * changes from version n on, no snapshot).
+  * changes from version n on, no snapshot), `maxVersionsPerTrigger`
+  * (admission control for a consumer that fell far behind: each
+  * micro-batch covers at most this many versions instead of one
+  * giant catch-up window — under AvailableNow the drain simply takes
+  * several batches; the initial-snapshot bootstrap is never split, like
+  * Delta's).
   */
 class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "graft-cdf"
@@ -131,20 +136,65 @@ private[graft] object ChangeFeedSource {
 }
 
 class ChangeFeedSource(spark: SparkSession, params: Map[String, String])
-    extends Source {
+    extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val table = ChangeFeedSource.adapter(spark, params)
   private val withColumns = params.get("withColumns").exists(_.toBoolean)
   private val withPreimage = params.get("withPreimage").exists(_.toBoolean)
   private val startingVersion = params.get("startingVersion").map(_.toInt)
+  private val maxVersions = params.get("maxVersionsPerTrigger").map(_.toInt).map { m =>
+    require(m >= 1, s"graft-cdf: maxVersionsPerTrigger must be >= 1, got $m"); m
+  }
   override val schema: StructType = ChangeFeedSource.feedSchema(spark, params)
 
-  private def toV(o: Offset): Int = o match {
-    case l: LongOffset       => l.offset.toInt
-    case s: SerializedOffset => s.json.trim.toInt
-    case other               => other.json().trim.toInt
+  /** AvailableNow target: versions committed AFTER the trigger prepared
+    * are left for the next run — the AvailableNow contract (same pattern
+    * as Spark's FileStreamSource). */
+  private var availableNowCap: Option[Int] = None
+
+  private def toV(o: org.apache.spark.sql.connector.read.streaming.Offset): Int =
+    o match {
+      case l: LongOffset       => l.offset.toInt
+      case s: SerializedOffset => s.json.trim.toInt
+      case other               => other.json().trim.toInt
+    }
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = table.currentVersion
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def reportLatestOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    table.currentVersion.map(v => LongOffset(v.toLong)).orNull
+
+  /** Admission control: each micro-batch ends at most `maxVersions` past
+    * the previous end (the checkpointed start offset IS the cursor — no
+    * extra source state), never past the AvailableNow preparation point.
+    * The default-mode bootstrap is never split: its base is live−1, a
+    * snapshot at an older version would cost the same as at live. */
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val liveOpt = table.currentVersion.map(v => availableNowCap.fold(v)(math.min(v, _)))
+    liveOpt.map { live =>
+      val end = maxVersions match {
+        case Some(m) =>
+          val base = Option(start).map(toV)
+            .getOrElse(startingVersion.map(s => math.max(s - 1, 0)).getOrElse(live - 1))
+          math.min(live, base + m)
+        case None => live
+      }
+      LongOffset(end.toLong)
+    }.orNull
   }
 
+  /** Uncapped fallback for engines that bypass admission control. */
   override def getOffset: Option[Offset] =
     table.currentVersion.map(v => LongOffset(v.toLong))
 

@@ -183,6 +183,19 @@ final class BucketedSnapshotTable(
   def appliedTxn(spark: SparkSession, queryId: String): Option[Long] =
     currentVersion(spark).flatMap(v => txnsOf(spark, v).get(queryId))
 
+  /** Latest committed version whose ledger entry for `queryId` is at most
+    * `value` (absent counts as 0) — the replay-pinned read point for a
+    * multi-table consumer recovering from a crash AFTER this table's own
+    * commit landed but BEFORE a downstream commit did: the recovery run
+    * must re-derive its deltas against this table's pre-crash state, not
+    * its current head. O(versions-scanned) manifest-header reads, crash
+    * paths only. */
+  private[graft] def versionWithTxnAtMost(spark: SparkSession, queryId: String,
+      value: Long): Option[Int] = {
+    val cur = currentVersion(spark).getOrElse(return None)
+    (cur to 1 by -1).find(v => txnsOf(spark, v).getOrElse(queryId, 0L) <= value)
+  }
+
   private def writeManifest(spark: SparkSession, v: Int, m: Map[Int, BucketEntry],
       txns: Map[String, Long] = Map.empty): Unit = {
     val f = fs(spark)

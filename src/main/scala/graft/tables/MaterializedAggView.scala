@@ -16,8 +16,15 @@ import org.apache.spark.sql.types._
   *
   * Supported aggregates (purely additive, hence exactly invertible under
   * the preimage feed): `count(*)`, `count(c)`, `sum(c)`, `avg(c)`
-  * (maintained as sum+count; read back as DOUBLE). Non-invertible
-  * aggregates (`min(c)`, `max(c)`) need the opt-in RESCAN mode
+  * (maintained as sum+count; read back as DOUBLE), and — r11 —
+  * `count(distinct c)`, maintained EXACTLY via an auxiliary per-(group,
+  * value) occurrence-count table bucketed alongside the state: each
+  * refresh folds signed occurrence deltas into the aux table and emits a
+  * distinct-count delta only for values whose count crosses zero, so the
+  * refresh stays O(changed (group,value) pairs) and survives retractions
+  * (a value reappearing after deletion counts again — HLL-style sketches
+  * cannot do this). Non-invertible aggregates (`min(c)`, `max(c)`) need
+  * the opt-in RESCAN mode
   * (`allowRescan` / SQL `WITH RESCAN`): each refresh recomputes them from
   * the source for exactly the changed groups — one semi-joined grouped
   * scan of the source per refresh, a cost class the caller accepts
@@ -71,6 +78,18 @@ final class MaterializedAggView(val root: String) {
   private def state(sp: Spec) =
     new BucketedSnapshotTable(s"$root/state", sp.numBuckets, sp.groupBy)
 
+  /** Auxiliary occurrence-count table for one `count(distinct c)`
+    * aggregate: keyed (and bucketed) by (groupBy…, value) so a refresh's
+    * changed pairs prune to their buckets exactly like the main state. */
+  private def auxState(sp: Spec, as: String) =
+    new BucketedSnapshotTable(s"$root/dstate_$as", sp.numBuckets,
+      sp.groupBy :+ ValCol)
+
+  /** Fault-injection hook for crash-recovery specs (same pattern as
+    * [[BucketedSnapshotTable.onStep]]): called between the aux-table and
+    * main-state commits of a refresh. */
+  private[tables] var onStep: String => Unit = _ => ()
+
   /** Source version the state table's ledger records as applied (0 =
     * never refreshed). */
   def lastApplied(spark: SparkSession): Int = {
@@ -91,9 +110,15 @@ final class MaterializedAggView(val root: String) {
     val srcV = feedable.currentVersion.getOrElse(return (lastV, Set.empty))
     if (srcV <= lastV) return (lastV, Set.empty)
 
-    val feed =
+    val feed0 =
       if (lastV == 0) feedable.visibleAt(srcV).withColumn("_change_type", lit("insert"))
       else feedable.feed(lastV, srcV, withColumns = false, withPreimage = true)
+    // count(distinct) maintenance re-reads the feed once per distinct agg
+    // (pair deltas) on top of the main grouped delta — pin the O(changed)
+    // window diff once instead of re-deriving it per consumer
+    val feed =
+      if (sp.aggs.exists(_.fn == "count_distinct")) feed0.localCheckpoint()
+      else feed0
     val sign = when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
       .otherwise(lit(-1L))
 
@@ -105,6 +130,7 @@ final class MaterializedAggView(val root: String) {
           case "count" if a.col.isEmpty => Nil // count(*) rides NCol
           case "count" => Seq(
             sum(when(col(a.col.get).isNotNull, sign).otherwise(0L)).as(nnCol(a.as)))
+          case "count_distinct" => Nil // maintained via the aux table below
           case "min" | "max" => Nil // non-invertible: rescanned below
           case "sum" | "avg" =>
             val c = a.col.get
@@ -115,13 +141,75 @@ final class MaterializedAggView(val root: String) {
                 .cast(t).as(sumCol(a.as)))
         }
       }
-    val delta = feed.groupBy(sp.groupBy.map(col): _*).agg(deltaAggs.head, deltaAggs.tail: _*)
+    val delta0 = feed.groupBy(sp.groupBy.map(col): _*).agg(deltaAggs.head, deltaAggs.tail: _*)
+
+    // count(distinct c): per-(group, value) signed occurrence deltas →
+    // aux-table transitions → a distinct-count delta ONLY where an
+    // occurrence count crosses zero. The transition frame is eagerly
+    // pinned (localCheckpoint) BEFORE the aux merge so the delta the main
+    // state folds is derived from the PRE-merge aux state; the aux merge
+    // itself is txn-stamped with the same source version, so any
+    // crash/replay interleaving re-derives the identical delta (a
+    // replayed run whose aux table already committed re-reads the aux as
+    // of the last FULLY-applied refresh via the ledger-pinned version).
+    val distincts = sp.aggs.filter(_.fn == "count_distinct")
+    val dcDeltas: Seq[DataFrame] = distincts.map { a =>
+      val c = a.col.get
+      val dst = auxState(sp, a.as)
+      val keyCols = sp.groupBy :+ ValCol
+      val pairDelta = feed.filter(col(c).isNotNull)
+        .groupBy((sp.groupBy.map(col) :+ col(c).as(ValCol)): _*)
+        .agg(sum(sign).as(DvcCol))
+      def emptyAux = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(keyCols.map(n => pairDelta.schema(n)) :+
+          StructField(VcCol, LongType, nullable = true)))
+      val curAux: DataFrame =
+        if (!dst.exists(spark)) emptyAux
+        else {
+          val applied = dst.appliedTxn(spark, TxnId).getOrElse(0L)
+          val raw =
+            if (applied <= lastV)
+              // normal path: bucket-pruned point read of the changed pairs
+              dst.readKeys(spark, pairDelta.select(keyCols.map(col): _*))
+            else {
+              // crash replay: this aux table already committed srcV but
+              // the main state did not — re-read it as of the last fully
+              // applied refresh so the recomputed transitions match what
+              // the crashed run derived (rare path; pays a version read)
+              dst.versionWithTxnAtMost(spark, TxnId, lastV) match {
+                case None => emptyAux
+                case Some(pin) => dst.readVersion(spark, pin)
+                  .join(pairDelta.select(keyCols.map(col): _*).distinct(),
+                    keyCols, "left_semi")
+              }
+            }
+          graft.cdc.ScdMerge.scd1Current(raw)
+            .select(keyCols.map(col) :+ col(VcCol): _*)
+        }
+      val trans = pairDelta.join(curAux, keyCols, "left")
+        .withColumn(VcNewCol, coalesce(col(VcCol), lit(0L)) + col(DvcCol))
+        .localCheckpoint()
+      val auxUp = trans.select(keyCols.map(col) ++
+        Seq(col(VcNewCol).as(VcCol), lit(srcV.toLong).as(SeqCol)): _*)
+      dst.scd1Merge(spark, auxUp, SeqCol,
+        applyAsDeletes = Some(col(VcCol) === 0L),
+        txn = Some((TxnId, srcV.toLong)))
+      onStep(s"aux-merged:${a.as}")
+      trans.groupBy(sp.groupBy.map(col): _*)
+        .agg(sum((col(VcNewCol) > 0).cast(LongType) -
+          (coalesce(col(VcCol), lit(0L)) > 0).cast(LongType)).as(dcCol(a.as)))
+    }
+    // dc-delta groups ⊆ feed groups (both derive from the feed), so a
+    // left join is complete; absent → 0 in the generic fold below
+    val delta = dcDeltas.foldLeft(delta0)((d, dd) => d.join(dd, sp.groupBy, "left"))
 
     val accCols: Seq[(String, DataType)] =
       (NCol, LongType) +: sp.aggs.flatMap { a =>
         a.fn match {
           case "count" if a.col.isEmpty => Nil
           case "count" => Seq(nnCol(a.as) -> LongType)
+          case "count_distinct" => Seq(dcCol(a.as) -> LongType)
           case "min" | "max" => Nil
           case _ => Seq(nnCol(a.as) -> LongType, sumCol(a.as) -> accTypes(a.as))
         }
@@ -188,6 +276,8 @@ final class MaterializedAggView(val root: String) {
       .groupBy(_.col.get).map { case (m, as) => m -> as.head.as }
     val mm = sp.aggs.filter(a => a.fn == "min" || a.fn == "max")
       .groupBy(a => (a.fn, a.col.get)).map { case ((fn, m), as) => (fn, m, as.head.as) }
+    val dcs = sp.aggs.filter(_.fn == "count_distinct")
+      .groupBy(_.col.get).map { case (m, as) => m -> as.head.as }
     val cols: Seq[Column] =
       sp.groupBy.map(col) ++
         Seq(col(NCol).as("__cnt")) ++
@@ -195,7 +285,8 @@ final class MaterializedAggView(val root: String) {
           col(sumCol(as)).as(s"__sum_$m"), col(nnCol(as)).as(s"__nn_$m"))
         } ++
         nnOnly.toSeq.map { case (m, as) => col(nnCol(as)).as(s"__nn_$m") } ++
-        mm.toSeq.map { case (fn, m, as) => col(mmCol(fn, as)).as(s"__${fn}_$m") }
+        mm.toSeq.map { case (fn, m, as) => col(mmCol(fn, as)).as(s"__${fn}_$m") } ++
+        dcs.toSeq.map { case (m, as) => col(dcCol(as)).as(s"__dc_$m") }
     raw.select(cols: _*)
   }
 
@@ -227,6 +318,7 @@ final class MaterializedAggView(val root: String) {
       a.fn match {
         case "count" if a.col.isEmpty => col(NCol).as(a.as)
         case "count" => col(nnCol(a.as)).as(a.as)
+        case "count_distinct" => col(dcCol(a.as)).as(a.as)
         case "min" | "max" => col(mmCol(a.fn, a.as)).as(a.as)
         case "sum" => when(col(nnCol(a.as)) > 0, col(sumCol(a.as))).as(a.as)
         case "avg" => when(col(nnCol(a.as)) > 0,
@@ -241,9 +333,14 @@ object MaterializedAggView {
   private[tables] val NCol = "__mv_n"
   private[tables] val SeqCol = "__mv_v"
   private val TxnId = "mv"
+  private[tables] val ValCol = "__mv_val"
+  private[tables] val VcCol = "__mv_vc"
+  private val DvcCol = "__mv_dvc"
+  private val VcNewCol = "__mv_vc_new"
   private def nnCol(as: String) = s"__mv_nn_$as"
   private def sumCol(as: String) = s"__mv_sum_$as"
   private def mmCol(fn: String, as: String) = s"__mv_${fn}_$as"
+  private def dcCol(as: String) = s"__mv_dc_$as"
 
   final case class Agg(fn: String, col: Option[String], as: String) {
     def render: String = s"$fn:${col.getOrElse("*")}:$as"
@@ -284,9 +381,9 @@ object MaterializedAggView {
     require(groupBy.nonEmpty, "materialized view needs GROUP BY columns")
     require(aggs.nonEmpty, "materialized view needs at least one aggregate")
     aggs.foreach { a =>
-      require(Set("count", "sum", "avg", "min", "max")(a.fn),
+      require(Set("count", "sum", "avg", "min", "max", "count_distinct")(a.fn),
         s"unsupported aggregate '${a.fn}'")
-      require(allowRescan || Set("count", "sum", "avg")(a.fn),
+      require(allowRescan || Set("count", "sum", "avg", "count_distinct")(a.fn),
         s"'${a.fn}' is not invertible and cannot be maintained from the " +
           "change feed alone — opt into WITH RESCAN (each refresh then " +
           "recomputes min/max for the changed groups from the source)")

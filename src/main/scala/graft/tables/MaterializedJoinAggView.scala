@@ -1,0 +1,339 @@
+package graft.tables
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Incrementally-maintained aggregate over a two-table INNER equi-join —
+  * the star-rollup the reference's gold layer recomputes nightly
+  * (fact ⋈ dimension → GROUP BY), maintained from BOTH tables' change
+  * feeds instead. The classic delta-join identity (Blakeley et al.,
+  * SIGMOD'86), in signed-multiset form with preimage feeds:
+  *
+  * {{{ F_new⋈D_new − F_old⋈D_old  =  ΔF⋈D_new  +  F_old⋈ΔD }}}
+  *
+  * so a refresh never recomputes the base join:
+  *
+  *  - '''ΔF⋈D_new''' — the fact window's signed feed joined to the dim's
+  *    CURRENT visible rows for exactly the delta's join keys
+  *    (bucket-pruned `readKeys` when the dim is bucketed by the join key,
+  *    its natural layout). Cost: O(fact delta).
+  *  - '''F_old⋈ΔD''' — the dim window's signed feed joined to the fact
+  *    AS OF the last refresh, read through the pruning file index with an
+  *    IN-list on the changed join keys, so the fact scan skips to the
+  *    files whose stats/Bloom sidecars admit those keys. Cost: O(fact
+  *    rows under changed dim keys) — dim changes are rare and narrow at
+  *    100 TB, and this is the leg that makes late-arriving or updated
+  *    dimensions exact without a fact recompute (the preimage retracts
+  *    the old dim attributes, the postimage re-adds the new ones, rows
+  *    move between groups when a grouped dim attribute changes).
+  *
+  * Because `D_new ⊇ ΔD`, the cross term ΔF⋈ΔD rides the first leg and is
+  * excluded from the second (F_old), no double counting. The signed
+  * joined delta then folds into a bucketed state table exactly like
+  * [[MaterializedAggView]]: O(changed groups) state IO per refresh.
+  *
+  * Supported aggregates: the purely additive set — `count(*)`,
+  * `count(c)`, `sum(c)`, `avg(c)` (sum+count, read back DOUBLE).
+  * Measures and group columns may come from either side.
+  *
+  * Exactly-once: BOTH applied source versions are ledger-committed
+  * atomically with the state merge, packed into one `txn:mvj` entry
+  * (factV·2^20 + dimV — up to ~1M dim commits per fact epoch, plenty for
+  * any real refresh cadence and validated at refresh). A replayed
+  * refresh of an applied window no-ops; the identity re-derives the same
+  * delta because versions are immutable until VACUUM.
+  */
+final class MaterializedJoinAggView(val root: String) {
+  import MaterializedAggView.{Agg, NCol, SeqCol}
+  import MaterializedJoinAggView._
+
+  private def fs(spark: SparkSession) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def specPath = new Path(root, "_mvj")
+
+  def spec(spark: SparkSession): Spec = {
+    val f = fs(spark)
+    if (!f.exists(specPath))
+      throw new IllegalArgumentException(s"MaterializedJoinAggView $root: no _mvj spec")
+    val in = f.open(specPath)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(_.nonEmpty).toVector finally in.close()
+    val kv = lines.map { l =>
+      val i = l.indexOf('=')
+      require(i > 0, s"MaterializedJoinAggView $root: malformed _mvj line '$l'")
+      l.take(i) -> l.drop(i + 1)
+    }.toMap
+    def need(k: String) = kv.getOrElse(k, throw new IllegalArgumentException(
+      s"MaterializedJoinAggView $root: _mvj lacks $k"))
+    def list(k: String) = kv.getOrElse(k, "").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    Spec(need("factRoot"), list("factKeys"), need("dimRoot"), list("dimKeys"),
+      list("joinKeys"), list("groupBy"), list("aggs").map(Agg.parse),
+      kv.getOrElse("numBuckets", "16").toInt)
+  }
+
+  private def state(sp: Spec) =
+    new BucketedSnapshotTable(s"$root/state", sp.numBuckets, sp.groupBy)
+
+  private def factFeed(spark: SparkSession, sp: Spec) =
+    graft.streaming.ChangeFeedSource.adapter(spark, Map("path" -> sp.factRoot) ++
+      (if (sp.factKeys.nonEmpty) Map("keys" -> sp.factKeys.mkString(",")) else Map.empty))
+  private def dimFeed(spark: SparkSession, sp: Spec) =
+    graft.streaming.ChangeFeedSource.adapter(spark, Map("path" -> sp.dimRoot) ++
+      (if (sp.dimKeys.nonEmpty) Map("keys" -> sp.dimKeys.mkString(",")) else Map.empty))
+
+  /** (fact version, dim version) the ledger records as applied. */
+  def lastApplied(spark: SparkSession): (Int, Int) =
+    state(spec(spark)).appliedTxn(spark, TxnId)
+      .map(unpack).getOrElse((0, 0))
+
+  /** Fold both sources' windows since the last refresh into the state;
+    * returns ((factV, dimV) now applied, state buckets rewritten). */
+  def refresh(spark: SparkSession): ((Int, Int), Set[Int]) = {
+    val sp = spec(spark)
+    val st = state(sp)
+    val (lastFV, lastDV) = st.appliedTxn(spark, TxnId).map(unpack).getOrElse((0, 0))
+    val ff = factFeed(spark, sp)
+    val df = dimFeed(spark, sp)
+    val factV = ff.currentVersion.getOrElse(return ((lastFV, lastDV), Set.empty))
+    val dimV = df.currentVersion.getOrElse(return ((lastFV, lastDV), Set.empty))
+    require(dimV < (1 << 20),
+      s"MaterializedJoinAggView $root: dim version $dimV exceeds the packed-ledger bound")
+    if (factV <= lastFV && dimV <= lastDV) return ((lastFV, lastDV), Set.empty)
+
+    val sign = when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
+      .otherwise(lit(-1L))
+    val bookkeeping = Seq("_change_type", "_changed_columns")
+
+    // ── leg 1: ΔF ⋈ D_new — dim looked up (bucket-pruned when the dim is
+    //    bucketed by the join key) for exactly the fact delta's keys
+    val leg1: Option[DataFrame] =
+      if (factV <= lastFV) None
+      else {
+        val fd0 =
+          if (lastFV == 0) ff.visibleAt(factV).withColumn("_change_type", lit("insert"))
+          else ff.feed(lastFV, factV, withColumns = false, withPreimage = true)
+        val fd = fd0.withColumn(SignCol, sign)
+          .drop(bookkeeping: _*)
+        // bootstrap = the full base join (once, like any MV bootstrap):
+        // let Catalyst/AQE pick the strategy instead of point-reading the
+        // whole fact keyset; incremental windows point-read the dim for
+        // exactly the delta's keys
+        val dimNow =
+          if (lastFV == 0) df.visibleAt(dimV)
+          else dimVisiblePruned(spark, sp, dimV,
+            fd.select(sp.joinKeys.map(col): _*).distinct())
+        Some(fd.join(dimNow, sp.joinKeys))
+      }
+
+    // ── leg 2: F_old ⋈ ΔD — the fact AS OF the last refresh, read through
+    //    the pruning file index with an IN-list on the changed join keys
+    //    (stats/Bloom file skipping), never the live fact (ΔF already
+    //    rode leg 1 against D_new)
+    val leg2: Option[DataFrame] =
+      if (dimV <= lastDV) None
+      else {
+        val dd0 =
+          if (lastDV == 0) df.visibleAt(dimV).withColumn("_change_type", lit("insert"))
+          else df.feed(lastDV, dimV, withColumns = false, withPreimage = true)
+        val dd = dd0.withColumn(SignCol, sign).drop(bookkeeping: _*)
+        if (lastFV == 0) None // no applied fact yet: leg 1 carries everything
+        else {
+          val changedKeys = dd.select(sp.joinKeys.map(col): _*).distinct()
+          val factOld = factAsOfPruned(spark, sp, lastFV, changedKeys)
+          Some(factOld.join(dd, sp.joinKeys))
+        }
+      }
+
+    val delta = (leg1, leg2) match {
+      case (Some(a), Some(b)) => a.unionByName(b, allowMissingColumns = true)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => return ((lastFV, lastDV), Set.empty)
+    }
+
+    // ── additive fold into the bucketed state (sibling of
+    //    MaterializedAggView.refresh's fold; join views carry no
+    //    count-distinct/min/max, so the additive core suffices)
+    val s = col(SignCol)
+    val accTypes: Map[String, DataType] = sp.aggs.collect {
+      case a if a.fn == "sum" || a.fn == "avg" =>
+        val dt = delta.schema(a.col.get).dataType
+        a.as -> (dt match {
+          case _: ByteType | _: ShortType | _: IntegerType | _: LongType => LongType
+          case d: DecimalType => DecimalType(math.min(38, d.precision + 10), d.scale)
+          case _: FloatType | _: DoubleType => DoubleType
+          case other => throw new IllegalArgumentException(
+            s"${a.fn}(${a.col.get}): unsupported measure type $other")
+        })
+    }.toMap
+    val deltaAggs: Seq[Column] =
+      sum(s).as(NCol) +: sp.aggs.flatMap { a =>
+        a.fn match {
+          case "count" if a.col.isEmpty => Nil
+          case "count" => Seq(
+            sum(when(col(a.col.get).isNotNull, s).otherwise(0L)).as(nnCol(a.as)))
+          case _ =>
+            val c = a.col.get
+            val t = accTypes(a.as)
+            Seq(
+              sum(when(col(c).isNotNull, s).otherwise(0L)).as(nnCol(a.as)),
+              sum(when(col(c).isNotNull, col(c).cast(t) * s).otherwise(lit(null)))
+                .cast(t).as(sumCol(a.as)))
+        }
+      }
+    val grouped = delta.groupBy(sp.groupBy.map(col): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+
+    val accCols: Seq[(String, DataType)] =
+      (NCol, LongType) +: sp.aggs.flatMap { a =>
+        a.fn match {
+          case "count" if a.col.isEmpty => Nil
+          case "count" => Seq(nnCol(a.as) -> LongType)
+          case _ => Seq(nnCol(a.as) -> LongType, sumCol(a.as) -> accTypes(a.as))
+        }
+      }
+    val cur: DataFrame =
+      if (!st.exists(spark)) {
+        val fields = sp.groupBy.map(g => grouped.schema(g)) ++
+          accCols.map { case (n, t) => StructField(n, t, nullable = true) }
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType(fields))
+      } else graft.cdc.ScdMerge.scd1Current(
+          st.readKeys(spark, grouped.select(sp.groupBy.map(col): _*)))
+        .select((sp.groupBy ++ accCols.map(_._1)).map(col): _*)
+    val curA = cur.select(sp.groupBy.map(col) ++
+      accCols.map { case (n, _) => col(n).as(s"__cur_$n") }: _*)
+    val folded = accCols.foldLeft(grouped.join(curA, sp.groupBy, "left")) {
+      case (d, (n, t)) =>
+        d.withColumn(n,
+          (coalesce(col(s"__cur_$n").cast(t), lit(0).cast(t)) +
+            coalesce(col(n).cast(t), lit(0).cast(t))).cast(t))
+    }.select((sp.groupBy ++ accCols.map(_._1)).map(col): _*)
+
+    val applyF = math.max(factV, lastFV)
+    val applyD = math.max(dimV, lastDV)
+    val packed = pack(applyF, applyD)
+    val upserts = folded.withColumn(SeqCol, lit(packed))
+    val touched = st.scd1Merge(spark, upserts, SeqCol,
+      applyAsDeletes = Some(col(NCol) === 0L),
+      txn = Some((TxnId, packed)))
+    ((applyF, applyD), touched)
+  }
+
+  /** Dim's visible rows at `v` for exactly the given join keys —
+    * bucket-pruned point read when the dim is bucketed by the join keys
+    * AND already at its live version (the common lookup), else the
+    * version read semi-joined. */
+  private def dimVisiblePruned(spark: SparkSession, sp: Spec, v: Int,
+      keyRows: DataFrame): DataFrame = {
+    val pruned = BucketedSnapshotTable.layoutOf(spark, sp.dimRoot) match {
+      case Some(l) if l.keys.contains(sp.joinKeys) =>
+        val bt = new BucketedSnapshotTable(sp.dimRoot, l.numBuckets, sp.joinKeys)
+        if (bt.currentVersion(spark).contains(v)) bt.readKeys(spark, keyRows)
+        else bt.readVersion(spark, v).join(keyRows, sp.joinKeys, "left_semi")
+      case _ =>
+        graft.streaming.ChangeFeedSource.adapter(spark, Map("path" -> sp.dimRoot) ++
+          (if (sp.dimKeys.nonEmpty) Map("keys" -> sp.dimKeys.mkString(",")) else Map.empty))
+          .visibleAt(v).join(keyRows, sp.joinKeys, "left_semi")
+    }
+    graft.cdc.ScdMerge.scd1Current(pruned)
+  }
+
+  /** The fact's visible rows AS OF version `v`, restricted to the changed
+    * dim join keys. Small key sets inline as an IN-list so the pruning
+    * file index skips fact files via stats/Bloom sidecars at planning
+    * time; wide dim rewrites fall back to a broadcast semi-join over the
+    * version read. */
+  private def factAsOfPruned(spark: SparkSession, sp: Spec, v: Int,
+      changedKeys: DataFrame): DataFrame = {
+    val asOf: DataFrame = BucketedSnapshotTable.layoutOf(spark, sp.factRoot) match {
+      case Some(l) =>
+        new BucketedSnapshotTable(sp.factRoot, l.numBuckets,
+          l.keys.getOrElse(sp.factKeys)).readIndexed(spark, Some(v))
+      case None => new SnapshotTable(sp.factRoot).readIndexed(spark, Some(v))
+    }
+    val visible = graft.cdc.ScdMerge.scd1Current(asOf)
+    if (sp.joinKeys.size == 1) {
+      val k = sp.joinKeys.head
+      val vals = changedKeys.limit(MaxInlineKeys + 1).collect().map(_.get(0))
+      if (vals.length <= MaxInlineKeys)
+        return visible.filter(col(k).isInCollection(vals.toSeq))
+    }
+    visible.join(broadcast(changedKeys), sp.joinKeys, "left_semi")
+  }
+
+  /** Group columns + one column per declared aggregate (avg as DOUBLE,
+    * SQL null semantics). */
+  def read(spark: SparkSession): DataFrame = {
+    val sp = spec(spark)
+    val raw = graft.cdc.ScdMerge.scd1Current(state(sp).read(spark))
+    val outs: Seq[Column] = sp.aggs.map { a =>
+      a.fn match {
+        case "count" if a.col.isEmpty => col(NCol).as(a.as)
+        case "count" => col(nnCol(a.as)).as(a.as)
+        case "sum" => when(col(nnCol(a.as)) > 0, col(sumCol(a.as))).as(a.as)
+        case "avg" => when(col(nnCol(a.as)) > 0,
+          col(sumCol(a.as)).cast(DoubleType) / col(nnCol(a.as))).as(a.as)
+      }
+    }
+    raw.select(sp.groupBy.map(col) ++ outs: _*)
+  }
+}
+
+object MaterializedJoinAggView {
+  import MaterializedAggView.Agg
+
+  private val TxnId = "mvj"
+  private val SignCol = "__mvj_sign"
+  private val MaxInlineKeys = 1000
+  private def nnCol(as: String) = s"__mv_nn_$as"
+  private def sumCol(as: String) = s"__mv_sum_$as"
+
+  private def pack(factV: Int, dimV: Int): Long = (factV.toLong << 20) | dimV.toLong
+  private def unpack(p: Long): (Int, Int) = ((p >> 20).toInt, (p & ((1L << 20) - 1)).toInt)
+
+  final case class Spec(factRoot: String, factKeys: Seq[String],
+      dimRoot: String, dimKeys: Seq[String], joinKeys: Seq[String],
+      groupBy: Seq[String], aggs: Seq[Agg], numBuckets: Int)
+
+  /** Declare the view (no data moves until the first refresh). Join-view
+    * aggregates are the additive set only — min/max/count-distinct would
+    * need rescans over the JOIN, a cost class [[MaterializedAggView]]'s
+    * single-table RESCAN mode prices but a join cannot bound. */
+  def create(spark: SparkSession, root: String,
+      factRoot: String, factKeys: Seq[String],
+      dimRoot: String, dimKeys: Seq[String],
+      joinKeys: Seq[String], groupBy: Seq[String], aggs: Seq[Agg],
+      numBuckets: Int = 16): MaterializedJoinAggView = {
+    require(joinKeys.nonEmpty, "join view needs join keys")
+    require(groupBy.nonEmpty, "join view needs GROUP BY columns")
+    require(aggs.nonEmpty, "join view needs at least one aggregate")
+    aggs.foreach { a =>
+      require(Set("count", "sum", "avg")(a.fn),
+        s"join views maintain additive aggregates only — '${a.fn}' is not")
+      require(a.fn == "count" || a.col.nonEmpty, s"${a.fn} needs a column")
+    }
+    require(aggs.map(_.as).distinct.size == aggs.size, "duplicate aggregate aliases")
+    val mv = new MaterializedJoinAggView(root)
+    val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(root, "_mvj")
+    if (f.exists(p))
+      throw new IllegalArgumentException(s"MaterializedJoinAggView $root already exists")
+    val content =
+      s"""factRoot=$factRoot
+         |factKeys=${factKeys.mkString(",")}
+         |dimRoot=$dimRoot
+         |dimKeys=${dimKeys.mkString(",")}
+         |joinKeys=${joinKeys.mkString(",")}
+         |groupBy=${groupBy.mkString(",")}
+         |aggs=${aggs.map(_.render).mkString(",")}
+         |numBuckets=$numBuckets
+         |""".stripMargin
+    val out = f.create(p, false)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    mv
+  }
+}

@@ -990,10 +990,11 @@ final class SnapshotTable(val root: String,
     * tombstone side is its own relation. Hive-partitioned versions (r11)
     * route through the partition-aware index — partition-value rows are
     * reattached from the `k=v` directory segments, so Catalyst's partition
-    * pruning composes with the sidecar skipping; only a version MIXING
-    * partitioned and flat files (an un-partitioned manifest increment,
-    * whose partition values live in file bytes, not dir names) or one
-    * whose dirs disagree on a column's type falls back to the ordinary
+    * pruning composes with the sidecar skipping; a version MIXING
+    * partitioned and flat files (an un-partitioned manifest increment)
+    * unions the flat increment as its own pruning relation (the partition
+    * values live in its file bytes); only a cross-dir type conflict or a
+    * flat increment lacking a partition column falls back to the ordinary
     * read. `version` = time travel. */
   def readIndexed(spark: SparkSession, version: Option[Int] = None): DataFrame = {
     val f = fs(spark)
@@ -1033,20 +1034,27 @@ final class SnapshotTable(val root: String,
     * (typed via the same int/long/double/date/string inference the per-dir
     * basePath read runs), so `WHERE p = …` prunes directories at planning
     * time AND the stats/Bloom keep still skips files inside surviving
-    * partitions. None (→ caller falls back) when any file lacks a `k=v`
-    * segment for some partition column — a flat manifest increment stores
-    * those values in file bytes this relation cannot see — or when a data
-    * file physically carries a partition column, or on a cross-dir type
-    * conflict. */
+    * partitions. A version MIXING partitioned old files with FLAT manifest
+    * increments (r11) no longer falls back: the flat files carry the
+    * partition columns IN their bytes, so they become their own pruning
+    * relation unioned under the partition-grouped one — Catalyst pushes
+    * the same predicates into both children (directory pruning on the
+    * hive side, parquet/stats skipping on the flat side), and the flat
+    * files' DECLARED types become the partition-column types (no
+    * inference drift between the two legs). None (→ caller falls back)
+    * when a hive data file physically carries a partition column, on a
+    * cross-dir type conflict, when a flat increment LACKS a partition
+    * column, or when a directory value does not parse as the flat side's
+    * declared type. */
   private def readIndexedPartitioned(spark: SparkSession,
       f: org.apache.hadoop.fs.FileSystem, v: Int,
       partCols: Seq[String]): Option[DataFrame] = {
-    import org.apache.spark.sql.types.{StructField, StructType}
+    import org.apache.spark.sql.types.{DataType, DateType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
     // the listing's OWN FileStatus objects — escaped partition values
     // ("cat 0" → "cat%200") do not survive a Path→string→Path round trip
     val files = listDataFileStatuses(f, v)
     if (files.isEmpty) return None
-    val parsed: Vector[Option[(org.apache.hadoop.fs.FileStatus, Seq[String])]] =
+    val parsed: Vector[(org.apache.hadoop.fs.FileStatus, Option[Seq[String]])] =
       files.map { st =>
         val segs = st.getPath.toUri.getPath.split('/')
         val vIdx = segs.lastIndexWhere(_.matches("_v\\d+"))
@@ -1055,31 +1063,64 @@ final class SnapshotTable(val root: String,
             val i = s.indexOf('=')
             s.take(i) -> PruningFileIndex.unescapePathName(s.drop(i + 1))
           }.toMap
-        if (partCols.forall(kvs.contains)) Some((st, partCols.map(kvs)))
-        else None
+        st -> (if (partCols.forall(kvs.contains)) Some(partCols.map(kvs)) else None)
       }
-    if (parsed.exists(_.isEmpty)) return None
-    val rows = parsed.flatten
-    val types = partCols.indices.map(i =>
-      PruningFileIndex.inferPartitionType(rows.map(_._2(i))))
+    val rows = parsed.collect { case (st, Some(vals)) => (st, vals) }
+    val flat = parsed.collect { case (st, None) => st }
+    if (rows.isEmpty) return None
+    val flatSchema: Option[StructType] =
+      if (flat.isEmpty) None
+      else {
+        val frs = flat.map(_.getPath).groupBy(p => versionDirOf(p.toUri.getPath))
+          .toSeq.sortBy(_._1).map(_._2.head.toString)
+        PruningFileIndex.unionSchema(spark, frs) match {
+          case Some(s) if partCols.forall(s.fieldNames.contains) => Some(s)
+          case _ => return None
+        }
+      }
+    val supported = Set[DataType](IntegerType, LongType, DoubleType, DateType, StringType)
+    val types: Seq[DataType] = flatSchema match {
+      case Some(s) =>
+        val ts = partCols.map(c => s(c).dataType)
+        if (!ts.forall(supported)) return None
+        ts
+      case None => partCols.indices.map(i =>
+        PruningFileIndex.inferPartitionType(rows.map(_._2(i))))
+    }
     val partSchema = StructType(partCols.zip(types).map { case (c, t) =>
       StructField(c, t, nullable = true)
     })
-    val groups = rows.groupBy(_._2).toSeq.sortBy(_._1.mkString("/")).map {
-      case (vals, fsOfPart) =>
-        val row = org.apache.spark.sql.catalyst.InternalRow.fromSeq(
-          vals.zip(types).map { case (raw, t) =>
-            PruningFileIndex.internalPartitionValue(raw, t)
-          })
-        row -> fsOfPart.map(_._1)
-    }
+    val groups =
+      try rows.groupBy(_._2).toSeq.sortBy(_._1.mkString("/")).map {
+        case (vals, fsOfPart) =>
+          val row = org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+            vals.zip(types).map { case (raw, t) =>
+              PruningFileIndex.internalPartitionValue(raw, t)
+            })
+          row -> fsOfPart.map(_._1)
+      } catch { case _: IllegalArgumentException | _: java.time.format.DateTimeParseException =>
+        return None // a directory value does not parse as the flat type
+      }
     val reps = rows.map(_._1.getPath).groupBy(p => versionDirOf(p.toUri.getPath))
       .toSeq.sortBy(_._1).map(_._2.head.toString)
     PruningFileIndex.unionSchema(spark, reps) match {
       case Some(dataSchema) if !dataSchema.fieldNames.exists(partCols.contains) =>
-        val base = PruningFileIndex.partitionedRelation(
+        val hiveDf = PruningFileIndex.partitionedRelation(
           spark, groups, partSchema, dataSchema, keepFor(f, v))
-        Some(applyTombstones(spark, v, base))
+        val combined = flatSchema match {
+          case None => hiveDf
+          case Some(fsch) =>
+            // the two legs must agree exactly: flat = hive data columns
+            // plus the partition columns, same types by name
+            val aligned =
+              fsch.fieldNames.toSet == (dataSchema.fieldNames.toSet ++ partCols) &&
+                dataSchema.fields.forall(d =>
+                  fsch.fields.find(_.name == d.name).exists(_.dataType == d.dataType))
+            if (!aligned) return None
+            hiveDf.unionByName(
+              PruningFileIndex.relation(spark, flat, fsch, keepFor(f, v)))
+        }
+        Some(applyTombstones(spark, v, combined))
       case _ => None
     }
   }
@@ -1159,9 +1200,13 @@ final class SnapshotTable(val root: String,
           }.toMap
         norm -> partCols.map(kvs.get)
       }
-      if (parsed.exists(_._2.exists(_.isEmpty))) keepAll
+      // per-file verdicts: hive-pathed files evaluate their tuple; flat
+      // increment files keep (their pruning rides the stats/Bloom keep,
+      // mirroring the mixed-version union read)
+      if (parsed.forall(_._2.exists(_.isEmpty))) keepAll
       else {
-        val tuples = parsed.map(_._2.map(_.get)).distinct
+        val tuples = parsed.filter(_._2.forall(_.isDefined))
+          .map(_._2.map(_.get)).distinct
         val types = partCols.indices.map(i =>
           PruningFileIndex.inferPartitionType(tuples.map(_(i))))
         // a tiny driver-built relation (one row per distinct tuple) lets
@@ -1182,8 +1227,9 @@ final class SnapshotTable(val root: String,
           .select("__pk_tuple").collect().map(_.getString(0)).toSet
         val byFile = parsed.toMap
         (p: String) => byFile.get(p) match {
-          case Some(vals) => keptTuples(vals.map(_.get).mkString(""))
-          case None => true
+          case Some(vals) if vals.forall(_.isDefined) =>
+            keptTuples(vals.map(_.get).mkString(""))
+          case _ => true
         }
       }
     }.recover { case e =>

@@ -429,6 +429,38 @@ object ScaleSoak {
         col("o_year") === 1997 && col("o_totalprice") >= 490000)
       println(s"[soak]   partitioned read rows=$pRows kept=$keptP/$totP files")
       results("partitioned_pruned_read") = ppW
+
+      // ── r11: incremental JOIN MV — the fact trickle folds through a
+      //    bucket-pruned dim lookup (leg 1); a dim attribute flip reads
+      //    the OLD fact through the bloom-pruned IN-list leg (leg 2,
+      //    riding tb's o_custkey sidecars): both must be FLAT in fact
+      //    size after the untimed O(join) bootstrap
+      val agg = graft.tables.MaterializedAggView.Agg
+      val jdim = new graft.tables.BucketedSnapshotTable(s"$work/jdim", 16,
+        Seq("o_custkey"))
+      jdim.scd1Merge(spark, orders.select("o_custkey").distinct()
+        .withColumn("seg", col("o_custkey") % 7)
+        .withColumn("dseq", lit(1L)), "dseq") // untimed dim seed
+      val jmv = graft.tables.MaterializedJoinAggView.create(spark, s"$work/jmv",
+        s"$work/t", Nil, s"$work/jdim", Nil, Seq("o_custkey"), Seq("seg"),
+        Seq(agg("count", None, "n"), agg("sum", Some("o_totalprice"), "rev")),
+        numBuckets = 16)
+      jmv.refresh(spark) // untimed O(join) bootstrap
+      tb.scd1Merge(spark, batch.withColumn("op_seq", lit(9L)), "op_seq")
+      val ((_, jt1), jfW) = time(s"$tag/mvj_refresh_fact_trickle") {
+        jmv.refresh(spark)
+      }
+      println(s"[soak]   join-mv fact refresh touched=${jt1.size} state buckets")
+      results("mvj_refresh_fact_trickle") = jfW
+      jdim.scd1Merge(spark, orders.select("o_custkey").distinct()
+        .filter(col("o_custkey") === lit(probeCust))
+        .withColumn("seg", lit(99L)).withColumn("dseq", lit(2L))
+        .localCheckpoint(), "dseq")
+      val ((_, jt2), jdW) = time(s"$tag/mvj_refresh_dim_trickle") {
+        jmv.refresh(spark)
+      }
+      println(s"[soak]   join-mv dim refresh touched=${jt2.size} state buckets")
+      results("mvj_refresh_dim_trickle") = jdW
       results.toMap
     }
     val scdSmall = scdSoak("sf0.1", 1)

@@ -672,6 +672,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(raw == Set((1, 11, "update", 2L)), raw.toString)
   }
 
+  test("graft-cdf source: maxVersionsPerTrigger paces the catch-up into capped windows") {
+    val work = tmp("cdfrate")
+    val t = new graft.tables.SnapshotTable(s"$work/t")
+    // five committed versions before the consumer ever starts
+    (1 to 5).foreach(i => t.write(spark, Seq((1, i * 10), (2, 0)).toDF("k", "x")))
+    drainCdf(s"$work/t", s"$work/ck", s"$work/sink",
+      Map("startingVersion" -> "1", "maxVersionsPerTrigger" -> "2"))
+    // the drain covers everything (AvailableNow just takes more batches)…
+    val got = spark.read.parquet(s"$work/sink")
+      .select("k", "x", "_change_type", "_commit_version")
+      .as[(Int, Int, String, Long)].collect().toSet
+    assert(got == Set(
+      (1, 10, "insert", 1L), (2, 0, "insert", 1L),
+      (1, 20, "update", 2L), (1, 30, "update", 3L),
+      (1, 40, "update", 4L), (1, 50, "update", 5L)), got.toString)
+    // …and the checkpointed offset log proves it was SEVERAL capped
+    // batches, not one five-version window (2+2+1 → 3 offsets)
+    val offsets = new java.io.File(s"$work/ck/offsets").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(offsets >= 3, s"expected >=3 capped micro-batches, got $offsets offsets")
+    // a later commit still flows through the same checkpoint
+    t.write(spark, Seq((1, 50), (2, 1)).toDF("k", "x"))
+    drainCdf(s"$work/t", s"$work/ck", s"$work/sink",
+      Map("startingVersion" -> "1", "maxVersionsPerTrigger" -> "2"))
+    assert(spark.read.parquet(s"$work/sink").count() == 7)
+  }
+
   test("graft-cdf source: bucketed root takes keys from the manifest") {
     val work = tmp("cdfsrc3")
     val bt = new graft.tables.BucketedSnapshotTable(s"$work/t", 4, Seq("k"))

@@ -1,0 +1,157 @@
+package graft.tables
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Incrementally-maintained join-aggregate views: every refresh must
+  * leave the view EQUAL to a full recompute of
+  * `fact ⋈ dim GROUP BY … AGG …` over both tables' visible rows, while
+  * reading only the deltas (plus pruned lookups) and rewriting only the
+  * state buckets holding changed groups. */
+class MaterializedJoinViewSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+  private val agg = MaterializedAggView.Agg
+
+  /** fact(k, jk, x) ⋈ dim(jk, g) → GROUP BY g: count(*), sum(x). */
+  private def recompute(fact: SnapshotTable, dim: BucketedSnapshotTable)
+      : Set[(String, Long, Option[Long])] =
+    graft.cdc.ScdMerge.scd1Current(fact.read(spark))
+      .join(graft.cdc.ScdMerge.scd1Current(dim.read(spark)), Seq("jk"))
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("x").as("sx"))
+      .as[(String, Long, Option[Long])].collect().toSet
+
+  private def rows(mv: MaterializedJoinAggView): Set[(String, Long, Option[Long])] =
+    mv.read(spark).as[(String, Long, Option[Long])].collect().toSet
+
+  test("fact and dim deltas both fold exactly; groups move when a dim attribute changes") {
+    val work = tmp("mvj")
+    val fact = new SnapshotTable(s"$work/fact")
+    val dim = new BucketedSnapshotTable(s"$work/dim", 4, Seq("jk"))
+    fact.write(spark, Seq((1, 10L, 5L), (2, 10L, 7L), (3, 20L, 11L))
+      .toDF("k", "jk", "x"))
+    dim.scd1Merge(spark, Seq((10L, 1L, "red"), (20L, 1L, "blue"))
+      .toDF("jk", "seq", "g"), "seq")
+    val mv = MaterializedJoinAggView.create(spark, s"$work/mv",
+      s"$work/fact", Seq("k"), s"$work/dim", Nil, Seq("jk"), Seq("g"),
+      Seq(agg("count", None, "n"), agg("sum", Some("x"), "sx")), numBuckets = 8)
+
+    val ((f1, d1), _) = mv.refresh(spark)
+    assert((f1, d1) == (1, 1) && rows(mv) == recompute(fact, dim))
+    assert(rows(mv) == Set(("red", 2L, Some(12L)), ("blue", 1L, Some(11L))))
+
+    // ── leg 1: fact-side update + insert + delete in one window
+    fact.write(spark, Seq((1, 10L, 6L), (3, 20L, 11L), (4, 20L, 1L)).toDF("k", "jk", "x"))
+    mv.refresh(spark)
+    assert(rows(mv) == recompute(fact, dim))
+    assert(rows(mv) == Set(("red", 1L, Some(6L)), ("blue", 2L, Some(12L))))
+
+    // ── leg 2: a dim attribute changes — every joined fact row must MOVE
+    //    group without any fact-side change ("red" dies, "crimson" born)
+    dim.scd1Merge(spark, Seq((10L, 2L, "crimson")).toDF("jk", "seq", "g"), "seq")
+    mv.refresh(spark)
+    assert(rows(mv) == recompute(fact, dim))
+    assert(rows(mv).exists(_._1 == "crimson") && !rows(mv).exists(_._1 == "red"))
+
+    // ── both sides change in ONE refresh window (the ΔF⋈ΔD cross term):
+    //    new fact rows under a NEW dim key must count exactly once
+    fact.write(spark, Seq((1, 10L, 6L), (3, 20L, 11L), (4, 20L, 1L), (5, 30L, 100L))
+      .toDF("k", "jk", "x"))
+    dim.scd1Merge(spark, Seq((30L, 3L, "green")).toDF("jk", "seq", "g"), "seq")
+    mv.refresh(spark)
+    assert(rows(mv) == recompute(fact, dim))
+    assert(rows(mv).exists(r => r._1 == "green" && r._2 == 1L && r._3 == Some(100L)))
+  }
+
+  test("late-arriving dim: unmatched fact rows appear when their dim row lands") {
+    val work = tmp("mvjl")
+    val fact = new SnapshotTable(s"$work/fact")
+    val dim = new BucketedSnapshotTable(s"$work/dim", 4, Seq("jk"))
+    fact.write(spark, Seq((1, 10L, 5L), (2, 99L, 7L)).toDF("k", "jk", "x"))
+    dim.scd1Merge(spark, Seq((10L, 1L, "red")).toDF("jk", "seq", "g"), "seq")
+    val mv = MaterializedJoinAggView.create(spark, s"$work/mv",
+      s"$work/fact", Seq("k"), s"$work/dim", Nil, Seq("jk"), Seq("g"),
+      Seq(agg("count", None, "n"), agg("sum", Some("x"), "sx")), numBuckets = 4)
+    mv.refresh(spark)
+    // key 99 has no dim row: inner-join semantics, it contributes nothing
+    assert(rows(mv) == Set(("red", 1L, Some(5L))))
+    // …until its dim row arrives — leg 2 joins the OLD fact to the dim
+    // delta and the orphan surfaces, no fact-side change required
+    dim.scd1Merge(spark, Seq((99L, 2L, "late")).toDF("jk", "seq", "g"), "seq")
+    mv.refresh(spark)
+    assert(rows(mv) == recompute(fact, dim))
+    assert(rows(mv).exists(r => r._1 == "late" && r._3 == Some(7L)))
+  }
+
+  test("exactly-once: no-op refreshes; replayed windows do not double-count") {
+    val work = tmp("mvje")
+    val fact = new SnapshotTable(s"$work/fact")
+    val dim = new BucketedSnapshotTable(s"$work/dim", 4, Seq("jk"))
+    fact.write(spark, Seq((1, 10L, 5L)).toDF("k", "jk", "x"))
+    dim.scd1Merge(spark, Seq((10L, 1L, "red")).toDF("jk", "seq", "g"), "seq")
+    val mv = MaterializedJoinAggView.create(spark, s"$work/mv",
+      s"$work/fact", Seq("k"), s"$work/dim", Nil, Seq("jk"), Seq("g"),
+      Seq(agg("sum", Some("x"), "sx")), numBuckets = 4)
+    mv.refresh(spark)
+    val once = rows0(mv)
+    val ((f, d), touched) = mv.refresh(spark)
+    assert((f, d) == (1, 1) && touched.isEmpty && rows0(mv) == once)
+    assert(mv.lastApplied(spark) == ((1, 1)))
+  }
+
+  private def rows0(mv: MaterializedJoinAggView): Set[(String, Option[Long])] =
+    mv.read(spark).as[(String, Option[Long])].collect().toSet
+
+  test("SQL surface: CREATE / REFRESH MATERIALIZED JOIN VIEW and the query form") {
+    val work = tmp("mvjs")
+    def sql(q: String) = org.apache.spark.sql.GraftColumnBridge.graftSql(spark, q)
+    val fact = new SnapshotTable(s"$work/fact")
+    val dim = new BucketedSnapshotTable(s"$work/dim", 4, Seq("jk"))
+    fact.write(spark, Seq((1, 10L, 5L), (2, 20L, 7L)).toDF("k", "jk", "x"))
+    dim.scd1Merge(spark, Seq((10L, 1L, "red"), (20L, 1L, "blue"))
+      .toDF("jk", "seq", "g"), "seq")
+    sql(s"CREATE MATERIALIZED JOIN VIEW '$work/mv' FACT '$work/fact' KEYS (k) " +
+      s"DIM '$work/dim' ON (jk) GROUP BY (g) " +
+      "AGG (count(*) AS n, sum(x) AS sx) INTO 4 BUCKETS").collect()
+    val r = sql(s"REFRESH MATERIALIZED JOIN VIEW '$work/mv'").collect().head
+    assert(r.getInt(0) == 1 && r.getInt(1) == 1 && r.getInt(2) > 0, r.toString)
+    val got = sql(s"MATERIALIZED VIEW '$work/mv'")
+      .as[(String, Long, Option[Long])].collect().toSet
+    assert(got == Set(("red", 1L, Some(5L)), ("blue", 1L, Some(7L))), got.toString)
+    // non-additive aggregates are rejected with a named error
+    val e = intercept[IllegalArgumentException] {
+      sql(s"CREATE MATERIALIZED JOIN VIEW '$work/mv2' FACT '$work/fact' KEYS (k) " +
+        s"DIM '$work/dim' ON (jk) GROUP BY (g) AGG (min(x) AS mn)").collect()
+    }
+    assert(e.getMessage.contains("additive"))
+  }
+
+  test("refresh rewrites only the buckets holding changed groups") {
+    val work = tmp("mvjb")
+    val fact = new SnapshotTable(s"$work/fact")
+    val dim = new BucketedSnapshotTable(s"$work/dim", 8, Seq("jk"))
+    val base = (1 to 512).map(i => (i, (i % 64).toLong, i.toLong))
+    fact.write(spark, base.toDF("k", "jk", "x"))
+    dim.scd1Merge(spark, (0 until 64).map(j => (j.toLong, 1L, s"g$j"))
+      .toDF("jk", "seq", "g"), "seq")
+    val mv = MaterializedJoinAggView.create(spark, s"$work/mv",
+      s"$work/fact", Seq("k"), s"$work/dim", Nil, Seq("jk"), Seq("g"),
+      Seq(agg("sum", Some("x"), "sx")), numBuckets = 32)
+    val (_, boot) = mv.refresh(spark)
+    assert(boot.size >= 24)
+    // one fact key changes → one group changes → ≲ a couple of buckets
+    fact.write(spark, (base.filterNot(_._1 == 7) :+ ((7, 7L, 999L))).toDF("k", "jk", "x"))
+    val (_, touched) = mv.refresh(spark)
+    assert(touched.size <= 2, s"expected O(changed groups) buckets, got ${touched.size}")
+    assert(rows0(mv) == graft.cdc.ScdMerge.scd1Current(fact.read(spark))
+      .join(graft.cdc.ScdMerge.scd1Current(dim.read(spark)), Seq("jk"))
+      .groupBy("g").agg(sum("x").as("sx"))
+      .as[(String, Option[Long])].collect().toSet)
+  }
+}

@@ -167,6 +167,110 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(e.getMessage.contains("RESCAN"))
   }
 
+  test("count(distinct c): exact under inserts, updates, deletes, and resurrection") {
+    val work = tmp("mvdc")
+    val src = new SnapshotTable(s"$work/src")
+    // group a holds values {X, X, Y}; group b holds {Z}
+    src.write(spark, Seq((1, "a", "X"), (2, "a", "X"), (3, "a", "Y"), (4, "b", "Z"))
+      .toDF("k", "g", "v"))
+    val mv = MaterializedAggView.create(spark, s"$work/mv", s"$work/src",
+      Seq("k"), Seq("g"),
+      Seq(MaterializedAggView.Agg("count", None, "n"),
+        MaterializedAggView.Agg("count_distinct", Some("v"), "dv")), 8)
+    def rows = mv.read(spark).as[(String, Long, Long)].collect().toSet
+    def want = src.read(spark).groupBy("g")
+      .agg(count(lit(1)).as("n"), countDistinct(col("v")).as("dv"))
+      .as[(String, Long, Long)].collect().toSet
+    mv.refresh(spark)
+    assert(rows == want && rows == Set(("a", 3L, 2L), ("b", 1L, 1L)), rows.toString)
+
+    // drop ONE of the two X holders: the distinct count must NOT change
+    // (occurrence count 2 → 1, never crossing zero)
+    src.write(spark, Seq((2, "a", "X"), (3, "a", "Y"), (4, "b", "Z")).toDF("k", "g", "v"))
+    mv.refresh(spark)
+    assert(rows == want && rows.exists(r => r._1 == "a" && r._3 == 2L), rows.toString)
+
+    // drop the LAST X holder: now the distinct count falls
+    src.write(spark, Seq((3, "a", "Y"), (4, "b", "Z")).toDF("k", "g", "v"))
+    mv.refresh(spark)
+    assert(rows == want && rows.exists(r => r._1 == "a" && r._3 == 1L), rows.toString)
+
+    // X RESURRECTS in group a (an HLL sketch could never re-count this),
+    // and key 3's value flips Y→W (one retraction + one addition)
+    src.write(spark, Seq((3, "a", "W"), (4, "b", "Z"), (5, "a", "X")).toDF("k", "g", "v"))
+    mv.refresh(spark)
+    assert(rows == want && rows.exists(r => r._1 == "a" && r._3 == 2L), rows.toString)
+
+    // nulls never count: a group of only-null values reads 0
+    src.write(spark, Seq((3, "a", "W"), (4, "b", null), (5, "a", "X")).toDF("k", "g", "v"))
+    mv.refresh(spark)
+    assert(rows == want && rows.exists(r => r._1 == "b" && r._3 == 0L), rows.toString)
+  }
+
+  test("count(distinct c): a crash between the aux and main commits heals on replay") {
+    val work = tmp("mvdcc")
+    val src = new SnapshotTable(s"$work/src")
+    src.write(spark, Seq((1, "a", "X"), (2, "a", "Y"), (3, "b", "Z")).toDF("k", "g", "v"))
+    val mv = MaterializedAggView.create(spark, s"$work/mv", s"$work/src",
+      Seq("k"), Seq("g"),
+      Seq(MaterializedAggView.Agg("count_distinct", Some("v"), "dv")), 4)
+    mv.refresh(spark)
+    // value Y disappears, W appears — then the refresh CRASHES after the
+    // aux occurrence table committed but before the main state did
+    src.write(spark, Seq((1, "a", "X"), (2, "a", "W"), (3, "b", "Z")).toDF("k", "g", "v"))
+    TestHooks.onMvStep(mv, s => if (s.startsWith("aux-merged")) sys.error("boom"))
+    intercept[RuntimeException] { mv.refresh(spark) }
+    TestHooks.onMvStep(mv, _ => ())
+    // main state is still at v1's answer; the aux table is ahead
+    assert(mv.lastApplied(spark) == 1)
+    // the replayed refresh must re-derive the SAME delta from the
+    // ledger-pinned aux version (reading the aux head would see the
+    // post-crash counts and emit a zero delta — the drift this pin kills)
+    mv.refresh(spark)
+    val got = mv.read(spark).as[(String, Long)].collect().toSet
+    assert(got == Set(("a", 2L), ("b", 1L)), got.toString)
+    assert(mv.lastApplied(spark) == 2)
+  }
+
+  test("count(distinct c) through SQL; transparent routing only at the MV's own grain") {
+    val work = tmp("mvdcs")
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    org.apache.spark.sql.GraftColumnBridge.applyExtensions(ext, spark)
+    val src = new SnapshotTable(s"$work/src")
+    src.write(spark, Seq((1, "a", "r1", "X"), (2, "a", "r1", "Y"), (3, "a", "r2", "X"),
+      (4, "b", "r1", "X")).toDF("k", "g", "h", "v"))
+    sql(s"CREATE MATERIALIZED VIEW '$work/mv' ON '$work/src' KEYS (k) " +
+      "GROUP BY (g, h) AGG (count(*) AS n, count(distinct v) AS dv) INTO 4 BUCKETS")
+      .collect()
+    sql(s"REFRESH MATERIALIZED VIEW '$work/mv'").collect()
+    val mv = new MaterializedAggView(s"$work/mv")
+    val got = sql(s"MATERIALIZED VIEW '$work/mv'")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(("a", "r1", 2L, 2L), ("a", "r2", 1L, 1L), ("b", "r1", 1L, 1L)),
+      got.toString)
+    val d = sql(s"DESCRIBE MATERIALIZED VIEW '$work/mv'").collect().head
+    assert(d.getString(3) == "count:*:n,count_distinct:v:dv", d.toString)
+    try {
+      mv.registerRewrite(spark)
+      // at the MV's own grain the rewrite may answer from the __dc_ partial
+      val exact = src.readIndexed(spark).groupBy(col("g"), col("h"))
+        .agg(countDistinct(col("v")).as("dv"))
+      val planE = exact.queryExecution.optimizedPlan.toString
+      assert(planE.contains("__dc_v"), s"own-grain distinct must route:\n$planE")
+      assert(exact.as[(String, String, Long)].collect().toSet ==
+        Set(("a", "r1", 2L), ("a", "r2", 1L), ("b", "r1", 1L)))
+      // at a COARSER grain it must NOT route (summing per-grain distinct
+      // counts would double-count X across (a,r1) and (a,r2)) — the query
+      // stays on the base and returns the true answer
+      val coarse = src.readIndexed(spark).groupBy(col("g"))
+        .agg(countDistinct(col("v")).as("dv"))
+      val planC = coarse.queryExecution.optimizedPlan.toString
+      assert(!planC.contains("__dc_v"), s"coarser-grain distinct must not route:\n$planC")
+      assert(coarse.as[(String, Long)].collect().toSet == Set(("a", 2L), ("b", 1L)))
+    } finally graft.plans.AggRollupRewrite.clear()
+  }
+
   test("bucketed source: MV rides the manifest-pruned feed, keys from manifest") {
     val work = tmp("mv7")
     val src = new BucketedSnapshotTable(s"$work/src", 8, Seq("k"))

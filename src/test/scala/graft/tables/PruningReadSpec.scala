@@ -161,18 +161,40 @@ class PruningReadSpec extends AnyFunSuite {
     assert(sql(s"SNAPSHOT '$root' WHERE p = 1").count() == 199)
   }
 
-  test("plain SNAPSHOT: mixed partitioned+flat manifest falls back, results correct") {
+  test("plain SNAPSHOT: mixed partitioned+flat manifest unions both legs, still prunes") {
     val root = tmp("ppartmix")
     val t = new SnapshotTable(root)
-    t.writeIndexed(spark, (1 to 100).map(i => (i.toLong, i % 2, i.toLong))
-      .toDF("id", "p", "d"), statsCols = Seq("d"), partitionByCols = Seq("p"))
-    // a flat append stores p in file bytes, not dir names — the
-    // partition-aware index cannot reattach it and must fall back to the
-    // per-dir basePath read (which CAN)
-    t.append(spark, Seq((1000L, 9, 1000L)).toDF("id", "p", "d"))
-    val got = sql(s"SNAPSHOT '$root' WHERE p = 9")
-    assert(got.select("id").as[Long].collect().toSeq == Seq(1000L))
-    assert(sql(s"SNAPSHOT '$root'").count() == 101)
+    // 4 partitions × several d-clustered files
+    t.writeIndexed(spark, (1 to 400).map(i => (i.toLong, i % 4, i.toLong))
+      .toDF("id", "p", "d"), statsCols = Seq("d"),
+      clusterBy = Seq("d"), clusterPartitions = 4, partitionByCols = Seq("p"))
+    val hiveFiles = t.read(spark).inputFiles.length
+    // a flat append stores p in file bytes, not dir names — r11: the
+    // increment becomes its own pruning relation UNIONED under the
+    // partition-grouped one instead of dropping the whole version to the
+    // unpruned fallback
+    t.append(spark, Seq((1000L, 9, 1000L), (1001L, 1, 1001L)).toDF("id", "p", "d"))
+    val total = t.read(spark).inputFiles.length
+    val flatFiles = total - hiveFiles
+    assert(sql(s"SNAPSHOT '$root'").count() == 402)
+    // rows land from both legs, typed consistently
+    assert(sql(s"SNAPSHOT '$root' WHERE p = 9").select("id").as[Long]
+      .collect().toSeq == Seq(1000L))
+    assert(sql(s"SNAPSHOT '$root' WHERE p = 1").count() == 101)
+    assert(t.readIndexed(spark).schema("p").dataType ==
+      t.read(spark).schema("p").dataType)
+    // partition pruning still drops the other hive directories; only the
+    // flat increment rides along un-pruned (its p lives in file bytes)
+    val scanned = scannedFiles(sql(s"SNAPSHOT '$root' WHERE p = 2"))
+    assert(scanned <= hiveFiles / 4 + flatFiles,
+      s"hive legs must still prune: $scanned of $total (hive $hiveFiles)")
+    val (kept, all) = t.pruneStats(spark, $"p" === 2)
+    assert(all == total && kept <= hiveFiles / 4 + flatFiles,
+      s"pruneStats mixed: $kept of $all")
+    // …and the data predicate prunes BOTH legs via stats
+    val scannedD = scannedFiles(sql(s"SNAPSHOT '$root' WHERE d >= 1001"))
+    assert(scannedD * 2 <= total, s"stats must prune both legs: $scannedD of $total")
+    assert(sql(s"SNAPSHOT '$root' WHERE d >= 1001").count() == 1)
   }
 
   test("plain SNAPSHOT: string and date partition values type and prune correctly") {

@@ -4,4 +4,5 @@ package graft.tables
   * specs that live outside this package. */
 object TestHooks {
   def onStep(t: BucketedSnapshotTable, f: String => Unit): Unit = t.onStep = f
+  def onMvStep(v: MaterializedAggView, f: String => Unit): Unit = v.onStep = f
 }
