@@ -5635,6 +5635,68 @@ object SparkEntry {
     //    proves a post-refresh query sees the new source version. The
     //    Databricks materialized-view story end to end: incremental
     //    maintenance (q320) + transparent routing (this).
+    // ── TRANSPARENT JOIN-MV ROUTING (r11): the join twin of q322 — an
+    //    ORDINARY aggregate over fact ⋈ dim (inner, on exactly the
+    //    view's join keys, visible rows) is rewritten by the optimizer
+    //    to read the incrementally-maintained join view's state: a
+    //    kilobyte read replaces the fact-side join, with NO query
+    //    change, and a REFRESH is visible through the SAME query. At
+    //    100 TB this is the dashboard query over the star schema —
+    //    the rollup answers it without touching the fact. In-query
+    //    requires pin the rewritten plan (aggregates the __sum partial,
+    //    never scans the fact version dirs); the oracle recomputes the
+    //    join from scratch.
+    "q325_transparent_join_routing" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("mvjroute").toString
+      withShufflePartitions(s, 8) {
+      val ext = new org.apache.spark.sql.SparkSessionExtensions
+      new graft.GraftExtensions().apply(ext)
+      org.apache.spark.sql.GraftColumnBridge.applyExtensions(ext, s)
+      val fact = new graft.tables.SnapshotTable(s"$work/fact")
+      val dim = new graft.tables.BucketedSnapshotTable(s"$work/dim", 16, Seq("o_orderkey"))
+      val l0 = Tables.lineitem(s, dir)
+        .select($"l_orderkey".as("o_orderkey"), $"l_linenumber",
+          $"l_quantity".cast("decimal(18,2)").as("q0"))
+        .groupBy($"o_orderkey", $"l_linenumber")
+        .agg(sum($"q0").cast("decimal(18,2)").as("qty"))
+      fact.write(s, l0)
+      dim.scd1Merge(s, Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderpriority".as("prio"))
+        .withColumn("op_seq", lit(1L)), "op_seq")
+      val mv = graft.tables.MaterializedJoinAggView.create(s, s"$work/mv",
+        s"$work/fact", Seq("o_orderkey", "l_linenumber"), s"$work/dim", Nil,
+        Seq("o_orderkey"), Seq("prio"),
+        Seq(graft.tables.MaterializedAggView.Agg("count", None, "n"),
+          graft.tables.MaterializedAggView.Agg("sum", Some("qty"), "sq")),
+        numBuckets = 16)
+      mv.refresh(s)
+      mv.registerRewrite(s)
+      try {
+        // a fact change lands AFTER registration; the refreshed state
+        // must be what the transparent query reads
+        val k1 = l0.agg(min($"o_orderkey")).as[Long].head()
+        fact.write(s, l0.withColumn("qty",
+          when($"o_orderkey" === k1, $"qty" + 5).otherwise($"qty")
+            .cast("decimal(18,2)")))
+        mv.refresh(s)
+        val q = fact.readIndexed(s)
+          .join(graft.cdc.ScdMerge.scd1Current(dim.readIndexed(s)), Seq("o_orderkey"))
+          .groupBy($"prio")
+          .agg(count(lit(1)).as("n"), sum($"qty").cast("double").as("sq"))
+          .orderBy($"prio")
+        val plan = q.queryExecution.optimizedPlan.toString
+        require(plan.contains("__sum_qty") && plan.contains("__cnt"),
+          s"transparent join routing must aggregate the view partials, got:\n$plan")
+        require(!plan.contains("/fact/_v"),
+          "plan must not scan the fact snapshot's version dirs")
+        // materialize the result BEFORE clearing the rule registry
+        val out = q.collect()
+        s.createDataFrame(s.sparkContext.parallelize(out.toSeq, 1), q.schema)
+      } finally graft.plans.AggRollupRewrite.clear()
+      }
+    }),
+
     // ── INCREMENTAL JOIN-AGGREGATE VIEW (r11): the reference's gold
     //    rollups join fact to dimension before aggregating — at 100 TB
     //    the nightly join recompute is the bottleneck. The view maintains
@@ -6671,6 +6733,22 @@ object SparkEntry {
         |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |  WHERE o_totalprice >= 480000)
         |ORDER BY o_orderkey, o_custkey""".stripMargin,
+
+    // the transparently-routed aggregate = a from-scratch recompute of
+    // the join over the final state (one order's lines +5 qty)
+    "q325_transparent_join_routing" ->
+      """WITH lbase AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
+        |  FROM lineitem GROUP BY l_orderkey, l_linenumber),
+        |lfix AS (
+        |  SELECT l_orderkey,
+        |    CASE WHEN l_orderkey = (SELECT min(l_orderkey) FROM lineitem)
+        |         THEN qty + 5 ELSE qty END AS qty
+        |  FROM lbase)
+        |SELECT o_orderpriority AS prio, count(*) AS n, CAST(sum(qty) AS DOUBLE) AS sq
+        |FROM lfix JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY prio ORDER BY prio""".stripMargin,
 
     // the join view's final state = a full recompute of the final
     // fact ⋈ dim: one order's lines +5 qty, another's deleted (fact

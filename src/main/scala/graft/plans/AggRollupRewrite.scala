@@ -4,9 +4,10 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Divide, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Divide, EqualTo, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.DoubleType
@@ -66,7 +67,25 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
       measures: Seq[String], provider: () => DataFrame): Unit =
     registry.put(canon(basePath), Rollup(spark, provider, dims, measures))
 
-  def clear(): Unit = registry.clear()
+  /** Join-rollup registration: the (fact, dim) pair, its join keys, and a
+    * live rollup-format provider. */
+  final case class JoinRollup(spark: SparkSession, provider: () => DataFrame,
+      factRoot: String, dimRoot: String, joinKeys: Seq[String],
+      dims: Seq[String], measures: Seq[String])
+
+  private val joinRegistry = TrieMap.empty[(String, String), JoinRollup]
+
+  /** Point aggregates over `fact ⋈ dim` (inner, equi on `joinKeys`) at a
+    * LIVE join-rollup relation — the incrementally-maintained
+    * [[graft.tables.MaterializedJoinAggView]] registers its state this
+    * way. Same partial format as [[registerView]]. */
+  def registerJoinView(spark: SparkSession, factRoot: String, dimRoot: String,
+      joinKeys: Seq[String], dims: Seq[String], measures: Seq[String],
+      provider: () => DataFrame): Unit =
+    joinRegistry.put((canon(factRoot), canon(dimRoot)),
+      JoinRollup(spark, provider, factRoot, dimRoot, joinKeys, dims, measures))
+
+  def clear(): Unit = { registry.clear(); joinRegistry.clear() }
 
   /** Build + write the rollup table for `base` (one full scan, once):
     * per dims-tuple `__cnt` and per-measure sum/min/max partials. Measures
@@ -110,12 +129,103 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (registry.isEmpty) plan
+    if (registry.isEmpty && joinRegistry.isEmpty) plan
     else plan.transform {
       case agg @ Aggregate(groupings, aggExprs, child, _) =>
         baseScanOf(child).flatMap(r => rewrite(agg, groupings, aggExprs, r))
+          .orElse(joinScanOf(child).flatMap(j => rewrite(agg, groupings, aggExprs,
+            Rollup(j.spark, j.provider, j.dims, j.measures))))
           .getOrElse(agg)
     }
+
+  /** The registered join rollup, if `child` is exactly the INNER equi-join
+    * of the registered (fact, dim) pair on exactly the registered join
+    * keys (either side order; optionally under attribute-only Projects —
+    * the shape `fact.join(dim, keys).groupBy(...)` analyzes to). Any
+    * extra Filter, a different condition, or an outer join refuses: the
+    * rollup stores inner-join group totals and nothing else. */
+  private def joinScanOf(child: LogicalPlan): Option[JoinRollup] = child match {
+    case Project(projectList, grandchild) if projectList.forall(_.isInstanceOf[Attribute]) =>
+      joinScanOf(grandchild)
+    case Join(l, r, Inner, Some(cond), _) =>
+      // a leg may be the standard visible-rows read of an SCD table:
+      // Project(drop __DELETED) over Filter(NOT coalesce(__DELETED,
+      // false)) — exactly what the maintained state corresponds to (the
+      // feeds exclude tombstones), so that filter is transparent here;
+      // any OTHER filter refuses the rewrite
+      def visibleRowsFilter(e: Expression): Boolean = e match {
+        case org.apache.spark.sql.catalyst.expressions.Not(inner) => inner match {
+          case org.apache.spark.sql.catalyst.expressions.Coalesce(
+              Seq(a: AttributeReference, Literal(false, _))) =>
+            a.name == graft.cdc.ScdMerge.DeletedCol
+          case a: AttributeReference => a.name == graft.cdc.ScdMerge.DeletedCol
+          case _ => false
+        }
+        case _ => false
+      }
+      // the optimizer also infers `isnotnull(<join key>)` under each leg
+      // of an inner equi-join — sound to see through (the state holds
+      // inner-join results, whose keys are non-null by construction), but
+      // ONLY for the registered join keys: the names are collected here
+      // and verified against the registration below, so a USER filter
+      // `measure IS NOT NULL` still refuses the rewrite
+      def rootsOf(p: LogicalPlan): Option[(List[Path], Set[String])] = p match {
+        case Project(pl, gc) if pl.forall(_.isInstanceOf[Attribute]) => rootsOf(gc)
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          val cs = splitConjuncts(f.condition)
+          val ok = cs.forall {
+            case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+              _: AttributeReference) => true
+            case c => visibleRowsFilter(c)
+          }
+          if (!ok) None
+          else {
+            val nn = cs.collect {
+              case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+                a: AttributeReference) => a.name
+            }.toSet
+            rootsOf(f.child).map { case (ps, s) => (ps, s ++ nn) }
+          }
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation => Some((fs.location.rootPaths.toList, Set.empty[String]))
+          case _ => None
+        }
+        case _ => None
+      }
+      def regFor(a: List[Path], b: List[Path]): Option[JoinRollup] =
+        joinRegistry.values.find { j =>
+          val (cf, cd) = (canon(j.factRoot), canon(j.dimRoot))
+          def under(paths: List[Path], root: String) =
+            paths.nonEmpty && paths.forall { p =>
+              var cur = p; var hit = false
+              while (cur != null && !hit) { hit = canon(cur.toString) == root; cur = cur.getParent }
+              hit
+            }
+          under(a, cf) && under(b, cd)
+        }
+      for {
+        (lRoots, lNN) <- rootsOf(l)
+        (rRoots, rNN) <- rootsOf(r)
+        j <- regFor(lRoots, rRoots).orElse(regFor(rRoots, lRoots))
+        if (lNN ++ rNN).subsetOf(j.joinKeys.toSet)
+        // condition must be exactly the registered equi-keys (both sides
+        // named the key, any conjunct order)
+        conds = splitConjuncts(cond)
+        if conds.size == j.joinKeys.size && conds.forall {
+          case EqualTo(a: AttributeReference, b: AttributeReference) =>
+            a.name == b.name && j.joinKeys.contains(a.name)
+          case _ => false
+        } && conds.collect { case EqualTo(a: AttributeReference, _) => a.name }
+          .toSet == j.joinKeys.toSet
+      } yield j
+    case _ => None
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
 
   /** Registry hit for a scan path: exact, or any ANCESTOR directory —
     * a SNAPSHOT relation's root paths are the table's version dirs

@@ -105,6 +105,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*CREATE\s+MATERIALIZED\s+JOIN\s+VIEW\s+'([^']+)'\s+FACT\s+'([^']+)'(?:\s+KEYS\s*\(([^)]+)\))?\s+DIM\s+'([^']+)'(?:\s+KEYS\s*\(([^)]+)\))?\s+ON\s*\(([^)]+)\)\s+GROUP\s+BY\s*\(([^)]+)\)\s+AGG\s*\((.+?)\)(?:\s+INTO\s+(\d+)\s+BUCKETS)?\s*;?\s*""".r
   private val RefreshMjv =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+JOIN\s+VIEW\s+'([^']+)'\s*;?\s*""".r
+  private val DescribeMjv =
+    """(?is)\s*DESCRIBE\s+MATERIALIZED\s+JOIN\s+VIEW\s+'([^']+)'\s*;?\s*""".r
   private val DescribeMv =
     """(?is)\s*DESCRIBE\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s*;?\s*""".r
   private val RefreshMv =
@@ -201,6 +203,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         GraftSqlParser.parseAggList(aggList), Option(buckets).map(_.toInt))
     case RefreshMjv(mv) =>
       RefreshMaterializedJoinViewCommand(mv)
+    case DescribeMjv(mv) =>
+      DescribeMaterializedJoinViewCommand(mv)
     case CreateMv(mv, src, keysOpt, groupBy, aggList, rescan, buckets) =>
       CreateMaterializedViewCommand(mv, src,
         Option(keysOpt).toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)),
@@ -874,6 +878,29 @@ case class RefreshMaterializedJoinViewCommand(mv: String) extends LeafRunnableCo
   override def run(spark: SparkSession): Seq[Row] = {
     val ((f, d), touched) = new graft.tables.MaterializedJoinAggView(mv).refresh(spark)
     Seq(Row(f, d, touched.size))
+  }
+}
+
+/** `DESCRIBE MATERIALIZED JOIN VIEW '<mv>'` — the join view's metadata
+  * row: both source roots, join keys, grouping, declared aggregates,
+  * state bucket count, and the (fact, dim) versions last applied. */
+case class DescribeMaterializedJoinViewCommand(mv: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("fact", StringType, nullable = false)(),
+    AttributeReference("dim", StringType, nullable = false)(),
+    AttributeReference("join_keys", StringType, nullable = false)(),
+    AttributeReference("group_by", StringType, nullable = false)(),
+    AttributeReference("aggs", StringType, nullable = false)(),
+    AttributeReference("num_buckets", IntegerType, nullable = false)(),
+    AttributeReference("fact_version", IntegerType, nullable = false)(),
+    AttributeReference("dim_version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = new graft.tables.MaterializedJoinAggView(mv)
+    val sp = v.spec(spark)
+    val (f, d) = v.lastApplied(spark)
+    Seq(Row(sp.factRoot, sp.dimRoot, sp.joinKeys.mkString(","),
+      sp.groupBy.mkString(","), sp.aggs.map(_.render).mkString(","),
+      sp.numBuckets, f, d))
   }
 }
 

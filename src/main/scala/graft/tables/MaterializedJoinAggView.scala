@@ -265,6 +265,39 @@ final class MaterializedJoinAggView(val root: String) {
     visible.join(broadcast(changedKeys), sp.joinKeys, "left_semi")
   }
 
+  /** The state in rollup-partial format (`__cnt`, `__sum_<m>`,
+    * `__nn_<m>` keyed by the group columns) — what the transparent
+    * [[graft.plans.AggRollupRewrite]] join routing consumes. */
+  private def rollupFormat(spark: SparkSession): DataFrame = {
+    val sp = spec(spark)
+    val raw = graft.cdc.ScdMerge.scd1Current(state(sp).read(spark))
+    val perMeasure = sp.aggs.filter(a => a.fn == "sum" || a.fn == "avg")
+      .groupBy(_.col.get).map { case (m, as) => m -> as.head.as }
+    val nnOnly = sp.aggs.filter(a => a.fn == "count" && a.col.nonEmpty)
+      .filterNot(a => perMeasure.contains(a.col.get))
+      .groupBy(_.col.get).map { case (m, as) => m -> as.head.as }
+    raw.select(sp.groupBy.map(col) ++
+      Seq(col(NCol).as("__cnt")) ++
+      perMeasure.toSeq.flatMap { case (m, as) => Seq(
+        col(sumCol(as)).as(s"__sum_$m"), col(nnCol(as)).as(s"__nn_$m")) } ++
+      nnOnly.toSeq.map { case (m, as) => col(nnCol(as)).as(s"__nn_$m") }: _*)
+  }
+
+  /** Register TRANSPARENT routing: any `Aggregate` over the INNER
+    * equi-join of the fact and dim snapshot relations on exactly the
+    * view's join keys, whose grouping ⊆ the view's GROUP BY and whose
+    * aggregates are covered, is rewritten by the optimizer to read this
+    * view's state — a kilobyte read in place of the join, with NO query
+    * change. Exact as of the last refreshed (factV, dimV) — the usual
+    * materialized-view staleness contract. */
+  def registerRewrite(spark: SparkSession): Unit = {
+    val sp = spec(spark)
+    val measures = sp.aggs.filterNot(a => a.fn == "count" && a.col.isEmpty)
+      .flatMap(_.col).distinct
+    graft.plans.AggRollupRewrite.registerJoinView(spark, sp.factRoot,
+      sp.dimRoot, sp.joinKeys, sp.groupBy, measures, () => rollupFormat(spark))
+  }
+
   /** Group columns + one column per declared aggregate (avg as DOUBLE,
     * SQL null semantics). */
   def read(spark: SparkSession): DataFrame = {

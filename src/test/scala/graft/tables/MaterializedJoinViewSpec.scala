@@ -124,12 +124,67 @@ class MaterializedJoinViewSpec extends AnyFunSuite {
     val got = sql(s"MATERIALIZED VIEW '$work/mv'")
       .as[(String, Long, Option[Long])].collect().toSet
     assert(got == Set(("red", 1L, Some(5L)), ("blue", 1L, Some(7L))), got.toString)
+    val d = sql(s"DESCRIBE MATERIALIZED JOIN VIEW '$work/mv'").collect().head
+    assert(d.getString(0) == s"$work/fact" && d.getString(2) == "jk" &&
+      d.getString(4) == "count:*:n,sum:x:sx" &&
+      d.getInt(6) == 1 && d.getInt(7) == 1, d.toString)
     // non-additive aggregates are rejected with a named error
     val e = intercept[IllegalArgumentException] {
       sql(s"CREATE MATERIALIZED JOIN VIEW '$work/mv2' FACT '$work/fact' KEYS (k) " +
         s"DIM '$work/dim' ON (jk) GROUP BY (g) AGG (min(x) AS mn)").collect()
     }
     assert(e.getMessage.contains("additive"))
+  }
+
+  test("transparent join routing: aggregate over fact⋈dim reads the view state") {
+    val work = tmp("mvjr")
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    org.apache.spark.sql.GraftColumnBridge.applyExtensions(ext, spark)
+    val fact = new SnapshotTable(s"$work/fact")
+    val dim = new BucketedSnapshotTable(s"$work/dim", 4, Seq("jk"))
+    fact.write(spark, Seq((1, 10L, 5L), (2, 10L, 7L), (3, 20L, 11L)).toDF("k", "jk", "x"))
+    dim.scd1Merge(spark, Seq((10L, 1L, "red", "r1"), (20L, 1L, "blue", "r2"))
+      .toDF("jk", "seq", "g", "h"), "seq")
+    val mv = MaterializedJoinAggView.create(spark, s"$work/mv",
+      s"$work/fact", Seq("k"), s"$work/dim", Nil, Seq("jk"), Seq("g", "h"),
+      Seq(agg("count", None, "n"), agg("sum", Some("x"), "sx")), numBuckets = 4)
+    mv.refresh(spark)
+    try {
+      mv.registerRewrite(spark)
+      def joined = fact.readIndexed(spark)
+        .join(graft.cdc.ScdMerge.scd1Current(dim.readIndexed(spark)), Seq("jk"))
+      // own grain routes
+      val own = joined.groupBy(col("g"), col("h"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      val planO = own.queryExecution.optimizedPlan.toString
+      assert(planO.contains("__sum_x") && !planO.contains("/fact/_v"),
+        s"own grain must route off the fact scan:\n$planO")
+      assert(own.as[(String, String, Long, Long)].collect().toSet ==
+        Set(("red", "r1", 2L, 12L), ("blue", "r2", 1L, 11L)))
+      // a COARSER grain routes too — sums/counts re-aggregate
+      val coarse = joined.groupBy(col("g")).agg(sum(col("x")).as("sx"))
+      val planC = coarse.queryExecution.optimizedPlan.toString
+      assert(planC.contains("__sum_x"), s"coarser grain must route:\n$planC")
+      assert(coarse.as[(String, Long)].collect().toSet ==
+        Set(("red", 12L), ("blue", 11L)))
+      // REFRESH is visible through the same transparent query
+      fact.write(spark, Seq((1, 10L, 5L), (2, 10L, 8L), (3, 20L, 11L)).toDF("k", "jk", "x"))
+      mv.refresh(spark)
+      assert(coarse.as[(String, Long)].collect().toSet ==
+        Set(("red", 13L), ("blue", 11L)))
+      // an extra filter must NOT route (the rollup has no row detail)
+      val filtered = joined.filter(col("x") > 6).groupBy(col("g"))
+        .agg(sum(col("x")).as("sx"))
+      assert(!filtered.queryExecution.optimizedPlan.toString.contains("__sum_x"))
+      assert(filtered.as[(String, Long)].collect().toSet ==
+        Set(("red", 8L), ("blue", 11L)))
+      // an OUTER join must not route either (the state is inner-join)
+      val outer = fact.readIndexed(spark)
+        .join(graft.cdc.ScdMerge.scd1Current(dim.readIndexed(spark)), Seq("jk"), "left")
+        .groupBy(col("g")).agg(sum(col("x")).as("sx"))
+      assert(!outer.queryExecution.optimizedPlan.toString.contains("__sum_x"))
+    } finally graft.plans.AggRollupRewrite.clear()
   }
 
   test("refresh rewrites only the buckets holding changed groups") {
