@@ -5826,24 +5826,30 @@ object SparkEntry {
         numBuckets = 16)
       mv.refresh(s)
       mv.registerRewrite(s)
-      // a new customer lands; the MV refreshes incrementally; the SAME
-      // transparent query must see it (provider reads live state)
-      src.write(s, base.unionByName(
-        Seq((900001L, 0L, new java.math.BigDecimal("100.00")))
-          .toDF("c_custkey", "c_nationkey", "price")
-          .select($"c_custkey", $"c_nationkey",
-            $"price".cast("decimal(18,2)").as("price"))))
-      mv.refresh(s)
-      val q = src.readIndexed(s).groupBy($"c_nationkey")
-        .agg(count(lit(1)).as("n"), count($"price").as("nn"),
-          sum($"price").cast("double").as("rev"))
-        .orderBy($"c_nationkey")
-      val plan = q.queryExecution.optimizedPlan.toString
-      require(plan.contains("__sum_price") && plan.contains("__cnt"),
-        s"transparent routing must aggregate the MV partials, got:\n$plan")
-      require(!plan.contains("/src/_v"),
-        "plan must not scan the source snapshot's version dirs")
-      q
+      try {
+        // a new customer lands; the MV refreshes incrementally; the SAME
+        // transparent query must see it (provider reads live state)
+        src.write(s, base.unionByName(
+          Seq((900001L, 0L, new java.math.BigDecimal("100.00")))
+            .toDF("c_custkey", "c_nationkey", "price")
+            .select($"c_custkey", $"c_nationkey",
+              $"price".cast("decimal(18,2)").as("price"))))
+        mv.refresh(s)
+        val q = src.readIndexed(s).groupBy($"c_nationkey")
+          .agg(count(lit(1)).as("n"), count($"price").as("nn"),
+            sum($"price").cast("double").as("rev"))
+          .orderBy($"c_nationkey")
+        val plan = q.queryExecution.optimizedPlan.toString
+        require(plan.contains("__sum_price") && plan.contains("__cnt"),
+          s"transparent routing must aggregate the MV partials, got:\n$plan")
+        require(!plan.contains("/src/_v"),
+          "plan must not scan the source snapshot's version dirs")
+        // materialize BEFORE clearing the registry: a leaked registration
+        // would otherwise tax (and could misroute) every later query in
+        // the same process
+        val out = q.collect()
+        s.createDataFrame(s.sparkContext.parallelize(out.toSeq, 1), q.schema)
+      } finally graft.plans.AggRollupRewrite.clear()
       }
     }),
 

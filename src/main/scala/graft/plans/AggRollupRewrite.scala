@@ -115,16 +115,23 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
     val tmp = rollupPath + "__delta_tmp"
     buildRollup(delta, tmp, dims, measures)
     // materialize old partials off the files we are about to overwrite;
-    // re-summed partials cast back to the STORED partial types
+    // re-summed partials cast back to the STORED partial types. A rollup
+    // written BEFORE the `__nn_` partial existed merges without it (and
+    // simply keeps not rewriting AVG/COUNT(c)) — backfilling nn from a
+    // delta alone would be silently wrong, so the legacy column set wins.
     val old = spark.read.parquet(rollupPath).localCheckpoint()
-    val merged = old.unionByName(spark.read.parquet(tmp))
+    val nnOf = measures.filter(m => old.columns.contains(s"__nn_$m"))
+    val deltaDf = spark.read.parquet(tmp)
+      .drop(measures.filterNot(nnOf.contains).map(m => s"__nn_$m"): _*)
+    val merged = old.unionByName(deltaDf)
       .groupBy(dims.map(col): _*)
       .agg(sum(col("__cnt")).cast("long").as("__cnt"),
         measures.flatMap(m => Seq(
-          sum(col(s"__sum_$m")).cast(old.schema(s"__sum_$m").dataType).as(s"__sum_$m"),
-          sum(col(s"__nn_$m")).cast("long").as(s"__nn_$m"),
-          min(col(s"__min_$m")).as(s"__min_$m"),
-          max(col(s"__max_$m")).as(s"__max_$m"))): _*)
+          sum(col(s"__sum_$m")).cast(old.schema(s"__sum_$m").dataType).as(s"__sum_$m")) ++
+          (if (nnOf.contains(m)) Seq(sum(col(s"__nn_$m")).cast("long").as(s"__nn_$m")) else Nil) ++
+          Seq(
+            min(col(s"__min_$m")).as(s"__min_$m"),
+            max(col(s"__max_$m")).as(s"__max_$m"))): _*)
     merged.coalesce(1).write.mode("overwrite").parquet(rollupPath)
   }
 
@@ -195,10 +202,19 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
       def regFor(a: List[Path], b: List[Path]): Option[JoinRollup] =
         joinRegistry.values.find { j =>
           val (cf, cd) = (canon(j.factRoot), canon(j.dimRoot))
+          // same internal-segments-only walk as lookup(): a different
+          // table nested under a registered root must not match
           def under(paths: List[Path], root: String) =
             paths.nonEmpty && paths.forall { p =>
-              var cur = p; var hit = false
-              while (cur != null && !hit) { hit = canon(cur.toString) == root; cur = cur.getParent }
+              var cur = p; var hit = false; var internal = true
+              while (cur != null && !hit && internal) {
+                hit = canon(cur.toString) == root
+                if (!hit) {
+                  val seg = cur.getName
+                  internal = seg.startsWith("_") || seg.contains("=")
+                }
+                cur = cur.getParent
+              }
               hit
             }
           under(a, cf) && under(b, cd)
@@ -208,12 +224,16 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
         (rRoots, rNN) <- rootsOf(r)
         j <- regFor(lRoots, rRoots).orElse(regFor(rRoots, lRoots))
         if (lNN ++ rNN).subsetOf(j.joinKeys.toSet)
-        // condition must be exactly the registered equi-keys (both sides
-        // named the key, any conjunct order)
+        // condition must be exactly the registered equi-keys — both
+        // operands named the key AND coming from OPPOSITE legs (a
+        // tautological fact.k = fact.k condition over a cross join would
+        // otherwise pass every name check)
         conds = splitConjuncts(cond)
         if conds.size == j.joinKeys.size && conds.forall {
           case EqualTo(a: AttributeReference, b: AttributeReference) =>
-            a.name == b.name && j.joinKeys.contains(a.name)
+            a.name == b.name && j.joinKeys.contains(a.name) &&
+              ((l.outputSet.contains(a) && r.outputSet.contains(b)) ||
+                (r.outputSet.contains(a) && l.outputSet.contains(b)))
           case _ => false
         } && conds.collect { case EqualTo(a: AttributeReference, _) => a.name }
           .toSet == j.joinKeys.toSet
@@ -227,15 +247,22 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  /** Registry hit for a scan path: exact, or any ANCESTOR directory —
-    * a SNAPSHOT relation's root paths are the table's version dirs
-    * (`<root>/_v<N>`, moving per commit), while the registration is the
-    * stable table root. */
+  /** Registry hit for a scan path: exact, or an ANCESTOR directory — a
+    * SNAPSHOT relation's root paths are the table's version dirs
+    * (`<root>/_v<N>` / `<root>/_batch_v<N>`, moving per commit), while
+    * the registration is the stable table root. The walk only crosses
+    * ENGINE-INTERNAL segments (underscore-prefixed version/batch dirs and
+    * `k=v` hive partition dirs): a DIFFERENT table physically nested
+    * under a registered root (`<root>/daily`, an MV's `<root>/state`)
+    * must never resolve to the parent's rollup. */
   private def lookup(p: Path): Option[Rollup] = {
     var cur: Path = p
-    while (cur != null) {
+    var internal = true
+    while (cur != null && internal) {
       val hit = registry.get(canon(cur.toString))
       if (hit.isDefined) return hit
+      val seg = cur.getName
+      internal = seg.startsWith("_") || seg.contains("=")
       cur = cur.getParent
     }
     None

@@ -193,7 +193,8 @@ final class BucketedSnapshotTable(
   private[graft] def versionWithTxnAtMost(spark: SparkSession, queryId: String,
       value: Long): Option[Int] = {
     val cur = currentVersion(spark).getOrElse(return None)
-    (cur to 1 by -1).find(v => txnsOf(spark, v).getOrElse(queryId, 0L) <= value)
+    (cur to 1 by -1).find(v => scala.util.Try(txnsOf(spark, v)).toOption
+      .exists(_.getOrElse(queryId, 0L) <= value)) // unreadable (vacuumed) → skip
   }
 
   private def writeManifest(spark: SparkSession, v: Int, m: Map[Int, BucketEntry],

@@ -44,6 +44,12 @@ import org.apache.spark.sql.types._
   * differ from a full recompute in final ulps (the usual floating-sum
   * order caveat); route money through decimal, as the engine does
   * elsewhere.
+  *
+  * Contract: the GROUP BY columns are the state table's business keys
+  * and must be NON-NULL — the same key contract every bucketed table in
+  * the engine (and Delta MERGE) carries; rows whose group key is null
+  * do not fold through the key-equality joins. Derive a sentinel
+  * (`coalesce(g, '∅')`) upstream if a null group is meaningful.
   */
 final class MaterializedAggView(val root: String) {
   import MaterializedAggView._
@@ -107,7 +113,21 @@ final class MaterializedAggView(val root: String) {
     val feedable = graft.streaming.ChangeFeedSource.adapter(spark, Map(
       "path" -> sp.sourceRoot) ++
       (if (sp.sourceKeys.nonEmpty) Map("keys" -> sp.sourceKeys.mkString(",")) else Map.empty))
-    val srcV = feedable.currentVersion.getOrElse(return (lastV, Set.empty))
+    val liveV = feedable.currentVersion.getOrElse(return (lastV, Set.empty))
+    // crash-replay window pinning: if a distinct agg's aux table committed
+    // a refresh the MAIN state never saw, the replay must cover EXACTLY
+    // that crashed window. Extending it to the live head would fold the
+    // NET (lastV, live] delta while the aux keeps per-pair occurrence
+    // counts from the crashed merge — a pair whose change REVERTED
+    // between the crash and the replay would keep its crashed count
+    // forever (its later zero-crossing then never fires). The remainder
+    // (crashedV, live] folds in an ordinary second pass below.
+    val crashedV = sp.aggs.filter(_.fn == "count_distinct").flatMap { a =>
+      val dst = auxState(sp, a.as)
+      if (!dst.exists(spark)) None
+      else dst.appliedTxn(spark, TxnId).filter(_ > lastV)
+    }
+    val srcV = if (crashedV.nonEmpty) crashedV.max.toInt else liveV
     if (srcV <= lastV) return (lastV, Set.empty)
 
     val feed0 =
@@ -201,8 +221,13 @@ final class MaterializedAggView(val root: String) {
           (coalesce(col(VcCol), lit(0L)) > 0).cast(LongType)).as(dcCol(a.as)))
     }
     // dc-delta groups ⊆ feed groups (both derive from the feed), so a
-    // left join is complete; absent → 0 in the generic fold below
+    // left join is complete; absent → 0 in the generic fold below.
+    // Pinned: the grouped delta is consumed by THREE actions downstream
+    // (the state's bucket-pruned key probe, the merge's bucket discovery,
+    // and the state write) — without the pin each re-executes the whole
+    // O(changed) window diff; the checkpoint is O(changed groups) rows
     val delta = dcDeltas.foldLeft(delta0)((d, dd) => d.join(dd, sp.groupBy, "left"))
+      .localCheckpoint()
 
     val accCols: Seq[(String, DataType)] =
       (NCol, LongType) +: sp.aggs.flatMap { a =>
@@ -257,7 +282,12 @@ final class MaterializedAggView(val root: String) {
     val touched = st.scd1Merge(spark, upserts, SeqCol,
       applyAsDeletes = Some(col(NCol) === 0L),
       txn = Some((TxnId, srcV.toLong)))
-    (srcV, touched)
+    if (srcV < liveV) {
+      // the pinned replay stopped at the crashed window's end — fold the
+      // rest of the history in an ordinary pass
+      val (v2, t2) = refresh(spark)
+      (v2, touched ++ t2)
+    } else (srcV, touched)
   }
 
   /** The state in ROLLUP-PARTIAL format (`__cnt`, `__sum_<measure>`,

@@ -44,6 +44,13 @@ import org.apache.spark.sql.types._
   * any real refresh cadence and validated at refresh). A replayed
   * refresh of an applied window no-ops; the identity re-derives the same
   * delta because versions are immutable until VACUUM.
+  *
+  * Contracts: GROUP BY columns are the state's business keys and must be
+  * NON-NULL (the engine-wide bucketed-key contract); column names across
+  * the two sides must be distinct apart from the join keys (the usual
+  * Spark join rule); retention — both sources' versions between two
+  * refreshes must outlive the refresh lag (`VACUUM … KEEP`), the same
+  * rule as any CDF consumer.
   */
 final class MaterializedJoinAggView(val root: String) {
   import MaterializedAggView.{Agg, NCol, SeqCol}
@@ -184,8 +191,11 @@ final class MaterializedJoinAggView(val root: String) {
                 .cast(t).as(sumCol(a.as)))
         }
       }
+    // pinned for the same reason as the sibling view: three downstream
+    // actions would otherwise re-run both delta-join legs
     val grouped = delta.groupBy(sp.groupBy.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
+      .localCheckpoint()
 
     val accCols: Seq[(String, DataType)] =
       (NCol, LongType) +: sp.aggs.flatMap { a =>

@@ -719,7 +719,11 @@ final class SnapshotTable(val root: String,
     val bytes = listDataFiles(f, v).map(_._2).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val df = read(spark)
-    val next = write(spark, Zorder.shape(df, zorderBy, nOut, bits))
+    // expected-version commit: a writer landing between the read and the
+    // rewrite must surface as ConcurrentModificationException (same
+    // contract as optimizeCompact) — an unguarded write would silently
+    // revert that writer's rows to version v's content
+    val next = writeIf(spark, Zorder.shape(df, zorderBy, nOut, bits), Some(v))
     refreshStats(spark,
       (statsColumns(spark).getOrElse(Nil) ++ zorderBy).distinct)
     next

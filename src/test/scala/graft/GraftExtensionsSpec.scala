@@ -37,6 +37,53 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(top == Seq((30.0, 2L), (20.0, 3L)))
   }
 
+  test("AggRollupRewrite: a DIFFERENT table nested under a registered root never routes") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    GraftColumnBridge.applyExtensions(ext, spark)
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("rollupnest").toString
+    Seq(("a", 10L), ("a", 20L), ("b", 5L)).toDF("g", "x")
+      .write.parquet(s"$work/base")
+    val base = spark.read.parquet(s"$work/base")
+    graft.plans.AggRollupRewrite.buildRollup(base, s"$work/rollup", Seq("g"), Seq("x"))
+    graft.plans.AggRollupRewrite.register(spark, s"$work/base", s"$work/rollup",
+      Seq("g"), Seq("x"))
+    try {
+      // a user table that happens to live INSIDE the registered root, with
+      // the same column names but different data — the ancestor walk must
+      // stop at its non-engine segment instead of serving the parent's
+      // rollup (only underscore version dirs and k=v partition dirs are
+      // transparent)
+      Seq(("a", 1000L)).toDF("g", "x").write.parquet(s"$work/base/daily")
+      val q = spark.read.parquet(s"$work/base/daily")
+        .groupBy($"g").agg(sum($"x").as("sx"))
+      assert(!q.queryExecution.optimizedPlan.toString.contains("__sum_x"),
+        q.queryExecution.optimizedPlan.toString)
+      assert(q.as[(String, Long)].collect().toSet == Set(("a", 1000L)))
+    } finally graft.plans.AggRollupRewrite.clear()
+  }
+
+  test("AggRollupRewrite.refreshRollup: a legacy rollup without __nn partials still merges") {
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("rolluplegacy").toString
+    val base = Seq(("a", 10L), ("b", 5L)).toDF("g", "x")
+    graft.plans.AggRollupRewrite.buildRollup(base, s"$work/rollup", Seq("g"), Seq("x"))
+    // simulate a rollup persisted BEFORE the __nn_ partial existed
+    val legacy = spark.read.parquet(s"$work/rollup").drop("__nn_x")
+    legacy.coalesce(1).write.mode("overwrite").parquet(s"$work/legacy")
+    graft.plans.AggRollupRewrite.refreshRollup(spark,
+      Seq(("a", 30L), ("c", 7L)).toDF("g", "x"), s"$work/legacy", Seq("g"), Seq("x"))
+    val got = spark.read.parquet(s"$work/legacy")
+      .select($"g", $"__cnt", $"__sum_x", $"__min_x", $"__max_x")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(("a", 2L, 40L, 10L, 30L), ("b", 1L, 5L, 5L, 5L),
+      ("c", 1L, 7L, 7L, 7L)), got.toString)
+    // …and the merged rollup still has NO __nn column (backfilling it
+    // from a delta alone would be silently wrong)
+    assert(!spark.read.parquet(s"$work/legacy").columns.contains("__nn_x"))
+  }
+
   test("AggRollupRewrite: covered aggregates route to the rollup; uncovered stay on base") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)

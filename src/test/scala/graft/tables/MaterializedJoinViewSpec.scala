@@ -184,6 +184,16 @@ class MaterializedJoinViewSpec extends AnyFunSuite {
         .join(graft.cdc.ScdMerge.scd1Current(dim.readIndexed(spark)), Seq("jk"), "left")
         .groupBy(col("g")).agg(sum(col("x")).as("sx"))
       assert(!outer.queryExecution.optimizedPlan.toString.contains("__sum_x"))
+      // a TAUTOLOGICAL condition (both operands from the fact leg) is a
+      // cross join in disguise: names alone would pass the key check, so
+      // the matcher must require the operands to come from opposite legs
+      val fdf = fact.readIndexed(spark)
+      val ddf = graft.cdc.ScdMerge.scd1Current(dim.readIndexed(spark))
+        .withColumnRenamed("jk", "djk")
+      val cross = fdf.join(ddf, fdf("jk") === fdf("jk"))
+        .groupBy(col("g")).agg(sum(col("x")).as("sx"))
+      assert(!cross.queryExecution.optimizedPlan.toString.contains("__sum_x"),
+        "same-leg equality must not route")
     } finally graft.plans.AggRollupRewrite.clear()
   }
 

@@ -232,6 +232,37 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(mv.lastApplied(spark) == 2)
   }
 
+  test("count(distinct c): a replay whose source ADVANCED past the crash pins its window") {
+    val work = tmp("mvdca")
+    val src = new SnapshotTable(s"$work/src")
+    src.write(spark, Seq((1, "a", "X")).toDF("k", "g", "v")) // v1
+    val mv = MaterializedAggView.create(spark, s"$work/mv", s"$work/src",
+      Seq("k"), Seq("g"),
+      Seq(MaterializedAggView.Agg("count_distinct", Some("v"), "dv")), 4)
+    mv.refresh(spark)
+    // v2 inserts a NEW value Y; the refresh crashes after the aux commit
+    src.write(spark, Seq((1, "a", "X"), (2, "a", "Y")).toDF("k", "g", "v"))
+    TestHooks.onMvStep(mv, s => if (s.startsWith("aux-merged")) sys.error("boom"))
+    intercept[RuntimeException] { mv.refresh(spark) }
+    TestHooks.onMvStep(mv, _ => ())
+    // v3 REVERTS v2 before the replay runs: the NET (v1, v3] window never
+    // mentions Y, but the crashed aux commit recorded Y's count=1 — a
+    // replay folding straight to v3 would keep that stale count forever
+    src.write(spark, Seq((1, "a", "X")).toDF("k", "g", "v"))
+    mv.refresh(spark)
+    def rows = mv.read(spark).as[(String, Long)].collect().toSet
+    assert(rows == Set(("a", 1L)), rows.toString)
+    assert(mv.lastApplied(spark) == 3)
+    // …and the aux state is truly healed: Y re-appearing then vanishing
+    // again must round-trip exactly (a stale count=1 would break this)
+    src.write(spark, Seq((1, "a", "X"), (3, "a", "Y")).toDF("k", "g", "v"))
+    mv.refresh(spark)
+    assert(rows == Set(("a", 2L)), rows.toString)
+    src.write(spark, Seq((1, "a", "X")).toDF("k", "g", "v"))
+    mv.refresh(spark)
+    assert(rows == Set(("a", 1L)), rows.toString)
+  }
+
   test("count(distinct c) through SQL; transparent routing only at the MV's own grain") {
     val work = tmp("mvdcs")
     val ext = new org.apache.spark.sql.SparkSessionExtensions
