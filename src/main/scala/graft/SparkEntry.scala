@@ -5635,6 +5635,75 @@ object SparkEntry {
     //    proves a post-refresh query sees the new source version. The
     //    Databricks materialized-view story end to end: incremental
     //    maintenance (q320) + transparent routing (this).
+    // ── INCREMENTAL STAR-AGGREGATE VIEW (r11): fact ⋈ dim1 ⋈ dim2
+    //    rollups maintained from ALL THREE change feeds via the
+    //    telescoping delta identity (ΔF⋈D1'⋈D2' + F⋈ΔD1⋈D2' +
+    //    F⋈D1⋈ΔD2) — the full star-schema gold rollup with no recompute
+    //    anywhere: a fact window point-reads both dims; a dim window
+    //    reads the OLD fact IN-list-pruned and the other dim point-read,
+    //    so EITHER dimension's attribute flip moves every joined fact
+    //    row between groups. Exactly-once across N+1 source versions via
+    //    a numbered vector ledger (vector file first, txn names it).
+    //    Pins: each incremental refresh rewrites O(changed groups)
+    //    buckets at ANY scale factor; the oracle recomputes the full
+    //    3-way join from scratch.
+    "q326_incremental_star_mv" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("mvstar").toString
+      withShufflePartitions(s, 8) {
+      val sqlRun = (q: String) => org.apache.spark.sql.GraftColumnBridge.graftSql(s, q)
+      val fact = new graft.tables.SnapshotTable(s"$work/fact")
+      val d1 = new graft.tables.BucketedSnapshotTable(s"$work/orders", 16, Seq("o_orderkey"))
+      val d2 = new graft.tables.BucketedSnapshotTable(s"$work/part", 16, Seq("p_partkey"))
+      val l0 = Tables.lineitem(s, dir)
+        .select($"l_orderkey".as("o_orderkey"), $"l_linenumber",
+          $"l_partkey", $"l_quantity".cast("decimal(18,2)").as("q0"))
+        .groupBy($"o_orderkey", $"l_linenumber")
+        .agg(min($"l_partkey").as("p_partkey"),
+          sum($"q0").cast("decimal(18,2)").as("qty"))
+      val k1 = l0.agg(min($"o_orderkey")).as[Long].head()
+      val k2 = l0.filter($"o_orderkey" > k1).agg(min($"o_orderkey")).as[Long].head()
+      val pk = Tables.lineitem(s, dir).agg(min($"l_partkey")).as[Long].head()
+      fact.write(s, l0)
+      d1.scd1Merge(s, Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderpriority".as("prio"))
+        .withColumn("op_seq", lit(1L)), "op_seq")
+      d2.scd1Merge(s, Tables.part(s, dir).select($"p_partkey", $"p_brand")
+        .withColumn("op_seq", lit(1L)), "op_seq")
+      sqlRun(s"CREATE MATERIALIZED STAR VIEW '$work/mv' FACT '$work/fact' " +
+        s"KEYS (o_orderkey, l_linenumber) DIM '$work/orders' ON (o_orderkey) " +
+        s"DIM '$work/part' ON (p_partkey) GROUP BY (prio, p_brand) " +
+        "AGG (count(*) AS n, sum(qty) AS sq) INTO 32 BUCKETS").collect()
+      sqlRun(s"REFRESH MATERIALIZED STAR VIEW '$work/mv'").collect() // bootstrap
+      // ── fact leg: one order's lines +5 qty
+      fact.write(s, l0.withColumn("qty",
+        when($"o_orderkey" === k1, $"qty" + 5).otherwise($"qty")
+          .cast("decimal(18,2)")))
+      val r2 = sqlRun(s"REFRESH MATERIALIZED STAR VIEW '$work/mv'").collect().head
+      require(r2.getInt(1) > 0 && r2.getInt(1) <= 8,
+        s"a one-order fact change must rewrite O(1) state buckets, got ${r2.getInt(1)}")
+      // ── dim1 leg: one order's priority flips to a brand-new group —
+      //    its lines MOVE (prio, brand) groups with no fact change
+      d1.scd1Merge(s, Seq((k2, 2L, "9-FLIP")).toDF("o_orderkey", "op_seq", "prio"),
+        "op_seq")
+      val r3 = sqlRun(s"REFRESH MATERIALIZED STAR VIEW '$work/mv'").collect().head
+      require(r3.getInt(1) > 0 && r3.getInt(1) <= 12,
+        s"a one-order dim flip must rewrite O(1) state buckets, got ${r3.getInt(1)}")
+      // ── dim2 leg: one part's brand flips — every line of that part
+      //    moves groups across ALL its orders' priorities
+      d2.scd1Merge(s, Seq((pk, 2L, "BRAND#99")).toDF("p_partkey", "op_seq", "p_brand"),
+        "op_seq")
+      val r4 = sqlRun(s"REFRESH MATERIALIZED STAR VIEW '$work/mv'").collect().head
+      require(r4.getInt(1) > 0 && r4.getInt(1) <= 12,
+        s"a one-part dim flip must rewrite O(changed prios) buckets, got ${r4.getInt(1)}")
+      require(r4.getString(0) == "2,2,2",
+        s"vector ledger must record (fact 2, orders 2, part 2), got ${r4.getString(0)}")
+      sqlRun(s"MATERIALIZED VIEW '$work/mv'")
+        .select($"prio", $"p_brand", $"n", $"sq".cast("double").as("sq"))
+        .orderBy($"prio", $"p_brand")
+      }
+    }),
+
     // ── TRANSPARENT JOIN-MV ROUTING (r11): the join twin of q322 — an
     //    ORDINARY aggregate over fact ⋈ dim (inner, on exactly the
     //    view's join keys, visible rows) is rewritten by the optimizer
@@ -6739,6 +6808,38 @@ object SparkEntry {
         |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |  WHERE o_totalprice >= 480000)
         |ORDER BY o_orderkey, o_custkey""".stripMargin,
+
+    // the star view's final state = a from-scratch recompute of the
+    // 3-way join: one order's lines +5 qty (fact leg), one order's
+    // priority flipped (dim1 leg), one part's brand flipped (dim2 leg)
+    "q326_incremental_star_mv" ->
+      """WITH k AS (
+        |  SELECT min(l_orderkey) AS k1,
+        |    (SELECT min(l_orderkey) FROM lineitem
+        |     WHERE l_orderkey > (SELECT min(l_orderkey) FROM lineitem)) AS k2,
+        |    (SELECT min(l_partkey) FROM lineitem) AS pk
+        |  FROM lineitem),
+        |lbase AS (
+        |  SELECT l_orderkey, l_linenumber, min(l_partkey) AS p_partkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |lfix AS (
+        |  SELECT l_orderkey, p_partkey,
+        |    CASE WHEN l_orderkey = (SELECT k1 FROM k) THEN qty + 5 ELSE qty END AS qty
+        |  FROM lbase),
+        |ofix AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey = (SELECT k2 FROM k)
+        |         THEN '9-FLIP' ELSE o_orderpriority END AS prio
+        |  FROM orders),
+        |pfix AS (
+        |  SELECT p_partkey,
+        |    CASE WHEN p_partkey = (SELECT pk FROM k)
+        |         THEN 'BRAND#99' ELSE p_brand END AS p_brand
+        |  FROM part)
+        |SELECT prio, p_brand, count(*) AS n, CAST(sum(qty) AS DOUBLE) AS sq
+        |FROM lfix JOIN ofix ON l_orderkey = o_orderkey JOIN pfix USING (p_partkey)
+        |GROUP BY prio, p_brand ORDER BY prio, p_brand""".stripMargin,
 
     // the transparently-routed aggregate = a from-scratch recompute of
     // the join over the final state (one order's lines +5 qty)

@@ -107,6 +107,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*REFRESH\s+MATERIALIZED\s+JOIN\s+VIEW\s+'([^']+)'\s*;?\s*""".r
   private val DescribeMjv =
     """(?is)\s*DESCRIBE\s+MATERIALIZED\s+JOIN\s+VIEW\s+'([^']+)'\s*;?\s*""".r
+  private val CreateMsv =
+    """(?is)\s*CREATE\s+MATERIALIZED\s+STAR\s+VIEW\s+'([^']+)'\s+FACT\s+'([^']+)'(?:\s+KEYS\s*\(([^)]+)\))?((?:\s+DIM\s+'[^']+'(?:\s+KEYS\s*\([^)]+\))?\s+ON\s*\([^)]+\))+)\s+GROUP\s+BY\s*\(([^)]+)\)\s+AGG\s*\((.+?)\)(?:\s+INTO\s+(\d+)\s+BUCKETS)?\s*;?\s*""".r
+  private val MsvDimItem =
+    """(?is)DIM\s+'([^']+)'(?:\s+KEYS\s*\(([^)]+)\))?\s+ON\s*\(([^)]+)\)""".r
+  private val RefreshMsv =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+STAR\s+VIEW\s+'([^']+)'\s*;?\s*""".r
   private val DescribeMv =
     """(?is)\s*DESCRIBE\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s*;?\s*""".r
   private val RefreshMv =
@@ -205,6 +211,18 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       RefreshMaterializedJoinViewCommand(mv)
     case DescribeMjv(mv) =>
       DescribeMaterializedJoinViewCommand(mv)
+    case CreateMsv(mv, fact, factKeys, dimBlob, groupBy, aggList, buckets) =>
+      def split(s: String) = Option(s).toSeq
+        .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+      val dims = MsvDimItem.findAllMatchIn(dimBlob).map { m =>
+        graft.tables.MaterializedStarAggView.Dim(
+          m.group(1), split(m.group(2)), split(m.group(3)))
+      }.toSeq
+      CreateMaterializedStarViewCommand(mv, fact, split(factKeys), dims,
+        split(groupBy), GraftSqlParser.parseAggList(aggList),
+        Option(buckets).map(_.toInt))
+    case RefreshMsv(mv) =>
+      RefreshMaterializedStarViewCommand(mv)
     case CreateMv(mv, src, keysOpt, groupBy, aggList, rescan, buckets) =>
       CreateMaterializedViewCommand(mv, src,
         Option(keysOpt).toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)),
@@ -216,12 +234,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case RefreshMv(mv) =>
       RefreshMaterializedViewCommand(mv)
     case QueryMv(mv) =>
-      // one query form for both view kinds — dispatch on the spec file
+      // one query form for all three view kinds — dispatch on the spec file
       val sp = SparkSession.active
-      val mjSpec = new org.apache.hadoop.fs.Path(mv, "_mvj")
-      val isJoin = mjSpec.getFileSystem(sp.sparkContext.hadoopConfiguration)
-        .exists(mjSpec)
-      (if (isJoin) new graft.tables.MaterializedJoinAggView(mv).read(sp)
+      val hconf = sp.sparkContext.hadoopConfiguration
+      def has(name: String) = {
+        val p = new org.apache.hadoop.fs.Path(mv, name)
+        p.getFileSystem(hconf).exists(p)
+      }
+      (if (has("_mvj")) new graft.tables.MaterializedJoinAggView(mv).read(sp)
+       else if (has("_mvs")) new graft.tables.MaterializedStarAggView(mv).read(sp)
        else new graft.tables.MaterializedAggView(mv).read(sp))
         .queryExecution.logical
     case Changes(path, fromV, toV, keysOpt, withCols, withPre) =>
@@ -878,6 +899,38 @@ case class RefreshMaterializedJoinViewCommand(mv: String) extends LeafRunnableCo
   override def run(spark: SparkSession): Seq[Row] = {
     val ((f, d), touched) = new graft.tables.MaterializedJoinAggView(mv).refresh(spark)
     Seq(Row(f, d, touched.size))
+  }
+}
+
+/** `CREATE MATERIALIZED STAR VIEW '<mv>' FACT '<fact>' [KEYS (k…)]
+  * DIM '<d1>' [KEYS (k…)] ON (jk…) DIM '<d2>' … GROUP BY (g…)
+  * AGG (…) [INTO <n> BUCKETS]` — declare an incrementally-maintained
+  * aggregate over `fact ⋈ dim1 ⋈ … ⋈ dimN`
+  * ([[graft.tables.MaterializedStarAggView]]). */
+case class CreateMaterializedStarViewCommand(mv: String, fact: String,
+    factKeys: Seq[String], dims: Seq[graft.tables.MaterializedStarAggView.Dim],
+    groupBy: Seq[String], aggs: Seq[graft.tables.MaterializedAggView.Agg],
+    buckets: Option[Int]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("mv", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.tables.MaterializedStarAggView.create(spark, mv, fact, factKeys,
+      dims, groupBy, aggs, buckets.getOrElse(16))
+    Seq(Row(mv))
+  }
+}
+
+/** `REFRESH MATERIALIZED STAR VIEW '<mv>'` — fold every source's window
+  * since the last refresh through the telescoping delta identity.
+  * Returns the applied version vector (fact, dims…) and the state
+  * buckets rewritten. */
+case class RefreshMaterializedStarViewCommand(mv: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("versions", StringType, nullable = false)(),
+    AttributeReference("buckets_rewritten", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (vec, touched) = new graft.tables.MaterializedStarAggView(mv).refresh(spark)
+    Seq(Row(vec.mkString(","), touched.size))
   }
 }
 

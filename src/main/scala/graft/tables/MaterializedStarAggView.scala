@@ -1,0 +1,365 @@
+package graft.tables
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Incrementally-maintained aggregate over a STAR join — one fact table
+  * inner-joined to N dimensions, each on its own equi-keys — the full
+  * generalization of [[MaterializedJoinAggView]] (which stays as the
+  * simpler two-table API). The telescoping delta identity: replacing one
+  * factor at a time, left to right,
+  *
+  * {{{
+  * F'D1'…Dn' − F D1…Dn  =  ΔF⋈D1'⋈…⋈Dn'
+  *                       + F⋈ΔD1⋈D2'⋈…⋈Dn'
+  *                       + F⋈D1⋈ΔD2⋈D3'⋈…⋈Dn'
+  *                       + …
+  *                       + F⋈D1⋈…⋈D(n−1)⋈ΔDn
+  * }}}
+  *
+  * (unprimed = version as of the LAST refresh, primed = the version this
+  * refresh applies; exactly one Δ factor per leg, so each joined row's
+  * sign is that delta row's sign). Cost shape per refresh:
+  *
+  *  - the ΔF leg is O(fact delta) + one bucket-pruned point lookup per
+  *    dim (dims are bucketed by their join keys, their natural layout);
+  *  - each ΔDi leg reads the OLD fact through the pruning file index
+  *    with an IN-list on Di's changed join keys (stats/Bloom skipping),
+  *    then point-looks-up the other dims for the surviving rows' keys —
+  *    dim changes are rare and narrow at 100 TB, and this is what makes
+  *    a dimension attribute flip move every joined fact row between
+  *    groups with NO fact recompute, N-way.
+  *
+  * The signed joined delta folds into a bucketed state table exactly
+  * like the sibling views: O(changed groups) state IO.
+  *
+  * Exactly-once with N+1 source versions (too many to pack into one
+  * ledger long): each refresh is numbered. The refresh FIRST overwrites
+  * `_applied_<n+1>` (the version vector it is about to apply), THEN
+  * merges with `txn:mvs=<n+1>` — the vector file is only trusted once
+  * the ledger names it, so a crash between the two leaves a stale
+  * `_applied_<n+1>` that the next attempt simply overwrites, and a
+  * replayed refresh of a committed number no-ops on the ledger. The
+  * recovery base is always `_applied_<appliedTxn>`, written by the run
+  * that committed it and never touched since.
+  *
+  * Contracts: as [[MaterializedJoinAggView]] — additive aggregates only,
+  * non-null group keys, distinct column names across sides apart from
+  * join keys, `VACUUM … KEEP` ≥ refresh lag on every source.
+  */
+final class MaterializedStarAggView(val root: String) {
+  import MaterializedAggView.{Agg, NCol, SeqCol}
+  import MaterializedStarAggView._
+
+  private def fs(spark: SparkSession) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def specPath = new Path(root, "_mvs")
+
+  def spec(spark: SparkSession): Spec = {
+    val f = fs(spark)
+    if (!f.exists(specPath))
+      throw new IllegalArgumentException(s"MaterializedStarAggView $root: no _mvs spec")
+    val in = f.open(specPath)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(_.nonEmpty).toVector finally in.close()
+    val kv = lines.map { l =>
+      val i = l.indexOf('=')
+      require(i > 0, s"MaterializedStarAggView $root: malformed _mvs line '$l'")
+      l.take(i) -> l.drop(i + 1)
+    }.toMap
+    def need(k: String) = kv.getOrElse(k, throw new IllegalArgumentException(
+      s"MaterializedStarAggView $root: _mvs lacks $k"))
+    def list(k: String) = kv.getOrElse(k, "").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val n = need("dims").toInt
+    val dims = (0 until n).map { i =>
+      Dim(need(s"dim$i.root"), list(s"dim$i.keys"), list(s"dim$i.join"))
+    }
+    Spec(need("factRoot"), list("factKeys"), dims, list("groupBy"),
+      list("aggs").map(Agg.parse), kv.getOrElse("numBuckets", "16").toInt)
+  }
+
+  private def state(sp: Spec) =
+    new BucketedSnapshotTable(s"$root/state", sp.numBuckets, sp.groupBy)
+
+  private def feedOf(spark: SparkSession, tableRoot: String, keys: Seq[String]) =
+    graft.streaming.ChangeFeedSource.adapter(spark, Map("path" -> tableRoot) ++
+      (if (keys.nonEmpty) Map("keys" -> keys.mkString(",")) else Map.empty))
+
+  /** (refresh number, version vector fact +: dims) last applied. */
+  def lastApplied(spark: SparkSession): (Long, Seq[Int]) = {
+    val sp = spec(spark)
+    state(sp).appliedTxn(spark, TxnId) match {
+      case None => (0L, Seq.fill(sp.dims.size + 1)(0))
+      case Some(n) => (n, readVector(spark, n))
+    }
+  }
+
+  private def vectorPath(n: Long) = new Path(root, s"_applied_$n")
+
+  private def readVector(spark: SparkSession, n: Long): Seq[Int] = {
+    val f = fs(spark)
+    val in = f.open(vectorPath(n))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    txt.split(",").map(_.trim.toInt).toSeq
+  }
+
+  private def writeVector(spark: SparkSession, n: Long, vs: Seq[Int]): Unit = {
+    val out = fs(spark).create(vectorPath(n), true) // overwrite: a stale
+    // vector from a crashed attempt is re-derived, never trusted
+    try out.write(vs.mkString(",").getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Fold every source's window since the last refresh into the state;
+    * returns (version vector now applied, state buckets rewritten). */
+  def refresh(spark: SparkSession): (Seq[Int], Set[Int]) = {
+    val sp = spec(spark)
+    val st = state(sp)
+    val (lastN, lastVec) = lastApplied(spark)
+    val ff = feedOf(spark, sp.factRoot, sp.factKeys)
+    val dfs = sp.dims.map(d => feedOf(spark, d.root, d.keys))
+    val liveVec: Seq[Int] =
+      (ff +: dfs).map(_.currentVersion.getOrElse(return (lastVec, Set.empty)))
+    if (liveVec.zip(lastVec).forall { case (a, b) => a <= b })
+      return (lastVec, Set.empty)
+    val (lastFV, lastDVs) = (lastVec.head, lastVec.tail)
+    val (liveFV, liveDVs) = (liveVec.head, liveVec.tail)
+
+    val sign = when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
+      .otherwise(lit(-1L))
+    val bookkeeping = Seq("_change_type", "_changed_columns")
+    def feedWindow(fd: graft.streaming.ChangeFeedSource.Feedable,
+        fromV: Int, toV: Int): DataFrame = {
+      val w =
+        if (fromV == 0) fd.visibleAt(toV).withColumn("_change_type", lit("insert"))
+        else fd.feed(fromV, toV, withColumns = false, withPreimage = true)
+      w.withColumn(SignCol, sign).drop(bookkeeping: _*)
+    }
+
+    /** Dim i visible at version `v`, restricted to `keyRows` when given —
+      * bucket-pruned when the dim is bucketed by its join keys and `v` is
+      * its live version, else a version-pinned semi-join. */
+    def dimAt(i: Int, v: Int, keyRows: Option[DataFrame]): DataFrame = {
+      val d = sp.dims(i)
+      val raw = BucketedSnapshotTable.layoutOf(spark, d.root) match {
+        case Some(l) if l.keys.contains(d.join) && keyRows.isDefined =>
+          val bt = new BucketedSnapshotTable(d.root, l.numBuckets, d.join)
+          if (bt.currentVersion(spark).contains(v)) bt.readKeys(spark, keyRows.get)
+          else bt.readVersion(spark, v).join(keyRows.get, d.join, "left_semi")
+        case Some(l) =>
+          val bt = new BucketedSnapshotTable(d.root, l.numBuckets,
+            l.keys.getOrElse(d.join))
+          val base = bt.readVersion(spark, v)
+          keyRows.map(k => base.join(k, d.join, "left_semi")).getOrElse(base)
+        case None =>
+          val base = new SnapshotTable(d.root).readVersion(spark, v)
+          keyRows.map(k => base.join(k, d.join, "left_semi")).getOrElse(base)
+      }
+      graft.cdc.ScdMerge.scd1Current(raw)
+    }
+
+    /** The fact visible AS OF `v`, restricted to the changed join keys of
+      * dim `i` — IN-list through the pruning file index when narrow. */
+    def factAt(v: Int, joinKeys: Seq[String], changedKeys: DataFrame): DataFrame = {
+      val asOf = BucketedSnapshotTable.layoutOf(spark, sp.factRoot) match {
+        case Some(l) => new BucketedSnapshotTable(sp.factRoot, l.numBuckets,
+          l.keys.getOrElse(sp.factKeys)).readIndexed(spark, Some(v))
+        case None => new SnapshotTable(sp.factRoot).readIndexed(spark, Some(v))
+      }
+      val visible = graft.cdc.ScdMerge.scd1Current(asOf)
+      if (joinKeys.size == 1) {
+        val vals = changedKeys.limit(MaxInlineKeys + 1).collect().map(_.get(0))
+        if (vals.length <= MaxInlineKeys)
+          return visible.filter(col(joinKeys.head).isInCollection(vals.toSeq))
+      }
+      visible.join(broadcast(changedKeys), joinKeys, "left_semi")
+    }
+
+    val n = sp.dims.size
+    // ── leg 0: ΔF ⋈ D1' ⋈ … ⋈ Dn'
+    val leg0: Option[DataFrame] =
+      if (liveFV <= lastFV) None
+      else {
+        val fd = feedWindow(ff, lastFV, liveFV)
+        val joined = (0 until n).foldLeft(fd) { (acc, i) =>
+          val dimNow =
+            if (lastFV == 0) dimAt(i, liveDVs(i), None) // bootstrap: full join
+            else dimAt(i, liveDVs(i),
+              Some(acc.select(sp.dims(i).join.map(col): _*).distinct()))
+          acc.join(dimNow, sp.dims(i).join)
+        }
+        Some(joined)
+      }
+
+    // ── leg i (1-based over dims): F ⋈ D1 ⋈ … ⋈ D(i−1) ⋈ ΔDi ⋈ D(i+1)' ⋈ … ⋈ Dn'
+    val dimLegs: Seq[DataFrame] = (0 until n).flatMap { i =>
+      if (liveDVs(i) <= lastDVs(i) || lastFV == 0) None // bootstrap rode leg 0
+      else {
+        val dd = feedWindow(dfs(i), lastDVs(i), liveDVs(i))
+        val changed = dd.select(sp.dims(i).join.map(col): _*).distinct()
+        val factOld = factAt(lastFV, sp.dims(i).join, changed)
+        val withDelta = factOld.join(dd, sp.dims(i).join)
+        val joined = (0 until n).filter(_ != i).foldLeft(withDelta) { (acc, k) =>
+          val v = if (k < i) lastDVs(k) else liveDVs(k)
+          val dk = dimAt(k, v,
+            Some(acc.select(sp.dims(k).join.map(col): _*).distinct()))
+          acc.join(dk, sp.dims(k).join)
+        }
+        Some(joined)
+      }
+    }
+
+    val legs = leg0.toSeq ++ dimLegs
+    if (legs.isEmpty) return (lastVec, Set.empty)
+    // project each leg to exactly the columns the fold needs BEFORE the
+    // union — several dims may carry same-named bookkeeping columns
+    // (each SCD dim has its own sequence column), which is fine inside a
+    // join but an ambiguity error in a union
+    val need = (sp.groupBy ++ sp.aggs.flatMap(_.col) :+ SignCol).distinct
+    val delta = legs.map(_.select(need.map(col): _*)).reduce(_.unionByName(_))
+
+    // ── additive fold into the bucketed state (same core as the siblings)
+    val s = col(SignCol)
+    val accTypes: Map[String, DataType] = sp.aggs.collect {
+      case a if a.fn == "sum" || a.fn == "avg" =>
+        val dt = delta.schema(a.col.get).dataType
+        a.as -> (dt match {
+          case _: ByteType | _: ShortType | _: IntegerType | _: LongType => LongType
+          case d: DecimalType => DecimalType(math.min(38, d.precision + 10), d.scale)
+          case _: FloatType | _: DoubleType => DoubleType
+          case other => throw new IllegalArgumentException(
+            s"${a.fn}(${a.col.get}): unsupported measure type $other")
+        })
+    }.toMap
+    val deltaAggs: Seq[Column] =
+      sum(s).as(NCol) +: sp.aggs.flatMap { a =>
+        a.fn match {
+          case "count" if a.col.isEmpty => Nil
+          case "count" => Seq(
+            sum(when(col(a.col.get).isNotNull, s).otherwise(0L)).as(nnCol(a.as)))
+          case _ =>
+            val c = a.col.get
+            val t = accTypes(a.as)
+            Seq(
+              sum(when(col(c).isNotNull, s).otherwise(0L)).as(nnCol(a.as)),
+              sum(when(col(c).isNotNull, col(c).cast(t) * s).otherwise(lit(null)))
+                .cast(t).as(sumCol(a.as)))
+        }
+      }
+    val grouped = delta.groupBy(sp.groupBy.map(col): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+      .localCheckpoint() // three downstream actions re-run the legs otherwise
+
+    val accCols: Seq[(String, DataType)] =
+      (NCol, LongType) +: sp.aggs.flatMap { a =>
+        a.fn match {
+          case "count" if a.col.isEmpty => Nil
+          case "count" => Seq(nnCol(a.as) -> LongType)
+          case _ => Seq(nnCol(a.as) -> LongType, sumCol(a.as) -> accTypes(a.as))
+        }
+      }
+    val cur: DataFrame =
+      if (!st.exists(spark)) {
+        val fields = sp.groupBy.map(g => grouped.schema(g)) ++
+          accCols.map { case (nm, t) => StructField(nm, t, nullable = true) }
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType(fields))
+      } else graft.cdc.ScdMerge.scd1Current(
+          st.readKeys(spark, grouped.select(sp.groupBy.map(col): _*)))
+        .select((sp.groupBy ++ accCols.map(_._1)).map(col): _*)
+    val curA = cur.select(sp.groupBy.map(col) ++
+      accCols.map { case (nm, _) => col(nm).as(s"__cur_$nm") }: _*)
+    val folded = accCols.foldLeft(grouped.join(curA, sp.groupBy, "left")) {
+      case (d, (nm, t)) =>
+        d.withColumn(nm,
+          (coalesce(col(s"__cur_$nm").cast(t), lit(0).cast(t)) +
+            coalesce(col(nm).cast(t), lit(0).cast(t))).cast(t))
+    }.select((sp.groupBy ++ accCols.map(_._1)).map(col): _*)
+
+    // ── numbered commit: vector file first, ledger names it atomically
+    //    with the merge
+    val nextN = lastN + 1
+    val applyVec = liveVec.zip(lastVec).map { case (a, b) => math.max(a, b) }
+    writeVector(spark, nextN, applyVec)
+    val upserts = folded.withColumn(SeqCol, lit(nextN))
+    val touched = st.scd1Merge(spark, upserts, SeqCol,
+      applyAsDeletes = Some(col(NCol) === 0L),
+      txn = Some((TxnId, nextN)))
+    (applyVec, touched)
+  }
+
+  /** Group columns + one column per declared aggregate (avg as DOUBLE,
+    * SQL null semantics). */
+  def read(spark: SparkSession): DataFrame = {
+    val sp = spec(spark)
+    val raw = graft.cdc.ScdMerge.scd1Current(state(sp).read(spark))
+    val outs: Seq[Column] = sp.aggs.map { a =>
+      a.fn match {
+        case "count" if a.col.isEmpty => col(NCol).as(a.as)
+        case "count" => col(nnCol(a.as)).as(a.as)
+        case "sum" => when(col(nnCol(a.as)) > 0, col(sumCol(a.as))).as(a.as)
+        case "avg" => when(col(nnCol(a.as)) > 0,
+          col(sumCol(a.as)).cast(DoubleType) / col(nnCol(a.as))).as(a.as)
+      }
+    }
+    raw.select(sp.groupBy.map(col) ++ outs: _*)
+  }
+}
+
+object MaterializedStarAggView {
+  import MaterializedAggView.Agg
+
+  private val TxnId = "mvs"
+  private val SignCol = "__mvs_sign"
+  private val MaxInlineKeys = 1000
+  private def nnCol(as: String) = s"__mv_nn_$as"
+  private def sumCol(as: String) = s"__mv_sum_$as"
+
+  /** One dimension: table root, its CDF business keys (empty = from the
+    * bucketed manifest), and the equi-join keys shared with the fact. */
+  final case class Dim(root: String, keys: Seq[String], join: Seq[String])
+
+  final case class Spec(factRoot: String, factKeys: Seq[String],
+      dims: Seq[Dim], groupBy: Seq[String], aggs: Seq[Agg], numBuckets: Int)
+
+  /** Declare the view (no data moves until the first refresh). */
+  def create(spark: SparkSession, root: String,
+      factRoot: String, factKeys: Seq[String], dims: Seq[Dim],
+      groupBy: Seq[String], aggs: Seq[Agg],
+      numBuckets: Int = 16): MaterializedStarAggView = {
+    require(dims.nonEmpty, "star view needs at least one dimension")
+    dims.foreach(d => require(d.join.nonEmpty,
+      s"star view dim ${d.root}: join keys required"))
+    require(groupBy.nonEmpty, "star view needs GROUP BY columns")
+    require(aggs.nonEmpty, "star view needs at least one aggregate")
+    aggs.foreach { a =>
+      require(Set("count", "sum", "avg")(a.fn),
+        s"star views maintain additive aggregates only — '${a.fn}' is not")
+      require(a.fn == "count" || a.col.nonEmpty, s"${a.fn} needs a column")
+    }
+    require(aggs.map(_.as).distinct.size == aggs.size, "duplicate aggregate aliases")
+    val mv = new MaterializedStarAggView(root)
+    val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(root, "_mvs")
+    if (f.exists(p))
+      throw new IllegalArgumentException(s"MaterializedStarAggView $root already exists")
+    val dimLines = dims.zipWithIndex.flatMap { case (d, i) => Seq(
+      s"dim$i.root=${d.root}",
+      s"dim$i.keys=${d.keys.mkString(",")}",
+      s"dim$i.join=${d.join.mkString(",")}")
+    }
+    val content = (Seq(
+      s"factRoot=$factRoot",
+      s"factKeys=${factKeys.mkString(",")}",
+      s"dims=${dims.size}") ++ dimLines ++ Seq(
+      s"groupBy=${groupBy.mkString(",")}",
+      s"aggs=${aggs.map(_.render).mkString(",")}",
+      s"numBuckets=$numBuckets")).mkString("", "\n", "\n")
+    val out = f.create(p, false)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    mv
+  }
+}

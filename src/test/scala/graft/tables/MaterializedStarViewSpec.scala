@@ -1,0 +1,137 @@
+package graft.tables
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Star views: fact ⋈ dim1 ⋈ dim2 GROUP BY, maintained from all three
+  * change feeds via the telescoping delta identity. Every refresh must
+  * equal a full recompute of the join over all sources' visible rows. */
+class MaterializedStarViewSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+  private val agg = MaterializedAggView.Agg
+  private val dim = MaterializedStarAggView.Dim
+
+  /** fact(k, jk1, jk2, x) ⋈ d1(jk1, c) ⋈ d2(jk2, r) GROUP BY (c, r). */
+  private def recompute(fact: SnapshotTable, d1: BucketedSnapshotTable,
+      d2: BucketedSnapshotTable): Set[(String, String, Long, Option[Long])] =
+    graft.cdc.ScdMerge.scd1Current(fact.read(spark))
+      .join(graft.cdc.ScdMerge.scd1Current(d1.read(spark)), Seq("jk1"))
+      .join(graft.cdc.ScdMerge.scd1Current(d2.read(spark)), Seq("jk2"))
+      .groupBy("c", "r").agg(count(lit(1)).as("n"), sum("x").as("sx"))
+      .as[(String, String, Long, Option[Long])].collect().toSet
+
+  private def rows(mv: MaterializedStarAggView)
+      : Set[(String, String, Long, Option[Long])] =
+    mv.read(spark).as[(String, String, Long, Option[Long])].collect().toSet
+
+  test("fact and BOTH dim deltas fold exactly through the telescoping identity") {
+    val work = tmp("mvs")
+    val fact = new SnapshotTable(s"$work/fact")
+    val d1 = new BucketedSnapshotTable(s"$work/d1", 4, Seq("jk1"))
+    val d2 = new BucketedSnapshotTable(s"$work/d2", 4, Seq("jk2"))
+    fact.write(spark, Seq((1, 10L, 100L, 5L), (2, 10L, 200L, 7L), (3, 20L, 100L, 11L))
+      .toDF("k", "jk1", "jk2", "x"))
+    d1.scd1Merge(spark, Seq((10L, 1L, "red"), (20L, 1L, "blue"))
+      .toDF("jk1", "seq", "c"), "seq")
+    d2.scd1Merge(spark, Seq((100L, 1L, "eu"), (200L, 1L, "us"))
+      .toDF("jk2", "seq", "r"), "seq")
+    val mv = MaterializedStarAggView.create(spark, s"$work/mv",
+      s"$work/fact", Seq("k"),
+      Seq(dim(s"$work/d1", Nil, Seq("jk1")), dim(s"$work/d2", Nil, Seq("jk2"))),
+      Seq("c", "r"),
+      Seq(agg("count", None, "n"), agg("sum", Some("x"), "sx")), numBuckets = 8)
+
+    val (vec1, _) = mv.refresh(spark)
+    assert(vec1 == Seq(1, 1, 1) && rows(mv) == recompute(fact, d1, d2))
+    assert(rows(mv) == Set(("red", "eu", 1L, Some(5L)), ("red", "us", 1L, Some(7L)),
+      ("blue", "eu", 1L, Some(11L))))
+
+    // fact-side window: update + insert + delete
+    fact.write(spark, Seq((1, 10L, 100L, 6L), (3, 20L, 100L, 11L), (4, 20L, 200L, 1L))
+      .toDF("k", "jk1", "jk2", "x"))
+    mv.refresh(spark)
+    assert(rows(mv) == recompute(fact, d1, d2))
+
+    // dim1 attribute flips: every joined row moves (c) groups, dim2 untouched
+    d1.scd1Merge(spark, Seq((10L, 2L, "crimson")).toDF("jk1", "seq", "c"), "seq")
+    mv.refresh(spark)
+    assert(rows(mv) == recompute(fact, d1, d2))
+    assert(rows(mv).exists(_._1 == "crimson") && !rows(mv).exists(_._1 == "red"))
+
+    // dim2 attribute flips in the SAME window as a fact change AND a dim1
+    // change — all three telescoping legs fire at once, no double count
+    fact.write(spark, Seq((1, 10L, 100L, 6L), (3, 20L, 100L, 11L), (4, 20L, 200L, 1L),
+      (5, 30L, 200L, 50L)).toDF("k", "jk1", "jk2", "x"))
+    d1.scd1Merge(spark, Seq((30L, 3L, "green")).toDF("jk1", "seq", "c"), "seq")
+    d2.scd1Merge(spark, Seq((200L, 2L, "apac")).toDF("jk2", "seq", "r"), "seq")
+    mv.refresh(spark)
+    assert(rows(mv) == recompute(fact, d1, d2))
+    assert(rows(mv).exists(r => r._1 == "green" && r._2 == "apac" &&
+      r._4 == Some(50L)))
+    assert(!rows(mv).exists(_._2 == "us"))
+  }
+
+  test("exactly-once across the numbered vector ledger; no-ops; replay") {
+    val work = tmp("mvse")
+    val fact = new SnapshotTable(s"$work/fact")
+    val d1 = new BucketedSnapshotTable(s"$work/d1", 4, Seq("jk1"))
+    fact.write(spark, Seq((1, 10L, 5L)).toDF("k", "jk1", "x"))
+    d1.scd1Merge(spark, Seq((10L, 1L, "red")).toDF("jk1", "seq", "c"), "seq")
+    val mv = MaterializedStarAggView.create(spark, s"$work/mv",
+      s"$work/fact", Seq("k"), Seq(dim(s"$work/d1", Nil, Seq("jk1"))),
+      Seq("c"), Seq(agg("sum", Some("x"), "sx")), numBuckets = 4)
+    mv.refresh(spark)
+    val once = mv.read(spark).as[(String, Option[Long])].collect().toSet
+    assert(once == Set(("red", Some(5L))))
+    val (vec, touched) = mv.refresh(spark)
+    assert(vec == Seq(1, 1) && touched.isEmpty)
+    assert(mv.lastApplied(spark) == ((1L, Seq(1, 1))))
+    assert(mv.read(spark).as[(String, Option[Long])].collect().toSet == once)
+    // one more window, then the applied vector advances with refresh #2
+    fact.write(spark, Seq((1, 10L, 9L)).toDF("k", "jk1", "x"))
+    mv.refresh(spark)
+    assert(mv.lastApplied(spark) == ((2L, Seq(2, 1))))
+    assert(mv.read(spark).as[(String, Option[Long])].collect().toSet ==
+      Set(("red", Some(9L))))
+  }
+
+  test("refresh rewrites only the buckets holding changed groups") {
+    val work = tmp("mvsb")
+    val fact = new SnapshotTable(s"$work/fact")
+    val d1 = new BucketedSnapshotTable(s"$work/d1", 8, Seq("jk1"))
+    val d2 = new BucketedSnapshotTable(s"$work/d2", 8, Seq("jk2"))
+    val base = (1 to 512).map(i => (i, (i % 64).toLong, (i % 16).toLong, i.toLong))
+    fact.write(spark, base.toDF("k", "jk1", "jk2", "x"))
+    d1.scd1Merge(spark, (0 until 64).map(j => (j.toLong, 1L, s"c$j"))
+      .toDF("jk1", "seq", "c"), "seq")
+    d2.scd1Merge(spark, (0 until 16).map(j => (j.toLong, 1L, s"r$j"))
+      .toDF("jk2", "seq", "r"), "seq")
+    val mv = MaterializedStarAggView.create(spark, s"$work/mv",
+      s"$work/fact", Seq("k"),
+      Seq(dim(s"$work/d1", Nil, Seq("jk1")), dim(s"$work/d2", Nil, Seq("jk2"))),
+      Seq("c", "r"), Seq(agg("sum", Some("x"), "sx")), numBuckets = 32)
+    val (_, boot) = mv.refresh(spark)
+    assert(boot.size >= 24)
+    // one fact key changes → one (c, r) group → ≲ a couple of buckets
+    fact.write(spark, (base.filterNot(_._1 == 7) :+ ((7, 7L, 7L, 999L)))
+      .toDF("k", "jk1", "jk2", "x"))
+    val (_, touched) = mv.refresh(spark)
+    assert(touched.size <= 2, s"expected O(changed groups) buckets, got ${touched.size}")
+    assert(rows0(mv) == graft.cdc.ScdMerge.scd1Current(fact.read(spark))
+      .join(graft.cdc.ScdMerge.scd1Current(d1.read(spark)), Seq("jk1"))
+      .join(graft.cdc.ScdMerge.scd1Current(d2.read(spark)), Seq("jk2"))
+      .groupBy("c", "r").agg(sum("x").as("sx"))
+      .as[(String, String, Option[Long])].collect().toSet)
+  }
+
+  private def rows0(mv: MaterializedStarAggView)
+      : Set[(String, String, Option[Long])] =
+    mv.read(spark).as[(String, String, Option[Long])].collect().toSet
+}
