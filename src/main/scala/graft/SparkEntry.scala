@@ -5635,6 +5635,72 @@ object SparkEntry {
     //    proves a post-refresh query sees the new source version. The
     //    Databricks materialized-view story end to end: incremental
     //    maintenance (q320) + transparent routing (this).
+    // ── TRANSPARENT STAR ROUTING (r11): the N-way completion of
+    //    q322/q325 — an ORDINARY aggregate over the full star join
+    //    (fact ⋈ orders ⋈ part, inner, on exactly the view's per-dim
+    //    keys, visible rows) rewrites to read the star view's state:
+    //    the dashboard query over the star schema answered without
+    //    touching the fact, refresh visible through the SAME query.
+    //    Partial stars (a dim missing), extra filters, and outer joins
+    //    stay on the base (pinned in spec). In-query requires pin the
+    //    rewritten plan; the oracle recomputes the 3-way join.
+    "q327_transparent_star_routing" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("mvsroute").toString
+      withShufflePartitions(s, 8) {
+      val ext = new org.apache.spark.sql.SparkSessionExtensions
+      new graft.GraftExtensions().apply(ext)
+      org.apache.spark.sql.GraftColumnBridge.applyExtensions(ext, s)
+      val fact = new graft.tables.SnapshotTable(s"$work/fact")
+      val d1 = new graft.tables.BucketedSnapshotTable(s"$work/orders", 16, Seq("o_orderkey"))
+      val d2 = new graft.tables.BucketedSnapshotTable(s"$work/part", 16, Seq("p_partkey"))
+      val l0 = Tables.lineitem(s, dir)
+        .select($"l_orderkey".as("o_orderkey"), $"l_linenumber",
+          $"l_partkey", $"l_quantity".cast("decimal(18,2)").as("q0"))
+        .groupBy($"o_orderkey", $"l_linenumber")
+        .agg(min($"l_partkey").as("p_partkey"),
+          sum($"q0").cast("decimal(18,2)").as("qty"))
+      fact.write(s, l0)
+      d1.scd1Merge(s, Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderpriority".as("prio"))
+        .withColumn("op_seq", lit(1L)), "op_seq")
+      d2.scd1Merge(s, Tables.part(s, dir).select($"p_partkey", $"p_brand")
+        .withColumn("op_seq", lit(1L)), "op_seq")
+      val mv = graft.tables.MaterializedStarAggView.create(s, s"$work/mv",
+        s"$work/fact", Seq("o_orderkey", "l_linenumber"),
+        Seq(graft.tables.MaterializedStarAggView.Dim(s"$work/orders", Nil, Seq("o_orderkey")),
+          graft.tables.MaterializedStarAggView.Dim(s"$work/part", Nil, Seq("p_partkey"))),
+        Seq("prio", "p_brand"),
+        Seq(graft.tables.MaterializedAggView.Agg("count", None, "n"),
+          graft.tables.MaterializedAggView.Agg("sum", Some("qty"), "sq")),
+        numBuckets = 16)
+      mv.refresh(s)
+      mv.registerRewrite(s)
+      try {
+        // a fact change lands AFTER registration; the refreshed state is
+        // what the transparent query must read
+        val k1 = l0.agg(min($"o_orderkey")).as[Long].head()
+        fact.write(s, l0.withColumn("qty",
+          when($"o_orderkey" === k1, $"qty" + 5).otherwise($"qty")
+            .cast("decimal(18,2)")))
+        mv.refresh(s)
+        val q = fact.readIndexed(s)
+          .join(graft.cdc.ScdMerge.scd1Current(d1.readIndexed(s)), Seq("o_orderkey"))
+          .join(graft.cdc.ScdMerge.scd1Current(d2.readIndexed(s)), Seq("p_partkey"))
+          .groupBy($"prio", $"p_brand")
+          .agg(count(lit(1)).as("n"), sum($"qty").cast("double").as("sq"))
+          .orderBy($"prio", $"p_brand")
+        val plan = q.queryExecution.optimizedPlan.toString
+        require(plan.contains("__sum_qty") && plan.contains("__cnt"),
+          s"transparent star routing must aggregate the view partials, got:\n$plan")
+        require(!plan.contains("/fact/_v"),
+          "plan must not scan the fact snapshot's version dirs")
+        val out = q.collect()
+        s.createDataFrame(s.sparkContext.parallelize(out.toSeq, 1), q.schema)
+      } finally graft.plans.AggRollupRewrite.clear()
+      }
+    }),
+
     // ── INCREMENTAL STAR-AGGREGATE VIEW (r11): fact ⋈ dim1 ⋈ dim2
     //    rollups maintained from ALL THREE change feeds via the
     //    telescoping delta identity (ΔF⋈D1'⋈D2' + F⋈ΔD1⋈D2' +
@@ -6808,6 +6874,25 @@ object SparkEntry {
         |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |  WHERE o_totalprice >= 480000)
         |ORDER BY o_orderkey, o_custkey""".stripMargin,
+
+    // the transparently-routed star aggregate = a from-scratch recompute
+    // of the 3-way join over the final state (one order's lines +5 qty)
+    "q327_transparent_star_routing" ->
+      """WITH lbase AS (
+        |  SELECT l_orderkey, min(l_partkey) AS p_partkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
+        |  FROM lineitem GROUP BY l_orderkey, l_linenumber),
+        |lfix AS (
+        |  SELECT l_orderkey, p_partkey,
+        |    CASE WHEN l_orderkey = (SELECT min(l_orderkey) FROM lineitem)
+        |         THEN qty + 5 ELSE qty END AS qty
+        |  FROM lbase)
+        |SELECT o_orderpriority AS prio, p_brand, count(*) AS n,
+        |  CAST(sum(qty) AS DOUBLE) AS sq
+        |FROM lfix
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part USING (p_partkey)
+        |GROUP BY prio, p_brand ORDER BY prio, p_brand""".stripMargin,
 
     // the star view's final state = a from-scratch recompute of the
     // 3-way join: one order's lines +5 qty (fact leg), one order's

@@ -85,7 +85,25 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
     joinRegistry.put((canon(factRoot), canon(dimRoot)),
       JoinRollup(spark, provider, factRoot, dimRoot, joinKeys, dims, measures))
 
-  def clear(): Unit = { registry.clear(); joinRegistry.clear() }
+  /** Star-rollup registration: the fact root, each dim's (root, join
+    * keys), and a live rollup-format provider. */
+  final case class StarRollup(spark: SparkSession, provider: () => DataFrame,
+      factRoot: String, dims: Seq[(String, Seq[String])],
+      groupBy: Seq[String], measures: Seq[String])
+
+  private val starRegistry = TrieMap.empty[String, StarRollup]
+
+  /** Point aggregates over the INNER equi-join of fact and ALL the dims
+    * (each on its own keys) at a LIVE star-rollup relation — the
+    * incrementally-maintained [[graft.tables.MaterializedStarAggView]]
+    * registers its state this way. */
+  def registerStarView(spark: SparkSession, factRoot: String,
+      dims: Seq[(String, Seq[String])], groupBy: Seq[String],
+      measures: Seq[String], provider: () => DataFrame): Unit =
+    starRegistry.put(canon(factRoot),
+      StarRollup(spark, provider, factRoot, dims, groupBy, measures))
+
+  def clear(): Unit = { registry.clear(); joinRegistry.clear(); starRegistry.clear() }
 
   /** Build + write the rollup table for `base` (one full scan, once):
     * per dims-tuple `__cnt` and per-measure sum/min/max partials. Measures
@@ -136,14 +154,154 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (registry.isEmpty && joinRegistry.isEmpty) plan
+    if (registry.isEmpty && joinRegistry.isEmpty && starRegistry.isEmpty) plan
     else plan.transform {
       case agg @ Aggregate(groupings, aggExprs, child, _) =>
         baseScanOf(child).flatMap(r => rewrite(agg, groupings, aggExprs, r))
           .orElse(joinScanOf(child).flatMap(j => rewrite(agg, groupings, aggExprs,
             Rollup(j.spark, j.provider, j.dims, j.measures))))
+          .orElse(starScanOf(child).flatMap(st => rewrite(agg, groupings, aggExprs,
+            Rollup(st.spark, st.provider, st.groupBy, st.measures))))
           .getOrElse(agg)
     }
+
+  /** One relation leaf of an inner-join tree: its scan root paths and its
+    * output attribute set (for opposite-leg verification). */
+  private final case class TreeLeaf(roots: List[Path],
+      out: org.apache.spark.sql.catalyst.expressions.AttributeSet)
+
+  /** Walk an INNER equi-join TREE: attribute-only Projects and the
+    * visible-rows / inferred-isnotnull filters are transparent (the
+    * non-null names are collected and verified against the join keys by
+    * the caller); anything else refuses. Returns (leaves, all equality
+    * conjuncts, tolerated non-null names). */
+  private def collectJoinTree(p: LogicalPlan)
+      : Option[(Seq[TreeLeaf], Seq[Expression], Set[String])] = p match {
+    case Project(pl, gc) if pl.forall(_.isInstanceOf[Attribute]) => collectJoinTree(gc)
+    case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+      val cs = splitConjunctsShared(f.condition)
+      val ok = cs.forall {
+        case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+          _: AttributeReference) => true
+        case c => visibleRowsFilterShared(c)
+      }
+      if (!ok) None
+      else {
+        val nn = cs.collect {
+          case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+            a: AttributeReference) => a.name
+        }.toSet
+        collectJoinTree(f.child).map { case (ls, es, s) => (ls, es, s ++ nn) }
+      }
+    case Join(l, r, Inner, Some(cond), _) =>
+      for {
+        (ll, le, ln) <- collectJoinTree(l)
+        (rl, re, rn) <- collectJoinTree(r)
+      } yield (ll ++ rl, le ++ re ++ splitConjunctsShared(cond), ln ++ rn)
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation =>
+        Some((Seq(TreeLeaf(fs.location.rootPaths.toList, lr.outputSet)), Nil, Set.empty))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def visibleRowsFilterShared(e: Expression): Boolean = e match {
+    case org.apache.spark.sql.catalyst.expressions.Not(inner) => inner match {
+      case org.apache.spark.sql.catalyst.expressions.Coalesce(
+          Seq(a: AttributeReference, Literal(false, _))) =>
+        a.name == graft.cdc.ScdMerge.DeletedCol
+      case a: AttributeReference => a.name == graft.cdc.ScdMerge.DeletedCol
+      case _ => false
+    }
+    case _ => false
+  }
+
+  private def splitConjunctsShared(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitConjunctsShared(l) ++ splitConjunctsShared(r)
+    case other => Seq(other)
+  }
+
+  /** Ancestor walk across engine-internal segments only (see [[lookup]]). */
+  private def underRoot(paths: List[Path], root: String): Boolean =
+    paths.nonEmpty && paths.forall { p =>
+      var cur = p; var hit = false; var internal = true
+      while (cur != null && !hit && internal) {
+        hit = canon(cur.toString) == root
+        if (!hit) {
+          val seg = cur.getName
+          internal = seg.startsWith("_") || seg.contains("=")
+        }
+        cur = cur.getParent
+      }
+      hit
+    }
+
+  /** The registered star rollup, if `child` is exactly the inner
+    * equi-join of the registered fact and ALL its dims on exactly the
+    * registered per-dim keys: one leaf per source, a bijection from the
+    * remaining leaves to the dims by root, and per (dim, key) exactly
+    * one same-named equality whose operands span THAT dim's leaf and a
+    * different leaf. Extra leaves, missing dims, extra conditions, or a
+    * user filter refuse — the rollup stores full star inner-join group
+    * totals and nothing else. */
+  private def starScanOf(child: LogicalPlan): Option[StarRollup] = {
+    if (starRegistry.isEmpty) return None
+    val (leaves, conds, nn) = collectJoinTree(child).getOrElse(return None)
+    if (leaves.size < 2) return None
+    starRegistry.values.find { st =>
+      val factLeafIdx = leaves.indices.filter(i => underRoot(leaves(i).roots, canon(st.factRoot)))
+      leaves.size == st.dims.size + 1 &&
+      factLeafIdx.size == 1 && {
+        val remaining = leaves.indices.filterNot(_ == factLeafIdx.head)
+        val assignment: Option[Map[Int, Int]] = { // dim index -> leaf index
+          val pairs = st.dims.zipWithIndex.map { case ((droot, _), di) =>
+            di -> remaining.filter(i => underRoot(leaves(i).roots, canon(droot)))
+          }
+          // greedy bijection (dims with one candidate first); roots are
+          // distinct tables in practice, so ambiguity means refusal
+          if (pairs.exists(_._2.isEmpty)) None
+          else {
+            val chosen = scala.collection.mutable.Map.empty[Int, Int]
+            val used = scala.collection.mutable.Set.empty[Int]
+            val ordered = pairs.sortBy(_._2.size)
+            val ok = ordered.forall { case (di, cands) =>
+              cands.find(!used(_)) match {
+                case Some(c) => chosen(di) = c; used += c; true
+                case None => false
+              }
+            }
+            if (ok) Some(chosen.toMap) else None
+          }
+        }
+        assignment.exists { asg =>
+          val allKeys = st.dims.flatMap(_._2).toSet
+          val expected = st.dims.map(_._2.size).sum
+          conds.size == expected &&
+          nn.subsetOf(allKeys) &&
+          st.dims.zipWithIndex.forall { case ((_, keys), di) =>
+            val dimOut = leaves(asg(di)).out
+            keys.forall { k =>
+              conds.count {
+                case EqualTo(a: AttributeReference, b: AttributeReference) =>
+                  a.name == k && b.name == k &&
+                    ((dimOut.contains(a) && !dimOut.contains(b)) ||
+                      (dimOut.contains(b) && !dimOut.contains(a)))
+                case _ => false
+              } == 1
+            }
+          } &&
+          // every condition is consumed by some (dim, key) slot
+          conds.forall {
+            case EqualTo(a: AttributeReference, b: AttributeReference) =>
+              a.name == b.name && allKeys.contains(a.name)
+            case _ => false
+          }
+        }
+      }
+    }
+  }
 
   /** The registered join rollup, if `child` is exactly the INNER equi-join
     * of the registered (fact, dim) pair on exactly the registered join

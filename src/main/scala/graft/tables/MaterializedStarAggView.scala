@@ -291,6 +291,38 @@ final class MaterializedStarAggView(val root: String) {
     (applyVec, touched)
   }
 
+  /** The state in rollup-partial format — what the transparent
+    * [[graft.plans.AggRollupRewrite]] star routing consumes. */
+  private def rollupFormat(spark: SparkSession): DataFrame = {
+    val sp = spec(spark)
+    val raw = graft.cdc.ScdMerge.scd1Current(state(sp).read(spark))
+    val perMeasure = sp.aggs.filter(a => a.fn == "sum" || a.fn == "avg")
+      .groupBy(_.col.get).map { case (m, as) => m -> as.head.as }
+    val nnOnly = sp.aggs.filter(a => a.fn == "count" && a.col.nonEmpty)
+      .filterNot(a => perMeasure.contains(a.col.get))
+      .groupBy(_.col.get).map { case (m, as) => m -> as.head.as }
+    raw.select(sp.groupBy.map(col) ++
+      Seq(col(NCol).as("__cnt")) ++
+      perMeasure.toSeq.flatMap { case (m, as) => Seq(
+        col(sumCol(as)).as(s"__sum_$m"), col(nnCol(as)).as(s"__nn_$m")) } ++
+      nnOnly.toSeq.map { case (m, as) => col(nnCol(as)).as(s"__nn_$m") }: _*)
+  }
+
+  /** Register TRANSPARENT routing: any `Aggregate` over the inner
+    * equi-join of the fact and ALL the dims on exactly the view's
+    * per-dim keys, whose grouping ⊆ the view's GROUP BY and whose
+    * aggregates are covered, rewrites to read this view's state — the
+    * star dashboard query answered without touching the fact. Exact as
+    * of the last applied version vector (the usual staleness contract). */
+  def registerRewrite(spark: SparkSession): Unit = {
+    val sp = spec(spark)
+    val measures = sp.aggs.filterNot(a => a.fn == "count" && a.col.isEmpty)
+      .flatMap(_.col).distinct
+    graft.plans.AggRollupRewrite.registerStarView(spark, sp.factRoot,
+      sp.dims.map(d => d.root -> d.join), sp.groupBy, measures,
+      () => rollupFormat(spark))
+  }
+
   /** Group columns + one column per declared aggregate (avg as DOUBLE,
     * SQL null semantics). */
   def read(spark: SparkSession): DataFrame = {

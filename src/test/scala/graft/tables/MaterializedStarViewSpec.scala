@@ -102,6 +102,58 @@ class MaterializedStarViewSpec extends AnyFunSuite {
       Set(("red", Some(9L))))
   }
 
+  test("transparent star routing: aggregate over fact⋈d1⋈d2 reads the view state") {
+    val work = tmp("mvsr")
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    org.apache.spark.sql.GraftColumnBridge.applyExtensions(ext, spark)
+    val fact = new SnapshotTable(s"$work/fact")
+    val d1 = new BucketedSnapshotTable(s"$work/d1", 4, Seq("jk1"))
+    val d2 = new BucketedSnapshotTable(s"$work/d2", 4, Seq("jk2"))
+    fact.write(spark, Seq((1, 10L, 100L, 5L), (2, 10L, 200L, 7L), (3, 20L, 100L, 11L))
+      .toDF("k", "jk1", "jk2", "x"))
+    d1.scd1Merge(spark, Seq((10L, 1L, "red"), (20L, 1L, "blue"))
+      .toDF("jk1", "seq", "c"), "seq")
+    d2.scd1Merge(spark, Seq((100L, 1L, "eu"), (200L, 1L, "us"))
+      .toDF("jk2", "seq", "r"), "seq")
+    val mv = MaterializedStarAggView.create(spark, s"$work/mv",
+      s"$work/fact", Seq("k"),
+      Seq(dim(s"$work/d1", Nil, Seq("jk1")), dim(s"$work/d2", Nil, Seq("jk2"))),
+      Seq("c", "r"),
+      Seq(agg("count", None, "n"), agg("sum", Some("x"), "sx")), numBuckets = 4)
+    mv.refresh(spark)
+    try {
+      mv.registerRewrite(spark)
+      def joined = fact.readIndexed(spark)
+        .join(graft.cdc.ScdMerge.scd1Current(d1.readIndexed(spark)), Seq("jk1"))
+        .join(graft.cdc.ScdMerge.scd1Current(d2.readIndexed(spark)), Seq("jk2"))
+      // own grain routes off the fact scan
+      val own = joined.groupBy(col("c"), col("r"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      val planO = own.queryExecution.optimizedPlan.toString
+      assert(planO.contains("__sum_x") && !planO.contains("/fact/_v"), planO)
+      assert(own.as[(String, String, Long, Long)].collect().toSet ==
+        Set(("red", "eu", 1L, 5L), ("red", "us", 1L, 7L), ("blue", "eu", 1L, 11L)))
+      // a coarser grain (one dim's attribute) routes and re-aggregates
+      val coarse = joined.groupBy(col("c")).agg(sum(col("x")).as("sx"))
+      assert(coarse.queryExecution.optimizedPlan.toString.contains("__sum_x"))
+      assert(coarse.as[(String, Long)].collect().toSet ==
+        Set(("red", 12L), ("blue", 11L)))
+      // a PARTIAL star (one dim missing) must NOT route: its rows differ
+      // (no inner-join restriction through d2)
+      val partial = fact.readIndexed(spark)
+        .join(graft.cdc.ScdMerge.scd1Current(d1.readIndexed(spark)), Seq("jk1"))
+        .groupBy(col("c")).agg(sum(col("x")).as("sx"))
+      assert(!partial.queryExecution.optimizedPlan.toString.contains("__sum_x"))
+      // an extra filter refuses too
+      val filtered = joined.filter(col("x") > 6)
+        .groupBy(col("c")).agg(sum(col("x")).as("sx"))
+      assert(!filtered.queryExecution.optimizedPlan.toString.contains("__sum_x"))
+      assert(filtered.as[(String, Long)].collect().toSet ==
+        Set(("red", 7L), ("blue", 11L)))
+    } finally graft.plans.AggRollupRewrite.clear()
+  }
+
   test("refresh rewrites only the buckets holding changed groups") {
     val work = tmp("mvsb")
     val fact = new SnapshotTable(s"$work/fact")
