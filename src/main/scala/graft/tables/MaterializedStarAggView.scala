@@ -47,7 +47,12 @@ import org.apache.spark.sql.types._
   *
   * Contracts: as [[MaterializedJoinAggView]] — additive aggregates only,
   * non-null group keys, distinct column names across sides apart from
-  * join keys, `VACUUM … KEEP` ≥ refresh lag on every source.
+  * join keys, `VACUUM … KEEP` ≥ refresh lag on every source. One
+  * refresher at a time: two racing refreshes would both claim number
+  * n+1, and the loser's vector overwrite could mislabel the winner's
+  * committed window (the single-table views are naturally idempotent
+  * here because their ledger value IS the source version; the vector
+  * file is the price of N+1 sources).
   */
 final class MaterializedStarAggView(val root: String) {
   import MaterializedAggView.{Agg, NCol, SeqCol}
