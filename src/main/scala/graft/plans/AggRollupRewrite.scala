@@ -278,24 +278,35 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
         assignment.exists { asg =>
           val allKeys = st.dims.flatMap(_._2).toSet
           val expected = st.dims.map(_._2.size).sum
+          val factOut = leaves(factLeafIdx.head).out
           conds.size == expected &&
           nn.subsetOf(allKeys) &&
+          // each (dim, key) slot: exactly one same-named equality whose
+          // operands span THAT dim's leaf and the FACT leaf — a dim-to-dim
+          // equality (snowflake chain) must NOT satisfy a slot: a
+          // snowflaked dim may carry a same-named column whose values
+          // differ from the fact's, and `d1.k = d2.k` says nothing about
+          // `fact.k = d2.k` unless d1.k is itself equated with fact.k,
+          // which a registered star never requires. Conservative refusal:
+          // only the canonical star shape routes.
           st.dims.zipWithIndex.forall { case ((_, keys), di) =>
             val dimOut = leaves(asg(di)).out
             keys.forall { k =>
               conds.count {
                 case EqualTo(a: AttributeReference, b: AttributeReference) =>
                   a.name == k && b.name == k &&
-                    ((dimOut.contains(a) && !dimOut.contains(b)) ||
-                      (dimOut.contains(b) && !dimOut.contains(a)))
+                    ((dimOut.contains(a) && factOut.contains(b)) ||
+                      (dimOut.contains(b) && factOut.contains(a)))
                 case _ => false
               } == 1
             }
           } &&
-          // every condition is consumed by some (dim, key) slot
+          // every condition is consumed by some (dim, key) slot: fact on
+          // one side, a registered key name on both
           conds.forall {
             case EqualTo(a: AttributeReference, b: AttributeReference) =>
-              a.name == b.name && allKeys.contains(a.name)
+              a.name == b.name && allKeys.contains(a.name) &&
+                (factOut.contains(a) || factOut.contains(b))
             case _ => false
           }
         }
@@ -313,35 +324,19 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
     case Project(projectList, grandchild) if projectList.forall(_.isInstanceOf[Attribute]) =>
       joinScanOf(grandchild)
     case Join(l, r, Inner, Some(cond), _) =>
-      // a leg may be the standard visible-rows read of an SCD table:
-      // Project(drop __DELETED) over Filter(NOT coalesce(__DELETED,
-      // false)) — exactly what the maintained state corresponds to (the
-      // feeds exclude tombstones), so that filter is transparent here;
-      // any OTHER filter refuses the rewrite
-      def visibleRowsFilter(e: Expression): Boolean = e match {
-        case org.apache.spark.sql.catalyst.expressions.Not(inner) => inner match {
-          case org.apache.spark.sql.catalyst.expressions.Coalesce(
-              Seq(a: AttributeReference, Literal(false, _))) =>
-            a.name == graft.cdc.ScdMerge.DeletedCol
-          case a: AttributeReference => a.name == graft.cdc.ScdMerge.DeletedCol
-          case _ => false
-        }
-        case _ => false
-      }
-      // the optimizer also infers `isnotnull(<join key>)` under each leg
-      // of an inner equi-join — sound to see through (the state holds
-      // inner-join results, whose keys are non-null by construction), but
-      // ONLY for the registered join keys: the names are collected here
-      // and verified against the registration below, so a USER filter
-      // `measure IS NOT NULL` still refuses the rewrite
+      // a leg may carry attribute-only Projects, the standard
+      // visible-rows tombstone filter, and optimizer-inferred
+      // isnotnull(<join key>) conjuncts (names verified against the
+      // registration below, so a USER filter still refuses) — the same
+      // tolerance set as the star tree collector, via the Shared helpers
       def rootsOf(p: LogicalPlan): Option[(List[Path], Set[String])] = p match {
         case Project(pl, gc) if pl.forall(_.isInstanceOf[Attribute]) => rootsOf(gc)
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-          val cs = splitConjuncts(f.condition)
+          val cs = splitConjunctsShared(f.condition)
           val ok = cs.forall {
             case org.apache.spark.sql.catalyst.expressions.IsNotNull(
               _: AttributeReference) => true
-            case c => visibleRowsFilter(c)
+            case c => visibleRowsFilterShared(c)
           }
           if (!ok) None
           else {
@@ -358,25 +353,8 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
         case _ => None
       }
       def regFor(a: List[Path], b: List[Path]): Option[JoinRollup] =
-        joinRegistry.values.find { j =>
-          val (cf, cd) = (canon(j.factRoot), canon(j.dimRoot))
-          // same internal-segments-only walk as lookup(): a different
-          // table nested under a registered root must not match
-          def under(paths: List[Path], root: String) =
-            paths.nonEmpty && paths.forall { p =>
-              var cur = p; var hit = false; var internal = true
-              while (cur != null && !hit && internal) {
-                hit = canon(cur.toString) == root
-                if (!hit) {
-                  val seg = cur.getName
-                  internal = seg.startsWith("_") || seg.contains("=")
-                }
-                cur = cur.getParent
-              }
-              hit
-            }
-          under(a, cf) && under(b, cd)
-        }
+        joinRegistry.values.find(j =>
+          underRoot(a, canon(j.factRoot)) && underRoot(b, canon(j.dimRoot)))
       for {
         (lRoots, lNN) <- rootsOf(l)
         (rRoots, rNN) <- rootsOf(r)
@@ -386,7 +364,7 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
         // operands named the key AND coming from OPPOSITE legs (a
         // tautological fact.k = fact.k condition over a cross join would
         // otherwise pass every name check)
-        conds = splitConjuncts(cond)
+        conds = splitConjunctsShared(cond)
         if conds.size == j.joinKeys.size && conds.forall {
           case EqualTo(a: AttributeReference, b: AttributeReference) =>
             a.name == b.name && j.joinKeys.contains(a.name) &&
@@ -397,12 +375,6 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
           .toSet == j.joinKeys.toSet
       } yield j
     case _ => None
-  }
-
-  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
-    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
-      splitConjuncts(l) ++ splitConjuncts(r)
-    case other => Seq(other)
   }
 
   /** Registry hit for a scan path: exact, or an ANCESTOR directory — a

@@ -193,8 +193,14 @@ final class BucketedSnapshotTable(
   private[graft] def versionWithTxnAtMost(spark: SparkSession, queryId: String,
       value: Long): Option[Int] = {
     val cur = currentVersion(spark).getOrElse(return None)
-    (cur to 1 by -1).find(v => scala.util.Try(txnsOf(spark, v)).toOption
-      .exists(_.getOrElse(queryId, 0L) <= value)) // unreadable (vacuumed) → skip
+    (cur to 1 by -1).find { v =>
+      // skip ONLY a manifest that no longer exists (vacuumed); any other
+      // IO error must propagate — silently skipping a transiently
+      // unreadable version would pin the replay to an OLDER base and
+      // corrupt the recomputed deltas (the refresh is retryable)
+      try txnsOf(spark, v).getOrElse(queryId, 0L) <= value
+      catch { case _: java.io.FileNotFoundException => false }
+    }
   }
 
   private def writeManifest(spark: SparkSession, v: Int, m: Map[Int, BucketEntry],
@@ -320,6 +326,22 @@ final class BucketedSnapshotTable(
       .distinct().collect().map(_.getInt(0)).toSet
     readBuckets(spark, Some(wanted)) match {
       case None     => read(spark).limit(0) // schema-preserving empty relation
+      case Some(df) => df.drop(BucketCol).join(probe, keys, "left_semi")
+    }
+  }
+
+  /** [[readKeys]] pinned to manifest `version`: the bucket file list
+    * resolves from THAT version's manifest, so a concurrent commit
+    * landing between the caller's version capture and this read cannot
+    * shift the read forward — what an incremental-view leg needs when it
+    * RECORDS the version it joined (reading a newer state than recorded
+    * would double-apply that window on the next refresh). */
+  def readKeysAt(spark: SparkSession, keyRows: DataFrame, version: Int): DataFrame = {
+    val probe = keyRows.select(keys.map(col): _*).distinct()
+    val wanted = probe.select(bucketExpr.as("__b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    fromManifest(spark, readManifest(spark, version), Some(wanted)) match {
+      case None     => readVersion(spark, version).limit(0)
       case Some(df) => df.drop(BucketCol).join(probe, keys, "left_semi")
     }
   }

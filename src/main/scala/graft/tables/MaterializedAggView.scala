@@ -143,7 +143,7 @@ final class MaterializedAggView(val root: String) {
       .otherwise(lit(-1L))
 
     // one shuffle on the group key: signed counts + signed sums per agg
-    val accTypes = accumulatorTypes(sp, feed.schema)
+    val accTypes = accumulatorTypes(sp.aggs, feed.schema)
     val deltaAggs: Seq[Column] =
       sum(sign).as(NCol) +: sp.aggs.flatMap { a =>
         a.fn match {
@@ -386,21 +386,27 @@ object MaterializedAggView {
   final case class Spec(sourceRoot: String, sourceKeys: Seq[String],
       groupBy: Seq[String], aggs: Seq[Agg], numBuckets: Int)
 
-  /** Accumulator type per agg output: exact for integrals (LONG) and
-    * decimals (DECIMAL(p+10, s) — Spark's own sum widening); double for
-    * floats. */
-  private def accumulatorTypes(sp: Spec, feedSchema: StructType): Map[String, DataType] =
-    sp.aggs.collect {
+  /** Accumulator type for one additive measure: exact for integrals
+    * (LONG) and decimals (DECIMAL(p+10, s) — Spark's own sum widening);
+    * double for floats. ONE copy shared by all three view kinds — a
+    * widening fix here reaches every kind. */
+  private[tables] def accumulatorType(fn: String, colName: String,
+      dt: DataType): DataType = dt match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType => LongType
+    case d: DecimalType => DecimalType(math.min(38, d.precision + 10), d.scale)
+    case _: FloatType | _: DoubleType => DoubleType
+    case other => throw new IllegalArgumentException(
+      s"$fn($colName): unsupported measure type $other")
+  }
+
+  /** Accumulator type per agg output (see [[accumulatorType]]). */
+  private[tables] def accumulatorTypes(aggs: Seq[Agg],
+      feedSchema: StructType): Map[String, DataType] =
+    aggs.collect {
       case a if a.fn == "sum" || a.fn == "avg" =>
-        val dt = feedSchema(a.col.getOrElse(throw new IllegalArgumentException(
-          s"${a.fn} needs a column"))).dataType
-        a.as -> (dt match {
-          case _: ByteType | _: ShortType | _: IntegerType | _: LongType => LongType
-          case d: DecimalType => DecimalType(math.min(38, d.precision + 10), d.scale)
-          case _: FloatType | _: DoubleType => DoubleType
-          case other => throw new IllegalArgumentException(
-            s"${a.fn}(${a.col.get}): unsupported measure type $other")
-        })
+        val c = a.col.getOrElse(throw new IllegalArgumentException(
+          s"${a.fn} needs a column"))
+        a.as -> accumulatorType(a.fn, c, feedSchema(c).dataType)
     }.toMap
 
   /** Declare the view: persist the spec (no data moves until the first

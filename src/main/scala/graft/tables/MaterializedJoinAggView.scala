@@ -122,8 +122,11 @@ final class MaterializedJoinAggView(val root: String) {
         val fd0 =
           if (lastFV == 0) ff.visibleAt(factV).withColumn("_change_type", lit("insert"))
           else ff.feed(lastFV, factV, withColumns = false, withPreimage = true)
-        val fd = fd0.withColumn(SignCol, sign)
-          .drop(bookkeeping: _*)
+        // pinned on incremental windows: the dim's bucket-hash probe is an
+        // eager action, so an unpinned diff would execute twice (the
+        // bootstrap skips the probe and is consumed exactly once)
+        val fd1 = fd0.withColumn(SignCol, sign).drop(bookkeeping: _*)
+        val fd = if (lastFV == 0) fd1 else fd1.localCheckpoint()
         // bootstrap = the full base join (once, like any MV bootstrap):
         // let Catalyst/AQE pick the strategy instead of point-reading the
         // whole fact keyset; incremental windows point-read the dim for
@@ -145,7 +148,9 @@ final class MaterializedJoinAggView(val root: String) {
         val dd0 =
           if (lastDV == 0) df.visibleAt(dimV).withColumn("_change_type", lit("insert"))
           else df.feed(lastDV, dimV, withColumns = false, withPreimage = true)
+        // pinned: consumed by the IN-list collect AND the legs plan
         val dd = dd0.withColumn(SignCol, sign).drop(bookkeeping: _*)
+          .localCheckpoint()
         if (lastFV == 0) None // no applied fact yet: leg 1 carries everything
         else {
           val changedKeys = dd.select(sp.joinKeys.map(col): _*).distinct()
@@ -165,17 +170,7 @@ final class MaterializedJoinAggView(val root: String) {
     //    MaterializedAggView.refresh's fold; join views carry no
     //    count-distinct/min/max, so the additive core suffices)
     val s = col(SignCol)
-    val accTypes: Map[String, DataType] = sp.aggs.collect {
-      case a if a.fn == "sum" || a.fn == "avg" =>
-        val dt = delta.schema(a.col.get).dataType
-        a.as -> (dt match {
-          case _: ByteType | _: ShortType | _: IntegerType | _: LongType => LongType
-          case d: DecimalType => DecimalType(math.min(38, d.precision + 10), d.scale)
-          case _: FloatType | _: DoubleType => DoubleType
-          case other => throw new IllegalArgumentException(
-            s"${a.fn}(${a.col.get}): unsupported measure type $other")
-        })
-    }.toMap
+    val accTypes = MaterializedAggView.accumulatorTypes(sp.aggs, delta.schema)
     val deltaAggs: Seq[Column] =
       sum(s).as(NCol) +: sp.aggs.flatMap { a =>
         a.fn match {
@@ -234,16 +229,18 @@ final class MaterializedJoinAggView(val root: String) {
   }
 
   /** Dim's visible rows at `v` for exactly the given join keys —
-    * bucket-pruned point read when the dim is bucketed by the join keys
-    * AND already at its live version (the common lookup), else the
-    * version read semi-joined. */
+    * bucket-pruned point read PINNED to version `v`'s manifest when the
+    * dim is bucketed by the join keys (a concurrent dim commit between
+    * the refresh's version capture and this read must not shift the leg
+    * forward — the ledger records `v`, and reading newer rows would
+    * double-apply that window on the next refresh), else the version
+    * read semi-joined. */
   private def dimVisiblePruned(spark: SparkSession, sp: Spec, v: Int,
       keyRows: DataFrame): DataFrame = {
     val pruned = BucketedSnapshotTable.layoutOf(spark, sp.dimRoot) match {
       case Some(l) if l.keys.contains(sp.joinKeys) =>
-        val bt = new BucketedSnapshotTable(sp.dimRoot, l.numBuckets, sp.joinKeys)
-        if (bt.currentVersion(spark).contains(v)) bt.readKeys(spark, keyRows)
-        else bt.readVersion(spark, v).join(keyRows, sp.joinKeys, "left_semi")
+        new BucketedSnapshotTable(sp.dimRoot, l.numBuckets, sp.joinKeys)
+          .readKeysAt(spark, keyRows, v)
       case _ =>
         graft.streaming.ChangeFeedSource.adapter(spark, Map("path" -> sp.dimRoot) ++
           (if (sp.dimKeys.nonEmpty) Map("keys" -> sp.dimKeys.mkString(",")) else Map.empty))

@@ -145,15 +145,17 @@ final class MaterializedStarAggView(val root: String) {
     }
 
     /** Dim i visible at version `v`, restricted to `keyRows` when given —
-      * bucket-pruned when the dim is bucketed by its join keys and `v` is
-      * its live version, else a version-pinned semi-join. */
+      * a bucket-pruned point read PINNED to `v`'s manifest when the dim
+      * is bucketed by its join keys (never the live manifest: the vector
+      * records `v`, and a concurrent dim commit landing mid-read would
+      * otherwise double-apply its window on the next refresh), else a
+      * version-pinned semi-join. */
     def dimAt(i: Int, v: Int, keyRows: Option[DataFrame]): DataFrame = {
       val d = sp.dims(i)
       val raw = BucketedSnapshotTable.layoutOf(spark, d.root) match {
         case Some(l) if l.keys.contains(d.join) && keyRows.isDefined =>
-          val bt = new BucketedSnapshotTable(d.root, l.numBuckets, d.join)
-          if (bt.currentVersion(spark).contains(v)) bt.readKeys(spark, keyRows.get)
-          else bt.readVersion(spark, v).join(keyRows.get, d.join, "left_semi")
+          new BucketedSnapshotTable(d.root, l.numBuckets, d.join)
+            .readKeysAt(spark, keyRows.get, v)
         case Some(l) =>
           val bt = new BucketedSnapshotTable(d.root, l.numBuckets,
             l.keys.getOrElse(d.join))
@@ -188,7 +190,12 @@ final class MaterializedStarAggView(val root: String) {
     val leg0: Option[DataFrame] =
       if (liveFV <= lastFV) None
       else {
-        val fd = feedWindow(ff, lastFV, liveFV)
+        // pinned: each dim's bucket-hash probe is an eager action, so an
+        // unpinned window diff would re-execute once per dim plus once in
+        // the legs plan (bootstrap skips the probes AND the pin — its
+        // feed is O(table) and consumed exactly once)
+        val fd0 = feedWindow(ff, lastFV, liveFV)
+        val fd = if (lastFV == 0) fd0 else fd0.localCheckpoint()
         val joined = (0 until n).foldLeft(fd) { (acc, i) =>
           val dimNow =
             if (lastFV == 0) dimAt(i, liveDVs(i), None) // bootstrap: full join
@@ -203,7 +210,9 @@ final class MaterializedStarAggView(val root: String) {
     val dimLegs: Seq[DataFrame] = (0 until n).flatMap { i =>
       if (liveDVs(i) <= lastDVs(i) || lastFV == 0) None // bootstrap rode leg 0
       else {
-        val dd = feedWindow(dfs(i), lastDVs(i), liveDVs(i))
+        // pinned: consumed by the IN-list collect, the other dims'
+        // probes, and the legs plan — three executions otherwise
+        val dd = feedWindow(dfs(i), lastDVs(i), liveDVs(i)).localCheckpoint()
         val changed = dd.select(sp.dims(i).join.map(col): _*).distinct()
         val factOld = factAt(lastFV, sp.dims(i).join, changed)
         val withDelta = factOld.join(dd, sp.dims(i).join)
@@ -228,17 +237,7 @@ final class MaterializedStarAggView(val root: String) {
 
     // ── additive fold into the bucketed state (same core as the siblings)
     val s = col(SignCol)
-    val accTypes: Map[String, DataType] = sp.aggs.collect {
-      case a if a.fn == "sum" || a.fn == "avg" =>
-        val dt = delta.schema(a.col.get).dataType
-        a.as -> (dt match {
-          case _: ByteType | _: ShortType | _: IntegerType | _: LongType => LongType
-          case d: DecimalType => DecimalType(math.min(38, d.precision + 10), d.scale)
-          case _: FloatType | _: DoubleType => DoubleType
-          case other => throw new IllegalArgumentException(
-            s"${a.fn}(${a.col.get}): unsupported measure type $other")
-        })
-    }.toMap
+    val accTypes = MaterializedAggView.accumulatorTypes(sp.aggs, delta.schema)
     val deltaAggs: Seq[Column] =
       sum(s).as(NCol) +: sp.aggs.flatMap { a =>
         a.fn match {

@@ -151,6 +151,22 @@ class MaterializedStarViewSpec extends AnyFunSuite {
       assert(!filtered.queryExecution.optimizedPlan.toString.contains("__sum_x"))
       assert(filtered.as[(String, Long)].collect().toSet ==
         Set(("red", 7L), ("blue", 11L)))
+      // a SNOWFLAKE chain must refuse: d1 carries its own jk2 column
+      // whose values DIFFER from the fact's — joining d2 through d1's
+      // copy is a different relation than the registered star, so
+      // routing it to the view state would be silently wrong
+      val d1Snow = graft.cdc.ScdMerge.scd1Current(d1.readIndexed(spark))
+        .withColumn("jk2", when(col("jk1") === 10L, lit(200L)).otherwise(lit(100L)))
+      val fdf = fact.readIndexed(spark).drop("jk2")
+      val snow = fdf.join(d1Snow, Seq("jk1"))
+        .join(graft.cdc.ScdMerge.scd1Current(d2.readIndexed(spark)), Seq("jk2"))
+        .groupBy(col("c"), col("r")).agg(sum(col("x")).as("sx"))
+      val planS = snow.queryExecution.optimizedPlan.toString
+      assert(!planS.contains("__sum_x"), s"snowflake chain must not route:\n$planS")
+      // …and the base answer (through d1's jk2) genuinely differs from
+      // the star view's rows — the refusal is what keeps it correct
+      val got = snow.as[(String, String, Long)].collect().toSet
+      assert(got == Set(("red", "us", 12L), ("blue", "eu", 11L)), got.toString)
     } finally graft.plans.AggRollupRewrite.clear()
   }
 
