@@ -113,6 +113,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)DIM\s+'([^']+)'(?:\s+KEYS\s*\(([^)]+)\))?\s+ON\s*\(([^)]+)\)""".r
   private val RefreshMsv =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+STAR\s+VIEW\s+'([^']+)'\s*;?\s*""".r
+  private val DescribeMsv =
+    """(?is)\s*DESCRIBE\s+MATERIALIZED\s+STAR\s+VIEW\s+'([^']+)'\s*;?\s*""".r
   private val DescribeMv =
     """(?is)\s*DESCRIBE\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s*;?\s*""".r
   private val RefreshMv =
@@ -223,6 +225,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Option(buckets).map(_.toInt))
     case RefreshMsv(mv) =>
       RefreshMaterializedStarViewCommand(mv)
+    case DescribeMsv(mv) =>
+      DescribeMaterializedStarViewCommand(mv)
     case CreateMv(mv, src, keysOpt, groupBy, aggList, rescan, buckets) =>
       CreateMaterializedViewCommand(mv, src,
         Option(keysOpt).toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)),
@@ -931,6 +935,29 @@ case class RefreshMaterializedStarViewCommand(mv: String) extends LeafRunnableCo
   override def run(spark: SparkSession): Seq[Row] = {
     val (vec, touched) = new graft.tables.MaterializedStarAggView(mv).refresh(spark)
     Seq(Row(vec.mkString(","), touched.size))
+  }
+}
+
+/** `DESCRIBE MATERIALIZED STAR VIEW '<mv>'` — the star view's metadata:
+  * fact root, each dim's (root, join keys), grouping, aggregates, state
+  * bucket count, refresh number, and the applied version vector. */
+case class DescribeMaterializedStarViewCommand(mv: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("fact", StringType, nullable = false)(),
+    AttributeReference("dims", StringType, nullable = false)(),
+    AttributeReference("group_by", StringType, nullable = false)(),
+    AttributeReference("aggs", StringType, nullable = false)(),
+    AttributeReference("num_buckets", IntegerType, nullable = false)(),
+    AttributeReference("refresh_number", LongType, nullable = false)(),
+    AttributeReference("applied_versions", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = new graft.tables.MaterializedStarAggView(mv)
+    val sp = v.spec(spark)
+    val (n, vec) = v.lastApplied(spark)
+    Seq(Row(sp.factRoot,
+      sp.dims.map(d => s"${d.root} ON (${d.join.mkString(",")})").mkString("; "),
+      sp.groupBy.mkString(","), sp.aggs.map(_.render).mkString(","),
+      sp.numBuckets, n, vec.mkString(",")))
   }
 }
 

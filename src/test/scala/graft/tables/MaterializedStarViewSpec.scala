@@ -170,6 +170,39 @@ class MaterializedStarViewSpec extends AnyFunSuite {
     } finally graft.plans.AggRollupRewrite.clear()
   }
 
+  test("SQL surface: CREATE / REFRESH / DESCRIBE MATERIALIZED STAR VIEW round-trip") {
+    val work = tmp("mvssql")
+    def sql(q: String) = org.apache.spark.sql.GraftColumnBridge.graftSql(spark, q)
+    val fact = new SnapshotTable(s"$work/fact")
+    val d1 = new BucketedSnapshotTable(s"$work/d1", 4, Seq("jk1"))
+    val d2 = new BucketedSnapshotTable(s"$work/d2", 4, Seq("jk2"))
+    fact.write(spark, Seq((1, 10L, 100L, 5L), (2, 20L, 100L, 7L))
+      .toDF("k", "jk1", "jk2", "x"))
+    d1.scd1Merge(spark, Seq((10L, 1L, "red"), (20L, 1L, "blue"))
+      .toDF("jk1", "seq", "c"), "seq")
+    d2.scd1Merge(spark, Seq((100L, 1L, "eu")).toDF("jk2", "seq", "r"), "seq")
+    sql(s"CREATE MATERIALIZED STAR VIEW '$work/mv' FACT '$work/fact' KEYS (k) " +
+      s"DIM '$work/d1' ON (jk1) DIM '$work/d2' ON (jk2) GROUP BY (c, r) " +
+      "AGG (count(*) AS n, sum(x) AS sx) INTO 4 BUCKETS").collect()
+    val r = sql(s"REFRESH MATERIALIZED STAR VIEW '$work/mv'").collect().head
+    assert(r.getString(0) == "1,1,1" && r.getInt(1) > 0, r.toString)
+    val got = sql(s"MATERIALIZED VIEW '$work/mv'")
+      .as[(String, String, Long, Option[Long])].collect().toSet
+    assert(got == Set(("red", "eu", 1L, Some(5L)), ("blue", "eu", 1L, Some(7L))),
+      got.toString)
+    val d = sql(s"DESCRIBE MATERIALIZED STAR VIEW '$work/mv'").collect().head
+    assert(d.getString(0) == s"$work/fact" &&
+      d.getString(1) == s"$work/d1 ON (jk1); $work/d2 ON (jk2)" &&
+      d.getString(3) == "count:*:n,sum:x:sx" &&
+      d.getLong(5) == 1L && d.getString(6) == "1,1,1", d.toString)
+    // non-additive aggregates refuse with a named error
+    val e = intercept[IllegalArgumentException] {
+      sql(s"CREATE MATERIALIZED STAR VIEW '$work/mv2' FACT '$work/fact' KEYS (k) " +
+        s"DIM '$work/d1' ON (jk1) GROUP BY (c) AGG (min(x) AS mn)").collect()
+    }
+    assert(e.getMessage.contains("additive"))
+  }
+
   test("refresh rewrites only the buckets holding changed groups") {
     val work = tmp("mvsb")
     val fact = new SnapshotTable(s"$work/fact")
