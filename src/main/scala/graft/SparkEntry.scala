@@ -5988,6 +5988,105 @@ object SparkEntry {
       }
     }),
 
+    // ── ALTER MATERIALIZED VIEW … ENABLE/DISABLE REWRITE (r11b): the SQL
+    //    switch for transparent routing — a DBA turns a dashboard's
+    //    fact-scan aggregates into kilobyte state reads without touching
+    //    any query, and turns them back off just as declaratively. Pins:
+    //    with REWRITE enabled the plan aggregates the MV partials and
+    //    never lists the source's version dirs; after DISABLE the same
+    //    query plans against the base again AND both answers agree —
+    //    routing must be invisible in results, visible only in IO.
+    "q328_alter_mv_rewrite_sql" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("mvalter").toString
+      withShufflePartitions(s, 8) {
+      val ext = new org.apache.spark.sql.SparkSessionExtensions
+      new graft.GraftExtensions().apply(ext)
+      org.apache.spark.sql.GraftColumnBridge.applyExtensions(ext, s)
+      val sqlRun = (q: String) => org.apache.spark.sql.GraftColumnBridge.graftSql(s, q)
+      val src = new graft.tables.SnapshotTable(s"$work/src")
+      src.write(s, Tables.orders(s, dir).select($"o_orderkey", $"o_custkey",
+        $"o_totalprice".cast("decimal(18,2)").as("price")))
+      sqlRun(s"CREATE MATERIALIZED VIEW '$work/mv' ON '$work/src' KEYS (o_orderkey) " +
+        "GROUP BY (o_custkey) AGG (count(*) AS n, sum(price) AS rev) INTO 16 BUCKETS")
+        .collect()
+      sqlRun(s"REFRESH MATERIALIZED VIEW '$work/mv'").collect()
+      try {
+        val on = sqlRun(s"ALTER MATERIALIZED VIEW '$work/mv' ENABLE REWRITE")
+          .collect().head
+        require(on.getString(1) == "enabled", s"ALTER must report enabled, got $on")
+        def q = src.readIndexed(s).groupBy($"o_custkey")
+          .agg(count(lit(1)).as("n"), sum($"price").cast("double").as("rev"))
+          .orderBy($"o_custkey")
+        val planOn = q.queryExecution.optimizedPlan.toString
+        require(planOn.contains("__sum_price") && !planOn.contains("/src/_v"),
+          s"ENABLE REWRITE must route to the MV state:\n$planOn")
+        val routed = q.collect()
+        val off = sqlRun(s"ALTER MATERIALIZED VIEW '$work/mv' DISABLE REWRITE")
+          .collect().head
+        require(off.getString(1) == "disabled", s"ALTER must report disabled, got $off")
+        val planOff = q.queryExecution.optimizedPlan.toString
+        require(!planOff.contains("__sum_price"),
+          s"DISABLE REWRITE must fall back to the base:\n$planOff")
+        // routing must be invisible in RESULTS: base answer ≡ routed answer
+        require(q.collect().toSeq == routed.toSeq,
+          "routed and base answers must be identical")
+        s.createDataFrame(s.sparkContext.parallelize(routed.toSeq, 1), q.schema)
+      } finally graft.plans.AggRollupRewrite.clear()
+      }
+    }),
+
+    // ── COARSE-GRAIN EXACT COUNT(DISTINCT) ROUTING (r11b): the per-group
+    //    `__dc_` partial answers only the view's own grain — distinct
+    //    counts are not re-aggregable across merged groups. The rewrite
+    //    instead counts distinct values over the view's aux OCCURRENCE
+    //    relation (one row per live (group, value) pair) grouped at the
+    //    query's coarser keys: exact under deletes and resurrection, and
+    //    still O(distinct pairs) — the 100 TB fact is never scanned for
+    //    any grain the view's keys subsume. Pins: the plan reads the pair
+    //    relation (`__dval`), never sums `__dc_`, never lists the source.
+    "q329_coarse_distinct_routing" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("mvcoarse").toString
+      withShufflePartitions(s, 8) {
+      val ext = new org.apache.spark.sql.SparkSessionExtensions
+      new graft.GraftExtensions().apply(ext)
+      org.apache.spark.sql.GraftColumnBridge.applyExtensions(ext, s)
+      val sqlRun = (q: String) => org.apache.spark.sql.GraftColumnBridge.graftSql(s, q)
+      val src = new graft.tables.SnapshotTable(s"$work/src")
+      val o = Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus".as("st"),
+          $"o_orderpriority".as("prio"))
+      src.write(s, o)
+      sqlRun(s"CREATE MATERIALIZED VIEW '$work/mv' ON '$work/src' KEYS (o_orderkey) " +
+        "GROUP BY (o_custkey, st) AGG (count(*) AS n, count(distinct prio) AS dp) " +
+        "INTO 32 BUCKETS").collect()
+      sqlRun(s"REFRESH MATERIALIZED VIEW '$work/mv'").collect()
+      // an incremental change AFTER registration: one order's priority
+      // flips to a brand-new value — the aux pair deltas must surface in
+      // the coarse answer with no source rescan
+      val k1 = o.agg(min($"o_orderkey")).as[Long].head()
+      src.write(s, o.withColumn("prio",
+        when($"o_orderkey" === k1, lit("9-SPECIAL")).otherwise($"prio")))
+      sqlRun(s"ALTER MATERIALIZED VIEW '$work/mv' ENABLE REWRITE").collect()
+      sqlRun(s"REFRESH MATERIALIZED VIEW '$work/mv'").collect()
+      try {
+        val q = src.readIndexed(s).groupBy($"o_custkey")
+          .agg(count(lit(1)).as("n"), countDistinct($"prio").as("dp"))
+          .orderBy($"o_custkey")
+        val plan = q.queryExecution.optimizedPlan.toString
+        require(plan.contains("__dval"),
+          s"coarse distinct must read the aux pair relation:\n$plan")
+        require(!plan.contains("sum(__dc"),
+          s"coarse grain must never re-sum the per-grain __dc partial:\n$plan")
+        require(!plan.contains("/src/_v"),
+          "plan must not scan the source snapshot's version dirs")
+        val out = q.collect()
+        s.createDataFrame(s.sparkContext.parallelize(out.toSeq, 1), q.schema)
+      } finally graft.plans.AggRollupRewrite.clear()
+      }
+    }),
+
     // ── Z-ORDER CLUSTERING (r11): OPTIMIZE … ZORDER BY rank-quantizes
     //    each clustering column (one approxQuantile pass), interleaves the
     //    bucket bits and range-partitions the rewrite by the z-value — so
@@ -6968,6 +7067,25 @@ object SparkEntry {
         |SELECT prio, count(*) AS n, CAST(sum(qty) AS DOUBLE) AS sqty
         |FROM lfix JOIN ofix ON l_orderkey = o_orderkey
         |GROUP BY prio ORDER BY prio""".stripMargin,
+
+    // routing must be invisible in results: the routed answer (returned)
+    // equals a plain GROUP BY over the base table
+    "q328_alter_mv_rewrite_sql" ->
+      """SELECT o_custkey, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // coarse-grain distinct: the routed answer (from the aux pair
+    // relation) equals a full COUNT(DISTINCT) recompute of the final
+    // state — one order's priority flipped to a brand-new value
+    "q329_coarse_distinct_routing" ->
+      """WITH fin AS (
+        |  SELECT o_custkey,
+        |    CASE WHEN o_orderkey = (SELECT min(o_orderkey) FROM orders)
+        |         THEN '9-SPECIAL' ELSE o_orderpriority END AS prio
+        |  FROM orders)
+        |SELECT o_custkey, count(*) AS n, count(DISTINCT prio) AS dp
+        |FROM fin GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     // exact COUNT(DISTINCT) under updates AND deletes: the oracle is a
     // full distinct recompute of the final state — one customer's

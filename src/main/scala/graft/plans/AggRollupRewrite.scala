@@ -44,7 +44,13 @@ import org.apache.spark.sql.types.DoubleType
 object AggRollupRewrite extends Rule[LogicalPlan] {
 
   final case class Rollup(spark: SparkSession, provider: () => DataFrame,
-      dims: Seq[String], measures: Seq[String])
+      dims: Seq[String], measures: Seq[String],
+      distincts: Map[String, () => DataFrame] = Map.empty)
+
+  /** Column name every distinct-pair provider must use for the VALUE
+    * column (alongside the rollup's dim columns): one row per live
+    * (dims…, value) pair with at least one occurrence. */
+  val DistinctValCol = "__dval"
 
   private val registry = TrieMap.empty[String, Rollup]
 
@@ -62,10 +68,27 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
     * current state per query, so a REFRESH is visible immediately). The
     * provided frame must carry the dims plus `__cnt` and, per covered
     * measure, `__sum_<m>`/`__nn_<m>` (and optionally `__min_/__max_`) —
-    * aggregates whose partial is absent simply do not rewrite. */
+    * aggregates whose partial is absent simply do not rewrite.
+    *
+    * `distincts` maps a measure to a live (dims…, [[DistinctValCol]])
+    * PAIR relation — one row per distinct (group, value) with a live
+    * occurrence — enabling exact `COUNT(DISTINCT m)` at COARSER
+    * groupings than the rollup's own grain: the per-group `__dc_`
+    * partial is not re-aggregable across merged groups (a value present
+    * in several subsumed groups would double-count), but counting
+    * distinct values over the pair relation grouped coarser is exact,
+    * and the pair relation is O(distinct pairs) — the aux occurrence
+    * table a count-distinct view already maintains, never the source. */
   def registerView(spark: SparkSession, basePath: String, dims: Seq[String],
-      measures: Seq[String], provider: () => DataFrame): Unit =
-    registry.put(canon(basePath), Rollup(spark, provider, dims, measures))
+      measures: Seq[String], provider: () => DataFrame,
+      distincts: Map[String, () => DataFrame] = Map.empty): Unit =
+    registry.put(canon(basePath),
+      Rollup(spark, provider, dims, measures, distincts))
+
+  /** Remove the routing for `basePath` (SQL `ALTER MATERIALIZED VIEW …
+    * DISABLE REWRITE`); queries fall back to the base table. */
+  def unregisterView(basePath: String): Unit =
+    registry.remove(canon(basePath))
 
   /** Join-rollup registration: the (fact, dim) pair, its join keys, and a
     * live rollup-format provider. */
@@ -85,6 +108,10 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
     joinRegistry.put((canon(factRoot), canon(dimRoot)),
       JoinRollup(spark, provider, factRoot, dimRoot, joinKeys, dims, measures))
 
+  /** Remove the join routing for the (fact, dim) pair. */
+  def unregisterJoinView(factRoot: String, dimRoot: String): Unit =
+    joinRegistry.remove((canon(factRoot), canon(dimRoot)))
+
   /** Star-rollup registration: the fact root, each dim's (root, join
     * keys), and a live rollup-format provider. */
   final case class StarRollup(spark: SparkSession, provider: () => DataFrame,
@@ -102,6 +129,10 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
       measures: Seq[String], provider: () => DataFrame): Unit =
     starRegistry.put(canon(factRoot),
       StarRollup(spark, provider, factRoot, dims, groupBy, measures))
+
+  /** Remove the star routing for `factRoot`. */
+  def unregisterStarView(factRoot: String): Unit =
+    starRegistry.remove(canon(factRoot))
 
   def clear(): Unit = { registry.clear(); joinRegistry.clear(); starRegistry.clear() }
 
@@ -420,6 +451,16 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
   }
 
   private def rewrite(agg: Aggregate, groupings: Seq[Expression],
+      aggExprs: Seq[NamedExpression], r: Rollup): Option[LogicalPlan] =
+    rewriteExact(agg, groupings, aggExprs, r)
+      .orElse(rewriteViaFrames(agg, groupings, aggExprs, r))
+
+  /** Expression-level rewrite over the single rollup relation — every
+    * result aggregate becomes a re-aggregation of a stored partial.
+    * COUNT(DISTINCT) is coverable here only at the rollup's own grain
+    * (the `__dc_` partial); coarser distinct groupings fall through to
+    * [[rewriteViaFrames]]. */
+  private def rewriteExact(agg: Aggregate, groupings: Seq[Expression],
       aggExprs: Seq[NamedExpression], r: Rollup): Option[LogicalPlan] = {
     val groupNames = groupings.map {
       case a: AttributeReference => a.name
@@ -495,5 +536,121 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
     }
     val newGroupings = groupNames.map(out(_))
     Some(Aggregate(newGroupings, rebuilt, rollupPlan))
+  }
+
+  /** Frame-composed rewrite for queries the single-relation partial
+    * rebuild cannot express — today: exact `COUNT(DISTINCT m)` at a
+    * grouping COARSER than the rollup's grain. The additive aggregates
+    * re-aggregate the rollup partials grouped by the query's (coarser)
+    * keys; each distinct measure aggregates its registered PAIR relation
+    * (one row per live (dims…, value) — the aux occurrence table a
+    * count-distinct view maintains) with `countDistinct(value)` at the
+    * same coarser keys; the per-measure frames left-join the additive
+    * frame on the group keys (pair groups ⊆ state groups: both fold the
+    * same feed, and an all-null-measure group has state rows but no
+    * pairs — its distinct count is 0, SQL's answer for an empty set).
+    * Everything is O(|rollup| + |distinct pairs|), never the source. The
+    * rewritten plan keeps the original output names/exprIds/types via a
+    * final Project, so parents are untouched. */
+  private def rewriteViaFrames(agg: Aggregate, groupings: Seq[Expression],
+      aggExprs: Seq[NamedExpression], r: Rollup): Option[LogicalPlan] = {
+    if (r.distincts.isEmpty) return None
+    val groupNames = groupings.map {
+      case a: AttributeReference => a.name
+      case _ => return None
+    }
+    if (!groupNames.forall(r.dims.contains)) return None
+
+    import org.apache.spark.sql.functions.{col => fc, sum => fsum, min => fmin,
+      max => fmax, countDistinct, when => fwhen, coalesce => fcoalesce, lit}
+    import org.apache.spark.sql.Column
+    val state = r.provider()
+    val stateCols = state.columns.toSet
+    def partialName(kind: String, m: String): Option[String] = {
+      val n = s"__${kind}_$m"
+      if (r.measures.contains(m) && stateCols(n)) Some(n) else None
+    }
+
+    // per output: the additive agg columns it needs (aliased fresh) and
+    // the final select column; distinct measures collect separately
+    val additive = scala.collection.mutable.ArrayBuffer.empty[Column]
+    val needed = scala.collection.mutable.LinkedHashSet.empty[String]
+    var sawDistinct = false
+    var i = 0
+    def fresh(): String = { i += 1; s"__rw_$i" }
+    def dTmp(m: String) = s"__rwd_$m"
+
+    def additiveOf(ae: AggregateExpression): Option[Column] = {
+      if (ae.filter.nonEmpty) return None
+      ae.aggregateFunction match {
+        case _ if ae.isDistinct => ae.aggregateFunction match {
+          case Count(Seq(s: AttributeReference)) if r.distincts.contains(s.name) =>
+            sawDistinct = true; needed += s.name
+            Some(fcoalesce(fc(dTmp(s.name)), lit(0L)))
+          case _ => None
+        }
+        case Sum(s: AttributeReference, _) =>
+          partialName("sum", s.name).map { p =>
+            val t = fresh(); additive += fsum(fc(p)).as(t); fc(t)
+          }
+        case Min(s: AttributeReference) =>
+          partialName("min", s.name).map { p =>
+            val t = fresh(); additive += fmin(fc(p)).as(t); fc(t)
+          }
+        case Max(s: AttributeReference) =>
+          partialName("max", s.name).map { p =>
+            val t = fresh(); additive += fmax(fc(p)).as(t); fc(t)
+          }
+        case c: Count if c.children.forall(_.isInstanceOf[Literal]) =>
+          val t = fresh(); additive += fsum(fc("__cnt")).as(t); Some(fc(t))
+        case Count(Seq(s: AttributeReference)) =>
+          partialName("nn", s.name).map { p =>
+            val t = fresh(); additive += fsum(fc(p)).as(t); fc(t)
+          }
+        case Average(s: AttributeReference, _) if s.dataType == DoubleType =>
+          for (su <- partialName("sum", s.name); nn <- partialName("nn", s.name))
+            yield {
+              val t1 = fresh(); val t2 = fresh()
+              additive += fsum(fc(su)).as(t1); additive += fsum(fc(nn)).as(t2)
+              fwhen(fc(t2) > 0, fc(t1).cast(DoubleType) / fc(t2))
+            }
+        case _ => None
+      }
+    }
+
+    val outs: Seq[Column] = aggExprs.map {
+      case a: AttributeReference if groupNames.contains(a.name) => fc(a.name)
+      case al @ Alias(childExpr, _) =>
+        val c: Column = childExpr match {
+          case a: AttributeReference if groupNames.contains(a.name) => fc(a.name)
+          case ae: AggregateExpression => additiveOf(ae).getOrElse(return None)
+          case cst: Cast if cst.child.isInstanceOf[AggregateExpression] =>
+            additiveOf(cst.child.asInstanceOf[AggregateExpression])
+              .getOrElse(return None)
+          case _ => return None
+        }
+        c
+      case _ => return None
+    }.zipWithIndex.map { case (c, idx) => c.as(s"__o_$idx") }
+    if (!sawDistinct) return None // additive-only queries stay on rewriteExact
+
+    val aDf =
+      if (additive.nonEmpty) {
+        val aggsSeq = additive.toSeq
+        state.groupBy(groupNames.map(fc): _*).agg(aggsSeq.head, aggsSeq.tail: _*)
+      } else state.select(groupNames.map(fc): _*).distinct()
+    val joined = needed.foldLeft(aDf) { (acc, m) =>
+      val pairs = r.distincts(m)()
+      val b = pairs.groupBy(groupNames.map(fc): _*)
+        .agg(countDistinct(fc(DistinctValCol)).as(dTmp(m)))
+      acc.join(b, groupNames, "left")
+    }
+    val plan = joined.select(outs: _*).queryExecution.analyzed
+    val projections = aggExprs.zip(plan.output).map { case (orig, att) =>
+      val typed: Expression =
+        if (att.dataType == orig.dataType) att else Cast(att, orig.dataType)
+      Alias(typed, orig.name)(exprId = orig.exprId)
+    }
+    Some(Project(projections, plan))
   }
 }

@@ -121,6 +121,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s*;?\s*""".r
   private val QueryMv =
     """(?is)\s*MATERIALIZED\s+VIEW\s+'([^']+)'\s*;?\s*""".r
+  private val AlterMvRewrite =
+    """(?is)\s*ALTER\s+MATERIALIZED\s+(?:(?:JOIN|STAR)\s+)?VIEW\s+'([^']+)'\s+(ENABLE|DISABLE)\s+REWRITE\s*;?\s*""".r
   private val AddConstraint =
     """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraint =
@@ -237,6 +239,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       DescribeMaterializedViewCommand(mv)
     case RefreshMv(mv) =>
       RefreshMaterializedViewCommand(mv)
+    case AlterMvRewrite(mv, action) =>
+      AlterMaterializedViewRewriteCommand(mv, action.equalsIgnoreCase("ENABLE"))
     case QueryMv(mv) =>
       // one query form for all three view kinds — dispatch on the spec file
       val sp = SparkSession.active
@@ -1000,6 +1004,39 @@ case class DescribeMaterializedViewCommand(mv: String) extends LeafRunnableComma
     val sp = v.spec(spark)
     Seq(Row(sp.sourceRoot, sp.sourceKeys.mkString(","), sp.groupBy.mkString(","),
       sp.aggs.map(_.render).mkString(","), sp.numBuckets, v.lastApplied(spark)))
+  }
+}
+
+/** `ALTER MATERIALIZED [JOIN|STAR] VIEW '<mv>' ENABLE|DISABLE REWRITE` —
+  * turn TRANSPARENT query routing to the view's maintained state on or
+  * off (the Scala `registerRewrite`/`unregisterRewrite` surface through
+  * SQL). Kind-agnostic like the query form: dispatches on the view's
+  * spec file, so the JOIN/STAR keyword is documentation, not dispatch.
+  * Registration is driver-local (the optimizer rule's registry), so
+  * ENABLE applies to this process — re-run it per session, as with any
+  * session-scoped planner state. */
+case class AlterMaterializedViewRewriteCommand(mv: String, enable: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("mv", StringType, nullable = false)(),
+    AttributeReference("rewrite", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def has(name: String) = {
+      val p = new org.apache.hadoop.fs.Path(mv, name)
+      p.getFileSystem(hconf).exists(p)
+    }
+    if (has("_mvj")) {
+      val v = new graft.tables.MaterializedJoinAggView(mv)
+      if (enable) v.registerRewrite(spark) else v.unregisterRewrite(spark)
+    } else if (has("_mvs")) {
+      val v = new graft.tables.MaterializedStarAggView(mv)
+      if (enable) v.registerRewrite(spark) else v.unregisterRewrite(spark)
+    } else {
+      val v = new graft.tables.MaterializedAggView(mv)
+      if (enable) v.registerRewrite(spark) else v.unregisterRewrite(spark)
+    }
+    Seq(Row(mv, if (enable) "enabled" else "disabled"))
   }
 }
 

@@ -105,8 +105,21 @@ final class MaterializedAggView(val root: String) {
 
   /** Fold everything the source committed since the last refresh into the
     * state table; returns (source version now applied, state buckets
-    * rewritten — those holding CHANGED groups only, the scale pin). */
-  def refresh(spark: SparkSession): (Int, Set[Int]) = {
+    * rewritten — those holding CHANGED groups only, the scale pin).
+    *
+    * Refreshes SERIALIZE on the view root's commit lock: two racing
+    * refreshers would otherwise both read the same ledger base and, if a
+    * source commit lands between their reads, the later merge (a higher
+    * txn value, so not a no-op) would fold a window the state already
+    * holds — double-counting the overlap. Under the lock the loser
+    * re-reads the ledger and folds only the remainder. A holder paused
+    * past the staleness bound is stolen from; it re-verifies ownership
+    * immediately before its first irreversible mutation and aborts with
+    * `ConcurrentModificationException` instead of double-committing. */
+  def refresh(spark: SparkSession): (Int, Set[Int]) =
+    CommitLock.withLockHandle(fs(spark), root)(h => refreshLocked(spark, h))
+
+  private def refreshLocked(spark: SparkSession, lock: CommitLock.Handle): (Int, Set[Int]) = {
     val sp = spec(spark)
     val st = state(sp)
     val lastV = st.appliedTxn(spark, TxnId).map(_.toInt).getOrElse(0)
@@ -212,6 +225,7 @@ final class MaterializedAggView(val root: String) {
         .localCheckpoint()
       val auxUp = trans.select(keyCols.map(col) ++
         Seq(col(VcNewCol).as(VcCol), lit(srcV.toLong).as(SeqCol)): _*)
+      lock.check() // first irreversible mutation: abort if stolen from
       dst.scd1Merge(spark, auxUp, SeqCol,
         applyAsDeletes = Some(col(VcCol) === 0L),
         txn = Some((TxnId, srcV.toLong)))
@@ -279,13 +293,15 @@ final class MaterializedAggView(val root: String) {
       }
     val upserts = withMm.withColumn(SeqCol, lit(srcV.toLong))
 
+    lock.check() // abort rather than double-commit if the lock was stolen
     val touched = st.scd1Merge(spark, upserts, SeqCol,
       applyAsDeletes = Some(col(NCol) === 0L),
       txn = Some((TxnId, srcV.toLong)))
     if (srcV < liveV) {
       // the pinned replay stopped at the crashed window's end — fold the
-      // rest of the history in an ordinary pass
-      val (v2, t2) = refresh(spark)
+      // rest of the history in an ordinary pass (same lock: the view
+      // lock is not reentrant, and the remainder belongs to this holder)
+      val (v2, t2) = refreshLocked(spark, lock)
       (v2, touched ++ t2)
     } else (srcV, touched)
   }
@@ -312,12 +328,41 @@ final class MaterializedAggView(val root: String) {
       sp.groupBy.map(col) ++
         Seq(col(NCol).as("__cnt")) ++
         perMeasure.toSeq.flatMap { case (m, as) => Seq(
-          col(sumCol(as)).as(s"__sum_$m"), col(nnCol(as)).as(s"__nn_$m"))
+          // NULL (not the accumulator's 0) when the group has no non-null
+          // values: SQL SUM of an all-null group is NULL, and the rewrite
+          // re-sums this partial — exposing the raw 0 would answer 0
+          // where a recompute answers NULL (file-based rollups built with
+          // Spark's own sum() already carry NULL here)
+          when(col(nnCol(as)) > 0, col(sumCol(as))).as(s"__sum_$m"),
+          col(nnCol(as)).as(s"__nn_$m"))
         } ++
         nnOnly.toSeq.map { case (m, as) => col(nnCol(as)).as(s"__nn_$m") } ++
         mm.toSeq.map { case (fn, m, as) => col(mmCol(fn, as)).as(s"__${fn}_$m") } ++
         dcs.toSeq.map { case (m, as) => col(dcCol(as)).as(s"__dc_$m") }
     raw.select(cols: _*)
+  }
+
+  /** One count-distinct measure's live (groupBy…, value) PAIR relation —
+    * the aux occurrence table's current rows with a live occurrence,
+    * value exposed as [[graft.plans.AggRollupRewrite.DistinctValCol]].
+    * Read PINNED to the main state's applied refresh when the aux table
+    * committed ahead of it (a crashed refresh whose aux merge landed but
+    * whose main merge did not): routing must stay consistent with the
+    * additive answers until the next refresh heals both. */
+  private def auxPairsFormat(spark: SparkSession, sp: Spec, a: Agg): DataFrame = {
+    val dst = auxState(sp, a.as)
+    val mainV = state(sp).appliedTxn(spark, TxnId).getOrElse(0L)
+    val auxV = dst.appliedTxn(spark, TxnId).getOrElse(0L)
+    val raw =
+      if (auxV <= mainV) dst.read(spark)
+      else dst.versionWithTxnAtMost(spark, TxnId, mainV) match {
+        case Some(pin) => dst.readVersion(spark, pin)
+        case None => dst.read(spark).filter(lit(false)) // aux exists, main
+          // never applied: no pairs are visible yet
+      }
+    graft.cdc.ScdMerge.scd1Current(raw).filter(col(VcCol) > 0L)
+      .select(sp.groupBy.map(col) :+
+        col(ValCol).as(graft.plans.AggRollupRewrite.DistinctValCol): _*)
   }
 
   /** Register TRANSPARENT routing: any `Aggregate` over the SOURCE
@@ -333,9 +378,22 @@ final class MaterializedAggView(val root: String) {
     val sp = spec(spark)
     val measures = sp.aggs.filterNot(a => a.fn == "count" && a.col.isEmpty)
       .flatMap(_.col).distinct
+    // each count-distinct measure also registers its live pair relation,
+    // so COUNT(DISTINCT m) routes at COARSER groupings too (the `__dc_`
+    // partial only answers the view's own grain)
+    val distincts = sp.aggs.filter(_.fn == "count_distinct")
+      .groupBy(_.col.get).map { case (m, as) =>
+        val a = as.head
+        m -> (() => auxPairsFormat(spark, sp, a))
+      }
     graft.plans.AggRollupRewrite.registerView(spark, sp.sourceRoot,
-      sp.groupBy, measures, () => rollupFormat(spark))
+      sp.groupBy, measures, () => rollupFormat(spark), distincts)
   }
+
+  /** Remove this view's transparent routing (SQL `ALTER MATERIALIZED
+    * VIEW … DISABLE REWRITE`); queries read the base table again. */
+  def unregisterRewrite(spark: SparkSession): Unit =
+    graft.plans.AggRollupRewrite.unregisterView(spec(spark).sourceRoot)
 
   /** The view's USER-FACING rows: group columns + one column per declared
     * aggregate (avg as DOUBLE, SQL null semantics — count-0 sums and avgs

@@ -97,8 +97,18 @@ final class MaterializedJoinAggView(val root: String) {
       .map(unpack).getOrElse((0, 0))
 
   /** Fold both sources' windows since the last refresh into the state;
-    * returns ((factV, dimV) now applied, state buckets rewritten). */
-  def refresh(spark: SparkSession): ((Int, Int), Set[Int]) = {
+    * returns ((factV, dimV) now applied, state buckets rewritten).
+    *
+    * Refreshes SERIALIZE on the view root's commit lock (see
+    * [[MaterializedAggView.refresh]] for the race this closes: two
+    * refreshers reading the same ledger base with a source commit landing
+    * between their reads would double-fold the overlap). A holder stolen
+    * from while paused aborts before the merge instead of double-committing. */
+  def refresh(spark: SparkSession): ((Int, Int), Set[Int]) =
+    CommitLock.withLockHandle(fs(spark), root)(h => refreshLocked(spark, h))
+
+  private def refreshLocked(spark: SparkSession,
+      lock: CommitLock.Handle): ((Int, Int), Set[Int]) = {
     val sp = spec(spark)
     val st = state(sp)
     val (lastFV, lastDV) = st.appliedTxn(spark, TxnId).map(unpack).getOrElse((0, 0))
@@ -222,6 +232,7 @@ final class MaterializedJoinAggView(val root: String) {
     val applyD = math.max(dimV, lastDV)
     val packed = pack(applyF, applyD)
     val upserts = folded.withColumn(SeqCol, lit(packed))
+    lock.check() // abort rather than double-commit if the lock was stolen
     val touched = st.scd1Merge(spark, upserts, SeqCol,
       applyAsDeletes = Some(col(NCol) === 0L),
       txn = Some((TxnId, packed)))
@@ -286,7 +297,10 @@ final class MaterializedJoinAggView(val root: String) {
     raw.select(sp.groupBy.map(col) ++
       Seq(col(NCol).as("__cnt")) ++
       perMeasure.toSeq.flatMap { case (m, as) => Seq(
-        col(sumCol(as)).as(s"__sum_$m"), col(nnCol(as)).as(s"__nn_$m")) } ++
+        // NULL when the group has no non-null values — SQL SUM semantics;
+        // the raw accumulator holds 0 there (see MaterializedAggView)
+        when(col(nnCol(as)) > 0, col(sumCol(as))).as(s"__sum_$m"),
+        col(nnCol(as)).as(s"__nn_$m")) } ++
       nnOnly.toSeq.map { case (m, as) => col(nnCol(as)).as(s"__nn_$m") }: _*)
   }
 
@@ -303,6 +317,13 @@ final class MaterializedJoinAggView(val root: String) {
       .flatMap(_.col).distinct
     graft.plans.AggRollupRewrite.registerJoinView(spark, sp.factRoot,
       sp.dimRoot, sp.joinKeys, sp.groupBy, measures, () => rollupFormat(spark))
+  }
+
+  /** Remove this view's transparent routing (SQL `ALTER MATERIALIZED
+    * JOIN VIEW … DISABLE REWRITE`). */
+  def unregisterRewrite(spark: SparkSession): Unit = {
+    val sp = spec(spark)
+    graft.plans.AggRollupRewrite.unregisterJoinView(sp.factRoot, sp.dimRoot)
   }
 
   /** Group columns + one column per declared aggregate (avg as DOUBLE,

@@ -47,12 +47,13 @@ import org.apache.spark.sql.types._
   *
   * Contracts: as [[MaterializedJoinAggView]] — additive aggregates only,
   * non-null group keys, distinct column names across sides apart from
-  * join keys, `VACUUM … KEEP` ≥ refresh lag on every source. One
-  * refresher at a time: two racing refreshes would both claim number
-  * n+1, and the loser's vector overwrite could mislabel the winner's
-  * committed window (the single-table views are naturally idempotent
-  * here because their ledger value IS the source version; the vector
-  * file is the price of N+1 sources).
+  * join keys, `VACUUM … KEEP` ≥ refresh lag on every source. Refreshes
+  * SERIALIZE on the view root's commit lock: two racing refreshes would
+  * both claim number n+1, and the loser's vector overwrite could
+  * mislabel the winner's committed window — under the lock the loser
+  * re-reads the ledger and claims n+2 over the remainder. A holder
+  * stolen from while paused (presumed dead) aborts before writing its
+  * vector instead of clobbering the stealer's.
   */
 final class MaterializedStarAggView(val root: String) {
   import MaterializedAggView.{Agg, NCol, SeqCol}
@@ -119,8 +120,13 @@ final class MaterializedStarAggView(val root: String) {
   }
 
   /** Fold every source's window since the last refresh into the state;
-    * returns (version vector now applied, state buckets rewritten). */
-  def refresh(spark: SparkSession): (Seq[Int], Set[Int]) = {
+    * returns (version vector now applied, state buckets rewritten).
+    * Serialized on the view root's commit lock (see class doc). */
+  def refresh(spark: SparkSession): (Seq[Int], Set[Int]) =
+    CommitLock.withLockHandle(fs(spark), root)(h => refreshLocked(spark, h))
+
+  private def refreshLocked(spark: SparkSession,
+      lock: CommitLock.Handle): (Seq[Int], Set[Int]) = {
     val sp = spec(spark)
     val st = state(sp)
     val (lastN, lastVec) = lastApplied(spark)
@@ -287,6 +293,7 @@ final class MaterializedStarAggView(val root: String) {
     //    with the merge
     val nextN = lastN + 1
     val applyVec = liveVec.zip(lastVec).map { case (a, b) => math.max(a, b) }
+    lock.check() // abort before the vector write if the lock was stolen
     writeVector(spark, nextN, applyVec)
     val upserts = folded.withColumn(SeqCol, lit(nextN))
     val touched = st.scd1Merge(spark, upserts, SeqCol,
@@ -308,7 +315,10 @@ final class MaterializedStarAggView(val root: String) {
     raw.select(sp.groupBy.map(col) ++
       Seq(col(NCol).as("__cnt")) ++
       perMeasure.toSeq.flatMap { case (m, as) => Seq(
-        col(sumCol(as)).as(s"__sum_$m"), col(nnCol(as)).as(s"__nn_$m")) } ++
+        // NULL when the group has no non-null values — SQL SUM semantics;
+        // the raw accumulator holds 0 there (see MaterializedAggView)
+        when(col(nnCol(as)) > 0, col(sumCol(as))).as(s"__sum_$m"),
+        col(nnCol(as)).as(s"__nn_$m")) } ++
       nnOnly.toSeq.map { case (m, as) => col(nnCol(as)).as(s"__nn_$m") }: _*)
   }
 
@@ -326,6 +336,11 @@ final class MaterializedStarAggView(val root: String) {
       sp.dims.map(d => d.root -> d.join), sp.groupBy, measures,
       () => rollupFormat(spark))
   }
+
+  /** Remove this view's transparent routing (SQL `ALTER MATERIALIZED
+    * STAR VIEW … DISABLE REWRITE`). */
+  def unregisterRewrite(spark: SparkSession): Unit =
+    graft.plans.AggRollupRewrite.unregisterStarView(spec(spark).factRoot)
 
   /** Group columns + one column per declared aggregate (avg as DOUBLE,
     * SQL null semantics). */

@@ -263,7 +263,7 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(rows == Set(("a", 1L)), rows.toString)
   }
 
-  test("count(distinct c) through SQL; transparent routing only at the MV's own grain") {
+  test("count(distinct c) through SQL; transparent routing at own AND coarser grains") {
     val work = tmp("mvdcs")
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext)
@@ -291,14 +291,106 @@ class MaterializedViewSpec extends AnyFunSuite {
       assert(planE.contains("__dc_v"), s"own-grain distinct must route:\n$planE")
       assert(exact.as[(String, String, Long)].collect().toSet ==
         Set(("a", "r1", 2L), ("a", "r2", 1L), ("b", "r1", 1L)))
-      // at a COARSER grain it must NOT route (summing per-grain distinct
-      // counts would double-count X across (a,r1) and (a,r2)) — the query
-      // stays on the base and returns the true answer
+      // at a COARSER grain the __dc_ partial is NOT re-aggregable (summing
+      // per-grain distinct counts would double-count X across (a,r1) and
+      // (a,r2)) — the rewrite instead counts distinct values over the aux
+      // PAIR relation grouped coarser: exact, still never the source
       val coarse = src.readIndexed(spark).groupBy(col("g"))
-        .agg(countDistinct(col("v")).as("dv"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("v")).as("dv"))
       val planC = coarse.queryExecution.optimizedPlan.toString
-      assert(!planC.contains("__dc_v"), s"coarser-grain distinct must not route:\n$planC")
-      assert(coarse.as[(String, Long)].collect().toSet == Set(("a", 2L), ("b", 1L)))
+      assert(!planC.contains("sum(__dc_v"), s"coarse grain must not sum __dc:\n$planC")
+      assert(planC.contains("__dval"), s"coarse distinct must read the pair relation:\n$planC")
+      assert(!planC.contains("/src/_v"), s"coarse distinct must not scan the source:\n$planC")
+      assert(coarse.as[(String, Long, Long)].collect().toSet ==
+        Set(("a", 3L, 2L), ("b", 1L, 1L)))
+      // …and stays exact after a refresh that removes a value's last holder
+      src.write(spark, Seq((1, "a", "r1", "X"), (3, "a", "r2", "X"),
+        (4, "b", "r1", "X")).toDF("k", "g", "h", "v")) // Y's only row gone
+      sql(s"REFRESH MATERIALIZED VIEW '$work/mv'").collect()
+      assert(coarse.as[(String, Long, Long)].collect().toSet ==
+        Set(("a", 2L, 1L), ("b", 1L, 1L)))
+    } finally graft.plans.AggRollupRewrite.clear()
+  }
+
+  test("racing refreshers serialize on the view lock: no window double-folds") {
+    val work = tmp("mvrace")
+    val src = new SnapshotTable(s"$work/src")
+    src.write(spark, Seq((1, "a", 10L), (2, "b", 20L)).toDF("k", "g", "x"))
+    val mv = MaterializedAggView.create(spark, s"$work/mv", s"$work/src",
+      Seq("k"), Seq("g"), Seq(MaterializedAggView.Agg("sum", Some("x"), "sx")), 4)
+    mv.refresh(spark)
+    // two more source versions land; MANY refreshers race over them. The
+    // unserialized failure mode: refresher A reads ledger base v1, a
+    // source commit lands, refresher B also reads base v1 but folds a
+    // LONGER window with a HIGHER txn value — B's merge is not a no-op,
+    // and the overlap double-counts. Under the view lock each refresher
+    // re-reads the ledger and folds only the remainder.
+    src.write(spark, Seq((1, "a", 11L), (2, "b", 20L), (3, "a", 5L)).toDF("k", "g", "x"))
+    src.write(spark, Seq((1, "a", 11L), (2, "b", 21L), (3, "a", 5L), (4, "c", 7L))
+      .toDF("k", "g", "x"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val tasks = (1 to 4).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = { mv.refresh(spark); () }
+        })
+      }
+      tasks.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+    assert(mvRows0(mv) == Set(("a", Some(16L)), ("b", Some(21L)), ("c", Some(7L))),
+      mvRows0(mv).toString)
+    assert(mv.lastApplied(spark) == 3)
+  }
+
+  test("routing answers NULL (not the accumulator's 0) for an all-null-measure SUM") {
+    val work = tmp("mvnull")
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    org.apache.spark.sql.GraftColumnBridge.applyExtensions(ext, spark)
+    val src = new SnapshotTable(s"$work/src")
+    src.write(spark, Seq((1, "a", Some(10L)), (2, "b", None), (3, "b", None))
+      .toDF("k", "g", "x"))
+    val mv = MaterializedAggView.create(spark, s"$work/mv", s"$work/src",
+      Seq("k"), Seq("g"), Seq(MaterializedAggView.Agg("sum", Some("x"), "sx")), 4)
+    mv.refresh(spark)
+    try {
+      mv.registerRewrite(spark)
+      val q = src.readIndexed(spark).groupBy(col("g")).agg(sum(col("x")).as("sx"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("__sum_x") && !plan.contains("/src/_v"),
+        s"must route to the MV state:\n$plan")
+      // group b has ONLY null measures: SQL SUM is NULL; the raw LONG
+      // accumulator holds 0 — the rollup format must expose NULL
+      val got = q.as[(String, Option[Long])].collect().toSet
+      assert(got == Set(("a", Some(10L)), ("b", None)), got.toString)
+    } finally graft.plans.AggRollupRewrite.clear()
+  }
+
+  test("ALTER MATERIALIZED VIEW ENABLE/DISABLE REWRITE through SQL") {
+    val work = tmp("mvalter")
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    org.apache.spark.sql.GraftColumnBridge.applyExtensions(ext, spark)
+    val src = new SnapshotTable(s"$work/src")
+    src.write(spark, Seq((1, "a", 10L), (2, "a", 20L), (3, "b", 30L)).toDF("k", "g", "x"))
+    sql(s"CREATE MATERIALIZED VIEW '$work/mv' ON '$work/src' KEYS (k) " +
+      "GROUP BY (g) AGG (count(*) AS n, sum(x) AS sx) INTO 4 BUCKETS").collect()
+    sql(s"REFRESH MATERIALIZED VIEW '$work/mv'").collect()
+    try {
+      val on = sql(s"ALTER MATERIALIZED VIEW '$work/mv' ENABLE REWRITE").collect().head
+      assert(on.getString(1) == "enabled")
+      def q = src.readIndexed(spark).groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      assert(q.queryExecution.optimizedPlan.toString.contains("__cnt"),
+        "ENABLE REWRITE must register the routing")
+      assert(q.as[(String, Long, Option[Long])].collect().toSet ==
+        Set(("a", 2L, Some(30L)), ("b", 1L, Some(30L))))
+      val off = sql(s"ALTER MATERIALIZED VIEW '$work/mv' DISABLE REWRITE").collect().head
+      assert(off.getString(1) == "disabled")
+      assert(!q.queryExecution.optimizedPlan.toString.contains("__cnt"),
+        "DISABLE REWRITE must unregister the routing")
+      assert(q.as[(String, Long, Option[Long])].collect().toSet ==
+        Set(("a", 2L, Some(30L)), ("b", 1L, Some(30L))))
     } finally graft.plans.AggRollupRewrite.clear()
   }
 
