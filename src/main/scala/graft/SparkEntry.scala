@@ -6087,6 +6087,59 @@ object SparkEntry {
       }
     }),
 
+    // ── COUNT(DISTINCT) IN JOIN VIEWS (r11b): "distinct suppliers per
+    //    order priority" — an exact distinct over fact ⋈ dim, maintained
+    //    incrementally from BOTH change feeds: the signed joined delta
+    //    folds per-(group, value) occurrence counts into the view's aux
+    //    table, so a fact delete retracts a supplier exactly when its
+    //    last line goes, and a dim priority flip MOVES the order's
+    //    suppliers between groups with no fact recompute — the retraction
+    //    case every sketch-based distinct gets wrong. Pins: each
+    //    incremental refresh rewrites ≤4 of 16 state buckets at ANY scale
+    //    factor; the oracle recomputes the final join's distinct counts.
+    "q330_join_mv_count_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("mvjdc").toString
+      withShufflePartitions(s, 8) {
+      val sqlRun = (q: String) => org.apache.spark.sql.GraftColumnBridge.graftSql(s, q)
+      val fact = new graft.tables.SnapshotTable(s"$work/fact")
+      val dim = new graft.tables.BucketedSnapshotTable(s"$work/dim", 16, Seq("o_orderkey"))
+      // lineitem is NOT unique on (orderkey, linenumber): pre-aggregate to
+      // that grain with a deterministic representative supplier
+      val l0 = Tables.lineitem(s, dir)
+        .select($"l_orderkey".as("o_orderkey"), $"l_linenumber", $"l_suppkey")
+        .groupBy($"o_orderkey", $"l_linenumber")
+        .agg(max($"l_suppkey").as("supp"))
+      val (k1, k3) = l0.agg(min($"o_orderkey"), max($"o_orderkey")).as[(Long, Long)].head()
+      fact.write(s, l0)
+      dim.scd1Merge(s, Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderpriority".as("prio"))
+        .withColumn("op_seq", lit(1L)), "op_seq")
+      sqlRun(s"CREATE MATERIALIZED JOIN VIEW '$work/mv' FACT '$work/fact' " +
+        s"KEYS (o_orderkey, l_linenumber) DIM '$work/dim' ON (o_orderkey) " +
+        "GROUP BY (prio) AGG (count(*) AS n, count(distinct supp) AS ds) " +
+        "INTO 16 BUCKETS").collect()
+      sqlRun(s"REFRESH MATERIALIZED JOIN VIEW '$work/mv'").collect() // bootstrap
+      val mv = new graft.tables.MaterializedJoinAggView(s"$work/mv")
+      // fact leg: one order's lines deleted — its suppliers retract from
+      // their priority exactly where their last line went
+      fact.write(s, l0.filter($"o_orderkey" =!= k3))
+      val (_, t2) = mv.refresh(s)
+      require(t2.nonEmpty && t2.size <= 4,
+        s"a one-order fact delete must rewrite O(1) state buckets, got ${t2.size}")
+      // dim leg: one order's priority flips to a brand-new group — its
+      // suppliers MOVE groups through the aux fold, no fact change
+      dim.scd1Merge(s, Seq((k1, 2L, "9-FLIP")).toDF("o_orderkey", "op_seq", "prio"),
+        "op_seq")
+      val (_, t3) = mv.refresh(s)
+      require(t3.nonEmpty && t3.size <= 4,
+        s"a one-dim flip must rewrite O(1) state buckets, got ${t3.size}")
+      require(mv.lastApplied(s) == ((2, 2)),
+        s"ledger must record (fact v2, dim v2), got ${mv.lastApplied(s)}")
+      mv.read(s).select($"prio", $"n", $"ds").orderBy($"prio")
+      }
+    }),
+
     // ── Z-ORDER CLUSTERING (r11): OPTIMIZE … ZORDER BY rank-quantizes
     //    each clustering column (one approxQuantile pass), interleaves the
     //    bucket bits and range-partitions the rewrite by the z-value — so
@@ -7065,6 +7118,27 @@ object SparkEntry {
         |         THEN '9-FLIP' ELSE o_orderpriority END AS prio
         |  FROM orders)
         |SELECT prio, count(*) AS n, CAST(sum(qty) AS DOUBLE) AS sqty
+        |FROM lfix JOIN ofix ON l_orderkey = o_orderkey
+        |GROUP BY prio ORDER BY prio""".stripMargin,
+
+    // the join view's final state = a full distinct recompute of the
+    // final fact ⋈ dim: one order's lines deleted (fact leg), another's
+    // priority flipped to a new group (dim leg)
+    "q330_join_mv_count_distinct" ->
+      """WITH k AS (
+        |  SELECT min(l_orderkey) AS k1, max(l_orderkey) AS k3 FROM lineitem),
+        |lbase AS (
+        |  SELECT l_orderkey, l_linenumber, max(l_suppkey) AS supp
+        |  FROM lineitem GROUP BY 1, 2),
+        |lfix AS (
+        |  SELECT l_orderkey, supp FROM lbase
+        |  WHERE l_orderkey <> (SELECT k3 FROM k)),
+        |ofix AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey = (SELECT k1 FROM k)
+        |         THEN '9-FLIP' ELSE o_orderpriority END AS prio
+        |  FROM orders)
+        |SELECT prio, count(*) AS n, count(DISTINCT supp) AS ds
         |FROM lfix JOIN ofix ON l_orderkey = o_orderkey
         |GROUP BY prio ORDER BY prio""".stripMargin,
 

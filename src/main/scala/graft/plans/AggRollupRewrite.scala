@@ -94,19 +94,23 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
     * live rollup-format provider. */
   final case class JoinRollup(spark: SparkSession, provider: () => DataFrame,
       factRoot: String, dimRoot: String, joinKeys: Seq[String],
-      dims: Seq[String], measures: Seq[String])
+      dims: Seq[String], measures: Seq[String],
+      distincts: Map[String, () => DataFrame] = Map.empty)
 
   private val joinRegistry = TrieMap.empty[(String, String), JoinRollup]
 
   /** Point aggregates over `fact ⋈ dim` (inner, equi on `joinKeys`) at a
     * LIVE join-rollup relation — the incrementally-maintained
     * [[graft.tables.MaterializedJoinAggView]] registers its state this
-    * way. Same partial format as [[registerView]]. */
+    * way. Same partial format (and `distincts` pair-relation contract)
+    * as [[registerView]]. */
   def registerJoinView(spark: SparkSession, factRoot: String, dimRoot: String,
       joinKeys: Seq[String], dims: Seq[String], measures: Seq[String],
-      provider: () => DataFrame): Unit =
+      provider: () => DataFrame,
+      distincts: Map[String, () => DataFrame] = Map.empty): Unit =
     joinRegistry.put((canon(factRoot), canon(dimRoot)),
-      JoinRollup(spark, provider, factRoot, dimRoot, joinKeys, dims, measures))
+      JoinRollup(spark, provider, factRoot, dimRoot, joinKeys, dims, measures,
+        distincts))
 
   /** Remove the join routing for the (fact, dim) pair. */
   def unregisterJoinView(factRoot: String, dimRoot: String): Unit =
@@ -190,7 +194,7 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
       case agg @ Aggregate(groupings, aggExprs, child, _) =>
         baseScanOf(child).flatMap(r => rewrite(agg, groupings, aggExprs, r))
           .orElse(joinScanOf(child).flatMap(j => rewrite(agg, groupings, aggExprs,
-            Rollup(j.spark, j.provider, j.dims, j.measures))))
+            Rollup(j.spark, j.provider, j.dims, j.measures, j.distincts))))
           .orElse(starScanOf(child).flatMap(st => rewrite(agg, groupings, aggExprs,
             Rollup(st.spark, st.provider, st.groupBy, st.measures))))
           .getOrElse(agg)

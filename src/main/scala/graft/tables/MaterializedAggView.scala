@@ -187,52 +187,10 @@ final class MaterializedAggView(val root: String) {
     // of the last FULLY-applied refresh via the ledger-pinned version).
     val distincts = sp.aggs.filter(_.fn == "count_distinct")
     val dcDeltas: Seq[DataFrame] = distincts.map { a =>
-      val c = a.col.get
-      val dst = auxState(sp, a.as)
-      val keyCols = sp.groupBy :+ ValCol
-      val pairDelta = feed.filter(col(c).isNotNull)
-        .groupBy((sp.groupBy.map(col) :+ col(c).as(ValCol)): _*)
-        .agg(sum(sign).as(DvcCol))
-      def emptyAux = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(keyCols.map(n => pairDelta.schema(n)) :+
-          StructField(VcCol, LongType, nullable = true)))
-      val curAux: DataFrame =
-        if (!dst.exists(spark)) emptyAux
-        else {
-          val applied = dst.appliedTxn(spark, TxnId).getOrElse(0L)
-          val raw =
-            if (applied <= lastV)
-              // normal path: bucket-pruned point read of the changed pairs
-              dst.readKeys(spark, pairDelta.select(keyCols.map(col): _*))
-            else {
-              // crash replay: this aux table already committed srcV but
-              // the main state did not — re-read it as of the last fully
-              // applied refresh so the recomputed transitions match what
-              // the crashed run derived (rare path; pays a version read)
-              dst.versionWithTxnAtMost(spark, TxnId, lastV) match {
-                case None => emptyAux
-                case Some(pin) => dst.readVersion(spark, pin)
-                  .join(pairDelta.select(keyCols.map(col): _*).distinct(),
-                    keyCols, "left_semi")
-              }
-            }
-          graft.cdc.ScdMerge.scd1Current(raw)
-            .select(keyCols.map(col) :+ col(VcCol): _*)
-        }
-      val trans = pairDelta.join(curAux, keyCols, "left")
-        .withColumn(VcNewCol, coalesce(col(VcCol), lit(0L)) + col(DvcCol))
-        .localCheckpoint()
-      val auxUp = trans.select(keyCols.map(col) ++
-        Seq(col(VcNewCol).as(VcCol), lit(srcV.toLong).as(SeqCol)): _*)
-      lock.check() // first irreversible mutation: abort if stolen from
-      dst.scd1Merge(spark, auxUp, SeqCol,
-        applyAsDeletes = Some(col(VcCol) === 0L),
-        txn = Some((TxnId, srcV.toLong)))
-      onStep(s"aux-merged:${a.as}")
-      trans.groupBy(sp.groupBy.map(col): _*)
-        .agg(sum((col(VcNewCol) > 0).cast(LongType) -
-          (coalesce(col(VcCol), lit(0L)) > 0).cast(LongType)).as(dcCol(a.as)))
+      foldDistinct(spark, auxState(sp, a.as), feed, sign, sp.groupBy,
+        a.col.get, TxnId, srcV.toLong, lastV.toLong, dcCol(a.as),
+        beforeMerge = () => lock.check(),
+        afterMerge = () => onStep(s"aux-merged:${a.as}"))
     }
     // dc-delta groups ⊆ feed groups (both derive from the feed), so a
     // left join is complete; absent → 0 in the generic fold below.
@@ -349,21 +307,9 @@ final class MaterializedAggView(val root: String) {
     * committed ahead of it (a crashed refresh whose aux merge landed but
     * whose main merge did not): routing must stay consistent with the
     * additive answers until the next refresh heals both. */
-  private def auxPairsFormat(spark: SparkSession, sp: Spec, a: Agg): DataFrame = {
-    val dst = auxState(sp, a.as)
-    val mainV = state(sp).appliedTxn(spark, TxnId).getOrElse(0L)
-    val auxV = dst.appliedTxn(spark, TxnId).getOrElse(0L)
-    val raw =
-      if (auxV <= mainV) dst.read(spark)
-      else dst.versionWithTxnAtMost(spark, TxnId, mainV) match {
-        case Some(pin) => dst.readVersion(spark, pin)
-        case None => dst.read(spark).filter(lit(false)) // aux exists, main
-          // never applied: no pairs are visible yet
-      }
-    graft.cdc.ScdMerge.scd1Current(raw).filter(col(VcCol) > 0L)
-      .select(sp.groupBy.map(col) :+
-        col(ValCol).as(graft.plans.AggRollupRewrite.DistinctValCol): _*)
-  }
+  private def auxPairsFormat(spark: SparkSession, sp: Spec, a: Agg): DataFrame =
+    auxPairs(spark, auxState(sp, a.as),
+      state(sp).appliedTxn(spark, TxnId).getOrElse(0L), TxnId, sp.groupBy)
 
   /** Register TRANSPARENT routing: any `Aggregate` over the SOURCE
     * table's snapshot relation whose grouping ⊆ the view's GROUP BY and
@@ -443,6 +389,89 @@ object MaterializedAggView {
 
   final case class Spec(sourceRoot: String, sourceKeys: Seq[String],
       groupBy: Seq[String], aggs: Seq[Agg], numBuckets: Int)
+
+  /** Fold ONE count-distinct measure's signed pair deltas into its aux
+    * occurrence table and return the per-group distinct-count delta —
+    * the shared core of exact retractable COUNT(DISTINCT) for every view
+    * kind. `feed` is the view's signed delta relation (single-table
+    * change feed or a joined delta), `sign` its ±1 column; `txnValue`
+    * stamps the aux merge (the view's ledger value for this refresh) and
+    * `lastTxn` is the MAIN state's last applied ledger value — when the
+    * aux table committed AHEAD of it (a crash between the two commits),
+    * the current pairs are re-read at the aux version the ledger pins to
+    * `lastTxn`, so the replayed transitions match what the crashed run
+    * derived. `beforeMerge` runs immediately before the aux merge (lock
+    * re-check), `afterMerge` right after (fault-injection hook). */
+  private[tables] def foldDistinct(spark: SparkSession,
+      dst: BucketedSnapshotTable, feed: DataFrame, sign: Column,
+      groupBy: Seq[String], valueCol: String, txnId: String,
+      txnValue: Long, lastTxn: Long, dcName: String,
+      beforeMerge: () => Unit, afterMerge: () => Unit): DataFrame = {
+    val keyCols = groupBy :+ ValCol
+    val pairDelta = feed.filter(col(valueCol).isNotNull)
+      .groupBy((groupBy.map(col) :+ col(valueCol).as(ValCol)): _*)
+      .agg(sum(sign).as(DvcCol))
+    def emptyAux = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(keyCols.map(n => pairDelta.schema(n)) :+
+        StructField(VcCol, LongType, nullable = true)))
+    val curAux: DataFrame =
+      if (!dst.exists(spark)) emptyAux
+      else {
+        val applied = dst.appliedTxn(spark, txnId).getOrElse(0L)
+        val raw =
+          if (applied <= lastTxn)
+            // normal path: bucket-pruned point read of the changed pairs
+            dst.readKeys(spark, pairDelta.select(keyCols.map(col): _*))
+          else {
+            // crash replay: this aux table already committed the target
+            // but the main state did not — re-read it as of the last
+            // fully applied refresh so the recomputed transitions match
+            // what the crashed run derived (rare path; pays a version read)
+            dst.versionWithTxnAtMost(spark, txnId, lastTxn) match {
+              case None => emptyAux
+              case Some(pin) => dst.readVersion(spark, pin)
+                .join(pairDelta.select(keyCols.map(col): _*).distinct(),
+                  keyCols, "left_semi")
+            }
+          }
+        graft.cdc.ScdMerge.scd1Current(raw)
+          .select(keyCols.map(col) :+ col(VcCol): _*)
+      }
+    val trans = pairDelta.join(curAux, keyCols, "left")
+      .withColumn(VcNewCol, coalesce(col(VcCol), lit(0L)) + col(DvcCol))
+      .localCheckpoint()
+    val auxUp = trans.select(keyCols.map(col) ++
+      Seq(col(VcNewCol).as(VcCol), lit(txnValue).as(SeqCol)): _*)
+    beforeMerge()
+    dst.scd1Merge(spark, auxUp, SeqCol,
+      applyAsDeletes = Some(col(VcCol) === 0L),
+      txn = Some((txnId, txnValue)))
+    afterMerge()
+    trans.groupBy(groupBy.map(col): _*)
+      .agg(sum((col(VcNewCol) > 0).cast(LongType) -
+        (coalesce(col(VcCol), lit(0L)) > 0).cast(LongType)).as(dcName))
+  }
+
+  /** One count-distinct measure's live (groupBy…, value) PAIR relation in
+    * routing format (value as [[graft.plans.AggRollupRewrite.DistinctValCol]]),
+    * read PINNED to the main state's applied refresh when the aux table
+    * committed ahead of it — shared by every view kind's rewrite
+    * registration. */
+  private[tables] def auxPairs(spark: SparkSession, dst: BucketedSnapshotTable,
+      mainTxn: Long, txnId: String, groupBy: Seq[String]): DataFrame = {
+    val auxV = dst.appliedTxn(spark, txnId).getOrElse(0L)
+    val raw =
+      if (auxV <= mainTxn) dst.read(spark)
+      else dst.versionWithTxnAtMost(spark, txnId, mainTxn) match {
+        case Some(pin) => dst.readVersion(spark, pin)
+        case None => dst.read(spark).filter(lit(false)) // aux exists, main
+          // never applied: no pairs are visible yet
+      }
+    graft.cdc.ScdMerge.scd1Current(raw).filter(col(VcCol) > 0L)
+      .select(groupBy.map(col) :+
+        col(ValCol).as(graft.plans.AggRollupRewrite.DistinctValCol): _*)
+  }
 
   /** Accumulator type for one additive measure: exact for integrals
     * (LONG) and decimals (DECIMAL(p+10, s) — Spark's own sum widening);

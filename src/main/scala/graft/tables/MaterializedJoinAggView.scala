@@ -35,8 +35,13 @@ import org.apache.spark.sql.types._
   * [[MaterializedAggView]]: O(changed groups) state IO per refresh.
   *
   * Supported aggregates: the purely additive set — `count(*)`,
-  * `count(c)`, `sum(c)`, `avg(c)` (sum+count, read back DOUBLE).
-  * Measures and group columns may come from either side.
+  * `count(c)`, `sum(c)`, `avg(c)` (sum+count, read back DOUBLE) — plus
+  * `count(distinct c)`, maintained EXACTLY via an auxiliary per-(group,
+  * value) occurrence table over the JOIN result (the signed joined delta
+  * is a plain signed feed as far as pair counts go; see
+  * [[MaterializedAggView]] for the zero-crossing mechanics and crash
+  * pinning, shared verbatim). Measures and group columns may come from
+  * either side.
   *
   * Exactly-once: BOTH applied source versions are ledger-committed
   * atomically with the state merge, packed into one `txn:mvj` entry
@@ -84,6 +89,18 @@ final class MaterializedJoinAggView(val root: String) {
   private def state(sp: Spec) =
     new BucketedSnapshotTable(s"$root/state", sp.numBuckets, sp.groupBy)
 
+  /** Auxiliary occurrence-count table for one `count(distinct c)` over
+    * the JOIN result — keyed (and bucketed) by (groupBy…, value), exactly
+    * the single-table view's shape: the signed JOINED delta is a plain
+    * signed feed as far as pair-count maintenance is concerned. */
+  private def auxState(sp: Spec, as: String) =
+    new BucketedSnapshotTable(s"$root/dstate_$as", sp.numBuckets,
+      sp.groupBy :+ MaterializedAggView.ValCol)
+
+  /** Fault-injection hook for crash-recovery specs (the single-table
+    * view's pattern): called between the aux and main commits. */
+  private[tables] var onStep: String => Unit = _ => ()
+
   private def factFeed(spark: SparkSession, sp: Spec) =
     graft.streaming.ChangeFeedSource.adapter(spark, Map("path" -> sp.factRoot) ++
       (if (sp.factKeys.nonEmpty) Map("keys" -> sp.factKeys.mkString(",")) else Map.empty))
@@ -120,6 +137,22 @@ final class MaterializedJoinAggView(val root: String) {
       s"MaterializedJoinAggView $root: dim version $dimV exceeds the packed-ledger bound")
     if (factV <= lastFV && dimV <= lastDV) return ((lastFV, lastDV), Set.empty)
 
+    // crash-replay window pinning (the single-table view's rule, on the
+    // packed two-version ledger): if a distinct agg's aux table committed
+    // a refresh the MAIN state never saw, replay EXACTLY that crashed
+    // window — folding a longer net window against the crashed aux counts
+    // would freeze any pair whose change reverted in between. The
+    // remainder folds in an ordinary second pass below.
+    val lastPacked = pack(lastFV, lastDV)
+    val crashed = sp.aggs.filter(_.fn == "count_distinct").flatMap { a =>
+      val dst = auxState(sp, a.as)
+      if (!dst.exists(spark)) None
+      else dst.appliedTxn(spark, TxnId).filter(_ > lastPacked)
+    }
+    val (effF, effD) =
+      if (crashed.nonEmpty) unpack(crashed.max)
+      else (math.max(factV, lastFV), math.max(dimV, lastDV))
+
     val sign = when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
       .otherwise(lit(-1L))
     val bookkeeping = Seq("_change_type", "_changed_columns")
@@ -127,11 +160,11 @@ final class MaterializedJoinAggView(val root: String) {
     // ── leg 1: ΔF ⋈ D_new — dim looked up (bucket-pruned when the dim is
     //    bucketed by the join key) for exactly the fact delta's keys
     val leg1: Option[DataFrame] =
-      if (factV <= lastFV) None
+      if (effF <= lastFV) None
       else {
         val fd0 =
-          if (lastFV == 0) ff.visibleAt(factV).withColumn("_change_type", lit("insert"))
-          else ff.feed(lastFV, factV, withColumns = false, withPreimage = true)
+          if (lastFV == 0) ff.visibleAt(effF).withColumn("_change_type", lit("insert"))
+          else ff.feed(lastFV, effF, withColumns = false, withPreimage = true)
         // pinned on incremental windows: the dim's bucket-hash probe is an
         // eager action, so an unpinned diff would execute twice (the
         // bootstrap skips the probe and is consumed exactly once)
@@ -142,8 +175,8 @@ final class MaterializedJoinAggView(val root: String) {
         // whole fact keyset; incremental windows point-read the dim for
         // exactly the delta's keys
         val dimNow =
-          if (lastFV == 0) df.visibleAt(dimV)
-          else dimVisiblePruned(spark, sp, dimV,
+          if (lastFV == 0) df.visibleAt(effD)
+          else dimVisiblePruned(spark, sp, effD,
             fd.select(sp.joinKeys.map(col): _*).distinct())
         Some(fd.join(dimNow, sp.joinKeys))
       }
@@ -153,11 +186,11 @@ final class MaterializedJoinAggView(val root: String) {
     //    (stats/Bloom file skipping), never the live fact (ΔF already
     //    rode leg 1 against D_new)
     val leg2: Option[DataFrame] =
-      if (dimV <= lastDV) None
+      if (effD <= lastDV) None
       else {
         val dd0 =
-          if (lastDV == 0) df.visibleAt(dimV).withColumn("_change_type", lit("insert"))
-          else df.feed(lastDV, dimV, withColumns = false, withPreimage = true)
+          if (lastDV == 0) df.visibleAt(effD).withColumn("_change_type", lit("insert"))
+          else df.feed(lastDV, effD, withColumns = false, withPreimage = true)
         // pinned: consumed by the IN-list collect AND the legs plan
         val dd = dd0.withColumn(SignCol, sign).drop(bookkeeping: _*)
           .localCheckpoint()
@@ -169,16 +202,35 @@ final class MaterializedJoinAggView(val root: String) {
         }
       }
 
-    val delta = (leg1, leg2) match {
+    val delta0 = (leg1, leg2) match {
       case (Some(a), Some(b)) => a.unionByName(b, allowMissingColumns = true)
       case (Some(a), None) => a
       case (None, Some(b)) => b
       case (None, None) => return ((lastFV, lastDV), Set.empty)
     }
+    // count(distinct) maintenance re-reads the joined delta once per
+    // distinct agg — pin it (O(changed joined rows)) so the delta-join
+    // legs run once, not once per consumer
+    val delta =
+      if (sp.aggs.exists(_.fn == "count_distinct")) delta0.localCheckpoint()
+      else delta0
+
+    val packedEff = pack(effF, effD)
+    // count(distinct c) over the JOIN result: the signed joined delta IS
+    // a signed feed as far as pair-count maintenance goes — the shared
+    // fold tracks per-(group, value) occurrence counts in this view's aux
+    // table and emits a distinct delta where a count crosses zero
+    val dcDeltas: Seq[DataFrame] =
+      sp.aggs.filter(_.fn == "count_distinct").map { a =>
+        MaterializedAggView.foldDistinct(spark, auxState(sp, a.as), delta,
+          col(SignCol), sp.groupBy, a.col.get, TxnId, packedEff, lastPacked,
+          dcCol(a.as),
+          beforeMerge = () => lock.check(),
+          afterMerge = () => onStep(s"aux-merged:${a.as}"))
+      }
 
     // ── additive fold into the bucketed state (sibling of
-    //    MaterializedAggView.refresh's fold; join views carry no
-    //    count-distinct/min/max, so the additive core suffices)
+    //    MaterializedAggView.refresh's fold)
     val s = col(SignCol)
     val accTypes = MaterializedAggView.accumulatorTypes(sp.aggs, delta.schema)
     val deltaAggs: Seq[Column] =
@@ -187,6 +239,7 @@ final class MaterializedJoinAggView(val root: String) {
           case "count" if a.col.isEmpty => Nil
           case "count" => Seq(
             sum(when(col(a.col.get).isNotNull, s).otherwise(0L)).as(nnCol(a.as)))
+          case "count_distinct" => Nil // maintained via the aux table above
           case _ =>
             val c = a.col.get
             val t = accTypes(a.as)
@@ -198,8 +251,10 @@ final class MaterializedJoinAggView(val root: String) {
       }
     // pinned for the same reason as the sibling view: three downstream
     // actions would otherwise re-run both delta-join legs
-    val grouped = delta.groupBy(sp.groupBy.map(col): _*)
+    val grouped0 = delta.groupBy(sp.groupBy.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
+    // dc-delta groups ⊆ delta groups (both derive from the joined delta)
+    val grouped = dcDeltas.foldLeft(grouped0)((d, dd) => d.join(dd, sp.groupBy, "left"))
       .localCheckpoint()
 
     val accCols: Seq[(String, DataType)] =
@@ -207,6 +262,7 @@ final class MaterializedJoinAggView(val root: String) {
         a.fn match {
           case "count" if a.col.isEmpty => Nil
           case "count" => Seq(nnCol(a.as) -> LongType)
+          case "count_distinct" => Seq(dcCol(a.as) -> LongType)
           case _ => Seq(nnCol(a.as) -> LongType, sumCol(a.as) -> accTypes(a.as))
         }
       }
@@ -228,15 +284,17 @@ final class MaterializedJoinAggView(val root: String) {
             coalesce(col(n).cast(t), lit(0).cast(t))).cast(t))
     }.select((sp.groupBy ++ accCols.map(_._1)).map(col): _*)
 
-    val applyF = math.max(factV, lastFV)
-    val applyD = math.max(dimV, lastDV)
-    val packed = pack(applyF, applyD)
-    val upserts = folded.withColumn(SeqCol, lit(packed))
+    val upserts = folded.withColumn(SeqCol, lit(packedEff))
     lock.check() // abort rather than double-commit if the lock was stolen
     val touched = st.scd1Merge(spark, upserts, SeqCol,
       applyAsDeletes = Some(col(NCol) === 0L),
-      txn = Some((TxnId, packed)))
-    ((applyF, applyD), touched)
+      txn = Some((TxnId, packedEff)))
+    if (effF < math.max(factV, lastFV) || effD < math.max(dimV, lastDV)) {
+      // the pinned replay stopped at the crashed window's end — fold the
+      // rest of the history in an ordinary pass under the same lock
+      val (v2, t2) = refreshLocked(spark, lock)
+      (v2, touched ++ t2)
+    } else ((effF, effD), touched)
   }
 
   /** Dim's visible rows at `v` for exactly the given join keys —
@@ -294,6 +352,8 @@ final class MaterializedJoinAggView(val root: String) {
     val nnOnly = sp.aggs.filter(a => a.fn == "count" && a.col.nonEmpty)
       .filterNot(a => perMeasure.contains(a.col.get))
       .groupBy(_.col.get).map { case (m, as) => m -> as.head.as }
+    val dcs = sp.aggs.filter(_.fn == "count_distinct")
+      .groupBy(_.col.get).map { case (m, as) => m -> as.head.as }
     raw.select(sp.groupBy.map(col) ++
       Seq(col(NCol).as("__cnt")) ++
       perMeasure.toSeq.flatMap { case (m, as) => Seq(
@@ -301,7 +361,8 @@ final class MaterializedJoinAggView(val root: String) {
         // the raw accumulator holds 0 there (see MaterializedAggView)
         when(col(nnCol(as)) > 0, col(sumCol(as))).as(s"__sum_$m"),
         col(nnCol(as)).as(s"__nn_$m")) } ++
-      nnOnly.toSeq.map { case (m, as) => col(nnCol(as)).as(s"__nn_$m") }: _*)
+      nnOnly.toSeq.map { case (m, as) => col(nnCol(as)).as(s"__nn_$m") } ++
+      dcs.toSeq.map { case (m, as) => col(dcCol(as)).as(s"__dc_$m") }: _*)
   }
 
   /** Register TRANSPARENT routing: any `Aggregate` over the INNER
@@ -315,8 +376,18 @@ final class MaterializedJoinAggView(val root: String) {
     val sp = spec(spark)
     val measures = sp.aggs.filterNot(a => a.fn == "count" && a.col.isEmpty)
       .flatMap(_.col).distinct
+    // count-distinct measures also register their live pair relations so
+    // COUNT(DISTINCT m) routes at coarser groupings (see the single-table
+    // view — the mechanics are identical over the join's aux table)
+    val distincts = sp.aggs.filter(_.fn == "count_distinct")
+      .groupBy(_.col.get).map { case (m, as) =>
+        val a = as.head
+        m -> (() => MaterializedAggView.auxPairs(spark, auxState(sp, a.as),
+          state(sp).appliedTxn(spark, TxnId).getOrElse(0L), TxnId, sp.groupBy))
+      }
     graft.plans.AggRollupRewrite.registerJoinView(spark, sp.factRoot,
-      sp.dimRoot, sp.joinKeys, sp.groupBy, measures, () => rollupFormat(spark))
+      sp.dimRoot, sp.joinKeys, sp.groupBy, measures, () => rollupFormat(spark),
+      distincts)
   }
 
   /** Remove this view's transparent routing (SQL `ALTER MATERIALIZED
@@ -335,6 +406,7 @@ final class MaterializedJoinAggView(val root: String) {
       a.fn match {
         case "count" if a.col.isEmpty => col(NCol).as(a.as)
         case "count" => col(nnCol(a.as)).as(a.as)
+        case "count_distinct" => col(dcCol(a.as)).as(a.as)
         case "sum" => when(col(nnCol(a.as)) > 0, col(sumCol(a.as))).as(a.as)
         case "avg" => when(col(nnCol(a.as)) > 0,
           col(sumCol(a.as)).cast(DoubleType) / col(nnCol(a.as))).as(a.as)
@@ -352,6 +424,7 @@ object MaterializedJoinAggView {
   private val MaxInlineKeys = 1000
   private def nnCol(as: String) = s"__mv_nn_$as"
   private def sumCol(as: String) = s"__mv_sum_$as"
+  private def dcCol(as: String) = s"__mv_dc_$as"
 
   private def pack(factV: Int, dimV: Int): Long = (factV.toLong << 20) | dimV.toLong
   private def unpack(p: Long): (Int, Int) = ((p >> 20).toInt, (p & ((1L << 20) - 1)).toInt)
@@ -361,9 +434,12 @@ object MaterializedJoinAggView {
       groupBy: Seq[String], aggs: Seq[Agg], numBuckets: Int)
 
   /** Declare the view (no data moves until the first refresh). Join-view
-    * aggregates are the additive set only — min/max/count-distinct would
-    * need rescans over the JOIN, a cost class [[MaterializedAggView]]'s
-    * single-table RESCAN mode prices but a join cannot bound. */
+    * aggregates: the additive set plus `count(distinct c)` (maintained
+    * exactly via the aux occurrence table over the JOIN result — the
+    * signed joined delta is a plain signed feed as far as pair counts
+    * go). min/max stay out: they would need rescans over the JOIN, a
+    * cost class [[MaterializedAggView]]'s single-table RESCAN mode
+    * prices but a join cannot bound. */
   def create(spark: SparkSession, root: String,
       factRoot: String, factKeys: Seq[String],
       dimRoot: String, dimKeys: Seq[String],
@@ -373,8 +449,8 @@ object MaterializedJoinAggView {
     require(groupBy.nonEmpty, "join view needs GROUP BY columns")
     require(aggs.nonEmpty, "join view needs at least one aggregate")
     aggs.foreach { a =>
-      require(Set("count", "sum", "avg")(a.fn),
-        s"join views maintain additive aggregates only — '${a.fn}' is not")
+      require(Set("count", "sum", "avg", "count_distinct")(a.fn),
+        s"join views maintain additive and count-distinct aggregates — '${a.fn}' is not")
       require(a.fn == "count" || a.col.nonEmpty, s"${a.fn} needs a column")
     }
     require(aggs.map(_.as).distinct.size == aggs.size, "duplicate aggregate aliases")

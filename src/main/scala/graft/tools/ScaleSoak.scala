@@ -461,6 +461,46 @@ object ScaleSoak {
       }
       println(s"[soak]   join-mv dim refresh touched=${jt2.size} state buckets")
       results("mvj_refresh_dim_trickle") = jdW
+
+      // ── r11b: incremental STAR MV (3-way) — the telescoping identity's
+      //    legs at 10×: a fact trickle folds through TWO bucket-pruned
+      //    dim lookups; a dim flip reads the old fact IN-list-pruned plus
+      //    the OTHER dim point-read. Both must be flat in fact size after
+      //    the untimed O(star join) bootstrap (the join rows above cover
+      //    the same mechanics pairwise; these pin the N-way composition)
+      val sdima = new graft.tables.BucketedSnapshotTable(s"$work/sdima", 16,
+        Seq("o_custkey"))
+      sdima.scd1Merge(spark, orders.select("o_custkey").distinct()
+        .withColumn("seg", col("o_custkey") % 7)
+        .withColumn("dseq", lit(1L)), "dseq") // untimed dim seed
+      val sdimb = new graft.tables.BucketedSnapshotTable(s"$work/sdimb", 16,
+        Seq("o_custkey"))
+      sdimb.scd1Merge(spark, orders.select("o_custkey").distinct()
+        .withColumn("tier", col("o_custkey") % 5)
+        .withColumn("dseq", lit(1L)), "dseq") // untimed dim seed
+      val smv = graft.tables.MaterializedStarAggView.create(spark, s"$work/smv",
+        s"$work/t", Nil, Seq(
+          graft.tables.MaterializedStarAggView.Dim(s"$work/sdima", Nil, Seq("o_custkey")),
+          graft.tables.MaterializedStarAggView.Dim(s"$work/sdimb", Nil, Seq("o_custkey"))),
+        Seq("seg", "tier"),
+        Seq(agg("count", None, "n"), agg("sum", Some("o_totalprice"), "rev")),
+        numBuckets = 16)
+      smv.refresh(spark) // untimed O(star join) bootstrap
+      tb.scd1Merge(spark, batch.withColumn("op_seq", lit(11L)), "op_seq")
+      val ((_, st1), sfW) = time(s"$tag/mvs_refresh_fact_trickle") {
+        smv.refresh(spark)
+      }
+      println(s"[soak]   star-mv fact refresh touched=${st1.size} state buckets")
+      results("mvs_refresh_fact_trickle") = sfW
+      sdima.scd1Merge(spark, orders.select("o_custkey").distinct()
+        .filter(col("o_custkey") === lit(probeCust))
+        .withColumn("seg", lit(98L)).withColumn("dseq", lit(2L))
+        .localCheckpoint(), "dseq")
+      val ((_, st2), sdW) = time(s"$tag/mvs_refresh_dim_trickle") {
+        smv.refresh(spark)
+      }
+      println(s"[soak]   star-mv dim refresh touched=${st2.size} state buckets")
+      results("mvs_refresh_dim_trickle") = sdW
       results.toMap
     }
     val scdSmall = scdSoak("sf0.1", 1)

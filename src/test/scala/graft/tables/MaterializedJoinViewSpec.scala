@@ -197,6 +197,121 @@ class MaterializedJoinViewSpec extends AnyFunSuite {
     } finally graft.plans.AggRollupRewrite.clear()
   }
 
+  test("count(distinct c) over the join: exact under fact deletes, dim moves, resurrection") {
+    val work = tmp("mvjdc")
+    val fact = new SnapshotTable(s"$work/fact")
+    val dim = new BucketedSnapshotTable(s"$work/dim", 4, Seq("jk"))
+    // red holds values {X (k1,k2), Y (k3)}; blue holds {X (k4)}
+    fact.write(spark, Seq((1, 10L, "X"), (2, 10L, "X"), (3, 10L, "Y"), (4, 20L, "X"))
+      .toDF("k", "jk", "v"))
+    dim.scd1Merge(spark, Seq((10L, 1L, "red"), (20L, 1L, "blue"))
+      .toDF("jk", "seq", "g"), "seq")
+    val mv = MaterializedJoinAggView.create(spark, s"$work/mv",
+      s"$work/fact", Seq("k"), s"$work/dim", Nil, Seq("jk"), Seq("g"),
+      Seq(agg("count", None, "n"), agg("count_distinct", Some("v"), "dv")),
+      numBuckets = 4)
+    def want = graft.cdc.ScdMerge.scd1Current(fact.read(spark))
+      .join(graft.cdc.ScdMerge.scd1Current(dim.read(spark)), Seq("jk"))
+      .groupBy("g").agg(count(lit(1)).as("n"), countDistinct(col("v")).as("dv"))
+      .as[(String, Long, Long)].collect().toSet
+    def got = mv.read(spark).as[(String, Long, Long)].collect().toSet
+    mv.refresh(spark)
+    assert(got == want && got == Set(("red", 3L, 2L), ("blue", 1L, 1L)), got.toString)
+    // drop ONE of red's two X holders: occurrence 2→1, distinct unchanged
+    fact.write(spark, Seq((2, 10L, "X"), (3, 10L, "Y"), (4, 20L, "X")).toDF("k", "jk", "v"))
+    mv.refresh(spark)
+    assert(got == want && got.exists(r => r._1 == "red" && r._3 == 2L), got.toString)
+    // drop the LAST X holder in red: the distinct count falls
+    fact.write(spark, Seq((3, 10L, "Y"), (4, 20L, "X")).toDF("k", "jk", "v"))
+    mv.refresh(spark)
+    assert(got == want && got.exists(r => r._1 == "red" && r._3 == 1L), got.toString)
+    // dim flip: jk 20 moves blue → red, so X RESURRECTS in red via the
+    // DIM leg (no fact change) and blue's group dies entirely
+    dim.scd1Merge(spark, Seq((20L, 2L, "red")).toDF("jk", "seq", "g"), "seq")
+    mv.refresh(spark)
+    assert(got == want && got == Set(("red", 2L, 2L)), got.toString)
+    // cross-window: a new fact row under a NEW dim key in ONE refresh
+    // (the ΔF⋈ΔD cross term) must fold its pair exactly once
+    fact.write(spark, Seq((3, 10L, "Y"), (4, 20L, "X"), (5, 30L, "Y")).toDF("k", "jk", "v"))
+    dim.scd1Merge(spark, Seq((30L, 3L, "red")).toDF("jk", "seq", "g"), "seq")
+    mv.refresh(spark)
+    assert(got == want && got == Set(("red", 3L, 2L)), got.toString)
+  }
+
+  test("count(distinct c): a crash between the aux and main commits heals on replay") {
+    val work = tmp("mvjdcc")
+    val fact = new SnapshotTable(s"$work/fact")
+    val dim = new BucketedSnapshotTable(s"$work/dim", 4, Seq("jk"))
+    fact.write(spark, Seq((1, 10L, "X"), (2, 10L, "Y")).toDF("k", "jk", "v"))
+    dim.scd1Merge(spark, Seq((10L, 1L, "red")).toDF("jk", "seq", "g"), "seq")
+    val mv = MaterializedJoinAggView.create(spark, s"$work/mv",
+      s"$work/fact", Seq("k"), s"$work/dim", Nil, Seq("jk"), Seq("g"),
+      Seq(agg("count_distinct", Some("v"), "dv")), numBuckets = 4)
+    mv.refresh(spark)
+    // Y disappears; the refresh CRASHES after the aux occurrence commit
+    // (packed-ledger value fact=2,dim=1) but before the main state commit
+    fact.write(spark, Seq((1, 10L, "X")).toDF("k", "jk", "v"))
+    mv.onStep = s => if (s.startsWith("aux-merged")) sys.error("boom")
+    intercept[RuntimeException] { mv.refresh(spark) }
+    mv.onStep = _ => ()
+    assert(mv.lastApplied(spark) == ((1, 1)))
+    // the source ADVANCES past the crash: Y REVERTS before the replay —
+    // the replay must fold EXACTLY the crashed window against the pinned
+    // aux base, then the remainder in a second pass (folding the net
+    // window would freeze Y's crashed count forever)
+    fact.write(spark, Seq((1, 10L, "X"), (2, 10L, "Y")).toDF("k", "jk", "v"))
+    mv.refresh(spark)
+    def got = mv.read(spark).as[(String, Long)].collect().toSet
+    assert(got == Set(("red", 2L)), got.toString)
+    assert(mv.lastApplied(spark) == ((3, 1)))
+    // aux truly healed: Y vanishing and returning round-trips exactly
+    fact.write(spark, Seq((1, 10L, "X")).toDF("k", "jk", "v"))
+    mv.refresh(spark)
+    assert(got == Set(("red", 1L)), got.toString)
+    fact.write(spark, Seq((1, 10L, "X"), (9, 10L, "Y")).toDF("k", "jk", "v"))
+    mv.refresh(spark)
+    assert(got == Set(("red", 2L)), got.toString)
+  }
+
+  test("join-view count(distinct) routes at own grain (__dc) and coarser (pairs)") {
+    val work = tmp("mvjdcr")
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    org.apache.spark.sql.GraftColumnBridge.applyExtensions(ext, spark)
+    val fact = new SnapshotTable(s"$work/fact")
+    val dim = new BucketedSnapshotTable(s"$work/dim", 4, Seq("jk"))
+    fact.write(spark, Seq((1, 10L, "X"), (2, 10L, "Y"), (3, 20L, "X"))
+      .toDF("k", "jk", "v"))
+    dim.scd1Merge(spark, Seq((10L, 1L, "red", "r1"), (20L, 1L, "red", "r2"))
+      .toDF("jk", "seq", "g", "h"), "seq")
+    val mv = MaterializedJoinAggView.create(spark, s"$work/mv",
+      s"$work/fact", Seq("k"), s"$work/dim", Nil, Seq("jk"), Seq("g", "h"),
+      Seq(agg("count", None, "n"), agg("count_distinct", Some("v"), "dv")),
+      numBuckets = 4)
+    mv.refresh(spark)
+    try {
+      mv.registerRewrite(spark)
+      def joined = fact.readIndexed(spark)
+        .join(graft.cdc.ScdMerge.scd1Current(dim.readIndexed(spark)), Seq("jk"))
+      // own grain: the __dc_ partial answers directly
+      val own = joined.groupBy(col("g"), col("h")).agg(countDistinct(col("v")).as("dv"))
+      val planO = own.queryExecution.optimizedPlan.toString
+      assert(planO.contains("__dc_v") && !planO.contains("/fact/_v"),
+        s"own-grain distinct must route:\n$planO")
+      assert(own.as[(String, String, Long)].collect().toSet ==
+        Set(("red", "r1", 2L), ("red", "r2", 1L)))
+      // coarser grain: exact via the aux PAIR relation (X spans both
+      // subsumed groups and must count ONCE) — still never the fact
+      val coarse = joined.groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("v")).as("dv"))
+      val planC = coarse.queryExecution.optimizedPlan.toString
+      assert(planC.contains("__dval") && !planC.contains("sum(__dc") &&
+        !planC.contains("/fact/_v"),
+        s"coarse distinct must read the pair relation, not the fact:\n$planC")
+      assert(coarse.as[(String, Long, Long)].collect().toSet == Set(("red", 3L, 2L)))
+    } finally graft.plans.AggRollupRewrite.clear()
+  }
+
   test("refresh rewrites only the buckets holding changed groups") {
     val work = tmp("mvjb")
     val fact = new SnapshotTable(s"$work/fact")
