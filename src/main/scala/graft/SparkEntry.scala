@@ -5770,6 +5770,69 @@ object SparkEntry {
       }
     }),
 
+    // ── COUNT(DISTINCT) IN STAR VIEWS (r11b): "distinct suppliers per
+    //    (priority, brand)" — exact distinct over the 3-way star,
+    //    maintained from ALL THREE change feeds: the telescoping signed
+    //    delta drives the shared per-(group, value) occurrence fold, so a
+    //    fact delete retracts a supplier where its last line goes and
+    //    EITHER dimension's attribute flip moves suppliers between groups
+    //    with no fact recompute. Crash safety: the window's version
+    //    vector is recorded in `_applied_aux_<n>` BEFORE the aux merge so
+    //    a replay pins exactly. Pins: incremental refreshes rewrite O(1)
+    //    buckets at ANY scale factor; the oracle recomputes the final
+    //    star's distinct counts from scratch.
+    "q331_star_mv_count_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("mvsdc").toString
+      withShufflePartitions(s, 8) {
+      val sqlRun = (q: String) => org.apache.spark.sql.GraftColumnBridge.graftSql(s, q)
+      val fact = new graft.tables.SnapshotTable(s"$work/fact")
+      val d1 = new graft.tables.BucketedSnapshotTable(s"$work/orders", 16, Seq("o_orderkey"))
+      val d2 = new graft.tables.BucketedSnapshotTable(s"$work/part", 16, Seq("p_partkey"))
+      val l0 = Tables.lineitem(s, dir)
+        .select($"l_orderkey".as("o_orderkey"), $"l_linenumber",
+          $"l_partkey", $"l_suppkey")
+        .groupBy($"o_orderkey", $"l_linenumber")
+        .agg(min($"l_partkey").as("p_partkey"), max($"l_suppkey").as("supp"))
+      val (k1, k3) = l0.agg(min($"o_orderkey"), max($"o_orderkey")).as[(Long, Long)].head()
+      val pk = Tables.lineitem(s, dir).agg(min($"l_partkey")).as[Long].head()
+      fact.write(s, l0)
+      d1.scd1Merge(s, Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderpriority".as("prio"))
+        .withColumn("op_seq", lit(1L)), "op_seq")
+      d2.scd1Merge(s, Tables.part(s, dir).select($"p_partkey", $"p_brand")
+        .withColumn("op_seq", lit(1L)), "op_seq")
+      sqlRun(s"CREATE MATERIALIZED STAR VIEW '$work/mv' FACT '$work/fact' " +
+        s"KEYS (o_orderkey, l_linenumber) DIM '$work/orders' ON (o_orderkey) " +
+        s"DIM '$work/part' ON (p_partkey) GROUP BY (prio, p_brand) " +
+        "AGG (count(*) AS n, count(distinct supp) AS ds) INTO 32 BUCKETS").collect()
+      sqlRun(s"REFRESH MATERIALIZED STAR VIEW '$work/mv'").collect() // bootstrap
+      val mv = new graft.tables.MaterializedStarAggView(s"$work/mv")
+      // fact leg: one order's lines deleted — its suppliers retract
+      fact.write(s, l0.filter($"o_orderkey" =!= k3))
+      val (_, t2) = mv.refresh(s)
+      require(t2.nonEmpty && t2.size <= 12,
+        s"a one-order fact delete must rewrite O(1) state buckets, got ${t2.size}")
+      // dim1 leg: one order's priority flips — its suppliers MOVE groups
+      d1.scd1Merge(s, Seq((k1, 2L, "9-FLIP")).toDF("o_orderkey", "op_seq", "prio"),
+        "op_seq")
+      val (_, t3) = mv.refresh(s)
+      require(t3.nonEmpty && t3.size <= 12,
+        s"a one-order dim flip must rewrite O(1) state buckets, got ${t3.size}")
+      // dim2 leg: one part's brand flips — its suppliers move across all
+      // the priorities that part ships under
+      d2.scd1Merge(s, Seq((pk, 2L, "BRAND#99")).toDF("p_partkey", "op_seq", "p_brand"),
+        "op_seq")
+      val (vec, t4) = mv.refresh(s)
+      require(t4.nonEmpty && t4.size <= 12,
+        s"a one-part dim flip must rewrite O(changed groups) buckets, got ${t4.size}")
+      require(vec == Seq(2, 2, 2),
+        s"vector ledger must record (fact 2, orders 2, part 2), got $vec")
+      mv.read(s).select($"prio", $"p_brand", $"n", $"ds")
+        .orderBy($"prio", $"p_brand")
+      }
+    }),
+
     // ── TRANSPARENT JOIN-MV ROUTING (r11): the join twin of q322 — an
     //    ORDINARY aggregate over fact ⋈ dim (inner, on exactly the
     //    view's join keys, visible rows) is rewritten by the optimizer
@@ -7075,6 +7138,35 @@ object SparkEntry {
         |         THEN 'BRAND#99' ELSE p_brand END AS p_brand
         |  FROM part)
         |SELECT prio, p_brand, count(*) AS n, CAST(sum(qty) AS DOUBLE) AS sq
+        |FROM lfix JOIN ofix ON l_orderkey = o_orderkey JOIN pfix USING (p_partkey)
+        |GROUP BY prio, p_brand ORDER BY prio, p_brand""".stripMargin,
+
+    // the star view's final distinct counts = a from-scratch recompute of
+    // the final 3-way join: one order's lines deleted, another's priority
+    // flipped, one part's brand flipped
+    "q331_star_mv_count_distinct" ->
+      """WITH k AS (
+        |  SELECT min(l_orderkey) AS k1, max(l_orderkey) AS k3,
+        |    (SELECT min(l_partkey) FROM lineitem) AS pk
+        |  FROM lineitem),
+        |lbase AS (
+        |  SELECT l_orderkey, l_linenumber, min(l_partkey) AS p_partkey,
+        |    max(l_suppkey) AS supp
+        |  FROM lineitem GROUP BY 1, 2),
+        |lfix AS (
+        |  SELECT l_orderkey, p_partkey, supp FROM lbase
+        |  WHERE l_orderkey <> (SELECT k3 FROM k)),
+        |ofix AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey = (SELECT k1 FROM k)
+        |         THEN '9-FLIP' ELSE o_orderpriority END AS prio
+        |  FROM orders),
+        |pfix AS (
+        |  SELECT p_partkey,
+        |    CASE WHEN p_partkey = (SELECT pk FROM k)
+        |         THEN 'BRAND#99' ELSE p_brand END AS p_brand
+        |  FROM part)
+        |SELECT prio, p_brand, count(*) AS n, count(DISTINCT supp) AS ds
         |FROM lfix JOIN ofix ON l_orderkey = o_orderkey JOIN pfix USING (p_partkey)
         |GROUP BY prio, p_brand ORDER BY prio, p_brand""".stripMargin,
 

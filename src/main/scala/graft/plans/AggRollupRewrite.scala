@@ -120,19 +120,22 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
     * keys), and a live rollup-format provider. */
   final case class StarRollup(spark: SparkSession, provider: () => DataFrame,
       factRoot: String, dims: Seq[(String, Seq[String])],
-      groupBy: Seq[String], measures: Seq[String])
+      groupBy: Seq[String], measures: Seq[String],
+      distincts: Map[String, () => DataFrame] = Map.empty)
 
   private val starRegistry = TrieMap.empty[String, StarRollup]
 
   /** Point aggregates over the INNER equi-join of fact and ALL the dims
     * (each on its own keys) at a LIVE star-rollup relation — the
     * incrementally-maintained [[graft.tables.MaterializedStarAggView]]
-    * registers its state this way. */
+    * registers its state this way. Same partial format (and `distincts`
+    * pair-relation contract) as [[registerView]]. */
   def registerStarView(spark: SparkSession, factRoot: String,
       dims: Seq[(String, Seq[String])], groupBy: Seq[String],
-      measures: Seq[String], provider: () => DataFrame): Unit =
+      measures: Seq[String], provider: () => DataFrame,
+      distincts: Map[String, () => DataFrame] = Map.empty): Unit =
     starRegistry.put(canon(factRoot),
-      StarRollup(spark, provider, factRoot, dims, groupBy, measures))
+      StarRollup(spark, provider, factRoot, dims, groupBy, measures, distincts))
 
   /** Remove the star routing for `factRoot`. */
   def unregisterStarView(factRoot: String): Unit =
@@ -196,7 +199,7 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
           .orElse(joinScanOf(child).flatMap(j => rewrite(agg, groupings, aggExprs,
             Rollup(j.spark, j.provider, j.dims, j.measures, j.distincts))))
           .orElse(starScanOf(child).flatMap(st => rewrite(agg, groupings, aggExprs,
-            Rollup(st.spark, st.provider, st.groupBy, st.measures))))
+            Rollup(st.spark, st.provider, st.groupBy, st.measures, st.distincts))))
           .getOrElse(agg)
     }
 

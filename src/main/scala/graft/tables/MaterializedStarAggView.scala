@@ -45,7 +45,10 @@ import org.apache.spark.sql.types._
   * recovery base is always `_applied_<appliedTxn>`, written by the run
   * that committed it and never touched since.
   *
-  * Contracts: as [[MaterializedJoinAggView]] — additive aggregates only,
+  * Contracts: as [[MaterializedJoinAggView]] — additive aggregates plus
+  * `count(distinct c)` (the shared aux occurrence fold over the star's
+  * signed joined delta; the crashed-window vector is recorded in
+  * `_applied_aux_<n>` BEFORE any aux merge so replays pin exactly),
   * non-null group keys, distinct column names across sides apart from
   * join keys, `VACUUM … KEEP` ≥ refresh lag on every source. Refreshes
   * SERIALIZE on the view root's commit lock: two racing refreshes would
@@ -90,6 +93,17 @@ final class MaterializedStarAggView(val root: String) {
   private def state(sp: Spec) =
     new BucketedSnapshotTable(s"$root/state", sp.numBuckets, sp.groupBy)
 
+  /** Auxiliary occurrence table for one `count(distinct c)` over the
+    * star result — the shared pair-count shape (see
+    * [[MaterializedAggView.foldDistinct]]). */
+  private def auxState(sp: Spec, as: String) =
+    new BucketedSnapshotTable(s"$root/dstate_$as", sp.numBuckets,
+      sp.groupBy :+ MaterializedAggView.ValCol)
+
+  /** Fault-injection hook for crash-recovery specs: called between the
+    * aux and main commits. */
+  private[tables] var onStep: String => Unit = _ => ()
+
   private def feedOf(spark: SparkSession, tableRoot: String, keys: Seq[String]) =
     graft.streaming.ChangeFeedSource.adapter(spark, Map("path" -> tableRoot) ++
       (if (keys.nonEmpty) Map("keys" -> keys.mkString(",")) else Map.empty))
@@ -105,17 +119,27 @@ final class MaterializedStarAggView(val root: String) {
 
   private def vectorPath(n: Long) = new Path(root, s"_applied_$n")
 
-  private def readVector(spark: SparkSession, n: Long): Seq[Int] = {
+  /** The version vector a count-distinct refresh is ABOUT to fold,
+    * written (under the view lock) BEFORE the aux merges: a crash between
+    * an aux commit and the main commit must replay EXACTLY this window —
+    * the main `_applied_<n>` is only written next to the main merge, so
+    * the aux vector is the crashed window's only durable record. */
+  private def auxVectorPath(n: Long) = new Path(root, s"_applied_aux_$n")
+
+  private def readVector(spark: SparkSession, p: Path): Seq[Int] = {
     val f = fs(spark)
-    val in = f.open(vectorPath(n))
+    val in = f.open(p)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
     txt.split(",").map(_.trim.toInt).toSeq
   }
 
-  private def writeVector(spark: SparkSession, n: Long, vs: Seq[Int]): Unit = {
-    val out = fs(spark).create(vectorPath(n), true) // overwrite: a stale
-    // vector from a crashed attempt is re-derived, never trusted
+  private def readVector(spark: SparkSession, n: Long): Seq[Int] =
+    readVector(spark, vectorPath(n))
+
+  private def writeVector(spark: SparkSession, p: Path, vs: Seq[Int]): Unit = {
+    val out = fs(spark).create(p, true) // overwrite: a stale vector from
+    // a crashed attempt is re-derived, never trusted
     try out.write(vs.mkString(",").getBytes("UTF-8")) finally out.close()
   }
 
@@ -137,7 +161,23 @@ final class MaterializedStarAggView(val root: String) {
     if (liveVec.zip(lastVec).forall { case (a, b) => a <= b })
       return (lastVec, Set.empty)
     val (lastFV, lastDVs) = (lastVec.head, lastVec.tail)
-    val (liveFV, liveDVs) = (liveVec.head, liveVec.tail)
+    val nextN = lastN + 1
+
+    // crash-replay window pinning: if a distinct agg's aux table already
+    // committed refresh number n+1 but the MAIN state did not, replay
+    // EXACTLY the vector the crashed run recorded in `_applied_aux_<n+1>`
+    // (written under the lock BEFORE any aux merge) — folding a longer
+    // net window against the crashed aux counts would freeze any pair
+    // whose change reverted in between. The remainder folds in a second
+    // pass below.
+    val crashed = sp.aggs.filter(_.fn == "count_distinct").exists { a =>
+      val dst = auxState(sp, a.as)
+      dst.exists(spark) && dst.appliedTxn(spark, TxnId).exists(_ > lastN)
+    }
+    val applyVec: Seq[Int] =
+      if (crashed) readVector(spark, auxVectorPath(nextN))
+      else liveVec.zip(lastVec).map { case (a, b) => math.max(a, b) }
+    val (effFV, effDVs) = (applyVec.head, applyVec.tail)
 
     val sign = when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
       .otherwise(lit(-1L))
@@ -194,18 +234,18 @@ final class MaterializedStarAggView(val root: String) {
     val n = sp.dims.size
     // ── leg 0: ΔF ⋈ D1' ⋈ … ⋈ Dn'
     val leg0: Option[DataFrame] =
-      if (liveFV <= lastFV) None
+      if (effFV <= lastFV) None
       else {
         // pinned: each dim's bucket-hash probe is an eager action, so an
         // unpinned window diff would re-execute once per dim plus once in
         // the legs plan (bootstrap skips the probes AND the pin — its
         // feed is O(table) and consumed exactly once)
-        val fd0 = feedWindow(ff, lastFV, liveFV)
+        val fd0 = feedWindow(ff, lastFV, effFV)
         val fd = if (lastFV == 0) fd0 else fd0.localCheckpoint()
         val joined = (0 until n).foldLeft(fd) { (acc, i) =>
           val dimNow =
-            if (lastFV == 0) dimAt(i, liveDVs(i), None) // bootstrap: full join
-            else dimAt(i, liveDVs(i),
+            if (lastFV == 0) dimAt(i, effDVs(i), None) // bootstrap: full join
+            else dimAt(i, effDVs(i),
               Some(acc.select(sp.dims(i).join.map(col): _*).distinct()))
           acc.join(dimNow, sp.dims(i).join)
         }
@@ -214,16 +254,16 @@ final class MaterializedStarAggView(val root: String) {
 
     // ── leg i (1-based over dims): F ⋈ D1 ⋈ … ⋈ D(i−1) ⋈ ΔDi ⋈ D(i+1)' ⋈ … ⋈ Dn'
     val dimLegs: Seq[DataFrame] = (0 until n).flatMap { i =>
-      if (liveDVs(i) <= lastDVs(i) || lastFV == 0) None // bootstrap rode leg 0
+      if (effDVs(i) <= lastDVs(i) || lastFV == 0) None // bootstrap rode leg 0
       else {
         // pinned: consumed by the IN-list collect, the other dims'
         // probes, and the legs plan — three executions otherwise
-        val dd = feedWindow(dfs(i), lastDVs(i), liveDVs(i)).localCheckpoint()
+        val dd = feedWindow(dfs(i), lastDVs(i), effDVs(i)).localCheckpoint()
         val changed = dd.select(sp.dims(i).join.map(col): _*).distinct()
         val factOld = factAt(lastFV, sp.dims(i).join, changed)
         val withDelta = factOld.join(dd, sp.dims(i).join)
         val joined = (0 until n).filter(_ != i).foldLeft(withDelta) { (acc, k) =>
-          val v = if (k < i) lastDVs(k) else liveDVs(k)
+          val v = if (k < i) lastDVs(k) else effDVs(k)
           val dk = dimAt(k, v,
             Some(acc.select(sp.dims(k).join.map(col): _*).distinct()))
           acc.join(dk, sp.dims(k).join)
@@ -239,7 +279,27 @@ final class MaterializedStarAggView(val root: String) {
     // (each SCD dim has its own sequence column), which is fine inside a
     // join but an ambiguity error in a union
     val need = (sp.groupBy ++ sp.aggs.flatMap(_.col) :+ SignCol).distinct
-    val delta = legs.map(_.select(need.map(col): _*)).reduce(_.unionByName(_))
+    val delta0 = legs.map(_.select(need.map(col): _*)).reduce(_.unionByName(_))
+    // count(distinct) maintenance re-reads the joined delta once per
+    // distinct agg — pin it so the star legs run once, not per consumer
+    val hasDistinct = sp.aggs.exists(_.fn == "count_distinct")
+    val delta = if (hasDistinct) delta0.localCheckpoint() else delta0
+
+    // count(distinct c) over the star result: record the window's vector
+    // FIRST (under the lock — the crashed-replay pin), then run the
+    // shared pair-count fold per distinct agg
+    if (hasDistinct && !crashed) {
+      lock.check()
+      writeVector(spark, auxVectorPath(nextN), applyVec)
+    }
+    val dcDeltas: Seq[DataFrame] =
+      sp.aggs.filter(_.fn == "count_distinct").map { a =>
+        MaterializedAggView.foldDistinct(spark, auxState(sp, a.as), delta,
+          col(SignCol), sp.groupBy, a.col.get, TxnId, nextN, lastN,
+          dcCol(a.as),
+          beforeMerge = () => lock.check(),
+          afterMerge = () => onStep(s"aux-merged:${a.as}"))
+      }
 
     // ── additive fold into the bucketed state (same core as the siblings)
     val s = col(SignCol)
@@ -250,6 +310,7 @@ final class MaterializedStarAggView(val root: String) {
           case "count" if a.col.isEmpty => Nil
           case "count" => Seq(
             sum(when(col(a.col.get).isNotNull, s).otherwise(0L)).as(nnCol(a.as)))
+          case "count_distinct" => Nil // maintained via the aux table above
           case _ =>
             val c = a.col.get
             val t = accTypes(a.as)
@@ -259,8 +320,10 @@ final class MaterializedStarAggView(val root: String) {
                 .cast(t).as(sumCol(a.as)))
         }
       }
-    val grouped = delta.groupBy(sp.groupBy.map(col): _*)
+    val grouped0 = delta.groupBy(sp.groupBy.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
+    // dc-delta groups ⊆ delta groups (both derive from the joined delta)
+    val grouped = dcDeltas.foldLeft(grouped0)((d, dd) => d.join(dd, sp.groupBy, "left"))
       .localCheckpoint() // three downstream actions re-run the legs otherwise
 
     val accCols: Seq[(String, DataType)] =
@@ -268,6 +331,7 @@ final class MaterializedStarAggView(val root: String) {
         a.fn match {
           case "count" if a.col.isEmpty => Nil
           case "count" => Seq(nnCol(a.as) -> LongType)
+          case "count_distinct" => Seq(dcCol(a.as) -> LongType)
           case _ => Seq(nnCol(a.as) -> LongType, sumCol(a.as) -> accTypes(a.as))
         }
       }
@@ -291,15 +355,18 @@ final class MaterializedStarAggView(val root: String) {
 
     // ── numbered commit: vector file first, ledger names it atomically
     //    with the merge
-    val nextN = lastN + 1
-    val applyVec = liveVec.zip(lastVec).map { case (a, b) => math.max(a, b) }
     lock.check() // abort before the vector write if the lock was stolen
-    writeVector(spark, nextN, applyVec)
+    writeVector(spark, vectorPath(nextN), applyVec)
     val upserts = folded.withColumn(SeqCol, lit(nextN))
     val touched = st.scd1Merge(spark, upserts, SeqCol,
       applyAsDeletes = Some(col(NCol) === 0L),
       txn = Some((TxnId, nextN)))
-    (applyVec, touched)
+    if (applyVec.zip(liveVec).exists { case (a, l) => a < l }) {
+      // the pinned replay stopped at the crashed window's end — fold the
+      // rest of the history in an ordinary pass under the same lock
+      val (v2, t2) = refreshLocked(spark, lock)
+      (v2, touched ++ t2)
+    } else (applyVec, touched)
   }
 
   /** The state in rollup-partial format — what the transparent
@@ -312,6 +379,8 @@ final class MaterializedStarAggView(val root: String) {
     val nnOnly = sp.aggs.filter(a => a.fn == "count" && a.col.nonEmpty)
       .filterNot(a => perMeasure.contains(a.col.get))
       .groupBy(_.col.get).map { case (m, as) => m -> as.head.as }
+    val dcs = sp.aggs.filter(_.fn == "count_distinct")
+      .groupBy(_.col.get).map { case (m, as) => m -> as.head.as }
     raw.select(sp.groupBy.map(col) ++
       Seq(col(NCol).as("__cnt")) ++
       perMeasure.toSeq.flatMap { case (m, as) => Seq(
@@ -319,7 +388,8 @@ final class MaterializedStarAggView(val root: String) {
         // the raw accumulator holds 0 there (see MaterializedAggView)
         when(col(nnCol(as)) > 0, col(sumCol(as))).as(s"__sum_$m"),
         col(nnCol(as)).as(s"__nn_$m")) } ++
-      nnOnly.toSeq.map { case (m, as) => col(nnCol(as)).as(s"__nn_$m") }: _*)
+      nnOnly.toSeq.map { case (m, as) => col(nnCol(as)).as(s"__nn_$m") } ++
+      dcs.toSeq.map { case (m, as) => col(dcCol(as)).as(s"__dc_$m") }: _*)
   }
 
   /** Register TRANSPARENT routing: any `Aggregate` over the inner
@@ -332,9 +402,17 @@ final class MaterializedStarAggView(val root: String) {
     val sp = spec(spark)
     val measures = sp.aggs.filterNot(a => a.fn == "count" && a.col.isEmpty)
       .flatMap(_.col).distinct
+    // count-distinct measures also register their live pair relations so
+    // COUNT(DISTINCT m) routes at coarser groupings (shared mechanics)
+    val distincts = sp.aggs.filter(_.fn == "count_distinct")
+      .groupBy(_.col.get).map { case (m, as) =>
+        val a = as.head
+        m -> (() => MaterializedAggView.auxPairs(spark, auxState(sp, a.as),
+          state(sp).appliedTxn(spark, TxnId).getOrElse(0L), TxnId, sp.groupBy))
+      }
     graft.plans.AggRollupRewrite.registerStarView(spark, sp.factRoot,
       sp.dims.map(d => d.root -> d.join), sp.groupBy, measures,
-      () => rollupFormat(spark))
+      () => rollupFormat(spark), distincts)
   }
 
   /** Remove this view's transparent routing (SQL `ALTER MATERIALIZED
@@ -351,6 +429,7 @@ final class MaterializedStarAggView(val root: String) {
       a.fn match {
         case "count" if a.col.isEmpty => col(NCol).as(a.as)
         case "count" => col(nnCol(a.as)).as(a.as)
+        case "count_distinct" => col(dcCol(a.as)).as(a.as)
         case "sum" => when(col(nnCol(a.as)) > 0, col(sumCol(a.as))).as(a.as)
         case "avg" => when(col(nnCol(a.as)) > 0,
           col(sumCol(a.as)).cast(DoubleType) / col(nnCol(a.as))).as(a.as)
@@ -368,6 +447,7 @@ object MaterializedStarAggView {
   private val MaxInlineKeys = 1000
   private def nnCol(as: String) = s"__mv_nn_$as"
   private def sumCol(as: String) = s"__mv_sum_$as"
+  private def dcCol(as: String) = s"__mv_dc_$as"
 
   /** One dimension: table root, its CDF business keys (empty = from the
     * bucketed manifest), and the equi-join keys shared with the fact. */
@@ -387,8 +467,8 @@ object MaterializedStarAggView {
     require(groupBy.nonEmpty, "star view needs GROUP BY columns")
     require(aggs.nonEmpty, "star view needs at least one aggregate")
     aggs.foreach { a =>
-      require(Set("count", "sum", "avg")(a.fn),
-        s"star views maintain additive aggregates only — '${a.fn}' is not")
+      require(Set("count", "sum", "avg", "count_distinct")(a.fn),
+        s"star views maintain additive and count-distinct aggregates — '${a.fn}' is not")
       require(a.fn == "count" || a.col.nonEmpty, s"${a.fn} needs a column")
     }
     require(aggs.map(_.as).distinct.size == aggs.size, "duplicate aggregate aliases")

@@ -203,6 +203,94 @@ class MaterializedStarViewSpec extends AnyFunSuite {
     assert(e.getMessage.contains("additive"))
   }
 
+  test("count(distinct c) over the star: exact through all three telescoping legs") {
+    val work = tmp("mvsdc")
+    val fact = new SnapshotTable(s"$work/fact")
+    val d1 = new BucketedSnapshotTable(s"$work/d1", 4, Seq("jk1"))
+    val d2 = new BucketedSnapshotTable(s"$work/d2", 4, Seq("jk2"))
+    // (c=red, r=eu) holds values {X, X, Y}; (red, us) holds {X}
+    fact.write(spark, Seq((1, 10L, 100L, "X"), (2, 10L, 100L, "X"),
+      (3, 10L, 100L, "Y"), (4, 10L, 200L, "X")).toDF("k", "jk1", "jk2", "v"))
+    d1.scd1Merge(spark, Seq((10L, 1L, "red")).toDF("jk1", "seq", "c"), "seq")
+    d2.scd1Merge(spark, Seq((100L, 1L, "eu"), (200L, 1L, "us"))
+      .toDF("jk2", "seq", "r"), "seq")
+    val mv = MaterializedStarAggView.create(spark, s"$work/mv",
+      s"$work/fact", Seq("k"),
+      Seq(dim(s"$work/d1", Nil, Seq("jk1")), dim(s"$work/d2", Nil, Seq("jk2"))),
+      Seq("c", "r"),
+      Seq(agg("count", None, "n"), agg("count_distinct", Some("v"), "dv")),
+      numBuckets = 8)
+    def want = graft.cdc.ScdMerge.scd1Current(fact.read(spark))
+      .join(graft.cdc.ScdMerge.scd1Current(d1.read(spark)), Seq("jk1"))
+      .join(graft.cdc.ScdMerge.scd1Current(d2.read(spark)), Seq("jk2"))
+      .groupBy("c", "r").agg(count(lit(1)).as("n"), countDistinct(col("v")).as("dv"))
+      .as[(String, String, Long, Long)].collect().toSet
+    def got = mv.read(spark).as[(String, String, Long, Long)].collect().toSet
+    mv.refresh(spark)
+    assert(got == want &&
+      got == Set(("red", "eu", 3L, 2L), ("red", "us", 1L, 1L)), got.toString)
+    // fact leg: drop one X holder in (red, eu) — distinct unchanged; then
+    // the last one — distinct falls
+    fact.write(spark, Seq((2, 10L, 100L, "X"), (3, 10L, 100L, "Y"),
+      (4, 10L, 200L, "X")).toDF("k", "jk1", "jk2", "v"))
+    mv.refresh(spark)
+    assert(got == want && got.exists(r => r._2 == "eu" && r._4 == 2L), got.toString)
+    fact.write(spark, Seq((3, 10L, 100L, "Y"), (4, 10L, 200L, "X"))
+      .toDF("k", "jk1", "jk2", "v"))
+    mv.refresh(spark)
+    assert(got == want && got.exists(r => r._2 == "eu" && r._4 == 1L), got.toString)
+    // dim2 leg: region us → eu merges the groups' value sets (X moves
+    // into eu where it had just died — resurrection via a DIM leg)
+    d2.scd1Merge(spark, Seq((200L, 2L, "eu")).toDF("jk2", "seq", "r"), "seq")
+    mv.refresh(spark)
+    assert(got == want && got == Set(("red", "eu", 2L, 2L)), got.toString)
+    // all three legs in ONE window: new fact value under a new dim1 key
+    // plus a dim2 flip back — the telescoping pairing must count once
+    fact.write(spark, Seq((3, 10L, 100L, "Y"), (4, 10L, 200L, "X"),
+      (5, 30L, 100L, "Z")).toDF("k", "jk1", "jk2", "v"))
+    d1.scd1Merge(spark, Seq((30L, 2L, "red")).toDF("jk1", "seq", "c"), "seq")
+    d2.scd1Merge(spark, Seq((200L, 3L, "us")).toDF("jk2", "seq", "r"), "seq")
+    mv.refresh(spark)
+    assert(got == want &&
+      got == Set(("red", "eu", 2L, 2L), ("red", "us", 1L, 1L)), got.toString)
+  }
+
+  test("count(distinct c): a crash between the aux and main commits heals on replay") {
+    val work = tmp("mvsdcc")
+    val fact = new SnapshotTable(s"$work/fact")
+    val d1 = new BucketedSnapshotTable(s"$work/d1", 4, Seq("jk1"))
+    fact.write(spark, Seq((1, 10L, "X"), (2, 10L, "Y")).toDF("k", "jk1", "v"))
+    d1.scd1Merge(spark, Seq((10L, 1L, "red")).toDF("jk1", "seq", "c"), "seq")
+    val mv = MaterializedStarAggView.create(spark, s"$work/mv",
+      s"$work/fact", Seq("k"), Seq(dim(s"$work/d1", Nil, Seq("jk1"))),
+      Seq("c"), Seq(agg("count_distinct", Some("v"), "dv")), numBuckets = 4)
+    mv.refresh(spark)
+    // Y disappears; the refresh CRASHES after the aux commit (refresh
+    // number 2) but before the main state commit — the window's vector
+    // survives only in `_applied_aux_2`
+    fact.write(spark, Seq((1, 10L, "X")).toDF("k", "jk1", "v"))
+    mv.onStep = s => if (s.startsWith("aux-merged")) sys.error("boom")
+    intercept[RuntimeException] { mv.refresh(spark) }
+    mv.onStep = _ => ()
+    assert(mv.lastApplied(spark)._1 == 1L)
+    // the sources ADVANCE past the crash: Y reverts before the replay —
+    // the replay must fold EXACTLY the aux-recorded vector first, then
+    // the remainder as refresh number 3
+    fact.write(spark, Seq((1, 10L, "X"), (2, 10L, "Y")).toDF("k", "jk1", "v"))
+    val (vec, _) = mv.refresh(spark)
+    assert(vec == Seq(3, 1), vec.toString)
+    def got = mv.read(spark).as[(String, Long)].collect().toSet
+    assert(got == Set(("red", 2L)), got.toString)
+    assert(mv.lastApplied(spark) == ((3L, Seq(3, 1))))
+    // aux truly healed: Y vanishing and returning round-trips exactly
+    fact.write(spark, Seq((1, 10L, "X")).toDF("k", "jk1", "v"))
+    mv.refresh(spark)
+    assert(got == Set(("red", 1L)), got.toString)
+    fact.write(spark, Seq((1, 10L, "X"), (9, 10L, "Y")).toDF("k", "jk1", "v"))
+    mv.refresh(spark)
+    assert(got == Set(("red", 2L)), got.toString)
+  }
+
   test("refresh rewrites only the buckets holding changed groups") {
     val work = tmp("mvsb")
     val fact = new SnapshotTable(s"$work/fact")
