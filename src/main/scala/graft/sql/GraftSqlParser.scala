@@ -123,6 +123,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*MATERIALIZED\s+VIEW\s+'([^']+)'\s*;?\s*""".r
   private val AlterMvRewrite =
     """(?is)\s*ALTER\s+MATERIALIZED\s+(?:(?:JOIN|STAR)\s+)?VIEW\s+'([^']+)'\s+(ENABLE|DISABLE)\s+REWRITE\s*;?\s*""".r
+  private val VacuumMv =
+    """(?is)\s*VACUUM\s+MATERIALIZED\s+(?:(?:JOIN|STAR)\s+)?VIEW\s+'([^']+)'(?:\s+KEEP\s+(\d+))?\s*;?\s*""".r
   private val AddConstraint =
     """(?is)\s*ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraint =
@@ -241,6 +243,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       RefreshMaterializedViewCommand(mv)
     case AlterMvRewrite(mv, action) =>
       AlterMaterializedViewRewriteCommand(mv, action.equalsIgnoreCase("ENABLE"))
+    case VacuumMv(mv, keep) =>
+      VacuumMaterializedViewCommand(mv, Option(keep).map(_.toInt).getOrElse(2))
     case QueryMv(mv) =>
       // one query form for all three view kinds — dispatch on the spec file
       val sp = SparkSession.active
@@ -1037,6 +1041,29 @@ case class AlterMaterializedViewRewriteCommand(mv: String, enable: Boolean)
       if (enable) v.registerRewrite(spark) else v.unregisterRewrite(spark)
     }
     Seq(Row(mv, if (enable) "enabled" else "disabled"))
+  }
+}
+
+/** `VACUUM MATERIALIZED [JOIN|STAR] VIEW '<mv>' [KEEP n]` — reclaim the
+  * version history refresh commits accumulate in the view's state (and
+  * count-distinct aux) tables. Kind-agnostic dispatch like the query
+  * form. Aux tables always keep ≥2 versions (the crash-replay pin's
+  * lookback); not concurrent with an active refresher. */
+case class VacuumMaterializedViewCommand(mv: String, keep: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("mv", StringType, nullable = false)(),
+    AttributeReference("kept_versions", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def has(name: String) = {
+      val p = new org.apache.hadoop.fs.Path(mv, name)
+      p.getFileSystem(hconf).exists(p)
+    }
+    if (has("_mvj")) new graft.tables.MaterializedJoinAggView(mv).vacuum(spark, keep)
+    else if (has("_mvs")) new graft.tables.MaterializedStarAggView(mv).vacuum(spark, keep)
+    else new graft.tables.MaterializedAggView(mv).vacuum(spark, keep)
+    Seq(Row(mv, keep))
   }
 }
 

@@ -341,6 +341,23 @@ final class MaterializedAggView(val root: String) {
   def unregisterRewrite(spark: SparkSession): Unit =
     graft.plans.AggRollupRewrite.unregisterView(spec(spark).sourceRoot)
 
+  /** Reclaim storage: every refresh commits a new version of the state
+    * (and aux) tables, so a long-lived view accumulates history like any
+    * transactional table. Vacuums the state table to `keep` versions and
+    * each count-distinct aux table to at least 2 — the crash-replay pin
+    * reads the aux AS OF the last fully-applied refresh, which is at most
+    * one version behind the aux head (aux commits lead main commits by
+    * exactly one refresh), so two versions always suffice. Standard
+    * vacuum contract: not concurrent with an active refresher. */
+  def vacuum(spark: SparkSession, keep: Int = 2): Unit = {
+    val sp = spec(spark)
+    state(sp).vacuum(spark, keep)
+    sp.aggs.filter(_.fn == "count_distinct").foreach { a =>
+      val dst = auxState(sp, a.as)
+      if (dst.exists(spark)) dst.vacuum(spark, math.max(keep, 2))
+    }
+  }
+
   /** The view's USER-FACING rows: group columns + one column per declared
     * aggregate (avg as DOUBLE, SQL null semantics — count-0 sums and avgs
     * read back null like a recompute would). */

@@ -420,6 +420,20 @@ final class MaterializedStarAggView(val root: String) {
   def unregisterRewrite(spark: SparkSession): Unit =
     graft.plans.AggRollupRewrite.unregisterStarView(spec(spark).factRoot)
 
+  /** Reclaim storage accumulated by refresh commits — state table to
+    * `keep` versions, count-distinct aux tables to at least 2 (the
+    * crash-replay pin needs at most one version of lookback; see
+    * [[MaterializedAggView.vacuum]]). The numbered `_applied_<n>` vector
+    * files are metadata-sized and kept as the refresh history record. */
+  def vacuum(spark: SparkSession, keep: Int = 2): Unit = {
+    val sp = spec(spark)
+    state(sp).vacuum(spark, keep)
+    sp.aggs.filter(_.fn == "count_distinct").foreach { a =>
+      val dst = auxState(sp, a.as)
+      if (dst.exists(spark)) dst.vacuum(spark, math.max(keep, 2))
+    }
+  }
+
   /** Group columns + one column per declared aggregate (avg as DOUBLE,
     * SQL null semantics). */
   def read(spark: SparkSession): DataFrame = {

@@ -394,6 +394,36 @@ class MaterializedViewSpec extends AnyFunSuite {
     } finally graft.plans.AggRollupRewrite.clear()
   }
 
+  test("VACUUM MATERIALIZED VIEW reclaims refresh history; refreshes continue") {
+    val work = tmp("mvvac")
+    val src = new SnapshotTable(s"$work/src")
+    src.write(spark, Seq((1, "a", "X"), (2, "b", "Y")).toDF("k", "g", "v"))
+    sql(s"CREATE MATERIALIZED VIEW '$work/mv' ON '$work/src' KEYS (k) " +
+      "GROUP BY (g) AGG (count(*) AS n, count(distinct v) AS dv) INTO 4 BUCKETS")
+      .collect()
+    val mv = new MaterializedAggView(s"$work/mv")
+    // several refresh cycles: each commits a new state + aux version
+    (2 to 5).foreach { i =>
+      src.write(spark, Seq((1, "a", s"X$i"), (2, "b", "Y"), (i * 10, "a", "Z"))
+        .toDF("k", "g", "v"))
+      mv.refresh(spark)
+    }
+    def batchDirs(p: String) = new java.io.File(p).list()
+      .count(_.startsWith("_batch_v"))
+    val before = batchDirs(s"$work/mv/state")
+    assert(before >= 4, s"expected accumulated versions, got $before")
+    val r = sql(s"VACUUM MATERIALIZED VIEW '$work/mv' KEEP 2").collect().head
+    assert(r.getInt(1) == 2)
+    assert(batchDirs(s"$work/mv/state") < before,
+      "vacuum must reclaim state batch dirs")
+    // the view still answers, and the NEXT refresh still folds exactly
+    def got = mv.read(spark).as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("a", 2L, 2L), ("b", 1L, 1L)), got.toString)
+    src.write(spark, Seq((2, "b", "Y"), (50, "a", "Z")).toDF("k", "g", "v"))
+    mv.refresh(spark)
+    assert(got == Set(("a", 1L, 1L), ("b", 1L, 1L)), got.toString)
+  }
+
   test("bucketed source: MV rides the manifest-pruned feed, keys from manifest") {
     val work = tmp("mv7")
     val src = new BucketedSnapshotTable(s"$work/src", 8, Seq("k"))
