@@ -562,11 +562,34 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
   private def rewriteViaFrames(agg: Aggregate, groupings: Seq[Expression],
       aggExprs: Seq[NamedExpression], r: Rollup): Option[LogicalPlan] = {
     if (r.distincts.isEmpty) return None
+    // GLOBAL (no GROUP BY) aggregates refuse: SQL returns exactly one row
+    // even over an empty input (count = 0), while the frame composition
+    // below would return zero rows from an empty state — stay on the base
+    if (groupings.isEmpty) return None
     val groupNames = groupings.map {
       case a: AttributeReference => a.name
       case _ => return None
     }
     if (!groupNames.forall(r.dims.contains)) return None
+    // cheap pre-check BEFORE materializing the provider (spec + manifest
+    // IO): this path only exists for registered count-distinct measures —
+    // the common non-distinct query must not pay a second provider read
+    // after rewriteExact already declined
+    val anyRegisteredDistinct = aggExprs.exists {
+      case Alias(childExpr, _) =>
+        val ae = childExpr match {
+          case e: AggregateExpression => Some(e)
+          case c: Cast if c.child.isInstanceOf[AggregateExpression] =>
+            Some(c.child.asInstanceOf[AggregateExpression])
+          case _ => None
+        }
+        ae.exists(e => e.isDistinct && (e.aggregateFunction match {
+          case Count(Seq(s: AttributeReference)) => r.distincts.contains(s.name)
+          case _ => false
+        }))
+      case _ => false
+    }
+    if (!anyRegisteredDistinct) return None
 
     import org.apache.spark.sql.functions.{col => fc, sum => fsum, min => fmin,
       max => fmax, countDistinct, when => fwhen, coalesce => fcoalesce, lit}

@@ -183,6 +183,13 @@ final class BucketedSnapshotTable(
   def appliedTxn(spark: SparkSession, queryId: String): Option[Long] =
     currentVersion(spark).flatMap(v => txnsOf(spark, v).get(queryId))
 
+  /** The ledger entry for `queryId` as of a SPECIFIC committed version —
+    * lets a reader pin a (state version, ledger value) pair atomically
+    * instead of racing two head reads against a concurrent commit. */
+  private[graft] def appliedTxnAt(spark: SparkSession, queryId: String,
+      version: Int): Option[Long] =
+    txnsOf(spark, version).get(queryId)
+
   /** Latest committed version whose ledger entry for `queryId` is at most
     * `value` (absent counts as 0) — the replay-pinned read point for a
     * multi-table consumer recovering from a crash AFTER this table's own

@@ -62,6 +62,36 @@ private[tables] object CommitLock {
   def withLock[T](f: FileSystem, root: String)(body: => T): T =
     withLockHandle(f, root)(_ => body)
 
+  /** Like [[withLockHandle]], but a daemon HEARTBEAT touches the lock's
+    * mtime every staleMs/3 while the body runs — for critical sections
+    * whose legitimate duration can exceed the staleness bound (a view
+    * refresh folding a large window). Staleness then means "holder
+    * stopped heartbeating" (crashed/paused), not "held too long": a live
+    * long-running holder is never stolen, a dead one still is within
+    * ~staleMs. The touch is mtime-only (`setTimes`), so a racing stealer's
+    * fresh lock file is never clobbered — at worst its lease is extended
+    * by one beat. */
+  def withHeartbeatLock[T](f: FileSystem, root: String,
+      staleMs: Long = StaleMs)(body: Handle => T): T =
+    withLockHandle(f, root, staleMs) { h =>
+      val lock = new Path(root, "_lock")
+      @volatile var running = true
+      val beat = new Thread(() => {
+        while (running) {
+          try Thread.sleep(math.max(1L, staleMs / 3))
+          catch { case _: InterruptedException => () }
+          if (running)
+            try f.setTimes(lock, System.currentTimeMillis(), -1)
+            catch { case _: java.io.IOException => () } // deleted/stolen:
+            // the next h.check() at the commit site aborts the holder
+        }
+      }, s"graft-lock-heartbeat:$root")
+      beat.setDaemon(true)
+      beat.start()
+      try body(h)
+      finally { running = false; beat.interrupt() }
+    }
+
   def withLockHandle[T](f: FileSystem, root: String, staleMs: Long = StaleMs)
       (body: Handle => T): T = {
     val lock = new Path(root, "_lock")

@@ -117,7 +117,7 @@ final class MaterializedAggView(val root: String) {
     * immediately before its first irreversible mutation and aborts with
     * `ConcurrentModificationException` instead of double-committing. */
   def refresh(spark: SparkSession): (Int, Set[Int]) =
-    CommitLock.withLockHandle(fs(spark), root)(h => refreshLocked(spark, h))
+    CommitLock.withHeartbeatLock(fs(spark), root)(h => refreshLocked(spark, h))
 
   private def refreshLocked(spark: SparkSession, lock: CommitLock.Handle): (Int, Set[Int]) = {
     val sp = spec(spark)
@@ -270,9 +270,9 @@ final class MaterializedAggView(val root: String) {
     * the SOURCE column names (queries aggregate those, not the view's
     * aliases); when several declared aggregates cover one measure, the
     * first one's accumulators win (identical by construction). */
-  private def rollupFormat(spark: SparkSession): DataFrame = {
+  private def rollupFormat(spark: SparkSession, version: Int): DataFrame = {
     val sp = spec(spark)
-    val raw = graft.cdc.ScdMerge.scd1Current(state(sp).read(spark))
+    val raw = graft.cdc.ScdMerge.scd1Current(state(sp).readVersion(spark, version))
     val perMeasure = sp.aggs.filter(a => a.fn == "sum" || a.fn == "avg")
       .groupBy(_.col.get).map { case (m, as) => m -> as.head.as }
     val nnOnly = sp.aggs.filter(a => a.fn == "count" && a.col.nonEmpty)
@@ -300,17 +300,6 @@ final class MaterializedAggView(val root: String) {
     raw.select(cols: _*)
   }
 
-  /** One count-distinct measure's live (groupBy…, value) PAIR relation —
-    * the aux occurrence table's current rows with a live occurrence,
-    * value exposed as [[graft.plans.AggRollupRewrite.DistinctValCol]].
-    * Read PINNED to the main state's applied refresh when the aux table
-    * committed ahead of it (a crashed refresh whose aux merge landed but
-    * whose main merge did not): routing must stay consistent with the
-    * additive answers until the next refresh heals both. */
-  private def auxPairsFormat(spark: SparkSession, sp: Spec, a: Agg): DataFrame =
-    auxPairs(spark, auxState(sp, a.as),
-      state(sp).appliedTxn(spark, TxnId).getOrElse(0L), TxnId, sp.groupBy)
-
   /** Register TRANSPARENT routing: any `Aggregate` over the SOURCE
     * table's snapshot relation whose grouping ⊆ the view's GROUP BY and
     * whose aggregates are covered (COUNT(*)/COUNT(c)/SUM(c)/AVG(c) over
@@ -324,16 +313,14 @@ final class MaterializedAggView(val root: String) {
     val sp = spec(spark)
     val measures = sp.aggs.filterNot(a => a.fn == "count" && a.col.isEmpty)
       .flatMap(_.col).distinct
-    // each count-distinct measure also registers its live pair relation,
-    // so COUNT(DISTINCT m) routes at COARSER groupings too (the `__dc_`
-    // partial only answers the view's own grain)
-    val distincts = sp.aggs.filter(_.fn == "count_distinct")
-      .groupBy(_.col.get).map { case (m, as) =>
-        val a = as.head
-        m -> (() => auxPairsFormat(spark, sp, a))
-      }
+    // count-distinct measures also register their live pair relations, so
+    // COUNT(DISTINCT m) routes at COARSER groupings too (the `__dc_`
+    // partial only answers the view's own grain); the shared wiring pins
+    // (state version, ledger value) per query for cross-read consistency
+    val (provider, distincts) = rewriteProviders(spark, state(sp), TxnId,
+      sp.aggs, as => auxState(sp, as), sp.groupBy, v => rollupFormat(spark, v))
     graft.plans.AggRollupRewrite.registerView(spark, sp.sourceRoot,
-      sp.groupBy, measures, () => rollupFormat(spark), distincts)
+      sp.groupBy, measures, provider, distincts)
   }
 
   /** Remove this view's transparent routing (SQL `ALTER MATERIALIZED
@@ -351,11 +338,7 @@ final class MaterializedAggView(val root: String) {
     * vacuum contract: not concurrent with an active refresher. */
   def vacuum(spark: SparkSession, keep: Int = 2): Unit = {
     val sp = spec(spark)
-    state(sp).vacuum(spark, keep)
-    sp.aggs.filter(_.fn == "count_distinct").foreach { a =>
-      val dst = auxState(sp, a.as)
-      if (dst.exists(spark)) dst.vacuum(spark, math.max(keep, 2))
-    }
+    vacuumView(spark, state(sp), sp.aggs, as => auxState(sp, as), keep)
   }
 
   /** The view's USER-FACING rows: group columns + one column per declared
@@ -488,6 +471,49 @@ object MaterializedAggView {
     graft.cdc.ScdMerge.scd1Current(raw).filter(col(VcCol) > 0L)
       .select(groupBy.map(col) :+
         col(ValCol).as(graft.plans.AggRollupRewrite.DistinctValCol): _*)
+  }
+
+  /** Shared rewrite-registration wiring for every view kind: a state
+    * provider that pins (state version, ledger value) ATOMICALLY per
+    * query — the rollup frame reads that pinned version and each
+    * distinct-measure pair provider reads its aux table AS OF the pinned
+    * ledger value — so one routed query never mixes two view versions
+    * even when a refresh commits between the state and pair reads.
+    * (Concurrent queries share the one pinned cell; a race between two
+    * optimizing queries can only cross-pin values captured microseconds
+    * apart — strictly narrower than the unpinned head-read skew.) */
+  private[tables] def rewriteProviders(spark: SparkSession,
+      st: BucketedSnapshotTable, txnId: String, aggs: Seq[Agg],
+      auxOf: String => BucketedSnapshotTable, groupBy: Seq[String],
+      rollupAt: Int => DataFrame)
+      : (() => DataFrame, Map[String, () => DataFrame]) = {
+    val pinnedTxn = new java.util.concurrent.atomic.AtomicLong(0L)
+    val provider: () => DataFrame = () => {
+      val v = st.currentVersion(spark).getOrElse(throw new IllegalStateException(
+        s"materialized view state ${st.root}: no committed version — REFRESH first"))
+      pinnedTxn.set(st.appliedTxnAt(spark, txnId, v).getOrElse(0L))
+      rollupAt(v)
+    }
+    val distincts: Map[String, () => DataFrame] =
+      aggs.filter(_.fn == "count_distinct").groupBy(_.col.get)
+        .map { case (m, as) =>
+          m -> (() => auxPairs(spark, auxOf(as.head.as), pinnedTxn.get,
+            txnId, groupBy))
+        }
+    (provider, distincts)
+  }
+
+  /** Shared vacuum for every view kind: state to `keep` versions, each
+    * count-distinct aux table to at least 2 (the crash-replay pin reads
+    * the aux AS OF the last fully-applied refresh, at most one version
+    * behind the aux head). */
+  private[tables] def vacuumView(spark: SparkSession, st: BucketedSnapshotTable,
+      aggs: Seq[Agg], auxOf: String => BucketedSnapshotTable, keep: Int): Unit = {
+    st.vacuum(spark, keep)
+    aggs.filter(_.fn == "count_distinct").foreach { a =>
+      val dst = auxOf(a.as)
+      if (dst.exists(spark)) dst.vacuum(spark, math.max(keep, 2))
+    }
   }
 
   /** Accumulator type for one additive measure: exact for integrals

@@ -122,7 +122,7 @@ final class MaterializedJoinAggView(val root: String) {
     * between their reads would double-fold the overlap). A holder stolen
     * from while paused aborts before the merge instead of double-committing. */
   def refresh(spark: SparkSession): ((Int, Int), Set[Int]) =
-    CommitLock.withLockHandle(fs(spark), root)(h => refreshLocked(spark, h))
+    CommitLock.withHeartbeatLock(fs(spark), root)(h => refreshLocked(spark, h))
 
   private def refreshLocked(spark: SparkSession,
       lock: CommitLock.Handle): ((Int, Int), Set[Int]) = {
@@ -186,7 +186,10 @@ final class MaterializedJoinAggView(val root: String) {
     //    (stats/Bloom file skipping), never the live fact (ΔF already
     //    rode leg 1 against D_new)
     val leg2: Option[DataFrame] =
-      if (effD <= lastDV) None
+      // lastFV == 0 tested BEFORE any work: on a bootstrap leg 1 carries
+      // everything, and building (and eagerly checkpointing) the full dim
+      // insert feed just to discard it would cost O(|dim|) IO per bootstrap
+      if (effD <= lastDV || lastFV == 0) None
       else {
         val dd0 =
           if (lastDV == 0) df.visibleAt(effD).withColumn("_change_type", lit("insert"))
@@ -194,12 +197,9 @@ final class MaterializedJoinAggView(val root: String) {
         // pinned: consumed by the IN-list collect AND the legs plan
         val dd = dd0.withColumn(SignCol, sign).drop(bookkeeping: _*)
           .localCheckpoint()
-        if (lastFV == 0) None // no applied fact yet: leg 1 carries everything
-        else {
-          val changedKeys = dd.select(sp.joinKeys.map(col): _*).distinct()
-          val factOld = factAsOfPruned(spark, sp, lastFV, changedKeys)
-          Some(factOld.join(dd, sp.joinKeys))
-        }
+        val changedKeys = dd.select(sp.joinKeys.map(col): _*).distinct()
+        val factOld = factAsOfPruned(spark, sp, lastFV, changedKeys)
+        Some(factOld.join(dd, sp.joinKeys))
       }
 
     val delta0 = (leg1, leg2) match {
@@ -344,9 +344,9 @@ final class MaterializedJoinAggView(val root: String) {
   /** The state in rollup-partial format (`__cnt`, `__sum_<m>`,
     * `__nn_<m>` keyed by the group columns) — what the transparent
     * [[graft.plans.AggRollupRewrite]] join routing consumes. */
-  private def rollupFormat(spark: SparkSession): DataFrame = {
+  private def rollupFormat(spark: SparkSession, version: Int): DataFrame = {
     val sp = spec(spark)
-    val raw = graft.cdc.ScdMerge.scd1Current(state(sp).read(spark))
+    val raw = graft.cdc.ScdMerge.scd1Current(state(sp).readVersion(spark, version))
     val perMeasure = sp.aggs.filter(a => a.fn == "sum" || a.fn == "avg")
       .groupBy(_.col.get).map { case (m, as) => m -> as.head.as }
     val nnOnly = sp.aggs.filter(a => a.fn == "count" && a.col.nonEmpty)
@@ -376,18 +376,13 @@ final class MaterializedJoinAggView(val root: String) {
     val sp = spec(spark)
     val measures = sp.aggs.filterNot(a => a.fn == "count" && a.col.isEmpty)
       .flatMap(_.col).distinct
-    // count-distinct measures also register their live pair relations so
-    // COUNT(DISTINCT m) routes at coarser groupings (see the single-table
-    // view — the mechanics are identical over the join's aux table)
-    val distincts = sp.aggs.filter(_.fn == "count_distinct")
-      .groupBy(_.col.get).map { case (m, as) =>
-        val a = as.head
-        m -> (() => MaterializedAggView.auxPairs(spark, auxState(sp, a.as),
-          state(sp).appliedTxn(spark, TxnId).getOrElse(0L), TxnId, sp.groupBy))
-      }
+    // shared wiring: per-query (state version, ledger value) pin + pair
+    // relations for coarse-grain COUNT(DISTINCT) routing
+    val (provider, distincts) = MaterializedAggView.rewriteProviders(spark,
+      state(sp), TxnId, sp.aggs, as => auxState(sp, as), sp.groupBy,
+      v => rollupFormat(spark, v))
     graft.plans.AggRollupRewrite.registerJoinView(spark, sp.factRoot,
-      sp.dimRoot, sp.joinKeys, sp.groupBy, measures, () => rollupFormat(spark),
-      distincts)
+      sp.dimRoot, sp.joinKeys, sp.groupBy, measures, provider, distincts)
   }
 
   /** Remove this view's transparent routing (SQL `ALTER MATERIALIZED
@@ -403,11 +398,8 @@ final class MaterializedJoinAggView(val root: String) {
     * [[MaterializedAggView.vacuum]]). */
   def vacuum(spark: SparkSession, keep: Int = 2): Unit = {
     val sp = spec(spark)
-    state(sp).vacuum(spark, keep)
-    sp.aggs.filter(_.fn == "count_distinct").foreach { a =>
-      val dst = auxState(sp, a.as)
-      if (dst.exists(spark)) dst.vacuum(spark, math.max(keep, 2))
-    }
+    MaterializedAggView.vacuumView(spark, state(sp), sp.aggs,
+      as => auxState(sp, as), keep)
   }
 
   /** Group columns + one column per declared aggregate (avg as DOUBLE,

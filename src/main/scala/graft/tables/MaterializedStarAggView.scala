@@ -147,7 +147,7 @@ final class MaterializedStarAggView(val root: String) {
     * returns (version vector now applied, state buckets rewritten).
     * Serialized on the view root's commit lock (see class doc). */
   def refresh(spark: SparkSession): (Seq[Int], Set[Int]) =
-    CommitLock.withLockHandle(fs(spark), root)(h => refreshLocked(spark, h))
+    CommitLock.withHeartbeatLock(fs(spark), root)(h => refreshLocked(spark, h))
 
   private def refreshLocked(spark: SparkSession,
       lock: CommitLock.Handle): (Seq[Int], Set[Int]) = {
@@ -371,9 +371,9 @@ final class MaterializedStarAggView(val root: String) {
 
   /** The state in rollup-partial format — what the transparent
     * [[graft.plans.AggRollupRewrite]] star routing consumes. */
-  private def rollupFormat(spark: SparkSession): DataFrame = {
+  private def rollupFormat(spark: SparkSession, version: Int): DataFrame = {
     val sp = spec(spark)
-    val raw = graft.cdc.ScdMerge.scd1Current(state(sp).read(spark))
+    val raw = graft.cdc.ScdMerge.scd1Current(state(sp).readVersion(spark, version))
     val perMeasure = sp.aggs.filter(a => a.fn == "sum" || a.fn == "avg")
       .groupBy(_.col.get).map { case (m, as) => m -> as.head.as }
     val nnOnly = sp.aggs.filter(a => a.fn == "count" && a.col.nonEmpty)
@@ -402,17 +402,14 @@ final class MaterializedStarAggView(val root: String) {
     val sp = spec(spark)
     val measures = sp.aggs.filterNot(a => a.fn == "count" && a.col.isEmpty)
       .flatMap(_.col).distinct
-    // count-distinct measures also register their live pair relations so
-    // COUNT(DISTINCT m) routes at coarser groupings (shared mechanics)
-    val distincts = sp.aggs.filter(_.fn == "count_distinct")
-      .groupBy(_.col.get).map { case (m, as) =>
-        val a = as.head
-        m -> (() => MaterializedAggView.auxPairs(spark, auxState(sp, a.as),
-          state(sp).appliedTxn(spark, TxnId).getOrElse(0L), TxnId, sp.groupBy))
-      }
+    // shared wiring: per-query (state version, ledger value) pin + pair
+    // relations for coarse-grain COUNT(DISTINCT) routing
+    val (provider, distincts) = MaterializedAggView.rewriteProviders(spark,
+      state(sp), TxnId, sp.aggs, as => auxState(sp, as), sp.groupBy,
+      v => rollupFormat(spark, v))
     graft.plans.AggRollupRewrite.registerStarView(spark, sp.factRoot,
       sp.dims.map(d => d.root -> d.join), sp.groupBy, measures,
-      () => rollupFormat(spark), distincts)
+      provider, distincts)
   }
 
   /** Remove this view's transparent routing (SQL `ALTER MATERIALIZED
@@ -427,11 +424,8 @@ final class MaterializedStarAggView(val root: String) {
     * files are metadata-sized and kept as the refresh history record. */
   def vacuum(spark: SparkSession, keep: Int = 2): Unit = {
     val sp = spec(spark)
-    state(sp).vacuum(spark, keep)
-    sp.aggs.filter(_.fn == "count_distinct").foreach { a =>
-      val dst = auxState(sp, a.as)
-      if (dst.exists(spark)) dst.vacuum(spark, math.max(keep, 2))
-    }
+    MaterializedAggView.vacuumView(spark, state(sp), sp.aggs,
+      as => auxState(sp, as), keep)
   }
 
   /** Group columns + one column per declared aggregate (avg as DOUBLE,

@@ -99,6 +99,43 @@ class CommitLockSpec extends AnyFunSuite {
     assert(t.read(spark).count() == 4)
   }
 
+  test("heartbeat lock: a LIVE long-running holder is never stolen; a dead one still is") {
+    val root = java.nio.file.Files.createTempDirectory("heartlock").toString
+    val f = new Path(root).getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // hold a heartbeat lock well past the staleness bound while a waiter
+    // polls — the waiter must keep seeing a fresh mtime and never steal
+    @volatile var holderDone = false
+    @volatile var holderStolen = true
+    val holder = new Thread(() => {
+      CommitLock.withHeartbeatLock(f, root, staleMs = 300) { h =>
+        Thread.sleep(1200) // 4× the staleness bound: legitimate long work
+        holderStolen = !h.stillHeld
+      }
+      holderDone = true
+    })
+    holder.start()
+    Thread.sleep(150)
+    // a SHORT-staleness waiter polls the whole time the holder works: the
+    // heartbeat keeps the lock mtime fresh at every poll, so the waiter's
+    // steal judgment never fires — it gives up LOUDLY at its 2×staleMs
+    // deadline instead of stealing (pre-heartbeat it would have stolen at
+    // 300 ms and restarted the fold mid-flight)
+    val e = intercept[IllegalStateException] {
+      CommitLock.withLockHandle(f, root, staleMs = 300)(_ => ())
+    }
+    assert(e.getMessage.contains("could not acquire"), e.getMessage)
+    assert(!holderDone, "the waiter must have given up while the holder still works")
+    holder.join(10000)
+    assert(!holderStolen, "the live heartbeating holder must never be stolen from")
+    // after the holder releases, the same short-staleness caller acquires
+    CommitLock.withLockHandle(f, root, staleMs = 300)(h2 => assert(h2.stillHeld))
+    // and once a holder is genuinely dead (no heartbeat — plain lock,
+    // abandoned), staleness still frees the root within ~staleMs
+    val out = f.create(new Path(root, "_lock"), true)
+    try out.write("dead-holder".getBytes("UTF-8")) finally out.close()
+    CommitLock.withLockHandle(f, root, staleMs = 300)(h3 => assert(h3.stillHeld))
+  }
+
   test("release deletes only its own lock; a fresh foreign lock survives") {
     val root = java.nio.file.Files.createTempDirectory("locktoken").toString
     val f = new Path(root).getFileSystem(new org.apache.hadoop.conf.Configuration())

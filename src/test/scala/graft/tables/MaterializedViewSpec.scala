@@ -312,6 +312,33 @@ class MaterializedViewSpec extends AnyFunSuite {
     } finally graft.plans.AggRollupRewrite.clear()
   }
 
+  test("global (no GROUP BY) count(distinct) stays on the base and answers 0 when empty") {
+    val work = tmp("mvglob")
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    org.apache.spark.sql.GraftColumnBridge.applyExtensions(ext, spark)
+    val src = new SnapshotTable(s"$work/src")
+    src.write(spark, Seq((1, "a", "X")).toDF("k", "g", "v"))
+    val mv = MaterializedAggView.create(spark, s"$work/mv", s"$work/src",
+      Seq("k"), Seq("g"),
+      Seq(MaterializedAggView.Agg("count_distinct", Some("v"), "dv")), 4)
+    mv.refresh(spark)
+    // everything deleted: the state has zero live rows
+    src.write(spark, Seq.empty[(Int, String, String)].toDF("k", "g", "v"))
+    mv.refresh(spark)
+    try {
+      mv.registerRewrite(spark)
+      // a GLOBAL aggregate must NOT route: SQL returns exactly one row
+      // (count = 0) over an empty input, while a frame composition over
+      // the empty state would return zero rows — the base answers
+      val q = src.readIndexed(spark).agg(countDistinct(col("v")).as("dv"))
+      assert(!q.queryExecution.optimizedPlan.toString.contains("__dval"),
+        "global aggregates must not route through the pair relation")
+      val got = q.as[Long].collect().toSeq
+      assert(got == Seq(0L), got.toString)
+    } finally graft.plans.AggRollupRewrite.clear()
+  }
+
   test("racing refreshers serialize on the view lock: no window double-folds") {
     val work = tmp("mvrace")
     val src = new SnapshotTable(s"$work/src")
