@@ -5770,6 +5770,63 @@ object SparkEntry {
       }
     }),
 
+    // ── DIMENSION-FILTER PUSHDOWN INTO MV ROUTING (r11b): nearly every
+    //    dashboard query carries a dimension predicate (`WHERE prio = X
+    //    GROUP BY cust`) — without this the routing only ever served
+    //    unfiltered rollups. A deterministic, subquery-free predicate
+    //    referencing ONLY the view's group columns is applied to the
+    //    MAINTAINED STATE instead of refusing: the rollup partitions rows
+    //    exactly by dimension tuples, so filtering rows ≡ filtering
+    //    groups. Works through both routing paths (additive partials AND
+    //    the count-distinct pair relation), and a GLOBAL filtered COUNT
+    //    answers 0 (not null) when nothing matches. Pins: the plan reads
+    //    the pair relation and never lists the source's version dirs; the
+    //    routed global count cross-checks the grouped rows in-query.
+    "q332_dim_filter_routing" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("mvfilt").toString
+      withShufflePartitions(s, 8) {
+      val ext = new org.apache.spark.sql.SparkSessionExtensions
+      new graft.GraftExtensions().apply(ext)
+      org.apache.spark.sql.GraftColumnBridge.applyExtensions(ext, s)
+      val sqlRun = (q: String) => org.apache.spark.sql.GraftColumnBridge.graftSql(s, q)
+      val src = new graft.tables.SnapshotTable(s"$work/src")
+      src.write(s, Tables.orders(s, dir).select($"o_orderkey", $"o_custkey",
+        $"o_orderpriority".as("prio"), $"o_orderstatus".as("st"),
+        $"o_totalprice".cast("decimal(18,2)").as("price")))
+      sqlRun(s"CREATE MATERIALIZED VIEW '$work/mv' ON '$work/src' KEYS (o_orderkey) " +
+        "GROUP BY (o_custkey, prio) AGG (count(*) AS n, sum(price) AS rev, " +
+        "count(distinct st) AS ds) INTO 32 BUCKETS").collect()
+      sqlRun(s"REFRESH MATERIALIZED VIEW '$work/mv'").collect()
+      sqlRun(s"ALTER MATERIALIZED VIEW '$work/mv' ENABLE REWRITE").collect()
+      try {
+        val pr = Tables.orders(s, dir).agg(min($"o_orderpriority")).as[String].head()
+        val q = src.readIndexed(s).filter($"prio" === pr).groupBy($"o_custkey")
+          .agg(count(lit(1)).as("n"), sum($"price").cast("double").as("rev"),
+            countDistinct($"st").as("ds"))
+          .orderBy($"o_custkey")
+        val plan = q.queryExecution.optimizedPlan.toString
+        require(plan.contains("__dval") && !plan.contains("/src/_v"),
+          s"dim-filtered routing must read the state + pair relations:\n$plan")
+        val out = q.collect()
+        // the routed GLOBAL filtered count answers from the same state —
+        // and must equal the grouped rows' total
+        val g = src.readIndexed(s).filter($"prio" === pr).agg(count(lit(1)).as("n"))
+        require(!g.queryExecution.optimizedPlan.toString.contains("/src/_v"),
+          "global filtered count must route")
+        require(g.as[Long].head() == out.map(_.getLong(1)).sum,
+          "routed global count must equal the grouped total")
+        // nothing-matches: one row, 0 — SQL's answer, not null or empty
+        val z = src.readIndexed(s).filter($"prio" === "NO-SUCH-PRIO")
+          .agg(count(lit(1)).as("n"))
+        require(!z.queryExecution.optimizedPlan.toString.contains("/src/_v") &&
+          z.as[Long].collect().toSeq == Seq(0L),
+          "fully filtered-out global count must route and answer 0")
+        s.createDataFrame(s.sparkContext.parallelize(out.toSeq, 1), q.schema)
+      } finally graft.plans.AggRollupRewrite.clear()
+      }
+    }),
+
     // ── COUNT(DISTINCT) IN STAR VIEWS (r11b): "distinct suppliers per
     //    (priority, brand)" — exact distinct over the 3-way star,
     //    maintained from ALL THREE change feeds: the telescoping signed
@@ -7140,6 +7197,16 @@ object SparkEntry {
         |SELECT prio, p_brand, count(*) AS n, CAST(sum(qty) AS DOUBLE) AS sq
         |FROM lfix JOIN ofix ON l_orderkey = o_orderkey JOIN pfix USING (p_partkey)
         |GROUP BY prio, p_brand ORDER BY prio, p_brand""".stripMargin,
+
+    // the dim-filtered routed dashboard query = a plain filtered GROUP BY
+    // over the base table
+    "q332_dim_filter_routing" ->
+      """SELECT o_custkey, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+        |  count(DISTINCT o_orderstatus) AS ds
+        |FROM orders
+        |WHERE o_orderpriority = (SELECT min(o_orderpriority) FROM orders)
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     // the star view's final distinct counts = a from-scratch recompute of
     // the final 3-way join: one order's lines deleted, another's priority

@@ -195,50 +195,67 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
     if (registry.isEmpty && joinRegistry.isEmpty && starRegistry.isEmpty) plan
     else plan.transform {
       case agg @ Aggregate(groupings, aggExprs, child, _) =>
-        baseScanOf(child).flatMap(r => rewrite(agg, groupings, aggExprs, r))
-          .orElse(joinScanOf(child).flatMap(j => rewrite(agg, groupings, aggExprs,
-            Rollup(j.spark, j.provider, j.dims, j.measures, j.distincts))))
-          .orElse(starScanOf(child).flatMap(st => rewrite(agg, groupings, aggExprs,
-            Rollup(st.spark, st.provider, st.groupBy, st.measures, st.distincts))))
+        baseScanOf(child).flatMap { case (r, fs) =>
+            rewrite(agg, groupings, aggExprs, r, fs) }
+          .orElse(joinScanOf(child).flatMap { case (j, fs) =>
+            rewrite(agg, groupings, aggExprs,
+              Rollup(j.spark, j.provider, j.dims, j.measures, j.distincts), fs) })
+          .orElse(starScanOf(child).flatMap { case (st, fs) =>
+            rewrite(agg, groupings, aggExprs,
+              Rollup(st.spark, st.provider, st.groupBy, st.measures, st.distincts), fs) })
           .getOrElse(agg)
     }
+
+  /** A conjunct that may be APPLIED to the rollup instead of refusing
+    * the rewrite: deterministic, subquery-free, and referencing ONLY the
+    * rollup's dimension columns — the rollup partitions rows exactly by
+    * dimension tuples, so filtering rows by a dimension-only predicate is
+    * the same set as filtering rollup groups by it. This is the shape of
+    * nearly every dashboard query (`WHERE region = 'EU' GROUP BY month`),
+    * so without it the routing would only ever serve unfiltered rollups. */
+  private def dimOnly(e: Expression, dims: Seq[String]): Boolean =
+    e.deterministic &&
+      !e.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]) &&
+      e.references.forall(a => dims.contains(a.name))
 
   /** One relation leaf of an inner-join tree: its scan root paths and its
     * output attribute set (for opposite-leg verification). */
   private final case class TreeLeaf(roots: List[Path],
       out: org.apache.spark.sql.catalyst.expressions.AttributeSet)
 
-  /** Walk an INNER equi-join TREE: attribute-only Projects and the
-    * visible-rows / inferred-isnotnull filters are transparent (the
-    * non-null names are collected and verified against the join keys by
-    * the caller); anything else refuses. Returns (leaves, all equality
-    * conjuncts, tolerated non-null names). */
-  private def collectJoinTree(p: LogicalPlan)
-      : Option[(Seq[TreeLeaf], Seq[Expression], Set[String])] = p match {
-    case Project(pl, gc) if pl.forall(_.isInstanceOf[Attribute]) => collectJoinTree(gc)
+  /** Walk an INNER equi-join TREE: attribute-only Projects are
+    * transparent; visible-rows tombstone filters are CONSUMED (and
+    * required over any leaf relation that carries `__DELETED` — a raw
+    * tombstone-inclusive scan refuses); every other filter conjunct is
+    * collected RAW for the caller to classify (dimension-only → applied
+    * to the rollup, inferred isnotnull(join key) → tolerated, anything
+    * else → refuse). Returns (leaves, all equality conjuncts, raw
+    * filter conjuncts). */
+  private def collectJoinTree(p: LogicalPlan,
+      covered: Set[org.apache.spark.sql.catalyst.expressions.ExprId] = Set.empty)
+      : Option[(Seq[TreeLeaf], Seq[Expression], Seq[Expression])] = p match {
+    case Project(pl, gc) if pl.forall(_.isInstanceOf[Attribute]) =>
+      collectJoinTree(gc, covered)
     case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
       val cs = splitConjunctsShared(f.condition)
-      val ok = cs.forall {
-        case org.apache.spark.sql.catalyst.expressions.IsNotNull(
-          _: AttributeReference) => true
-        case c => visibleRowsFilterShared(c)
-      }
-      if (!ok) None
-      else {
-        val nn = cs.collect {
-          case org.apache.spark.sql.catalyst.expressions.IsNotNull(
-            a: AttributeReference) => a.name
-        }.toSet
-        collectJoinTree(f.child).map { case (ls, es, s) => (ls, es, s ++ nn) }
-      }
+      val (tomb, rest) = cs.partition(visibleRowsFilterShared)
+      val newlyCovered = tomb.flatMap(_.references
+        .filter(_.name == graft.cdc.ScdMerge.DeletedCol).map(_.exprId))
+      collectJoinTree(f.child, covered ++ newlyCovered)
+        .map { case (ls, es, raw) => (ls, es, raw ++ rest) }
     case Join(l, r, Inner, Some(cond), _) =>
       for {
-        (ll, le, ln) <- collectJoinTree(l)
-        (rl, re, rn) <- collectJoinTree(r)
-      } yield (ll ++ rl, le ++ re ++ splitConjunctsShared(cond), ln ++ rn)
+        (ll, le, lraw) <- collectJoinTree(l, covered)
+        (rl, re, rraw) <- collectJoinTree(r, covered)
+      } yield (ll ++ rl, le ++ re ++ splitConjunctsShared(cond), lraw ++ rraw)
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation =>
-        Some((Seq(TreeLeaf(fs.location.rootPaths.toList, lr.outputSet)), Nil, Set.empty))
+        if (lr.output.exists(a =>
+            a.name == graft.cdc.ScdMerge.DeletedCol && !covered(a.exprId)))
+          None // raw (tombstone-inclusive) scan of an SCD table
+        else
+          Some((Seq(TreeLeaf(fs.location.rootPaths.toList, lr.outputSet)), Nil, Nil))
       case _ => None
     }
     case _ => None
@@ -284,11 +301,24 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
     * different leaf. Extra leaves, missing dims, extra conditions, or a
     * user filter refuse — the rollup stores full star inner-join group
     * totals and nothing else. */
-  private def starScanOf(child: LogicalPlan): Option[StarRollup] = {
+  private def starScanOf(child: LogicalPlan)
+      : Option[(StarRollup, Seq[Expression])] = {
     if (starRegistry.isEmpty) return None
-    val (leaves, conds, nn) = collectJoinTree(child).getOrElse(return None)
+    val (leaves, conds, raw) = collectJoinTree(child).getOrElse(return None)
     if (leaves.size < 2) return None
-    starRegistry.values.find { st =>
+    starRegistry.values.collectFirst(Function.unlift { st =>
+      // raw leg/tree conjuncts: dimension-only predicates will be applied
+      // to the rollup; anything else must be an inferred isnotnull(key)
+      val (dimFs, rest) = raw.partition(dimOnly(_, st.groupBy))
+      val nnOpt: Option[Set[String]] = {
+        val xs = rest.map {
+          case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+            a: AttributeReference) => Some(a.name)
+          case _ => None
+        }
+        if (xs.forall(_.isDefined)) Some(xs.flatten.toSet) else None
+      }
+      val matches = nnOpt.exists { nn =>
       val factLeafIdx = leaves.indices.filter(i => underRoot(leaves(i).roots, canon(st.factRoot)))
       leaves.size == st.dims.size + 1 &&
       factLeafIdx.size == 1 && {
@@ -349,43 +379,43 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
           }
         }
       }
-    }
+      }
+      if (matches) Some((st, dimFs)) else None
+    })
   }
 
   /** The registered join rollup, if `child` is exactly the INNER equi-join
     * of the registered (fact, dim) pair on exactly the registered join
     * keys (either side order; optionally under attribute-only Projects —
-    * the shape `fact.join(dim, keys).groupBy(...)` analyzes to). Any
-    * extra Filter, a different condition, or an outer join refuses: the
-    * rollup stores inner-join group totals and nothing else. */
-  private def joinScanOf(child: LogicalPlan): Option[JoinRollup] = child match {
+    * the shape `fact.join(dim, keys).groupBy(...)` analyzes to), plus the
+    * dimension-only filter conjuncts to apply to the rollup. A leg may
+    * carry the visible-rows tombstone filter (consumed — and REQUIRED if
+    * the leg's relation carries `__DELETED`), optimizer-inferred
+    * isnotnull(<join key>) conjuncts, and dimension-only predicates
+    * (applied); any other filter, a different condition, or an outer
+    * join refuses: the rollup stores inner-join group totals. */
+  private def joinScanOf(child: LogicalPlan)
+      : Option[(JoinRollup, Seq[Expression])] = child match {
     case Project(projectList, grandchild) if projectList.forall(_.isInstanceOf[Attribute]) =>
       joinScanOf(grandchild)
     case Join(l, r, Inner, Some(cond), _) =>
-      // a leg may carry attribute-only Projects, the standard
-      // visible-rows tombstone filter, and optimizer-inferred
-      // isnotnull(<join key>) conjuncts (names verified against the
-      // registration below, so a USER filter still refuses) — the same
-      // tolerance set as the star tree collector, via the Shared helpers
-      def rootsOf(p: LogicalPlan): Option[(List[Path], Set[String])] = p match {
-        case Project(pl, gc) if pl.forall(_.isInstanceOf[Attribute]) => rootsOf(gc)
+      def rootsOf(p: LogicalPlan, acc: Seq[Expression],
+          covered: Set[org.apache.spark.sql.catalyst.expressions.ExprId])
+          : Option[(List[Path], Seq[Expression])] = p match {
+        case Project(pl, gc) if pl.forall(_.isInstanceOf[Attribute]) =>
+          rootsOf(gc, acc, covered)
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
           val cs = splitConjunctsShared(f.condition)
-          val ok = cs.forall {
-            case org.apache.spark.sql.catalyst.expressions.IsNotNull(
-              _: AttributeReference) => true
-            case c => visibleRowsFilterShared(c)
-          }
-          if (!ok) None
-          else {
-            val nn = cs.collect {
-              case org.apache.spark.sql.catalyst.expressions.IsNotNull(
-                a: AttributeReference) => a.name
-            }.toSet
-            rootsOf(f.child).map { case (ps, s) => (ps, s ++ nn) }
-          }
+          val (tomb, rest) = cs.partition(visibleRowsFilterShared)
+          val newlyCovered = tomb.flatMap(_.references
+            .filter(_.name == graft.cdc.ScdMerge.DeletedCol).map(_.exprId))
+          rootsOf(f.child, acc ++ rest, covered ++ newlyCovered)
         case lr: LogicalRelation => lr.relation match {
-          case fs: HadoopFsRelation => Some((fs.location.rootPaths.toList, Set.empty[String]))
+          case fs: HadoopFsRelation =>
+            if (lr.output.exists(a =>
+                a.name == graft.cdc.ScdMerge.DeletedCol && !covered(a.exprId)))
+              None // raw (tombstone-inclusive) scan of an SCD table
+            else Some((fs.location.rootPaths.toList, acc))
           case _ => None
         }
         case _ => None
@@ -394,10 +424,17 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
         joinRegistry.values.find(j =>
           underRoot(a, canon(j.factRoot)) && underRoot(b, canon(j.dimRoot)))
       for {
-        (lRoots, lNN) <- rootsOf(l)
-        (rRoots, rNN) <- rootsOf(r)
+        (lRoots, lRaw) <- rootsOf(l, Nil, Set.empty)
+        (rRoots, rRaw) <- rootsOf(r, Nil, Set.empty)
         j <- regFor(lRoots, rRoots).orElse(regFor(rRoots, lRoots))
-        if (lNN ++ rNN).subsetOf(j.joinKeys.toSet)
+        // leg conjuncts: dimension-only predicates apply to the rollup;
+        // the rest must be the optimizer's inferred isnotnull(join key)
+        (dimFs, rest) = (lRaw ++ rRaw).partition(dimOnly(_, j.dims))
+        if rest.forall {
+          case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+            a: AttributeReference) => j.joinKeys.contains(a.name)
+          case _ => false
+        }
         // condition must be exactly the registered equi-keys — both
         // operands named the key AND coming from OPPOSITE legs (a
         // tautological fact.k = fact.k condition over a cross join would
@@ -411,7 +448,7 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
           case _ => false
         } && conds.collect { case EqualTo(a: AttributeReference, _) => a.name }
           .toSet == j.joinKeys.toSet
-      } yield j
+      } yield (j, dimFs)
     case _ => None
   }
 
@@ -436,39 +473,69 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
     None
   }
 
-  /** The registered rollup, if `child` is exactly a scan of a registered
-    * base table (optionally under a column-pruning Project). Multi-dir
+  /** The registered rollup, if `child` is a scan of a registered base
+    * table (optionally under column-pruning Projects and Filters), plus
+    * the dimension-only filter conjuncts to apply to the rollup. Multi-dir
     * scans (a manifest referencing several version dirs) match when every
-    * dir resolves to the SAME registration. */
-  private def baseScanOf(child: LogicalPlan): Option[Rollup] = child match {
-    case Project(projectList, grandchild) if projectList.forall(_.isInstanceOf[Attribute]) =>
-      baseScanOf(grandchild)
-    case lr: LogicalRelation =>
-      lr.relation match {
-        case fs: HadoopFsRelation =>
-          val hits = fs.location.rootPaths.toList.map(lookup)
-          hits match {
-            case Nil => None
-            case h :: t if h.isDefined && t.forall(_ == h) => h
-            case _ => None
-          }
-        case _ => None
-      }
-    case _ => None
+    * dir resolves to the SAME registration.
+    *
+    * Filter handling: the visible-rows tombstone conjunct is CONSUMED
+    * (the state corresponds to visible rows) and marks the `__DELETED`
+    * attribute it references as covered; any other conjunct is collected
+    * and verified dimension-only after the registry lookup. A relation
+    * that CARRIES a `__DELETED` column with no covering tombstone filter
+    * refuses — that query aggregates RAW rows (tombstones included),
+    * which is not what the state answers. */
+  private def baseScanOf(child: LogicalPlan): Option[(Rollup, Seq[Expression])] = {
+    def walk(p: LogicalPlan, acc: Seq[Expression],
+        covered: Set[org.apache.spark.sql.catalyst.expressions.ExprId])
+        : Option[(Rollup, Seq[Expression])] = p match {
+      case Project(pl, gc) if pl.forall(_.isInstanceOf[Attribute]) =>
+        walk(gc, acc, covered)
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        val cs = splitConjunctsShared(f.condition)
+        val (tomb, rest) = cs.partition(visibleRowsFilterShared)
+        val newlyCovered = tomb.flatMap(_.references
+          .filter(_.name == graft.cdc.ScdMerge.DeletedCol).map(_.exprId))
+        walk(f.child, acc ++ rest, covered ++ newlyCovered)
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case fs: HadoopFsRelation =>
+            if (lr.output.exists(a =>
+                a.name == graft.cdc.ScdMerge.DeletedCol && !covered(a.exprId)))
+              return None // raw (tombstone-inclusive) scan of an SCD table
+            val hits = fs.location.rootPaths.toList.map(lookup)
+            hits match {
+              case Nil => None
+              case h :: t if h.isDefined && t.forall(_ == h) => h.map(r => (r, acc))
+              case _ => None
+            }
+          case _ => None
+        }
+      case _ => None
+    }
+    walk(child, Nil, Set.empty)
+      .filter { case (r, fs) => fs.forall(dimOnly(_, r.dims)) }
   }
 
   private def rewrite(agg: Aggregate, groupings: Seq[Expression],
-      aggExprs: Seq[NamedExpression], r: Rollup): Option[LogicalPlan] =
-    rewriteExact(agg, groupings, aggExprs, r)
-      .orElse(rewriteViaFrames(agg, groupings, aggExprs, r))
+      aggExprs: Seq[NamedExpression], r: Rollup,
+      filters: Seq[Expression] = Nil): Option[LogicalPlan] =
+    rewriteExact(agg, groupings, aggExprs, r, filters)
+      .orElse(rewriteViaFrames(agg, groupings, aggExprs, r, filters))
 
   /** Expression-level rewrite over the single rollup relation — every
-    * result aggregate becomes a re-aggregation of a stored partial.
-    * COUNT(DISTINCT) is coverable here only at the rollup's own grain
-    * (the `__dc_` partial); coarser distinct groupings fall through to
+    * result aggregate becomes a re-aggregation of a stored partial;
+    * dimension-only `filters` are re-anchored onto the rollup's
+    * attributes and applied below the re-aggregation (the rollup
+    * partitions rows exactly by dimension tuples, so the filtered rows
+    * are exactly the filtered groups' rows). COUNT(DISTINCT) is
+    * coverable here only at the rollup's own grain (the `__dc_`
+    * partial); coarser distinct groupings fall through to
     * [[rewriteViaFrames]]. */
   private def rewriteExact(agg: Aggregate, groupings: Seq[Expression],
-      aggExprs: Seq[NamedExpression], r: Rollup): Option[LogicalPlan] = {
+      aggExprs: Seq[NamedExpression], r: Rollup,
+      filters: Seq[Expression]): Option[LogicalPlan] = {
     val groupNames = groupings.map {
       case a: AttributeReference => a.name
       case _ => return None
@@ -479,8 +546,25 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
     val rollupPlan = r.provider().queryExecution.analyzed
     val out = rollupPlan.output.map(a => a.name -> a).toMap
 
+    // dimension-only filters re-anchor onto the rollup's attributes by
+    // name and apply BELOW the re-aggregation
+    if (!filters.forall(_.references.forall(a => out.contains(a.name)))) return None
+    val source: LogicalPlan =
+      if (filters.isEmpty) rollupPlan
+      else org.apache.spark.sql.catalyst.plans.logical.Filter(
+        filters.map(_.transform { case a: AttributeReference => out(a.name) })
+          .reduce(org.apache.spark.sql.catalyst.expressions.And(_, _)),
+        rollupPlan)
+
     def partial(kind: String, m: String): Option[Attribute] =
       if (r.measures.contains(m)) out.get(s"__${kind}_$m") else None
+
+    // a GLOBAL aggregate over an empty (or fully filtered-out) rollup
+    // yields NULL from the re-summed partial where SQL's COUNT is 0
+    def zeroWhenGlobal(e: Expression): Expression =
+      if (groupings.nonEmpty) e
+      else org.apache.spark.sql.catalyst.expressions.Coalesce(
+        Seq(e, Literal(0L)))
 
     // rebuild each result expression against the rollup partials, keeping
     // the original name + exprId (+ dataType, via cast) so parents resolve
@@ -505,9 +589,10 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
             case Max(s: AttributeReference) =>
               partial("max", s.name).map(p => ae.copy(aggregateFunction = Max(p)))
             case c: Count if c.children.forall(_.isInstanceOf[Literal]) =>
-              Some(ae.copy(aggregateFunction = Sum(out("__cnt"))))
+              Some(zeroWhenGlobal(ae.copy(aggregateFunction = Sum(out("__cnt")))))
             case c @ Count(Seq(s: AttributeReference)) =>
-              partial("nn", s.name).map(p => ae.copy(aggregateFunction = Sum(p)))
+              partial("nn", s.name).map(p =>
+                zeroWhenGlobal(ae.copy(aggregateFunction = Sum(p))))
             case Average(s: AttributeReference, _) if s.dataType == DoubleType =>
               // divide by the NON-NULL count partial — `__cnt` would be
               // wrong the moment the measure has nulls (SQL avg ignores
@@ -542,7 +627,7 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
       case _ => return None
     }
     val newGroupings = groupNames.map(out(_))
-    Some(Aggregate(newGroupings, rebuilt, rollupPlan))
+    Some(Aggregate(newGroupings, rebuilt, source))
   }
 
   /** Frame-composed rewrite for queries the single-relation partial
@@ -560,7 +645,8 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
     * rewritten plan keeps the original output names/exprIds/types via a
     * final Project, so parents are untouched. */
   private def rewriteViaFrames(agg: Aggregate, groupings: Seq[Expression],
-      aggExprs: Seq[NamedExpression], r: Rollup): Option[LogicalPlan] = {
+      aggExprs: Seq[NamedExpression], r: Rollup,
+      filters: Seq[Expression]): Option[LogicalPlan] = {
     if (r.distincts.isEmpty) return None
     // GLOBAL (no GROUP BY) aggregates refuse: SQL returns exactly one row
     // even over an empty input (count = 0), while the frame composition
@@ -594,7 +680,16 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
     import org.apache.spark.sql.functions.{col => fc, sum => fsum, min => fmin,
       max => fmax, countDistinct, when => fwhen, coalesce => fcoalesce, lit}
     import org.apache.spark.sql.Column
-    val state = r.provider()
+    // dimension-only filters apply to BOTH frames (state and pair
+    // relations carry the dim columns); re-anchor by bare name so the
+    // fresh frames' analyzer resolves them
+    def applyFilters(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      filters.foldLeft(df)((d, e) => d.filter(
+        org.apache.spark.sql.GraftColumnBridge.column(e.transform {
+          case a: AttributeReference =>
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(a.name))
+        })))
+    val state = applyFilters(r.provider())
     val stateCols = state.columns.toSet
     def partialName(kind: String, m: String): Option[String] = {
       val n = s"__${kind}_$m"
@@ -670,7 +765,7 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
         state.groupBy(groupNames.map(fc): _*).agg(aggsSeq.head, aggsSeq.tail: _*)
       } else state.select(groupNames.map(fc): _*).distinct()
     val joined = needed.foldLeft(aDf) { (acc, m) =>
-      val pairs = r.distincts(m)()
+      val pairs = applyFilters(r.distincts(m)())
       val b = pairs.groupBy(groupNames.map(fc): _*)
         .agg(countDistinct(fc(DistinctValCol)).as(dTmp(m)))
       acc.join(b, groupNames, "left")

@@ -312,6 +312,44 @@ class MaterializedJoinViewSpec extends AnyFunSuite {
     } finally graft.plans.AggRollupRewrite.clear()
   }
 
+  test("dimension-only filters on a join query route; key/measure filters refuse") {
+    val work = tmp("mvjfilt")
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    org.apache.spark.sql.GraftColumnBridge.applyExtensions(ext, spark)
+    val fact = new SnapshotTable(s"$work/fact")
+    val dim = new BucketedSnapshotTable(s"$work/dim", 4, Seq("jk"))
+    fact.write(spark, Seq((1, 10L, 5L), (2, 10L, 7L), (3, 20L, 11L)).toDF("k", "jk", "x"))
+    dim.scd1Merge(spark, Seq((10L, 1L, "red", "r1"), (20L, 1L, "blue", "r2"))
+      .toDF("jk", "seq", "g", "h"), "seq")
+    val mv = MaterializedJoinAggView.create(spark, s"$work/mv",
+      s"$work/fact", Seq("k"), s"$work/dim", Nil, Seq("jk"), Seq("g", "h"),
+      Seq(agg("count", None, "n"), agg("sum", Some("x"), "sx")), numBuckets = 4)
+    mv.refresh(spark)
+    try {
+      mv.registerRewrite(spark)
+      def joined = fact.readIndexed(spark)
+        .join(graft.cdc.ScdMerge.scd1Current(dim.readIndexed(spark)), Seq("jk"))
+      // a filter on a GROUP dimension routes — applied to the rollup
+      val q1 = joined.filter(col("g") === "red").groupBy(col("h"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      val p1 = q1.queryExecution.optimizedPlan.toString
+      assert(p1.contains("__sum_x") && !p1.contains("/fact/_v"),
+        s"dim-filtered join query must route:\n$p1")
+      assert(q1.as[(String, Long, Long)].collect().toSet == Set(("r1", 2L, 12L)))
+      // a filter on the JOIN KEY (not a group column) must refuse
+      val q2 = joined.filter(col("jk") === 10L).groupBy(col("g"))
+        .agg(sum(col("x")).as("sx"))
+      assert(!q2.queryExecution.optimizedPlan.toString.contains("__sum_x"),
+        "join-key-filtered query must stay on the base")
+      assert(q2.as[(String, Long)].collect().toSet == Set(("red", 12L)))
+      // a filter on a MEASURE must refuse
+      val q3 = joined.filter(col("x") > 6).groupBy(col("g")).agg(sum(col("x")).as("sx"))
+      assert(!q3.queryExecution.optimizedPlan.toString.contains("__sum_x"))
+      assert(q3.as[(String, Long)].collect().toSet == Set(("red", 7L), ("blue", 11L)))
+    } finally graft.plans.AggRollupRewrite.clear()
+  }
+
   test("refresh rewrites only the buckets holding changed groups") {
     val work = tmp("mvjb")
     val fact = new SnapshotTable(s"$work/fact")

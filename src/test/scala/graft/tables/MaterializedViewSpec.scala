@@ -339,6 +339,83 @@ class MaterializedViewSpec extends AnyFunSuite {
     } finally graft.plans.AggRollupRewrite.clear()
   }
 
+  test("dimension-only filters route: applied to the rollup, not the source") {
+    val work = tmp("mvfilt")
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    org.apache.spark.sql.GraftColumnBridge.applyExtensions(ext, spark)
+    val src = new SnapshotTable(s"$work/src")
+    src.write(spark, Seq((1, "a", "r1", "X", 10L), (2, "a", "r1", "Y", 20L),
+      (3, "a", "r2", "X", 5L), (4, "b", "r1", "X", 7L))
+      .toDF("k", "g", "h", "v", "x"))
+    val mv = MaterializedAggView.create(spark, s"$work/mv", s"$work/src",
+      Seq("k"), Seq("g", "h"),
+      Seq(MaterializedAggView.Agg("count", None, "n"),
+        MaterializedAggView.Agg("sum", Some("x"), "sx"),
+        MaterializedAggView.Agg("count_distinct", Some("v"), "dv")), 4)
+    mv.refresh(spark)
+    try {
+      mv.registerRewrite(spark)
+      def base = src.readIndexed(spark)
+      // dim filter + coarser grouping: additive partials filtered AND the
+      // distinct pair relation filtered — never the source
+      val q1 = base.filter(col("h") === "r1").groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          countDistinct(col("v")).as("dv"))
+      val p1 = q1.queryExecution.optimizedPlan.toString
+      assert(!p1.contains("/src/_v") && p1.contains("__dval"),
+        s"dim-filtered distinct query must route:\n$p1")
+      assert(q1.as[(String, Long, Long, Long)].collect().toSet ==
+        Set(("a", 2L, 30L, 2L), ("b", 1L, 7L, 1L)))
+      // GLOBAL aggregate with a dim filter: routes through the exact path
+      // and answers ONE row — 0 when the filter matches nothing
+      val q2 = base.filter(col("g") === "a").agg(count(lit(1)).as("n"))
+      assert(!q2.queryExecution.optimizedPlan.toString.contains("/src/_v"))
+      assert(q2.as[Long].collect().toSeq == Seq(3L))
+      val q3 = base.filter(col("g") === "zzz").agg(count(lit(1)).as("n"))
+      assert(!q3.queryExecution.optimizedPlan.toString.contains("/src/_v"))
+      assert(q3.as[Long].collect().toSeq == Seq(0L),
+        "a fully filtered-out GLOBAL count must answer 0, not null or no rows")
+      // a filter on a MEASURE column must refuse (the rollup has no rows)
+      val q4 = base.filter(col("x") > 6).groupBy(col("g")).agg(count(lit(1)).as("n"))
+      assert(!q4.queryExecution.optimizedPlan.toString.contains("__cnt"),
+        "measure-filtered queries must stay on the base")
+      assert(q4.as[(String, Long)].collect().toSet == Set(("a", 2L), ("b", 1L)))
+    } finally graft.plans.AggRollupRewrite.clear()
+  }
+
+  test("raw (tombstone-inclusive) scans of an SCD source never route") {
+    val work = tmp("mvraw")
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    org.apache.spark.sql.GraftColumnBridge.applyExtensions(ext, spark)
+    val src = new BucketedSnapshotTable(s"$work/src", 4, Seq("k"))
+    src.scd1Merge(spark, Seq((1, 1L, "a", 10L), (2, 1L, "a", 20L), (3, 1L, "b", 30L))
+      .toDF("k", "seq", "g", "x"), "seq")
+    // delete key 2: the table now carries a persistent __DELETED tombstone
+    src.scd1Merge(spark, Seq((2, 2L, "a", 20L)).toDF("k", "seq", "g", "x"), "seq",
+      applyAsDeletes = Some(lit(true)))
+    val mv = MaterializedAggView.create(spark, s"$work/mv", s"$work/src",
+      Nil, Seq("g"), Seq(MaterializedAggView.Agg("count", None, "n")), 4)
+    mv.refresh(spark)
+    try {
+      mv.registerRewrite(spark)
+      // the VISIBLE read (tombstone-filtered) routes — the state is
+      // exactly the visible rows
+      val vis = graft.cdc.ScdMerge.scd1Current(src.readIndexed(spark))
+        .groupBy(col("g")).agg(count(lit(1)).as("n"))
+      assert(vis.queryExecution.optimizedPlan.toString.contains("__cnt"),
+        "visible read must route")
+      assert(vis.as[(String, Long)].collect().toSet == Set(("a", 1L), ("b", 1L)))
+      // the RAW read (tombstones INCLUDED) must NOT route: its answer
+      // genuinely differs from the visible-rows state
+      val raw = src.readIndexed(spark).groupBy(col("g")).agg(count(lit(1)).as("n"))
+      assert(!raw.queryExecution.optimizedPlan.toString.contains("__cnt"),
+        "raw tombstone-inclusive read must not route")
+      assert(raw.as[(String, Long)].collect().toSet == Set(("a", 2L), ("b", 1L)))
+    } finally graft.plans.AggRollupRewrite.clear()
+  }
+
   test("racing refreshers serialize on the view lock: no window double-folds") {
     val work = tmp("mvrace")
     val src = new SnapshotTable(s"$work/src")
