@@ -238,11 +238,8 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
     case Project(pl, gc) if pl.forall(_.isInstanceOf[Attribute]) =>
       collectJoinTree(gc, covered)
     case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-      val cs = splitConjunctsShared(f.condition)
-      val (tomb, rest) = cs.partition(visibleRowsFilterShared)
-      val newlyCovered = tomb.flatMap(_.references
-        .filter(_.name == graft.cdc.ScdMerge.DeletedCol).map(_.exprId))
-      collectJoinTree(f.child, covered ++ newlyCovered)
+      val (rest, newCovered) = consumeTombstones(f.condition, covered)
+      collectJoinTree(f.child, newCovered)
         .map { case (ls, es, raw) => (ls, es, raw ++ rest) }
     case Join(l, r, Inner, Some(cond), _) =>
       for {
@@ -250,12 +247,8 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
         (rl, re, rraw) <- collectJoinTree(r, covered)
       } yield (ll ++ rl, le ++ re ++ splitConjunctsShared(cond), lraw ++ rraw)
     case lr: LogicalRelation => lr.relation match {
-      case fs: HadoopFsRelation =>
-        if (lr.output.exists(a =>
-            a.name == graft.cdc.ScdMerge.DeletedCol && !covered(a.exprId)))
-          None // raw (tombstone-inclusive) scan of an SCD table
-        else
-          Some((Seq(TreeLeaf(fs.location.rootPaths.toList, lr.outputSet)), Nil, Nil))
+      case fs: HadoopFsRelation if coveredLeaf(lr, covered) =>
+        Some((Seq(TreeLeaf(fs.location.rootPaths.toList, lr.outputSet)), Nil, Nil))
       case _ => None
     }
     case _ => None
@@ -277,6 +270,27 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
       splitConjunctsShared(l) ++ splitConjunctsShared(r)
     case other => Seq(other)
   }
+
+  /** ONE copy of the filter-consumption rule all three scan walkers
+    * share (a change to the tolerated set must reach every routing path
+    * at once): tombstone visible-rows conjuncts are CONSUMED and mark
+    * the `__DELETED` attributes they reference as covered; everything
+    * else returns raw for the caller to classify. */
+  private def consumeTombstones(condition: Expression,
+      covered: Set[org.apache.spark.sql.catalyst.expressions.ExprId])
+      : (Seq[Expression], Set[org.apache.spark.sql.catalyst.expressions.ExprId]) = {
+    val (tomb, rest) = splitConjunctsShared(condition).partition(visibleRowsFilterShared)
+    (rest, covered ++ tomb.flatMap(_.references
+      .filter(_.name == graft.cdc.ScdMerge.DeletedCol).map(_.exprId)))
+  }
+
+  /** A leaf relation carrying `__DELETED` with no covering tombstone
+    * filter above it is a RAW (tombstone-inclusive) scan whose answer
+    * genuinely differs from the visible-rows state — refuse. */
+  private def coveredLeaf(lr: LogicalRelation,
+      covered: Set[org.apache.spark.sql.catalyst.expressions.ExprId]): Boolean =
+    !lr.output.exists(a =>
+      a.name == graft.cdc.ScdMerge.DeletedCol && !covered(a.exprId))
 
   /** Ancestor walk across engine-internal segments only (see [[lookup]]). */
   private def underRoot(paths: List[Path], root: String): Boolean =
@@ -405,17 +419,11 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
         case Project(pl, gc) if pl.forall(_.isInstanceOf[Attribute]) =>
           rootsOf(gc, acc, covered)
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-          val cs = splitConjunctsShared(f.condition)
-          val (tomb, rest) = cs.partition(visibleRowsFilterShared)
-          val newlyCovered = tomb.flatMap(_.references
-            .filter(_.name == graft.cdc.ScdMerge.DeletedCol).map(_.exprId))
-          rootsOf(f.child, acc ++ rest, covered ++ newlyCovered)
+          val (rest, newCovered) = consumeTombstones(f.condition, covered)
+          rootsOf(f.child, acc ++ rest, newCovered)
         case lr: LogicalRelation => lr.relation match {
-          case fs: HadoopFsRelation =>
-            if (lr.output.exists(a =>
-                a.name == graft.cdc.ScdMerge.DeletedCol && !covered(a.exprId)))
-              None // raw (tombstone-inclusive) scan of an SCD table
-            else Some((fs.location.rootPaths.toList, acc))
+          case fs: HadoopFsRelation if coveredLeaf(lr, covered) =>
+            Some((fs.location.rootPaths.toList, acc))
           case _ => None
         }
         case _ => None
@@ -493,17 +501,11 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
       case Project(pl, gc) if pl.forall(_.isInstanceOf[Attribute]) =>
         walk(gc, acc, covered)
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-        val cs = splitConjunctsShared(f.condition)
-        val (tomb, rest) = cs.partition(visibleRowsFilterShared)
-        val newlyCovered = tomb.flatMap(_.references
-          .filter(_.name == graft.cdc.ScdMerge.DeletedCol).map(_.exprId))
-        walk(f.child, acc ++ rest, covered ++ newlyCovered)
+        val (rest, newCovered) = consumeTombstones(f.condition, covered)
+        walk(f.child, acc ++ rest, newCovered)
       case lr: LogicalRelation =>
         lr.relation match {
-          case fs: HadoopFsRelation =>
-            if (lr.output.exists(a =>
-                a.name == graft.cdc.ScdMerge.DeletedCol && !covered(a.exprId)))
-              return None // raw (tombstone-inclusive) scan of an SCD table
+          case fs: HadoopFsRelation if coveredLeaf(lr, covered) =>
             val hits = fs.location.rootPaths.toList.map(lookup)
             hits match {
               case Nil => None

@@ -82,8 +82,15 @@ private[tables] object CommitLock {
           catch { case _: InterruptedException => () }
           if (running)
             try f.setTimes(lock, System.currentTimeMillis(), -1)
-            catch { case _: java.io.IOException => () } // deleted/stolen:
-            // the next h.check() at the commit site aborts the holder
+            catch {
+              // deleted/stolen lock, or an FS that rejects setTimes
+              // (UnsupportedOperationException on some connectors): the
+              // BEAT must survive any per-touch failure — a dead beat
+              // thread silently reverts to held-too-long stealing, the
+              // exact failure this lock exists to prevent. A stolen lock
+              // still aborts the holder at its next h.check().
+              case scala.util.control.NonFatal(_) => ()
+            }
         }
       }, s"graft-lock-heartbeat:$root")
       beat.setDaemon(true)

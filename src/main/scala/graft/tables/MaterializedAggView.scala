@@ -148,9 +148,14 @@ final class MaterializedAggView(val root: String) {
       else feedable.feed(lastV, srcV, withColumns = false, withPreimage = true)
     // count(distinct) maintenance re-reads the feed once per distinct agg
     // (pair deltas) on top of the main grouped delta — pin the O(changed)
-    // window diff once instead of re-deriving it per consumer
+    // window diff once instead of re-deriving it per consumer. NOT on a
+    // bootstrap: the bootstrap feed is the FULL table, and materializing
+    // it to executor storage costs more than the ≤(1 + #distinct aggs)
+    // recomputations the grouped consumers make (each fold pins its own
+    // (group, value)-grain frame)
     val feed =
-      if (sp.aggs.exists(_.fn == "count_distinct")) feed0.localCheckpoint()
+      if (lastV != 0 && sp.aggs.exists(_.fn == "count_distinct"))
+        feed0.localCheckpoint()
       else feed0
     val sign = when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
       .otherwise(lit(-1L))
@@ -408,9 +413,14 @@ object MaterializedAggView {
       txnValue: Long, lastTxn: Long, dcName: String,
       beforeMerge: () => Unit, afterMerge: () => Unit): DataFrame = {
     val keyCols = groupBy :+ ValCol
+    // pinned at (group, value) grain — small — because THREE consumers
+    // read it (the bucket probe, possibly the crash semi-join, and the
+    // transition join); this also caps re-execution of an UNPINNED feed
+    // (a bootstrap's full join) at once per distinct agg
     val pairDelta = feed.filter(col(valueCol).isNotNull)
       .groupBy((groupBy.map(col) :+ col(valueCol).as(ValCol)): _*)
       .agg(sum(sign).as(DvcCol))
+      .localCheckpoint()
     def emptyAux = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(keyCols.map(n => pairDelta.schema(n)) :+
@@ -478,26 +488,28 @@ object MaterializedAggView {
     * query — the rollup frame reads that pinned version and each
     * distinct-measure pair provider reads its aux table AS OF the pinned
     * ledger value — so one routed query never mixes two view versions
-    * even when a refresh commits between the state and pair reads.
-    * (Concurrent queries share the one pinned cell; a race between two
-    * optimizing queries can only cross-pin values captured microseconds
-    * apart — strictly narrower than the unpinned head-read skew.) */
+    * even when a refresh commits between the state and pair reads. The
+    * pin is THREAD-LOCAL: the optimizer calls the provider and then the
+    * distinct providers on the query's own planning thread, so two
+    * concurrently-optimizing queries each read their own pin — a shared
+    * cell would let query B's provider call re-pin between A's two reads
+    * and hand A a mixed-version result. */
   private[tables] def rewriteProviders(spark: SparkSession,
       st: BucketedSnapshotTable, txnId: String, aggs: Seq[Agg],
       auxOf: String => BucketedSnapshotTable, groupBy: Seq[String],
       rollupAt: Int => DataFrame)
       : (() => DataFrame, Map[String, () => DataFrame]) = {
-    val pinnedTxn = new java.util.concurrent.atomic.AtomicLong(0L)
+    val pinnedTxn = ThreadLocal.withInitial[java.lang.Long](() => 0L)
     val provider: () => DataFrame = () => {
       val v = st.currentVersion(spark).getOrElse(throw new IllegalStateException(
         s"materialized view state ${st.root}: no committed version — REFRESH first"))
-      pinnedTxn.set(st.appliedTxnAt(spark, txnId, v).getOrElse(0L))
+      pinnedTxn.set(Long.box(st.appliedTxnAt(spark, txnId, v).getOrElse(0L)))
       rollupAt(v)
     }
     val distincts: Map[String, () => DataFrame] =
       aggs.filter(_.fn == "count_distinct").groupBy(_.col.get)
         .map { case (m, as) =>
-          m -> (() => auxPairs(spark, auxOf(as.head.as), pinnedTxn.get,
+          m -> (() => auxPairs(spark, auxOf(as.head.as), pinnedTxn.get.longValue,
             txnId, groupBy))
         }
     (provider, distincts)

@@ -210,9 +210,13 @@ final class MaterializedJoinAggView(val root: String) {
     }
     // count(distinct) maintenance re-reads the joined delta once per
     // distinct agg — pin it (O(changed joined rows)) so the delta-join
-    // legs run once, not once per consumer
+    // legs run once, not once per consumer. NOT on a bootstrap: the
+    // first refresh's delta is the FULL base join, and materializing
+    // fact-cardinality rows costs more than the few recomputations (each
+    // fold pins its own (group, value)-grain frame)
     val delta =
-      if (sp.aggs.exists(_.fn == "count_distinct")) delta0.localCheckpoint()
+      if (lastPacked != 0L && sp.aggs.exists(_.fn == "count_distinct"))
+        delta0.localCheckpoint()
       else delta0
 
     val packedEff = pack(effF, effD)

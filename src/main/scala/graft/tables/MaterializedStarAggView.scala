@@ -281,9 +281,13 @@ final class MaterializedStarAggView(val root: String) {
     val need = (sp.groupBy ++ sp.aggs.flatMap(_.col) :+ SignCol).distinct
     val delta0 = legs.map(_.select(need.map(col): _*)).reduce(_.unionByName(_))
     // count(distinct) maintenance re-reads the joined delta once per
-    // distinct agg — pin it so the star legs run once, not per consumer
+    // distinct agg — pin it so the star legs run once, not per consumer.
+    // NOT on a bootstrap: the first refresh's delta is the FULL star
+    // join; materializing fact-cardinality rows costs more than the few
+    // recomputations (each fold pins its own (group, value)-grain frame)
     val hasDistinct = sp.aggs.exists(_.fn == "count_distinct")
-    val delta = if (hasDistinct) delta0.localCheckpoint() else delta0
+    val delta =
+      if (hasDistinct && lastN != 0L) delta0.localCheckpoint() else delta0
 
     // count(distinct c) over the star result: record the window's vector
     // FIRST (under the lock — the crashed-replay pin), then run the

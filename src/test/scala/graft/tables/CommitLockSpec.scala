@@ -104,31 +104,33 @@ class CommitLockSpec extends AnyFunSuite {
     val f = new Path(root).getFileSystem(new org.apache.hadoop.conf.Configuration())
     // hold a heartbeat lock well past the staleness bound while a waiter
     // polls — the waiter must keep seeing a fresh mtime and never steal
+    // generous margins (beat every 500 ms vs 1500 ms staleness) so a
+    // loaded CI host's scheduling stalls cannot fake a dead heartbeat
     @volatile var holderDone = false
     @volatile var holderStolen = true
     val holder = new Thread(() => {
-      CommitLock.withHeartbeatLock(f, root, staleMs = 300) { h =>
-        Thread.sleep(1200) // 4× the staleness bound: legitimate long work
+      CommitLock.withHeartbeatLock(f, root, staleMs = 1500) { h =>
+        Thread.sleep(4000) // ~3× the staleness bound: legitimate long work
         holderStolen = !h.stillHeld
       }
       holderDone = true
     })
     holder.start()
-    Thread.sleep(150)
-    // a SHORT-staleness waiter polls the whole time the holder works: the
-    // heartbeat keeps the lock mtime fresh at every poll, so the waiter's
-    // steal judgment never fires — it gives up LOUDLY at its 2×staleMs
-    // deadline instead of stealing (pre-heartbeat it would have stolen at
-    // 300 ms and restarted the fold mid-flight)
+    Thread.sleep(300)
+    // a waiter polls the whole time the holder works: the heartbeat keeps
+    // the lock mtime fresh at every poll, so the waiter's steal judgment
+    // never fires — it gives up LOUDLY at its 2×staleMs deadline instead
+    // of stealing (pre-heartbeat it would have stolen at ~1.5 s and
+    // restarted the fold mid-flight)
     val e = intercept[IllegalStateException] {
-      CommitLock.withLockHandle(f, root, staleMs = 300)(_ => ())
+      CommitLock.withLockHandle(f, root, staleMs = 1500)(_ => ())
     }
     assert(e.getMessage.contains("could not acquire"), e.getMessage)
     assert(!holderDone, "the waiter must have given up while the holder still works")
-    holder.join(10000)
+    holder.join(15000)
     assert(!holderStolen, "the live heartbeating holder must never be stolen from")
-    // after the holder releases, the same short-staleness caller acquires
-    CommitLock.withLockHandle(f, root, staleMs = 300)(h2 => assert(h2.stillHeld))
+    // after the holder releases, the same caller acquires normally
+    CommitLock.withLockHandle(f, root, staleMs = 1500)(h2 => assert(h2.stillHeld))
     // and once a holder is genuinely dead (no heartbeat — plain lock,
     // abandoned), staleness still frees the root within ~staleMs
     val out = f.create(new Path(root, "_lock"), true)
