@@ -5770,6 +5770,53 @@ object SparkEntry {
       }
     }),
 
+    // ── NULL GROUP KEYS IN MATERIALIZED VIEWS (r11b): SQL GROUP BY
+    //    groups null keys, but the engine's bucketed business keys (like
+    //    Delta MERGE keys) must be non-null. The view ENCODES at the
+    //    state boundary — nullable group values store as a per-type zero
+    //    with a bit set in the `__mv_nulls` mask key column, every
+    //    internal key join/probe/merge runs null-free over (groupBy…,
+    //    mask), and reads DECODE the nulls back — so a fact table whose
+    //    dimension column is sometimes missing (ubiquitous in real
+    //    pipelines) rolls up with exact SQL semantics, updates/deletes/
+    //    resurrection included. Pins: a one-group change rewrites O(1)
+    //    buckets; the oracle recomputes the final state with the same
+    //    null injection in DuckDB (whose GROUP BY groups nulls too).
+    "q333_null_group_keys" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("mvnullg").toString
+      withShufflePartitions(s, 8) {
+      val sqlRun = (q: String) => org.apache.spark.sql.GraftColumnBridge.graftSql(s, q)
+      val src = new graft.tables.SnapshotTable(s"$work/src")
+      val o0 = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey",
+        $"o_orderstatus".as("st"),
+        when($"o_orderkey" % 7 === 0, lit(null)).otherwise($"o_orderpriority")
+          .as("prio"),
+        $"o_totalprice".cast("decimal(18,2)").as("price"))
+      src.write(s, o0)
+      sqlRun(s"CREATE MATERIALIZED VIEW '$work/mv' ON '$work/src' KEYS (o_orderkey) " +
+        "GROUP BY (prio) AGG (count(*) AS n, sum(price) AS rev, " +
+        "count(distinct st) AS ds) INTO 16 BUCKETS").collect()
+      sqlRun(s"REFRESH MATERIALIZED VIEW '$work/mv'").collect()
+      val mv = new graft.tables.MaterializedAggView(s"$work/mv")
+      // one NULL-prio order's price bumps: only the null group changes
+      val k7 = o0.filter($"prio".isNull).agg(min($"o_orderkey")).as[Long].head()
+      val o1 = o0.withColumn("price",
+        when($"o_orderkey" === k7, $"price" + 10).otherwise($"price")
+          .cast("decimal(18,2)"))
+      src.write(s, o1)
+      val (_, t2) = mv.refresh(s)
+      require(t2.nonEmpty && t2.size <= 4,
+        s"a null-group-only change must rewrite O(1) buckets, got ${t2.size}")
+      // a customer's orders are deleted across groups (incl. the null one)
+      val cmax = o0.agg(max($"o_custkey")).as[Long].head()
+      src.write(s, o1.filter($"o_custkey" =!= cmax))
+      mv.refresh(s)
+      mv.read(s).select($"prio", $"n", $"rev".cast("double").as("rev"), $"ds")
+        .orderBy($"prio")
+      }
+    }),
+
     // ── DIMENSION-FILTER PUSHDOWN INTO MV ROUTING (r11b): nearly every
     //    dashboard query carries a dimension predicate (`WHERE prio = X
     //    GROUP BY cust`) — without this the routing only ever served
@@ -7197,6 +7244,25 @@ object SparkEntry {
         |SELECT prio, p_brand, count(*) AS n, CAST(sum(qty) AS DOUBLE) AS sq
         |FROM lfix JOIN ofix ON l_orderkey = o_orderkey JOIN pfix USING (p_partkey)
         |GROUP BY prio, p_brand ORDER BY prio, p_brand""".stripMargin,
+
+    // null group keys round-trip: the view's final state ≡ a recompute
+    // with the same null injection (DuckDB GROUP BY groups nulls too)
+    "q333_null_group_keys" ->
+      """WITH fin0 AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus AS st,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |         ELSE o_orderpriority END AS prio,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) +
+        |      CASE WHEN o_orderkey = (SELECT min(o_orderkey) FROM orders
+        |                              WHERE o_orderkey % 7 = 0)
+        |           THEN 10 ELSE 0 END AS DECIMAL(18,2)) AS price
+        |  FROM orders),
+        |fin AS (
+        |  SELECT * FROM fin0
+        |  WHERE o_custkey <> (SELECT max(o_custkey) FROM orders))
+        |SELECT prio, count(*) AS n, CAST(sum(price) AS DOUBLE) AS rev,
+        |  count(DISTINCT st) AS ds
+        |FROM fin GROUP BY prio ORDER BY prio""".stripMargin,
 
     // the dim-filtered routed dashboard query = a plain filtered GROUP BY
     // over the base table

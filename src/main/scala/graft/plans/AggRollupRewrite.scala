@@ -770,7 +770,11 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
       val pairs = applyFilters(r.distincts(m)())
       val b = pairs.groupBy(groupNames.map(fc): _*)
         .agg(countDistinct(fc(DistinctValCol)).as(dTmp(m)))
-      acc.join(b, groupNames, "left")
+      // NULL-SAFE join: SQL GROUP BY groups null keys, and views encode/
+      // decode them — a plain usingColumns join would drop the null
+      // group's pair counts on the floor
+      val cond = groupNames.map(n => acc(n) <=> b(n)).reduce(_ && _)
+      groupNames.foldLeft(acc.join(b, cond, "left"))((d, n) => d.drop(b(n)))
     }
     val plan = joined.select(outs: _*).queryExecution.analyzed
     val projections = aggExprs.zip(plan.output).map { case (orig, att) =>

@@ -45,11 +45,15 @@ import org.apache.spark.sql.types._
   * order caveat); route money through decimal, as the engine does
   * elsewhere.
   *
-  * Contract: the GROUP BY columns are the state table's business keys
-  * and must be NON-NULL — the same key contract every bucketed table in
-  * the engine (and Delta MERGE) carries; rows whose group key is null
-  * do not fold through the key-equality joins. Derive a sentinel
-  * (`coalesce(g, '∅')`) upstream if a null group is meaningful.
+  * NULL group keys are SUPPORTED (r11b) with SQL GROUP BY semantics:
+  * the engine's bucketed business keys must be non-null (the Delta
+  * MERGE key contract), so nullable group values are ENCODED at the
+  * state boundary — stored as a per-type zero with a bit set in the
+  * `__mv_nulls` mask key column — and DECODED back to nulls on every
+  * read (including the transparent-routing relations). Every internal
+  * key join, bucket probe, and merge runs null-free over
+  * (groupBy…, mask). Nullable group columns of exotic types without a
+  * zero stand-in (arrays, binary, …) keep the legacy non-null contract.
   */
 final class MaterializedAggView(val root: String) {
   import MaterializedAggView._
@@ -81,15 +85,21 @@ final class MaterializedAggView(val root: String) {
       numBuckets = kv.getOrElse("numBuckets", "16").toInt)
   }
 
+  /** State business keys: the group columns plus the null-mask (see
+    * [[MaterializedAggView.NullsCol]]) — every internal key join, bucket
+    * probe, and merge runs null-free over these. */
+  private def groupKeys(sp: Spec): Seq[String] = sp.groupBy :+ NullsCol
+
   private def state(sp: Spec) =
-    new BucketedSnapshotTable(s"$root/state", sp.numBuckets, sp.groupBy)
+    new BucketedSnapshotTable(s"$root/state", sp.numBuckets, groupKeys(sp))
 
   /** Auxiliary occurrence-count table for one `count(distinct c)`
-    * aggregate: keyed (and bucketed) by (groupBy…, value) so a refresh's
-    * changed pairs prune to their buckets exactly like the main state. */
+    * aggregate: keyed (and bucketed) by (groupKeys…, value) so a
+    * refresh's changed pairs prune to their buckets exactly like the
+    * main state. */
   private def auxState(sp: Spec, as: String) =
     new BucketedSnapshotTable(s"$root/dstate_$as", sp.numBuckets,
-      sp.groupBy :+ ValCol)
+      groupKeys(sp) :+ ValCol)
 
   /** Fault-injection hook for crash-recovery specs (same pattern as
     * [[BucketedSnapshotTable.onStep]]): called between the aux-table and
@@ -143,9 +153,13 @@ final class MaterializedAggView(val root: String) {
     val srcV = if (crashedV.nonEmpty) crashedV.max.toInt else liveV
     if (srcV <= lastV) return (lastV, Set.empty)
 
-    val feed0 =
+    val feedRaw =
       if (lastV == 0) feedable.visibleAt(srcV).withColumn("_change_type", lit("insert"))
       else feedable.feed(lastV, srcV, withColumns = false, withPreimage = true)
+    // null-mask encoding: from here on every group-key operation is
+    // null-free over (groupBy…, __mv_nulls)
+    val gk = groupKeys(sp)
+    val feed0 = encodeNulls(feedRaw, sp.groupBy)
     // count(distinct) maintenance re-reads the feed once per distinct agg
     // (pair deltas) on top of the main grouped delta — pin the O(changed)
     // window diff once instead of re-deriving it per consumer. NOT on a
@@ -179,7 +193,7 @@ final class MaterializedAggView(val root: String) {
                 .cast(t).as(sumCol(a.as)))
         }
       }
-    val delta0 = feed.groupBy(sp.groupBy.map(col): _*).agg(deltaAggs.head, deltaAggs.tail: _*)
+    val delta0 = feed.groupBy(gk.map(col): _*).agg(deltaAggs.head, deltaAggs.tail: _*)
 
     // count(distinct c): per-(group, value) signed occurrence deltas →
     // aux-table transitions → a distinct-count delta ONLY where an
@@ -192,7 +206,7 @@ final class MaterializedAggView(val root: String) {
     // of the last FULLY-applied refresh via the ledger-pinned version).
     val distincts = sp.aggs.filter(_.fn == "count_distinct")
     val dcDeltas: Seq[DataFrame] = distincts.map { a =>
-      foldDistinct(spark, auxState(sp, a.as), feed, sign, sp.groupBy,
+      foldDistinct(spark, auxState(sp, a.as), feed, sign, gk,
         a.col.get, TxnId, srcV.toLong, lastV.toLong, dcCol(a.as),
         beforeMerge = () => lock.check(),
         afterMerge = () => onStep(s"aux-merged:${a.as}"))
@@ -203,7 +217,7 @@ final class MaterializedAggView(val root: String) {
     // (the state's bucket-pruned key probe, the merge's bucket discovery,
     // and the state write) — without the pin each re-executes the whole
     // O(changed) window diff; the checkpoint is O(changed groups) rows
-    val delta = dcDeltas.foldLeft(delta0)((d, dd) => d.join(dd, sp.groupBy, "left"))
+    val delta = dcDeltas.foldLeft(delta0)((d, dd) => d.join(dd, gk, "left"))
       .localCheckpoint()
 
     val accCols: Seq[(String, DataType)] =
@@ -220,27 +234,28 @@ final class MaterializedAggView(val root: String) {
     // current state of ONLY the changed groups: bucket-pruned point read
     val cur: DataFrame =
       if (!st.exists(spark)) {
-        val fields = sp.groupBy.map(g => delta.schema(g)) ++
+        val fields = gk.map(g => delta.schema(g)) ++
           accCols.map { case (n, t) => StructField(n, t, nullable = true) }
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType(fields))
       } else graft.cdc.ScdMerge.scd1Current(
-          st.readKeys(spark, delta.select(sp.groupBy.map(col): _*)))
-        .select((sp.groupBy ++ accCols.map(_._1)).map(col): _*)
+          st.readKeys(spark, delta.select(gk.map(col): _*)))
+        .select((gk ++ accCols.map(_._1)).map(col): _*)
 
-    val curA = cur.select(sp.groupBy.map(col) ++
+    val curA = cur.select(gk.map(col) ++
       accCols.map { case (n, t) => col(n).as(s"__cur_$n") }: _*)
-    val merged0 = delta.join(curA, sp.groupBy, "left")
+    val merged0 = delta.join(curA, gk, "left")
     val folded = accCols.foldLeft(merged0) { case (df, (n, t)) =>
       df.withColumn(n,
         (coalesce(col(s"__cur_$n").cast(t), lit(0).cast(t)) +
           coalesce(col(n).cast(t), lit(0).cast(t))).cast(t))
-    }.select((sp.groupBy ++ accCols.map(_._1)).map(col): _*)
+    }.select((gk ++ accCols.map(_._1)).map(col): _*)
 
     // min/max are NOT invertible — the opt-in RESCAN mode recomputes them
     // from the source for EXACTLY the changed groups (one semi-joined
     // grouped scan of the source per refresh: the documented extra cost
-    // class the caller accepted at create)
+    // class the caller accepted at create); the source side is encoded so
+    // the semi-join and regrouping run null-free like everything else
     val rescans = sp.aggs.filter(a => a.fn == "min" || a.fn == "max")
     val withMm =
       if (rescans.isEmpty) folded
@@ -249,10 +264,10 @@ final class MaterializedAggView(val root: String) {
           (if (a.fn == "min") min(col(a.col.get)) else max(col(a.col.get)))
             .as(mmCol(a.fn, a.as))
         }
-        val rs = feedable.visibleAt(srcV)
-          .join(folded.select(sp.groupBy.map(col): _*), sp.groupBy, "left_semi")
-          .groupBy(sp.groupBy.map(col): _*).agg(aggsR.head, aggsR.tail: _*)
-        folded.join(rs, sp.groupBy, "left")
+        val rs = encodeNulls(feedable.visibleAt(srcV), sp.groupBy)
+          .join(folded.select(gk.map(col): _*), gk, "left_semi")
+          .groupBy(gk.map(col): _*).agg(aggsR.head, aggsR.tail: _*)
+        folded.join(rs, gk, "left")
       }
     val upserts = withMm.withColumn(SeqCol, lit(srcV.toLong))
 
@@ -277,7 +292,9 @@ final class MaterializedAggView(val root: String) {
     * first one's accumulators win (identical by construction). */
   private def rollupFormat(spark: SparkSession, version: Int): DataFrame = {
     val sp = spec(spark)
-    val raw = graft.cdc.ScdMerge.scd1Current(state(sp).readVersion(spark, version))
+    val raw = decodeNulls(
+      graft.cdc.ScdMerge.scd1Current(state(sp).readVersion(spark, version)),
+      sp.groupBy)
     val perMeasure = sp.aggs.filter(a => a.fn == "sum" || a.fn == "avg")
       .groupBy(_.col.get).map { case (m, as) => m -> as.head.as }
     val nnOnly = sp.aggs.filter(a => a.fn == "count" && a.col.nonEmpty)
@@ -321,9 +338,12 @@ final class MaterializedAggView(val root: String) {
     // count-distinct measures also register their live pair relations, so
     // COUNT(DISTINCT m) routes at COARSER groupings too (the `__dc_`
     // partial only answers the view's own grain); the shared wiring pins
-    // (state version, ledger value) per query for cross-read consistency
+    // (state version, ledger value) per query for cross-read consistency.
+    // Pair relations select the FULL state keys (incl. the null mask) and
+    // decode, so null groups round-trip through routing
     val (provider, distincts) = rewriteProviders(spark, state(sp), TxnId,
-      sp.aggs, as => auxState(sp, as), sp.groupBy, v => rollupFormat(spark, v))
+      sp.aggs, as => auxState(sp, as), groupKeys(sp),
+      v => rollupFormat(spark, v), df => decodeNulls(df, sp.groupBy))
     graft.plans.AggRollupRewrite.registerView(spark, sp.sourceRoot,
       sp.groupBy, measures, provider, distincts)
   }
@@ -352,7 +372,7 @@ final class MaterializedAggView(val root: String) {
   def read(spark: SparkSession): DataFrame = {
     val sp = spec(spark)
     val st = state(sp)
-    val raw = graft.cdc.ScdMerge.scd1Current(st.read(spark))
+    val raw = decodeNulls(graft.cdc.ScdMerge.scd1Current(st.read(spark)), sp.groupBy)
     val outs: Seq[Column] = sp.aggs.map { a =>
       a.fn match {
         case "count" if a.col.isEmpty => col(NCol).as(a.as)
@@ -372,6 +392,62 @@ object MaterializedAggView {
   private[tables] val NCol = "__mv_n"
   private[tables] val SeqCol = "__mv_v"
   private val TxnId = "mv"
+
+  /** Bitmask state-key column recording which group columns were NULL in
+    * the source row (bit i = group column i). SQL GROUP BY groups null
+    * keys, but the engine's bucketed business keys (like Delta MERGE
+    * keys) must be non-null — so the single-table view ENCODES at the
+    * state boundary: nullable group values are stored as a per-type zero
+    * with the mask bit set, every internal key join/probe runs null-free
+    * over (groupBy…, mask), and reads DECODE the nulls back. Two groups
+    * that collide on the zero value stay distinct state keys (their
+    * masks differ). */
+  private[tables] val NullsCol = "__mv_nulls"
+
+  /** The stand-in stored for a NULL group value of this type (the mask
+    * bit is what distinguishes it from a real zero). None = type has no
+    * safe stand-in; nullable group columns of such types keep the legacy
+    * non-null contract. */
+  private def zeroLitOpt(dt: DataType): Option[Column] = dt match {
+    case StringType => Some(lit(""))
+    case BooleanType => Some(lit(false))
+    case _: NumericType => Some(lit(0).cast(dt))
+    case DateType => Some(lit(java.sql.Date.valueOf("1970-01-01")))
+    case TimestampType =>
+      Some(lit(java.sql.Timestamp.from(java.time.Instant.EPOCH)))
+    case _ => None
+  }
+
+  /** Replace NULL group values with their typed stand-ins and append the
+    * [[NullsCol]] bitmask — the state-boundary encoding. Non-nullable
+    * (or stand-in-less) columns pass through with a 0 bit. */
+  private[tables] def encodeNulls(df: DataFrame, groupBy: Seq[String]): DataFrame = {
+    val bits = groupBy.zipWithIndex.map { case (g, i) =>
+      val f = df.schema(g)
+      if (!f.nullable) lit(0L)
+      else zeroLitOpt(f.dataType) match {
+        case Some(_) => when(col(g).isNull, lit(1L << i)).otherwise(0L)
+        case None => lit(0L)
+      }
+    }
+    val withMask = df.withColumn(NullsCol, bits.reduce(_ + _))
+    groupBy.foldLeft(withMask) { (d, g) =>
+      val f = df.schema(g)
+      if (!f.nullable) d
+      else zeroLitOpt(f.dataType) match {
+        case Some(z) => d.withColumn(g, coalesce(col(g), z))
+        case None => d
+      }
+    }
+  }
+
+  /** Restore the NULLs [[encodeNulls]] replaced and drop the mask. */
+  private[tables] def decodeNulls(df: DataFrame, groupBy: Seq[String]): DataFrame =
+    groupBy.zipWithIndex.foldLeft(df) { case (d, (g, i)) =>
+      d.withColumn(g,
+        when(col(NullsCol).bitwiseAND(lit(1L << i)) =!= 0L, lit(null))
+          .otherwise(col(g)))
+    }.drop(NullsCol)
   private[tables] val ValCol = "__mv_val"
   private[tables] val VcCol = "__mv_vc"
   private val DvcCol = "__mv_dvc"
@@ -497,7 +573,8 @@ object MaterializedAggView {
   private[tables] def rewriteProviders(spark: SparkSession,
       st: BucketedSnapshotTable, txnId: String, aggs: Seq[Agg],
       auxOf: String => BucketedSnapshotTable, groupBy: Seq[String],
-      rollupAt: Int => DataFrame)
+      rollupAt: Int => DataFrame,
+      decodePairs: DataFrame => DataFrame = identity)
       : (() => DataFrame, Map[String, () => DataFrame]) = {
     val pinnedTxn = ThreadLocal.withInitial[java.lang.Long](() => 0L)
     val provider: () => DataFrame = () => {
@@ -509,8 +586,8 @@ object MaterializedAggView {
     val distincts: Map[String, () => DataFrame] =
       aggs.filter(_.fn == "count_distinct").groupBy(_.col.get)
         .map { case (m, as) =>
-          m -> (() => auxPairs(spark, auxOf(as.head.as), pinnedTxn.get.longValue,
-            txnId, groupBy))
+          m -> (() => decodePairs(auxPairs(spark, auxOf(as.head.as),
+            pinnedTxn.get.longValue, txnId, groupBy)))
         }
     (provider, distincts)
   }
@@ -557,6 +634,10 @@ object MaterializedAggView {
       sourceKeys: Seq[String], groupBy: Seq[String], aggs: Seq[Agg],
       numBuckets: Int = 16, allowRescan: Boolean = false): MaterializedAggView = {
     require(groupBy.nonEmpty, "materialized view needs GROUP BY columns")
+    require(groupBy.size <= 63, "the null mask is a 64-bit bitmask — at " +
+      "most 63 GROUP BY columns")
+    require(!(groupBy ++ aggs.flatMap(_.col)).exists(_.startsWith("__mv_")),
+      "column names starting with __mv_ are reserved for view bookkeeping")
     require(aggs.nonEmpty, "materialized view needs at least one aggregate")
     aggs.foreach { a =>
       require(Set("count", "sum", "avg", "min", "max", "count_distinct")(a.fn),

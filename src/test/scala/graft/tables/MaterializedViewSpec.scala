@@ -416,6 +416,67 @@ class MaterializedViewSpec extends AnyFunSuite {
     } finally graft.plans.AggRollupRewrite.clear()
   }
 
+  test("NULL group keys: SQL GROUP BY semantics through refresh, read, and routing") {
+    val work = tmp("mvnullg")
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    org.apache.spark.sql.GraftColumnBridge.applyExtensions(ext, spark)
+    val src = new SnapshotTable(s"$work/src")
+    // group keys g AND h are nullable; (null, null), (null, "r1") and
+    // ("a", null) are all DISTINCT SQL groups
+    def df(rows: Seq[(Int, String, String, String, java.lang.Long)]) =
+      rows.toDF("k", "g", "h", "v", "x")
+    src.write(spark, df(Seq((1, "a", "r1", "X", 10L), (2, null, "r1", "Y", 20L),
+      (3, null, null, "X", 5L), (4, "a", null, "X", 7L), (5, null, "r1", "Y", 1L))))
+    val mv = MaterializedAggView.create(spark, s"$work/mv", s"$work/src",
+      Seq("k"), Seq("g", "h"),
+      Seq(MaterializedAggView.Agg("count", None, "n"),
+        MaterializedAggView.Agg("sum", Some("x"), "sx"),
+        MaterializedAggView.Agg("count_distinct", Some("v"), "dv"),
+        MaterializedAggView.Agg("min", Some("x"), "mn")), 8, allowRescan = true)
+    def want = src.read(spark).groupBy("g", "h")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        countDistinct(col("v")).as("dv"), min("x").as("mn"))
+      .as[(Option[String], Option[String], Long, Option[Long], Long, Option[Long])]
+      .collect().toSet
+    def got = mv.read(spark)
+      .as[(Option[String], Option[String], Long, Option[Long], Long, Option[Long])]
+      .collect().toSet
+    mv.refresh(spark)
+    assert(got == want, s"bootstrap: $got vs $want")
+    assert(got.exists(r => r._1.isEmpty && r._2.isEmpty), "null-null group present")
+    // update inside the (null, r1) group; delete the (null, null) group's
+    // only row; move a row INTO a null group
+    src.write(spark, df(Seq((1, "a", "r1", "X", 10L), (2, null, "r1", "Z", 25L),
+      (4, "a", null, "X", 7L), (5, null, "r1", "Y", 1L), (6, null, "r1", "Y", 3L))))
+    mv.refresh(spark)
+    assert(got == want, s"incremental: $got vs $want")
+    assert(!got.exists(r => r._1.isEmpty && r._2.isEmpty), "null-null group tombstoned")
+    // the (null, null) group RESURRECTS
+    src.write(spark, df(Seq((1, "a", "r1", "X", 10L), (2, null, "r1", "Z", 25L),
+      (4, "a", null, "X", 7L), (5, null, "r1", "Y", 1L), (6, null, "r1", "Y", 3L),
+      (7, null, null, "W", 99L))))
+    mv.refresh(spark)
+    assert(got == want, s"resurrection: $got vs $want")
+    try {
+      mv.registerRewrite(spark)
+      // coarse grouping over the nullable dim: the null group must carry
+      // its counts AND its distinct count through the null-safe pair join
+      val q = src.readIndexed(spark).groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("v")).as("dv"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("__dval") && !plan.contains("/src/_v"),
+        s"nullable-dim coarse distinct must route:\n$plan")
+      assert(q.as[(Option[String], Long, Long)].collect().toSet ==
+        Set((Some("a"), 2L, 1L), (None, 4L, 3L)))
+      // an IS NULL dimension filter is dimension-only → routes
+      val qn = src.readIndexed(spark).filter(col("g").isNull)
+        .agg(count(lit(1)).as("n"))
+      assert(!qn.queryExecution.optimizedPlan.toString.contains("/src/_v"))
+      assert(qn.as[Long].head() == 4L)
+    } finally graft.plans.AggRollupRewrite.clear()
+  }
+
   test("racing refreshers serialize on the view lock: no window double-folds") {
     val work = tmp("mvrace")
     val src = new SnapshotTable(s"$work/src")
