@@ -82,13 +82,20 @@ final class MaterializedAggView(val root: String) {
       sourceKeys = list("sourceKeys"),
       groupBy = list("groupBy"),
       aggs = list("aggs").map(Agg.parse),
-      numBuckets = kv.getOrElse("numBuckets", "16").toInt)
+      numBuckets = kv.getOrElse("numBuckets", "16").toInt,
+      // null-mask encoding is recorded in the spec at create time: state
+      // written by a pre-mask build has neither the __mv_nulls key column
+      // nor its bucket hashing, and must keep reading/merging with the
+      // legacy layout (and the legacy non-null group contract)
+      nullMask = kv.get("nullMask").contains("1"))
   }
 
   /** State business keys: the group columns plus the null-mask (see
     * [[MaterializedAggView.NullsCol]]) — every internal key join, bucket
-    * probe, and merge runs null-free over these. */
-  private def groupKeys(sp: Spec): Seq[String] = sp.groupBy :+ NullsCol
+    * probe, and merge runs null-free over these. Views created before
+    * the mask existed keep their recorded legacy layout. */
+  private def groupKeys(sp: Spec): Seq[String] =
+    if (sp.nullMask) sp.groupBy :+ NullsCol else sp.groupBy
 
   private def state(sp: Spec) =
     new BucketedSnapshotTable(s"$root/state", sp.numBuckets, groupKeys(sp))
@@ -157,9 +164,22 @@ final class MaterializedAggView(val root: String) {
       if (lastV == 0) feedable.visibleAt(srcV).withColumn("_change_type", lit("insert"))
       else feedable.feed(lastV, srcV, withColumns = false, withPreimage = true)
     // null-mask encoding: from here on every group-key operation is
-    // null-free over (groupBy…, __mv_nulls)
+    // null-free over (groupBy…, __mv_nulls). A measure column that is
+    // ALSO a nullable group column would be encoded away — its RAW
+    // values are shadowed first and every aggregation reads the shadow
+    // (SQL aggregates over g in `SELECT g, count(g) … GROUP BY g` see
+    // NULLs, not the stand-in)
     val gk = groupKeys(sp)
-    val feed0 = encodeNulls(feedRaw, sp.groupBy)
+    val overlap: Set[String] =
+      if (sp.nullMask) sp.aggs.flatMap(_.col).toSet.intersect(sp.groupBy.toSet)
+      else Set.empty
+    def shadowCol(m: String) = s"__mv_raw_$m"
+    def mcol(m: String): String = if (overlap(m)) shadowCol(m) else m
+    def withShadows(df: DataFrame): DataFrame =
+      overlap.foldLeft(df)((d, m) => d.withColumn(shadowCol(m), col(m)))
+    val feed0 =
+      if (sp.nullMask) encodeNulls(withShadows(feedRaw), sp.groupBy)
+      else feedRaw
     // count(distinct) maintenance re-reads the feed once per distinct agg
     // (pair deltas) on top of the main grouped delta — pin the O(changed)
     // window diff once instead of re-deriving it per consumer. NOT on a
@@ -181,11 +201,11 @@ final class MaterializedAggView(val root: String) {
         a.fn match {
           case "count" if a.col.isEmpty => Nil // count(*) rides NCol
           case "count" => Seq(
-            sum(when(col(a.col.get).isNotNull, sign).otherwise(0L)).as(nnCol(a.as)))
+            sum(when(col(mcol(a.col.get)).isNotNull, sign).otherwise(0L)).as(nnCol(a.as)))
           case "count_distinct" => Nil // maintained via the aux table below
           case "min" | "max" => Nil // non-invertible: rescanned below
           case "sum" | "avg" =>
-            val c = a.col.get
+            val c = mcol(a.col.get)
             val t = accTypes(a.as)
             Seq(
               sum(when(col(c).isNotNull, sign).otherwise(0L)).as(nnCol(a.as)),
@@ -207,7 +227,7 @@ final class MaterializedAggView(val root: String) {
     val distincts = sp.aggs.filter(_.fn == "count_distinct")
     val dcDeltas: Seq[DataFrame] = distincts.map { a =>
       foldDistinct(spark, auxState(sp, a.as), feed, sign, gk,
-        a.col.get, TxnId, srcV.toLong, lastV.toLong, dcCol(a.as),
+        mcol(a.col.get), TxnId, srcV.toLong, lastV.toLong, dcCol(a.as),
         beforeMerge = () => lock.check(),
         afterMerge = () => onStep(s"aux-merged:${a.as}"))
     }
@@ -261,10 +281,13 @@ final class MaterializedAggView(val root: String) {
       if (rescans.isEmpty) folded
       else {
         val aggsR = rescans.map { a =>
-          (if (a.fn == "min") min(col(a.col.get)) else max(col(a.col.get)))
+          (if (a.fn == "min") min(col(mcol(a.col.get))) else max(col(mcol(a.col.get))))
             .as(mmCol(a.fn, a.as))
         }
-        val rs = encodeNulls(feedable.visibleAt(srcV), sp.groupBy)
+        val rsBase =
+          if (sp.nullMask) encodeNulls(withShadows(feedable.visibleAt(srcV)), sp.groupBy)
+          else feedable.visibleAt(srcV)
+        val rs = rsBase
           .join(folded.select(gk.map(col): _*), gk, "left_semi")
           .groupBy(gk.map(col): _*).agg(aggsR.head, aggsR.tail: _*)
         folded.join(rs, gk, "left")
@@ -292,9 +315,8 @@ final class MaterializedAggView(val root: String) {
     * first one's accumulators win (identical by construction). */
   private def rollupFormat(spark: SparkSession, version: Int): DataFrame = {
     val sp = spec(spark)
-    val raw = decodeNulls(
-      graft.cdc.ScdMerge.scd1Current(state(sp).readVersion(spark, version)),
-      sp.groupBy)
+    val raw0 = graft.cdc.ScdMerge.scd1Current(state(sp).readVersion(spark, version))
+    val raw = if (sp.nullMask) decodeNulls(raw0, sp.groupBy) else raw0
     val perMeasure = sp.aggs.filter(a => a.fn == "sum" || a.fn == "avg")
       .groupBy(_.col.get).map { case (m, as) => m -> as.head.as }
     val nnOnly = sp.aggs.filter(a => a.fn == "count" && a.col.nonEmpty)
@@ -343,7 +365,8 @@ final class MaterializedAggView(val root: String) {
     // decode, so null groups round-trip through routing
     val (provider, distincts) = rewriteProviders(spark, state(sp), TxnId,
       sp.aggs, as => auxState(sp, as), groupKeys(sp),
-      v => rollupFormat(spark, v), df => decodeNulls(df, sp.groupBy))
+      v => rollupFormat(spark, v),
+      if (sp.nullMask) df => decodeNulls(df, sp.groupBy) else identity)
     graft.plans.AggRollupRewrite.registerView(spark, sp.sourceRoot,
       sp.groupBy, measures, provider, distincts)
   }
@@ -372,7 +395,8 @@ final class MaterializedAggView(val root: String) {
   def read(spark: SparkSession): DataFrame = {
     val sp = spec(spark)
     val st = state(sp)
-    val raw = decodeNulls(graft.cdc.ScdMerge.scd1Current(st.read(spark)), sp.groupBy)
+    val raw0 = graft.cdc.ScdMerge.scd1Current(st.read(spark))
+    val raw = if (sp.nullMask) decodeNulls(raw0, sp.groupBy) else raw0
     val outs: Seq[Column] = sp.aggs.map { a =>
       a.fn match {
         case "count" if a.col.isEmpty => col(NCol).as(a.as)
@@ -469,7 +493,8 @@ object MaterializedAggView {
   }
 
   final case class Spec(sourceRoot: String, sourceKeys: Seq[String],
-      groupBy: Seq[String], aggs: Seq[Agg], numBuckets: Int)
+      groupBy: Seq[String], aggs: Seq[Agg], numBuckets: Int,
+      nullMask: Boolean = true)
 
   /** Fold ONE count-distinct measure's signed pair deltas into its aux
     * occurrence table and return the per-group distinct-count delta —
@@ -660,6 +685,7 @@ object MaterializedAggView {
          |groupBy=${groupBy.mkString(",")}
          |aggs=${aggs.map(_.render).mkString(",")}
          |numBuckets=$numBuckets
+         |nullMask=1
          |""".stripMargin
     val out = f.create(p, false)
     try out.write(content.getBytes("UTF-8")) finally out.close()

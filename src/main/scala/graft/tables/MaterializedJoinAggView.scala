@@ -260,6 +260,18 @@ final class MaterializedJoinAggView(val root: String) {
     // dc-delta groups ⊆ delta groups (both derive from the joined delta)
     val grouped = dcDeltas.foldLeft(grouped0)((d, dd) => d.join(dd, sp.groupBy, "left"))
       .localCheckpoint()
+    // join views keep the engine-wide non-null GROUP BY contract (the
+    // single-table view lifts it via its null-mask encoding; the N-source
+    // delta identities do not yet): fail LOUDLY here rather than let the
+    // null group silently drop through the key-equality merges below —
+    // a routed query would otherwise return answers missing that group.
+    // Cheap: `grouped` is checkpointed at O(changed groups) rows.
+    require(grouped.filter(sp.groupBy.map(col(_).isNull).reduce(_ || _))
+        .limit(1).count() == 0L,
+      s"MaterializedJoinAggView $root: NULL group-key values in this refresh " +
+        "window — join views require non-null GROUP BY columns (derive " +
+        "coalesce(g, '<none>') upstream, or use a single-table " +
+        "MaterializedAggView, which supports null groups)")
 
     val accCols: Seq[(String, DataType)] =
       (NCol, LongType) +: sp.aggs.flatMap { a =>

@@ -329,6 +329,15 @@ final class MaterializedStarAggView(val root: String) {
     // dc-delta groups ⊆ delta groups (both derive from the joined delta)
     val grouped = dcDeltas.foldLeft(grouped0)((d, dd) => d.join(dd, sp.groupBy, "left"))
       .localCheckpoint() // three downstream actions re-run the legs otherwise
+    // star views keep the engine-wide non-null GROUP BY contract — fail
+    // LOUDLY instead of silently dropping the null group (see
+    // MaterializedJoinAggView for the routed-query hazard this prevents)
+    require(grouped.filter(sp.groupBy.map(col(_).isNull).reduce(_ || _))
+        .limit(1).count() == 0L,
+      s"MaterializedStarAggView $root: NULL group-key values in this refresh " +
+        "window — star views require non-null GROUP BY columns (derive " +
+        "coalesce(g, '<none>') upstream, or use a single-table " +
+        "MaterializedAggView, which supports null groups)")
 
     val accCols: Seq[(String, DataType)] =
       (NCol, LongType) +: sp.aggs.flatMap { a =>

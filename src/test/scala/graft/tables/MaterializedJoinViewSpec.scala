@@ -350,6 +350,26 @@ class MaterializedJoinViewSpec extends AnyFunSuite {
     } finally graft.plans.AggRollupRewrite.clear()
   }
 
+  test("NULL group-key values fail loudly instead of silently dropping the group") {
+    val work = tmp("mvjnull")
+    val fact = new SnapshotTable(s"$work/fact")
+    val dim = new BucketedSnapshotTable(s"$work/dim", 4, Seq("jk"))
+    fact.write(spark, Seq((1, 10L, 5L), (2, 20L, 7L)).toDF("k", "jk", "x"))
+    // dim row 20 carries a NULL group attribute — the inner join keeps
+    // its fact row, so the refresh window holds a null group
+    dim.scd1Merge(spark, Seq((10L, 1L, "red"), (20L, 1L, null))
+      .toDF("jk", "seq", "g"), "seq")
+    val mv = MaterializedJoinAggView.create(spark, s"$work/mv",
+      s"$work/fact", Seq("k"), s"$work/dim", Nil, Seq("jk"), Seq("g"),
+      Seq(agg("sum", Some("x"), "sx")), numBuckets = 4)
+    val e = intercept[IllegalArgumentException] { mv.refresh(spark) }
+    assert(e.getMessage.contains("NULL group-key"), e.getMessage)
+    // fixing the dim lets the refresh proceed normally
+    dim.scd1Merge(spark, Seq((20L, 2L, "blue")).toDF("jk", "seq", "g"), "seq")
+    mv.refresh(spark)
+    assert(rows0(mv) == Set(("red", Some(5L)), ("blue", Some(7L))))
+  }
+
   test("refresh rewrites only the buckets holding changed groups") {
     val work = tmp("mvjb")
     val fact = new SnapshotTable(s"$work/fact")

@@ -477,6 +477,53 @@ class MaterializedViewSpec extends AnyFunSuite {
     } finally graft.plans.AggRollupRewrite.clear()
   }
 
+  test("a measure that IS a nullable group column aggregates raw values, not stand-ins") {
+    val work = tmp("mvselfm")
+    val src = new SnapshotTable(s"$work/src")
+    // SELECT g, count(g), count(distinct g), min(g) … GROUP BY g — the
+    // encoded stand-in must never leak into the aggregates: for the null
+    // group SQL says count(g)=0, count(distinct g)=0, min(g)=NULL
+    src.write(spark, Seq((1, "a"), (2, "a"), (3, null), (4, null))
+      .toDF("k", "g"))
+    val mv = MaterializedAggView.create(spark, s"$work/mv", s"$work/src",
+      Seq("k"), Seq("g"),
+      Seq(MaterializedAggView.Agg("count", None, "n"),
+        MaterializedAggView.Agg("count", Some("g"), "cg"),
+        MaterializedAggView.Agg("count_distinct", Some("g"), "dg"),
+        MaterializedAggView.Agg("min", Some("g"), "mg")), 4, allowRescan = true)
+    mv.refresh(spark)
+    def got = mv.read(spark)
+      .as[(Option[String], Long, Long, Long, Option[String])].collect().toSet
+    assert(got == Set((Some("a"), 2L, 2L, 1L, Some("a")), (None, 2L, 0L, 0L, None)),
+      got.toString)
+    // and incrementally: the null group shrinks, the real group grows
+    src.write(spark, Seq((1, "a"), (2, "a"), (3, null), (5, "b")).toDF("k", "g"))
+    mv.refresh(spark)
+    assert(got == Set((Some("a"), 2L, 2L, 1L, Some("a")),
+      (Some("b"), 1L, 1L, 1L, Some("b")), (None, 1L, 0L, 0L, None)), got.toString)
+  }
+
+  test("a legacy (pre-mask) spec keeps its recorded layout and still refreshes") {
+    val work = tmp("mvlegacy")
+    val src = new SnapshotTable(s"$work/src")
+    src.write(spark, Seq((1, "a", 10L), (2, "b", 20L)).toDF("k", "g", "x"))
+    // hand-write an OLD _mv spec (no nullMask line): state must be keyed
+    // and bucketed by groupBy alone, with no __mv_nulls column anywhere
+    new java.io.File(s"$work/mv").mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$work/mv/_mv"),
+      s"sourceRoot=$work/src\nsourceKeys=k\ngroupBy=g\naggs=sum:x:sx\nnumBuckets=4\n")
+    val mv = new MaterializedAggView(s"$work/mv")
+    mv.refresh(spark)
+    val stateCols = new BucketedSnapshotTable(s"$work/mv/state", 4, Seq("g"))
+      .read(spark).columns.toSet
+    assert(!stateCols.contains(MaterializedAggView.NullsCol),
+      s"legacy layout must not grow a mask column: $stateCols")
+    src.write(spark, Seq((1, "a", 11L), (2, "b", 20L)).toDF("k", "g", "x"))
+    mv.refresh(spark)
+    assert(mv.read(spark).as[(String, Option[Long])].collect().toSet ==
+      Set(("a", Some(11L)), ("b", Some(20L))))
+  }
+
   test("racing refreshers serialize on the view lock: no window double-folds") {
     val work = tmp("mvrace")
     val src = new SnapshotTable(s"$work/src")
