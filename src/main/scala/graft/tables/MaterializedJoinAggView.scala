@@ -50,12 +50,16 @@ import org.apache.spark.sql.types._
   * refresh of an applied window no-ops; the identity re-derives the same
   * delta because versions are immutable until VACUUM.
   *
-  * Contracts: GROUP BY columns are the state's business keys and must be
-  * NON-NULL (the engine-wide bucketed-key contract); column names across
-  * the two sides must be distinct apart from the join keys (the usual
-  * Spark join rule); retention — both sources' versions between two
-  * refreshes must outlive the refresh lag (`VACUUM … KEEP`), the same
-  * rule as any CDF consumer.
+  * Contracts: JOIN KEYS must be non-null (the engine-wide bucketed-key
+  * contract — they drive the pruned point reads); GROUP BY columns may
+  * be NULL with exact SQL semantics — the signed joined delta passes
+  * through the single-table view's null-mask state-boundary encoding
+  * (see [[MaterializedAggView]]; legacy pre-mask specs keep the
+  * non-null group contract and fail loudly on violation). Column names
+  * across the two sides must be distinct apart from the join keys (the
+  * usual Spark join rule); retention — both sources' versions between
+  * two refreshes must outlive the refresh lag (`VACUUM … KEEP`), the
+  * same rule as any CDF consumer.
   */
 final class MaterializedJoinAggView(val root: String) {
   import MaterializedAggView.{Agg, NCol, SeqCol}
@@ -83,19 +87,25 @@ final class MaterializedJoinAggView(val root: String) {
     def list(k: String) = kv.getOrElse(k, "").split(",").map(_.trim).filter(_.nonEmpty).toSeq
     Spec(need("factRoot"), list("factKeys"), need("dimRoot"), list("dimKeys"),
       list("joinKeys"), list("groupBy"), list("aggs").map(Agg.parse),
-      kv.getOrElse("numBuckets", "16").toInt)
+      kv.getOrElse("numBuckets", "16").toInt,
+      nullMask = kv.get("nullMask").contains("1"))
   }
 
+  /** State business keys: group columns plus the null-mask when the spec
+    * records it (see [[MaterializedAggView.NullsCol]]). */
+  private def groupKeys(sp: Spec): Seq[String] =
+    if (sp.nullMask) sp.groupBy :+ MaterializedAggView.NullsCol else sp.groupBy
+
   private def state(sp: Spec) =
-    new BucketedSnapshotTable(s"$root/state", sp.numBuckets, sp.groupBy)
+    new BucketedSnapshotTable(s"$root/state", sp.numBuckets, groupKeys(sp))
 
   /** Auxiliary occurrence-count table for one `count(distinct c)` over
-    * the JOIN result — keyed (and bucketed) by (groupBy…, value), exactly
-    * the single-table view's shape: the signed JOINED delta is a plain
-    * signed feed as far as pair-count maintenance is concerned. */
+    * the JOIN result — keyed (and bucketed) by (groupKeys…, value),
+    * exactly the single-table view's shape: the signed JOINED delta is a
+    * plain signed feed as far as pair-count maintenance is concerned. */
   private def auxState(sp: Spec, as: String) =
     new BucketedSnapshotTable(s"$root/dstate_$as", sp.numBuckets,
-      sp.groupBy :+ MaterializedAggView.ValCol)
+      groupKeys(sp) :+ MaterializedAggView.ValCol)
 
   /** Fault-injection hook for crash-recovery specs (the single-table
     * view's pattern): called between the aux and main commits. */
@@ -202,12 +212,30 @@ final class MaterializedJoinAggView(val root: String) {
         Some(factOld.join(dd, sp.joinKeys))
       }
 
-    val delta0 = (leg1, leg2) match {
+    val deltaRaw = (leg1, leg2) match {
       case (Some(a), Some(b)) => a.unionByName(b, allowMissingColumns = true)
       case (Some(a), None) => a
       case (None, Some(b)) => b
       case (None, None) => return ((lastFV, lastDV), Set.empty)
     }
+    // null-mask encoding on the JOINED delta (group columns are plain
+    // data columns until the fold, so the single-table view's state-
+    // boundary encoding applies unchanged): nullable group values store
+    // as typed stand-ins + the `__mv_nulls` mask key, measures that ARE
+    // nullable group columns aggregate shadowed raw values, and every
+    // key operation below runs null-free over (groupBy…, mask)
+    val gk = groupKeys(sp)
+    val overlap: Set[String] =
+      if (sp.nullMask) sp.aggs.flatMap(_.col).toSet.intersect(sp.groupBy.toSet)
+      else Set.empty
+    def shadowCol(m: String) = s"__mv_raw_$m"
+    def mcol(m: String): String = if (overlap(m)) shadowCol(m) else m
+    val delta0 =
+      if (sp.nullMask)
+        MaterializedAggView.encodeNulls(
+          overlap.foldLeft(deltaRaw)((d, m) => d.withColumn(shadowCol(m), col(m))),
+          sp.groupBy)
+      else deltaRaw
     // count(distinct) maintenance re-reads the joined delta once per
     // distinct agg — pin it (O(changed joined rows)) so the delta-join
     // legs run once, not once per consumer. NOT on a bootstrap: the
@@ -227,7 +255,7 @@ final class MaterializedJoinAggView(val root: String) {
     val dcDeltas: Seq[DataFrame] =
       sp.aggs.filter(_.fn == "count_distinct").map { a =>
         MaterializedAggView.foldDistinct(spark, auxState(sp, a.as), delta,
-          col(SignCol), sp.groupBy, a.col.get, TxnId, packedEff, lastPacked,
+          col(SignCol), gk, mcol(a.col.get), TxnId, packedEff, lastPacked,
           dcCol(a.as),
           beforeMerge = () => lock.check(),
           afterMerge = () => onStep(s"aux-merged:${a.as}"))
@@ -242,10 +270,10 @@ final class MaterializedJoinAggView(val root: String) {
         a.fn match {
           case "count" if a.col.isEmpty => Nil
           case "count" => Seq(
-            sum(when(col(a.col.get).isNotNull, s).otherwise(0L)).as(nnCol(a.as)))
+            sum(when(col(mcol(a.col.get)).isNotNull, s).otherwise(0L)).as(nnCol(a.as)))
           case "count_distinct" => Nil // maintained via the aux table above
           case _ =>
-            val c = a.col.get
+            val c = mcol(a.col.get)
             val t = accTypes(a.as)
             Seq(
               sum(when(col(c).isNotNull, s).otherwise(0L)).as(nnCol(a.as)),
@@ -255,23 +283,24 @@ final class MaterializedJoinAggView(val root: String) {
       }
     // pinned for the same reason as the sibling view: three downstream
     // actions would otherwise re-run both delta-join legs
-    val grouped0 = delta.groupBy(sp.groupBy.map(col): _*)
+    val grouped0 = delta.groupBy(gk.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
     // dc-delta groups ⊆ delta groups (both derive from the joined delta)
-    val grouped = dcDeltas.foldLeft(grouped0)((d, dd) => d.join(dd, sp.groupBy, "left"))
+    val grouped = dcDeltas.foldLeft(grouped0)((d, dd) => d.join(dd, gk, "left"))
       .localCheckpoint()
-    // join views keep the engine-wide non-null GROUP BY contract (the
-    // single-table view lifts it via its null-mask encoding; the N-source
-    // delta identities do not yet): fail LOUDLY here rather than let the
-    // null group silently drop through the key-equality merges below —
-    // a routed query would otherwise return answers missing that group.
-    // Cheap: `grouped` is checkpointed at O(changed groups) rows.
-    require(grouped.filter(sp.groupBy.map(col(_).isNull).reduce(_ || _))
-        .limit(1).count() == 0L,
-      s"MaterializedJoinAggView $root: NULL group-key values in this refresh " +
-        "window — join views require non-null GROUP BY columns (derive " +
-        "coalesce(g, '<none>') upstream, or use a single-table " +
-        "MaterializedAggView, which supports null groups)")
+    // a LEGACY (pre-mask) spec keeps the non-null GROUP BY contract:
+    // fail LOUDLY rather than let the null group silently drop through
+    // the key-equality merges below — a routed query would otherwise
+    // return answers missing that group. Cheap: `grouped` is
+    // checkpointed at O(changed groups) rows. (Mask-encoded specs fold
+    // null groups exactly, so the probe is unnecessary there.)
+    if (!sp.nullMask)
+      require(grouped.filter(sp.groupBy.map(col(_).isNull).reduce(_ || _))
+          .limit(1).count() == 0L,
+        s"MaterializedJoinAggView $root: NULL group-key values in this refresh " +
+          "window — this legacy (pre-null-mask) view requires non-null GROUP " +
+          "BY columns (derive coalesce(g, '<none>') upstream, or recreate " +
+          "the view, which enables null-group support)")
 
     val accCols: Seq[(String, DataType)] =
       (NCol, LongType) +: sp.aggs.flatMap { a =>
@@ -284,21 +313,21 @@ final class MaterializedJoinAggView(val root: String) {
       }
     val cur: DataFrame =
       if (!st.exists(spark)) {
-        val fields = sp.groupBy.map(g => grouped.schema(g)) ++
+        val fields = gk.map(g => grouped.schema(g)) ++
           accCols.map { case (n, t) => StructField(n, t, nullable = true) }
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType(fields))
       } else graft.cdc.ScdMerge.scd1Current(
-          st.readKeys(spark, grouped.select(sp.groupBy.map(col): _*)))
-        .select((sp.groupBy ++ accCols.map(_._1)).map(col): _*)
-    val curA = cur.select(sp.groupBy.map(col) ++
+          st.readKeys(spark, grouped.select(gk.map(col): _*)))
+        .select((gk ++ accCols.map(_._1)).map(col): _*)
+    val curA = cur.select(gk.map(col) ++
       accCols.map { case (n, _) => col(n).as(s"__cur_$n") }: _*)
-    val folded = accCols.foldLeft(grouped.join(curA, sp.groupBy, "left")) {
+    val folded = accCols.foldLeft(grouped.join(curA, gk, "left")) {
       case (d, (n, t)) =>
         d.withColumn(n,
           (coalesce(col(s"__cur_$n").cast(t), lit(0).cast(t)) +
             coalesce(col(n).cast(t), lit(0).cast(t))).cast(t))
-    }.select((sp.groupBy ++ accCols.map(_._1)).map(col): _*)
+    }.select((gk ++ accCols.map(_._1)).map(col): _*)
 
     val upserts = folded.withColumn(SeqCol, lit(packedEff))
     lock.check() // abort rather than double-commit if the lock was stolen
@@ -362,7 +391,9 @@ final class MaterializedJoinAggView(val root: String) {
     * [[graft.plans.AggRollupRewrite]] join routing consumes. */
   private def rollupFormat(spark: SparkSession, version: Int): DataFrame = {
     val sp = spec(spark)
-    val raw = graft.cdc.ScdMerge.scd1Current(state(sp).readVersion(spark, version))
+    val raw0 = graft.cdc.ScdMerge.scd1Current(state(sp).readVersion(spark, version))
+    val raw =
+      if (sp.nullMask) MaterializedAggView.decodeNulls(raw0, sp.groupBy) else raw0
     val perMeasure = sp.aggs.filter(a => a.fn == "sum" || a.fn == "avg")
       .groupBy(_.col.get).map { case (m, as) => m -> as.head.as }
     val nnOnly = sp.aggs.filter(a => a.fn == "count" && a.col.nonEmpty)
@@ -393,10 +424,13 @@ final class MaterializedJoinAggView(val root: String) {
     val measures = sp.aggs.filterNot(a => a.fn == "count" && a.col.isEmpty)
       .flatMap(_.col).distinct
     // shared wiring: per-query (state version, ledger value) pin + pair
-    // relations for coarse-grain COUNT(DISTINCT) routing
+    // relations for coarse-grain COUNT(DISTINCT) routing (decoded when
+    // the spec carries the null mask)
     val (provider, distincts) = MaterializedAggView.rewriteProviders(spark,
-      state(sp), TxnId, sp.aggs, as => auxState(sp, as), sp.groupBy,
-      v => rollupFormat(spark, v))
+      state(sp), TxnId, sp.aggs, as => auxState(sp, as), groupKeys(sp),
+      v => rollupFormat(spark, v),
+      if (sp.nullMask) df => MaterializedAggView.decodeNulls(df, sp.groupBy)
+      else identity)
     graft.plans.AggRollupRewrite.registerJoinView(spark, sp.factRoot,
       sp.dimRoot, sp.joinKeys, sp.groupBy, measures, provider, distincts)
   }
@@ -422,7 +456,9 @@ final class MaterializedJoinAggView(val root: String) {
     * SQL null semantics). */
   def read(spark: SparkSession): DataFrame = {
     val sp = spec(spark)
-    val raw = graft.cdc.ScdMerge.scd1Current(state(sp).read(spark))
+    val raw0 = graft.cdc.ScdMerge.scd1Current(state(sp).read(spark))
+    val raw =
+      if (sp.nullMask) MaterializedAggView.decodeNulls(raw0, sp.groupBy) else raw0
     val outs: Seq[Column] = sp.aggs.map { a =>
       a.fn match {
         case "count" if a.col.isEmpty => col(NCol).as(a.as)
@@ -452,7 +488,8 @@ object MaterializedJoinAggView {
 
   final case class Spec(factRoot: String, factKeys: Seq[String],
       dimRoot: String, dimKeys: Seq[String], joinKeys: Seq[String],
-      groupBy: Seq[String], aggs: Seq[Agg], numBuckets: Int)
+      groupBy: Seq[String], aggs: Seq[Agg], numBuckets: Int,
+      nullMask: Boolean = true)
 
   /** Declare the view (no data moves until the first refresh). Join-view
     * aggregates: the additive set plus `count(distinct c)` (maintained
@@ -468,6 +505,10 @@ object MaterializedJoinAggView {
       numBuckets: Int = 16): MaterializedJoinAggView = {
     require(joinKeys.nonEmpty, "join view needs join keys")
     require(groupBy.nonEmpty, "join view needs GROUP BY columns")
+    require(groupBy.size <= 63, "the null mask is a 64-bit bitmask — at " +
+      "most 63 GROUP BY columns")
+    require(!(groupBy ++ aggs.flatMap(_.col)).exists(_.startsWith("__mv_")),
+      "column names starting with __mv_ are reserved for view bookkeeping")
     require(aggs.nonEmpty, "join view needs at least one aggregate")
     aggs.foreach { a =>
       require(Set("count", "sum", "avg", "count_distinct")(a.fn),
@@ -489,6 +530,7 @@ object MaterializedJoinAggView {
          |groupBy=${groupBy.mkString(",")}
          |aggs=${aggs.map(_.render).mkString(",")}
          |numBuckets=$numBuckets
+         |nullMask=1
          |""".stripMargin
     val out = f.create(p, false)
     try out.write(content.getBytes("UTF-8")) finally out.close()

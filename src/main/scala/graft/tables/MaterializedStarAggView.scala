@@ -49,7 +49,9 @@ import org.apache.spark.sql.types._
   * `count(distinct c)` (the shared aux occurrence fold over the star's
   * signed joined delta; the crashed-window vector is recorded in
   * `_applied_aux_<n>` BEFORE any aux merge so replays pin exactly),
-  * non-null group keys, distinct column names across sides apart from
+  * non-null JOIN keys with NULL group keys supported via the shared
+  * null-mask encoding (legacy pre-mask specs keep the non-null group
+  * contract), distinct column names across sides apart from
   * join keys, `VACUUM … KEEP` ≥ refresh lag on every source. Refreshes
   * SERIALIZE on the view root's commit lock: two racing refreshes would
   * both claim number n+1, and the loser's vector overwrite could
@@ -87,18 +89,24 @@ final class MaterializedStarAggView(val root: String) {
       Dim(need(s"dim$i.root"), list(s"dim$i.keys"), list(s"dim$i.join"))
     }
     Spec(need("factRoot"), list("factKeys"), dims, list("groupBy"),
-      list("aggs").map(Agg.parse), kv.getOrElse("numBuckets", "16").toInt)
+      list("aggs").map(Agg.parse), kv.getOrElse("numBuckets", "16").toInt,
+      nullMask = kv.get("nullMask").contains("1"))
   }
 
+  /** State business keys: group columns plus the null-mask when the spec
+    * records it (see [[MaterializedAggView.NullsCol]]). */
+  private def groupKeys(sp: Spec): Seq[String] =
+    if (sp.nullMask) sp.groupBy :+ MaterializedAggView.NullsCol else sp.groupBy
+
   private def state(sp: Spec) =
-    new BucketedSnapshotTable(s"$root/state", sp.numBuckets, sp.groupBy)
+    new BucketedSnapshotTable(s"$root/state", sp.numBuckets, groupKeys(sp))
 
   /** Auxiliary occurrence table for one `count(distinct c)` over the
     * star result — the shared pair-count shape (see
     * [[MaterializedAggView.foldDistinct]]). */
   private def auxState(sp: Spec, as: String) =
     new BucketedSnapshotTable(s"$root/dstate_$as", sp.numBuckets,
-      sp.groupBy :+ MaterializedAggView.ValCol)
+      groupKeys(sp) :+ MaterializedAggView.ValCol)
 
   /** Fault-injection hook for crash-recovery specs: called between the
     * aux and main commits. */
@@ -279,7 +287,21 @@ final class MaterializedStarAggView(val root: String) {
     // (each SCD dim has its own sequence column), which is fine inside a
     // join but an ambiguity error in a union
     val need = (sp.groupBy ++ sp.aggs.flatMap(_.col) :+ SignCol).distinct
-    val delta0 = legs.map(_.select(need.map(col): _*)).reduce(_.unionByName(_))
+    val deltaRaw = legs.map(_.select(need.map(col): _*)).reduce(_.unionByName(_))
+    // null-mask encoding on the JOINED delta (see MaterializedJoinAggView
+    // — group columns are plain data columns until the fold)
+    val gk = groupKeys(sp)
+    val overlap: Set[String] =
+      if (sp.nullMask) sp.aggs.flatMap(_.col).toSet.intersect(sp.groupBy.toSet)
+      else Set.empty
+    def shadowCol(m: String) = s"__mv_raw_$m"
+    def mcol(m: String): String = if (overlap(m)) shadowCol(m) else m
+    val delta0 =
+      if (sp.nullMask)
+        MaterializedAggView.encodeNulls(
+          overlap.foldLeft(deltaRaw)((d, m) => d.withColumn(shadowCol(m), col(m))),
+          sp.groupBy)
+      else deltaRaw
     // count(distinct) maintenance re-reads the joined delta once per
     // distinct agg — pin it so the star legs run once, not per consumer.
     // NOT on a bootstrap: the first refresh's delta is the FULL star
@@ -299,7 +321,7 @@ final class MaterializedStarAggView(val root: String) {
     val dcDeltas: Seq[DataFrame] =
       sp.aggs.filter(_.fn == "count_distinct").map { a =>
         MaterializedAggView.foldDistinct(spark, auxState(sp, a.as), delta,
-          col(SignCol), sp.groupBy, a.col.get, TxnId, nextN, lastN,
+          col(SignCol), gk, mcol(a.col.get), TxnId, nextN, lastN,
           dcCol(a.as),
           beforeMerge = () => lock.check(),
           afterMerge = () => onStep(s"aux-merged:${a.as}"))
@@ -313,10 +335,10 @@ final class MaterializedStarAggView(val root: String) {
         a.fn match {
           case "count" if a.col.isEmpty => Nil
           case "count" => Seq(
-            sum(when(col(a.col.get).isNotNull, s).otherwise(0L)).as(nnCol(a.as)))
+            sum(when(col(mcol(a.col.get)).isNotNull, s).otherwise(0L)).as(nnCol(a.as)))
           case "count_distinct" => Nil // maintained via the aux table above
           case _ =>
-            val c = a.col.get
+            val c = mcol(a.col.get)
             val t = accTypes(a.as)
             Seq(
               sum(when(col(c).isNotNull, s).otherwise(0L)).as(nnCol(a.as)),
@@ -324,20 +346,21 @@ final class MaterializedStarAggView(val root: String) {
                 .cast(t).as(sumCol(a.as)))
         }
       }
-    val grouped0 = delta.groupBy(sp.groupBy.map(col): _*)
+    val grouped0 = delta.groupBy(gk.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
     // dc-delta groups ⊆ delta groups (both derive from the joined delta)
-    val grouped = dcDeltas.foldLeft(grouped0)((d, dd) => d.join(dd, sp.groupBy, "left"))
+    val grouped = dcDeltas.foldLeft(grouped0)((d, dd) => d.join(dd, gk, "left"))
       .localCheckpoint() // three downstream actions re-run the legs otherwise
-    // star views keep the engine-wide non-null GROUP BY contract — fail
-    // LOUDLY instead of silently dropping the null group (see
+    // a LEGACY (pre-mask) spec keeps the non-null GROUP BY contract —
+    // fail LOUDLY instead of silently dropping the null group (see
     // MaterializedJoinAggView for the routed-query hazard this prevents)
-    require(grouped.filter(sp.groupBy.map(col(_).isNull).reduce(_ || _))
-        .limit(1).count() == 0L,
-      s"MaterializedStarAggView $root: NULL group-key values in this refresh " +
-        "window — star views require non-null GROUP BY columns (derive " +
-        "coalesce(g, '<none>') upstream, or use a single-table " +
-        "MaterializedAggView, which supports null groups)")
+    if (!sp.nullMask)
+      require(grouped.filter(sp.groupBy.map(col(_).isNull).reduce(_ || _))
+          .limit(1).count() == 0L,
+        s"MaterializedStarAggView $root: NULL group-key values in this refresh " +
+          "window — this legacy (pre-null-mask) view requires non-null GROUP " +
+          "BY columns (derive coalesce(g, '<none>') upstream, or recreate " +
+          "the view, which enables null-group support)")
 
     val accCols: Seq[(String, DataType)] =
       (NCol, LongType) +: sp.aggs.flatMap { a =>
@@ -350,21 +373,21 @@ final class MaterializedStarAggView(val root: String) {
       }
     val cur: DataFrame =
       if (!st.exists(spark)) {
-        val fields = sp.groupBy.map(g => grouped.schema(g)) ++
+        val fields = gk.map(g => grouped.schema(g)) ++
           accCols.map { case (nm, t) => StructField(nm, t, nullable = true) }
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType(fields))
       } else graft.cdc.ScdMerge.scd1Current(
-          st.readKeys(spark, grouped.select(sp.groupBy.map(col): _*)))
-        .select((sp.groupBy ++ accCols.map(_._1)).map(col): _*)
-    val curA = cur.select(sp.groupBy.map(col) ++
+          st.readKeys(spark, grouped.select(gk.map(col): _*)))
+        .select((gk ++ accCols.map(_._1)).map(col): _*)
+    val curA = cur.select(gk.map(col) ++
       accCols.map { case (nm, _) => col(nm).as(s"__cur_$nm") }: _*)
-    val folded = accCols.foldLeft(grouped.join(curA, sp.groupBy, "left")) {
+    val folded = accCols.foldLeft(grouped.join(curA, gk, "left")) {
       case (d, (nm, t)) =>
         d.withColumn(nm,
           (coalesce(col(s"__cur_$nm").cast(t), lit(0).cast(t)) +
             coalesce(col(nm).cast(t), lit(0).cast(t))).cast(t))
-    }.select((sp.groupBy ++ accCols.map(_._1)).map(col): _*)
+    }.select((gk ++ accCols.map(_._1)).map(col): _*)
 
     // ── numbered commit: vector file first, ledger names it atomically
     //    with the merge
@@ -386,7 +409,9 @@ final class MaterializedStarAggView(val root: String) {
     * [[graft.plans.AggRollupRewrite]] star routing consumes. */
   private def rollupFormat(spark: SparkSession, version: Int): DataFrame = {
     val sp = spec(spark)
-    val raw = graft.cdc.ScdMerge.scd1Current(state(sp).readVersion(spark, version))
+    val raw0 = graft.cdc.ScdMerge.scd1Current(state(sp).readVersion(spark, version))
+    val raw =
+      if (sp.nullMask) MaterializedAggView.decodeNulls(raw0, sp.groupBy) else raw0
     val perMeasure = sp.aggs.filter(a => a.fn == "sum" || a.fn == "avg")
       .groupBy(_.col.get).map { case (m, as) => m -> as.head.as }
     val nnOnly = sp.aggs.filter(a => a.fn == "count" && a.col.nonEmpty)
@@ -416,10 +441,13 @@ final class MaterializedStarAggView(val root: String) {
     val measures = sp.aggs.filterNot(a => a.fn == "count" && a.col.isEmpty)
       .flatMap(_.col).distinct
     // shared wiring: per-query (state version, ledger value) pin + pair
-    // relations for coarse-grain COUNT(DISTINCT) routing
+    // relations for coarse-grain COUNT(DISTINCT) routing (decoded when
+    // the spec carries the null mask)
     val (provider, distincts) = MaterializedAggView.rewriteProviders(spark,
-      state(sp), TxnId, sp.aggs, as => auxState(sp, as), sp.groupBy,
-      v => rollupFormat(spark, v))
+      state(sp), TxnId, sp.aggs, as => auxState(sp, as), groupKeys(sp),
+      v => rollupFormat(spark, v),
+      if (sp.nullMask) df => MaterializedAggView.decodeNulls(df, sp.groupBy)
+      else identity)
     graft.plans.AggRollupRewrite.registerStarView(spark, sp.factRoot,
       sp.dims.map(d => d.root -> d.join), sp.groupBy, measures,
       provider, distincts)
@@ -445,7 +473,9 @@ final class MaterializedStarAggView(val root: String) {
     * SQL null semantics). */
   def read(spark: SparkSession): DataFrame = {
     val sp = spec(spark)
-    val raw = graft.cdc.ScdMerge.scd1Current(state(sp).read(spark))
+    val raw0 = graft.cdc.ScdMerge.scd1Current(state(sp).read(spark))
+    val raw =
+      if (sp.nullMask) MaterializedAggView.decodeNulls(raw0, sp.groupBy) else raw0
     val outs: Seq[Column] = sp.aggs.map { a =>
       a.fn match {
         case "count" if a.col.isEmpty => col(NCol).as(a.as)
@@ -475,7 +505,8 @@ object MaterializedStarAggView {
   final case class Dim(root: String, keys: Seq[String], join: Seq[String])
 
   final case class Spec(factRoot: String, factKeys: Seq[String],
-      dims: Seq[Dim], groupBy: Seq[String], aggs: Seq[Agg], numBuckets: Int)
+      dims: Seq[Dim], groupBy: Seq[String], aggs: Seq[Agg], numBuckets: Int,
+      nullMask: Boolean = true)
 
   /** Declare the view (no data moves until the first refresh). */
   def create(spark: SparkSession, root: String,
@@ -486,6 +517,10 @@ object MaterializedStarAggView {
     dims.foreach(d => require(d.join.nonEmpty,
       s"star view dim ${d.root}: join keys required"))
     require(groupBy.nonEmpty, "star view needs GROUP BY columns")
+    require(groupBy.size <= 63, "the null mask is a 64-bit bitmask — at " +
+      "most 63 GROUP BY columns")
+    require(!(groupBy ++ aggs.flatMap(_.col)).exists(_.startsWith("__mv_")),
+      "column names starting with __mv_ are reserved for view bookkeeping")
     require(aggs.nonEmpty, "star view needs at least one aggregate")
     aggs.foreach { a =>
       require(Set("count", "sum", "avg", "count_distinct")(a.fn),
@@ -509,7 +544,8 @@ object MaterializedStarAggView {
       s"dims=${dims.size}") ++ dimLines ++ Seq(
       s"groupBy=${groupBy.mkString(",")}",
       s"aggs=${aggs.map(_.render).mkString(",")}",
-      s"numBuckets=$numBuckets")).mkString("", "\n", "\n")
+      s"numBuckets=$numBuckets",
+      "nullMask=1")).mkString("", "\n", "\n")
     val out = f.create(p, false)
     try out.write(content.getBytes("UTF-8")) finally out.close()
     mv

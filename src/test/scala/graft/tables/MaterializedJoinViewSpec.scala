@@ -350,24 +350,43 @@ class MaterializedJoinViewSpec extends AnyFunSuite {
     } finally graft.plans.AggRollupRewrite.clear()
   }
 
-  test("NULL group-key values fail loudly instead of silently dropping the group") {
+  test("NULL dim group keys fold exactly; a legacy pre-mask spec fails loudly") {
     val work = tmp("mvjnull")
     val fact = new SnapshotTable(s"$work/fact")
     val dim = new BucketedSnapshotTable(s"$work/dim", 4, Seq("jk"))
-    fact.write(spark, Seq((1, 10L, 5L), (2, 20L, 7L)).toDF("k", "jk", "x"))
+    fact.write(spark, Seq((1, 10L, 5L), (2, 20L, 7L), (3, 20L, 11L))
+      .toDF("k", "jk", "x"))
     // dim row 20 carries a NULL group attribute — the inner join keeps
-    // its fact row, so the refresh window holds a null group
+    // its fact rows, so the NULL group must fold with SQL semantics
     dim.scd1Merge(spark, Seq((10L, 1L, "red"), (20L, 1L, null))
       .toDF("jk", "seq", "g"), "seq")
     val mv = MaterializedJoinAggView.create(spark, s"$work/mv",
       s"$work/fact", Seq("k"), s"$work/dim", Nil, Seq("jk"), Seq("g"),
-      Seq(agg("sum", Some("x"), "sx")), numBuckets = 4)
-    val e = intercept[IllegalArgumentException] { mv.refresh(spark) }
-    assert(e.getMessage.contains("NULL group-key"), e.getMessage)
-    // fixing the dim lets the refresh proceed normally
-    dim.scd1Merge(spark, Seq((20L, 2L, "blue")).toDF("jk", "seq", "g"), "seq")
+      Seq(agg("count", None, "n"), agg("sum", Some("x"), "sx"),
+        agg("count_distinct", Some("g"), "dg")), numBuckets = 4)
     mv.refresh(spark)
-    assert(rows0(mv) == Set(("red", Some(5L)), ("blue", Some(7L))))
+    def got = mv.read(spark).as[(Option[String], Long, Option[Long], Long)]
+      .collect().toSet
+    // count(distinct g) over the null group is 0 — the stand-in must
+    // never leak into the measure aggregation
+    assert(got == Set((Some("red"), 1L, Some(5L), 1L), (None, 2L, Some(18L), 0L)),
+      got.toString)
+    // the null group MOVES when the dim attribute flips (leg 2), and a
+    // real group moves INTO null the other way
+    dim.scd1Merge(spark, Seq((20L, 2L, "blue"), (10L, 2L, null))
+      .toDF("jk", "seq", "g"), "seq")
+    mv.refresh(spark)
+    assert(got == Set((Some("blue"), 2L, Some(18L), 1L), (None, 1L, Some(5L), 0L)),
+      got.toString)
+    // a LEGACY (pre-mask) spec keeps the non-null contract and refuses
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$work/mv2_spec"), "")
+    new java.io.File(s"$work/mv2").mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$work/mv2/_mvj"),
+      s"factRoot=$work/fact\nfactKeys=k\ndimRoot=$work/dim\ndimKeys=\n" +
+        "joinKeys=jk\ngroupBy=g\naggs=sum:x:sx\nnumBuckets=4\n")
+    val legacy = new MaterializedJoinAggView(s"$work/mv2")
+    val e = intercept[IllegalArgumentException] { legacy.refresh(spark) }
+    assert(e.getMessage.contains("NULL group-key"), e.getMessage)
   }
 
   test("refresh rewrites only the buckets holding changed groups") {

@@ -291,6 +291,46 @@ class MaterializedStarViewSpec extends AnyFunSuite {
     assert(got == Set(("red", 2L)), got.toString)
   }
 
+  test("NULL group keys fold exactly through the star's telescoping legs") {
+    val work = tmp("mvsnull")
+    val fact = new SnapshotTable(s"$work/fact")
+    val d1 = new BucketedSnapshotTable(s"$work/d1", 4, Seq("jk1"))
+    val d2 = new BucketedSnapshotTable(s"$work/d2", 4, Seq("jk2"))
+    fact.write(spark, Seq((1, 10L, 100L, 5L), (2, 20L, 100L, 7L), (3, 20L, 200L, 9L))
+      .toDF("k", "jk1", "jk2", "x"))
+    // d1 row 20 carries a NULL group attr; d2 row 200 does too — the
+    // (null, eu), (red, eu) and (null, null) groups are all distinct
+    d1.scd1Merge(spark, Seq((10L, 1L, "red"), (20L, 1L, null))
+      .toDF("jk1", "seq", "c"), "seq")
+    d2.scd1Merge(spark, Seq((100L, 1L, "eu"), (200L, 1L, null))
+      .toDF("jk2", "seq", "r"), "seq")
+    val mv = MaterializedStarAggView.create(spark, s"$work/mv",
+      s"$work/fact", Seq("k"),
+      Seq(dim(s"$work/d1", Nil, Seq("jk1")), dim(s"$work/d2", Nil, Seq("jk2"))),
+      Seq("c", "r"), Seq(agg("count", None, "n"), agg("sum", Some("x"), "sx")),
+      numBuckets = 8)
+    def want = graft.cdc.ScdMerge.scd1Current(fact.read(spark))
+      .join(graft.cdc.ScdMerge.scd1Current(d1.read(spark)), Seq("jk1"))
+      .join(graft.cdc.ScdMerge.scd1Current(d2.read(spark)), Seq("jk2"))
+      .groupBy("c", "r").agg(count(lit(1)).as("n"), sum("x").as("sx"))
+      .as[(Option[String], Option[String], Long, Option[Long])].collect().toSet
+    def got = mv.read(spark)
+      .as[(Option[String], Option[String], Long, Option[Long])].collect().toSet
+    mv.refresh(spark)
+    assert(got == want && got == Set((Some("red"), Some("eu"), 1L, Some(5L)),
+      (None, Some("eu"), 1L, Some(7L)), (None, None, 1L, Some(9L))), got.toString)
+    // a dim flip MOVES rows out of the null group (ΔD1 leg)
+    d1.scd1Merge(spark, Seq((20L, 2L, "blue")).toDF("jk1", "seq", "c"), "seq")
+    mv.refresh(spark)
+    assert(got == want && !got.exists(r => r._1.isEmpty), got.toString)
+    // …and a fact change lands in a surviving null-r group (ΔF leg)
+    fact.write(spark, Seq((1, 10L, 100L, 5L), (2, 20L, 100L, 7L),
+      (3, 20L, 200L, 9L), (4, 10L, 200L, 50L)).toDF("k", "jk1", "jk2", "x"))
+    mv.refresh(spark)
+    assert(got == want && got.exists(r => r._1 == Some("red") && r._2.isEmpty),
+      got.toString)
+  }
+
   test("refresh rewrites only the buckets holding changed groups") {
     val work = tmp("mvsb")
     val fact = new SnapshotTable(s"$work/fact")
