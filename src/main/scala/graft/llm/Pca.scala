@@ -4,6 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.functions.FixedPointFunctions._
+import graft.functions.FixedPointMath
+
 /** Distributed PCA (top principal component) via power iteration — the
   * embedding-pipeline op behind whitening, de-biasing ("all-but-the-top"),
   * drift probes and low-rank compression diagnostics.
@@ -18,16 +21,28 @@ import org.apache.spark.sql.types.DecimalType
   *    broadcast joins, no data pass at all.
   *
   * Engine parity (every step replayable in any SQL engine): components
-  * are 6-dp-quantized before decimal sums (means), centered values are
-  * exact decimal-derived doubles, per-pair products are DECIMAL(28,12)-
-  * cast before the order-free sum, and the covariance and each iterate
-  * are quantized to DECIMAL(18,9) — 9 decimals of O(0.01–1) values is ~11
-  * significant digits, safely below the ~15.9 where Spark's
-  * shortest-string rounding and exact-binary rounding diverge (12
-  * decimals sat AT that edge and drifted ~1e-10 over ten iterations). `sqrt` is IEEE-correctly-rounded
+  * are 6-dp-quantized before exact sums (means), centered values are
+  * exact decimal-derived doubles, per-pair products are 12-dp-quantized
+  * before the order-free sum, and the covariance and each iterate are
+  * quantized to 9 dp — 9 decimals of O(0.01–1) values is ~11 significant
+  * digits, safely below the ~15.9 where Spark's shortest-string rounding
+  * and exact-binary rounding diverge (12 decimals sat AT that edge and
+  * drifted ~1e-10 over ten iterations). `sqrt` is IEEE-correctly-rounded
   * (unlike exp/ln/pow) so the normalization introduces no cross-engine
   * ulp drift. The eigenvector sign is pinned by the all-positive start
   * vector (1/√d)ᵢ.
+  *
+  * ARITHMETIC SUBSTRATE (r12): the quantize/sum contract above used to be
+  * expressed as `round(x, s).cast(DecimalType(28,12))` + `sum(decimal)` —
+  * ~7 BigDecimal allocations per product cell, which priced q312's
+  * d²=16.7M-cell × 5-iteration grid at ~10⁴ CPU-s in an allocation-hostile
+  * environment. It is now the fixed-point LONG pipeline
+  * (graft.functions.FixedPoint): identical quantization points
+  * (shortest-string HALF_UP at 6/9/12 dp), exact order-free integer sums
+  * with a 26-bit overflow split, correctly-rounded numerator→double
+  * conversions — bit-identical values (FixedPointSpec fuzzes every helper
+  * against its BigDecimal definition; LlmOpsSpec pins the pipeline against
+  * the unchanged SQL-oracle replay), ~zero per-row allocation.
   */
 object Pca {
 
@@ -39,19 +54,18 @@ object Pca {
 
   /** Mean-centered cell relation `(id, i, cx)` — 6-dp-quantized inputs,
     * 9-dp-quantized means, exact decimal-derived doubles out. */
-  private[llm] def centeredCells(embs: DataFrame, idCol: String,
+  private[graft] def centeredCells(embs: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
     val cells = embs.select(col(idCol).as("id"),
         posexplode(transform(col(vecCol), _.cast("double"))).as(Seq("i", "x")))
-      .select(col("id"), col("i"),
-        round(col("x"), 6).cast(DecimalType(20, 6)).as("q"))
+      .select(col("id"), col("i"), quantize_fixed(col("x"), 6).as("q6"))
     val n = embs.select(col(idCol)).count()
     val means = cells.groupBy(col("i"))
-      .agg(round(sum(col("q")).cast("double") / n, 9)
+      .agg(round(sum_fixed(col("q6"), 6) / n, 9)
         .cast(DecimalType(18, 9)).as("m"))
     cells.join(broadcast(means), Seq("i"))
       .select(col("id"), col("i"),
-        (col("q").cast("double") - col("m").cast("double")).as("cx"))
+        (fixed_to_double(col("q6"), 6) - col("m").cast("double")).as("cx"))
   }
 
   /** Quantized covariance matrix of `vecCol`: one row per (i, j) with
@@ -74,20 +88,25 @@ object Pca {
     // Keying the product join by id caps its parallelism at DISTINCT IDS —
     // fine for a corpus (n ≫ cores), a cliff for the few-vectors/large-d
     // shape (q312: n=3, d=4096 → 3 tasks each expanding 16.7M product
-    // rows). There, round-robin the left side across all cores and
-    // BROADCAST the (n·d-cell, model-sized) right side: same order-free
-    // decimal aggregation, bit-identical output, d²-parallel.
+    // rows). There, partition the left side BY ROW INDEX i and BROADCAST
+    // the (n·d-cell, model-sized) right side: d² parallelism, and every
+    // (i, j) group is complete WITHIN its i-partition, so the groupBy
+    // needs no exchange at all (HashPartitioning(i) satisfies
+    // ClusteredDistribution(i, j)) — the round-robin variant shuffled all
+    // n·d² product rows because a 3-rows-per-group partial agg combines
+    // nothing (measured 218 CPU-s vs 21 for this shape at q312). Integer
+    // sums are order-free, so the regrouping is bit-identical.
     val centered =
-      if (n < par) centeredCells.repartition(par)
+      if (n < par) centeredCells.repartition(par, col("i"))
       else centeredCells.repartition(par, col("id"))
     val right = centered.select(col("id"), col("i").as("i2"), col("cx").as("cx2"))
     centered.select(col("id"), col("i").as("i1"), col("cx").as("cx1"))
       .join(if (n < par) broadcast(right) else right, Seq("id"))
       .select(col("i1").as("i"), col("i2").as("j"),
-        (col("cx1") * col("cx2")).cast(DecimalType(28, 12)).as("p"))
+        quantize_fixed(col("cx1") * col("cx2"), 12).as("t"))
       .groupBy(col("i"), col("j"))
-      .agg(round(sum(col("p")).cast("double") / n, 9)
-        .cast(DecimalType(18, 9)).as("c"))
+      .agg(fixed_to_decimal(
+        quantize_fixed(sum_fixed(col("t"), 12) / n, 9), 18, 9).as("c"))
   }
 
   /** Top eigenpair of the covariance by `iters` power-iteration rounds
@@ -100,10 +119,11 @@ object Pca {
     * truncation (the iterate feeds both its normalizer and the next
     * matvec, so un-checkpointed lineage doubles per round) and was 3× the
     * cost of the covariance pass itself. The local loop replicates the
-    * engine arithmetic EXACTLY — `BigDecimal.valueOf` (shortest-string,
-    * what Spark's round/cast use) quantization at the same 9/12-dp
-    * points, exact decimal sums — so results are bit-identical to the
-    * distributed form and to the SQL oracle. */
+    * engine arithmetic EXACTLY — shortest-string HALF_UP quantization at
+    * the same 9/12-dp points, exact order-free sums (long numerators with
+    * `Math.addExact`; the BigDecimal loop only on overflow, unreachable
+    * for covariances of O(1)-valued data) — so results are bit-identical
+    * to the distributed form and to the SQL oracle. */
   def topComponent(spark: SparkSession, cov: DataFrame, d: Int,
       iters: Int = 10): DataFrame = {
     // The d×d covariance is MODEL-sized state and is iterated on the
@@ -119,27 +139,27 @@ object Pca {
         "distributed: keep cov as the (i,j)-keyed relation and express each " +
         "round as a matrix-vector join + per-i aggregation.")
     import spark.implicits._
-    import java.math.{BigDecimal => JBD, RoundingMode}
-    def q(x: Double, scale: Int): JBD =
-      JBD.valueOf(x).setScale(scale, RoundingMode.HALF_UP)
     val c = Array.ofDim[Double](d, d)
     cov.select(col("i"), col("j"), col("c").cast("double")).collect()
       .foreach(r => c(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-    var v = Array.fill(d)(q(1.0 / math.sqrt(d.toDouble), 9).doubleValue)
+    var v = Array.fill(d)(FixedPointMath.roundExact(1.0 / math.sqrt(d.toDouble), 9))
     var nrm = 0.0
     for (_ <- 1 to iters) {
       val w = Array.tabulate(d) { i =>
-        var s = JBD.ZERO
+        var s = 0L
         var j = 0
-        while (j < d) { s = s.add(q(c(i)(j) * v(j), 12)); j += 1 }
-        s.doubleValue
+        while (j < d) {
+          s = Math.addExact(s, FixedPointMath.quantize(c(i)(j) * v(j), 12))
+          j += 1
+        }
+        FixedPointMath.toDouble(s, 12)
       }
-      var n2 = JBD.ZERO
-      w.foreach(wi => n2 = n2.add(q(wi * wi, 12)))
-      nrm = math.sqrt(n2.doubleValue)
-      v = w.map(wi => q(wi / nrm, 9).doubleValue)
+      var n2 = 0L
+      w.foreach(wi => n2 = Math.addExact(n2, FixedPointMath.quantize(wi * wi, 12)))
+      nrm = math.sqrt(FixedPointMath.toDouble(n2, 12))
+      v = w.map(wi => FixedPointMath.roundExact(wi / nrm, 9))
     }
-    val eig = q(nrm, 6).doubleValue
+    val eig = FixedPointMath.roundExact(nrm, 6)
     v.toSeq.zipWithIndex.map { case (loading, i) => (i, loading, eig) }
       .toDF("i", "loading", "eigenvalue")
   }
@@ -153,12 +173,12 @@ object Pca {
     * appear (any (i,j) entry, e.g. the diagonal) to receive an iterate.
     *
     * Arithmetic replicates [[topComponent]]'s quantization points exactly
-    * — 12-dp decimal product terms, order-free decimal sums, 9-dp
-    * iterates, 6-dp eigenvalue, IEEE sqrt — so small-d results are
-    * bit-identical to the local path (pinned by AnalyticsOpsSpec) and to
-    * the SQL oracle's unrolled rounds. The iterate is localCheckpointed
-    * per round: it feeds both its normalizer and the next matvec, so
-    * un-pinned lineage would double per round (the TextRank/Graph rule).
+    * — 12-dp product terms, order-free exact sums, 9-dp iterates, 6-dp
+    * eigenvalue, IEEE sqrt — so small-d results are bit-identical to the
+    * local path (pinned by AnalyticsOpsSpec) and to the SQL oracle's
+    * unrolled rounds. The iterate is localCheckpointed per round: it
+    * feeds both its normalizer and the next matvec, so un-pinned lineage
+    * would double per round (the TextRank/Graph rule).
     */
   def topComponentDistributed(spark: SparkSession, cov: DataFrame, d: Int,
       iters: Int = 10): DataFrame = {
@@ -172,20 +192,18 @@ object Pca {
       // pin w too: its two consumers (normalizer, next iterate) must not
       // each re-run the matvec join
       val w = covD.join(broadcast(v), Seq("j"))
-        .select(col("i"),
-          round(col("c") * col("vj"), 12).cast(DecimalType(28, 12)).as("p"))
+        .select(col("i"), quantize_fixed(col("c") * col("vj"), 12).as("t"))
         .groupBy(col("i"))
-        .agg(sum(col("p")).cast("double").as("wi"))
+        .agg(sum_fixed(col("t"), 12).as("wi"))
         .localCheckpoint()
       // the normalizer is ONE scalar — a model-sized driver read per round
       nrm = math.sqrt(w
-        .select(round(col("wi") * col("wi"), 12).cast(DecimalType(28, 12)).as("s"))
-        .agg(sum(col("s")).cast("double")).head().getDouble(0))
+        .select(quantize_fixed(col("wi") * col("wi"), 12).as("s"))
+        .agg(sum_fixed(col("s"), 12)).head().getDouble(0))
       v = w.select(col("i").as("j"), round(col("wi") / nrm, 9).as("vj"))
         .localCheckpoint()
     }
-    val eig = java.math.BigDecimal.valueOf(nrm)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val eig = FixedPointMath.roundExact(nrm, 6)
     v.select(col("j").as("i"), col("vj").as("loading"),
       lit(eig).as("eigenvalue"))
   }
@@ -196,17 +214,14 @@ object Pca {
     * dimension): `(comp, i, loading, eigenvalue)`, comp = 0-based rank.
     *
     * The deflation arithmetic is engine-exact like everything else here:
-    * the rank-1 term λ·vᵢ·vⱼ is 12-dp-decimal-cast (λ the 6-dp quantized
+    * the rank-1 term λ·vᵢ·vⱼ is 12-dp-quantized (λ the 6-dp quantized
     * eigenvalue, v the 9-dp iterate), and the deflated entry re-quantizes
-    * to DECIMAL(18,9) — the covariance's own contract — so local,
-    * distributed, and SQL replays stay bit-identical round for round.
-    * "All-but-the-top" de-biasing classically removes the top FEW
-    * directions (Mu & Viswanath use d/100); this is that k. */
+    * to 9 dp — the covariance's own contract — so local, distributed, and
+    * SQL replays stay bit-identical round for round. "All-but-the-top"
+    * de-biasing classically removes the top FEW directions (Mu & Viswanath
+    * use d/100); this is that k. */
   def topComponents(spark: SparkSession, cov: DataFrame, d: Int, k: Int,
       iters: Int = 10): DataFrame = {
-    import java.math.{BigDecimal => JBD, RoundingMode}
-    def q(x: Double, scale: Int): JBD =
-      JBD.valueOf(x).setScale(scale, RoundingMode.HALF_UP)
     var c = cov
     val parts = (0 until k).map { comp =>
       val top = topComponent(spark, c, d, iters)
@@ -224,8 +239,8 @@ object Pca {
         c.select(col("i"), col("j"), col("c").cast("double")).collect()
           .foreach(r => cArr(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
         val deflated = for { i <- 0 until d; j <- 0 until d } yield {
-          val t = q(eig * v(i) * v(j), 12).doubleValue
-          (i, j, q(cArr(i)(j) - t, 9).doubleValue)
+          val t = FixedPointMath.roundExact(eig * v(i) * v(j), 12)
+          (i, j, FixedPointMath.roundExact(cArr(i)(j) - t, 9))
         }
         c = deflated.toDF("i", "j", "c")
           .select(col("i"), col("j"), col("c").cast(DecimalType(18, 9)).as("c"))
@@ -260,10 +275,10 @@ object Pca {
           .join(broadcast(v.select(col("i"), col("loading").as("vi"))), Seq("i"))
           .join(broadcast(v.select(col("i").as("j"), col("loading").as("vj"))), Seq("j"))
           .select(col("i"), col("j"),
-            round(coalesce(col("c").cast("double"), lit(0.0)) -
-              (lit(eig) * col("vi") * col("vj")).cast(DecimalType(28, 12))
-                .cast("double"), 9)
-              .cast(DecimalType(18, 9)).as("c"))
+            fixed_to_decimal(quantize_fixed(
+              coalesce(col("c").cast("double"), lit(0.0)) -
+                fixed_to_double(quantize_fixed(
+                  lit(eig) * col("vi") * col("vj"), 12), 12), 9), 18, 9).as("c"))
           .localCheckpoint() // pin: next extraction iterates over it
       }
       top.select(lit(comp).as("comp"), col("i"), col("loading"), col("eigenvalue"))
@@ -281,8 +296,8 @@ object Pca {
     *
     * Scale shape: the component comes from [[topComponent]] (model-sized);
     * the de-bias pass is one broadcast join of the d-row component onto
-    * the cell relation + two per-id aggregations. Decimal-cast dot-product
-    * terms keep every number engine-exact. */
+    * the cell relation + two per-id aggregations. 12-dp-quantized
+    * dot-product terms keep every number engine-exact. */
   def debiasReport(spark: SparkSession, embs: DataFrame, idCol: String,
       vecCol: String, d: Int, iters: Int = 10,
       forceDistributed: Boolean = false): DataFrame = {
@@ -304,18 +319,18 @@ object Pca {
       else topComponentDistributed(spark, cov, d, iters))
       .select(col("i"), col("loading"))
     val p = centered.join(broadcast(comp), Seq("i"))
+      .select(col("id"), quantize_fixed(col("cx") * col("loading"), 12).as("t"))
       .groupBy(col("id"))
-      .agg(sum((col("cx") * col("loading")).cast(DecimalType(28, 12)))
-        .cast("double").as("p"))
+      .agg(sum_fixed(col("t"), 12).as("p"))
     centered.join(broadcast(comp), Seq("i"))
       .join(p, Seq("id"))
       .select(col("id"), col("cx"), col("p"),
         (col("cx") - col("p") * col("loading")).as("dv"))
       .groupBy(col("id"))
       .agg(round(max(col("p")), 6).as("top_proj"),
-        round(sqrt(sum((col("cx") * col("cx")).cast(DecimalType(28, 12)))
-          .cast("double")), 6).as("norm_before"),
-        round(sqrt(sum((col("dv") * col("dv")).cast(DecimalType(28, 12)))
-          .cast("double")), 6).as("norm_after"))
+        round(sqrt(sum_fixed(quantize_fixed(col("cx") * col("cx"), 12), 12)), 6)
+          .as("norm_before"),
+        round(sqrt(sum_fixed(quantize_fixed(col("dv") * col("dv"), 12), 12)), 6)
+          .as("norm_after"))
   }
 }
