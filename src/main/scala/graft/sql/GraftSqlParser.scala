@@ -1053,8 +1053,15 @@ case class VacuumMaterializedViewCommand(mv: String, keep: Int)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("mv", StringType, nullable = false)(),
-    AttributeReference("kept_versions", IntegerType, nullable = false)())
+    AttributeReference("kept_versions", IntegerType, nullable = false)(),
+    AttributeReference("kept_aux_versions", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
+    // friendly validation (the state table's own require would surface as
+    // an internal invariant message); report the ACTUAL retention — aux
+    // tables keep max(keep, 2), not keep
+    if (keep < 1) throw new IllegalArgumentException(
+      s"VACUUM MATERIALIZED VIEW: KEEP must be >= 1 (the live version " +
+        s"cannot be reclaimed), got $keep")
     val hconf = spark.sparkContext.hadoopConfiguration
     def has(name: String) = {
       val p = new org.apache.hadoop.fs.Path(mv, name)
@@ -1063,7 +1070,7 @@ case class VacuumMaterializedViewCommand(mv: String, keep: Int)
     if (has("_mvj")) new graft.tables.MaterializedJoinAggView(mv).vacuum(spark, keep)
     else if (has("_mvs")) new graft.tables.MaterializedStarAggView(mv).vacuum(spark, keep)
     else new graft.tables.MaterializedAggView(mv).vacuum(spark, keep)
-    Seq(Row(mv, keep))
+    Seq(Row(mv, keep, math.max(keep, 2)))
   }
 }
 

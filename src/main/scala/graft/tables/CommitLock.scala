@@ -104,7 +104,17 @@ private[tables] object CommitLock {
     val lock = new Path(root, "_lock")
     val token = java.util.UUID.randomUUID().toString
     f.mkdirs(new Path(root))
-    val deadline = System.currentTimeMillis() + 2 * staleMs
+    // PROGRESS-AWARE deadline: "no progress for 2×staleMs", not "waited
+    // 2×staleMs total". A holder under [[withHeartbeatLock]] legitimately
+    // runs past any fixed bound while touching the lock's mtime; each
+    // observed mtime advance resets the waiter's deadline, so concurrent
+    // refreshers SERIALIZE behind a live long refresh (and then fold only
+    // the remainder, per the refresh docs) instead of throwing. A holder
+    // that stops beating goes stale within staleMs and is stolen; a waiter
+    // seeing neither progress nor staleness for 2×staleMs still fails
+    // loudly (defensive: that state should be unreachable).
+    var deadline = System.currentTimeMillis() + 2 * staleMs
+    var lastSeen: Option[Option[Long]] = None
     var held = false
     while (!held) {
       val created =
@@ -124,6 +134,10 @@ private[tables] object CommitLock {
         val observed =
           try Option(f.getFileStatus(lock)).map(_.getModificationTime)
           catch { case _: java.io.IOException => None }
+        if (!lastSeen.contains(observed)) {
+          lastSeen = Some(observed)
+          deadline = System.currentTimeMillis() + 2 * staleMs
+        }
         val stale = observed.exists(System.currentTimeMillis() - _ > staleMs)
         if (stale) {
           // conditional steal: gone or touched since we judged it stale
@@ -136,7 +150,8 @@ private[tables] object CommitLock {
           }
         } else if (System.currentTimeMillis() > deadline)
           throw new IllegalStateException(
-            s"table $root: could not acquire commit lock within ${2 * staleMs} ms")
+            s"table $root: commit lock made no progress (no mtime advance, " +
+              s"not stale) for ${2 * staleMs} ms — cannot acquire")
         else Thread.sleep(25)
       }
     }

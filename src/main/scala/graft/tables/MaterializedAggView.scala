@@ -239,6 +239,11 @@ final class MaterializedAggView(val root: String) {
     // O(changed) window diff; the checkpoint is O(changed groups) rows
     val delta = dcDeltas.foldLeft(delta0)((d, dd) => d.join(dd, gk, "left"))
       .localCheckpoint()
+    // null group keys the state machinery cannot represent fail loudly
+    // here instead of silently dropping through the key-equality merges
+    // (legacy specs: all group columns; mask specs: stand-in-less types)
+    requireNoUnguardedNullGroups(delta, sp.nullMask, sp.groupBy,
+      s"MaterializedAggView $root")
 
     val accCols: Seq[(String, DataType)] =
       (NCol, LongType) +: sp.aggs.flatMap { a =>
@@ -465,6 +470,38 @@ object MaterializedAggView {
     }
   }
 
+  /** Fail LOUDLY on null group keys that the state machinery would
+    * otherwise silently drop through its key-equality merges/probes —
+    * a routed query would return answers missing that group. Applies to
+    * ALL group columns of a legacy (pre-mask) spec, and — even on mask
+    * specs — to nullable group columns whose type has no stand-in
+    * (array/map/binary/struct…; [[encodeNulls]] passes their NULLs
+    * through untouched). Cheap: `df` is the checkpointed O(changed
+    * groups) grouped delta, and the probe is skipped entirely when no
+    * column is at risk (every maskable spec with standard types). */
+  private[tables] def requireNoUnguardedNullGroups(df: DataFrame,
+      nullMask: Boolean, groupBy: Seq[String], what: String): Unit = {
+    val unguarded: Seq[String] =
+      if (!nullMask) groupBy
+      else groupBy.filter { g =>
+        val f = df.schema(g)
+        f.nullable && zeroLitOpt(f.dataType).isEmpty
+      }
+    if (unguarded.nonEmpty)
+      require(df.filter(unguarded.map(col(_).isNull).reduce(_ || _))
+          .limit(1).count() == 0L,
+        s"$what: NULL group-key values in this refresh window — " +
+          (if (!nullMask)
+            "this legacy (pre-null-mask) view requires non-null GROUP BY " +
+              "columns (derive coalesce(g, '<none>') upstream, or recreate " +
+              "the view, which enables null-group support)"
+          else
+            s"group column(s) ${unguarded.mkString(", ")} have types with " +
+              "no null stand-in (array/map/binary/struct), which the " +
+              "null-mask encoding cannot represent — derive a maskable " +
+              "(e.g. string) group key upstream"))
+  }
+
   /** Restore the NULLs [[encodeNulls]] replaced and drop the mask. */
   private[tables] def decodeNulls(df: DataFrame, groupBy: Seq[String]): DataFrame =
     groupBy.zipWithIndex.foldLeft(df) { case (d, (g, i)) =>
@@ -571,9 +608,19 @@ object MaterializedAggView {
     * registration. */
   private[tables] def auxPairs(spark: SparkSession, dst: BucketedSnapshotTable,
       mainTxn: Long, txnId: String, groupBy: Seq[String]): DataFrame = {
-    val auxV = dst.appliedTxn(spark, txnId).getOrElse(0L)
+    // Pin ONE aux head version and derive both the branch decision and the
+    // fast-path read from it: `appliedTxn` + `read` were two separate head
+    // reads, and a refresh committing the aux between them handed a routed
+    // query pair counts NEWER than the pinned rollup state — the exact
+    // mixed-version read rewriteProviders closes for the main state
+    // (COUNT(DISTINCT) could exceed COUNT(*) in one query).
+    val headV = dst.currentVersion(spark)
+    val auxV = headV.flatMap(v => dst.appliedTxnAt(spark, txnId, v)).getOrElse(0L)
     val raw =
-      if (auxV <= mainTxn) dst.read(spark)
+      if (auxV <= mainTxn) headV match {
+        case Some(v) => dst.readVersion(spark, v)
+        case None => dst.read(spark) // nonexistent aux: same loud failure as before
+      }
       else dst.versionWithTxnAtMost(spark, txnId, mainTxn) match {
         case Some(pin) => dst.readVersion(spark, pin)
         case None => dst.read(spark).filter(lit(false)) // aux exists, main

@@ -288,19 +288,14 @@ final class MaterializedJoinAggView(val root: String) {
     // dc-delta groups ⊆ delta groups (both derive from the joined delta)
     val grouped = dcDeltas.foldLeft(grouped0)((d, dd) => d.join(dd, gk, "left"))
       .localCheckpoint()
-    // a LEGACY (pre-mask) spec keeps the non-null GROUP BY contract:
-    // fail LOUDLY rather than let the null group silently drop through
-    // the key-equality merges below — a routed query would otherwise
-    // return answers missing that group. Cheap: `grouped` is
-    // checkpointed at O(changed groups) rows. (Mask-encoded specs fold
-    // null groups exactly, so the probe is unnecessary there.)
-    if (!sp.nullMask)
-      require(grouped.filter(sp.groupBy.map(col(_).isNull).reduce(_ || _))
-          .limit(1).count() == 0L,
-        s"MaterializedJoinAggView $root: NULL group-key values in this refresh " +
-          "window — this legacy (pre-null-mask) view requires non-null GROUP " +
-          "BY columns (derive coalesce(g, '<none>') upstream, or recreate " +
-          "the view, which enables null-group support)")
+    // null group keys the state machinery cannot represent fail LOUDLY
+    // rather than silently dropping through the key-equality merges below
+    // (legacy pre-mask specs: all group columns; mask specs: stand-in-less
+    // types the encoding passes through). Cheap: `grouped` is checkpointed
+    // at O(changed groups) rows and the probe is skipped when nothing is
+    // at risk.
+    MaterializedAggView.requireNoUnguardedNullGroups(grouped, sp.nullMask,
+      sp.groupBy, s"MaterializedJoinAggView $root")
 
     val accCols: Seq[(String, DataType)] =
       (NCol, LongType) +: sp.aggs.flatMap { a =>

@@ -351,16 +351,12 @@ final class MaterializedStarAggView(val root: String) {
     // dc-delta groups ⊆ delta groups (both derive from the joined delta)
     val grouped = dcDeltas.foldLeft(grouped0)((d, dd) => d.join(dd, gk, "left"))
       .localCheckpoint() // three downstream actions re-run the legs otherwise
-    // a LEGACY (pre-mask) spec keeps the non-null GROUP BY contract —
-    // fail LOUDLY instead of silently dropping the null group (see
-    // MaterializedJoinAggView for the routed-query hazard this prevents)
-    if (!sp.nullMask)
-      require(grouped.filter(sp.groupBy.map(col(_).isNull).reduce(_ || _))
-          .limit(1).count() == 0L,
-        s"MaterializedStarAggView $root: NULL group-key values in this refresh " +
-          "window — this legacy (pre-null-mask) view requires non-null GROUP " +
-          "BY columns (derive coalesce(g, '<none>') upstream, or recreate " +
-          "the view, which enables null-group support)")
+    // null group keys the state machinery cannot represent fail LOUDLY
+    // instead of silently dropping (legacy pre-mask specs: all group
+    // columns; mask specs: stand-in-less types — see MaterializedJoinAggView
+    // for the routed-query hazard this prevents)
+    MaterializedAggView.requireNoUnguardedNullGroups(grouped, sp.nullMask,
+      sp.groupBy, s"MaterializedStarAggView $root")
 
     val accCols: Seq[(String, DataType)] =
       (NCol, LongType) +: sp.aggs.flatMap { a =>

@@ -524,6 +524,41 @@ class MaterializedViewSpec extends AnyFunSuite {
       Set(("a", Some(11L)), ("b", Some(20L))))
   }
 
+  test("legacy single-table spec fails loudly on a NULL group key (no silent drop)") {
+    val work = tmp("mvlegnull")
+    val src = new SnapshotTable(s"$work/src")
+    src.write(spark, Seq((1, "a", 10L), (2, null, 20L)).toDF("k", "g", "x"))
+    // hand-write an OLD _mv spec (no nullMask line) — its key-equality
+    // merges would silently drop the null group; the probe must refuse
+    new java.io.File(s"$work/mv").mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$work/mv/_mv"),
+      s"sourceRoot=$work/src\nsourceKeys=k\ngroupBy=g\naggs=sum:x:sx\nnumBuckets=4\n")
+    val e = intercept[IllegalArgumentException] {
+      new MaterializedAggView(s"$work/mv").refresh(spark)
+    }
+    assert(e.getMessage.contains("NULL group-key"), e.getMessage)
+  }
+
+  test("mask spec fails loudly on a NULL group of a stand-in-less type (array)") {
+    val work = tmp("mvarrnull")
+    val src = new SnapshotTable(s"$work/src")
+    src.write(spark, Seq((1, Seq("t1"), 10L), (2, null, 20L))
+      .toDF("k", "tags", "x"))
+    val mv = MaterializedAggView.create(spark, s"$work/mv", s"$work/src",
+      Seq("k"), Seq("tags"), Seq(MaterializedAggView.Agg("sum", Some("x"), "sx")), 4)
+    // the null-mask encoding has no stand-in for array<string>: a NULL
+    // group would pass straight into the bucketed business key and vanish
+    // from key-equality joins — it must refuse instead
+    val e = intercept[IllegalArgumentException] { mv.refresh(spark) }
+    assert(e.getMessage.contains("no null stand-in"), e.getMessage)
+    // with the null row gone, the same view refreshes fine
+    src.write(spark, Seq((1, Seq("t1"), 10L), (2, Seq("t2"), 20L))
+      .toDF("k", "tags", "x"))
+    mv.refresh(spark)
+    assert(mv.read(spark).as[(Seq[String], Option[Long])].collect().toSet ==
+      Set((Seq("t1"), Some(10L)), (Seq("t2"), Some(20L))))
+  }
+
   test("racing refreshers serialize on the view lock: no window double-folds") {
     val work = tmp("mvrace")
     val src = new SnapshotTable(s"$work/src")
@@ -624,8 +659,15 @@ class MaterializedViewSpec extends AnyFunSuite {
       .count(_.startsWith("_batch_v"))
     val before = batchDirs(s"$work/mv/state")
     assert(before >= 4, s"expected accumulated versions, got $before")
+    // KEEP < 1 is a friendly validation error, not an internal require
+    val bad = intercept[IllegalArgumentException] {
+      sql(s"VACUUM MATERIALIZED VIEW '$work/mv' KEEP 0").collect()
+    }
+    assert(bad.getMessage.contains("KEEP must be >= 1"), bad.getMessage)
     val r = sql(s"VACUUM MATERIALIZED VIEW '$work/mv' KEEP 2").collect().head
     assert(r.getInt(1) == 2)
+    // aux retention is reported honestly: max(keep, 2) for the crash pin
+    assert(r.getInt(2) == 2)
     assert(batchDirs(s"$work/mv/state") < before,
       "vacuum must reclaim state batch dirs")
     // the view still answers, and the NEXT refresh still folds exactly
