@@ -180,15 +180,18 @@ final class MaterializedAggView(val root: String) {
     val feed0 =
       if (sp.nullMask) encodeNulls(withShadows(feedRaw), sp.groupBy)
       else feedRaw
-    // count(distinct) maintenance re-reads the feed once per distinct agg
-    // (pair deltas) on top of the main grouped delta — pin the O(changed)
-    // window diff once instead of re-deriving it per consumer. NOT on a
-    // bootstrap: the bootstrap feed is the FULL table, and materializing
-    // it to executor storage costs more than the ≤(1 + #distinct aggs)
-    // recomputations the grouped consumers make (each fold pins its own
-    // (group, value)-grain frame)
+    // EXACTLY-ONE-distinct views (the dominant shape) take the ONE-PASS
+    // fold: both maintenance grains derive from a single (group, value)-
+    // grain base aggregation of the feed (onePassDeltas), so the feed is
+    // scanned once and needs no pin of its own. Multi-distinct views keep
+    // the per-agg pair passes and pin the O(changed) window diff so each
+    // consumer doesn't re-derive it (NOT on a bootstrap: the bootstrap
+    // feed is the FULL table, and materializing it costs more than the
+    // ≤(1 + #distinct aggs) recomputations)
+    val distinctAggs = sp.aggs.filter(_.fn == "count_distinct")
+    val onePass = distinctAggs.size == 1
     val feed =
-      if (lastV != 0 && sp.aggs.exists(_.fn == "count_distinct"))
+      if (!onePass && lastV != 0 && distinctAggs.nonEmpty)
         feed0.localCheckpoint()
       else feed0
     val sign = when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
@@ -213,7 +216,14 @@ final class MaterializedAggView(val root: String) {
                 .cast(t).as(sumCol(a.as)))
         }
       }
-    val delta0 = feed.groupBy(gk.map(col): _*).agg(deltaAggs.head, deltaAggs.tail: _*)
+    val (delta0, preparedPairs): (DataFrame, Option[DataFrame]) =
+      if (onePass) {
+        val (d0, pp) = onePassDeltas(feed, sign, gk,
+          mcol(distinctAggs.head.col.get), deltaAggs, sumTypesOf(accTypes))
+        (d0, Some(pp))
+      } else
+        (feed.groupBy(gk.map(col): _*).agg(deltaAggs.head, deltaAggs.tail: _*),
+          None)
 
     // count(distinct c): per-(group, value) signed occurrence deltas →
     // aux-table transitions → a distinct-count delta ONLY where an
@@ -224,12 +234,12 @@ final class MaterializedAggView(val root: String) {
     // crash/replay interleaving re-derives the identical delta (a
     // replayed run whose aux table already committed re-reads the aux as
     // of the last FULLY-applied refresh via the ledger-pinned version).
-    val distincts = sp.aggs.filter(_.fn == "count_distinct")
-    val dcDeltas: Seq[DataFrame] = distincts.map { a =>
+    val dcDeltas: Seq[DataFrame] = distinctAggs.map { a =>
       foldDistinct(spark, auxState(sp, a.as), feed, sign, gk,
         mcol(a.col.get), TxnId, srcV.toLong, lastV.toLong, dcCol(a.as),
         beforeMerge = () => lock.check(),
-        afterMerge = () => onStep(s"aux-merged:${a.as}"))
+        afterMerge = () => onStep(s"aux-merged:${a.as}"),
+        prepared = preparedPairs)
     }
     // dc-delta groups ⊆ feed groups (both derive from the feed), so a
     // left join is complete; absent → 0 in the generic fold below.
@@ -549,16 +559,20 @@ object MaterializedAggView {
       dst: BucketedSnapshotTable, feed: DataFrame, sign: Column,
       groupBy: Seq[String], valueCol: String, txnId: String,
       txnValue: Long, lastTxn: Long, dcName: String,
-      beforeMerge: () => Unit, afterMerge: () => Unit): DataFrame = {
+      beforeMerge: () => Unit, afterMerge: () => Unit,
+      prepared: Option[DataFrame] = None): DataFrame = {
     val keyCols = groupBy :+ ValCol
     // pinned at (group, value) grain — small — because THREE consumers
     // read it (the bucket probe, possibly the crash semi-join, and the
     // transition join); this also caps re-execution of an UNPINNED feed
-    // (a bootstrap's full join) at once per distinct agg
-    val pairDelta = feed.filter(col(valueCol).isNotNull)
+    // (a bootstrap's full join) at once per distinct agg. A caller that
+    // already derived the pair grain in its ONE-PASS base ([[onePassDeltas]])
+    // hands it in `prepared` — checkpoint-backed there, so no second feed
+    // scan and no second pin here.
+    val pairDelta = prepared.getOrElse(feed.filter(col(valueCol).isNotNull)
       .groupBy((groupBy.map(col) :+ col(valueCol).as(ValCol)): _*)
       .agg(sum(sign).as(DvcCol))
-      .localCheckpoint()
+      .localCheckpoint())
     def emptyAux = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(keyCols.map(n => pairDelta.schema(n)) :+
@@ -600,6 +614,45 @@ object MaterializedAggView {
       .agg(sum((col(VcNewCol) > 0).cast(LongType) -
         (coalesce(col(VcCol), lit(0L)) > 0).cast(LongType)).as(dcName))
   }
+
+  /** ONE pass over the signed feed producing BOTH maintenance grains when
+    * the view has exactly one count-distinct aggregate — the dominant
+    * shape, and the one the old two-pass layout (group-grain delta + a
+    * separate (group, value)-grain pair delta) charged a second full feed
+    * scan + shuffle for. The BASE frame aggregates every additive measure
+    * partial at the (group…, value) grain and is the single pinned
+    * artifact; the group-grain delta RE-AGGREGATES the checkpointed base
+    * (O(changed pairs) rows, no feed re-scan — exact for long/decimal
+    * partials, same double-sum nondeterminism class as any regrouped
+    * sum), and the pair delta is a filter+projection of it (its signed
+    * count IS the base's [[NCol]] partial at this grain).
+    *
+    * Returns (group-grain delta ≡ the old `delta0`, pair delta ≡ the old
+    * `foldDistinct` internal frame — pass it via `prepared`). */
+  private[tables] def onePassDeltas(feed: DataFrame, sign: Column,
+      gk: Seq[String], valueCol: String, deltaAggs: Seq[Column],
+      sumTypes: Map[String, DataType]): (DataFrame, DataFrame) = {
+    val base = feed
+      .groupBy((gk.map(col) :+ col(valueCol).as(ValCol)): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+      .localCheckpoint()
+    val aggOuts = base.columns.filterNot(c => gk.contains(c) || c == ValCol)
+    val reAggs: Seq[Column] = aggOuts.toSeq.map { c =>
+      sumTypes.get(c) match {
+        case Some(t) => sum(col(c)).cast(t).as(c) // decimal widening back to acc type
+        case None => sum(col(c)).as(c)            // long partials re-sum exactly
+      }
+    }
+    val delta0 = base.groupBy(gk.map(col): _*).agg(reAggs.head, reAggs.tail: _*)
+    val pair = base.filter(col(ValCol).isNotNull)
+      .select(gk.map(col) :+ col(ValCol) :+ col(NCol).as(DvcCol): _*)
+    (delta0, pair)
+  }
+
+  /** [[onePassDeltas]]' sum-accumulator type map: re-aggregated decimal
+    * partials must cast back to the accumulator type the state stores. */
+  private[tables] def sumTypesOf(accTypes: Map[String, DataType]): Map[String, DataType] =
+    accTypes.map { case (as, t) => sumCol(as) -> t }
 
   /** One count-distinct measure's live (groupBy…, value) PAIR relation in
     * routing format (value as [[graft.plans.AggRollupRewrite.DistinctValCol]]),

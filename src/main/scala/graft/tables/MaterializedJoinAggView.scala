@@ -236,33 +236,23 @@ final class MaterializedJoinAggView(val root: String) {
           overlap.foldLeft(deltaRaw)((d, m) => d.withColumn(shadowCol(m), col(m))),
           sp.groupBy)
       else deltaRaw
-    // count(distinct) maintenance re-reads the joined delta once per
-    // distinct agg — pin it (O(changed joined rows)) so the delta-join
-    // legs run once, not once per consumer. NOT on a bootstrap: the
-    // first refresh's delta is the FULL base join, and materializing
-    // fact-cardinality rows costs more than the few recomputations (each
-    // fold pins its own (group, value)-grain frame)
+    // EXACTLY-ONE-distinct views take the ONE-PASS fold (onePassDeltas):
+    // both maintenance grains derive from one (group, value)-grain base
+    // aggregation of the joined delta, which then needs no pin of its
+    // own (single consumer). Multi-distinct views keep the per-agg pair
+    // passes and pin the joined delta (O(changed joined rows)) so the
+    // delta-join legs run once, not once per consumer — NOT on a
+    // bootstrap, where the delta is the FULL base join and materializing
+    // fact-cardinality rows costs more than the few recomputations
+    val distinctAggs = sp.aggs.filter(_.fn == "count_distinct")
+    val onePass = distinctAggs.size == 1
     val delta =
-      if (lastPacked != 0L && sp.aggs.exists(_.fn == "count_distinct"))
+      if (!onePass && lastPacked != 0L && distinctAggs.nonEmpty)
         delta0.localCheckpoint()
       else delta0
 
     val packedEff = pack(effF, effD)
-    // count(distinct c) over the JOIN result: the signed joined delta IS
-    // a signed feed as far as pair-count maintenance goes — the shared
-    // fold tracks per-(group, value) occurrence counts in this view's aux
-    // table and emits a distinct delta where a count crosses zero
-    val dcDeltas: Seq[DataFrame] =
-      sp.aggs.filter(_.fn == "count_distinct").map { a =>
-        MaterializedAggView.foldDistinct(spark, auxState(sp, a.as), delta,
-          col(SignCol), gk, mcol(a.col.get), TxnId, packedEff, lastPacked,
-          dcCol(a.as),
-          beforeMerge = () => lock.check(),
-          afterMerge = () => onStep(s"aux-merged:${a.as}"))
-      }
-
-    // ── additive fold into the bucketed state (sibling of
-    //    MaterializedAggView.refresh's fold)
+    // ── additive fold algebra (sibling of MaterializedAggView.refresh's)
     val s = col(SignCol)
     val accTypes = MaterializedAggView.accumulatorTypes(sp.aggs, delta.schema)
     val deltaAggs: Seq[Column] =
@@ -271,7 +261,7 @@ final class MaterializedJoinAggView(val root: String) {
           case "count" if a.col.isEmpty => Nil
           case "count" => Seq(
             sum(when(col(mcol(a.col.get)).isNotNull, s).otherwise(0L)).as(nnCol(a.as)))
-          case "count_distinct" => Nil // maintained via the aux table above
+          case "count_distinct" => Nil // maintained via the aux table below
           case _ =>
             val c = mcol(a.col.get)
             val t = accTypes(a.as)
@@ -281,10 +271,32 @@ final class MaterializedJoinAggView(val root: String) {
                 .cast(t).as(sumCol(a.as)))
         }
       }
-    // pinned for the same reason as the sibling view: three downstream
-    // actions would otherwise re-run both delta-join legs
-    val grouped0 = delta.groupBy(gk.map(col): _*)
-      .agg(deltaAggs.head, deltaAggs.tail: _*)
+    val (grouped0, preparedPairs): (DataFrame, Option[DataFrame]) =
+      if (onePass) {
+        val (d0, pp) = MaterializedAggView.onePassDeltas(delta, s, gk,
+          mcol(distinctAggs.head.col.get), deltaAggs,
+          MaterializedAggView.sumTypesOf(accTypes))
+        (d0, Some(pp))
+      } else
+        // pinned caller-side (`grouped` below) for the same reason as the
+        // sibling view: three downstream actions would otherwise re-run
+        // both delta-join legs
+        (delta.groupBy(gk.map(col): _*).agg(deltaAggs.head, deltaAggs.tail: _*),
+          None)
+
+    // count(distinct c) over the JOIN result: the signed joined delta IS
+    // a signed feed as far as pair-count maintenance goes — the shared
+    // fold tracks per-(group, value) occurrence counts in this view's aux
+    // table and emits a distinct delta where a count crosses zero
+    val dcDeltas: Seq[DataFrame] =
+      distinctAggs.map { a =>
+        MaterializedAggView.foldDistinct(spark, auxState(sp, a.as), delta,
+          col(SignCol), gk, mcol(a.col.get), TxnId, packedEff, lastPacked,
+          dcCol(a.as),
+          beforeMerge = () => lock.check(),
+          afterMerge = () => onStep(s"aux-merged:${a.as}"),
+          prepared = preparedPairs)
+      }
     // dc-delta groups ⊆ delta groups (both derive from the joined delta)
     val grouped = dcDeltas.foldLeft(grouped0)((d, dd) => d.join(dd, gk, "left"))
       .localCheckpoint()

@@ -302,32 +302,20 @@ final class MaterializedStarAggView(val root: String) {
           overlap.foldLeft(deltaRaw)((d, m) => d.withColumn(shadowCol(m), col(m))),
           sp.groupBy)
       else deltaRaw
-    // count(distinct) maintenance re-reads the joined delta once per
-    // distinct agg — pin it so the star legs run once, not per consumer.
-    // NOT on a bootstrap: the first refresh's delta is the FULL star
-    // join; materializing fact-cardinality rows costs more than the few
-    // recomputations (each fold pins its own (group, value)-grain frame)
-    val hasDistinct = sp.aggs.exists(_.fn == "count_distinct")
+    // EXACTLY-ONE-distinct views take the ONE-PASS fold (onePassDeltas):
+    // both maintenance grains derive from one (group, value)-grain base
+    // aggregation, so the star legs run once with no delta pin of their
+    // own. Multi-distinct views keep the per-agg pair passes and pin the
+    // joined delta so the legs run once, not per consumer — NOT on a
+    // bootstrap, where the delta is the FULL star join
+    val distinctAggs = sp.aggs.filter(_.fn == "count_distinct")
+    val hasDistinct = distinctAggs.nonEmpty
+    val onePass = distinctAggs.size == 1
     val delta =
-      if (hasDistinct && lastN != 0L) delta0.localCheckpoint() else delta0
+      if (!onePass && hasDistinct && lastN != 0L) delta0.localCheckpoint()
+      else delta0
 
-    // count(distinct c) over the star result: record the window's vector
-    // FIRST (under the lock — the crashed-replay pin), then run the
-    // shared pair-count fold per distinct agg
-    if (hasDistinct && !crashed) {
-      lock.check()
-      writeVector(spark, auxVectorPath(nextN), applyVec)
-    }
-    val dcDeltas: Seq[DataFrame] =
-      sp.aggs.filter(_.fn == "count_distinct").map { a =>
-        MaterializedAggView.foldDistinct(spark, auxState(sp, a.as), delta,
-          col(SignCol), gk, mcol(a.col.get), TxnId, nextN, lastN,
-          dcCol(a.as),
-          beforeMerge = () => lock.check(),
-          afterMerge = () => onStep(s"aux-merged:${a.as}"))
-      }
-
-    // ── additive fold into the bucketed state (same core as the siblings)
+    // ── additive fold algebra (same core as the siblings)
     val s = col(SignCol)
     val accTypes = MaterializedAggView.accumulatorTypes(sp.aggs, delta.schema)
     val deltaAggs: Seq[Column] =
@@ -336,7 +324,7 @@ final class MaterializedStarAggView(val root: String) {
           case "count" if a.col.isEmpty => Nil
           case "count" => Seq(
             sum(when(col(mcol(a.col.get)).isNotNull, s).otherwise(0L)).as(nnCol(a.as)))
-          case "count_distinct" => Nil // maintained via the aux table above
+          case "count_distinct" => Nil // maintained via the aux table below
           case _ =>
             val c = mcol(a.col.get)
             val t = accTypes(a.as)
@@ -346,8 +334,33 @@ final class MaterializedStarAggView(val root: String) {
                 .cast(t).as(sumCol(a.as)))
         }
       }
-    val grouped0 = delta.groupBy(gk.map(col): _*)
-      .agg(deltaAggs.head, deltaAggs.tail: _*)
+    val (grouped0, preparedPairs): (DataFrame, Option[DataFrame]) =
+      if (onePass) {
+        val (d0, pp) = MaterializedAggView.onePassDeltas(delta, s, gk,
+          mcol(distinctAggs.head.col.get), deltaAggs,
+          MaterializedAggView.sumTypesOf(accTypes))
+        (d0, Some(pp))
+      } else
+        (delta.groupBy(gk.map(col): _*).agg(deltaAggs.head, deltaAggs.tail: _*),
+          None)
+
+    // count(distinct c) over the star result: record the window's vector
+    // FIRST (under the lock — the crashed-replay pin; the one-pass base
+    // checkpoint above is pure compute, no commit), then run the shared
+    // pair-count fold per distinct agg
+    if (hasDistinct && !crashed) {
+      lock.check()
+      writeVector(spark, auxVectorPath(nextN), applyVec)
+    }
+    val dcDeltas: Seq[DataFrame] =
+      distinctAggs.map { a =>
+        MaterializedAggView.foldDistinct(spark, auxState(sp, a.as), delta,
+          col(SignCol), gk, mcol(a.col.get), TxnId, nextN, lastN,
+          dcCol(a.as),
+          beforeMerge = () => lock.check(),
+          afterMerge = () => onStep(s"aux-merged:${a.as}"),
+          prepared = preparedPairs)
+      }
     // dc-delta groups ⊆ delta groups (both derive from the joined delta)
     val grouped = dcDeltas.foldLeft(grouped0)((d, dd) => d.join(dd, gk, "left"))
       .localCheckpoint() // three downstream actions re-run the legs otherwise
