@@ -5782,6 +5782,82 @@ object SparkEntry {
     //    resurrection included. Pins: a one-group change rewrites O(1)
     //    buckets; the oracle recomputes the final state with the same
     //    null injection in DuckDB (whose GROUP BY groups nulls too).
+    // ── FILTER (WHERE dim-pred) AGGREGATE ROUTING (r12): the most common
+    //    dashboard shape after plain dim filters — `COUNT(*) FILTER
+    //    (WHERE region='EU')` alongside unfiltered aggregates — routes to
+    //    the maintained state: a dimension-only filter selects WHOLE
+    //    rollup groups, so the re-anchored FILTER on the re-aggregated
+    //    partials is exact. Filtered + unfiltered + a coarser exact
+    //    COUNT(DISTINCT) all in one SELECT, one routed plan. Reference
+    //    grain: the gold exploration queries (sample_exploration.py).
+    "q334_filter_clause_routing" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("mvfclause").toString
+      withShufflePartitions(s, 8) {
+      val ext = new org.apache.spark.sql.SparkSessionExtensions
+      new graft.GraftExtensions().apply(ext)
+      org.apache.spark.sql.GraftColumnBridge.applyExtensions(ext, s)
+      val sqlRun = (q: String) => org.apache.spark.sql.GraftColumnBridge.graftSql(s, q)
+      val src = new graft.tables.SnapshotTable(s"$work/src")
+      src.write(s, Tables.orders(s, dir).select($"o_orderkey", $"o_custkey",
+        $"o_orderpriority".as("prio"), $"o_orderstatus".as("st"),
+        $"o_totalprice".cast("decimal(18,2)").as("price")))
+      sqlRun(s"CREATE MATERIALIZED VIEW '$work/mv' ON '$work/src' KEYS (o_orderkey) " +
+        "GROUP BY (o_custkey, prio) AGG (count(*) AS n, sum(price) AS rev, " +
+        "count(distinct st) AS ds) INTO 32 BUCKETS").collect()
+      sqlRun(s"REFRESH MATERIALIZED VIEW '$work/mv'").collect()
+      sqlRun(s"ALTER MATERIALIZED VIEW '$work/mv' ENABLE REWRITE").collect()
+      try {
+        val pr = Tables.orders(s, dir).agg(min($"o_orderpriority")).as[String].head()
+        val q = src.readIndexed(s).groupBy($"o_custkey")
+          .agg(count(lit(1)).as("n"),
+            expr(s"count(*) FILTER (WHERE prio = '$pr')").as("n_p"),
+            expr(s"sum(price) FILTER (WHERE prio = '$pr')").cast("double").as("rev_p"),
+            countDistinct($"st").as("ds"))
+          .orderBy($"o_custkey")
+        val plan = q.queryExecution.optimizedPlan.toString
+        require(plan.contains("__dval") && !plan.contains("/src/_v"),
+          s"FILTER(dim-pred) aggregates must route to the state + pair relations:\n$plan")
+        val out = q.collect()
+        s.createDataFrame(s.sparkContext.parallelize(out.toSeq, 1), q.schema)
+      } finally graft.plans.AggRollupRewrite.clear()
+      }
+    }),
+
+    // ── GLOBAL EXACT COUNT(DISTINCT) ROUTING (r12): a no-GROUP-BY
+    //    distinct aggregate routes through the pair relation — groupBy()
+    //    frames return exactly ONE row even over an empty input (SQL's
+    //    global shape), composed by cross join with the additive frame;
+    //    COUNT outputs coalesce to 0 (the q332 empty-input pattern).
+    "q335_global_distinct_routing" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("mvgdist").toString
+      withShufflePartitions(s, 8) {
+      val ext = new org.apache.spark.sql.SparkSessionExtensions
+      new graft.GraftExtensions().apply(ext)
+      org.apache.spark.sql.GraftColumnBridge.applyExtensions(ext, s)
+      val sqlRun = (q: String) => org.apache.spark.sql.GraftColumnBridge.graftSql(s, q)
+      val src = new graft.tables.SnapshotTable(s"$work/src")
+      src.write(s, Tables.orders(s, dir).select($"o_orderkey", $"o_custkey",
+        $"o_orderpriority".as("prio"), $"o_orderstatus".as("st")))
+      sqlRun(s"CREATE MATERIALIZED VIEW '$work/mv' ON '$work/src' KEYS (o_orderkey) " +
+        "GROUP BY (prio) AGG (count(*) AS n, count(distinct st) AS dc) " +
+        "INTO 32 BUCKETS").collect()
+      sqlRun(s"REFRESH MATERIALIZED VIEW '$work/mv'").collect()
+      sqlRun(s"ALTER MATERIALIZED VIEW '$work/mv' ENABLE REWRITE").collect()
+      try {
+        val q = src.readIndexed(s)
+          .agg(countDistinct($"st").as("dc"), count(lit(1)).as("n"))
+        val plan = q.queryExecution.optimizedPlan.toString
+        require(plan.contains("__dval") && !plan.contains("/src/_v"),
+          s"global count(distinct) must route via the pair relation:\n$plan")
+        val out = q.collect()
+        require(out.length == 1, "global aggregate must answer exactly one row")
+        s.createDataFrame(s.sparkContext.parallelize(out.toSeq, 1), q.schema)
+      } finally graft.plans.AggRollupRewrite.clear()
+      }
+    }),
+
     "q333_null_group_keys" -> ((s, dir) => {
       import s.implicits._
       val work = java.nio.file.Files.createTempDirectory("mvnullg").toString
@@ -7389,6 +7465,19 @@ object SparkEntry {
     // exact COUNT(DISTINCT) under updates AND deletes: the oracle is a
     // full distinct recompute of the final state — one customer's
     // priorities collapsed to a single new value, another customer gone
+    "q334_filter_clause_routing" ->
+      """SELECT o_custkey, count(*) AS n,
+        |  count(*) FILTER (WHERE o_orderpriority =
+        |    (SELECT min(o_orderpriority) FROM orders)) AS n_p,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (
+        |    WHERE o_orderpriority = (SELECT min(o_orderpriority) FROM orders))
+        |    AS DOUBLE) AS rev_p,
+        |  count(DISTINCT o_orderstatus) AS ds
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q335_global_distinct_routing" ->
+      """SELECT count(DISTINCT o_orderstatus) AS dc, count(*) AS n FROM orders""",
+
     "q323_mv_count_distinct" ->
       """WITH fin AS (
         |  SELECT o_orderkey, o_custkey,

@@ -561,10 +561,23 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
     def partial(kind: String, m: String): Option[Attribute] =
       if (r.measures.contains(m)) out.get(s"__${kind}_$m") else None
 
-    // a GLOBAL aggregate over an empty (or fully filtered-out) rollup
-    // yields NULL from the re-summed partial where SQL's COUNT is 0
-    def zeroWhenGlobal(e: Expression): Expression =
-      if (groupings.nonEmpty) e
+    // Per-aggregate `FILTER (WHERE p)` clauses route when p is a
+    // DIMENSION-ONLY predicate (the WHERE-clause pushdown's argument,
+    // per aggregate: the rollup partitions rows exactly by dimension
+    // tuples, so filtering rows by p ≡ filtering rollup groups by p, and
+    // the re-anchored FILTER on the re-aggregation selects exactly those
+    // groups' partials). Measure/key filters refuse as before.
+    def okFilter(fOpt: Option[Expression]): Boolean = fOpt.forall(e =>
+      dimOnly(e, r.dims) && e.references.forall(a => out.contains(a.name)))
+    def reanchored(fOpt: Option[Expression]): Option[Expression] =
+      fOpt.map(_.transform { case a: AttributeReference => out(a.name) })
+
+    // A COUNT whose re-summed partial sees no rows yields NULL where
+    // SQL's COUNT is 0 — over an empty/filtered-out rollup on a GLOBAL
+    // aggregate, and within any group whose rows a FILTER clause
+    // excludes entirely
+    def zeroWhen(e: Expression, filtered: Boolean): Expression =
+      if (groupings.nonEmpty && !filtered) e
       else org.apache.spark.sql.catalyst.expressions.Coalesce(
         Seq(e, Literal(0L)))
 
@@ -579,22 +592,30 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
           // rollup's own grain: distinct counts are not re-aggregable
           // across merged groups (SUM(__dc) over a coarser grouping would
           // double-count values present in several subsumed groups)
-          case AggregateExpression(Count(Seq(s: AttributeReference)), _, true, None, _)
-              if groupNames.toSet == r.dims.toSet =>
+          case AggregateExpression(Count(Seq(s: AttributeReference)), _, true, fOpt, _)
+              if groupNames.toSet == r.dims.toSet && okFilter(fOpt) =>
             partial("dc", s.name).map(p =>
-              ae.copy(aggregateFunction = Sum(p), isDistinct = false))
-          case AggregateExpression(f, _, false, None, _) => f match {
+              zeroWhen(ae.copy(aggregateFunction = Sum(p), isDistinct = false,
+                filter = reanchored(fOpt)), fOpt.nonEmpty))
+          case AggregateExpression(f, _, false, fOpt, _) if okFilter(fOpt) =>
+            val rf = reanchored(fOpt)
+            f match {
             case Sum(s: AttributeReference, _) =>
-              partial("sum", s.name).map(p => ae.copy(aggregateFunction = Sum(p)))
+              partial("sum", s.name).map(p =>
+                ae.copy(aggregateFunction = Sum(p), filter = rf))
             case Min(s: AttributeReference) =>
-              partial("min", s.name).map(p => ae.copy(aggregateFunction = Min(p)))
+              partial("min", s.name).map(p =>
+                ae.copy(aggregateFunction = Min(p), filter = rf))
             case Max(s: AttributeReference) =>
-              partial("max", s.name).map(p => ae.copy(aggregateFunction = Max(p)))
+              partial("max", s.name).map(p =>
+                ae.copy(aggregateFunction = Max(p), filter = rf))
             case c: Count if c.children.forall(_.isInstanceOf[Literal]) =>
-              Some(zeroWhenGlobal(ae.copy(aggregateFunction = Sum(out("__cnt")))))
+              Some(zeroWhen(ae.copy(aggregateFunction = Sum(out("__cnt")),
+                filter = rf), fOpt.nonEmpty))
             case c @ Count(Seq(s: AttributeReference)) =>
               partial("nn", s.name).map(p =>
-                zeroWhenGlobal(ae.copy(aggregateFunction = Sum(p))))
+                zeroWhen(ae.copy(aggregateFunction = Sum(p), filter = rf),
+                  fOpt.nonEmpty))
             case Average(s: AttributeReference, _) if s.dataType == DoubleType =>
               // divide by the NON-NULL count partial — `__cnt` would be
               // wrong the moment the measure has nulls (SQL avg ignores
@@ -605,9 +626,9 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
               // operands to the same slot (sum/sum ≡ 1.0)
               for (su <- partial("sum", s.name); nn <- partial("nn", s.name))
                 yield Divide(
-                  ae.copy(aggregateFunction = Sum(su),
+                  ae.copy(aggregateFunction = Sum(su), filter = rf,
                     resultId = NamedExpression.newExprId),
-                  Cast(ae.copy(aggregateFunction = Sum(nn),
+                  Cast(ae.copy(aggregateFunction = Sum(nn), filter = rf,
                     resultId = NamedExpression.newExprId), DoubleType))
             case _ => None
           }
@@ -650,10 +671,11 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
       aggExprs: Seq[NamedExpression], r: Rollup,
       filters: Seq[Expression]): Option[LogicalPlan] = {
     if (r.distincts.isEmpty) return None
-    // GLOBAL (no GROUP BY) aggregates refuse: SQL returns exactly one row
-    // even over an empty input (count = 0), while the frame composition
-    // below would return zero rows from an empty state — stay on the base
-    if (groupings.isEmpty) return None
+    // GLOBAL (no GROUP BY) aggregates route too (r12): `groupBy()` frames
+    // return exactly ONE row even over an empty input — SQL's global-
+    // aggregate shape — and the single-row frames compose by cross join;
+    // COUNT outputs coalesce to 0 below (SQL's empty-input answer, the
+    // q332 pattern)
     val groupNames = groupings.map {
       case a: AttributeReference => a.name
       case _ => return None
@@ -699,46 +721,83 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
     }
 
     // per output: the additive agg columns it needs (aliased fresh) and
-    // the final select column; distinct measures collect separately
+    // the final select column; distinct measures collect slots — one
+    // shared slot per unfiltered measure, one per filtered occurrence
+    // (each filter gates its own pair aggregation)
     val additive = scala.collection.mutable.ArrayBuffer.empty[Column]
-    val needed = scala.collection.mutable.LinkedHashSet.empty[String]
+    val distinctSlots =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Option[Column], String)]
     var sawDistinct = false
     var i = 0
     def fresh(): String = { i += 1; s"__rw_$i" }
-    def dTmp(m: String) = s"__rwd_$m"
+
+    // per-aggregate FILTER (WHERE p): a dimension-only p filters WHOLE
+    // rollup groups, so a filtered partial re-aggregation is expressed by
+    // nulling the partial outside p (`sum(when(p, partial))` — SQL
+    // aggregates skip nulls) and, for the pair relation, nulling the
+    // value (`countDistinct(when(p, value))`). Measure/key filters refuse.
+    def filterCol(ae: AggregateExpression): Option[Option[Column]] = ae.filter match {
+      case None => Some(None)
+      case Some(e) if dimOnly(e, r.dims) =>
+        Some(Some(org.apache.spark.sql.GraftColumnBridge.column(e.transform {
+          case a: AttributeReference =>
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(a.name))
+        })))
+      case _ => None
+    }
+    // COUNT-shaped outputs answer 0 (never NULL) when their filter — or
+    // an empty global input — leaves no rows, matching SQL
+    def zeroCoalesced(c: Column, counts: Boolean, filtered: Boolean): Column =
+      if (counts && (filtered || groupNames.isEmpty)) fcoalesce(c, lit(0L)) else c
 
     def additiveOf(ae: AggregateExpression): Option[Column] = {
-      if (ae.filter.nonEmpty) return None
+      val fOpt = filterCol(ae).getOrElse(return None)
+      def gated(c: Column): Column = fOpt.map(f => fwhen(f, c)).getOrElse(c)
       ae.aggregateFunction match {
         case _ if ae.isDistinct => ae.aggregateFunction match {
           case Count(Seq(s: AttributeReference)) if r.distincts.contains(s.name) =>
-            sawDistinct = true; needed += s.name
-            Some(fcoalesce(fc(dTmp(s.name)), lit(0L)))
+            sawDistinct = true
+            val slot = fOpt match {
+              case None =>
+                distinctSlots.collectFirst {
+                  case (m, None, n) if m == s.name => n
+                }.getOrElse {
+                  val n = s"__rwd_${distinctSlots.size}"
+                  distinctSlots += ((s.name, None, n)); n
+                }
+              case some =>
+                val n = s"__rwd_${distinctSlots.size}"
+                distinctSlots += ((s.name, some, n)); n
+            }
+            Some(fcoalesce(fc(slot), lit(0L)))
           case _ => None
         }
         case Sum(s: AttributeReference, _) =>
           partialName("sum", s.name).map { p =>
-            val t = fresh(); additive += fsum(fc(p)).as(t); fc(t)
+            val t = fresh(); additive += fsum(gated(fc(p))).as(t); fc(t)
           }
         case Min(s: AttributeReference) =>
           partialName("min", s.name).map { p =>
-            val t = fresh(); additive += fmin(fc(p)).as(t); fc(t)
+            val t = fresh(); additive += fmin(gated(fc(p))).as(t); fc(t)
           }
         case Max(s: AttributeReference) =>
           partialName("max", s.name).map { p =>
-            val t = fresh(); additive += fmax(fc(p)).as(t); fc(t)
+            val t = fresh(); additive += fmax(gated(fc(p))).as(t); fc(t)
           }
         case c: Count if c.children.forall(_.isInstanceOf[Literal]) =>
-          val t = fresh(); additive += fsum(fc("__cnt")).as(t); Some(fc(t))
+          val t = fresh(); additive += fsum(gated(fc("__cnt"))).as(t)
+          Some(zeroCoalesced(fc(t), counts = true, filtered = fOpt.nonEmpty))
         case Count(Seq(s: AttributeReference)) =>
           partialName("nn", s.name).map { p =>
-            val t = fresh(); additive += fsum(fc(p)).as(t); fc(t)
+            val t = fresh(); additive += fsum(gated(fc(p))).as(t)
+            zeroCoalesced(fc(t), counts = true, filtered = fOpt.nonEmpty)
           }
         case Average(s: AttributeReference, _) if s.dataType == DoubleType =>
           for (su <- partialName("sum", s.name); nn <- partialName("nn", s.name))
             yield {
               val t1 = fresh(); val t2 = fresh()
-              additive += fsum(fc(su)).as(t1); additive += fsum(fc(nn)).as(t2)
+              additive += fsum(gated(fc(su))).as(t1)
+              additive += fsum(gated(fc(nn))).as(t2)
               fwhen(fc(t2) > 0, fc(t1).cast(DoubleType) / fc(t2))
             }
         case _ => None
@@ -764,17 +823,32 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
     val aDf =
       if (additive.nonEmpty) {
         val aggsSeq = additive.toSeq
+        // groupBy() (global) returns exactly ONE row even over an empty
+        // state — SQL's global-aggregate shape
         state.groupBy(groupNames.map(fc): _*).agg(aggsSeq.head, aggsSeq.tail: _*)
-      } else state.select(groupNames.map(fc): _*).distinct()
-    val joined = needed.foldLeft(aDf) { (acc, m) =>
+      } else if (groupNames.nonEmpty) state.select(groupNames.map(fc): _*).distinct()
+      else r.spark.range(1).select() // one empty row: the global anchor
+    // one pair-frame read + one aggregation per distinct MEASURE, carrying
+    // every slot (unfiltered + each filtered occurrence) in one agg
+    val byMeasure: Seq[(String, Seq[(Option[Column], String)])] =
+      distinctSlots.map(_._1).distinct.toSeq.map(m =>
+        m -> distinctSlots.toSeq.collect { case (`m`, f, n) => (f, n) })
+    val joined = byMeasure.foldLeft(aDf) { case (acc, (m, slots)) =>
       val pairs = applyFilters(r.distincts(m)())
-      val b = pairs.groupBy(groupNames.map(fc): _*)
-        .agg(countDistinct(fc(DistinctValCol)).as(dTmp(m)))
-      // NULL-SAFE join: SQL GROUP BY groups null keys, and views encode/
-      // decode them — a plain usingColumns join would drop the null
-      // group's pair counts on the floor
-      val cond = groupNames.map(n => acc(n) <=> b(n)).reduce(_ && _)
-      groupNames.foldLeft(acc.join(b, cond, "left"))((d, n) => d.drop(b(n)))
+      val aggs = slots.map { case (f, n) =>
+        countDistinct(
+          f.map(fcol => fwhen(fcol, fc(DistinctValCol))).getOrElse(fc(DistinctValCol))
+        ).as(n)
+      }
+      val b = pairs.groupBy(groupNames.map(fc): _*).agg(aggs.head, aggs.tail: _*)
+      if (groupNames.isEmpty) acc.crossJoin(b) // both single-row
+      else {
+        // NULL-SAFE join: SQL GROUP BY groups null keys, and views encode/
+        // decode them — a plain usingColumns join would drop the null
+        // group's pair counts on the floor
+        val cond = groupNames.map(n => acc(n) <=> b(n)).reduce(_ && _)
+        groupNames.foldLeft(acc.join(b, cond, "left"))((d, n) => d.drop(b(n)))
+      }
     }
     val plan = joined.select(outs: _*).queryExecution.analyzed
     val projections = aggExprs.zip(plan.output).map { case (orig, att) =>

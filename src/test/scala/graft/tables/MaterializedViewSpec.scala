@@ -312,30 +312,103 @@ class MaterializedViewSpec extends AnyFunSuite {
     } finally graft.plans.AggRollupRewrite.clear()
   }
 
-  test("global (no GROUP BY) count(distinct) stays on the base and answers 0 when empty") {
+  test("global (no GROUP BY) count(distinct) ROUTES and answers 0 over an empty state") {
     val work = tmp("mvglob")
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext)
     org.apache.spark.sql.GraftColumnBridge.applyExtensions(ext, spark)
     val src = new SnapshotTable(s"$work/src")
-    src.write(spark, Seq((1, "a", "X")).toDF("k", "g", "v"))
+    src.write(spark, Seq((1, "a", "X"), (2, "a", "Y"), (3, "b", "X"))
+      .toDF("k", "g", "v"))
     val mv = MaterializedAggView.create(spark, s"$work/mv", s"$work/src",
       Seq("k"), Seq("g"),
-      Seq(MaterializedAggView.Agg("count_distinct", Some("v"), "dv")), 4)
-    mv.refresh(spark)
-    // everything deleted: the state has zero live rows
-    src.write(spark, Seq.empty[(Int, String, String)].toDF("k", "g", "v"))
+      Seq(MaterializedAggView.Agg("count", None, "n"),
+        MaterializedAggView.Agg("count_distinct", Some("v"), "dv")), 4)
     mv.refresh(spark)
     try {
       mv.registerRewrite(spark)
-      // a GLOBAL aggregate must NOT route: SQL returns exactly one row
-      // (count = 0) over an empty input, while a frame composition over
-      // the empty state would return zero rows — the base answers
-      val q = src.readIndexed(spark).agg(countDistinct(col("v")).as("dv"))
-      assert(!q.queryExecution.optimizedPlan.toString.contains("__dval"),
-        "global aggregates must not route through the pair relation")
-      val got = q.as[Long].collect().toSeq
-      assert(got == Seq(0L), got.toString)
+      // a GLOBAL aggregate routes through the pair relation (r12): the
+      // groupBy() frames return exactly one row even over an empty input
+      val q = src.readIndexed(spark)
+        .agg(countDistinct(col("v")).as("dv"), count(lit(1)).as("n"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("__dval") && !plan.contains("/src/_v"),
+        s"global count(distinct) must route via the pair relation:\n$plan")
+      assert(q.as[(Long, Long)].collect().toSeq == Seq((2L, 3L)))
+      // everything deleted: the state has zero live rows — SQL's answer
+      // is still exactly one row with count 0
+      src.write(spark, Seq.empty[(Int, String, String)].toDF("k", "g", "v"))
+      mv.refresh(spark)
+      val z = src.readIndexed(spark).agg(countDistinct(col("v")).as("dv"),
+        count(lit(1)).as("n"))
+      assert(!z.queryExecution.optimizedPlan.toString.contains("/src/_v"),
+        "the empty-state global aggregate must still route")
+      assert(z.as[(Long, Long)].collect().toSeq == Seq((0L, 0L)))
+    } finally graft.plans.AggRollupRewrite.clear()
+  }
+
+  test("FILTER (WHERE dim-pred) aggregates route; measure/key filters refuse") {
+    val work = tmp("mvaggfilt")
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    org.apache.spark.sql.GraftColumnBridge.applyExtensions(ext, spark)
+    val src = new SnapshotTable(s"$work/src")
+    src.write(spark, Seq((1, "a", "r1", 10L, "X"), (2, "a", "r2", 20L, "Y"),
+      (3, "b", "r1", 40L, "X"), (4, "b", "r1", 5L, "X"))
+      .toDF("k", "g", "h", "x", "v"))
+    val mv = MaterializedAggView.create(spark, s"$work/mv", s"$work/src",
+      Seq("k"), Seq("g", "h"),
+      Seq(MaterializedAggView.Agg("count", None, "n"),
+        MaterializedAggView.Agg("sum", Some("x"), "sx"),
+        MaterializedAggView.Agg("count_distinct", Some("v"), "dv")), 4)
+    mv.refresh(spark)
+    try {
+      mv.registerRewrite(spark)
+      import org.apache.spark.sql.functions.expr
+      // filtered + unfiltered aggregates in one SELECT, at a coarser
+      // grain with a plain distinct — all routed (FILTER (WHERE …) is
+      // SQL-only syntax; expr() parses it into AggregateExpression.filter)
+      val q = src.readIndexed(spark).groupBy(col("g"))
+        .agg(count(lit(1)).as("n"),
+          expr("count(*) FILTER (WHERE h = 'r1')").as("n_r1"),
+          expr("sum(x) FILTER (WHERE h = 'r1')").as("sx_r1"),
+          countDistinct(col("v")).as("dv"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("__dval") && !plan.contains("/src/_v"),
+        s"FILTER(dim-pred) aggregates must route:\n$plan")
+      assert(q.as[(String, Long, Long, Option[Long], Long)].collect().toSet ==
+        Set(("a", 2L, 1L, Some(10L), 2L), ("b", 2L, 2L, Some(45L), 1L)))
+      // a FILTERED DISTINCT is pre-expanded by RewriteDistinctAggregates
+      // before any injected optimizer rule runs — it stays on the base
+      // (and answers correctly); pin the refusal so a Spark upgrade that
+      // changes batch order surfaces here
+      val qfd = src.readIndexed(spark).groupBy(col("g"))
+        .agg(expr("count(DISTINCT v) FILTER (WHERE h = 'r2')").as("dv_r2"))
+      assert(!qfd.queryExecution.optimizedPlan.toString.contains("__dval"),
+        "filtered distinct stays on the base (pre-expanded before our rule)")
+      assert(qfd.as[(String, Long)].collect().toSet ==
+        Set(("a", 1L), ("b", 0L)))
+      // exact-grain FILTER (no coarsening) routes via the partial rebuild
+      val qe = src.readIndexed(spark).groupBy(col("g"), col("h"))
+        .agg(expr("sum(x) FILTER (WHERE h <> 'r2')").as("sx"),
+          expr("count(*) FILTER (WHERE g = 'a')").as("na"))
+      assert(!qe.queryExecution.optimizedPlan.toString.contains("/src/_v"),
+        "exact-grain FILTER(dim-pred) must route")
+      assert(qe.as[(String, String, Option[Long], Long)].collect().toSet ==
+        Set(("a", "r1", Some(10L), 1L), ("a", "r2", None, 1L),
+          ("b", "r1", Some(45L), 0L)))
+      // a MEASURE filter must refuse (scan the base)
+      val qm = src.readIndexed(spark).groupBy(col("g"))
+        .agg(expr("count(*) FILTER (WHERE x > 15)").as("n"))
+      assert(!qm.queryExecution.optimizedPlan.toString.contains("__cnt"),
+        "measure filters must stay on the base")
+      assert(qm.as[(String, Long)].collect().toSet == Set(("a", 1L), ("b", 1L)))
+      // a KEY filter must refuse too
+      val qk = src.readIndexed(spark).groupBy(col("g"))
+        .agg(expr("count(DISTINCT v) FILTER (WHERE k > 2)").as("dv"))
+      assert(!qk.queryExecution.optimizedPlan.toString.contains("__dval"),
+        "key filters must stay on the base")
+      assert(qk.as[(String, Long)].collect().toSet == Set(("a", 0L), ("b", 1L)))
     } finally graft.plans.AggRollupRewrite.clear()
   }
 
