@@ -5858,6 +5858,48 @@ object SparkEntry {
       }
     }),
 
+    // ── VARIANCE/STDDEV IN MATERIALIZED VIEWS (r12): var_samp/stddev_samp
+    //    maintained via EXACT Σx/Σx² decimal partials — additive AND
+    //    retractable (update+delete refreshes reproduce a recompute's
+    //    partials bit for bit), the same cost class as sum. The read-back
+    //    double derivation (Σx² − (Σx)²/n)/(n−1) is deterministic from
+    //    exact partials, so DuckDB replays it bit-identically.
+    "q336_mv_variance" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("mvvar").toString
+      withShufflePartitions(s, 8) {
+      val sqlRun = (q: String) => org.apache.spark.sql.GraftColumnBridge.graftSql(s, q)
+      val src = new graft.tables.SnapshotTable(s"$work/src")
+      // price = totalprice mod 1000: keeps every Σx² numerator below 2⁵³,
+      // where decimal→double conversion is exact in BOTH engines (DuckDB's
+      // int128→double path double-rounds above it; Spark's BigDecimal path
+      // rounds once — a 1-ulp divergence on huge partials otherwise)
+      val o = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey",
+        ($"o_totalprice" % 1000).cast("decimal(18,2)").as("price"))
+      src.write(s, o)
+      sqlRun(s"CREATE MATERIALIZED VIEW '$work/mv' ON '$work/src' KEYS (o_orderkey) " +
+        "GROUP BY (o_custkey) AGG (count(*) AS n, var_samp(price) AS vp, " +
+        "stddev_samp(price) AS sp) INTO 32 BUCKETS").collect()
+      sqlRun(s"REFRESH MATERIALIZED VIEW '$work/mv'").collect() // bootstrap
+      // one window with BOTH retraction kinds: one customer's prices all
+      // shift (update: old squares retract, new ones fold), another's
+      // orders are deleted outright (group tombstones)
+      val cust = o.agg(min($"o_custkey")).as[Long].head()
+      val cust2 = o.agg(max($"o_custkey")).as[Long].head()
+      src.write(s, o.withColumn("price",
+          when($"o_custkey" === cust, ($"price" + lit(new java.math.BigDecimal("5.00")))
+            .cast("decimal(18,2)")).otherwise($"price"))
+        .filter($"o_custkey" =!= cust2))
+      val r2 = sqlRun(s"REFRESH MATERIALIZED VIEW '$work/mv'").collect().head
+      require(r2.getInt(1) > 0 && r2.getInt(1) <= 4,
+        s"a two-group change must rewrite O(1) state buckets, got ${r2.getInt(1)}")
+      sqlRun(s"MATERIALIZED VIEW '$work/mv'")
+        .select($"o_custkey", $"n", round($"vp", 6).as("vp"),
+          round($"sp", 6).as("sp"))
+        .orderBy($"o_custkey")
+      }
+    }),
+
     "q333_null_group_keys" -> ((s, dir) => {
       import s.implicits._
       val work = java.nio.file.Files.createTempDirectory("mvnullg").toString
@@ -7477,6 +7519,31 @@ object SparkEntry {
 
     "q335_global_distinct_routing" ->
       """SELECT count(DISTINCT o_orderstatus) AS dc, count(*) AS n FROM orders""",
+
+    // replays the view's exact-partial derivation: decimal Σx/Σx² sums
+    // (order-free exact in both engines), correctly-rounded casts, the
+    // same double expression tree — bit-identical before the round(6)
+    "q336_mv_variance" ->
+      """WITH fin AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_custkey = (SELECT min(o_custkey) FROM orders)
+        |         THEN CAST(CAST(o_totalprice % 1000 AS DECIMAL(18,2)) +
+        |                   CAST(5.00 AS DECIMAL(18,2)) AS DECIMAL(18,2))
+        |         ELSE CAST(o_totalprice % 1000 AS DECIMAL(18,2)) END AS price
+        |  FROM orders
+        |  WHERE o_custkey <> (SELECT max(o_custkey) FROM orders)),
+        |agg AS (
+        |  SELECT o_custkey, count(*) AS n, count(price) AS nn,
+        |    SUM(price) AS sm, SUM(price * price) AS sq
+        |  FROM fin GROUP BY o_custkey)
+        |SELECT o_custkey, n,
+        |  round(CASE WHEN nn > 1 THEN greatest(
+        |    (CAST(sq AS DOUBLE) - CAST(sm AS DOUBLE)*CAST(sm AS DOUBLE)/CAST(nn AS DOUBLE))
+        |      / (CAST(nn AS DOUBLE) - 1.0), 0.0) END, 6) AS vp,
+        |  round(CASE WHEN nn > 1 THEN sqrt(greatest(
+        |    (CAST(sq AS DOUBLE) - CAST(sm AS DOUBLE)*CAST(sm AS DOUBLE)/CAST(nn AS DOUBLE))
+        |      / (CAST(nn AS DOUBLE) - 1.0), 0.0)) END, 6) AS sp
+        |FROM agg ORDER BY o_custkey""".stripMargin,
 
     "q323_mv_count_distinct" ->
       """WITH fin AS (

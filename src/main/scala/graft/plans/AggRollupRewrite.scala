@@ -4,8 +4,8 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Divide, EqualTo, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, CaseWhen, Cast, Divide, EqualTo, Expression, GreaterThan, Greatest, Literal, Multiply, NamedExpression, Sqrt, Subtract}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, StddevPop, StddevSamp, Sum, VariancePop, VarianceSamp}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -205,6 +205,19 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
               Rollup(st.spark, st.provider, st.groupBy, st.measures, st.distincts), fs) })
           .getOrElse(agg)
     }
+
+  /** The measure attribute under a variance aggregate — possibly beneath
+    * the implicit `cast(x as double)` the analyzer inserts for non-double
+    * inputs (the partials are maintained over the RAW measure; the
+    * double derivation matches to float tolerance either way). */
+  private object MeasureAttr {
+    def unapply(e: Expression): Option[AttributeReference] = e match {
+      case a: AttributeReference => Some(a)
+      case c: Cast if c.dataType == DoubleType =>
+        c.child match { case a: AttributeReference => Some(a); case _ => None }
+      case _ => None
+    }
+  }
 
   /** A conjunct that may be APPLIED to the rollup instead of refusing
     * the rewrite: deterministic, subquery-free, and referencing ONLY the
@@ -630,9 +643,43 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
                     resultId = NamedExpression.newExprId),
                   Cast(ae.copy(aggregateFunction = Sum(nn), filter = rf,
                     resultId = NamedExpression.newExprId), DoubleType))
+            // variance family (r12): re-aggregable from the EXACT Σx/Σx²/n
+            // partials a variance view maintains — the same deterministic
+            // derivation the view's read() uses, so a routed answer equals
+            // a view read (and a recompute to float-derivation tolerance).
+            // MeasureAttr unwraps the implicit decimal→double input cast
+            // the analyzer inserts under variance aggregates.
+            case VarianceSamp(MeasureAttr(s), _) =>
+              rebuildVar(s.name, pop = false, std = false)
+            case VariancePop(MeasureAttr(s), _) =>
+              rebuildVar(s.name, pop = true, std = false)
+            case StddevSamp(MeasureAttr(s), _) =>
+              rebuildVar(s.name, pop = false, std = true)
+            case StddevPop(MeasureAttr(s), _) =>
+              rebuildVar(s.name, pop = true, std = true)
             case _ => None
           }
           case _ => None
+        }
+        def rebuildVar(m: String, pop: Boolean, std: Boolean): Option[Expression] = {
+          val ae = childExpr match {
+            case e: AggregateExpression => e
+            case c: Cast => c.child.asInstanceOf[AggregateExpression]
+          }
+          val rf = reanchored(ae.filter)
+          for (su <- partial("sum", m); nn <- partial("nn", m);
+               sq <- partial("sumsq", m)) yield {
+            def sumOf(p: Attribute): Expression =
+              Cast(ae.copy(aggregateFunction = Sum(p), filter = rf,
+                resultId = NamedExpression.newExprId), DoubleType)
+            val n = sumOf(nn); val s1 = sumOf(su); val s2 = sumOf(sq)
+            val divisor: Expression = if (pop) n else Subtract(n, Literal(1.0))
+            val raw = Divide(Subtract(s2, Divide(Multiply(s1, s1), n)), divisor)
+            val clamped = Greatest(Seq(raw, Literal(0.0)))
+            val body: Expression = if (std) Sqrt(clamped) else clamped
+            CaseWhen(Seq((GreaterThan(n, Literal(if (pop) 0.0 else 1.0)), body)),
+              None)
+          }
         }
         val newChild: Expression = childExpr match {
           case a: AttributeReference if groupNames.contains(a.name) => out(a.name)

@@ -839,7 +839,7 @@ case class DescribeHistoryCommand(path: String) extends LeafRunnableCommand {
 
 object GraftSqlParser {
   private val AggItem =
-    """(?is)\s*(count|sum|avg|min|max)\s*\(\s*(\*|\w+)\s*\)\s+AS\s+(\w+)\s*""".r
+    """(?is)\s*(count|sum|avg|min|max|var_samp|var_pop|stddev_samp|stddev_pop)\s*\(\s*(\*|\w+)\s*\)\s+AS\s+(\w+)\s*""".r
   private val DistinctItem =
     """(?is)\s*count\s*\(\s*distinct\s+(\w+)\s*\)\s+AS\s+(\w+)\s*""".r
 

@@ -199,6 +199,7 @@ final class MaterializedAggView(val root: String) {
 
     // one shuffle on the group key: signed counts + signed sums per agg
     val accTypes = accumulatorTypes(sp.aggs, feed.schema)
+    val sqTypes = sumSqTypes(sp.aggs, feed.schema)
     val deltaAggs: Seq[Column] =
       sum(sign).as(NCol) +: sp.aggs.flatMap { a =>
         a.fn match {
@@ -207,6 +208,29 @@ final class MaterializedAggView(val root: String) {
             sum(when(col(mcol(a.col.get)).isNotNull, sign).otherwise(0L)).as(nnCol(a.as)))
           case "count_distinct" => Nil // maintained via the aux table below
           case "min" | "max" => Nil // non-invertible: rescanned below
+          case fn if VarFns(fn) =>
+            // variance family: Σx and Σx² partials, both EXACT (decimal)
+            // hence retractable without drift. The square multiplies in
+            // the measure's NATURAL decimal type ((p,s)×(p,s) → (2p+1,2s),
+            // exact for p ≤ 18 — squaring in the already-widened (38,2s)
+            // type would trip Spark's precision-loss scale reduction) and
+            // integrals go through DECIMAL(19,0) (a long's square
+            // overflows long); only then widen to the accumulator type.
+            val c = mcol(a.col.get)
+            val t = accTypes(a.as)
+            val t2 = sqTypes(a.as)
+            val sqBase: Column = feed.schema(c).dataType match {
+              case _: DecimalType => col(c)
+              case _: FloatType | _: DoubleType => col(c).cast(DoubleType)
+              case _ => col(c).cast(DecimalType(19, 0))
+            }
+            val sq = (sqBase * sqBase).cast(t2)
+            Seq(
+              sum(when(col(c).isNotNull, sign).otherwise(0L)).as(nnCol(a.as)),
+              sum(when(col(c).isNotNull, col(c).cast(t) * sign).otherwise(lit(null)))
+                .cast(t).as(sumCol(a.as)),
+              sum(when(col(c).isNotNull, (sq * sign).cast(t2)).otherwise(lit(null)))
+                .cast(t2).as(sumSqCol(a.as)))
           case "sum" | "avg" =>
             val c = mcol(a.col.get)
             val t = accTypes(a.as)
@@ -219,7 +243,8 @@ final class MaterializedAggView(val root: String) {
     val (delta0, preparedPairs): (DataFrame, Option[DataFrame]) =
       if (onePass) {
         val (d0, pp) = onePassDeltas(feed, sign, gk,
-          mcol(distinctAggs.head.col.get), deltaAggs, sumTypesOf(accTypes))
+          mcol(distinctAggs.head.col.get), deltaAggs,
+          sumTypesOf(accTypes, sqTypes))
         (d0, Some(pp))
       } else
         (feed.groupBy(gk.map(col): _*).agg(deltaAggs.head, deltaAggs.tail: _*),
@@ -262,6 +287,9 @@ final class MaterializedAggView(val root: String) {
           case "count" => Seq(nnCol(a.as) -> LongType)
           case "count_distinct" => Seq(dcCol(a.as) -> LongType)
           case "min" | "max" => Nil
+          case fn if VarFns(fn) =>
+            Seq(nnCol(a.as) -> LongType, sumCol(a.as) -> accTypes(a.as),
+              sumSqCol(a.as) -> sqTypes(a.as))
           case _ => Seq(nnCol(a.as) -> LongType, sumCol(a.as) -> accTypes(a.as))
         }
       }
@@ -341,6 +369,10 @@ final class MaterializedAggView(val root: String) {
       .groupBy(a => (a.fn, a.col.get)).map { case ((fn, m), as) => (fn, m, as.head.as) }
     val dcs = sp.aggs.filter(_.fn == "count_distinct")
       .groupBy(_.col.get).map { case (m, as) => m -> as.head.as }
+    // variance measures expose __sumsq_ always, plus __sum_/__nn_ when no
+    // sum/avg/count(c) aggregate over the same measure already does
+    val vars = sp.aggs.filter(a => VarFns(a.fn))
+      .groupBy(_.col.get).map { case (m, as) => m -> as.head.as }
     val cols: Seq[Column] =
       sp.groupBy.map(col) ++
         Seq(col(NCol).as("__cnt")) ++
@@ -355,7 +387,14 @@ final class MaterializedAggView(val root: String) {
         } ++
         nnOnly.toSeq.map { case (m, as) => col(nnCol(as)).as(s"__nn_$m") } ++
         mm.toSeq.map { case (fn, m, as) => col(mmCol(fn, as)).as(s"__${fn}_$m") } ++
-        dcs.toSeq.map { case (m, as) => col(dcCol(as)).as(s"__dc_$m") }
+        dcs.toSeq.map { case (m, as) => col(dcCol(as)).as(s"__dc_$m") } ++
+        vars.toSeq.flatMap { case (m, as) =>
+          Seq(when(col(nnCol(as)) > 0, col(sumSqCol(as))).as(s"__sumsq_$m")) ++
+            (if (perMeasure.contains(m)) Nil
+             else Seq(when(col(nnCol(as)) > 0, col(sumCol(as))).as(s"__sum_$m"))) ++
+            (if (perMeasure.contains(m) || nnOnly.contains(m)) Nil
+             else Seq(col(nnCol(as)).as(s"__nn_$m")))
+        }
     raw.select(cols: _*)
   }
 
@@ -421,6 +460,20 @@ final class MaterializedAggView(val root: String) {
         case "sum" => when(col(nnCol(a.as)) > 0, col(sumCol(a.as))).as(a.as)
         case "avg" => when(col(nnCol(a.as)) > 0,
           col(sumCol(a.as)).cast(DoubleType) / col(nnCol(a.as))).as(a.as)
+        case fn if VarFns(fn) =>
+          // deterministic double derivation from EXACT partials:
+          // (Σx² − (Σx)²/n) / (n − ddof); clamped at 0 against float
+          // cancellation; NULL below the SQL row minimum (samp: n>1,
+          // pop: n>0)
+          val nn = col(nnCol(a.as)).cast(DoubleType)
+          val sm = col(sumCol(a.as)).cast(DoubleType)
+          val sq = col(sumSqCol(a.as)).cast(DoubleType)
+          val pop = fn.endsWith("_pop")
+          val v = greatest(
+            (sq - sm * sm / nn) / (if (pop) nn else nn - 1.0), lit(0.0))
+          val minN = if (pop) 0 else 1
+          when(col(nnCol(a.as)) > minN,
+            if (fn.startsWith("stddev")) sqrt(v) else v).as(a.as)
       }
     }
     raw.select(sp.groupBy.map(col) ++ outs: _*)
@@ -525,6 +578,7 @@ object MaterializedAggView {
   private val VcNewCol = "__mv_vc_new"
   private def nnCol(as: String) = s"__mv_nn_$as"
   private def sumCol(as: String) = s"__mv_sum_$as"
+  private def sumSqCol(as: String) = s"__mv_sumsq_$as"
   private def mmCol(fn: String, as: String) = s"__mv_${fn}_$as"
   private def dcCol(as: String) = s"__mv_dc_$as"
 
@@ -651,8 +705,10 @@ object MaterializedAggView {
 
   /** [[onePassDeltas]]' sum-accumulator type map: re-aggregated decimal
     * partials must cast back to the accumulator type the state stores. */
-  private[tables] def sumTypesOf(accTypes: Map[String, DataType]): Map[String, DataType] =
-    accTypes.map { case (as, t) => sumCol(as) -> t }
+  private[tables] def sumTypesOf(accTypes: Map[String, DataType],
+      sqTypes: Map[String, DataType] = Map.empty): Map[String, DataType] =
+    accTypes.map { case (as, t) => sumCol(as) -> t } ++
+      sqTypes.map { case (as, t) => sumSqCol(as) -> t }
 
   /** One count-distinct measure's live (groupBy…, value) PAIR relation in
     * routing format (value as [[graft.plans.AggRollupRewrite.DistinctValCol]]),
@@ -730,6 +786,13 @@ object MaterializedAggView {
     }
   }
 
+  /** Variance-family aggregates (r12): maintained EXACTLY via sum +
+    * sum-of-squares partials — both additive and retractable, the same
+    * cost class as sum. The final value is a deterministic double
+    * derivation from exact partials: `(Σx² − (Σx)²/n) / (n − ddof)`. */
+  private[tables] val VarFns =
+    Set("var_samp", "var_pop", "stddev_samp", "stddev_pop")
+
   /** Accumulator type for one additive measure: exact for integrals
     * (LONG) and decimals (DECIMAL(p+10, s) — Spark's own sum widening);
     * double for floats. ONE copy shared by all three view kinds — a
@@ -743,14 +806,44 @@ object MaterializedAggView {
       s"$fn($colName): unsupported measure type $other")
   }
 
-  /** Accumulator type per agg output (see [[accumulatorType]]). */
+  /** Sum-of-SQUARES accumulator type for a variance measure: exact
+    * decimals where the square stays exact (integrals → DECIMAL(38,0),
+    * decimals with p ≤ 18 → DECIMAL(38, 2s) — the square's natural scale),
+    * double for floats. Exactness is what makes the partials retractable
+    * without drift: update+delete refreshes reproduce a recompute's
+    * partials bit for bit. */
+  private[tables] def sumSqType(fn: String, colName: String,
+      dt: DataType): DataType = dt match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType =>
+      DecimalType(38, 0) // x² of a long overflows long; exact in 38 digits
+    case d: DecimalType =>
+      require(d.precision <= 18,
+        s"$fn($colName): variance over DECIMAL(p > 18) cannot keep an exact " +
+          "square partial (2p+1 > 38) — cast the measure down first")
+      DecimalType(38, math.min(18, 2 * d.scale))
+    case _: FloatType | _: DoubleType => DoubleType
+    case other => throw new IllegalArgumentException(
+      s"$fn($colName): unsupported measure type $other")
+  }
+
+  /** Accumulator type per agg output (see [[accumulatorType]]) — sum/avg
+    * AND the variance family (whose Σx partial uses the same widening). */
   private[tables] def accumulatorTypes(aggs: Seq[Agg],
       feedSchema: StructType): Map[String, DataType] =
     aggs.collect {
-      case a if a.fn == "sum" || a.fn == "avg" =>
+      case a if a.fn == "sum" || a.fn == "avg" || VarFns(a.fn) =>
         val c = a.col.getOrElse(throw new IllegalArgumentException(
           s"${a.fn} needs a column"))
         a.as -> accumulatorType(a.fn, c, feedSchema(c).dataType)
+    }.toMap
+
+  /** Σx² accumulator type per variance agg output (see [[sumSqType]]). */
+  private[tables] def sumSqTypes(aggs: Seq[Agg],
+      feedSchema: StructType): Map[String, DataType] =
+    aggs.collect {
+      case a if VarFns(a.fn) =>
+        val c = a.col.get
+        a.as -> sumSqType(a.fn, c, feedSchema(c).dataType)
     }.toMap
 
   /** Declare the view: persist the spec (no data moves until the first
@@ -765,9 +858,11 @@ object MaterializedAggView {
       "column names starting with __mv_ are reserved for view bookkeeping")
     require(aggs.nonEmpty, "materialized view needs at least one aggregate")
     aggs.foreach { a =>
-      require(Set("count", "sum", "avg", "min", "max", "count_distinct")(a.fn),
+      require(
+        (Set("count", "sum", "avg", "min", "max", "count_distinct") ++ VarFns)(a.fn),
         s"unsupported aggregate '${a.fn}'")
-      require(allowRescan || Set("count", "sum", "avg", "count_distinct")(a.fn),
+      require(allowRescan ||
+        (Set("count", "sum", "avg", "count_distinct") ++ VarFns)(a.fn),
         s"'${a.fn}' is not invertible and cannot be maintained from the " +
           "change feed alone — opt into WITH RESCAN (each refresh then " +
           "recomputes min/max for the changed groups from the source)")

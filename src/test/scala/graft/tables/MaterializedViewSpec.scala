@@ -632,6 +632,82 @@ class MaterializedViewSpec extends AnyFunSuite {
       Set((Seq("t1"), Some(10L)), (Seq("t2"), Some(20L))))
   }
 
+  test("var_samp/stddev maintained via exact Σx/Σx² partials ≡ recompute through update+delete; routing rewrites") {
+    val work = tmp("mvvar")
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    org.apache.spark.sql.GraftColumnBridge.applyExtensions(ext, spark)
+    val src = new SnapshotTable(s"$work/src")
+    def price(v: String) = new java.math.BigDecimal(v)
+    src.write(spark, Seq((1, "a", "10.25"), (2, "a", "20.75"), (3, "a", "14.00"),
+        (4, "b", "7.50"), (5, "b", "9.00"), (6, "c", "3.00"))
+      .toDF("k", "g", "p0").withColumn("x", col("p0").cast("decimal(18,2)"))
+      .drop("p0"))
+    sql(s"CREATE MATERIALIZED VIEW '$work/mv' ON '$work/src' KEYS (k) " +
+      "GROUP BY (g) AGG (count(*) AS n, var_samp(x) AS vx, " +
+      "stddev_samp(x) AS sx, var_pop(x) AS vpx) INTO 4 BUCKETS").collect()
+    val mv = new MaterializedAggView(s"$work/mv")
+    mv.refresh(spark)
+    def recompute: Map[String, (Long, Option[Double], Option[Double], Option[Double])] =
+      src.read(spark).groupBy("g")
+        .agg(count(lit(1)).as("n"), var_samp(col("x")).as("vx"),
+          stddev_samp(col("x")).as("sx"), var_pop(col("x")).as("vpx"))
+        .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+        .collect().map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    def viewRows: Map[String, (Long, Option[Double], Option[Double], Option[Double])] =
+      mv.read(spark)
+        .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+        .collect().map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    def assertClose(): Unit = {
+      val want = recompute; val got = viewRows
+      assert(got.keySet == want.keySet, s"groups: $got vs $want")
+      got.foreach { case (g, (n, vx, sx, vpx)) =>
+        val (wn, wvx, wsx, wvpx) = want(g)
+        assert(n == wn, s"$g count")
+        def close(a: Option[Double], b: Option[Double], what: String): Unit =
+          (a, b) match {
+            case (None, None) => ()
+            case (Some(x), Some(y)) =>
+              assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(y)),
+                s"$g $what: $x vs $y")
+            case _ => fail(s"$g $what nullability: $a vs $b")
+          }
+        close(vx, wvx, "var_samp"); close(sx, wsx, "stddev_samp")
+        close(vpx, wvpx, "var_pop")
+      }
+    }
+    assertClose()
+    // single-row group c: var_samp NULL, var_pop 0 — pinned via recompute
+    assert(viewRows("c")._2.isEmpty && viewRows("c")._4.contains(0.0))
+    // UPDATE one group's values and DELETE another in one window: the
+    // exact Σx/Σx² partials retract without drift
+    src.write(spark, Seq((1, "a", "11.00"), (2, "a", "20.75"), (3, "a", "99.99"),
+        (6, "c", "3.00"), (7, "c", "4.50"))
+      .toDF("k", "g", "p0").withColumn("x", col("p0").cast("decimal(18,2)"))
+      .drop("p0"))
+    mv.refresh(spark)
+    assertClose()
+    // routing: var_samp/stddev over the base rewrite to the partials
+    try {
+      mv.registerRewrite(spark)
+      val q = src.readIndexed(spark).groupBy(col("g"))
+        .agg(var_samp(col("x").cast("double")).as("vx"),
+          stddev_samp(col("x").cast("double")).as("sx"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("__sumsq_x") && !plan.contains("/src/_v"),
+        s"variance must route to the Σx² partial:\n$plan")
+      val got = q.as[(String, Option[Double], Option[Double])].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      val want = recompute
+      got.foreach { case (g, (vx, sx)) =>
+        assert(math.abs(vx.getOrElse(Double.NaN) - want(g)._2.getOrElse(Double.NaN))
+          <= 1e-9 || (vx.isEmpty && want(g)._2.isEmpty), s"$g routed var")
+        assert(math.abs(sx.getOrElse(Double.NaN) - want(g)._3.getOrElse(Double.NaN))
+          <= 1e-9 || (sx.isEmpty && want(g)._3.isEmpty), s"$g routed stddev")
+      }
+    } finally graft.plans.AggRollupRewrite.clear()
+  }
+
   test("racing refreshers serialize on the view lock: no window double-folds") {
     val work = tmp("mvrace")
     val src = new SnapshotTable(s"$work/src")
