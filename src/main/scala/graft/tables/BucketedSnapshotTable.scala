@@ -921,15 +921,18 @@ final class BucketedSnapshotTable(
       val stagedHasData = f.listStatus(new Path(s"$root/$staging"))
         .exists(_.getPath.getName.startsWith(s"$BucketCol="))
       // per-batch stats computed on the staging files, then re-pointed at
-      // the final dir — keeps the locked critical section metadata-sized
+      // the final dir — keeps the locked critical section metadata-sized.
+      // Index columns come from the writer OR the manifest header
+      // (effectiveIndexCols): every commit keeps the table's index fresh
+      val (effStatsC, effBloomC) = effectiveIndexCols(spark, v0)
       val stagedStats: Seq[String] =
-        if (statsCols.isEmpty || !stagedHasData) Nil
-        else StatsManifest.lines(spark.read.parquet(s"$root/$staging"), statsCols)
+        if (effStatsC.isEmpty || !stagedHasData) Nil
+        else StatsManifest.lines(spark.read.parquet(s"$root/$staging"), effStatsC)
       // bloom sidecars land INSIDE the staging dir (underscore-hidden from
       // parquet reads) so the rename carries them; only the manifest's
       // file paths need re-pointing after the flip
-      if (bloomCols.nonEmpty && stagedHasData)
-        writeBloom(spark, spark.read.parquet(s"$root/$staging"), staging)
+      if (effBloomC.nonEmpty && stagedHasData)
+        writeBloom(spark, spark.read.parquet(s"$root/$staging"), staging, effBloomC)
 
       var replayed = false
       val committed = CommitLock.withLockHandle(f, root, commitStaleMs) { lockH =>
@@ -975,7 +978,7 @@ final class BucketedSnapshotTable(
           if (stagedStats.nonEmpty)
             StatsManifest.writeLines(f, batchStatsPath(batchDir),
               stagedStats.map(_.replace(s"/$staging/", s"/$batchDir/")))
-          if (bloomCols.nonEmpty) repointBloom(f, batchDir, staging, None)
+          if (effBloomC.nonEmpty) repointBloom(f, batchDir, staging, None)
           lockH.check() // paused-holder guard: abort rather than double-flip
           // A bucket whose merged content is EMPTY (every key tombstoned
           // by a delete flow) writes no partition dir — its manifest entry
@@ -1025,11 +1028,36 @@ final class BucketedSnapshotTable(
     * files; filter bytes never aggregate at the driver (see
     * [[BloomIndex.write]]). Columns a pre-evolution batch lacks are
     * skipped (their absent entries keep files — superset guarantee). */
-  private def writeBloom(spark: SparkSession, snap: DataFrame, dir: String): Unit = {
-    val present = bloomCols.filter(snap.columns.contains)
+  private def writeBloom(spark: SparkSession, snap: DataFrame, dir: String,
+      cols: Seq[String] = bloomCols): Unit = {
+    val present = cols.filter(snap.columns.contains)
     if (present.nonEmpty)
       BloomIndex.write(snap, present, BucketedSnapshotTable.BloomFpp,
         fs(spark), batchBloomPath(dir))
+  }
+
+  /** The index columns THIS commit should sidecar its staged batch with:
+    * the writer's own statsCols/bloomCols when constructed with any, else
+    * the columns the manifest header RECORDS (what ANALYZE declared) —
+    * indexed columns are table metadata, so a maintenance writer or a
+    * default-routed merge constructed without them must keep the index
+    * FRESH per commit (O(staged batch)) instead of leaving recent batch
+    * dirs unindexed until the next hand-run ANALYZE (the r11 soak's
+    * stale-dim-leg cost). */
+  private def effectiveIndexCols(spark: SparkSession, v: Int): (Seq[String], Seq[String]) = {
+    val (hs, hb) =
+      if (v < 1 || (statsCols.nonEmpty && bloomCols.nonEmpty)) (Nil, Nil)
+      else try {
+        val h = headerOf(spark, v)
+        def csv(k: String) = h.get(k).toSeq
+          .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+        (csv("statsCols"), csv("bloomCols"))
+      } catch { case _: java.io.IOException => (Nil, Nil) }
+    // per-KIND fallback, mirroring writeManifest's header inheritance: a
+    // stats-only writer must still bloom-index its batch when the header
+    // records bloom columns, and vice versa
+    (if (statsCols.nonEmpty) statsCols else hs,
+      if (bloomCols.nonEmpty) bloomCols else hb)
   }
 
   /** Re-point a staged `_bloom/_MANIFEST`'s file paths at the renamed
@@ -1407,11 +1435,12 @@ final class BucketedSnapshotTable(
         .parquet(s"$root/$staging")
       val stagedHasData = f.listStatus(new Path(s"$root/$staging"))
         .exists(_.getPath.getName.startsWith(s"$BucketCol="))
+      val (effStatsC, effBloomC) = effectiveIndexCols(spark, v0)
       val stagedStats: Seq[String] =
-        if (statsCols.isEmpty || !stagedHasData) Nil
-        else StatsManifest.lines(spark.read.parquet(s"$root/$staging"), statsCols)
-      if (bloomCols.nonEmpty && stagedHasData)
-        writeBloom(spark, spark.read.parquet(s"$root/$staging"), staging)
+        if (effStatsC.isEmpty || !stagedHasData) Nil
+        else StatsManifest.lines(spark.read.parquet(s"$root/$staging"), effStatsC)
+      if (effBloomC.nonEmpty && stagedHasData)
+        writeBloom(spark, spark.read.parquet(s"$root/$staging"), staging, effBloomC)
       onStep("compact_staged")
       CommitLock.withLockHandle(f, root, commitStaleMs) { lockH =>
         val cur = currentVersion(spark).getOrElse(0)
@@ -1435,7 +1464,7 @@ final class BucketedSnapshotTable(
             stagedStats.map(_.replace(s"/$staging/", s"/$batchDir/"))
               .filter(l => keptDirs.exists(l.contains)))
         }
-        if (bloomCols.nonEmpty)
+        if (effBloomC.nonEmpty)
           repointBloom(f, batchDir, staging,
             Some(unmoved.map(b => s"/$batchDir/$BucketCol=$b/")))
         lockH.check() // paused-holder guard: abort rather than double-flip
@@ -1450,7 +1479,7 @@ final class BucketedSnapshotTable(
       }
       // post-commit, outside the lock: the new batch dir is immutable now —
       // collapse its per-file bloom sidecars into the O(1)-probe blob
-      if (bloomCols.nonEmpty)
+      if (effBloomC.nonEmpty)
         BloomIndex.consolidate(f, batchBloomPath(s"_batch_v$committed"))
     }
     committed

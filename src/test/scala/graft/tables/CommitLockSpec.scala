@@ -99,7 +99,7 @@ class CommitLockSpec extends AnyFunSuite {
     assert(t.read(spark).count() == 4)
   }
 
-  test("heartbeat lock: a LIVE long-running holder is never stolen; a dead one still is") {
+  test("heartbeat lock: a waiter SERIALIZES behind a live long holder, never steals; a dead one is freed") {
     val root = java.nio.file.Files.createTempDirectory("heartlock").toString
     val f = new Path(root).getFileSystem(new org.apache.hadoop.conf.Configuration())
     // hold a heartbeat lock well past the staleness bound while a waiter
@@ -119,18 +119,18 @@ class CommitLockSpec extends AnyFunSuite {
     Thread.sleep(300)
     // a waiter polls the whole time the holder works: the heartbeat keeps
     // the lock mtime fresh at every poll, so the waiter's steal judgment
-    // never fires — it gives up LOUDLY at its 2×staleMs deadline instead
-    // of stealing (pre-heartbeat it would have stolen at ~1.5 s and
-    // restarted the fold mid-flight)
-    val e = intercept[IllegalStateException] {
-      CommitLock.withLockHandle(f, root, staleMs = 1500)(_ => ())
+    // never fires — and each observed mtime ADVANCE extends its
+    // acquisition deadline (r12, progress-aware), so it SERIALIZES behind
+    // the live holder (then folds only the remainder, per the refresh
+    // docs) instead of throwing at a fixed 2×staleMs. It acquires only
+    // AFTER the holder releases. (Pre-heartbeat it would have stolen at
+    // ~1.5 s and restarted the fold mid-flight; pre-r12 it threw.)
+    CommitLock.withLockHandle(f, root, staleMs = 1500) { h2 =>
+      assert(holderDone, "the waiter must acquire only after the live holder finished")
+      assert(h2.stillHeld)
     }
-    assert(e.getMessage.contains("could not acquire"), e.getMessage)
-    assert(!holderDone, "the waiter must have given up while the holder still works")
     holder.join(15000)
     assert(!holderStolen, "the live heartbeating holder must never be stolen from")
-    // after the holder releases, the same caller acquires normally
-    CommitLock.withLockHandle(f, root, staleMs = 1500)(h2 => assert(h2.stillHeld))
     // and once a holder is genuinely dead (no heartbeat — plain lock,
     // abandoned), staleness still frees the root within ~staleMs
     val out = f.create(new Path(root, "_lock"), true)

@@ -438,4 +438,41 @@ class PruningReadSpec extends AnyFunSuite {
     val got = sql(s"SNAPSHOT '$root' WHERE p = 2").select("id").as[Int].collect().toSet
     assert(got == (1 to 40).filter(_ % 4 == 2).toSet)
   }
+  test("commits after ANALYZE keep the index fresh: a colsless writer sidecars its batch") {
+    val work = tmp("autofresh")
+    val rows = (1L to 4000L).map(i => (i, i % 97, s"d$i"))
+    val t0 = new BucketedSnapshotTable(s"$work/t", 8, Seq("k"),
+      statsCols = Seq("k"), bloomCols = Seq("c"))
+    t0.scd1Merge(spark, rows.toDF("k", "c", "pay").withColumn("op_seq", lit(1L)),
+      "op_seq")
+    t0.analyze(spark, onlyMissing = true)
+    // a MAINTENANCE writer constructed with keys only (the layoutOf shape
+    // every MV-internal reader/writer uses) merges a new batch: the
+    // header-recorded index columns must reach its staged sidecars — no
+    // hand-run ANALYZE between commits
+    val t1 = new BucketedSnapshotTable(s"$work/t", 8, Seq("k"))
+    t1.scd1Merge(spark, Seq((5000L, 999999L, "new")).toDF("k", "c", "pay")
+      .withColumn("op_seq", lit(2L)), "op_seq")
+    val v = t1.currentVersion(spark).get
+    val batch = new java.io.File(s"$work/t/_batch_v$v")
+    assert(new java.io.File(batch, "_stats").exists,
+      "post-ANALYZE commit must carry the recorded stats sidecar")
+    assert(new java.io.File(batch, "_bloom").exists,
+      "post-ANALYZE commit must carry the recorded bloom sidecar")
+    // and the probe keeps pruning across the fresh batch without re-ANALYZE
+    val probed = new BucketedSnapshotTable(s"$work/t", 8, Seq("k"),
+      statsCols = Seq("k"), bloomCols = Seq("c"))
+    val (kept, all) = probed.pruneStats(spark, col("c") === 999999L)
+    assert(kept < all, s"bloom probe must prune the fresh batch too: $kept of $all")
+    // a writer predating any ANALYZE stays sidecar-free (nothing recorded)
+    val work2 = tmp("autofresh2")
+    val u = new BucketedSnapshotTable(s"$work2/t", 4, Seq("k"))
+    u.scd1Merge(spark, rows.take(10).toDF("k", "c", "pay")
+      .withColumn("op_seq", lit(1L)), "op_seq")
+    val uv = u.currentVersion(spark).get
+    assert(!new java.io.File(s"$work2/t/_batch_v$uv/_stats").exists &&
+      !new java.io.File(s"$work2/t/_batch_v$uv/_bloom").exists,
+      "no recorded index columns -> no sidecars")
+  }
+
 }
