@@ -935,6 +935,7 @@ final class BucketedSnapshotTable(
         writeBloom(spark, spark.read.parquet(s"$root/$staging"), staging, effBloomC)
 
       var replayed = false
+      var committedDir: Option[String] = None
       val committed = CommitLock.withLockHandle(f, root, commitStaleMs) { lockH =>
         val cur = currentVersion(spark).getOrElse(0)
         // authoritative exactly-once check, inside the critical section: a
@@ -992,11 +993,21 @@ final class BucketedSnapshotTable(
                 .map(_ -> BucketEntry(batchDir, next)).toMap,
             txnsOf(spark, cur) ++ txn)
           onStep("committed")
+          committedDir = Some(batchDir)
           true
         }
         }
       }
-      if (committed) return if (replayed) Set.empty else affected
+      if (committed) {
+        // post-commit, outside the lock: the fresh batch dir is immutable
+        // now — collapse its per-file bloom sidecars into the O(1)-probe
+        // blob (the compaction/ANALYZE paths already do; without this,
+        // point probes paid O(files) sidecar reads on every batch merged
+        // since the last ANALYZE — the r11 soak's growing dim-leg IO)
+        if (effBloomC.nonEmpty) committedDir.foreach(d =>
+          BloomIndex.consolidate(f, batchBloomPath(d)))
+        return if (replayed) Set.empty else affected
+      }
       attempt += 1
       if (attempt > 12) throw new java.util.ConcurrentModificationException(
         s"BucketedSnapshotTable $root: merge lost the commit race 12 times — giving up")

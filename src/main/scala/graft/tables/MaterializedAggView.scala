@@ -197,49 +197,11 @@ final class MaterializedAggView(val root: String) {
     val sign = when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
       .otherwise(lit(-1L))
 
-    // one shuffle on the group key: signed counts + signed sums per agg
+    // one shuffle on the group key: the shared fold algebra (deltaAggsFor)
     val accTypes = accumulatorTypes(sp.aggs, feed.schema)
     val sqTypes = sumSqTypes(sp.aggs, feed.schema)
     val deltaAggs: Seq[Column] =
-      sum(sign).as(NCol) +: sp.aggs.flatMap { a =>
-        a.fn match {
-          case "count" if a.col.isEmpty => Nil // count(*) rides NCol
-          case "count" => Seq(
-            sum(when(col(mcol(a.col.get)).isNotNull, sign).otherwise(0L)).as(nnCol(a.as)))
-          case "count_distinct" => Nil // maintained via the aux table below
-          case "min" | "max" => Nil // non-invertible: rescanned below
-          case fn if VarFns(fn) =>
-            // variance family: Σx and Σx² partials, both EXACT (decimal)
-            // hence retractable without drift. The square multiplies in
-            // the measure's NATURAL decimal type ((p,s)×(p,s) → (2p+1,2s),
-            // exact for p ≤ 18 — squaring in the already-widened (38,2s)
-            // type would trip Spark's precision-loss scale reduction) and
-            // integrals go through DECIMAL(19,0) (a long's square
-            // overflows long); only then widen to the accumulator type.
-            val c = mcol(a.col.get)
-            val t = accTypes(a.as)
-            val t2 = sqTypes(a.as)
-            val sqBase: Column = feed.schema(c).dataType match {
-              case _: DecimalType => col(c)
-              case _: FloatType | _: DoubleType => col(c).cast(DoubleType)
-              case _ => col(c).cast(DecimalType(19, 0))
-            }
-            val sq = (sqBase * sqBase).cast(t2)
-            Seq(
-              sum(when(col(c).isNotNull, sign).otherwise(0L)).as(nnCol(a.as)),
-              sum(when(col(c).isNotNull, col(c).cast(t) * sign).otherwise(lit(null)))
-                .cast(t).as(sumCol(a.as)),
-              sum(when(col(c).isNotNull, (sq * sign).cast(t2)).otherwise(lit(null)))
-                .cast(t2).as(sumSqCol(a.as)))
-          case "sum" | "avg" =>
-            val c = mcol(a.col.get)
-            val t = accTypes(a.as)
-            Seq(
-              sum(when(col(c).isNotNull, sign).otherwise(0L)).as(nnCol(a.as)),
-              sum(when(col(c).isNotNull, col(c).cast(t) * sign).otherwise(lit(null)))
-                .cast(t).as(sumCol(a.as)))
-        }
-      }
+      deltaAggsFor(sp.aggs, mcol, sign, accTypes, sqTypes, feed.schema)
     val (delta0, preparedPairs): (DataFrame, Option[DataFrame]) =
       if (onePass) {
         val (d0, pp) = onePassDeltas(feed, sign, gk,
@@ -280,19 +242,7 @@ final class MaterializedAggView(val root: String) {
     requireNoUnguardedNullGroups(delta, sp.nullMask, sp.groupBy,
       s"MaterializedAggView $root")
 
-    val accCols: Seq[(String, DataType)] =
-      (NCol, LongType) +: sp.aggs.flatMap { a =>
-        a.fn match {
-          case "count" if a.col.isEmpty => Nil
-          case "count" => Seq(nnCol(a.as) -> LongType)
-          case "count_distinct" => Seq(dcCol(a.as) -> LongType)
-          case "min" | "max" => Nil
-          case fn if VarFns(fn) =>
-            Seq(nnCol(a.as) -> LongType, sumCol(a.as) -> accTypes(a.as),
-              sumSqCol(a.as) -> sqTypes(a.as))
-          case _ => Seq(nnCol(a.as) -> LongType, sumCol(a.as) -> accTypes(a.as))
-        }
-      }
+    val accCols: Seq[(String, DataType)] = accColsFor(sp.aggs, accTypes, sqTypes)
 
     // current state of ONLY the changed groups: bucket-pruned point read
     val cur: DataFrame =
@@ -360,43 +310,9 @@ final class MaterializedAggView(val root: String) {
     val sp = spec(spark)
     val raw0 = graft.cdc.ScdMerge.scd1Current(state(sp).readVersion(spark, version))
     val raw = if (sp.nullMask) decodeNulls(raw0, sp.groupBy) else raw0
-    val perMeasure = sp.aggs.filter(a => a.fn == "sum" || a.fn == "avg")
-      .groupBy(_.col.get).map { case (m, as) => m -> as.head.as }
-    val nnOnly = sp.aggs.filter(a => a.fn == "count" && a.col.nonEmpty)
-      .filterNot(a => perMeasure.contains(a.col.get))
-      .groupBy(_.col.get).map { case (m, as) => m -> as.head.as }
-    val mm = sp.aggs.filter(a => a.fn == "min" || a.fn == "max")
-      .groupBy(a => (a.fn, a.col.get)).map { case ((fn, m), as) => (fn, m, as.head.as) }
-    val dcs = sp.aggs.filter(_.fn == "count_distinct")
-      .groupBy(_.col.get).map { case (m, as) => m -> as.head.as }
-    // variance measures expose __sumsq_ always, plus __sum_/__nn_ when no
-    // sum/avg/count(c) aggregate over the same measure already does
-    val vars = sp.aggs.filter(a => VarFns(a.fn))
-      .groupBy(_.col.get).map { case (m, as) => m -> as.head.as }
-    val cols: Seq[Column] =
-      sp.groupBy.map(col) ++
-        Seq(col(NCol).as("__cnt")) ++
-        perMeasure.toSeq.flatMap { case (m, as) => Seq(
-          // NULL (not the accumulator's 0) when the group has no non-null
-          // values: SQL SUM of an all-null group is NULL, and the rewrite
-          // re-sums this partial — exposing the raw 0 would answer 0
-          // where a recompute answers NULL (file-based rollups built with
-          // Spark's own sum() already carry NULL here)
-          when(col(nnCol(as)) > 0, col(sumCol(as))).as(s"__sum_$m"),
-          col(nnCol(as)).as(s"__nn_$m"))
-        } ++
-        nnOnly.toSeq.map { case (m, as) => col(nnCol(as)).as(s"__nn_$m") } ++
-        mm.toSeq.map { case (fn, m, as) => col(mmCol(fn, as)).as(s"__${fn}_$m") } ++
-        dcs.toSeq.map { case (m, as) => col(dcCol(as)).as(s"__dc_$m") } ++
-        vars.toSeq.flatMap { case (m, as) =>
-          Seq(when(col(nnCol(as)) > 0, col(sumSqCol(as))).as(s"__sumsq_$m")) ++
-            (if (perMeasure.contains(m)) Nil
-             else Seq(when(col(nnCol(as)) > 0, col(sumCol(as))).as(s"__sum_$m"))) ++
-            (if (perMeasure.contains(m) || nnOnly.contains(m)) Nil
-             else Seq(col(nnCol(as)).as(s"__nn_$m")))
-        }
-    raw.select(cols: _*)
+    raw.select(rollupColumns(sp.aggs, sp.groupBy): _*)
   }
+
 
   /** Register TRANSPARENT routing: any `Aggregate` over the SOURCE
     * table's snapshot relation whose grouping ⊆ the view's GROUP BY and
@@ -451,31 +367,7 @@ final class MaterializedAggView(val root: String) {
     val st = state(sp)
     val raw0 = graft.cdc.ScdMerge.scd1Current(st.read(spark))
     val raw = if (sp.nullMask) decodeNulls(raw0, sp.groupBy) else raw0
-    val outs: Seq[Column] = sp.aggs.map { a =>
-      a.fn match {
-        case "count" if a.col.isEmpty => col(NCol).as(a.as)
-        case "count" => col(nnCol(a.as)).as(a.as)
-        case "count_distinct" => col(dcCol(a.as)).as(a.as)
-        case "min" | "max" => col(mmCol(a.fn, a.as)).as(a.as)
-        case "sum" => when(col(nnCol(a.as)) > 0, col(sumCol(a.as))).as(a.as)
-        case "avg" => when(col(nnCol(a.as)) > 0,
-          col(sumCol(a.as)).cast(DoubleType) / col(nnCol(a.as))).as(a.as)
-        case fn if VarFns(fn) =>
-          // deterministic double derivation from EXACT partials:
-          // (Σx² − (Σx)²/n) / (n − ddof); clamped at 0 against float
-          // cancellation; NULL below the SQL row minimum (samp: n>1,
-          // pop: n>0)
-          val nn = col(nnCol(a.as)).cast(DoubleType)
-          val sm = col(sumCol(a.as)).cast(DoubleType)
-          val sq = col(sumSqCol(a.as)).cast(DoubleType)
-          val pop = fn.endsWith("_pop")
-          val v = greatest(
-            (sq - sm * sm / nn) / (if (pop) nn else nn - 1.0), lit(0.0))
-          val minN = if (pop) 0 else 1
-          when(col(nnCol(a.as)) > minN,
-            if (fn.startsWith("stddev")) sqrt(v) else v).as(a.as)
-      }
-    }
+    val outs: Seq[Column] = readOutputs(sp.aggs)
     raw.select(sp.groupBy.map(col) ++ outs: _*)
   }
 }
@@ -792,6 +684,143 @@ object MaterializedAggView {
     * derivation from exact partials: `(Σx² − (Σx)²/n) / (n − ddof)`. */
   private[tables] val VarFns =
     Set("var_samp", "var_pop", "stddev_samp", "stddev_pop")
+
+  // ── ONE copy of the per-aggregate fold algebra, shared by all three
+  //    view kinds (single/join/star) — a semantics fix here reaches every
+  //    kind at once. min/max contribute nothing to the delta/accumulator
+  //    sets (the single-table view RESCANS them; join/star reject them at
+  //    create); count(*) rides NCol.
+
+  /** Signed delta columns for one refresh window: NCol first, then per
+    * agg its nn/sum/sumsq partials. `mcol` maps a measure to its shadowed
+    * raw column when it is also a nullable group column. */
+  private[tables] def deltaAggsFor(aggs: Seq[Agg], mcol: String => String,
+      sign: Column, accTypes: Map[String, DataType],
+      sqTypes: Map[String, DataType], schema: StructType): Seq[Column] =
+    sum(sign).as(NCol) +: aggs.flatMap { a =>
+      a.fn match {
+        case "count" if a.col.isEmpty => Nil // count(*) rides NCol
+        case "count" => Seq(
+          sum(when(col(mcol(a.col.get)).isNotNull, sign).otherwise(0L)).as(nnCol(a.as)))
+        case "count_distinct" => Nil // maintained via the aux table
+        case "min" | "max" => Nil // non-invertible: rescanned (single-table)
+        case fn if VarFns(fn) =>
+          // variance family: Σx and Σx² partials, both EXACT (decimal)
+          // hence retractable without drift. The square multiplies in the
+          // measure's NATURAL decimal type ((p,s)×(p,s) → (2p+1,2s), exact
+          // for p ≤ 18 — squaring in the already-widened (38,2s) type
+          // would trip Spark's precision-loss scale reduction) and
+          // integrals go through DECIMAL(19,0) (a long's square overflows
+          // long); only then widen to the accumulator type.
+          val c = mcol(a.col.get)
+          val t = accTypes(a.as)
+          val t2 = sqTypes(a.as)
+          val sqBase: Column = schema(c).dataType match {
+            case _: DecimalType => col(c)
+            case _: FloatType | _: DoubleType => col(c).cast(DoubleType)
+            case _ => col(c).cast(DecimalType(19, 0))
+          }
+          val sq = (sqBase * sqBase).cast(t2)
+          Seq(
+            sum(when(col(c).isNotNull, sign).otherwise(0L)).as(nnCol(a.as)),
+            sum(when(col(c).isNotNull, col(c).cast(t) * sign).otherwise(lit(null)))
+              .cast(t).as(sumCol(a.as)),
+            sum(when(col(c).isNotNull, (sq * sign).cast(t2)).otherwise(lit(null)))
+              .cast(t2).as(sumSqCol(a.as)))
+        case "sum" | "avg" =>
+          val c = mcol(a.col.get)
+          val t = accTypes(a.as)
+          Seq(
+            sum(when(col(c).isNotNull, sign).otherwise(0L)).as(nnCol(a.as)),
+            sum(when(col(c).isNotNull, col(c).cast(t) * sign).otherwise(lit(null)))
+              .cast(t).as(sumCol(a.as)))
+        case other => throw new IllegalArgumentException(
+          s"unsupported aggregate '$other' in maintenance fold")
+      }
+    }
+
+  /** Accumulator (state) columns per agg, NCol first — the fold target. */
+  private[tables] def accColsFor(aggs: Seq[Agg],
+      accTypes: Map[String, DataType],
+      sqTypes: Map[String, DataType]): Seq[(String, DataType)] =
+    (NCol, LongType) +: aggs.flatMap { a =>
+      a.fn match {
+        case "count" if a.col.isEmpty => Nil
+        case "count" => Seq(nnCol(a.as) -> LongType)
+        case "count_distinct" => Seq(dcCol(a.as) -> LongType)
+        case "min" | "max" => Nil
+        case fn if VarFns(fn) =>
+          Seq(nnCol(a.as) -> LongType, sumCol(a.as) -> accTypes(a.as),
+            sumSqCol(a.as) -> sqTypes(a.as))
+        case _ => Seq(nnCol(a.as) -> LongType, sumCol(a.as) -> accTypes(a.as))
+      }
+    }
+
+  /** User-facing read outputs per agg (SQL null semantics everywhere:
+    * count-0 sums/avgs read back NULL, var_samp needs n>1, var_pop n>0). */
+  private[tables] def readOutputs(aggs: Seq[Agg]): Seq[Column] = aggs.map { a =>
+    a.fn match {
+      case "count" if a.col.isEmpty => col(NCol).as(a.as)
+      case "count" => col(nnCol(a.as)).as(a.as)
+      case "count_distinct" => col(dcCol(a.as)).as(a.as)
+      case "min" | "max" => col(mmCol(a.fn, a.as)).as(a.as)
+      case "sum" => when(col(nnCol(a.as)) > 0, col(sumCol(a.as))).as(a.as)
+      case "avg" => when(col(nnCol(a.as)) > 0,
+        col(sumCol(a.as)).cast(DoubleType) / col(nnCol(a.as))).as(a.as)
+      case fn if VarFns(fn) =>
+        // deterministic double derivation from EXACT partials:
+        // (Σx² − (Σx)²/n) / (n − ddof); clamped at 0 against float
+        // cancellation; NULL below the SQL row minimum
+        val nn = col(nnCol(a.as)).cast(DoubleType)
+        val sm = col(sumCol(a.as)).cast(DoubleType)
+        val sq = col(sumSqCol(a.as)).cast(DoubleType)
+        val pop = fn.endsWith("_pop")
+        val v = greatest(
+          (sq - sm * sm / nn) / (if (pop) nn else nn - 1.0), lit(0.0))
+        val minN = if (pop) 0 else 1
+        when(col(nnCol(a.as)) > minN,
+          if (fn.startsWith("stddev")) sqrt(v) else v).as(a.as)
+    }
+  }
+
+  /** Routing rollup-format columns (group cols + `__cnt` + per-measure
+    * partials) — what [[graft.plans.AggRollupRewrite]] consumes. Measure
+    * names are SOURCE column names; when several declared aggregates
+    * cover one measure, the first one's accumulators win (identical by
+    * construction). Sum partials expose NULL (not the accumulator's 0)
+    * for all-null groups — SQL SUM semantics the rewrite re-sums. */
+  private[tables] def rollupColumns(aggs: Seq[Agg],
+      groupBy: Seq[String]): Seq[Column] = {
+    val perMeasure = aggs.filter(a => a.fn == "sum" || a.fn == "avg")
+      .groupBy(_.col.get).map { case (m, as) => m -> as.head.as }
+    val nnOnly = aggs.filter(a => a.fn == "count" && a.col.nonEmpty)
+      .filterNot(a => perMeasure.contains(a.col.get))
+      .groupBy(_.col.get).map { case (m, as) => m -> as.head.as }
+    val mm = aggs.filter(a => a.fn == "min" || a.fn == "max")
+      .groupBy(a => (a.fn, a.col.get)).map { case ((fn, m), as) => (fn, m, as.head.as) }
+    val dcs = aggs.filter(_.fn == "count_distinct")
+      .groupBy(_.col.get).map { case (m, as) => m -> as.head.as }
+    // variance measures expose __sumsq_ always, plus __sum_/__nn_ when no
+    // sum/avg/count(c) aggregate over the same measure already does
+    val vars = aggs.filter(a => VarFns(a.fn))
+      .groupBy(_.col.get).map { case (m, as) => m -> as.head.as }
+    groupBy.map(col) ++
+      Seq(col(NCol).as("__cnt")) ++
+      perMeasure.toSeq.flatMap { case (m, as) => Seq(
+        when(col(nnCol(as)) > 0, col(sumCol(as))).as(s"__sum_$m"),
+        col(nnCol(as)).as(s"__nn_$m"))
+      } ++
+      nnOnly.toSeq.map { case (m, as) => col(nnCol(as)).as(s"__nn_$m") } ++
+      mm.toSeq.map { case (fn, m, as) => col(mmCol(fn, as)).as(s"__${fn}_$m") } ++
+      dcs.toSeq.map { case (m, as) => col(dcCol(as)).as(s"__dc_$m") } ++
+      vars.toSeq.flatMap { case (m, as) =>
+        Seq(when(col(nnCol(as)) > 0, col(sumSqCol(as))).as(s"__sumsq_$m")) ++
+          (if (perMeasure.contains(m)) Nil
+           else Seq(when(col(nnCol(as)) > 0, col(sumCol(as))).as(s"__sum_$m"))) ++
+          (if (perMeasure.contains(m) || nnOnly.contains(m)) Nil
+           else Seq(col(nnCol(as)).as(s"__nn_$m")))
+      }
+  }
 
   /** Accumulator type for one additive measure: exact for integrals
     * (LONG) and decimals (DECIMAL(p+10, s) — Spark's own sum widening);

@@ -315,30 +315,17 @@ final class MaterializedStarAggView(val root: String) {
       if (!onePass && hasDistinct && lastN != 0L) delta0.localCheckpoint()
       else delta0
 
-    // ── additive fold algebra (same core as the siblings)
+    // ── additive fold: the shared algebra (one copy for all view kinds)
     val s = col(SignCol)
     val accTypes = MaterializedAggView.accumulatorTypes(sp.aggs, delta.schema)
-    val deltaAggs: Seq[Column] =
-      sum(s).as(NCol) +: sp.aggs.flatMap { a =>
-        a.fn match {
-          case "count" if a.col.isEmpty => Nil
-          case "count" => Seq(
-            sum(when(col(mcol(a.col.get)).isNotNull, s).otherwise(0L)).as(nnCol(a.as)))
-          case "count_distinct" => Nil // maintained via the aux table below
-          case _ =>
-            val c = mcol(a.col.get)
-            val t = accTypes(a.as)
-            Seq(
-              sum(when(col(c).isNotNull, s).otherwise(0L)).as(nnCol(a.as)),
-              sum(when(col(c).isNotNull, col(c).cast(t) * s).otherwise(lit(null)))
-                .cast(t).as(sumCol(a.as)))
-        }
-      }
+    val sqTypes = MaterializedAggView.sumSqTypes(sp.aggs, delta.schema)
+    val deltaAggs: Seq[Column] = MaterializedAggView.deltaAggsFor(
+      sp.aggs, mcol, s, accTypes, sqTypes, delta.schema)
     val (grouped0, preparedPairs): (DataFrame, Option[DataFrame]) =
       if (onePass) {
         val (d0, pp) = MaterializedAggView.onePassDeltas(delta, s, gk,
           mcol(distinctAggs.head.col.get), deltaAggs,
-          MaterializedAggView.sumTypesOf(accTypes))
+          MaterializedAggView.sumTypesOf(accTypes, sqTypes))
         (d0, Some(pp))
       } else
         (delta.groupBy(gk.map(col): _*).agg(deltaAggs.head, deltaAggs.tail: _*),
@@ -372,14 +359,7 @@ final class MaterializedStarAggView(val root: String) {
       sp.groupBy, s"MaterializedStarAggView $root")
 
     val accCols: Seq[(String, DataType)] =
-      (NCol, LongType) +: sp.aggs.flatMap { a =>
-        a.fn match {
-          case "count" if a.col.isEmpty => Nil
-          case "count" => Seq(nnCol(a.as) -> LongType)
-          case "count_distinct" => Seq(dcCol(a.as) -> LongType)
-          case _ => Seq(nnCol(a.as) -> LongType, sumCol(a.as) -> accTypes(a.as))
-        }
-      }
+      MaterializedAggView.accColsFor(sp.aggs, accTypes, sqTypes)
     val cur: DataFrame =
       if (!st.exists(spark)) {
         val fields = gk.map(g => grouped.schema(g)) ++
@@ -421,23 +401,9 @@ final class MaterializedStarAggView(val root: String) {
     val raw0 = graft.cdc.ScdMerge.scd1Current(state(sp).readVersion(spark, version))
     val raw =
       if (sp.nullMask) MaterializedAggView.decodeNulls(raw0, sp.groupBy) else raw0
-    val perMeasure = sp.aggs.filter(a => a.fn == "sum" || a.fn == "avg")
-      .groupBy(_.col.get).map { case (m, as) => m -> as.head.as }
-    val nnOnly = sp.aggs.filter(a => a.fn == "count" && a.col.nonEmpty)
-      .filterNot(a => perMeasure.contains(a.col.get))
-      .groupBy(_.col.get).map { case (m, as) => m -> as.head.as }
-    val dcs = sp.aggs.filter(_.fn == "count_distinct")
-      .groupBy(_.col.get).map { case (m, as) => m -> as.head.as }
-    raw.select(sp.groupBy.map(col) ++
-      Seq(col(NCol).as("__cnt")) ++
-      perMeasure.toSeq.flatMap { case (m, as) => Seq(
-        // NULL when the group has no non-null values — SQL SUM semantics;
-        // the raw accumulator holds 0 there (see MaterializedAggView)
-        when(col(nnCol(as)) > 0, col(sumCol(as))).as(s"__sum_$m"),
-        col(nnCol(as)).as(s"__nn_$m")) } ++
-      nnOnly.toSeq.map { case (m, as) => col(nnCol(as)).as(s"__nn_$m") } ++
-      dcs.toSeq.map { case (m, as) => col(dcCol(as)).as(s"__dc_$m") }: _*)
+    raw.select(MaterializedAggView.rollupColumns(sp.aggs, sp.groupBy): _*)
   }
+
 
   /** Register TRANSPARENT routing: any `Aggregate` over the inner
     * equi-join of the fact and ALL the dims on exactly the view's
@@ -485,16 +451,7 @@ final class MaterializedStarAggView(val root: String) {
     val raw0 = graft.cdc.ScdMerge.scd1Current(state(sp).read(spark))
     val raw =
       if (sp.nullMask) MaterializedAggView.decodeNulls(raw0, sp.groupBy) else raw0
-    val outs: Seq[Column] = sp.aggs.map { a =>
-      a.fn match {
-        case "count" if a.col.isEmpty => col(NCol).as(a.as)
-        case "count" => col(nnCol(a.as)).as(a.as)
-        case "count_distinct" => col(dcCol(a.as)).as(a.as)
-        case "sum" => when(col(nnCol(a.as)) > 0, col(sumCol(a.as))).as(a.as)
-        case "avg" => when(col(nnCol(a.as)) > 0,
-          col(sumCol(a.as)).cast(DoubleType) / col(nnCol(a.as))).as(a.as)
-      }
-    }
+    val outs: Seq[Column] = MaterializedAggView.readOutputs(sp.aggs)
     raw.select(sp.groupBy.map(col) ++ outs: _*)
   }
 }
@@ -532,7 +489,8 @@ object MaterializedStarAggView {
       "column names starting with __mv_ are reserved for view bookkeeping")
     require(aggs.nonEmpty, "star view needs at least one aggregate")
     aggs.foreach { a =>
-      require(Set("count", "sum", "avg", "count_distinct")(a.fn),
+      require((Set("count", "sum", "avg", "count_distinct") ++
+        MaterializedAggView.VarFns)(a.fn),
         s"star views maintain additive and count-distinct aggregates — '${a.fn}' is not")
       require(a.fn == "count" || a.col.nonEmpty, s"${a.fn} needs a column")
     }

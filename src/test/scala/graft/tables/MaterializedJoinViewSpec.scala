@@ -411,4 +411,51 @@ class MaterializedJoinViewSpec extends AnyFunSuite {
       .groupBy("g").agg(sum("x").as("sx"))
       .as[(String, Option[Long])].collect().toSet)
   }
+  test("var_samp over the JOIN result: exact partials through a dim flip ≡ recompute") {
+    val work = java.nio.file.Files.createTempDirectory("mvjvar").toString
+    val fact = new SnapshotTable(s"$work/fact")
+    val dim = new BucketedSnapshotTable(s"$work/dim", 4, Seq("jk"))
+    fact.write(spark, Seq((1, 10L, "3.25"), (2, 10L, "7.75"), (3, 20L, "4.00"),
+        (4, 20L, "9.50"), (5, 20L, "2.25"))
+      .toDF("k", "jk", "p0").withColumn("x", col("p0").cast("decimal(18,2)"))
+      .drop("p0"))
+    dim.scd1Merge(spark, Seq((10L, 1L, "red"), (20L, 1L, "blue"))
+      .toDF("jk", "seq", "g"), "seq")
+    val mv = MaterializedJoinAggView.create(spark, s"$work/mv",
+      s"$work/fact", Seq("k"), s"$work/dim", Nil, Seq("jk"), Seq("g"),
+      Seq(agg("count", None, "n"), agg("var_samp", Some("x"), "vx"),
+        agg("stddev_pop", Some("x"), "sx")), numBuckets = 4)
+    mv.refresh(spark)
+    def recompute: Map[String, (Long, Option[Double], Option[Double])] = {
+      val j = graft.cdc.ScdMerge.scd1Current(fact.read(spark))
+        .join(graft.cdc.ScdMerge.scd1Current(dim.read(spark)), Seq("jk"))
+      j.groupBy("g").agg(count(lit(1)).as("n"), var_samp(col("x")).as("vx"),
+          stddev_pop(col("x")).as("sx"))
+        .as[(String, Long, Option[Double], Option[Double])]
+        .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    }
+    def got: Map[String, (Long, Option[Double], Option[Double])] =
+      mv.read(spark).as[(String, Long, Option[Double], Option[Double])]
+        .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    def assertClose(): Unit = {
+      val w = recompute; val g = got
+      assert(g.keySet == w.keySet, s"$g vs $w")
+      g.foreach { case (k, (n, vx, sx)) =>
+        assert(n == w(k)._1, s"$k n")
+        Seq((vx, w(k)._2, "var"), (sx, w(k)._3, "stddev")).foreach {
+          case (Some(a), Some(b), what) =>
+            assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)), s"$k $what: $a vs $b")
+          case (a, b, what) => assert(a.isEmpty == b.isEmpty, s"$k $what: $a vs $b")
+        }
+      }
+    }
+    assertClose()
+    // a dim flip MOVES jk=10's rows between groups: the Σx/Σx² partials
+    // retract from 'red' and fold into 'blue' exactly
+    dim.scd1Merge(spark, Seq((10L, 2L, "blue")).toDF("jk", "seq", "g"), "seq")
+    mv.refresh(spark)
+    assertClose()
+    assert(got.keySet == Set("blue"), got.toString)
+  }
+
 }

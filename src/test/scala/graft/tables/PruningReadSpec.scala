@@ -332,9 +332,12 @@ class PruningReadSpec extends AnyFunSuite {
       val r = t.pruneStats(spark, $"oid" === 420L)
       (r, BloomIndex.probeReads.get)
     }
+    // r12: the merge consolidated its own batch post-commit, so probe IO
+    // is O(dirs) from the very first commit — no maintenance pass needed
     val (before, readsBefore) = probe()
-    assert(readsBefore >= 32, s"per-file layout reads one sidecar per file: $readsBefore")
-    t.analyze(spark) // consolidates each batch dir into one blob
+    assert(readsBefore <= 3,
+      s"a fresh merge's dir must already probe as one blob: $readsBefore")
+    t.analyze(spark) // re-consolidation is a no-op; verdicts identical
     val (after, readsAfter) = probe()
     assert(after == before, s"consolidation changed the pruning verdict: $before vs $after")
     assert(readsAfter <= 3,
@@ -345,10 +348,12 @@ class PruningReadSpec extends AnyFunSuite {
     t.analyze(spark, onlyMissing = true)
     val (again, readsAgain) = probe()
     assert(again == before && readsAgain <= 3)
-    // a new merge writes per-file sidecars for ITS dir only; the blob dir
-    // keeps O(1) probes and the fresh dir is probed per-file until the
-    // next maintenance pass
+    // a new merge consolidates ITS dir too: probes stay O(dirs), reads exact
     t.scd1Merge(spark, Seq((5, 2L, 50L)).toDF("k", "seq", "oid"), "seq")
+    BloomIndex.probeReads.set(0)
+    t.pruneStats(spark, $"oid" === 420L)
+    assert(BloomIndex.probeReads.get <= 5,
+      s"post-merge probe must stay O(dirs): ${BloomIndex.probeReads.get}")
     assert(t.readIndexed(spark).filter($"oid" === 420L).select("k")
       .as[Int].collect().toSeq == Seq(42))
   }
