@@ -28,6 +28,11 @@ object ScaleSoak {
   def main(args: Array[String]): Unit = {
     val soakDir = args.headOption.getOrElse("/tmp/graft_soak/sf1")
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    // dev-only family filter: args(2) ∈ {docs, scd, events, cc, all} —
+    // re-running one family after a substrate change must not pay the
+    // whole soak
+    val family = if (args.length > 2) args(2) else "all"
+    def fam(name: String): Boolean = family == "all" || family == name
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder().master(s"local[$cpus]")
@@ -203,10 +208,10 @@ object ScaleSoak {
       results.toMap
     }
 
-    val small = run("sf0.1",
+    val small = if (!fam("docs")) Map.empty[String, Double] else run("sf0.1",
       graft.tables.Tables.documents(spark, sfDir),
       graft.tables.Tables.embeddings(spark, sfDir))
-    val big = run("sf1",
+    val big = if (!fam("docs")) Map.empty[String, Double] else run("sf1",
       spark.read.parquet(s"$soakDir/documents.parquet"),
       spark.read.parquet(s"$soakDir/embeddings.parquet"))
 
@@ -503,8 +508,8 @@ object ScaleSoak {
       results("mvs_refresh_dim_trickle") = sdW
       results.toMap
     }
-    val scdSmall = scdSoak("sf0.1", 1)
-    val scdBig = scdSoak("sf1", 10)
+    val scdSmall = if (fam("scd")) scdSoak("sf0.1", 1) else Map.empty[String, Double]
+    val scdBig = if (fam("scd")) scdSoak("sf1", 10) else Map.empty[String, Double]
 
     // ── Events-analytics family at 10× (the reference's own operators) ───
     // Copies offset BOTH event_id and user_id: 10× users with unchanged
@@ -547,8 +552,8 @@ object ScaleSoak {
       }
       results.toMap
     }
-    val evSmall = eventsSoak("sf0.1", 1)
-    val evBig = eventsSoak("sf1", 10)
+    val evSmall = if (fam("events")) eventsSoak("sf0.1", 1) else Map.empty[String, Double]
+    val evBig = if (fam("events")) eventsSoak("sf1", 10) else Map.empty[String, Double]
 
     // ── connected components at 10× and 100× planted edges ──────────────
     // Pins the cost bound documented on Dedup.connectedComponents: each
@@ -569,7 +574,8 @@ object ScaleSoak {
       println(s"[soak]   labeled nodes=$comps")
       w
     }
-    val cc1 = ccSoak(1); val cc10 = ccSoak(10); val cc100 = ccSoak(100)
+    val (cc1, cc10, cc100) =
+      if (fam("cc")) (ccSoak(1), ccSoak(10), ccSoak(100)) else (0.0, 0.0, 0.0)
     println(f"[soak] planted-CC linearity: 10x=${cc10 / cc1}%.2f 100x=${cc100 / cc1}%.2f (vs 10/100 if perfectly linear, minus fixed per-round overhead)")
 
     println(f"${"operator"}%-24s ${"sf0.1"}%8s ${"sf1"}%8s ${"ratio"}%7s")
