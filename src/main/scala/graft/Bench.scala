@@ -1,6 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Recursively delete a temp path (best-effort: bench hygiene, never
+    * correctness — a file held open just stays). */
+  private def deleteRec(p: java.nio.file.Path): Unit = {
+    try {
+      if (java.nio.file.Files.isDirectory(p,
+          java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+        val s = java.nio.file.Files.list(p)
+        try s.forEach(c => deleteRec(c)) finally s.close()
+      }
+      java.nio.file.Files.deleteIfExists(p)
+    } catch { case _: Throwable => () }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // contract: bench runs at local[32]; follow the machine if unpinned
@@ -30,20 +43,69 @@ object Bench {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    val rerunFailures = scala.collection.mutable.ArrayBuffer.empty[String]
     // dev-only: optional comma-separated query filter (driver passes no args)
     val only: Option[Set[String]] = args.headOption.map(_.split(",").toSet)
-    val results = SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+
+    // ── Fixture-debris hygiene (r13): heavy MV fixtures create multi-GB
+    // temp tables per run; letting 335 queries' debris accumulate in
+    // java.io.tmpdir distorted LATER cheap queries (GC/heap + tmpfs
+    // pressure: q224 43 s first-run on an 83-CPU-s one-agg query, r12
+    // verdict) and made the rerun medians measure accumulation, not the
+    // query (q323 median 25.4 > first 11.8). After each timed run, delete
+    // the tmp entries that run created — every fixture creates its own
+    // fresh dir, so nothing later reads them. Spark-internal dirs
+    // (blockmgr/spark/warehouse) are never touched. Disable with
+    // SPARK_GRAFT_BENCH_CLEAN=0.
+    val cleanTmp = !sys.env.get("SPARK_GRAFT_BENCH_CLEAN").contains("0")
+    val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    def sparkInternal(name: String): Boolean =
+      name.startsWith("spark") || name.startsWith("blockmgr") ||
+        name.startsWith("graft-wh") || name.startsWith("hive") ||
+        name.startsWith("hsperfdata")
+    def tmpSnapshot(): Set[String] =
+      if (!cleanTmp) Set.empty
+      else {
+        val s = java.nio.file.Files.list(tmpRoot)
+        try {
+          val b = Set.newBuilder[String]
+          s.forEach(p => b += p.getFileName.toString)
+          b.result()
+        } finally s.close()
+      }
+    def cleanNew(before: Set[String]): Unit =
+      if (cleanTmp)
+        (tmpSnapshot() -- before).filterNot(sparkInternal)
+          .foreach(n => deleteRec(tmpRoot.resolve(n)))
+
+    def timed(name: String, record: Boolean): (Double, Double) = {
+      val before = tmpSnapshot()
       val t0 = System.nanoTime()
       val c0 = osBean.getProcessCpuTime
-      try { fn(spark, sfDir).count() }
+      var ok = true
+      try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case e: Throwable =>
-        errors += name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        ok = false
+        if (record) {
+          errors += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        } else rerunFailures += name
       }
-      name -> ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9)
+      val out = ((System.nanoTime() - t0) / 1e9,
+        (osBean.getProcessCpuTime - c0) / 1e9)
+      cleanNew(before) // outside the timing: measure the query, not the rm
+      // GC after a heavy run so the NEXT query isn't charged this one's
+      // heap debt (the r12 first-run spikes on cheap queries)
+      if (out._1 > 5.0) { System.gc(); Thread.sleep(100) }
+      if (!ok) (-1.0, -1.0) else out
     }
+
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, _) =>
+        val (w, c) = timed(name, record = true)
+        name -> (math.max(w, 0.0), math.max(c, 0.0))
+      }
     def fmt(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     def jmap(kvs: Iterable[(String, Double)]): String =
       kvs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
@@ -55,20 +117,24 @@ object Bench {
     // (q306 5.9x with a byte-identical fixture); the median of 3 runs
     // separates band from regression without cross-machine guesswork.
     // The first-run map stays the round-over-round comparable; medians
-    // ride alongside. Disable with SPARK_GRAFT_BENCH_MEDIANS=0.
+    // ride alongside. r13: a FAILED rerun contributes no sample (its
+    // fast-fail time would drag the median down) and is reported in
+    // rerun_failures; the per-run tmp cleanup above keeps reruns measuring
+    // the query, not tmpfs accumulation. Disable with
+    // SPARK_GRAFT_BENCH_MEDIANS=0.
     val medians: Map[String, Double] =
       if (sys.env.get("SPARK_GRAFT_BENCH_MEDIANS").contains("0")) Map.empty
       else results.toSeq.sortBy(-_._2._1).take(15)
         .filterNot { case (n, _) => errors.contains(n) }
         .map { case (name, (first, _)) =>
-          val reruns = (1 to 2).map { _ =>
-            val t0 = System.nanoTime()
-            try { SparkEntry.queries(name)(spark, sfDir).count() }
-            catch { case _: Throwable => () }
-            (System.nanoTime() - t0) / 1e9
+          val reruns = (1 to 2).flatMap { _ =>
+            val (w, _) = timed(name, record = false)
+            if (w >= 0) Some(w) else None
           }
-          name -> (first +: reruns).sorted.apply(1)
+          val samples = (first +: reruns).sorted
+          name -> samples(samples.size / 2) // upper median when a rerun failed
         }.toMap
+    val rerunErrs = rerunFailures.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     // The driver captures a bounded tail of stdout; a single long line gets its
     // FRONT truncated, cutting the leading "metric" field (BENCH_r01/r02 both
     // came back parsed:null; r04's 69-name errors array pushed metric/value out
@@ -76,14 +142,14 @@ object Bench {
     // short summary line LAST whose size is BOUNDED regardless of failures:
     // error COUNT in the short line, the full list only in the long line and
     // the side file.
-    val fullJson = s"""{"queries":${jmap(results.view.mapValues(_._1))},"cpu":${jmap(results.view.mapValues(_._2))},"medians":${jmap(medians)},"errors":$errs,"sf":"$sfDir","metric":"total","value":${fmt(total)},"unit":"sec","cpu_sec":${fmt(cpuTotal)}}"""
+    val fullJson = s"""{"queries":${jmap(results.view.mapValues(_._1))},"cpu":${jmap(results.view.mapValues(_._2))},"medians":${jmap(medians)},"errors":$errs,"rerun_failures":$rerunErrs,"sf":"$sfDir","metric":"total","value":${fmt(total)},"unit":"sec","cpu_sec":${fmt(cpuTotal)}}"""
     println(fullJson)
     // Whole-result side file the driver (or a human) can read untruncated.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullJson + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] side file: ${e.getMessage}") }
     val slowest = results.toSeq.sortBy(-_._2._1).take(15)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_sec":${fmt(cpuTotal)},"queries":${jmap(slowest.map(x => x._1 -> x._2._1))},"cpu":${jmap(slowest.map(x => x._1 -> x._2._2))},"medians":${jmap(medians)},"error_count":${errors.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_sec":${fmt(cpuTotal)},"queries":${jmap(slowest.map(x => x._1 -> x._2._1))},"cpu":${jmap(slowest.map(x => x._1 -> x._2._2))},"medians":${jmap(medians)},"error_count":${errors.size},"rerun_failure_count":${rerunFailures.distinct.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -37,6 +37,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
     ext.injectOptimizerRule(_ => graft.plans.AggRollupRewrite)
+    // FILTER + DISTINCT combined aggregates route at ANALYSIS time:
+    // Spark's RewriteDistinctAggregates expands them before any injected
+    // optimizer rule runs, so the optimizer-stage AggRollupRewrite never
+    // sees the shape (see FilteredDistinctRollupRewrite)
+    ext.injectPostHocResolutionRule(_ => graft.plans.FilteredDistinctRollupRewrite)
     ext.injectOptimizerRule(_ => graft.plans.JoinEliminationRewrite)
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),

@@ -40,13 +40,38 @@ case class GoldTable(
     // `silverPath` directly (schema-inference + rescue path).
     silverTable: Option[String] = None)
 
+/** A MATERIALIZED VIEW maintained DECLARATIVELY by the pipeline — the
+  * reference's gold tables are declaratively maintained DLT objects
+  * (Databrick/spotify_dab/src/gold/dlt/transformations/DimUser.py:7-29);
+  * this node gives the engine's incrementally-maintained views the same
+  * lifecycle: declare once, and every `runOnce` pass REFRESHES the view
+  * (O(changed groups), exactly-once via its own ledger) after its
+  * dependency tables have merged, in the same DAG order with the same
+  * retry wrapper. `root` names an EXISTING view of any kind
+  * (single/join/star — dispatched on its spec file, like the SQL
+  * surface); `dependsOn` names the pipeline nodes whose outputs the
+  * view's sources read. `registerRewrite` additionally (re-)registers
+  * transparent routing after each refresh, so dashboard queries route
+  * the moment the pass completes. */
+case class GoldView(
+    name: String,
+    root: String,
+    dependsOn: Seq[String] = Nil,
+    registerRewrite: Boolean = false)
+
 final class GoldPipeline(goldDir: String, checkpointRoot: String) {
 
   private var registry = Vector.empty[GoldTable]
+  private var viewRegistry = Vector.empty[GoldView]
 
   def declare(t: GoldTable): this.type = { registry :+= t; this }
 
+  /** Declare a materialized view as a pipeline node (see [[GoldView]]). */
+  def declareView(v: GoldView): this.type = { viewRegistry :+= v; this }
+
   def tables: Seq[GoldTable] = registry
+
+  def views: Seq[GoldView] = viewRegistry
 
   def snapshot(name: String) = new SnapshotTable(s"$goldDir/$name")
 
@@ -61,39 +86,75 @@ final class GoldPipeline(goldDir: String, checkpointRoot: String) {
     else snapshot(name).read(spark)
   }
 
-  /** Kahn topo order over `dependsOn` (C9 — DLT resolves the DAG for us;
-    * here it is explicit and deterministic). */
-  private def topoOrder: Seq[GoldTable] = {
-    val byName = registry.map(t => t.name -> t).toMap
+  /** Kahn topo order over `dependsOn`, TABLES and VIEWS in one namespace
+    * (C9 — DLT resolves the DAG for us; here it is explicit and
+    * deterministic): a view refreshes strictly after every node it
+    * depends on ran this pass. */
+  private def topoOrder: Seq[Either[GoldTable, GoldView]] = {
+    val byName: Map[String, Either[GoldTable, GoldView]] =
+      (registry.map(t => t.name -> Left(t)) ++
+        viewRegistry.map(v => v.name -> Right(v))).toMap
+    require(byName.size == registry.size + viewRegistry.size,
+      "gold DAG: duplicate node name across tables/views")
     val visited = scala.collection.mutable.LinkedHashSet.empty[String]
     def visit(n: String, path: List[String]): Unit = {
       if (path.contains(n)) throw new IllegalStateException(s"gold DAG cycle: ${(n :: path).reverse.mkString(" -> ")}")
       if (!visited.contains(n)) {
-        byName(n).dependsOn.foreach(visit(_, n :: path))
+        byName(n).fold(_.dependsOn, _.dependsOn).foreach(visit(_, n :: path))
         visited += n
       }
     }
-    registry.foreach(t => visit(t.name, Nil))
+    (registry.map(_.name) ++ viewRegistry.map(_.name)).foreach(visit(_, Nil))
     visited.toSeq.map(byName)
   }
 
-  /** Run one AvailableNow pass over every declared table in DAG order.
-    * Per micro-batch: expectations → SCD merge → atomic snapshot commit.
-    * Retries: each table gets `maxRetries` fresh attempts (the stream
-    * checkpoint makes a retry resume, not reprocess). */
+  /** Run one AvailableNow pass over every declared node in DAG order:
+    * tables stream expectations → SCD merge → atomic snapshot commit;
+    * declared materialized views REFRESH incrementally after their
+    * dependencies (and re-register transparent routing when asked).
+    * Retries: each node gets `maxRetries` fresh attempts (the stream
+    * checkpoint / the view's exactly-once ledger make a retry resume,
+    * not reprocess). */
   def runOnce(spark: SparkSession, maxRetries: Int = 2): Unit = {
-    topoOrder.foreach { t =>
+    topoOrder.foreach { node =>
+      val name = node.fold(_.name, _.name)
       var attempt = 0
       var done = false
       while (!done) {
-        try { runTable(spark, t); done = true }
+        try { node.fold(runTable(spark, _), refreshView(spark, _)); done = true }
         catch {
           case e: Exception if attempt < maxRetries =>
             attempt += 1
             org.apache.log4j.Logger.getLogger(getClass)
-              .warn(s"gold ${t.name}: attempt $attempt failed (${e.getMessage}); retrying")
+              .warn(s"gold $name: attempt $attempt failed (${e.getMessage}); retrying")
         }
       }
+    }
+  }
+
+  /** One declarative maintenance step for a [[GoldView]]: incremental
+    * refresh (kind dispatched on the spec file), then optional routing
+    * (re-)registration. Idempotent — a replayed pass no-ops on the
+    * view's ledger, the same property the table stages get from their
+    * stream checkpoints. */
+  private def refreshView(spark: SparkSession, v: GoldView): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def has(n: String) = {
+      val p = new org.apache.hadoop.fs.Path(v.root, n)
+      p.getFileSystem(hconf).exists(p)
+    }
+    if (has("_mvj")) {
+      val x = new graft.tables.MaterializedJoinAggView(v.root)
+      x.refresh(spark)
+      if (v.registerRewrite) x.registerRewrite(spark)
+    } else if (has("_mvs")) {
+      val x = new graft.tables.MaterializedStarAggView(v.root)
+      x.refresh(spark)
+      if (v.registerRewrite) x.registerRewrite(spark)
+    } else {
+      val x = new graft.tables.MaterializedAggView(v.root)
+      x.refresh(spark)
+      if (v.registerRewrite) x.registerRewrite(spark)
     }
   }
 

@@ -45,7 +45,34 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
 
   final case class Rollup(spark: SparkSession, provider: () => DataFrame,
       dims: Seq[String], measures: Seq[String],
-      distincts: Map[String, () => DataFrame] = Map.empty)
+      distincts: Map[String, () => DataFrame] = Map.empty,
+      /** DERIVED dimension columns (r13): view-maintained expression dims
+        * (`month(o_orderdate) AS m`), keyed by state column name, valued
+        * by the [[normalizeDim]]-normalized RESOLVED expression over the
+        * source — a query grouping by the same expression tree routes to
+        * the derived column. */
+      derivedDims: Map[String, Expression] = Map.empty)
+
+  /** Name-normalize a resolved expression for derived-dim matching:
+    * attribute references become case-folded unresolved names, so two
+    * resolutions of the same expression text over the same source compare
+    * STRUCTURALLY equal regardless of exprIds. Conservative by
+    * construction — any cosmetic mismatch (extra casts, different
+    * function rendering) simply refuses the rewrite. */
+  def normalizeDim(e: Expression): Expression = e.transform {
+    case al: Alias => al.child
+    case a: AttributeReference =>
+      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+        Seq(a.name.toLowerCase(java.util.Locale.ROOT)))
+  }
+
+  /** The derived-dim state column a grouping EXPRESSION matches, if any. */
+  private def derivedNameOf(e: Expression, r: Rollup): Option[String] =
+    if (r.derivedDims.isEmpty) None
+    else {
+      val n = normalizeDim(e)
+      r.derivedDims.collectFirst { case (name, ne) if ne == n => name }
+    }
 
   /** Column name every distinct-pair provider must use for the VALUE
     * column (alongside the rollup's dim columns): one row per live
@@ -81,9 +108,10 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
     * table a count-distinct view already maintains, never the source. */
   def registerView(spark: SparkSession, basePath: String, dims: Seq[String],
       measures: Seq[String], provider: () => DataFrame,
-      distincts: Map[String, () => DataFrame] = Map.empty): Unit =
+      distincts: Map[String, () => DataFrame] = Map.empty,
+      derivedDims: Map[String, Expression] = Map.empty): Unit =
     registry.put(canon(basePath),
-      Rollup(spark, provider, dims, measures, distincts))
+      Rollup(spark, provider, dims, measures, distincts, derivedDims))
 
   /** Remove the routing for `basePath` (SQL `ALTER MATERIALIZED VIEW …
     * DISABLE REWRITE`); queries fall back to the base table. */
@@ -195,15 +223,91 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
     if (registry.isEmpty && joinRegistry.isEmpty && starRegistry.isEmpty) plan
     else plan.transform {
       case agg @ Aggregate(groupings, aggExprs, child, _) =>
-        baseScanOf(child).flatMap { case (r, fs) =>
-            rewrite(agg, groupings, aggExprs, r, fs) }
-          .orElse(joinScanOf(child).flatMap { case (j, fs) =>
-            rewrite(agg, groupings, aggExprs,
-              Rollup(j.spark, j.provider, j.dims, j.measures, j.distincts), fs) })
-          .orElse(starScanOf(child).flatMap { case (st, fs) =>
-            rewrite(agg, groupings, aggExprs,
-              Rollup(st.spark, st.provider, st.groupBy, st.measures, st.distincts), fs) })
-          .getOrElse(agg)
+        rewriteAggregate(agg, groupings, aggExprs, child).getOrElse(agg)
+    }
+
+  /** Try every registered rollup kind against one Aggregate — the shared
+    * body of the optimizer rule and the analyzer-stage filtered-distinct
+    * entry ([[applyFilteredDistinct]]). Tried twice when the child is a
+    * grouping-extraction Project: Spark's PullOutGroupingExpressions
+    * rewrites `GROUP BY month(d)` into `GROUP BY _groupingexpression`
+    * over a Project computing it, so the expression the derived-dim
+    * matcher needs is one Project below — [[inlineGroupingProject]]
+    * substitutes it back. */
+  private def rewriteAggregate(agg: Aggregate, groupings: Seq[Expression],
+      aggExprs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
+    def attempt(gs: Seq[Expression], as: Seq[NamedExpression],
+        c: LogicalPlan): Option[LogicalPlan] =
+      baseScanOf(c).flatMap { case (r, fs) =>
+          rewrite(agg, gs, as, r, fs) }
+        .orElse(joinScanOf(c).flatMap { case (j, fs) =>
+          rewrite(agg, gs, as,
+            Rollup(j.spark, j.provider, j.dims, j.measures, j.distincts), fs) })
+        .orElse(starScanOf(c).flatMap { case (st, fs) =>
+          rewrite(agg, gs, as,
+            Rollup(st.spark, st.provider, st.groupBy, st.measures, st.distincts), fs) })
+    attempt(groupings, aggExprs, child).orElse {
+      inlineGroupingProject(groupings, aggExprs, child) match {
+        case Some((g2, a2, c2)) => attempt(g2, a2, c2)
+        case None => None
+      }
+    }
+  }
+
+  /** Undo a grouping-extraction Project for matching purposes: when the
+    * Aggregate's child is a Project whose alias entries are deterministic
+    * computed columns (PullOutGroupingExpressions' `_groupingexpression`
+    * shape), substitute each alias's expression back into the groupings
+    * and output expressions and drop to the Project's child. Refusal-safe:
+    * if the substituted shapes match nothing, the rewrite declines as
+    * usual. */
+  private def inlineGroupingProject(groupings: Seq[Expression],
+      aggExprs: Seq[NamedExpression], child: LogicalPlan)
+      : Option[(Seq[Expression], Seq[NamedExpression], LogicalPlan)] = child match {
+    case Project(pl, gc) if pl.exists(_.isInstanceOf[Alias]) &&
+        pl.forall(p => p.isInstanceOf[Attribute] || p.isInstanceOf[Alias]) =>
+      val subst = pl.collect { case al: Alias => al.exprId -> al.child }.toMap
+      if (!subst.values.forall(_.deterministic)) None
+      else {
+        val g2 = groupings.map(_.transform {
+          case a: AttributeReference if subst.contains(a.exprId) => subst(a.exprId)
+        })
+        val a2 = aggExprs.map {
+          case a: AttributeReference if subst.contains(a.exprId) =>
+            Alias(subst(a.exprId), a.name)(exprId = a.exprId)
+          case ne => ne.transform {
+            case a: AttributeReference if subst.contains(a.exprId) => subst(a.exprId)
+          }.asInstanceOf[NamedExpression]
+        }
+        Some((g2, a2, gc))
+      }
+    case _ => None
+  }
+
+  /** Analyzer-stage (post-hoc resolution) entry for the ONE shape the
+    * optimizer rule can never see: an AggregateExpression combining
+    * FILTER and DISTINCT. Spark's RewriteDistinctAggregates expands
+    * filtered-distinct aggregates into projection + two-phase plans
+    * BEFORE any injected optimizer rule runs, so by optimization time the
+    * original shape is gone — `COUNT(DISTINCT user) FILTER (WHERE
+    * region = 'EU')`, a standard dashboard tile, re-scanned the base
+    * through r12. The ANALYZED plan still carries the original shape;
+    * this entry applies the SAME rewrite there ([[rewriteExact]] answers
+    * it at the view's own grain — a dim-only FILTER selects whole groups,
+    * so the filtered `__dc_` re-aggregation is exact — and
+    * [[rewriteViaFrames]] at coarser grains via per-slot gated pair
+    * aggregations). Narrowly scoped: fires ONLY on Aggregates carrying a
+    * filtered-distinct aggregate; every other query keeps the optimizer-
+    * stage path (identical behavior, post-pushdown shapes). */
+  private[graft] def applyFilteredDistinct(plan: LogicalPlan): LogicalPlan =
+    if (registry.isEmpty && joinRegistry.isEmpty && starRegistry.isEmpty) plan
+    else plan.transform {
+      case agg @ Aggregate(groupings, aggExprs, child, _)
+          if aggExprs.exists(_.exists {
+            case ae: AggregateExpression => ae.isDistinct && ae.filter.isDefined
+            case _ => false
+          }) =>
+        rewriteAggregate(agg, groupings, aggExprs, child).getOrElse(agg)
     }
 
   /** The measure attribute under a variance aggregate — possibly beneath
@@ -250,6 +354,10 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
       : Option[(Seq[TreeLeaf], Seq[Expression], Seq[Expression])] = p match {
     case Project(pl, gc) if pl.forall(_.isInstanceOf[Attribute]) =>
       collectJoinTree(gc, covered)
+    // analyzer-stage plans wrap FROM subqueries (the SNAPSHOT form) in
+    // SubqueryAlias; transparent — it renames nothing the walkers read
+    case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+      collectJoinTree(s.child, covered)
     case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
       val (rest, newCovered) = consumeTombstones(f.condition, covered)
       collectJoinTree(f.child, newCovered)
@@ -425,12 +533,16 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
       : Option[(JoinRollup, Seq[Expression])] = child match {
     case Project(projectList, grandchild) if projectList.forall(_.isInstanceOf[Attribute]) =>
       joinScanOf(grandchild)
+    case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+      joinScanOf(s.child)
     case Join(l, r, Inner, Some(cond), _) =>
       def rootsOf(p: LogicalPlan, acc: Seq[Expression],
           covered: Set[org.apache.spark.sql.catalyst.expressions.ExprId])
           : Option[(List[Path], Seq[Expression])] = p match {
         case Project(pl, gc) if pl.forall(_.isInstanceOf[Attribute]) =>
           rootsOf(gc, acc, covered)
+        case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+          rootsOf(s.child, acc, covered)
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
           val (rest, newCovered) = consumeTombstones(f.condition, covered)
           rootsOf(f.child, acc ++ rest, newCovered)
@@ -513,6 +625,8 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
         : Option[(Rollup, Seq[Expression])] = p match {
       case Project(pl, gc) if pl.forall(_.isInstanceOf[Attribute]) =>
         walk(gc, acc, covered)
+      case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+        walk(s.child, acc, covered)
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
         val (rest, newCovered) = consumeTombstones(f.condition, covered)
         walk(f.child, acc ++ rest, newCovered)
@@ -551,9 +665,13 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
   private def rewriteExact(agg: Aggregate, groupings: Seq[Expression],
       aggExprs: Seq[NamedExpression], r: Rollup,
       filters: Seq[Expression]): Option[LogicalPlan] = {
+    // plain attribute groupings match by name; EXPRESSION groupings match
+    // a registered derived dim's normalized tree (GROUP BY month(d) over
+    // a view declared GROUP BY (month(d) AS m) routes to state column m);
+    // anything else refuses
     val groupNames = groupings.map {
       case a: AttributeReference => a.name
-      case _ => return None
+      case e => derivedNameOf(e, r).getOrElse(return None)
     }
     if (!groupNames.forall(r.dims.contains)) return None
 
@@ -650,22 +768,22 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
             // MeasureAttr unwraps the implicit decimal→double input cast
             // the analyzer inserts under variance aggregates.
             case VarianceSamp(MeasureAttr(s), _) =>
-              rebuildVar(s.name, pop = false, std = false)
+              rebuildVar(ae, s.name, pop = false, std = false)
             case VariancePop(MeasureAttr(s), _) =>
-              rebuildVar(s.name, pop = true, std = false)
+              rebuildVar(ae, s.name, pop = true, std = false)
             case StddevSamp(MeasureAttr(s), _) =>
-              rebuildVar(s.name, pop = false, std = true)
+              rebuildVar(ae, s.name, pop = false, std = true)
             case StddevPop(MeasureAttr(s), _) =>
-              rebuildVar(s.name, pop = true, std = true)
+              rebuildVar(ae, s.name, pop = true, std = true)
             case _ => None
           }
           case _ => None
         }
-        def rebuildVar(m: String, pop: Boolean, std: Boolean): Option[Expression] = {
-          val ae = childExpr match {
-            case e: AggregateExpression => e
-            case c: Cast => c.child.asInstanceOf[AggregateExpression]
-          }
+        // `ae` is passed from the already-matched arm in rebuildAgg —
+        // re-deriving it from childExpr here was a latent MatchError for
+        // any future call path (variance under arithmetic, say)
+        def rebuildVar(ae: AggregateExpression, m: String,
+            pop: Boolean, std: Boolean): Option[Expression] = {
           val rf = reanchored(ae.filter)
           for (su <- partial("sum", m); nn <- partial("nn", m);
                sq <- partial("sumsq", m)) yield {
@@ -689,6 +807,10 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
               case Some(inner) => c.withNewChildren(Seq(inner))
               case None => return None
             }
+          // a grouping EXPRESSION's output slot: read the derived column
+          case e if derivedNameOf(e, r).exists(n =>
+              groupNames.contains(n) && out.contains(n)) =>
+            out(derivedNameOf(e, r).get)
           case _ => return None
         }
         val typed = if (newChild.dataType == al.dataType) newChild
@@ -725,7 +847,7 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
     // q332 pattern)
     val groupNames = groupings.map {
       case a: AttributeReference => a.name
-      case _ => return None
+      case e => derivedNameOf(e, r).getOrElse(return None) // derived dims route here too
     }
     if (!groupNames.forall(r.dims.contains)) return None
     // cheap pre-check BEFORE materializing the provider (spec + manifest
@@ -860,6 +982,8 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
           case cst: Cast if cst.child.isInstanceOf[AggregateExpression] =>
             additiveOf(cst.child.asInstanceOf[AggregateExpression])
               .getOrElse(return None)
+          case e if derivedNameOf(e, r).exists(groupNames.contains) =>
+            fc(derivedNameOf(e, r).get) // grouping expression → derived column
           case _ => return None
         }
         c

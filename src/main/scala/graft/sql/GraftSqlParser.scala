@@ -99,8 +99,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*CREATE\s+TABLE\s+'([^']+)'(?:\s+BUCKETED\s+BY\s*\(([^)]+)\)\s+INTO\s+(\d+)\s+BUCKETS\s+SEQUENCE\s+BY\s+(\w+))?(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?(?:\s+STATS\s*\(([^)]+)\))?(?:\s+BLOOM\s*\(([^)]+)\))?\s+AS\s+(.+?)\s*;?\s*""".r
   private val Analyze =
     """(?is)\s*ANALYZE\s+'([^']+)'(?:\s+STATS\s*\(([^)]+)\))?(?:\s+BLOOM\s*\(([^)]+)\))?(\s+INCREMENTAL)?\s*;?\s*""".r
+  // GROUP BY captures non-greedily to `) AGG` so DERIVED dim items with
+  // nested parens parse: GROUP BY (g, month(o_orderdate) AS m) AGG (…)
   private val CreateMv =
-    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s+ON\s+'([^']+)'(?:\s+KEYS\s*\(([^)]+)\))?\s+GROUP\s+BY\s*\(([^)]+)\)\s+AGG\s*\((.+?)\)(\s+WITH\s+RESCAN)?(?:\s+INTO\s+(\d+)\s+BUCKETS)?\s*;?\s*""".r
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s+ON\s+'([^']+)'(?:\s+KEYS\s*\(([^)]+)\))?\s+GROUP\s+BY\s*\((.+?)\)\s+AGG\s*\((.+?)\)(\s+WITH\s+RESCAN)?(?:\s+INTO\s+(\d+)\s+BUCKETS)?\s*;?\s*""".r
   private val CreateMjv =
     """(?is)\s*CREATE\s+MATERIALIZED\s+JOIN\s+VIEW\s+'([^']+)'\s+FACT\s+'([^']+)'(?:\s+KEYS\s*\(([^)]+)\))?\s+DIM\s+'([^']+)'(?:\s+KEYS\s*\(([^)]+)\))?\s+ON\s*\(([^)]+)\)\s+GROUP\s+BY\s*\(([^)]+)\)\s+AGG\s*\((.+?)\)(?:\s+INTO\s+(\d+)\s+BUCKETS)?\s*;?\s*""".r
   private val RefreshMjv =
@@ -232,11 +234,18 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case DescribeMsv(mv) =>
       DescribeMaterializedStarViewCommand(mv)
     case CreateMv(mv, src, keysOpt, groupBy, aggList, rescan, buckets) =>
+      // group items: plain column names, or `expr AS alias` derived dims
+      val derivedItem = """(?is)\s*(.+?)\s+AS\s+(\w+)\s*""".r
+      val items = splitTopLevel(groupBy).map {
+        case derivedItem(e, n) => (n, Some(e.trim))
+        case plain => (plain.trim, None)
+      }
       CreateMaterializedViewCommand(mv, src,
         Option(keysOpt).toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)),
-        groupBy.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        items.map(_._1),
         GraftSqlParser.parseAggList(aggList),
-        Option(buckets).map(_.toInt), rescan != null)
+        Option(buckets).map(_.toInt), rescan != null,
+        derived = items.collect { case (n, Some(e)) => (n, e) })
     case DescribeMv(mv) =>
       DescribeMaterializedViewCommand(mv)
     case RefreshMv(mv) =>
@@ -868,13 +877,14 @@ object GraftSqlParser {
 case class CreateMaterializedViewCommand(mv: String, src: String,
     keys: Seq[String], groupBy: Seq[String],
     aggs: Seq[graft.tables.MaterializedAggView.Agg],
-    buckets: Option[Int], allowRescan: Boolean = false)
+    buckets: Option[Int], allowRescan: Boolean = false,
+    derived: Seq[(String, String)] = Nil)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("mv", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     graft.tables.MaterializedAggView.create(spark, mv, src, keys, groupBy,
-      aggs, buckets.getOrElse(16), allowRescan)
+      aggs, buckets.getOrElse(16), allowRescan, derived)
     Seq(Row(mv))
   }
 }
@@ -1054,11 +1064,12 @@ case class VacuumMaterializedViewCommand(mv: String, keep: Int)
   override val output: Seq[Attribute] = Seq(
     AttributeReference("mv", StringType, nullable = false)(),
     AttributeReference("kept_versions", IntegerType, nullable = false)(),
-    AttributeReference("kept_aux_versions", IntegerType, nullable = false)())
+    AttributeReference("kept_aux_versions", IntegerType, nullable = true)())
   override def run(spark: SparkSession): Seq[Row] = {
     // friendly validation (the state table's own require would surface as
-    // an internal invariant message); report the ACTUAL retention — aux
-    // tables keep max(keep, 2), not keep
+    // an internal invariant message); report the ACTUAL retention the
+    // vacuum applied — max(keep, 2) per aux table, NULL when the view has
+    // no aux tables (no distinct aggregates) so nothing is overstated
     if (keep < 1) throw new IllegalArgumentException(
       s"VACUUM MATERIALIZED VIEW: KEEP must be >= 1 (the live version " +
         s"cannot be reclaimed), got $keep")
@@ -1067,10 +1078,11 @@ case class VacuumMaterializedViewCommand(mv: String, keep: Int)
       val p = new org.apache.hadoop.fs.Path(mv, name)
       p.getFileSystem(hconf).exists(p)
     }
-    if (has("_mvj")) new graft.tables.MaterializedJoinAggView(mv).vacuum(spark, keep)
-    else if (has("_mvs")) new graft.tables.MaterializedStarAggView(mv).vacuum(spark, keep)
-    else new graft.tables.MaterializedAggView(mv).vacuum(spark, keep)
-    Seq(Row(mv, keep, math.max(keep, 2)))
+    val auxKept: Option[Int] =
+      if (has("_mvj")) new graft.tables.MaterializedJoinAggView(mv).vacuum(spark, keep)
+      else if (has("_mvs")) new graft.tables.MaterializedStarAggView(mv).vacuum(spark, keep)
+      else new graft.tables.MaterializedAggView(mv).vacuum(spark, keep)
+    Seq(Row(mv, keep, auxKept.map(Int.box).orNull))
   }
 }
 

@@ -892,7 +892,6 @@ final class BucketedSnapshotTable(
   private def commitLoop(spark: SparkSession, wholeTableRead: Boolean = false,
       txn: Option[(String, Long)] = None)
       (stage: () => Option[(Set[Int], DataFrame)]): Set[Int] = {
-    val f = fs(spark)
     var attempt = 0
     while (true) {
       val v0 = currentVersion(spark).getOrElse(0)
@@ -903,110 +902,11 @@ final class BucketedSnapshotTable(
         case None => return Set.empty
         case Some(x) => x
       }
-
-      val staging = s"_staging_${java.util.UUID.randomUUID().toString.take(12)}"
-      // repartition on the bucket id so each bucket dir gets ONE writer task
-      // (one file), not shufflePartitions × buckets stragglers — at scale a
-      // bucket is exactly one task's output, and the shuffle is the same
-      // key-hash the merge already clustered on. CHECK constraints enforce
-      // inline in this same plan (no second scan of the batch).
-      enforceConstraints(spark, merged)
-        .repartition(col(BucketCol)).write.mode(SaveMode.Overwrite)
-        .partitionBy(BucketCol)
-        .parquet(s"$root/$staging")
-      onStep("staged")
-      // a batch whose every row was tombstoned away stages NO parquet
-      // (only _SUCCESS) — nothing to index, and reading it for stats
-      // would fail schema inference
-      val stagedHasData = f.listStatus(new Path(s"$root/$staging"))
-        .exists(_.getPath.getName.startsWith(s"$BucketCol="))
-      // per-batch stats computed on the staging files, then re-pointed at
-      // the final dir — keeps the locked critical section metadata-sized.
-      // Index columns come from the writer OR the manifest header
-      // (effectiveIndexCols): every commit keeps the table's index fresh
-      val (effStatsC, effBloomC) = effectiveIndexCols(spark, v0)
-      val stagedStats: Seq[String] =
-        if (effStatsC.isEmpty || !stagedHasData) Nil
-        else StatsManifest.lines(spark.read.parquet(s"$root/$staging"), effStatsC)
-      // bloom sidecars land INSIDE the staging dir (underscore-hidden from
-      // parquet reads) so the rename carries them; only the manifest's
-      // file paths need re-pointing after the flip
-      if (effBloomC.nonEmpty && stagedHasData)
-        writeBloom(spark, spark.read.parquet(s"$root/$staging"), staging, effBloomC)
-
-      var replayed = false
-      var committedDir: Option[String] = None
-      val committed = CommitLock.withLockHandle(f, root, commitStaleMs) { lockH =>
-        val cur = currentVersion(spark).getOrElse(0)
-        // authoritative exactly-once check, inside the critical section: a
-        // racing restart of the same stream that committed this batch
-        // first makes ours a clean no-op
-        if (txnApplied(spark, cur, txn)) {
-          f.delete(new Path(s"$root/$staging"), true)
-          replayed = true
-          true
-        } else {
-        // DISJOINT-WRITER REBASE: losing the version race only invalidates
-        // our staged batch if an intervening commit touched one of OUR
-        // affected buckets (its manifest entry moved). Otherwise the bytes
-        // we staged are still exactly the rewrite of the current state of
-        // those buckets — commit on top of the fresh manifest without
-        // recomputing. N writers on disjoint key ranges each stage ONCE
-        // and serialize only on this metadata-sized critical section,
-        // instead of each loser re-reading and re-staging its buckets.
-        // A merge's affected set comes from the BATCH (buckets of its
-        // keys), so only those entries must be unmoved; predicate DML
-        // (`wholeTableRead`) discovered its affected set by scanning the
-        // whole table, so ANY moved entry could hide rows its predicate
-        // never saw — rebase only when the manifests are identical.
-        val mCur = if (cur == v0) m0 else readEntries(spark, cur)
-        val rebasable = cur == v0 ||
-          (if (wholeTableRead) mCur == m0
-           else affected.forall(b => mCur.get(b) == m0.get(b)))
-        if (!rebasable) {
-          f.delete(new Path(s"$root/$staging"), true); false
-        } else {
-          val next = cur + 1
-          val batchDir = s"_batch_v$next"
-          // a crashed writer may have left an orphan _batch_v<next> (it
-          // died between rename and pointer flip): unreachable — claiming
-          // the version purges it, else our rename would nest into it
-          val batchPath = new Path(s"$root/$batchDir")
-          if (f.exists(batchPath)) f.delete(batchPath, true)
-          if (!f.rename(new Path(s"$root/$staging"), batchPath))
-            throw new IllegalStateException(s"BucketedSnapshotTable $root: staging rename failed")
-          onStep("renamed")
-          if (stagedStats.nonEmpty)
-            StatsManifest.writeLines(f, batchStatsPath(batchDir),
-              stagedStats.map(_.replace(s"/$staging/", s"/$batchDir/")))
-          if (effBloomC.nonEmpty) repointBloom(f, batchDir, staging, None)
-          lockH.check() // paused-holder guard: abort rather than double-flip
-          // A bucket whose merged content is EMPTY (every key tombstoned
-          // by a delete flow) writes no partition dir — its manifest entry
-          // must be REMOVED, not pointed at a missing path.
-          val written = f.listStatus(batchPath).map(_.getPath.getName)
-            .collect { case n if n.startsWith(s"$BucketCol=") =>
-              n.stripPrefix(s"$BucketCol=").toInt }.toSet
-          writeManifest(spark, next,
-            (mCur -- affected) ++
-              affected.intersect(written)
-                .map(_ -> BucketEntry(batchDir, next)).toMap,
-            txnsOf(spark, cur) ++ txn)
-          onStep("committed")
-          committedDir = Some(batchDir)
-          true
-        }
-        }
-      }
-      if (committed) {
-        // post-commit, outside the lock: the fresh batch dir is immutable
-        // now — collapse its per-file bloom sidecars into the O(1)-probe
-        // blob (the compaction/ANALYZE paths already do; without this,
-        // point probes paid O(files) sidecar reads on every batch merged
-        // since the last ANALYZE — the r11 soak's growing dim-leg IO)
-        if (effBloomC.nonEmpty) committedDir.foreach(d =>
-          BloomIndex.consolidate(f, batchBloomPath(d)))
-        return if (replayed) Set.empty else affected
+      val (staging, effBloomC, stagedStats) = stageBatch(spark, merged, v0)
+      lockedCommit(spark, staging, affected, v0, m0, wholeTableRead, txn,
+        effBloomC, stagedStats) match {
+        case Some(replayed) => return if (replayed) Set.empty else affected
+        case None => ()
       }
       attempt += 1
       if (attempt > 12) throw new java.util.ConcurrentModificationException(
@@ -1019,6 +919,188 @@ final class BucketedSnapshotTable(
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** The DATA half of a commit: write `merged` under a fresh `_staging_*`
+    * dir (invisible — no manifest references it) and compute its sidecar
+    * inputs. Runnable outside, and concurrently with, any lock — two
+    * tables' staging writes may overlap. Returns (staging dir name,
+    * effective bloom columns, staged stats lines). */
+  private def stageBatch(spark: SparkSession, merged: DataFrame, v0: Int)
+      : (String, Seq[String], Seq[String]) = {
+    val f = fs(spark)
+    val staging = s"_staging_${java.util.UUID.randomUUID().toString.take(12)}"
+    // repartition on the bucket id so each bucket dir gets ONE writer task
+    // (one file), not shufflePartitions × buckets stragglers — at scale a
+    // bucket is exactly one task's output, and the shuffle is the same
+    // key-hash the merge already clustered on. CHECK constraints enforce
+    // inline in this same plan (no second scan of the batch).
+    enforceConstraints(spark, merged)
+      .repartition(col(BucketCol)).write.mode(SaveMode.Overwrite)
+      .partitionBy(BucketCol)
+      .parquet(s"$root/$staging")
+    onStep("staged")
+    // a batch whose every row was tombstoned away stages NO parquet
+    // (only _SUCCESS) — nothing to index, and reading it for stats
+    // would fail schema inference
+    val stagedHasData = f.listStatus(new Path(s"$root/$staging"))
+      .exists(_.getPath.getName.startsWith(s"$BucketCol="))
+    // per-batch stats computed on the staging files, then re-pointed at
+    // the final dir — keeps the locked critical section metadata-sized.
+    // Index columns come from the writer OR the manifest header
+    // (effectiveIndexCols): every commit keeps the table's index fresh
+    val (effStatsC, effBloomC) = effectiveIndexCols(spark, v0)
+    val stagedStats: Seq[String] =
+      if (effStatsC.isEmpty || !stagedHasData) Nil
+      else StatsManifest.lines(spark.read.parquet(s"$root/$staging"), effStatsC)
+    // bloom sidecars land INSIDE the staging dir (underscore-hidden from
+    // parquet reads) so the rename carries them; only the manifest's
+    // file paths need re-pointing after the flip
+    if (effBloomC.nonEmpty && stagedHasData)
+      writeBloom(spark, spark.read.parquet(s"$root/$staging"), staging, effBloomC)
+    (staging, effBloomC, stagedStats)
+  }
+
+  /** The LOCKED metadata half of a commit: rename + sidecar repoint +
+    * manifest + pointer flip, all metadata-sized. Returns Some(replayed)
+    * on success (replayed = the txn ledger already recorded this batch, a
+    * clean no-op), None when the staged batch lost the commit race
+    * unrebasably (staging deleted — the caller restages from fresh state). */
+  private def lockedCommit(spark: SparkSession, staging: String,
+      affected: Set[Int], v0: Int, m0: Map[Int, BucketEntry],
+      wholeTableRead: Boolean, txn: Option[(String, Long)],
+      effBloomC: Seq[String], stagedStats: Seq[String]): Option[Boolean] = {
+    val f = fs(spark)
+    var replayed = false
+    var committedDir: Option[String] = None
+    val committed = CommitLock.withLockHandle(f, root, commitStaleMs) { lockH =>
+      val cur = currentVersion(spark).getOrElse(0)
+      // authoritative exactly-once check, inside the critical section: a
+      // racing restart of the same stream that committed this batch
+      // first makes ours a clean no-op
+      if (txnApplied(spark, cur, txn)) {
+        f.delete(new Path(s"$root/$staging"), true)
+        replayed = true
+        true
+      } else {
+      // DISJOINT-WRITER REBASE: losing the version race only invalidates
+      // our staged batch if an intervening commit touched one of OUR
+      // affected buckets (its manifest entry moved). Otherwise the bytes
+      // we staged are still exactly the rewrite of the current state of
+      // those buckets — commit on top of the fresh manifest without
+      // recomputing. N writers on disjoint key ranges each stage ONCE
+      // and serialize only on this metadata-sized critical section,
+      // instead of each loser re-reading and re-staging its buckets.
+      // A merge's affected set comes from the BATCH (buckets of its
+      // keys), so only those entries must be unmoved; predicate DML
+      // (`wholeTableRead`) discovered its affected set by scanning the
+      // whole table, so ANY moved entry could hide rows its predicate
+      // never saw — rebase only when the manifests are identical.
+      val mCur = if (cur == v0) m0 else readEntries(spark, cur)
+      val rebasable = cur == v0 ||
+        (if (wholeTableRead) mCur == m0
+         else affected.forall(b => mCur.get(b) == m0.get(b)))
+      if (!rebasable) {
+        f.delete(new Path(s"$root/$staging"), true); false
+      } else {
+        val next = cur + 1
+        val batchDir = s"_batch_v$next"
+        // a crashed writer may have left an orphan _batch_v<next> (it
+        // died between rename and pointer flip): unreachable — claiming
+        // the version purges it, else our rename would nest into it
+        val batchPath = new Path(s"$root/$batchDir")
+        if (f.exists(batchPath)) f.delete(batchPath, true)
+        if (!f.rename(new Path(s"$root/$staging"), batchPath))
+          throw new IllegalStateException(s"BucketedSnapshotTable $root: staging rename failed")
+        onStep("renamed")
+        if (stagedStats.nonEmpty)
+          StatsManifest.writeLines(f, batchStatsPath(batchDir),
+            stagedStats.map(_.replace(s"/$staging/", s"/$batchDir/")))
+        if (effBloomC.nonEmpty) repointBloom(f, batchDir, staging, None)
+        lockH.check() // paused-holder guard: abort rather than double-flip
+        // A bucket whose merged content is EMPTY (every key tombstoned
+        // by a delete flow) writes no partition dir — its manifest entry
+        // must be REMOVED, not pointed at a missing path.
+        val written = f.listStatus(batchPath).map(_.getPath.getName)
+          .collect { case n if n.startsWith(s"$BucketCol=") =>
+            n.stripPrefix(s"$BucketCol=").toInt }.toSet
+        writeManifest(spark, next,
+          (mCur -- affected) ++
+            affected.intersect(written)
+              .map(_ -> BucketEntry(batchDir, next)).toMap,
+          txnsOf(spark, cur) ++ txn)
+        onStep("committed")
+        committedDir = Some(batchDir)
+        true
+      }
+      }
+    }
+    if (committed) {
+      // post-commit, outside the lock: the fresh batch dir is immutable
+      // now — collapse its per-file bloom sidecars into the O(1)-probe
+      // blob (the compaction/ANALYZE paths already do; without this,
+      // point probes paid O(files) sidecar reads on every batch merged
+      // since the last ANALYZE — the r11 soak's growing dim-leg IO)
+      if (effBloomC.nonEmpty) committedDir.foreach(d =>
+        BloomIndex.consolidate(f, batchBloomPath(d)))
+      Some(replayed)
+    } else None
+  }
+
+  /** TWO-PHASE SCD1 merge for multi-table coordinators (the MV refresh,
+    * whose aux and main state commits were the measured ~half of every
+    * refresh when run strictly in sequence): this stages everything up to
+    * — and including — the staging write and sidecar computation, the
+    * expensive DATA half, WITHOUT committing. A coordinator can therefore
+    * stage several tables' batches CONCURRENTLY (independent Spark jobs,
+    * independent table roots) and then [[commitStagedScd1]] them in its
+    * required order with only metadata work (rename + manifest + flip)
+    * between the pointer flips.
+    *
+    * Crash semantics are unchanged by construction: a staged batch is a
+    * randomly-named `_staging_*` dir no manifest references — invisible
+    * to every reader and reaped by vacuum — so this API changes WHEN the
+    * data bytes are written, never when they become visible. The caller's
+    * commit ORDER (the MV's aux-strictly-before-main rule that the
+    * aux-ahead replay pinning proves) is exactly the order of its
+    * commitStagedScd1 calls.
+    *
+    * Returns None when there is nothing to do (empty update batch, or the
+    * exactly-once ledger already records `txn` — same no-ops as
+    * [[scd1Merge]]). */
+  private[graft] def stageScd1Merge(spark: SparkSession, updates: DataFrame,
+      seqCol: String, applyAsDeletes: Option[Column] = None,
+      txn: Option[(String, Long)] = None)
+      : Option[BucketedSnapshotTable.StagedScd1] = {
+    val v0 = currentVersion(spark).getOrElse(0)
+    if (txnApplied(spark, v0, txn)) return None
+    val upd = updates.withColumn(BucketCol, bucketExpr)
+    val updBuckets = upd.select(BucketCol).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (updBuckets.isEmpty) return None
+    val m0 = if (v0 == 0) Map.empty[Int, BucketEntry] else readEntries(spark, v0)
+    // read the affected buckets AT v0 — the same manifest the rebase check
+    // compares against, so read state ≡ rebase base by construction
+    val merged = ScdMerge.scd1Upsert(
+      fromManifest(spark, m0.map { case (b, e) => b -> e.dir }, Some(updBuckets)),
+      upd, keys, seqCol, Nil, applyAsDeletes)
+    val (staging, effBloomC, stagedStats) = stageBatch(spark, merged, v0)
+    Some(BucketedSnapshotTable.StagedScd1(staging, updBuckets, v0, m0,
+      effBloomC, stagedStats, updates, seqCol, applyAsDeletes, txn))
+  }
+
+  /** Commit a [[stageScd1Merge]] batch. The metadata-sized happy path; a
+    * staged batch that lost the commit race unrebasably (another writer
+    * moved one of its buckets — cannot happen under a coordinator that
+    * serializes refreshes, kept for safety) falls back to the standard
+    * re-staging merge loop. Returns the buckets rewritten. */
+  private[graft] def commitStagedScd1(spark: SparkSession,
+      h: BucketedSnapshotTable.StagedScd1): Set[Int] =
+    lockedCommit(spark, h.staging, h.affected, h.v0, h.m0,
+      wholeTableRead = false, h.txn, h.effBloomC, h.stagedStats) match {
+      case Some(replayed) => if (replayed) Set.empty else h.affected
+      case None =>
+        scd1Merge(spark, h.updates, h.seqCol, Nil, h.applyAsDeletes, h.txn)
+    }
 
   // ── Per-batch file stats (SCD-merge × data-skipping composition) ───────
   //
@@ -1536,6 +1618,23 @@ object BucketedSnapshotTable {
     * the true content version — a conservative over-approximation that
     * reads more buckets, never misses a change. */
   private[tables] final case class BucketEntry(dir: String, contentV: Int)
+
+  /** A fully staged (but uncommitted) SCD1 merge — the handle between the
+    * two-phase [[BucketedSnapshotTable.stageScd1Merge]] (data half) and
+    * [[BucketedSnapshotTable.commitStagedScd1]] (locked metadata half).
+    * Carries the original merge inputs so a lost commit race can fall
+    * back to the standard re-staging loop. */
+  private[graft] final case class StagedScd1(
+      private[tables] val staging: String,
+      private[tables] val affected: Set[Int],
+      private[tables] val v0: Int,
+      private[tables] val m0: Map[Int, BucketEntry],
+      private[tables] val effBloomC: Seq[String],
+      private[tables] val stagedStats: Seq[String],
+      private[tables] val updates: org.apache.spark.sql.DataFrame,
+      private[tables] val seqCol: String,
+      private[tables] val applyAsDeletes: Option[org.apache.spark.sql.Column],
+      private[tables] val txn: Option[(String, Long)])
 
   /** Did a bucket's CONTENT change between two manifest entries? Normally
     * a contentV comparison, with one guard: the legacy 2-field-manifest

@@ -36,6 +36,15 @@ private[tables] object CommitLock {
     * dead and steals it (a crashed driver must not wedge the table). */
   val StaleMs = 60000L
 
+  /** How many DISTINCT lock holders a waiter serializes behind before
+    * failing loudly. The progress-aware deadline alone would let a
+    * continuous stream of short-lived committers starve a waiter forever
+    * (every fresh lock advances the mtime and resets the deadline); a
+    * SINGLE long-running heartbeating holder is one distinct token no
+    * matter how long it runs, so the legitimate serialize-behind-a-live-
+    * refresh case is never capped — only unbounded holder churn is. */
+  val MaxWaitHolders = 64
+
   private val monitors = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def monitor(root: String): Object =
     monitors.computeIfAbsent(root, _ => new Object)
@@ -115,6 +124,7 @@ private[tables] object CommitLock {
     // loudly (defensive: that state should be unreachable).
     var deadline = System.currentTimeMillis() + 2 * staleMs
     var lastSeen: Option[Option[Long]] = None
+    var holdersSeen = Set.empty[String]
     var held = false
     while (!held) {
       val created =
@@ -137,6 +147,17 @@ private[tables] object CommitLock {
         if (!lastSeen.contains(observed)) {
           lastSeen = Some(observed)
           deadline = System.currentTimeMillis() + 2 * staleMs
+          // starvation bound on the reset: an mtime advance is either the
+          // SAME holder's heartbeat (token unchanged — free) or a NEW
+          // short-lived committer; a waiter that has serialized behind
+          // [[MaxWaitHolders]] distinct holders without ever winning the
+          // claim race fails loudly instead of waiting forever
+          readToken(f, lock).foreach(holdersSeen += _)
+          if (holdersSeen.size > MaxWaitHolders)
+            throw new IllegalStateException(
+              s"table $root: commit-lock waiter starved — " +
+                s"${holdersSeen.size} distinct holders came and went without " +
+                "this waiter ever acquiring; reduce commit contention or retry")
         }
         val stale = observed.exists(System.currentTimeMillis() - _ > staleMs)
         if (stale) {

@@ -76,18 +76,25 @@ final class MaterializedAggView(val root: String) {
       l.take(i) -> l.drop(i + 1)
     }.toMap
     def list(k: String) = kv.getOrElse(k, "").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val groupBy = list("groupBy")
+    // derived dims (r13): `derived.<name>=<expr sql>` lines, ordered by
+    // their position in groupBy
+    val derived = kv.toSeq.collect {
+      case (k, v) if k.startsWith("derived.") => k.stripPrefix("derived.") -> v
+    }.sortBy { case (n, _) => groupBy.indexOf(n) }
     Spec(
       sourceRoot = kv.getOrElse("sourceRoot", throw new IllegalArgumentException(
         s"MaterializedAggView $root: _mv lacks sourceRoot")),
       sourceKeys = list("sourceKeys"),
-      groupBy = list("groupBy"),
+      groupBy = groupBy,
       aggs = list("aggs").map(Agg.parse),
       numBuckets = kv.getOrElse("numBuckets", "16").toInt,
       // null-mask encoding is recorded in the spec at create time: state
       // written by a pre-mask build has neither the __mv_nulls key column
       // nor its bucket hashing, and must keep reading/merging with the
       // legacy layout (and the legacy non-null group contract)
-      nullMask = kv.get("nullMask").contains("1"))
+      nullMask = kv.get("nullMask").contains("1"),
+      derived = derived)
   }
 
   /** State business keys: the group columns plus the null-mask (see
@@ -160,9 +167,13 @@ final class MaterializedAggView(val root: String) {
     val srcV = if (crashedV.nonEmpty) crashedV.max.toInt else liveV
     if (srcV <= lastV) return (lastV, Set.empty)
 
-    val feedRaw =
+    val feedRaw0 =
       if (lastV == 0) feedable.visibleAt(srcV).withColumn("_change_type", lit("insert"))
       else feedable.feed(lastV, srcV, withColumns = false, withPreimage = true)
+    // derived dims compute on the raw window BEFORE any encoding: a
+    // preimage row derives the same value its insert did, so retraction
+    // algebra is untouched — a derived dim is just another group column
+    val feedRaw = applyDerived(feedRaw0, sp.derived, s"MaterializedAggView $root")
     // null-mask encoding: from here on every group-key operation is
     // null-free over (groupBy…, __mv_nulls). A measure column that is
     // ALSO a nullable group column would be encoded away — its RAW
@@ -221,20 +232,27 @@ final class MaterializedAggView(val root: String) {
     // crash/replay interleaving re-derives the identical delta (a
     // replayed run whose aux table already committed re-reads the aux as
     // of the last FULLY-applied refresh via the ledger-pinned version).
-    val dcDeltas: Seq[DataFrame] = distinctAggs.map { a =>
+    // r13: the aux COMMITS come back as thunks and run on [[auxEc]]
+    // CONCURRENTLY with the main-side fold and staging below — the dc
+    // deltas derive from the pinned pre-merge transition frames, so the
+    // only ordering the crash matrix needs is "every aux commit completes
+    // before the main commit", enforced by the Await before it.
+    val dcPrepared: Seq[(DataFrame, () => Unit)] = distinctAggs.map { a =>
       foldDistinct(spark, auxState(sp, a.as), feed, sign, gk,
         mcol(a.col.get), TxnId, srcV.toLong, lastV.toLong, dcCol(a.as),
         beforeMerge = () => lock.check(),
         afterMerge = () => onStep(s"aux-merged:${a.as}"),
         prepared = preparedPairs)
     }
+    val auxFuts = dcPrepared.map { case (_, commit) =>
+      scala.concurrent.Future(commit())(auxEc) }
     // dc-delta groups ⊆ feed groups (both derive from the feed), so a
     // left join is complete; absent → 0 in the generic fold below.
     // Pinned: the grouped delta is consumed by THREE actions downstream
     // (the state's bucket-pruned key probe, the merge's bucket discovery,
     // and the state write) — without the pin each re-executes the whole
     // O(changed) window diff; the checkpoint is O(changed groups) rows
-    val delta = dcDeltas.foldLeft(delta0)((d, dd) => d.join(dd, gk, "left"))
+    val delta = dcPrepared.map(_._1).foldLeft(delta0)((d, dd) => d.join(dd, gk, "left"))
       .localCheckpoint()
     // null group keys the state machinery cannot represent fail loudly
     // here instead of silently dropping through the key-equality merges
@@ -244,53 +262,74 @@ final class MaterializedAggView(val root: String) {
 
     val accCols: Seq[(String, DataType)] = accColsFor(sp.aggs, accTypes, sqTypes)
 
-    // current state of ONLY the changed groups: bucket-pruned point read
-    val cur: DataFrame =
-      if (!st.exists(spark)) {
-        val fields = gk.map(g => delta.schema(g)) ++
-          accCols.map { case (n, t) => StructField(n, t, nullable = true) }
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType(fields))
-      } else graft.cdc.ScdMerge.scd1Current(
-          st.readKeys(spark, delta.select(gk.map(col): _*)))
-        .select((gk ++ accCols.map(_._1)).map(col): _*)
+    // STAGE the main-state merge (the expensive data half) while the aux
+    // commits are still in flight on auxEc, then serialize only the
+    // metadata commits: every aux commit completes strictly before the
+    // main pointer flip — the same happens-before the sequential layout
+    // provided, with the two tables' staging writes overlapped. The
+    // finally-Await guarantees no aux commit is ever in flight past this
+    // frame on ANY exit path: an orphan aux commit landing after a
+    // successor refresher read the ledger could evade the aux-ahead
+    // replay pin.
+    val stagedMain: Option[BucketedSnapshotTable.StagedScd1] = try {
+      // current state of ONLY the changed groups: bucket-pruned point read
+      val cur: DataFrame =
+        if (!st.exists(spark)) {
+          val fields = gk.map(g => delta.schema(g)) ++
+            accCols.map { case (n, t) => StructField(n, t, nullable = true) }
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType(fields))
+        } else graft.cdc.ScdMerge.scd1Current(
+            st.readKeys(spark, delta.select(gk.map(col): _*)))
+          .select((gk ++ accCols.map(_._1)).map(col): _*)
 
-    val curA = cur.select(gk.map(col) ++
-      accCols.map { case (n, t) => col(n).as(s"__cur_$n") }: _*)
-    val merged0 = delta.join(curA, gk, "left")
-    val folded = accCols.foldLeft(merged0) { case (df, (n, t)) =>
-      df.withColumn(n,
-        (coalesce(col(s"__cur_$n").cast(t), lit(0).cast(t)) +
-          coalesce(col(n).cast(t), lit(0).cast(t))).cast(t))
-    }.select((gk ++ accCols.map(_._1)).map(col): _*)
+      val curA = cur.select(gk.map(col) ++
+        accCols.map { case (n, t) => col(n).as(s"__cur_$n") }: _*)
+      val merged0 = delta.join(curA, gk, "left")
+      val folded = accCols.foldLeft(merged0) { case (df, (n, t)) =>
+        df.withColumn(n,
+          (coalesce(col(s"__cur_$n").cast(t), lit(0).cast(t)) +
+            coalesce(col(n).cast(t), lit(0).cast(t))).cast(t))
+      }.select((gk ++ accCols.map(_._1)).map(col): _*)
 
-    // min/max are NOT invertible — the opt-in RESCAN mode recomputes them
-    // from the source for EXACTLY the changed groups (one semi-joined
-    // grouped scan of the source per refresh: the documented extra cost
-    // class the caller accepted at create); the source side is encoded so
-    // the semi-join and regrouping run null-free like everything else
-    val rescans = sp.aggs.filter(a => a.fn == "min" || a.fn == "max")
-    val withMm =
-      if (rescans.isEmpty) folded
-      else {
-        val aggsR = rescans.map { a =>
-          (if (a.fn == "min") min(col(mcol(a.col.get))) else max(col(mcol(a.col.get))))
-            .as(mmCol(a.fn, a.as))
+      // min/max are NOT invertible — the opt-in RESCAN mode recomputes them
+      // from the source for EXACTLY the changed groups (one semi-joined
+      // grouped scan of the source per refresh: the documented extra cost
+      // class the caller accepted at create); the source side is encoded so
+      // the semi-join and regrouping run null-free like everything else
+      val rescans = sp.aggs.filter(a => a.fn == "min" || a.fn == "max")
+      val withMm =
+        if (rescans.isEmpty) folded
+        else {
+          val aggsR = rescans.map { a =>
+            (if (a.fn == "min") min(col(mcol(a.col.get))) else max(col(mcol(a.col.get))))
+              .as(mmCol(a.fn, a.as))
+          }
+          val rsVis = applyDerived(feedable.visibleAt(srcV), sp.derived,
+            s"MaterializedAggView $root")
+          val rsBase =
+            if (sp.nullMask) encodeNulls(withShadows(rsVis), sp.groupBy)
+            else rsVis
+          val rs = rsBase
+            .join(folded.select(gk.map(col): _*), gk, "left_semi")
+            .groupBy(gk.map(col): _*).agg(aggsR.head, aggsR.tail: _*)
+          folded.join(rs, gk, "left")
         }
-        val rsBase =
-          if (sp.nullMask) encodeNulls(withShadows(feedable.visibleAt(srcV)), sp.groupBy)
-          else feedable.visibleAt(srcV)
-        val rs = rsBase
-          .join(folded.select(gk.map(col): _*), gk, "left_semi")
-          .groupBy(gk.map(col): _*).agg(aggsR.head, aggsR.tail: _*)
-        folded.join(rs, gk, "left")
-      }
-    val upserts = withMm.withColumn(SeqCol, lit(srcV.toLong))
-
+      val upserts = withMm.withColumn(SeqCol, lit(srcV.toLong))
+      st.stageScd1Merge(spark, upserts, SeqCol,
+        applyAsDeletes = Some(col(NCol) === 0L),
+        txn = Some((TxnId, srcV.toLong)))
+    } finally auxFuts.foreach(fu =>
+      scala.concurrent.Await.ready(fu, scala.concurrent.duration.Duration.Inf))
+    // surface any aux-commit failure BEFORE the main commit (instant: the
+    // futures are complete)
+    auxFuts.foreach(fu =>
+      scala.concurrent.Await.result(fu, scala.concurrent.duration.Duration.Inf))
     lock.check() // abort rather than double-commit if the lock was stolen
-    val touched = st.scd1Merge(spark, upserts, SeqCol,
-      applyAsDeletes = Some(col(NCol) === 0L),
-      txn = Some((TxnId, srcV.toLong)))
+    val touched = stagedMain match {
+      case Some(h) => st.commitStagedScd1(spark, h)
+      case None => Set.empty[Int] // empty window / ledger-replayed batch
+    }
     if (srcV < liveV) {
       // the pinned replay stopped at the crashed window's end — fold the
       // rest of the history in an ordinary pass (same lock: the view
@@ -323,6 +362,18 @@ final class MaterializedAggView(val root: String) {
     * query, so a REFRESH is visible immediately; answers are exact as of
     * the last refreshed source version (the usual materialized-view
     * staleness contract). */
+  /** The (state provider, per-measure pair providers) pair registerRewrite
+    * wires — exposed for specs that pin the cross-provider version
+    * consistency under concurrent refreshes (the thread-local txn pin). */
+  private[tables] def routingProviders(spark: SparkSession)
+      : (() => DataFrame, Map[String, () => DataFrame]) = {
+    val sp = spec(spark)
+    rewriteProviders(spark, state(sp), TxnId,
+      sp.aggs, as => auxState(sp, as), groupKeys(sp),
+      v => rollupFormat(spark, v),
+      if (sp.nullMask) df => decodeNulls(df, sp.groupBy) else identity)
+  }
+
   def registerRewrite(spark: SparkSession): Unit = {
     val sp = spec(spark)
     val measures = sp.aggs.filterNot(a => a.fn == "count" && a.col.isEmpty)
@@ -333,12 +384,33 @@ final class MaterializedAggView(val root: String) {
     // (state version, ledger value) per query for cross-read consistency.
     // Pair relations select the FULL state keys (incl. the null mask) and
     // decode, so null groups round-trip through routing
-    val (provider, distincts) = rewriteProviders(spark, state(sp), TxnId,
-      sp.aggs, as => auxState(sp, as), groupKeys(sp),
-      v => rollupFormat(spark, v),
-      if (sp.nullMask) df => decodeNulls(df, sp.groupBy) else identity)
+    val (provider, distincts) = routingProviders(spark)
+    // derived dims (r13): resolve each declared expression against the
+    // live SOURCE schema once, normalized for structural matching — a
+    // query grouping by the same expression tree routes to the derived
+    // state column (AggRollupRewrite.derivedDims)
+    val derivedExprs: Map[String, org.apache.spark.sql.catalyst.expressions.Expression] =
+      if (sp.derived.isEmpty) Map.empty
+      else {
+        val feedable = graft.streaming.ChangeFeedSource.adapter(spark, Map(
+          "path" -> sp.sourceRoot) ++
+          (if (sp.sourceKeys.nonEmpty) Map("keys" -> sp.sourceKeys.mkString(",")) else Map.empty))
+        feedable.currentVersion match {
+          case None => Map.empty // empty source: the provider refuses anyway
+          case Some(v) =>
+            val src = feedable.visibleAt(v)
+            sp.derived.map { case (n, eStr) =>
+              val analyzed = src.select(expr(eStr).as(n)).queryExecution.analyzed
+              val e = analyzed.asInstanceOf[
+                  org.apache.spark.sql.catalyst.plans.logical.Project]
+                .projectList.head
+                .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Alias].child
+              n -> graft.plans.AggRollupRewrite.normalizeDim(e)
+            }.toMap
+        }
+      }
     graft.plans.AggRollupRewrite.registerView(spark, sp.sourceRoot,
-      sp.groupBy, measures, provider, distincts)
+      sp.groupBy, measures, provider, distincts, derivedExprs)
   }
 
   /** Remove this view's transparent routing (SQL `ALTER MATERIALIZED
@@ -353,8 +425,9 @@ final class MaterializedAggView(val root: String) {
     * reads the aux AS OF the last fully-applied refresh, which is at most
     * one version behind the aux head (aux commits lead main commits by
     * exactly one refresh), so two versions always suffice. Standard
-    * vacuum contract: not concurrent with an active refresher. */
-  def vacuum(spark: SparkSession, keep: Int = 2): Unit = {
+    * vacuum contract: not concurrent with an active refresher. Returns
+    * the aux retention applied (None = no aux tables). */
+  def vacuum(spark: SparkSession, keep: Int = 2): Option[Int] = {
     val sp = spec(spark)
     vacuumView(spark, state(sp), sp.aggs, as => auxState(sp, as), keep)
   }
@@ -401,6 +474,18 @@ object MaterializedAggView {
       Some(lit(java.sql.Timestamp.from(java.time.Instant.EPOCH)))
     case _ => None
   }
+
+  /** Compute a spec's DERIVED dimension columns on a source-shaped frame
+    * (refresh windows, rescan bases): one `withColumn(name, expr)` per
+    * declared derived dim. Fails loudly on a name collision with a source
+    * column — silently shadowing one would change fold semantics. */
+  private[tables] def applyDerived(df: DataFrame,
+      derived: Seq[(String, String)], what: String): DataFrame =
+    derived.foldLeft(df) { case (d, (n, e)) =>
+      require(!d.columns.contains(n),
+        s"$what: derived dim '$n' collides with a source column")
+      d.withColumn(n, expr(e))
+    }
 
   /** Replace NULL group values with their typed stand-ins and append the
     * [[NullsCol]] bitmask — the state-boundary encoding. Non-nullable
@@ -487,26 +572,58 @@ object MaterializedAggView {
 
   final case class Spec(sourceRoot: String, sourceKeys: Seq[String],
       groupBy: Seq[String], aggs: Seq[Agg], numBuckets: Int,
-      nullMask: Boolean = true)
+      nullMask: Boolean = true,
+      /** DERIVED dimension columns (r13): (state column name, SQL expr
+        * over the SOURCE row) — `month(o_orderdate) AS m` declared in the
+        * view DDL. Computed on every refresh window before the fold and
+        * maintained exactly like any group column; the transparent
+        * routing matches a query grouping by the same expression tree
+        * (the single most common dashboard rollup shape). Names appear
+        * in `groupBy` like any other dim. */
+      derived: Seq[(String, String)] = Nil)
+
+  /** Dedicated daemon pool for aux-table merges that run CONCURRENTLY
+    * with the main-state fold (see [[foldDistinct]]'s commit thunk): the
+    * aux staging write and the main-side staging/compute are independent
+    * Spark jobs over independent table roots, and running them in
+    * sequence was the measured ~half of every count-distinct refresh
+    * (NOTES_r12: two staging writes ≈ 3 s of a 6.4 s refresh). Unbounded
+    * cached pool is fine — a refresh holds at most #distinct-aggs tasks. */
+  private[tables] val auxEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-mv-aux"); t.setDaemon(true); t
+      }))
 
   /** Fold ONE count-distinct measure's signed pair deltas into its aux
-    * occurrence table and return the per-group distinct-count delta —
-    * the shared core of exact retractable COUNT(DISTINCT) for every view
-    * kind. `feed` is the view's signed delta relation (single-table
-    * change feed or a joined delta), `sign` its ±1 column; `txnValue`
-    * stamps the aux merge (the view's ledger value for this refresh) and
+    * occurrence table and return (per-group distinct-count delta, the
+    * aux COMMIT as a deferred thunk) — the shared core of exact
+    * retractable COUNT(DISTINCT) for every view kind. The transition
+    * frame (and hence the returned dc delta) derives from the PRE-merge
+    * aux state and is pinned eagerly, so the caller may run the commit
+    * thunk CONCURRENTLY with its own main-side fold — the only ordering
+    * obligation is that every aux thunk COMPLETES before the main state
+    * commits (the aux-ahead crash matrix covers any subset of aux tables
+    * committed at a crash: all of one refresh's aux commits stamp the
+    * same `txnValue`, and the replay pins each committed-ahead aux
+    * independently).
+    *
+    * `feed` is the view's signed delta relation (single-table change
+    * feed or a joined delta), `sign` its ±1 column; `txnValue` stamps
+    * the aux merge (the view's ledger value for this refresh) and
     * `lastTxn` is the MAIN state's last applied ledger value — when the
     * aux table committed AHEAD of it (a crash between the two commits),
     * the current pairs are re-read at the aux version the ledger pins to
     * `lastTxn`, so the replayed transitions match what the crashed run
     * derived. `beforeMerge` runs immediately before the aux merge (lock
-    * re-check), `afterMerge` right after (fault-injection hook). */
+    * re-check), `afterMerge` right after (fault-injection hook); both
+    * run inside the thunk, on its thread. */
   private[tables] def foldDistinct(spark: SparkSession,
       dst: BucketedSnapshotTable, feed: DataFrame, sign: Column,
       groupBy: Seq[String], valueCol: String, txnId: String,
       txnValue: Long, lastTxn: Long, dcName: String,
       beforeMerge: () => Unit, afterMerge: () => Unit,
-      prepared: Option[DataFrame] = None): DataFrame = {
+      prepared: Option[DataFrame] = None): (DataFrame, () => Unit) = {
     val keyCols = groupBy :+ ValCol
     // pinned at (group, value) grain — small — because THREE consumers
     // read it (the bucket probe, possibly the crash semi-join, and the
@@ -551,14 +668,17 @@ object MaterializedAggView {
       .localCheckpoint()
     val auxUp = trans.select(keyCols.map(col) ++
       Seq(col(VcNewCol).as(VcCol), lit(txnValue).as(SeqCol)): _*)
-    beforeMerge()
-    dst.scd1Merge(spark, auxUp, SeqCol,
-      applyAsDeletes = Some(col(VcCol) === 0L),
-      txn = Some((txnId, txnValue)))
-    afterMerge()
-    trans.groupBy(groupBy.map(col): _*)
+    val commit = () => {
+      beforeMerge()
+      dst.scd1Merge(spark, auxUp, SeqCol,
+        applyAsDeletes = Some(col(VcCol) === 0L),
+        txn = Some((txnId, txnValue)))
+      afterMerge()
+    }
+    (trans.groupBy(groupBy.map(col): _*)
       .agg(sum((col(VcNewCol) > 0).cast(LongType) -
-        (coalesce(col(VcCol), lit(0L)) > 0).cast(LongType)).as(dcName))
+        (coalesce(col(VcCol), lit(0L)) > 0).cast(LongType)).as(dcName)),
+      commit)
   }
 
   /** ONE pass over the signed feed producing BOTH maintenance grains when
@@ -668,14 +788,18 @@ object MaterializedAggView {
   /** Shared vacuum for every view kind: state to `keep` versions, each
     * count-distinct aux table to at least 2 (the crash-replay pin reads
     * the aux AS OF the last fully-applied refresh, at most one version
-    * behind the aux head). */
+    * behind the aux head). Returns the aux retention actually applied —
+    * None when the view has no materialized aux tables (no distinct
+    * aggregates, or none refreshed yet), so callers report honestly
+    * instead of claiming a retention that was never exercised. */
   private[tables] def vacuumView(spark: SparkSession, st: BucketedSnapshotTable,
-      aggs: Seq[Agg], auxOf: String => BucketedSnapshotTable, keep: Int): Unit = {
+      aggs: Seq[Agg], auxOf: String => BucketedSnapshotTable,
+      keep: Int): Option[Int] = {
     st.vacuum(spark, keep)
-    aggs.filter(_.fn == "count_distinct").foreach { a =>
-      val dst = auxOf(a.as)
-      if (dst.exists(spark)) dst.vacuum(spark, math.max(keep, 2))
-    }
+    val auxes = aggs.filter(_.fn == "count_distinct").map(a => auxOf(a.as))
+      .filter(_.exists(spark))
+    auxes.foreach(_.vacuum(spark, math.max(keep, 2)))
+    if (auxes.isEmpty) None else Some(math.max(keep, 2))
   }
 
   /** Variance-family aggregates (r12): maintained EXACTLY via sum +
@@ -690,6 +814,16 @@ object MaterializedAggView {
   //    kind at once. min/max contribute nothing to the delta/accumulator
   //    sets (the single-table view RESCANS them; join/star reject them at
   //    create); count(*) rides NCol.
+
+  /** Apply a ±1 sign to an exact partial by NEGATION, never by
+    * multiplication: `decimal × long(sign)` goes through Spark's decimal
+    * multiply typing, whose allowPrecisionLoss adjustment clamps the
+    * result scale to min(scale, 6) — a measure with scale ≥ 4 would have
+    * its Σx² partial (scale 2s) silently rounded before the cast back to
+    * the accumulator type, breaking the documented exact-square contract.
+    * Decimal negation is exact in the operand's own type. */
+  private def signed(x: Column, sign: Column): Column =
+    when(sign > 0, x).otherwise(-x)
 
   /** Signed delta columns for one refresh window: NCol first, then per
     * agg its nn/sum/sumsq partials. `mcol` maps a measure to its shadowed
@@ -723,16 +857,16 @@ object MaterializedAggView {
           val sq = (sqBase * sqBase).cast(t2)
           Seq(
             sum(when(col(c).isNotNull, sign).otherwise(0L)).as(nnCol(a.as)),
-            sum(when(col(c).isNotNull, col(c).cast(t) * sign).otherwise(lit(null)))
+            sum(when(col(c).isNotNull, signed(col(c).cast(t), sign)).otherwise(lit(null)))
               .cast(t).as(sumCol(a.as)),
-            sum(when(col(c).isNotNull, (sq * sign).cast(t2)).otherwise(lit(null)))
+            sum(when(col(c).isNotNull, signed(sq, sign).cast(t2)).otherwise(lit(null)))
               .cast(t2).as(sumSqCol(a.as)))
         case "sum" | "avg" =>
           val c = mcol(a.col.get)
           val t = accTypes(a.as)
           Seq(
             sum(when(col(c).isNotNull, sign).otherwise(0L)).as(nnCol(a.as)),
-            sum(when(col(c).isNotNull, col(c).cast(t) * sign).otherwise(lit(null)))
+            sum(when(col(c).isNotNull, signed(col(c).cast(t), sign)).otherwise(lit(null)))
               .cast(t).as(sumCol(a.as)))
         case other => throw new IllegalArgumentException(
           s"unsupported aggregate '$other' in maintenance fold")
@@ -822,6 +956,28 @@ object MaterializedAggView {
       }
   }
 
+  /** Oracle-contract guard for variance gate FIXTURES (not an engine
+    * limit): DuckDB casts its int128 Σx² numerator to double via
+    * int128→double, which DOUBLE-ROUNDS above 2⁵³, while Spark's
+    * BigDecimal path rounds once — a 1-ulp divergence that would surface
+    * as a silent oracle hash flake. The engine's partials are exact
+    * either way; this guard makes a fixture that drifts over the bound
+    * fail LOUDLY at build time instead (NOTES_r12 §7 / q336). */
+  def requireVarianceOracleSafe(df: DataFrame, groupBy: Seq[String],
+      measure: String): Unit = {
+    val g = df.groupBy(groupBy.map(col): _*)
+      .agg(sum(col(measure) * col(measure)).as("__sq"))
+      .agg(max(abs(col("__sq")))).head()
+    if (!g.isNullAt(0)) {
+      val m = g.getDecimal(0)
+      require(m.unscaledValue().bitLength() <= 53,
+        s"variance oracle contract: max |Σ($measure)²| numerator " +
+          s"${m.unscaledValue()} reaches 2^53 — DuckDB's int128→double cast " +
+          "double-rounds above it while Spark rounds once (1-ulp oracle " +
+          "divergence); shrink the fixture measure (e.g. `% 1000`)")
+    }
+  }
+
   /** Accumulator type for one additive measure: exact for integrals
     * (LONG) and decimals (DECIMAL(p+10, s) — Spark's own sum widening);
     * double for floats. ONE copy shared by all three view kinds — a
@@ -879,8 +1035,22 @@ object MaterializedAggView {
     * [[MaterializedAggView.refresh]]). Rejects non-invertible aggregates. */
   def create(spark: SparkSession, root: String, sourceRoot: String,
       sourceKeys: Seq[String], groupBy: Seq[String], aggs: Seq[Agg],
-      numBuckets: Int = 16, allowRescan: Boolean = false): MaterializedAggView = {
+      numBuckets: Int = 16, allowRescan: Boolean = false,
+      derived: Seq[(String, String)] = Nil): MaterializedAggView = {
     require(groupBy.nonEmpty, "materialized view needs GROUP BY columns")
+    derived.foreach { case (n, e) =>
+      require(groupBy.contains(n),
+        s"derived dim '$n' must appear in the GROUP BY column list")
+      require(e.trim.nonEmpty, s"derived dim '$n' needs a non-empty expression")
+      // spec lines split on the FIRST '=', so '=' inside the expression is
+      // fine; only newlines would break the line-oriented encoding
+      require(!e.contains("\n"),
+        s"derived dim '$n': expression may not contain newlines")
+      require(!aggs.flatMap(_.col).contains(n),
+        s"derived dim '$n' cannot also be a measure column")
+    }
+    require(derived.map(_._1).distinct.size == derived.size,
+      "duplicate derived dim names")
     require(groupBy.size <= 63, "the null mask is a 64-bit bitmask — at " +
       "most 63 GROUP BY columns")
     require(!(groupBy ++ aggs.flatMap(_.col)).exists(_.startsWith("__mv_")),
@@ -910,7 +1080,8 @@ object MaterializedAggView {
          |aggs=${aggs.map(_.render).mkString(",")}
          |numBuckets=$numBuckets
          |nullMask=1
-         |""".stripMargin
+         |""".stripMargin +
+        derived.map { case (n, e) => s"derived.$n=$e\n" }.mkString
     val out = f.create(p, false)
     try out.write(content.getBytes("UTF-8")) finally out.close()
     mv

@@ -274,8 +274,12 @@ final class MaterializedJoinAggView(val root: String) {
     // count(distinct c) over the JOIN result: the signed joined delta IS
     // a signed feed as far as pair-count maintenance goes — the shared
     // fold tracks per-(group, value) occurrence counts in this view's aux
-    // table and emits a distinct delta where a count crosses zero
-    val dcDeltas: Seq[DataFrame] =
+    // table and emits a distinct delta where a count crosses zero. The
+    // aux COMMITS run on auxEc concurrently with the main-side fold below
+    // (see MaterializedAggView.refreshLocked: the dc deltas derive from
+    // the pinned pre-merge transition frames; the Await before the main
+    // commit preserves aux-strictly-before-main)
+    val dcPrepared: Seq[(DataFrame, () => Unit)] =
       distinctAggs.map { a =>
         MaterializedAggView.foldDistinct(spark, auxState(sp, a.as), delta,
           col(SignCol), gk, mcol(a.col.get), TxnId, packedEff, lastPacked,
@@ -284,8 +288,10 @@ final class MaterializedJoinAggView(val root: String) {
           afterMerge = () => onStep(s"aux-merged:${a.as}"),
           prepared = preparedPairs)
       }
+    val auxFuts = dcPrepared.map { case (_, c) =>
+      scala.concurrent.Future(c())(MaterializedAggView.auxEc) }
     // dc-delta groups ⊆ delta groups (both derive from the joined delta)
-    val grouped = dcDeltas.foldLeft(grouped0)((d, dd) => d.join(dd, gk, "left"))
+    val grouped = dcPrepared.map(_._1).foldLeft(grouped0)((d, dd) => d.join(dd, gk, "left"))
       .localCheckpoint()
     // null group keys the state machinery cannot represent fail LOUDLY
     // rather than silently dropping through the key-equality merges below
@@ -298,29 +304,41 @@ final class MaterializedJoinAggView(val root: String) {
 
     val accCols: Seq[(String, DataType)] =
       MaterializedAggView.accColsFor(sp.aggs, accTypes, sqTypes)
-    val cur: DataFrame =
-      if (!st.exists(spark)) {
-        val fields = gk.map(g => grouped.schema(g)) ++
-          accCols.map { case (n, t) => StructField(n, t, nullable = true) }
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType(fields))
-      } else graft.cdc.ScdMerge.scd1Current(
-          st.readKeys(spark, grouped.select(gk.map(col): _*)))
-        .select((gk ++ accCols.map(_._1)).map(col): _*)
-    val curA = cur.select(gk.map(col) ++
-      accCols.map { case (n, _) => col(n).as(s"__cur_$n") }: _*)
-    val folded = accCols.foldLeft(grouped.join(curA, gk, "left")) {
-      case (d, (n, t)) =>
-        d.withColumn(n,
-          (coalesce(col(s"__cur_$n").cast(t), lit(0).cast(t)) +
-            coalesce(col(n).cast(t), lit(0).cast(t))).cast(t))
-    }.select((gk ++ accCols.map(_._1)).map(col): _*)
+    // STAGE the main merge while the aux commits are in flight (finally-
+    // Await: no aux commit may outlive this frame on any exit path — see
+    // MaterializedAggView.refreshLocked for the orphan-commit race)
+    val stagedMain: Option[BucketedSnapshotTable.StagedScd1] = try {
+      val cur: DataFrame =
+        if (!st.exists(spark)) {
+          val fields = gk.map(g => grouped.schema(g)) ++
+            accCols.map { case (n, t) => StructField(n, t, nullable = true) }
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType(fields))
+        } else graft.cdc.ScdMerge.scd1Current(
+            st.readKeys(spark, grouped.select(gk.map(col): _*)))
+          .select((gk ++ accCols.map(_._1)).map(col): _*)
+      val curA = cur.select(gk.map(col) ++
+        accCols.map { case (n, _) => col(n).as(s"__cur_$n") }: _*)
+      val folded = accCols.foldLeft(grouped.join(curA, gk, "left")) {
+        case (d, (n, t)) =>
+          d.withColumn(n,
+            (coalesce(col(s"__cur_$n").cast(t), lit(0).cast(t)) +
+              coalesce(col(n).cast(t), lit(0).cast(t))).cast(t))
+      }.select((gk ++ accCols.map(_._1)).map(col): _*)
 
-    val upserts = folded.withColumn(SeqCol, lit(packedEff))
+      val upserts = folded.withColumn(SeqCol, lit(packedEff))
+      st.stageScd1Merge(spark, upserts, SeqCol,
+        applyAsDeletes = Some(col(NCol) === 0L),
+        txn = Some((TxnId, packedEff)))
+    } finally auxFuts.foreach(fu =>
+      scala.concurrent.Await.ready(fu, scala.concurrent.duration.Duration.Inf))
+    auxFuts.foreach(fu =>
+      scala.concurrent.Await.result(fu, scala.concurrent.duration.Duration.Inf))
     lock.check() // abort rather than double-commit if the lock was stolen
-    val touched = st.scd1Merge(spark, upserts, SeqCol,
-      applyAsDeletes = Some(col(NCol) === 0L),
-      txn = Some((TxnId, packedEff)))
+    val touched = stagedMain match {
+      case Some(h) => st.commitStagedScd1(spark, h)
+      case None => Set.empty[Int] // empty window / ledger-replayed batch
+    }
     if (effF < math.max(factV, lastFV) || effD < math.max(dimV, lastDV)) {
       // the pinned replay stopped at the crashed window's end — fold the
       // rest of the history in an ordinary pass under the same lock
@@ -418,8 +436,9 @@ final class MaterializedJoinAggView(val root: String) {
   /** Reclaim storage accumulated by refresh commits — state table to
     * `keep` versions, count-distinct aux tables to at least 2 (the
     * crash-replay pin needs at most one version of lookback; see
-    * [[MaterializedAggView.vacuum]]). */
-  def vacuum(spark: SparkSession, keep: Int = 2): Unit = {
+    * [[MaterializedAggView.vacuum]]). Returns the aux retention applied
+    * (None = no aux tables). */
+  def vacuum(spark: SparkSession, keep: Int = 2): Option[Int] = {
     val sp = spec(spark)
     MaterializedAggView.vacuumView(spark, state(sp), sp.aggs,
       as => auxState(sp, as), keep)

@@ -339,7 +339,7 @@ final class MaterializedStarAggView(val root: String) {
       lock.check()
       writeVector(spark, auxVectorPath(nextN), applyVec)
     }
-    val dcDeltas: Seq[DataFrame] =
+    val dcPrepared: Seq[(DataFrame, () => Unit)] =
       distinctAggs.map { a =>
         MaterializedAggView.foldDistinct(spark, auxState(sp, a.as), delta,
           col(SignCol), gk, mcol(a.col.get), TxnId, nextN, lastN,
@@ -348,8 +348,14 @@ final class MaterializedStarAggView(val root: String) {
           afterMerge = () => onStep(s"aux-merged:${a.as}"),
           prepared = preparedPairs)
       }
+    // aux COMMITS run on auxEc concurrently with the main-side fold below
+    // (see MaterializedAggView.refreshLocked; the `_applied_aux_<n>`
+    // vector was already written ABOVE, before any aux commit can land,
+    // so the crashed-window pin still precedes every aux merge)
+    val auxFuts = dcPrepared.map { case (_, c) =>
+      scala.concurrent.Future(c())(MaterializedAggView.auxEc) }
     // dc-delta groups ⊆ delta groups (both derive from the joined delta)
-    val grouped = dcDeltas.foldLeft(grouped0)((d, dd) => d.join(dd, gk, "left"))
+    val grouped = dcPrepared.map(_._1).foldLeft(grouped0)((d, dd) => d.join(dd, gk, "left"))
       .localCheckpoint() // three downstream actions re-run the legs otherwise
     // null group keys the state machinery cannot represent fail LOUDLY
     // instead of silently dropping (legacy pre-mask specs: all group
@@ -360,32 +366,44 @@ final class MaterializedStarAggView(val root: String) {
 
     val accCols: Seq[(String, DataType)] =
       MaterializedAggView.accColsFor(sp.aggs, accTypes, sqTypes)
-    val cur: DataFrame =
-      if (!st.exists(spark)) {
-        val fields = gk.map(g => grouped.schema(g)) ++
-          accCols.map { case (nm, t) => StructField(nm, t, nullable = true) }
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType(fields))
-      } else graft.cdc.ScdMerge.scd1Current(
-          st.readKeys(spark, grouped.select(gk.map(col): _*)))
-        .select((gk ++ accCols.map(_._1)).map(col): _*)
-    val curA = cur.select(gk.map(col) ++
-      accCols.map { case (nm, _) => col(nm).as(s"__cur_$nm") }: _*)
-    val folded = accCols.foldLeft(grouped.join(curA, gk, "left")) {
-      case (d, (nm, t)) =>
-        d.withColumn(nm,
-          (coalesce(col(s"__cur_$nm").cast(t), lit(0).cast(t)) +
-            coalesce(col(nm).cast(t), lit(0).cast(t))).cast(t))
-    }.select((gk ++ accCols.map(_._1)).map(col): _*)
+    // STAGE the main merge while the aux commits are in flight (finally-
+    // Await: no aux commit may outlive this frame on any exit path — see
+    // MaterializedAggView.refreshLocked for the orphan-commit race)
+    val stagedMain: Option[BucketedSnapshotTable.StagedScd1] = try {
+      val cur: DataFrame =
+        if (!st.exists(spark)) {
+          val fields = gk.map(g => grouped.schema(g)) ++
+            accCols.map { case (nm, t) => StructField(nm, t, nullable = true) }
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType(fields))
+        } else graft.cdc.ScdMerge.scd1Current(
+            st.readKeys(spark, grouped.select(gk.map(col): _*)))
+          .select((gk ++ accCols.map(_._1)).map(col): _*)
+      val curA = cur.select(gk.map(col) ++
+        accCols.map { case (nm, _) => col(nm).as(s"__cur_$nm") }: _*)
+      val folded = accCols.foldLeft(grouped.join(curA, gk, "left")) {
+        case (d, (nm, t)) =>
+          d.withColumn(nm,
+            (coalesce(col(s"__cur_$nm").cast(t), lit(0).cast(t)) +
+              coalesce(col(nm).cast(t), lit(0).cast(t))).cast(t))
+      }.select((gk ++ accCols.map(_._1)).map(col): _*)
+      val upserts = folded.withColumn(SeqCol, lit(nextN))
+      st.stageScd1Merge(spark, upserts, SeqCol,
+        applyAsDeletes = Some(col(NCol) === 0L),
+        txn = Some((TxnId, nextN)))
+    } finally auxFuts.foreach(fu =>
+      scala.concurrent.Await.ready(fu, scala.concurrent.duration.Duration.Inf))
+    auxFuts.foreach(fu =>
+      scala.concurrent.Await.result(fu, scala.concurrent.duration.Duration.Inf))
 
     // ── numbered commit: vector file first, ledger names it atomically
     //    with the merge
     lock.check() // abort before the vector write if the lock was stolen
     writeVector(spark, vectorPath(nextN), applyVec)
-    val upserts = folded.withColumn(SeqCol, lit(nextN))
-    val touched = st.scd1Merge(spark, upserts, SeqCol,
-      applyAsDeletes = Some(col(NCol) === 0L),
-      txn = Some((TxnId, nextN)))
+    val touched = stagedMain match {
+      case Some(h) => st.commitStagedScd1(spark, h)
+      case None => Set.empty[Int] // empty window / ledger-replayed batch
+    }
     if (applyVec.zip(liveVec).exists { case (a, l) => a < l }) {
       // the pinned replay stopped at the crashed window's end — fold the
       // rest of the history in an ordinary pass under the same lock
@@ -437,8 +455,9 @@ final class MaterializedStarAggView(val root: String) {
     * `keep` versions, count-distinct aux tables to at least 2 (the
     * crash-replay pin needs at most one version of lookback; see
     * [[MaterializedAggView.vacuum]]). The numbered `_applied_<n>` vector
-    * files are metadata-sized and kept as the refresh history record. */
-  def vacuum(spark: SparkSession, keep: Int = 2): Unit = {
+    * files are metadata-sized and kept as the refresh history record.
+    * Returns the aux retention applied (None = no aux tables). */
+  def vacuum(spark: SparkSession, keep: Int = 2): Option[Int] = {
     val sp = spec(spark)
     MaterializedAggView.vacuumView(spark, state(sp), sp.aggs,
       as => auxState(sp, as), keep)

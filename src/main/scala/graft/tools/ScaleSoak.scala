@@ -508,8 +508,20 @@ object ScaleSoak {
       results("mvs_refresh_dim_trickle") = sdW
       results.toMap
     }
-    val scdSmall = if (fam("scd")) scdSoak("sf0.1", 1) else Map.empty[String, Double]
-    val scdBig = if (fam("scd")) scdSoak("sf1", 10) else Map.empty[String, Double]
+    // r13: optional multiplier list (args(3), default "1,10") — the
+    // verdict-#6 two-decade datapoint runs `scd 10,100` to pin the MV
+    // trickle rows flat across 10× AND 100× (summary table still prints
+    // the 1-vs-10 ratio when both are present; other multipliers report
+    // through their [soak] rows)
+    val scdMults: Seq[Int] =
+      if (args.length > 3) args(3).split(",").map(_.trim.toInt).toSeq
+      else Seq(1, 10)
+    val scdRuns: Map[Int, Map[String, Double]] =
+      if (fam("scd")) scdMults.map(m =>
+        m -> scdSoak(if (m == 1) "sf0.1" else s"${m}x", m)).toMap
+      else Map.empty
+    val scdSmall = scdRuns.getOrElse(1, Map.empty[String, Double])
+    val scdBig = scdRuns.getOrElse(10, Map.empty[String, Double])
 
     // ── Events-analytics family at 10× (the reference's own operators) ───
     // Copies offset BOTH event_id and user_id: 10× users with unchanged

@@ -55,6 +55,32 @@ object GraftColumnBridge {
       ds.queryExecution.toRdd, df.schema, isStreaming = true)
   }
 
+  /** Derive a NEW session on the same SparkContext + SharedState with
+    * `ext` applied at BUILD time — what [[applyExtensions]]' late adoption
+    * cannot provide for ANALYZER rules: a live session's sessionState (and
+    * its analyzer, including the post-hoc resolution batch) is constructed
+    * once, and `spark.experimental` only exposes optimizer/planner seams.
+    * The graft FILTER+DISTINCT routing is an analyzer-stage rule
+    * ([[graft.plans.FilteredDistinctRollupRewrite]]), so a session that
+    * adopted the extensions late derives a sibling here to run such
+    * queries; sessions built with `spark.sql.extensions=graft.GraftExtensions`
+    * need none of this. Fresh session state: set session-level confs
+    * (shuffle partitions etc.) on the returned session as needed. */
+  def sessionWithExtensions(spark: SparkSession,
+      ext: SparkSessionExtensions): SparkSession = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    // the 6-arg constructor is Scala-private (bytecode-public): reflection
+    // is the narrowest seam that still SHARES the SharedState — a fresh
+    // builder-made session would spin up a second catalog
+    val ctor = classOf[classic.SparkSession].getDeclaredConstructors
+      .find(_.getParameterCount == 6)
+      .getOrElse(throw new IllegalStateException(
+        "classic.SparkSession: no 6-arg constructor (Spark upgrade?)"))
+    ctor.newInstance(cs.sparkContext, Some(cs.sharedState), None, ext,
+      Map.empty[String, String], Map.empty[String, String])
+      .asInstanceOf[classic.SparkSession]
+  }
+
   /** `SparkSessionExtensions.buildPlannerStrategies` / `registerFunctions`
     * are `private[sql]` (normally called once during session bootstrap) —
     * exposed so specs can assert what `graft.GraftExtensions` injects, and

@@ -91,6 +91,44 @@ class StreamingSpec extends AnyFunSuite {
       .declare(GoldTable("y", "p", Seq("k"), "s", 1, dependsOn = Seq("x")))
     val e = intercept[IllegalStateException] { cyc.runOnce(spark, maxRetries = 0) }
     assert(e.getMessage.contains("cycle"))
+    // views join the same namespace: a view↔table cycle is detected too
+    val cyc2 = new GoldPipeline(tmp("gold3"), tmp("ck3"))
+    cyc2.declare(GoldTable("t", "p", Seq("k"), "s", 1, dependsOn = Seq("mv")))
+      .declareView(graft.gold.GoldView("mv", "p2", dependsOn = Seq("t")))
+    val e2 = intercept[IllegalStateException] { cyc2.runOnce(spark, maxRetries = 0) }
+    assert(e2.getMessage.contains("cycle"))
+  }
+
+  test("GoldPipeline: a declared materialized view refreshes declaratively " +
+      "after its source table, every pass") {
+    val work = tmp("goldmv")
+    Seq((1, 1L, "a", 10L), (2, 1L, "a", 20L), (3, 1L, "b", 30L))
+      .toDF("k", "seq", "g", "x").write.parquet(s"$work/silver/f1")
+    val pipe = new GoldPipeline(s"$work/gold", s"$work/ck")
+      .declare(GoldTable("fact", s"$work/silver/*", Seq("k"), "seq", 1))
+    graft.tables.MaterializedAggView.create(spark, s"$work/mv",
+      s"$work/gold/fact", sourceKeys = Seq("k"), groupBy = Seq("g"),
+      aggs = Seq(graft.tables.MaterializedAggView.Agg("count", None, "n"),
+        graft.tables.MaterializedAggView.Agg("sum", Some("x"), "sx")),
+      numBuckets = 4)
+    pipe.declareView(graft.gold.GoldView("mv_fact", s"$work/mv",
+      dependsOn = Seq("fact")))
+    pipe.runOnce(spark)
+    val mv = new graft.tables.MaterializedAggView(s"$work/mv")
+    assert(mv.read(spark).as[(String, Long, Option[Long])].collect().toSet ==
+      Set(("a", 2L, Some(30L)), ("b", 1L, Some(30L))),
+      "the view must have refreshed in the same pass, after its table")
+    // second pass with new silver data: table merges, then the view folds
+    // the table's change feed — declaratively, no explicit REFRESH call
+    Seq((4, 2L, "b", 40L)).toDF("k", "seq", "g", "x")
+      .write.parquet(s"$work/silver/f2")
+    pipe.runOnce(spark)
+    assert(mv.read(spark).as[(String, Long, Option[Long])].collect().toSet ==
+      Set(("a", 2L, Some(30L)), ("b", 2L, Some(70L))))
+    // an idle pass is a clean no-op on the view's ledger
+    val applied = mv.lastApplied(spark)
+    pipe.runOnce(spark)
+    assert(mv.lastApplied(spark) == applied)
   }
 
   test("GoldPipeline: end-to-end SCD2 target from a silver directory, with expectations") {

@@ -379,15 +379,37 @@ class MaterializedViewSpec extends AnyFunSuite {
       assert(q.as[(String, Long, Long, Option[Long], Long)].collect().toSet ==
         Set(("a", 2L, 1L, Some(10L), 2L), ("b", 2L, 2L, Some(45L), 1L)))
       // a FILTERED DISTINCT is pre-expanded by RewriteDistinctAggregates
-      // before any injected optimizer rule runs — it stays on the base
-      // (and answers correctly); pin the refusal so a Spark upgrade that
-      // changes batch order surfaces here
+      // before any injected OPTIMIZER rule runs, so on this late-adopted
+      // session it stays on the base (and answers correctly) — pinned,
+      // because late adoption has no analyzer seam
       val qfd = src.readIndexed(spark).groupBy(col("g"))
         .agg(expr("count(DISTINCT v) FILTER (WHERE h = 'r2')").as("dv_r2"))
       assert(!qfd.queryExecution.optimizedPlan.toString.contains("__dval"),
-        "filtered distinct stays on the base (pre-expanded before our rule)")
+        "filtered distinct stays on the base under late-adopted extensions " +
+          "(no analyzer seam)")
       assert(qfd.as[(String, Long)].collect().toSet ==
         Set(("a", 1L), ("b", 0L)))
+      // …but with BUILD-TIME extensions (spark.sql.extensions — here a
+      // derived sibling session), the analyzer-stage rule routes it (r13):
+      // at analysis the plan still carries the pre-expansion shape
+      val s2 = org.apache.spark.sql.GraftColumnBridge.sessionWithExtensions(spark, ext)
+      s2.conf.set("spark.sql.shuffle.partitions", "4")
+      val t2 = new SnapshotTable(s"$work/src")
+      val qfd2 = t2.readIndexed(s2).groupBy(col("g"))
+        .agg(expr("count(DISTINCT v) FILTER (WHERE h = 'r2')").as("dv_r2"),
+          count(lit(1)).as("n"))
+      val pfd2 = qfd2.queryExecution.optimizedPlan.toString
+      assert(pfd2.contains("__dval") && !pfd2.contains("/src/_v"),
+        s"FILTER + DISTINCT must route under build-time extensions:\n$pfd2")
+      assert(qfd2.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet == Set(("a", 1L, 2L), ("b", 0L, 2L)))
+      // measure/key filters refuse on the analyzer path too
+      val qfd3 = t2.readIndexed(s2).groupBy(col("g"))
+        .agg(expr("count(DISTINCT v) FILTER (WHERE x > 15)").as("dv"))
+      assert(!qfd3.queryExecution.optimizedPlan.toString.contains("__dval"),
+        "measure-filtered distinct must refuse on the analyzer path")
+      assert(qfd3.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+        Set(("a", 1L), ("b", 1L)))
       // exact-grain FILTER (no coarsening) routes via the partial rebuild
       val qe = src.readIndexed(spark).groupBy(col("g"), col("h"))
         .agg(expr("sum(x) FILTER (WHERE h <> 'r2')").as("sx"),
@@ -790,6 +812,95 @@ class MaterializedViewSpec extends AnyFunSuite {
     } finally graft.plans.AggRollupRewrite.clear()
   }
 
+  test("derived dims: GROUP BY month(d) routes via the view's derived column") {
+    val work = tmp("mvderiv")
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    org.apache.spark.sql.GraftColumnBridge.applyExtensions(ext, spark)
+    val src = new SnapshotTable(s"$work/src")
+    def d(s: String) = java.sql.Date.valueOf(s)
+    src.write(spark, Seq((1, d("2024-01-05"), 10L), (2, d("2024-01-20"), 20L),
+      (3, d("2024-02-01"), 30L)).toDF("k", "dt", "x"))
+    sql(s"CREATE MATERIALIZED VIEW '$work/mv' ON '$work/src' KEYS (k) " +
+      "GROUP BY (month(dt) AS m) AGG (count(*) AS n, sum(x) AS sx) INTO 4 BUCKETS")
+      .collect()
+    sql(s"REFRESH MATERIALIZED VIEW '$work/mv'").collect()
+    val mv = new MaterializedAggView(s"$work/mv")
+    // the derived column is maintained like any dim: reads carry it
+    assert(mv.read(spark).as[(Int, Long, Option[Long])].collect().toSet ==
+      Set((1, 2L, Some(30L)), (2, 1L, Some(30L))))
+    // incremental window MOVES a row between derived groups (date flip)
+    src.write(spark, Seq((1, d("2024-02-07"), 10L), (2, d("2024-01-20"), 20L),
+      (3, d("2024-02-01"), 30L)).toDF("k", "dt", "x"))
+    mv.refresh(spark)
+    assert(mv.read(spark).as[(Int, Long, Option[Long])].collect().toSet ==
+      Set((1, 1L, Some(20L)), (2, 2L, Some(40L))))
+    try {
+      mv.registerRewrite(spark)
+      // a query grouping by the SAME expression routes to the derived dim
+      val q = src.readIndexed(spark).groupBy(month($"dt").as("m"))
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("__sum_x") && !plan.contains("/src/_v"),
+        s"GROUP BY month(dt) must route:\n$plan")
+      assert(q.as[(Int, Long, Option[Long])].collect().toSet ==
+        Set((1, 1L, Some(20L)), (2, 2L, Some(40L))))
+      // refusal pins: a different expression, and a raw-column grouping,
+      // must both stay on the base
+      val qy = src.readIndexed(spark).groupBy(year($"dt").as("y"))
+        .agg(count(lit(1)).as("n"))
+      assert(!qy.queryExecution.optimizedPlan.toString.contains("__cnt"),
+        "year(dt) must refuse — the view maintains month(dt)")
+      val qr = src.readIndexed(spark).groupBy($"dt").agg(count(lit(1)).as("n"))
+      assert(!qr.queryExecution.optimizedPlan.toString.contains("__cnt"),
+        "grouping by the raw column must refuse")
+    } finally graft.plans.AggRollupRewrite.clear()
+  }
+
+  test("q335 pin: pair provider reads AS OF the provider's pinned txn " +
+      "even when a refresh commits between the two reads (empty state)") {
+    val work = tmp("mvpin")
+    val src = new SnapshotTable(s"$work/src")
+    src.write(spark, Seq((1, "a", "X"), (2, "b", "Y")).toDF("k", "g", "v"))
+    val mv = MaterializedAggView.create(spark, s"$work/mv", s"$work/src",
+      Seq("k"), Seq("g"),
+      Seq(MaterializedAggView.Agg("count", None, "n"),
+        MaterializedAggView.Agg("count_distinct", Some("v"), "dv")), 4)
+    mv.refresh(spark)
+    // empty the source: the state commits a version with ZERO live rows
+    src.write(spark, Seq.empty[(Int, String, String)].toDF("k", "g", "v"))
+    mv.refresh(spark)
+    val (provider, distincts) = mv.routingProviders(spark)
+    // pin on THIS thread: empty state
+    val pinned = provider()
+    assert(pinned.count() == 0, "the pinned state must be empty")
+    // a refresh commits NEW rows between the provider pin and the pair
+    // read — the aux head moves ahead of the pinned txn
+    src.write(spark, Seq((10, "a", "Z"), (11, "a", "W")).toDF("k", "g", "v"))
+    mv.refresh(spark)
+    val pairs = distincts("v")()
+    assert(pairs.count() == 0,
+      "the pair provider must read AS OF the pinned (empty) refresh, not the aux head")
+    // a FRESH pin sees the new state — the pin is per provider() call
+    assert(provider().count() == 1 && distincts("v")().count() == 2)
+  }
+
+  test("variance oracle-bound guard: a fixture measure whose Σx² numerator " +
+      "reaches 2^53 fails loudly (DuckDB double-rounds above it)") {
+    val safe = Seq((1, "a", new java.math.BigDecimal("999.99")),
+      (2, "a", new java.math.BigDecimal("12.50"))).toDF("k", "g", "price")
+      .select($"k", $"g", $"price".cast("decimal(18,2)").as("price"))
+    MaterializedAggView.requireVarianceOracleSafe(safe, Seq("g"), "price") // ok
+    // one 10^8 value: its square's scale-4 numerator is 10^20 >> 2^53
+    val hot = Seq((1, "a", new java.math.BigDecimal("100000000.00")))
+      .toDF("k", "g", "price")
+      .select($"k", $"g", $"price".cast("decimal(18,2)").as("price"))
+    val e = intercept[IllegalArgumentException] {
+      MaterializedAggView.requireVarianceOracleSafe(hot, Seq("g"), "price")
+    }
+    assert(e.getMessage.contains("2^53"), e.getMessage)
+  }
+
   test("VACUUM MATERIALIZED VIEW reclaims refresh history; refreshes continue") {
     val work = tmp("mvvac")
     val src = new SnapshotTable(s"$work/src")
@@ -817,6 +928,15 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(r.getInt(1) == 2)
     // aux retention is reported honestly: max(keep, 2) for the crash pin
     assert(r.getInt(2) == 2)
+    // …and a view with NO aux tables (no distinct aggregates) reports NULL
+    // aux retention rather than claiming one that was never exercised
+    val src2 = new SnapshotTable(s"$work/src2")
+    src2.write(spark, Seq((1, "a", 10L)).toDF("k", "g", "x"))
+    sql(s"CREATE MATERIALIZED VIEW '$work/mv2' ON '$work/src2' KEYS (k) " +
+      "GROUP BY (g) AGG (sum(x) AS sx) INTO 2 BUCKETS").collect()
+    sql(s"REFRESH MATERIALIZED VIEW '$work/mv2'").collect()
+    val r2 = sql(s"VACUUM MATERIALIZED VIEW '$work/mv2' KEEP 2").collect().head
+    assert(r2.isNullAt(2), s"plain view must report NULL aux retention, got $r2")
     assert(batchDirs(s"$work/mv/state") < before,
       "vacuum must reclaim state batch dirs")
     // the view still answers, and the NEXT refresh still folds exactly
