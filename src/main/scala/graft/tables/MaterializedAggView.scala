@@ -315,7 +315,11 @@ final class MaterializedAggView(val root: String) {
             .groupBy(gk.map(col): _*).agg(aggsR.head, aggsR.tail: _*)
           folded.join(rs, gk, "left")
         }
+      // pinned: the merge executes its updates plan twice (bucket-probe
+      // collect + staging write), and this plan carries the state
+      // readKeys scan — O(changed groups) rows, cheap to pin
       val upserts = withMm.withColumn(SeqCol, lit(srcV.toLong))
+        .localCheckpoint()
       st.stageScd1Merge(spark, upserts, SeqCol,
         applyAsDeletes = Some(col(NCol) === 0L),
         txn = Some((TxnId, srcV.toLong)))

@@ -326,7 +326,10 @@ final class MaterializedJoinAggView(val root: String) {
               coalesce(col(n).cast(t), lit(0).cast(t))).cast(t))
       }.select((gk ++ accCols.map(_._1)).map(col): _*)
 
+      // pinned: the merge executes its updates plan twice (bucket-probe
+      // collect + staging write) — O(changed groups) rows
       val upserts = folded.withColumn(SeqCol, lit(packedEff))
+        .localCheckpoint()
       st.stageScd1Merge(spark, upserts, SeqCol,
         applyAsDeletes = Some(col(NCol) === 0L),
         txn = Some((TxnId, packedEff)))

@@ -387,7 +387,10 @@ final class MaterializedStarAggView(val root: String) {
             (coalesce(col(s"__cur_$nm").cast(t), lit(0).cast(t)) +
               coalesce(col(nm).cast(t), lit(0).cast(t))).cast(t))
       }.select((gk ++ accCols.map(_._1)).map(col): _*)
+      // pinned: the merge executes its updates plan twice (bucket-probe
+      // collect + staging write) — O(changed groups) rows
       val upserts = folded.withColumn(SeqCol, lit(nextN))
+        .localCheckpoint()
       st.stageScd1Merge(spark, upserts, SeqCol,
         applyAsDeletes = Some(col(NCol) === 0L),
         txn = Some((TxnId, nextN)))
