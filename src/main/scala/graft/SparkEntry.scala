@@ -5980,6 +5980,14 @@ object SparkEntry {
           .agg(count(lit(1)).as("n"))
         require(!qr.queryExecution.optimizedPlan.toString.contains("__cnt"),
           "a non-matching grouping expression must refuse the rewrite")
+        // WHERE over the derived expression routes too (the matched
+        // subtree substitutes to the derived column; the optimizer's
+        // inferred isnotnull(o_orderdate) is provably implied and dropped)
+        val qw = src.readIndexed(s).filter(month($"o_orderdate") === 3)
+          .agg(count(lit(1)).as("n"), sum($"price").cast("double").as("rev"))
+        val pw = qw.queryExecution.optimizedPlan.toString
+        require(pw.contains("__sum_price") && !pw.contains("/src/_v"),
+          s"WHERE month(…) must route as a derived-dim filter:\n$pw")
         val out = q.select($"m".cast("long").as("m"), $"n", $"rev")
           .orderBy($"m").collect()
         s.createDataFrame(s.sparkContext.parallelize(out.toSeq, 1),

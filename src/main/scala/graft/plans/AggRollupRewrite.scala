@@ -74,6 +74,54 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
       r.derivedDims.collectFirst { case (name, ne) if ne == n => name }
     }
 
+  /** Replace derived-dim expression SUBTREES in a filter conjunct with
+    * synthetic references to the derived state column — `WHERE
+    * month(o_orderdate) = 3` becomes a dimension-only predicate over `m`
+    * that the usual dim-filter pushdown then applies to the rollup
+    * (exact: the derived column is computed from the same expression, so
+    * filtering rows by the expression ≡ filtering groups by the column). */
+  private def substDerived(e: Expression, r: Rollup): Expression =
+    if (r.derivedDims.isEmpty) e
+    else e.transformUp {
+      case s if derivedNameOf(s, r).isDefined =>
+        AttributeReference(derivedNameOf(s, r).get, s.dataType)()
+    }
+
+  /** `a` sits under an unbroken NULL-INTOLERANT chain inside `e`: a null
+    * `a` makes `e` evaluate to null, and a Filter drops null results —
+    * so `e` (as a conjunct) rejects every row where `a` is null. */
+  private def nullIntolerantPath(e: Expression, a: AttributeReference): Boolean =
+    e match {
+      case att: AttributeReference => att.exprId == a.exprId
+      case other if other.nullIntolerant =>
+        other.children.exists(nullIntolerantPath(_, a))
+      case _ => false
+    }
+
+  /** Classify a scan's raw filter conjuncts against a rollup: substitute
+    * derived-dim subtrees, then DROP `IsNotNull(raw input)` conjuncts the
+    * optimizer inferred from a null-intolerant derived-dim predicate —
+    * `WHERE month(dt) = 2` arrives as `isnotnull(dt) AND month(dt) = 2`,
+    * and the applied `m = 2` already rejects every dt-null row (those
+    * rows land in the m-null group, and `null = 2` is not TRUE). Sound
+    * only when the implying conjunct is itself APPLIED (dim-only after
+    * substitution) and rejects nulls of `a` through a null-intolerant
+    * path. Everything else passes through for the caller's dimOnly check. */
+  private def classifyFilters(fs0: Seq[Expression], r: Rollup): Seq[Expression] = {
+    if (r.derivedDims.isEmpty) return fs0
+    val subst = fs0.map(e => e -> substDerived(e, r))
+    subst.collect {
+      case (org.apache.spark.sql.catalyst.expressions.IsNotNull(a: AttributeReference), _)
+          if !r.dims.contains(a.name) &&
+            subst.exists { case (orig, sub) =>
+              !orig.isInstanceOf[org.apache.spark.sql.catalyst.expressions.IsNotNull] &&
+                nullIntolerantPath(orig, a) && dimOnly(sub, r.dims)
+            } =>
+        None // implied by an applied conjunct — dropped
+      case (_, sub) => Some(sub)
+    }.flatten
+  }
+
   /** Column name every distinct-pair provider must use for the VALUE
     * column (alongside the rollup's dim columns): one row per live
     * (dims…, value) pair with at least one occurrence. */
@@ -644,6 +692,7 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
     walk(child, Nil, Set.empty)
+      .map { case (r, fs) => (r, classifyFilters(fs, r)) }
       .filter { case (r, fs) => fs.forall(dimOnly(_, r.dims)) }
   }
 

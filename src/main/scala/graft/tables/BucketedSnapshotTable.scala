@@ -1276,10 +1276,52 @@ final class BucketedSnapshotTable(
     val reps = byDir.flatMap(_._2.headOption).map(_.getPath.toString)
     if (reps.isEmpty) return fallback // no listable data files
     PruningFileIndex.unionSchema(spark, reps) match {
-      case None => fallback
       case Some(schema) =>
         PruningFileIndex.relation(spark, byDir.flatMap(_._2), schema,
           keepFor(f, byDir, Some(schema)))
+      case None =>
+        // TYPE-EVOLVED table (a column's type widened between batch dirs):
+        // one pruning relation PER TYPE-GROUP of dirs instead of giving up
+        // — each group keeps planning-time stats/Bloom/bucket-key file
+        // skipping, and the groups union to the name-union schema with
+        // exactly the fallback read's semantics (oldest dir's type wins
+        // per column, absent columns null-fill; byDir is oldest-first, so
+        // group order preserves it). Pre-r13 this fell back to an
+        // InMemoryFileIndex over EVERY live file: the 100× soak's MV
+        // dim-trickle legs paid an O(files) listing + full fact scan for
+        // a fixture whose sequence column was int in old batches and
+        // long in new ones.
+        import org.apache.spark.sql.types.{DataType, StructField, StructType}
+        val groups = scala.collection.mutable.ArrayBuffer.empty[(
+          scala.collection.mutable.LinkedHashMap[String, DataType],
+          scala.collection.mutable.ArrayBuffer[(String, Seq[org.apache.hadoop.fs.FileStatus])])]
+        byDir.foreach { case (dir, fls) =>
+          fls.headOption.foreach { rep =>
+            val s = spark.read.parquet(rep.getPath.toString).schema
+            groups.find { case (acc, _) =>
+              s.forall(f2 => acc.get(f2.name).forall(_ == f2.dataType))
+            } match {
+              case Some((acc, ds)) =>
+                s.foreach(f2 =>
+                  if (!acc.contains(f2.name)) acc(f2.name) = f2.dataType)
+                ds += ((dir, fls))
+              case None =>
+                val acc = scala.collection.mutable.LinkedHashMap
+                  .empty[String, DataType]
+                s.foreach(f2 => acc(f2.name) = f2.dataType)
+                groups += ((acc,
+                  scala.collection.mutable.ArrayBuffer((dir, fls))))
+            }
+          }
+        }
+        val parts = groups.toSeq.map { case (acc, ds) =>
+          val gSchema = StructType(acc.toSeq.map { case (n, dt) =>
+            StructField(n, dt, nullable = true) })
+          val gByDir = ds.toSeq
+          PruningFileIndex.relation(spark, gByDir.flatMap(_._2), gSchema,
+            keepFor(f, gByDir, Some(gSchema)))
+        }
+        if (parts.isEmpty) fallback else unionEvolvingParts(parts)
     }
   }
 

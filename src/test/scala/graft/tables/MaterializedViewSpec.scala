@@ -845,6 +845,15 @@ class MaterializedViewSpec extends AnyFunSuite {
         s"GROUP BY month(dt) must route:\n$plan")
       assert(q.as[(Int, Long, Option[Long])].collect().toSet ==
         Set((1, 1L, Some(20L)), (2, 2L, Some(40L))))
+      // a WHERE over the derived EXPRESSION routes too: the matched
+      // subtree substitutes to the derived column, then the usual
+      // dim-filter pushdown applies it to the rollup
+      val qw = src.readIndexed(spark).filter(month($"dt") === 2)
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"))
+      val pw = qw.queryExecution.optimizedPlan.toString
+      assert(pw.contains("__sum_x") && !pw.contains("/src/_v"),
+        s"WHERE month(dt) = 2 must route as a derived-dim filter:\n$pw")
+      assert(qw.as[(Long, Option[Long])].collect().toSeq == Seq((2L, Some(40L))))
       // refusal pins: a different expression, and a raw-column grouping,
       // must both stay on the base
       val qy = src.readIndexed(spark).groupBy(year($"dt").as("y"))

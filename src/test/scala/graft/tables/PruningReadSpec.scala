@@ -435,6 +435,33 @@ class PruningReadSpec extends AnyFunSuite {
     spark.catalog.dropTempView("pruned_view")
   }
 
+  test("type-evolved bucketed table: per-type-group pruning relations, " +
+      "file skipping intact (no InMemoryFileIndex fallback)") {
+    val root = tmp("tevol")
+    val t = new BucketedSnapshotTable(root, numBuckets = 8, keys = Seq("k"),
+      bloomCols = Seq("oid"))
+    // old batches: seq is INT; later batches: seq widened to LONG — the
+    // exact shape the 100x soak's fact had (r13: the whole readIndexed
+    // used to fall back to an unpruned InMemoryFileIndex over every file)
+    t.scd1Merge(spark, (1 to 80).map(i => (i, 1, i * 100L)).toDF("k", "seq", "oid"),
+      "seq")
+    t.analyze(spark)
+    t.scd1Merge(spark, Seq((81, 2L, 8100L)).toDF("k", "seq", "oid"), "seq")
+    val df = t.readIndexed(spark).filter($"oid" === 300L)
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(3))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PruningFileIndex") && !plan.contains("InMemoryFileIndex"),
+      s"type-evolved read must keep the pruning index per type group:\n" +
+        plan.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
+    // skipping is real: the probed oid keeps a strict subset of files
+    assert(scannedFiles(df) < scannedFiles(t.readIndexed(spark)),
+      "bloom point probe must skip files on the type-evolved read")
+    // the union schema carries the OLDEST dir's type per column (int seq)
+    assert(t.readIndexed(spark).schema("seq").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(t.readIndexed(spark).count() == 81)
+  }
+
   test("plain fallback: hive-partitioned snapshot reads through the ordinary path") {
     val root = tmp("ppreadpart")
     val t = new SnapshotTable(root)
