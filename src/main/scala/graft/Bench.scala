@@ -59,9 +59,12 @@ object Bench {
     // SPARK_GRAFT_BENCH_CLEAN=0.
     val cleanTmp = !sys.env.get("SPARK_GRAFT_BENCH_CLEAN").contains("0")
     val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    // never delete: Spark-internal state, and `graft_*` CROSS-RUN caches
+    // (q109's mtime-keyed bucketed table, the soak corpus) — those exist
+    // precisely to survive reruns
     def sparkInternal(name: String): Boolean =
       name.startsWith("spark") || name.startsWith("blockmgr") ||
-        name.startsWith("graft-wh") || name.startsWith("hive") ||
+        name.startsWith("graft") || name.startsWith("hive") ||
         name.startsWith("hsperfdata")
     def tmpSnapshot(): Set[String] =
       if (!cleanTmp) Set.empty
