@@ -1016,7 +1016,12 @@ case class DescribeMaterializedViewCommand(mv: String) extends LeafRunnableComma
   override def run(spark: SparkSession): Seq[Row] = {
     val v = new graft.tables.MaterializedAggView(mv)
     val sp = v.spec(spark)
-    Seq(Row(sp.sourceRoot, sp.sourceKeys.mkString(","), sp.groupBy.mkString(","),
+    // derived dims render inline in group_by as `expr AS name` — the
+    // same syntax CREATE accepted, so DESCRIBE round-trips the DDL
+    val derivedOf = sp.derived.toMap
+    val groupRendered = sp.groupBy.map(g =>
+      derivedOf.get(g).map(e => s"$e AS $g").getOrElse(g))
+    Seq(Row(sp.sourceRoot, sp.sourceKeys.mkString(","), groupRendered.mkString(","),
       sp.aggs.map(_.render).mkString(","), sp.numBuckets, v.lastApplied(spark)))
   }
 }

@@ -826,6 +826,9 @@ class MaterializedViewSpec extends AnyFunSuite {
       .collect()
     sql(s"REFRESH MATERIALIZED VIEW '$work/mv'").collect()
     val mv = new MaterializedAggView(s"$work/mv")
+    // DESCRIBE round-trips the derived-dim DDL syntax
+    val desc = sql(s"DESCRIBE MATERIALIZED VIEW '$work/mv'").collect().head
+    assert(desc.getString(2) == "month(dt) AS m", desc.toString)
     // the derived column is maintained like any dim: reads carry it
     assert(mv.read(spark).as[(Int, Long, Option[Long])].collect().toSet ==
       Set((1, 2L, Some(30L)), (2, 1L, Some(30L))))
