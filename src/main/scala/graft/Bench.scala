@@ -15,6 +15,20 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // BENCH-OWNED tmp root (r14, advice fix): every fixture the queries
+    // create via Files.createTempDirectory lands under this fixed subdir,
+    // so the per-query cleanup below sweeps ONLY bench-created entries —
+    // tmp files created concurrently by unrelated processes in the shared
+    // java.io.tmpdir are never touched (the old delete-by-default swept
+    // anything new that didn't match a name allowlist). Must run before
+    // the first createTempDirectory call: the JDK's TempFileHelper reads
+    // the property once at class load (the bench JVM is forked, so this
+    // is the first touch). The subdir path is FIXED so `graft_*`
+    // cross-run caches keep surviving reruns.
+    val benchTmp = java.nio.file.Paths
+      .get(System.getProperty("java.io.tmpdir"), "graft-bench-tmp")
+    java.nio.file.Files.createDirectories(benchTmp)
+    System.setProperty("java.io.tmpdir", benchTmp.toString)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // contract: bench runs at local[32]; follow the machine if unpinned
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -81,7 +95,11 @@ object Bench {
         (tmpSnapshot() -- before).filterNot(sparkInternal)
           .foreach(n => deleteRec(tmpRoot.resolve(n)))
 
-    def timed(name: String, record: Boolean): (Double, Double) = {
+    // returns (wall, cpu, ok) — a FAILED run keeps its measured elapsed
+    // time (r14, advice fix): recording 0.0 shrank `total` whenever
+    // errors occurred, which could mask a regression as an improvement.
+    // Failures stay flagged in `errors`/`rerun_failures`.
+    def timed(name: String, record: Boolean): (Double, Double, Boolean) = {
       val before = tmpSnapshot()
       val t0 = System.nanoTime()
       val c0 = osBean.getProcessCpuTime
@@ -100,14 +118,14 @@ object Bench {
       // GC after a heavy run so the NEXT query isn't charged this one's
       // heap debt (the r12 first-run spikes on cheap queries)
       if (out._1 > 5.0) { System.gc(); Thread.sleep(100) }
-      if (!ok) (-1.0, -1.0) else out
+      (out._1, out._2, ok)
     }
 
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, _) =>
-        val (w, c) = timed(name, record = true)
-        name -> (math.max(w, 0.0), math.max(c, 0.0))
+        val (w, c, _) = timed(name, record = true)
+        name -> (w, c)
       }
     def fmt(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     def jmap(kvs: Iterable[(String, Double)]): String =
@@ -131,8 +149,8 @@ object Bench {
         .filterNot { case (n, _) => errors.contains(n) }
         .map { case (name, (first, _)) =>
           val reruns = (1 to 2).flatMap { _ =>
-            val (w, _) = timed(name, record = false)
-            if (w >= 0) Some(w) else None
+            val (w, _, ok) = timed(name, record = false)
+            if (ok) Some(w) else None // failed rerun: no sample (flagged)
           }
           val samples = (first +: reruns).sorted
           name -> samples(samples.size / 2) // upper median when a rerun failed

@@ -6057,6 +6057,220 @@ object SparkEntry {
       }
     }),
 
+    // ── DERIVED DIMS FOR JOIN VIEWS (r14): the last routing asymmetry —
+    //    `GROUP BY month(o_orderdate)` over a fact ⋈ dim re-scanned the
+    //    base while the single-table case routed. The join view now
+    //    records `expr AS alias` group items, computes them on the JOINED
+    //    delta before the fold (a preimage-joined row derives the same
+    //    value its insert did), and the rewrite matches the expression
+    //    tree — incl. a date shift that MOVES a row between derived
+    //    month groups through the retraction algebra.
+    "q340_join_derived_dim_routing" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("mvjddim").toString
+      withShufflePartitions(s, 8) {
+      val ext = new org.apache.spark.sql.SparkSessionExtensions
+      new graft.GraftExtensions().apply(ext)
+      org.apache.spark.sql.GraftColumnBridge.applyExtensions(ext, s)
+      val sqlRun = (q: String) => org.apache.spark.sql.GraftColumnBridge.graftSql(s, q)
+      val fact = new graft.tables.SnapshotTable(s"$work/fact")
+      val dim = new graft.tables.BucketedSnapshotTable(s"$work/dim", 16, Seq("o_custkey"))
+      val o0 = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey",
+        $"o_orderdate", $"o_totalprice".cast("decimal(18,2)").as("price"))
+      fact.write(s, o0)
+      dim.scd1Merge(s, Tables.customer(s, dir)
+        .select($"c_custkey".as("o_custkey"), $"c_mktsegment".as("seg"))
+        .withColumn("c_seq", lit(1L)), "c_seq")
+      sqlRun(s"CREATE MATERIALIZED JOIN VIEW '$work/mv' FACT '$work/fact' " +
+        s"KEYS (o_orderkey) DIM '$work/dim' ON (o_custkey) " +
+        "GROUP BY (seg, month(o_orderdate) AS m) " +
+        "AGG (count(*) AS n, sum(price) AS rev) INTO 16 BUCKETS").collect()
+      sqlRun(s"REFRESH MATERIALIZED JOIN VIEW '$work/mv'").collect()
+      // incremental window: one order's date shifts +40 days — always a
+      // different month, so its joined row must MOVE between derived
+      // groups (preimage retracts the old month, postimage adds the new)
+      val k1 = o0.agg(min($"o_orderkey")).as[Long].head()
+      fact.write(s, o0.withColumn("o_orderdate",
+        when($"o_orderkey" === k1, date_add($"o_orderdate", 40))
+          .otherwise($"o_orderdate")))
+      val mv = new graft.tables.MaterializedJoinAggView(s"$work/mv")
+      val (_, t2) = mv.refresh(s)
+      require(t2.nonEmpty && t2.size <= 4,
+        s"a one-order date shift must rewrite O(1) state buckets, got ${t2.size}")
+      mv.registerRewrite(s)
+      try {
+        def base = fact.readIndexed(s)
+          .join(graft.cdc.ScdMerge.scd1Current(dim.readIndexed(s)), Seq("o_custkey"))
+        val q = base.groupBy($"seg", month($"o_orderdate").as("m"))
+          .agg(count(lit(1)).as("n"), sum($"price").cast("double").as("rev"))
+        val plan = q.queryExecution.optimizedPlan.toString
+        require(plan.contains("__sum_price") && !plan.contains("/fact/_v"),
+          s"GROUP BY month(…) over the join must route to the derived dim:\n$plan")
+        // refusal pin: the view maintains month, not year
+        val qr = base.groupBy($"seg", year($"o_orderdate").as("y"))
+          .agg(count(lit(1)).as("n"))
+        require(!qr.queryExecution.optimizedPlan.toString.contains("__cnt"),
+          "a non-matching grouping expression must refuse the join rewrite")
+        // WHERE over the derived expression routes (the fact-leg filter's
+        // month() subtree substitutes to the derived column; the inferred
+        // isnotnull(o_orderdate) is provably implied and dropped)
+        val qw = fact.readIndexed(s).filter(month($"o_orderdate") === 3)
+          .join(graft.cdc.ScdMerge.scd1Current(dim.readIndexed(s)), Seq("o_custkey"))
+          .groupBy($"seg")
+          .agg(count(lit(1)).as("n"), sum($"price").cast("double").as("rev"))
+        val pw = qw.queryExecution.optimizedPlan.toString
+        require(pw.contains("__sum_price") && !pw.contains("/fact/_v"),
+          s"WHERE month(…) over the join must route as a derived-dim filter:\n$pw")
+        val out = q.select($"seg", $"m".cast("long").as("m"), $"n", $"rev")
+          .orderBy($"seg", $"m").collect()
+        s.createDataFrame(s.sparkContext.parallelize(out.toSeq, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("seg",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("m",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("n",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("rev",
+              org.apache.spark.sql.types.DoubleType))))
+      } finally graft.plans.AggRollupRewrite.clear()
+      }
+    }),
+
+    // ── DERIVED DIMS FOR STAR VIEWS (r14): the same expression grouping
+    //    over the full star join (fact ⋈ orders ⋈ part) — the star-schema
+    //    rollup grain the reference's FK graph implies (initial_load.sql:
+    //    26-53), grouped by a dim attribute AND month(ship date).
+    "q341_star_derived_dim_routing" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("mvsddim").toString
+      withShufflePartitions(s, 8) {
+      val ext = new org.apache.spark.sql.SparkSessionExtensions
+      new graft.GraftExtensions().apply(ext)
+      org.apache.spark.sql.GraftColumnBridge.applyExtensions(ext, s)
+      val sqlRun = (q: String) => org.apache.spark.sql.GraftColumnBridge.graftSql(s, q)
+      val fact = new graft.tables.SnapshotTable(s"$work/fact")
+      val d1 = new graft.tables.BucketedSnapshotTable(s"$work/orders", 16, Seq("o_orderkey"))
+      val d2 = new graft.tables.BucketedSnapshotTable(s"$work/part", 16, Seq("p_partkey"))
+      val l0 = Tables.lineitem(s, dir)
+        .select($"l_orderkey".as("o_orderkey"), $"l_linenumber",
+          $"l_partkey", $"l_quantity".cast("decimal(18,2)").as("q0"),
+          $"l_shipdate")
+        .groupBy($"o_orderkey", $"l_linenumber")
+        .agg(min($"l_partkey").as("p_partkey"),
+          sum($"q0").cast("decimal(18,2)").as("qty"),
+          min($"l_shipdate").as("sd"))
+      fact.write(s, l0)
+      d1.scd1Merge(s, Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderpriority".as("prio"))
+        .withColumn("op_seq", lit(1L)), "op_seq")
+      d2.scd1Merge(s, Tables.part(s, dir).select($"p_partkey", $"p_brand")
+        .withColumn("op_seq", lit(1L)), "op_seq")
+      sqlRun(s"CREATE MATERIALIZED STAR VIEW '$work/mv' FACT '$work/fact' " +
+        s"KEYS (o_orderkey, l_linenumber) DIM '$work/orders' ON (o_orderkey) " +
+        s"DIM '$work/part' ON (p_partkey) " +
+        "GROUP BY (prio, p_brand, month(sd) AS m) " +
+        "AGG (count(*) AS n, sum(qty) AS sq) INTO 16 BUCKETS").collect()
+      sqlRun(s"REFRESH MATERIALIZED STAR VIEW '$work/mv'").collect()
+      new graft.tables.MaterializedStarAggView(s"$work/mv").registerRewrite(s)
+      try {
+        def base = fact.readIndexed(s)
+          .join(graft.cdc.ScdMerge.scd1Current(d1.readIndexed(s)), Seq("o_orderkey"))
+          .join(graft.cdc.ScdMerge.scd1Current(d2.readIndexed(s)), Seq("p_partkey"))
+        // COARSER grouping mixing a raw dim with the derived expression
+        val q = base.groupBy($"prio", month($"sd").as("m"))
+          .agg(count(lit(1)).as("n"), sum($"qty").cast("double").as("sq"))
+        val plan = q.queryExecution.optimizedPlan.toString
+        require(plan.contains("__sum_qty") && !plan.contains("/fact/_v"),
+          s"GROUP BY month(…) over the star must route to the derived dim:\n$plan")
+        // refusal pin: year() is not the maintained expression
+        val qr = base.groupBy($"prio", year($"sd").as("y"))
+          .agg(count(lit(1)).as("n"))
+        require(!qr.queryExecution.optimizedPlan.toString.contains("__cnt"),
+          "a non-matching grouping expression must refuse the star rewrite")
+        val out = q.select($"prio", $"m".cast("long").as("m"), $"n", $"sq")
+          .orderBy($"prio", $"m").collect()
+        s.createDataFrame(s.sparkContext.parallelize(out.toSeq, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("prio",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("m",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("n",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("sq",
+              org.apache.spark.sql.types.DoubleType))))
+      } finally graft.plans.AggRollupRewrite.clear()
+      }
+    }),
+
+    // ── DERIVED-DIM BREADTH (r14): a SURFACE, not a point — several
+    //    derived dims per view (month/year/date_trunc families), mixed
+    //    raw + derived groupings, coarser derived-only rollups, and
+    //    refusal pins for partial matches.
+    "q342_derived_dim_breadth" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("mvddbr").toString
+      withShufflePartitions(s, 8) {
+      val ext = new org.apache.spark.sql.SparkSessionExtensions
+      new graft.GraftExtensions().apply(ext)
+      org.apache.spark.sql.GraftColumnBridge.applyExtensions(ext, s)
+      val sqlRun = (q: String) => org.apache.spark.sql.GraftColumnBridge.graftSql(s, q)
+      val src = new graft.tables.SnapshotTable(s"$work/src")
+      src.write(s, Tables.orders(s, dir).select($"o_orderkey",
+        $"o_orderpriority".as("prio"), $"o_orderdate",
+        $"o_totalprice".cast("decimal(18,2)").as("price")))
+      sqlRun(s"CREATE MATERIALIZED VIEW '$work/mv' ON '$work/src' KEYS (o_orderkey) " +
+        "GROUP BY (prio, month(o_orderdate) AS m, year(o_orderdate) AS y, " +
+        "CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS mt) " +
+        "AGG (count(*) AS n, sum(price) AS rev) INTO 32 BUCKETS").collect()
+      sqlRun(s"REFRESH MATERIALIZED VIEW '$work/mv'").collect()
+      sqlRun(s"ALTER MATERIALIZED VIEW '$work/mv' ENABLE REWRITE").collect()
+      try {
+        // mixed raw + TWO derived dims in one grouping
+        val q = src.readIndexed(s)
+          .groupBy($"prio", month($"o_orderdate").as("m"), year($"o_orderdate").as("y"))
+          .agg(count(lit(1)).as("n"), sum($"price").cast("double").as("rev"))
+        val plan = q.queryExecution.optimizedPlan.toString
+        require(plan.contains("__sum_price") && !plan.contains("/src/_v"),
+          s"mixed raw + derived grouping must route:\n$plan")
+        // a COARSER derived-only rollup (year alone) routes too
+        val qy = src.readIndexed(s).groupBy(year($"o_orderdate").as("y"))
+          .agg(sum($"price").cast("double").as("rev"))
+        require(qy.queryExecution.optimizedPlan.toString.contains("__sum_price"),
+          "a coarser derived-only grouping must route")
+        // the date_trunc family routes on its own exact expression tree
+        val qt = src.readIndexed(s)
+          .groupBy(date_trunc("MONTH", $"o_orderdate").cast("date").as("mt"))
+          .agg(count(lit(1)).as("n"))
+        require(qt.queryExecution.optimizedPlan.toString.contains("__cnt"),
+          "the date_trunc derived dim must route")
+        // refusal pin: a grouping mixing a MAINTAINED expression with an
+        // unmaintained one (dayofmonth) must refuse as a whole
+        val qr = src.readIndexed(s)
+          .groupBy(month($"o_orderdate").as("m"), dayofmonth($"o_orderdate").as("d"))
+          .agg(count(lit(1)).as("n"))
+        require(!qr.queryExecution.optimizedPlan.toString.contains("__cnt"),
+          "a partial expression match must refuse the rewrite")
+        val out = q.select($"prio", $"m".cast("long").as("m"),
+          $"y".cast("long").as("y"), $"n", $"rev")
+          .orderBy($"prio", $"m", $"y").collect()
+        s.createDataFrame(s.sparkContext.parallelize(out.toSeq, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("prio",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("m",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("y",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("n",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("rev",
+              org.apache.spark.sql.types.DoubleType))))
+      } finally graft.plans.AggRollupRewrite.clear()
+      }
+    }),
+
     "q333_null_group_keys" -> ((s, dir) => {
       import s.implicits._
       val work = java.nio.file.Files.createTempDirectory("mvnullg").toString
@@ -7720,6 +7934,38 @@ object SparkEntry {
       """SELECT o_orderpriority AS prio, count(*) AS n,
         |  count(DISTINCT o_custkey) AS dc
         |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin,
+
+    // the routed join answer must equal a full recompute of the final
+    // fact ⋈ dim with the one shifted date applied
+    "q340_join_derived_dim_routing" ->
+      """WITH ofix AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey = (SELECT min(o_orderkey) FROM orders)
+        |         THEN o_orderdate + INTERVAL 40 DAY ELSE o_orderdate END AS dt,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders)
+        |SELECT c_mktsegment AS seg, CAST(month(dt) AS BIGINT) AS m,
+        |  count(*) AS n, CAST(sum(price) AS DOUBLE) AS rev
+        |FROM ofix JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY seg, m""".stripMargin,
+
+    "q341_star_derived_dim_routing" ->
+      """WITH lbase AS (
+        |  SELECT l_orderkey AS o_orderkey, l_linenumber,
+        |    min(l_partkey) AS p_partkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty,
+        |    min(l_shipdate) AS sd
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT o_orderpriority AS prio, CAST(month(sd) AS BIGINT) AS m,
+        |  count(*) AS n, CAST(sum(qty) AS DOUBLE) AS sq
+        |FROM lbase JOIN orders USING (o_orderkey) JOIN part USING (p_partkey)
+        |GROUP BY 1, 2 ORDER BY prio, m""".stripMargin,
+
+    "q342_derived_dim_breadth" ->
+      """SELECT o_orderpriority AS prio, CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |FROM orders GROUP BY 1, 2, 3 ORDER BY prio, m, y""".stripMargin,
 
     "q323_mv_count_distinct" ->
       """WITH fin AS (

@@ -171,22 +171,24 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
   final case class JoinRollup(spark: SparkSession, provider: () => DataFrame,
       factRoot: String, dimRoot: String, joinKeys: Seq[String],
       dims: Seq[String], measures: Seq[String],
-      distincts: Map[String, () => DataFrame] = Map.empty)
+      distincts: Map[String, () => DataFrame] = Map.empty,
+      derivedDims: Map[String, Expression] = Map.empty)
 
   private val joinRegistry = TrieMap.empty[(String, String), JoinRollup]
 
   /** Point aggregates over `fact ⋈ dim` (inner, equi on `joinKeys`) at a
     * LIVE join-rollup relation — the incrementally-maintained
     * [[graft.tables.MaterializedJoinAggView]] registers its state this
-    * way. Same partial format (and `distincts` pair-relation contract)
-    * as [[registerView]]. */
+    * way. Same partial format (and `distincts` pair-relation +
+    * `derivedDims` expression-matching contracts) as [[registerView]]. */
   def registerJoinView(spark: SparkSession, factRoot: String, dimRoot: String,
       joinKeys: Seq[String], dims: Seq[String], measures: Seq[String],
       provider: () => DataFrame,
-      distincts: Map[String, () => DataFrame] = Map.empty): Unit =
+      distincts: Map[String, () => DataFrame] = Map.empty,
+      derivedDims: Map[String, Expression] = Map.empty): Unit =
     joinRegistry.put((canon(factRoot), canon(dimRoot)),
       JoinRollup(spark, provider, factRoot, dimRoot, joinKeys, dims, measures,
-        distincts))
+        distincts, derivedDims))
 
   /** Remove the join routing for the (fact, dim) pair. */
   def unregisterJoinView(factRoot: String, dimRoot: String): Unit =
@@ -197,7 +199,8 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
   final case class StarRollup(spark: SparkSession, provider: () => DataFrame,
       factRoot: String, dims: Seq[(String, Seq[String])],
       groupBy: Seq[String], measures: Seq[String],
-      distincts: Map[String, () => DataFrame] = Map.empty)
+      distincts: Map[String, () => DataFrame] = Map.empty,
+      derivedDims: Map[String, Expression] = Map.empty)
 
   private val starRegistry = TrieMap.empty[String, StarRollup]
 
@@ -205,13 +208,16 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
     * (each on its own keys) at a LIVE star-rollup relation — the
     * incrementally-maintained [[graft.tables.MaterializedStarAggView]]
     * registers its state this way. Same partial format (and `distincts`
-    * pair-relation contract) as [[registerView]]. */
+    * pair-relation + `derivedDims` expression-matching contracts) as
+    * [[registerView]]. */
   def registerStarView(spark: SparkSession, factRoot: String,
       dims: Seq[(String, Seq[String])], groupBy: Seq[String],
       measures: Seq[String], provider: () => DataFrame,
-      distincts: Map[String, () => DataFrame] = Map.empty): Unit =
+      distincts: Map[String, () => DataFrame] = Map.empty,
+      derivedDims: Map[String, Expression] = Map.empty): Unit =
     starRegistry.put(canon(factRoot),
-      StarRollup(spark, provider, factRoot, dims, groupBy, measures, distincts))
+      StarRollup(spark, provider, factRoot, dims, groupBy, measures, distincts,
+        derivedDims))
 
   /** Remove the star routing for `factRoot`. */
   def unregisterStarView(factRoot: String): Unit =
@@ -289,11 +295,11 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
       baseScanOf(c).flatMap { case (r, fs) =>
           rewrite(agg, gs, as, r, fs) }
         .orElse(joinScanOf(c).flatMap { case (j, fs) =>
-          rewrite(agg, gs, as,
-            Rollup(j.spark, j.provider, j.dims, j.measures, j.distincts), fs) })
+          rewrite(agg, gs, as, Rollup(j.spark, j.provider, j.dims,
+            j.measures, j.distincts, j.derivedDims), fs) })
         .orElse(starScanOf(c).flatMap { case (st, fs) =>
-          rewrite(agg, gs, as,
-            Rollup(st.spark, st.provider, st.groupBy, st.measures, st.distincts), fs) })
+          rewrite(agg, gs, as, Rollup(st.spark, st.provider, st.groupBy,
+            st.measures, st.distincts, st.derivedDims), fs) })
     attempt(groupings, aggExprs, child).orElse {
       inlineGroupingProject(groupings, aggExprs, child) match {
         case Some((g2, a2, c2)) => attempt(g2, a2, c2)
@@ -491,8 +497,11 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
     if (leaves.size < 2) return None
     starRegistry.values.collectFirst(Function.unlift { st =>
       // raw leg/tree conjuncts: dimension-only predicates will be applied
-      // to the rollup; anything else must be an inferred isnotnull(key)
-      val (dimFs, rest) = raw.partition(dimOnly(_, st.groupBy))
+      // to the rollup (derived-dim subtrees substitute to their state
+      // columns first); anything else must be an inferred isnotnull(key)
+      val (dimFs, rest) = classifyFilters(raw,
+        Rollup(st.spark, st.provider, st.groupBy, st.measures, st.distincts,
+          st.derivedDims)).partition(dimOnly(_, st.groupBy))
       val nnOpt: Option[Set[String]] = {
         val xs = rest.map {
           case org.apache.spark.sql.catalyst.expressions.IsNotNull(
@@ -608,9 +617,13 @@ object AggRollupRewrite extends Rule[LogicalPlan] {
         (lRoots, lRaw) <- rootsOf(l, Nil, Set.empty)
         (rRoots, rRaw) <- rootsOf(r, Nil, Set.empty)
         j <- regFor(lRoots, rRoots).orElse(regFor(rRoots, lRoots))
-        // leg conjuncts: dimension-only predicates apply to the rollup;
+        // leg conjuncts: dimension-only predicates apply to the rollup
+        // (derived-dim subtrees substitute to their state columns first,
+        // and isnotnulls the applied substitution provably implies drop);
         // the rest must be the optimizer's inferred isnotnull(join key)
-        (dimFs, rest) = (lRaw ++ rRaw).partition(dimOnly(_, j.dims))
+        (dimFs, rest) = classifyFilters(lRaw ++ rRaw,
+          Rollup(j.spark, j.provider, j.dims, j.measures, j.distincts,
+            j.derivedDims)).partition(dimOnly(_, j.dims))
         if rest.forall {
           case org.apache.spark.sql.catalyst.expressions.IsNotNull(
             a: AttributeReference) => j.joinKeys.contains(a.name)

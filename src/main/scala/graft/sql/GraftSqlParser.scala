@@ -104,13 +104,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val CreateMv =
     """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s+ON\s+'([^']+)'(?:\s+KEYS\s*\(([^)]+)\))?\s+GROUP\s+BY\s*\((.+?)\)\s+AGG\s*\((.+?)\)(\s+WITH\s+RESCAN)?(?:\s+INTO\s+(\d+)\s+BUCKETS)?\s*;?\s*""".r
   private val CreateMjv =
-    """(?is)\s*CREATE\s+MATERIALIZED\s+JOIN\s+VIEW\s+'([^']+)'\s+FACT\s+'([^']+)'(?:\s+KEYS\s*\(([^)]+)\))?\s+DIM\s+'([^']+)'(?:\s+KEYS\s*\(([^)]+)\))?\s+ON\s*\(([^)]+)\)\s+GROUP\s+BY\s*\(([^)]+)\)\s+AGG\s*\((.+?)\)(?:\s+INTO\s+(\d+)\s+BUCKETS)?\s*;?\s*""".r
+    """(?is)\s*CREATE\s+MATERIALIZED\s+JOIN\s+VIEW\s+'([^']+)'\s+FACT\s+'([^']+)'(?:\s+KEYS\s*\(([^)]+)\))?\s+DIM\s+'([^']+)'(?:\s+KEYS\s*\(([^)]+)\))?\s+ON\s*\(([^)]+)\)\s+GROUP\s+BY\s*\((.+?)\)\s+AGG\s*\((.+?)\)(?:\s+INTO\s+(\d+)\s+BUCKETS)?\s*;?\s*""".r
   private val RefreshMjv =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+JOIN\s+VIEW\s+'([^']+)'\s*;?\s*""".r
   private val DescribeMjv =
     """(?is)\s*DESCRIBE\s+MATERIALIZED\s+JOIN\s+VIEW\s+'([^']+)'\s*;?\s*""".r
   private val CreateMsv =
-    """(?is)\s*CREATE\s+MATERIALIZED\s+STAR\s+VIEW\s+'([^']+)'\s+FACT\s+'([^']+)'(?:\s+KEYS\s*\(([^)]+)\))?((?:\s+DIM\s+'[^']+'(?:\s+KEYS\s*\([^)]+\))?\s+ON\s*\([^)]+\))+)\s+GROUP\s+BY\s*\(([^)]+)\)\s+AGG\s*\((.+?)\)(?:\s+INTO\s+(\d+)\s+BUCKETS)?\s*;?\s*""".r
+    """(?is)\s*CREATE\s+MATERIALIZED\s+STAR\s+VIEW\s+'([^']+)'\s+FACT\s+'([^']+)'(?:\s+KEYS\s*\(([^)]+)\))?((?:\s+DIM\s+'[^']+'(?:\s+KEYS\s*\([^)]+\))?\s+ON\s*\([^)]+\))+)\s+GROUP\s+BY\s*\((.+?)\)\s+AGG\s*\((.+?)\)(?:\s+INTO\s+(\d+)\s+BUCKETS)?\s*;?\s*""".r
   private val MsvDimItem =
     """(?is)DIM\s+'([^']+)'(?:\s+KEYS\s*\(([^)]+)\))?\s+ON\s*\(([^)]+)\)""".r
   private val RefreshMsv =
@@ -212,9 +212,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case CreateMjv(mv, fact, factKeys, dim, dimKeys, joinKeys, groupBy, aggList, buckets) =>
       def split(s: String) = Option(s).toSeq
         .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+      val items = GraftSqlParser.parseGroupItems(groupBy,
+        "CREATE MATERIALIZED JOIN VIEW")
       CreateMaterializedJoinViewCommand(mv, fact, split(factKeys), dim,
-        split(dimKeys), split(joinKeys), split(groupBy),
-        GraftSqlParser.parseAggList(aggList), Option(buckets).map(_.toInt))
+        split(dimKeys), split(joinKeys), items.map(_._1),
+        GraftSqlParser.parseAggList(aggList), Option(buckets).map(_.toInt),
+        derived = items.collect { case (n, Some(e)) => (n, e) })
     case RefreshMjv(mv) =>
       RefreshMaterializedJoinViewCommand(mv)
     case DescribeMjv(mv) =>
@@ -226,20 +229,20 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         graft.tables.MaterializedStarAggView.Dim(
           m.group(1), split(m.group(2)), split(m.group(3)))
       }.toSeq
+      val items = GraftSqlParser.parseGroupItems(groupBy,
+        "CREATE MATERIALIZED STAR VIEW")
       CreateMaterializedStarViewCommand(mv, fact, split(factKeys), dims,
-        split(groupBy), GraftSqlParser.parseAggList(aggList),
-        Option(buckets).map(_.toInt))
+        items.map(_._1), GraftSqlParser.parseAggList(aggList),
+        Option(buckets).map(_.toInt),
+        derived = items.collect { case (n, Some(e)) => (n, e) })
     case RefreshMsv(mv) =>
       RefreshMaterializedStarViewCommand(mv)
     case DescribeMsv(mv) =>
       DescribeMaterializedStarViewCommand(mv)
     case CreateMv(mv, src, keysOpt, groupBy, aggList, rescan, buckets) =>
       // group items: plain column names, or `expr AS alias` derived dims
-      val derivedItem = """(?is)\s*(.+?)\s+AS\s+(\w+)\s*""".r
-      val items = splitTopLevel(groupBy).map {
-        case derivedItem(e, n) => (n, Some(e.trim))
-        case plain => (plain.trim, None)
-      }
+      val items = GraftSqlParser.parseGroupItems(groupBy,
+        "CREATE MATERIALIZED VIEW")
       CreateMaterializedViewCommand(mv, src,
         Option(keysOpt).toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)),
         items.map(_._1),
@@ -350,22 +353,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   /** Split on commas at paren/quote depth 0 — `SET a = f(x, y), b = 2`
     * must not split inside the call. */
-  private def splitTopLevel(s: String): Seq[String] = {
-    val out = Seq.newBuilder[String]
-    var depth = 0; var inStr = false; var start = 0
-    s.zipWithIndex.foreach { case (ch, i) =>
-      ch match {
-        case '\'' => inStr = !inStr
-        case '(' if !inStr => depth += 1
-        case ')' if !inStr => depth -= 1
-        case ',' if !inStr && depth == 0 =>
-          out += s.substring(start, i); start = i + 1
-        case _ => ()
-      }
-    }
-    out += s.substring(start)
-    out.result().map(_.trim).filter(_.nonEmpty)
-  }
+  private def splitTopLevel(s: String): Seq[String] =
+    GraftSqlParser.splitTopLevel(s)
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -847,6 +836,75 @@ case class DescribeHistoryCommand(path: String) extends LeafRunnableCommand {
 }
 
 object GraftSqlParser {
+  private[sql] def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var inStr = false; var start = 0
+    s.zipWithIndex.foreach { case (ch, i) =>
+      ch match {
+        case '\'' => inStr = !inStr
+        case '(' if !inStr => depth += 1
+        case ')' if !inStr => depth -= 1
+        case ',' if !inStr && depth == 0 =>
+          out += s.substring(start, i); start = i + 1
+        case _ => ()
+      }
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Index of the LAST top-level ` AS ` token (case-insensitive, outside
+    * parens and string literals) — the alias split point for a derived-dim
+    * GROUP BY item. Splitting on the last occurrence keeps expressions
+    * containing ' AS ' inside nested casts or string literals intact
+    * (`cast(x AS int) AS b` aliases to `b`, not `int) AS b`). */
+  private def lastTopLevelAs(s: String): Int = {
+    var depth = 0; var inStr = false; var last = -1; var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '\'') inStr = !inStr
+      else if (!inStr && ch == '(') depth += 1
+      else if (!inStr && ch == ')') depth -= 1
+      else if (!inStr && depth == 0 && (ch == 'A' || ch == 'a') &&
+          i + 1 < s.length &&
+          (s.charAt(i + 1) == 'S' || s.charAt(i + 1) == 's') &&
+          i > 0 && s.charAt(i - 1).isWhitespace &&
+          (i + 2 >= s.length || s.charAt(i + 2).isWhitespace))
+        last = i
+      i += 1
+    }
+    last
+  }
+
+  private val BareIdent = "[A-Za-z_][A-Za-z0-9_]*"
+
+  /** GROUP BY items for the materialized-view DDL family: each item is a
+    * bare column name, or `<expr> AS <alias>` declaring a DERIVED dim.
+    * An expression WITHOUT an alias rejects HERE with a usable message —
+    * letting it through as a column literally named "month(dt)" would
+    * surface later as a baffling unresolved-attribute error at REFRESH.
+    * Returns (column name, Some(expr) when derived). */
+  private[sql] def parseGroupItems(s: String, what: String)
+      : Seq[(String, Option[String])] =
+    splitTopLevel(s).map { item0 =>
+      val item = item0.trim
+      if (item.matches(BareIdent)) (item, None)
+      else {
+        val i = lastTopLevelAs(item)
+        require(i > 0,
+          s"$what: GROUP BY item '$item' is an expression without an alias" +
+            " — write `<expr> AS <name>` to declare a derived dim, or use" +
+            " a bare column name")
+        val e = item.substring(0, i).trim
+        val n = item.substring(i + 2).trim
+        require(n.matches(BareIdent),
+          s"$what: derived-dim alias '$n' in GROUP BY item '$item' must be" +
+            " a bare identifier")
+        require(e.nonEmpty, s"$what: empty expression in GROUP BY item '$item'")
+        (n, Some(e))
+      }
+    }
+
   private val AggItem =
     """(?is)\s*(count|sum|avg|min|max|var_samp|var_pop|stddev_samp|stddev_pop)\s*\(\s*(\*|\w+)\s*\)\s+AS\s+(\w+)\s*""".r
   private val DistinctItem =
@@ -899,12 +957,13 @@ case class CreateMaterializedJoinViewCommand(mv: String, fact: String,
     factKeys: Seq[String], dim: String, dimKeys: Seq[String],
     joinKeys: Seq[String], groupBy: Seq[String],
     aggs: Seq[graft.tables.MaterializedAggView.Agg],
-    buckets: Option[Int]) extends LeafRunnableCommand {
+    buckets: Option[Int],
+    derived: Seq[(String, String)] = Nil) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("mv", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     graft.tables.MaterializedJoinAggView.create(spark, mv, fact, factKeys,
-      dim, dimKeys, joinKeys, groupBy, aggs, buckets.getOrElse(16))
+      dim, dimKeys, joinKeys, groupBy, aggs, buckets.getOrElse(16), derived)
     Seq(Row(mv))
   }
 }
@@ -932,12 +991,13 @@ case class RefreshMaterializedJoinViewCommand(mv: String) extends LeafRunnableCo
 case class CreateMaterializedStarViewCommand(mv: String, fact: String,
     factKeys: Seq[String], dims: Seq[graft.tables.MaterializedStarAggView.Dim],
     groupBy: Seq[String], aggs: Seq[graft.tables.MaterializedAggView.Agg],
-    buckets: Option[Int]) extends LeafRunnableCommand {
+    buckets: Option[Int],
+    derived: Seq[(String, String)] = Nil) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("mv", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     graft.tables.MaterializedStarAggView.create(spark, mv, fact, factKeys,
-      dims, groupBy, aggs, buckets.getOrElse(16))
+      dims, groupBy, aggs, buckets.getOrElse(16), derived)
     Seq(Row(mv))
   }
 }
@@ -972,9 +1032,14 @@ case class DescribeMaterializedStarViewCommand(mv: String) extends LeafRunnableC
     val v = new graft.tables.MaterializedStarAggView(mv)
     val sp = v.spec(spark)
     val (n, vec) = v.lastApplied(spark)
+    // derived dims render inline in group_by as `expr AS name` — the same
+    // syntax CREATE accepted, so DESCRIBE round-trips the DDL
+    val derivedOf = sp.derived.toMap
+    val groupRendered = sp.groupBy.map(g =>
+      derivedOf.get(g).map(e => s"$e AS $g").getOrElse(g))
     Seq(Row(sp.factRoot,
       sp.dims.map(d => s"${d.root} ON (${d.join.mkString(",")})").mkString("; "),
-      sp.groupBy.mkString(","), sp.aggs.map(_.render).mkString(","),
+      groupRendered.mkString(","), sp.aggs.map(_.render).mkString(","),
       sp.numBuckets, n, vec.mkString(",")))
   }
 }
@@ -996,8 +1061,13 @@ case class DescribeMaterializedJoinViewCommand(mv: String) extends LeafRunnableC
     val v = new graft.tables.MaterializedJoinAggView(mv)
     val sp = v.spec(spark)
     val (f, d) = v.lastApplied(spark)
+    // derived dims render inline in group_by as `expr AS name` — the same
+    // syntax CREATE accepted, so DESCRIBE round-trips the DDL
+    val derivedOf = sp.derived.toMap
+    val groupRendered = sp.groupBy.map(g =>
+      derivedOf.get(g).map(e => s"$e AS $g").getOrElse(g))
     Seq(Row(sp.factRoot, sp.dimRoot, sp.joinKeys.mkString(","),
-      sp.groupBy.mkString(","), sp.aggs.map(_.render).mkString(","),
+      groupRendered.mkString(","), sp.aggs.map(_.render).mkString(","),
       sp.numBuckets, f, d))
   }
 }

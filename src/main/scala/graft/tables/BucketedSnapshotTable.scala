@@ -211,7 +211,8 @@ final class BucketedSnapshotTable(
   }
 
   private def writeManifest(spark: SparkSession, v: Int, m: Map[Int, BucketEntry],
-      txns: Map[String, Long] = Map.empty): Unit = {
+      txns: Map[String, Long] = Map.empty,
+      dirSchemas: Map[String, String] = Map.empty): Unit = {
     val f = fs(spark)
     // indexed-column headers are TABLE properties, not writer properties: a
     // writer constructed without statsCols/bloomCols (a maintenance job, a
@@ -232,11 +233,25 @@ final class BucketedSnapshotTable(
     // of silently proceeding with empty bucket keys.
     val effKeys = if (keys.nonEmpty) keys
       else prev.get("keys").toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    // per-batch-dir FILE schemas (r14): recorded at commit time so
+    // planning (readIndexed) never reads a parquet footer per batch dir —
+    // O(1) metadata instead of O(dirs) IO on a many-dir table. Lines for
+    // dirs this manifest no longer references are dropped (bounded
+    // growth); dirs committed before the feature simply lack a line and
+    // fall back to one footer read each.
+    val liveDirs = m.values.map(_.dir).toSet
+    val inherited = prev.collect {
+      case (k, ddl) if k.startsWith("schema:") &&
+          liveDirs(k.stripPrefix("schema:")) => k.stripPrefix("schema:") -> ddl
+    }
+    val schemaLines = (inherited ++ dirSchemas.filter(e => liveDirs(e._1)))
+      .toSeq.sortBy(_._1).map { case (d, ddl) => s"schema:$d=$ddl" }
     val header = Seq(s"numBuckets=$numBuckets") ++
       (if (effKeys.isEmpty) Nil else Seq(s"keys=${effKeys.mkString(",")}")) ++
       (if (effStats.isEmpty) Nil else Seq(s"statsCols=${effStats.mkString(",")}")) ++
       (if (effBloom.isEmpty) Nil else Seq(s"bloomCols=${effBloom.mkString(",")}")) ++
-      txns.toSeq.sortBy(_._1).map { case (q, b) => s"txn:$q=$b" }
+      txns.toSeq.sortBy(_._1).map { case (q, b) => s"txn:$q=$b" } ++
+      schemaLines
     val body = (header ++
       m.toSeq.sortBy(_._1).map { case (b, e) => s"$b\t${e.dir}\t${e.contentV}" }).mkString("\n")
     val out = f.create(new Path(root, s"_manifest_v$v"), true)
@@ -902,9 +917,10 @@ final class BucketedSnapshotTable(
         case None => return Set.empty
         case Some(x) => x
       }
-      val (staging, effBloomC, stagedStats) = stageBatch(spark, merged, v0)
+      val (staging, effBloomC, stagedStats, stagedSchema) =
+        stageBatch(spark, merged, v0)
       lockedCommit(spark, staging, affected, v0, m0, wholeTableRead, txn,
-        effBloomC, stagedStats) match {
+        effBloomC, stagedStats, stagedSchema) match {
         case Some(replayed) => return if (replayed) Set.empty else affected
         case None => ()
       }
@@ -924,9 +940,10 @@ final class BucketedSnapshotTable(
     * dir (invisible — no manifest references it) and compute its sidecar
     * inputs. Runnable outside, and concurrently with, any lock — two
     * tables' staging writes may overlap. Returns (staging dir name,
-    * effective bloom columns, staged stats lines). */
+    * effective bloom columns, staged stats lines, staged FILE schema DDL
+    * — None when the batch wrote no data files). */
   private def stageBatch(spark: SparkSession, merged: DataFrame, v0: Int)
-      : (String, Seq[String], Seq[String]) = {
+      : (String, Seq[String], Seq[String], Option[String]) = {
     val f = fs(spark)
     val staging = s"_staging_${java.util.UUID.randomUUID().toString.take(12)}"
     // repartition on the bucket id so each bucket dir gets ONE writer task
@@ -957,7 +974,12 @@ final class BucketedSnapshotTable(
     // file paths need re-pointing after the flip
     if (effBloomC.nonEmpty && stagedHasData)
       writeBloom(spark, spark.read.parquet(s"$root/$staging"), staging, effBloomC)
-    (staging, effBloomC, stagedStats)
+    // the staged FILE schema (bucket partition column excluded), recorded
+    // in the manifest header at commit so planning skips the footer read
+    val stagedSchema =
+      if (!stagedHasData) None
+      else Some(BucketedSnapshotTable.schemaDdl(merged.schema, BucketCol))
+    (staging, effBloomC, stagedStats, stagedSchema)
   }
 
   /** The LOCKED metadata half of a commit: rename + sidecar repoint +
@@ -968,7 +990,8 @@ final class BucketedSnapshotTable(
   private def lockedCommit(spark: SparkSession, staging: String,
       affected: Set[Int], v0: Int, m0: Map[Int, BucketEntry],
       wholeTableRead: Boolean, txn: Option[(String, Long)],
-      effBloomC: Seq[String], stagedStats: Seq[String]): Option[Boolean] = {
+      effBloomC: Seq[String], stagedStats: Seq[String],
+      stagedSchema: Option[String] = None): Option[Boolean] = {
     val f = fs(spark)
     var replayed = false
     var committedDir: Option[String] = None
@@ -1027,7 +1050,8 @@ final class BucketedSnapshotTable(
           (mCur -- affected) ++
             affected.intersect(written)
               .map(_ -> BucketEntry(batchDir, next)).toMap,
-          txnsOf(spark, cur) ++ txn)
+          txnsOf(spark, cur) ++ txn,
+          stagedSchema.map(batchDir -> _).toMap)
         onStep("committed")
         committedDir = Some(batchDir)
         true
@@ -1083,9 +1107,11 @@ final class BucketedSnapshotTable(
     val merged = ScdMerge.scd1Upsert(
       fromManifest(spark, m0.map { case (b, e) => b -> e.dir }, Some(updBuckets)),
       upd, keys, seqCol, Nil, applyAsDeletes)
-    val (staging, effBloomC, stagedStats) = stageBatch(spark, merged, v0)
+    val (staging, effBloomC, stagedStats, stagedSchema) =
+      stageBatch(spark, merged, v0)
     Some(BucketedSnapshotTable.StagedScd1(staging, updBuckets, v0, m0,
-      effBloomC, stagedStats, updates, seqCol, applyAsDeletes, txn))
+      effBloomC, stagedStats, updates, seqCol, applyAsDeletes, txn,
+      stagedSchema))
   }
 
   /** Commit a [[stageScd1Merge]] batch. The metadata-sized happy path; a
@@ -1096,7 +1122,8 @@ final class BucketedSnapshotTable(
   private[graft] def commitStagedScd1(spark: SparkSession,
       h: BucketedSnapshotTable.StagedScd1): Set[Int] =
     lockedCommit(spark, h.staging, h.affected, h.v0, h.m0,
-      wholeTableRead = false, h.txn, h.effBloomC, h.stagedStats) match {
+      wholeTableRead = false, h.txn, h.effBloomC, h.stagedStats,
+      h.stagedSchema) match {
       case Some(replayed) => if (replayed) Set.empty else h.affected
       case None =>
         scd1Merge(spark, h.updates, h.seqCol, Nil, h.applyAsDeletes, h.txn)
@@ -1272,12 +1299,27 @@ final class BucketedSnapshotTable(
     }
     def fallback = version.map(readVersion(spark, _)).getOrElse(read(spark))
     if (entries.isEmpty) return fallback // uniform empty-table errors
-    val byDir = liveFilesByDir(spark, entries)
-    val reps = byDir.flatMap(_._2.headOption).map(_.getPath.toString)
-    if (reps.isEmpty) return fallback // no listable data files
-    PruningFileIndex.unionSchema(spark, reps) match {
+    val byDir = liveFilesByDir(spark, v, entries)
+    // per-dir FILE schemas: from the manifest header when recorded at
+    // commit (r14 — zero footer IO at planning), else one footer probe
+    // per legacy dir (instrumented; superset of the old behavior)
+    val recorded: Map[String, org.apache.spark.sql.types.StructType] =
+      headerOf(spark, v).collect {
+        case (k, ddl) if k.startsWith("schema:") =>
+          k.stripPrefix("schema:") -> BucketedSnapshotTable.parseSchemaDdl(ddl)
+      }
+    val withSchemas: Seq[(String, Seq[org.apache.hadoop.fs.FileStatus],
+        org.apache.spark.sql.types.StructType)] =
+      byDir.collect { case (dir, fls) if fls.nonEmpty =>
+        (dir, fls, recorded.getOrElse(dir, {
+          BucketedSnapshotTable.schemaProbes.incrementAndGet()
+          spark.read.parquet(fls.head.getPath.toString).schema
+        }))
+      }
+    if (withSchemas.isEmpty) return fallback // no listable data files
+    PruningFileIndex.unionSchemaOf(withSchemas.map(_._3)) match {
       case Some(schema) =>
-        PruningFileIndex.relation(spark, byDir.flatMap(_._2), schema,
+        PruningFileIndex.relation(spark, withSchemas.flatMap(_._2), schema,
           keepFor(f, byDir, Some(schema)))
       case None =>
         // TYPE-EVOLVED table (a column's type widened between batch dirs):
@@ -1295,23 +1337,20 @@ final class BucketedSnapshotTable(
         val groups = scala.collection.mutable.ArrayBuffer.empty[(
           scala.collection.mutable.LinkedHashMap[String, DataType],
           scala.collection.mutable.ArrayBuffer[(String, Seq[org.apache.hadoop.fs.FileStatus])])]
-        byDir.foreach { case (dir, fls) =>
-          fls.headOption.foreach { rep =>
-            val s = spark.read.parquet(rep.getPath.toString).schema
-            groups.find { case (acc, _) =>
-              s.forall(f2 => acc.get(f2.name).forall(_ == f2.dataType))
-            } match {
-              case Some((acc, ds)) =>
-                s.foreach(f2 =>
-                  if (!acc.contains(f2.name)) acc(f2.name) = f2.dataType)
-                ds += ((dir, fls))
-              case None =>
-                val acc = scala.collection.mutable.LinkedHashMap
-                  .empty[String, DataType]
-                s.foreach(f2 => acc(f2.name) = f2.dataType)
-                groups += ((acc,
-                  scala.collection.mutable.ArrayBuffer((dir, fls))))
-            }
+        withSchemas.foreach { case (dir, fls, s) =>
+          groups.find { case (acc, _) =>
+            s.forall(f2 => acc.get(f2.name).forall(_ == f2.dataType))
+          } match {
+            case Some((acc, ds)) =>
+              s.foreach(f2 =>
+                if (!acc.contains(f2.name)) acc(f2.name) = f2.dataType)
+              ds += ((dir, fls))
+            case None =>
+              val acc = scala.collection.mutable.LinkedHashMap
+                .empty[String, DataType]
+              s.foreach(f2 => acc(f2.name) = f2.dataType)
+              groups += ((acc,
+                scala.collection.mutable.ArrayBuffer((dir, fls))))
           }
         }
         val parts = groups.toSeq.map { case (acc, ds) =>
@@ -1326,19 +1365,28 @@ final class BucketedSnapshotTable(
   }
 
   /** (dir, its live buckets' data files) for a manifest's entries, oldest
-    * batch first (stable first-seen column types, like the union read). */
-  private def liveFilesByDir(spark: SparkSession, entries: Map[Int, BucketEntry])
+    * batch first (stable first-seen column types, like the union read).
+    * MEMOIZED per (root, version, manifest mtime): the listed file set is
+    * immutable once committed, so a hot table's repeated planning pays
+    * one listing per commit, not one per call. */
+  private def liveFilesByDir(spark: SparkSession, v: Int,
+      entries: Map[Int, BucketEntry])
       : Seq[(String, Seq[org.apache.hadoop.fs.FileStatus])] = {
     val f = fs(spark)
-    entries.groupBy(_._2.dir).toSeq
-      .sortBy { case (dir, _) => dir.stripPrefix("_batch_v").toIntOption.getOrElse(0) }
-      .map { case (dir, es) =>
-        dir -> es.keys.toSeq.sorted.flatMap { b =>
-          val p = new Path(s"$root/$dir/$BucketCol=$b")
-          if (!f.exists(p)) Nil
-          else f.listStatus(p).toSeq.filter(_.getPath.getName.endsWith(".parquet"))
-        }
-      }
+    val mtime =
+      try f.getFileStatus(new Path(root, s"_manifest_v$v")).getModificationTime
+      catch { case _: java.io.IOException => -1L }
+    BucketedSnapshotTable.cachedListing((root, v, mtime), () =>
+      entries.groupBy(_._2.dir).toSeq
+        .sortBy { case (dir, _) => dir.stripPrefix("_batch_v").toIntOption.getOrElse(0) }
+        .map { case (dir, es) =>
+          dir -> es.keys.toSeq.sorted.flatMap { b =>
+            val p = new Path(s"$root/$dir/$BucketCol=$b")
+            BucketedSnapshotTable.listingCalls.incrementAndGet()
+            if (!f.exists(p)) Nil
+            else f.listStatus(p).toSeq.filter(_.getPath.getName.endsWith(".parquet"))
+          }
+        })
   }
 
   /** The [[PruningFileIndex]] keep-callback over this table's per-batch
@@ -1442,9 +1490,10 @@ final class BucketedSnapshotTable(
     * files, how many survive read-side skipping under `pred` — the
     * scale-independent pin gate queries `require` on. (kept, total). */
   def pruneStats(spark: SparkSession, pred: Column): (Int, Int) = {
-    val entries = readEntries(spark, currentVersion(spark).getOrElse(
-      throw new IllegalStateException(s"BucketedSnapshotTable $root is empty")))
-    val byDir = liveFilesByDir(spark, entries)
+    val v = currentVersion(spark).getOrElse(
+      throw new IllegalStateException(s"BucketedSnapshotTable $root is empty"))
+    val entries = readEntries(spark, v)
+    val byDir = liveFilesByDir(spark, v, entries)
     val all = byDir.flatMap(_._2).map(_.getPath.toUri.getPath)
     val reps = byDir.flatMap(_._2.headOption).map(_.getPath.toString)
     val schema = PruningFileIndex.unionSchema(spark, reps)
@@ -1609,7 +1658,10 @@ final class BucketedSnapshotTable(
         writeManifest(spark, next,
           mCur ++ unmoved.filter(mCur.contains)
             .map(b => b -> BucketEntry(batchDir, mCur(b).contentV)).toMap,
-          txnsOf(spark, cur)) // the exactly-once ledger survives maintenance
+          txnsOf(spark, cur), // the exactly-once ledger survives maintenance
+          // compacted files carry the UNION schema (the union read casts
+          // to first-seen types before the rewrite)
+          Map(batchDir -> BucketedSnapshotTable.schemaDdl(df.schema, BucketCol)))
         committed = next
       }
       // post-commit, outside the lock: the new batch dir is immutable now —
@@ -1644,10 +1696,68 @@ final class BucketedSnapshotTable(
           name.startsWith("_staging_"))
         f.delete(st.getPath, true)
     }
+    // reaped batch dirs make cached listings for old versions stale — drop
+    // them (the unreadable-version guard in readIndexed already rejects
+    // vacuumed versions, this keeps the cache from pinning FileStatus
+    // objects of deleted files)
+    BucketedSnapshotTable.invalidateListings(root)
   }
 }
 
 object BucketedSnapshotTable {
+
+  /** A schema's compact DDL for the manifest header, `partitionCol`
+    * (the internal bucket column) excluded and nullability normalized to
+    * true — planning compares dataTypes only, and the union reads treat
+    * every column nullable anyway. */
+  private[tables] def schemaDdl(schema: org.apache.spark.sql.types.StructType,
+      partitionCol: String): String =
+    org.apache.spark.sql.types.StructType(
+      schema.fields.toSeq.filterNot(_.name == partitionCol)
+        .map(f => org.apache.spark.sql.types.StructField(
+          f.name, f.dataType, nullable = true))).toDDL
+
+  private[tables] def parseSchemaDdl(ddl: String)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(ddl)
+
+  /** Driver-side memo of a committed version's live-file listing, keyed
+    * (root, version, manifest mtime): a version's file set is immutable
+    * once committed, so repeated planning over a hot table costs ONE
+    * listing per commit instead of one per planning call (the r13 soak's
+    * suspected O(dirs) planning term on many-dir tables). The mtime key
+    * self-invalidates if a crashed writer's orphan manifest is rewritten
+    * under the same number; VACUUM invalidates its root explicitly. */
+  private val listingCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Long), Seq[(String, Seq[org.apache.hadoop.fs.FileStatus])]]()
+
+  /** Instrumentation: FS directory LISTINGS performed by [[liveFilesByDir]]
+    * cache misses (spec-pinned: a second planning of the same version
+    * performs zero). */
+  private[tables] val listingCalls = new java.util.concurrent.atomic.AtomicLong
+
+  /** Instrumentation: parquet FOOTER schema probes performed by
+    * [[readIndexed]] for dirs whose manifest lacks a recorded schema
+    * (spec-pinned: zero for tables written since schemas were recorded). */
+  private[tables] val schemaProbes = new java.util.concurrent.atomic.AtomicLong
+
+  private[tables] def cachedListing(key: (String, Int, Long),
+      compute: () => Seq[(String, Seq[org.apache.hadoop.fs.FileStatus])])
+      : Seq[(String, Seq[org.apache.hadoop.fs.FileStatus])] = {
+    val hit = listingCache.get(key)
+    if (hit != null) hit
+    else {
+      val v = compute()
+      if (listingCache.size > 256) listingCache.clear() // crude bound; re-warms in one call
+      listingCache.put(key, v)
+      v
+    }
+  }
+
+  private[tables] def invalidateListings(root: String): Unit = {
+    val it = listingCache.keySet.iterator
+    while (it.hasNext) if (it.next()._1 == root) it.remove()
+  }
 
   /** One manifest entry: the batch dir holding the bucket's bytes, plus
     * the commit version at which the bucket's CONTENT last changed.
@@ -1676,7 +1786,8 @@ object BucketedSnapshotTable {
       private[tables] val updates: org.apache.spark.sql.DataFrame,
       private[tables] val seqCol: String,
       private[tables] val applyAsDeletes: Option[org.apache.spark.sql.Column],
-      private[tables] val txn: Option[(String, Long)])
+      private[tables] val txn: Option[(String, Long)],
+      private[tables] val stagedSchema: Option[String] = None)
 
   /** Did a bucket's CONTENT change between two manifest entries? Normally
     * a contentV comparison, with one guard: the legacy 2-field-manifest

@@ -79,9 +79,7 @@ final class MaterializedAggView(val root: String) {
     val groupBy = list("groupBy")
     // derived dims (r13): `derived.<name>=<expr sql>` lines, ordered by
     // their position in groupBy
-    val derived = kv.toSeq.collect {
-      case (k, v) if k.startsWith("derived.") => k.stripPrefix("derived.") -> v
-    }.sortBy { case (n, _) => groupBy.indexOf(n) }
+    val derived = derivedOf(kv, groupBy)
     Spec(
       sourceRoot = kv.getOrElse("sourceRoot", throw new IllegalArgumentException(
         s"MaterializedAggView $root: _mv lacks sourceRoot")),
@@ -401,16 +399,8 @@ final class MaterializedAggView(val root: String) {
           (if (sp.sourceKeys.nonEmpty) Map("keys" -> sp.sourceKeys.mkString(",")) else Map.empty))
         feedable.currentVersion match {
           case None => Map.empty // empty source: the provider refuses anyway
-          case Some(v) =>
-            val src = feedable.visibleAt(v)
-            sp.derived.map { case (n, eStr) =>
-              val analyzed = src.select(expr(eStr).as(n)).queryExecution.analyzed
-              val e = analyzed.asInstanceOf[
-                  org.apache.spark.sql.catalyst.plans.logical.Project]
-                .projectList.head
-                .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Alias].child
-              n -> graft.plans.AggRollupRewrite.normalizeDim(e)
-            }.toMap
+          case Some(v) => resolveDerivedDims(spark, feedable.visibleAt(v).schema,
+            sp.derived, s"MaterializedAggView $root")
         }
       }
     graft.plans.AggRollupRewrite.registerView(spark, sp.sourceRoot,
@@ -482,14 +472,100 @@ object MaterializedAggView {
   /** Compute a spec's DERIVED dimension columns on a source-shaped frame
     * (refresh windows, rescan bases): one `withColumn(name, expr)` per
     * declared derived dim. Fails loudly on a name collision with a source
-    * column — silently shadowing one would change fold semantics. */
+    * column — silently shadowing one would change fold semantics — and on
+    * a non-deterministic or evaluation-time-dependent expression: the
+    * retraction algebra requires a preimage row to derive EXACTLY the
+    * value its insert did, and `datediff(current_date(), dt)` (or
+    * rand()) computes a different value per refresh window, silently
+    * corrupting routed group state. */
   private[tables] def applyDerived(df: DataFrame,
       derived: Seq[(String, String)], what: String): DataFrame =
     derived.foldLeft(df) { case (d, (n, e)) =>
       require(!d.columns.contains(n),
         s"$what: derived dim '$n' collides with a source column")
+      requireStableDim(
+        resolvedExprOf(d.select(expr(e).as(n))), n, e, what)
       d.withColumn(n, expr(e))
     }
+
+  /** The analyzed expression under a single-projection frame's alias. */
+  private def resolvedExprOf(projected: DataFrame)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    projected.queryExecution.analyzed
+      .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
+      .projectList.head
+      .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Alias].child
+
+  /** Reject derived-dim expressions whose value depends on WHEN they are
+    * evaluated: non-deterministic nodes (rand, uuid, …) and the
+    * evaluation-clock family (current_date/current_timestamp/now/
+    * localtimestamp/current_timezone), which Catalyst marks deterministic
+    * but each refresh resolves to a different instant — either breaks the
+    * preimage-derives-the-same-value invariant the fold algebra rests on. */
+  private[tables] def requireStableDim(
+      resolved: org.apache.spark.sql.catalyst.expressions.Expression,
+      n: String, e: String, what: String): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{CurrentDate, CurrentTimestampLike, CurrentTimeZone, LocalTimestamp}
+    require(resolved.deterministic,
+      s"$what: derived dim '$n' = '$e' is non-deterministic — each refresh " +
+        "would derive different values and retractions would not cancel")
+    require(!resolved.exists {
+      case _: CurrentDate | _: CurrentTimestampLike | _: CurrentTimeZone |
+          _: LocalTimestamp => true
+      case _ => false
+    }, s"$what: derived dim '$n' = '$e' depends on the evaluation clock " +
+      "(current_date/current_timestamp/now/localtimestamp) — a preimage row " +
+      "must derive the same value its insert did; derive the age/bucket at " +
+      "query time over a stable stored dim instead")
+  }
+
+  /** Resolve each declared derived expression against `schema` (an empty
+    * frame — analysis only, no IO) and NORMALIZE it for the structural
+    * grouping-expression match ([[graft.plans.AggRollupRewrite.normalizeDim]]).
+    * Shared by all three view kinds' `registerRewrite`: the single-table
+    * kind resolves over the source schema, join/star over the JOINED
+    * column set (fact columns ++ each dim's non-key columns), which is
+    * exactly the namespace a query's grouping expression resolves in. */
+  private[tables] def resolveDerivedDims(spark: SparkSession,
+      schema: StructType, derived: Seq[(String, String)], what: String)
+      : Map[String, org.apache.spark.sql.catalyst.expressions.Expression] =
+    if (derived.isEmpty) Map.empty
+    else {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      derived.map { case (n, eStr) =>
+        val resolved = resolvedExprOf(empty.select(expr(eStr).as(n)))
+        requireStableDim(resolved, n, eStr, what)
+        n -> graft.plans.AggRollupRewrite.normalizeDim(resolved)
+      }.toMap
+    }
+
+  /** Create-time derived-dim validation shared by all three view kinds
+    * (the fold/spec machinery is kind-agnostic, so the contract is too). */
+  private[tables] def validateDerived(groupBy: Seq[String], aggs: Seq[Agg],
+      derived: Seq[(String, String)]): Unit = {
+    derived.foreach { case (n, e) =>
+      require(groupBy.contains(n),
+        s"derived dim '$n' must appear in the GROUP BY column list")
+      require(e.trim.nonEmpty, s"derived dim '$n' needs a non-empty expression")
+      // spec lines split on the FIRST '=', so '=' inside the expression is
+      // fine; only newlines would break the line-oriented encoding
+      require(!e.contains("\n"),
+        s"derived dim '$n': expression may not contain newlines")
+      require(!aggs.flatMap(_.col).contains(n),
+        s"derived dim '$n' cannot also be a measure column")
+    }
+    require(derived.map(_._1).distinct.size == derived.size,
+      "duplicate derived dim names")
+  }
+
+  /** Spec-file `derived.<name>=<expr>` lines, ordered by groupBy position
+    * — the shared read side of the derived-dim DDL encoding. */
+  private[tables] def derivedOf(kv: Map[String, String],
+      groupBy: Seq[String]): Seq[(String, String)] =
+    kv.toSeq.collect {
+      case (k, v) if k.startsWith("derived.") => k.stripPrefix("derived.") -> v
+    }.sortBy { case (n, _) => groupBy.indexOf(n) }
 
   /** Replace NULL group values with their typed stand-ins and append the
     * [[NullsCol]] bitmask — the state-boundary encoding. Non-nullable
@@ -1042,19 +1118,7 @@ object MaterializedAggView {
       numBuckets: Int = 16, allowRescan: Boolean = false,
       derived: Seq[(String, String)] = Nil): MaterializedAggView = {
     require(groupBy.nonEmpty, "materialized view needs GROUP BY columns")
-    derived.foreach { case (n, e) =>
-      require(groupBy.contains(n),
-        s"derived dim '$n' must appear in the GROUP BY column list")
-      require(e.trim.nonEmpty, s"derived dim '$n' needs a non-empty expression")
-      // spec lines split on the FIRST '=', so '=' inside the expression is
-      // fine; only newlines would break the line-oriented encoding
-      require(!e.contains("\n"),
-        s"derived dim '$n': expression may not contain newlines")
-      require(!aggs.flatMap(_.col).contains(n),
-        s"derived dim '$n' cannot also be a measure column")
-    }
-    require(derived.map(_._1).distinct.size == derived.size,
-      "duplicate derived dim names")
+    validateDerived(groupBy, aggs, derived)
     require(groupBy.size <= 63, "the null mask is a 64-bit bitmask — at " +
       "most 63 GROUP BY columns")
     require(!(groupBy ++ aggs.flatMap(_.col)).exists(_.startsWith("__mv_")),

@@ -85,10 +85,12 @@ final class MaterializedJoinAggView(val root: String) {
     def need(k: String) = kv.getOrElse(k, throw new IllegalArgumentException(
       s"MaterializedJoinAggView $root: _mvj lacks $k"))
     def list(k: String) = kv.getOrElse(k, "").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val groupBy = list("groupBy")
     Spec(need("factRoot"), list("factKeys"), need("dimRoot"), list("dimKeys"),
-      list("joinKeys"), list("groupBy"), list("aggs").map(Agg.parse),
+      list("joinKeys"), groupBy, list("aggs").map(Agg.parse),
       kv.getOrElse("numBuckets", "16").toInt,
-      nullMask = kv.get("nullMask").contains("1"))
+      nullMask = kv.get("nullMask").contains("1"),
+      derived = MaterializedAggView.derivedOf(kv, groupBy))
   }
 
   /** State business keys: group columns plus the null-mask when the spec
@@ -212,12 +214,18 @@ final class MaterializedJoinAggView(val root: String) {
         Some(factOld.join(dd, sp.joinKeys))
       }
 
-    val deltaRaw = (leg1, leg2) match {
+    val deltaRaw0 = (leg1, leg2) match {
       case (Some(a), Some(b)) => a.unionByName(b, allowMissingColumns = true)
       case (Some(a), None) => a
       case (None, Some(b)) => b
       case (None, None) => return ((lastFV, lastDV), Set.empty)
     }
+    // derived dims (r14): computed on the JOINED delta BEFORE any encoding
+    // — a preimage-joined row derives the same value its insert did, so
+    // the retraction algebra is untouched; from the fold down a derived
+    // dim is just another group column (the kind-agnostic r13 design)
+    val deltaRaw = MaterializedAggView.applyDerived(deltaRaw0, sp.derived,
+      s"MaterializedJoinAggView $root")
     // null-mask encoding on the JOINED delta (group columns are plain
     // data columns until the fold, so the single-table view's state-
     // boundary encoding applies unchanged): nullable group values store
@@ -425,8 +433,32 @@ final class MaterializedJoinAggView(val root: String) {
       v => rollupFormat(spark, v),
       if (sp.nullMask) df => MaterializedAggView.decodeNulls(df, sp.groupBy)
       else identity)
+    // derived dims (r14): resolve each declared expression against the
+    // JOINED column namespace (fact columns ++ the dim's additional
+    // columns — exactly what a query grouping over the join resolves in)
+    val derivedExprs = joinedSchema(spark, sp) match {
+      case None => Map.empty[String,
+        org.apache.spark.sql.catalyst.expressions.Expression]
+      case Some(sc) => MaterializedAggView.resolveDerivedDims(spark, sc,
+        sp.derived, s"MaterializedJoinAggView $root")
+    }
     graft.plans.AggRollupRewrite.registerJoinView(spark, sp.factRoot,
-      sp.dimRoot, sp.joinKeys, sp.groupBy, measures, provider, distincts)
+      sp.dimRoot, sp.joinKeys, sp.groupBy, measures, provider, distincts,
+      derivedExprs)
+  }
+
+  /** The fact ⋈ dim output schema (fact columns first, then the dim's
+    * non-join columns) — the resolution namespace for derived-dim
+    * expressions. None when either source is still empty. */
+  private def joinedSchema(spark: SparkSession, sp: Spec): Option[StructType] = {
+    if (sp.derived.isEmpty) return None
+    val ff = factFeed(spark, sp); val df = dimFeed(spark, sp)
+    for (fv <- ff.currentVersion; dv <- df.currentVersion) yield {
+      val fS = ff.visibleAt(fv).schema
+      val have = fS.fieldNames.toSet
+      StructType(fS.fields.toSeq ++
+        df.visibleAt(dv).schema.fields.toSeq.filterNot(f2 => have(f2.name)))
+    }
   }
 
   /** Remove this view's transparent routing (SQL `ALTER MATERIALIZED
@@ -475,7 +507,12 @@ object MaterializedJoinAggView {
   final case class Spec(factRoot: String, factKeys: Seq[String],
       dimRoot: String, dimKeys: Seq[String], joinKeys: Seq[String],
       groupBy: Seq[String], aggs: Seq[Agg], numBuckets: Int,
-      nullMask: Boolean = true)
+      nullMask: Boolean = true,
+      /** DERIVED dimension columns (r14): (state column name, SQL expr
+        * over the JOINED row) — `month(o_orderdate) AS m` in the view
+        * DDL, maintained exactly like any group column (see
+        * [[MaterializedAggView.Spec.derived]]). */
+      derived: Seq[(String, String)] = Nil)
 
   /** Declare the view (no data moves until the first refresh). Join-view
     * aggregates: the additive set plus `count(distinct c)` (maintained
@@ -488,9 +525,13 @@ object MaterializedJoinAggView {
       factRoot: String, factKeys: Seq[String],
       dimRoot: String, dimKeys: Seq[String],
       joinKeys: Seq[String], groupBy: Seq[String], aggs: Seq[Agg],
-      numBuckets: Int = 16): MaterializedJoinAggView = {
+      numBuckets: Int = 16,
+      derived: Seq[(String, String)] = Nil): MaterializedJoinAggView = {
     require(joinKeys.nonEmpty, "join view needs join keys")
     require(groupBy.nonEmpty, "join view needs GROUP BY columns")
+    MaterializedAggView.validateDerived(groupBy, aggs, derived)
+    derived.foreach { case (n, _) => require(!joinKeys.contains(n),
+      s"derived dim '$n' collides with a join key") }
     require(groupBy.size <= 63, "the null mask is a 64-bit bitmask — at " +
       "most 63 GROUP BY columns")
     require(!(groupBy ++ aggs.flatMap(_.col)).exists(_.startsWith("__mv_")),
@@ -518,7 +559,8 @@ object MaterializedJoinAggView {
          |aggs=${aggs.map(_.render).mkString(",")}
          |numBuckets=$numBuckets
          |nullMask=1
-         |""".stripMargin
+         |""".stripMargin +
+        derived.map { case (n, e) => s"derived.$n=$e\n" }.mkString
     val out = f.create(p, false)
     try out.write(content.getBytes("UTF-8")) finally out.close()
     mv

@@ -88,9 +88,11 @@ final class MaterializedStarAggView(val root: String) {
     val dims = (0 until n).map { i =>
       Dim(need(s"dim$i.root"), list(s"dim$i.keys"), list(s"dim$i.join"))
     }
-    Spec(need("factRoot"), list("factKeys"), dims, list("groupBy"),
+    val groupBy = list("groupBy")
+    Spec(need("factRoot"), list("factKeys"), dims, groupBy,
       list("aggs").map(Agg.parse), kv.getOrElse("numBuckets", "16").toInt,
-      nullMask = kv.get("nullMask").contains("1"))
+      nullMask = kv.get("nullMask").contains("1"),
+      derived = MaterializedAggView.derivedOf(kv, groupBy))
   }
 
   /** State business keys: group columns plus the null-mask when the spec
@@ -285,9 +287,15 @@ final class MaterializedStarAggView(val root: String) {
     // project each leg to exactly the columns the fold needs BEFORE the
     // union — several dims may carry same-named bookkeeping columns
     // (each SCD dim has its own sequence column), which is fine inside a
-    // join but an ambiguity error in a union
+    // join but an ambiguity error in a union. Derived dims (r14) compute
+    // on each JOINED leg first — a preimage-joined row derives the same
+    // value its insert did — and then ride the projection like any other
+    // group column.
     val need = (sp.groupBy ++ sp.aggs.flatMap(_.col) :+ SignCol).distinct
-    val deltaRaw = legs.map(_.select(need.map(col): _*)).reduce(_.unionByName(_))
+    val deltaRaw = legs
+      .map(MaterializedAggView.applyDerived(_, sp.derived,
+        s"MaterializedStarAggView $root"))
+      .map(_.select(need.map(col): _*)).reduce(_.unionByName(_))
     // null-mask encoding on the JOINED delta (see MaterializedJoinAggView
     // — group columns are plain data columns until the fold)
     val gk = groupKeys(sp)
@@ -444,9 +452,35 @@ final class MaterializedStarAggView(val root: String) {
       v => rollupFormat(spark, v),
       if (sp.nullMask) df => MaterializedAggView.decodeNulls(df, sp.groupBy)
       else identity)
+    // derived dims (r14): resolved against the STAR's joined namespace
+    // (fact columns ++ each dim's additional columns)
+    val derivedExprs = starSchema(spark, sp) match {
+      case None => Map.empty[String,
+        org.apache.spark.sql.catalyst.expressions.Expression]
+      case Some(sc) => MaterializedAggView.resolveDerivedDims(spark, sc,
+        sp.derived, s"MaterializedStarAggView $root")
+    }
     graft.plans.AggRollupRewrite.registerStarView(spark, sp.factRoot,
       sp.dims.map(d => d.root -> d.join), sp.groupBy, measures,
-      provider, distincts)
+      provider, distincts, derivedExprs)
+  }
+
+  /** The star join's output schema (fact columns, then each dim's columns
+    * not already present) — the derived-dim resolution namespace. None
+    * when any source is still empty. */
+  private def starSchema(spark: SparkSession, sp: Spec): Option[StructType] = {
+    if (sp.derived.isEmpty) return None
+    val feeds = feedOf(spark, sp.factRoot, sp.factKeys) +:
+      sp.dims.map(d => feedOf(spark, d.root, d.keys))
+    val schemas = feeds.map(f2 => f2.currentVersion match {
+      case None => return None
+      case Some(v) => f2.visibleAt(v).schema
+    })
+    val acc = scala.collection.mutable.LinkedHashMap
+      .empty[String, org.apache.spark.sql.types.StructField]
+    schemas.foreach(_.fields.foreach(f2 =>
+      if (!acc.contains(f2.name)) acc(f2.name) = f2))
+    Some(StructType(acc.values.toSeq))
   }
 
   /** Remove this view's transparent routing (SQL `ALTER MATERIALIZED
@@ -494,17 +528,25 @@ object MaterializedStarAggView {
 
   final case class Spec(factRoot: String, factKeys: Seq[String],
       dims: Seq[Dim], groupBy: Seq[String], aggs: Seq[Agg], numBuckets: Int,
-      nullMask: Boolean = true)
+      nullMask: Boolean = true,
+      /** DERIVED dimension columns (r14) over the STAR-joined row — see
+        * [[MaterializedAggView.Spec.derived]]. */
+      derived: Seq[(String, String)] = Nil)
 
   /** Declare the view (no data moves until the first refresh). */
   def create(spark: SparkSession, root: String,
       factRoot: String, factKeys: Seq[String], dims: Seq[Dim],
       groupBy: Seq[String], aggs: Seq[Agg],
-      numBuckets: Int = 16): MaterializedStarAggView = {
+      numBuckets: Int = 16,
+      derived: Seq[(String, String)] = Nil): MaterializedStarAggView = {
     require(dims.nonEmpty, "star view needs at least one dimension")
     dims.foreach(d => require(d.join.nonEmpty,
       s"star view dim ${d.root}: join keys required"))
     require(groupBy.nonEmpty, "star view needs GROUP BY columns")
+    MaterializedAggView.validateDerived(groupBy, aggs, derived)
+    derived.foreach { case (n, _) =>
+      require(!dims.exists(_.join.contains(n)),
+        s"derived dim '$n' collides with a join key") }
     require(groupBy.size <= 63, "the null mask is a 64-bit bitmask — at " +
       "most 63 GROUP BY columns")
     require(!(groupBy ++ aggs.flatMap(_.col)).exists(_.startsWith("__mv_")),
@@ -534,7 +576,8 @@ object MaterializedStarAggView {
       s"groupBy=${groupBy.mkString(",")}",
       s"aggs=${aggs.map(_.render).mkString(",")}",
       s"numBuckets=$numBuckets",
-      "nullMask=1")).mkString("", "\n", "\n")
+      "nullMask=1") ++
+      derived.map { case (n, e) => s"derived.$n=$e" }).mkString("", "\n", "\n")
     val out = f.create(p, false)
     try out.write(content.getBytes("UTF-8")) finally out.close()
     mv

@@ -183,11 +183,15 @@ private[graft] object PruningFileIndex {
     * like the manifest union read; None when two representatives DISAGREE
     * on a column's type — such evolved tables need the cast-aligned union
     * read, not a single-schema parquet relation (the caller falls back). */
-  def unionSchema(spark: SparkSession, reps: Seq[String]): Option[StructType] = {
+  def unionSchema(spark: SparkSession, reps: Seq[String]): Option[StructType] =
+    unionSchemaOf(reps.map(rep => spark.read.parquet(rep).schema))
+
+  /** Same union over ALREADY-KNOWN per-dir schemas (r14: the manifest
+    * records them at commit, so planning does no footer IO). */
+  def unionSchemaOf(schemas: Seq[StructType]): Option[StructType] = {
     val fields = scala.collection.mutable.LinkedHashMap
       .empty[String, org.apache.spark.sql.types.DataType]
-    reps.foreach { rep =>
-      val s = spark.read.parquet(rep).schema
+    schemas.foreach { s =>
       for (fld <- s) fields.get(fld.name) match {
         case None => fields(fld.name) = fld.dataType
         case Some(dt) => if (dt != fld.dataType) return None

@@ -37,6 +37,51 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(top == Seq((30.0, 2L), (20.0, 3L)))
   }
 
+  test("sessionWithExtensions reflection seam: constructor resolves, SharedState " +
+      "shared, derived session routes FILTER+DISTINCT (r14 jar-bump pin)") {
+    // the 6-arg classic.SparkSession constructor is found REFLECTIVELY —
+    // a Spark upgrade that changes its arity must fail THIS spec at CI
+    // time, not a user session at runtime
+    val ctor = Class.forName("org.apache.spark.sql.classic.SparkSession")
+      .getDeclaredConstructors.find(_.getParameterCount == 6)
+    assert(ctor.isDefined,
+      "classic.SparkSession no longer has a 6-arg constructor — update " +
+        "GraftColumnBridge.sessionWithExtensions for this Spark version")
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val s2 = GraftColumnBridge.sessionWithExtensions(spark, ext)
+    // the derived session SHARES the parent's SharedState (same catalog,
+    // same cache manager) — a fresh builder session would not
+    assert(s2.sharedState eq spark.sharedState,
+      "derived session must share the parent's SharedState")
+    assert(s2.sparkContext eq spark.sparkContext)
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    // and it routes a FILTER+DISTINCT query through the analyzer-stage
+    // rule (the one seam late adoption cannot reach)
+    val work = java.nio.file.Files.createTempDirectory("swext").toString
+    val src = new graft.tables.SnapshotTable(s"$work/src")
+    src.write(spark, Seq((1, "a", "x"), (2, "a", "y"), (3, "b", "x"))
+      .toDF("k", "g", "v"))
+    GraftColumnBridge.graftSql(spark,
+      s"CREATE MATERIALIZED VIEW '$work/mv' ON '$work/src' KEYS (k) " +
+        "GROUP BY (g) AGG (count(*) AS n, count(distinct v) AS dv) " +
+        "INTO 4 BUCKETS").collect()
+    GraftColumnBridge.graftSql(spark,
+      s"REFRESH MATERIALIZED VIEW '$work/mv'").collect()
+    try {
+      new graft.tables.MaterializedAggView(s"$work/mv").registerRewrite(s2)
+      import org.apache.spark.sql.functions.{count, expr, lit}
+      val q = src.readIndexed(s2).groupBy("g")
+        .agg(count(lit(1)).as("n"),
+          expr("count(DISTINCT v) FILTER (WHERE g = 'a')").as("dva"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("__dval") && !plan.contains("/src/_v"),
+        s"the derived session must route FILTER+DISTINCT:\n$plan")
+      val got = q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set(("a", 2L, 2L), ("b", 1L, 0L)), got.toString)
+    } finally graft.plans.AggRollupRewrite.clear()
+  }
+
   test("AggRollupRewrite: a DIFFERENT table nested under a registered root never routes") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)

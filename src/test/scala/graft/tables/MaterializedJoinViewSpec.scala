@@ -458,4 +458,77 @@ class MaterializedJoinViewSpec extends AnyFunSuite {
     assert(got.keySet == Set("blue"), got.toString)
   }
 
+  test("derived dims over the joined row: maintained, moved by date flips, routed (r14)") {
+    val work = tmp("mvjd")
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    org.apache.spark.sql.GraftColumnBridge.applyExtensions(ext, spark)
+    def sql(q: String) = org.apache.spark.sql.GraftColumnBridge.graftSql(spark, q)
+    val fact = new SnapshotTable(s"$work/fact")
+    val dim = new BucketedSnapshotTable(s"$work/dim", 4, Seq("jk"))
+    def d(s: String) = java.sql.Date.valueOf(s)
+    fact.write(spark, Seq((1, 10L, d("2024-01-05"), 5L),
+      (2, 10L, d("2024-02-03"), 7L), (3, 20L, d("2024-01-20"), 11L))
+      .toDF("k", "jk", "dt", "x"))
+    dim.scd1Merge(spark, Seq((10L, 1L, "red"), (20L, 1L, "blue"))
+      .toDF("jk", "seq", "g"), "seq")
+    sql(s"CREATE MATERIALIZED JOIN VIEW '$work/mv' FACT '$work/fact' KEYS (k) " +
+      s"DIM '$work/dim' ON (jk) GROUP BY (g, month(dt) AS m) " +
+      "AGG (count(*) AS n, sum(x) AS sx) INTO 8 BUCKETS").collect()
+    sql(s"REFRESH MATERIALIZED JOIN VIEW '$work/mv'").collect()
+    val mv = new MaterializedJoinAggView(s"$work/mv")
+    // DESCRIBE round-trips the derived-dim DDL syntax
+    val desc = sql(s"DESCRIBE MATERIALIZED JOIN VIEW '$work/mv'").collect().head
+    assert(desc.getString(3) == "g,month(dt) AS m", desc.toString)
+    def recomputeD: Set[(String, Int, Long, Option[Long])] =
+      graft.cdc.ScdMerge.scd1Current(fact.read(spark))
+        .join(graft.cdc.ScdMerge.scd1Current(dim.read(spark)), Seq("jk"))
+        .groupBy(col("g"), month(col("dt")).as("m"))
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"))
+        .as[(String, Int, Long, Option[Long])].collect().toSet
+    def gotD: Set[(String, Int, Long, Option[Long])] =
+      mv.read(spark).as[(String, Int, Long, Option[Long])].collect().toSet
+    assert(gotD == recomputeD)
+    assert(gotD == Set(("red", 1, 1L, Some(5L)), ("red", 2, 1L, Some(7L)),
+      ("blue", 1, 1L, Some(11L))))
+    // a FACT date flip moves k=1 between derived month groups: the
+    // preimage-joined row retracts month 1, the postimage adds month 2
+    fact.write(spark, Seq((1, 10L, d("2024-02-07"), 5L),
+      (2, 10L, d("2024-02-03"), 7L), (3, 20L, d("2024-01-20"), 11L))
+      .toDF("k", "jk", "dt", "x"))
+    mv.refresh(spark)
+    assert(gotD == recomputeD)
+    assert(gotD == Set(("red", 2, 2L, Some(12L)), ("blue", 1, 1L, Some(11L))))
+    // a DIM attribute flip still moves every joined row between groups
+    // with the derived dim in the grain (leg 2 computes it identically)
+    dim.scd1Merge(spark, Seq((10L, 2L, "crimson")).toDF("jk", "seq", "g"), "seq")
+    mv.refresh(spark)
+    assert(gotD == recomputeD)
+    assert(gotD.exists(_._1 == "crimson") && !gotD.exists(_._1 == "red"))
+    try {
+      mv.registerRewrite(spark)
+      val base = fact.readIndexed(spark)
+        .join(graft.cdc.ScdMerge.scd1Current(dim.readIndexed(spark)), Seq("jk"))
+      val q = base.groupBy(col("g"), month(col("dt")).as("m"))
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("__sum_x") && !plan.contains("/fact/_v"),
+        s"GROUP BY month(dt) over the join must route:\n$plan")
+      assert(q.as[(String, Int, Long, Option[Long])].collect().toSet == recomputeD)
+      // WHERE over the derived expression routes as a dim filter
+      val qw = fact.readIndexed(spark).filter(month(col("dt")) === 2)
+        .join(graft.cdc.ScdMerge.scd1Current(dim.readIndexed(spark)), Seq("jk"))
+        .groupBy(col("g")).agg(sum("x").as("sx"))
+      val pw = qw.queryExecution.optimizedPlan.toString
+      assert(pw.contains("__sum_x") && !pw.contains("/fact/_v"),
+        s"WHERE month(dt) = 2 over the join must route:\n$pw")
+      assert(qw.as[(String, Option[Long])].collect().toSet ==
+        Set(("crimson", Some(12L))))
+      // refusal: a non-matching expression stays on the base
+      val qy = base.groupBy(year(col("dt")).as("y")).agg(count(lit(1)).as("n"))
+      assert(!qy.queryExecution.optimizedPlan.toString.contains("__cnt"),
+        "year(dt) must refuse — the join view maintains month(dt)")
+    } finally graft.plans.AggRollupRewrite.clear()
+  }
+
 }

@@ -363,4 +363,70 @@ class MaterializedStarViewSpec extends AnyFunSuite {
   private def rows0(mv: MaterializedStarAggView)
       : Set[(String, String, Option[Long])] =
     mv.read(spark).as[(String, String, Option[Long])].collect().toSet
+
+  test("derived dims over the star row: maintained through every leg, routed (r14)") {
+    val work = tmp("mvsd")
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    org.apache.spark.sql.GraftColumnBridge.applyExtensions(ext, spark)
+    def sql(q: String) = org.apache.spark.sql.GraftColumnBridge.graftSql(spark, q)
+    val fact = new SnapshotTable(s"$work/fact")
+    val d1 = new BucketedSnapshotTable(s"$work/d1", 4, Seq("jk1"))
+    val d2 = new BucketedSnapshotTable(s"$work/d2", 4, Seq("jk2"))
+    def d(s: String) = java.sql.Date.valueOf(s)
+    fact.write(spark, Seq((1, 10L, 100L, d("2024-01-05"), 5L),
+      (2, 10L, 200L, d("2024-02-03"), 7L), (3, 20L, 100L, d("2024-01-20"), 11L))
+      .toDF("k", "jk1", "jk2", "dt", "x"))
+    d1.scd1Merge(spark, Seq((10L, 1L, "red"), (20L, 1L, "blue"))
+      .toDF("jk1", "seq", "c"), "seq")
+    d2.scd1Merge(spark, Seq((100L, 1L, "eu"), (200L, 1L, "us"))
+      .toDF("jk2", "seq", "r"), "seq")
+    sql(s"CREATE MATERIALIZED STAR VIEW '$work/mv' FACT '$work/fact' KEYS (k) " +
+      s"DIM '$work/d1' ON (jk1) DIM '$work/d2' ON (jk2) " +
+      "GROUP BY (c, month(dt) AS m) AGG (count(*) AS n, sum(x) AS sx) " +
+      "INTO 8 BUCKETS").collect()
+    sql(s"REFRESH MATERIALIZED STAR VIEW '$work/mv'").collect()
+    val mv = new MaterializedStarAggView(s"$work/mv")
+    // DESCRIBE round-trips the derived-dim DDL syntax
+    val desc = sql(s"DESCRIBE MATERIALIZED STAR VIEW '$work/mv'").collect().head
+    assert(desc.getString(2) == "c,month(dt) AS m", desc.toString)
+    def recomputeD: Set[(String, Int, Long, Option[Long])] =
+      graft.cdc.ScdMerge.scd1Current(fact.read(spark))
+        .join(graft.cdc.ScdMerge.scd1Current(d1.read(spark)), Seq("jk1"))
+        .join(graft.cdc.ScdMerge.scd1Current(d2.read(spark)), Seq("jk2"))
+        .groupBy(col("c"), month(col("dt")).as("m"))
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"))
+        .as[(String, Int, Long, Option[Long])].collect().toSet
+    def gotD: Set[(String, Int, Long, Option[Long])] =
+      mv.read(spark).as[(String, Int, Long, Option[Long])].collect().toSet
+    assert(gotD == recomputeD)
+    // leg 0: a fact date flip moves k=1 between derived month groups
+    fact.write(spark, Seq((1, 10L, 100L, d("2024-02-07"), 5L),
+      (2, 10L, 200L, d("2024-02-03"), 7L), (3, 20L, 100L, d("2024-01-20"), 11L))
+      .toDF("k", "jk1", "jk2", "dt", "x"))
+    mv.refresh(spark)
+    assert(gotD == recomputeD)
+    assert(gotD == Set(("red", 2, 2L, Some(12L)), ("blue", 1, 1L, Some(11L))))
+    // a dim leg: every joined row moves groups, the derived dim rides
+    // the leg's fact-side date column identically
+    d1.scd1Merge(spark, Seq((10L, 2L, "crimson")).toDF("jk1", "seq", "c"), "seq")
+    mv.refresh(spark)
+    assert(gotD == recomputeD)
+    assert(gotD.exists(_._1 == "crimson") && !gotD.exists(_._1 == "red"))
+    try {
+      mv.registerRewrite(spark)
+      val base = fact.readIndexed(spark)
+        .join(graft.cdc.ScdMerge.scd1Current(d1.readIndexed(spark)), Seq("jk1"))
+        .join(graft.cdc.ScdMerge.scd1Current(d2.readIndexed(spark)), Seq("jk2"))
+      val q = base.groupBy(col("c"), month(col("dt")).as("m"))
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("__sum_x") && !plan.contains("/fact/_v"),
+        s"GROUP BY month(dt) over the star must route:\n$plan")
+      assert(q.as[(String, Int, Long, Option[Long])].collect().toSet == recomputeD)
+      val qy = base.groupBy(year(col("dt")).as("y")).agg(count(lit(1)).as("n"))
+      assert(!qy.queryExecution.optimizedPlan.toString.contains("__cnt"),
+        "year(dt) must refuse — the star view maintains month(dt)")
+    } finally graft.plans.AggRollupRewrite.clear()
+  }
 }

@@ -869,6 +869,66 @@ class MaterializedViewSpec extends AnyFunSuite {
     } finally graft.plans.AggRollupRewrite.clear()
   }
 
+  test("derived dims reject evaluation-clock and non-deterministic expressions (r14)") {
+    val work = tmp("mvdet")
+    val src = new SnapshotTable(s"$work/src")
+    src.write(spark, Seq((1, java.sql.Date.valueOf("2024-01-05"), 10L))
+      .toDF("k", "dt", "x"))
+    // a clock-dependent dim is Catalyst-deterministic but each refresh
+    // resolves it at a different instant — the preimage would no longer
+    // derive its insert's value and routed group state silently corrupts
+    sql(s"CREATE MATERIALIZED VIEW '$work/mv' ON '$work/src' KEYS (k) " +
+      "GROUP BY (datediff(current_date(), dt) AS age) AGG (count(*) AS n) " +
+      "INTO 4 BUCKETS").collect()
+    val e1 = intercept[IllegalArgumentException] {
+      new MaterializedAggView(s"$work/mv").refresh(spark)
+    }
+    assert(e1.getMessage.contains("evaluation clock"), e1.getMessage)
+    // a non-deterministic dim rejects with its own message
+    sql(s"CREATE MATERIALIZED VIEW '$work/mv2' ON '$work/src' KEYS (k) " +
+      "GROUP BY (CAST(rand() * 10 AS INT) AS b) AGG (count(*) AS n) " +
+      "INTO 4 BUCKETS").collect()
+    val e2 = intercept[IllegalArgumentException] {
+      new MaterializedAggView(s"$work/mv2").refresh(spark)
+    }
+    assert(e2.getMessage.contains("non-deterministic"), e2.getMessage)
+    // the JOIN/STAR kinds share the same guard at create→refresh
+    val dim = new BucketedSnapshotTable(s"$work/dim", 4, Seq("k"))
+    dim.scd1Merge(spark, Seq((1, 1L, "g")).toDF("k", "seq", "g"), "seq")
+    sql(s"CREATE MATERIALIZED JOIN VIEW '$work/mvj' FACT '$work/src' KEYS (k) " +
+      s"DIM '$work/dim' ON (k) GROUP BY (g, datediff(current_date(), dt) AS age) " +
+      "AGG (count(*) AS n) INTO 4 BUCKETS").collect()
+    val e3 = intercept[IllegalArgumentException] {
+      new MaterializedJoinAggView(s"$work/mvj").refresh(spark)
+    }
+    assert(e3.getMessage.contains("evaluation clock"), e3.getMessage)
+  }
+
+  test("GROUP BY item parsing: unaliased expressions reject at parse; last-AS split (r14)") {
+    val work = tmp("mvgpi")
+    val src = new SnapshotTable(s"$work/src")
+    src.write(spark, Seq((1, java.sql.Date.valueOf("2024-01-05"), 10L))
+      .toDF("k", "dt", "x"))
+    // an expression without an alias would otherwise become a groupBy
+    // column literally named "month(dt)" and fail bafflingly at REFRESH
+    val e = intercept[IllegalArgumentException] {
+      sql(s"CREATE MATERIALIZED VIEW '$work/mv' ON '$work/src' KEYS (k) " +
+        "GROUP BY (month(dt)) AGG (count(*) AS n) INTO 4 BUCKETS").collect()
+    }
+    assert(e.getMessage.contains("without an alias"), e.getMessage)
+    // ' AS ' inside the expression (a cast) must not confuse the alias
+    // split: the LAST top-level AS wins
+    sql(s"CREATE MATERIALIZED VIEW '$work/mv' ON '$work/src' KEYS (k) " +
+      "GROUP BY (CAST(x AS INT) AS b) AGG (count(*) AS n) INTO 4 BUCKETS")
+      .collect()
+    sql(s"REFRESH MATERIALIZED VIEW '$work/mv'").collect()
+    val got = new MaterializedAggView(s"$work/mv").read(spark)
+      .as[(Int, Long)].collect().toSet
+    assert(got == Set((10, 1L)), got.toString)
+    val desc = sql(s"DESCRIBE MATERIALIZED VIEW '$work/mv'").collect().head
+    assert(desc.getString(2) == "CAST(x AS INT) AS b", desc.toString)
+  }
+
   test("q335 pin: pair provider reads AS OF the provider's pinned txn " +
       "even when a refresh commits between the two reads (empty state)") {
     val work = tmp("mvpin")

@@ -507,4 +507,63 @@ class PruningReadSpec extends AnyFunSuite {
       "no recorded index columns -> no sidecars")
   }
 
+  test("planning metadata (r14): manifest-recorded schemas kill footer probes; " +
+      "listing memoized per version") {
+    val root = tmp("planmeta")
+    val t = new BucketedSnapshotTable(root, numBuckets = 8, keys = Seq("k"))
+    // several batch dirs, incl. an add-column evolution (same-type union)
+    t.scd1Merge(spark, (1 to 40).map(i => (i, 1L, i * 10L)).toDF("k", "seq", "x"),
+      "seq")
+    t.scd1Merge(spark, Seq((41, 2L, 410L)).toDF("k", "seq", "x"), "seq")
+    t.scd1Merge(spark, Seq((42, 3L, 420L, "tagged")).toDF("k", "seq", "x", "tag"),
+      "seq")
+    // every live dir has a schema line recorded at its commit
+    val header = t.manifestHeader(spark)
+    val schemaLines = header.keys.filter(_.startsWith("schema:")).toSeq
+    val liveDirs = t.manifest(spark).values.toSet
+    assert(liveDirs.forall(d => header.contains(s"schema:$d")),
+      s"every live dir needs a schema line: $schemaLines vs $liveDirs")
+    // planning twice: the SECOND call performs zero footer probes AND zero
+    // directory listings (memoized per (root, version, mtime))
+    t.readIndexed(spark).filter($"k" === 41).collect() // warm the memo
+    val probes0 = BucketedSnapshotTable.schemaProbes.get()
+    val lists0 = BucketedSnapshotTable.listingCalls.get()
+    val got = t.readIndexed(spark).filter($"k" === 41).select("x")
+      .as[Long].collect().toSeq
+    assert(got == Seq(410L))
+    assert(BucketedSnapshotTable.schemaProbes.get() == probes0,
+      "recorded schemas must make planning footer-free")
+    assert(BucketedSnapshotTable.listingCalls.get() == lists0,
+      "re-planning the same version must perform zero FS list calls")
+    // the union schema equals what the footer path would derive (tag
+    // null-fills on old dirs; first-seen types win)
+    val sc = t.readIndexed(spark).schema
+    assert(sc.fieldNames.contains("tag") && sc("x").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // a TYPE-evolved commit (int seq vs long) still plans footer-free off
+    // the recorded schemas, through the per-type-group branch
+    val root2 = tmp("planmeta2")
+    val t2 = new BucketedSnapshotTable(root2, 4, Seq("k"))
+    t2.scd1Merge(spark, (1 to 10).map(i => (i, 1, i * 10L)).toDF("k", "seq", "x"),
+      "seq")
+    t2.scd1Merge(spark, Seq((11, 2L, 110L)).toDF("k", "seq", "x"), "seq")
+    t2.readIndexed(spark).collect() // warm
+    val probes1 = BucketedSnapshotTable.schemaProbes.get()
+    assert(t2.readIndexed(spark).count() == 11)
+    assert(BucketedSnapshotTable.schemaProbes.get() == probes1,
+      "the type-group branch must use recorded schemas, not footer reads")
+    // schema lines for dirs a commit no longer references are DROPPED:
+    // rewrite every key so old dirs fall out of the manifest, then vacuum
+    (1 to 3).foreach { r =>
+      t2.scd1Merge(spark,
+        (1 to 11).map(i => (i, 10L + r, i * 100L)).toDF("k", "seq", "x"), "seq")
+    }
+    t2.vacuum(spark, keepVersions = 1)
+    val live2 = t2.manifest(spark).values.toSet
+    val stale = t2.manifestHeader(spark).keys
+      .filter(_.startsWith("schema:")).map(_.stripPrefix("schema:"))
+      .filterNot(live2.contains)
+    assert(stale.isEmpty, s"schema lines for dead dirs must drop: $stale")
+  }
+
 }
