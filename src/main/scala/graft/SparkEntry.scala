@@ -6057,6 +6057,88 @@ object SparkEntry {
       }
     }),
 
+    // ── DECLARATIVE PIPELINE AT DEPTH WITH INJECTED FAILURES (r14): the
+    //    DLT architecture claims "checkpointing, retries, lineage
+    //    out-of-the-box" (readme.md:121-122) — prove the ledger no-op
+    //    idempotency under BOTH failure shapes: a transient failure
+    //    between the table refresh and the view refresh heals by the
+    //    per-node retry inside the pass, and a hard mid-DAG abort heals
+    //    on the NEXT runOnce (table stage no-ops on its stream
+    //    checkpoint, the view folds the remaining window exactly once on
+    //    its ledger — never a double-fold).
+    "q343_pipeline_mv_depth" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("goldmvd").toString
+      withShufflePartitions(s, 8) {
+      val ext = new org.apache.spark.sql.SparkSessionExtensions
+      new graft.GraftExtensions().apply(ext)
+      org.apache.spark.sql.GraftColumnBridge.applyExtensions(ext, s)
+      val o = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey",
+        $"o_orderstatus".as("st"),
+        $"o_totalprice".cast("decimal(18,2)").as("price"), lit(1L).as("seq"))
+      // first silver window: two thirds of the orders
+      o.filter($"o_orderkey" % 3 =!= 0)
+        .write.mode("overwrite").parquet(s"$work/silver/orders")
+      val pipe = new graft.gold.GoldPipeline(s"$work/gold", s"$work/ck")
+        .declare(graft.gold.GoldTable(
+          name = "fact_orders", silverPath = s"$work/silver/orders",
+          keys = Seq("o_orderkey"), sequenceBy = "seq", scdType = 1))
+      graft.tables.MaterializedAggView.create(s, s"$work/mv",
+        s"$work/gold/fact_orders", sourceKeys = Seq("o_orderkey"),
+        groupBy = Seq("st"),
+        aggs = Seq(graft.tables.MaterializedAggView.Agg("count", None, "n"),
+          graft.tables.MaterializedAggView.Agg("count_distinct",
+            Some("o_custkey"), "dc"),
+          graft.tables.MaterializedAggView.Agg("sum", Some("price"), "rev")),
+        numBuckets = 16)
+      pipe.declareView(graft.gold.GoldView(
+        name = "mv_by_status", root = s"$work/mv",
+        dependsOn = Seq("fact_orders"), registerRewrite = true))
+      // pass 1: a TRANSIENT failure lands between the table refresh and
+      // the view refresh — the per-node retry converges within the pass
+      var transient = true
+      pipe.onNode = n => if (n == "mv_by_status" && transient) {
+        transient = false; sys.error("injected transient failure")
+      }
+      pipe.runOnce(s)
+      // silver ADVANCES (the remaining third, higher sequence)
+      o.filter($"o_orderkey" % 3 === 0).withColumn("seq", lit(2L))
+        .write.mode("append").parquet(s"$work/silver/orders")
+      // pass 2: retries exhausted — the pass ABORTS mid-DAG after the
+      // table merged this window but BEFORE the view folded it
+      pipe.onNode = n =>
+        if (n == "mv_by_status") sys.error("injected hard failure")
+      val died =
+        try { pipe.runOnce(s, maxRetries = 0); false }
+        catch { case _: RuntimeException => true }
+      require(died, "the injected failure must abort the pass")
+      // pass 3 (clean): the table stage no-ops on its checkpoint, the
+      // view folds the outstanding window EXACTLY once on its ledger
+      pipe.onNode = _ => ()
+      pipe.runOnce(s)
+      // pass 4 (idle): a pure no-op — no new view state version commits
+      val stateV = new graft.tables.BucketedSnapshotTable(
+        s"$work/mv/state", 16, Seq("st")).currentVersion(s)
+      pipe.runOnce(s)
+      require(new graft.tables.BucketedSnapshotTable(
+          s"$work/mv/state", 16, Seq("st")).currentVersion(s) == stateV,
+        "an idle pass must not commit view state")
+      try {
+        val gold = new graft.tables.SnapshotTable(s"$work/gold/fact_orders")
+        val q = gold.readIndexed(s).groupBy($"st")
+          .agg(count(lit(1)).as("n"), countDistinct($"o_custkey").as("dc"),
+            sum($"price").cast("double").as("rev"))
+          .orderBy($"st")
+        val plan = q.queryExecution.optimizedPlan.toString
+        require((plan.contains("__dc_") || plan.contains("__dval")) &&
+            !plan.contains("fact_orders/_v"),
+          s"the pipeline-maintained view must route the gold query:\n$plan")
+        val out = q.collect()
+        s.createDataFrame(s.sparkContext.parallelize(out.toSeq, 1), q.schema)
+      } finally graft.plans.AggRollupRewrite.clear()
+      }
+    }),
+
     // ── DERIVED DIMS FOR JOIN VIEWS (r14): the last routing asymmetry —
     //    `GROUP BY month(o_orderdate)` over a fact ⋈ dim re-scanned the
     //    base while the single-table case routed. The join view now
@@ -7934,6 +8016,15 @@ object SparkEntry {
       """SELECT o_orderpriority AS prio, count(*) AS n,
         |  count(DISTINCT o_custkey) AS dc
         |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin,
+
+    // the converged pipeline state (through a transient retry, a hard
+    // mid-DAG abort, a healing pass, and an idle pass) must equal a
+    // plain recompute over ALL the orders
+    "q343_pipeline_mv_depth" ->
+      """SELECT o_orderstatus AS st, count(*) AS n,
+        |  count(DISTINCT o_custkey) AS dc,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |FROM orders GROUP BY 1 ORDER BY st""".stripMargin,
 
     // the routed join answer must equal a full recompute of the final
     // fact ⋈ dim with the one shifted date applied

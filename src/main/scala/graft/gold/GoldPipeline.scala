@@ -115,13 +115,24 @@ final class GoldPipeline(goldDir: String, checkpointRoot: String) {
     * Retries: each node gets `maxRetries` fresh attempts (the stream
     * checkpoint / the view's exactly-once ledger make a retry resume,
     * not reprocess). */
+  /** Fault-injection seam for pipeline crash/retry gates: invoked with
+    * the node's name immediately before each run ATTEMPT (inside the
+    * retry wrapper) — a hook that throws simulates a failure landing
+    * between two nodes' refreshes; with retries exhausted the pass
+    * aborts mid-DAG, and the NEXT `runOnce` must converge through the
+    * stages' own idempotency (stream checkpoints / view ledgers). */
+  private[graft] var onNode: String => Unit = _ => ()
+
   def runOnce(spark: SparkSession, maxRetries: Int = 2): Unit = {
     topoOrder.foreach { node =>
       val name = node.fold(_.name, _.name)
       var attempt = 0
       var done = false
       while (!done) {
-        try { node.fold(runTable(spark, _), refreshView(spark, _)); done = true }
+        try {
+          onNode(name)
+          node.fold(runTable(spark, _), refreshView(spark, _)); done = true
+        }
         catch {
           case e: Exception if attempt < maxRetries =>
             attempt += 1
