@@ -183,8 +183,27 @@ private[graft] object PruningFileIndex {
     * like the manifest union read; None when two representatives DISAGREE
     * on a column's type — such evolved tables need the cast-aligned union
     * read, not a single-schema parquet relation (the caller falls back). */
+  /** Footer-schema memo for REPRESENTATIVE files: committed data files
+    * are immutable (vacuum deletes whole dirs, never rewrites bytes), so
+    * a rep's schema never changes — repeated planning over the same
+    * version dirs reads each footer ONCE per JVM, not once per call
+    * (the plain-table twin of the bucketed manifest-recorded schemas). */
+  private val repSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  private def repSchema(spark: SparkSession, rep: String): StructType = {
+    val hit = repSchemaCache.get(rep)
+    if (hit != null) hit
+    else {
+      val s = spark.read.parquet(rep).schema
+      if (repSchemaCache.size > 4096) repSchemaCache.clear() // crude bound
+      repSchemaCache.put(rep, s)
+      s
+    }
+  }
+
   def unionSchema(spark: SparkSession, reps: Seq[String]): Option[StructType] =
-    unionSchemaOf(reps.map(rep => spark.read.parquet(rep).schema))
+    unionSchemaOf(reps.map(repSchema(spark, _)))
 
   /** Same union over ALREADY-KNOWN per-dir schemas (r14: the manifest
     * records them at commit, so planning does no footer IO). */
