@@ -88,25 +88,85 @@ object Pca {
     // Keying the product join by id caps its parallelism at DISTINCT IDS —
     // fine for a corpus (n ≫ cores), a cliff for the few-vectors/large-d
     // shape (q312: n=3, d=4096 → 3 tasks each expanding 16.7M product
-    // rows). There, partition the left side BY ROW INDEX i and BROADCAST
-    // the (n·d-cell, model-sized) right side: d² parallelism, and every
-    // (i, j) group is complete WITHIN its i-partition, so the groupBy
-    // needs no exchange at all (HashPartitioning(i) satisfies
-    // ClusteredDistribution(i, j)) — the round-robin variant shuffled all
-    // n·d² product rows because a 3-rows-per-group partial agg combines
-    // nothing (measured 218 CPU-s vs 21 for this shape at q312). Integer
-    // sums are order-free, so the regrouping is bit-identical.
-    val centered =
-      if (n < par) centeredCells.repartition(par, col("i"))
-      else centeredCells.repartition(par, col("id"))
+    // rows). There, partition BY ROW INDEX i and run the outer product as
+    // a PRIMITIVE KERNEL per i-partition against the broadcast model-sized
+    // cell relation (r14 opt, guide §1.2 "per-task work"): the former
+    // broadcast-join + hash-aggregate form materialized all n·d² product
+    // rows as UnsafeRows through a 524k-groups-per-partition hash map
+    // (measured 72+ CPU-s for n=3, d=4096); the kernel runs the same
+    // quantize-12 / split-sum / ÷n / quantize-9 arithmetic on long arrays
+    // (every (i, j) group is complete within its i-partition — the same
+    // no-exchange property the join form exploited). Integer sums are
+    // order-free, so the regrouping is bit-identical.
+    if (n < par) return covarianceFewVectors(centeredCells, n, par)
+    val centered = centeredCells.repartition(par, col("id"))
     val right = centered.select(col("id"), col("i").as("i2"), col("cx").as("cx2"))
     centered.select(col("id"), col("i").as("i1"), col("cx").as("cx1"))
-      .join(if (n < par) broadcast(right) else right, Seq("id"))
+      .join(right, Seq("id"))
       .select(col("i1").as("i"), col("i2").as("j"),
         quantize_fixed(col("cx1") * col("cx2"), 12).as("t"))
       .groupBy(col("i"), col("j"))
       .agg(fixed_to_decimal(
         quantize_fixed(sum_fixed(col("t"), 12) / n, 9), 18, 9).as("c"))
+  }
+
+  /** The few-vectors/large-d covariance kernel: one primitive outer-product
+    * pass per i-partition. Arithmetic is the join form's, step for step —
+    * tₖ = quantize₁₂(cx1·cx2) per id k, Σtₖ as the 26-bit split sums
+    * (`sum_fixed`'s exact order-free contract, overflow envelope included),
+    * reconstructed via [[FixedPointMath.total]], ÷n in IEEE double, then
+    * quantize₉ into a long-backed decimal — so results are bit-identical
+    * to the corpus branch and to the SQL-oracle replay. The right side
+    * (n·d cells, n < cores) is model-sized by the branch condition — the
+    * same relation the join form broadcast. */
+  private def covarianceFewVectors(centeredCells: DataFrame, n: Long,
+      par: Int): DataFrame = {
+    val spark = centeredCells.sparkSession
+    import spark.implicits._
+    val cells = centeredCells.select(col("id"), col("i"), col("cx")).collect()
+    // per-id present positions + values (ids are caller-typed: key on Any)
+    val byId = new scala.collection.mutable.HashMap[Any, (scala.collection.mutable.ArrayBuilder.ofInt, scala.collection.mutable.ArrayBuilder.ofDouble)]
+    cells.foreach { r =>
+      val (jb, cb) = byId.getOrElseUpdate(r.get(0),
+        (new scala.collection.mutable.ArrayBuilder.ofInt,
+          new scala.collection.mutable.ArrayBuilder.ofDouble))
+      jb += r.getInt(1); cb += r.getDouble(2)
+    }
+    val rights: Map[Any, (Array[Int], Array[Double])] =
+      byId.iterator.map { case (k, (jb, cb)) => k -> (jb.result(), cb.result()) }.toMap
+    val dDim = if (cells.isEmpty) 0 else cells.iterator.map(_.getInt(1)).max + 1
+    val bcR = spark.sparkContext.broadcast(rights)
+    val nD = n.toDouble
+    val grid = centeredCells.repartition(par, col("i"))
+      .select(col("id"), col("i"), col("cx")).rdd
+      .mapPartitions { it =>
+        val acc = new scala.collection.mutable.HashMap[Int, (Array[Long], Array[Long], Array[Boolean])]
+        it.foreach { row =>
+          val rs = bcR.value.get(row.get(0))
+          if (rs.isDefined) {
+            val (js, cxs) = rs.get
+            val i1 = row.getInt(1); val cx1 = row.getDouble(2)
+            val (hi, lo, has) = acc.getOrElseUpdate(i1,
+              (new Array[Long](dDim), new Array[Long](dDim), new Array[Boolean](dDim)))
+            var k = 0
+            while (k < js.length) {
+              val t = FixedPointMath.quantize(cx1 * cxs(k), 12)
+              val j = js(k)
+              hi(j) += (t >> 26)
+              lo(j) += (t & ((1L << 26) - 1))
+              has(j) = true
+              k += 1
+            }
+          }
+        }
+        acc.iterator.flatMap { case (i1, (hi, lo, has)) =>
+          (0 until dDim).iterator.filter(has).map { j =>
+            (i1, j, FixedPointMath.quantize(FixedPointMath.total(hi(j), lo(j), 12) / nD, 9))
+          }
+        }
+      }
+    grid.toDF("i", "j", "c9")
+      .select(col("i"), col("j"), fixed_to_decimal(col("c9"), 18, 9).as("c"))
   }
 
   /** Top eigenpair of the covariance by `iters` power-iteration rounds
@@ -175,37 +235,112 @@ object Pca {
     * Arithmetic replicates [[topComponent]]'s quantization points exactly
     * — 12-dp product terms, order-free exact sums, 9-dp iterates, 6-dp
     * eigenvalue, IEEE sqrt — so small-d results are bit-identical to the
-    * local path (pinned by AnalyticsOpsSpec) and to the SQL oracle's
-    * unrolled rounds. The iterate is localCheckpointed per round: it
-    * feeds both its normalizer and the next matvec, so un-pinned lineage
-    * would double per round (the TextRank/Graph rule).
+    * local path (pinned by LlmOpsSpec) and to the SQL oracle's unrolled
+    * rounds. The covariance is iteration-invariant: it is packed once into
+    * per-partition primitive arrays and persisted, and each round runs as
+    * a primitive split-sum pass over the packed form (the iterate and the
+    * per-partition partials are O(d); the d² matrix never leaves the
+    * executors).
     */
   def topComponentDistributed(spark: SparkSession, cov: DataFrame, d: Int,
       iters: Int = 10): DataFrame = {
-    val covD = cov.select(col("i"), col("j"), col("c").cast("double").as("c"))
-      .localCheckpoint() // iteration-invariant: scan once, reuse per round
-    var v = spark.range(d).select(col("id").cast("int").as("j"),
-      round(lit(1.0) / sqrt(lit(d.toDouble)), 9).as("vj"))
-      .localCheckpoint()
-    var nrm = 0.0
-    for (_ <- 1 to iters) {
-      // pin w too: its two consumers (normalizer, next iterate) must not
-      // each re-run the matvec join
-      val w = covD.join(broadcast(v), Seq("j"))
-        .select(col("i"), quantize_fixed(col("c") * col("vj"), 12).as("t"))
-        .groupBy(col("i"))
-        .agg(sum_fixed(col("t"), 12).as("wi"))
-        .localCheckpoint()
-      // the normalizer is ONE scalar — a model-sized driver read per round
-      nrm = math.sqrt(w
-        .select(quantize_fixed(col("wi") * col("wi"), 12).as("s"))
-        .agg(sum_fixed(col("s"), 12)).head().getDouble(0))
-      v = w.select(col("i").as("j"), round(col("wi") / nrm, 9).as("vj"))
-        .localCheckpoint()
-    }
-    val eig = FixedPointMath.roundExact(nrm, 6)
-    v.select(col("j").as("i"), col("vj").as("loading"),
-      lit(eig).as("eigenvalue"))
+    import spark.implicits._
+    // r14 opt (guide §1.2 "per-task work"): the former per-round
+    // broadcast-join + aggregate scanned the d²-row checkpointed relation
+    // through the full UnsafeRow/codegen stack every round (~35 CPU-s for
+    // 5 rounds at d=4096). The relation is iteration-invariant, so pack it
+    // ONCE into per-partition primitive arrays, persist those, and run each
+    // matvec as a tight long-split-sum loop — identical arithmetic
+    // (quantize-12 terms, `sum_fixed`'s exact 26-bit split sums with the
+    // same overflow envelope, round-9 iterates), so results stay
+    // bit-identical to the local path and the SQL oracle. Per-task scratch
+    // is O(d) — the same order as the broadcast iterate was — and only
+    // per-partition present-i partials (O(d) each) reach the driver, never
+    // the d² matrix.
+    val packed = cov.select(col("i"), col("j"), col("c").cast("double").as("c"))
+      .as[(Int, Int, Double)].rdd
+      .mapPartitions { it =>
+        val ib = new scala.collection.mutable.ArrayBuilder.ofInt
+        val jb = new scala.collection.mutable.ArrayBuilder.ofInt
+        val cb = new scala.collection.mutable.ArrayBuilder.ofDouble
+        it.foreach { r => ib += r._1; jb += r._2; cb += r._3 }
+        Iterator.single((ib.result(), jb.result(), cb.result()))
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val loMask = (1L << 26) - 1
+      var vArr = Array.fill(d)(FixedPointMath.roundExact(1.0 / math.sqrt(d.toDouble), 9))
+      var vHas = Array.fill(d)(true)
+      var nrm = 0.0
+      for (_ <- 1 to iters) {
+        val bcV = spark.sparkContext.broadcast((vArr, vHas))
+        // an i receives an iterate iff some (i, j ∈ v) entry exists — the
+        // inner matvec join's semantics, sparse/banded covariances included
+        val partials = packed.mapPartitions { it =>
+          val (va, vh) = bcV.value
+          val hi = new Array[Long](d); val lo = new Array[Long](d)
+          val has = new Array[Boolean](d)
+          it.foreach { case (is, js, cs) =>
+            var k = 0
+            while (k < is.length) {
+              val j = js(k)
+              if (vh(j)) {
+                val t = FixedPointMath.quantize(cs(k) * va(j), 12)
+                val i = is(k)
+                hi(i) += (t >> 26)
+                lo(i) += (t & loMask)
+                has(i) = true
+              }
+              k += 1
+            }
+          }
+          val idx = new scala.collection.mutable.ArrayBuilder.ofInt
+          val hs = new scala.collection.mutable.ArrayBuilder.ofLong
+          val ls = new scala.collection.mutable.ArrayBuilder.ofLong
+          var i = 0
+          while (i < d) {
+            if (has(i)) { idx += i; hs += hi(i); ls += lo(i) }
+            i += 1
+          }
+          Iterator.single((idx.result(), hs.result(), ls.result()))
+        }.collect()
+        bcV.destroy()
+        val hiS = new Array[Long](d); val loS = new Array[Long](d)
+        val has = new Array[Boolean](d)
+        partials.foreach { case (idx, hs, ls) =>
+          var k = 0
+          while (k < idx.length) {
+            val i = idx(k); hiS(i) += hs(k); loS(i) += ls(k); has(i) = true
+            k += 1
+          }
+        }
+        // wᵢ → normalizer → next iterate, replicating the per-round SQL
+        // exactly: split-sum total → double, quantize(wᵢ², 12) split-summed
+        // over present rows, round(wᵢ/‖w‖, 9)
+        val w = new Array[Double](d)
+        var n2hi = 0L; var n2lo = 0L
+        var i = 0
+        while (i < d) {
+          if (has(i)) {
+            val wi = FixedPointMath.total(hiS(i), loS(i), 12)
+            w(i) = wi
+            val t = FixedPointMath.quantize(wi * wi, 12)
+            n2hi += (t >> 26); n2lo += (t & loMask)
+          }
+          i += 1
+        }
+        nrm = math.sqrt(FixedPointMath.total(n2hi, n2lo, 12))
+        val nv = new Array[Double](d)
+        i = 0
+        while (i < d) {
+          if (has(i)) nv(i) = FixedPointMath.roundExact(w(i) / nrm, 9)
+          i += 1
+        }
+        vArr = nv; vHas = has
+      }
+      val eig = FixedPointMath.roundExact(nrm, 6)
+      (0 until d).filter(vHas).map(i => (i, vArr(i), eig))
+        .toDF("i", "loading", "eigenvalue")
+    } finally packed.unpersist(blocking = false)
   }
 
   /** Top-k eigenpairs via DEFLATION: extract the top component, subtract
