@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame, functions => F}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 
 /** Exact substring-level duplication detection — the suffix-array-style
   * dedup signal ("this exact span of ≥L characters also occurs elsewhere
@@ -177,36 +178,59 @@ object SubstringDedup {
     * `(id, chunk_idx, chunk)` — chunk_idx 1-based in doc order. */
   def contentDefinedChunks(docs: DataFrame, idCol: String, textCol: String,
       w: Int = 8, divisor: Int = 64): DataFrame = {
-    val M = lit(1000000007L)
-    // STAGE the char array and cut list as columns between selects: an
-    // expression referenced inside a HOF lambda is re-evaluated per lambda
-    // call, so an inline split(text) inside the per-position fold would
-    // re-split the whole string O(n·w) times — O(n²·w) char work per doc
-    // (measured: hung the sf0.1 bench). An attribute reference is a
-    // pointer fetch; staging restores the intended O(n·w).
-    val staged = docs.select(col(idCol).as("id"), col(textCol).as("__t"),
-      split(col(textCol), "").as("__chars"), length(col(textCol)).as("__n"))
-    // cut positions: window END offsets i ∈ [w, n] whose hash divides
-    val pos = when(col("__n") < w, array().cast("array<int>"))
-      .otherwise(sequence(lit(w), col("__n")))
-    // the w-step fold is UNROLLED into a static expression tree: an inner
-    // aggregate() HOF would pay sequence materialization + lambda dispatch
-    // per step per position (interpreted), ~2× the whole operator's cost
-    val cutsExpr = filter(pos, i =>
-      pmod((1 to w).foldLeft(lit(0L): Column)((acc, k) =>
-        pmod(acc * lit(257L) + ascii(element_at(col("__chars"), i - w + k)), M)),
-        lit(divisor.toLong)) === 0)
-    val cut = staged.select(col("id"), col("__t"), col("__n"), cutsExpr.as("__cuts"))
-    // chunk k spans (prev cut + 1) .. cut; a trailing remainder after the
-    // last cut is its own chunk (empty remainder drops out)
-    val starts = concat(array(lit(1)), transform(col("__cuts"), c => c + 1))
-    val ends = concat(col("__cuts"), array(col("__n")))
-    val chunks = filter(
-      zip_with(starts, ends, (s, e) =>
-        when(e >= s, col("__t").substr(s, e - s + lit(1)))),
-      c => c.isNotNull)
-    cut.select(col("id"), posexplode(chunks).as(Seq("ci", "chunk")))
-      .select(col("id"), (col("ci") + 1).as("chunk_idx"), col("chunk"))
+    // r14 opt (guide §1.2 "per-task work"): the boundary scan is a
+    // PRIMITIVE per-partition kernel. The former Column-expression form
+    // (split → per-position unrolled w-step fold over element_at/ascii)
+    // allocated a 1-char string per character access and re-hashed every
+    // window from scratch through codegen'd expression dispatch — measured
+    // 183 CPU-s for q257 at sf0.1, >95% of the operator. The kernel runs
+    // the identical integer fold (B=257, M=1e9+7, window end offsets
+    // i ∈ [w, n]) over a code-point array — same cuts, same chunks, byte
+    // for byte (Spark's split/substr/length/ascii are all code-point
+    // based, as is the DuckDB oracle replay). Still row-local: no
+    // exchange, no window operator, chunk rows stream out per doc.
+    val spark = docs.sparkSession
+    val in = docs.select(col(idCol).as("id"), col(textCol).cast("string").as("__t"))
+    val schema = StructType(Seq(
+      in.schema("id"),
+      StructField("chunk_idx", IntegerType, nullable = false),
+      StructField("chunk", StringType, nullable = true)))
+    val M = 1000000007L
+    val div = divisor.toLong
+    val rdd = in.rdd.mapPartitions { it =>
+      it.flatMap { row =>
+        val t = if (row.isNullAt(1)) null else row.getString(1)
+        if (t == null || t.isEmpty) Iterator.empty
+        else {
+          val cps = t.codePoints().toArray
+          val n = cps.length
+          val cuts = new scala.collection.mutable.ArrayBuffer[Int]
+          if (n >= w) {
+            var i = w // 1-based window END offset, window = cps[i-w .. i-1]
+            while (i <= n) {
+              var h = 0L
+              var k = i - w
+              while (k < i) { h = (h * 257L + cps(k)) % M; k += 1 }
+              if (h % div == 0L) cuts += i
+              i += 1
+            }
+          }
+          val id = row.get(0)
+          val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]
+          var prev = 0 // 0-based exclusive chunk start
+          var idx = 0
+          (cuts :+ n).foreach { e =>
+            if (e > prev) { // the empty trailing remainder drops out
+              idx += 1
+              out += org.apache.spark.sql.Row(id, idx, new String(cps, prev, e - prev))
+            }
+            prev = e
+          }
+          out.iterator
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
   }
 
   /** Per-doc CDC dedup report: a chunk occurring in more than

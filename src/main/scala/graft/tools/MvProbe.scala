@@ -14,12 +14,30 @@ object MvProbe {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_MVPROBE_AQE", "true"))
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_MVPROBE_SMJ", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+    // per-job timing: which of the ~dozens of jobs inside a refresh carry
+    // the wall time (enable with SPARK_GRAFT_MVPROBE_JOBS=1)
+    if (sys.env.get("SPARK_GRAFT_MVPROBE_JOBS").contains("1")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val run = si.taskMetrics.executorRunTime / 1e3
+          val cpu = si.taskMetrics.executorCpuTime / 1e9
+          if (run > 0.2)
+            println(f"[stage] ${si.stageId}%4d run $run%7.2f s cpu $cpu%7.2f s  tasks ${si.numTasks}%3d  ${si.name.take(90)}")
+        }
+      })
+    }
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     def time[T](name: String)(f: => T): T = {

@@ -439,13 +439,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"NB scoring degenerated to a cartesian:\n${plan.take(3000)}")
   }
 
-  test("q257: CDC chunk build is row-local (no window/exchange before the explode)") {
+  test("q257: CDC chunk build is row-local (no window/exchange before the chunk rows)") {
     val df = graft.llm.SubstringDedup.contentDefinedChunks(
       graft.tables.Tables.documents(spark, dir), "doc_id", "text", 8, 32)
     val plan = df.queryExecution.executedPlan.toString
-    // everything up to the chunk relation is per-row HOF work: the plan
-    // must contain a Generate (posexplode) but no Exchange and no Window
-    assert(plan.contains("Generate"), s"no explode found:\n${plan.take(2000)}")
+    // everything up to the chunk relation is per-row kernel work (r14: a
+    // primitive per-partition pass replaced the HOF expression tree): the
+    // plan must stream the kernel rows with no Exchange and no Window
+    assert(plan.contains("ExistingRDD"), s"no kernel scan found:\n${plan.take(2000)}")
     assert(!plan.contains("Exchange") && !plan.contains("Window"),
       s"chunk construction shuffles:\n${plan.take(3000)}")
   }
