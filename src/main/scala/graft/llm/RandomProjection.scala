@@ -48,17 +48,81 @@ object RandomProjection {
   /** Project `vecCol` (array of numerics) to `dOut` dims:
     * y[jo] = Σ_ji round(x[ji], 6) · sign(ji, jo) / √dOut.
     * Returns (`idCol`, y: array<double>). */
+  /** [[mix]]/[[radSign]] on primitive longs — operation-for-operation the
+    * Column form (wraparound long multiply, floorMod 2³², arithmetic
+    * shifts), so kernel signs equal expression signs exactly. */
+  private def radSignLocal(jIn: Long, jOut: Long, dOut: Int): Int = {
+    val m32 = 4294967296L
+    def round(h: Long): Long = {
+      val p = java.lang.Math.floorMod(h * 73244475L, m32)
+      p ^ (p >> 16)
+    }
+    val k = jIn * dOut + jOut + 1L
+    if (java.lang.Math.floorMod(round(round(k ^ (k >> 16))), 2L) == 0L) 1 else -1
+  }
+
   def project(df: DataFrame, idCol: String, vecCol: String, dOut: Int): DataFrame = {
-    val vec = transform(col(vecCol), _.cast("double"))
+    // r14 opt (guide §1.2 "per-task work"): the projection used to run as
+    // dOut interpreted aggregate() HOFs per row, each folding the vector
+    // through DECIMAL(38,6) accumulation — ~dIn·dOut BigDecimal
+    // allocations per row through lambda dispatch (the dominant cost of
+    // q255). The kernel computes the identical values on long numerators:
+    // round(x, 6) is FixedPointMath.quantize (exact HALF_UP), the ±1 sums
+    // are exact integer adds (order-free), and the DECIMAL(38,6)→double
+    // cast is the correctly-rounded toDouble — bit-identical output,
+    // still row-local (no shuffle, no broadcast state).
+    val spark = df.sparkSession
+    val in = df.select(col(idCol),
+      transform(col(vecCol), _.cast("double")).as("__v"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      in.schema(idCol),
+      org.apache.spark.sql.types.StructField("y",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = true))))
     val scale = math.sqrt(dOut.toDouble)
-    val y = transform(sequence(lit(0), lit(dOut - 1)), jo =>
-      aggregate(
-        zip_with(vec, sequence(lit(0), size(col(vecCol)) - 1),
-          (x, ji) => round(x, 6).cast(DecimalType(20, 6)) *
-            radSign(ji, jo, dOut).cast(DecimalType(2, 0))),
-        lit(BigDecimal(0)).cast(DecimalType(38, 6)),
-        (acc, el) => acc + el
-      ).cast("double") / lit(scale))
-    df.select(col(idCol), y.as("y"))
+    val rdd = in.rdd.mapPartitions { it =>
+      // sign matrix cache, grown to the longest vector seen in the task
+      var signs: Array[Array[Int]] = Array.empty // [ji][jo]
+      it.map { row =>
+        // a NULL vector column yields an array of dOut nulls (the
+        // expression form's aggregate-over-null per output slot)
+        if (row.isNullAt(1))
+          org.apache.spark.sql.Row(row.get(0),
+            Seq.fill[Any](dOut)(null))
+        else {
+          val xs = row.getSeq[Any](1)
+          val dIn = xs.length
+          if (dIn > signs.length)
+            signs = Array.tabulate(dIn, dOut)((ji, jo) =>
+              radSignLocal(ji.toLong, jo.toLong, dOut))
+          // a null element nulls every output (each y[jo] folds all ji) —
+          // the aggregate() form's null propagation
+          val anyNull = xs.exists(_ == null)
+          val y = new Array[Any](dOut)
+          if (!anyNull) {
+            val q = new Array[Long](dIn)
+            var ji = 0
+            xs.foreach { x =>
+              q(ji) = graft.functions.FixedPointMath.quantize(
+                x.asInstanceOf[Double], 6)
+              ji += 1
+            }
+            var jo = 0
+            while (jo < dOut) {
+              var s = 0L
+              ji = 0
+              while (ji < dIn) {
+                if (signs(ji)(jo) > 0) s += q(ji) else s -= q(ji)
+                ji += 1
+              }
+              y(jo) = graft.functions.FixedPointMath.toDouble(s, 6) / scale
+              jo += 1
+            }
+          }
+          org.apache.spark.sql.Row(row.get(0), y.toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
   }
 }

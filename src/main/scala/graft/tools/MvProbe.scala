@@ -54,7 +54,7 @@ object MvProbe {
       println(s"=== round $probeRound ===")
       val work = java.nio.file.Files.createTempDirectory("mvprobe").toString
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_MVPROBE_INNER", "8"))
       try {
         val sqlRun = (q: String) => org.apache.spark.sql.GraftColumnBridge.graftSql(spark, q)
         val fact = new graft.tables.SnapshotTable(s"$work/fact")
