@@ -5660,6 +5660,7 @@ object SparkEntry {
         .groupBy($"o_orderkey", $"l_linenumber")
         .agg(min($"l_partkey").as("p_partkey"),
           sum($"q0").cast("decimal(18,2)").as("qty"))
+        .localCheckpoint() // pinned (r14 opt): heads + each fact.write re-ran the 600k-row fixture aggregation otherwise
       fact.write(s, l0)
       d1.scd1Merge(s, Tables.orders(s, dir)
         .select($"o_orderkey", $"o_orderpriority".as("prio"))
@@ -5727,6 +5728,7 @@ object SparkEntry {
         .groupBy($"o_orderkey", $"l_linenumber")
         .agg(min($"l_partkey").as("p_partkey"),
           sum($"q0").cast("decimal(18,2)").as("qty"))
+        .localCheckpoint() // pinned (r14 opt): heads + each fact.write re-ran the 600k-row fixture aggregation otherwise
       val k1 = l0.agg(min($"o_orderkey")).as[Long].head()
       val k2 = l0.filter($"o_orderkey" > k1).agg(min($"o_orderkey")).as[Long].head()
       val pk = Tables.lineitem(s, dir).agg(min($"l_partkey")).as[Long].head()
@@ -6242,6 +6244,7 @@ object SparkEntry {
         .agg(min($"l_partkey").as("p_partkey"),
           sum($"q0").cast("decimal(18,2)").as("qty"),
           min($"l_shipdate").as("sd"))
+        .localCheckpoint() // pinned (r14 opt): heads + each fact.write re-ran the 600k-row fixture aggregation otherwise
       fact.write(s, l0)
       d1.scd1Merge(s, Tables.orders(s, dir)
         .select($"o_orderkey", $"o_orderpriority".as("prio"))
@@ -6469,6 +6472,7 @@ object SparkEntry {
           $"l_partkey", $"l_suppkey")
         .groupBy($"o_orderkey", $"l_linenumber")
         .agg(min($"l_partkey").as("p_partkey"), max($"l_suppkey").as("supp"))
+        .localCheckpoint() // pinned (r14 opt): heads + each fact.write re-ran the 600k-row fixture aggregation otherwise
       val (k1, k3) = l0.agg(min($"o_orderkey"), max($"o_orderkey")).as[(Long, Long)].head()
       val pk = Tables.lineitem(s, dir).agg(min($"l_partkey")).as[Long].head()
       fact.write(s, l0)
@@ -6533,6 +6537,7 @@ object SparkEntry {
           $"l_quantity".cast("decimal(18,2)").as("q0"))
         .groupBy($"o_orderkey", $"l_linenumber")
         .agg(sum($"q0").cast("decimal(18,2)").as("qty"))
+        .localCheckpoint() // pinned (r14 opt): heads + each fact.write re-ran the 600k-row fixture aggregation otherwise
       fact.write(s, l0)
       dim.scd1Merge(s, Tables.orders(s, dir)
         .select($"o_orderkey", $"o_orderpriority".as("prio"))
@@ -6596,6 +6601,7 @@ object SparkEntry {
           $"l_quantity".cast("decimal(18,2)").as("q0"))
         .groupBy($"o_orderkey", $"l_linenumber")
         .agg(sum($"q0").cast("decimal(18,2)").as("qty"))
+        .localCheckpoint() // pinned (r14 opt): heads + each fact.write re-ran the 600k-row fixture aggregation otherwise
       val keys = l0.agg(min($"o_orderkey"), max($"o_orderkey")).as[(Long, Long)].head()
       val (k1, k3) = keys
       val k2 = l0.filter($"o_orderkey" > k1).agg(min($"o_orderkey")).as[Long].head()
@@ -6848,6 +6854,7 @@ object SparkEntry {
         .select($"l_orderkey".as("o_orderkey"), $"l_linenumber", $"l_suppkey")
         .groupBy($"o_orderkey", $"l_linenumber")
         .agg(max($"l_suppkey").as("supp"))
+        .localCheckpoint() // pinned (r14 opt): heads + each fact.write re-ran the 600k-row fixture aggregation otherwise
       val (k1, k3) = l0.agg(min($"o_orderkey"), max($"o_orderkey")).as[(Long, Long)].head()
       fact.write(s, l0)
       dim.scd1Merge(s, Tables.orders(s, dir)
