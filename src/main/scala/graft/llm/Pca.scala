@@ -123,6 +123,25 @@ object Pca {
       par: Int): DataFrame = {
     val spark = centeredCells.sparkSession
     import spark.implicits._
+    val grid = fewVectorsPacked(centeredCells, n, par).flatMap {
+      case (is, js, c9s) => Iterator.tabulate(is.length)(k => (is(k), js(k), c9s(k)))
+    }
+    grid.toDF("i", "j", "c9")
+      .select(col("i"), col("j"), fixed_to_decimal(col("c9"), 18, 9).as("c"))
+  }
+
+  /** The few-vectors kernel's raw output: per-partition PACKED primitive
+    * arrays of (i, j, 9-dp numerator) — the covariance rows whose i's hash
+    * to that partition, exactly [[covarianceFewVectors]]'s values. Exists
+    * so the distributed power iteration can consume the kernel output
+    * DIRECTLY ([[topComponentDistributedPacked]]), skipping the
+    * tuple→DataFrame→array round-trip over the d² grid between the two
+    * (r14 opt: measured neutral at d=4096 — the codegen'd round-trip is
+    * ~1–2 CPU-s there — but it is one full pass over the grid, and the
+    * saving grows with d²). */
+  private def fewVectorsPacked(centeredCells: DataFrame, n: Long, par: Int)
+      : org.apache.spark.rdd.RDD[(Array[Int], Array[Int], Array[Long])] = {
+    val spark = centeredCells.sparkSession
     val cells = centeredCells.select(col("id"), col("i"), col("cx")).collect()
     // per-id present positions + values (ids are caller-typed: key on Any)
     val byId = new scala.collection.mutable.HashMap[Any, (scala.collection.mutable.ArrayBuilder.ofInt, scala.collection.mutable.ArrayBuilder.ofDouble)]
@@ -137,7 +156,7 @@ object Pca {
     val dDim = if (cells.isEmpty) 0 else cells.iterator.map(_.getInt(1)).max + 1
     val bcR = spark.sparkContext.broadcast(rights)
     val nD = n.toDouble
-    val grid = centeredCells.repartition(par, col("i"))
+    centeredCells.repartition(par, col("i"))
       .select(col("id"), col("i"), col("cx")).rdd
       .mapPartitions { it =>
         val acc = new scala.collection.mutable.HashMap[Int, (Array[Long], Array[Long], Array[Boolean])]
@@ -159,14 +178,21 @@ object Pca {
             }
           }
         }
-        acc.iterator.flatMap { case (i1, (hi, lo, has)) =>
-          (0 until dDim).iterator.filter(has).map { j =>
-            (i1, j, FixedPointMath.quantize(FixedPointMath.total(hi(j), lo(j), 12) / nD, 9))
+        val ib = new scala.collection.mutable.ArrayBuilder.ofInt
+        val jb = new scala.collection.mutable.ArrayBuilder.ofInt
+        val cb = new scala.collection.mutable.ArrayBuilder.ofLong
+        acc.foreach { case (i1, (hi, lo, has)) =>
+          var j = 0
+          while (j < dDim) {
+            if (has(j)) {
+              ib += i1; jb += j
+              cb += FixedPointMath.quantize(FixedPointMath.total(hi(j), lo(j), 12) / nD, 9)
+            }
+            j += 1
           }
         }
+        Iterator.single((ib.result(), jb.result(), cb.result()))
       }
-    grid.toDF("i", "j", "c9")
-      .select(col("i"), col("j"), fixed_to_decimal(col("c9"), 18, 9).as("c"))
   }
 
   /** Top eigenpair of the covariance by `iters` power-iteration rounds
@@ -265,7 +291,23 @@ object Pca {
         val cb = new scala.collection.mutable.ArrayBuilder.ofDouble
         it.foreach { r => ib += r._1; jb += r._2; cb += r._3 }
         Iterator.single((ib.result(), jb.result(), cb.result()))
-      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+    topComponentDistributedPacked(spark, packed, d, iters)
+  }
+
+  /** [[topComponentDistributed]] over an ALREADY-PACKED covariance — the
+    * fused few-vectors path ([[debiasReport]]) hands the kernel output
+    * straight in, skipping the d²-row DataFrame materialization. `c`
+    * doubles must equal the DataFrame form's `c.cast("double")` (the
+    * caller converts 9-dp numerators via [[FixedPointMath.toDouble]],
+    * correctly rounded ≡ Decimal(18,9)→double), so results stay
+    * bit-identical across both entries. */
+  private[llm] def topComponentDistributedPacked(spark: SparkSession,
+      packed0: org.apache.spark.rdd.RDD[(Array[Int], Array[Int], Array[Double])],
+      d: Int, iters: Int): DataFrame = {
+    import spark.implicits._
+    val packed =
+      packed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val loMask = (1L << 26) - 1
       var vArr = Array.fill(d)(FixedPointMath.roundExact(1.0 / math.sqrt(d.toDouble), 9))
@@ -448,10 +490,25 @@ object Pca {
     // arithmetic — the d-row component is all the de-bias joins consume,
     // so the d² covariance never reaches the driver on that path).
     // `forceDistributed` is the spec hook pinning local ≡ distributed.
-    val cov = covarianceFromCells(centered, n)
-    val comp = (if (!forceDistributed && d.toLong * d <= LocalDimCells)
-        topComponent(spark, cov, d, iters)
-      else topComponentDistributed(spark, cov, d, iters))
+    val distributed = forceDistributed || d.toLong * d > LocalDimCells
+    val par = spark.sparkContext.defaultParallelism
+    val comp = (if (!distributed)
+        topComponent(spark, covarianceFromCells(centered, n), d, iters)
+      else if (n < par) {
+        // FUSED few-vectors path (r14 opt): the covariance kernel's packed
+        // per-partition arrays feed the power iteration directly — same
+        // branch condition, same kernel, same arithmetic as
+        // covarianceFromCells → topComponentDistributed, minus the d²-row
+        // DataFrame round-trip in between (9-dp numerator → double here ≡
+        // the DF path's Decimal(18,9).cast(double), correctly rounded)
+        val packed = fewVectorsPacked(centered, n, par).map { case (is, js, c9s) =>
+          val cs = new Array[Double](c9s.length)
+          var k = 0
+          while (k < c9s.length) { cs(k) = FixedPointMath.toDouble(c9s(k), 9); k += 1 }
+          (is, js, cs)
+        }
+        topComponentDistributedPacked(spark, packed, d, iters)
+      } else topComponentDistributed(spark, covarianceFromCells(centered, n), d, iters))
       .select(col("i"), col("loading"))
     val p = centered.join(broadcast(comp), Seq("i"))
       .select(col("id"), quantize_fixed(col("cx") * col("loading"), 12).as("t"))

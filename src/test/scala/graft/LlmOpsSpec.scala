@@ -1235,6 +1235,28 @@ class LlmOpsSpec extends AnyFunSuite {
       local.zip(dist).filter(p => p._1 != p._2).take(5)}")
   }
 
+  test("Pca.debiasReport: FUSED few-vectors distributed path ≡ local, bit-identical (r14)") {
+    import graft.llm.Pca
+    // n = 3 < defaultParallelism hits the fused kernel→packed-iteration
+    // branch (the q312 shape: the covariance kernel's per-partition arrays
+    // feed the power iteration with no d²-row DataFrame in between);
+    // forceDistributed at d = 64 lets the LOCAL report pin it bit for bit.
+    val d = 64
+    assert(spark.sparkContext.defaultParallelism > 3,
+      "fixture must stay on the few-vectors branch (n < cores)")
+    val few = spark.range(3).select($"id".cast("long").as("vec_id"))
+      .select($"vec_id", transform(sequence(lit(0), lit(d - 1)),
+        i => ((($"vec_id" + 1) * 31 + i.cast("long") * 17) % 97)
+          .cast("double") / 97.0).as("embedding"))
+    val local = Pca.debiasReport(spark, few, "vec_id", "embedding", d, iters = 5)
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1).toSeq
+    val fused = Pca.debiasReport(spark, few, "vec_id", "embedding", d, iters = 5,
+        forceDistributed = true)
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(local.nonEmpty && local == fused, s"fused few-vectors drift:\n${
+      local.zip(fused).filter(p => p._1 != p._2).take(5)}")
+  }
+
   test("Pca.topComponents deflation: distributed ≡ local bit-identical; components orthogonal, eigenvalues descend") {
     import graft.llm.Pca
     // two planted factors with WELL-SEPARATED variances (power iteration
